@@ -1,13 +1,438 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{Cleaning, Crosstab, MultiDim, Rounding, Tabulation}
+import graft.bht.{Builders, Kpis}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §7.4 extensions), with a DuckDB-equivalent oracle SQL
+  * for every SQL-expressible one.
+  *
+  * Determinism rules shared by the Spark queries and their oracles:
+  *  - all percent rounding uses `Rounding.halfUp` (floor(x*p+0.5)/p),
+  *    identical IEEE arithmetic in both engines (see Rounding.scala);
+  *  - weighted sums use integer-valued weights (l_quantity) or cent-
+  *    scaled longs so float summation order can't change results;
+  *  - every aggregate/computed column is aliased identically on both
+  *    sides (the driver's compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
+    * `customer` as the survey wave (TOM = market segment, CSAT = account
+    * balance scale, NPS = nation key). Returns the awareness TOM table.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = Sources.table(spark, "/root/testdata/sf0.001", "customer")
+    val cfg = MappingConfig.fromJson(
+      """{"respondent_id":"c_custkey","demographics":["c_nationkey"],
+         |"awareness":{"tom":"c_mktsegment","unaided":["c_name"],"aided":[]},
+         |"usage":{"ever_used":["c_mktsegment"],"bumo":[],"consider":[]},
+         |"satisfaction":{"csat":"c_acctbal"},"nps":{"score":"c_nationkey"}}""".stripMargin)
+    Transform.run(df, cfg)("awareness_tom")
+  }
+
+  // ---------------------------------------------------------------------
+  // Operator queries (name → (spark, sfDir) => DataFrame)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.3 aggregations -------------------------------------------
+    "a1_value_counts" -> ((s, d) =>
+      Tabulation.valueCounts(T(s, d, "customer"), "c_mktsegment")),
+
+    "a2_freq_table" -> ((s, d) =>
+      Tabulation.freqTable(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"), 1)),
+
+    "a3_crosstab_total" -> ((s, d) =>
+      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "total", includeTotals = true, 1)),
+
+    "a3_crosstab_row" -> ((s, d) =>
+      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "row", includeTotals = true, 1)),
+
+    "a3_crosstab_col" -> ((s, d) =>
+      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "col", includeTotals = true, 1)),
+
+    "a4_multidim_level" -> ((s, d) =>
+      MultiDim.multiDimTabulation(T(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Some("l_quantity"), "l_returnflag", 1)),
+
+    "a4_multidim_total" -> ((s, d) =>
+      MultiDim.multiDimTabulation(T(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"), Some("l_quantity"), "total", 1)),
+
+    "a5_full_tabulation" -> ((s, d) =>
+      Tabulation.fullTabulation(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_name"))),
+
+    "a6_selected_counts" -> ((s, d) =>
+      Tabulation.selectedCounts(T(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))),
+
+    "a7_csat_summary" -> ((s, d) =>
+      Kpis.csatSummary(T(s, d, "lineitem"), "l_quantity")),
+
+    "a8_nps_summary" -> ((s, d) =>
+      Kpis.npsSummary(T(s, d, "part"), "p_size")),
+
+    // --- §2.2 transforms ---------------------------------------------
+    "t5_codebook_recode" -> ((s, d) => {
+      val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
+        Map("n_regionkey" -> Map("0" -> "AFRICA", "1" -> "AMERICA", "2" -> "ASIA")))
+      recoded.groupBy("n_regionkey").agg(count(lit(1)).as("count"))
+    }),
+
+    "t10_brand_dictionary" -> ((s, d) =>
+      Tabulation.distinctValues(T(s, d, "customer"), "c_mktsegment")),
+
+    // --- §2.4 sort/limit/union/join ----------------------------------
+    "o3_sort_limit" -> ((s, d) =>
+      T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), desc("o_orderkey")).limit(20)),
+
+    "u1_union_funnel" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      Tabulation.selectedCounts(o, Seq("o_orderstatus")).withColumn("stage", lit("ever_used"))
+        .unionByName(
+          Tabulation.selectedCounts(o, Seq("o_orderpriority")).withColumn("stage", lit("consider")))
+    }),
+
+    "j1_join_enrich" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val n = T(s, d, "nation")
+      val r = T(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("acctbal_cents"))
+    }),
+
+    // --- §7.4 dedup ---------------------------------------------------
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(T(s, d, "documents"), "doc_id", Seq("text"))),
+
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.nearDupMinhash(T(s, d, "documents"), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.3)),
+
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.nearDupSimhash(T(s, d, "documents"), "doc_id", "text", maxHamming = 7)),
+
+    "x_dedup_ngram" -> ((s, d) =>
+      Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+
+    "x_dedup_embedding" -> ((s, d) =>
+      Dedup.nearDupEmbedding(T(s, d, "embeddings"), "vec_id", "embedding",
+        bits = 6, tables = 12, threshold = 0.4)),
+
+    // --- §7.4 similarity search --------------------------------------
+    "x_sim_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.topKBruteForce(emb, "vec_id", "embedding", q, 10, excludeId = Some(0L))
+        .select(col("vec_id"), Rounding.halfUp(col("similarity"), 6).as("similarity"))
+    }),
+
+    "x_sim_ann" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.annTopK(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5, bits = 8, tables = 8)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
+    // --- §7.4 text analysis ------------------------------------------
+    "x_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),
+
+    "x_text_langid" -> ((s, d) =>
+      TextAnalysis.langIdTable(T(s, d, "documents"), "doc_id", "text")),
+
+    "x_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
+
+    "x_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprintTable(T(s, d, "documents"), "doc_id", "text")),
+
+    // --- §7.4 multimodal ---------------------------------------------
+    "x_mm_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"), "doc_id", "payload")
+        .toDF().select("doc_id", "n_bytes", "format", "width", "height")),
+
+    // --- §7.4 streaming (batch-equivalent plans) ---------------------
+    "x_stream_window" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("value_cents"))),
+
+    "x_stream_sessions" -> ((s, d) =>
+      Streams.sessionize(T(s, d, "events")
+          .withColumn("value", floor(col("value") * 100 + 0.5).cast("long")), 30)
+        .withColumnRenamed("value_sum", "value_cents"))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — identical math, identical aliases
+  // ---------------------------------------------------------------------
+
+  private def r1(e: String) = Rounding.halfUpSql(e, 1)
+
+  private val stopSqlLists = Map(
+    "de" -> "['der','die','das','und','ist','nicht','mit','ein']",
+    "en" -> "['the','a','of','and','is','to','in','that']",
+    "es" -> "['el','la','de','que','y','los','es','una']",
+    "fr" -> "['le','la','les','de','et','est','une','que']",
+    "zh" -> "['的','是','了','在','我','有','和','不']")
+
+  private val toksSql =
+    "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  private def crosstabSql(percent: String): String = {
+    val piv =
+      """piv AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+        |         sum(CASE WHEN CAST(l_linestatus AS VARCHAR)='F' THEN coalesce(CAST(l_quantity AS DOUBLE),0) ELSE 0 END) AS "F",
+        |         sum(CASE WHEN CAST(l_linestatus AS VARCHAR)='O' THEN coalesce(CAST(l_quantity AS DOUBLE),0) ELSE 0 END) AS "O"
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1)""".stripMargin
+    val pctCells = percent match {
+      case "total" =>
+        s"""g AS (SELECT CASE WHEN sum("F")+sum("O") <> 0 THEN sum("F")+sum("O") END AS dn FROM piv),
+           |pct AS (SELECT l_returnflag, ${r1("\"F\" / g.dn * 100")} AS "F", ${r1("\"O\" / g.dn * 100")} AS "O" FROM piv, g)""".stripMargin
+      case "row" =>
+        s"""pct AS (SELECT l_returnflag,
+           |  ${r1("\"F\" / (CASE WHEN \"F\"+\"O\" <> 0 THEN \"F\"+\"O\" END) * 100")} AS "F",
+           |  ${r1("\"O\" / (CASE WHEN \"F\"+\"O\" <> 0 THEN \"F\"+\"O\" END) * 100")} AS "O" FROM piv)""".stripMargin
+      case "col" =>
+        s"""g AS (SELECT CASE WHEN sum("F") <> 0 THEN sum("F") END AS df, CASE WHEN sum("O") <> 0 THEN sum("O") END AS dd FROM piv),
+           |pct AS (SELECT l_returnflag, ${r1("\"F\" / g.df * 100")} AS "F", ${r1("\"O\" / g.dd * 100")} AS "O" FROM piv, g)""".stripMargin
+    }
+    val pctTotalRow = percent match {
+      case "row" => """SELECT 'Total', 100.0, 100.0"""
+      case _ => """SELECT 'Total', (SELECT coalesce(sum("F"),0) FROM pct), (SELECT coalesce(sum("O"),0) FROM pct)"""
+    }
+    val pctTotalCol = percent match {
+      case "col" => "100.0"
+      case _ => """coalesce("F",0)+coalesce("O",0)"""
+    }
+    s"""WITH $piv,
+       |counts AS (SELECT * FROM piv UNION ALL SELECT 'Total', (SELECT sum("F") FROM piv), (SELECT sum("O") FROM piv)),
+       |counts2 AS (SELECT l_returnflag, "F", "O", "F"+"O" AS "Total", 'count' AS __type__ FROM counts),
+       |$pctCells,
+       |pctt AS (SELECT * FROM pct UNION ALL $pctTotalRow),
+       |pct2 AS (SELECT l_returnflag, "F", "O", $pctTotalCol AS "Total", '%_$percent' AS __type__ FROM pctt)
+       |SELECT * FROM counts2 UNION ALL SELECT * FROM pct2""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_value_counts" ->
+      """SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS option, CAST(count(*) AS BIGINT) AS "count"
+        |FROM customer
+        |WHERE c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> ''
+        |GROUP BY 1""".stripMargin,
+
+    "a2_freq_table" ->
+      s"""WITH c AS (
+         |  SELECT trim(coalesce(CAST(l_returnflag AS VARCHAR), 'nan')) AS "value",
+         |         sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS "count"
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CASE WHEN sum("count") <> 0 THEN sum("count") END AS dn FROM c)
+         |SELECT 'l_returnflag' AS "column", "value", "count",
+         |       ${r1("\"count\" / t.dn * 100")} AS pct_total
+         |FROM c, t""".stripMargin,
+
+    "a3_crosstab_total" -> crosstabSql("total"),
+    "a3_crosstab_row" -> crosstabSql("row"),
+    "a3_crosstab_col" -> crosstabSql("col"),
+
+    "a4_multidim_level" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, l_linestatus, sum(coalesce(CAST(l_quantity AS DOUBLE),0)) AS "count"
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (SELECT *, sum("count") OVER (PARTITION BY l_returnflag) AS dn FROM g)
+         |SELECT l_returnflag, l_linestatus, "count",
+         |       ${r1("\"count\" / (CASE WHEN dn <> 0 THEN dn END) * 100")} AS pct
+         |FROM w""".stripMargin,
+
+    "a4_multidim_total" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, l_linestatus, l_linenumber, sum(coalesce(CAST(l_quantity AS DOUBLE),0)) AS "count"
+         |  FROM lineitem GROUP BY 1, 2, 3),
+         |t AS (SELECT CASE WHEN sum("count") <> 0 THEN sum("count") END AS dn FROM g)
+         |SELECT l_returnflag, l_linestatus, l_linenumber, "count",
+         |       ${r1("\"count\" / t.dn * 100")} AS pct
+         |FROM g, t""".stripMargin,
+
+    "a5_full_tabulation" ->
+      """SELECT 'c_mktsegment' AS "column", trim(coalesce(CAST(c_mktsegment AS VARCHAR),'nan')) AS "value", CAST(count(*) AS BIGINT) AS "count" FROM customer GROUP BY 2
+        |UNION ALL
+        |SELECT 'c_nationkey', trim(coalesce(CAST(c_nationkey AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2
+        |UNION ALL
+        |SELECT 'c_name', trim(coalesce(CAST(c_name AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2""".stripMargin,
+
+    "a6_selected_counts" ->
+      """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count" FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' AND lower(CAST(o_orderpriority AS VARCHAR)) <> '0') AS BIGINT) FROM orders""".stripMargin,
+
+    "a7_csat_summary" ->
+      """SELECT 'mean' AS metric, avg(CAST(l_quantity AS DOUBLE)) AS "value" FROM lineitem
+        |UNION ALL
+        |SELECT 'top2_box', CAST(count(*) FILTER (WHERE CAST(l_quantity AS DOUBLE) >= (SELECT max(CAST(l_quantity AS DOUBLE)) FROM lineitem) - 1) AS BIGINT) / count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'n', CAST(count(l_quantity) AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "a8_nps_summary" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 0 AND 6) AS BIGINT) AS detr,
+        |         CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 7 AND 8) AS BIGINT) AS pass,
+        |         CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 9 AND 10) AS BIGINT) AS prom,
+        |         CAST(count(p_size) AS BIGINT) AS n
+        |  FROM part)
+        |SELECT 'nps' AS metric, (CAST(prom AS DOUBLE) / n - CAST(detr AS DOUBLE) / n) * 100 AS "value" FROM c
+        |UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM c
+        |UNION ALL SELECT 'promoters', CAST(prom AS DOUBLE) FROM c
+        |UNION ALL SELECT 'passives', CAST(pass AS DOUBLE) FROM c
+        |UNION ALL SELECT 'detractors', CAST(detr AS DOUBLE) FROM c""".stripMargin,
+
+    "t5_codebook_recode" ->
+      """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'
+        |            ELSE CAST(n_regionkey AS VARCHAR) END AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS "count"
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "t10_brand_dictionary" ->
+      """SELECT DISTINCT trim(CAST(c_mktsegment AS VARCHAR)) AS brand
+        |FROM customer
+        |WHERE c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> ''""".stripMargin,
+
+    "o3_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 20",
+
+    "u1_union_funnel" ->
+      """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count", 'ever_used' AS stage FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' AND lower(CAST(o_orderpriority AS VARCHAR)) <> '0') AS BIGINT), 'consider' FROM orders""".stripMargin,
+
+    "j1_join_enrich" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "x_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id,
+        |       floor((CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) * 1000000 + 0.5) / 1000000 AS similarity
+        |FROM s
+        |ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "x_text_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS token_count,
+         |       CAST(length(text) AS BIGINT) AS char_count
+         |FROM documents""".stripMargin,
+
+    "x_text_langid" -> {
+      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
+        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM t)
+         |SELECT doc_id,
+         |       CASE WHEN $m = 0 THEN 'und'
+         |            WHEN score_de = $m THEN 'de'
+         |            WHEN score_en = $m THEN 'en'
+         |            WHEN score_es = $m THEN 'es'
+         |            WHEN score_fr = $m THEN 'fr'
+         |            ELSE 'zh' END AS pred_lang,
+         |       score_de, score_en, score_es, score_fr, score_zh
+         |FROM s""".stripMargin
+    },
+
+    "x_text_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         length(text) AS chars,
+         |         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonpunct,
+         |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         |         len($toksSql) AS toks,
+         |         len(list_filter($toksSql, x -> list_contains(${stopSqlLists("en")}, x))) AS stophits
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(chars AS BIGINT) AS char_count,
+         |       CAST(toks AS BIGINT) AS token_count,
+         |       (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) AS punct_ratio,
+         |       digits / (CASE WHEN chars > 0 THEN chars END) AS digit_ratio,
+         |       stophits / (CASE WHEN toks > 0 THEN toks END) AS stopword_ratio,
+         |       (toks >= 5 AND toks <= 100000 AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3) AS keep
+         |FROM b""".stripMargin,
+
+    "x_mm_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CASE ord(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |       CAST(64 + ord(substr(text, 1, 1)) % 192 AS INT) AS width,
+        |       CAST(64 + octet_length(encode(text)) % 192 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "x_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR (epoch_ms(ts) - epoch_ms(prev)) > 1800000 THEN 1 ELSE 0 END AS isnew FROM l),
+        |s AS (SELECT *, sum(isnew) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+        |       CAST(epoch_ms(max(ts)) AS BIGINT) AS session_end_ms,
+        |       CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM s GROUP BY 1, 2""".stripMargin
+  )
 }

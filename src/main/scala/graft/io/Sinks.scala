@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+/** Sinks (SURVEY.md §2.1 S5–S7).
+  *
+  * The reference exports every result table to one Excel workbook
+  * (app.py:592-605) and a JSON bundle `{table: [row objects]}`
+  * (app.py:607-615). Result tables are dashboard-sized summaries, so a
+  * driver-side JSON bundle is legitimate even at 100 TB input scale; the
+  * Parquet sink is the at-scale path for anything large.
+  */
+object Sinks {
+
+  /** Primary at-scale sink: one Parquet dir per table. */
+  def writeParquet(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/${sheetName(name)}")
+    }
+
+  /** S6 — JSON bundle `{table: [row-objects]}` (app.py:607-615).
+    * Row objects preserve column order via toJSON (Jackson keeps field
+    * order = schema order, like pandas to_dict(orient="records")).
+    */
+  def jsonBundle(tables: Map[String, DataFrame]): String = {
+    val entries = tables.map { case (name, df) =>
+      val rows = df.toJSON.collect().mkString("[", ",", "]")
+      "\"" + escape(name) + "\": " + rows
+    }
+    entries.mkString("{\n", ",\n", "\n}")
+  }
+
+  def writeJsonBundle(tables: Map[String, DataFrame], path: String): Unit =
+    Files.write(Paths.get(path), jsonBundle(tables).getBytes("UTF-8"))
+
+  /** S5's 31-char Excel sheet-name truncation (app.py:596) — kept for the
+    * table-name contract even though the offline jar set has no POI
+    * (Excel itself is out of scope; CSV/JSON/Parquet are the sinks).
+    */
+  def sheetName(name: String): String = name.take(31)
+
+  /** CSV sink (small summary tables; single file per table). */
+  def writeCsv(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$outDir/${sheetName(name)}")
+    }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+}

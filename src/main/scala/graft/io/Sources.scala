@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources (SURVEY.md §2.1 S1–S4).
+  *
+  * S1 CSV (app.py:74-81): header + schema inference, matching pandas
+  * read_csv's inference envelope (long/double/string).
+  * S3 codebook CSV (app.py:218-227): contract `column,value,label`,
+  * collapsed to per-column recode maps. The codebook is survey-sized
+  * config data; collecting it to the driver (then broadcasting inside
+  * `typedLit` maps) is the scale-correct shape — the 100 TB side stays
+  * distributed.
+  * S2 Excel: no POI in the zero-egress jar set; `readTable` dispatches
+  * CSV/Parquet and rejects xlsx with a clear error (Parquet is the
+  * at-scale contract anyway).
+  */
+object Sources {
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Extension-dispatching reader (read_table, app.py:74-81). */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) readCsv(spark, path)
+    else if (lower.endsWith(".parquet")) readParquet(spark, path)
+    else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+      throw new IllegalArgumentException(
+        "Excel input is not supported in this build (no POI jars offline); convert to CSV/Parquet")
+    else throw new IllegalArgumentException(s"Unsupported file type: $path")
+  }
+
+  /** Convenience: read a named testdata table from an sf directory.
+    * Handles parquet TIMESTAMP(NANOS) columns (which Spark's reader
+    * rejects natively): with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * they surface as LongType nanos and are converted here to proper
+    * microsecond timestamps (truncating division, same as DuckDB's
+    * ns→us handling).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = readParquet(spark, s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** S3 — codebook reader: CSV (or parquet) with columns
+    * column,value,label → per-column recode maps (app.py:218-227).
+    * Values and labels are stringified exactly like the reference
+    * (`astype(str)` on both, app.py:222).
+    */
+  def readCodebook(spark: SparkSession, path: String): Map[String, Map[String, String]] = {
+    val df = readTable(spark, path)
+    val required = Set("column", "value", "label")
+    require(required.subsetOf(df.columns.map(_.toLowerCase).toSet),
+      s"Codebook must have columns: column,value,label (got ${df.columns.mkString(",")})")
+    df.select(
+        col("column").cast("string"),
+        col("value").cast("string"),
+        col("label").cast("string"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      }
+  }
+}

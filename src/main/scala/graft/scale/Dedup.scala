@@ -1,0 +1,175 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7.4):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash group-by on the dedup key (or a digest of
+  *    it) — Spark's partial aggregation makes this a single shuffle of
+  *    distinct keys, not rows.
+  *  - Near-dup never does an O(n²) comparison: MinHash/SimHash/embedding
+  *    variants all generate candidates by exploding per-doc BUCKET KEYS
+  *    (LSH bands / simhash chunks / hyperplane signs) and self-joining
+  *    within buckets — a shuffle on bucket key whose skew is bounded by
+  *    band width, then exact verification only on candidate pairs.
+  *  - The n-gram Jaccard verifier recomputes shingle sets on the
+  *    candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per duplicate group.
+    * Returns (idCol = min id, dup_count) per distinct key set — the
+    * deterministic canonical form (dropDuplicates keeps an arbitrary
+    * row, which breaks reproducibility).
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select((col(idCol) +: keyCols.map(col) :+ col("dup_count")): _*)
+
+  /** MinHash signatures per doc: (id, sig: array<long>). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val fam = Shingling.HashFamily(numHashes, seed)
+    df.select(col(idCol), fam.minhashSignature(Shingling.shingleSet(col(textCol), k)).as("sig"))
+  }
+
+  /** LSH banding: explode each signature into (band, bandHash) bucket
+    * keys; docs sharing any bucket are candidates.
+    */
+  private def bandBuckets(sigDf: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), _.cast("string")),
+          ",")).as("bucket"))
+    }
+    sigDf.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, Jaccard-verified.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def nearDupMinhash(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
+    val buckets = bandBuckets(sigs, idCol, bands, rowsPerBand)
+
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sets = df.select(col(idCol), Shingling.shingleSet(col(textCol), k).as("shingles"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Shingling.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard over ALL same-bucket pairs where the bucket is
+    * a cheap blocking key (here: doc length band + first token), i.e. a
+    * bounded quadratic within tiny blocks. For unblocked exactness use
+    * nearDupMinhash with bands = numHashes (threshold-free candidates).
+    */
+  def nearDupNgram(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val block = struct(
+      // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
+      // floor() agrees in both engines for the non-negative log here
+      floor(log(greatest(length(col(textCol)), lit(1))) * 2).cast("int").as("lenband"),
+      element_at(toks, 1).as("t0"))
+    val sets = df.select(col(idCol), block.as("block"),
+      Shingling.shingleSet(col(textCol), k).as("shingles"))
+    val a = sets.select(col("block"), col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val b = sets.select(col("block"), col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Shingling.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash over the token stream: bit j of the fingerprint is
+    * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+    * Pure higher-order expressions; one narrow map.
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    // dynamic shift amounts need call_function (functions.shiftright only
+    // takes a literal Int shift)
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
+    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
+    val bitSums = transform(sequence(lit(0), lit(63)), j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shr(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)), (s, j) =>
+        when(s > 0, shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs within a Hamming-distance budget.
+    * Candidate generation by the pigeonhole principle: split the 64-bit
+    * fingerprint into (maxHamming+1) chunks; any pair within the budget
+    * shares at least one exact chunk → bucket-join on (chunk index,
+    * chunk value), then verify true Hamming distance.
+    */
+  def nearDupSimhash(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val fp = df.select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("fp"))
+
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("fp"), c * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1).as("ckey"))
+    }
+    val buckets = fp.select(col(idCol), col("fp"),
+        explode(array(chunkStructs: _*)).as("cb"))
+      .select(col(idCol), col("fp"), col("cb.chunk"), col("cb.ckey"))
+
+    val a = buckets.select(col("chunk"), col("ckey"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = buckets.select(col("chunk"), col("ckey"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    * exact cosine verification. Deterministic hyperplanes from `seed`.
+    */
+  def nearDupEmbedding(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 12, tables: Int = 4, threshold: Double = 0.95,
+      seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val keyed = Similarity.withLshKeys(df, vecCol, bits, tables, seed, dim)
+    val a = keyed.select(col("table"), col("lsh_key"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = keyed.select(col("table"), col("lsh_key"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("table", "lsh_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extraction as a partition-local batch map.
+  *
+  * The actual media decode is STUBBED (this container ships no image/
+  * audio codecs — see `FakeDecode`); everything Spark-side is real:
+  * schema, binary column handling, the mapPartitions batch shape (the
+  * Scala analogue of `mapInPandas`: one iterator per partition, arbitrary
+  * per-batch native calls, constant memory), and partitioning behavior.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by the decode stage. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB decode: a real pipeline would call an image/audio codec here
+    * (per partition, batched). This deterministic fake derives "format"
+    * and "dimensions" from the payload bytes so tests are reproducible.
+    */
+  object FakeDecode {
+    def apply(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length
+      val head = if (n > 0) java.lang.Byte.toUnsignedInt(bytes(0)) else 0
+      val fmt = head % 3 match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "webp"
+      }
+      var ck = 1125899906842597L
+      var i = 0
+      while (i < n) { ck = ck * 31 + bytes(i); i += 1 }
+      MediaMeta(id, n.toLong, fmt, 64 + head % 192, 64 + (n % 192), ck)
+    }
+  }
+
+  /** Attach a binary payload column. With real media data this is the
+    * raw file bytes; here the payload is the UTF-8 encoding of a string
+    * column (deterministic, lets the rest of the pipeline be exercised
+    * end-to-end on the documents table).
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, col(srcCol).cast("binary"))
+
+  /** Decode stage: partition-local batch map over (id, payload) —
+    * the Scala shape of `mapInPandas` (iterator in, iterator out; the
+    * decode library would be initialized once per partition, not per
+    * row). Output is a typed Dataset[MediaMeta].
+    */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of the (stubbed) codec happens here
+        it.map { case (id, bytes) => FakeDecode(id, bytes) }
+      }
+  }
+
+  /** Feature-extract stage: fixed-size float feature vector per payload
+    * (stub: byte histogram folded to `dim` buckets, L1-normalized) —
+    * the same batch shape a real embedding model invocation would use.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](dim)
+          bytes.foreach(b => hist(java.lang.Byte.toUnsignedInt(b) % dim) += 1.0)
+          val total = math.max(1.0, bytes.length.toDouble)
+          (id, hist.map(_ / total))
+        }
+      }
+      .toDF(idCol, "features")
+  }
+}

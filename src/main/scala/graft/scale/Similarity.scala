@@ -1,0 +1,107 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (SURVEY.md §7.4):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane
+  * LSH buckets as the approximate scale path.
+  *
+  * Scale design: brute-force against ONE query vector is a narrow map +
+  * TakeOrderedAndProject (per-partition top-k, then a k-sized merge on
+  * the driver) — no shuffle of the corpus. The many-query path buckets
+  * both sides by LSH key so the join shuffles only bucket-aligned
+  * slices instead of the full cross product. Dot products are
+  * sequential `aggregate` folds in double precision — deterministic
+  * everywhere.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float/double arrays (cast to
+    * double), via zip_with + aggregate — codegen'd, deterministic order.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k by cosine against a single query vector.
+    * Output: (idCol, similarity), the k most similar corpus rows
+    * (excluding exact id match when excludeId is set).
+    */
+  def topKBruteForce(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val q = lit(query.toArray)
+    val base = excludeId.map(i => corpus.filter(col(idCol) =!= i)).getOrElse(corpus)
+    base
+      .select(col(idCol), cosine(col(vecCol), q).as("similarity"))
+      .orderBy(desc("similarity"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a fixed hash-derived value in [-1, 1). No RNG state — every
+    * executor/JVM materializes identical planes from (seed, table, p, j).
+    */
+  private def hyperplane(seed: Long, table: Int, p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, table, p, j))
+      (h.toDouble / Int.MaxValue)
+    }
+
+  /** Attach `tables` LSH keys per row: sign-bit signature of `bits`
+    * hyperplane projections. Output adds (table, lsh_key) — one row per
+    * (input row × table), ready for bucket-joining.
+    */
+  def withLshKeys(
+      df: DataFrame, vecCol: String, bits: Int, tables: Int,
+      seed: Long, dim: Int): DataFrame = {
+    val tableKeys: Seq[Column] = (0 until tables).map { t =>
+      val bitCols: Seq[Column] = (0 until bits).map { p =>
+        val plane = lit(hyperplane(seed, t, p, dim).toArray)
+        when(dot(col(vecCol), plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bitCols.reduce(_.bitwiseOR(_)).as("lsh_key"))
+    }
+    df.select((df.columns.map(col) :+ explode(array(tableKeys: _*)).as("tk")).toIndexedSeq: _*)
+      .select((df.columns.map(col) :+ col("tk.table") :+ col("tk.lsh_key")).toIndexedSeq: _*)
+  }
+
+  /** Approximate top-k for MANY queries at once: LSH-bucket join between
+    * queries and corpus (same hyperplanes both sides), exact cosine
+    * within buckets, window top-k per query. Recall grows with `tables`.
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10, bits: Int = 12, tables: Int = 4,
+      seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val c = withLshKeys(corpus, vecCol, bits, tables, seed, dim)
+      .select(col("table"), col("lsh_key"), col(idCol).as("__cid__"), col(vecCol).as("__cvec__"))
+    val q = withLshKeys(queries, vecCol, bits, tables, seed, dim)
+      .select(col("table"), col("lsh_key"), col(queryIdCol).as("__qid__"), col(vecCol).as("__qvec__"))
+    val scored = q.join(c, Seq("table", "lsh_key"))
+      .filter(col("__qid__") =!= col("__cid__"))
+      .select(col("__qid__"), col("__cid__"),
+        cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
+      .groupBy(col("__qid__"), col("__cid__"))
+      .agg(max(col("similarity")).as("similarity")) // dedup across tables
+    val w = Window.partitionBy(col("__qid__"))
+      .orderBy(desc("similarity"), asc("__cid__"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
+        col("similarity"), col("rank"))
+  }
+}

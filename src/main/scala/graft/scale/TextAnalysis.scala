@@ -1,0 +1,111 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §7.4):
+  * tokenization, language-ID heuristic, quality scoring, document
+  * fingerprinting. Charter extensions beyond the reference surface
+  * (BASELINE.json north_star).
+  *
+  * Everything is built from codegen'd `functions._` expressions
+  * (split / higher-order array functions / xxhash64) — no UDFs, so the
+  * whole stage stays in WholeStageCodegen and distributes trivially:
+  * every operator here is a narrow map over the documents table.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed, lowercased text; empty text →
+    * empty array (split("") would yield [""]).
+    */
+  def tokens(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** (doc_id, token_count, char_count) per document. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).cast("long").as("token_count"),
+      length(col(textCol)).cast("long").as("char_count"))
+
+  // Tiny per-language stopword lists for the n-gram/keyword heuristic.
+  // Deliberately simple & fixed so the DuckDB oracle can reproduce them.
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "une", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Per-language stopword-hit score: number of tokens present in the
+    * language's list (token-exact, not substring).
+    */
+  def langScore(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(lit(stopwords.toArray), t)))
+
+  /** Language-ID heuristic: argmax of stopword-hit scores with a
+    * deterministic tie-break (list order above, i.e. alphabetical);
+    * zero hits everywhere → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = StopwordLists.map { case (lang, words) => lang -> langScore(text, words) }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), e) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(e)
+    }
+    pick
+  }
+
+  /** Language-ID table: (doc_id, lang, pred_lang) + per-language scores. */
+  def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scoreCols = StopwordLists.map { case (lang, words) =>
+      langScore(t, words).cast("long").as(s"score_$lang")
+    }
+    df.select((col(idCol) +: langId(t).as("pred_lang") +: scoreCols): _*)
+  }
+
+  /** Quality metrics per document — length, punctuation/digit/whitespace
+    * ratios, English-stopword ratio, and a boolean keep-flag with fixed
+    * thresholds. All ratios are exact-integer divisions (deterministic
+    * across engines).
+    */
+  def qualityTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t)
+    val nonPunct = length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val digits = chars - length(regexp_replace(t, "[0-9]", ""))
+    val toks = tokenCount(t)
+    val stopHits = langScore(t, StopwordLists.toMap.apply("en"))
+    val safeChars = when(chars > 0, chars)
+    val safeToks = when(toks > 0, toks)
+    df.select(
+      col(idCol),
+      chars.cast("long").as("char_count"),
+      toks.cast("long").as("token_count"),
+      ((chars - nonPunct) / safeChars).as("punct_ratio"),
+      (digits / safeChars).as("digit_ratio"),
+      (stopHits / safeToks).as("stopword_ratio"),
+      (toks >= 5 && toks <= 100000 &&
+        ((chars - nonPunct) / safeChars) < lit(0.3)).as("keep"))
+  }
+
+  /** Document fingerprint: xxhash64 of the normalized token stream —
+    * stable under whitespace/case variation. Plus a winnowing-style
+    * k-shingle min-hash fingerprint (rolling window of the token-level
+    * hash sequence). Not SQL-oracle-able (engine-specific hash fns);
+    * covered by ScalaTest.
+    */
+  def fingerprintTable(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val toks = tokens(col(textCol))
+    val joined = array_join(toks, " ")
+    val sh = Shingling.shingles(toks, k)
+    df.select(
+      col(idCol),
+      xxhash64(joined).as("fingerprint"),
+      array_min(transform(sh, s => xxhash64(s))).as("min_shingle_hash"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the events table (SURVEY.md §7.4; the
+  * reference itself has no streaming — §2.5 — these are charter
+  * extensions). Each transform is written against a plain DataFrame so
+  * the SAME code runs in batch (for the oracle) and on a
+  * `spark.readStream` source (Structured Streaming plans the identical
+  * logical operators incrementally).
+  */
+object Streams {
+
+  /** Tumbling-window aggregation: per (window, event_type) count +
+    * value sum. On a streaming input, couple with `withWatermark` (see
+    * `windowedStream`). `window_start` is emitted as epoch seconds for
+    * engine-portable comparison.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** The streaming form: watermarked, append-mode-compatible. */
+  def windowedStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Pure window functions (lag + running conditional sum),
+    * fully distributed by user — the batch oracle for the stateful
+    * streaming form below.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // gap math in epoch milliseconds: second-truncation would make the
+    // engine and the SQL oracle disagree on gaps straddling the boundary
+    val gapMs = gapMinutes * 60000L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(
+      prevTs.isNull || (unix_millis(col("ts")) - unix_millis(prevTs)) > gapMs,
+      1L).otherwise(0L)
+    events
+      .withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("session_start_ms"),
+        unix_millis(max(col("ts"))).as("session_end_ms"),
+        sum(col("value")).as("value_sum"))
+  }
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, value_sum: Double)
+
+  /** Stateful streaming sessionization via mapGroupsWithState-style
+    * custom state (flatMapGroupsWithState, processing-time timeout):
+    * emits a session when the inactivity gap passes. The batch
+    * `sessionize` above is its oracle.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case cur :: rest if t - cur.last <= gapMs =>
+                sessions = cur.copy(last = t, n = cur.n + 1, sum = cur.sum + e.value) :: rest
+              case cur :: rest =>
+                out += SessionOut(userId, cur.start / 1000, cur.last / 1000, cur.n, cur.sum)
+                sessions = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(sessions)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: load the Spark parquet result,
+run the matching oracle SQL from oracle_sql.json in DuckDB (tables =
+<sfDir>/*.parquet registered as views by name), sort columns by name,
+sort rows canonically, compare cell-by-cell. Exact match required
+(floats compared bitwise, like a hash would).
+"""
+import json
+import sys
+
+import duckdb
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
+            s, d = canon(spark_df), canon(duck_df)
+            if list(s.columns) != list(d.columns):
+                results[name] = f"SCHEMA spark={list(s.columns)} duck={list(d.columns)}"
+                continue
+            if len(s) != len(d):
+                results[name] = f"ROWS spark={len(s)} duck={len(d)}"
+                continue
+            sv, dv = s.values, d.values
+            bad = None
+            for i in range(len(s)):
+                for j in range(len(s.columns)):
+                    a, b = sv[i][j], dv[i][j]
+                    if a != b and not (a != a and b != b):  # NaN==NaN ok
+                        bad = (i, s.columns[j], a, b)
+                        break
+                if bad:
+                    break
+            results[name] = "OK" if not bad else f"CELL row={bad[0]} col={bad[1]} spark={bad[2]!r} duck={bad[3]!r}"
+        except Exception as e:
+            results[name] = f"ERROR {type(e).__name__}: {e}"
+    ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in results.items():
+        print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else "  " + v[:300]))
+    print(f"\n{ok}/{len(results)} oracle queries match")
+    # rows-only queries (no oracle): report row counts
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        if d not in oracle and os.path.isdir(f"{out_dir}/{d}"):
+            n = con.sql(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
+            print(f"ROWS-ONLY {d}: {n} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
