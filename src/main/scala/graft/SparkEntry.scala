@@ -130,7 +130,8 @@ object SparkEntry {
         k = 3, numHashes = 64, bands = 16, threshold = 0.3)),
 
     "x_dedup_simhash" -> ((s, d) =>
-      Dedup.nearDupSimhash(T(s, d, "documents"), "doc_id", "text", maxHamming = 7)),
+      Dedup.nearDupSimhash(T(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 200)),
 
     "x_dedup_ngram" -> ((s, d) =>
       Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),

@@ -53,11 +53,16 @@ object Crosstab {
     require(colVals.size <= MaxPivotValues,
       s"crosstab: >$MaxPivotValues distinct values in '$cols' — not a crosstab-shaped column")
 
+    // The pivoted matrix is summary-sized (|rows values| × |cols values|)
+    // but referenced by up to 5 downstream branches (counts, pct, both
+    // margin rows, column sums) — without persisting, EACH branch would
+    // re-run the full-data pivot aggregation.
     val piv = base
       .groupBy(col(rows))
       .pivot(cols, colVals)
       .agg(sum(col("__w__")))
       .na.fill(0.0, colVals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val vcols: Seq[Column] = colVals.map(c => col(c))
     def rowSum(cs: Seq[String]): Column =

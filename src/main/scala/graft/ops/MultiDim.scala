@@ -24,9 +24,14 @@ object MultiDim {
       decimals: Int = 1): DataFrame = {
     require(dims.nonEmpty && dims.size <= 3, s"dims must be 1..3, got $dims")
     val w = Cleaning.weightExpr(df, weightCol)
-    val grp = df
+    val grp0 = df
       .groupBy(dims.map(col): _*)
       .agg(sum(w).as("count"))
+    // summary-sized, read twice when percenting by total
+    val grp =
+      if (percentBy == "total")
+        grp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grp0
 
     if (percentBy == "total") {
       val total = grp.agg(sum(col("count")).as("__total__"))

@@ -25,7 +25,10 @@ object Tabulation {
     * aggregated (summary-sized) frame.
     */
   private def withPctOfTotal(
-      counts: DataFrame, countCol: String, pctName: String, decimals: Int): DataFrame = {
+      counts0: DataFrame, countCol: String, pctName: String, decimals: Int): DataFrame = {
+    // counts is summary-sized and read twice (total + projection):
+    // persist so the full-data aggregation runs once
+    val counts = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col(countCol)).as("__total__"))
     counts
       .crossJoin(broadcast(total))

@@ -30,12 +30,17 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select((col(idCol) +: keyCols.map(col) :+ col("dup_count")): _*)
 
-  /** MinHash signatures per doc: (id, sig: array<long>). */
+  /** MinHash signatures per doc: (id, sig: array<long>).
+    * Native ShingleMinHash expression: tokenize (codegen'd split), then
+    * one tight loop shingling+hashing+updating all signature slots.
+    */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val fam = Shingling.HashFamily(numHashes, seed)
-    df.select(col(idCol), fam.minhashSignature(Shingling.shingleSet(col(textCol), k)).as("sig"))
+    val sig = graft.functions.Native.shingleMinhash(
+      TextAnalysis.tokens(col(textCol)), k, fam.coeffs.map(_._1), fam.coeffs.map(_._2))
+    df.select(col(idCol), sig.as("sig"))
   }
 
   /** LSH banding: explode each signature into (band, bandHash) bucket
@@ -71,12 +76,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val sets = df.select(col(idCol), Shingling.shingleSet(col(textCol), k).as("shingles"))
+    // verify with sorted shingle-HASH sets: ~10× smaller shuffle than
+    // string shingle arrays, and the pairwise Jaccard is a native long
+    // merge-walk (hash collisions at 64 bits are negligible)
+    val sets = df.select(col(idCol),
+      graft.functions.Native.hashedShingleSet(TextAnalysis.tokens(col(textCol)), k).as("shingles"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        Shingling.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -95,13 +104,13 @@ object Dedup {
       floor(log(greatest(length(col(textCol)), lit(1))) * 2).cast("int").as("lenband"),
       element_at(toks, 1).as("t0"))
     val sets = df.select(col(idCol), block.as("block"),
-      Shingling.shingleSet(col(textCol), k).as("shingles"))
+      graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
     val a = sets.select(col("block"), col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val b = sets.select(col("block"), col(idCol).as("id_b"), col("shingles").as("sh_b"))
     a.join(b, "block")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Shingling.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
   }
@@ -110,20 +119,8 @@ object Dedup {
     * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
     * Pure higher-order expressions; one narrow map.
     */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    // dynamic shift amounts need call_function (functions.shiftright only
-    // takes a literal Int shift)
-    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
-    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
-    val bitSums = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shr(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)), (s, j) =>
-        when(s > 0, shl(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(tokens: Column): Column =
+    graft.functions.Native.simhash64(tokens)
 
   /** SimHash near-dup pairs within a Hamming-distance budget.
     * Candidate generation by the pigeonhole principle: split the 64-bit
@@ -133,7 +130,7 @@ object Dedup {
     */
   def nearDupSimhash(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val fp = df.select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("fp"))
@@ -143,17 +140,34 @@ object Dedup {
         shiftright(col("fp"), c * bitsPer)
           .bitwiseAND((1L << bitsPer) - 1).as("ckey"))
     }
-    val buckets = fp.select(col(idCol), col("fp"),
+    val buckets0 = fp.select(col(idCol), col("fp"),
         explode(array(chunkStructs: _*)).as("cb"))
       .select(col(idCol), col("fp"), col("cb.chunk"), col("cb.ckey"))
+
+    // Skew guard: a bucket shared by hundreds of docs (correlated bits —
+    // e.g. near-identical vocabulary corpus-wide) is non-discriminative
+    // and quadratic in the self-join. Dropping oversized buckets is the
+    // standard LSH skew mitigation; the pigeonhole recall guarantee then
+    // holds for pairs that share at least one NON-degenerate chunk.
+    // maxBucketSize <= 0 disables the cap. The size join is co-partitioned
+    // with the main bucket shuffle (same key), so it adds no extra pass
+    // over the full data.
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        val sizes = buckets0.groupBy("chunk", "ckey")
+          .agg(count(lit(1)).as("__bsz__"))
+          .filter(col("__bsz__") <= maxBucketSize)
+        buckets0.join(sizes, Seq("chunk", "ckey")).drop("__bsz__")
+      }
 
     val a = buckets.select(col("chunk"), col("ckey"), col(idCol).as("id_a"), col("fp").as("fp_a"))
     val b = buckets.select(col("chunk"), col("ckey"), col(idCol).as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // cheap predicate BEFORE the dedup shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +

