@@ -28,8 +28,12 @@ object Cleaning {
   /** T1 — normalize: trim + lowercase (app.py:29-30). */
   def norm(c: Column): Column = lower(trim(c))
 
-  /** T3 — numeric coercion with null-on-failure (app.py:95-97). */
-  def toNumeric(c: Column): Column = c.cast("double")
+  /** T3 — numeric coercion with null-on-failure (app.py:95-97).
+    * `try_cast`, not `cast`: under Spark 4's default ANSI mode a plain
+    * cast THROWS on malformed strings; try_cast restores the pandas
+    * `to_numeric(errors="coerce")` null-on-failure contract.
+    */
+  def toNumeric(c: Column): Column = c.try_cast("double")
 
   /** T4 — weight expression (app.py:101-105): the designated weight
     * column coerced to double with missing→0.0, or constant 1.0 when no
@@ -37,7 +41,7 @@ object Cleaning {
     */
   def weightExpr(df: DataFrame, weightCol: Option[String]): Column =
     weightCol.filter(df.columns.contains) match {
-      case Some(w) => coalesce(col(w).cast("double"), lit(0.0))
+      case Some(w) => coalesce(col(w).try_cast("double"), lit(0.0))
       case None    => lit(1.0)
     }
 

@@ -78,8 +78,11 @@ object Streams {
     val gapMs = gapMinutes * 60L * 1000L
     events
       .groupByKey(_.user_id)
+      // NoTimeout: sessions close when a later event arrives past the gap.
+      // (Declaring ProcessingTimeTimeout without arming timers makes the
+      // no-data trigger loop spin state-store microbatches continuously.)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
           val sorted = it.toSeq.sortBy(_.ts.getTime)
           var sessions = state.getOption.getOrElse(Nil)

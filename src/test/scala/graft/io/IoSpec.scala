@@ -1,0 +1,53 @@
+package graft.io
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class IoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("S1 CSV roundtrip with schema inference") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val path = s"$dir/t.csv"
+    Files.writeString(java.nio.file.Paths.get(path), "a,b\n1,x\n2,y\n")
+    val df = Sources.readTable(spark, path)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.schema("a").dataType.typeName == "integer")
+    assert(df.count() == 2)
+  }
+
+  test("S3 codebook reader: groups per column, stringifies values") {
+    val dir = Files.createTempDirectory("graft_cb").toString
+    val path = s"$dir/cb.csv"
+    Files.writeString(java.nio.file.Paths.get(path),
+      "column,value,label\ngender,1,Male\ngender,2,Female\ncity,1,Jakarta\n")
+    val cb = Sources.readCodebook(spark, path)
+    assert(cb == Map(
+      "gender" -> Map("1" -> "Male", "2" -> "Female"),
+      "city" -> Map("1" -> "Jakarta")))
+  }
+
+  test("S3 codebook rejects wrong schema") {
+    val dir = Files.createTempDirectory("graft_cb2").toString
+    val path = s"$dir/bad.csv"
+    Files.writeString(java.nio.file.Paths.get(path), "col,val\nx,y\n")
+    assertThrows[IllegalArgumentException](Sources.readCodebook(spark, path))
+  }
+
+  test("S2 Excel input rejected with a clear error") {
+    assertThrows[IllegalArgumentException](Sources.readTable(spark, "/tmp/x.xlsx"))
+  }
+
+  test("S5 sheet-name truncation to 31 chars (Excel contract)") {
+    assert(Sinks.sheetName("a" * 40).length == 31)
+  }
+
+  test("S6 JSON bundle: {table: [row objects]}") {
+    val tables = Map("t1" -> Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    val json = Sinks.jsonBundle(tables)
+    assert(json.contains("\"t1\""))
+    assert(json.contains("{\"id\":1,\"v\":\"x\"}"))
+  }
+}

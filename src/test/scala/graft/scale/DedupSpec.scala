@@ -1,0 +1,65 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup = base.replace("green", "dark") // one-token edit
+  private val unrelated =
+    "completely different content about spark query engines shuffling data across many executors"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts dups") {
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L) // docs 1 and 4 identical
+    assert(got(2L) == 1L && got(3L) == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair (and the exact pair)") {
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash finds exact pair at hamming 0 and near-dup within budget") {
+    val pairs = Dedup.nearDupSimhash(docs, "doc_id", "text", maxHamming = 20)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 0)
+    assert(m.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical pair scores 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup finds identical and near-identical vectors") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v.clone(); v2(0) = v2(0) + 0.01f
+    val far = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v), (2L, v2), (3L, far), (4L, v)).toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDupEmbedding(df, "vec_id", "embedding",
+      bits = 4, tables = 8, threshold = 0.99, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

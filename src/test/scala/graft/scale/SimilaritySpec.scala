@@ -1,0 +1,52 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, zero-norm=0") {
+    val df = Seq((
+      Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(0.0f, 0.0f)
+    )).toDF("a", "b", "c", "z")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("z"))).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("brute-force top-k returns k best by cosine, excluding the query id") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.3 + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.map(_.toDouble).toSeq
+    val got = Similarity.topKBruteForce(df, "vec_id", "embedding", q, 5, excludeId = Some(0L))
+      .as[(Long, Double)].collect()
+    assert(got.length == 5)
+    assert(!got.exists(_._1 == 0L))
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("ANN LSH top-k finds the exact nearest neighbor for a self-similar corpus") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 0.21 + j) + 2.0).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ann = Similarity.annTopK(df, queries, "vec_id", "embedding", "query_id",
+      k = 3, bits = 4, tables = 8, dim = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ann.nonEmpty)
+    val perQuery = ann.groupBy(_._1)
+    assert(perQuery.forall(_._2.length <= 3))
+    assert(ann.forall(r => r._1 != r._2)) // self excluded
+  }
+}

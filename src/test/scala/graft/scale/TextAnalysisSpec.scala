@@ -1,0 +1,47 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokens: whitespace split, lowercased, empty text -> empty array") {
+    val df = Seq("  Hello   World ", "", "one").toDF("t")
+    val got = df.select(size(TextAnalysis.tokens(col("t")))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(2, 0, 1))
+  }
+
+  test("langId: picks the language with most stopword hits, 'und' when none") {
+    val df = Seq(
+      (1L, "the cat and the dog is in that house"),
+      (2L, "el que la de los una es aqui"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdTable(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("quality: ratios and keep flag") {
+    val df = Seq((1L, "good clean text with many plain tokens here"),
+      (2L, "!!! ??? ###")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityTable(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(6)) // keep
+    assert(!got(2L).getBoolean(6)) // all punctuation → dropped
+    assert(got(2L).getDouble(3) > 0.5) // punct_ratio
+  }
+
+  test("fingerprint: stable under case/whitespace, distinct for distinct text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different text here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprintTable(df, "doc_id", "text", k = 2)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+}

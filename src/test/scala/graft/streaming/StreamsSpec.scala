@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private def events = Seq(
+    (1L, ts(0), "click", 1.0), (1L, ts(10), "click", 2.0),
+    (1L, ts(55), "view", 4.0), // 45min gap → new session
+    (2L, ts(5), "click", 8.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+    .withColumn("event_id", monotonically_increasing_id())
+    .withColumn("props", lit("{}"))
+
+  test("batch sessionization: 30-min gap splits sessions") {
+    val got = Streams.sessionize(events, 30)
+      .select("user_id", "session_seq", "n_events", "value_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
+  test("windowed counts: tumbling hour per event_type") {
+    val got = Streams.windowedCounts(events, "1 hour")
+      .select("event_type", "n_events", "value_sum")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("click", 3L, 11.0), ("view", 1L, 4.0)))
+  }
+
+  test("streaming windowed aggregation via MemoryStream (watermark + window)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = Streams.windowedStream(df, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("winout").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "click", 2.0), (1L, ts(59), "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("winout")
+        .select("event_type", "n_events", "value_sum")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization matches the batch oracle on closed sessions") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionizeStream(mem.toDS(), 30)
+      .writeStream.outputMode("append").format("memory").queryName("sessout").start()
+    try {
+      // batch 1: two events in one session; batch 2: an event 45min later
+      // closes the first session and emits it
+      mem.addData(Streams.SessionEvent(1L, ts(0), 1.0), Streams.SessionEvent(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      mem.addData(Streams.SessionEvent(1L, ts(55), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessout")
+        .as[Streams.SessionOut].collect().toSet
+      assert(got == Set(Streams.SessionOut(1L, ts(0).getTime / 1000, ts(10).getTime / 1000, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
