@@ -159,6 +159,16 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    "x_sim_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
     // --- §7.4 text analysis ------------------------------------------
     "x_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),

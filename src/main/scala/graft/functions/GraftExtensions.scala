@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Two registration paths:
+  *  - `GraftExtensions` via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) — cluster-wide, survives
+  *    new sessions;
+  *  - `GraftFunctions.register(spark)` — per-session temp functions for an
+  *    already-built session.
+  *
+  * After either: `SELECT cosine_sim(a.embedding, b.embedding)`,
+  * `simhash64(tokens)`, `jaccard_sorted(x, y)`,
+  * `hashed_shingle_set(tokens, 3)` work in plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, (info, builder)) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "cosine_sim" -> (
+      new ExpressionInfo(classOf[Native.CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => Native.CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (
+      new ExpressionInfo(classOf[Native.SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => Native.SimHash64(es.head)),
+    "jaccard_sorted" -> (
+      new ExpressionInfo(classOf[Native.JaccardSortedLongs].getName, "jaccard_sorted"),
+      (es: Seq[Expression]) => Native.JaccardSortedLongs(es(0), es(1))),
+    "hashed_shingle_set" -> (
+      new ExpressionInfo(classOf[Native.HashedShingleSet].getName, "hashed_shingle_set"),
+      (es: Seq[Expression]) => Native.HashedShingleSet(es(0), intArg(es(1), "k"))),
+    "shingle_minhash" -> (
+      new ExpressionInfo(classOf[Native.ShingleMinHash].getName, "shingle_minhash"),
+      (es: Seq[Expression]) => {
+        val fam = graft.scale.Shingling.HashFamily(
+          numHashes = intArg(es(2), "numHashes"),
+          seed = es.lift(3).map(intArg(_, "seed").toLong).getOrElse(42L))
+        Native.ShingleMinHash(es(0), intArg(es(1), "k"),
+          fam.coeffs.map(_._1).toArray, fam.coeffs.map(_._2).toArray)
+      }))
+
+  /** Register all functions as session temp functions. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

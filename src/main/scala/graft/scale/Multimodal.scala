@@ -77,6 +77,53 @@ object Multimodal {
       }
   }
 
+  /** Resize stage (STUB decode/encode): a real pipeline decodes the image,
+    * resamples to targetW×targetH, re-encodes. The deterministic fake
+    * subsamples the payload bytes to a `targetW*targetH/64`-byte "image"
+    * so output sizes behave like a real resize. Batch shape identical to
+    * production (partition-local, iterator in/out).
+    */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int = 256, targetH: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outBytes = math.max(1, targetW * targetH / 64)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte](math.min(outBytes, math.max(1, bytes.length)))
+          val step = math.max(1, bytes.length / out.length)
+          var i = 0
+          while (i < out.length && i * step < bytes.length) { out(i) = bytes(i * step); i += 1 }
+          (id, targetW, targetH, out)
+        }
+      }
+      .toDF(idCol, "width", "height", "payload")
+  }
+
+  /** Frame-sampling stage for video-like payloads (STUB decode): treats the
+    * payload as `frameSize`-byte frames and emits every `every`-th frame
+    * with its index — the schema/explode shape a real video sampler
+    * produces (one row per sampled frame).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int = 1024, every: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, bytes.length / frameSize)
+        (0 until nFrames by every).map { f =>
+          val from = f * frameSize
+          val until = math.min(bytes.length, from + frameSize)
+          (id, f, java.util.Arrays.copyOfRange(bytes, from, math.max(from + 1, until)))
+        }
+      }
+      .toDF(idCol, "frame_index", "frame")
+  }
+
   /** Feature-extract stage: fixed-size float feature vector per payload
     * (stub: byte histogram folded to `dim` buckets, L1-normalized) —
     * the same batch shape a real embedding model invocation would use.

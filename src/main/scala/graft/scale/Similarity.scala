@@ -76,6 +76,62 @@ object Similarity {
       (df.columns.map(col) :+ posexplode(keys).as(Seq("table", "lsh_key"))).toIndexedSeq: _*)
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest centroids and scores exact cosine only within those
+    * cells. The classic trade: recall grows with nprobe, cost with
+    * corpus/nlist × nprobe.
+    *
+    * Scale design: centroids are driver-side (nlist ≤ a few thousand) and
+    * shipped as literals; the corpus is partitioned by cell id once
+    * (shuffle on `nlist` keys); the probe join is cell-id equi-join —
+    * no cross product ever materializes.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // L2-normalize so euclidean KMeans cells align with cosine order
+    val normArr = {
+      val n = sqrt(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      transform(col(vecCol), x => x.cast("double") / when(n > 0, n))
+    }
+    val corpusN = corpus.withColumn("__nv__", normArr)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv__").setPredictionCol("__cell__")
+      .fit(corpusN.withColumn("__fv__", array_to_vector(col("__nv__"))))
+    val cells = model.transform(corpusN.withColumn("__fv__", array_to_vector(col("__nv__"))))
+      .select(col(idCol).as("__cid__"), col(vecCol).as("__cvec__"), col("__cell__"))
+
+    val centroids = model.clusterCenters.map(_.toArray)
+    // per query: cosine to every centroid, keep the nprobe best cells
+    val centStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.Native.cosineSim(col("__qnv__"), lit(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    val probes = queries
+      .withColumn("__qnv__", normArr)
+      .withColumn("__probe__",
+        transform(slice(array_sort(array(centStructs.toIndexedSeq: _*)), 1, nprobe),
+          s => s.getField("cell")))
+      .select(col(queryIdCol).as("__qid__"), col(vecCol).as("__qvec__"),
+        explode(col("__probe__")).as("__cell__"))
+
+    val scored = probes.join(cells, "__cell__")
+      .filter(col("__qid__") =!= col("__cid__"))
+      .select(col("__qid__"), col("__cid__"),
+        cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
+    val w = Window.partitionBy(col("__qid__")).orderBy(desc("similarity"), asc("__cid__"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
+        col("similarity"), col("rank"))
+  }
+
   /** Approximate top-k for MANY queries at once: LSH-bucket join between
     * queries and corpus (same hyperplanes both sides), exact cosine
     * within buckets, window top-k per query. Recall grows with `tables`.

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.bht.Kpis
+
+/** Property-based invariants (SURVEY §5.3) over scalacheck generators.
+  * (Plain seeded sampling — the scalatest/scalacheck bridge artifact is
+  * not in the offline cache.) Small generated frames: the point is the
+  * algebra, not volume.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int = 8): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val catValues = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e"))
+  private val weightsGen = Gen.listOfN(40, Gen.choose(1, 9).map(_.toDouble))
+
+  test("A2 freq_table: pct_total sums to ~100 and counts sum to weight total") {
+    samples(Gen.zip(catValues, weightsGen)).foreach { case (vals, ws) =>
+      val df = vals.zip(ws).toDF("c", "w")
+      val rows = Tabulation.freqTable(df, "c", Some("w"), 4)
+        .select("count", "pct_total").as[(Double, Double)].collect()
+      assert(math.abs(rows.map(_._2).sum - 100.0) < 0.01)
+      assert(math.abs(rows.map(_._1).sum - ws.sum) < 1e-9)
+    }
+  }
+
+  test("A3 crosstab: count cells sum to grand total; row-pct rows sum to ~100") {
+    samples(Gen.zip(catValues, catValues, weightsGen), 5).foreach { case (rs, cs, ws) =>
+      val df = rs.lazyZip(cs).lazyZip(ws).toList.toDF("r", "c", "w")
+      val out = Crosstab.crosstab(df, "r", "c", Some("w"), "row", includeTotals = false, 4)
+      val counts = out.filter($"__type__" === "count").drop("r", "__type__")
+        .collect().flatMap(r => (0 until r.length).map(r.getDouble))
+      assert(math.abs(counts.sum - ws.sum) < 1e-9)
+      val pctRows = out.filter($"__type__" === "%_row").drop("r", "__type__")
+        .collect().map(r => (0 until r.length)
+          .flatMap(i => Option(r.get(i)).map(_.asInstanceOf[Double])).sum)
+      pctRows.foreach(s => assert(math.abs(s - 100.0) < 0.01))
+    }
+  }
+
+  test("A4 multi-dim: counts sum equals weight total regardless of percent mode") {
+    samples(Gen.zip(catValues, catValues, weightsGen), 3).foreach { case (d1, d2, ws) =>
+      val df = d1.lazyZip(d2).lazyZip(ws).toList.toDF("d1", "d2", "w")
+      Seq("total", "d1", "bogus").foreach { mode =>
+        val total = MultiDim.multiDimTabulation(df, Seq("d1", "d2"), Some("w"), mode, 1)
+          .agg(sum("count")).head.getDouble(0)
+        assert(math.abs(total - ws.sum) < 1e-9)
+      }
+    }
+  }
+
+  test("A8 NPS is bounded in [-100, 100]") {
+    samples(Gen.listOfN(30, Gen.choose(0, 10))).foreach { scores =>
+      val df = scores.map(_.toString).toDF("s")
+      val nps = Kpis.npsSummary(df, "s").filter($"metric" === "nps").head.getDouble(1)
+      assert(nps >= -100.0 && nps <= 100.0)
+    }
+  }
+
+  test("A5 full tabulation: per-column counts each sum to rowcount") {
+    samples(Gen.zip(catValues, catValues), 5).foreach { case (c1, c2) =>
+      val df = c1.zip(c2).toDF("x", "y")
+      val sums = Tabulation.fullTabulation(df)
+        .groupBy("column").agg(sum("count").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(sums("x") == c1.size && sums("y") == c1.size)
+    }
+  }
+
+  test("T5 codebook recode with empty map is a stringify identity") {
+    samples(catValues, 3).foreach { vals =>
+      val df = vals.toDF("c")
+      val out = Cleaning.applyCodebook(df, Map("c" -> Map.empty)).as[String].collect().toSeq
+      assert(out == vals)
+    }
+  }
+
+  test("native jaccard is symmetric, bounded, and 1 on self") {
+    val arrGen = Gen.listOfN(15, Gen.choose(1L, 20L)).map(_.distinct.sorted)
+    samples(Gen.zip(arrGen, arrGen)).foreach { case (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        val Seq(ab, ba, aa) = df.select(
+          graft.functions.Native.jaccardSorted(col("a"), col("b")),
+          graft.functions.Native.jaccardSorted(col("b"), col("a")),
+          graft.functions.Native.jaccardSorted(col("a"), col("a")))
+          .head.toSeq.map(_.asInstanceOf[Double])
+        assert(ab == ba && ab >= 0.0 && ab <= 1.0 && aa == 1.0)
+      }
+    }
+  }
+}

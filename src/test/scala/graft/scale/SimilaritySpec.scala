@@ -34,6 +34,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == got.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("IVF top-k: full probe (nprobe = nlist) reproduces brute force exactly") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.3).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", "query_id",
+      k = 5, nlist = 4, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+    val q0 = vecs.head._2.map(_.toDouble).toSeq
+    val brute = Similarity.topKBruteForce(df, "vec_id", "embedding", q0, 5, excludeId = Some(0L))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ivf(0L).map(_._2).toSet == brute) // same top-5 membership
+    assert(ivf.forall(_._2.length == 5))
+  }
+
   test("ANN LSH top-k finds the exact nearest neighbor for a self-similar corpus") {
     val vecs = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(j => (math.sin(i * 0.21 + j) + 2.0).toFloat))
