@@ -34,11 +34,14 @@ object Sinks {
   def writeJsonBundle(tables: Map[String, DataFrame], path: String): Unit =
     Files.write(Paths.get(path), jsonBundle(tables).getBytes("UTF-8"))
 
-  /** S5's 31-char Excel sheet-name truncation (app.py:596) — kept for the
-    * table-name contract even though the offline jar set has no POI
-    * (Excel itself is out of scope; CSV/JSON/Parquet are the sinks).
-    */
+  /** S5's 31-char Excel sheet-name truncation (app.py:596). */
   def sheetName(name: String): String = name.take(31)
+
+  /** S5 — multi-sheet Excel workbook sink (app.py:592-605), one sheet per
+    * result table. See `Excel.write` (self-contained xlsx writer).
+    */
+  def writeExcel(tables: Map[String, DataFrame], path: String): Unit =
+    Excel.write(tables, path)
 
   /** CSV sink (small summary tables; single file per table). */
   def writeCsv(tables: Map[String, DataFrame], outDir: String): Unit =

@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * config data; collecting it to the driver (then broadcasting inside
   * `typedLit` maps) is the scale-correct shape — the 100 TB side stays
   * distributed.
-  * S2 Excel: no POI in the zero-egress jar set; `readTable` dispatches
-  * CSV/Parquet and rejects xlsx with a clear error (Parquet is the
-  * at-scale contract anyway).
+  * S2 Excel: `Excel.read` — a minimal self-contained xlsx reader (an
+  * xlsx is a zip of XML; no POI needed). Parquet remains the
+  * at-scale contract.
   */
 object Sources {
 
@@ -32,9 +32,10 @@ object Sources {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
-    else if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+    else if (lower.endsWith(".xlsx")) Excel.read(spark, path)
+    else if (lower.endsWith(".xls"))
       throw new IllegalArgumentException(
-        "Excel input is not supported in this build (no POI jars offline); convert to CSV/Parquet")
+        "Legacy .xls (BIFF) is not supported; save as .xlsx, CSV, or Parquet")
     else throw new IllegalArgumentException(s"Unsupported file type: $path")
   }
 

@@ -36,8 +36,28 @@ class IoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Sources.readCodebook(spark, path))
   }
 
-  test("S2 Excel input rejected with a clear error") {
-    assertThrows[IllegalArgumentException](Sources.readTable(spark, "/tmp/x.xlsx"))
+  test("S2/S5 Excel roundtrip: write multi-sheet workbook, read sheet1 back typed") {
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    val path = s"$dir/out.xlsx"
+    val t1 = Seq((1L, "alpha", 1.5), (2L, "beta & <co>", 2.0), (3L, null, 0.25))
+      .toDF("id", "name", "score")
+    val t2 = Seq(("m", 10L)).toDF("metric", "value")
+    Excel.write(Map("first_table" -> t1, ("x" * 40) -> t2), path)
+
+    val back = Excel.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("score").dataType.typeName == "double")
+    val rows = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).getString(1) == "beta & <co>") // XML escaping roundtrip
+    assert(rows(3L).isNullAt(1))
+    assert(rows(3L).getDouble(2) == 0.25)
+    // dispatches through readTable too
+    assert(Sources.readTable(spark, path).count() == 3)
+  }
+
+  test("S2 legacy .xls rejected with a clear error") {
+    assertThrows[IllegalArgumentException](Sources.readTable(spark, "/tmp/x.xls"))
   }
 
   test("S5 sheet-name truncation to 31 chars (Excel contract)") {
