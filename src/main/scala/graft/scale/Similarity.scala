@@ -100,11 +100,21 @@ object Similarity {
       val n = sqrt(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
       transform(col(vecCol), x => x.cast("double") / when(n > 0, n))
     }
-    val corpusN = corpus.withColumn("__nv__", normArr)
+    // Persist the featurized corpus: KMeans rescans its input once per
+    // iteration, and each uncached scan re-runs the normalize +
+    // array_to_vector projection (measured 8.7s -> ~0.5s fit at sf0.1).
+    // At real scale, fit on a bounded .sample(...) instead.
+    val fv = corpus.withColumn("__nv__", normArr)
+      .withColumn("__fv__", array_to_vector(col("__nv__")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse quantizer: random init + few iterations (k-means|| init and
+    // long convergence buy nothing for IVF cell assignment, but cost ~20
+    // extra Spark jobs)
     val model = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("__fv__").setPredictionCol("__cell__")
-      .fit(corpusN.withColumn("__fv__", array_to_vector(col("__nv__"))))
-    val cells = model.transform(corpusN.withColumn("__fv__", array_to_vector(col("__nv__"))))
+      .fit(fv)
+    val cells = model.transform(fv)
       .select(col(idCol).as("__cid__"), col(vecCol).as("__cvec__"), col("__cell__"))
 
     val centroids = model.clusterCenters.map(_.toArray)
