@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // warmup: JVM/codegen/parquet-footer costs land here, not on the
     // first measured query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()

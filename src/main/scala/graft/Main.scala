@@ -38,6 +38,7 @@ object Main {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
 
     val raw = Sources.readTable(spark, input)
     val cfg = opts.get("config").map(MappingConfig.load)

@@ -188,6 +188,11 @@ object SparkEntry {
         Multimodal.withBinaryPayload(T(s, d, "documents"), "text"), "doc_id", "payload")
         .toDF().select("doc_id", "n_bytes", "format", "width", "height")),
 
+    "x_mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
+        "doc_id", "payload", dim = 16)),
+
     // --- §7.4 streaming (batch-equivalent plans) ---------------------
     "x_stream_window" -> ((s, d) =>
       T(s, d, "events")

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
 object Crosstab {
 
   val MaxPivotValues = 10000
+  // Parity caveat shared with the reference (app.py:146-149): a data value
+  // literally named "Total" collides with the margin labels — pandas
+  // overwrites that row/column in place; here it yields a duplicate label.
+  // Neither engine errors; margins are only unambiguous when the data has
+  // no "Total" category.
 
   def crosstab(
       df: DataFrame,
