@@ -173,6 +173,23 @@ object SparkEntry {
     "x_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),
 
+    "x_text_topterms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = T(s, d, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
+      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }),
+
+    "x_events_topusers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = T(s, d, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(desc("n"), asc("user_id"))
+      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+    }),
+
     "x_text_langid" -> ((s, d) =>
       TextAnalysis.langIdTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -385,6 +402,19 @@ object SparkEntry {
          |       CAST(len($toksSql) AS BIGINT) AS token_count,
          |       CAST(length(text) AS BIGINT) AS char_count
          |FROM documents""".stripMargin,
+
+    "x_text_topterms" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |           FROM documents WHERE trim(text) <> ''),
+        |g AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk FROM g)
+        |SELECT lang, token, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    "x_events_topusers" ->
+      """WITH g AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rk FROM g)
+        |SELECT event_type, user_id, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 3""".stripMargin,
 
     "x_text_langid" -> {
       val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
