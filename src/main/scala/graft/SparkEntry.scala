@@ -159,6 +159,13 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    "x_dedup_clusters" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      Dedup.clusters(docs, "doc_id", pairs)
+    }),
+
     "x_sim_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
@@ -172,6 +179,11 @@ object SparkEntry {
     // --- §7.4 text analysis ------------------------------------------
     "x_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),
+
+    "x_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(T(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("token"),
+          Rounding.halfUp(col("tfidf"), 9).as("tfidf"), col("rank"))),
 
     "x_text_topterms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -402,6 +414,20 @@ object SparkEntry {
          |       CAST(len($toksSql) AS BIGINT) AS token_count,
          |       CAST(length(text) AS BIGINT) AS char_count
          |FROM documents""".stripMargin,
+
+    "x_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |              FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_cnt FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM toks GROUP BY 1),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |             (tf_cnt / doc_len) * ln(n_docs / df) AS tfidf
+        |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk FROM s)
+        |SELECT doc_id, token, floor(tfidf * 1000000000 + 0.5) / 1000000000 AS tfidf, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 3""".stripMargin,
 
     "x_text_topterms" ->
       """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -115,6 +115,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs: assign every id the MIN id
+    * reachable through the pair graph — the canonical-representative
+    * clustering that turns pairwise near-dup hits into dedup decisions
+    * (keep cluster == id, drop the rest).
+    *
+    * Min-label propagation: O(cluster diameter) join+agg rounds; near-dup
+    * clusters are shallow in practice (pairs come from shared buckets),
+    * and each round is a pair of co-partitioned shuffles. Converges when
+    * no label changes; `maxIter` bounds pathological chains.
+    */
+  def clusters(
+      ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("src"), col("cluster")), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .unionByName(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over the token stream: bit j of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
     * Pure higher-order expressions; one narrow map.

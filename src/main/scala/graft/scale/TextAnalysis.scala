@@ -93,6 +93,33 @@ object TextAnalysis {
         ((chars - nonPunct) / safeChars) < lit(0.3)).as("keep"))
   }
 
+  /** TF-IDF keyword extraction: the top-k characteristic tokens per doc.
+    * tf = term count / doc length; idf = ln(N / docfreq); rank by
+    * (tfidf desc, token asc). All inputs are exact integer counts so the
+    * double arithmetic is engine-deterministic (oracle-able).
+    *
+    * Scale: two hash-aggregate shuffles (by (doc,token) and by token) +
+    * a token-keyed join; N is a broadcast 1-row aggregate.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf_cnt"))
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("doc_len"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docLen, idCol)
+      .join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf_cnt") / col("doc_len")) * log(col("n_docs") / col("df")))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), asc("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tfidf"), col("rank"))
+  }
+
   /** Document fingerprint: xxhash64 of the normalized token stream —
     * stable under whitespace/case variation. Plus a winnowing-style
     * k-shingle min-hash fingerprint (rolling window of the token-level

@@ -50,6 +50,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("clusters: connected components assign min reachable id") {
+    // graph: 1-2, 2-5 (chain), 3-4; 6 isolated → clusters {1,2,5}→1, {3,4}→3, {6}→6
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L, 6L -> 6L))
+  }
+
   test("embedding near-dup finds identical and near-identical vectors") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v.clone(); v2(0) = v2(0) + 0.01f

@@ -36,6 +36,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L).getDouble(3) > 0.5) // punct_ratio
   }
 
+  test("tfidf: distinctive tokens outrank ubiquitous ones") {
+    val df = Seq(
+      (1L, "common common alpha"),
+      (2L, "common common beta"),
+      (3L, "common common gamma")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // "common" appears in every doc → idf 0; the unique token wins
+    assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
   test("fingerprint: stable under case/whitespace, distinct for distinct text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different text here"))
       .toDF("doc_id", "text")
