@@ -64,6 +64,19 @@ object Cleaning {
   /** T8 variant — stringify + trim but keep SQL null as null. */
   def strClean(c: Column): Column = trim(c.cast("string"))
 
+  /** Schema-aware `strAsPandas`: pandas `str(True)` is "True"/"False"
+    * (capitalized) while Spark casts booleans to "true"/"false" — for
+    * boolean columns the stringification is capitalized to keep the
+    * pandas-parity contract.
+    */
+  def strAsPandasTyped(df: DataFrame, colName: String): Column = {
+    val base =
+      if (df.schema(colName).dataType == org.apache.spark.sql.types.BooleanType)
+        when(col(colName), "True").when(!col(colName), "False")
+      else col(colName).cast("string")
+    trim(coalesce(base, lit("nan")))
+  }
+
   /** T9 — non-empty filter: non-null and trimmed-nonempty (app.py:87-88). */
   def nonEmpty(c: Column): Column =
     c.isNotNull && trim(c.cast("string")) =!= ""

@@ -63,7 +63,7 @@ object Tabulation {
       decimals: Int = 1): DataFrame = {
     val w = Cleaning.weightExpr(df, weightCol)
     val counts = df
-      .select(Cleaning.strAsPandas(col(column)).as("value"), w.as("__w__"))
+      .select(Cleaning.strAsPandasTyped(df, column).as("value"), w.as("__w__"))
       .groupBy("value")
       .agg(sum(col("__w__")).as("count"))
     withPctOfTotal(counts, "count", "pct_total", decimals)
@@ -79,7 +79,7 @@ object Tabulation {
   def fullTabulation(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     val pairs = cols.map { c =>
-      struct(lit(c).as("column"), Cleaning.strAsPandas(col(c)).as("value"))
+      struct(lit(c).as("column"), Cleaning.strAsPandasTyped(df, c).as("value"))
     }
     df.select(explode(array(pairs: _*)).as("kv"))
       .select(col("kv.column").as("column"), col("kv.value").as("value"))

@@ -42,6 +42,12 @@ class TabulationSpec extends AnyFunSuite {
     assert(got.contains(("s", "a", 2L)))
   }
 
+  test("A5 boolean columns stringify as True/False (pandas astype(str) parity)") {
+    val df = Seq((true, "a"), (false, "b"), (true, "c")).toDF("flag", "k")
+    val got = Tabulation.fullTabulation(df, Seq("flag")).as[(String, String, Long)].collect()
+    assert(got.toSet == Set(("flag", "True", 2L), ("flag", "False", 1L)))
+  }
+
   test("A6 selectedCounts: one row per column with T6 semantics, unweighted") {
     val df = Seq(("1", "0"), ("0", "yes"), ("", "0.0"), (null, null))
       .toDF("brand_a", "brand_b")
