@@ -394,6 +394,26 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
 
+    // Jaccard over string shingle sets == the engine's hashed shingle sets
+    // (64-bit xxhash collisions are ~1e-15 at these set sizes). The t0
+    // equi-join drops null first tokens (empty docs) — none exist here.
+    "x_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
+         |    toks[1] AS t0,
+         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         |  FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh)) AS inter,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+         |  FROM s a JOIN s b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.doc_id < b.doc_id)
+         |SELECT DISTINCT id_a, id_b,
+         |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
+         |FROM p
+         |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin,
+
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (
