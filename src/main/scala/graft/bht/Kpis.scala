@@ -26,7 +26,7 @@ object Kpis {
   def csatSummary(df: DataFrame, csatCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val s = Cleaning.toNumeric(col(csatCol))
+    val s = Cleaning.toNumeric(Cleaning.qcol(csatCol))
     val maxRow = df.agg(max(s).as("mx")).collect()(0)
     val agged =
       if (maxRow.isNullAt(0)) // all-null column: mean/top2 null, n=0 (app.py:443)
@@ -53,7 +53,7 @@ object Kpis {
   def npsSummary(df: DataFrame, npsCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val s = Cleaning.toNumeric(col(npsCol))
+    val s = Cleaning.toNumeric(Cleaning.qcol(npsCol))
     val r = df.agg(
       coalesce(sum(when(s.between(0, 6), 1L)), lit(0L)).as("detractors"),
       coalesce(sum(when(s.between(7, 8), 1L)), lit(0L)).as("passives"),

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
+  /** Quote a USER-SUPPLIED column name: survey headers routinely contain
+    * dots ("Q1. Gender"), which bare `col()` would parse as struct-field
+    * access. Backticks inside the name are escaped by doubling.
+    */
+  def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** T1 — normalize: trim + lowercase (app.py:29-30). */
   def norm(c: Column): Column = lower(trim(c))
 
@@ -41,7 +48,7 @@ object Cleaning {
     */
   def weightExpr(df: DataFrame, weightCol: Option[String]): Column =
     weightCol.filter(df.columns.contains) match {
-      case Some(w) => coalesce(col(w).try_cast("double"), lit(0.0))
+      case Some(w) => coalesce(qcol(w).try_cast("double"), lit(0.0))
       case None    => lit(1.0)
     }
 
@@ -72,8 +79,8 @@ object Cleaning {
   def strAsPandasTyped(df: DataFrame, colName: String): Column = {
     val base =
       if (df.schema(colName).dataType == org.apache.spark.sql.types.BooleanType)
-        when(col(colName), "True").when(!col(colName), "False")
-      else col(colName).cast("string")
+        when(qcol(colName), "True").when(!qcol(colName), "False")
+      else qcol(colName).cast("string")
     trim(coalesce(base, lit("nan")))
   }
 
@@ -97,8 +104,8 @@ object Cleaning {
   def applyCodebook(df: DataFrame, codebook: Map[String, Map[String, String]]): DataFrame = {
     val cols = df.columns.map { name =>
       codebook.get(name) match {
-        case Some(m) if m.nonEmpty => recode(col(name), m).as(name)
-        case _                     => col(name)
+        case Some(m) if m.nonEmpty => recode(qcol(name), m).as(name)
+        case _                     => qcol(name)
       }
     }
     df.select(cols.toIndexedSeq: _*)

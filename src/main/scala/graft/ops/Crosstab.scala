@@ -48,12 +48,12 @@ object Crosstab {
 
     // pandas pivot_table drops null keys on both axes
     val base = df
-      .filter(col(rows).isNotNull && col(cols).isNotNull)
-      .select(col(rows).cast("string").as(rows), col(cols).cast("string").as(cols), w.as("__w__"))
+      .filter(Cleaning.qcol(rows).isNotNull && Cleaning.qcol(cols).isNotNull)
+      .select(Cleaning.qcol(rows).cast("string").as(rows), Cleaning.qcol(cols).cast("string").as(cols), w.as("__w__"))
 
     // Deterministic, bounded pivot column set (sorted ascending like pandas)
     val colVals: Seq[String] = base
-      .select(cols).distinct().orderBy(col(cols)).limit(MaxPivotValues + 1)
+      .select(Cleaning.qcol(cols)).distinct().orderBy(Cleaning.qcol(cols)).limit(MaxPivotValues + 1)
       .collect().map(_.getString(0)).toSeq
     require(colVals.size <= MaxPivotValues,
       s"crosstab: >$MaxPivotValues distinct values in '$cols' — not a crosstab-shaped column")
@@ -63,38 +63,41 @@ object Crosstab {
     // margin rows, column sums) — without persisting, EACH branch would
     // re-run the full-data pivot aggregation.
     val piv = base
-      .groupBy(col(rows))
-      .pivot(cols, colVals)
+      .groupBy(Cleaning.qcol(rows))
+      .pivot(Cleaning.qcol(cols), colVals)
       .agg(sum(col("__w__")))
-      .na.fill(0.0, colVals)
+      // fill_value=0 densification (app.py:131) — explicit coalesce, not
+      // na.fill (whose name resolution dot-parses pivot value names)
+      .select((Cleaning.qcol(rows) +:
+        colVals.map(c => coalesce(Cleaning.qcol(c), lit(0.0)).as(c))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val vcols: Seq[Column] = colVals.map(c => col(c))
+    val vcols: Seq[Column] = colVals.map(Cleaning.qcol)
     def rowSum(cs: Seq[String]): Column =
-      cs.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
+      cs.map(c => coalesce(Cleaning.qcol(c), lit(0.0))).reduce(_ + _)
 
     // ---- percent matrix (null denominators, then round) ----
     // pandas .sum() skips NaN and yields 0.0 even when ALL cells are NaN,
     // so margin sums coalesce null→0.0
-    val sumsRow = colVals.map(c => coalesce(sum(col(c)), lit(0.0)).as(c))
+    val sumsRow = colVals.map(c => coalesce(sum(Cleaning.qcol(c)), lit(0.0)).as(c))
     val pct: DataFrame = percent match {
       case "row" =>
         val denom = rowSum(colVals)
         piv.select(
-          (col(rows) +: colVals.map(c =>
-            Rounding.halfUp(col(c) / when(denom =!= 0, denom) * 100, decimals).as(c))): _*)
+          (Cleaning.qcol(rows) +: colVals.map(c =>
+            Rounding.halfUp(Cleaning.qcol(c) / when(denom =!= 0, denom) * 100, decimals).as(c))): _*)
       case "col" =>
         val colSums = piv.agg(sumsRow.head, sumsRow.tail: _*)
-          .select(colVals.map(c => col(c).as(s"__sum_$c")): _*)
+          .select(colVals.map(c => Cleaning.qcol(c).as(s"__sum_$c")): _*)
         piv.crossJoin(broadcast(colSums)).select(
-          (col(rows) +: colVals.map(c =>
-            Rounding.halfUp(col(c) / when(col(s"__sum_$c") =!= 0, col(s"__sum_$c")) * 100,
+          (Cleaning.qcol(rows) +: colVals.map(c =>
+            Rounding.halfUp(Cleaning.qcol(c) / when(Cleaning.qcol(s"__sum_$c") =!= 0, Cleaning.qcol(s"__sum_$c")) * 100,
               decimals).as(c))): _*)
       case _ => // total
-        val grand = piv.agg(colVals.map(c => sum(col(c))).reduce(_ + _).as("__grand__"))
+        val grand = piv.agg(colVals.map(c => sum(Cleaning.qcol(c))).reduce(_ + _).as("__grand__"))
         piv.crossJoin(broadcast(grand)).select(
-          (col(rows) +: colVals.map(c =>
-            Rounding.halfUp(col(c) / when(col("__grand__") =!= 0, col("__grand__")) * 100,
+          (Cleaning.qcol(rows) +: colVals.map(c =>
+            Rounding.halfUp(Cleaning.qcol(c) / when(col("__grand__") =!= 0, col("__grand__")) * 100,
               decimals).as(c))): _*)
     }
 

@@ -25,7 +25,7 @@ object MultiDim {
     require(dims.nonEmpty && dims.size <= 3, s"dims must be 1..3, got $dims")
     val w = Cleaning.weightExpr(df, weightCol)
     val grp0 = df
-      .groupBy(dims.map(col): _*)
+      .groupBy(dims.map(Cleaning.qcol): _*)
       .agg(sum(w).as("count"))
     // summary-sized, read twice when percenting by total
     val grp =
@@ -40,7 +40,7 @@ object MultiDim {
           Rounding.halfUp(col("count") / when(col("__total__") =!= 0, col("__total__")) * 100, decimals))
         .drop("__total__")
     } else if (dims.contains(percentBy)) {
-      val denom = sum(col("count")).over(Window.partitionBy(col(percentBy)))
+      val denom = sum(col("count")).over(Window.partitionBy(Cleaning.qcol(percentBy)))
       grp.withColumn("pct",
         Rounding.halfUp(col("count") / when(denom =!= 0, denom) * 100, decimals))
     } else {

@@ -43,7 +43,7 @@ object Tabulation {
     * Output schema: (option, count).
     */
   def valueCounts(df: DataFrame, column: String): DataFrame = {
-    val v = Cleaning.strClean(col(column))
+    val v = Cleaning.strClean(Cleaning.qcol(column))
     df.select(v.as("option"))
       .filter(col("option").isNotNull && col("option") =!= "")
       .groupBy("option")
@@ -100,9 +100,9 @@ object Tabulation {
     val present = columns.filter(df.columns.contains)
     require(present.nonEmpty, s"selectedCounts: none of $columns present")
     val aggs = present.map(c =>
-      sum(when(Cleaning.selected(col(c)), 1L).otherwise(0L)).as(c))
+      sum(when(Cleaning.selected(Cleaning.qcol(c)), 1L).otherwise(0L)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = present.map(c => struct(lit(c).as("brand"), col(c).as("count")))
+    val pairs = present.map(c => struct(lit(c).as("brand"), Cleaning.qcol(c).as("count")))
     row
       .select(explode(array(pairs: _*)).as("kv"))
       .select(col("kv.brand").as("brand"), col("kv.count").as("count"))
@@ -113,7 +113,7 @@ object Tabulation {
     * Output schema: (brand).
     */
   def distinctValues(df: DataFrame, column: String): DataFrame = {
-    val v = Cleaning.strClean(col(column))
+    val v = Cleaning.strClean(Cleaning.qcol(column))
     df.select(v.as("brand"))
       .filter(col("brand").isNotNull && col("brand") =!= "")
       .distinct()
