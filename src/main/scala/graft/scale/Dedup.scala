@@ -26,9 +26,9 @@ object Dedup {
     * row, which breaks reproducibility).
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    df.groupBy(keyCols.map(col): _*)
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-      .select((col(idCol) +: keyCols.map(col) :+ col("dup_count")): _*)
+    df.groupBy(keyCols.map(graft.ops.Cleaning.qcol): _*)
+      .agg(min(graft.ops.Cleaning.qcol(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select((graft.ops.Cleaning.qcol(idCol) +: keyCols.map(graft.ops.Cleaning.qcol) :+ col("dup_count")): _*)
 
   /** MinHash signatures per doc: (id, sig: array<long>).
     * Native ShingleMinHash expression: tokenize (codegen'd split), then
@@ -39,8 +39,8 @@ object Dedup {
       k: Int = 5, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val fam = Shingling.HashFamily(numHashes, seed)
     val sig = graft.functions.Native.shingleMinhash(
-      TextAnalysis.tokens(col(textCol)), k, fam.coeffs.map(_._1), fam.coeffs.map(_._2))
-    df.select(col(idCol), sig.as("sig"))
+      TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k, fam.coeffs.map(_._1), fam.coeffs.map(_._2))
+    df.select(graft.ops.Cleaning.qcol(idCol), sig.as("sig"))
   }
 
   /** LSH banding: explode each signature into (band, bandHash) bucket
@@ -54,8 +54,8 @@ object Dedup {
           transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), _.cast("string")),
           ",")).as("bucket"))
     }
-    sigDf.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    sigDf.select(graft.ops.Cleaning.qcol(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(graft.ops.Cleaning.qcol(idCol), col("bb.band"), col("bb.bucket"))
   }
 
   /** MinHash+LSH near-duplicate pairs, Jaccard-verified.
@@ -70,8 +70,8 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
     val buckets = bandBuckets(sigs, idCol, bands, rowsPerBand)
 
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val a = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -79,11 +79,11 @@ object Dedup {
     // verify with sorted shingle-HASH sets: ~10× smaller shuffle than
     // string shingle arrays, and the pairwise Jaccard is a native long
     // merge-walk (hash collisions at 64 bits are negligible)
-    val sets = df.select(col(idCol),
-      graft.functions.Native.hashedShingleSet(TextAnalysis.tokens(col(textCol)), k).as("shingles"))
+    val sets = df.select(graft.ops.Cleaning.qcol(idCol),
+      graft.functions.Native.hashedShingleSet(TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k).as("shingles"))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(sets.select(graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -97,16 +97,16 @@ object Dedup {
   def nearDupNgram(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val block = struct(
       // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
       // floor() agrees in both engines for the non-negative log here
-      floor(log(greatest(length(col(textCol)), lit(1))) * 2).cast("int").as("lenband"),
+      floor(log(greatest(length(graft.ops.Cleaning.qcol(textCol)), lit(1))) * 2).cast("int").as("lenband"),
       element_at(toks, 1).as("t0"))
-    val sets = df.select(col(idCol), block.as("block"),
+    val sets = df.select(graft.ops.Cleaning.qcol(idCol), block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
-    val a = sets.select(col("block"), col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val b = sets.select(col("block"), col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val a = sets.select(col("block"), graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val b = sets.select(col("block"), graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b"))
     a.join(b, "block")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -131,7 +131,7 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var labels = ids.select(graft.ops.Cleaning.qcol(idCol).as("id"), graft.ops.Cleaning.qcol(idCol).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
@@ -171,16 +171,16 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val fp = df.select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("fp"))
+    val fp = df.select(graft.ops.Cleaning.qcol(idCol), simhash(TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))).as("fp"))
 
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("fp"), c * bitsPer)
           .bitwiseAND((1L << bitsPer) - 1).as("ckey"))
     }
-    val buckets0 = fp.select(col(idCol), col("fp"),
+    val buckets0 = fp.select(graft.ops.Cleaning.qcol(idCol), col("fp"),
         explode(array(chunkStructs: _*)).as("cb"))
-      .select(col(idCol), col("fp"), col("cb.chunk"), col("cb.ckey"))
+      .select(graft.ops.Cleaning.qcol(idCol), col("fp"), col("cb.chunk"), col("cb.ckey"))
 
     // Skew guard: a bucket shared by hundreds of docs (correlated bits —
     // e.g. near-identical vocabulary corpus-wide) is non-discriminative
@@ -199,8 +199,8 @@ object Dedup {
         buckets0.join(sizes, Seq("chunk", "ckey")).drop("__bsz__")
       }
 
-    val a = buckets.select(col("chunk"), col("ckey"), col(idCol).as("id_a"), col("fp").as("fp_a"))
-    val b = buckets.select(col("chunk"), col("ckey"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    val a = buckets.select(col("chunk"), col("ckey"), graft.ops.Cleaning.qcol(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = buckets.select(col("chunk"), col("ckey"), graft.ops.Cleaning.qcol(idCol).as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
@@ -216,8 +216,8 @@ object Dedup {
       bits: Int = 12, tables: Int = 4, threshold: Double = 0.95,
       seed: Long = 42L, dim: Int = 64): DataFrame = {
     val keyed = Similarity.withLshKeys(df, vecCol, bits, tables, seed, dim)
-    val a = keyed.select(col("table"), col("lsh_key"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = keyed.select(col("table"), col("lsh_key"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val a = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_a"), graft.ops.Cleaning.qcol(vecCol).as("v_a"))
+    val b = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_b"), graft.ops.Cleaning.qcol(vecCol).as("v_b"))
     a.join(b, Seq("table", "lsh_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))

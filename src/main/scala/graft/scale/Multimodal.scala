@@ -59,7 +59,7 @@ object Multimodal {
     * end-to-end on the documents table).
     */
   def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =
-    df.withColumn(payloadCol, col(srcCol).cast("binary"))
+    df.withColumn(payloadCol, graft.ops.Cleaning.qcol(srcCol).cast("binary"))
 
   /** Decode stage: partition-local batch map over (id, payload) —
     * the Scala shape of `mapInPandas` (iterator in, iterator out; the
@@ -69,7 +69,7 @@ object Multimodal {
   def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init of the (stubbed) codec happens here
@@ -88,7 +88,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val outBytes = math.max(1, targetW * targetH / 64)
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -111,7 +111,7 @@ object Multimodal {
       frameSize: Int = 1024, every: Int = 10): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val nFrames = math.max(1, bytes.length / frameSize)
@@ -131,7 +131,7 @@ object Multimodal {
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

@@ -44,9 +44,9 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
     val q = lit(query.toArray)
-    val base = excludeId.map(i => corpus.filter(col(idCol) =!= i)).getOrElse(corpus)
+    val base = excludeId.map(i => corpus.filter(graft.ops.Cleaning.qcol(idCol) =!= i)).getOrElse(corpus)
     base
-      .select(col(idCol), cosine(col(vecCol), q).as("similarity"))
+      .select(graft.ops.Cleaning.qcol(idCol), cosine(graft.ops.Cleaning.qcol(vecCol), q).as("similarity"))
       .orderBy(desc("similarity"), asc(idCol))
       .limit(k)
   }
@@ -71,7 +71,7 @@ object Similarity {
       seed: Long, dim: Int): DataFrame = {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(tables, bits)((t, p) => hyperplane(seed, t, p, dim).toArray)
-    val keys = graft.functions.Native.hyperplaneLshKeys(col(vecCol), planes)
+    val keys = graft.functions.Native.hyperplaneLshKeys(graft.ops.Cleaning.qcol(vecCol), planes)
     df.select(
       (df.columns.map(col) :+ posexplode(keys).as(Seq("table", "lsh_key"))).toIndexedSeq: _*)
   }
@@ -97,8 +97,8 @@ object Similarity {
 
     // L2-normalize so euclidean KMeans cells align with cosine order
     val normArr = {
-      val n = sqrt(aggregate(col(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
-      transform(col(vecCol), x => x.cast("double") / when(n > 0, n))
+      val n = sqrt(aggregate(graft.ops.Cleaning.qcol(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      transform(graft.ops.Cleaning.qcol(vecCol), x => x.cast("double") / when(n > 0, n))
     }
     // Persist the featurized corpus: KMeans rescans its input once per
     // iteration, and each uncached scan re-runs the normalize +
@@ -115,7 +115,7 @@ object Similarity {
       .setFeaturesCol("__fv__").setPredictionCol("__cell__")
       .fit(fv)
     val cells = model.transform(fv)
-      .select(col(idCol).as("__cid__"), col(vecCol).as("__cvec__"), col("__cell__"))
+      .select(graft.ops.Cleaning.qcol(idCol).as("__cid__"), graft.ops.Cleaning.qcol(vecCol).as("__cvec__"), col("__cell__"))
 
     val centroids = model.clusterCenters.map(_.toArray)
     // per query: cosine to every centroid, keep the nprobe best cells
@@ -128,7 +128,7 @@ object Similarity {
       .withColumn("__probe__",
         transform(slice(array_sort(array(centStructs.toIndexedSeq: _*)), 1, nprobe),
           s => s.getField("cell")))
-      .select(col(queryIdCol).as("__qid__"), col(vecCol).as("__qvec__"),
+      .select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"), graft.ops.Cleaning.qcol(vecCol).as("__qvec__"),
         explode(col("__probe__")).as("__cell__"))
 
     val scored = probes.join(cells, "__cell__")
@@ -152,9 +152,9 @@ object Similarity {
       k: Int = 10, bits: Int = 12, tables: Int = 4,
       seed: Long = 42L, dim: Int = 64): DataFrame = {
     val c = withLshKeys(corpus, vecCol, bits, tables, seed, dim)
-      .select(col("table"), col("lsh_key"), col(idCol).as("__cid__"), col(vecCol).as("__cvec__"))
+      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("__cid__"), graft.ops.Cleaning.qcol(vecCol).as("__cvec__"))
     val q = withLshKeys(queries, vecCol, bits, tables, seed, dim)
-      .select(col("table"), col("lsh_key"), col(queryIdCol).as("__qid__"), col(vecCol).as("__qvec__"))
+      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"), graft.ops.Cleaning.qcol(vecCol).as("__qvec__"))
     val scored = q.join(c, Seq("table", "lsh_key"))
       .filter(col("__qid__") =!= col("__cid__"))
       .select(col("__qid__"), col("__cid__"),

@@ -27,9 +27,9 @@ object TextAnalysis {
   /** (doc_id, token_count, char_count) per document. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
-      col(idCol),
-      tokenCount(col(textCol)).cast("long").as("token_count"),
-      length(col(textCol)).cast("long").as("char_count"))
+      graft.ops.Cleaning.qcol(idCol),
+      tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"),
+      length(graft.ops.Cleaning.qcol(textCol)).cast("long").as("char_count"))
 
   // Tiny per-language stopword lists for the n-gram/keyword heuristic.
   // Deliberately simple & fixed so the DuckDB oracle can reproduce them.
@@ -61,11 +61,11 @@ object TextAnalysis {
 
   /** Language-ID table: (doc_id, lang, pred_lang) + per-language scores. */
   def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val t = graft.ops.Cleaning.qcol(textCol)
     val scoreCols = StopwordLists.map { case (lang, words) =>
       langScore(t, words).cast("long").as(s"score_$lang")
     }
-    df.select((col(idCol) +: langId(t).as("pred_lang") +: scoreCols): _*)
+    df.select((graft.ops.Cleaning.qcol(idCol) +: langId(t).as("pred_lang") +: scoreCols): _*)
   }
 
   /** Quality metrics per document — length, punctuation/digit/whitespace
@@ -74,7 +74,7 @@ object TextAnalysis {
     * across engines).
     */
   def qualityTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val t = graft.ops.Cleaning.qcol(textCol)
     val chars = length(t)
     val nonPunct = length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     val digits = chars - length(regexp_replace(t, "[0-9]", ""))
@@ -83,7 +83,7 @@ object TextAnalysis {
     val safeChars = when(chars > 0, chars)
     val safeToks = when(toks > 0, toks)
     df.select(
-      col(idCol),
+      graft.ops.Cleaning.qcol(idCol),
       chars.cast("long").as("char_count"),
       toks.cast("long").as("token_count"),
       ((chars - nonPunct) / safeChars).as("punct_ratio"),
@@ -103,9 +103,9 @@ object TextAnalysis {
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf_cnt"))
-    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("doc_len"))
+    val toks = df.select(graft.ops.Cleaning.qcol(idCol), explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("token"))
+    val tf = toks.groupBy(graft.ops.Cleaning.qcol(idCol), col("token")).agg(count(lit(1)).as("tf_cnt"))
+    val docLen = toks.groupBy(graft.ops.Cleaning.qcol(idCol)).agg(count(lit(1)).as("doc_len"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -114,10 +114,10 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         (col("tf_cnt") / col("doc_len")) * log(col("n_docs") / col("df")))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), asc("token"))
+    val w = Window.partitionBy(graft.ops.Cleaning.qcol(idCol)).orderBy(desc("tfidf"), asc("token"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(idCol), col("token"), col("tfidf"), col("rank"))
+      .select(graft.ops.Cleaning.qcol(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
   /** Document fingerprint: xxhash64 of the normalized token stream —
@@ -127,11 +127,11 @@ object TextAnalysis {
     * covered by ScalaTest.
     */
   def fingerprintTable(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = tokens(graft.ops.Cleaning.qcol(textCol))
     val joined = array_join(toks, " ")
     val sh = Shingling.shingles(toks, k)
     df.select(
-      col(idCol),
+      graft.ops.Cleaning.qcol(idCol),
       xxhash64(joined).as("fingerprint"),
       array_min(transform(sh, s => xxhash64(s))).as("min_shingle_hash"))
   }
