@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // an oracle entry without a matching query would silently zero the
+    // round's correctness for that name
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    require(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

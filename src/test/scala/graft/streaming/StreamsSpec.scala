@@ -51,6 +51,25 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over parquet dir matches the batch plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.windowedStream(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("fileout").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fileout")
+        .select("event_type", "n_events", "value_sum")
+        .as[(String, Long, Double)].collect().toSet
+      val batch = Streams.windowedCounts(events, "1 hour")
+        .select("event_type", "n_events", "value_sum")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch oracle on closed sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
