@@ -66,6 +66,15 @@ class CrosstabSpec extends AnyFunSuite {
     assert(counts.length == 1 && counts(0).getDouble(1) == 1.0)
   }
 
+  test("A3 refuses pathological pivot cardinality with a clear error") {
+    val wide = spark.range(Crosstab.MaxPivotValues + 10)
+      .selectExpr("'r' AS r", "CAST(id AS STRING) AS c", "1.0 AS w")
+    val e = intercept[IllegalArgumentException] {
+      Crosstab.crosstab(wide, "r", "c", Some("w"), "total", includeTotals = false, 1)
+    }
+    assert(e.getMessage.contains("not a crosstab-shaped column"))
+  }
+
   test("A3 includeTotals=false omits margins") {
     val out = Crosstab.crosstab(fixture, "r", "c", Some("w"), "total", includeTotals = false, 1)
     assert(!out.columns.contains("Total"))
