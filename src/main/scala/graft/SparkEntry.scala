@@ -231,6 +231,9 @@ object SparkEntry {
         .select(unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n_events"), col("value_cents"))),
 
+    "x_stream_funnel" -> ((s, d) =>
+      Streams.funnel(T(s, d, "events"), Seq("signup", "click", "purchase"))),
+
     "x_stream_sessions" -> ((s, d) =>
       Streams.sessionize(T(s, d, "events")
           .withColumn("value", floor(col("value") * 100 + 0.5).cast("long")), 30)
@@ -514,6 +517,16 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x_stream_funnel" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_index, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t0
+        |UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM t1
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM t2""".stripMargin,
 
     "x_stream_sessions" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

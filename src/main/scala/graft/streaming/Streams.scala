@@ -62,6 +62,39 @@ object Streams {
         sum(col("value")).as("value_sum"))
   }
 
+  /** Ordered funnel analysis: how many users performed step 1, then
+    * step 2 strictly after it, then step 3 after that, … Each stage is
+    * "earliest qualifying event after the previous stage's time", the
+    * standard product-analytics funnel.
+    *
+    * Scale: one filtered min-aggregation per step, joined on user_id —
+    * every join key is the same (user_id), so the shuffles co-partition;
+    * output is step-count rows.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    // fold: times(i) = per-user min ts of step i events AFTER times(i-1)
+    val stageTimes: Seq[DataFrame] = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val t =
+          if (i == 0)
+            e.filter(col("event_type") === step)
+              .groupBy("user_id").agg(min(col("ts")).as(s"t$i"))
+          else
+            e.filter(col("event_type") === step)
+              .join(acc.last, "user_id")
+              .filter(col("ts") > col(s"t${i - 1}"))
+              .groupBy("user_id").agg(min(col("ts")).as(s"t$i"))
+        acc :+ t
+    }
+    stageTimes.zip(steps).zipWithIndex.map { case ((t, step), i) =>
+      t.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_index"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

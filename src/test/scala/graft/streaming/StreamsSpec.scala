@@ -51,6 +51,18 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel: ordered steps require strictly-later events") {
+    val ev = Seq(
+      (1L, ts(0), "signup", 0.0), (1L, ts(5), "click", 0.0), (1L, ts(9), "purchase", 0.0),
+      (2L, ts(0), "signup", 0.0), (2L, ts(3), "click", 0.0), // no purchase
+      (3L, ts(5), "click", 0.0), (3L, ts(9), "signup", 0.0), // click BEFORE signup → stops at step 1
+      (4L, ts(2), "purchase", 0.0) // purchase only → counts nowhere
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Streams.funnel(ev, Seq("signup", "click", "purchase"))
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(got == Map("signup" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("file-source streaming: readStream over parquet dir matches the batch plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(dir)
