@@ -87,6 +87,9 @@ object SparkEntry {
     "a8_nps_summary" -> ((s, d) =>
       Kpis.npsSummary(T(s, d, "part"), "p_size")),
 
+    "a7b_describe" -> ((s, d) =>
+      graft.ops.Stats.describe(T(s, d, "lineitem"), "l_quantity")),
+
     // --- §2.2 transforms ---------------------------------------------
     "t5_codebook_recode" -> ((s, d) => {
       val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
@@ -350,6 +353,15 @@ object SparkEntry {
         |SELECT 'top2_box', CAST(count(*) FILTER (WHERE CAST(l_quantity AS DOUBLE) >= (SELECT max(CAST(l_quantity AS DOUBLE)) FROM lineitem) - 1) AS BIGINT) / count(*) FROM lineitem
         |UNION ALL
         |SELECT 'n', CAST(count(l_quantity) AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "a7b_describe" ->
+      """SELECT 'count' AS metric, CAST(count(l_quantity) AS DOUBLE) AS "value" FROM lineitem
+        |UNION ALL SELECT 'mean', avg(CAST(l_quantity AS DOUBLE)) FROM lineitem
+        |UNION ALL SELECT 'min', min(CAST(l_quantity AS DOUBLE)) FROM lineitem
+        |UNION ALL SELECT 'p25', quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) FROM lineitem
+        |UNION ALL SELECT 'p50', quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) FROM lineitem
+        |UNION ALL SELECT 'p75', quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) FROM lineitem
+        |UNION ALL SELECT 'max', max(CAST(l_quantity AS DOUBLE)) FROM lineitem""".stripMargin,
 
     "a8_nps_summary" ->
       """WITH c AS (
