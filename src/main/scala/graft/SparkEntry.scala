@@ -183,6 +183,16 @@ object SparkEntry {
     "x_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),
 
+    "x_text_redact" -> ((s, d) => {
+      // synthesize PII into the corpus so the scrubber paths all fire;
+      // identical synthesis in the oracle SQL
+      val withPii = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com or https://ex.com/d"),
+          col("doc_id"), lit(" tel +1 555 123 45"), col("doc_id") % 100).as("text"))
+      TextAnalysis.redactTable(withPii, "doc_id", "text")
+    }),
+
     "x_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopK(T(s, d, "documents"), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("token"),
@@ -449,6 +459,21 @@ object SparkEntry {
          |       CAST(len($toksSql) AS BIGINT) AS token_count,
          |       CAST(length(text) AS BIGINT) AS char_count
          |FROM documents""".stripMargin,
+
+    "x_text_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@example.com or https://ex.com/d' || doc_id || ' tel +1 555 123 45' || (doc_id % 100) AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |  FROM p)
+        |SELECT doc_id, clean_text,
+        |       CAST(len(string_split_regex(clean_text, '<EMAIL>|<URL>|<PHONE>')) - 1 AS BIGINT) AS n_redactions
+        |FROM r""".stripMargin,
 
     "x_text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -93,6 +93,35 @@ object TextAnalysis {
         ((chars - nonPunct) / safeChars) < lit(0.3)).as("keep"))
   }
 
+  // Deliberately simple patterns with no engine-specific syntax
+  // (no backrefs/lookarounds) so Java regex (Spark) and RE2 (DuckDB)
+  // agree — the redaction oracle depends on it.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]"
+
+  /** PII scrubbing for training-data pipelines: replace emails, URLs and
+    * phone-like digit runs with typed placeholder tokens. Pure
+    * `regexp_replace` chain — codegen'd, narrow, order: email → url →
+    * phone (so addresses inside URLs are already gone before the digit
+    * scrubber runs).
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, UrlPattern, "<URL>")
+    regexp_replace(noUrl, PhonePattern, "<PHONE>")
+  }
+
+  /** (id, clean_text, n_redactions) per document. */
+  def redactTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = graft.ops.Cleaning.qcol(textCol)
+    val clean = redactPii(t)
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      clean.as("clean_text"),
+      (size(split(clean, "<EMAIL>|<URL>|<PHONE>", -1)) - 1).cast("long").as("n_redactions"))
+  }
+
   /** TF-IDF keyword extraction: the top-k characteristic tokens per doc.
     * tf = term count / doc length; idf = ln(N / docfreq); rank by
     * (tfidf desc, token asc). All inputs are exact integer counts so the

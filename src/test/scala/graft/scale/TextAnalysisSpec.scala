@@ -36,6 +36,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L).getDouble(3) > 0.5) // punct_ratio
   }
 
+  test("redactPii: emails, urls, phones replaced with typed placeholders") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "see https://a.example.com/path?q=1 for details"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactTable(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "mail me at <EMAIL> today" && got(1L)._3 == 1)
+    assert(got(2L)._2 == "see <URL> for details")
+    assert(got(3L)._2 == "call <PHONE> now")
+    assert(got(4L)._2 == "nothing sensitive here" && got(4L)._3 == 0)
+  }
+
   test("tfidf: distinctive tokens outrank ubiquitous ones") {
     val df = Seq(
       (1L, "common common alpha"),
