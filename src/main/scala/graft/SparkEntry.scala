@@ -77,6 +77,10 @@ object SparkEntry {
       Tabulation.fullTabulation(T(s, d, "customer"),
         Seq("c_mktsegment", "c_nationkey", "c_name"))),
 
+    "a5b_full_tab_orders" -> ((s, d) =>
+      Tabulation.fullTabulation(T(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderdate", "o_totalprice"))),
+
     "a6_selected_counts" -> ((s, d) =>
       Tabulation.selectedCounts(T(s, d, "orders"),
         Seq("o_orderstatus", "o_orderpriority"))),
@@ -351,6 +355,15 @@ object SparkEntry {
         |SELECT 'c_nationkey', trim(coalesce(CAST(c_nationkey AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2
         |UNION ALL
         |SELECT 'c_name', trim(coalesce(CAST(c_name AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2""".stripMargin,
+
+    // timestamp stringification follows the pandas rule: fraction omitted
+    // when zero, full 6 digits otherwise (mirrored via strftime CASE)
+    "a5b_full_tab_orders" ->
+      """SELECT 'o_orderstatus' AS "column", trim(coalesce(CAST(o_orderstatus AS VARCHAR),'nan')) AS "value", CAST(count(*) AS BIGINT) AS "count" FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'o_orderdate', trim(coalesce(CASE WHEN microsecond(o_orderdate) % 1000000 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') END, 'nan')), CAST(count(*) AS BIGINT) FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'o_totalprice', trim(coalesce(CAST(o_totalprice AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM orders GROUP BY 2""".stripMargin,
 
     "a6_selected_counts" ->
       """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count" FROM orders

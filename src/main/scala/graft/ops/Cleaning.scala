@@ -77,10 +77,19 @@ object Cleaning {
     * pandas-parity contract.
     */
   def strAsPandasTyped(df: DataFrame, colName: String): Column = {
-    val base =
-      if (df.schema(colName).dataType == org.apache.spark.sql.types.BooleanType)
-        when(qcol(colName), "True").when(!qcol(colName), "False")
-      else qcol(colName).cast("string")
+    import org.apache.spark.sql.types.{BooleanType, TimestampType}
+    val c = qcol(colName)
+    val base = df.schema(colName).dataType match {
+      case BooleanType =>
+        when(c, "True").when(!c, "False")
+      case TimestampType =>
+        // pandas str(Timestamp): fraction omitted when zero, else the
+        // full 6 digits (Spark's cast trims trailing zeros instead)
+        when(date_format(c, "SSSSSS") === "000000",
+          date_format(c, "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case _ => c.cast("string")
+    }
     trim(coalesce(base, lit("nan")))
   }
 

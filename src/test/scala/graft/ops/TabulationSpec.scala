@@ -48,6 +48,18 @@ class TabulationSpec extends AnyFunSuite {
     assert(got.toSet == Set(("flag", "True", 2L), ("flag", "False", 1L)))
   }
 
+  test("A5 timestamp columns follow pandas str() formatting") {
+    val df = Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:07"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:07.1"),
+      java.sql.Timestamp.valueOf("2024-01-03 10:30:00.123456")).toDF("ts")
+    val got = Tabulation.fullTabulation(df).select("value").as[String].collect().toSet
+    assert(got == Set(
+      "2024-01-01 00:00:07",          // zero fraction omitted
+      "2024-01-01 00:00:07.100000",   // full 6 digits when nonzero
+      "2024-01-03 10:30:00.123456"))
+  }
+
   test("A6 selectedCounts: one row per column with T6 semantics, unweighted") {
     val df = Seq(("1", "0"), ("0", "yes"), ("", "0.0"), (null, null))
       .toDF("brand_a", "brand_b")
