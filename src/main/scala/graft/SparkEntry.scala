@@ -211,6 +211,14 @@ object SparkEntry {
       counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     }),
 
+    "x_events_props" -> ((s, d) =>
+      T(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
+
     "x_events_topusers" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = T(s, d, "events")
@@ -508,6 +516,14 @@ object SparkEntry {
         |g AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk FROM g)
         |SELECT lang, token, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5""".stripMargin,
+
+    "x_events_props" ->
+      """SELECT event_type,
+        |       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY 1""".stripMargin,
 
     "x_events_topusers" ->
       """WITH g AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n

@@ -153,6 +153,23 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dedup: MinHash+LSH candidate pairs → Jaccard verify
+    * → connected components → keep only cluster representatives (the min
+    * id of each near-dup cluster). The one-call form of the full
+    * training-data dedup pipeline; returns the deduplicated DataFrame
+    * with all original columns.
+    */
+  def deduplicate(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val pairs = nearDupMinhash(df, idCol, textCol, k, numHashes, bands, threshold, seed)
+    val labels = clusters(df, idCol, pairs)
+    df.join(
+      labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
+      idCol)
+  }
+
   /** 64-bit SimHash over the token stream: bit j of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
     * Pure higher-order expressions; one narrow map.

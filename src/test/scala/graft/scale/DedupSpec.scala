@@ -50,6 +50,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("deduplicate: end-to-end keeps one representative per near-dup cluster") {
+    val out = Dedup.deduplicate(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1,2,4 form one near-dup cluster (1 kept); 3 is unrelated
+    assert(out == Set(1L, 3L))
+  }
+
   test("clusters: connected components assign min reachable id") {
     // graph: 1-2, 2-5 (chain), 3-4; 6 isolated → clusters {1,2,5}→1, {3,4}→3, {6}→6
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
