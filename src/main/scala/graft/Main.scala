@@ -47,6 +47,12 @@ object Main {
       MappingConfig.save(cfg, p)
       println(s"[graft] mapping config written to $p")
     }
+    val drift = MappingConfig.validate(cfg, raw)
+    if (drift.nonEmpty)
+      System.err.println(
+        s"[graft] WARNING: config references columns missing from this wave " +
+          s"(builders will skip them): ${drift.map { case (s, c) => s"$s=$c" }.mkString(", ")}")
+
     val codebook = opts.get("codebook")
       .map(Sources.readCodebook(spark, _)).getOrElse(Map.empty)
 

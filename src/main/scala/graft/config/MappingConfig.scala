@@ -33,6 +33,30 @@ case class MappingConfig(
 object MappingConfig {
   implicit private val formats: Formats = DefaultFormats
 
+  /** All column names the config references, with their concept slot. */
+  def referencedColumns(cfg: MappingConfig): Seq[(String, String)] =
+    cfg.respondent_id.map("respondent_id" -> _).toSeq ++
+      cfg.demographics.map("demographics" -> _) ++
+      cfg.awareness.tom.map("awareness.tom" -> _).toSeq ++
+      cfg.awareness.unaided.map("awareness.unaided" -> _) ++
+      cfg.awareness.aided.map("awareness.aided" -> _) ++
+      cfg.usage.ever_used.map("usage.ever_used" -> _) ++
+      cfg.usage.bumo.map("usage.bumo" -> _) ++
+      cfg.usage.consider.map("usage.consider" -> _) ++
+      cfg.satisfaction.csat.map("satisfaction.csat" -> _).toSeq ++
+      cfg.nps.score.map("nps.score" -> _).toSeq
+
+  /** Schema-drift check for reusing a saved config on a new wave:
+    * returns the (slot, column) entries missing from the DataFrame.
+    * Empty result = the wave is structurally compatible. (The builders
+    * themselves skip missing columns, like the reference — this makes
+    * the drift VISIBLE instead of silent.)
+    */
+  def validate(cfg: MappingConfig, df: org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+    val present = df.columns.toSet
+    referencedColumns(cfg).filterNot { case (_, c) => present.contains(c) }
+  }
+
   def fromJson(json: String): MappingConfig =
     JsonMethods.parse(json).extract[MappingConfig]
 

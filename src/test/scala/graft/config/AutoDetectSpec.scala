@@ -32,6 +32,16 @@ class AutoDetectSpec extends AnyFunSuite {
     assert(cfg.nps.score.contains("nps_score"))
   }
 
+  test("validate reports columns missing from a new wave") {
+    val cfg = MappingConfig(
+      respondent_id = Some("rid"),
+      awareness = AwarenessCfg(Some("tom"), Seq("ua_x"), Nil))
+    val wave = Seq(("1", "b")).toDF("rid", "tom") // ua_x missing
+    assert(MappingConfig.validate(cfg, wave) == Seq("awareness.unaided" -> "ua_x"))
+    val ok = Seq(("1", "b", "1")).toDF("rid", "tom", "ua_x")
+    assert(MappingConfig.validate(cfg, ok).isEmpty)
+  }
+
   test("MappingConfig JSON roundtrip") {
     val cfg = MappingConfig(
       respondent_id = Some("rid"),
