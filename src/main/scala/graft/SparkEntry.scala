@@ -166,10 +166,12 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    // clustered over the n-gram pair graph (same pairs as x_dedup_ngram)
+    // so the whole chain — shingling, blocking, Jaccard, connected
+    // components — is DuckDB-mirrorable (recursive CTE oracle)
     "x_dedup_clusters" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
-        k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2)
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
@@ -242,10 +244,15 @@ object SparkEntry {
         Multimodal.withBinaryPayload(T(s, d, "documents"), "text"), "doc_id", "payload")
         .toDF().select("doc_id", "n_bytes", "format", "width", "height")),
 
+    // long format (one row per histogram bucket): the driver's compare
+    // hashes scalar cells, so the feature vector is exploded; value =
+    // bucket_count / payload_bytes is exact integer division in IEEE
+    // doubles on both engines
     "x_mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
-        "doc_id", "payload", dim = 16)),
+        "doc_id", "payload", dim = 16)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "value")))),
 
     // --- §7.4 streaming (batch-equivalent plans) ---------------------
     "x_stream_window" -> ((s, d) =>
@@ -280,6 +287,23 @@ object SparkEntry {
 
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  private val ngramPairsSql =
+    s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
+       |    toks[1] AS t0,
+       |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |  FROM d),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+       |  FROM s a JOIN s b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT id_a, id_b,
+       |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
+       |FROM p
+       |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin
 
   private def crosstabSql(percent: String): String = {
     val piv =
@@ -443,22 +467,21 @@ object SparkEntry {
     // Jaccard over string shingle sets == the engine's hashed shingle sets
     // (64-bit xxhash collisions are ~1e-15 at these set sizes). The t0
     // equi-join drops null first tokens (empty docs) — none exist here.
-    "x_dedup_ngram" ->
-      s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
-         |    toks[1] AS t0,
-         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-         |  FROM d),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    len(list_intersect(a.sh, b.sh)) AS inter,
-         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
-         |  FROM s a JOIN s b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.doc_id < b.doc_id)
-         |SELECT DISTINCT id_a, id_b,
-         |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
-         |FROM p
-         |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin,
+    "x_dedup_ngram" -> ngramPairsSql,
+
+    // min-reachable-id connected components over the same n-gram pair
+    // graph, as a recursive CTE; singletons keep their own id
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($ngramPairsSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
+         |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
 
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -576,6 +599,23 @@ object SparkEntry {
         |       CAST(64 + ord(substr(text, 1, 1)) % 192 AS INT) AS width,
         |       CAST(64 + octet_length(encode(text)) % 192 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    // byte-level mirror of the stub feature extractor: hex-expand the
+    // UTF-8 blob, map hex pairs back to byte values via a 256-row lookup,
+    // fold to 16 buckets, L1-normalize. count/total is exact integer
+    // division in IEEE doubles on both engines.
+    "x_mm_features" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, hx FROM d),
+        |v AS (SELECT b.doc_id, CAST(hmap.bval % 16 AS INT) AS bucket
+        |      FROM b JOIN hmap ON substr(b.hx, CAST(2*b.i-1 AS INT), 2) = hmap.hh),
+        |c AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt FROM v GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, n, CAST(unnest(range(0, 16)) AS INT) AS bucket FROM d)
+        |SELECT grid.doc_id, grid.bucket,
+        |       coalesce(c.cnt, 0) / greatest(CAST(grid.n AS DOUBLE), 1.0) AS "value"
+        |FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.bucket = c.bucket""".stripMargin,
 
     "x_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -127,30 +127,41 @@ object Dedup {
     */
   def clusters(
       ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(graft.ops.Cleaning.qcol(idCol).as("id"), graft.ops.Cleaning.qcol(idCol).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
+    // Only nodes that appear in some edge can ever change label; the rest
+    // are singletons (cluster = id), attached with one left join at the
+    // end. At 100 TB this keeps the iteration cost proportional to the
+    // duplicate mass, not the corpus size.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(disk)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // one shuffle + one action per round: carry the previous label
+      // through the union (null for neighbor candidates; min ignores
+      // nulls, and each id contributes exactly one non-null `old`)
       val viaNeighbor = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+        .select(col("dst").as("id"), col("cluster"), lit(null).as("old"))
+      val merged = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
         .unionByName(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+        .groupBy("id").agg(min("cluster").as("cluster"), min("old").as("old"))
+        .persist(disk)
+      changed = merged.filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = merged.select(col("id"), col("cluster"))
       iter += 1
     }
+    val out = ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     edges.unpersist()
-    labels
+    out
   }
 
   /** End-to-end near-dedup: MinHash+LSH candidate pairs → Jaccard verify
