@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.config.MappingConfig
 import graft.io.Sources
-import graft.ops.{Cleaning, Crosstab, MultiDim, Rounding, Tabulation}
-import graft.bht.{Builders, Kpis}
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
 import graft.pipeline.Transform
-import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -92,7 +92,52 @@ object SparkEntry {
       Kpis.npsSummary(T(s, d, "part"), "p_size")),
 
     "a7b_describe" -> ((s, d) =>
-      graft.ops.Stats.describe(T(s, d, "lineitem"), "l_quantity")),
+      Stats.describe(T(s, d, "lineitem"), "l_quantity")),
+
+    "a9_rollup_tab" -> ((s, d) =>
+      MultiDim.rollupTabulation(T(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Some("l_quantity"))),
+
+    "s1_histogram" -> ((s, d) =>
+      Stats.histogram(T(s, d, "orders"), "o_totalprice", 0.0, 600000.0, 24)),
+
+    "s2_chi2" -> ((s, d) =>
+      Stats.chiSquare(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"))),
+
+    "s3_wquantile" -> ((s, d) =>
+      Stats.weightedQuantile(T(s, d, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq("l_returnflag"), 0.5)),
+
+    "s4_rake" -> ((s, d) =>
+      Raking.ipfCellWeights(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        rowTargets = Map("A" -> 300000.0, "N" -> 400000.0, "R" -> 300000.0),
+        colTargets = Map("F" -> 450000.0, "O" -> 550000.0),
+        weightCol = Some("l_quantity"), iters = 5)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          Rounding.halfUp(col("weight"), 6).as("weight"))),
+
+    "s5_sample_strat" -> ((s, d) =>
+      Sampling.stratifiedSystematic(T(s, d, "orders"), "o_orderstatus", "o_orderkey",
+        Map("O" -> 2L, "F" -> 5L), defaultMod = 10L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))),
+
+    "j2_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
+    }),
+
+    "x_distinct_users" -> ((s, d) =>
+      T(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
 
     // --- §2.2 transforms ---------------------------------------------
     "t5_codebook_recode" -> ((s, d) => {
@@ -305,6 +350,46 @@ object SparkEntry {
        |FROM p
        |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin
 
+  /** Unrolled IPF oracle for s4_rake: the same cell/step arithmetic as
+    * Raking.ipfCellWeights, with marginal sums spelled out left-to-right
+    * in sorted category order — bit-identical IEEE results.
+    */
+  private val rakeSql: String = {
+    val rows = Seq("A", "N", "R"); val cols = Seq("F", "O")
+    val rowT = Map("A" -> "300000.0", "N" -> "400000.0", "R" -> "300000.0")
+    val colT = Map("F" -> "450000.0", "O" -> "550000.0")
+    def v(rc: String, cc: String) = s"w_${rc}_$cc"
+    val cellDefs = (for (rc <- rows; cc <- cols) yield
+      s"coalesce(sum(coalesce(CAST(l_quantity AS DOUBLE),0)) FILTER (WHERE CAST(l_returnflag AS VARCHAR)='$rc' AND CAST(l_linestatus AS VARCHAR)='$cc'), 0) AS ${v(rc, cc)}")
+      .mkString(",\n    ")
+    def rowStep(prev: String, name: String) = {
+      val exprs = for (rc <- rows; cc <- cols) yield {
+        val rsum = cols.map(c2 => v(rc, c2)).reduceLeft((a, b) => s"($a + $b)")
+        s"${v(rc, cc)} * (CASE WHEN $rsum > 0 THEN ${rowT(rc)} / $rsum ELSE 0 END) AS ${v(rc, cc)}"
+      }
+      s"$name AS (SELECT ${exprs.mkString(", ")} FROM $prev)"
+    }
+    def colStep(prev: String, name: String) = {
+      val exprs = for (rc <- rows; cc <- cols) yield {
+        val csum = rows.map(r2 => v(r2, cc)).reduceLeft((a, b) => s"($a + $b)")
+        s"${v(rc, cc)} * (CASE WHEN $csum > 0 THEN ${colT(cc)} / $csum ELSE 0 END) AS ${v(rc, cc)}"
+      }
+      s"$name AS (SELECT ${exprs.mkString(", ")} FROM $prev)"
+    }
+    val steps = (1 to 5).flatMap(i =>
+      Seq(rowStep(if (i == 1) "cells" else s"c${i - 1}", s"r$i"), colStep(s"r$i", s"c$i")))
+    val out = (for (rc <- rows; cc <- cols) yield
+      s"SELECT '$rc' AS l_returnflag, '$cc' AS l_linestatus, ${Rounding.halfUpSql(v(rc, cc), 6)} AS weight FROM c5")
+      .mkString("\nUNION ALL ")
+    s"""WITH cells AS (
+       |  SELECT
+       |    $cellDefs
+       |  FROM lineitem
+       |  WHERE CAST(l_returnflag AS VARCHAR) IN ('A','N','R') AND CAST(l_linestatus AS VARCHAR) IN ('F','O')),
+       |${steps.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   private def crosstabSql(percent: String): String = {
     val piv =
       """piv AS (
@@ -417,6 +502,74 @@ object SparkEntry {
         |UNION ALL SELECT 'p50', quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) FROM lineitem
         |UNION ALL SELECT 'p75', quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) FROM lineitem
         |UNION ALL SELECT 'max', max(CAST(l_quantity AS DOUBLE)) FROM lineitem""".stripMargin,
+
+    "a9_rollup_tab" ->
+      """WITH t AS (SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
+        |              coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL)
+        |SELECT coalesce(r, 'Total') AS l_returnflag,
+        |       coalesce(c, 'Total') AS l_linestatus,
+        |       CAST(grouping(r) AS INT) AS g_l_returnflag,
+        |       CAST(grouping(c) AS INT) AS g_l_linestatus,
+        |       sum(w) AS "count"
+        |FROM t GROUP BY ROLLUP(r, c)""".stripMargin,
+
+    "s1_histogram" ->
+      """SELECT CAST(greatest(0.0, least(23.0, floor((o_totalprice - 0.0) / 600000.0 * 24))) AS INT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS "count"
+        |FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "s2_chi2" ->
+      """WITH cells0 AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
+        |         sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS obs
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT rr.r, cc.c, coalesce(o.obs, 0) AS obs
+        |  FROM (SELECT DISTINCT r FROM cells0) rr
+        |  CROSS JOIN (SELECT DISTINCT c FROM cells0) cc
+        |  LEFT JOIN cells0 o ON o.r = rr.r AND o.c = cc.c),
+        |e AS (SELECT r, c, obs,
+        |        sum(obs) OVER (PARTITION BY r) * sum(obs) OVER (PARTITION BY c) / sum(obs) OVER () AS ex
+        |      FROM cells),
+        |m AS (SELECT CAST(floor((obs - ex) * (obs - ex) / ex * 1e6 + 0.5) AS BIGINT) AS cm, r, c, obs FROM e),
+        |a AS (SELECT CAST(sum(cm) AS BIGINT) AS chi2_micro,
+        |             CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+        |             CAST(sum(obs) AS BIGINT) AS n FROM m)
+        |SELECT 'chi2_micro' AS metric, chi2_micro AS "value" FROM a
+        |UNION ALL SELECT 'dof', dof FROM a
+        |UNION ALL SELECT 'n', n FROM a""".stripMargin,
+
+    "s3_wquantile" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+        |              coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT *,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM b)
+        |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
+
+    "s4_rake" -> rakeSql,
+
+    "s5_sample_strat" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE o_orderkey % (CASE CAST(o_orderstatus AS VARCHAR) WHEN 'O' THEN 2 WHEN 'F' THEN 5 ELSE 10 END) = 0
+        |GROUP BY 1""".stripMargin,
+
+    "j2_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+        |       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "x_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     "a8_nps_summary" ->
       """WITH c AS (

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (backward-looking) join — for every left row, the latest right
+  * row with `right.ts <= left.ts` within the same partition key. The
+  * reference has no two-table ops at all (SURVEY §2.4 J1); this is the
+  * canonical event-enrichment operator a training-data / analytics
+  * pipeline needs (DuckDB ships it natively as ASOF JOIN, which is the
+  * oracle for it).
+  *
+  * Spark-first plan: NOT a per-row range join (quadratic) — union both
+  * sides tagged, one shuffle+sort on (partitionKeys, ts, side), then a
+  * running `last(struct, ignoreNulls)` window carries the most recent
+  * right row forward to the left rows that follow it. One shuffle, fully
+  * distributed, skew bounded by the partition key's own skew. All value
+  * columns travel in ONE struct, so they always come from the same
+  * right row. Equal timestamps: the right row sorts BEFORE the left row
+  * (side ordering), so `ts_right == ts_left` matches — same as DuckDB's
+  * `ON left.ts >= right.ts`.
+  */
+object AsOf {
+
+  /** @param valueCols right-side columns carried to the matched left row
+    *                  (null when no right row precedes the left row)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      partitionCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(valueCols.contains),
+      s"value columns ${valueCols.filter(leftCols.contains)} collide with left columns")
+
+    val rv = struct(valueCols.map(Cleaning.qcol): _*)
+    val r = right.select(
+      (partitionCols.map(Cleaning.qcol) :+
+        Cleaning.qcol(rightTs).as("__ts")) :+ rv.as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val l0 = left
+      .withColumn("__ts", Cleaning.qcol(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null))
+    // align schemas: right side carries null left columns
+    val rl = leftCols.filterNot(partitionCols.contains)
+      .foldLeft(r)((d, c) => d.withColumn(c, lit(null)))
+
+    val ordered = (leftCols ++ Seq("__ts", "__side", "__rv")).map(col)
+    val unioned = l0.select(ordered: _*).unionByName(rl.select(ordered: _*))
+
+    val w = Window.partitionBy(partitionCols.map(Cleaning.qcol): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("__rv").getField(c).as(c)): _*)
+  }
+}

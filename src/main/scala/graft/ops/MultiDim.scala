@@ -47,4 +47,34 @@ object MultiDim {
       grp.withColumn("pct", lit(null).cast("double"))
     }
   }
+
+  /** Rollup tabulation (beyond-reference): hierarchical subtotals over
+    * 1..n dims in ONE aggregate — the generalization of the reference's
+    * hand-built `Total` margin rows (A9) to arbitrary depth. Rolled-up
+    * levels surface as the literal `"Total"` (survey-margin convention);
+    * `grouping(dim)` flags disambiguate a data value that is itself the
+    * string "Total".
+    *
+    * Scale: Spark expands rollup into grouping sets inside a single
+    * hash aggregate (partial aggregation applies) — one shuffle, vs. the
+    * reference's N separate margin passes.
+    */
+  def rollupTabulation(
+      df: DataFrame,
+      dims: Seq[String],
+      weightCol: Option[String] = None): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    val w = Cleaning.weightExpr(df, weightCol)
+    // pre-project: grouping() must reference the exact rollup columns
+    val pre = df.filter(dims.map(d => Cleaning.qcol(d).isNotNull).reduce(_ && _))
+      .select(dims.map(d => Cleaning.qcol(d).cast("string").as(d)) :+ w.as("__w"): _*)
+    val gflags = dims.map(d => grouping(Cleaning.qcol(d)).cast("int").as(s"g_$d"))
+    pre
+      .rollup(dims.map(Cleaning.qcol): _*)
+      .agg(gflags.head, gflags.tail :+ sum(col("__w")).as("count"): _*)
+      .select(
+        dims.map(d => coalesce(Cleaning.qcol(d), lit("Total")).as(d)) ++
+          dims.map(d => Cleaning.qcol(s"g_$d")) :+
+          col("count"): _*)
+  }
 }

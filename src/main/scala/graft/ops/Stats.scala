@@ -31,4 +31,93 @@ object Stats {
     agged.select(explode(array(pairs: _*)).as("kv"))
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
+
+  /** Fixed-width histogram: bin index + count per bin over [lo, hi).
+    * Values outside [lo, hi) are clamped into the edge bins (the
+    * pandas/numpy "include outliers at the edges" convention a survey
+    * dashboard wants). Bin arithmetic is plain IEEE floor —
+    * deterministic and engine-portable. One hash-aggregate shuffle of
+    * at most `nbins` groups.
+    */
+  def histogram(df: DataFrame, column: String, lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins > 0 && hi > lo, s"need nbins>0 and hi>lo")
+    val c = Cleaning.toNumeric(Cleaning.qcol(column))
+    val raw = floor((c - lo) / (hi - lo) * nbins)
+    val bin = greatest(lit(0.0), least(lit((nbins - 1).toDouble), raw)).cast("int")
+    df.filter(c.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** Pearson chi-square test of independence over a weighted crosstab —
+    * the survey analyst's "is this banner break significant" operator.
+    * Long format (metric, value) with integer-scaled values so the
+    * statistic is exact and engine-portable:
+    *   chi2_micro = Σ_cells floor((obs-exp)²/exp * 1e6 + 0.5)  (long sum
+    *   — order-independent, unlike a double sum), dof, n.
+    * Cell counts come from one hash-aggregate; expected counts from
+    * window sums over the aggregated (tiny) cell frame.
+    */
+  def chiSquare(
+      df: DataFrame, rowCol: String, colCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Cleaning.weightExpr(df, weightCol)
+    val r = Cleaning.qcol(rowCol)
+    val c = Cleaning.qcol(colCol)
+    val cells0 = df.filter(r.isNotNull && c.isNotNull)
+      .groupBy(r.cast("string").as("__r"), c.cast("string").as("__c"))
+      .agg(sum(w).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // densify: empty cells still contribute (0-exp)²/exp = exp — dropping
+    // them understates the statistic
+    val cells = cells0.select("__r").distinct()
+      .crossJoin(cells0.select("__c").distinct())
+      .join(cells0, Seq("__r", "__c"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0.0)))
+    val rowSum = sum(col("obs")).over(Window.partitionBy("__r"))
+    val colSum = sum(col("obs")).over(Window.partitionBy("__c"))
+    val total = sum(col("obs")).over(Window.partitionBy())
+    val contrib = cells
+      .withColumn("exp", rowSum * colSum / total)
+      .withColumn("contrib_micro",
+        floor((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp") * 1e6 + 0.5)
+          .cast("long"))
+    val agged = contrib.agg(
+      sum(col("contrib_micro")).as("chi2_micro"),
+      ((countDistinct(col("__r")) - 1) * (countDistinct(col("__c")) - 1)).as("dof"),
+      sum(col("obs")).cast("long").as("n"))
+    val pairs = Seq("chi2_micro", "dof", "n")
+      .map(m => struct(lit(m).as("metric"), col(m).cast("long").as("value")))
+    agged.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
+  /** Weighted quantile per group: smallest value v such that the
+    * cumulative weight of rows with value <= v reaches q * totalWeight.
+    * (The inverted-CDF definition — exact, portable, and well-defined
+    * for integer-valued weights; ties on the value cannot change the
+    * answer because selection is by min(value) past the threshold.)
+    * One shuffle on the group key; the running sum is a sorted window
+    * within each group — the standard distributed exact-quantile shape.
+    */
+  def weightedQuantile(
+      df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val w = Cleaning.weightExpr(df, Some(weightCol))
+    val g = groupCols.map(Cleaning.qcol)
+    val base = df.filter(v.isNotNull).select((g :+ v.as("__v")) :+ w.as("__w"): _*)
+    val win = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
+    base
+      .withColumn("__cum", sum(col("__w")).over(win))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cum") >= lit(q) * col("__tot"))
+      .groupBy(groupCols.map(Cleaning.qcol): _*)
+      .agg(min(col("__v")).as("quantile"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.bht
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+class RakingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // skewed sample: 60/40 gender split, targets want 50/50; age 70/30 → 40/60
+  private def sample = {
+    val rows =
+      Seq.fill(30)(("m", "young")) ++ Seq.fill(30)(("m", "old")) ++
+        Seq.fill(25)(("f", "young")) ++ Seq.fill(15)(("f", "old"))
+    rows.toDF("gender", "age")
+  }
+
+  test("raked marginals converge to the targets") {
+    val cw = Raking.ipfCellWeights(sample, "gender", "age",
+      rowTargets = Map("m" -> 50.0, "f" -> 50.0),
+      colTargets = Map("young" -> 40.0, "old" -> 60.0), iters = 20)
+    val cells = cw.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val mSum = cells(("m", "young")) + cells(("m", "old"))
+    val fSum = cells(("f", "young")) + cells(("f", "old"))
+    val ySum = cells(("m", "young")) + cells(("f", "young"))
+    val oSum = cells(("m", "old")) + cells(("f", "old"))
+    assert(math.abs(mSum - 50.0) < 1e-6 && math.abs(fSum - 50.0) < 1e-6)
+    assert(math.abs(ySum - 40.0) < 1e-6 && math.abs(oSum - 60.0) < 1e-6)
+  }
+
+  test("applyRake: per-case weights reproduce the cell mass") {
+    val cw = Raking.ipfCellWeights(sample, "gender", "age",
+      rowTargets = Map("m" -> 50.0, "f" -> 50.0),
+      colTargets = Map("young" -> 40.0, "old" -> 60.0), iters = 20)
+    val raked = Raking.applyRake(sample, "gender", "age", cw)
+    val total = raked.agg(sum(col("rake_weight"))).head().getDouble(0)
+    assert(math.abs(total - 100.0) < 1e-6)
+    val my = raked.filter(col("gender") === "m" && col("age") === "young")
+      .agg(sum(col("rake_weight"))).head().getDouble(0)
+    val cwMy = cw.collect().find(r => r.getString(0) == "m" && r.getString(1) == "young").get.getDouble(2)
+    assert(math.abs(my - cwMy) < 1e-9)
+  }
+
+  test("empty cells stay zero and don't poison the fit") {
+    val rows = Seq.fill(10)(("m", "young")) ++ Seq.fill(10)(("f", "old"))
+    val cw = Raking.ipfCellWeights(rows.toDF("gender", "age"), "gender", "age",
+      rowTargets = Map("m" -> 30.0, "f" -> 70.0),
+      colTargets = Map("young" -> 30.0, "old" -> 70.0), iters = 20)
+    val cells = cw.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(cells(("m", "old")) == 0.0 && cells(("f", "young")) == 0.0)
+    assert(math.abs(cells(("m", "young")) - 30.0) < 1e-6)
+    assert(math.abs(cells(("f", "old")) - 70.0) < 1e-6)
+  }
+}

@@ -39,4 +39,17 @@ class MultiDimSpec extends AnyFunSuite {
       MultiDim.multiDimTabulation(fixture, Seq("a", "b", "c", "d"), None, "total", 1)
     }
   }
+
+  test("rollup tabulation: all levels in one aggregate, 'Total' labels, grouping flags") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 4.0)).toDF("d1", "d2", "w")
+    val out = MultiDim.rollupTabulation(df, Seq("d1", "d2"), Some("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    assert(out(("a", "x", 0, 0)) == 1.0)
+    assert(out(("a", "Total", 0, 1)) == 4.0) // subtotal per d1
+    assert(out(("b", "Total", 0, 1)) == 4.0)
+    assert(out(("Total", "Total", 1, 1)) == 8.0) // grand total
+    assert(out.size == 6) // 3 cells + 2 subtotals + 1 grand total
+  }
 }

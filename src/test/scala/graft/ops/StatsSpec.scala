@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("histogram bins, edge clamping, null drop") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(5.0), Some(9.99), Some(10.0), Some(25.0), None)
+      .toDF("x")
+    val out = Stats.histogram(df, "x", 0.0, 20.0, 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // bins of width 5 over [0,20): -5→clamp 0, 0→0, 5→1, 9.99→1, 10→2, 25→clamp 3
+    assert(out == Map(0 -> 2L, 1 -> 2L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("chi2 on an independent 2x2 is zero") {
+    // perfectly independent: all cells equal
+    val rows = for (r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 10) yield (r, c)
+    val out = Stats.chiSquare(rows.toDF("r", "c"), "r", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("chi2_micro") == 0L)
+    assert(out("dof") == 1L)
+    assert(out("n") == 40L)
+  }
+
+  test("chi2 detects full dependence (2x2, phi=1 => chi2=n)") {
+    val rows = (1 to 10).flatMap(_ => Seq(("a", "x"), ("b", "y")))
+    val out = Stats.chiSquare(rows.toDF("r", "c"), "r", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("chi2_micro") == 20L * 1000000L) // chi2 == n for a perfect 2x2
+    assert(out("dof") == 1L)
+  }
+
+  test("weighted median: inverted CDF with integer weights") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 5.0), ("g", 4.0, 1.0))
+      .toDF("g", "v", "w")
+    // total weight 8, threshold 4: cum at v=3 is 7 >= 4 → median 3
+    val out = Stats.weightedQuantile(df, "v", "w", Seq("g"), 0.5).collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 3.0)
+  }
+
+  test("weighted quantile q=1 returns the max") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 9.0, 1.0)).toDF("g", "v", "w")
+    val out = Stats.weightedQuantile(df, "v", "w", Seq("g"), 1.0).collect()
+    assert(out(0).getDouble(1) == 9.0)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.scale
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def keys = (0L until 1000L).toDF("k")
+
+  test("systematic keeps exactly key % mod == hit") {
+    val out = Sampling.systematic(keys, "k", 10L, 3L).collect().map(_.getLong(0))
+    assert(out.length == 100 && out.forall(_ % 10 == 3))
+  }
+
+  test("hash sampling is deterministic and near the target fraction") {
+    val a = Sampling.byHash(keys, "k", 0.2).collect().map(_.getLong(0)).toSet
+    val b = Sampling.byHash(keys, "k", 0.2).collect().map(_.getLong(0)).toSet
+    assert(a == b) // reproducible across runs
+    assert(a.size > 120 && a.size < 280) // ~200 expected
+    // repartitioning must not change membership (unlike df.sample)
+    val c = Sampling.byHash(keys.repartition(7), "k", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(c == a)
+  }
+
+  test("stratified systematic applies per-stratum rates") {
+    val df = (0L until 300L).map(i => (if (i % 3 == 0) "a" else "b", i)).toDF("s", "k")
+    val out = Sampling.stratifiedSystematic(df, "s", "k", Map("a" -> 1L), defaultMod = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // stratum a: mod 1 keeps every row (100); stratum b: k % 100 == 0 within b's keys
+    assert(out.count(_._1 == "a") == 100)
+    assert(out.count(_._1 == "b") == out.count { case (s, k) => s == "b" && k % 100 == 0 })
+  }
+}
