@@ -51,18 +51,24 @@ object Crosstab {
       .filter(Cleaning.qcol(rows).isNotNull && Cleaning.qcol(cols).isNotNull)
       .select(Cleaning.qcol(rows).cast("string").as(rows), Cleaning.qcol(cols).cast("string").as(cols), w.as("__w__"))
 
+    // ONE full-data pass: aggregate to (row, col, weight) cells first.
+    // Everything downstream — the pivot-value collect, the pivot itself,
+    // the margins, the percent denominators — runs over this summary-
+    // sized cached frame instead of rescanning the fact table (the
+    // pivot-value discovery alone used to cost a second full scan).
+    val cells = base
+      .groupBy(Cleaning.qcol(rows), Cleaning.qcol(cols))
+      .agg(sum(col("__w__")).as("__w__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // Deterministic, bounded pivot column set (sorted ascending like pandas)
-    val colVals: Seq[String] = base
+    val colVals: Seq[String] = cells
       .select(Cleaning.qcol(cols)).distinct().orderBy(Cleaning.qcol(cols)).limit(MaxPivotValues + 1)
       .collect().map(_.getString(0)).toSeq
     require(colVals.size <= MaxPivotValues,
       s"crosstab: >$MaxPivotValues distinct values in '$cols' — not a crosstab-shaped column")
 
-    // The pivoted matrix is summary-sized (|rows values| × |cols values|)
-    // but referenced by up to 5 downstream branches (counts, pct, both
-    // margin rows, column sums) — without persisting, EACH branch would
-    // re-run the full-data pivot aggregation.
-    val piv = base
+    val piv = cells
       .groupBy(Cleaning.qcol(rows))
       .pivot(Cleaning.qcol(cols), colVals)
       .agg(sum(col("__w__")))

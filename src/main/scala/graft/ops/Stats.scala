@@ -61,36 +61,36 @@ object Stats {
   def chiSquare(
       df: DataFrame, rowCol: String, colCol: String,
       weightCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val w = Cleaning.weightExpr(df, weightCol)
     val r = Cleaning.qcol(rowCol)
     val c = Cleaning.qcol(colCol)
-    val cells0 = df.filter(r.isNotNull && c.isNotNull)
+    // the only data-sized work: one distributed cell aggregation; the
+    // margin/statistic arithmetic runs on the driver over the summary-
+    // sized grid (bounded by category cardinalities — same pattern as
+    // the reference's own margin handling, and as Raking)
+    val cellRows = df.filter(r.isNotNull && c.isNotNull)
       .groupBy(r.cast("string").as("__r"), c.cast("string").as("__c"))
       .agg(sum(w).as("obs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .collect()
+    val obs = cellRows.map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    val rcats = obs.keys.map(_._1).toSeq.distinct.sorted
+    val ccats = obs.keys.map(_._2).toSeq.distinct.sorted
     // densify: empty cells still contribute (0-exp)²/exp = exp — dropping
-    // them understates the statistic
-    val cells = cells0.select("__r").distinct()
-      .crossJoin(cells0.select("__c").distinct())
-      .join(cells0, Seq("__r", "__c"), "left")
-      .withColumn("obs", coalesce(col("obs"), lit(0.0)))
-    val rowSum = sum(col("obs")).over(Window.partitionBy("__r"))
-    val colSum = sum(col("obs")).over(Window.partitionBy("__c"))
-    val total = sum(col("obs")).over(Window.partitionBy())
-    val contrib = cells
-      .withColumn("exp", rowSum * colSum / total)
-      .withColumn("contrib_micro",
-        floor((col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp") * 1e6 + 0.5)
-          .cast("long"))
-    val agged = contrib.agg(
-      sum(col("contrib_micro")).as("chi2_micro"),
-      ((countDistinct(col("__r")) - 1) * (countDistinct(col("__c")) - 1)).as("dof"),
-      sum(col("obs")).cast("long").as("n"))
-    val pairs = Seq("chi2_micro", "dof", "n")
-      .map(m => struct(lit(m).as("metric"), col(m).cast("long").as("value")))
-    agged.select(explode(array(pairs: _*)).as("kv"))
-      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+    // them understates the statistic. Sums of integer-valued weights are
+    // exact in doubles, so margin order cannot change results.
+    val rowSum = rcats.map(rc => rc -> ccats.map(cc => obs.getOrElse((rc, cc), 0.0)).sum).toMap
+    val colSum = ccats.map(cc => cc -> rcats.map(rc => obs.getOrElse((rc, cc), 0.0)).sum).toMap
+    val total = rcats.map(rowSum).sum
+    val chi2Micro = (for (rc <- rcats; cc <- ccats) yield {
+      val e = rowSum(rc) * colSum(cc) / total
+      val o = obs.getOrElse((rc, cc), 0.0)
+      if (e > 0) math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong else 0L
+    }).sum
+    val dof = (rcats.size - 1).toLong * (ccats.size - 1).toLong
+    spark.createDataFrame(Seq(
+      ("chi2_micro", chi2Micro), ("dof", dof), ("n", total.toLong)))
+      .toDF("metric", "value")
   }
 
   /** Weighted quantile per group: smallest value v such that the
