@@ -139,6 +139,12 @@ object SparkEntry {
       T(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
 
+    "s6_neff" -> ((s, d) =>
+      Raking.effectiveSampleSize(T(s, d, "lineitem"), "l_quantity", Seq("l_returnflag"))),
+
+    "s7_fingerprint_portable" -> ((s, d) =>
+      TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
+
     // --- §2.2 transforms ---------------------------------------------
     "t5_codebook_recode" -> ((s, d) => {
       val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
@@ -570,6 +576,25 @@ object SparkEntry {
     "x_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "s6_neff" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       (sum(w) * sum(w) / sum(w * w)) AS neff,
+        |       (count(*) / (sum(w) * sum(w) / sum(w * w))) AS deff
+        |FROM (SELECT l_returnflag, coalesce(CAST(l_quantity AS DOUBLE), 0) AS w FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+
+    // 31-base polynomial rolling hash mod 2^31-1 over codepoints of the
+    // normalized token stream — same fold, left to right, both engines
+    "s7_fingerprint_portable" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN j = '' THEN 0
+         |       ELSE list_reduce(
+         |              list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(string_split(j, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |              (a, b) -> (a * 31 + b) % 2147483647)
+         |  END AS fingerprint
+         |FROM (SELECT doc_id, array_to_string($toksSql, ' ') AS j FROM documents)""".stripMargin,
 
     "a8_nps_summary" ->
       """WITH c AS (

@@ -81,6 +81,23 @@ object Raking {
         StructField("weight", DoubleType, nullable = false))))
   }
 
+  /** Kish's effective sample size and design effect per group:
+    * neff = (Σw)² / Σw², deff = n / neff — the standard diagnostic for
+    * how much weighting (raked or otherwise) inflates variance. With
+    * integer-valued weights both sums are exact in doubles, so the
+    * ratios are engine-deterministic. One hash-aggregate shuffle.
+    */
+  def effectiveSampleSize(
+      df: DataFrame, weightCol: String, groupCols: Seq[String] = Nil): DataFrame = {
+    val w = graft.ops.Cleaning.weightExpr(df, Some(weightCol))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      (sum(w) * sum(w) / sum(w * w)).as("neff"),
+      (count(lit(1)) / (sum(w) * sum(w) / sum(w * w))).as("deff"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(graft.ops.Cleaning.qcol): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Attach raked per-case weights to the full row set: each case gets
     * cellWeight / cellCount of its (row, col) cell — a broadcast join,
     * so this scales to arbitrarily large `df`.

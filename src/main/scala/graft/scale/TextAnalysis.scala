@@ -164,4 +164,23 @@ object TextAnalysis {
       xxhash64(joined).as("fingerprint"),
       array_min(transform(sh, s => xxhash64(s))).as("min_shingle_hash"))
   }
+
+  /** Engine-portable fingerprint: 31-base polynomial rolling hash mod
+    * 2^31-1 over the codepoints of the normalized token stream — the
+    * variant for pipelines that must agree with NON-Spark consumers
+    * (and therefore oracle-checkable, unlike xxhash64). Products stay
+    * < 2^36, far inside ANSI-mode long range.
+    */
+  def portableFingerprint(text: Column): Column = {
+    val joined = array_join(tokens(text), " ")
+    aggregate(
+      transform(split(joined, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * 31L + code) % 2147483647L)
+  }
+
+  def portableFingerprintTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      portableFingerprint(graft.ops.Cleaning.qcol(textCol)).as("fingerprint"))
 }

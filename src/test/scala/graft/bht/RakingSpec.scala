@@ -43,6 +43,24 @@ class RakingSpec extends AnyFunSuite {
     assert(math.abs(my - cwMy) < 1e-9)
   }
 
+  test("effective sample size: equal weights => neff == n, deff == 1") {
+    val df = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0)).toDF("g", "w")
+    val out = Raking.effectiveSampleSize(df, "w")
+      .collect()(0)
+    assert(out.getLong(0) == 3L)
+    assert(out.getDouble(1) == 3.0) // (6)^2 / 12
+    assert(out.getDouble(2) == 1.0)
+  }
+
+  test("effective sample size: skewed weights shrink neff") {
+    val df = Seq(("a", 1.0), ("a", 9.0)).toDF("g", "w")
+    val out = Raking.effectiveSampleSize(df, "w", Seq("g")).collect()(0)
+    // (10)^2 / 82 ≈ 1.2195... < n=2
+    assert(out.getLong(1) == 2L)
+    assert(math.abs(out.getDouble(2) - 100.0 / 82.0) < 1e-12)
+    assert(out.getDouble(3) > 1.0)
+  }
+
   test("empty cells stay zero and don't poison the fit") {
     val rows = Seq.fill(10)(("m", "young")) ++ Seq.fill(10)(("f", "old"))
     val cw = Raking.ipfCellWeights(rows.toDF("gender", "age"), "gender", "age",

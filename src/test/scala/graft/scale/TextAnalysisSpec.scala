@@ -69,4 +69,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == got(2L))
     assert(got(1L) != got(3L))
   }
+
+  test("portable fingerprint: hand-computed rolling hash, whitespace/case invariant") {
+    val df = Seq((1L, "ab"), (2L, "  AB "), (3L, "ba"), (4L, "")).toDF("doc_id", "t")
+    val got = TextAnalysis.portableFingerprintTable(df, "doc_id", "t")
+      .as[(Long, Long)].collect().toMap
+    // "ab" -> (0*31+97)*31+98 = 3105
+    assert(got(1L) == 97L * 31 + 98)
+    assert(got(2L) == got(1L)) // trim+lowercase normalization
+    assert(got(3L) == 98L * 31 + 97)
+    assert(got(4L) == 0L) // empty text
+  }
 }
