@@ -320,7 +320,14 @@ object SparkEntry {
     "x_stream_sessions" -> ((s, d) =>
       Streams.sessionize(T(s, d, "events")
           .withColumn("value", floor(col("value") * 100 + 0.5).cast("long")), 30)
-        .withColumnRenamed("value_sum", "value_cents"))
+        .withColumnRenamed("value_sum", "value_cents")),
+
+    "x_stream_dedup" -> ((s, d) =>
+      Streams.dedupEvents(T(s, d, "events"), Seq("user_id", "event_type", "ts"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+
+    "x_stream_sliding" -> ((s, d) =>
+      Streams.slidingCounts(T(s, d, "events"), "1 hour", "30 minutes"))
   )
 
   // ---------------------------------------------------------------------
@@ -822,6 +829,19 @@ object SparkEntry {
         |       CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
         |       CAST(epoch_ms(max(ts)) AS BIGINT) AS session_end_ms,
         |       CAST(sum(cents) AS BIGINT) AS value_cents
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "x_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT DISTINCT user_id, event_type, ts FROM events) GROUP BY 1""".stripMargin,
+
+    // each event falls in exactly two 1h windows sliding by 30min: the
+    // ones starting at the two half-hour boundaries within (ts-1h, ts]
+    "x_stream_sliding" ->
+      """WITH b AS (SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 1800000) AS t30 FROM events),
+        |u AS (SELECT event_type, unnest([t30, t30 - 1800000]) AS ws FROM b)
+        |SELECT CAST(ws // 1000 AS BIGINT) AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM u GROUP BY 1, 2""".stripMargin
   )
 }

@@ -37,6 +37,36 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Sliding-window aggregation: windows of `windowLen` advancing every
+    * `slide` (e.g. hourly totals refreshed every 15 min). Spark expands
+    * each event into windowLen/slide windows inside the same hash
+    * aggregate — no self-join.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Exact event dedup, batch form: one row per distinct key tuple.
+    * (At-least-once sources — Kafka, retried ingests — make this the
+    * first stage of every production event pipeline.)
+    */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicates(keyCols)
+
+  /** Exact event dedup, streaming form: state is bounded by the
+    * watermark horizon (a duplicate arriving later than `watermark`
+    * after the original is not caught — the standard trade).
+    */
+  def dedupEventsStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Pure window functions (lag + running conditional sum),
     * fully distributed by user — the batch oracle for the stateful

@@ -82,6 +82,36 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates; batch form is DISTINCT") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = Streams.dedupEventsStream(df, Seq("user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("dedupout").start()
+    try {
+      mem.addData((1L, ts(0), "click"), (1L, ts(0), "click"), (2L, ts(1), "view"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(0), "click")) // late duplicate, still within watermark
+      q.processAllAvailable()
+      val got = spark.table("dedupout")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+      assert(got.sorted == Seq((1L, "click"), (2L, "view")))
+      // batch form: identical distinct key set
+      val batch = Streams.dedupEvents(
+        Seq((1L, ts(0), "click"), (1L, ts(0), "click"), (2L, ts(1), "view"))
+          .toDF("user_id", "ts", "event_type"),
+        Seq("user_id", "event_type", "ts")).count()
+      assert(batch == 2L)
+    } finally q.stop()
+  }
+
+  test("sliding windows: each event lands in windowLen/slide windows") {
+    val one = Seq((1L, ts(10), "click", 1.0)).toDF("user_id", "ts", "event_type", "value")
+    val got = Streams.slidingCounts(one, "1 hour", "15 minutes").collect()
+    assert(got.length == 4) // 60/15 windows cover the event
+    assert(got.forall(_.getLong(2) == 1L))
+  }
+
   test("stateful streaming sessionization matches the batch oracle on closed sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
