@@ -142,6 +142,17 @@ object SparkEntry {
     "s6_neff" -> ((s, d) =>
       Raking.effectiveSampleSize(T(s, d, "lineitem"), "l_quantity", Seq("l_returnflag"))),
 
+    "b1_trend" -> ((s, d) => {
+      val df = T(s, d, "orders")
+        .withColumn("wave", unix_timestamp(date_trunc("month", col("o_orderdate"))))
+      graft.bht.Trend.waveOverWave(df, "wave", Seq("o_orderstatus"))
+    }),
+
+    "b2_nps_weighted" -> ((s, d) =>
+      Kpis.npsSummaryWeighted(
+        T(s, d, "part").withColumn("wt", (col("p_partkey") % 5 + 1).cast("double")),
+        "p_size", "wt", Seq("p_brand"))),
+
     "s7_fingerprint_portable" -> ((s, d) =>
       TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -583,6 +594,28 @@ object SparkEntry {
     "x_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "b1_trend" ->
+      s"""WITH g AS (SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS wave,
+         |             o_orderstatus, CAST(count(*) AS DOUBLE) AS metric
+         |           FROM orders GROUP BY 1, 2),
+         |l AS (SELECT *, lag(metric) OVER (PARTITION BY o_orderstatus ORDER BY wave) AS prev FROM g)
+         |SELECT wave, o_orderstatus, metric, prev, metric - prev AS delta,
+         |       ${Rounding.halfUpSql("(metric - prev) / (CASE WHEN prev <> 0 THEN prev END) * 100", 1)} AS pct_change
+         |FROM l""".stripMargin,
+
+    "b2_nps_weighted" ->
+      """WITH b AS (SELECT p_brand, CAST(p_size AS DOUBLE) AS s,
+        |             coalesce(CAST(p_partkey % 5 + 1 AS DOUBLE), 0) AS wt FROM part),
+        |a AS (SELECT p_brand,
+        |        coalesce(sum(CASE WHEN s BETWEEN 0 AND 6 THEN wt END), 0) AS detractors,
+        |        coalesce(sum(CASE WHEN s BETWEEN 7 AND 8 THEN wt END), 0) AS passives,
+        |        coalesce(sum(CASE WHEN s BETWEEN 9 AND 10 THEN wt END), 0) AS promoters,
+        |        coalesce(sum(CASE WHEN s IS NOT NULL THEN wt END), 0) AS n
+        |      FROM b GROUP BY 1)
+        |SELECT p_brand, detractors, passives, promoters, n,
+        |       CASE WHEN n <> 0 THEN (promoters / n - detractors / n) * 100 END AS nps
+        |FROM a""".stripMargin,
 
     "s6_neff" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

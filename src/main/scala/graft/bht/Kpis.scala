@@ -74,6 +74,30 @@ object Kpis {
     }
   }
 
+  /** Weighted NPS per group (beyond-reference: the reference's KPI
+    * builders ignore weights — app.py:447-459 — but any raked wave needs
+    * weighted KPIs). Buckets weighted by `weightCol`; integer-valued
+    * weights keep every sum exact. One hash aggregate; nps null when the
+    * weighted n is 0.
+    */
+  def npsSummaryWeighted(
+      df: DataFrame, npsCol: String, weightCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val s = Cleaning.toNumeric(Cleaning.qcol(npsCol))
+    val w = Cleaning.weightExpr(df, Some(weightCol))
+    val aggs = Seq(
+      coalesce(sum(when(s.between(0, 6), w)), lit(0.0)).as("detractors"),
+      coalesce(sum(when(s.between(7, 8), w)), lit(0.0)).as("passives"),
+      coalesce(sum(when(s.between(9, 10), w)), lit(0.0)).as("promoters"),
+      coalesce(sum(when(s.isNotNull, w)), lit(0.0)).as("n"))
+    val g =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(Cleaning.qcol): _*).agg(aggs.head, aggs.tail: _*)
+    g.withColumn("nps",
+      when(col("n") =!= 0,
+        (col("promoters") / col("n") - col("detractors") / col("n")) * 100))
+  }
+
   /** 1-row aggregate → long `(metric, value)` format. */
   private def melt(oneRow: DataFrame, metrics: Seq[String]): DataFrame = {
     val pairs = metrics.map(m =>
