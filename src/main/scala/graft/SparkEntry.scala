@@ -316,6 +316,15 @@ object SparkEntry {
         "doc_id", "payload", dim = 16)
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "value")))),
 
+    // frame-sampling plumbing: emit (doc_id, frame_index, frame_bytes) —
+    // the byte arithmetic of the stub sampler is DuckDB-mirrorable
+    "x_mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
+        "doc_id", "payload", frameSize = 64, every = 2)
+        .select(col("doc_id"), col("frame_index"),
+          length(col("frame")).cast("long").as("frame_bytes"))),
+
     // --- §7.4 streaming (batch-equivalent plans) ---------------------
     "x_stream_window" -> ((s, d) =>
       T(s, d, "events")
@@ -834,6 +843,15 @@ object SparkEntry {
         |SELECT grid.doc_id, grid.bucket,
         |       coalesce(c.cnt, 0) / greatest(CAST(grid.n AS DOUBLE), 1.0) AS "value"
         |FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.bucket = c.bucket""".stripMargin,
+
+    // mirrors FakeDecode frame slicing: nFrames = max(1, n/64), every
+    // 2nd frame, last/empty frames clamp to >= 1 byte (copyOfRange pad)
+    "x_mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, greatest(n // 64, 1), 2)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_index,
+        |       CAST(greatest(least(n, fi * 64 + 64) - fi * 64, 1) AS BIGINT) AS frame_bytes
+        |FROM f""".stripMargin,
 
     "x_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -83,6 +83,49 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram: counts sum to non-null rows; bins within range") {
+    val valsGen = Gen.listOfN(50, Gen.choose(-100.0, 200.0))
+    samples(valsGen).foreach { vals =>
+      val df = vals.toDF("x")
+      val out = Stats.histogram(df, "x", 0.0, 100.0, 7)
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      assert(out.map(_._2).sum == vals.size)
+      assert(out.forall { case (b, _) => b >= 0 && b < 7 })
+    }
+  }
+
+  test("weighted quantile: result is an observed value, monotone in q") {
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.choose(0.0, 50.0), Gen.choose(1, 5)))
+    samples(rowsGen).foreach { rows =>
+      val df = rows.map { case (v, w) => ("g", v, w.toDouble) }.toDF("g", "v", "w")
+      val qs = Seq(0.25, 0.5, 0.9).map { q =>
+        Stats.weightedQuantile(df, "v", "w", Seq("g"), q).collect()(0).getDouble(1)
+      }
+      assert(qs == qs.sorted) // monotone
+      qs.foreach(v => assert(rows.map(_._1).contains(v))) // an observed value
+    }
+  }
+
+  test("rollup: grand total equals leaf-cell sum at every subtotal level") {
+    samples(Gen.zip(catValues, catValues, weightsGen), 5).foreach { case (as, bs, ws) =>
+      val df = as.lazyZip(bs).lazyZip(ws).toList.toDF("a", "b", "w")
+      val out = MultiDim.rollupTabulation(df, Seq("a", "b"), Some("w")).collect()
+      val leaves = out.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0).map(_.getDouble(4)).sum
+      val subA = out.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1).map(_.getDouble(4)).sum
+      val grand = out.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1).map(_.getDouble(4)).sum
+      assert(math.abs(leaves - ws.sum) < 1e-9)
+      assert(math.abs(subA - ws.sum) < 1e-9)
+      assert(math.abs(grand - ws.sum) < 1e-9)
+    }
+  }
+
+  test("hash sampling: cut monotone in fraction (smaller sample is a subset)") {
+    val ids = (0L until 400L).toDF("k")
+    val small = graft.scale.Sampling.byHash(ids, "k", 0.1).collect().map(_.getLong(0)).toSet
+    val big = graft.scale.Sampling.byHash(ids, "k", 0.3).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
   test("native jaccard is symmetric, bounded, and 1 on self") {
     val arrGen = Gen.listOfN(15, Gen.choose(1L, 20L)).map(_.distinct.sorted)
     samples(Gen.zip(arrGen, arrGen)).foreach { case (a, b) =>
