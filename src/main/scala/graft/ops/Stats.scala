@@ -32,6 +32,36 @@ object Stats {
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
 
+  /** One-pass approximate describe — the 100 TB path (SCALE.md §7): no
+    * per-group sort; `approx_percentile` (KLL-style sketch) merges
+    * across partitions. `describe` above is the exact oracle-checked
+    * baseline; specs pin the two within sketch tolerance.
+    */
+  def describeApprox(df: DataFrame, column: String, accuracy: Int = 10000): DataFrame = {
+    val c = Cleaning.toNumeric(Cleaning.qcol(column))
+    val agged = df.agg(
+      count(c).cast("double").as("count"),
+      avg(c).as("mean"),
+      min(c).as("min"),
+      approx_percentile(c, lit(0.25), lit(accuracy)).as("p25"),
+      approx_percentile(c, lit(0.5), lit(accuracy)).as("p50"),
+      approx_percentile(c, lit(0.75), lit(accuracy)).as("p75"),
+      max(c).as("max"))
+    val metrics = Seq("count", "mean", "min", "p25", "p50", "p75", "max")
+    val pairs = metrics.map(m => struct(lit(m).as("metric"), col(m).cast("double").as("value")))
+    agged.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
+  /** Approximate distinct count per group (HyperLogLog++): constant
+    * memory per group vs countDistinct's expand+dedup — the scale path
+    * for high-cardinality distincts.
+    */
+  def approxDistinct(df: DataFrame, countCol: String, groupCols: Seq[String],
+      rsd: Double = 0.02): DataFrame =
+    df.groupBy(groupCols.map(Cleaning.qcol): _*)
+      .agg(approx_count_distinct(Cleaning.qcol(countCol), rsd).as("n_approx"))
+
   /** Fixed-width histogram: bin index + count per bin over [lo, hi).
     * Values outside [lo, hi) are clamped into the edge bins (the
     * pandas/numpy "include outliers at the edges" convention a survey

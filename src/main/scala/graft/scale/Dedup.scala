@@ -64,11 +64,25 @@ object Dedup {
   def nearDupMinhash(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
-    val buckets = bandBuckets(sigs, idCol, bands, rowsPerBand)
+    val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
+
+    // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
+    // huge fraction of the corpus (boilerplate-dominated shards) is
+    // non-discriminative AND quadratic in the self-join below. The size
+    // join is co-partitioned with the bucket shuffle (same key).
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        val sizes = buckets0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz__"))
+          .filter(col("__bsz__") <= maxBucketSize)
+        buckets0.join(sizes, Seq("band", "bucket")).drop("__bsz__")
+      }
 
     val a = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_b"))

@@ -42,6 +42,23 @@ class StatsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(1) == 3.0)
   }
 
+  test("describeApprox tracks exact describe within sketch tolerance") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val exact = Stats.describe(df, "x").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Stats.describeApprox(df, "x").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx("count") == exact("count") && approx("mean") == exact("mean"))
+    assert(approx("min") == exact("min") && approx("max") == exact("max"))
+    Seq("p25", "p50", "p75").foreach { p =>
+      assert(math.abs(approx(p) - exact(p)) <= 2.0, s"$p: ${approx(p)} vs ${exact(p)}")
+    }
+  }
+
+  test("approxDistinct within rsd of exact distinct count") {
+    val df = (0 until 5000).map(i => ("g", i % 700)).toDF("g", "v")
+    val got = Stats.approxDistinct(df, "v", Seq("g"), rsd = 0.02).collect()(0).getLong(1)
+    assert(math.abs(got - 700L) <= 700 * 0.1)
+  }
+
   test("weighted quantile q=1 returns the max") {
     val df = Seq(("g", 1.0, 2.0), ("g", 9.0, 1.0)).toDF("g", "v", "w")
     val out = Stats.weightedQuantile(df, "v", "w", Seq("g"), 1.0).collect()

@@ -67,6 +67,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L, 6L -> 6L))
   }
 
+  test("minhash bucket cap drops degenerate buckets, keeps discriminative ones") {
+    // 30 identical boilerplate docs (every band bucket has 30 members) +
+    // one planted near-dup pair with distinct text
+    val boiler = (1L to 30L).map(i => (i, "the same boilerplate text repeated again and again"))
+    val pair = Seq(
+      (100L, "unique alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "unique alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.nearDupMinhash(df, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.3, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L))) // small-bucket pair survives
+    assert(!capped.exists(p => p._1 <= 30L)) // degenerate bucket suppressed
+    val uncapped = Dedup.nearDupMinhash(df, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L))) // without the cap they all pair
+  }
+
   test("embedding near-dup finds identical and near-identical vectors") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v.clone(); v2(0) = v2(0) + 0.01f
