@@ -15,8 +15,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     // warmup: JVM/codegen/parquet-footer costs land here, not on the
-    // first measured query
+    // first measured query. A tiny crosstab + window exercise the
+    // Janino/codegen paths (hash agg, pivot, broadcast, window exec)
+    // that otherwise bill ~2s to whichever query runs them first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    try {
+      import org.apache.spark.sql.functions._
+      val warm = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      graft.ops.Crosstab.crosstab(warm, "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "col", includeTotals = true, 1).count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+      warm.withColumn("rn", row_number().over(w)).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

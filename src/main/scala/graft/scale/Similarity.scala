@@ -110,10 +110,15 @@ object Similarity {
     // coarse quantizer: random init + few iterations (k-means|| init and
     // long convergence buy nothing for IVF cell assignment, but cost ~20
     // extra Spark jobs)
+    // Fit on few fat partitions: each Lloyd iteration is a full job, and
+    // with a quantizer-sized input (nlist*~1000 vectors; at real scale
+    // you fit on a bounded sample — see scaladoc) per-task overhead
+    // dominates 32-way parallelism. Assignment below still runs on the
+    // corpus' own partitioning.
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(8)
+      .setInitMode("random").setMaxIter(5)
       .setFeaturesCol("__fv__").setPredictionCol("__cell__")
-      .fit(fv)
+      .fit(fv.coalesce(8))
     val cells = model.transform(fv)
       .select(graft.ops.Cleaning.qcol(idCol).as("__cid__"), graft.ops.Cleaning.qcol(vecCol).as("__cvec__"), col("__cell__"))
 
