@@ -50,7 +50,7 @@ object AsOf {
     val rl = leftCols.filterNot(partitionCols.contains)
       .foldLeft(r)((d, c) => d.withColumn(c, lit(null)))
 
-    val ordered = (leftCols ++ Seq("__ts", "__side", "__rv")).map(col)
+    val ordered = (leftCols ++ Seq("__ts", "__side", "__rv")).map(Cleaning.qcol)
     val unioned = l0.select(ordered: _*).unionByName(rl.select(ordered: _*))
 
     val w = Window.partitionBy(partitionCols.map(Cleaning.qcol): _*)
@@ -59,6 +59,7 @@ object AsOf {
     unioned
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col("__rv").getField(c).as(c)): _*)
+      .select(leftCols.map(Cleaning.qcol) ++
+        valueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

@@ -46,4 +46,15 @@ class AsOfSpec extends AnyFunSuite {
       AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("ts"))
     }
   }
+
+  test("survives dotted survey-style column names") {
+    val l = Seq((1L, "u1", 100L)).toDF("Q1. Id", "who", "Q2. When")
+    val r = Seq(("u1", 90L, "x")).toDF("who", "Q2. When", "Q3. Tag")
+      .select(org.apache.spark.sql.functions.col("who"),
+        org.apache.spark.sql.functions.col("`Q2. When`"),
+        org.apache.spark.sql.functions.col("`Q3. Tag`"))
+    val out = AsOf.asofJoin(l, r, Seq("who"), "Q2. When", "Q2. When", Seq("Q3. Tag"))
+      .collect()(0)
+    assert(out.getString(3) == "x")
+  }
 }
