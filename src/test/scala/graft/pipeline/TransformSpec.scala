@@ -43,4 +43,25 @@ class TransformSpec extends AnyFunSuite {
     val tom = out("awareness_tom").as[(String, Long)].collect().toMap
     assert(tom == Map("BrandOne" -> 1L, "2" -> 1L))
   }
+
+  test("multi-wave tracking: per-wave transform unioned into Trend deltas") {
+    import org.apache.spark.sql.functions._
+    // the end-to-end tracking flow the reference cannot do: run the same
+    // mapping config on two waves, stack the awareness tables with a wave
+    // id, and trend brand counts wave-over-wave
+    val cfg = MappingConfig(awareness = AwarenessCfg(tom = Some("tom")))
+    val wave1 = Seq("A", "A", "B").toDF("tom")
+    val wave2 = Seq("A", "B", "B", "B").toDF("tom")
+    val stacked = Transform.run(wave1, cfg, fullTab = false)("awareness_tom")
+      .withColumn("wave", lit(1))
+      .unionByName(Transform.run(wave2, cfg, fullTab = false)("awareness_tom")
+        .withColumn("wave", lit(2)))
+    val out = graft.bht.Trend.waveOverWave(stacked, "wave", Seq("brand"), Some("count"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getDouble(2), Option(r.get(4))))
+      .toMap
+    assert(out((1, "A")) == (2.0, None))
+    assert(out((2, "A")) == (1.0, Some(-1.0))) // A lost a mention
+    assert(out((2, "B")) == (3.0, Some(2.0)))  // B gained two
+  }
 }
