@@ -19,6 +19,28 @@ object Sinks {
       df.write.mode("overwrite").parquet(s"$outDir/${sheetName(name)}")
     }
 
+  /** Hive-style partitioned Parquet: one directory per partition value —
+    * the layout that makes downstream partition PRUNING work (a reader
+    * filtering on a partition column touches only its directories).
+    * Optionally sort within partitions for row-group min/max skipping.
+    */
+  def writePartitioned(
+      df: DataFrame, outDir: String, partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(graft.ops.Cleaning.qcol): _*)
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+
+  /** JSONL export (one JSON object per line, splittable) — the
+    * interchange format for training-data consumers.
+    */
+  def writeJsonl(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").json(outDir)
+
   /** S6 — JSON bundle `{table: [row-objects]}` (app.py:607-615).
     * Row objects preserve column order via toJSON (Jackson keeps field
     * order = schema order, like pandas to_dict(orient="records")).

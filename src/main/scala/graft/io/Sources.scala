@@ -27,11 +27,20 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Extension-dispatching reader (read_table, app.py:74-81). */
+  /** JSONL / NDJSON (one JSON object per line) — the lingua franca of
+    * training-data corpora. Schema inferred; splittable and fully
+    * distributed (each executor reads its own line ranges).
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Extension-dispatching reader (read_table, app.py:74-81; jsonl is a
+    * beyond-reference addition). */
   def readTable(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) readJsonl(spark, path)
     else if (lower.endsWith(".xlsx")) Excel.read(spark, path)
     else if (lower.endsWith(".xls"))
       throw new IllegalArgumentException(

@@ -70,4 +70,33 @@ class IoSpec extends AnyFunSuite {
     assert(json.contains("\"t1\""))
     assert(json.contains("{\"id\":1,\"v\":\"x\"}"))
   }
+
+  test("JSONL roundtrip via extension dispatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, "hello world", "en"), (2L, "hola", "es")).toDF("doc_id", "text", "lang")
+    Sinks.writeJsonl(df, s"$dir/docs")
+    // Spark writes part-*.json; read the directory back as jsonl
+    val back = spark.read.json(s"$dir/docs")
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    // extension dispatch on a single .jsonl file
+    val one = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/docs"))
+      .filter(p => p.toString.endsWith(".json")).findFirst().get()
+    val renamed = java.nio.file.Paths.get(s"$dir/sample.jsonl")
+    java.nio.file.Files.copy(one, renamed)
+    assert(Sources.readTable(spark, renamed.toString).count() > 0)
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq(("en", 1L, "a"), ("en", 2L, "b"), ("es", 3L, "c")).toDF("lang", "id", "t")
+    Sinks.writePartitioned(df, s"$dir/docs", Seq("lang"), sortCols = Seq("id"))
+    val dirs = new java.io.File(s"$dir/docs").listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.toSet == Set("lang=en", "lang=es"))
+    val back = spark.read.parquet(s"$dir/docs").filter(org.apache.spark.sql.functions.col("lang") === "es")
+    assert(back.count() == 1)
+    // the scan carries a partition filter (directory-level pruning)
+    val planStr = back.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("lang"))
+  }
 }
