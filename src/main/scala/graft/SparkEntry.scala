@@ -156,6 +156,13 @@ object SparkEntry {
     "s7_fingerprint_portable" -> ((s, d) =>
       TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
 
+    // the full training-data prep recipe in one call: quality filter →
+    // language filter → near-dup dedup → representatives
+    "x_corpus_clean" -> ((s, d) =>
+      TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
+        allowedLangs = Seq("en", "es"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // --- §2.2 transforms ---------------------------------------------
     "t5_codebook_recode" -> ((s, d) => {
       val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
@@ -366,8 +373,12 @@ object SparkEntry {
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
-  private val ngramPairsSql =
-    s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+  /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
+    * CTE/table — reused by the dedup, clustering, and corpus-clean
+    * oracles. Emits (id_a, id_b, jaccard).
+    */
+  private def ngramPairsSqlFrom(src: String): String =
+    s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
        |s AS (SELECT doc_id,
        |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
        |    toks[1] AS t0,
@@ -421,6 +432,51 @@ object SparkEntry {
        |  WHERE CAST(l_returnflag AS VARCHAR) IN ('A','N','R') AND CAST(l_linestatus AS VARCHAR) IN ('F','O')),
        |${steps.mkString(",\n")}
        |$out""".stripMargin
+  }
+
+  /** Full corpus-clean oracle: quality keep + language filter + n-gram
+    * near-dup connected components over the SURVIVORS, keeping cluster
+    * representatives — composed from the same SQL pieces the individual
+    * stage oracles use.
+    */
+  private val corpusCleanSql: String = {
+    val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
+      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
+    s"""WITH RECURSIVE
+       |tq AS (SELECT doc_id,
+       |         length(text) AS chars,
+       |         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonpunct,
+       |         len($toksSql) AS toks
+       |       FROM documents),
+       |keepq AS (SELECT doc_id FROM tq
+       |          WHERE toks >= 5 AND toks <= 100000
+       |            AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3),
+       |tl AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id,
+       |  $scores
+       |FROM tl),
+       |langq AS (SELECT doc_id FROM sl
+       |          WHERE (CASE WHEN $m = 0 THEN 'und'
+       |                      WHEN score_de = $m THEN 'de'
+       |                      WHEN score_en = $m THEN 'en'
+       |                      WHEN score_es = $m THEN 'es'
+       |                      WHEN score_fr = $m THEN 'fr'
+       |                      ELSE 'zh' END) IN ('en', 'es')),
+       |surv AS (SELECT d.* FROM documents d
+       |         JOIN keepq USING (doc_id) JOIN langq USING (doc_id)),
+       |pairs AS (${ngramPairsSqlFrom("surv")}),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(rid, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+       |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.source
+       |FROM surv s LEFT JOIN lbls ON s.doc_id = lbls.rid
+       |WHERE lbls.cluster IS NULL OR lbls.cluster = s.doc_id""".stripMargin
   }
 
   private def crosstabSql(percent: String): String = {
@@ -694,12 +750,14 @@ object SparkEntry {
     // Jaccard over string shingle sets == the engine's hashed shingle sets
     // (64-bit xxhash collisions are ~1e-15 at these set sizes). The t0
     // equi-join drops null first tokens (empty docs) — none exist here.
-    "x_dedup_ngram" -> ngramPairsSql,
+    "x_dedup_ngram" -> ngramPairsSqlFrom("documents"),
+
+    "x_corpus_clean" -> corpusCleanSql,
 
     // min-reachable-id connected components over the same n-gram pair
     // graph, as a recursive CTE; singletons keep their own id
     "x_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($ngramPairsSql),
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),
          |reach(rid, lbl) AS (

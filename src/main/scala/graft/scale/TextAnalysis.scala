@@ -183,4 +183,34 @@ object TextAnalysis {
     df.select(
       graft.ops.Cleaning.qcol(idCol),
       portableFingerprint(graft.ops.Cleaning.qcol(textCol)).as("fingerprint"))
+
+  /** One-call corpus-preparation pipeline — the standard training-data
+    * recipe as a single composition:
+    *   1. quality filter (length/punctuation thresholds, `qualityTable`)
+    *   2. language filter (`langIdTable` prediction ∈ allowedLangs)
+    *   3. near-dup dedup on the survivors (n-gram Jaccard pairs →
+    *      connected components → keep the min-id representative)
+    * Returns the surviving rows with all original columns. Every stage
+    * is a narrow map or bucket-local join (SCALE.md §4/§5); nothing here
+    * caps at corpus size.
+    */
+  def cleanCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String],
+      k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val keepIds = qualityTable(df, idCol, textCol)
+      .filter(col("keep"))
+      .select(graft.ops.Cleaning.qcol(idCol))
+    val langIds = langIdTable(df, idCol, textCol)
+      .filter(col("pred_lang").isin(allowedLangs: _*))
+      .select(graft.ops.Cleaning.qcol(idCol))
+    val survivors = df
+      .join(keepIds, Seq(idCol))
+      .join(langIds, Seq(idCol))
+    val pairs = Dedup.nearDupNgram(survivors, idCol, textCol, k, threshold)
+    val labels = Dedup.clusters(survivors, idCol, pairs)
+    survivors.join(
+      labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol))
+  }
 }

@@ -70,6 +70,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) != got(3L))
   }
 
+  test("cleanCorpus: drops low-quality, wrong-language, and near-dup docs") {
+    val en = "the cat sat of and is to in that on the mat again today"
+    val df = Seq(
+      (1L, en),                                   // keeper (en)
+      (2L, en + " extra"),                        // near-dup of 1 → dropped
+      (3L, "!!! ??? *** !!! ??? *** !!! ???"),    // punctuation junk → quality drop
+      (4L, "el la de que y los es una casa verde ahora mismo"), // keeper (es)
+      (5L, "der die das und ist nicht mit ein haus heute wieder") // de → lang drop
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(df, "doc_id", "text", Seq("en", "es"),
+      k = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+  }
+
   test("portable fingerprint: hand-computed rolling hash, whitespace/case invariant") {
     val df = Seq((1L, "ab"), (2L, "  AB "), (3L, "ba"), (4L, "")).toDF("doc_id", "t")
     val got = TextAnalysis.portableFingerprintTable(df, "doc_id", "t")
