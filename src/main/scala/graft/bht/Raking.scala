@@ -98,24 +98,31 @@ object Raking {
     else df.groupBy(groupCols.map(graft.ops.Cleaning.qcol): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Attach raked per-case weights to the full row set: each case gets
-    * cellWeight / cellCount of its (row, col) cell — a broadcast join,
-    * so this scales to arbitrarily large `df`.
+  /** Attach raked per-case weights to the full row set. Each case's new
+    * weight is its ORIGINAL weight scaled by its cell's raking factor
+    * (cellTargetMass / cellOriginalMass) — pass the same `weightCol` the
+    * fit used so within-cell weight structure is preserved (a cell with
+    * design weights {1, 3} and raked mass 8 yields {2, 6}, not {4, 4}).
+    * A broadcast join, so this scales to arbitrarily large `df`.
     */
   def applyRake(
       df: DataFrame, rowCol: String, colCol: String,
-      cellWeights: DataFrame, weightOut: String = "rake_weight"): DataFrame = {
+      cellWeights: DataFrame, weightCol: Option[String] = None,
+      weightOut: String = "rake_weight"): DataFrame = {
+    val w = graft.ops.Cleaning.weightExpr(df, weightCol)
     val r = graft.ops.Cleaning.qcol(rowCol).cast("string").as("__r")
     val c = graft.ops.Cleaning.qcol(colCol).cast("string").as("__c")
-    val counts = df.groupBy(r, c).agg(count(lit(1)).cast("double").as("__n"))
+    val mass = df.groupBy(r, c).agg(sum(w).as("__m"))
     val factors = cellWeights
       .select(graft.ops.Cleaning.qcol(rowCol).as("__r"), graft.ops.Cleaning.qcol(colCol).as("__c"),
         col("weight").as("__cw"))
-      .join(counts, Seq("__r", "__c"))
-      .select(col("__r"), col("__c"), (col("__cw") / col("__n")).as(weightOut))
+      .join(mass, Seq("__r", "__c"))
+      .select(col("__r"), col("__c"),
+        (col("__cw") / when(col("__m") =!= 0, col("__m"))).as("__f"))
     df.withColumn("__r", graft.ops.Cleaning.qcol(rowCol).cast("string"))
       .withColumn("__c", graft.ops.Cleaning.qcol(colCol).cast("string"))
       .join(broadcast(factors), Seq("__r", "__c"), "left")
-      .drop("__r", "__c")
+      .withColumn(weightOut, w * col("__f"))
+      .drop("__r", "__c", "__f")
   }
 }

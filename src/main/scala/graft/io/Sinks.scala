@@ -27,9 +27,12 @@ object Sinks {
   def writePartitioned(
       df: DataFrame, outDir: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
+    // prefix with the partition columns: the file writer requires rows
+    // clustered by partition value and would otherwise insert its own
+    // sort on partitionCols alone, destroying the sortCols ordering
     val sorted =
       if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(graft.ops.Cleaning.qcol): _*)
+      else df.sortWithinPartitions((partitionCols ++ sortCols).map(graft.ops.Cleaning.qcol): _*)
     sorted.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(outDir)

@@ -38,9 +38,15 @@ object AsOf {
       s"value columns ${valueCols.filter(leftCols.contains)} collide with left columns")
 
     val rv = struct(valueCols.map(Cleaning.qcol): _*)
-    val r = right.select(
-      (partitionCols.map(Cleaning.qcol) :+
-        Cleaning.qcol(rightTs).as("__ts")) :+ rv.as("__rv"): _*)
+    // a NULL right timestamp can never satisfy right.ts <= left.ts —
+    // drop those rows (they would sort nulls-first and fabricate
+    // matches); a NULL left timestamp sorts before every right row and
+    // correctly yields no match, same as DuckDB ASOF
+    val r = right
+      .filter(Cleaning.qcol(rightTs).isNotNull)
+      .select(
+        (partitionCols.map(Cleaning.qcol) :+
+          Cleaning.qcol(rightTs).as("__ts")) :+ rv.as("__rv"): _*)
       .withColumn("__side", lit(0))
     val l0 = left
       .withColumn("__ts", Cleaning.qcol(leftTs))

@@ -118,8 +118,12 @@ object Stats {
       if (e > 0) math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong else 0L
     }).sum
     val dof = (rcats.size - 1).toLong * (ccats.size - 1).toLong
+    // round-to-nearest like DuckDB's CAST(double AS BIGINT): with the
+    // documented integer-valued weights this is exact; with fractional
+    // (e.g. raked) weights it stays aligned with the oracle instead of
+    // truncating 99.9999... to 99
     spark.createDataFrame(Seq(
-      ("chi2_micro", chi2Micro), ("dof", dof), ("n", total.toLong)))
+      ("chi2_micro", chi2Micro), ("dof", dof), ("n", math.floor(total + 0.5).toLong)))
       .toDF("metric", "value")
   }
 

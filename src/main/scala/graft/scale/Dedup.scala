@@ -69,7 +69,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
-    val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
+    // With the cap active, the bucket frame feeds three consumers (size
+    // agg + both self-join sides) — persist it or the signature stage
+    // (tokenize + shingle + 64 hashes) re-runs per consumer.
+    val buckets0raw = bandBuckets(sigs, idCol, bands, rowsPerBand)
+    val buckets0 =
+      if (maxBucketSize <= 0) buckets0raw
+      else buckets0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
     // huge fraction of the corpus (boilerplate-dominated shards) is
@@ -171,6 +177,10 @@ object Dedup {
       labels = merged.select(col("id"), col("cluster"))
       iter += 1
     }
+    if (changed > 0)
+      System.err.println(
+        s"[graft] Dedup.clusters: stopped at maxIter=$maxIter with $changed labels still " +
+          "changing — components wider than maxIter hops are not fully merged")
     val out = ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

@@ -73,6 +73,16 @@ object TextAnalysis {
     * thresholds. All ratios are exact-integer divisions (deterministic
     * across engines).
     */
+  /** The quality keep-predicate as a standalone row-local expression
+    * (shared by `qualityTable` and `cleanCorpus`). */
+  def qualityKeep(t: Column): Column = {
+    val chars = length(t)
+    val nonPunct = length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val toks = tokenCount(t)
+    toks >= 5 && toks <= 100000 &&
+      ((chars - nonPunct) / when(chars > 0, chars)) < lit(0.3)
+  }
+
   def qualityTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = graft.ops.Cleaning.qcol(textCol)
     val chars = length(t)
@@ -89,8 +99,7 @@ object TextAnalysis {
       ((chars - nonPunct) / safeChars).as("punct_ratio"),
       (digits / safeChars).as("digit_ratio"),
       (stopHits / safeToks).as("stopword_ratio"),
-      (toks >= 5 && toks <= 100000 &&
-        ((chars - nonPunct) / safeChars) < lit(0.3)).as("keep"))
+      qualityKeep(t).as("keep"))
   }
 
   // Deliberately simple patterns with no engine-specific syntax
@@ -198,15 +207,10 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String],
       k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val keepIds = qualityTable(df, idCol, textCol)
-      .filter(col("keep"))
-      .select(graft.ops.Cleaning.qcol(idCol))
-    val langIds = langIdTable(df, idCol, textCol)
-      .filter(col("pred_lang").isin(allowedLangs: _*))
-      .select(graft.ops.Cleaning.qcol(idCol))
-    val survivors = df
-      .join(keepIds, Seq(idCol))
-      .join(langIds, Seq(idCol))
+    // both filters are pure row-local expressions: ONE narrow pass over
+    // the corpus, no id-list joins, no extra scans
+    val t = graft.ops.Cleaning.qcol(textCol)
+    val survivors = df.filter(qualityKeep(t) && langId(t).isin(allowedLangs: _*))
     val pairs = Dedup.nearDupNgram(survivors, idCol, textCol, k, threshold)
     val labels = Dedup.clusters(survivors, idCol, pairs)
     survivors.join(

@@ -61,6 +61,16 @@ class RakingSpec extends AnyFunSuite {
     assert(out.getDouble(3) > 1.0)
   }
 
+  test("applyRake with design weights preserves within-cell weight structure") {
+    val df = Seq(("m", "y", 1.0), ("m", "y", 3.0), ("f", "o", 2.0)).toDF("g", "a", "dw")
+    // cell (m,y) original mass 4; give it raked mass 8 → factor 2
+    val cw = Seq(("m", "y", 8.0), ("f", "o", 2.0)).toDF("g", "a", "weight")
+    val out = Raking.applyRake(df, "g", "a", cw, weightCol = Some("dw"))
+      .select("dw", "rake_weight").as[(Double, Double)].collect().toMap
+    assert(out(1.0) == 2.0 && out(3.0) == 6.0) // {1,3} × 2 — NOT {4,4}
+    assert(out(2.0) == 2.0)                     // factor 1 cell
+  }
+
   test("empty cells stay zero and don't poison the fit") {
     val rows = Seq.fill(10)(("m", "young")) ++ Seq.fill(10)(("f", "old"))
     val cw = Raking.ipfCellWeights(rows.toDF("gender", "age"), "gender", "age",

@@ -41,6 +41,14 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("null right timestamps never match (DuckDB ASOF parity)") {
+    val l = Seq((1L, "u9", 50L)).toDF("id", "user", "ts")
+    val r = Seq(("u9", Option.empty[Long], "ghost"), ("u9", Some(100L), "late"))
+      .toDF("user", "rts", "tag")
+    val out = AsOf.asofJoin(l, r, Seq("user"), "ts", "rts", Seq("tag")).collect()(0)
+    assert(out.isNullAt(3)) // neither the null-ts row nor the later row matches
+  }
+
   test("rejects value/left column collisions") {
     intercept[IllegalArgumentException] {
       AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("ts"))
