@@ -153,6 +153,31 @@ object SparkEntry {
         T(s, d, "part").withColumn("wt", (col("p_partkey") % 5 + 1).cast("double")),
         "p_size", "wt", Seq("p_brand"))),
 
+    // churn: users active in the first half of the event window but not
+    // the second — anti-join (the set-op family the reference lacks)
+    "b3_churn" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val mid = ev.agg(
+        floor((min(unix_millis(col("ts"))) + max(unix_millis(col("ts")))) / 2).cast("long"))
+        .head().getLong(0)
+      val early = ev.filter(unix_millis(col("ts")) < mid).select("user_id").distinct()
+      val late = ev.filter(unix_millis(col("ts")) >= mid).select("user_id").distinct()
+      early.join(late, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("churned_users"))
+    }),
+
+    // spend deciles: ntile over a total order (totalprice, orderkey) —
+    // deterministic tie-breaking both engines
+    "b4_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
+    }),
+
     "s7_fingerprint_portable" -> ((s, d) =>
       TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -681,6 +706,21 @@ object SparkEntry {
         |SELECT p_brand, detractors, passives, promoters, n,
         |       CASE WHEN n <> 0 THEN (promoters / n - detractors / n) * 100 END AS nps
         |FROM a""".stripMargin,
+
+    "b3_churn" ->
+      """WITH m AS (SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS BIGINT) AS mid FROM events),
+        |e AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) < mid),
+        |l AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) >= mid)
+        |SELECT CAST(count(*) AS BIGINT) AS churned_users
+        |FROM e WHERE user_id NOT IN (SELECT user_id FROM l)""".stripMargin,
+
+    "b4_deciles" ->
+      """WITH r AS (SELECT o_totalprice,
+        |             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+        |           FROM orders)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM r GROUP BY 1""".stripMargin,
 
     "s6_neff" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
