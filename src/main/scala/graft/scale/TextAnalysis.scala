@@ -50,14 +50,9 @@ object TextAnalysis {
     * deterministic tie-break (list order above, i.e. alphabetical);
     * zero hits everywhere → "und" (undetermined).
     */
-  def langId(text: Column): Column = {
-    val scores = StopwordLists.map { case (lang, words) => lang -> langScore(text, words) }
-    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), e) =>
-      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(e)
-    }
-    pick
-  }
+  def langId(text: Column): Column =
+    graft.functions.Native.langPredict(tokens(text),
+      StopwordLists.map(_._1), StopwordLists.map(_._2))
 
   /** Language-ID table: (doc_id, lang, pred_lang) + per-language scores. */
   def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -208,9 +203,13 @@ object TextAnalysis {
       allowedLangs: Seq[String],
       k: Int = 3, threshold: Double = 0.2): DataFrame = {
     // both filters are pure row-local expressions: ONE narrow pass over
-    // the corpus, no id-list joins, no extra scans
+    // the corpus, no id-list joins. Persisted because the dedup stage
+    // scans the survivor set several times (both self-join sides, the
+    // component-label init, the final semi-join) and the language-score
+    // expressions are the most expensive row work in the pipeline.
     val t = graft.ops.Cleaning.qcol(textCol)
     val survivors = df.filter(qualityKeep(t) && langId(t).isin(allowedLangs: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.nearDupNgram(survivors, idCol, textCol, k, threshold)
     val labels = Dedup.clusters(survivors, idCol, pairs)
     survivors.join(
