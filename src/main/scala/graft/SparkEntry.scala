@@ -241,6 +241,9 @@ object SparkEntry {
       Dedup.nearDupEmbedding(T(s, d, "embeddings"), "vec_id", "embedding",
         bits = 6, tables = 12, threshold = 0.4)),
 
+    "x_dedup_contam" -> ((s, d) =>
+      Dedup.crossDocNgramStats(T(s, d, "documents"), "doc_id", "text", k = 5)),
+
     // --- §7.4 similarity search --------------------------------------
     "x_sim_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -793,6 +796,19 @@ object SparkEntry {
     "x_dedup_ngram" -> ngramPairsSqlFrom("documents"),
 
     "x_corpus_clean" -> corpusCleanSql,
+
+    // distinct 5-shingles per doc; nd == document frequency
+    "x_dedup_contam" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
+         |      FROM d),
+         |f AS (SELECT sh, CAST(count(*) AS BIGINT) AS nd FROM s GROUP BY 1)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(*) FILTER (WHERE f.nd >= 2) AS BIGINT) AS n_shared,
+         |       CAST(count(*) FILTER (WHERE f.nd >= 2) AS DOUBLE) / count(*) AS dup_ratio
+         |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin,
 
     // min-reachable-id connected components over the same n-gram pair
     // graph, as a recursive CTE; singletons keep their own id

@@ -205,6 +205,33 @@ object Dedup {
       idCol)
   }
 
+  /** Cross-document duplicated n-gram statistics — the repetition /
+    * contamination metric behind exact-substring dedup (how much of
+    * each document's k-gram mass also appears in OTHER documents).
+    * Per doc: distinct k-shingle count, how many of those shingles
+    * occur in ≥2 documents, and the duplicated ratio.
+    *
+    * Scale: explode distinct shingles (narrow), ONE groupBy on the
+    * shingle key for document frequency (map-side partials apply since
+    * shingles are pre-distinct per doc), join back on the same key
+    * (co-partitioned), aggregate per doc. Shuffle volume ∝ distinct
+    * shingle mass — the same scaling as any inverted index build.
+    */
+  def crossDocNgramStats(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
+    val sh = df.select(graft.ops.Cleaning.qcol(idCol),
+      explode(array_distinct(Shingling.shingles(toks, k))).as("__sh"))
+    // shingles are distinct within a doc, so count == document frequency
+    val docFreq = sh.groupBy("__sh").agg(count(lit(1)).as("__nd"))
+    sh.join(docFreq, "__sh")
+      .groupBy(graft.ops.Cleaning.qcol(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        (sum(when(col("__nd") >= 2, 1L).otherwise(0L)) / count(lit(1))).as("dup_ratio"))
+  }
+
   /** 64-bit SimHash over the token stream: bit j of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
     * Pure higher-order expressions; one narrow map.

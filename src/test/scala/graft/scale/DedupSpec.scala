@@ -86,6 +86,22 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.contains((1L, 2L))) // without the cap they all pair
   }
 
+  test("crossDocNgramStats: shared shingles counted, unique docs at zero ratio") {
+    val shared = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, shared + " one two three four five"),
+      (2L, shared + " six seven eight nine ten"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocNgramStats(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1/2: 6 shingles each (10 tokens, k=5), exactly one shared
+    // ("alpha beta gamma delta epsilon")
+    assert(out(1L) == (6L, 1L, 1.0 / 6.0))
+    assert(out(2L) == (6L, 1L, 1.0 / 6.0))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
+
   test("embedding near-dup finds identical and near-identical vectors") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v.clone(); v2(0) = v2(0) + 0.01f
