@@ -157,9 +157,12 @@ object SparkEntry {
     // the second — anti-join (the set-op family the reference lacks)
     "b3_churn" -> ((s, d) => {
       val ev = T(s, d, "events")
-      val mid = ev.agg(
+      val aggRow = ev.agg(
         floor((min(unix_millis(col("ts"))) + max(unix_millis(col("ts")))) / 2).cast("long"))
-        .head().getLong(0)
+        .head()
+      // empty events: null midpoint → no "early" users → churn 0 (same
+      // as the oracle), instead of an NPE on getLong
+      val mid = if (aggRow.isNullAt(0)) Long.MinValue else aggRow.getLong(0)
       val early = ev.filter(unix_millis(col("ts")) < mid).select("user_id").distinct()
       val late = ev.filter(unix_millis(col("ts")) >= mid).select("user_id").distinct()
       early.join(late, Seq("user_id"), "left_anti")
@@ -710,12 +713,15 @@ object SparkEntry {
         |       CASE WHEN n <> 0 THEN (promoters / n - detractors / n) * 100 END AS nps
         |FROM a""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: the latter collapses to UNKNOWN for every
+    // row if the subquery ever contains a NULL key, silently diverging
+    // from Spark's left_anti
     "b3_churn" ->
       """WITH m AS (SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS BIGINT) AS mid FROM events),
         |e AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) < mid),
         |l AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) >= mid)
         |SELECT CAST(count(*) AS BIGINT) AS churned_users
-        |FROM e WHERE user_id NOT IN (SELECT user_id FROM l)""".stripMargin,
+        |FROM e WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.user_id = e.user_id)""".stripMargin,
 
     "b4_deciles" ->
       """WITH r AS (SELECT o_totalprice,

@@ -322,6 +322,9 @@ object Native {
   def hyperplaneLshKeys(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneLshKeys(ex(vec), planes))
 
-  def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column =
+  def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column = {
+    require(langs.nonEmpty && langs.size == lists.size,
+      s"langPredict needs one stopword list per language (got ${langs.size}/${lists.size})")
     GraftBridge.column(LangPredict(ex(tokens), langs.toArray, lists.map(_.toArray).toArray))
+  }
 }

@@ -219,9 +219,12 @@ object Dedup {
     */
   def crossDocNgramStats(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
+    // persisted: the exploded shingle frame feeds both the doc-frequency
+    // aggregation and the join probe side — without the cache the
+    // tokenize+shingle pass (the expensive row work) runs twice
     val sh = df.select(graft.ops.Cleaning.qcol(idCol),
-      explode(array_distinct(Shingling.shingles(toks, k))).as("__sh"))
+      explode(Shingling.shingleSet(graft.ops.Cleaning.qcol(textCol), k)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct within a doc, so count == document frequency
     val docFreq = sh.groupBy("__sh").agg(count(lit(1)).as("__nd"))
     sh.join(docFreq, "__sh")

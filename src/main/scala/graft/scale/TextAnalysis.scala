@@ -51,8 +51,12 @@ object TextAnalysis {
     * zero hits everywhere → "und" (undetermined).
     */
   def langId(text: Column): Column =
-    graft.functions.Native.langPredict(tokens(text),
-      StopwordLists.map(_._1), StopwordLists.map(_._2))
+    // coalesce: null text classifies as "und" (the pre-native behavior),
+    // not null — LangPredict is a UnaryExpression and null-propagates
+    coalesce(
+      graft.functions.Native.langPredict(tokens(text),
+        StopwordLists.map(_._1), StopwordLists.map(_._2)),
+      lit("und"))
 
   /** Language-ID table: (doc_id, lang, pred_lang) + per-language scores. */
   def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -207,6 +211,8 @@ object TextAnalysis {
     // scans the survivor set several times (both self-join sides, the
     // component-label init, the final semi-join) and the language-score
     // expressions are the most expensive row work in the pipeline.
+    // Cache lifetime is caller-owned: the returned plan references it
+    // lazily, so unpersist only after materializing the result.
     val t = graft.ops.Cleaning.qcol(textCol)
     val survivors = df.filter(qualityKeep(t) && langId(t).isin(allowedLangs: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
