@@ -269,6 +269,15 @@ object SparkEntry {
     // clustered over the n-gram pair graph (same pairs as x_dedup_ngram)
     // so the whole chain — shingling, blocking, Jaccard, connected
     // components — is DuckDB-mirrorable (recursive CTE oracle)
+    "x_sim_knn" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
     "x_dedup_clusters" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2)
@@ -844,6 +853,25 @@ object SparkEntry {
         |FROM s
         |ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+
+    // exact multi-query kNN: same cosine form as x_sim_topk, per-query
+    // row_number over (similarity desc, vec_id)
+    "x_sim_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     "x_text_tokens" ->
       s"""SELECT doc_id,

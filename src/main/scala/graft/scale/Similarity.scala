@@ -51,6 +51,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k for MANY queries: full cross join + per-query window —
+    * the exact baseline the ANN/IVF paths approximate (and the form a
+    * recall evaluation compares against). O(|queries| × |corpus|): at
+    * scale keep |queries| bounded (a recall sample) or use annTopK /
+    * ivfTopK; the cross join broadcasts the query side, so the corpus
+    * is never shuffled.
+    */
+  def knnExact(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
+      graft.ops.Cleaning.qcol(vecCol).as("__qvec__"))
+    val c = corpus.select(graft.ops.Cleaning.qcol(idCol).as("__cid__"),
+      graft.ops.Cleaning.qcol(vecCol).as("__cvec__"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__qid__") =!= col("__cid__"))
+      .select(col("__qid__"), col("__cid__"),
+        cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
+    val w = Window.partitionBy(col("__qid__")).orderBy(desc("similarity"), asc("__cid__"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
+        col("similarity"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a fixed hash-derived value in [-1, 1). No RNG state — every
     * executor/JVM materializes identical planes from (seed, table, p, j).

@@ -66,4 +66,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.forall(_._2.length <= 3))
     assert(ann.forall(r => r._1 != r._2)) // self excluded
   }
+
+  test("knnExact is the recall baseline: ANN top-1 hits the exact top-1 for most queries") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 0.21 + j) + 2.0).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.knnExact(df, queries, "vec_id", "embedding", "query_id", k = 1)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(exact.size == 10)
+    val ann = Similarity.annTopK(df, queries, "vec_id", "embedding", "query_id",
+      k = 1, bits = 4, tables = 8, dim = 8)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    val hits = exact.count { case (q, id) => ann.get(q).contains(id) }
+    assert(hits >= 7, s"ANN top-1 recall too low: $hits/10") // recall@1 with 8 tables
+  }
 }
