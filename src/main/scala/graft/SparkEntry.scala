@@ -105,6 +105,9 @@ object SparkEntry {
       Stats.chiSquare(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
         Some("l_quantity"))),
 
+    "s8_sigtest" -> ((s, d) =>
+      Stats.columnProportionZTest(T(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
+
     "s3_wquantile" -> ((s, d) =>
       Stats.weightedQuantile(T(s, d, "lineitem"), "l_extendedprice", "l_quantity",
         Seq("l_returnflag"), 0.5)),
@@ -680,6 +683,32 @@ object SparkEntry {
         |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
 
     "s4_rake" -> rakeSql,
+
+    // two-proportion z per (row, column-pair), pooled variance; same
+    // formula text both engines => identical IEEE bits
+    "s8_sigtest" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS r, CAST(o_orderstatus AS VARCHAR) AS c,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT c, sum(w) AS n FROM cells GROUP BY 1),
+        |pr AS (SELECT a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+        |       FROM cn a JOIN cn b ON a.c < b.c WHERE a.n > 0 AND b.n > 0),
+        |rws AS (SELECT DISTINCT r FROM cells),
+        |v AS (SELECT rws.r, pr.ca, pr.cb, pr.na, pr.nb,
+        |        coalesce(a.w, 0) AS wa, coalesce(b.w, 0) AS wb
+        |      FROM rws CROSS JOIN pr
+        |      LEFT JOIN cells a ON a.r = rws.r AND a.c = pr.ca
+        |      LEFT JOIN cells b ON b.r = rws.r AND b.c = pr.cb),
+        |f AS (SELECT r, ca AS col_a, cb AS col_b,
+        |        (wa / na) AS p1, (wb / nb) AS p2,
+        |        sqrt(((wa + wb) / (na + nb)) * (1 - ((wa + wb) / (na + nb))) * (1 / na + 1 / nb)) AS den
+        |      FROM v)
+        |SELECT r AS o_orderpriority, col_a, col_b,
+        |       CASE WHEN den > 0 THEN CAST(floor((p1 - p2) / den * 1e6 + 0.5) AS BIGINT) END AS z_micro,
+        |       CASE WHEN den > 0 THEN abs((p1 - p2) / den) > 1.96 ELSE false END AS significant
+        |FROM f""".stripMargin,
 
     "s5_sample_strat" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

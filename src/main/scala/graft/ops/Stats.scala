@@ -127,6 +127,54 @@ object Stats {
       .toDF("metric", "value")
   }
 
+  /** Pairwise column-proportion z-tests — the significance marks a
+    * survey crosstab carries ("is column A's share of this row
+    * significantly different from column B's"). For every row category
+    * and every unordered column pair: two-proportion z with pooled
+    * variance, micro-scaled to a long for exact cross-engine equality,
+    * plus the 95% verdict.
+    *
+    * Same execution pattern as chiSquare: ONE distributed cell
+    * aggregation; the pairwise arithmetic runs on the driver over the
+    * summary-sized grid. Integer-valued weights keep every input exact,
+    * so z is bit-identical in any engine evaluating the same formula.
+    */
+  def columnProportionZTest(
+      df: DataFrame, rowCol: String, colCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val w = Cleaning.weightExpr(df, weightCol)
+    val r = Cleaning.qcol(rowCol)
+    val c = Cleaning.qcol(colCol)
+    val cellRows = df.filter(r.isNotNull && c.isNotNull)
+      .groupBy(r.cast("string").as("__r"), c.cast("string").as("__c"))
+      .agg(sum(w).as("obs"))
+      .collect()
+    val obs = cellRows.map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    val rcats = obs.keys.map(_._1).toSeq.distinct.sorted
+    val ccats = obs.keys.map(_._2).toSeq.distinct.sorted
+    val colN = ccats.map(cc => cc -> rcats.map(rc => obs.getOrElse((rc, cc), 0.0)).sum).toMap
+    val out = for {
+      rc <- rcats
+      (ca, ia) <- ccats.zipWithIndex
+      cb <- ccats.drop(ia + 1)
+      na = colN(ca); nb = colN(cb)
+      if na > 0 && nb > 0
+    } yield {
+      val wa = obs.getOrElse((rc, ca), 0.0)
+      val wb = obs.getOrElse((rc, cb), 0.0)
+      val p1 = wa / na; val p2 = wb / nb
+      val pp = (wa + wb) / (na + nb)
+      val den = math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+      if (den > 0) {
+        val z = (p1 - p2) / den
+        (rc, ca, cb, Some(math.floor(z * 1e6 + 0.5).toLong), math.abs(z) > 1.96)
+      } else (rc, ca, cb, Option.empty[Long], false)
+    }
+    import spark.implicits._
+    out.toDF(rowCol, "col_a", "col_b", "z_micro", "significant")
+  }
+
   /** Weighted quantile per group: smallest value v such that the
     * cumulative weight of rows with value <= v reaches q * totalWeight.
     * (The inverted-CDF definition — exact, portable, and well-defined

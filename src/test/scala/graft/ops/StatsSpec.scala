@@ -42,6 +42,20 @@ class StatsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(1) == 3.0)
   }
 
+  test("column-proportion z-test: strong contrast significant, identical shares not") {
+    // col x: 30 of 40 in row 'hi'; col y: 10 of 40 → clearly significant.
+    val strong = (1 to 30).map(_ => ("hi", "x")) ++ (1 to 10).map(_ => ("lo", "x")) ++
+      (1 to 10).map(_ => ("hi", "y")) ++ (1 to 30).map(_ => ("lo", "y"))
+    val out1 = Stats.columnProportionZTest(strong.toDF("r", "c"), "r", "c")
+      .collect().map(ro => (ro.getString(0), ro.getString(1), ro.getString(2)) -> ro.getBoolean(4)).toMap
+    assert(out1(("hi", "x", "y")) && out1(("lo", "x", "y")))
+    // identical distributions → z = 0, not significant
+    val same = (1 to 20).flatMap(_ => Seq(("hi", "x"), ("hi", "y"), ("lo", "x"), ("lo", "y")))
+    val out2 = Stats.columnProportionZTest(same.toDF("r", "c"), "r", "c")
+      .collect().map(ro => Option(ro.get(3)) -> ro.getBoolean(4))
+    assert(out2.forall { case (z, sig) => z.contains(0L) && !sig })
+  }
+
   test("describeApprox tracks exact describe within sketch tolerance") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val exact = Stats.describe(df, "x").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
