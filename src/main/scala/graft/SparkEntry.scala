@@ -108,6 +108,13 @@ object SparkEntry {
     "s8_sigtest" -> ((s, d) =>
       Stats.columnProportionZTest(T(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
 
+    "s9_prop_ci" -> ((s, d) =>
+      Stats.proportionCI(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"))),
+
+    "b5_csat_weighted" -> ((s, d) =>
+      Kpis.csatSummaryWeighted(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
+        Seq("l_returnflag"))),
+
     "s3_wquantile" -> ((s, d) =>
       Stats.weightedQuantile(T(s, d, "lineitem"), "l_extendedprice", "l_quantity",
         Seq("l_returnflag"), 0.5)),
@@ -671,6 +678,29 @@ object SparkEntry {
         |SELECT 'chi2_micro' AS metric, chi2_micro AS "value" FROM a
         |UNION ALL SELECT 'dof', dof FROM a
         |UNION ALL SELECT 'n', n FROM a""".stripMargin,
+
+    "s9_prop_ci" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS option,
+        |             coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_returnflag IS NOT NULL),
+        |t AS (SELECT sum(w) AS wtot, sum(w) * sum(w) / sum(w * w) AS neff FROM b),
+        |g AS (SELECT option, sum(w) AS wsum FROM b GROUP BY 1)
+        |SELECT option, wsum / t.wtot AS share, t.neff AS neff,
+        |       CAST(floor(1.96 * sqrt((wsum / t.wtot) * (1 - (wsum / t.wtot)) / t.neff) * 1e6 + 0.5) AS BIGINT) AS moe_micro
+        |FROM g, t""".stripMargin,
+
+    "b5_csat_weighted" ->
+      """WITH m AS (SELECT max(CAST(l_quantity AS DOUBLE)) AS mx FROM lineitem),
+        |b AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS s,
+        |        coalesce(CAST(l_linenumber AS DOUBLE), 0) AS w FROM lineitem)
+        |SELECT l_returnflag,
+        |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w * s END), 0)
+        |         / (CASE WHEN sum(CASE WHEN s IS NOT NULL THEN w END) <> 0
+        |                 THEN sum(CASE WHEN s IS NOT NULL THEN w END) END) AS mean,
+        |       coalesce(sum(CASE WHEN s >= m.mx - 1 THEN w END), 0)
+        |         / (CASE WHEN sum(w) <> 0 THEN sum(w) END) AS top2_box,
+        |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w END), 0) AS n
+        |FROM b, m GROUP BY 1, m.mx""".stripMargin,
 
     "s3_wquantile" ->
       """WITH b AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,

@@ -74,6 +74,33 @@ object Kpis {
     }
   }
 
+  /** Weighted CSAT per group (beyond-reference, pairs with
+    * npsSummaryWeighted): weighted mean, weighted top-2-box share (same
+    * observed-max threshold and all-rows denominator as the reference's
+    * unweighted A7), weighted n. Two-pass: global max first (scalar),
+    * then one grouped aggregate.
+    */
+  def csatSummaryWeighted(
+      df: DataFrame, csatCol: String, weightCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val s = Cleaning.toNumeric(Cleaning.qcol(csatCol))
+    val w = Cleaning.weightExpr(df, Some(weightCol))
+    val maxRow = df.agg(max(s)).collect()(0)
+    val top2 =
+      if (maxRow.isNullAt(0)) lit(null).cast("double")
+      else {
+        val mx = maxRow.getDouble(0)
+        coalesce(sum(when(s >= mx - 1, w)), lit(0.0)) / when(sum(w) =!= 0, sum(w))
+      }
+    val aggs = Seq(
+      (coalesce(sum(when(s.isNotNull, w * s)), lit(0.0)) /
+        when(sum(when(s.isNotNull, w)) =!= 0, sum(when(s.isNotNull, w)))).as("mean"),
+      top2.as("top2_box"),
+      coalesce(sum(when(s.isNotNull, w)), lit(0.0)).as("n"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(Cleaning.qcol): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Weighted NPS per group (beyond-reference: the reference's KPI
     * builders ignore weights — app.py:447-459 — but any raked wave needs
     * weighted KPIs). Buckets weighted by `weightCol`; integer-valued

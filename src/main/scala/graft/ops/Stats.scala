@@ -127,6 +127,33 @@ object Stats {
       .toDF("metric", "value")
   }
 
+  /** Per-category proportion with a design-effect-adjusted 95% margin
+    * of error: p ± 1.96·sqrt(p(1-p)/neff), where neff is Kish's
+    * effective sample size of the WEIGHTED base — the number a survey
+    * reporter actually quotes. One hash aggregate over the category
+    * column; the scalar base/neff attaches via a broadcast 1-row agg.
+    * moe is micro-scaled to a long so the oracle compare is exact.
+    */
+  def proportionCI(
+      df: DataFrame, column: String, weightCol: Option[String] = None): DataFrame = {
+    val w = Cleaning.weightExpr(df, weightCol)
+    val c = Cleaning.qcol(column)
+    val base = df.filter(c.isNotNull)
+      .select(c.cast("string").as("option"), w.as("__w"))
+    val totals = base.agg(
+      sum(col("__w")).as("__W"),
+      (sum(col("__w")) * sum(col("__w")) / sum(col("__w") * col("__w"))).as("__neff"))
+    val p = col("wsum") / col("__W")
+    base.groupBy("option").agg(sum(col("__w")).as("wsum"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("option"),
+        p.as("share"),
+        col("__neff").as("neff"),
+        floor(lit(1.96) * sqrt(p * (lit(1) - p) / col("__neff")) * 1e6 + 0.5)
+          .cast("long").as("moe_micro"))
+  }
+
   /** Pairwise column-proportion z-tests — the significance marks a
     * survey crosstab carries ("is column A's share of this row
     * significantly different from column B's"). For every row category

@@ -42,6 +42,16 @@ class TrendSpec extends AnyFunSuite {
     assert(out("g2")._4.get.asInstanceOf[Double] == -100.0)
   }
 
+  test("weighted CSAT: weighted mean, top-2-box vs observed max, all-rows denominator") {
+    // scores: 10 (w=1), 9 (w=2), 5 (w=1); max=10 → top2 threshold 9
+    val df = Seq(("g", Some(10.0), 1.0), ("g", Some(9.0), 2.0),
+      ("g", Some(5.0), 1.0), ("g", None, 4.0)).toDF("g", "score", "w")
+    val out = Kpis.csatSummaryWeighted(df, "score", "w", Seq("g")).collect()(0)
+    assert(out.getDouble(1) == (10.0 + 18.0 + 5.0) / 4.0) // weighted mean over non-null
+    assert(out.getDouble(2) == 3.0 / 8.0) // top2 weight / ALL weight incl. null-score row
+    assert(out.getDouble(3) == 4.0)       // weighted n over non-null scores
+  }
+
   test("weighted NPS: zero weighted n -> null nps") {
     val df = Seq(("g", Option.empty[Double], 5.0)).toDF("g", "score", "w")
     val out = Kpis.npsSummaryWeighted(df, "score", "w", Seq("g")).collect()(0)

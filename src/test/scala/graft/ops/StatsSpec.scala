@@ -42,6 +42,16 @@ class StatsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(1) == 3.0)
   }
 
+  test("proportion CI: equal weights give neff = n and textbook MoE") {
+    val df = (1 to 50).map(i => if (i <= 20) "a" else "b").toDF("c")
+    val out = Stats.proportionCI(df, "c")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val (pa, neff, moe) = out("a")
+    assert(pa == 0.4 && neff == 50.0)
+    val expected = math.floor(1.96 * math.sqrt(0.4 * 0.6 / 50.0) * 1e6 + 0.5).toLong
+    assert(moe == expected)
+  }
+
   test("column-proportion z-test: strong contrast significant, identical shares not") {
     // col x: 30 of 40 in row 'hi'; col y: 10 of 40 → clearly significant.
     val strong = (1 to 30).map(_ => ("hi", "x")) ++ (1 to 10).map(_ => ("lo", "x")) ++
