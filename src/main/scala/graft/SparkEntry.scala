@@ -276,9 +276,7 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
-    // clustered over the n-gram pair graph (same pairs as x_dedup_ngram)
-    // so the whole chain — shingling, blocking, Jaccard, connected
-    // components — is DuckDB-mirrorable (recursive CTE oracle)
+    // queries drawn FROM the corpus, so self-exclusion applies
     "x_sim_knn" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
@@ -288,6 +286,9 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    // clustered over the n-gram pair graph (same pairs as x_dedup_ngram)
+    // so the whole chain — shingling, blocking, Jaccard, connected
+    // components — is DuckDB-mirrorable (recursive CTE oracle)
     "x_dedup_clusters" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2)
@@ -697,8 +698,9 @@ object SparkEntry {
         |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w * s END), 0)
         |         / (CASE WHEN sum(CASE WHEN s IS NOT NULL THEN w END) <> 0
         |                 THEN sum(CASE WHEN s IS NOT NULL THEN w END) END) AS mean,
-        |       coalesce(sum(CASE WHEN s >= m.mx - 1 THEN w END), 0)
-        |         / (CASE WHEN sum(w) <> 0 THEN sum(w) END) AS top2_box,
+        |       CASE WHEN m.mx IS NULL THEN NULL
+        |            ELSE coalesce(sum(CASE WHEN s >= m.mx - 1 THEN w END), 0)
+        |                   / (CASE WHEN sum(w) <> 0 THEN sum(w) END) END AS top2_box,
         |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w END), 0) AS n
         |FROM b, m GROUP BY 1, m.mx""".stripMargin,
 

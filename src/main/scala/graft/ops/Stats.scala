@@ -88,24 +88,32 @@ object Stats {
     * Cell counts come from one hash-aggregate; expected counts from
     * window sums over the aggregated (tiny) cell frame.
     */
-  def chiSquare(
+  /** Shared scaffolding for the driver-side contingency operators
+    * (chiSquare, columnProportionZTest): ONE distributed cell
+    * aggregation, collected as a (row, col) → weight map with sorted
+    * category lists. The grid is summary-sized by definition (bounded
+    * by category cardinalities — the same contract as the reference's
+    * own margin handling, and as Raking).
+    */
+  private def cellGrid(
       df: DataFrame, rowCol: String, colCol: String,
-      weightCol: Option[String] = None): DataFrame = {
-    val spark = df.sparkSession
+      weightCol: Option[String]): (Map[(String, String), Double], Seq[String], Seq[String]) = {
     val w = Cleaning.weightExpr(df, weightCol)
     val r = Cleaning.qcol(rowCol)
     val c = Cleaning.qcol(colCol)
-    // the only data-sized work: one distributed cell aggregation; the
-    // margin/statistic arithmetic runs on the driver over the summary-
-    // sized grid (bounded by category cardinalities — same pattern as
-    // the reference's own margin handling, and as Raking)
     val cellRows = df.filter(r.isNotNull && c.isNotNull)
       .groupBy(r.cast("string").as("__r"), c.cast("string").as("__c"))
       .agg(sum(w).as("obs"))
       .collect()
     val obs = cellRows.map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
-    val rcats = obs.keys.map(_._1).toSeq.distinct.sorted
-    val ccats = obs.keys.map(_._2).toSeq.distinct.sorted
+    (obs, obs.keys.map(_._1).toSeq.distinct.sorted, obs.keys.map(_._2).toSeq.distinct.sorted)
+  }
+
+  def chiSquare(
+      df: DataFrame, rowCol: String, colCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val (obs, rcats, ccats) = cellGrid(df, rowCol, colCol, weightCol)
     // densify: empty cells still contribute (0-exp)²/exp = exp — dropping
     // them understates the statistic. Sums of integer-valued weights are
     // exact in doubles, so margin order cannot change results.
@@ -138,13 +146,19 @@ object Stats {
       df: DataFrame, column: String, weightCol: Option[String] = None): DataFrame = {
     val w = Cleaning.weightExpr(df, weightCol)
     val c = Cleaning.qcol(column)
-    val base = df.filter(c.isNotNull)
+    // ONE scan: per-option partials (Σw, Σw²) carry everything the
+    // global base/neff needs — both are additive, and exact for the
+    // integer-valued weights the determinism contract requires
+    val grouped = df.filter(c.isNotNull)
       .select(c.cast("string").as("option"), w.as("__w"))
-    val totals = base.agg(
-      sum(col("__w")).as("__W"),
-      (sum(col("__w")) * sum(col("__w")) / sum(col("__w") * col("__w"))).as("__neff"))
+      .groupBy("option")
+      .agg(sum(col("__w")).as("wsum"), sum(col("__w") * col("__w")).as("wsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = grouped.agg(
+      sum(col("wsum")).as("__W"),
+      (sum(col("wsum")) * sum(col("wsum")) / sum(col("wsq"))).as("__neff"))
     val p = col("wsum") / col("__W")
-    base.groupBy("option").agg(sum(col("__w")).as("wsum"))
+    grouped
       .crossJoin(broadcast(totals))
       .select(
         col("option"),
@@ -170,16 +184,7 @@ object Stats {
       df: DataFrame, rowCol: String, colCol: String,
       weightCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val w = Cleaning.weightExpr(df, weightCol)
-    val r = Cleaning.qcol(rowCol)
-    val c = Cleaning.qcol(colCol)
-    val cellRows = df.filter(r.isNotNull && c.isNotNull)
-      .groupBy(r.cast("string").as("__r"), c.cast("string").as("__c"))
-      .agg(sum(w).as("obs"))
-      .collect()
-    val obs = cellRows.map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
-    val rcats = obs.keys.map(_._1).toSeq.distinct.sorted
-    val ccats = obs.keys.map(_._2).toSeq.distinct.sorted
+    val (obs, rcats, ccats) = cellGrid(df, rowCol, colCol, weightCol)
     val colN = ccats.map(cc => cc -> rcats.map(rc => obs.getOrElse((rc, cc), 0.0)).sum).toMap
     val out = for {
       rc <- rcats

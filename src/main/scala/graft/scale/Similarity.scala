@@ -58,18 +58,32 @@ object Similarity {
     * ivfTopK; the cross join broadcasts the query side, so the corpus
     * is never shuffled.
     */
+  /** @param excludeSelf drop corpus rows whose id equals the query id —
+    *        only meaningful when queries are drawn FROM the corpus; set
+    *        false for held-out queries whose id namespace is unrelated
+    *        (an accidental id collision would silently drop a neighbor)
+    */
   def knnExact(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
       graft.ops.Cleaning.qcol(vecCol).as("__qvec__"))
     val c = corpus.select(graft.ops.Cleaning.qcol(idCol).as("__cid__"),
       graft.ops.Cleaning.qcol(vecCol).as("__cvec__"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("__qid__") =!= col("__cid__"))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("__qid__") =!= col("__cid__")) else joined)
       .select(col("__qid__"), col("__cid__"),
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
+    topKPerQuery(scored, queryIdCol, idCol, k)
+  }
+
+  /** Shared epilogue for every top-k path: per-query window rank with
+    * the deterministic (similarity desc, id asc) tiebreak — kept in ONE
+    * place because the ordering contract is what the oracles pin.
+    */
+  private def topKPerQuery(
+      scored: DataFrame, queryIdCol: String, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("__qid__")).orderBy(desc("similarity"), asc("__cid__"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -166,11 +180,7 @@ object Similarity {
       .filter(col("__qid__") =!= col("__cid__"))
       .select(col("__qid__"), col("__cid__"),
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
-    val w = Window.partitionBy(col("__qid__")).orderBy(desc("similarity"), asc("__cid__"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
-        col("similarity"), col("rank"))
+    topKPerQuery(scored, queryIdCol, idCol, k)
   }
 
   /** Approximate top-k for MANY queries at once: LSH-bucket join between
@@ -192,11 +202,6 @@ object Similarity {
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
       .groupBy(col("__qid__"), col("__cid__"))
       .agg(max(col("similarity")).as("similarity")) // dedup across tables
-    val w = Window.partitionBy(col("__qid__"))
-      .orderBy(desc("similarity"), asc("__cid__"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
-        col("similarity"), col("rank"))
+    topKPerQuery(scored, queryIdCol, idCol, k)
   }
 }
