@@ -309,6 +309,9 @@ object SparkEntry {
     "x_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),
 
+    "x_text_bpeish" -> ((s, d) =>
+      TextAnalysis.tokenBudget(T(s, d, "documents"), "doc_id", "text")),
+
     "x_text_redact" -> ((s, d) => {
       // synthesize PII into the corpus so the scrubber paths all fire;
       // identical synthesis in the oracle SQL
@@ -933,6 +936,12 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
         |FROM r WHERE rk <= 5""".stripMargin,
+
+    "x_text_bpeish" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS bpeish_tokens
+         |FROM documents""".stripMargin,
 
     "x_text_tokens" ->
       s"""SELECT doc_id,

@@ -24,12 +24,33 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-style pre-tokenizer pattern (simplified): contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs, then
+    * whitespace runs. Deliberately restricted to syntax Java regex and
+    * RE2 share (no backrefs/lookarounds; \p{L}/\p{N} classes) so the
+    * DuckDB oracle tokenizes identically. This is how LLM pipelines
+    * estimate token budgets without shipping a tokenizer model.
+    */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** (doc_id, token_count, char_count) per document. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       graft.ops.Cleaning.qcol(idCol),
       tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"),
       length(graft.ops.Cleaning.qcol(textCol)).cast("long").as("char_count"))
+
+  /** Token-budget estimate per document: whitespace words plus the
+    * BPE-ish subword-unit count (always ≥ the word count). */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("ws_tokens"),
+      bpeishTokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("bpeish_tokens"))
 
   // Tiny per-language stopword lists for the n-gram/keyword heuristic.
   // Deliberately simple & fixed so the DuckDB oracle can reproduce them.

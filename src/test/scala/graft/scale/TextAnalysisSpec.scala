@@ -70,6 +70,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) != got(3L))
   }
 
+  test("BPE-ish token budget: subword splits, contraction tails, >= word count") {
+    val df = Seq(
+      (1L, "don't stop"),         // don | 't | _stop → 3
+      (2L, "abc123 x!"),          // abc | 123 | _x | ! → 4
+      (3L, "hello world")         // hello | _world → 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenBudget(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (2L, 3L))
+    assert(got(2L) == (2L, 4L))
+    assert(got(3L) == (2L, 2L))
+    assert(got.values.forall { case (ws, bp) => bp >= ws })
+  }
+
   test("cleanCorpus: drops low-quality, wrong-language, and near-dup docs") {
     val en = "the cat sat of and is to in that on the mat again today"
     val df = Seq(
