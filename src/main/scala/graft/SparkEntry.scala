@@ -377,6 +377,14 @@ object SparkEntry {
         "doc_id", "payload", dim = 16)
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "value")))),
 
+    // resize plumbing: output size arithmetic of the stub resampler
+    "x_mm_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
+        "doc_id", "payload", targetW = 128, targetH = 128)
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("out_bytes"))),
+
     // frame-sampling plumbing: emit (doc_id, frame_index, frame_bytes) —
     // the byte arithmetic of the stub sampler is DuckDB-mirrorable
     "x_mm_frames" -> ((s, d) =>
@@ -1061,6 +1069,12 @@ object SparkEntry {
         |SELECT grid.doc_id, grid.bucket,
         |       coalesce(c.cnt, 0) / greatest(CAST(grid.n AS DOUBLE), 1.0) AS "value"
         |FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.bucket = c.bucket""".stripMargin,
+
+    // resize stub: out length = min(128*128/64, max(1, n))
+    "x_mm_resize" ->
+      """SELECT doc_id, CAST(128 AS INT) AS width, CAST(128 AS INT) AS height,
+        |       CAST(least(256, greatest(1, octet_length(encode(text)))) AS BIGINT) AS out_bytes
+        |FROM documents""".stripMargin,
 
     // mirrors FakeDecode frame slicing: nFrames = max(1, n/64), every
     // 2nd frame, last/empty frames clamp to >= 1 byte (copyOfRange pad)
