@@ -111,6 +111,14 @@ object SparkEntry {
     "s9_prop_ci" -> ((s, d) =>
       Stats.proportionCI(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"))),
 
+    "s10_kanon" -> ((s, d) => {
+      val quasi = Seq("c_nationkey", "c_mktsegment")
+      val c = T(s, d, "customer")
+      graft.ops.Privacy.kAnonymitySummary(c, quasi, k = 30)
+        .crossJoin(graft.ops.Privacy.suppress(c, quasi, k = 30)
+          .agg(count(lit(1)).as("released_rows")))
+    }),
+
     "b5_csat_weighted" -> ((s, d) =>
       Kpis.csatSummaryWeighted(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
         Seq("l_returnflag"))),
@@ -690,6 +698,17 @@ object SparkEntry {
         |SELECT 'chi2_micro' AS metric, chi2_micro AS "value" FROM a
         |UNION ALL SELECT 'dof', dof FROM a
         |UNION ALL SELECT 'n', n FROM a""".stripMargin,
+
+    "s10_kanon" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY 1, 2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(coalesce(sum(CASE WHEN n < 30 THEN 1 END), 0) AS BIGINT) AS n_risky,
+        |        CAST(coalesce(sum(CASE WHEN n < 30 THEN n END), 0) AS BIGINT) AS rows_at_risk,
+        |        CAST(min(n) AS BIGINT) AS min_cell
+        |      FROM g),
+        |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
+        |SELECT * FROM a, r""".stripMargin,
 
     "s9_prop_ci" ->
       """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS option,

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Disclosure-control operators for releasing survey microdata
+  * (beyond-reference): k-anonymity over quasi-identifier combinations.
+  * A respondent is re-identifiable when their quasi-identifier combo
+  * (age band × region × segment…) is shared by fewer than k rows.
+  *
+  * Scale: one hash aggregate on the quasi-identifier tuple; suppression
+  * is a broadcast anti-join against the (small) risky-combo list.
+  */
+object Privacy {
+
+  /** Quasi-identifier combos with fewer than `k` rows — the cells a
+    * disclosure review must suppress or coarsen. */
+  def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k > 0, "need quasi columns and k > 0")
+    df.groupBy(quasiCols.map(Cleaning.qcol): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** One-row release audit: total combos, risky combos, rows at risk,
+    * and the smallest cell size. */
+  def kAnonymitySummary(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiCols.map(Cleaning.qcol): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("n") < k, 1L)), lit(0L)).as("n_risky"),
+        coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("rows_at_risk"),
+        min(col("n")).as("min_cell"))
+
+  /** Suppression: drop every row whose quasi-identifier combo is risky —
+    * the released table is k-anonymous by construction. */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    df.join(
+      broadcast(kAnonymityRisk(df, quasiCols, k).select(quasiCols.map(Cleaning.qcol): _*)),
+      quasiCols, "left_anti")
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // combo (a,x): 3 rows; (a,y): 1 row; (b,x): 2 rows
+  private def df = Seq(
+    ("a", "x", 1), ("a", "x", 2), ("a", "x", 3),
+    ("a", "y", 4),
+    ("b", "x", 5), ("b", "x", 6)
+  ).toDF("q1", "q2", "id")
+
+  test("risk list contains exactly the sub-k combos") {
+    val risky = Privacy.kAnonymityRisk(df, Seq("q1", "q2"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(risky == Map(("a", "y") -> 1L, ("b", "x") -> 2L))
+  }
+
+  test("summary: groups, risky, rows at risk, min cell") {
+    val s = Privacy.kAnonymitySummary(df, Seq("q1", "q2"), k = 3).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == (3L, 2L, 3L, 1L))
+  }
+
+  test("suppression yields a k-anonymous release") {
+    val released = Privacy.suppress(df, Seq("q1", "q2"), k = 3)
+    assert(released.count() == 3)
+    val check = Privacy.kAnonymityRisk(released, Seq("q1", "q2"), k = 3)
+    assert(check.count() == 0) // k-anonymous by construction
+  }
+}
