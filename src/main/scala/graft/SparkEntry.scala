@@ -135,6 +135,22 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_linestatus"),
           Rounding.halfUp(col("weight"), 6).as("weight"))),
 
+    // the full weighting loop: fit IPF cell targets -> apply per-case
+    // factors (design weight preserved) -> weighted tabulation; micro-
+    // scaled longs make the group sums exact in both engines
+    "b6_rake_weighted_freq" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val cw = Raking.ipfCellWeights(li, "l_returnflag", "l_linestatus",
+        rowTargets = Map("A" -> 300000.0, "N" -> 400000.0, "R" -> 300000.0),
+        colTargets = Map("F" -> 450000.0, "O" -> 550000.0),
+        weightCol = Some("l_quantity"), iters = 5)
+      Raking.applyRake(li, "l_returnflag", "l_linestatus", cw, Some("l_quantity"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(floor(col("rake_weight") * 1e6 + 0.5).cast("long")).as("weight_micro"),
+          count(lit(1)).as("n"))
+    }),
+
     "s5_sample_strat" -> ((s, d) =>
       Sampling.stratifiedSystematic(T(s, d, "orders"), "o_orderstatus", "o_orderkey",
         Map("O" -> 2L, "F" -> 5L), defaultMod = 10L)
@@ -504,6 +520,33 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** b6 oracle: the rake CTE chain (same as s4) + per-case application —
+    * factor = cellTarget/cellMass, per-row weight = designWeight*factor,
+    * micro-floored then summed as longs (order-independent).
+    */
+  private val rakeApplySql: String = {
+    val rows = Seq("A", "N", "R"); val cols = Seq("F", "O")
+    // re-derive the shared CTE chain from rakeSql (everything before the
+    // final per-cell SELECT): cells .. c5
+    val ctesEnd = rakeSql.indexOf("SELECT 'A' AS l_returnflag")
+    val ctes = rakeSql.substring(0, ctesEnd).stripSuffix("\n")
+    val factorRows = (for (rc <- rows; cc <- cols) yield
+      s"SELECT '$rc' AS r, '$cc' AS c, w_${rc}_$cc AS cw FROM c5").mkString("\nUNION ALL ")
+    s"""$ctes,
+       |factors AS ($factorRows),
+       |mass AS (SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
+       |           sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS m
+       |         FROM lineitem GROUP BY 1, 2),
+       |fac AS (SELECT factors.r, factors.c, factors.cw / mass.m AS f
+       |        FROM factors JOIN mass ON factors.r = mass.r AND factors.c = mass.c),
+       |per AS (SELECT CAST(l_returnflag AS VARCHAR) AS r,
+       |          CAST(floor(coalesce(CAST(l_quantity AS DOUBLE), 0) * fac.f * 1e6 + 0.5) AS BIGINT) AS wm
+       |        FROM lineitem
+       |        JOIN fac ON fac.r = CAST(l_returnflag AS VARCHAR) AND fac.c = CAST(l_linestatus AS VARCHAR))
+       |SELECT r AS l_returnflag, CAST(sum(wm) AS BIGINT) AS weight_micro, CAST(count(*) AS BIGINT) AS n
+       |FROM per GROUP BY 1""".stripMargin
+  }
+
   /** Full corpus-clean oracle: quality keep + language filter + n-gram
     * near-dup connected components over the SURVIVORS, keeping cluster
     * representatives — composed from the same SQL pieces the individual
@@ -745,6 +788,8 @@ object SparkEntry {
         |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
 
     "s4_rake" -> rakeSql,
+
+    "b6_rake_weighted_freq" -> rakeApplySql,
 
     // two-proportion z per (row, column-pair), pooled variance; same
     // formula text both engines => identical IEEE bits
