@@ -188,31 +188,36 @@ object SparkEntry {
         "p_size", "wt", Seq("p_brand"))),
 
     // churn: users active in the first half of the event window but not
-    // the second — anti-join (the set-op family the reference lacks)
+    // the second. SINGLE data pass: per-user conditional flags from one
+    // groupBy (no distinct×2 + anti-join, no driver-side head() action);
+    // the midpoint scalar attaches as a broadcast 1-row agg.
     "b3_churn" -> ((s, d) => {
-      val ev = T(s, d, "events")
-      val aggRow = ev.agg(
-        floor((min(unix_millis(col("ts"))) + max(unix_millis(col("ts")))) / 2).cast("long"))
-        .head()
-      // empty events: null midpoint → no "early" users → churn 0 (same
-      // as the oracle), instead of an NPE on getLong
-      val mid = if (aggRow.isNullAt(0)) Long.MinValue else aggRow.getLong(0)
-      val early = ev.filter(unix_millis(col("ts")) < mid).select("user_id").distinct()
-      val late = ev.filter(unix_millis(col("ts")) >= mid).select("user_id").distinct()
-      early.join(late, Seq("user_id"), "left_anti")
+      val ev = T(s, d, "events").select(col("user_id"), unix_millis(col("ts")).as("__ms"))
+      val mid = ev.agg(
+        floor((min(col("__ms")) + max(col("__ms"))) / 2).cast("long").as("__mid"))
+      // empty events: null midpoint → both flags 0 → churn 0 (same as
+      // the oracle) — null comparisons are false in `when`
+      ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("__ms") < col("__mid"), 1).otherwise(0)).as("__early"),
+          max(when(col("__ms") >= col("__mid"), 1).otherwise(0)).as("__late"))
+        .filter(col("__early") === 1 && col("__late") === 0)
         .agg(count(lit(1)).as("churned_users"))
     }),
 
-    // spend deciles: ntile over a total order (totalprice, orderkey) —
-    // deterministic tie-breaking both engines
+    // spend deciles: VALUE-based buckets from one exact-percentile agg —
+    // ties share a bucket, and no global-order window ever funnels the
+    // table through a single task (the scale contract; see
+    // Stats.bucketSummary and ScalePlanSpec's no-unpartitioned-window
+    // assert). Bucketing runs on integer cents so boundaries and sums
+    // are exact and engine-portable.
     "b4_deciles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      T(s, d, "orders")
-        .withColumn("decile", ntile(10).over(w))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
+      val o = T(s, d, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      Stats.bucketSummary(o, "cents", nBuckets = 10)
+        .select(col("bucket").cast("int").as("decile"), col("n"),
+          col("total").cast("long").as("total_cents"))
     }),
 
     "s7_fingerprint_portable" -> ((s, d) =>
@@ -868,13 +873,17 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS churned_users
         |FROM e WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.user_id = e.user_id)""".stripMargin,
 
+    // value-based deciles: boundary definition is quantile_cont ≡ Spark's
+    // exact `percentile` (type-7, idx = p·(N−1), linear interpolation on
+    // integer cents — identical IEEE arithmetic both engines); bucket =
+    // 1 + #boundaries strictly below the value
     "b4_deciles" ->
-      """WITH r AS (SELECT o_totalprice,
-        |             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
-        |           FROM orders)
-        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM r GROUP BY 1""".stripMargin,
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM c)
+        |SELECT CAST(1 + len(list_filter(b.bounds, x -> c.cents > x)) AS INT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c.cents) AS BIGINT) AS total_cents
+        |FROM c, b GROUP BY 1""".stripMargin,
 
     "s6_neff" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -59,8 +59,12 @@ object AsOf {
     val ordered = (leftCols ++ Seq("__ts", "__side", "__rv")).map(Cleaning.qcol)
     val unioned = l0.select(ordered: _*).unionByName(rl.select(ordered: _*))
 
+    // __rv in the sort is the determinism tiebreak: when several right
+    // rows share (key, ts), the greatest valueCols tuple carries — an
+    // arbitrary-but-stable choice would differ across runs/engines.
+    // (Requires orderable value column types, i.e. no maps.)
     val w = Window.partitionBy(partitionCols.map(Cleaning.qcol): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
 object Crosstab {
 
   val MaxPivotValues = 10000
+  // Hard cap on the collected (row, col) cell grid — grid-sized driver
+  // collects are the documented contract here (see scaladoc); beyond
+  // this the input is not crosstab-shaped and we fail loudly.
+  val MaxCells = 1000000
   // Parity caveat shared with the reference (app.py:146-149): a data value
   // literally named "Total" collides with the margin labels — pandas
   // overwrites that row/column in place; here it yields a duplicate label.
@@ -51,20 +55,26 @@ object Crosstab {
       .filter(Cleaning.qcol(rows).isNotNull && Cleaning.qcol(cols).isNotNull)
       .select(Cleaning.qcol(rows).cast("string").as(rows), Cleaning.qcol(cols).cast("string").as(cols), w.as("__w__"))
 
-    // ONE full-data pass: aggregate to (row, col, weight) cells first.
-    // Everything downstream — the pivot-value collect, the pivot itself,
-    // the margins, the percent denominators — runs over this summary-
-    // sized cached frame instead of rescanning the fact table (the
-    // pivot-value discovery alone used to cost a second full scan).
-    val cells = base
+    // ONE full-data pass: aggregate to (row, col, weight) cells, then
+    // COLLECT the grid — it is summary-sized by definition (bounded by
+    // category cardinalities, the same contract as Stats.cellGrid and
+    // the reference's own margin handling). Everything downstream —
+    // pivot, margins, percent denominators — runs over the local frame:
+    // no second scan of the fact table and no session-lived persist to
+    // leak (the r2 caches here had no owner to release them).
+    val cellRows = base
       .groupBy(Cleaning.qcol(rows), Cleaning.qcol(cols))
       .agg(sum(col("__w__")).as("__w__"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .limit(MaxCells + 1)
+      .collect()
+    require(cellRows.length <= MaxCells,
+      s"crosstab: >$MaxCells distinct (row, col) cells — not crosstab-shaped columns")
+    val cellSeq = cellRows.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    import df.sparkSession.implicits._
+    val cells = cellSeq.toDF(rows, cols, "__w__")
 
     // Deterministic, bounded pivot column set (sorted ascending like pandas)
-    val colVals: Seq[String] = cells
-      .select(Cleaning.qcol(cols)).distinct().orderBy(Cleaning.qcol(cols)).limit(MaxPivotValues + 1)
-      .collect().map(_.getString(0)).toSeq
+    val colVals: Seq[String] = cellSeq.map(_._2).distinct.sorted
     require(colVals.size <= MaxPivotValues,
       s"crosstab: >$MaxPivotValues distinct values in '$cols' — not a crosstab-shaped column")
 
@@ -76,7 +86,6 @@ object Crosstab {
       // na.fill (whose name resolution dot-parses pivot value names)
       .select((Cleaning.qcol(rows) +:
         colVals.map(c => coalesce(Cleaning.qcol(c), lit(0.0)).as(c))): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val vcols: Seq[Column] = colVals.map(Cleaning.qcol)
     def rowSum(cs: Seq[String]): Column =

@@ -34,9 +34,16 @@ object Privacy {
         min(col("n")).as("min_cell"))
 
   /** Suppression: drop every row whose quasi-identifier combo is risky —
-    * the released table is k-anonymous by construction. */
-  def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
-    df.join(
-      broadcast(kAnonymityRisk(df, quasiCols, k).select(quasiCols.map(Cleaning.qcol): _*)),
-      quasiCols, "left_anti")
+    * the released table is k-anonymous by construction.
+    *
+    * The anti-join is NULL-SAFE (`<=>` per column): kAnonymityRisk groups
+    * nulls as ordinary values, so a risky combo containing a missing
+    * age/region must still match — plain equality would never match it
+    * and would silently release the risky rows. */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val risky = kAnonymityRisk(df, quasiCols, k)
+      .select(quasiCols.map(c => Cleaning.qcol(c).as(s"__r_$c")): _*)
+    val cond = quasiCols.map(c => Cleaning.qcol(c) <=> col(s"__r_$c")).reduce(_ && _)
+    df.join(broadcast(risky), cond, "left_anti")
+  }
 }

@@ -74,9 +74,42 @@ object Stats {
     val c = Cleaning.toNumeric(Cleaning.qcol(column))
     val raw = floor((c - lo) / (hi - lo) * nbins)
     val bin = greatest(lit(0.0), least(lit((nbins - 1).toDouble), raw)).cast("int")
-    df.filter(c.isNotNull)
+    // NaN passes isNotNull and least/greatest would clamp it into the
+    // top bin — drop it with the nulls instead of inflating the edge
+    df.filter(c.isNotNull && !isnan(c))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("count"))
+  }
+
+  /** Value-based n-tile summary WITHOUT a global-order window: bucket
+    * boundaries come from ONE percentile aggregate (a broadcast 1-row
+    * frame), then each row's bucket is a narrow comparison against the
+    * boundary array — count-of-boundaries-strictly-below + 1. Rows with
+    * equal values always land in the same bucket (value-based deciles,
+    * not row-split ntile), which is the definition that survives scale:
+    * no single task ever sees the whole table.
+    *
+    * `exact = true` uses the sort-based `percentile` (linear
+    * interpolation at p·(N−1) — the same type-7 definition as DuckDB's
+    * `quantile_cont`, so the boundaries are oracle-able bit-for-bit on
+    * integer inputs). At 100 TB flip to `exact = false`:
+    * `approx_percentile`'s mergeable sketch is one pass with bounded
+    * memory, at the cost of sketch-tolerance boundaries.
+    */
+  def bucketSummary(
+      df: DataFrame, valueCol: String, nBuckets: Int = 10,
+      exact: Boolean = true): DataFrame = {
+    require(nBuckets > 1, s"need nBuckets>1, got $nBuckets")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val ps = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+    val boundsAgg =
+      if (exact) percentile(v, ps) else approx_percentile(v, ps, lit(10000))
+    val bounds = df.filter(v.isNotNull && !isnan(v)).agg(boundsAgg.as("__bounds"))
+    df.filter(v.isNotNull && !isnan(v))
+      .crossJoin(broadcast(bounds))
+      .select((size(filter(col("__bounds"), x => v > x)) + 1).as("bucket"), v.as("__v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("total"))
   }
 
   /** Pearson chi-square test of independence over a weighted crosstab —
@@ -149,11 +182,14 @@ object Stats {
     // ONE scan: per-option partials (Σw, Σw²) carry everything the
     // global base/neff needs — both are additive, and exact for the
     // integer-valued weights the determinism contract requires
+    // no persist: the two consumers below are identical subplans, so the
+    // grouped shuffle is deduped by ReuseExchange — a persist here would
+    // sit in the CacheManager with no owner to release it (long-lived
+    // sessions accumulate)
     val grouped = df.filter(c.isNotNull)
       .select(c.cast("string").as("option"), w.as("__w"))
       .groupBy("option")
       .agg(sum(col("__w")).as("wsum"), sum(col("__w") * col("__w")).as("wsq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = grouped.agg(
       sum(col("wsum")).as("__W"),
       (sum(col("wsum")) * sum(col("wsum")) / sum(col("wsq"))).as("__neff"))

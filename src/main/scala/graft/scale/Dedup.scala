@@ -145,8 +145,19 @@ object Dedup {
     * and each round is a pair of co-partitioned shuffles. Converges when
     * no label changes; `maxIter` bounds pathological chains.
     */
+  /** @param checkEvery propagation steps per convergence check: labels
+    *        only shrink, so chaining a few lazy steps between count()
+    *        actions trades (at most checkEvery−1) redundant cheap rounds
+    *        after the fixed point for checkEvery× fewer Spark actions —
+    *        the dominant cost of shallow (2–3 hop) near-dup clusters.
+    * @throws IllegalStateException when maxIter is reached with labels
+    *         still changing — a silently partially-merged clustering
+    *         would make downstream dedup keep duplicate representatives.
+    */
   def clusters(
-      ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+      ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20,
+      checkEvery: Int = 3): DataFrame = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -158,29 +169,42 @@ object Dedup {
     // duplicate mass, not the corpus size.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist(disk)
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // one shuffle + one action per round: carry the previous label
-      // through the union (null for neighbor candidates; min ignores
-      // nulls, and each id contributes exactly one non-null `old`)
+    var labelsCached: DataFrame = null
+    // one min-label propagation step: carry the previous label through
+    // the union (null for neighbor candidates; min ignores nulls, and
+    // each id contributes exactly one non-null `old`)
+    def step(l: DataFrame): DataFrame = {
       val viaNeighbor = edges
-        .join(labels.select(col("id").as("src"), col("cluster")), "src")
+        .join(l.select(col("id").as("src"), col("cluster")), "src")
         .select(col("dst").as("id"), col("cluster"), lit(null).as("old"))
-      val merged = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
+      l.select(col("id"), col("cluster"), col("cluster").as("old"))
         .unionByName(viaNeighbor)
         .groupBy("id").agg(min("cluster").as("cluster"), min("old").as("old"))
-        .persist(disk)
-      changed = merged.filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = merged.select(col("id"), col("cluster"))
-      iter += 1
     }
-    if (changed > 0)
-      System.err.println(
-        s"[graft] Dedup.clusters: stopped at maxIter=$maxIter with $changed labels still " +
-          "changing — components wider than maxIter hops are not fully merged")
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val steps = math.min(checkEvery, maxIter - iter)
+      var merged: DataFrame = null
+      var l = labels
+      for (_ <- 1 to steps) {
+        merged = step(l)
+        l = merged.select(col("id"), col("cluster"))
+      }
+      val mat = merged.persist(disk)
+      // the LAST step unchanged ⇒ fixed point (earlier steps irrelevant)
+      converged = mat.filter(col("cluster") =!= col("old")).count() == 0
+      if (labelsCached != null) labelsCached.unpersist()
+      labelsCached = mat
+      labels = mat.select(col("id"), col("cluster"))
+      iter += steps
+    }
+    if (!converged) {
+      edges.unpersist(); if (labelsCached != null) labelsCached.unpersist()
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge within maxIter=$maxIter rounds — " +
+          "components wider than maxIter hops would be left partially merged; raise maxIter")
+    }
     val out = ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

@@ -140,25 +140,24 @@ object Similarity {
       val n = sqrt(aggregate(graft.ops.Cleaning.qcol(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
       transform(graft.ops.Cleaning.qcol(vecCol), x => x.cast("double") / when(n > 0, n))
     }
-    // Persist the featurized corpus: KMeans rescans its input once per
-    // iteration, and each uncached scan re-runs the normalize +
-    // array_to_vector projection (measured 8.7s -> ~0.5s fit at sf0.1).
-    // At real scale, fit on a bounded .sample(...) instead.
     val fv = corpus.withColumn("__nv__", normArr)
       .withColumn("__fv__", array_to_vector(col("__nv__")))
+    // Quantizer fit on a BOUNDED slice, never the full corpus: Lloyd
+    // iterations rescan their input once per iteration, so cap the fit
+    // input at nlist*1000 vectors (ample for nlist centroids) and cache
+    // only that. The full corpus is scanned exactly once (the cell
+    // assignment below), at its natural parallelism — no corpus-wide
+    // persist to leak, no coalesce throttling the expensive projection.
+    val fitInput = fv.select(col("__fv__")).limit(nlist * 1000)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // coarse quantizer: random init + few iterations (k-means|| init and
     // long convergence buy nothing for IVF cell assignment, but cost ~20
     // extra Spark jobs)
-    // Fit on few fat partitions: each Lloyd iteration is a full job, and
-    // with a quantizer-sized input (nlist*~1000 vectors; at real scale
-    // you fit on a bounded sample — see scaladoc) per-task overhead
-    // dominates 32-way parallelism. Assignment below still runs on the
-    // corpus' own partitioning.
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setInitMode("random").setMaxIter(5)
       .setFeaturesCol("__fv__").setPredictionCol("__cell__")
-      .fit(fv.coalesce(8))
+      .fit(fitInput)
+    fitInput.unpersist(blocking = false)
     val cells = model.transform(fv)
       .select(graft.ops.Cleaning.qcol(idCol).as("__cid__"), graft.ops.Cleaning.qcol(vecCol).as("__cvec__"), col("__cell__"))
 

@@ -31,4 +31,17 @@ class PrivacySpec extends AnyFunSuite {
     val check = Privacy.kAnonymityRisk(released, Seq("q1", "q2"), k = 3)
     assert(check.count() == 0) // k-anonymous by construction
   }
+
+  test("suppression is null-safe: risky combos with null quasi-identifiers are dropped") {
+    // (a,x): 3 rows (safe); (null,x): 2 rows and (a,null): 1 row — both risky
+    val withNulls = Seq(
+      (Some("a"), Some("x"), 1), (Some("a"), Some("x"), 2), (Some("a"), Some("x"), 3),
+      (None, Some("x"), 4), (None, Some("x"), 5),
+      (Some("a"), None, 6)
+    ).toDF("q1", "q2", "id")
+    val released = Privacy.suppress(withNulls, Seq("q1", "q2"), k = 3)
+    assert(released.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // audit and suppression must agree: release is k-anonymous
+    assert(Privacy.kAnonymityRisk(released, Seq("q1", "q2"), k = 3).count() == 0)
+  }
 }
