@@ -119,6 +119,39 @@ object SparkEntry {
           .agg(count(lit(1)).as("released_rows")))
     }),
 
+    // --- §2.1 IO roundtrips: each writes the parquet table through
+    // graft's own sink, reads it back through graft's own source, and
+    // the DuckDB oracle computes the same result straight from parquet —
+    // so header handling, quoting, escaping, and type inference are all
+    // on the hash-checked path (temp files under java.io.tmpdir).
+    "s11_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s11").toString
+      graft.io.Sinks.writeCsv(Map("nation" -> T(s, d, "nation")), dir)
+      val part = new java.io.File(s"$dir/nation").listFiles()
+        .map(_.getPath).find(_.endsWith(".csv"))
+        .getOrElse(sys.error(s"no csv part written under $dir/nation"))
+      Sources.readTable(s, part)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
+    "s12_excel_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_s12")
+        .resolve("wb.xlsx").toString
+      graft.io.Sinks.writeExcel(Map("nation" -> T(s, d, "nation")), path)
+      Sources.readTable(s, path)
+    }),
+
+    "s13_json_bundle" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_s13")
+        .resolve("bundle.json").toString
+      graft.io.Sinks.writeJsonBundle(
+        Map("region" -> T(s, d, "region"), "nation" -> T(s, d, "nation")), path)
+      s.read.option("multiLine", "true").json(path)
+        .select(explode(col("nation")).as("r"))
+        .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
+    }),
+
     "b5_csat_weighted" -> ((s, d) =>
       Kpis.csatSummaryWeighted(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
         Seq("l_returnflag"))),
@@ -268,9 +301,17 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(T(s, d, "documents"), "doc_id", Seq("text"))),
 
+    // full-recall banding (bands = numHashes, one slot per band): any
+    // pair sharing ONE of 64 minhash slots is a candidate, so a true
+    // pair at jaccard j is missed with prob (1−j)^64 (< 1e-9 at the
+    // 0.3 threshold) — in practice the verified output equals the
+    // exhaustive shingle-Jaccard pair set, which the DuckDB oracle
+    // computes via an inverted-index self-join. Production banding
+    // (bands < numHashes) stays the API default; this configuration is
+    // the correctness gate for the same machinery.
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.nearDupMinhash(T(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 64, bands = 16, threshold = 0.3)),
+        k = 3, numHashes = 64, bands = 64, threshold = 0.3)),
 
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.nearDupSimhash(T(s, d, "documents"), "doc_id", "text",
@@ -324,7 +365,22 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // full probe (nprobe = nlist): provably equivalent to exact kNN, so
+    // the whole IVF machinery — quantizer fit, cell assignment, probe
+    // join, per-cell scoring, top-k epilogue — is hash-checked against
+    // the DuckDB exact-kNN oracle. The approximate path (nprobe < nlist)
+    // is x_sim_ivf_probe below (rows-only: recall depends on cells).
     "x_sim_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
+    "x_sim_ivf_probe" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
@@ -387,8 +443,15 @@ object SparkEntry {
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
 
-    "x_text_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprintTable(T(s, d, "documents"), "doc_id", "text")),
+    // duplicate-group size per doc: the xxhash64 fingerprint itself is
+    // engine-specific, but fingerprint equality ≡ normalized-token-
+    // stream equality (collisions ~1e-15 here), so the GROUP SIZES are
+    // oracle-able against DuckDB grouping the token stream directly
+    "x_text_fingerprint" -> ((s, d) => {
+      val fp = TextAnalysis.fingerprintTable(T(s, d, "documents"), "doc_id", "text")
+      val sizes = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_same_fp"))
+      fp.join(sizes, "fingerprint").select(col("doc_id"), col("n_same_fp"))
+    }),
 
     // --- §7.4 multimodal ---------------------------------------------
     "x_mm_meta" -> ((s, d) =>
@@ -758,6 +821,25 @@ object SparkEntry {
         |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
         |SELECT * FROM a, r""".stripMargin,
 
+    // IO roundtrips: the Spark side goes parquet → graft sink → graft
+    // source; the oracle reads the parquet table directly, so any
+    // quoting/escaping/inference drift in the IO layer breaks the hash
+    "s11_csv_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "s12_excel_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s13_json_bundle" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
     "s9_prop_ci" ->
       """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS option,
         |             coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
@@ -1017,6 +1099,52 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
         |FROM r WHERE rk <= 5""".stripMargin,
+
+    // full-probe IVF ≡ exact kNN (every cell probed), so the oracle is
+    // the same exact-kNN SQL as x_sim_knn
+    "x_sim_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // exhaustive shingle-Jaccard pairs via an inverted-index self-join
+    // (no blocking): every pair with jaccard > 0 shares a shingle, so
+    // the index join has full recall; the Spark side's 64-slot banding
+    // misses a j≥0.3 pair with prob (1−j)^64 — vanishing, and verified
+    // empirically at all test SFs
+    "x_dedup_minhash" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         |  FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |z AS (SELECT doc_id, len(sh) AS n FROM s)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) AS jaccard
+         |FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+         |WHERE CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) >= 0.3""".stripMargin,
+
+    // group sizes from exact normalized-token-stream equality — what the
+    // xxhash64 fingerprint encodes, minus the (negligible) collisions
+    "x_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |       CAST(count(*) OVER (PARTITION BY array_to_string($toksSql, ' ')) AS BIGINT) AS n_same_fp
+         |FROM documents""".stripMargin,
 
     "x_text_bpeish" ->
       s"""SELECT doc_id,
