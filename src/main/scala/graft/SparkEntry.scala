@@ -142,6 +142,13 @@ object SparkEntry {
       Sources.readTable(s, path)
     }),
 
+    "s14_xls_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_s14")
+        .resolve("wb.xls").toString
+      graft.io.Xls.write("nation", T(s, d, "nation"), path)
+      Sources.readTable(s, path)
+    }),
+
     "s13_json_bundle" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft_s13")
         .resolve("bundle.json").toString
@@ -836,6 +843,11 @@ object SparkEntry {
         |FROM nation""".stripMargin,
 
     "s13_json_bundle" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s14_xls_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation""".stripMargin,

@@ -58,37 +58,46 @@ object Excel {
         }.toMap
       }
       require(rows.nonEmpty, s"$path: empty sheet")
-
-      val header = rows.head
-      val nCols = (rows.map(m => if (m.isEmpty) -1 else m.keys.max).max) + 1
-      val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
-      val data = rows.tail.map(m => (0 until nCols).map(i => m.get(i).filter(_.nonEmpty).orNull))
-
-      def allParse(p: String => Boolean) =
-        (c: Int) => data.forall(r => r(c) == null || p(r(c)))
-      val longOk = allParse(s => s.toLongOption.isDefined)
-      val dblOk = allParse(s => s.toDoubleOption.isDefined)
-
-      val fields = (0 until nCols).map { c =>
-        val t: DataType =
-          if (longOk(c)) LongType else if (dblOk(c)) DoubleType else StringType
-        StructField(names(c), t, nullable = true)
-      }
-      val sparkRows = data.map { r =>
-        Row.fromSeq((0 until nCols).map { c =>
-          val s = r(c)
-          if (s == null) null
-          else fields(c).dataType match {
-            case LongType => s.toLong
-            case DoubleType => s.toDouble
-            case _ => s
-          }
-        })
-      }
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(sparkRows.toIndexedSeq),
-        StructType(fields.toIndexedSeq))
+      fromCellRows(spark, rows, path)
     } finally zf.close()
+  }
+
+  /** Shared spreadsheet epilogue (xlsx + xls): row 1 = header, column
+    * types inferred like the CSV reader (all-long → long, all-double →
+    * double, else string).
+    */
+  private[io] def fromCellRows(
+      spark: SparkSession, rows: Seq[Map[Int, String]], path: String): DataFrame = {
+    require(rows.nonEmpty, s"$path: empty sheet")
+    val header = rows.head
+    val nCols = (rows.map(m => if (m.isEmpty) -1 else m.keys.max).max) + 1
+    val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
+    val data = rows.tail.map(m => (0 until nCols).map(i => m.get(i).filter(_.nonEmpty).orNull))
+
+    def allParse(p: String => Boolean) =
+      (c: Int) => data.forall(r => r(c) == null || p(r(c)))
+    val longOk = allParse(s => s.toLongOption.isDefined)
+    val dblOk = allParse(s => s.toDoubleOption.isDefined)
+
+    val fields = (0 until nCols).map { c =>
+      val t: DataType =
+        if (longOk(c)) LongType else if (dblOk(c)) DoubleType else StringType
+      StructField(names(c), t, nullable = true)
+    }
+    val sparkRows = data.map { r =>
+      Row.fromSeq((0 until nCols).map { c =>
+        val s = r(c)
+        if (s == null) null
+        else fields(c).dataType match {
+          case LongType => s.toLong
+          case DoubleType => s.toDouble
+          case _ => s
+        }
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(sparkRows.toIndexedSeq),
+      StructType(fields.toIndexedSeq))
   }
 
   // ---------------- writer (S5) ----------------

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * `typedLit` maps) is the scale-correct shape — the 100 TB side stays
   * distributed.
   * S2 Excel: `Excel.read` — a minimal self-contained xlsx reader (an
-  * xlsx is a zip of XML; no POI needed). Parquet remains the
-  * at-scale contract.
+  * xlsx is a zip of XML; no POI needed); `Xls.read` — a minimal BIFF8
+  * reader for legacy `.xls` (app.py:78-79 accepts it). Parquet remains
+  * the at-scale contract.
   */
 object Sources {
 
@@ -42,9 +43,7 @@ object Sources {
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
     else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) readJsonl(spark, path)
     else if (lower.endsWith(".xlsx")) Excel.read(spark, path)
-    else if (lower.endsWith(".xls"))
-      throw new IllegalArgumentException(
-        "Legacy .xls (BIFF) is not supported; save as .xlsx, CSV, or Parquet")
+    else if (lower.endsWith(".xls")) Xls.read(spark, path)
     else throw new IllegalArgumentException(s"Unsupported file type: $path")
   }
 

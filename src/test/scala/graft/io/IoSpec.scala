@@ -56,8 +56,46 @@ class IoSpec extends AnyFunSuite {
     assert(Sources.readTable(spark, path).count() == 3)
   }
 
-  test("S2 legacy .xls rejected with a clear error") {
-    assertThrows[IllegalArgumentException](Sources.readTable(spark, "/tmp/x.xls"))
+  test("S2 legacy .xls (BIFF8) roundtrip: numbers, strings, nulls, wide chars") {
+    val dir = Files.createTempDirectory("graft_xls").toString
+    val path = s"$dir/out.xls"
+    val t = Seq((1L, "alpha", 1.5), (2L, "héllo wörld ✓", 2.0), (3L, null, 0.25))
+      .toDF("id", "name", "score")
+    Xls.write("first", t, path)
+
+    val back = Sources.readTable(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("score").dataType.typeName == "double")
+    val rows = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "alpha")
+    assert(rows(2L).getString(1) == "héllo wörld ✓") // UTF-16 SST path
+    assert(rows(3L).isNullAt(1))
+    assert(rows(3L).getDouble(2) == 0.25)
+  }
+
+  test("S2 .xls reader: ministream (small) and standard-sector (>=4KB) containers") {
+    val dir = Files.createTempDirectory("graft_xls2").toString
+    // small → ministream
+    val small = s"$dir/small.xls"
+    Xls.write("s", Seq((1L, "a")).toDF("k", "v"), small)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(small)) < 4096 + 2048)
+    assert(Sources.readTable(spark, small).count() == 1)
+    // big → standard FAT chain (1k distinct strings blow past the 4096 cutoff)
+    val big = s"$dir/big.xls"
+    val bigDf = (1 to 1000).map(i => (i.toLong, s"value_$i")).toDF("k", "v")
+    Xls.write("b", bigDf, big)
+    val backBig = Sources.readTable(spark, big)
+    assert(backBig.count() == 1000)
+    assert(backBig.filter($"k" === 1000L).head().getString(1) == "value_1000")
+  }
+
+  test("S2 .xls reader rejects non-CFB bytes with a clear error") {
+    val p = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft_xls3").toString, "junk.xls")
+    Files.write(p, "this is not an xls".getBytes)
+    val e = intercept[IllegalArgumentException](Sources.readTable(spark, p.toString))
+    assert(e.getMessage.contains("CFB"))
   }
 
   test("S5 sheet-name truncation to 31 chars (Excel contract)") {
