@@ -150,13 +150,15 @@ object Dedup {
     *        actions trades (at most checkEvery−1) redundant cheap rounds
     *        after the fixed point for checkEvery× fewer Spark actions —
     *        the dominant cost of shallow (2–3 hop) near-dup clusters.
+    *        2 measured fastest on the sf0.1 near-dup graph (one chain
+    *        reaches the fixed point; 3 adds a wasted round per chain).
     * @throws IllegalStateException when maxIter is reached with labels
     *         still changing — a silently partially-merged clustering
     *         would make downstream dedup keep duplicate representatives.
     */
   def clusters(
       ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20,
-      checkEvery: Int = 3): DataFrame = {
+      checkEvery: Int = 2): DataFrame = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

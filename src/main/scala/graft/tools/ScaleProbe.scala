@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe (SCALE.md §6a): unions an sf0.1 table with 9
+  * key-shifted copies of itself and times the query at 1× and 10× —
+  * the empirical check that a plan's cost grows sub-linearly in data
+  * (fixed job overhead still dominating) rather than super-linearly
+  * (a hidden single-task funnel or quadratic join).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def times10(df: DataFrame, keyCol: String): DataFrame = {
+      val shift = 10000000L
+      (0 until 10).map(i =>
+        df.withColumn(keyCol, col(keyCol) + lit(i * shift))).reduce(_.unionByName(_))
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label%-28s rows=$n%8d time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+
+    val orders = graft.io.Sources.table(spark, sfDir, "orders")
+    def deciles(o: DataFrame): Long = {
+      val c = o.withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      graft.ops.Stats.bucketSummary(c, "cents", nBuckets = 10).count()
+    }
+    // warmup then measure twice each
+    deciles(orders)
+    time("b4_deciles 1x")(deciles(orders))
+    time("b4_deciles 1x")(deciles(orders))
+    val o10 = times10(orders, "o_orderkey")
+    time("b4_deciles 10x")(deciles(o10))
+    time("b4_deciles 10x")(deciles(o10))
+    // the documented at-scale variant: sketch boundaries, same shape
+    time("b4_deciles 10x approx") {
+      val c = o10.withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      graft.ops.Stats.bucketSummary(c, "cents", nBuckets = 10, exact = false).count()
+    }
+
+    val emb = graft.io.Sources.table(spark, sfDir, "embeddings")
+    def ivf(corpus: DataFrame, nprobe: Int): Long = {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", "query_id",
+        k = 5, nlist = 16, nprobe = nprobe).count()
+    }
+    ivf(emb, 4)
+    time("x_sim_ivf probe=4 1x")(ivf(emb, 4))
+    time("x_sim_ivf probe=16 1x")(ivf(emb, 16))
+    val e10 = times10(emb, "vec_id")
+    time("x_sim_ivf probe=4 10x")(ivf(e10, 4))
+    time("x_sim_ivf probe=4 10x")(ivf(e10, 4))
+    time("x_sim_ivf probe=16 10x")(ivf(e10, 16))
+    spark.stop()
+  }
+}
