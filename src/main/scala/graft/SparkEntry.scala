@@ -327,9 +327,17 @@ object SparkEntry {
     "x_dedup_ngram" -> ((s, d) =>
       Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
 
+    // full-recall banding again (cf. x_dedup_minhash): 2-bit keys over
+    // 48 tables miss a cosine-0.4 pair with prob (1-(1-acos(.4)/pi)^2)^48
+    // < 3e-11 — in practice the output equals the exhaustive cosine
+    // pair set, which the DuckDB oracle computes all-pairs. Production
+    // banding (wider keys, fewer tables) stays the API default; this
+    // config is the correctness gate for the same machinery.
     "x_dedup_embedding" -> ((s, d) =>
       Dedup.nearDupEmbedding(T(s, d, "embeddings"), "vec_id", "embedding",
-        bits = 6, tables = 12, threshold = 0.4)),
+        bits = 2, tables = 48, threshold = 0.4)
+        .select(col("id_a"), col("id_b"),
+          Rounding.halfUp(col("cosine"), 6).as("cosine"))),
 
     "x_dedup_contam" -> ((s, d) =>
       Dedup.crossDocNgramStats(T(s, d, "documents"), "doc_id", "text", k = 5)),
@@ -343,12 +351,21 @@ object SparkEntry {
         .select(col("vec_id"), Rounding.halfUp(col("similarity"), 6).as("similarity"))
     }),
 
+    // full-recall LSH (cf. x_sim_ivf's full probe): 1-bit keys over 64
+    // tables — a true top-k neighbor at cosine c collides somewhere
+    // except with prob (acos(c)/pi)^64 (< 1e-19 even at c=0), so the
+    // output provably equals exact kNN and the whole ANN machinery —
+    // hyperplane signatures, bucket equi-join, cross-table dedup, top-k
+    // epilogue — is hash-checked against the exact-kNN oracle. The
+    // approximate production config (wider keys, fewer tables) is
+    // recall-graded in SimilaritySpec. Distinct query range/k from
+    // x_sim_knn so the two gates can't mask each other.
     "x_sim_ann" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.annTopK(emb, queries, "vec_id", "embedding", "query_id",
-        k = 5, bits = 8, tables = 8)
+        k = 7, bits = 1, tables = 64)
         .select(col("query_id"), col("vec_id"),
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
@@ -515,8 +532,48 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
 
     "x_stream_sliding" -> ((s, d) =>
-      Streams.slidingCounts(T(s, d, "events"), "1 hour", "30 minutes"))
+      Streams.slidingCounts(T(s, d, "events"), "1 hour", "30 minutes")),
+
+    // --- §7.4 corpus curation (round 3) ------------------------------
+    "x_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(T(s, d, "documents"), "doc_id", "text")),
+
+    "x_text_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
+        budget = 256, shards = 8)),
+
+    // synthesize URLs into the corpus (same pattern as x_text_redact's
+    // PII synthesis) so the domain extractor has real work at every SF
+    "x_text_domains" -> ((s, d) =>
+      TextAnalysis.urlDomainStats(withUrls(T(s, d, "documents")), "doc_id", "text")),
+
+    "x_text_blockfilter" -> ((s, d) =>
+      TextAnalysis.filterBlockedDomains(withUrls(T(s, d, "documents")), "text",
+        Seq("site3.example.com", "cdn1.example.org"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    "x_emb_quant" -> ((s, d) =>
+      graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // mixture construction: cap three sources (one to zero), leave the
+    // rest whole; emit the per-source audit the pipeline would log
+    "x_corpus_mixture" -> ((s, d) => {
+      val kept = Sampling.sampleByTokenBudget(T(s, d, "documents"),
+        "doc_id", "text", "source",
+        Map("src0" -> 500L, "src1" -> 800L, "src5" -> 0L))
+      kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
+    })
   )
+
+  /** Deterministic URL synthesis shared by the domain queries and their
+    * oracles: every doc gets one `site{id%7}.example.com` and one
+    * `cdn{id%3}.example.org` URL. */
+  private def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" see https://site"), col("doc_id") % 7, lit(".example.com/page"), col("doc_id"),
+      lit(" and http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5))
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — identical math, identical aliases
@@ -1338,6 +1395,136 @@ object SparkEntry {
         |u AS (SELECT event_type, unnest([t30, t30 - 1800000]) AS ws FROM b)
         |SELECT CAST(ws // 1000 AS BIGINT) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM u GROUP BY 1, 2""".stripMargin
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // exhaustive all-pairs cosine — the full-recall LSH config's output
+    // (see the x_dedup_embedding query comment); same fold order as the
+    // kNN oracles so the doubles are bit-identical
+    "x_dedup_embedding" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
+        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
+        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
+        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM c WHERE cos >= 0.4""".stripMargin,
+
+    // full-recall ANN ≡ exact kNN (see the x_sim_ann query comment);
+    // query range/k deliberately differ from x_sim_knn
+    "x_sim_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id >= 100 AND vec_id < 120),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 7""".stripMargin,
+
+    // unigram/bigram counts are exact integers; every ratio is one IEEE
+    // division (engine-exact); zero denominators null out via the CASE
+    // guard exactly like the Spark `when` guard
+    "x_text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u0 AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |uc AS (SELECT doc_id, t, count(*) AS c FROM u0 GROUP BY 1, 2),
+         |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tc, CAST(count(*) AS BIGINT) AS td,
+         |             CAST(max(c) AS BIGINT) AS topt, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupt
+         |      FROM uc GROUP BY 1),
+         |bg AS (SELECT doc_id, CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+         |                           ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS bgs
+         |       FROM d),
+         |b0 AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM b0 GROUP BY 1, 2),
+         |b AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bc, CAST(max(c) AS BIGINT) AS topb,
+         |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
+         |      FROM bc GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(u.tc, 0) AS token_count,
+         |       u.td / (CASE WHEN u.tc > 0 THEN CAST(u.tc AS DOUBLE) END) AS distinct_token_ratio,
+         |       u.topt / (CASE WHEN u.tc > 0 THEN CAST(u.tc AS DOUBLE) END) AS top_token_frac,
+         |       u.dupt / (CASE WHEN u.tc > 0 THEN CAST(u.tc AS DOUBLE) END) AS dup_token_frac,
+         |       coalesce(b.bc, 0) AS bigram_count,
+         |       b.topb / (CASE WHEN b.bc > 0 THEN CAST(b.bc AS DOUBLE) END) AS top_bigram_frac,
+         |       b.dupb / (CASE WHEN b.bc > 0 THEN CAST(b.bc AS DOUBLE) END) AS dup_bigram_frac
+         |FROM d LEFT JOIN u ON d.doc_id = u.doc_id LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // shard-partitioned running sum (never a global sort), integer
+    // div/mod — exact at any magnitude
+    "x_text_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM w""".stripMargin,
+
+    "x_text_domains" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 7) || '.example.com/page' || doc_id ||
+        |    ' and http://cdn' || (doc_id % 3) || '.example.org/x' || (doc_id % 5) AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p),
+        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "x_text_blockfilter" ->
+      """WITH p AS (SELECT doc_id, lang, source,
+        |    text || ' see https://site' || (doc_id % 7) || '.example.com/page' || doc_id ||
+        |    ' and http://cdn' || (doc_id % 3) || '.example.org/x' || (doc_id % 5) AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_transform(regexp_extract_all(text, 'https?://[^\s]+'),
+        |                   u -> lower(regexp_extract(u, 'https?://([^/\s]+)', 1))) AS doms
+        |  FROM p)
+        |SELECT doc_id, lang, source FROM d
+        |WHERE len(list_filter(doms, x -> list_contains(['site3.example.com', 'cdn1.example.org'], x))) = 0""".stripMargin,
+
+    // same per-element formula and left-to-right fold order as the
+    // Spark side; the zero-vector guard nulls identically via CASE
+    "x_emb_quant" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    (SELECT max(abs(CAST(a AS DOUBLE))) FROM (SELECT unnest(embedding) AS a)) AS mx
+        |  FROM embeddings),
+        |t AS (SELECT vec_id, embedding, (CASE WHEN mx > 0 THEN mx END) / 127.0 AS sc FROM s),
+        |r AS (SELECT vec_id, sc, embedding,
+        |    list_transform(embedding, x -> least(greatest(floor(CAST(x AS DOUBLE) / sc + 0.5), -127.0), 127.0) * sc) AS recon
+        |  FROM t),
+        |m AS (SELECT vec_id, sc,
+        |    (SELECT sum(CAST(a AS DOUBLE) * b) FROM (SELECT unnest(embedding) AS a, unnest(recon) AS b)) AS dt,
+        |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(embedding) AS a))) AS na,
+        |    sqrt((SELECT sum(b * b) FROM (SELECT unnest(recon) AS b))) AS nb,
+        |    (SELECT max(abs(CAST(a AS DOUBLE) - b)) FROM (SELECT unnest(embedding) AS a, unnest(recon) AS b)) AS mxe
+        |  FROM r)
+        |SELECT vec_id,
+        |       floor(sc * 1000000000 + 0.5) / 1000000000 AS qscale,
+        |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
+        |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
+        |FROM m""".stripMargin,
+
+    // same affine hash mod 1000003 and the same least(1, budget/total)
+    // rate arithmetic; src5's zero budget drops the group entirely
+    "x_corpus_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
+         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
+         |r AS (SELECT t.doc_id, t.source, t.tok,
+         |        coalesce(least(1.0,
+         |          (CASE t.source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800 WHEN 'src5' THEN 0 END)
+         |            / CAST(tot.total AS DOUBLE)), 1.0) AS rate,
+         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |      FROM t JOIN tot ON t.source = tot.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM r WHERE u < rate GROUP BY 1""".stripMargin
   )
 }

@@ -324,18 +324,32 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification. Deterministic hyperplanes from `seed`.
+    *
+    * Candidate pairs are deduplicated as BARE ID PAIRS before the
+    * vectors are fetched back by two id-keyed joins: the bucket
+    * self-join (the skew-prone stage) shuffles 16-byte id pairs instead
+    * of 2×64-float vectors, and the cosine runs once per distinct pair
+    * instead of once per (pair × shared table). At high `tables` the
+    * old carry-vectors form did `tables`× redundant cosine work.
     */
   def nearDupEmbedding(
       df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 12, tables: Int = 4, threshold: Double = 0.95,
       seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val keyed = Similarity.withLshKeys(df, vecCol, bits, tables, seed, dim)
-    val a = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_a"), graft.ops.Cleaning.qcol(vecCol).as("v_a"))
-    val b = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_b"), graft.ops.Cleaning.qcol(vecCol).as("v_b"))
-    a.join(b, Seq("table", "lsh_key"))
+    val keyed = Similarity.withLshKeys(
+        df.select(graft.ops.Cleaning.qcol(idCol), graft.ops.Cleaning.qcol(vecCol)),
+        vecCol, bits, tables, seed, dim)
+      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol))
+    val a = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
+    val b = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("table", "lsh_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = df.select(graft.ops.Cleaning.qcol(idCol).as("id_a"), graft.ops.Cleaning.qcol(vecCol).as("v_a"))
+    val vb = df.select(graft.ops.Cleaning.qcol(idCol).as("id_b"), graft.ops.Cleaning.qcol(vecCol).as("v_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

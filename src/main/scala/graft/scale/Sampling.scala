@@ -36,6 +36,40 @@ object Sampling {
     df.filter(pmod(xxhash64(graft.ops.Cleaning.qcol(keyCol), lit(seed)), lit(buckets)) < cut)
   }
 
+  /** Data-mixture construction by token budget: downsample each group
+    * (source/domain/language) to at most `budgets(group)` tokens in
+    * expectation, leaving under-budget groups intact. THE operation
+    * that turns a raw crawl into a training mixture ("cap source X at
+    * 10B tokens").
+    *
+    * rate(g) = min(1, budget(g) / total_tokens(g)); a row is kept when
+    * its deterministic per-key uniform u(key) < rate(g). u is an
+    * affine hash mod the prime 1000003 folded to [0,1) — reproducible
+    * across runs, partitionings, and engines (products stay < 2^40 at
+    * ANY key magnitude, safe under ANSI overflow checking).
+    *
+    * Scale: one hash-aggregate for the per-group totals (group
+    * cardinality = number of sources, tiny), broadcast back, then a
+    * narrow filter. Groups absent from `budgets` are kept whole.
+    */
+  def sampleByTokenBudget(
+      df: DataFrame, keyCol: String, textCol: String, groupCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    val P = 1000003L
+    val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
+    val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")
+    val totals = df.groupBy(g.as("__g")).agg(sum(tokc).as("__total"))
+    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, b)) => when(col("__g") === k, lit(b)).otherwise(acc)
+    }
+    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    df.join(broadcast(totals), g === col("__g"))
+      .withColumn("__rate",
+        coalesce(least(lit(1.0), budgetExpr.cast("double") / col("__total")), lit(1.0)))
+      .filter(u < col("__rate"))
+      .drop("__g", "__total", "__rate")
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

@@ -213,6 +213,119 @@ object TextAnalysis {
       graft.ops.Cleaning.qcol(idCol),
       portableFingerprint(graft.ops.Cleaning.qcol(textCol)).as("fingerprint"))
 
+  /** Repetition signals per document (the Gopher/MassiveText quality
+    * heuristics): type-token ratio, most-frequent-token fraction,
+    * duplicated-token mass, and the same three at the bigram level.
+    * High repetition = boilerplate / generated spam — the standard
+    * pre-training filter alongside `qualityTable`.
+    *
+    * Shape: explode tokens/bigrams, two hash-aggregates (by (doc, term)
+    * then by doc) — the inverted-index pattern, map-side partials apply,
+    * shuffle volume ∝ distinct (doc, term) mass. No per-row interpreted
+    * loops. All ratios are integer-count divisions (engine-exact).
+    * Docs with no tokens keep a row (left join) with null ratios.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val toks = tokens(graft.ops.Cleaning.qcol(textCol))
+
+    def termStats(term: Column, prefix: String): DataFrame =
+      df.select(id, explode(term).as("__t"))
+        .groupBy(id, col("__t")).agg(count(lit(1)).as("__c"))
+        .groupBy(id).agg(
+          sum("__c").as(s"${prefix}_count"),
+          count(lit(1)).as(s"${prefix}_distinct"),
+          max("__c").as(s"__top_$prefix"),
+          sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as(s"__dup_$prefix"))
+
+    val uni = termStats(toks, "token")
+    // all bigram INSTANCES (with multiplicity), not the distinct set
+    val bi = termStats(Shingling.shingles(toks, 2), "bigram")
+
+    def frac(num: Column, den: Column): Column = num / when(den > 0, den)
+
+    df.select(id)
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+      .select(
+        id,
+        coalesce(col("token_count"), lit(0L)).as("token_count"),
+        frac(col("token_distinct"), col("token_count")).as("distinct_token_ratio"),
+        frac(col("__top_token"), col("token_count")).as("top_token_frac"),
+        frac(col("__dup_token"), col("token_count")).as("dup_token_frac"),
+        coalesce(col("bigram_count"), lit(0L)).as("bigram_count"),
+        frac(col("__top_bigram"), col("bigram_count")).as("top_bigram_frac"),
+        frac(col("__dup_bigram"), col("bigram_count")).as("dup_bigram_frac"))
+  }
+
+  /** Concat-and-chunk sequence packing — assign every document a
+    * (shard, pack_id, pack_offset) for fixed-size training windows of
+    * `budget` tokens: documents are concatenated in id order within a
+    * shard and chunked every `budget` tokens (a doc straddling a chunk
+    * boundary belongs to the pack where it starts). This is the
+    * standard LLM pre-training batching layout.
+    *
+    * Scale: the running sum is a window PARTITIONED BY shard — never a
+    * global sort (the `ntile` trap). Set `shards` ≈ cluster parallelism
+    * so each task sorts only its shard; `doc_id % shards` keeps the
+    * assignment engine-portable and re-run-stable. Integer `div`/`pmod`
+    * throughout — exact at any magnitude.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0, s"need positive budget/shards, got $budget/$shards")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(id)
+    df.select(
+        id,
+        pmod(id.cast("long"), lit(shards.toLong)).as("shard"),
+        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"))
+      .withColumn("__start", sum(col("token_count")).over(w) - col("token_count"))
+      .select(
+        id, col("shard"), col("token_count"),
+        expr(s"__start div $budget").as("pack_id"),
+        pmod(col("__start"), lit(budget.toLong)).as("pack_offset"))
+  }
+
+  /** `https?://host` domain extractor (capture group 1 = the authority
+    * up to the first slash). RE2/Java-shared syntax, like the PII
+    * patterns above. */
+  val DomainPattern = "https?://([^/\\s]+)"
+
+  private def domainsOf(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit(UrlPattern), lit(0)),
+      u => lower(regexp_extract(u, DomainPattern, 1)))
+
+  /** Per-domain URL statistics over the corpus: (domain, n_urls,
+    * n_docs). The provenance/blocklist audit a web-scale pipeline runs
+    * before filtering. One explode + one hash aggregate (count-distinct
+    * is Spark's two-phase partial-agg form) — inverted-index shape.
+    */
+  def urlDomainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    df.select(id, explode(domainsOf(graft.ops.Cleaning.qcol(textCol))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(id).as("n_docs"))
+  }
+
+  /** Drop documents containing a URL from a blocked domain. Row-local
+    * narrow filter (the blocklist ships as a literal array — for
+    * million-entry blocklists switch to a broadcast left_anti join on
+    * the exploded domains instead). Docs with no URLs always survive.
+    */
+  def filterBlockedDomains(
+      df: DataFrame, textCol: String, blocked: Seq[String]): DataFrame = {
+    val blockedLit = lit(blocked.map(_.toLowerCase).toArray)
+    // coalesce: null text has no domains (arrays_overlap(null,…) is
+    // null, which the filter would silently drop)
+    val doms = coalesce(
+      domainsOf(graft.ops.Cleaning.qcol(textCol)), array().cast("array<string>"))
+    df.filter(!arrays_overlap(doms, blockedLit))
+  }
+
   /** One-call corpus-preparation pipeline — the standard training-data
     * recipe as a single composition:
     *   1. quality filter (length/punctuation thresholds, `qualityTable`)

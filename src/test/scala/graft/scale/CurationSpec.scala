@@ -1,0 +1,155 @@
+package graft.scale
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Round-3 corpus-curation operators: repetition signals, sequence
+  * packing, domain stats/blocklist, int8 quantization, token-budget
+  * mixture sampling.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a a a a b", "s0"),             // heavy unigram repetition
+    (1L, "a b c d e f g h", "s0"),       // all distinct
+    (2L, "x y x y x y", "s1"),           // bigram "x y" repeats
+    (3L, "", "s1"),                      // empty
+    (4L, "solo", "s1")                   // single token
+  ).toDF("doc_id", "text", "source")
+
+  test("repetitionStats: fractions match hand computation") {
+    val m = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: 5 tokens, 2 distinct, top "a"=4, dup mass 4
+    assert(m(0L).getLong(1) == 5L)
+    assert(m(0L).getDouble(2) == 2.0 / 5)
+    assert(m(0L).getDouble(3) == 4.0 / 5)
+    assert(m(0L).getDouble(4) == 4.0 / 5)
+    // doc 0 bigrams: [a a, a a, a a, a b] -> top 3/4, dup 3/4
+    assert(m(0L).getLong(5) == 4L)
+    assert(m(0L).getDouble(6) == 3.0 / 4)
+    assert(m(0L).getDouble(7) == 3.0 / 4)
+    // doc 1: no repetition anywhere
+    assert(m(1L).getDouble(2) == 1.0 && m(1L).getDouble(4) == 0.0 && m(1L).getDouble(7) == 0.0)
+    // doc 2 bigrams: [x y, y x, x y, y x, x y] -> top "x y"=3 of 5
+    assert(m(2L).getDouble(6) == 3.0 / 5)
+    // doc 3: empty -> zero counts, null ratios, ONE degenerate "" bigram
+    assert(m(3L).getLong(1) == 0L && m(3L).isNullAt(2) && m(3L).getLong(5) == 1L)
+    // doc 4: single token -> whole-text bigram fallback
+    assert(m(4L).getLong(1) == 1L && m(4L).getLong(5) == 1L)
+  }
+
+  test("packSequences: greedy concat-and-chunk per shard") {
+    val d = (0L until 20L).map(i => (i, Seq.fill(30)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, "doc_id", "text", budget = 100, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 20)
+    out.foreach { case (id, shard, tok, _, _) =>
+      assert(shard == id % 2 && tok == 30L)
+    }
+    // shard 0 docs in id order: starts 0,30,60,90,... -> packs 0,0,0,0,1,1,1,2,...
+    val shard0 = out.filter(_._2 == 0L).sortBy(_._1)
+    assert(shard0.map(_._4).toSeq == shard0.indices.map(i => (i * 30L) / 100L).toSeq)
+    assert(shard0.map(_._5).toSeq == shard0.indices.map(i => (i * 30L) % 100L).toSeq)
+  }
+
+  test("packSequences is partitioning-invariant") {
+    val d = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val a = TextAnalysis.packSequences(d, "doc_id", "text", 7, 4).collect().toSet
+    val b = TextAnalysis.packSequences(d.repartition(13), "doc_id", "text", 7, 4).collect().toSet
+    assert(a == b)
+  }
+
+  test("urlDomainStats counts urls and distinct docs per domain") {
+    val d = Seq(
+      (0L, "see https://A.com/x and https://a.com/y plus http://b.org/z"),
+      (1L, "only https://a.com/q here"),
+      (2L, "no urls at all")).toDF("doc_id", "text")
+    val m = TextAnalysis.urlDomainStats(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("a.com" -> (3L, 2L), "b.org" -> (1L, 1L)))
+  }
+
+  test("filterBlockedDomains drops only docs touching blocked domains") {
+    val d = Seq(
+      (0L, "see https://bad.com/x"),
+      (1L, "see https://good.com/x"),
+      (2L, "no urls"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val kept = TextAnalysis.filterBlockedDomains(d, "text", Seq("BAD.com"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // null text survives; case-insensitive block
+  }
+
+  test("quantizeInt8Table: near-unit cosine, bounded error, exact scale") {
+    val d = Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f, 254.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Embeddings.quantizeInt8Table(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getDouble(1) == 2.0) // 254/127
+    assert(rows(0L).getDouble(2) > 0.999) // reconstruction cosine
+    assert(rows(0L).getDouble(3) <= 1.0 + 1e-9) // max err <= scale/2
+    // zero vector: null scale and metrics, not a crash or a zero-div
+    assert(rows(1L).isNullAt(1) && rows(1L).isNullAt(2))
+  }
+
+  test("quantize codes clamp to [-127, 127] and roundtrip via recon") {
+    val d = Seq((0L, Array(10.0f, -127.5f, 0.1f))).toDF("vec_id", "embedding")
+    val q = d.select(
+      Embeddings.quantize(col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0).as("q"))
+      .head().getSeq[Int](0)
+    assert(q.forall(v => v >= -127 && v <= 127))
+    assert(q(1) == -127)
+  }
+
+  test("sampleByTokenBudget caps over-budget groups, keeps others whole") {
+    val d = (0L until 300L).map { i =>
+      val src = if (i < 200) "big" else "small"
+      (i, Seq.fill(10)("w").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    // big: 2000 tokens vs budget 400 -> rate 0.2; small: unmapped -> kept
+    val kept = Sampling.sampleByTokenBudget(d, "doc_id", "text", "source",
+      Map("big" -> 400L, "absent" -> 1L))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 100L)
+    assert(bySrc("big") > 20L && bySrc("big") < 60L) // ~40 expected at rate .2
+    // deterministic + partitioning-invariant
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByTokenBudget(d.repartition(11), "doc_id", "text", "source",
+      Map("big" -> 400L, "absent" -> 1L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // zero budget empties the group
+    val none = Sampling.sampleByTokenBudget(d, "doc_id", "text", "source", Map("big" -> 0L))
+    assert(none.filter(col("source") === "big").count() == 0L)
+    assert(none.filter(col("source") === "small").count() == 100L)
+  }
+
+  test("nearDupEmbedding full-recall banding equals brute-force pairs") {
+    // 40 vectors in 4 tight clusters + noise: every intra-cluster pair
+    // has cosine ~1, cross-cluster pairs are far lower
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 4)
+      (i.toLong, b.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val lsh = Dedup.nearDupEmbedding(d, "vec_id", "embedding",
+      bits = 2, tables = 48, threshold = 0.9, dim = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = vecs.combinations(2).map(_.toList).collect {
+      case List((ia, va), (ib, vb)) =>
+        val dt = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+        ((ia, ib), dt / (na * nb))
+    }.filter(_._2 >= 0.9).map(_._1).toSet
+    assert(lsh == brute && brute.size >= 40) // 4 clusters of 10 -> >= 4*45... bounded below loosely
+  }
+}
