@@ -320,9 +320,13 @@ object SparkEntry {
       Dedup.nearDupMinhash(T(s, d, "documents"), "doc_id", "text",
         k = 3, numHashes = 64, bands = 64, threshold = 0.3)),
 
+    // portable two-polynomial fingerprint + uncapped buckets: pigeonhole
+    // recall is EXACT, so the output equals the all-pairs Hamming set
+    // the DuckDB oracle computes by brute force. The xxhash64 fingerprint
+    // and the skew cap stay the production defaults (DedupSpec).
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.nearDupSimhash(T(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3, maxBucketSize = 200)),
+        maxHamming = 3, maxBucketSize = 0, portable = true)),
 
     "x_dedup_ngram" -> ((s, d) =>
       Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
@@ -1396,6 +1400,31 @@ object SparkEntry {
         |SELECT CAST(ws // 1000 AS BIGINT) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // brute-force mirror of the portable 60-bit SimHash: per-token
+    // 31-/131-base polynomial hashes over codepoints (same fold as s7),
+    // per-bit majority, then all-pairs Hamming via xor + bit_count.
+    // The Spark side's pigeonhole bucketing has exact recall, so the
+    // pair sets match exactly.
+    "x_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |th AS (SELECT doc_id, unnest(list_transform(toks, t ->
+         |         [CASE WHEN t = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |            (a, b) -> (a * 31 + b) % 2147483647) END,
+         |          CASE WHEN t = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |            (a, b) -> (a * 131 + b) % 2147483647) END])) AS h
+         |       FROM d),
+         |bits AS (SELECT doc_id, j,
+         |           sum((CASE WHEN j < 30 THEN (h[1] >> j) & 1 ELSE (h[2] >> (j - 30)) & 1 END) * 2 - 1) AS sgn
+         |         FROM th, range(0, 60) t(j) GROUP BY 1, 2),
+         |fps AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+         |        FROM bits GROUP BY 1),
+         |fp AS (SELECT d.doc_id, coalesce(fps.f, 0) AS f FROM d LEFT JOIN fps ON d.doc_id = fps.doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+         |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
 
     // exhaustive all-pairs cosine — the full-recall LSH config's output
     // (see the x_dedup_embedding query comment); same fold order as the

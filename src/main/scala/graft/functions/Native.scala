@@ -211,6 +211,56 @@ object Native {
     override def prettyName: String = "simhash64"
   }
 
+  /** Engine-portable 60-bit SimHash of a token array: per-token hash =
+    * two 31-base/131-base polynomial rolling hashes mod 2^31-1 over the
+    * token's codepoints (the `portableFingerprint` arithmetic — Spark
+    * `ascii()` == DuckDB `unicode()` even for CJK); fingerprint bit j
+    * is the majority sign of bit j across token hashes, lower 30 bits
+    * of each polynomial. Every operation is integer arithmetic a SQL
+    * oracle reproduces bit-for-bit — unlike xxhash64's `SimHash64`,
+    * which is faster but engine-specific. Products stay < 2^38, far
+    * inside ANSI-mode long range.
+    */
+  case class SimHashPortable(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val sums = new Array[Int](60)
+      var i = 0
+      while (i < n) {
+        val s = toks.getUTF8String(i).toString
+        var h1 = 0L
+        var h2 = 0L
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          h1 = (h1 * 31L + cp) % 2147483647L
+          h2 = (h2 * 131L + cp) % 2147483647L
+          ci += Character.charCount(cp)
+        }
+        var j = 0
+        while (j < 30) {
+          if (((h1 >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+        while (j < 60) {
+          if (((h2 >>> (j - 30)) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 60) { if (sums(j) > 0) fp |= (1L << j); j += 1 }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash_portable"
+  }
+
   /** Random-hyperplane LSH keys: one sign-bit signature per table.
     * planes(t)(p) is a dim-length hyperplane; key_t bit p is set iff
     * dot(vec, planes(t)(p)) >= 0. Output array<long> of length tables.
@@ -312,6 +362,9 @@ object Native {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(ex(tokens)))
+
+  def simhashPortable(tokens: Column): Column =
+    GraftBridge.column(SimHashPortable(ex(tokens)))
 
   def hashedShingleSet(tokens: Column, k: Int): Column =
     GraftBridge.column(HashedShingleSet(ex(tokens), k))

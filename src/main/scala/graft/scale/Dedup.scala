@@ -275,17 +275,32 @@ object Dedup {
     graft.functions.Native.simhash64(tokens)
 
   /** SimHash near-dup pairs within a Hamming-distance budget.
-    * Candidate generation by the pigeonhole principle: split the 64-bit
+    * Candidate generation by the pigeonhole principle: split the
     * fingerprint into (maxHamming+1) chunks; any pair within the budget
     * shares at least one exact chunk → bucket-join on (chunk index,
-    * chunk value), then verify true Hamming distance.
+    * chunk value), then verify true Hamming distance. Recall is EXACT
+    * (not probabilistic) unless `maxBucketSize` drops degenerate
+    * buckets.
+    *
+    * `portable = true` swaps the xxhash64 token hash for the 60-bit
+    * two-polynomial form (`Native.simhashPortable`) whose every step a
+    * SQL engine reproduces — the oracle-checkable configuration; the
+    * xxhash64 default is the (faster) production path. Fingerprint
+    * width divides into chunks either way (64/4 and 60/4); any bits
+    * past chunks*bitsPer are verified by the Hamming filter but unused
+    * for bucketing, which can only add candidates, never lose one.
     */
   def nearDupSimhash(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 0,
+      portable: Boolean = false): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val fp = df.select(graft.ops.Cleaning.qcol(idCol), simhash(TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))).as("fp"))
+    val fpBits = if (portable) 60 else 64
+    val bitsPer = fpBits / chunks
+    val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
+    val fpExpr =
+      if (portable) graft.functions.Native.simhashPortable(toks) else simhash(toks)
+    val fp = df.select(graft.ops.Cleaning.qcol(idCol), fpExpr.as("fp"))
 
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),

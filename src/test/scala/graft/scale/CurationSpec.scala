@@ -130,6 +130,43 @@ class CurationSpec extends AnyFunSuite {
     assert(none.filter(col("source") === "small").count() == 100L)
   }
 
+  test("portable simhash: pigeonhole pairs equal brute-force Hamming pairs") {
+    val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = (0L until 30L).map { i =>
+      val txt =
+        if (i % 3 == 0) base.mkString(" ")
+        else base.updated((i % 8).toInt, s"tok$i").mkString(" ")
+      (i, txt)
+    }
+    val out = Dedup.nearDupSimhash(docs.toDF("doc_id", "text"), "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 0, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // driver-side reference implementation of the 60-bit portable simhash
+    def fp(txt: String): Long = {
+      val sums = new Array[Int](60)
+      txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        var h1 = 0L; var h2 = 0L
+        t.codePoints().forEach { cp =>
+          h1 = (h1 * 31 + cp) % 2147483647L
+          h2 = (h2 * 131 + cp) % 2147483647L
+        }
+        (0 until 30).foreach { j =>
+          sums(j) += (if (((h1 >> j) & 1) == 1) 1 else -1)
+          sums(30 + j) += (if (((h2 >> j) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 60).foldLeft(0L)((acc, j) => if (sums(j) > 0) acc | (1L << j) else acc)
+    }
+    val fps = docs.map { case (i, t) => (i, fp(t)) }
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(out == brute)
+    assert(brute.exists { case (a, b, h) => h == 0 }) // the i%3==0 clones
+  }
+
   test("nearDupEmbedding full-recall banding equals brute-force pairs") {
     // 40 vectors in 4 tight clusters + noise: every intra-cluster pair
     // has cosine ~1, cross-cluster pairs are far lower
