@@ -336,10 +336,13 @@ object SparkEntry {
     // < 3e-11 — in practice the output equals the exhaustive cosine
     // pair set, which the DuckDB oracle computes all-pairs. Production
     // banding (wider keys, fewer tables) stays the API default; this
-    // config is the correctness gate for the same machinery.
+    // config is the correctness gate for the same machinery, run on a
+    // bounded 1000-vector slice (the low-bit banding is quadratic by
+    // design — the gate doesn't need the whole corpus to exercise it).
     "x_dedup_embedding" -> ((s, d) =>
-      Dedup.nearDupEmbedding(T(s, d, "embeddings"), "vec_id", "embedding",
-        bits = 2, tables = 48, threshold = 0.4)
+      Dedup.nearDupEmbedding(
+        T(s, d, "embeddings").filter(col("vec_id") < 1000),
+        "vec_id", "embedding", bits = 2, tables = 48, threshold = 0.4)
         .select(col("id_a"), col("id_b"),
           Rounding.halfUp(col("cosine"), 6).as("cosine"))),
 
@@ -1435,7 +1438,8 @@ object SparkEntry {
         |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
         |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
         |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 1000 AND b.vec_id < 1000),
         |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c WHERE cos >= 0.4""".stripMargin,

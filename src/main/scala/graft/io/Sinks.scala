@@ -44,6 +44,26 @@ object Sinks {
   def writeJsonl(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").json(outDir)
 
+  /** Bucketed managed-table sink: pre-hash rows into `buckets` files per
+    * partition by `bucketCols` (optionally sorted within buckets) so
+    * every later equi-join or aggregation on those keys is SHUFFLE-FREE
+    * — the scan's output partitioning already satisfies the join's
+    * requirement. This is the 100 TB answer to "the fact table is
+    * joined on the same key by every query": pay the shuffle once at
+    * ingest, never again (BucketingSpec asserts the Exchange-free
+    * join plan). `saveAsTable` is required — Spark's bucket metadata
+    * lives in the catalog, plain parquet paths carry none.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0 && bucketCols.nonEmpty, "need buckets > 0 and at least one bucket column")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S6 — JSON bundle `{table: [row-objects]}` (app.py:607-615).
     * Row objects preserve column order via toJSON (Jackson keeps field
     * order = schema order, like pandas to_dict(orient="records")).
