@@ -562,6 +562,22 @@ object SparkEntry {
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // ingest audit: one pass, all requested columns
+    "s15_profile" -> ((s, d) =>
+      Stats.profile(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_custkey"))),
+
+    // hot-key join through the salt fan-out: output equals the plain
+    // join (the salt is internal), so the oracle is the plain SQL join
+    "j3_salted_join" -> ((s, d) => {
+      val ev = T(s, d, "events").select(col("user_id"), col("event_type"))
+      val userTotals = T(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      graft.ops.Skew.saltedJoin(ev, userTotals, "user_id", salts = 8)
+        .groupBy("event_type")
+        .agg(sum("user_events").as("sum_user_events"), count(lit(1)).as("n"))
+    }),
+
     // mixture construction: cap three sources (one to zero), leave the
     // rest whole; emit the per-source audit the pipeline would log
     "x_corpus_mixture" -> ((s, d) => {
@@ -1545,6 +1561,30 @@ object SparkEntry {
         |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
         |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
         |FROM m""".stripMargin,
+
+    "s15_profile" ->
+      """SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT) AS n_distinct
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(c_mktsegment) AS BIGINT),
+        |       CAST(count(DISTINCT CAST(c_mktsegment AS VARCHAR)) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(c_nationkey) AS BIGINT),
+        |       CAST(count(DISTINCT CAST(c_nationkey AS VARCHAR)) AS BIGINT)
+        |FROM customer""".stripMargin,
+
+    "j3_salted_join" ->
+      """WITH ut AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST(sum(ut.user_events) AS BIGINT) AS sum_user_events,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN ut ON e.user_id = ut.user_id
+        |GROUP BY 1""".stripMargin,
 
     // same affine hash mod 1000003 and the same least(1, budget/total)
     // rate arithmetic; src5's zero budget drops the group entirely

@@ -37,6 +37,31 @@ object Stats {
     * across partitions. `describe` above is the exact oracle-checked
     * baseline; specs pin the two within sketch tolerance.
     */
+  /** Column-level data-quality profile: (col_name, n_rows, n_null,
+    * n_distinct) per requested column — the ingest audit an ETL
+    * pipeline runs before trusting a new delivery (and the first thing
+    * the reference's users eyeball in the pandas `df.info()` habit).
+    *
+    * Values are compared in their canonical string form so one unpivot
+    * covers heterogeneous column types. Shape: explode ×|cols| then ONE
+    * hash aggregate — a single pass over the data however many columns
+    * are profiled; count-distinct is Spark's two-phase partial form.
+    * `approx = true` swaps exact distinct for HLL `approx_count_distinct`
+    * (the 100 TB default; not oracle-able, spec-covered).
+    */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val kvs = cols.map(c => struct(
+      lit(c).as("col_name"), Cleaning.qcol(c).cast("string").as("value")))
+    val stacked = df.select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
+    stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+      (if (approx) approx_count_distinct(col("value")) else countDistinct(col("value")))
+        .as("n_distinct"))
+  }
+
   def describeApprox(df: DataFrame, column: String, accuracy: Int = 10000): DataFrame = {
     val c = Cleaning.toNumeric(Cleaning.qcol(column))
     val agged = df.agg(

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SkewProfileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin output equals the plain join, under any partitioning") {
+    // 90% of rows share one hot key
+    val left = (0L until 1000L)
+      .map(i => (if (i < 900) 7L else i % 50, s"v$i")).toDF("k", "lv")
+    val right = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "rv")
+    val plain = left.join(right, "k").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    val saltedRep = Skew.saltedJoin(left.repartition(13), right, "k", salts = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(saltedRep == plain)
+  }
+
+  test("saltedJoin left_outer keeps unmatched left rows exactly once") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    val out = Skew.saltedJoin(left, right, "k", salts = 4, joinType = "left_outer")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.length == 3)
+    assert(out.count(_._3.isEmpty) == 1)
+  }
+
+  test("profile counts rows, nulls, and distincts per column") {
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("a"), None),
+      (Some("b"), Some(2)), (None, Some(2))
+    ).toDF("s", "i")
+    val m = Stats.profile(df, Seq("s", "i")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("s") == ((4L, 1L, 2L))) // a, a, b, null
+    assert(m("i") == ((4L, 1L, 2L))) // 1, null, 2, 2
+  }
+
+  test("profile approx mode returns counts in the right ballpark") {
+    val df = (0L until 5000L).map(i => i % 1000).toDF("v")
+    val r = Stats.profile(df, Seq("v"), approx = true).head()
+    assert(r.getLong(1) == 5000L && r.getLong(2) == 0L)
+    val nd = r.getLong(3)
+    assert(nd > 900L && nd < 1100L) // HLL within a few percent of 1000
+  }
+}
