@@ -541,6 +541,10 @@ object SparkEntry {
     "x_stream_sliding" -> ((s, d) =>
       Streams.slidingCounts(T(s, d, "events"), "1 hour", "30 minutes")),
 
+    "x_stream_attrib" -> ((s, d) =>
+      Streams.attributionJoin(T(s, d, "events"), "click", "purchase", gapMinutes = 30)
+        .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))),
+
     // --- §7.4 corpus curation (round 3) ------------------------------
     "x_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(T(s, d, "documents"), "doc_id", "text")),
@@ -1419,6 +1423,17 @@ object SparkEntry {
         |SELECT CAST(ws // 1000 AS BIGINT) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // micros-floor gap arithmetic on both sides (see attributionJoin's
+    // scaladoc on nanosecond-source precision)
+    "x_stream_attrib" ->
+      """WITH a AS (SELECT user_id, ts AS from_ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts AS to_ts FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_attributed
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND epoch_us(b.to_ts) - epoch_us(a.from_ts) > 0
+        |  AND epoch_us(b.to_ts) - epoch_us(a.from_ts) <= 1800000000
+        |GROUP BY 1""".stripMargin,
 
     // brute-force mirror of the portable 60-bit SimHash: per-token
     // 31-/131-base polynomial hashes over codepoints (same fold as s7),

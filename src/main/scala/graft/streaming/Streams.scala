@@ -125,6 +125,73 @@ object Streams {
     }.reduce(_.unionByName(_))
   }
 
+  /** Attribution (interval) join: every `toType` event by the same user
+    * within (0, gapMinutes] after a `fromType` event — click-to-purchase
+    * attribution, the canonical stream-stream join. Batch form.
+    *
+    * The gap test is explicit MICROSECOND epoch arithmetic, not raw
+    * timestamp comparison: the source parquet is nanosecond-precision,
+    * Spark truncates to micros while DuckDB keeps nanos, so a raw
+    * `to_ts <= from_ts + INTERVAL` would disagree on sub-microsecond
+    * boundaries. Floored micros are identical in both engines.
+    *
+    * Scale: equi-join on user_id (co-partitioned shuffle) with the time
+    * range as a post-join filter — never a time-only cross product.
+    */
+  def attributionJoin(
+      events: DataFrame, fromType: String, toType: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val l = events.filter(col("event_type") === fromType)
+      .select(col("user_id"), col("ts").as("from_ts"))
+    val r = events.filter(col("event_type") === toType)
+      .select(col("user_id").as("__r_uid__"), col("ts").as("to_ts"))
+    val du = unix_micros(col("to_ts")) - unix_micros(col("from_ts"))
+    l.join(r,
+        col("user_id") === col("__r_uid__") &&
+          du > 0 && du <= gapMinutes * 60000000L)
+      .select(col("user_id"), col("from_ts"), col("to_ts"))
+  }
+
+  /** Streaming form: both sides watermarked, so the join state the
+    * runtime buffers is bounded by watermark + gap (left rows older
+    * than the horizon can never match a new right row and are evicted).
+    * Same operators as the batch form — `attributionJoin` is its oracle.
+    */
+  def attributionJoinStream(
+      events: DataFrame, fromType: String, toType: String,
+      gapMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val l = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === fromType)
+      .select(col("user_id"), col("ts").as("from_ts"))
+    val r = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === toType)
+      .select(col("user_id").as("__r_uid__"), col("ts").as("to_ts"))
+    l.join(r,
+        col("user_id") === col("__r_uid__") &&
+          col("to_ts") > col("from_ts") &&
+          col("to_ts") <= col("from_ts") + expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("user_id"), col("from_ts"), col("to_ts"))
+  }
+
+  /** Streaming corpus curation: the row-local quality filter composes
+    * unchanged onto a stream (narrow maps are trivially incremental);
+    * exact content dedup keys on the normalized-token fingerprint with
+    * state bounded by the watermark horizon. The streaming counterpart
+    * of `TextAnalysis.cleanCorpus`'s filter+exact-dedup stages (near-dup
+    * clustering stays a batch compaction — it needs the pair graph).
+    */
+  def curateStream(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val t = graft.ops.Cleaning.qcol(textCol)
+    docs.filter(graft.scale.TextAnalysis.qualityKeep(t))
+      .withColumn("__fp__",
+        xxhash64(array_join(graft.scale.TextAnalysis.tokens(t), " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp__")
+      .drop("__fp__")
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

@@ -112,6 +112,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(2) == 1L))
   }
 
+  test("attributionJoin: purchases within the gap after a click, batch vs stream") {
+    val ev = Seq(
+      (1L, ts(0), "click", 0.0), (1L, ts(10), "purchase", 0.0),   // attributed
+      (1L, ts(45), "purchase", 0.0),                              // outside 30min
+      (2L, ts(5), "purchase", 0.0), (2L, ts(6), "click", 0.0),    // purchase BEFORE click
+      (3L, ts(1), "click", 0.0), (3L, ts(2), "click", 0.0),
+      (3L, ts(20), "purchase", 0.0)                               // matches BOTH clicks
+    ).toDF("user_id", "ts", "event_type", "value")
+    val batch = Streams.attributionJoin(ev, "click", "purchase", 30)
+      .select("user_id").as[Long].collect().toSeq.sorted
+    assert(batch == Seq(1L, 3L, 3L))
+
+    // streaming form over the same data matches
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = Streams.attributionJoinStream(df, "click", "purchase", 30, "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("attrout").start()
+    try {
+      mem.addData(ev.as[(Long, Timestamp, String, Double)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrout").select("user_id").as[Long].collect().toSeq.sorted
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("curateStream: quality filter + watermarked content dedup on a stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.curateStream(df, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("curout").start()
+    try {
+      val good = "plain clean sentence with enough tokens here"
+      mem.addData(
+        (1L, ts(0), good),
+        (2L, ts(1), "Plain  clean sentence WITH enough tokens here"), // same normalized content
+        (3L, ts(2), "!!! ??? ***"),                                   // fails quality
+        (4L, ts(3), "short"),                                         // < 5 tokens
+        (5L, ts(4), "a different clean document with many tokens"))
+      q.processAllAvailable()
+      val ids = spark.table("curout").select("doc_id").as[Long].collect().toSet
+      // doc 2 deduped against 1 (same token stream), 3-4 filtered
+      assert(ids == Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch oracle on closed sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
