@@ -65,6 +65,45 @@ object ScaleProbe {
     time("x_sim_ivf probe=4 10x")(ivf(e10, 4))
     time("x_sim_ivf probe=4 10x")(ivf(e10, 4))
     time("x_sim_ivf probe=16 10x")(ivf(e10, 16))
+
+    // round-3 curation family: all narrow maps / single hash aggs /
+    // shard-partitioned windows — expect ~1× at 10× the documents
+    val docs = graft.io.Sources.table(spark, sfDir, "documents")
+    val d10 = times10(docs, "doc_id")
+    def rep(d: DataFrame): Long =
+      graft.scale.TextAnalysis.repetitionStats(d, "doc_id", "text").count()
+    def pack(d: DataFrame): Long =
+      graft.scale.TextAnalysis.packSequences(d, "doc_id", "text", 256, 32).count()
+    def mix(d: DataFrame): Long =
+      graft.scale.Sampling.sampleByTokenBudget(d, "doc_id", "text", "source",
+        Map("src0" -> 500L, "src1" -> 800L, "src5" -> 0L)).count()
+    def quant(e: DataFrame): Long =
+      graft.scale.Embeddings.quantizeInt8Table(e, "vec_id", "embedding").count()
+    def prof(d: DataFrame): Long =
+      graft.ops.Stats.profile(d, Seq("lang", "source", "n_chars"), approx = true).count()
+    rep(docs); pack(docs); mix(docs); quant(emb); prof(docs)
+    time("x_text_repetition 1x")(rep(docs))
+    time("x_text_repetition 10x")(rep(d10))
+    time("x_text_pack 1x")(pack(docs))
+    time("x_text_pack 10x")(pack(d10))
+    time("x_corpus_mixture 1x")(mix(docs))
+    time("x_corpus_mixture 10x")(mix(d10))
+    time("x_emb_quant 1x")(quant(emb))
+    time("x_emb_quant 10x")(quant(e10))
+    time("s15_profile(approx) 1x")(prof(docs))
+    time("s15_profile(approx) 10x")(prof(d10))
+
+    // salted join at 10x events: the hot-key spread must hold
+    val events = graft.io.Sources.table(spark, sfDir, "events")
+    def salted(ev: DataFrame): Long = {
+      val totals = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      graft.ops.Skew.saltedJoin(ev.select(col("user_id"), col("event_type")),
+        totals, "user_id", 8).count()
+    }
+    val ev10 = times10(events, "event_id")
+    salted(events)
+    time("j3_salted_join 1x")(salted(events))
+    time("j3_salted_join 10x")(salted(ev10))
     spark.stop()
   }
 }

@@ -126,6 +126,73 @@ class PropertiesSpec extends AnyFunSuite {
     assert(small.subsetOf(big))
   }
 
+  test("packSequences: token mass is conserved and packs never start past the budget") {
+    val docGen = Gen.listOfN(60, Gen.choose(0, 40))
+    samples(docGen, 5).foreach { lens =>
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.scale.TextAnalysis.packSequences(df, "doc_id", "text", budget = 50, shards = 4)
+        .select("doc_id", "shard", "token_count", "pack_id", "pack_offset")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.length == lens.length)
+      // token counts survive the packing untouched
+      assert(out.map(_._3).sum == lens.map(_.toLong).sum)
+      out.foreach { case (_, shard, _, packId, off) =>
+        assert(shard >= 0 && shard < 4)
+        assert(off >= 0 && off < 50) // a doc STARTS strictly inside its pack
+        assert(packId >= 0)
+      }
+      // within a shard, (pack_id, offset) is non-decreasing in doc order
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_._1).map(r => r._4 * 50 + r._5)
+        assert(ordered.sameElements(ordered.sorted))
+      }
+    }
+  }
+
+  test("sampleByTokenBudget: kept is a subset, under-budget groups intact") {
+    val lensGen = Gen.listOfN(50, Gen.choose(1, 20))
+    samples(lensGen, 5).foreach { lens =>
+      val df = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "), s"g${i % 3}")
+      }.toDF("doc_id", "text", "source")
+      val kept = graft.scale.Sampling.sampleByTokenBudget(
+        df, "doc_id", "text", "source", Map("g0" -> 30L, "g1" -> 1000000L))
+        .select("doc_id").as[Long].collect().toSet
+      val all = (0 until lens.length).map(_.toLong).toSet
+      assert(kept.subsetOf(all))
+      // g1 is far under budget, g2 unmapped: both fully kept
+      assert(all.filter(i => i % 3 == 1 || i % 3 == 2).subsetOf(kept))
+    }
+  }
+
+  test("repetitionStats ratios live in [0,1] and distinct+dup are consistent") {
+    val textGen = Gen.listOfN(30, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" "))
+    samples(textGen, 8).zipWithIndex.foreach { case (txt, i) =>
+      val df = Seq((i.toLong, txt)).toDF("doc_id", "text")
+      val r = graft.scale.TextAnalysis.repetitionStats(df, "doc_id", "text").head()
+      val ratios = Seq(2, 3, 4, 6, 7).map(r.getDouble)
+      ratios.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      // a token is duplicated iff it is not unique: distinct + dup bounds
+      val (distinctRatio, dupRatio) = (r.getDouble(2), r.getDouble(4))
+      assert(distinctRatio + dupRatio >= 1.0 - 1e-9) // uniques + dup mass cover all
+    }
+  }
+
+  test("int8 quantization error is bounded by scale/2 elementwise") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-100.0, 100.0).map(_.toFloat))
+    samples(vecGen, 8).zipWithIndex.foreach { case (v, i) =>
+      if (v.exists(_ != 0f)) {
+        val df = Seq((i.toLong, v.toArray)).toDF("vec_id", "embedding")
+        val r = graft.scale.Embeddings.quantizeInt8Table(df, "vec_id", "embedding").head()
+        val scale = r.getDouble(1)
+        assert(r.getDouble(3) <= scale / 2 + 1e-6) // halfUp never strays past scale/2
+        assert(r.getDouble(2) > 0.95) // 16-dim reconstruction stays near-parallel
+      }
+    }
+  }
+
   test("native jaccard is symmetric, bounded, and 1 on self") {
     val arrGen = Gen.listOfN(15, Gen.choose(1L, 20L)).map(_.distinct.sorted)
     samples(Gen.zip(arrGen, arrGen)).foreach { case (a, b) =>
