@@ -270,6 +270,18 @@ object SparkEntry {
         allowedLangs = Seq("en", "es"))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // end-to-end training-shard manifest: clean the corpus, then assign
+    // every surviving document its (shard, pack, offset) — the file a
+    // trainer's data loader actually consumes. One composed lazy plan;
+    // the oracle chains the same packing CTEs onto the recursive
+    // corpus-clean SQL.
+    "x_corpus_manifest" -> ((s, d) => {
+      val clean = TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
+        allowedLangs = Seq("en", "es"))
+      TextAnalysis.packSequences(clean, "doc_id", "text", budget = 256, shards = 8)
+        .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    }),
+
     // --- §2.2 transforms ---------------------------------------------
     "t5_codebook_recode" -> ((s, d) => {
       val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
@@ -553,6 +565,20 @@ object SparkEntry {
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
 
+    "x_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(T(s, d, "documents"), "doc_id", "text",
+        chunk = 32, overlap = 8)),
+
+    // incremental ingest: docs >= 400 are "the new delivery", the rest
+    // are the already-accepted index; survivors have novel content
+    "x_dedup_incr" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.dedupAgainstIndex(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // synthesize URLs into the corpus (same pattern as x_text_redact's
     // PII synthesis) so the domain extractor has real work at every SF
     "x_text_domains" -> ((s, d) =>
@@ -711,7 +737,7 @@ object SparkEntry {
     * representatives — composed from the same SQL pieces the individual
     * stage oracles use.
     */
-  private val corpusCleanSql: String = {
+  private val corpusCleanCtes: String = {
     val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
       s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
     }.mkString(",\n  ")
@@ -745,11 +771,27 @@ object SparkEntry {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-       |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
-       |SELECT s.doc_id, s.lang, s.source
-       |FROM surv s LEFT JOIN lbls ON s.doc_id = lbls.rid
-       |WHERE lbls.cluster IS NULL OR lbls.cluster = s.doc_id""".stripMargin
+       |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+       |clean AS (SELECT s.doc_id, s.lang, s.source, s.text
+       |          FROM surv s LEFT JOIN lbls ON s.doc_id = lbls.rid
+       |          WHERE lbls.cluster IS NULL OR lbls.cluster = s.doc_id)""".stripMargin
   }
+
+  private val corpusCleanSql: String =
+    corpusCleanCtes + "\nSELECT doc_id, lang, source FROM clean"
+
+  /** The manifest oracle: the corpus-clean CTE chain + shard-partitioned
+    * packing over the survivors — the same composition the Spark query
+    * performs. */
+  private val corpusManifestSql: String =
+    corpusCleanCtes + s""",
+       |ct AS (SELECT doc_id, lang, source, doc_id % 8 AS shard,
+       |              CAST(len($toksSql) AS BIGINT) AS token_count FROM clean),
+       |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM ct)
+       |SELECT doc_id, lang, source, CAST(shard AS BIGINT) AS shard, token_count,
+       |       CAST(st // 256 AS BIGINT) AS pack_id,
+       |       CAST(st % 256 AS BIGINT) AS pack_offset
+       |FROM w""".stripMargin
 
   private def crosstabSql(percent: String): String = {
     val piv =
@@ -1134,6 +1176,7 @@ object SparkEntry {
     "x_dedup_ngram" -> ngramPairsSqlFrom("documents"),
 
     "x_corpus_clean" -> corpusCleanSql,
+    "x_corpus_manifest" -> corpusManifestSql,
 
     // distinct 5-shingles per doc; nd == document frequency
     "x_dedup_contam" ->
@@ -1576,6 +1619,25 @@ object SparkEntry {
         |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
         |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
         |FROM m""".stripMargin,
+
+    // same start grid (multiples of step below the token count) and the
+    // same clamped slice arithmetic
+    "x_text_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM d WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_index,
+         |       CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens,
+         |       array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text
+         |FROM s""".stripMargin,
+
+    // fingerprint equality == normalized-token-stream equality (the
+    // x_text_fingerprint argument), so the anti-join mirrors NOT EXISTS
+    // on the joined token stream
+    "x_dedup_incr" ->
+      s"""WITH n AS (SELECT doc_id, lang, source, array_to_string($toksSql, ' ') AS j FROM documents WHERE doc_id >= 400),
+         |i AS (SELECT DISTINCT array_to_string($toksSql, ' ') AS j FROM documents WHERE doc_id < 400)
+         |SELECT doc_id, lang, source FROM n
+         |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.j = n.j)""".stripMargin,
 
     "s15_profile" ->
       """SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

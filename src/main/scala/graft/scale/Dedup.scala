@@ -267,6 +267,28 @@ object Dedup {
         (sum(when(col("__nd") >= 2, 1L).otherwise(0L)) / count(lit(1))).as("dup_ratio"))
   }
 
+  /** Incremental exact dedup: drop batch rows whose normalized token
+    * stream already exists in a reference corpus — the per-delivery
+    * dedup of an INCREMENTAL ingest (the index side is typically the
+    * persisted fingerprint column of everything accepted so far, not
+    * the full text).
+    *
+    * Scale: both sides reduce to a 64-bit fingerprint (narrow map);
+    * the left_anti join co-partitions on the hash. At 100 TB the index
+    * side is a pre-distinct'd fingerprint table — bytes per historical
+    * doc, not the document itself.
+    */
+  def dedupAgainstIndex(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def fp(t: org.apache.spark.sql.Column) =
+      xxhash64(array_join(TextAnalysis.tokens(t), " "))
+    val indexFps = index
+      .select(fp(graft.ops.Cleaning.qcol(textCol)).as("__fp__")).distinct()
+    batch.withColumn("__fp__", fp(graft.ops.Cleaning.qcol(textCol)))
+      .join(indexFps, Seq("__fp__"), "left_anti")
+      .drop("__fp__")
+  }
+
   /** 64-bit SimHash over the token stream: bit j of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
     * Pure higher-order expressions; one narrow map.

@@ -289,6 +289,36 @@ object TextAnalysis {
         pmod(col("__start"), lit(budget.toLong)).as("pack_offset"))
   }
 
+  /** Sliding-window chunking of the token stream — the RAG/pre-training
+    * splitter: windows of `chunk` tokens whose starts advance by
+    * `chunk - overlap`, so consecutive chunks share `overlap` tokens.
+    * A window starts at every multiple of the step below the token
+    * count; the last window simply runs short (no padding). Empty docs
+    * produce no chunks.
+    *
+    * Scale: one narrow map + posexplode — output rows ∝ total tokens /
+    * step, no shuffle at all; chunk boundaries are pure arithmetic so
+    * the DuckDB oracle slices identically.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunk: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      s"need 0 <= overlap < chunk, got overlap=$overlap chunk=$chunk")
+    val step = chunk - overlap
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val toks = tokens(graft.ops.Cleaning.qcol(textCol))
+    val n = size(toks)
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(step)))
+      .otherwise(array().cast("array<int>"))
+    df.select(id, toks.as("__toks"), explode(starts).as("s"))
+      .select(
+        id,
+        (col("s") / step).cast("long").as("chunk_index"),
+        least(lit(chunk), size(col("__toks")) - col("s")).cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("s") + 1, lit(chunk)), " ").as("chunk_text"))
+  }
+
   /** `https?://host` domain extractor (capture group 1 = the authority
     * up to the first slash). RE2/Java-shared syntax, like the PII
     * patterns above. */

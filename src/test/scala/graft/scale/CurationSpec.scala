@@ -130,6 +130,36 @@ class CurationSpec extends AnyFunSuite {
     assert(none.filter(col("source") === "small").count() == 100L)
   }
 
+  test("chunkDocuments: overlapping windows cover the token stream exactly") {
+    val toks = (0 until 10).map(i => s"t$i")
+    val d = Seq((1L, toks.mkString(" ")), (2L, ""), (3L, "one")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text", chunk = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 (step 3) -> sizes 4,4,4,1
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(c1.head._4 == "t0 t1 t2 t3" && c1(1)._4 == "t3 t4 t5 t6" && c1.last._4 == "t9")
+    // consecutive chunks share exactly `overlap` tokens
+    assert(c1.head._4.split(" ").last == c1(1)._4.split(" ").head)
+    // empty doc -> no chunks; single-token doc -> one short chunk
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, "one")))
+  }
+
+  test("dedupAgainstIndex drops only content already in the index") {
+    val index = Seq((1L, "the quick brown fox"), (2L, "unrelated text entirely")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "THE  Quick   brown FOX"), // same normalized stream -> dropped
+      (11L, "the quick brown wolf"),   // novel -> kept
+      (12L, "")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstIndex(batch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+    // batch against an empty index keeps everything
+    val all = Dedup.dedupAgainstIndex(batch, index.limit(0), "doc_id", "text").count()
+    assert(all == 3L)
+  }
+
   test("portable simhash: pigeonhole pairs equal brute-force Hamming pairs") {
     val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
     val docs = (0L until 30L).map { i =>
