@@ -569,6 +569,16 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(T(s, d, "documents"), "doc_id", "text",
         chunk = 32, overlap = 8)),
 
+    // keep-best exact dedup: among docs with identical normalized
+    // content, keep the longest raw text (then min id) — the "best
+    // source wins" policy
+    "x_dedup_keepbest" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .withColumn("__norm", array_join(TextAnalysis.tokens(col("text")), " "))
+      Dedup.exactKeepBest(docs, "doc_id", Seq("__norm"), "n_chars")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // incremental ingest: docs >= 400 are "the new delivery", the rest
     // are the already-accepted index; survivors have novel content
     "x_dedup_incr" -> ((s, d) => {
@@ -1629,6 +1639,12 @@ object SparkEntry {
          |       CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens,
          |       array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text
          |FROM s""".stripMargin,
+
+    // argmax mirror of max_by((score, -id)): score desc, id asc
+    "x_dedup_keepbest" ->
+      s"""WITH n AS (SELECT doc_id, lang, source, n_chars, array_to_string($toksSql, ' ') AS j FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY j ORDER BY n_chars DESC, doc_id ASC) AS rk FROM n)
+         |SELECT doc_id, lang, source FROM r WHERE rk = 1""".stripMargin,
 
     // fingerprint equality == normalized-token-stream equality (the
     // x_text_fingerprint argument), so the anti-join mirrors NOT EXISTS

@@ -267,6 +267,28 @@ object Dedup {
         (sum(when(col("__nd") >= 2, 1L).otherwise(0L)) / count(lit(1))).as("dup_ratio"))
   }
 
+  /** Exact dedup keeping the BEST row of each content group by a score
+    * column (quality score, recency, source priority) instead of
+    * `exact`'s min-id canonical — "of these identical documents, keep
+    * the one from the highest-quality source". Deterministic tiebreak
+    * on min id. One hash aggregate (max_by over a (score, -id) struct),
+    * same shuffle shape as `exact`.
+    */
+  def exactKeepBest(
+      df: DataFrame, idCol: String, contentCols: Seq[String],
+      scoreCol: String): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val key = xxhash64(concat_ws("", contentCols.map(graft.ops.Cleaning.qcol): _*))
+    val ranked = struct(
+      graft.ops.Cleaning.qcol(scoreCol).as("s"), (-id).as("negid"))
+    val best = df
+      .select(id.as("__id__"), key.as("__key__"), ranked.as("__rank__"))
+      .groupBy("__key__")
+      .agg(max_by(col("__id__"), col("__rank__")).as("__keep__"))
+      .select(col("__keep__").as("__id__"))
+    df.join(best, id === col("__id__")).drop("__id__")
+  }
+
   /** Incremental exact dedup: drop batch rows whose normalized token
     * stream already exists in a reference corpus — the per-delivery
     * dedup of an INCREMENTAL ingest (the index side is typically the

@@ -51,6 +51,13 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(freq).isEmpty)
   }
 
+  test("packSequences' running sum is partitioned by shard, never global") {
+    val docs = (0L until 40L).map(i => (i, "a b c d e")).toSeq.toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.packSequences(docs, "doc_id", "text", 100, 4)
+    assert(unpartitionedWindows(plan).isEmpty,
+      "packing must cumsum within shards (the global-ntile trap)")
+  }
+
   test("weightedQuantile windows are partitioned by the group key") {
     val df = orders.withColumn("g", org.apache.spark.sql.functions.col("o_orderkey") % 2)
       .withColumn("w", org.apache.spark.sql.functions.lit(1.0))

@@ -146,6 +146,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, "one")))
   }
 
+  test("exactKeepBest keeps the top-scored row per content group, min-id on ties") {
+    val d = Seq(
+      (1L, "same content here", 10L),
+      (2L, "SAME  content HERE", 25L), // same normalized content, best score
+      (3L, "same content here", 25L),  // ties doc 2 -> doc 2 wins (min id)
+      (4L, "different entirely", 5L)
+    ).toDF("doc_id", "text", "score")
+      .withColumn("__norm",
+        array_join(TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")), " "))
+    val kept = Dedup.exactKeepBest(d, "doc_id", Seq("__norm"), "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("dedupAgainstIndex drops only content already in the index") {
     val index = Seq((1L, "the quick brown fox"), (2L, "unrelated text entirely")).toDF("doc_id", "text")
     val batch = Seq(
