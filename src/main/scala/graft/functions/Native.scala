@@ -302,6 +302,44 @@ object Native {
     override def prettyName: String = "hyperplane_lsh_keys"
   }
 
+  /** The `n` nearest centroid indices for a vector by squared euclidean
+    * distance (ties → lower index), as array<int>. Centroids ship as
+    * literals (nlist ≤ thousands — driver-sized by design, like the
+    * hyperplanes above), so IVF cell assignment/probing is one tight
+    * loop per row instead of nlist interpreted struct comparisons.
+    */
+  case class NearestCells(child: Expression, centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val dim = vec.numElements()
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i); i += 1 }
+      val k = centroids.length
+      val dist = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        val d = math.min(dim, cent.length)
+        var acc = 0.0
+        var j = 0
+        while (j < d) { val t = v(j) - cent(j); acc += t * t; j += 1 }
+        dist(c) = acc
+        c += 1
+      }
+      val order = Array.range(0, k).sortBy(i => (dist(i), i)).take(math.min(n, k))
+      new GenericArrayData(order)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "nearest_cells"
+  }
+
   /** Language prediction in one token pass: count stopword hits per
     * language (hash-set membership, all languages in the same loop) and
     * return the argmax language — first in `langs` order on ties,
@@ -374,6 +412,9 @@ object Native {
 
   def hyperplaneLshKeys(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneLshKeys(ex(vec), planes))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    GraftBridge.column(NearestCells(ex(vec), centroids, n))
 
   def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column = {
     require(langs.nonEmpty && langs.size == lists.size,

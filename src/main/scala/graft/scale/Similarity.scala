@@ -132,54 +132,84 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // L2-normalize so euclidean KMeans cells align with cosine order
+    // L2-normalize so euclidean cells align with cosine order
     val normArr = {
       val n = sqrt(aggregate(graft.ops.Cleaning.qcol(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
       transform(graft.ops.Cleaning.qcol(vecCol), x => x.cast("double") / when(n > 0, n))
     }
-    val fv = corpus.withColumn("__nv__", normArr)
-      .withColumn("__fv__", array_to_vector(col("__nv__")))
-    // Quantizer fit on a BOUNDED slice, never the full corpus: Lloyd
-    // iterations rescan their input once per iteration, so cap the fit
-    // input at nlist*1000 vectors (ample for nlist centroids) and cache
-    // only that. The full corpus is scanned exactly once (the cell
-    // assignment below), at its natural parallelism — no corpus-wide
-    // persist to leak, no coalesce throttling the expensive projection.
-    val fitInput = fv.select(col("__fv__")).limit(nlist * 1000)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // coarse quantizer: random init + few iterations (k-means|| init and
-    // long convergence buy nothing for IVF cell assignment, but cost ~20
-    // extra Spark jobs)
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(5)
-      .setFeaturesCol("__fv__").setPredictionCol("__cell__")
-      .fit(fitInput)
-    fitInput.unpersist(blocking = false)
-    val cells = model.transform(fv)
-      .select(graft.ops.Cleaning.qcol(idCol).as("__cid__"), graft.ops.Cleaning.qcol(vecCol).as("__cvec__"), col("__cell__"))
+    // Quantizer fit: collect a BOUNDED normalized sample (nlist×1000
+    // vectors — ample for nlist centroids, megabyte-scale, the same
+    // bounded-collect class as the crosstab category grid) and run
+    // seeded Lloyd on the driver. A distributed KMeans for a
+    // driver-sized problem costs ~15 Spark jobs of fixed overhead per
+    // fit (measured ~2s locally) and buys nothing: the distributed
+    // work — cell assignment and probe scoring — is what runs on the
+    // corpus, through one native expression per row.
+    val sample = corpus.select(normArr.as("__nv__")).limit(nlist * 1000)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 
-    val centroids = model.clusterCenters.map(_.toArray)
-    // per query: cosine to every centroid, keep the nprobe best cells
-    val centStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-graft.functions.Native.cosineSim(col("__qnv__"), lit(c))).as("d"),
-        lit(i).as("cell"))
-    }
+    val cells = corpus
+      .withColumn("__cell__",
+        graft.functions.Native.nearestCells(normArr, centroids, 1)(0))
+      .select(graft.ops.Cleaning.qcol(idCol).as("__cid__"),
+        graft.ops.Cleaning.qcol(vecCol).as("__cvec__"), col("__cell__"))
+
     val probes = queries
-      .withColumn("__qnv__", normArr)
-      .withColumn("__probe__",
-        transform(slice(array_sort(array(centStructs.toIndexedSeq: _*)), 1, nprobe),
-          s => s.getField("cell")))
-      .select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"), graft.ops.Cleaning.qcol(vecCol).as("__qvec__"),
-        explode(col("__probe__")).as("__cell__"))
+      .withColumn("__cell__",
+        explode(graft.functions.Native.nearestCells(normArr, centroids, nprobe)))
+      .select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
+        graft.ops.Cleaning.qcol(vecCol).as("__qvec__"), col("__cell__"))
 
     val scored = probes.join(cells, "__cell__")
       .filter(col("__qid__") =!= col("__cid__"))
       .select(col("__qid__"), col("__cid__"),
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
     topKPerQuery(scored, queryIdCol, idCol, k)
+  }
+
+  /** Seeded Lloyd iterations over an in-memory sample (the IVF coarse
+    * quantizer). Deterministic: seeded init from sample rows, strict-<
+    * argmin keeps the lowest index on ties, empty cells keep their
+    * previous centroid.
+    */
+  private[scale] def fitCentroidsLloyd(
+      samples: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val dim = if (samples.isEmpty) 0 else samples(0).length
+    if (samples.isEmpty || dim == 0) return Array.fill(k)(new Array[Double](math.max(dim, 1)))
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(samples.indices.toVector).take(k)
+    val cents = Array.tabulate(k)(i => samples(init(i % init.size)).clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      samples.foreach { v =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Approximate top-k for MANY queries at once: LSH-bucket join between
