@@ -38,6 +38,9 @@ object GraftFunctions {
     "simhash64" -> (
       new ExpressionInfo(classOf[Native.SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => Native.SimHash64(es.head)),
+    "simhash_portable" -> (
+      new ExpressionInfo(classOf[Native.SimHashPortable].getName, "simhash_portable"),
+      (es: Seq[Expression]) => Native.SimHashPortable(es.head)),
     "jaccard_sorted" -> (
       new ExpressionInfo(classOf[Native.JaccardSortedLongs].getName, "jaccard_sorted"),
       (es: Seq[Expression]) => Native.JaccardSortedLongs(es(0), es(1))),

@@ -30,7 +30,14 @@ object Skew {
       left: DataFrame, right: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    require(left.columns.intersect(Seq("__salt__")).isEmpty, "left already has __salt__")
+    require(!left.columns.contains("__salt__") && !right.columns.contains("__salt__"),
+      "__salt__ column name is reserved by saltedJoin")
+    // right/full outer would emit `salts` copies of every unmatched
+    // right row (one per replica) — refuse rather than corrupt
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "semi", "anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-side joins only, got $joinType")
     val l = left.withColumn("__salt__",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt__",

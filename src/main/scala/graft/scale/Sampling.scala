@@ -63,7 +63,9 @@ object Sampling {
       case (acc, (k, b)) => when(col("__g") === k, lit(b)).otherwise(acc)
     }
     val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
-    df.join(broadcast(totals), g === col("__g"))
+    // null-safe join: a null group is a group (kept whole unless
+    // budgeted) — a plain equi-join would silently drop those rows
+    df.join(broadcast(totals), g <=> col("__g"))
       .withColumn("__rate",
         coalesce(least(lit(1.0), budgetExpr.cast("double") / col("__total")), lit(1.0)))
       .filter(u < col("__rate"))

@@ -145,7 +145,11 @@ object Similarity {
     // fit (measured ~2s locally) and buys nothing: the distributed
     // work — cell assignment and probe scoring — is what runs on the
     // corpus, through one native expression per row.
-    val sample = corpus.select(normArr.as("__nv__")).limit(nlist * 1000)
+    // zero-norm vectors normalize to null elements — exclude them from
+    // the fit sample (they carry no direction for the quantizer anyway)
+    val sample = corpus
+      .filter(l2norm(graft.ops.Cleaning.qcol(vecCol)) > 0)
+      .select(normArr.as("__nv__")).limit(nlist * 1000)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 

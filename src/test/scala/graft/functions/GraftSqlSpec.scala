@@ -14,12 +14,15 @@ class GraftSqlSpec extends AnyFunSuite {
         |  simhash64(array('a','b','c')) AS sh,
         |  jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L)) AS js,
         |  size(hashed_shingle_set(array('a','b','c'), 2)) AS hs,
-        |  size(shingle_minhash(array('a','b','c','d'), 2, 16)) AS mh
+        |  size(shingle_minhash(array('a','b','c','d'), 2, 16)) AS mh,
+        |  simhash_portable(array('a','b','c')) AS shp
         |""".stripMargin).head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(2) == 0.5)
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 16)
+    // 60-bit portable fingerprint: nonzero, top 4 bits clear
+    assert(r.getLong(5) != 0L && (r.getLong(5) >>> 60) == 0L)
   }
 
   test("SQL function matches the Column API") {

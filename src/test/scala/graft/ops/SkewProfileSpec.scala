@@ -31,6 +31,26 @@ class SkewProfileSpec extends AnyFunSuite {
     assert(out.count(_._3.isEmpty) == 1)
   }
 
+  test("saltedJoin refuses right/full outer (replicas would duplicate unmatched rows)") {
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((1L, "x")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "k", 4, joinType = "full")
+    }
+  }
+
+  test("sampleByTokenBudget keeps null-group rows (null-safe totals join)") {
+    val df = Seq(
+      (1L, "one two three", null.asInstanceOf[String]),
+      (2L, "four five six", "g")).toDF("doc_id", "text", "source")
+    val kept = graft.scale.Sampling.sampleByTokenBudget(df, "doc_id", "text", "source", Map("g" -> 100L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // null group unbudgeted -> kept whole
+  }
+
   test("profile counts rows, nulls, and distincts per column") {
     val df = Seq(
       (Some("a"), Some(1)), (Some("a"), None),
