@@ -35,6 +35,12 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC — the other columnar interchange format big warehouses emit
+    * (Hive/Trino exports). Vectorized reader, predicate pushdown and
+    * column pruning like parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Extension-dispatching reader (read_table, app.py:74-81; jsonl is a
     * beyond-reference addition). */
   def readTable(spark: SparkSession, path: String): DataFrame = {
@@ -42,6 +48,7 @@ object Sources {
     if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".parquet")) readParquet(spark, path)
     else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) readJsonl(spark, path)
+    else if (lower.endsWith(".orc")) readOrc(spark, path)
     else if (lower.endsWith(".xlsx")) Excel.read(spark, path)
     else if (lower.endsWith(".xls")) Xls.read(spark, path)
     else throw new IllegalArgumentException(s"Unsupported file type: $path")

@@ -18,6 +18,18 @@ class IoSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("ORC roundtrip via readTable with pushdown reaching the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t.orc"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = Sources.readTable(spark, dir)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // filter + projection push into the ORC scan like parquet
+    val q = back.filter($"s" === "a").select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && q.count() == 2L)
+  }
+
   test("S3 codebook reader: groups per column, stringifies values") {
     val dir = Files.createTempDirectory("graft_cb").toString
     val path = s"$dir/cb.csv"
