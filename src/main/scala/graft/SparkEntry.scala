@@ -602,6 +602,13 @@ object SparkEntry {
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // per-brand z-score feature normalization; p_size is integer-valued
+    // so the moments are exact longs (see Stats.zscore determinism note)
+    "s16_zscore" -> ((s, d) =>
+      Stats.zscore(T(s, d, "part"), "p_size", groupCols = Seq("p_brand"))
+        .select(col("p_partkey"), col("p_size"),
+          Rounding.halfUp(col("z"), 9).as("z"))),
+
     // ingest audit: one pass, all requested columns
     "s15_profile" -> ((s, d) =>
       Stats.profile(T(s, d, "customer"),
@@ -1654,6 +1661,20 @@ object SparkEntry {
          |i AS (SELECT DISTINCT array_to_string($toksSql, ' ') AS j FROM documents WHERE doc_id < 400)
          |SELECT doc_id, lang, source FROM n
          |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.j = n.j)""".stripMargin,
+
+    // identical operation order: mean = s/n, var = (ss - s*s/n)/(n-1),
+    // z = (x - mean)/sqrt(var), all from exact integer moments
+    "s16_zscore" ->
+      """WITH st AS (SELECT p_brand,
+        |              CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS s,
+        |              CAST(sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS BIGINT) AS ss,
+        |              CAST(count(p_size) AS BIGINT) AS n
+        |            FROM part GROUP BY 1)
+        |SELECT p.p_partkey, p.p_size,
+        |       floor((CASE WHEN n >= 2 AND ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) > 0
+        |              THEN (CAST(p.p_size AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |                   / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) END) * 1000000000 + 0.5) / 1000000000 AS z
+        |FROM part p JOIN st ON p.p_brand = st.p_brand""".stripMargin,
 
     "s15_profile" ->
       """SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -37,6 +37,62 @@ object Stats {
     * across partitions. `describe` above is the exact oracle-checked
     * baseline; specs pin the two within sketch tolerance.
     */
+  /** Z-score normalization of a numeric column, optionally per group —
+    * the feature-prep step before clustering/regression/embedding-side
+    * models. Stats come from ONE aggregate (broadcast back for the
+    * global case, group-keyed join otherwise), then a narrow map.
+    *
+    * Determinism contract: on integer-valued inputs the moments are
+    * exact long sums, so mean/std/z are single IEEE expressions the
+    * oracle reproduces bit-for-bit (double SUM aggregation order never
+    * enters). Formula written identically on both sides:
+    * mean = s/n; var = (ss - s*s/n)/(n-1); z = (x - mean)/sqrt(var).
+    * Groups with n < 2 or zero variance get null z (guarded the same
+    * way in SQL).
+    */
+  def zscore(
+      df: DataFrame, column: String, groupCols: Seq[String] = Nil,
+      outCol: String = "z"): DataFrame = {
+    val x = Cleaning.qcol(column).cast("double")
+    val aggs = Seq(
+      sum(Cleaning.qcol(column).cast("long")).as("__s"),
+      sum(Cleaning.qcol(column).cast("long") * Cleaning.qcol(column).cast("long")).as("__ss"),
+      count(Cleaning.qcol(column)).as("__n"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(Cleaning.qcol): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(stats, groupCols)
+    val mean = col("__s").cast("double") / col("__n")
+    val variance = (col("__ss").cast("double") - col("__s").cast("double") * col("__s") / col("__n")) /
+      (col("__n") - 1)
+    joined
+      .withColumn(outCol,
+        when(col("__n") >= 2 && variance > 0, (x - mean) / sqrt(variance)))
+      .drop("__s", "__ss", "__n")
+  }
+
+  /** Min-max scaling to [0,1] (same one-aggregate shape; constant
+    * columns map to null). */
+  def minMaxScale(
+      df: DataFrame, column: String, groupCols: Seq[String] = Nil,
+      outCol: String = "scaled"): DataFrame = {
+    val x = Cleaning.qcol(column).cast("double")
+    val aggs = Seq(min(Cleaning.qcol(column)).as("__mn"), max(Cleaning.qcol(column)).as("__mx"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(Cleaning.qcol): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(stats, groupCols)
+    joined
+      .withColumn(outCol,
+        when(col("__mx") > col("__mn"),
+          (x - col("__mn").cast("double")) / (col("__mx").cast("double") - col("__mn"))))
+      .drop("__mn", "__mx")
+  }
+
   /** Column-level data-quality profile: (col_name, n_rows, n_null,
     * n_distinct) per requested column — the ingest audit an ETL
     * pipeline runs before trusting a new delivery (and the first thing

@@ -51,6 +51,27 @@ class SkewProfileSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L)) // null group unbudgeted -> kept whole
   }
 
+  test("zscore: exact moments, null on tiny or constant groups") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 5L),
+      ("solo", 7L), ("const", 2L), ("const", 2L)).toDF("grp", "v")
+    val out = Stats.zscore(df, "v", Seq("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // group g: mean 3, var 2.5
+    val g = out.filter(_._1 == "g").sortBy(_._2)
+    assert(g.map(_._3.get).zip(Seq(-2.0, -1.0, 0.0, 1.0, 2.0).map(_ / math.sqrt(2.5)))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out.filter(_._1 == "solo").forall(_._3.isEmpty)) // n < 2
+    assert(out.filter(_._1 == "const").forall(_._3.isEmpty)) // zero variance
+  }
+
+  test("minMaxScale maps to [0,1], null for constant columns") {
+    val df = Seq(10L, 20L, 30L).toDF("v")
+    val got = Stats.minMaxScale(df, "v").select("scaled").collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == Seq(0.0, 0.5, 1.0))
+    val const = Seq(5L, 5L).toDF("v")
+    assert(Stats.minMaxScale(const, "v").collect().forall(_.isNullAt(1)))
+  }
+
   test("profile counts rows, nulls, and distincts per column") {
     val df = Seq(
       (Some("a"), Some(1)), (Some("a"), None),
