@@ -602,6 +602,18 @@ object SparkEntry {
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // weighted sampling over lineitem at ~20%: inclusion ∝ l_quantity;
+    // summary by returnflag keeps the output small while hashing both
+    // the kept-set membership and the weight mass
+    "s17_sample_weighted" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+        .withColumn("__key", col("l_orderkey") * 8 + col("l_linenumber"))
+      Sampling.byWeight(li, "__key", "l_quantity", targetFrac = 0.2)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("l_quantity").cast("long")).as("qty_kept"))
+    }),
+
     // per-brand z-score feature normalization; p_size is integer-valued
     // so the moments are exact longs (see Stats.zscore determinism note)
     "s16_zscore" -> ((s, d) =>
@@ -1661,6 +1673,21 @@ object SparkEntry {
          |i AS (SELECT DISTINCT array_to_string($toksSql, ' ') AS j FROM documents WHERE doc_id < 400)
          |SELECT doc_id, lang, source FROM n
          |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.j = n.j)""".stripMargin,
+
+    // same affine hash and identical rate arithmetic:
+    // u < least(1, 0.2 * (w * n / ws))
+    "s17_sample_weighted" ->
+      """WITH st AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws,
+        |                   CAST(count(l_quantity) AS BIGINT) AS wn
+        |            FROM lineitem),
+        |k AS (SELECT l.l_returnflag, l.l_quantity
+        |      FROM lineitem l, st
+        |      WHERE CAST(((l.l_orderkey * 8 + l.l_linenumber) % 1000003) * 514229 + 741103 AS BIGINT) % 1000003
+        |            / 1000003.0
+        |            < least(1.0, 0.2 * (CAST(l.l_quantity AS DOUBLE) * st.wn / st.ws)))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_kept
+        |FROM k GROUP BY 1""".stripMargin,
 
     // identical operation order: mean = s/n, var = (ss - s*s/n)/(n-1),
     // z = (x - mean)/sqrt(var), all from exact integer moments

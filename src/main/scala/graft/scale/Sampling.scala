@@ -36,6 +36,32 @@ object Sampling {
     df.filter(pmod(xxhash64(graft.ops.Cleaning.qcol(keyCol), lit(seed)), lit(buckets)) < cut)
   }
 
+  /** Weighted (importance) sampling: inclusion probability proportional
+    * to a weight column at a target overall rate —
+    * P(keep) = min(1, targetFrac · w / mean(w)). The curation move
+    * "keep high-quality documents with proportionally higher
+    * probability". Deterministic per key (same affine-hash uniform as
+    * `sampleByTokenBudget`), so re-runs and engines agree exactly;
+    * with integer-valued weights the mean is an exact ratio and the
+    * rate arithmetic is engine-exact.
+    *
+    * Scale: one 1-row aggregate broadcast back + a narrow filter.
+    */
+  def byWeight(
+      df: DataFrame, keyCol: String, weightCol: String,
+      targetFrac: Double): DataFrame = {
+    require(targetFrac >= 0 && targetFrac <= 1, s"targetFrac must be in [0,1], got $targetFrac")
+    val P = 1000003L
+    val w = graft.ops.Cleaning.qcol(weightCol)
+    val stats = df.agg(
+      sum(w.cast("long")).as("__ws"), count(w).as("__wn"))
+    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    df.crossJoin(broadcast(stats))
+      .filter(u < least(lit(1.0),
+        lit(targetFrac) * (w.cast("double") * col("__wn") / col("__ws"))))
+      .drop("__ws", "__wn")
+  }
+
   /** Data-mixture construction by token budget: downsample each group
     * (source/domain/language) to at most `budgets(group)` tokens in
     * expectation, leaving under-budget groups intact. THE operation

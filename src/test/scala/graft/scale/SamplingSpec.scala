@@ -25,6 +25,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(c == a)
   }
 
+  test("weighted sampling keeps heavy rows proportionally more, deterministically") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1L else 9L)).toDF("k", "w")
+    val kept = Sampling.byWeight(df, "k", "w", targetFrac = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // E[keep | w=1] = .2*1/5 = .04 -> ~40 of 1000; E[keep | w=9] = .36 -> ~360
+    val light = kept.count(_._2 == 1L)
+    val heavy = kept.count(_._2 == 9L)
+    assert(light > 10 && light < 90, s"light=$light")
+    assert(heavy > 280 && heavy < 440, s"heavy=$heavy")
+    // deterministic + partitioning-invariant
+    val again = Sampling.byWeight(df.repartition(7), "k", "w", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == kept.toSet)
+  }
+
   test("stratified systematic applies per-stratum rates") {
     val df = (0L until 300L).map(i => (if (i % 3 == 0) "a" else "b", i)).toDF("s", "k")
     val out = Sampling.stratifiedSystematic(df, "s", "k", Map("a" -> 1L), defaultMod = 100L)
