@@ -180,6 +180,34 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments covers every token exactly; overlaps agree") {
+    val lenGen = Gen.listOfN(12, Gen.choose(0, 60))
+    samples(lenGen, 5).foreach { lens =>
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, (0 until n).map(t => s"t$t").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val chunks = graft.scale.TextAnalysis.chunkDocuments(df, "doc_id", "text", chunk = 16, overlap = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val cs = chunks.filter(_._1 == i.toLong).sortBy(_._2)
+        if (n == 0) assert(cs.isEmpty)
+        else {
+          // chunk i starts at i*step and carries min(16, n - start) tokens:
+          // together they tile [0, n) with overlap-4 seams
+          val covered = cs.flatMap { case (_, ci, nt, _) =>
+            (ci * 12 until ci * 12 + nt).map(_.toInt)
+          }.toSet
+          assert(covered == (0 until n).toSet)
+          // chunk text really is the token slice it claims to be
+          cs.foreach { case (_, ci, nt, txt) =>
+            val want = (ci * 12 until ci * 12 + nt).map(t => s"t$t").mkString(" ")
+            assert(txt == want)
+          }
+        }
+      }
+    }
+  }
+
   test("int8 quantization error is bounded by scale/2 elementwise") {
     val vecGen = Gen.listOfN(16, Gen.choose(-100.0, 100.0).map(_.toFloat))
     samples(vecGen, 8).zipWithIndex.foreach { case (v, i) =>
