@@ -278,7 +278,9 @@ object Dedup {
       df: DataFrame, idCol: String, contentCols: Seq[String],
       scoreCol: String): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
-    val key = xxhash64(concat_ws("", contentCols.map(graft.ops.Cleaning.qcol): _*))
+    // variadic xxhash64 hashes each column as its own field - no
+    // concatenation/separator, so no content can alias the key
+    val key = xxhash64(contentCols.map(graft.ops.Cleaning.qcol): _*)
     val ranked = struct(
       graft.ops.Cleaning.qcol(scoreCol).as("s"), (-id).as("negid"))
     val best = df

@@ -158,6 +158,11 @@ class CurationSpec extends AnyFunSuite {
     val kept = Dedup.exactKeepBest(d, "doc_id", Seq("__norm"), "score")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L))
+    // multi-column content keys must not collide on boundary shifts
+    val shifty = Seq((1L, "ab", "c", 1L), (2L, "a", "bc", 2L)).toDF("doc_id", "p", "q", "score")
+    val keptShifty = Dedup.exactKeepBest(shifty, "doc_id", Seq("p", "q"), "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptShifty == Set(1L, 2L)) // distinct contents -> both kept
   }
 
   test("dedupAgainstIndex drops only content already in the index") {
