@@ -31,7 +31,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between queries (outside the timed span): drop any stray cache
+      // entries and nudge the ContextCleaner (localCheckpoint blocks are
+      // GC-released) so each query is timed against its PLAN, not the
+      // accumulated cache pressure of everything that ran before it —
+      // repeated same-JVM runs must measure like fresh JVMs.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

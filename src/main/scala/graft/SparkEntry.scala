@@ -267,7 +267,7 @@ object SparkEntry {
     // language filter → near-dup dedup → representatives
     "x_corpus_clean" -> ((s, d) =>
       TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
-        allowedLangs = Seq("en", "es"))
+        allowedLangs = Seq("en", "es"), maxBlockSize = NgramBlockCap)
         .select(col("doc_id"), col("lang"), col("source"))),
 
     // end-to-end training-shard manifest: clean the corpus, then assign
@@ -277,7 +277,7 @@ object SparkEntry {
     // corpus-clean SQL.
     "x_corpus_manifest" -> ((s, d) => {
       val clean = TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
-        allowedLangs = Seq("en", "es"))
+        allowedLangs = Seq("en", "es"), maxBlockSize = NgramBlockCap)
       TextAnalysis.packSequences(clean, "doc_id", "text", budget = 256, shards = 8)
         .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
     }),
@@ -341,7 +341,8 @@ object SparkEntry {
         maxHamming = 3, maxBucketSize = 0, portable = true)),
 
     "x_dedup_ngram" -> ((s, d) =>
-      Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+      Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2,
+        maxBlockSize = NgramBlockCap)),
 
     // full-recall banding again (cf. x_dedup_minhash): 2-bit keys over
     // 48 tables miss a cosine-0.4 pair with prob (1-(1-acos(.4)/pi)^2)^48
@@ -404,7 +405,8 @@ object SparkEntry {
     // components — is DuckDB-mirrorable (recursive CTE oracle)
     "x_dedup_clusters" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2)
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
+        maxBlockSize = NgramBlockCap)
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
@@ -675,16 +677,23 @@ object SparkEntry {
 
   /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
     * CTE/table — reused by the dedup, clustering, and corpus-clean
-    * oracles. Emits (id_a, id_b, jaccard).
+    * oracles. Emits (id_a, id_b, jaccard). Mirrors nearDupNgram's
+    * maxBlockSize guard with the same window count (block membership is
+    * deterministic, so the capped operator stays exactly checkable).
     */
+  private val NgramBlockCap = 4096
+
   private def ngramPairsSqlFrom(src: String): String =
     s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
-       |s AS (SELECT doc_id,
+       |s0 AS (SELECT doc_id,
        |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
        |    toks[1] AS t0,
        |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
        |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
        |  FROM d),
+       |s AS (SELECT doc_id, lenband, t0, sh FROM
+       |    (SELECT s0.*, count(*) OVER (PARTITION BY lenband, t0) AS bsz FROM s0)
+       |  WHERE bsz <= $NgramBlockCap),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    len(list_intersect(a.sh, b.sh)) AS inter,
        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un

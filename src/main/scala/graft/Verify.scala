@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries must not depend on each other's caches; dropping any
+      // stray cache entries between queries keeps the harness honest
+      // (library operators release their own — this is belt-and-braces)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -27,10 +27,11 @@ object MultiDim {
     val grp0 = df
       .groupBy(dims.map(Cleaning.qcol): _*)
       .agg(sum(w).as("count"))
-    // summary-sized, read twice when percenting by total
+    // summary-sized, read twice when percenting by total; eager
+    // localCheckpoint (ContextCleaner-released) instead of persist()
+    // so repeated calls don't pin frames in the cache manager
     val grp =
-      if (percentBy == "total")
-        grp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (percentBy == "total") grp0.localCheckpoint()
       else grp0
 
     if (percentBy == "total") {

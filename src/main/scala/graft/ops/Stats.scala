@@ -42,21 +42,35 @@ object Stats {
     * models. Stats come from ONE aggregate (broadcast back for the
     * global case, group-keyed join otherwise), then a narrow map.
     *
-    * Determinism contract: on integer-valued inputs the moments are
-    * exact long sums, so mean/std/z are single IEEE expressions the
-    * oracle reproduces bit-for-bit (double SUM aggregation order never
-    * enters). Formula written identically on both sides:
+    * Determinism contract (`exact = true`, the default): the input
+    * column must be of an INTEGRAL type — the moments are exact long
+    * sums, so mean/std/z are single IEEE expressions the oracle
+    * reproduces bit-for-bit (double SUM aggregation order never
+    * enters). A fractional column is REJECTED rather than silently
+    * truncated: pass `exact = false` to compute double moments, which
+    * are correct for any numeric column but only deterministic up to
+    * aggregation order (the production path for real-valued features;
+    * spec-graded, not oracle-hashed).
+    * Formula written identically on both sides:
     * mean = s/n; var = (ss - s*s/n)/(n-1); z = (x - mean)/sqrt(var).
     * Groups with n < 2 or zero variance get null z (guarded the same
     * way in SQL).
     */
   def zscore(
       df: DataFrame, column: String, groupCols: Seq[String] = Nil,
-      outCol: String = "z"): DataFrame = {
+      outCol: String = "z", exact: Boolean = true): DataFrame = {
+    if (exact) {
+      val dt = df.schema(column).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"zscore(exact = true) requires an integral column for exact long moments; " +
+          s"'$column' is ${dt.typeName} — pass exact = false for double moments " +
+          "(correct, but not aggregation-order deterministic)")
+    }
     val x = Cleaning.qcol(column).cast("double")
+    val m = if (exact) Cleaning.qcol(column).cast("long") else x
     val aggs = Seq(
-      sum(Cleaning.qcol(column).cast("long")).as("__s"),
-      sum(Cleaning.qcol(column).cast("long") * Cleaning.qcol(column).cast("long")).as("__ss"),
+      sum(m).as("__s"),
+      sum(m * m).as("__ss"),
       count(Cleaning.qcol(column)).as("__n"))
     val stats =
       if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)

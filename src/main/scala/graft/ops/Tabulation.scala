@@ -27,8 +27,12 @@ object Tabulation {
   private def withPctOfTotal(
       counts0: DataFrame, countCol: String, pctName: String, decimals: Int): DataFrame = {
     // counts is summary-sized and read twice (total + projection):
-    // persist so the full-data aggregation runs once
-    val counts = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // snapshot it so the full-data aggregation runs once. An eager
+    // localCheckpoint, not persist(): the blocks are released by the
+    // ContextCleaner when the frame goes out of scope, where persist()
+    // would pin one summary frame in the cache manager per call with
+    // no release path (accumulating across a long-lived session).
+    val counts = counts0.localCheckpoint()
     val total = counts.agg(sum(col(countCol)).as("__total__"))
     counts
       .crossJoin(broadcast(total))

@@ -18,11 +18,28 @@ import graft.ops.{Cleaning, Tabulation}
   */
 object Transform {
 
+  /** Session-lifetime form: the shared input cache stays persisted (the
+    * reference keeps `raw_df` in memory for the whole app session). For
+    * bounded-lifetime callers use [[runReleasable]] and invoke the
+    * release handle after materializing the outputs.
+    */
   def run(
       raw: DataFrame,
       cfg: MappingConfig,
       codebook: Map[String, Map[String, String]] = Map.empty,
-      fullTab: Boolean = true): Map[String, DataFrame] = {
+      fullTab: Boolean = true): Map[String, DataFrame] =
+    runReleasable(raw, cfg, codebook, fullTab)._1
+
+  /** As [[run]], plus a release handle that unpersists the shared input
+    * cache — call it once every output table has been materialized
+    * (sinks written / results collected). The output frames remain
+    * valid afterwards; they just recompute from source if re-run.
+    */
+  def runReleasable(
+      raw: DataFrame,
+      cfg: MappingConfig,
+      codebook: Map[String, Map[String, String]] = Map.empty,
+      fullTab: Boolean = true): (Map[String, DataFrame], () => Unit) = {
 
     val df0 = if (codebook.nonEmpty) Cleaning.applyCodebook(raw, codebook) else raw
     val df = df0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,6 +71,6 @@ object Transform {
       if (fullTab) Map("tabulation" -> Tabulation.fullTabulation(df))
       else Map.empty[String, DataFrame]
 
-    aware ++ usage ++ csat ++ nps ++ brandDict ++ tab
+    (aware ++ usage ++ csat ++ nps ++ brandDict ++ tab, () => { df.unpersist(); () })
   }
 }

@@ -43,6 +43,25 @@ object Dedup {
     df.select(graft.ops.Cleaning.qcol(idCol), sig.as("sig"))
   }
 
+  /** Skew guard shared by every blocked/bucketed candidate generator:
+    * drop rows of buckets larger than `maxBucketSize` (non-discriminative
+    * AND quadratic in the self-join that follows). Implemented as a
+    * window count over the bucket key — one shuffle, one pass, and the
+    * exchange it introduces is reusable by the self-join sides (same
+    * key), so the expensive upstream (signatures / shingle sets) is
+    * computed exactly once with no persist. `maxBucketSize <= 0`
+    * disables the cap.
+    */
+  private[scale] def capBuckets(
+      buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) buckets
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+      buckets.withColumn("__bsz__", count(lit(1)).over(w))
+        .filter(col("__bsz__") <= maxBucketSize)
+        .drop("__bsz__")
+    }
+
   /** LSH banding: explode each signature into (band, bandHash) bucket
     * keys; docs sharing any bucket are candidates.
     */
@@ -69,26 +88,19 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
-    // With the cap active, the bucket frame feeds three consumers (size
-    // agg + both self-join sides) — persist it or the signature stage
-    // (tokenize + shingle + 64 hashes) re-runs per consumer.
-    val buckets0raw = bandBuckets(sigs, idCol, bands, rowsPerBand)
-    val buckets0 =
-      if (maxBucketSize <= 0) buckets0raw
-      else buckets0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
 
     // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
     // huge fraction of the corpus (boilerplate-dominated shards) is
-    // non-discriminative AND quadratic in the self-join below. The size
-    // join is co-partitioned with the bucket shuffle (same key).
-    val buckets =
-      if (maxBucketSize <= 0) buckets0
-      else {
-        val sizes = buckets0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz__"))
-          .filter(col("__bsz__") <= maxBucketSize)
-        buckets0.join(sizes, Seq("band", "bucket")).drop("__bsz__")
-      }
+    // non-discriminative AND quadratic in the self-join below. The
+    // guard is a WINDOW count over the bucket key (capBuckets): one
+    // shuffle, ONE consumer of the signature stage — and because both
+    // self-join sides below are the identical subplan, ReuseExchange
+    // computes the signature+window exchange once. (r3 persisted the
+    // bucket frame here instead, which pinned it in the cache manager
+    // with no release path — measured as multi-second cache-pressure
+    // drag on later queries in a shared JVM.)
+    val buckets = capBuckets(buckets0, Seq("band", "bucket"), maxBucketSize)
 
     val a = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_b"))
@@ -113,18 +125,31 @@ object Dedup {
     * a cheap blocking key (here: doc length band + first token), i.e. a
     * bounded quadratic within tiny blocks. For unblocked exactness use
     * nearDupMinhash with bands = numHashes (threshold-free candidates).
+    *
+    * `maxBlockSize` (default ON) drops blocks larger than the cap before
+    * the quadratic self-join: on real web text a huge fraction of
+    * same-length-band documents share t0 = "the", and that block grows
+    * WITH the corpus — uncapped, the self-join inside it is O(block²)
+    * and this operator becomes the scale-killer of any pipeline wired to
+    * it. A pair lost to a dropped block is a pair two near-identical
+    * docs in an over-common block; callers needing recall there should
+    * use nearDupMinhash (banded, probabilistic, also capped). Cap
+    * membership is deterministic (block sizes are data-determined), so
+    * an exact oracle can mirror it.
     */
   def nearDupNgram(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5,
+      maxBlockSize: Int = 4096): DataFrame = {
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val block = struct(
       // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
       // floor() agrees in both engines for the non-negative log here
       floor(log(greatest(length(graft.ops.Cleaning.qcol(textCol)), lit(1))) * 2).cast("int").as("lenband"),
       element_at(toks, 1).as("t0"))
-    val sets = df.select(graft.ops.Cleaning.qcol(idCol), block.as("block"),
+    val sets0 = df.select(graft.ops.Cleaning.qcol(idCol), block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
+    val sets = capBuckets(sets0, Seq("block"), maxBlockSize)
     val a = sets.select(col("block"), graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a"))
     val b = sets.select(col("block"), graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b"))
     a.join(b, "block")
@@ -207,11 +232,20 @@ object Dedup {
         s"Dedup.clusters did not converge within maxIter=$maxIter rounds — " +
           "components wider than maxIter hops would be left partially merged; raise maxIter")
     }
-    val out = ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    // Cut the returned plan loose from the iteration cache: snapshot the
+    // converged labels with an eager localCheckpoint (one scan of the
+    // already-cached frame; blocks are lineage-free and RELEASED by the
+    // ContextCleaner once unreferenced — unlike persist(), which pins
+    // the frame in the cache manager until someone calls unpersist),
+    // then drop both iteration caches HERE instead of leaking them to
+    // the caller. The label frame is proportional to the duplicate mass
+    // (edge-touched ids only), not the corpus.
+    val snap = labels.localCheckpoint()
+    if (labelsCached != null) labelsCached.unpersist()
     edges.unpersist()
-    out
+    ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
+      .join(snap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** End-to-end near-dedup: MinHash+LSH candidate pairs → Jaccard verify
@@ -220,12 +254,18 @@ object Dedup {
     * training-data dedup pipeline; returns the deduplicated DataFrame
     * with all original columns.
     */
+  /** @param maxIter / checkEvery forwarded to [[clusters]] — a corpus
+    *        whose near-dup chains exceed `maxIter` hops makes clusters()
+    *        throw (by design), so the one-call form must give callers
+    *        the same recourse. */
   def deduplicate(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val pairs = nearDupMinhash(df, idCol, textCol, k, numHashes, bands, threshold, seed)
-    val labels = clusters(df, idCol, pairs)
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucketSize: Int = 0,
+      maxIter: Int = 20, checkEvery: Int = 2): DataFrame = {
+    val pairs = nearDupMinhash(df, idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
+    val labels = clusters(df, idCol, pairs, maxIter, checkEvery)
     df.join(
       labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
       idCol)
@@ -245,9 +285,13 @@ object Dedup {
     */
   def crossDocNgramStats(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    // persisted: the exploded shingle frame feeds both the doc-frequency
-    // aggregation and the join probe side — without the cache the
-    // tokenize+shingle pass (the expensive row work) runs twice.
+    // Document frequency as a WINDOW count over the shingle key: the
+    // tokenize+shingle pass (the expensive row work) runs ONCE and the
+    // plan needs no cache (r3 persisted the exploded frame to feed a
+    // separate doc-freq aggregate + join probe — two consumers, and the
+    // cache was never released). One shuffle on the shingle key, one on
+    // the doc id; shingles are distinct within a doc, so the window
+    // count == document frequency.
     // Hashed (64-bit) shingles, not strings: hash equality ≡ string
     // equality (collisions ~1e-15 at these cardinalities), the counts
     // are identical, and the shuffle carries longs instead of k-token
@@ -256,10 +300,8 @@ object Dedup {
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val sh = df.select(graft.ops.Cleaning.qcol(idCol),
       explode(graft.functions.Native.hashedShingleSet(toks, k)).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shingles are distinct within a doc, so count == document frequency
-    val docFreq = sh.groupBy("__sh").agg(count(lit(1)).as("__nd"))
-    sh.join(docFreq, "__sh")
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("__sh")
+    sh.withColumn("__nd", count(lit(1)).over(wSh))
       .groupBy(graft.ops.Cleaning.qcol(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -362,17 +404,8 @@ object Dedup {
     // and quadratic in the self-join. Dropping oversized buckets is the
     // standard LSH skew mitigation; the pigeonhole recall guarantee then
     // holds for pairs that share at least one NON-degenerate chunk.
-    // maxBucketSize <= 0 disables the cap. The size join is co-partitioned
-    // with the main bucket shuffle (same key), so it adds no extra pass
-    // over the full data.
-    val buckets =
-      if (maxBucketSize <= 0) buckets0
-      else {
-        val sizes = buckets0.groupBy("chunk", "ckey")
-          .agg(count(lit(1)).as("__bsz__"))
-          .filter(col("__bsz__") <= maxBucketSize)
-        buckets0.join(sizes, Seq("chunk", "ckey")).drop("__bsz__")
-      }
+    // maxBucketSize <= 0 disables the cap.
+    val buckets = capBuckets(buckets0, Seq("chunk", "ckey"), maxBucketSize)
 
     val a = buckets.select(col("chunk"), col("ckey"), graft.ops.Cleaning.qcol(idCol).as("id_a"), col("fp").as("fp_a"))
     val b = buckets.select(col("chunk"), col("ckey"), graft.ops.Cleaning.qcol(idCol).as("id_b"), col("fp").as("fp_b"))

@@ -145,11 +145,19 @@ object Similarity {
     // fit (measured ~2s locally) and buys nothing: the distributed
     // work — cell assignment and probe scoring — is what runs on the
     // corpus, through one native expression per row.
+    // The sample is the nlist×1000 LOWEST values of a seeded hash of
+    // the id — a deterministic uniform draw (TakeOrdered: per-partition
+    // top-k then a driver merge, no full sort), where a bare limit()
+    // would take whichever partitions got scheduled first: biased
+    // toward early files AND run-to-run unstable. The id tiebreak makes
+    // the boundary exact even under (negligible) hash collisions.
     // zero-norm vectors normalize to null elements — exclude them from
     // the fit sample (they carry no direction for the quantizer anyway)
+    val idC = graft.ops.Cleaning.qcol(idCol)
     val sample = corpus
       .filter(l2norm(graft.ops.Cleaning.qcol(vecCol)) > 0)
-      .select(normArr.as("__nv__")).limit(nlist * 1000)
+      .select(normArr.as("__nv__"), xxhash64(idC, lit(seed)).as("__h__"), idC.as("__id__"))
+      .orderBy(col("__h__"), col("__id__")).limit(nlist * 1000)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 

@@ -369,21 +369,28 @@ object TextAnalysis {
   def cleanCorpus(
       df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String],
-      k: Int = 3, threshold: Double = 0.2): DataFrame = {
+      k: Int = 3, threshold: Double = 0.2,
+      maxBlockSize: Int = 4096): DataFrame = {
     // both filters are pure row-local expressions: ONE narrow pass over
     // the corpus, no id-list joins. Persisted because the dedup stage
     // scans the survivor set several times (both self-join sides, the
-    // component-label init, the final semi-join) and the language-score
-    // expressions are the most expensive row work in the pipeline.
-    // Cache lifetime is caller-owned: the returned plan references it
-    // lazily, so unpersist only after materializing the result.
+    // component-label init, the final semi-join) while clusters() runs
+    // its convergence actions — and RELEASED here as soon as clusters()
+    // returns (its result is an eager lineage-free snapshot, so nothing
+    // downstream still depends on the cache). The returned plan then
+    // recomputes the filter pass once at the caller's action: one
+    // narrow codegen'd scan, which is cheaper than pinning a
+    // corpus-sized cache with no release path (r3 leaked it; measured
+    // as multi-second drag on every later query sharing the JVM).
     val t = graft.ops.Cleaning.qcol(textCol)
     val survivors = df.filter(qualityKeep(t) && langId(t).isin(allowedLangs: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.nearDupNgram(survivors, idCol, textCol, k, threshold)
-    val labels = Dedup.clusters(survivors, idCol, pairs)
-    survivors.join(
-      labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
-      Seq(idCol))
+    try {
+      val pairs = Dedup.nearDupNgram(survivors, idCol, textCol, k, threshold, maxBlockSize)
+      val labels = Dedup.clusters(survivors, idCol, pairs)
+      survivors.join(
+        labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
+        Seq(idCol))
+    } finally survivors.unpersist()
   }
 }

@@ -64,6 +64,18 @@ class SkewProfileSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "const").forall(_._3.isEmpty)) // zero variance
   }
 
+  test("zscore: fractional column rejected at exact=true, correct at exact=false") {
+    val df = Seq(("g", 1.5), ("g", 2.5), ("g", 3.5)).toDF("grp", "v")
+    // exact=true would silently truncate 1.5→1 via the long cast — must throw
+    val e = intercept[IllegalArgumentException](Stats.zscore(df, "v", Seq("grp")))
+    assert(e.getMessage.contains("exact = false"))
+    // exact=false: double moments, true z-scores of (1.5, 2.5, 3.5)
+    val out = Stats.zscore(df, "v", Seq("grp"), exact = false).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(math.abs(out(2.5)) < 1e-12)
+    assert(math.abs(out(1.5) + 1.0) < 1e-12 && math.abs(out(3.5) - 1.0) < 1e-12)
+  }
+
   test("minMaxScale maps to [0,1], null for constant columns") {
     val df = Seq(10L, 20L, 30L).toDF("v")
     val got = Stats.minMaxScale(df, "v").select("scaled").collect().map(_.getDouble(0)).sorted

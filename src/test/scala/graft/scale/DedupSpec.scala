@@ -86,6 +86,34 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.contains((1L, 2L))) // without the cap they all pair
   }
 
+  test("ngram block cap keeps a hot-token block sub-quadratic") {
+    // 10k docs that all share (lenband, t0): same first token "the" and
+    // texts of one length band — the web-text hot-block shape. Uncapped,
+    // the block self-join would generate ~50M candidate pairs; with the
+    // default cap the block is dropped outright. A small discriminative
+    // block (distinct t0) must still pair.
+    val hot = (1L to 10000L).map(i =>
+      (i, s"the document number $i has some middling content body x$i"))
+    val pair = Seq(
+      (20001L, "unique alpha beta gamma delta epsilon zeta eta theta"),
+      (20002L, "unique alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (hot ++ pair).toDF("doc_id", "text").repartition(8)
+    val t0 = System.nanoTime()
+    val capped = Dedup.nearDupNgram(df, "doc_id", "text", k = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(capped.contains((20001L, 20002L))) // small block survives
+    assert(!capped.exists(p => p._1 <= 10000L)) // hot block suppressed
+    // sub-quadratic in practice: dominated by the narrow shingle pass,
+    // not a 50M-pair self-join (which takes minutes at this size)
+    assert(secs < 60.0, f"degenerate block took $secs%.1f s — cap not effective")
+    // the cap is opt-out-able for small curated corpora
+    val uncappedSmall = Dedup.nearDupNgram(docs, "doc_id", "text",
+      k = 3, threshold = 0.3, maxBlockSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncappedSmall.contains((1L, 4L)))
+  }
+
   test("crossDocNgramStats: shared shingles counted, unique docs at zero ratio") {
     val shared = "alpha beta gamma delta epsilon"
     val df = Seq(
