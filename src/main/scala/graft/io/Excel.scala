@@ -140,8 +140,10 @@ object Excel {
     names.zipWithIndex.foreach { case (n, i) => cell(s"${colRef(i)}1", n) }
     sb ++= "</row>"
     // result tables are summary-sized (dashboard exports); the reference
-    // materializes them fully too (app.py:594-597)
-    df.collect().zipWithIndex.foreach { case (row, ri) =>
+    // materializes them fully too (app.py:594-597). Bounded: a full-size
+    // table routed here fails fast instead of OOMing the driver.
+    Sinks.collectBounded(df, s"Excel sheet")
+      .zipWithIndex.foreach { case (row, ri) =>
       sb ++= s"""<row r="${ri + 2}">"""
       (0 until row.length).foreach { ci =>
         cell(s"${colRef(ci)}${ri + 2}", if (row.isNullAt(ci)) null else row.get(ci))

@@ -64,13 +64,38 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Row ceiling for the DRIVER-SIDE export sinks (Excel / .xls / JSON
+    * bundle). These formats are whole-file, non-splittable dashboard
+    * exports: the reference materializes them fully in pandas, and so
+    * do we — but a misdirected 100 TB table must fail fast with a clear
+    * message instead of OOMing the driver. Distributed exports (CSV,
+    * JSONL, parquet, ORC) have no cap.
+    */
+  val MaxDriverExportRows: Int = 1000000
+
+  /** Bounded collect for driver-side sinks: fetches at most cap+1 rows
+    * in ONE job (the limit is pushed into the scan) and fails with an
+    * actionable message if the table exceeds the cap.
+    */
+  private[io] def collectBounded[T](
+      ds: org.apache.spark.sql.Dataset[T], what: String,
+      cap: Int = MaxDriverExportRows): Array[T] = {
+    val rows = ds.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what is a driver-side whole-file export capped at $cap rows; " +
+        "this table exceeds the cap — aggregate it first, or use a " +
+        "distributed sink (writeJsonl / writeCsv / parquet / ORC)")
+    rows
+  }
+
   /** S6 — JSON bundle `{table: [row-objects]}` (app.py:607-615).
     * Row objects preserve column order via toJSON (Jackson keeps field
     * order = schema order, like pandas to_dict(orient="records")).
     */
   def jsonBundle(tables: Map[String, DataFrame]): String = {
     val entries = tables.map { case (name, df) =>
-      val rows = df.toJSON.collect().mkString("[", ",", "]")
+      val rows = collectBounded(df.toJSON, s"jsonBundle table '$name'")
+        .mkString("[", ",", "]")
       "\"" + escape(name) + "\": " + rows
     }
     entries.mkString("{\n", ",\n", "\n}")

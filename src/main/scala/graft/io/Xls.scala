@@ -314,6 +314,14 @@ object Xls {
       case n: Byte => Right(n.toDouble)
       case n: Short => Right(n.toDouble)
       case n: Int => Right(n.toDouble)
+      // Excel NUMBER cells are IEEE doubles — a long with |v| >= 2^53
+      // would silently lose low bits (and numStr would then render it
+      // in scientific notation, flipping the inferred column type on
+      // read-back). 64-bit ids / hash fingerprints exported to .xls
+      // survive as SST strings instead: the only lossless
+      // representation the format has.
+      // (explicit two-sided test: Long.MinValue.abs is still negative)
+      case n: Long if n >= (1L << 53) || n <= -(1L << 53) => Left(intern(n.toString))
       case n: Long => Right(n.toDouble)
       case n: Float => Right(n.toDouble)
       case n: Double => Right(n)
@@ -449,7 +457,7 @@ object Xls {
   /** S5-family sink: first table → one BIFF8 worksheet (driver-side,
     * summary-sized — same contract as Excel.write). */
   def write(name: String, df: DataFrame, path: String): Unit = {
-    val rows = df.collect().map(r =>
+    val rows = Sinks.collectBounded(df, ".xls workbook").map(r =>
       (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)))
     writeCfb(path, "Workbook", biffStream(Sinks.sheetName(name), df.columns.toSeq, rows.toSeq))
   }

@@ -86,6 +86,21 @@ class IoSpec extends AnyFunSuite {
     assert(rows(3L).getDouble(2) == 0.25)
   }
 
+  test(".xls writer: longs beyond 2^53 survive as SST strings, not truncated doubles") {
+    val dir = Files.createTempDirectory("graft_xls53").toString
+    val path = s"$dir/fp.xls"
+    val big = (1L << 53) + 1 // not representable as a double
+    val t = Seq((1L, big), (2L, -big), (3L, 42L)).toDF("id", "fp")
+    Xls.write("f", t, path)
+    val back = Sources.readTable(spark, path).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    // value-exact roundtrip (as strings — Excel has no 64-bit int cell;
+    // a NUMBER record would have come back as (1<<53).0 with the +1 lost)
+    assert(back(1L) == big.toString)
+    assert(back(2L) == (-big).toString)
+    assert(back(3L) == "42" || back(3L) == "42.0") // safe range stays numeric
+  }
+
   test("S2 .xls reader: ministream (small) and standard-sector (>=4KB) containers") {
     val dir = Files.createTempDirectory("graft_xls2").toString
     // small → ministream
@@ -112,6 +127,15 @@ class IoSpec extends AnyFunSuite {
 
   test("S5 sheet-name truncation to 31 chars (Excel contract)") {
     assert(Sinks.sheetName("a" * 40).length == 31)
+  }
+
+  test("driver-side export sinks fail fast past the row cap") {
+    val big = spark.range(100).toDF("id")
+    val e = intercept[IllegalArgumentException](
+      Sinks.collectBounded(big, "Excel sheet", cap = 10))
+    assert(e.getMessage.contains("capped") && e.getMessage.contains("writeJsonl"))
+    // exactly at the cap is fine, and only cap+1 rows are ever fetched
+    assert(Sinks.collectBounded(big, "x", cap = 100).length == 100)
   }
 
   test("S6 JSON bundle: {table: [row objects]}") {
