@@ -149,6 +149,31 @@ object SparkEntry {
       Sources.readTable(s, path)
     }),
 
+    // ORC roundtrip: parquet → graft ORC sink → graft source → agg; the
+    // oracle computes the same agg straight from parquet, so the ORC
+    // writer/reader pair is on the hash-checked path (DuckDB has no ORC
+    // reader — the parquet-sourced oracle checks the full roundtrip
+    // instead, which is the stronger contract anyway).
+    "s18_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s18").toString
+      graft.io.Sinks.writeOrc(Map("nation" -> T(s, d, "nation")), dir)
+      Sources.readTable(s, s"$dir/nation.orc")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
+    // Bucketed-ingest roundtrip: parquet → bucketed managed table
+    // (pre-hashed files + catalog bucket metadata) → catalog read → agg.
+    // Data correctness of the bucketed layout is hash-checked here; the
+    // shuffle-FREE join/agg plan it buys is asserted in BucketingSpec.
+    "s19_bucketed_roundtrip" -> ((s, d) => {
+      graft.io.Sinks.writeBucketed(
+        T(s, d, "nation"), "graft_s19_nation", buckets = 4, bucketCols = Seq("n_regionkey"))
+      s.table("graft_s19_nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
     "s13_json_bundle" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft_s13")
         .resolve("bundle.json").toString
@@ -287,6 +312,22 @@ object SparkEntry {
       val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
         Map("n_regionkey" -> Map("0" -> "AFRICA", "1" -> "AMERICA", "2" -> "ASIA")))
       recoded.groupBy("n_regionkey").agg(count(lit(1)).as("count"))
+    }),
+
+    // S3 on the hash-checked path: the codebook arrives as a FILE with
+    // the reference's column,value,label contract (app.py:218-227) and
+    // flows through Sources.readCodebook (CSV parse + astype(str)
+    // collapse) before the recode — a mis-parse there breaks the hash,
+    // unlike t5 which feeds applyCodebook a literal map.
+    "t5b_codebook_file" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_t5b")
+        .resolve("codebook.csv")
+      java.nio.file.Files.writeString(path,
+        "column,value,label\n" +
+          "n_regionkey,0,AFRICA\nn_regionkey,1,AMERICA\nn_regionkey,2,ASIA\n")
+      val cb = Sources.readCodebook(s, path.toString)
+      Cleaning.applyCodebook(T(s, d, "nation"), cb)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("count"))
     }),
 
     "t10_brand_dictionary" -> ((s, d) =>
@@ -1001,6 +1042,18 @@ object SparkEntry {
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY 1""".stripMargin,
 
+    "s18_orc_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "s19_bucketed_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
     "s12_excel_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -1176,6 +1229,14 @@ object SparkEntry {
         |UNION ALL SELECT 'detractors', CAST(detr AS DOUBLE) FROM c""".stripMargin,
 
     "t5_codebook_recode" ->
+      """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'
+        |            ELSE CAST(n_regionkey AS VARCHAR) END AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS "count"
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "t5b_codebook_file" ->
       """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
         |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
         |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'

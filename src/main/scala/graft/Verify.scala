@@ -15,6 +15,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as
       // long nanos (converted back in Sources.table)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the bucketed-ingest roundtrip (s19) saveAsTable's a managed
+      // table; point the warehouse at a throwaway dir
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)

@@ -44,6 +44,15 @@ object Sinks {
   def writeJsonl(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").json(outDir)
 
+  /** ORC sink — one `<name>.orc` directory per table, mirroring
+    * `Sources.readOrc`/`readTable` dispatch. Fully distributed
+    * (no driver materialization), same scale contract as parquet.
+    */
+  def writeOrc(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").orc(s"$outDir/${sheetName(name)}.orc")
+    }
+
   /** Bucketed managed-table sink: pre-hash rows into `buckets` files per
     * partition by `bucketCols` (optionally sorted within buckets) so
     * every later equi-join or aggregation on those keys is SHUFFLE-FREE
