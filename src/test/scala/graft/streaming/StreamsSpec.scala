@@ -124,17 +124,33 @@ class StreamsSpec extends AnyFunSuite {
       .select("user_id").as[Long].collect().toSeq.sorted
     assert(batch == Seq(1L, 3L, 3L))
 
-    // streaming form over the same data matches
+    // streaming form over the same data matches — fed as a MULTI-batch
+    // sequence: all clicks arrive in batch 1, purchases only in batch 2
+    // (plus one extra late click in batch 3 that lands between user 1's
+    // click and attributed purchase). The stream-stream interval join
+    // must hold click state across batches to attribute purchases it
+    // sees later, and late rows within the watermark must still join.
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
     val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
     val q = Streams.attributionJoinStream(df, "click", "purchase", 30, "2 hours")
       .writeStream.outputMode("append").format("memory").queryName("attrout").start()
     try {
-      mem.addData(ev.as[(Long, Timestamp, String, Double)].collect().toIndexedSeq: _*)
+      val rows = ev.as[(Long, Timestamp, String, Double)].collect()
+      mem.addData(rows.filter(_._3 == "click").toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(spark.table("attrout").isEmpty) // no purchases seen yet
+      mem.addData(rows.filter(_._3 == "purchase").toIndexedSeq: _*)
       q.processAllAvailable()
       val got = spark.table("attrout").select("user_id").as[Long].collect().toSeq.sorted
       assert(got == batch)
+      // a LATE click (earlier event-time than everything in batch 2,
+      // still inside the 2h watermark) must attribute user 1's ts(10)
+      // purchase a second way: state was kept, late data still joins
+      mem.addData((1L, ts(5), "click", 0.0))
+      q.processAllAvailable()
+      val got2 = spark.table("attrout").select("user_id").as[Long].collect().toSeq.sorted
+      assert(got2 == (1L +: batch).sorted)
     } finally q.stop()
   }
 
@@ -150,11 +166,17 @@ class StreamsSpec extends AnyFunSuite {
         (1L, ts(0), good),
         (2L, ts(1), "Plain  clean sentence WITH enough tokens here"), // same normalized content
         (3L, ts(2), "!!! ??? ***"),                                   // fails quality
-        (4L, ts(3), "short"),                                         // < 5 tokens
+        (4L, ts(3), "short"))                                         // < 5 tokens
+      q.processAllAvailable()
+      // batch 2: a LATE duplicate of doc 1 (event-time before doc 4,
+      // within the 1h watermark) must be dropped against batch-1 STATE,
+      // plus a genuinely new document that must survive
+      mem.addData(
+        (6L, ts(2), good),                                            // late cross-batch duplicate
         (5L, ts(4), "a different clean document with many tokens"))
       q.processAllAvailable()
       val ids = spark.table("curout").select("doc_id").as[Long].collect().toSet
-      // doc 2 deduped against 1 (same token stream), 3-4 filtered
+      // docs 2 and 6 deduped against 1 (same token stream), 3-4 filtered
       assert(ids == Set(1L, 5L))
     } finally q.stop()
   }
