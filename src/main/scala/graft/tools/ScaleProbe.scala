@@ -93,6 +93,43 @@ object ScaleProbe {
     time("s15_profile(approx) 1x")(prof(docs))
     time("s15_profile(approx) 10x")(prof(d10))
 
+    // round-4 curation family end-to-end: cleanCorpus (quality+lang →
+    // n-gram near-dup → connected components → representatives), the
+    // packed manifest on top of it, and cross-doc contamination stats.
+    // The n-gram pair generator blocks on (lenband, first token) with
+    // the 4096-row cap — the probe plants HOT-TOKEN SKEW (every doc at
+    // 10× starts with "the") so the degenerate block is 10× the corpus:
+    // uncapped this is O(n²) in the hot block; capped it must stay ~1×.
+    def clean(d: DataFrame): Long =
+      graft.scale.TextAnalysis.cleanCorpus(d, "doc_id", "text",
+        allowedLangs = Seq("en", "es"), maxBlockSize = 4096).count()
+    def manifest(d: DataFrame): Long = {
+      val c = graft.scale.TextAnalysis.cleanCorpus(d, "doc_id", "text",
+        allowedLangs = Seq("en", "es"), maxBlockSize = 4096)
+      graft.scale.TextAnalysis.packSequences(c, "doc_id", "text", budget = 256, shards = 8)
+        .join(c.select(col("doc_id"), col("lang"), col("source")), "doc_id").count()
+    }
+    def contam(d: DataFrame): Long =
+      graft.scale.Dedup.crossDocNgramStats(d, "doc_id", "text", k = 8).count()
+    val dHot = docs.withColumn("text", concat(lit("the "), col("text")))
+    val dHot10 = times10(dHot, "doc_id")
+    clean(docs); contam(docs)
+    time("x_corpus_clean 1x")(clean(docs))
+    time("x_corpus_clean 10x")(clean(d10))
+    time("x_corpus_clean hot 1x")(clean(dHot))
+    time("x_corpus_clean hot 10x")(clean(dHot10))
+    time("x_corpus_manifest 1x")(manifest(docs))
+    time("x_corpus_manifest 10x")(manifest(d10))
+    time("x_dedup_contam 1x")(contam(docs))
+    time("x_dedup_contam 10x")(contam(d10))
+    // the raw pair generator on the degenerate corpus: every 10× doc
+    // shares t0, so blocks are length-band-sized (≈corpus/10) — capped,
+    // the quadratic inside each block is bounded at 4096²/2 per block
+    def ngramPairs(d: DataFrame, cap: Int): Long =
+      graft.scale.Dedup.nearDupNgram(d, "doc_id", "text", k = 3,
+        threshold = 0.5, maxBlockSize = cap).count()
+    time("ngram_pairs hot 10x capped")(ngramPairs(dHot10, 4096))
+
     // salted join at 10x events: the hot-key spread must hold
     val events = graft.io.Sources.table(spark, sfDir, "events")
     def salted(ev: DataFrame): Long = {
