@@ -177,14 +177,36 @@ object Dedup {
     *        the dominant cost of shallow (2–3 hop) near-dup clusters.
     *        2 measured fastest on the sf0.1 near-dup graph (one chain
     *        reaches the fixed point; 3 adds a wasted round per chain).
+    * @param maxDriverPairs hybrid cutover: the VERIFIED near-dup pair
+    *        set is the duplicate mass post-banding/post-verify — usually
+    *        dwarfed by the corpus. When it fits this budget (collected
+    *        via one limit-pushed job; default 2M pairs ≈ tens of MB),
+    *        components are solved with driver union-find in O(E·α(E))
+    *        and ONE broadcast join, replacing an O(cluster diameter)
+    *        loop of Spark jobs whose fixed per-job cost dominates.
+    *        Past the budget — or for id types with no driver ordering —
+    *        the distributed min-label propagation below takes over (the
+    *        100 TB path; same labels either way: min reachable id).
+    *        `<= 0` forces the distributed path.
     * @throws IllegalStateException when maxIter is reached with labels
     *         still changing — a silently partially-merged clustering
     *         would make downstream dedup keep duplicate representatives.
     */
   def clusters(
       ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20,
-      checkEvery: Int = 2): DataFrame = {
+      checkEvery: Int = 2, maxDriverPairs: Int = 2000000): DataFrame = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    if (maxDriverPairs > 0) {
+      val idType = pairs.schema("id_a").dataType
+      if (driverOrdering(idType).isDefined) {
+        val head = pairs.select(col("id_a"), col("id_b"))
+          .limit(maxDriverPairs + 1).collect()
+        if (head.length <= maxDriverPairs)
+          return clustersDriver(ids, idCol, head, idType)
+        // else: fell past the budget — the rows fetched are a strict
+        // subset of the pair set, discard and run distributed below
+      }
+    }
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -248,6 +270,76 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Driver-side orderings for the id types min-label semantics needs a
+    * total order on; None → the distributed path handles the type.
+    */
+  private def driverOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** Union-find (path compression + union by size) over a collected
+    * pair set, labeling every edge-touched id with the MIN id of its
+    * component — byte-identical to the distributed propagation's fixed
+    * point. Singletons attach through the same left join as the
+    * distributed path. The label table is bounded by 2×|pairs| ids and
+    * ships back as a broadcast local relation: one job end-to-end.
+    */
+  private def clustersDriver(
+      ids: DataFrame, idCol: String, pairRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord = driverOrdering(idType).get
+    val parent = new java.util.HashMap[Any, Any]()
+    val size = new java.util.HashMap[Any, Int]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != null) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != null) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def union(a: Any, b: Any): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val sa = size.getOrDefault(ra, 1); val sb = size.getOrDefault(rb, 1)
+        val (big, small) = if (sa >= sb) (ra, rb) else (rb, ra)
+        parent.put(small, big)
+        size.put(big, sa + sb)
+        size.remove(small)
+      }
+    }
+    pairRows.foreach { r => union(r.get(0), r.get(1)) }
+    // component representative = MIN member id (roots are size-chosen,
+    // not min) — one pass to collect the min per root, one to label
+    val minOf = new java.util.HashMap[Any, Any]()
+    val members = new java.util.HashSet[Any]()
+    pairRows.foreach { r => members.add(r.get(0)); members.add(r.get(1)) }
+    members.forEach { m =>
+      val r = find(m)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(m, cur)) minOf.put(r, m)
+    }
+    val labelRows = new java.util.ArrayList[org.apache.spark.sql.Row](members.size)
+    members.forEach { m =>
+      labelRows.add(org.apache.spark.sql.Row(m, minOf.get(find(m))))
+    }
+    val spark = ids.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    val snap = spark.createDataFrame(labelRows, schema)
+    ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
+      .join(broadcast(snap), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** End-to-end near-dedup: MinHash+LSH candidate pairs → Jaccard verify
     * → connected components → keep only cluster representatives (the min
     * id of each near-dup cluster). The one-call form of the full
@@ -263,9 +355,10 @@ object Dedup {
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
       maxBucketSize: Int = 0,
-      maxIter: Int = 20, checkEvery: Int = 2): DataFrame = {
+      maxIter: Int = 20, checkEvery: Int = 2,
+      maxDriverPairs: Int = 2000000): DataFrame = {
     val pairs = nearDupMinhash(df, idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
-    val labels = clusters(df, idCol, pairs, maxIter, checkEvery)
+    val labels = clusters(df, idCol, pairs, maxIter, checkEvery, maxDriverPairs)
     df.join(
       labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
       idCol)

@@ -62,9 +62,36 @@ class DedupSpec extends AnyFunSuite {
     // graph: 1-2, 2-5 (chain), 3-4; 6 isolated → clusters {1,2,5}→1, {3,4}→3, {6}→6
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L, 6L -> 6L)
+    // driver union-find path (pairs within the budget)
     val got = Dedup.clusters(ids, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L, 6L -> 6L))
+    assert(got == expect)
+    // distributed min-label propagation path (budget forced off) must
+    // produce the identical labeling
+    val gotDist = Dedup.clusters(ids, "doc_id", pairs, maxDriverPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDist == expect)
+    // budget EXCEEDED (not just disabled) must also fall through to the
+    // distributed path, not truncate the pair set
+    val gotOver = Dedup.clusters(ids, "doc_id", pairs, maxDriverPairs = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(gotOver == expect)
+  }
+
+  test("clusters: driver and distributed paths agree on a random graph incl. string ids") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((s"d${rnd.nextInt(80)}", s"d${rnd.nextInt(80)}"))
+      .filter(p => p._1 != p._2)
+    val ids = (0 until 100).map(i => s"d$i").toDF("doc_id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val drv = Dedup.clusters(ids, "doc_id", pairs)
+      .as[(String, String)].collect().toMap
+    val dist = Dedup.clusters(ids, "doc_id", pairs, maxDriverPairs = 0)
+      .as[(String, String)].collect().toMap
+    assert(drv == dist)
+    // min-label invariant: every label <= its id, every label is its own label
+    assert(drv.forall { case (id, c) => c <= id && drv(c) == c })
   }
 
   test("minhash bucket cap drops degenerate buckets, keeps discriminative ones") {
