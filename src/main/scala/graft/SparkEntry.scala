@@ -403,6 +403,16 @@ object SparkEntry {
     "x_dedup_contam" -> ((s, d) =>
       Dedup.crossDocNgramStats(T(s, d, "documents"), "doc_id", "text", k = 5)),
 
+    // eval-set decontamination: the "benchmark" is a deterministic slice
+    // of the corpus (doc_id % 37), so the oracle can rebuild it — the
+    // operator itself takes ANY external benchmark frame
+    "x_dedup_decontam" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.contaminationAgainst(
+        docs, docs.filter(col("doc_id") % 37 === 0).select(col("text")),
+        "doc_id", "text", k = 5)
+    }),
+
     // --- §7.4 similarity search --------------------------------------
     "x_sim_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -689,7 +699,14 @@ object SparkEntry {
       kept.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
-    })
+    }),
+
+    // deterministic training shuffle: seed-reproducible (shard, pos)
+    // permutation with no global sort (per-shard windows only)
+    "x_corpus_shuffle" -> ((s, d) =>
+      Sampling.shuffleDeterministic(T(s, d, "documents"), "doc_id",
+          shards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos")))
   )
 
   /** Deterministic URL synthesis shared by the domain queries and their
@@ -1289,6 +1306,34 @@ object SparkEntry {
          |       CAST(count(*) FILTER (WHERE f.nd >= 2) AS BIGINT) AS n_shared,
          |       CAST(count(*) FILTER (WHERE f.nd >= 2) AS DOUBLE) / count(*) AS dup_ratio
          |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin,
+
+    // same k=5 string-shingle mirror as x_dedup_contam (hash equality ≡
+    // string equality on the Spark side); benchmark = the doc_id % 37
+    // slice rebuilt in SQL
+    "x_dedup_decontam" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
+         |      FROM d),
+         |b AS (SELECT DISTINCT sh FROM (
+         |        SELECT unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
+         |        FROM d WHERE doc_id % 37 = 0))
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_contaminated,
+         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) AS contam_ratio
+         |FROM s LEFT JOIN b ON s.sh = b.sh GROUP BY 1""".stripMargin,
+
+    // affine hash mod the prime 1000003 (the sampleByTokenBudget mirror),
+    // shard = h mod 8, pos = per-shard rank on (h, id) — no global order
+    "x_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |        ((doc_id % 1000003) * 514229 + 741103 + 42) % 1000003 AS hv
+        |      FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h""".stripMargin,
 
     // min-reachable-id connected components over the same n-gram pair
     // graph, as a recursive CTE; singletons keep their own id

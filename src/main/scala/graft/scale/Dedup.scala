@@ -402,6 +402,39 @@ object Dedup {
         (sum(when(col("__nd") >= 2, 1L).otherwise(0L)) / count(lit(1))).as("dup_ratio"))
   }
 
+  /** Benchmark decontamination: per corpus document, how much of its
+    * k-gram mass appears in an EXTERNAL benchmark/eval set — the
+    * standard "did eval data leak into training data" audit (and, at a
+    * threshold, the drop filter). Output per doc: distinct k-shingle
+    * count, shingles also present in the benchmark, contamination
+    * ratio.
+    *
+    * Scale: the corpus side is one narrow explode of per-doc distinct
+    * hashed shingles + one doc-keyed hash aggregate (same shape as
+    * [[crossDocNgramStats]]). The benchmark side is EVAL-sized — its
+    * distinct'd shingle set is orders of magnitude smaller than the
+    * corpus, so the probe join broadcasts (AQE picks it up from the
+    * post-distinct stats; shingles are 8-byte hashes, ~10⁶ shingles
+    * ≈ 10 MB). Nothing scales with corpus × benchmark.
+    */
+  def contaminationAgainst(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = graft.functions.Native.hashedShingleSet(
+      TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k)
+    val sh = corpus.select(graft.ops.Cleaning.qcol(idCol),
+      explode(shingles(corpus)).as("__sh"))
+    val bench = benchmark.select(explode(shingles(benchmark)).as("__sh"))
+      .distinct().withColumn("__hit", lit(1))
+    sh.join(bench, Seq("__sh"), "left")
+      .groupBy(graft.ops.Cleaning.qcol(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("n_contaminated"),
+        (sum(when(col("__hit") === 1, 1L).otherwise(0L)) / count(lit(1)))
+          .as("contam_ratio"))
+  }
+
   /** Exact dedup keeping the BEST row of each content group by a score
     * column (quality score, recency, source priority) instead of
     * `exact`'s min-id canonical — "of these identical documents, keep

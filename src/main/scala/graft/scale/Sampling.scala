@@ -98,6 +98,36 @@ object Sampling {
       .drop("__g", "__total", "__rate")
   }
 
+  /** Deterministic global shuffle for training: every row gets a
+    * reproducible pseudorandom (shard, pos) — the permutation a
+    * trainer's data loader consumes. shard = affine hash of the key
+    * (seeded, mod the prime 1000003 — engine-portable, products stay
+    * far under the ANSI overflow line); pos = rank within the shard on
+    * (hash, key).
+    *
+    * Scale: NO global sort anywhere. Rows hash into shards (one
+    * shuffle on the shard key) and each shard orders independently — a
+    * window PARTITIONED BY shard, the same never-global-window contract
+    * as packSequences. Reading shards in order then yields a stable,
+    * seed-reproducible permutation of the corpus; changing the seed
+    * permutes both shard membership and within-shard order.
+    */
+  def shuffleDeterministic(
+      df: DataFrame, keyCol: String, shards: Int, seed: Long = 42L): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val P = 1000003L
+    val key = graft.ops.Cleaning.qcol(keyCol).cast("long")
+    // seed folded mod P up front: the affine sum then stays < 2^40 for
+    // ANY Long seed (ANSI overflow-safe)
+    val h = pmod(pmod(key, lit(P)) * 514229L + 741103L + pmod(lit(seed), lit(P)), lit(P))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

@@ -157,6 +157,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
   }
 
+  test("contaminationAgainst: benchmark shingles flagged per doc, clean docs at zero") {
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, leak),                                                   // fully contained in benchmark
+      (2L, leak + " plus extra tokens beyond the benchmark set"),   // partial overlap
+      (3L, "entirely clean text with no benchmark overlap at all")  // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(leak + " and some more benchmark material")).toDF("text")
+    val out = Dedup.contaminationAgainst(corpus, bench, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 6 shingles (10 tokens, k=5), all 6 inside the benchmark text
+    assert(out(1L) == (6L, 6L))
+    // doc 2 shares exactly doc 1's 6 shingles, its tail shingles are new
+    assert(out(2L)._1 > 6L && out(2L)._2 == 6L)
+    assert(out(3L)._2 == 0L)
+  }
+
   test("embedding near-dup finds identical and near-identical vectors") {
     val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v.clone(); v2(0) = v2(0) + 0.01f

@@ -25,6 +25,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(c == a)
   }
 
+  test("shuffleDeterministic: a reproducible permutation, no global order, seed-sensitive") {
+    val out = Sampling.shuffleDeterministic(keys, "k", shards = 8, seed = 42L)
+      .select("k", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 1000)
+    // per shard: positions are exactly 0..n-1 (a permutation, no gaps)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // reproducible across runs AND partitionings
+    val again = Sampling.shuffleDeterministic(keys.repartition(7), "k", 8, 42L)
+      .select("k", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+    // the order is not the key order (it is a shuffle)
+    val shard0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    // a different seed produces a different permutation
+    val other = Sampling.shuffleDeterministic(keys, "k", 8, 7L)
+      .select("k", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.toSet != other.toSet)
+  }
+
   test("weighted sampling keeps heavy rows proportionally more, deterministically") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1L else 9L)).toDF("k", "w")
     val kept = Sampling.byWeight(df, "k", "w", targetFrac = 0.2)
