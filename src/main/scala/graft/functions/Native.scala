@@ -308,6 +308,42 @@ object Native {
     * hyperplanes above), so IVF cell assignment/probing is one tight
     * loop per row instead of nlist interpreted struct comparisons.
     */
+  /** L2-normalized copy of a float/double array (double elements);
+    * NULL when the norm is zero (a zero vector has no direction — the
+    * IVF quantizer and probe paths drop it rather than inventing one).
+    * One tight loop; replaces the interpreted transform+aggregate HOF
+    * pair that dominated the per-row cost of the IVF corpus pass.
+    */
+  case class L2Normalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val dim = vec.numElements()
+      val v = new Array[Double](dim)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        v(i) = x; acc += x * x; i += 1
+      }
+      if (acc == 0.0) null
+      else {
+        val n = math.sqrt(acc)
+        var j = 0
+        while (j < dim) { v(j) /= n; j += 1 }
+        new GenericArrayData(v)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "l2_normalize"
+  }
+
   case class NearestCells(child: Expression, centroids: Array[Array[Double]], n: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -415,6 +451,9 @@ object Native {
 
   def nearestCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     GraftBridge.column(NearestCells(ex(vec), centroids, n))
+
+  def l2Normalize(vec: Column): Column =
+    GraftBridge.column(L2Normalize(ex(vec)))
 
   def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column = {
     require(langs.nonEmpty && langs.size == lists.size,

@@ -132,11 +132,11 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    // L2-normalize so euclidean cells align with cosine order
-    val normArr = {
-      val n = sqrt(aggregate(graft.ops.Cleaning.qcol(vecCol), lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
-      transform(graft.ops.Cleaning.qcol(vecCol), x => x.cast("double") / when(n > 0, n))
-    }
+    // L2-normalize so euclidean cells align with cosine order. Native
+    // expression (one tight loop; NULL for zero-norm vectors, which
+    // carry no direction): the interpreted transform+aggregate HOF pair
+    // this replaces was the dominant per-row cost of the corpus pass.
+    val normArr = graft.functions.Native.l2Normalize(graft.ops.Cleaning.qcol(vecCol))
     // Quantizer fit: collect a BOUNDED normalized sample (nlist×1000
     // vectors — ample for nlist centroids, megabyte-scale, the same
     // bounded-collect class as the crosstab category grid) and run
@@ -151,16 +151,19 @@ object Similarity {
     // would take whichever partitions got scheduled first: biased
     // toward early files AND run-to-run unstable. The id tiebreak makes
     // the boundary exact even under (negligible) hash collisions.
-    // zero-norm vectors normalize to null elements — exclude them from
-    // the fit sample (they carry no direction for the quantizer anyway)
+    // zero-norm vectors normalize to NULL — excluded from the fit
+    // sample (they carry no direction for the quantizer anyway)
     val idC = graft.ops.Cleaning.qcol(idCol)
     val sample = corpus
-      .filter(l2norm(graft.ops.Cleaning.qcol(vecCol)) > 0)
       .select(normArr.as("__nv__"), xxhash64(idC, lit(seed)).as("__h__"), idC.as("__id__"))
+      .filter(col("__nv__").isNotNull)
       .orderBy(col("__h__"), col("__id__")).limit(nlist * 1000)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 
+    // zero-norm corpus/query vectors get a NULL cell key and drop out
+    // of the equi-join: a directionless vector is not IVF-indexable
+    // (exact kNN scores it 0.0 against everything anyway)
     val cells = corpus
       .withColumn("__cell__",
         graft.functions.Native.nearestCells(normArr, centroids, 1)(0))
