@@ -230,6 +230,13 @@ object Similarity {
   /** Approximate top-k for MANY queries at once: LSH-bucket join between
     * queries and corpus (same hyperplanes both sides), exact cosine
     * within buckets, window top-k per query. Recall grows with `tables`.
+    *
+    * Candidate pairs are deduplicated as BARE ID PAIRS before vectors
+    * are fetched back (cf. [[Dedup.nearDupEmbedding]]): the bucket join
+    * shuffles 16-byte id pairs, and the cosine runs ONCE per distinct
+    * (query, candidate) — at high `tables` the carry-vectors form did
+    * up to `tables`× redundant cosine work on every multi-table
+    * collision before the dedup aggregate could drop it.
     */
   def annTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -237,15 +244,21 @@ object Similarity {
       k: Int = 10, bits: Int = 12, tables: Int = 4,
       seed: Long = 42L, dim: Int = 64): DataFrame = {
     val c = withLshKeys(corpus, vecCol, bits, tables, seed, dim)
-      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("__cid__"), graft.ops.Cleaning.qcol(vecCol).as("__cvec__"))
+      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("__cid__"))
     val q = withLshKeys(queries, vecCol, bits, tables, seed, dim)
-      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"), graft.ops.Cleaning.qcol(vecCol).as("__qvec__"))
-    val scored = q.join(c, Seq("table", "lsh_key"))
+      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"))
+    val pairs = q.join(c, Seq("table", "lsh_key"))
       .filter(col("__qid__") =!= col("__cid__"))
+      .select(col("__qid__"), col("__cid__")).distinct()
+    // queries are the bounded side — broadcast their vectors back; the
+    // corpus vectors come through one id-keyed equi-join
+    val qv = queries.select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
+      graft.ops.Cleaning.qcol(vecCol).as("__qvec__"))
+    val cv = corpus.select(graft.ops.Cleaning.qcol(idCol).as("__cid__"),
+      graft.ops.Cleaning.qcol(vecCol).as("__cvec__"))
+    val scored = pairs.join(broadcast(qv), "__qid__").join(cv, "__cid__")
       .select(col("__qid__"), col("__cid__"),
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
-      .groupBy(col("__qid__"), col("__cid__"))
-      .agg(max(col("similarity")).as("similarity")) // dedup across tables
     topKPerQuery(scored, queryIdCol, idCol, k)
   }
 }
