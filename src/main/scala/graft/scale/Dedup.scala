@@ -426,7 +426,9 @@ object Dedup {
       explode(shingles(corpus)).as("__sh"))
     val bench = benchmark.select(explode(shingles(benchmark)).as("__sh"))
       .distinct().withColumn("__hit", lit(1))
-    sh.join(bench, Seq("__sh"), "left")
+    // explicit hint: the benchmark set is eval-sized by contract, so the
+    // corpus side must never shuffle for this join
+    sh.join(broadcast(bench), Seq("__sh"), "left")
       .groupBy(graft.ops.Cleaning.qcol(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),

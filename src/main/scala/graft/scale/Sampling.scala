@@ -111,6 +111,10 @@ object Sampling {
     * as packSequences. Reading shards in order then yields a stable,
     * seed-reproducible permutation of the corpus; changing the seed
     * permutes both shard membership and within-shard order.
+    *
+    * Size `shards` to the cluster: each shard sorts in one task, so
+    * use enough shards that a shard's rows fit a task comfortably
+    * (100 TB → O(10⁵) shards, not 8; parallelism == shards).
     */
   def shuffleDeterministic(
       df: DataFrame, keyCol: String, shards: Int, seed: Long = 42L): DataFrame = {
