@@ -319,8 +319,21 @@ object Native {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
 
-    @transient private lazy val isFloat =
-      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // any numeric element type (the HOF form this replaced accepted a
+    // cast from every numeric); reading a non-float array through
+    // getDouble would silently reinterpret bytes, so dispatch per type
+    // and fail LOUDLY on non-numeric arrays
+    @transient private lazy val getter: (ArrayData, Int) => Double =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => (a, i) => a.getFloat(i).toDouble
+        case DoubleType => (a, i) => a.getDouble(i)
+        case IntegerType => (a, i) => a.getInt(i).toDouble
+        case LongType => (a, i) => a.getLong(i).toDouble
+        case ShortType => (a, i) => a.getShort(i).toDouble
+        case ByteType => (a, i) => a.getByte(i).toDouble
+        case t => throw new IllegalArgumentException(
+          s"l2_normalize requires array<numeric>, got array<$t>")
+      }
 
     override def nullSafeEval(input: Any): Any = {
       val vec = input.asInstanceOf[ArrayData]
@@ -329,7 +342,7 @@ object Native {
       var acc = 0.0
       var i = 0
       while (i < dim) {
-        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val x = getter(vec, i)
         v(i) = x; acc += x * x; i += 1
       }
       if (acc == 0.0) null

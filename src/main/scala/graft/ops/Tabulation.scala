@@ -32,6 +32,12 @@ object Tabulation {
     // ContextCleaner when the frame goes out of scope, where persist()
     // would pin one summary frame in the cache manager per call with
     // no release path (accumulating across a long-lived session).
+    // Tradeoffs, accepted for a SUMMARY-sized frame: the snapshot is
+    // eager (building the tabulation runs its aggregation immediately)
+    // and checkpoint blocks carry no lineage (an executor loss while
+    // they're referenced fails the action — re-run the summary query).
+    // Corpus-scale frames must use persist + an explicit release
+    // (Transform.runReleasable), never this.
     val counts = counts0.localCheckpoint()
     val total = counts.agg(sum(col(countCol)).as("__total__"))
     counts

@@ -45,21 +45,29 @@ object Dedup {
 
   /** Skew guard shared by every blocked/bucketed candidate generator:
     * drop rows of buckets larger than `maxBucketSize` (non-discriminative
-    * AND quadratic in the self-join that follows). Implemented as a
-    * window count over the bucket key — one shuffle, one pass, and the
-    * exchange it introduces is reusable by the self-join sides (same
-    * key), so the expensive upstream (signatures / shingle sets) is
-    * computed exactly once with no persist. `maxBucketSize <= 0`
-    * disables the cap.
+    * AND quadratic in the self-join that follows).
+    *
+    * Shape: bucket sizes via groupBy (PARTIAL aggregation — the hot
+    * bucket collapses map-side, nothing skewed ever concentrates), keep
+    * only the OVERSIZED keys — a tiny relation, ∝ the number of
+    * degenerate buckets — and LEFT ANTI join it back (AQE broadcasts
+    * it, so the bucket frame is filtered map-side without an extra
+    * shuffle). A window count over the bucket key would instead funnel
+    * the entire degenerate bucket into ONE WindowExec task (buffer +
+    * spill ∝ the hot-block size: the exact failure the cap exists to
+    * prevent) — AQE can split a skewed join partition but never a
+    * window. Costs one extra column-pruned pass over the bucket source.
+    * `maxBucketSize <= 0` disables the cap.
     */
   private[scale] def capBuckets(
       buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) buckets
     else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
-      buckets.withColumn("__bsz__", count(lit(1)).over(w))
-        .filter(col("__bsz__") <= maxBucketSize)
-        .drop("__bsz__")
+      val oversized = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz__"))
+        .filter(col("__bsz__") > maxBucketSize)
+        .select(keyCols.map(col): _*)
+      buckets.join(oversized, keyCols, "left_anti")
     }
 
   /** LSH banding: explode each signature into (band, bandHash) bucket
@@ -92,14 +100,9 @@ object Dedup {
 
     // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
     // huge fraction of the corpus (boilerplate-dominated shards) is
-    // non-discriminative AND quadratic in the self-join below. The
-    // guard is a WINDOW count over the bucket key (capBuckets): one
-    // shuffle, ONE consumer of the signature stage — and because both
-    // self-join sides below are the identical subplan, ReuseExchange
-    // computes the signature+window exchange once. (r3 persisted the
-    // bucket frame here instead, which pinned it in the cache manager
-    // with no release path — measured as multi-second cache-pressure
-    // drag on later queries in a shared JVM.)
+    // non-discriminative AND quadratic in the self-join below — see
+    // capBuckets for why the guard is a partial-agg + semi join, not a
+    // window count or a persist.
     val buckets = capBuckets(buckets0, Seq("band", "bucket"), maxBucketSize)
 
     val a = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
@@ -195,6 +198,35 @@ object Dedup {
   def clusters(
       ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20,
       checkEvery: Int = 2, maxDriverPairs: Int = 2000000): DataFrame = {
+    val (labels, local) = edgeLabels(pairs, maxIter, checkEvery, maxDriverPairs)
+    ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
+      .join(if (local) broadcast(labels) else labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Ids a dedup pass should DROP: every edge-touched id whose component
+    * min is NOT itself. Singletons are always their own representative
+    * and non-representatives always touch an edge, so — unlike
+    * [[clusters]] — this needs no join against the corpus at all: the
+    * result is bounded by the duplicate mass, and in the driver path it
+    * is a broadcastable local relation, so the caller's anti-join never
+    * shuffles the corpus. [[cleanCorpus]]/[[deduplicate]] build on this.
+    */
+  def nonRepresentatives(
+      pairs: DataFrame, maxIter: Int = 20,
+      checkEvery: Int = 2, maxDriverPairs: Int = 2000000): DataFrame = {
+    val (labels, local) = edgeLabels(pairs, maxIter, checkEvery, maxDriverPairs)
+    val nr = labels.filter(col("id") =!= col("cluster")).select(col("id"))
+    if (local) broadcast(nr) else nr
+  }
+
+  /** Shared core of [[clusters]]/[[nonRepresentatives]]: min-label
+    * components over the EDGE-TOUCHED ids only, as (id, cluster) rows
+    * plus a flag for "driver-local relation" (safe to broadcast).
+    */
+  private def edgeLabels(
+      pairs: DataFrame, maxIter: Int,
+      checkEvery: Int, maxDriverPairs: Int): (DataFrame, Boolean) = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     if (maxDriverPairs > 0) {
       val idType = pairs.schema("id_a").dataType
@@ -202,7 +234,7 @@ object Dedup {
         val head = pairs.select(col("id_a"), col("id_b"))
           .limit(maxDriverPairs + 1).collect()
         if (head.length <= maxDriverPairs)
-          return clustersDriver(ids, idCol, head, idType)
+          return (edgeLabelsDriver(pairs.sparkSession, head, idType), true)
         // else: fell past the budget — the rows fetched are a strict
         // subset of the pair set, discard and run distributed below
       }
@@ -261,13 +293,14 @@ object Dedup {
     // the frame in the cache manager until someone calls unpersist),
     // then drop both iteration caches HERE instead of leaking them to
     // the caller. The label frame is proportional to the duplicate mass
-    // (edge-touched ids only), not the corpus.
+    // (edge-touched ids only), not the corpus. Tradeoff: checkpoint
+    // blocks carry no lineage, so losing an executor that holds one
+    // fails the downstream action (re-run the query) — accepted over a
+    // persist the caller can never release.
     val snap = labels.localCheckpoint()
     if (labelsCached != null) labelsCached.unpersist()
     edges.unpersist()
-    ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
-      .join(snap, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (snap, false)
   }
 
   /** Driver-side orderings for the id types min-label semantics needs a
@@ -280,7 +313,16 @@ object Dedup {
       case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
       case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
-      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case StringType => Some(new Ordering[Any] {
+        // Spark's min() on strings compares UTF-8 BYTES (UTF8String
+        // binary order), which differs from Java's UTF-16 compareTo
+        // beyond the BMP (supplementary chars sort above U+E000..U+FFFF
+        // in UTF-8, below them in UTF-16). Both paths must pick the
+        // same representative, so compare the same bytes here.
+        def compare(a: Any, b: Any): Int = java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
       case _ => None
     }
   }
@@ -288,12 +330,12 @@ object Dedup {
   /** Union-find (path compression + union by size) over a collected
     * pair set, labeling every edge-touched id with the MIN id of its
     * component — byte-identical to the distributed propagation's fixed
-    * point. Singletons attach through the same left join as the
-    * distributed path. The label table is bounded by 2×|pairs| ids and
-    * ships back as a broadcast local relation: one job end-to-end.
+    * point. The label table is bounded by 2×|pairs| ids and ships back
+    * as a broadcastable local relation: one job end-to-end.
     */
-  private def clustersDriver(
-      ids: DataFrame, idCol: String, pairRows: Array[org.apache.spark.sql.Row],
+  private def edgeLabelsDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      pairRows: Array[org.apache.spark.sql.Row],
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val ord = driverOrdering(idType).get
     val parent = new java.util.HashMap[Any, Any]()
@@ -330,14 +372,10 @@ object Dedup {
     members.forEach { m =>
       labelRows.add(org.apache.spark.sql.Row(m, minOf.get(find(m))))
     }
-    val spark = ids.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("cluster", idType)))
-    val snap = spark.createDataFrame(labelRows, schema)
-    ids.select(graft.ops.Cleaning.qcol(idCol).as("id"))
-      .join(broadcast(snap), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    spark.createDataFrame(labelRows, schema)
   }
 
   /** End-to-end near-dedup: MinHash+LSH candidate pairs → Jaccard verify
@@ -358,10 +396,15 @@ object Dedup {
       maxIter: Int = 20, checkEvery: Int = 2,
       maxDriverPairs: Int = 2000000): DataFrame = {
     val pairs = nearDupMinhash(df, idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
-    val labels = clusters(df, idCol, pairs, maxIter, checkEvery, maxDriverPairs)
+    // anti-join on the DROP set (bounded by the duplicate mass, a
+    // broadcast local relation in the driver-CC path) instead of a
+    // semi-join on representatives through clusters(): the latter embeds
+    // the corpus a second time inside the labels frame, doubling the
+    // upstream scan at every action
     df.join(
-      labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
-      idCol)
+      nonRepresentatives(pairs, maxIter, checkEvery, maxDriverPairs)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   /** Cross-document duplicated n-gram statistics — the repetition /
@@ -378,13 +421,18 @@ object Dedup {
     */
   def crossDocNgramStats(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    // Document frequency as a WINDOW count over the shingle key: the
-    // tokenize+shingle pass (the expensive row work) runs ONCE and the
-    // plan needs no cache (r3 persisted the exploded frame to feed a
-    // separate doc-freq aggregate + join probe — two consumers, and the
-    // cache was never released). One shuffle on the shingle key, one on
-    // the doc id; shingles are distinct within a doc, so the window
-    // count == document frequency.
+    // Document frequency via groupBy + join back on the shingle key.
+    // The groupBy PARTIALLY aggregates: a boilerplate shingle present in
+    // a large fraction of documents collapses map-side, so no task ever
+    // receives the hot shingle's full row set (a window count over the
+    // shingle key would buffer all of it in ONE WindowExec task — the
+    // straggler AQE cannot split; a skewed JOIN partition it can). Only
+    // the SHARED shingles (doc freq ≥ 2 — the duplicated mass, a small
+    // fraction of a mostly-unique shingle space) join back, as a LEFT
+    // join: when that set is broadcastable the per-doc counting never
+    // shuffles the exploded frame at all. Costs a second (narrow,
+    // native) shingle pass instead of the r3 persist, which leaked;
+    // shingles are distinct within a doc, so the count == doc frequency.
     // Hashed (64-bit) shingles, not strings: hash equality ≡ string
     // equality (collisions ~1e-15 at these cardinalities), the counts
     // are identical, and the shuffle carries longs instead of k-token
@@ -393,13 +441,14 @@ object Dedup {
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val sh = df.select(graft.ops.Cleaning.qcol(idCol),
       explode(graft.functions.Native.hashedShingleSet(toks, k)).as("__sh"))
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("__sh")
-    sh.withColumn("__nd", count(lit(1)).over(wSh))
+    val shared = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+    sh.join(shared, Seq("__sh"), "left")
       .groupBy(graft.ops.Cleaning.qcol(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),
-        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
-        (sum(when(col("__nd") >= 2, 1L).otherwise(0L)) / count(lit(1))).as("dup_ratio"))
+        sum(when(col("__nd").isNotNull, 1L).otherwise(0L)).as("n_shared"),
+        (sum(when(col("__nd").isNotNull, 1L).otherwise(0L)) / count(lit(1))).as("dup_ratio"))
   }
 
   /** Benchmark decontamination: per corpus document, how much of its

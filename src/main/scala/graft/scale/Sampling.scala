@@ -120,12 +120,25 @@ object Sampling {
       df: DataFrame, keyCol: String, shards: Int, seed: Long = 42L): DataFrame = {
     require(shards > 0, s"shards must be > 0, got $shards")
     val P = 1000003L
-    val key = graft.ops.Cleaning.qcol(keyCol).cast("long")
-    // seed folded mod P up front: the affine sum then stays < 2^40 for
-    // ANY Long seed (ANSI overflow-safe)
-    val h = pmod(pmod(key, lit(P)) * 514229L + 741103L + pmod(lit(seed), lit(P)), lit(P))
+    val keyRaw = graft.ops.Cleaning.qcol(keyCol)
+    val isIntegral = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // integral keys: the engine-portable affine hash mod P (the DuckDB
+    // oracle mirrors it). Anything else (string/UUID ids): xxhash64 of
+    // the key — a silent cast("long") would null the hash and collapse
+    // every row into one nondeterministic null shard. Still
+    // deterministic and partitioning-invariant, just not SQL-mirrorable.
+    // Seed folded mod P up front: the affine sum then stays < 2^40 for
+    // ANY Long seed (ANSI overflow-safe).
+    val h =
+      if (isIntegral)
+        pmod(pmod(keyRaw.cast("long"), lit(P)) * 514229L + 741103L + pmod(lit(seed), lit(P)), lit(P))
+      else pmod(xxhash64(keyRaw, lit(seed)), lit(P))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("__h"), key)
+      .partitionBy(col("shard")).orderBy(col("__h"), keyRaw)
     df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))

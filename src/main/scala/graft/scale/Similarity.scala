@@ -250,13 +250,15 @@ object Similarity {
     val pairs = q.join(c, Seq("table", "lsh_key"))
       .filter(col("__qid__") =!= col("__cid__"))
       .select(col("__qid__"), col("__cid__")).distinct()
-    // queries are the bounded side — broadcast their vectors back; the
-    // corpus vectors come through one id-keyed equi-join
+    // vectors rejoin by id on both sides — no broadcast HINT: a typical
+    // query side is small and AQE broadcasts it from runtime stats, but
+    // a million-query batch must be allowed to shuffle-join instead of
+    // being forced through the driver
     val qv = queries.select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
       graft.ops.Cleaning.qcol(vecCol).as("__qvec__"))
     val cv = corpus.select(graft.ops.Cleaning.qcol(idCol).as("__cid__"),
       graft.ops.Cleaning.qcol(vecCol).as("__cvec__"))
-    val scored = pairs.join(broadcast(qv), "__qid__").join(cv, "__cid__")
+    val scored = pairs.join(qv, "__qid__").join(cv, "__cid__")
       .select(col("__qid__"), col("__cid__"),
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
     topKPerQuery(scored, queryIdCol, idCol, k)

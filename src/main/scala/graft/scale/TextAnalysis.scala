@@ -387,10 +387,14 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pairs = Dedup.nearDupNgram(survivors, idCol, textCol, k, threshold, maxBlockSize)
-      val labels = Dedup.clusters(survivors, idCol, pairs)
+      // anti-join on the DROP set (non-representatives): bounded by the
+      // duplicate mass and — in the driver-CC path — a broadcast local
+      // relation, so the returned plan scans the corpus ONCE per action
+      // (the clusters()-semi-join form embedded the survivor subplan a
+      // second time inside the labels frame)
       survivors.join(
-        labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
-        Seq(idCol))
+        Dedup.nonRepresentatives(pairs).select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
     } finally survivors.unpersist()
   }
 }

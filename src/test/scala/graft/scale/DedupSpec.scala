@@ -92,6 +92,16 @@ class DedupSpec extends AnyFunSuite {
     assert(drv == dist)
     // min-label invariant: every label <= its id, every label is its own label
     assert(drv.forall { case (id, c) => c <= id && drv(c) == c })
+    // non-BMP ids: Spark min() orders by UTF-8 bytes, where U+10000
+    // sorts ABOVE U+FFFF (opposite of Java UTF-16 compareTo) — both
+    // paths must still pick the same representative
+    val exotic = Seq("￿", "𐀀").toDF("doc_id")
+    val ep = Seq(("￿", "𐀀")).toDF("id_a", "id_b")
+    val eDrv = Dedup.clusters(exotic, "doc_id", ep).as[(String, String)].collect().toMap
+    val eDist = Dedup.clusters(exotic, "doc_id", ep, maxDriverPairs = 0)
+      .as[(String, String)].collect().toMap
+    assert(eDrv == eDist)
+    assert(eDrv.values.toSet == Set("￿")) // the UTF-8 min
   }
 
   test("minhash bucket cap drops degenerate buckets, keeps discriminative ones") {

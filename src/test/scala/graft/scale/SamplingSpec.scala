@@ -46,6 +46,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.toSet != other.toSet)
   }
 
+  test("shuffleDeterministic: string keys hash to real shards (no null collapse)") {
+    val sk = (0 until 500).map(i => s"doc-$i").toDF("k")
+    val out = Sampling.shuffleDeterministic(sk, "k", shards = 8, seed = 42L)
+      .select("k", "shard", "pos").as[(String, Long, Long)].collect()
+    assert(out.length == 500)
+    assert(out.map(_._2).distinct.length == 8) // spread, not one null shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    val again = Sampling.shuffleDeterministic(sk.repartition(5), "k", 8, 42L)
+      .select("k", "shard", "pos").as[(String, Long, Long)].collect()
+    assert(out.toSet == again.toSet) // deterministic for string keys too
+  }
+
   test("weighted sampling keeps heavy rows proportionally more, deterministically") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1L else 9L)).toDF("k", "w")
     val kept = Sampling.byWeight(df, "k", "w", targetFrac = 0.2)
