@@ -234,6 +234,24 @@ object SparkEntry {
           unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
     }),
 
+    // value→interval join through the binned equi-join (a raw BETWEEN
+    // theta-join plans as BroadcastNestedLoop); irregular overlapping
+    // price bands derived from part, values from lineitem. Counts and
+    // cent-sums per band are engine-exact; the band bounds are the same
+    // double arithmetic in both engines.
+    "j4_range_join" -> ((s, d) => {
+      val bands = T(s, d, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("band"),
+          (col("p_retailprice") * 10).as("lo"),
+          (col("p_retailprice") * 10 + 5000 + (col("p_partkey") % 7) * 3000).as("hi"))
+      graft.ops.RangeJoin.rangeJoin(
+          T(s, d, "lineitem").select(col("l_extendedprice")), "l_extendedprice",
+          bands, "lo", "hi", binWidth = 5000)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
+    }),
+
     "x_distinct_users" -> ((s, d) =>
       T(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
@@ -1840,6 +1858,18 @@ object SparkEntry {
         |       CAST(sum(ut.user_events) AS BIGINT) AS sum_user_events,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN ut ON e.user_id = ut.user_id
+        |GROUP BY 1""".stripMargin,
+
+    // plain BETWEEN theta-join — DuckDB's IEJoin handles it natively;
+    // the Spark side must reach the identical result through the binned
+    // equi-join decomposition
+    "j4_range_join" ->
+      """WITH b AS (SELECT p_partkey AS band, p_retailprice * 10 AS lo,
+        |             p_retailprice * 10 + 5000 + (p_partkey % 7) * 3000 AS hi
+        |           FROM part WHERE p_partkey <= 100)
+        |SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
         |GROUP BY 1""".stripMargin,
 
     // same affine hash mod 1000003 and the same least(1, budget/total)
