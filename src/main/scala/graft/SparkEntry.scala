@@ -256,6 +256,21 @@ object SparkEntry {
       T(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
 
+    // custom TypedImperativeAggregate: exact per-group top-k with a
+    // k-bounded buffer — partial aggregation caps the shuffle at
+    // groups × k rows where the window form shuffles every row
+    "x_agg_topk" -> ((s, d) => {
+      val per = T(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .filter(col("cents").isNotNull)
+      per.groupBy(col("event_type"))
+        .agg(graft.functions.Aggregates.topKByWeight(col("user_id"), col("cents"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("t.value").as("user_id"), col("t.weight").as("cents"))
+    }),
+
     "s6_neff" -> ((s, d) =>
       Raking.effectiveSampleSize(T(s, d, "lineitem"), "l_quantity", Seq("l_returnflag"))),
 
@@ -1859,6 +1874,18 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN ut ON e.user_id = ut.user_id
         |GROUP BY 1""".stripMargin,
+
+    // the window form IS the oracle: identical (weight desc, value asc)
+    // order contract as the bounded aggregate
+    "x_agg_topk" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |        CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cents,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rank
+        |      FROM per WHERE cents IS NOT NULL)
+        |SELECT event_type, CAST(rank AS INT) AS rank, user_id, cents
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // plain BETWEEN theta-join — DuckDB's IEJoin handles it natively;
     // the Spark side must reach the identical result through the binned

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class AggregatesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows = Seq(
+    ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 30L), ("a", 5L, 5L),
+    ("b", 9L, 7L)
+  ).toDF("g", "v", "w")
+
+  test("bounded top-k matches the window form exactly, incl. the tiebreak") {
+    val got = rows.groupBy("g")
+      .agg(Aggregates.topKByWeight(col("v"), col("w"), 3).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.value"), col("t.weight"))
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("w"), asc("v"))
+    val oracle = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("g", "v", "w").as[(String, Long, Long)].collect().toSet
+    assert(got == oracle)
+    // ties on weight break by min value: (2,30) before (4,30)
+    assert(got == Set(("a", 2L, 30L), ("a", 4L, 30L), ("a", 3L, 20L), ("b", 9L, 7L)))
+  }
+
+  test("result is ordered (weight desc, value asc) and partitioning-invariant") {
+    val big = (0L until 10000L).map(i => (i % 7, i, (i * 2654435761L) % 1000L))
+      .toDF("g", "v", "w")
+    def run(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(Aggregates.topKByWeight(col("v"), col("w"), 5).as("top"))
+      .select(col("g"), col("top")).as[(Long, Seq[(Long, Long)])]
+      .collect().toMap
+    val a = run(big)
+    val b = run(big.repartition(13))
+    assert(a == b)
+    a.values.foreach { top =>
+      assert(top.length == 5)
+      assert(top.sliding(2).forall { case Seq(x, y) =>
+        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1) })
+    }
+  }
+
+  test("nulls are skipped; groups smaller than k return all rows") {
+    val df = Seq(
+      ("g", Some(1L), Some(10L)), ("g", None, Some(99L)), ("g", Some(2L), None)
+    ).toDF("g", "v", "w")
+    val got = df.groupBy("g")
+      .agg(Aggregates.topKByWeight(col("v"), col("w"), 5).as("top"))
+      .select(explode(col("top")).as("t")).select("t.value", "t.weight")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)))
+  }
+
+  test("partial aggregation bounds the shuffle: plan has a partial_bounded_top_k") {
+    val plan = rows.groupBy("g")
+      .agg(Aggregates.topKByWeight(col("v"), col("w"), 3).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bounded_top_k") || plan.contains("partial bounded_top_k")
+      || plan.toLowerCase.contains("bounded_top_k"), plan)
+  }
+}
