@@ -256,6 +256,19 @@ object SparkEntry {
       T(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
 
+    // mergeable weighted-quantile sketch in its EXACT configuration
+    // (50 distinct l_quantity values ≪ capacity → stride 1): the
+    // shipped 100 TB weighted-percentile path, hash-checked against the
+    // sort-based lower-weighted-median definition
+    "x_agg_wquantile" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"),
+          col("l_linenumber").cast("long").as("w"))
+        .filter(col("v").isNotNull && col("w").isNotNull)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Aggregates.weightedQuantileSketch(
+          col("v"), col("w"), 0.5).as("median_qty"))),
+
     // custom TypedImperativeAggregate: exact per-group top-k with a
     // k-bounded buffer — partial aggregation caps the shuffle at
     // groups × k rows where the window form shuffles every row
@@ -1873,6 +1886,22 @@ object SparkEntry {
         |       CAST(sum(ut.user_events) AS BIGINT) AS sum_user_events,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN ut ON e.user_id = ut.user_id
+        |GROUP BY 1""".stripMargin,
+
+    // lower weighted median: smallest value whose cumulative weight
+    // reaches half the total (same cum >= q*tot double comparison)
+    "x_agg_wquantile" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |             CAST(l_linenumber AS BIGINT) AS w
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+        |s AS (SELECT l_returnflag, v, CAST(sum(w) AS BIGINT) AS wv FROM b GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, wv,
+        |        CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+        |        CAST(sum(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |      FROM s)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS median_qty
+        |FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
         |GROUP BY 1""".stripMargin,
 
     // the window form IS the oracle: identical (weight desc, value asc)

@@ -120,4 +120,148 @@ object Aggregates {
     GraftBridge.column(
       BoundedTopK(GraftBridge.expr(value), GraftBridge.expr(weight), k)
         .toAggregateExpression())
+
+  /** Mergeable weighted-quantile sketch over LONG values + LONG weights
+    * — the shipped 100 TB path for weighted percentiles (the built-in
+    * `approx_percentile` takes no weights; the exact form sorts every
+    * group). Buffer: value→weight-sum buckets at a power-of-two
+    * `stride`, starting at 1. While distinct buckets ≤ `capacity` the
+    * sketch is EXACT (stride 1, every value its own bucket — the
+    * oracle-checkable configuration, cf. the full-recall LSH gates);
+    * past capacity the stride doubles and buckets pairwise collapse, so
+    * the result is the true quantile's bucket lower bound within
+    * `stride` (≤ value-range / capacity). Deterministic and
+    * ORDER-INVARIANT: weights accumulate in Long (no float rounding),
+    * collapse points depend only on the bucket-count watermark — so
+    * update/merge order and partitioning cannot change the result.
+    *
+    * Returns the smallest bucket lower bound whose cumulative weight
+    * reaches q × total (the lower weighted quantile), null for an
+    * empty group.
+    */
+  case class WeightedQuantileSketch(
+      valueExpr: Expression, weightExpr: Expression, q: Double, capacity: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[WeightedQuantileSketch.Buf] {
+    require(q >= 0 && q <= 1, s"q must be in [0,1], got $q")
+    require(capacity >= 2, s"capacity must be >= 2, got $capacity")
+    import WeightedQuantileSketch.Buf
+
+    override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+
+    override def createAggregationBuffer(): Buf = new Buf(1L)
+
+    private def collapseUntilFits(b: Buf): Unit = {
+      while (b.map.size > capacity) {
+        val next = new java.util.HashMap[Long, Long](b.map.size / 2 + 1)
+        b.map.forEach { (k, w) =>
+          val nk = Math.floorDiv(k, 2L)
+          next.put(nk, next.getOrDefault(nk, 0L) + w)
+        }
+        b.map = next
+        b.stride *= 2
+      }
+    }
+
+    override def update(b: Buf, input: InternalRow): Buf = {
+      val v = valueExpr.eval(input)
+      val w = weightExpr.eval(input)
+      if (v != null && w != null) {
+        val key = Math.floorDiv(v.asInstanceOf[Long], b.stride)
+        b.map.put(key, b.map.getOrDefault(key, 0L) + w.asInstanceOf[Long])
+        collapseUntilFits(b)
+      }
+      b
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      // align strides (bucket i at stride s == bucket floorDiv(i,2) at 2s)
+      while (b1.stride < b2.stride) {
+        val next = new java.util.HashMap[Long, Long](b1.map.size / 2 + 1)
+        b1.map.forEach { (k, w) =>
+          val nk = Math.floorDiv(k, 2L)
+          next.put(nk, next.getOrDefault(nk, 0L) + w)
+        }
+        b1.map = next; b1.stride *= 2
+      }
+      var (m2, s2) = (b2.map, b2.stride)
+      while (s2 < b1.stride) {
+        val next = new java.util.HashMap[Long, Long](m2.size / 2 + 1)
+        m2.forEach { (k, w) =>
+          val nk = Math.floorDiv(k, 2L)
+          next.put(nk, next.getOrDefault(nk, 0L) + w)
+        }
+        m2 = next; s2 *= 2
+      }
+      m2.forEach { (k, w) =>
+        b1.map.put(k, b1.map.getOrDefault(k, 0L) + w)
+      }
+      collapseUntilFits(b1)
+      b1
+    }
+
+    override def eval(b: Buf): Any = {
+      if (b.map.isEmpty) return null
+      val keys = new Array[Long](b.map.size)
+      var i = 0
+      val it = b.map.keySet().iterator()
+      while (it.hasNext) { keys(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(keys)
+      var total = 0L
+      b.map.forEach { (_, w) => total += w }
+      val threshold = q * total.toDouble
+      var cum = 0L
+      var j = 0
+      while (j < keys.length) {
+        cum += b.map.get(keys(j))
+        if (cum.toDouble >= threshold) return keys(j) * b.stride
+        j += 1
+      }
+      keys(keys.length - 1) * b.stride
+    }
+
+    override def serialize(b: Buf): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + b.map.size * 16)
+      bb.putLong(b.stride)
+      bb.putInt(b.map.size)
+      b.map.forEach { (k, w) => bb.putLong(k); bb.putLong(w) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val b = new Buf(bb.getLong)
+      val n = bb.getInt
+      var i = 0
+      while (i < n) { b.map.put(bb.getLong, bb.getLong); i += 1 }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): WeightedQuantileSketch =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): WeightedQuantileSketch =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
+    override def prettyName: String = "weighted_quantile_sketch"
+  }
+
+  object WeightedQuantileSketch {
+    final class Buf(var stride: Long) {
+      var map = new java.util.HashMap[Long, Long]()
+    }
+  }
+
+  /** agg-ready Column: weighted q-quantile of a LONG value column via
+    * the mergeable sketch (exact while the group has ≤ capacity
+    * distinct values).
+    */
+  def weightedQuantileSketch(
+      value: Column, weight: Column, q: Double, capacity: Int = 4096): Column =
+    GraftBridge.column(
+      WeightedQuantileSketch(GraftBridge.expr(value), GraftBridge.expr(weight), q, capacity)
+        .toAggregateExpression())
 }

@@ -56,6 +56,48 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L)))
   }
 
+  test("weighted quantile sketch: exact under capacity, matches the sort definition") {
+    // 60 distinct values, integer weights — capacity 4096 → exact mode
+    val df = (0L until 6000L).map(i => (i % 3, i % 60, 1L + i % 7)).toDF("g", "v", "w")
+    val got = df.groupBy("g")
+      .agg(Aggregates.weightedQuantileSketch(col("v"), col("w"), 0.5).as("med"))
+      .as[(Long, Long)].collect().toMap
+    // brute-force lower weighted median per group
+    val rows = df.as[(Long, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val total = byV.map(_._2).sum
+      var cum = 0L
+      g -> byV.collectFirst { case (v, w) if { cum += w; cum.toDouble >= 0.5 * total } => v }.get
+    }
+    assert(got == expect)
+  }
+
+  test("weighted quantile sketch: over capacity the error is bounded by the stride") {
+    // 100k distinct values, capacity 128 → stride = 1024 (2^10 covers 100k/128)
+    val df = (0L until 100000L).map(i => (i, 1L)).toDF("v", "w")
+    val got = df.agg(Aggregates.weightedQuantileSketch(col("v"), col("w"), 0.5, capacity = 128))
+      .as[Long].head()
+    val exact = 50000L
+    val stride = 1024L
+    assert(math.abs(got - exact) <= stride, s"got $got, exact $exact")
+    // order/partitioning invariance of the collapsed sketch
+    val again = df.repartition(17)
+      .agg(Aggregates.weightedQuantileSketch(col("v"), col("w"), 0.5, capacity = 128))
+      .as[Long].head()
+    assert(got == again)
+  }
+
+  test("weighted quantile sketch: empty input is null, negatives bucket correctly") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "w")
+    assert(empty.agg(Aggregates.weightedQuantileSketch(col("v"), col("w"), 0.5))
+      .collect().head.isNullAt(0))
+    val neg = Seq((-10L, 1L), (-5L, 1L), (0L, 1L), (5L, 1L)).toDF("v", "w")
+    val q0 = neg.agg(Aggregates.weightedQuantileSketch(col("v"), col("w"), 0.0))
+      .as[Long].head()
+    assert(q0 == -10L)
+  }
+
   test("partial aggregation bounds the shuffle: plan has a partial_bounded_top_k") {
     val plan = rows.groupBy("g")
       .agg(Aggregates.topKByWeight(col("v"), col("w"), 3).as("top"))
