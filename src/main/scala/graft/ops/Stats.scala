@@ -345,6 +345,11 @@ object Stats {
     * answer because selection is by min(value) past the threshold.)
     * One shuffle on the group key; the running sum is a sorted window
     * within each group — the standard distributed exact-quantile shape.
+    * At 100 TB the sorted-window pass gives way to
+    * [[graft.functions.Aggregates.weightedQuantileSketch]]: one hash
+    * aggregate with a capacity-bounded mergeable buffer, exact while a
+    * group has ≤ capacity distinct (long) values and stride-bounded
+    * error past that — same inverted-CDF definition.
     */
   def weightedQuantile(
       df: DataFrame, valueCol: String, weightCol: String,
