@@ -55,6 +55,25 @@ object GraftFunctions {
           seed = es.lift(3).map(intArg(_, "seed").toLong).getOrElse(42L))
         Native.ShingleMinHash(es(0), intArg(es(1), "k"),
           fam.coeffs.map(_._1).toArray, fam.coeffs.map(_._2).toArray)
+      }),
+    "l2_normalize" -> (
+      new ExpressionInfo(classOf[Native.L2Normalize].getName, "l2_normalize"),
+      (es: Seq[Expression]) => Native.L2Normalize(es.head)),
+    // aggregates: SELECT g, bounded_top_k(v, w, 5) ... GROUP BY g
+    "bounded_top_k" -> (
+      new ExpressionInfo(classOf[Aggregates.BoundedTopK].getName, "bounded_top_k"),
+      (es: Seq[Expression]) => Aggregates.BoundedTopK(es(0), es(1), intArg(es(2), "k"))),
+    "weighted_quantile_sketch" -> (
+      new ExpressionInfo(classOf[Aggregates.WeightedQuantileSketch].getName, "weighted_quantile_sketch"),
+      (es: Seq[Expression]) => {
+        val q = es(2) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"q must be a double literal, got $other")
+        }
+        Aggregates.WeightedQuantileSketch(es(0), es(1), q,
+          es.lift(3).map(intArg(_, "capacity")).getOrElse(4096))
       }))
 
   /** Register all functions as session temp functions. */

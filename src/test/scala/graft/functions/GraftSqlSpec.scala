@@ -25,6 +25,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.getLong(5) != 0L && (r.getLong(5) >>> 60) == 0L)
   }
 
+  test("custom aggregates and l2_normalize callable from plain SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("b", 9L, 7L))
+      .toDF("g", "v", "w").createOrReplaceTempView("gvw")
+    val top = spark.sql(
+      "SELECT g, bounded_top_k(v, w, 2) AS t FROM gvw GROUP BY g ORDER BY g")
+      .collect()
+    assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+      == Seq((2L, 30L), (3L, 20L)))
+    val med = spark.sql(
+      "SELECT g, weighted_quantile_sketch(v, w, 0.5D) AS m FROM gvw GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(med == Map("a" -> 2L, "b" -> 9L))
+    val n = spark.sql("SELECT l2_normalize(array(3.0D, 4.0D)) AS n").head.getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+  }
+
   test("SQL function matches the Column API") {
     GraftFunctions.register(spark)
     import spark.implicits._
