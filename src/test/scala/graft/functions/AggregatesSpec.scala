@@ -98,6 +98,23 @@ class AggregatesSpec extends AnyFunSuite {
     assert(q0 == -10L)
   }
 
+  test("bounded top-k aggregates a STREAM (state-store serialize across batches)") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+    val q = mem.toDF().toDF("g", "v", "w").groupBy("g")
+      .agg(Aggregates.topKByWeight(col("v"), col("w"), 2).as("top"))
+      .writeStream.outputMode("complete").format("memory").queryName("topkout").start()
+    try {
+      mem.addData(("a", 1L, 10L), ("a", 2L, 30L))
+      q.processAllAvailable()
+      mem.addData(("a", 3L, 20L), ("a", 4L, 40L)) // batch 2 must merge with batch-1 state
+      q.processAllAvailable()
+      val top = spark.table("topkout").select(col("top"))
+        .as[Seq[(Long, Long)]].head()
+      assert(top == Seq((4L, 40L), (2L, 30L)))
+    } finally q.stop()
+  }
+
   test("partial aggregation bounds the shuffle: plan has a partial_bounded_top_k") {
     val plan = rows.groupBy("g")
       .agg(Aggregates.topKByWeight(col("v"), col("w"), 3).as("top"))
