@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
 import scala.collection.mutable.ArrayBuffer
 
 /** Custom Catalyst AGGREGATES (cf. Native's scalar expressions).
@@ -30,6 +32,19 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Aggregates {
 
+  /** Both aggregates read their children as boxed Longs on executors —
+    * reject anything else at ANALYSIS time with a clear message instead
+    * of a mid-job ClassCastException.
+    */
+  private def requireLongInputs(
+      name: String, exprs: Seq[(String, Expression)]): TypeCheckResult = {
+    exprs.collectFirst {
+      case (what, e) if e.dataType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires BIGINT $what, got ${e.dataType.simpleString} — cast('long') it")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   /** Exact top-k (value, weight) pairs per group, ordered by
     * (weight desc, value asc). Long value + long weight — the
     * id-and-count shape of event/token rollups.
@@ -41,6 +56,9 @@ object Aggregates {
     require(k > 0, s"k must be > 0, got $k")
 
     override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongInputs("bounded_top_k",
+        Seq("value" -> valueExpr, "weight" -> weightExpr))
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("value", LongType, nullable = false),
@@ -148,22 +166,26 @@ object Aggregates {
     import WeightedQuantileSketch.Buf
 
     override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongInputs("weighted_quantile_sketch",
+        Seq("value" -> valueExpr, "weight" -> weightExpr))
     override def nullable: Boolean = true
     override def dataType: DataType = LongType
 
     override def createAggregationBuffer(): Buf = new Buf(1L)
 
-    private def collapseUntilFits(b: Buf): Unit = {
-      while (b.map.size > capacity) {
-        val next = new java.util.HashMap[Long, Long](b.map.size / 2 + 1)
-        b.map.forEach { (k, w) =>
-          val nk = Math.floorDiv(k, 2L)
-          next.put(nk, next.getOrDefault(nk, 0L) + w)
-        }
-        b.map = next
-        b.stride *= 2
+    // bucket i at stride s == bucket floorDiv(i,2) at stride 2s
+    private def halve(m: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+      val next = new java.util.HashMap[Long, Long](m.size / 2 + 1)
+      m.forEach { (k, w) =>
+        val nk = Math.floorDiv(k, 2L)
+        next.put(nk, next.getOrDefault(nk, 0L) + w)
       }
+      next
     }
+
+    private def collapseUntilFits(b: Buf): Unit =
+      while (b.map.size > capacity) { b.map = halve(b.map); b.stride *= 2 }
 
     override def update(b: Buf, input: InternalRow): Buf = {
       val v = valueExpr.eval(input)
@@ -177,24 +199,10 @@ object Aggregates {
     }
 
     override def merge(b1: Buf, b2: Buf): Buf = {
-      // align strides (bucket i at stride s == bucket floorDiv(i,2) at 2s)
-      while (b1.stride < b2.stride) {
-        val next = new java.util.HashMap[Long, Long](b1.map.size / 2 + 1)
-        b1.map.forEach { (k, w) =>
-          val nk = Math.floorDiv(k, 2L)
-          next.put(nk, next.getOrDefault(nk, 0L) + w)
-        }
-        b1.map = next; b1.stride *= 2
-      }
+      // align both sides to the larger stride, then sum buckets
+      while (b1.stride < b2.stride) { b1.map = halve(b1.map); b1.stride *= 2 }
       var (m2, s2) = (b2.map, b2.stride)
-      while (s2 < b1.stride) {
-        val next = new java.util.HashMap[Long, Long](m2.size / 2 + 1)
-        m2.forEach { (k, w) =>
-          val nk = Math.floorDiv(k, 2L)
-          next.put(nk, next.getOrDefault(nk, 0L) + w)
-        }
-        m2 = next; s2 *= 2
-      }
+      while (s2 < b1.stride) { m2 = halve(m2); s2 *= 2 }
       m2.forEach { (k, w) =>
         b1.map.put(k, b1.map.getOrDefault(k, 0L) + w)
       }

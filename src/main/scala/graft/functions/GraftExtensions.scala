@@ -68,9 +68,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         val q = es(2) match {
           case Literal(v: Double, _) => v
-          case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+          // plain SQL `0.5` parses as a DECIMAL literal, whose value
+          // class is Spark's own Decimal (not java.math.BigDecimal)
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: Int, _) => v.toDouble // q = 0 / 1
           case other => throw new IllegalArgumentException(
-            s"q must be a double literal, got $other")
+            s"q must be a numeric literal, got $other")
         }
         Aggregates.WeightedQuantileSketch(es(0), es(1), q,
           es.lift(3).map(intArg(_, "capacity")).getOrElse(4096))

@@ -38,24 +38,46 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be > 0, got $maxBinsPerInterval")
+    // the join output carries both sides' columns, and the BETWEEN
+    // filter resolves lo/hi against it — shared names would be
+    // ambiguous (or silently clobbered); fail at build time instead
+    val shared = values.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin: values and intervals share column names $shared — rename one side")
+    val reserved = Set("__bin__", "__vbin__", "__lobin__", "__hibin__")
+    require((values.columns ++ intervals.columns).toSet.intersect(reserved).isEmpty,
+      s"rangeJoin: column names $reserved are reserved")
     val v = Cleaning.qcol(valueCol)
     val lo = Cleaning.qcol(loCol)
     val hi = Cleaning.qcol(hiCol)
-    def bin(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / binWidth).cast("long")
+    // bin indexes in DOUBLE first: comparisons and the bin-count guard
+    // run BEFORE any long cast, so an extreme bound reaches the clear
+    // raise_error message instead of an ANSI CAST_OVERFLOW (and with
+    // ANSI off, a saturated cast can't wrap __nbins__ negative past
+    // the guard). |bin| <= 2^62 makes the eventual cast exact & safe.
+    def dbin(c: org.apache.spark.sql.Column) = floor(c.cast("double") / binWidth)
+    val safe = lit(4.6e18) // < 2^62; doubles this size are whole numbers
 
     val binned = intervals
       .filter(lo <= hi) // empty intervals match nothing (as BETWEEN)
-      .withColumn("__nbins__", bin(hi) - bin(lo) + 1)
+      .withColumn("__lobin__", dbin(lo))
+      .withColumn("__hibin__", dbin(hi))
       .withColumn("__bin__", explode(
-        when(col("__nbins__") <= maxBinsPerInterval, sequence(bin(lo), bin(hi)))
+        when(col("__hibin__") - col("__lobin__") < lit(maxBinsPerInterval.toDouble) &&
+            abs(col("__lobin__")) <= safe && abs(col("__hibin__")) <= safe,
+          sequence(col("__lobin__").cast("long"), col("__hibin__").cast("long")))
           .otherwise(raise_error(concat(
             lit(s"rangeJoin: an interval covers more than $maxBinsPerInterval " +
-              s"bins at binWidth=$binWidth ("), col("__nbins__"),
+              s"bins at binWidth=$binWidth ("), col("__hibin__") - col("__lobin__") + 1,
             lit(" bins) — widen binWidth or split the interval"))))))
-      .drop("__nbins__")
+      .drop("__lobin__", "__hibin__")
 
-    values.withColumn("__bin__", bin(v))
+    // a value binning outside the safe range cannot match any interval
+    // that passed the guard — drop it instead of overflowing the cast
+    values.withColumn("__vbin__", dbin(v))
+      .filter(abs(col("__vbin__")) <= safe)
+      .withColumn("__bin__", col("__vbin__").cast("long"))
+      .drop("__vbin__")
       .join(binned, "__bin__")
       .filter(v >= lo && v <= hi)
       .drop("__bin__")

@@ -98,6 +98,18 @@ class AggregatesSpec extends AnyFunSuite {
     assert(q0 == -10L)
   }
 
+  test("non-BIGINT inputs are rejected at analysis time with a clear message") {
+    val df = Seq(("g", 1, 2.5)).toDF("g", "v", "w") // int value, double weight
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(Aggregates.topKByWeight(col("v"), col("w"), 2)).collect()
+    }
+    assert(e.getMessage.contains("BIGINT") || e.getMessage.contains("cast"), e.getMessage)
+    val e2 = intercept[Exception] {
+      df.groupBy("g").agg(Aggregates.weightedQuantileSketch(col("w"), col("v"), 0.5)).collect()
+    }
+    assert(e2.getMessage.contains("BIGINT") || e2.getMessage.contains("cast"), e2.getMessage)
+  }
+
   test("bounded top-k aggregates a STREAM (state-store serialize across batches)") {
     implicit val sc = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
@@ -119,7 +131,10 @@ class AggregatesSpec extends AnyFunSuite {
     val plan = rows.groupBy("g")
       .agg(Aggregates.topKByWeight(col("v"), col("w"), 3).as("top"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_bounded_top_k") || plan.contains("partial bounded_top_k")
-      || plan.toLowerCase.contains("bounded_top_k"), plan)
+    // the PARTIAL (map-side) phase specifically — a final-only plan
+    // would still print the aggregate's name, so that must not pass
+    assert(plan.contains("partial_bounded_top_k"), plan)
+    // and a final/merge phase consumes it after the exchange
+    assert(plan.contains("bounded_top_k") && plan.contains("Exchange"), plan)
   }
 }

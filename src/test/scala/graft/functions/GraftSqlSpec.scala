@@ -35,10 +35,16 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect()
     assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
       == Seq((2L, 30L), (3L, 20L)))
+    // plain `0.5` parses as a DECIMAL literal (Spark's Decimal value
+    // class) — the natural SQL spelling must work, not just `0.5D`
     val med = spark.sql(
-      "SELECT g, weighted_quantile_sketch(v, w, 0.5D) AS m FROM gvw GROUP BY g ORDER BY g")
+      "SELECT g, weighted_quantile_sketch(v, w, 0.5) AS m FROM gvw GROUP BY g ORDER BY g")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(med == Map("a" -> 2L, "b" -> 9L))
+    val medD = spark.sql(
+      "SELECT g, weighted_quantile_sketch(v, w, 0.5D) AS m FROM gvw GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(medD == med)
     val n = spark.sql("SELECT l2_normalize(array(3.0D, 4.0D)) AS n").head.getSeq[Double](0)
     assert(n == Seq(0.6, 0.8))
   }

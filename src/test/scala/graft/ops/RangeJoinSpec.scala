@@ -52,4 +52,28 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("widen binWidth") ||
       e.getCause != null && e.getCause.getMessage.contains("widen binWidth"))
   }
+
+  test("extreme bounds reach the guard message, not a cast overflow") {
+    // bins at 1e30 overflow any long — the clear raise_error must win
+    // over ANSI CAST_OVERFLOW (double binning happens before the cast)
+    val extreme = Seq((1L, 1.0e30, 1.0e30 + 10)).toDF("band", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoin(values, "v", extreme, "lo", "hi", binWidth = 1.0).count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("widen binWidth"), msg)
+    // an extreme VALUE just drops (cannot match any guarded interval)
+    val ev = Seq(1.0e30, 5.0).toDF("v")
+    val ok = RangeJoin.rangeJoin(ev, "v", intervals, "lo", "hi", binWidth = 7.0)
+      .select("v").as[Double].collect().toSeq
+    assert(ok == Seq(5.0))
+  }
+
+  test("shared or reserved column names are rejected at build time") {
+    val clash = Seq((1L, 0.0, 10.0)).toDF("band", "lo", "v") // "v" also in values
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(values, "v", clash, "lo", "v", binWidth = 7.0)
+    }
+    assert(e.getMessage.contains("share column names"))
+  }
 }
