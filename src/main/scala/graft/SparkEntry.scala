@@ -216,6 +216,13 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // bounded-state k-per-group sampling through the BoundedTopK
+    // aggregate (shuffle ∝ groups × k, not rows); affine-hash order is
+    // engine-portable so the oracle mirrors it with a window
+    "s20_sample_pergroup" -> ((s, d) =>
+      Sampling.sampleKPerGroup(T(s, d, "orders"),
+        Seq("o_orderstatus"), "o_orderkey", k = 10)),
+
     "s5_sample_strat" -> ((s, d) =>
       Sampling.stratifiedSystematic(T(s, d, "orders"), "o_orderstatus", "o_orderkey",
         Map("O" -> 2L, "F" -> 5L), defaultMod = 10L)
@@ -1837,6 +1844,17 @@ object SparkEntry {
 
     // same affine hash and identical rate arithmetic:
     // u < least(1, 0.2 * (w * n / ws))
+    // the aggregate's (hash desc, key asc) order == the window's;
+    // multiplier 514272 = seeded (seed 42) form of the affine hash
+    "s20_sample_pergroup" ->
+      """WITH h AS (SELECT o_orderstatus, o_orderkey,
+        |        ((o_orderkey % 1000003) * 514272 + 741103) % 1000003 AS hv
+        |      FROM orders),
+        |r AS (SELECT o_orderstatus, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv DESC, o_orderkey) AS rn
+        |      FROM h)
+        |SELECT o_orderstatus, o_orderkey FROM r WHERE rn <= 10""".stripMargin,
+
     "s17_sample_weighted" ->
       """WITH st AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws,
         |                   CAST(count(l_quantity) AS BIGINT) AS wn

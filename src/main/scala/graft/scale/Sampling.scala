@@ -145,6 +145,36 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic k-per-group sample: the k keys with the largest
+    * portable affine hash in each group — uniform-without-replacement
+    * (up to hash aliasing mod the prime; min-id tiebreak keeps it
+    * deterministic), reproducible across runs, partitionings, and
+    * engines. BOUNDED state via the BoundedTopK aggregate: the partial
+    * phase keeps ≤ k candidates per group per partition, so sampling
+    * 10 of each group from 10¹² rows shuffles groups × k rows — the
+    * window row_number formulation shuffles every row first.
+    * Output: (groupCols..., keyCol), exploded back to rows.
+    */
+  def sampleKPerGroup(
+      df: DataFrame, groupCols: Seq[String], keyCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(groupCols.nonEmpty, "sampleKPerGroup needs at least one group column")
+    val P = 1000003L
+    val key = graft.ops.Cleaning.qcol(keyCol).cast("long")
+    // the seed picks the hash MULTIPLIER (any non-zero works mod the
+    // prime): an additive seed only shifts hashes, which near-preserves
+    // a top-k-by-hash ordering — different seeds would return almost
+    // the same sample. seed 42 → a = 514272 (the oracle's literal).
+    val a = 1L + java.lang.Math.floorMod(514229L + seed, P - 1)
+    val h = pmod(pmod(key, lit(P)) * lit(a) + 741103L, lit(P))
+    df.groupBy(groupCols.map(graft.ops.Cleaning.qcol): _*)
+      .agg(graft.functions.Aggregates.topKByWeight(key, h, k).as("__top__"))
+      .select((groupCols.map(graft.ops.Cleaning.qcol) :+
+        explode(col("__top__")).as("__t__")): _*)
+      .select((groupCols.map(graft.ops.Cleaning.qcol) :+
+        col("__t__.value").as(keyCol)): _*)
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

@@ -60,6 +60,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet) // deterministic for string keys too
   }
 
+  test("sampleKPerGroup: exactly k per group, deterministic, bounded-state plan") {
+    val df = (0L until 3000L).map(i => (i % 3, i)).toDF("g", "k")
+    val out = Sampling.sampleKPerGroup(df, Seq("g"), "k", k = 7)
+    val got = out.as[(Long, Long)].collect()
+    assert(got.length == 21)
+    assert(got.groupBy(_._1).forall(_._2.length == 7))
+    // reproducible across partitionings
+    val again = Sampling.sampleKPerGroup(df.repartition(11), Seq("g"), "k", 7)
+      .as[(Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+    // different seed → different sample
+    val other = Sampling.sampleKPerGroup(df, Seq("g"), "k", 7, seed = 9L)
+      .as[(Long, Long)].collect()
+    assert(got.toSet != other.toSet)
+    // bounded state: the partial top-k phase is in the plan
+    assert(out.queryExecution.executedPlan.toString.contains("partial_bounded_top_k"))
+  }
+
   test("weighted sampling keeps heavy rows proportionally more, deterministically") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1L else 9L)).toDF("k", "w")
     val kept = Sampling.byWeight(df, "k", "w", targetFrac = 0.2)
