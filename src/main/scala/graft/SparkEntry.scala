@@ -276,6 +276,18 @@ object SparkEntry {
         .agg(graft.functions.Aggregates.weightedQuantileSketch(
           col("v"), col("w"), 0.5).as("median_qty"))),
 
+    // one-pass Space-Saving heavy hitters over RAW event rows (no
+    // per-user pre-aggregation shuffle); capacity 65536 ≥ distinct
+    // users at every sf → exact counts (the oracle config; approximate
+    // eviction mode is spec-graded on its count/error guarantees)
+    "x_agg_heavyhitters" -> ((s, d) =>
+      T(s, d, "events")
+        .agg(graft.functions.Aggregates.heavyHitters(
+          col("user_id"), outputK = 10, capacity = 65536).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("t.value").as("user_id"), col("t.count").as("n"))),
+
     // custom TypedImperativeAggregate: exact per-group top-k with a
     // k-bounded buffer — partial aggregation caps the shuffle at
     // groups × k rows where the window form shuffles every row
@@ -1921,6 +1933,11 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS median_qty
         |FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
         |GROUP BY 1""".stripMargin,
+
+    "x_agg_heavyhitters" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rn FROM c)
+        |SELECT CAST(rn AS INT) AS rank, user_id, n FROM r WHERE rn <= 10""".stripMargin,
 
     // the window form IS the oracle: identical (weight desc, value asc)
     // order contract as the bounded aggregate

@@ -272,4 +272,122 @@ object Aggregates {
     GraftBridge.column(
       WeightedQuantileSketch(GraftBridge.expr(value), GraftBridge.expr(weight), q, capacity)
         .toAggregateExpression())
+
+  /** Space-Saving heavy hitters: one-pass approximate top-k values by
+    * FREQUENCY over raw rows — no per-value pre-aggregation shuffle at
+    * all (contrast BoundedTopK, which ranks already-aggregated
+    * weights). Classic Metwally et al. semantics:
+    *  - capacity ≥ distinct values → no eviction ever happens, counts
+    *    are EXACT and the result is order/partitioning-invariant (the
+    *    oracle-checkable configuration);
+    *  - past capacity, the smallest counter is evicted and its count
+    *    inherited: reported count ≥ true count ≥ reported − error, any
+    *    value with true count > N/capacity is guaranteed present.
+    *    Like any Space-Saving sketch the approximate counts depend on
+    *    arrival order — document and spec-grade the GUARANTEES, not
+    *    equality (every other operator in this library is
+    *    order-invariant; this one trades that for one-pass frequency
+    *    estimation, and says so).
+    * Output: array<struct<value, count, error>> of the top `outputK`
+    * by (count desc, value asc).
+    */
+  case class SpaceSavingTopK(
+      valueExpr: Expression, capacity: Int, outputK: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+    require(capacity > 0 && outputK > 0 && outputK <= capacity,
+      s"need 0 < outputK <= capacity, got outputK=$outputK capacity=$capacity")
+
+    override def children: Seq[Expression] = Seq(valueExpr)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongInputs("space_saving_top_k", Seq("value" -> valueExpr))
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("count", LongType, nullable = false),
+      StructField("error", LongType, nullable = false))), containsNull = false)
+
+    type Buf = java.util.HashMap[Long, Array[Long]] // value -> [count, error]
+
+    override def createAggregationBuffer(): Buf = new java.util.HashMap()
+
+    // deterministic eviction victim: min count, then max error, then
+    // max value — fully ordered so identical buffers evict identically
+    private def victim(b: Buf): Long = {
+      var bestV = 0L; var bestC = Long.MaxValue; var bestE = -1L; var found = false
+      b.forEach { (v, ce) =>
+        val better = ce(0) < bestC ||
+          (ce(0) == bestC && (ce(1) > bestE || (ce(1) == bestE && v > bestV)))
+        if (!found || better) { found = true; bestV = v; bestC = ce(0); bestE = ce(1) }
+      }
+      bestV
+    }
+
+    private def add(b: Buf, v: Long, c: Long, e: Long): Unit = {
+      val cur = b.get(v)
+      if (cur != null) { cur(0) += c; cur(1) += e }
+      else if (b.size < capacity) b.put(v, Array(c, e))
+      else {
+        val w = victim(b)
+        val wc = b.get(w)(0)
+        b.remove(w)
+        b.put(v, Array(wc + c, wc + e)) // inherit the evicted count as error
+      }
+    }
+
+    override def update(b: Buf, input: InternalRow): Buf = {
+      val v = valueExpr.eval(input)
+      if (v != null) add(b, v.asInstanceOf[Long], 1L, 0L)
+      b
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      b2.forEach { (v, ce) => add(b1, v, ce(0), ce(1)) }
+      b1
+    }
+
+    override def eval(b: Buf): Any = {
+      val entries = new ArrayBuffer[(Long, Long, Long)](b.size)
+      b.forEach { (v, ce) => entries += ((v, ce(0), ce(1))) }
+      val top = entries.sortWith((a, c) =>
+          a._2 > c._2 || (a._2 == c._2 && a._1 < c._1))
+        .take(outputK)
+      new GenericArrayData(top.map { case (v, c, e) =>
+        InternalRow(v, c, e)
+      }.toArray[Any])
+    }
+
+    override def serialize(b: Buf): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + b.size * 24)
+      bb.putInt(b.size)
+      b.forEach { (v, ce) => bb.putLong(v); bb.putLong(ce(0)); bb.putLong(ce(1)) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val b = new java.util.HashMap[Long, Array[Long]](n * 2)
+      var i = 0
+      while (i < n) { b.put(bb.getLong, Array(bb.getLong, bb.getLong)); i += 1 }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(valueExpr = newChildren(0))
+    override def prettyName: String = "space_saving_top_k"
+  }
+
+  /** agg-ready Column: one-pass heavy hitters (top `outputK` LONG
+    * values by frequency) with a `capacity`-bounded buffer.
+    */
+  def heavyHitters(value: Column, outputK: Int, capacity: Int = 4096): Column =
+    GraftBridge.column(
+      SpaceSavingTopK(GraftBridge.expr(value), capacity, outputK)
+        .toAggregateExpression())
 }

@@ -63,6 +63,11 @@ object GraftFunctions {
     "bounded_top_k" -> (
       new ExpressionInfo(classOf[Aggregates.BoundedTopK].getName, "bounded_top_k"),
       (es: Seq[Expression]) => Aggregates.BoundedTopK(es(0), es(1), intArg(es(2), "k"))),
+    "space_saving_top_k" -> (
+      new ExpressionInfo(classOf[Aggregates.SpaceSavingTopK].getName, "space_saving_top_k"),
+      (es: Seq[Expression]) => Aggregates.SpaceSavingTopK(es(0),
+        outputK = intArg(es(1), "outputK"),
+        capacity = es.lift(2).map(intArg(_, "capacity")).getOrElse(4096))),
     "weighted_quantile_sketch" -> (
       new ExpressionInfo(classOf[Aggregates.WeightedQuantileSketch].getName, "weighted_quantile_sketch"),
       (es: Seq[Expression]) => {

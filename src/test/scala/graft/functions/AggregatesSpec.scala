@@ -98,6 +98,33 @@ class AggregatesSpec extends AnyFunSuite {
     assert(q0 == -10L)
   }
 
+  test("heavy hitters: exact and invariant when capacity covers the distinct values") {
+    // zipf-ish: value v appears 1000/v times
+    val data = (1L to 50L).flatMap(v => Seq.fill((1000 / v).toInt)(v))
+    val df = scala.util.Random.shuffle(data).toDF("v")
+    val got = df.agg(Aggregates.heavyHitters(col("v"), outputK = 5, capacity = 64))
+      .as[Seq[(Long, Long, Long)]].head()
+    assert(got == Seq((1L, 1000L, 0L), (2L, 500L, 0L), (3L, 333L, 0L), (4L, 250L, 0L), (5L, 200L, 0L)))
+    val again = df.repartition(13)
+      .agg(Aggregates.heavyHitters(col("v"), 5, 64)).as[Seq[(Long, Long, Long)]].head()
+    assert(got == again) // no eviction => order/partitioning-invariant
+  }
+
+  test("heavy hitters: Space-Saving guarantees hold past capacity") {
+    // 10 hot values (10k each) + 100k rare singletons, capacity 256
+    val hot = (1L to 10L).flatMap(v => Seq.fill(10000)(v))
+    val rare = (1000L until 101000L)
+    val df = (hot ++ rare).toDF("v").repartition(7)
+    val got = df.agg(Aggregates.heavyHitters(col("v"), outputK = 10, capacity = 256))
+      .as[Seq[(Long, Long, Long)]].head()
+    // every value with true count > N/capacity (~780) must be reported
+    assert(got.map(_._1).toSet == (1L to 10L).toSet)
+    got.foreach { case (v, c, e) =>
+      assert(c >= 10000L, s"reported count below true for $v")     // count >= true
+      assert(c - e <= 10000L, s"count-error above true for $v")    // count-error <= true
+    }
+  }
+
   test("non-BIGINT inputs are rejected at analysis time with a clear message") {
     val df = Seq(("g", 1, 2.5)).toDF("g", "v", "w") // int value, double weight
     val e = intercept[Exception] {
