@@ -294,7 +294,7 @@ object Aggregates {
   case class SpaceSavingTopK(
       valueExpr: Expression, capacity: Int, outputK: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+      extends TypedImperativeAggregate[SpaceSavingTopK.SSBuf] {
     require(capacity > 0 && outputK > 0 && outputK <= capacity,
       s"need 0 < outputK <= capacity, got outputK=$outputK capacity=$capacity")
 
@@ -307,31 +307,34 @@ object Aggregates {
       StructField("count", LongType, nullable = false),
       StructField("error", LongType, nullable = false))), containsNull = false)
 
-    type Buf = java.util.HashMap[Long, Array[Long]] // value -> [count, error]
+    type Buf = SpaceSavingTopK.SSBuf
 
-    override def createAggregationBuffer(): Buf = new java.util.HashMap()
-
-    // deterministic eviction victim: min count, then max error, then
-    // max value — fully ordered so identical buffers evict identically
-    private def victim(b: Buf): Long = {
-      var bestV = 0L; var bestC = Long.MaxValue; var bestE = -1L; var found = false
-      b.forEach { (v, ce) =>
-        val better = ce(0) < bestC ||
-          (ce(0) == bestC && (ce(1) > bestE || (ce(1) == bestE && v > bestV)))
-        if (!found || better) { found = true; bestV = v; bestC = ce(0); bestE = ce(1) }
-      }
-      bestV
-    }
+    override def createAggregationBuffer(): Buf = new SpaceSavingTopK.SSBuf()
 
     private def add(b: Buf, v: Long, c: Long, e: Long): Unit = {
-      val cur = b.get(v)
-      if (cur != null) { cur(0) += c; cur(1) += e }
-      else if (b.size < capacity) b.put(v, Array(c, e))
-      else {
-        val w = victim(b)
-        val wc = b.get(w)(0)
-        b.remove(w)
-        b.put(v, Array(wc + c, wc + e)) // inherit the evicted count as error
+      val cur = b.map.get(v)
+      if (cur != null) { cur(0) += c; cur(1) += e } // heap entry goes stale; fixed lazily
+      else if (b.map.size < capacity) {
+        b.map.put(v, Array(c, e))
+        b.heap.add(Array(c, v))
+      } else {
+        // lazy min-heap eviction: pop until the head's count snapshot
+        // matches the entry's CURRENT count (stale heads — values that
+        // were incremented since push — are re-pushed with their
+        // current count). Amortized O(log capacity) per eviction; the
+        // exhaustive min-scan this replaces was O(capacity) per evicted
+        // row — O(rows × capacity) on rare-value-heavy streams.
+        var w = 0L; var wc = 0L; var found = false
+        while (!found) {
+          val head = b.heap.poll()
+          val ce = b.map.get(head(1))
+          if (ce != null && ce(0) == head(0)) { w = head(1); wc = ce(0); found = true }
+          else if (ce != null) b.heap.add(Array(ce(0), head(1)))
+          // ce == null: value already evicted — drop the stale entry
+        }
+        b.map.remove(w)
+        b.map.put(v, Array(wc + c, wc + e)) // inherit the evicted count as error
+        b.heap.add(Array(wc + c, v))
       }
     }
 
@@ -342,13 +345,13 @@ object Aggregates {
     }
 
     override def merge(b1: Buf, b2: Buf): Buf = {
-      b2.forEach { (v, ce) => add(b1, v, ce(0), ce(1)) }
+      b2.map.forEach { (v, ce) => add(b1, v, ce(0), ce(1)) }
       b1
     }
 
     override def eval(b: Buf): Any = {
-      val entries = new ArrayBuffer[(Long, Long, Long)](b.size)
-      b.forEach { (v, ce) => entries += ((v, ce(0), ce(1))) }
+      val entries = new ArrayBuffer[(Long, Long, Long)](b.map.size)
+      b.map.forEach { (v, ce) => entries += ((v, ce(0), ce(1))) }
       val top = entries.sortWith((a, c) =>
           a._2 > c._2 || (a._2 == c._2 && a._1 < c._1))
         .take(outputK)
@@ -358,18 +361,23 @@ object Aggregates {
     }
 
     override def serialize(b: Buf): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4 + b.size * 24)
-      bb.putInt(b.size)
-      b.forEach { (v, ce) => bb.putLong(v); bb.putLong(ce(0)); bb.putLong(ce(1)) }
+      val bb = java.nio.ByteBuffer.allocate(4 + b.map.size * 24)
+      bb.putInt(b.map.size)
+      b.map.forEach { (v, ce) => bb.putLong(v); bb.putLong(ce(0)); bb.putLong(ce(1)) }
       bb.array()
     }
 
     override def deserialize(bytes: Array[Byte]): Buf = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val n = bb.getInt
-      val b = new java.util.HashMap[Long, Array[Long]](n * 2)
+      val b = new SpaceSavingTopK.SSBuf()
       var i = 0
-      while (i < n) { b.put(bb.getLong, Array(bb.getLong, bb.getLong)); i += 1 }
+      while (i < n) {
+        val v = bb.getLong; val c = bb.getLong; val e = bb.getLong
+        b.map.put(v, Array(c, e))
+        b.heap.add(Array(c, v))
+        i += 1
+      }
       b
     }
 
@@ -381,6 +389,21 @@ object Aggregates {
         newChildren: IndexedSeq[Expression]): Expression =
       copy(valueExpr = newChildren(0))
     override def prettyName: String = "space_saving_top_k"
+  }
+
+  object SpaceSavingTopK {
+    /** value → [count, error] plus a lazy min-heap of [countSnapshot,
+      * value] for O(log capacity) eviction; (count asc, value desc)
+      * heap order keeps victim selection deterministic.
+      */
+    final class SSBuf {
+      val map = new java.util.HashMap[Long, Array[Long]]()
+      val heap = new java.util.PriorityQueue[Array[Long]](
+        (a: Array[Long], b: Array[Long]) => {
+          val c = java.lang.Long.compare(a(0), b(0))
+          if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+        })
+    }
   }
 
   /** agg-ready Column: one-pass heavy hitters (top `outputK` LONG
