@@ -267,9 +267,13 @@ object SparkEntry {
     // (50 distinct l_quantity values ≪ capacity → stride 1): the
     // shipped 100 TB weighted-percentile path, hash-checked against the
     // sort-based lower-weighted-median definition
+    // explicit floor() both sides: Spark's double→long cast truncates
+    // while DuckDB's CAST rounds half-even — floor is the one form the
+    // engines agree on (the testdata is integer-valued, but the oracle
+    // must not depend on that)
     "x_agg_wquantile" -> ((s, d) =>
       T(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"),
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("v"),
           col("l_linenumber").cast("long").as("w"))
         .filter(col("v").isNotNull && col("w").isNotNull)
         .groupBy(col("l_returnflag"))
@@ -1857,10 +1861,13 @@ object SparkEntry {
     // same affine hash and identical rate arithmetic:
     // u < least(1, 0.2 * (w * n / ws))
     // the aggregate's (hash desc, key asc) order == the window's;
-    // multiplier 514272 = seeded (seed 42) form of the affine hash
+    // CRT pair of seeded affine hashes (seed 42 → multipliers
+    // 514272 / 741146) combined as h1*P2 + h2 — injective below
+    // P1*P2 ≈ 1.2e18 keys, every product BIGINT-safe in both engines
     "s20_sample_pergroup" ->
       """WITH h AS (SELECT o_orderstatus, o_orderkey,
-        |        ((o_orderkey % 1000003) * 514272 + 741103) % 1000003 AS hv
+        |        ((o_orderkey % 1073741789) * 514272) % 1073741789 * 1073741783
+        |          + ((o_orderkey % 1073741783) * 741146) % 1073741783 AS hv
         |      FROM orders),
         |r AS (SELECT o_orderstatus, o_orderkey,
         |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv DESC, o_orderkey) AS rn
@@ -1921,7 +1928,7 @@ object SparkEntry {
     // lower weighted median: smallest value whose cumulative weight
     // reaches half the total (same cum >= q*tot double comparison)
     "x_agg_wquantile" ->
-      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+      """WITH b AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS v,
         |             CAST(l_linenumber AS BIGINT) AS w
         |           FROM lineitem
         |           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),

@@ -59,17 +59,29 @@ object RangeJoin {
     val safe = lit(4.6e18) // < 2^62; doubles this size are whole numbers
 
     val binned = intervals
-      .filter(lo <= hi) // empty intervals match nothing (as BETWEEN)
+      // empty intervals match nothing (as BETWEEN). NaN bounds: Spark's
+      // ORDERING treats NaN = NaN, so `lo <= hi` is TRUE for a
+      // (NaN, NaN) interval — filter them out explicitly (a NaN bound
+      // can never satisfy v >= lo && v <= hi, so dropping it preserves
+      // BETWEEN semantics instead of aborting the job downstream)
+      .filter(lo <= hi && !isnan(lo.cast("double")) && !isnan(hi.cast("double")))
       .withColumn("__lobin__", dbin(lo))
       .withColumn("__hibin__", dbin(hi))
       .withColumn("__bin__", explode(
-        when(col("__hibin__") - col("__lobin__") < lit(maxBinsPerInterval.toDouble) &&
-            abs(col("__lobin__")) <= safe && abs(col("__hibin__")) <= safe,
-          sequence(col("__lobin__").cast("long"), col("__hibin__").cast("long")))
-          .otherwise(raise_error(concat(
-            lit(s"rangeJoin: an interval covers more than $maxBinsPerInterval " +
-              s"bins at binWidth=$binWidth ("), col("__hibin__") - col("__lobin__") + 1,
-            lit(" bins) — widen binWidth or split the interval"))))))
+        // distinct failures get distinct messages: too many bins vs
+        // bounds past the long-safe bin range
+        when(abs(col("__lobin__")) > safe || abs(col("__hibin__")) > safe,
+          raise_error(concat(
+            lit(s"rangeJoin: interval bounds bin outside the long-safe range at " +
+              s"binWidth=$binWidth — use a larger binWidth (bins "),
+            col("__lobin__"), lit(" .. "), col("__hibin__"), lit(")"))))
+          .when(col("__hibin__") - col("__lobin__") >= lit(maxBinsPerInterval.toDouble),
+            raise_error(concat(
+              lit(s"rangeJoin: an interval covers more than $maxBinsPerInterval " +
+                s"bins at binWidth=$binWidth ("), col("__hibin__") - col("__lobin__") + 1,
+              lit(" bins) — widen binWidth or split the interval"))))
+          .otherwise(
+            sequence(col("__lobin__").cast("long"), col("__hibin__").cast("long")))))
       .drop("__lobin__", "__hibin__")
 
     // a value binning outside the safe range cannot match any interval

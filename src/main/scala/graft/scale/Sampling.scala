@@ -146,27 +146,36 @@ object Sampling {
   }
 
   /** Deterministic k-per-group sample: the k keys with the largest
-    * portable affine hash in each group — uniform-without-replacement
-    * (up to hash aliasing mod the prime; min-id tiebreak keeps it
-    * deterministic), reproducible across runs, partitionings, and
-    * engines. BOUNDED state via the BoundedTopK aggregate: the partial
-    * phase keeps ≤ k candidates per group per partition, so sampling
-    * 10 of each group from 10¹² rows shuffles groups × k rows — the
-    * window row_number formulation shuffles every row first.
+    * portable hash in each group — uniform-without-replacement,
+    * reproducible across runs, partitionings, and engines. The hash is
+    * a CRT pair of seeded affine hashes mod two ~2³⁰ primes combined
+    * as h1·P2 + h2: injective for key spaces below P1·P2 ≈ 1.2·10¹⁸
+    * (a single small prime would alias keys mod P, degenerating the
+    * "top k by hash" into the smallest keys of the top residue classes
+    * once groups outgrow P), and every product stays < 2⁶³ under ANSI.
+    * BOUNDED state via the BoundedTopK aggregate: the partial phase
+    * keeps ≤ k candidates per group per partition, so sampling 10 of
+    * each group from 10¹² rows shuffles groups × k rows — the window
+    * row_number formulation shuffles every row first.
     * Output: (groupCols..., keyCol), exploded back to rows.
     */
   def sampleKPerGroup(
       df: DataFrame, groupCols: Seq[String], keyCol: String, k: Int,
       seed: Long = 42L): DataFrame = {
     require(groupCols.nonEmpty, "sampleKPerGroup needs at least one group column")
-    val P = 1000003L
+    val P1 = 1073741789L
+    val P2 = 1073741783L
     val key = graft.ops.Cleaning.qcol(keyCol).cast("long")
-    // the seed picks the hash MULTIPLIER (any non-zero works mod the
+    // the seed picks the hash MULTIPLIERS (any non-zero works mod a
     // prime): an additive seed only shifts hashes, which near-preserves
     // a top-k-by-hash ordering — different seeds would return almost
-    // the same sample. seed 42 → a = 514272 (the oracle's literal).
-    val a = 1L + java.lang.Math.floorMod(514229L + seed, P - 1)
-    val h = pmod(pmod(key, lit(P)) * lit(a) + 741103L, lit(P))
+    // the same sample. seed 42 → a1 = 514272, a2 = 741146 (the
+    // oracle's literals).
+    val a1 = 1L + java.lang.Math.floorMod(514229L + seed, P1 - 1)
+    val a2 = 1L + java.lang.Math.floorMod(741103L + seed, P2 - 1)
+    val h1 = pmod(pmod(key, lit(P1)) * lit(a1), lit(P1))
+    val h2 = pmod(pmod(key, lit(P2)) * lit(a2), lit(P2))
+    val h = h1 * lit(P2) + h2
     df.groupBy(groupCols.map(graft.ops.Cleaning.qcol): _*)
       .agg(graft.functions.Aggregates.topKByWeight(key, h, k).as("__top__"))
       .select((groupCols.map(graft.ops.Cleaning.qcol) :+

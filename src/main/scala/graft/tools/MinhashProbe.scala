@@ -33,12 +33,13 @@ object MinhashProbe {
     val sets = docs.select(col("doc_id"),
       graft.functions.Native.hashedShingleSet(toks, 3).as("shingles"))
     time("shingle sets")(sets.count())
-    // decompose the candidate pipeline
-    val sigs2 = graft.scale.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
+    // decompose the candidate pipeline (reuses `sigs` — the per-stage
+    // timings below still include recomputing the lazy signature plan,
+    // which is itself ~0.2s per the stage above)
     val bandStructs = (0 until 64).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b + 1, 1)).as("bucket"))
     }
-    val buckets = sigs2.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+    val buckets = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     time("buckets explode")(buckets.count())
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))

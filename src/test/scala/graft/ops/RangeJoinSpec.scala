@@ -61,12 +61,23 @@ class RangeJoinSpec extends AnyFunSuite {
       RangeJoin.rangeJoin(values, "v", extreme, "lo", "hi", binWidth = 1.0).count()
     }
     val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("widen binWidth"), msg)
+    // its own message, distinct from the too-many-bins case
+    assert(msg.contains("long-safe range"), msg)
     // an extreme VALUE just drops (cannot match any guarded interval)
     val ev = Seq(1.0e30, 5.0).toDF("v")
     val ok = RangeJoin.rangeJoin(ev, "v", intervals, "lo", "hi", binWidth = 7.0)
       .select("v").as[Double].collect().toSeq
     assert(ok == Seq(5.0))
+  }
+
+  test("NaN-bounded intervals match nothing (as BETWEEN), not abort") {
+    // Spark's ORDERING has NaN = NaN, so a (NaN, NaN) interval passes
+    // lo <= hi — it must be dropped, not raise through the bin guard
+    val withNan = Seq((1L, 0.0, 10.0), (2L, Double.NaN, Double.NaN))
+      .toDF("band", "lo", "hi")
+    val got = RangeJoin.rangeJoin(values, "v", withNan, "lo", "hi", binWidth = 7.0)
+      .select("band", "v").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (1L, 5.0), (1L, 10.0)))
   }
 
   test("shared or reserved column names are rejected at build time") {
