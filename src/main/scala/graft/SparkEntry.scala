@@ -775,8 +775,42 @@ object SparkEntry {
     "x_corpus_shuffle" -> ((s, d) =>
       Sampling.shuffleDeterministic(T(s, d, "documents"), "doc_id",
           shards = 8, seed = 42L)
-        .select(col("doc_id"), col("shard"), col("pos")))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // --- §7.4 round 4: line-level dedup / URL canon / PQ -------------
+    // C4-style corpus-wide line dedup. The synthetic docs are
+    // single-line, so lines are synthesized token-per-line (space →
+    // newline) — which also plants massive hot duplicate lines ("the",
+    // "a", …): exactly the boilerplate shape the partial-agg keeper
+    // election must absorb
+    "x_text_linededup" -> ((s, d) =>
+      TextAnalysis.dedupLines(
+        T(s, d, "documents").withColumn("text", translate(col("text"), " ", "\n")),
+        "doc_id", "text")),
+
+    "x_text_urlcanon" -> ((s, d) =>
+      TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
+
+    // PQ encode under the exact-decimal synthetic codebook — the oracle
+    // configuration of the PQ machinery (production fits with Pq.fit;
+    // PqSpec gates that path end-to-end)
+    "x_emb_pq" -> ((s, d) =>
+      graft.scale.Pq.encode(T(s, d, "embeddings"), "vec_id", "embedding", pqOracleModel)),
+
+    // ADC top-k search against the same codebook: 5 query vectors from
+    // the table itself, corpus side contributes codes only
+    "x_emb_pq_search" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.scale.Pq.adcTopK(
+        emb, emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "embedding", "query_id", k = 10, pqOracleModel, excludeSelf = true)
+    })
   )
+
+  /** The PQ oracle codebook: deterministic exact-decimal centroids (see
+    * Pq.syntheticModel) shared by the Spark queries above and the
+    * generated oracle SQL below. */
+  private lazy val pqOracleModel = graft.scale.Pq.syntheticModel(64, m = 8, k = 16, seed = 42L)
 
   /** Deterministic URL synthesis shared by the domain queries and their
     * oracles: every doc gets one `site{id%7}.example.com` and one
@@ -786,11 +820,50 @@ object SparkEntry {
       lit(" see https://site"), col("doc_id") % 7, lit(".example.com/page"), col("doc_id"),
       lit(" and http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5))
 
+  /** URL synthesis for the canonicalization query: mixed-case hosts
+    * (must lowercase), mixed-case paths (must NOT lowercase), tracking
+    * params in first/last positions, a non-tracking param that must
+    * survive, and a fragment. Mirrored verbatim in the oracle SQL. */
+  private def withTrackedUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" https://News"), col("doc_id") % 7, lit(".Example.com/Article"), col("doc_id"),
+      lit("?utm_source=feed"), col("doc_id") % 3, lit("&id="), col("doc_id") % 5,
+      lit("&utm_campaign=w"), col("doc_id") % 4, lit("#sec"), col("doc_id") % 3,
+      lit(" http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5,
+      lit("?gclid=g"), col("doc_id"), lit("&page=2")))
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — identical math, identical aliases
   // ---------------------------------------------------------------------
 
   private def r1(e: String) = Rounding.halfUpSql(e, 1)
+
+  /** Generated PQ oracle fragments — same codebook constants as
+    * `pqOracleModel` (exact-decimal grid, so the literals below parse
+    * back to the identical doubles), same left-associative chains as
+    * `Pq.subDist`. `dl_j` = subspace-j distance list; `code_j` =
+    * 1-based first-index-of-min. */
+  private lazy val pqDistListsSql: String = {
+    val m = pqOracleModel
+    (0 until m.m).map { j =>
+      val lists = m.codebooks(j).map { c =>
+        (0 until m.dsub).map { t =>
+          val idx = j * m.dsub + t + 1
+          val v = c(t).toString
+          s"(CAST(embedding[$idx] AS DOUBLE) - ($v))*(CAST(embedding[$idx] AS DOUBLE) - ($v))"
+        }.mkString(" + ")
+      }.mkString("[", ", ", "]")
+      s"$lists AS dl_$j"
+    }.mkString(",\n    ")
+  }
+
+  private lazy val pqCodesSql: String =
+    (0 until pqOracleModel.m)
+      .map(j => s"CAST(list_indexof(dl_$j, list_aggregate(dl_$j, 'min')) AS BIGINT) AS code_$j")
+      .mkString(",\n       ")
+
+  private lazy val pqReconErrSql: String =
+    (0 until pqOracleModel.m).map(j => s"list_aggregate(dl_$j, 'min')").mkString(" + ")
 
   private val stopSqlLists = Map(
     "de" -> "['der','die','das','und','ist','nicht','mit','ein']",
@@ -1832,6 +1905,80 @@ object SparkEntry {
         |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
         |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
         |FROM m""".stripMargin,
+
+    // PQ encode: the oracle re-derives every per-subspace distance as
+    // the SAME left-associative double chain (generated from the same
+    // codebook constants), so argmin indices and min distances are
+    // bitwise identical
+    "x_emb_pq" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings)
+         |SELECT vec_id, ${pqCodesSql},
+         |       ${Rounding.halfUpSql(pqReconErrSql, 6)} AS recon_err
+         |FROM c""".stripMargin,
+
+    // ADC search: query q's distance LIST per subspace indexed at the
+    // corpus row's code — Σ_j dl_j[code_j] — rounded BEFORE ranking on
+    // both sides (rank ties break on candidate id)
+    "x_emb_pq_search" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
+         |enc AS (SELECT vec_id, ${pqCodesSql},
+         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
+         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
+         |      FROM enc q, enc x
+         |      WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
+         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // corpus-wide first-occurrence line dedup: keeper = min (doc_id,
+    // line position) per distinct non-blank line (window mirror of the
+    // Spark struct-min aggregate); blank lines always survive
+    "x_text_linededup" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents),
+        |a AS (SELECT doc_id, t, string_split(t, chr(10)) AS arr FROM d),
+        |l0 AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM a),
+        |l AS (SELECT doc_id, CAST(i - 1 AS INT) AS line_no, arr[i] AS line FROM l0),
+        |nb AS (SELECT doc_id, line_no, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rk
+        |       FROM l WHERE trim(line) <> ''),
+        |kept AS (SELECT doc_id, line_no, line FROM nb WHERE rk = 1
+        |         UNION ALL SELECT doc_id, line_no, line FROM l WHERE trim(line) = ''),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+        |      FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       CAST(coalesce(len(a.arr), 0) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(r.clean_text, '') AS clean_text
+        |FROM a LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // identical regex chain (global flags where Spark replaces all),
+    // identical URL synthesis
+    "x_text_urlcanon" -> {
+      val tp = TextAnalysis.TrackingParamPattern
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' https://News' || (doc_id % 7) || '.Example.com/Article' || doc_id ||
+         |    '?utm_source=feed' || (doc_id % 3) || '&id=' || (doc_id % 5) ||
+         |    '&utm_campaign=w' || (doc_id % 4) || '#sec' || (doc_id % 3) ||
+         |    ' http://cdn' || (doc_id % 3) || '.example.org/x' || (doc_id % 5) ||
+         |    '?gclid=g' || doc_id || '&page=2' AS text
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM p),
+         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),
+         |c1 AS (SELECT doc_id, regexp_replace(u, '&$tp=[^&#]*', '', 'g') AS u FROM c0),
+         |c2 AS (SELECT doc_id, regexp_replace(u, '\\?$tp=[^&#]*&', '?') AS u FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]$tp=[^&#]*$$', '') AS u FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '') AS u FROM c3),
+         |k AS (SELECT doc_id,
+         |        CASE WHEN regexp_extract(u, '^(https?://[^/?#]*)', 1) = '' THEN u
+         |             ELSE lower(regexp_extract(u, '^(https?://[^/?#]*)', 1)) ||
+         |                  regexp_replace(u, '^https?://[^/?#]*', '')
+         |        END AS canon_url
+         |      FROM c4)
+         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM k GROUP BY 1""".stripMargin
+    },
 
     // same start grid (multiples of step below the token count) and the
     // same clamped slice arithmetic

@@ -389,6 +389,48 @@ object Native {
     override def prettyName: String = "nearest_cells"
   }
 
+  /** Squared-L2 distances of one SUBVECTOR (elements [offset, offset +
+    * centroid dim)) to every centroid of a product-quantization
+    * codebook, in centroid order — the per-subspace distance list PQ
+    * encode and ADC search both consume (Pq.scala). Accumulation is
+    * sequential over dims (left-associative), bit-identical to the
+    * unrolled `(v-c)*(v-c) + …` chains the DuckDB oracle evaluates.
+    * One interpreted call replaces a ~k×dsub-node expression tree per
+    * subspace, whose analysis/codegen cost — not its row cost — was
+    * the measured bottleneck (15s of planning at any data size).
+    */
+  case class SubspaceDistances(child: Expression, offset: Int, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val k = centroids.length
+      val out = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        var acc = 0.0
+        var j = 0
+        while (j < cent.length) {
+          val x = if (isFloat) vec.getFloat(offset + j).toDouble
+                  else vec.getDouble(offset + j)
+          val t = x - cent(j)
+          acc += t * t
+          j += 1
+        }
+        out(c) = acc
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "subspace_distances"
+  }
+
   /** Language prediction in one token pass: count stopword hits per
     * language (hash-set membership, all languages in the same loop) and
     * return the argmax language — first in `langs` order on ties,
@@ -467,6 +509,9 @@ object Native {
 
   def l2Normalize(vec: Column): Column =
     GraftBridge.column(L2Normalize(ex(vec)))
+
+  def subspaceDistances(vec: Column, offset: Int, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(SubspaceDistances(ex(vec), offset, centroids))
 
   def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column = {
     require(langs.nonEmpty && langs.size == lists.size,

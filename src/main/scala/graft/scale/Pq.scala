@@ -1,0 +1,172 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the standard
+  * memory-bound ANN compression (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): split each dim-`dim`
+  * vector into `m` contiguous subvectors, vector-quantize each subspace
+  * against its own `k`-centroid codebook, and represent the vector by
+  * its `m` small codes (k=16 → 4 bits/subspace; k=256 → 1 byte).
+  *
+  * Why this matters at 100 TB: after [[encode]], the corpus side of a
+  * similarity-search join carries `m` small ints per row instead of
+  * `dim` floats — a 16–64× cut in shuffle/scan volume — and [[adcTopK]]
+  * scores candidates from the QUERY's per-subspace distance table
+  * (asymmetric distance computation), so corpus vectors are never
+  * fetched at all. The codebooks are a driver-sized model (m × k × dsub
+  * doubles, a few KB) fitted on a bounded deterministic sample — the
+  * same bounded-collect class as [[Similarity.ivfTopK]]'s coarse
+  * quantizer — and shipped to executors as literals inside codegen'd
+  * expressions: no UDF, no broadcast variable, whole-stage codegen
+  * throughout.
+  *
+  * Determinism/oracle contract: every distance is an explicit
+  * LEFT-ASSOCIATIVE chain of `(v_i - c)·(v_i - c)` additions in double
+  * precision, and code selection is first-index-of-min over that
+  * distance array — an order a SQL oracle reproduces term for term
+  * (see SparkEntry's `x_emb_pq*` queries, which pin the machinery with
+  * a fixed exact-decimal codebook).
+  */
+object Pq {
+
+  /** A fitted PQ model: `codebooks(j)(c)` is the `dsub`-dim centroid
+    * `c` of subspace `j`. Requires m | dim. */
+  final case class Model(dim: Int, m: Int, k: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(codebooks.length == m && codebooks.forall(cb => cb.length == k && cb.forall(_.length == dsub)),
+      s"codebooks must be m=$m × k=$k × dsub=$dsub")
+    def dsub: Int = dim / m
+  }
+
+  /** Fit per-subspace codebooks with seeded Lloyd iterations over a
+    * bounded deterministic sample — the `k × 1000`-row hash-ordered
+    * draw [[Similarity.ivfTopK]] uses for its coarse quantizer (lowest
+    * seeded-hash values with id tiebreak: uniform, partition-layout
+    * independent, re-run stable). Null vectors are excluded; vectors
+    * must all have `dim` elements.
+    */
+  def fit(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, k: Int = 16,
+      iters: Int = 5, seed: Long = 42L): Model = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val sample = df
+      .select(v.cast("array<double>").as("__v__"),
+        xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
+      .filter(col("__v__").isNotNull && size(col("__v__")) === dim)
+      .orderBy(col("__h__"), col("__id__")).limit(k * 1000)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      Similarity.fitCentroidsLloyd(sub, k, iters, seed + j)
+    }
+    Model(dim, m, k, codebooks)
+  }
+
+  /** Deterministic synthetic codebook on an exact-decimal grid
+    * (multiples of 1/64 in [-2, 2), via a splitmix64 stream): every
+    * centroid component round-trips exactly through a decimal SQL
+    * literal, which is what lets the oracle queries re-derive codes and
+    * distances bit-for-bit. The ORACLE configuration of the PQ
+    * machinery — production fits with [[fit]].
+    */
+  def syntheticModel(dim: Int, m: Int = 8, k: Int = 16, seed: Long = 42L): Model = {
+    var s = seed
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val cb = Array.fill(m, k, dim / m)(((next() & 0xFFL) - 128L) / 64.0)
+    Model(dim, m, k, cb)
+  }
+
+  /** Subspace-j distance list (k squared L2 distances, centroid order)
+    * via the native SubspaceDistances expression — sequential
+    * (left-associative) accumulation, bit-identical to the unrolled
+    * chains the oracle SQL evaluates, at a few expression NODES instead
+    * of the ~k×dsub-node tree whose Catalyst analysis/codegen cost
+    * dominated wall-clock (15s of planning for the m=8/k=16 search). */
+  private def distList(v: Column, j: Int, model: Model): Column =
+    graft.functions.Native.subspaceDistances(v, j * model.dsub, model.codebooks(j))
+
+  /** Encode a corpus: one narrow map emitting the `m` PQ codes
+    * (`code_0` … 1-based first-index-of-min ints) and the total squared
+    * reconstruction error `recon_err` (= Σ_j min-distance_j, rounded to
+    * 6 dp for stable cross-engine comparison). At scale this is the
+    * write path of a PQ index build: `m` small ints per row replace
+    * `dim` floats. Distance lists are materialized as intermediate
+    * columns so each is computed once, not re-embedded per consumer.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val withDl = df.select(
+      (id +: (0 until model.m).map(j => distList(v, j, model).as(s"__dl_$j"))): _*)
+    val codeCols = (0 until model.m).map(j =>
+      array_position(col(s"__dl_$j"), array_min(col(s"__dl_$j"))).as(s"code_$j"))
+    val err = graft.ops.Rounding.halfUp(
+      (0 until model.m).map(j => array_min(col(s"__dl_$j"))).reduceLeft(_ + _), 6)
+      .as("recon_err")
+    withDl.select((graft.ops.Cleaning.qcol(idCol) +: codeCols :+ err): _*)
+  }
+
+  /** Decode: reconstruction = concatenated selected centroids. The
+    * codebook lookup is a literal nested-array index — still row-local
+    * and codegen'd. Input columns `code_0`…`code_{m-1}` as produced by
+    * [[encode]]. */
+  def decodeExpr(model: Model, codeCols: Seq[Column]): Column = {
+    val parts = (0 until model.m).map { j =>
+      element_at(
+        typedLit(model.codebooks(j).map(_.toSeq).toSeq), codeCols(j).cast("int"))
+    }
+    concat(parts: _*)
+  }
+
+  /** Asymmetric-distance top-k (ADC search): each query computes its
+    * per-subspace distance table to ALL centroids (one narrow map on
+    * the query side — the classic ADC lookup table, k×m doubles per
+    * query), the corpus contributes ONLY its codes, and the pair
+    * distance is `m` array lookups summed: Σ_j table_j[code_j] =
+    * ‖q − reconstruction(x)‖². No corpus vector is ever fetched or
+    * shuffled — the query side broadcasts (queries ≪ corpus by
+    * contract, as in [[Similarity.topKBruteForce]]) and the result is
+    * a per-query top-k via [[Similarity.topKPerQuery]]'s
+    * TakeOrdered shape. Ascending distance, id tiebreak; `excludeSelf`
+    * drops qid == cid rows (shared id space).
+    */
+  def adcTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, model: Model, excludeSelf: Boolean = false): DataFrame = {
+    val codes = encode(corpus, idCol, vecCol, model)
+      .withColumnRenamed(idCol, "__cid__")
+    val qv = graft.ops.Cleaning.qcol(vecCol)
+    val qtabs = queries.select(
+      (graft.ops.Cleaning.qcol(queryIdCol).as("__qid__") +:
+        (0 until model.m).map(j => distList(qv, j, model).as(s"__dl_$j"))): _*)
+    val dist = (0 until model.m)
+      .map(j => element_at(col(s"__dl_$j"), col(s"code_$j").cast("int")))
+      .reduceLeft(_ + _)
+    val scored0 = broadcast(qtabs).crossJoin(codes)
+    val scored = (if (excludeSelf) scored0.filter(col("__qid__") =!= col("__cid__")) else scored0)
+      .select(col("__qid__"), col("__cid__"),
+        graft.ops.Rounding.halfUp(dist, 6).as("adc_dist"))
+    // per-query top-k: same window shape as Similarity.topKBruteForce
+    // (each query's candidate set in one partition — fine while
+    // |queries| is the broadcast-small side; the recall/scale path for
+    // huge query sets is bucketed annTopK over the DECODED index)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid__")).orderBy(asc("adc_dist"), asc("__cid__"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
+        col("adc_dist"), col("rank"))
+  }
+}

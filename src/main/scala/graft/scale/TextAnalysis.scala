@@ -329,6 +329,51 @@ object TextAnalysis {
       regexp_extract_all(text, lit(UrlPattern), lit(0)),
       u => lower(regexp_extract(u, DomainPattern, 1)))
 
+  /** Tracking-query-parameter alternation (utm_*, click ids) shared by
+    * [[canonicalizeUrl]] and its oracle — RE2/Java-shared syntax, like
+    * the PII patterns above. */
+  val TrackingParamPattern: String = "(?:utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid)"
+
+  /** URL canonicalization — the normalize-before-dedup step of a web
+    * crawl pipeline: strip the fragment, drop tracking query parameters
+    * (utm_*, gclid, fbclid, msclkid, mc_eid), drop an emptied query
+    * string, and lowercase the scheme+authority (paths stay
+    * case-sensitive). Pure regexp_replace/extract chain, codegen'd and
+    * narrow; every pattern avoids lookarounds/backrefs so a RE2-based
+    * oracle applies the identical chain.
+    *
+    * The tracking-param removal is a two-pass regex (no lookbehind in
+    * RE2): pass 1 removes every `&tracked=…` (each match consumes its
+    * OWN leading `&`, so runs of tracking params all match); pass 2
+    * re-anchors a tracking param left in FIRST position onto the
+    * following parameter (`?tracked=…&next` → `?next`); pass 3 drops a
+    * now-dangling trailing `?`/`&`.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val p1 = regexp_replace(noFrag, "&" + TrackingParamPattern + "=[^&#]*", "")
+    val p2 = regexp_replace(p1, "\\?" + TrackingParamPattern + "=[^&#]*&", "?")
+    val p3 = regexp_replace(p2, "[?&]" + TrackingParamPattern + "=[^&#]*$", "")
+    val stripped = regexp_replace(p3, "[?&]+$", "")
+    val prefix = regexp_extract(stripped, "^(https?://[^/?#]*)", 1)
+    val rest = regexp_replace(stripped, "^https?://[^/?#]*", "")
+    when(prefix === "", stripped).otherwise(concat(lower(prefix), rest))
+  }
+
+  /** Canonical-URL statistics over the corpus: (canon_url, n_urls,
+    * n_docs) — [[urlDomainStats]] at full-URL granularity after
+    * [[canonicalizeUrl]], i.e. the dedup key census for URL-keyed crawl
+    * dedup. Same inverted-index shape: explode + one hash aggregate.
+    */
+  def urlCanonStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    df.select(id,
+        explode(regexp_extract_all(graft.ops.Cleaning.qcol(textCol), lit(UrlPattern), lit(0))).as("__u"))
+      .select(id, canonicalizeUrl(col("__u")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(id).as("n_docs"))
+  }
+
   /** Per-domain URL statistics over the corpus: (domain, n_urls,
     * n_docs). The provenance/blocklist audit a web-scale pipeline runs
     * before filtering. One explode + one hash aggregate (count-distinct
@@ -354,6 +399,63 @@ object TextAnalysis {
     val doms = coalesce(
       domainsOf(graft.ops.Cleaning.qcol(textCol)), array().cast("array<string>"))
     df.filter(!arrays_overlap(doms, blockedLit))
+  }
+
+  /** Corpus-wide exact LINE-level dedup — the C4/RefinedWeb boilerplate
+    * remover: across ALL documents, every distinct non-blank line keeps
+    * only its first occurrence (lexicographically-min (doc id, line
+    * position)); later occurrences are dropped and each document is
+    * reassembled from its surviving lines in original order. Blank /
+    * whitespace-only lines always survive: they are layout, not
+    * content — and they are the ultimate hot key, so exempting them
+    * also keeps the biggest degenerate group out of the aggregate
+    * entirely. A document whose every line is dropped keeps its row
+    * with empty text (n_kept = 0), so the output stays 1:1 with the
+    * corpus.
+    *
+    * Output: (idCol, n_lines, n_kept, clean_text).
+    *
+    * Scale (100 TB): posexplode is narrow; the keeper election is ONE
+    * hash aggregate on the 64-bit line hash — a boilerplate line
+    * repeated across half the web collapses map-side via partial
+    * aggregation, never funneling through a single task (a window over
+    * the line key would; see capBuckets for the same argument). The
+    * join back is co-partitioned on that hash and carries (hash, doc,
+    * pos) — 24 bytes per line, not the line text. Reassembly state is
+    * bounded by single-document size. Line equality is 64-bit hash
+    * equality (collision odds ~1e-15 at web scale — the
+    * hashedShingleSet contract); the oracle compares the REASSEMBLED
+    * text, so a collision would be caught, not masked.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val lines = df.select(
+      id.as("__doc"),
+      posexplode(split(graft.ops.Cleaning.qcol(textCol), "\n")).as(Seq("__no", "__line")))
+    val nonBlank = lines.filter(trim(col("__line")) =!= "")
+      .withColumn("__lh", xxhash64(col("__line")))
+    // keeper per distinct line = min (doc, position): a plain struct-min
+    // aggregate (deterministic, partial-agg friendly)
+    val keepers = nonBlank.groupBy(col("__lh"))
+      .agg(min(struct(col("__doc"), col("__no"))).as("__k"))
+    val keptNonBlank = nonBlank.join(keepers, "__lh")
+      .filter(col("__doc") === col("__k.__doc") && col("__no") === col("__k.__no"))
+      .select(col("__doc"), col("__no"), col("__line"))
+    val kept = keptNonBlank.unionByName(lines.filter(trim(col("__line")) === ""))
+    val rebuilt = kept.groupBy(col("__doc")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__no"), col("__line")))),
+          s => s.getField("__line"))).as("clean_text"))
+    val t = graft.ops.Cleaning.qcol(textCol)
+    df.select(id.as("__doc"),
+        when(t.isNull, lit(0)).otherwise(size(split(t, "\n"))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__doc"), "left")
+      .select(
+        col("__doc").as(idCol),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** One-call corpus-preparation pipeline — the standard training-data

@@ -130,6 +130,36 @@ object ScaleProbe {
         threshold = 0.5, maxBlockSize = cap).count()
     time("ngram_pairs hot 10x capped")(ngramPairs(dHot10, 4096))
 
+    // round-4b: corpus-wide line dedup. Token-per-line synthesis makes
+    // every common token a corpus-wide duplicate line (the hot-line
+    // shape); the keeper election is a partial-agg struct-min on the
+    // line hash, so 10× data must stay ~1× time — a window over the
+    // line key would funnel the "the" line's full row set instead.
+    def lined(d: DataFrame): Long =
+      graft.scale.TextAnalysis.dedupLines(
+        d.withColumn("text", translate(col("text"), " ", "\n")),
+        "doc_id", "text").count()
+    lined(docs)
+    time("x_text_linededup 1x")(lined(docs))
+    time("x_text_linededup 10x")(lined(d10))
+
+    // round-4b: PQ encode (narrow map; m ints replace dim floats) and
+    // ADC search (query-side tables broadcast, corpus ships codes only)
+    val pqm = graft.scale.Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    def pqEnc(e: DataFrame): Long =
+      graft.scale.Pq.encode(e, "vec_id", "embedding", pqm).count()
+    def pqSearch(e: DataFrame): Long = {
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Pq.adcTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 5, pqm, excludeSelf = true).count()
+    }
+    pqEnc(emb); pqSearch(emb)
+    time("x_emb_pq encode 1x")(pqEnc(emb))
+    time("x_emb_pq encode 10x")(pqEnc(e10))
+    time("pq_adc_search 1x")(pqSearch(emb))
+    time("pq_adc_search 10x")(pqSearch(e10))
+
     // salted join at 10x events: the hot-key spread must hold
     val events = graft.io.Sources.table(spark, sfDir, "events")
     def salted(ev: DataFrame): Long = {

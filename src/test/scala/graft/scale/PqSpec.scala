@@ -1,0 +1,95 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def vecs(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 4f).toArray)
+    }.toDF("vec_id", "embedding")
+
+  test("syntheticModel: exact-decimal grid, deterministic, correct shape") {
+    val m1 = Pq.syntheticModel(dim, m = 4, k = 4, seed = 7L)
+    val m2 = Pq.syntheticModel(dim, m = 4, k = 4, seed = 7L)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(m1.dsub == 2)
+    // every component is a multiple of 1/64 in [-2, 2)
+    for (j <- m1.codebooks; c <- j; v <- c) {
+      assert(v >= -2.0 && v < 2.0 && (v * 64.0) == math.rint(v * 64.0))
+    }
+  }
+
+  test("encode: codes are 1-based argmin of subspace distances") {
+    val model = Pq.syntheticModel(dim, m = 2, k = 4, seed = 42L)
+    val df = vecs(6)
+    val got = Pq.encode(df, "vec_id", "embedding", model).collect()
+    val rows = got.map(r => r.getLong(0) -> r).toMap
+    for ((id, arr) <- (0 until 6).map(i => (i.toLong, (0 until dim).map(j => ((i * 31 + j * 7) % 13 - 6).toDouble / 4.0).toArray))) {
+      val r = rows(id)
+      var expectedErr = 0.0
+      for (j <- 0 until model.m) {
+        val sub = arr.slice(j * model.dsub, (j + 1) * model.dsub)
+        val dists = model.codebooks(j).map(c =>
+          c.zip(sub).map { case (cv, xv) => (xv - cv) * (xv - cv) }.sum)
+        val minD = dists.min
+        val code = dists.indexWhere(_ == minD) + 1
+        assert(r.getLong(1 + j) == code.toLong, s"vec $id subspace $j")
+        expectedErr += minD
+      }
+      assert(math.abs(r.getDouble(1 + model.m) - expectedErr) < 1e-6)
+    }
+  }
+
+  test("adcTopK == brute force over the decoded (reconstructed) corpus") {
+    val model = Pq.syntheticModel(dim, m = 4, k = 8, seed = 1L)
+    val corpus = vecs(40)
+    val queries = vecs(3).select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Pq.adcTopK(corpus, queries, "vec_id", "embedding", "query_id",
+      k = 5, model, excludeSelf = true)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // reference: decode every corpus vector on the driver, exact
+    // squared L2 per (query, candidate), ascending with id tiebreak
+    val cb = model.codebooks
+    def raw(i: Int) = (0 until dim).map(j => ((i * 31 + j * 7) % 13 - 6).toDouble / 4.0).toArray
+    def reconOf(v: Array[Double]): Array[Double] =
+      (0 until model.m).flatMap { j =>
+        val sub = v.slice(j * model.dsub, (j + 1) * model.dsub)
+        val dists = cb(j).map(c => c.zip(sub).map { case (cv, xv) => (xv - cv) * (xv - cv) }.sum)
+        cb(j)(dists.indexWhere(_ == dists.min))
+      }.toArray
+    for (q <- 0 until 3) {
+      val qv = raw(q)
+      val expected = (0 until 40).filter(_ != q).map { c =>
+        val r = reconOf(raw(c))
+        val d = qv.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum
+        (math.floor(d * 1e6 + 0.5) / 1e6, c.toLong)
+      }.sorted.take(5).map(_._2)
+      assert(got(q.toLong) == expected, s"query $q")
+    }
+  }
+
+  test("fit: deterministic across runs, codebook shape, encode round-trip sanity") {
+    val df = vecs(60)
+    val m1 = Pq.fit(df, "vec_id", "embedding", dim, m = 2, k = 4, iters = 3, seed = 9L)
+    val m2 = Pq.fit(df.repartition(7), "vec_id", "embedding", dim, m = 2, k = 4, iters = 3, seed = 9L)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq) // partition-layout independent
+    // a fitted codebook reconstructs its own training data better than
+    // the data-blind synthetic grid
+    val fitErr = Pq.encode(df, "vec_id", "embedding", m1)
+      .agg(sum("recon_err")).head.getDouble(0)
+    val synthErr = Pq.encode(df, "vec_id", "embedding", Pq.syntheticModel(dim, 2, 4))
+      .agg(sum("recon_err")).head.getDouble(0)
+    assert(fitErr < synthErr)
+  }
+}

@@ -109,4 +109,56 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == 98L * 31 + 97)
     assert(got(4L) == 0L) // empty text
   }
+
+  test("dedupLines: first occurrence wins corpus-wide, blanks survive, order kept") {
+    val df = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\n\ngamma\nshared line"), // dup of doc 1's line + an internal dup
+      (3L, "   \nalpha"),                        // whitespace-only line survives; alpha dropped
+      (4L, "shared line")                        // fully deduped away → empty text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "alpha\nshared line\nbeta"))) // keeper doc untouched
+    assert(got(2L) == ((4L, 2L, "\ngamma")))                  // both copies dropped, blank kept
+    assert(got(3L) == ((2L, 1L, "   ")))                      // blank kept, alpha deduped
+    assert(got(4L) == ((1L, 0L, "")))                         // emptied doc keeps its row
+  }
+
+  test("dedupLines: empty and null text") {
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, 1L, ""))) // "" splits to one blank line, which survives
+    assert(got(2L) == ((0L, 0L, ""))) // null text → zero lines
+  }
+
+  test("canonicalizeUrl: tracking params, fragments, case, preserved params") {
+    val cases = Seq(
+      // tracking first, real param after → re-anchored
+      "https://News.Example.com/Article?utm_source=x&id=9#frag" ->
+        "https://news.example.com/Article?id=9",
+      // run of tracking params, nothing left → query dropped entirely
+      "https://a.com/p?utm_a=1&utm_b=2" -> "https://a.com/p",
+      // tracking last among real params
+      "http://A.com/x?page=2&gclid=zz" -> "http://a.com/x?page=2",
+      // no scheme match → untouched except chain no-ops
+      "ftp://Mixed.Case/Path" -> "ftp://Mixed.Case/Path",
+      // dangling '?' cleanup
+      "https://b.co/q?" -> "https://b.co/q")
+    val df = cases.map(_._1).toDF("u")
+    val got = df.select(TextAnalysis.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("urlCanonStats: canonical key collapses tracking-variant URLs") {
+    val df = Seq(
+      (1L, "see https://Site.com/a?utm_source=x and more"),
+      (2L, "see https://site.com/a?utm_source=y"),
+      (3L, "see https://site.com/b")).toDF("doc_id", "text")
+    val got = TextAnalysis.urlCanonStats(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("https://site.com/a") == ((2L, 2L))) // variants collapsed
+    assert(got("https://site.com/b") == ((1L, 1L)))
+  }
 }
