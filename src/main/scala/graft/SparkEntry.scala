@@ -748,6 +748,18 @@ object SparkEntry {
       Stats.profile(T(s, d, "customer"),
         Seq("c_mktsegment", "c_nationkey", "c_custkey"))),
 
+    // feature-correlation audit: p·(p+3)/2 exact long moments in ONE
+    // aggregate; inputs pre-cast to integral (cents-scaled) so the
+    // Pearson arithmetic is engine-exact (see Stats.corrMatrix)
+    "s21_corr" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select(
+        col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_cents"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("tax_cents"))
+      Stats.corrMatrix(li, Seq("l_linenumber", "qty", "disc_cents", "tax_cents"))
+    }),
+
     // hot-key join through the salt fan-out: output equals the plain
     // join (the salt is internal), so the oracle is the plain SQL join
     "j3_salted_join" -> ((s, d) => {
@@ -1978,6 +1990,38 @@ object SparkEntry {
          |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM k GROUP BY 1""".stripMargin
+    },
+
+    // Pearson from the same exact long moments, same double formula
+    // (DuckDB's sum(int) is HUGEINT — exact; the DOUBLE casts land on
+    // identical values ≤ 2^53). CAST(l_quantity AS BIGINT) diverges
+    // from Spark's truncating cast only on non-integer values, which
+    // l_quantity doesn't have (the a2 contract).
+    "s21_corr" -> {
+      val names = Seq("l_linenumber", "qty", "disc_cents", "tax_cents")
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      def varD(i: Int) = s"(${d("n")} * ${d(s"q$i")} - ${d(s"s$i")} * ${d(s"s$i")})"
+      def rSql(i: Int, j: Int) = Rounding.halfUpSql(
+        s"CASE WHEN ${varD(i)} > 0 AND ${varD(j)} > 0 THEN " +
+          s"(${d("n")} * ${d(s"p${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")}) / " +
+          s"(sqrt(${varD(i)}) * sqrt(${varD(j)})) END", 9)
+      val pairIdx = for { i <- names.indices; j <- names.indices if i < j } yield (i, j)
+      val moments =
+        (names.indices.map(i => s"sum(${names(i)}) AS s$i") ++
+          names.indices.map(i => s"sum(${names(i)} * ${names(i)}) AS q$i") ++
+          pairIdx.map { case (i, j) => s"sum(${names(i)} * ${names(j)}) AS p${i}_$j" } :+
+          "count(*) AS n").mkString(", ")
+      val branches = pairIdx.map { case (i, j) =>
+        s"SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b, n, ${rSql(i, j)} AS r FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents,
+         |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_cents
+         |  FROM lineitem
+         |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         |m AS (SELECT $moments FROM b)
+         |$branches""".stripMargin
     },
 
     // same start grid (multiples of step below the token count) and the

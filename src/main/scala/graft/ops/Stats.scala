@@ -107,6 +107,64 @@ object Stats {
       .drop("__mn", "__mx")
   }
 
+  /** Pairwise Pearson correlation matrix over integral columns in ONE
+    * hash aggregate — the feature-audit step before model training
+    * (find collinear/degenerate features). Output long format:
+    * (col_a, col_b, n, r) for every unordered pair in the given column
+    * order.
+    *
+    * Determinism contract (same as [[zscore]] exact mode): all columns
+    * must be integral — the p·(p+3)/2 moments (Σx, Σx², Σxy) are exact
+    * long sums, and r is a single IEEE expression both engines evaluate
+    * identically:
+    *   r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²)·sqrt(n·Σy² − (Σy)²))
+    * Rows with a null in ANY audited column are excluded first
+    * (complete-case semantics; the shared denominator n is in the
+    * output). Zero variance on either side → null r. Magnitude budget
+    * is the caller's: n·Σx² must stay < 2⁶³ — ANSI mode makes an
+    * overflow fail loudly rather than corrupt the audit. The moment
+    * values themselves stay ≤ ~2⁵³ for exact double conversion at the
+    * final step (true whenever the long arithmetic doesn't overflow
+    * and values are feature-sized).
+    *
+    * Scale: one aggregate with map-side partials over a fixed number
+    * of long sums; nothing but the scan grows with rows. The pair
+    * table is built from the single 1-row aggregate via explode — the
+    * corpus is scanned once, not once per pair.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs at least two columns, got ${cols.size}")
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"corrMatrix requires integral columns for exact long moments; '$c' is " +
+          s"${dt.typeName} — cast an integer-valued column explicitly first")
+    }
+    val complete = df.filter(cols.map(Cleaning.qcol(_).isNotNull).reduce(_ && _))
+    val xs = cols.map(c => Cleaning.qcol(c).cast("long"))
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs =
+      cols.indices.map(i => sum(xs(i)).as(s"__s$i")) ++
+        cols.indices.map(i => sum(xs(i) * xs(i)).as(s"__q$i")) ++
+        pairs.map { case (i, j) => sum(xs(i) * xs(j)).as(s"__p${i}_$j") } :+
+        count(lit(1)).as("__n")
+    val m = complete.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def s(i: Int) = col(s"__s$i").cast("double")
+    def q(i: Int) = col(s"__q$i").cast("double")
+    val entries = pairs.map { case (i, j) =>
+      val num = n * col(s"__p${i}_$j").cast("double") - s(i) * s(j)
+      val dx = n * q(i) - s(i) * s(i)
+      val dy = n * q(j) - s(j) * s(j)
+      struct(
+        lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        Rounding.halfUp(when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))), 9).as("r"))
+    }
+    m.select(col("__n").as("n"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.col_a").as("col_a"), col("__e.col_b").as("col_b"),
+        col("n"), col("__e.r").as("r"))
+  }
+
   /** Column-level data-quality profile: (col_name, n_rows, n_null,
     * n_distinct) per requested column — the ingest audit an ETL
     * pipeline runs before trusting a new delivery (and the first thing

@@ -88,4 +88,31 @@ class StatsSpec extends AnyFunSuite {
     val out = Stats.weightedQuantile(df, "v", "w", Seq("g"), 1.0).collect()
     assert(out(0).getDouble(1) == 9.0)
   }
+
+  test("corrMatrix: exact Pearson signs, null r on constant column, shared n") {
+    val df = Seq(
+      (1L, 2L, 5L, 10L),
+      (2L, 4L, 5L, 8L),
+      (3L, 6L, 5L, 6L),
+      (4L, 8L, 5L, 4L)).toDF("x", "y", "c", "z")
+    val got = Stats.corrMatrix(df, Seq("x", "y", "c", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got.size == 6) // all unordered pairs
+    assert(got(("x", "y"))._2 == 1.0)  // y = 2x
+    assert(got(("x", "z"))._2 == -1.0) // z = 12 - 2x
+    assert(got(("x", "c"))._2.isNaN)   // zero variance → null
+    assert(got.values.forall(_._1 == 4L))
+  }
+
+  test("corrMatrix: complete-case filter and fractional-column rejection") {
+    val df = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(4L)), (Some(3L), None)
+    ).toDF("x", "y")
+    val row = Stats.corrMatrix(df, Seq("x", "y")).collect()(0)
+    assert(row.getLong(2) == 2L) // null row excluded from n
+    val frac = Seq((1.5, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](Stats.corrMatrix(frac, Seq("a", "b")))
+    assert(e.getMessage.contains("integral"))
+  }
 }
