@@ -803,6 +803,15 @@ object SparkEntry {
     "x_text_urlcanon" -> ((s, d) =>
       TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
 
+    // unicode normalization: plant a combining sequence (NFC composes),
+    // a zero-width space, a control char, and a CRLF in every doc —
+    // the oracle re-derives the identical chain via nfc_normalize
+    "x_text_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeTable(
+        T(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" cafe\u0301\u200B zw\u0007ctl\r\nnl"))),
+        "doc_id", "text")),
+
     // PQ encode under the exact-decimal synthetic codebook — the oracle
     // configuration of the PQ machinery (production fits with Pq.fit;
     // PqSpec gates that path end-to-end)
@@ -1991,6 +2000,24 @@ object SparkEntry {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM k GROUP BY 1""".stripMargin
     },
+
+    // identical synthesis (chr() for each planted codepoint), identical
+    // normalization chain; DuckDB's nfc_normalize and the JDK
+    // Normalizer both implement UAX#15 NFC
+    "x_text_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || chr(8203) || ' zw' || chr(7) ||
+        |    'ctl' || chr(13) || chr(10) || 'nl' AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(
+        |      nfc_normalize(regexp_replace(text, '\r\n|\r', chr(10), 'g')),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS norm_text
+        |  FROM p)
+        |SELECT doc_id, norm_text,
+        |       CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
+        |FROM n""".stripMargin,
 
     // Pearson from the same exact long moments, same double formula
     // (DuckDB's sum(int) is HUGEINT — exact; the DOUBLE casts land on

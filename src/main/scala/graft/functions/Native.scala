@@ -389,6 +389,28 @@ object Native {
     override def prettyName: String = "nearest_cells"
   }
 
+  /** Unicode NFC normalization (canonical composition) of a string —
+    * Spark ships no normalizer builtin; this wraps
+    * `java.text.Normalizer` (the JDK's Unicode implementation), which
+    * agrees with DuckDB's `nfc_normalize` (both implement UAX#15 NFC),
+    * making the operator oracle-checkable. Fast path: `isNormalized`
+    * returns the input buffer untouched for already-NFC text (the
+    * overwhelmingly common case), so no allocation per row.
+    */
+  case class NormalizeNfc(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "normalize_nfc"
+  }
+
   /** Squared-L2 distances of one SUBVECTOR (elements [offset, offset +
     * centroid dim)) to every centroid of a product-quantization
     * codebook, in centroid order — the per-subspace distance list PQ
@@ -512,6 +534,9 @@ object Native {
 
   def subspaceDistances(vec: Column, offset: Int, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(SubspaceDistances(ex(vec), offset, centroids))
+
+  def normalizeNfc(text: Column): Column =
+    GraftBridge.column(NormalizeNfc(ex(text)))
 
   def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column = {
     require(langs.nonEmpty && langs.size == lists.size,

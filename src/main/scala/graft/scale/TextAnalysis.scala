@@ -329,6 +329,37 @@ object TextAnalysis {
       regexp_extract_all(text, lit(UrlPattern), lit(0)),
       u => lower(regexp_extract(u, DomainPattern, 1)))
 
+  /** Unicode/text normalization — the standard pre-tokenization cleanup
+    * of a web-scale ingest, in a fixed order:
+    *   1. line endings → `\n` (`\r\n` and bare `\r`)
+    *   2. Unicode NFC (canonical composition — combining sequences
+    *      collapse to precomposed forms, so "é" always hashes/dedups
+    *      the same; native JDK normalizer, DuckDB `nfc_normalize`
+    *      agrees)
+    *   3. strip control characters except `\n`/`\t`
+    *   4. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) — invisible
+    *      dedup-poison
+    * All regex steps use RE2/Java-shared syntax (`\x{…}` classes, no
+    * intersections), so the oracle applies the identical chain.
+    */
+  def normalizeText(text: Column): Column = {
+    val eol = regexp_replace(text, "\r\n|\r", "\n")
+    val nfc = graft.functions.Native.normalizeNfc(eol)
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    regexp_replace(noCtl, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+  }
+
+  /** (id, norm_text, n_chars_removed) per document — `normalizeText`
+    * plus the byte of audit a pipeline logs (how much invisible junk
+    * the delivery carried). Narrow row-local map. */
+  def normalizeTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = graft.ops.Cleaning.qcol(textCol)
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      normalizeText(t).as("norm_text"),
+      (length(t) - length(normalizeText(t))).cast("long").as("n_chars_removed"))
+  }
+
   /** Tracking-query-parameter alternation (utm_*, click ids) shared by
     * [[canonicalizeUrl]] and its oracle — RE2/Java-shared syntax, like
     * the PII patterns above. */

@@ -133,6 +133,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, ""))) // null text → zero lines
   }
 
+  test("normalizeText: NFC composition, control/zero-width strip, CRLF") {
+    val df = Seq(
+      (1L, "cafe\u0301"),               // decomposed -> precomposed \u00e9
+      (2L, "caf\u00e9"),                // already NFC -> unchanged
+      (3L, "a\u200Bbc\u0007\r\nd"),  // ZWSP + BEL stripped, CRLF -> LF
+      (4L, "keep\ttab\nnewline")       // \t and \n survive
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeTable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("caf\u00e9", 1L))) // one codepoint shorter after composition
+    assert(got(2L) == (("caf\u00e9", 0L)))
+    assert(got(3L) == (("abc\nd", 3L)))
+    assert(got(4L) == (("keep\ttab\nnewline", 0L)))
+    // dedup-poison collapses: decomposed and precomposed hash identically
+    assert(got(1L)._1 == got(2L)._1)
+  }
+
   test("canonicalizeUrl: tracking params, fragments, case, preserved params") {
     val cases = Seq(
       // tracking first, real param after → re-anchored
