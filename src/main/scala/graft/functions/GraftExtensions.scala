@@ -59,6 +59,9 @@ object GraftFunctions {
     "l2_normalize" -> (
       new ExpressionInfo(classOf[Native.L2Normalize].getName, "l2_normalize"),
       (es: Seq[Expression]) => Native.L2Normalize(es.head)),
+    "normalize_nfc" -> (
+      new ExpressionInfo(classOf[Native.NormalizeNfc].getName, "normalize_nfc"),
+      (es: Seq[Expression]) => Native.NormalizeNfc(es.head)),
     // aggregates: SELECT g, bounded_top_k(v, w, 5) ... GROUP BY g
     "bounded_top_k" -> (
       new ExpressionInfo(classOf[Aggregates.BoundedTopK].getName, "bounded_top_k"),

@@ -103,6 +103,9 @@ object Pq {
     * write path of a PQ index build: `m` small ints per row replace
     * `dim` floats. Distance lists are materialized as intermediate
     * columns so each is computed once, not re-embedded per consumer.
+    * Vectors shorter than `model.dim` fail loudly (index out of
+    * bounds) rather than encoding garbage — filter malformed rows
+    * first, as [[fit]] does.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
@@ -145,6 +148,9 @@ object Pq {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int, model: Model, excludeSelf: Boolean = false): DataFrame = {
+    require(queryIdCol != idCol,
+      s"queryIdCol and idCol are both '$idCol' — the output needs distinct " +
+        "names (alias the query side, e.g. .as(\"query_id\"), first)")
     val codes = encode(corpus, idCol, vecCol, model)
       .withColumnRenamed(idCol, "__cid__")
     val qv = graft.ops.Cleaning.qcol(vecCol)

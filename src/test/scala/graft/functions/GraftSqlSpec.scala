@@ -47,6 +47,9 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(medD == med)
     val n = spark.sql("SELECT l2_normalize(array(3.0D, 4.0D)) AS n").head.getSeq[Double](0)
     assert(n == Seq(0.6, 0.8))
+    // NFC: decomposed e + combining acute composes to U+00E9
+    val nfc = spark.sql("SELECT normalize_nfc('cafe\u0301') AS s").head.getString(0)
+    assert(nfc == "caf\u00e9")
   }
 
   test("SQL function matches the Column API") {
