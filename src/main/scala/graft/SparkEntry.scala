@@ -803,6 +803,19 @@ object SparkEntry {
     "x_text_urlcanon" -> ((s, d) =>
       TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
 
+    // URL-keyed crawl dedup: canonical URL (tracking params stripped,
+    // authority case-folded) as the exact-dedup key — tracking-variant
+    // URLs collapse to one group, min doc id represents. The standard
+    // crawl-level dedup composed from canonicalizeUrl + Dedup.exact.
+    "x_dedup_urlkey" -> ((s, d) => {
+      val docs = T(s, d, "documents").withColumn("url",
+        concat(lit("https://Site"), col("doc_id") % 20, lit(".example.com/page"),
+          col("doc_id") % 50, lit("?utm_source=x"), col("doc_id")))
+      Dedup.exact(
+        docs.withColumn("curl", TextAnalysis.canonicalizeUrl(col("url"))),
+        "doc_id", Seq("curl"))
+    }),
+
     // unicode normalization: plant a combining sequence (NFC composes),
     // a zero-width space, a control char, and a CRLF in every doc —
     // the oracle re-derives the identical chain via nfc_normalize
@@ -1999,6 +2012,30 @@ object SparkEntry {
          |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM k GROUP BY 1""".stripMargin
+    },
+
+    // same synthesis, same canonicalization chain as x_text_urlcanon,
+    // then plain group-by-canonical-key with min-id representative
+    "x_dedup_urlkey" -> {
+      val tp = TextAnalysis.TrackingParamPattern
+      s"""WITH u AS (SELECT doc_id,
+         |    'https://Site' || (doc_id % 20) || '.example.com/page' ||
+         |    (doc_id % 50) || '?utm_source=x' || doc_id AS url
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),
+         |c1 AS (SELECT doc_id, regexp_replace(u, '&$tp=[^&#]*', '', 'g') AS u FROM c0),
+         |c2 AS (SELECT doc_id, regexp_replace(u, '\\?$tp=[^&#]*&', '?') AS u FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]$tp=[^&#]*$$', '') AS u FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '') AS u FROM c3),
+         |k AS (SELECT doc_id,
+         |        CASE WHEN regexp_extract(u, '^(https?://[^/?#]*)', 1) = '' THEN u
+         |             ELSE lower(regexp_extract(u, '^(https?://[^/?#]*)', 1)) ||
+         |                  regexp_replace(u, '^https?://[^/?#]*', '')
+         |        END AS curl
+         |      FROM c4)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, curl,
+         |       CAST(count(*) AS BIGINT) AS dup_count
+         |FROM k GROUP BY curl""".stripMargin
     },
 
     // identical synthesis (chr() for each planted codepoint), identical

@@ -16,8 +16,17 @@ class ScalePlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def collectPlans(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectPlans)) ++ p.subqueries.flatMap(collectPlans)
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
+    // AQE wraps plans with exchanges in AdaptiveSparkPlanExec, a LEAF
+    // node — without unwrapping, every assertion below would pass
+    // vacuously on exactly the plans (those with shuffles) it guards
+    val deeper = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectPlans(a.inputPlan)
+      case _ => p.children.flatMap(collectPlans)
+    }
+    (p +: deeper) ++ p.subqueries.flatMap(collectPlans)
+  }
 
   /** A WindowExec with an empty partitionSpec funnels ALL rows through
     * one task — the canonical scale-killer. */
@@ -63,5 +72,52 @@ class ScalePlanSpec extends AnyFunSuite {
       .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
     val q = Stats.weightedQuantile(df, "o_totalprice", "w", Seq("g"), 0.5)
     assert(unpartitionedWindows(q).isEmpty)
+  }
+
+  test("dedupLines elects keepers by aggregate, never a window over the line key") {
+    val docs = (0L until 20L).map(i => (i, s"the\ncommon line\nuniq$i"))
+      .toSeq.toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.dedupLines(docs, "doc_id", "text")
+    // a WindowExec over the line hash would funnel every copy of a hot
+    // boilerplate line into one task — the shape the operator avoids
+    val windows = collectPlans(plan.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      "line-keeper election must be a partial-agg struct-min, not a window")
+  }
+
+  test("Pq.encode is a narrow map: no shuffle, no window") {
+    val vecs = (0L until 16L)
+      .map(i => (i, Array.tabulate(8)(j => (i + j).toFloat))).toSeq
+      .toDF("vec_id", "embedding")
+    val model = graft.scale.Pq.syntheticModel(8, m = 2, k = 4)
+    val plan = graft.scale.Pq.encode(vecs, "vec_id", "embedding", model)
+    val exchanges = collectPlans(plan.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "PQ encode must not shuffle — codes are row-local")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("adcTopK shuffles codes, not vectors: corpus side carries no embedding") {
+    val vecs = (0L until 16L)
+      .map(i => (i, Array.tabulate(8)(j => (i * 3 + j).toFloat))).toSeq
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val model = graft.scale.Pq.syntheticModel(8, m = 2, k = 4)
+    val plan = graft.scale.Pq.adcTopK(vecs, queries, "vec_id", "embedding",
+      "query_id", k = 3, model)
+    // every exchange in the plan must ship PQ codes / scalar outputs,
+    // never the corpus embedding column (that is the ADC bandwidth win)
+    val exchanges = collectPlans(plan.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val shipped = e.child.output.map(_.name.toLowerCase)
+      assert(!shipped.exists(_.contains("embedding")),
+        s"corpus embedding crossed a shuffle: ${shipped.mkString(",")}")
+    }
   }
 }
