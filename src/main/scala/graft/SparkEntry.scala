@@ -789,6 +789,15 @@ object SparkEntry {
           shards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // deterministic train/val/test split: portable affine-hash uniform
+    // vs cumulative thresholds, summarized per (split, source)
+    "x_corpus_split" -> ((s, d) =>
+      Sampling.splitAssign(T(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))),
+
     // --- §7.4 round 4: line-level dedup / URL canon / PQ -------------
     // C4-style corpus-wide line dedup. The synthetic docs are
     // single-line, so lines are synthesized token-per-line (space →
@@ -1510,6 +1519,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
         |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
         |FROM h""".stripMargin,
+
+    // same affine-hash uniform; thresholds are the Scala-computed
+    // cumulative doubles (0.8 + 0.1 != 0.9 in IEEE — the oracle must
+    // compare against the IDENTICAL values splitAssign used)
+    "x_corpus_split" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH u AS (SELECT doc_id, source, text,
+         |    CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |  FROM documents),
+         |s AS (SELECT source, text,
+         |        CASE WHEN u < ${cuts(0)} THEN 'train'
+         |             WHEN u < ${cuts(1)} THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM u)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS tokens
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
 
     // min-reachable-id connected components over the same n-gram pair
     // graph, as a recursive CTE; singletons keep their own id

@@ -98,6 +98,44 @@ object Sampling {
       .drop("__g", "__total", "__rate")
   }
 
+  /** Deterministic train/val/test split assignment: every row gets a
+    * named split label by comparing its portable per-key uniform (the
+    * same affine hash mod 1000003 as [[byWeight]] /
+    * [[sampleByTokenBudget]]) against cumulative fraction thresholds,
+    * in the given order. Fractions must sum to 1; the last split takes
+    * the tail unconditionally, so no row can fall through. Pure narrow
+    * map — reproducible across re-runs, partitionings, and engines,
+    * which is exactly what a train/eval split must be (a
+    * nondeterministic split leaks eval rows into training on re-runs).
+    *
+    * The thresholds are the Scala-computed cumulative doubles; an
+    * oracle must embed those exact values (0.8 + 0.1 != 0.9 in IEEE —
+    * re-deriving the sums in another engine agrees only if summed in
+    * the same order, which the generated SQL does by construction).
+    */
+  def splitAssign(
+      df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"need at least two splits, got ${splits.size}")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+    val P = 1000003L
+    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val first = when(u < cuts.head, lit(splits.head._1))
+    val assigned = splits.tail.init.zip(cuts.tail.init).foldLeft(first) {
+      case (acc, ((name, _), cut)) => acc.when(u < cut, lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn(outCol, assigned)
+  }
+
+  /** The cumulative thresholds [[splitAssign]] compares against —
+    * exposed so an oracle can embed the IDENTICAL doubles. */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+
   /** Deterministic global shuffle for training: every row gets a
     * reproducible pseudorandom (shard, pos) — the permutation a
     * trainer's data loader consumes. shard = affine hash of the key

@@ -101,4 +101,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count(_._1 == "a") == 100)
     assert(out.count(_._1 == "b") == out.count { case (s, k) => s == "b" && k % 100 == 0 })
   }
+
+  test("splitAssign: total coverage, ~fractions, partition-invariant") {
+    val df = (0L until 2000L).map(i => (i, s"doc $i")).toDF("k", "t")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitAssign(df, "k", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 2000) // every row labeled, none dropped
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 120 && counts("val") < 280, counts.toString)
+    // re-run on a different partitioning assigns identically
+    val again = Sampling.splitAssign(df.repartition(7), "k", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == got)
+  }
+
+  test("splitAssign rejects bad fraction sets") {
+    val df = Seq((1L, "a")).toDF("k", "t")
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "k", Seq("a" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "a" -> 0.5)))
+  }
 }
