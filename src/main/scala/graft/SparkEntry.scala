@@ -748,6 +748,18 @@ object SparkEntry {
       Stats.profile(T(s, d, "customer"),
         Seq("c_mktsegment", "c_nationkey", "c_custkey"))),
 
+    // ingest-drift audit: wave B is a deterministic perturbation of
+    // customer (fifth of rows dropped, a seventh of segments nulled);
+    // the diff surfaces the planted null-rate jump per column
+    "s22_profile_diff" -> ((s, d) => {
+      val a = T(s, d, "customer")
+      val b = a.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_mktsegment")))
+      Stats.profileDiff(a, b, Seq("c_mktsegment", "c_nationkey"))
+        .withColumn("null_rate_delta", Rounding.halfUp(col("null_rate_delta"), 9))
+    }),
+
     // feature-correlation audit: p·(p+3)/2 exact long moments in ONE
     // aggregate; inputs pre-cast to integral (cents-scaled) so the
     // Pearson arithmetic is engine-exact (see Stats.corrMatrix)
@@ -2082,6 +2094,29 @@ object SparkEntry {
         |SELECT doc_id, norm_text,
         |       CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
         |FROM n""".stripMargin,
+
+    // same perturbation, same per-column profile arithmetic; distinct
+    // counts ignore nulls in both engines
+    "s22_profile_diff" -> {
+      def side(src: String, suffix: String) =
+        Seq("c_mktsegment", "c_nationkey").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows_$suffix,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_$suffix,
+             |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct_$suffix
+             |FROM $src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT c_custkey,
+         |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+         |    c_nationkey
+         |  FROM customer WHERE c_custkey % 5 <> 0),
+         |pa AS (${side("customer", "a")}),
+         |pb AS (${side("b", "b")})
+         |SELECT col_name, n_rows_a, n_null_a, n_distinct_a,
+         |       n_rows_b, n_null_b, n_distinct_b,
+         |       ${Rounding.halfUpSql(
+                 "CAST(n_null_b AS DOUBLE) / n_rows_b - CAST(n_null_a AS DOUBLE) / n_rows_a", 9)} AS null_rate_delta
+         |FROM pa JOIN pb USING (col_name)""".stripMargin
+    },
 
     // Pearson from the same exact long moments, same double formula
     // (DuckDB's sum(int) is HUGEINT — exact; the DOUBLE casts land on

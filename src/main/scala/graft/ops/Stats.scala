@@ -190,6 +190,35 @@ object Stats {
         .as("n_distinct"))
   }
 
+  /** Ingest-drift audit between two deliveries of the same table
+    * (survey wave-over-wave, crawl-over-crawl): per audited column,
+    * the row/null/distinct counts of both sides and the null-rate
+    * delta — the first check a pipeline runs on a new delivery before
+    * trusting it (a column whose null rate jumped 30 points is a
+    * broken extract, not data). Missing columns are NOT tolerated:
+    * `profile` fails loudly on an unknown column, which is itself the
+    * schema-drift signal.
+    *
+    * Null-rate arithmetic is exact-integer division in double — the
+    * deltas are engine-deterministic (oracle-able). Scale: one
+    * struct-explode aggregate pass per side + a col_name-keyed join of
+    * two |cols|-row frames.
+    */
+  def profileDiff(
+      a: DataFrame, b: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    val pa = profile(a, cols, approx).select(
+      col("col_name"), col("n_rows").as("n_rows_a"),
+      col("n_null").as("n_null_a"), col("n_distinct").as("n_distinct_a"))
+    val pb = profile(b, cols, approx).select(
+      col("col_name"), col("n_rows").as("n_rows_b"),
+      col("n_null").as("n_null_b"), col("n_distinct").as("n_distinct_b"))
+    pa.join(pb, "col_name")
+      .withColumn("null_rate_delta",
+        col("n_null_b").cast("double") / col("n_rows_b")
+          - col("n_null_a").cast("double") / col("n_rows_a"))
+  }
+
   def describeApprox(df: DataFrame, column: String, accuracy: Int = 10000): DataFrame = {
     val c = Cleaning.toNumeric(Cleaning.qcol(column))
     val agged = df.agg(

@@ -89,6 +89,17 @@ class StatsSpec extends AnyFunSuite {
     assert(out(0).getDouble(1) == 9.0)
   }
 
+  test("profileDiff: planted null-rate jump and row drop surface per column") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "seg")
+    val b = Seq((1L, null.asInstanceOf[String]), (2L, "y")).toDF("k", "seg")
+    val got = Stats.profileDiff(a, b, Seq("seg")).collect()(0)
+    assert(got.getString(0) == "seg")
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((4L, 1L, 2L)))
+    assert((got.getLong(4), got.getLong(5), got.getLong(6)) == ((2L, 1L, 1L)))
+    assert(got.getDouble(7) == 0.25) // 1/2 - 1/4
+  }
+
   test("corrMatrix: exact Pearson signs, null r on constant column, shared n") {
     val df = Seq(
       (1L, 2L, 5L, 10L),
