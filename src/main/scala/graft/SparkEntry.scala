@@ -824,6 +824,11 @@ object SparkEntry {
     "x_text_urlcanon" -> ((s, d) =>
       TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
 
+    // content-defined chunking: every chunk row (boundaries, portable
+    // chunk hash) re-derived by the oracle's per-position window fold
+    "x_dedup_cdc" -> ((s, d) =>
+      Dedup.cdcChunkTable(T(s, d, "documents"), "doc_id", "text", w = 8, divisor = 64)),
+
     // URL-keyed crawl dedup: canonical URL (tracking params stripped,
     // authority case-folded) as the exact-dedup key — tracking-variant
     // URLs collapse to one group, min doc id represents. The standard
@@ -2052,6 +2057,35 @@ object SparkEntry {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM k GROUP BY 1""".stripMargin
     },
+
+    // per-position window Horner (exact BIGINT, mod only at the test)
+    // re-derives every content cutpoint; chunk hashes use the s7
+    // per-step (a*31+b) % P fold over the chunk's codepoints
+    "x_dedup_cdc" ->
+      """WITH cp AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
+        |  FROM documents),
+        |pos AS (SELECT doc_id, codes, len(codes) AS n,
+        |          unnest(range(8, len(codes) + 1)) AS i
+        |        FROM cp WHERE len(codes) >= 8),
+        |hw AS (SELECT doc_id, i,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i-7:i]),
+        |                     (a, b) -> a * 31 + b) AS h
+        |       FROM pos),
+        |cuts AS (SELECT DISTINCT doc_id, cut FROM (
+        |           SELECT doc_id, i AS cut FROM hw WHERE (h % 2147483647) % 64 = 0
+        |           UNION ALL
+        |           SELECT doc_id, len(codes) AS cut FROM cp WHERE len(codes) > 0)),
+        |oc AS (SELECT c.doc_id, c.cut, cp.codes,
+        |         CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cut) - 1 AS BIGINT) AS chunk_index,
+        |         lag(c.cut, 1, 0) OVER (PARTITION BY c.doc_id ORDER BY c.cut) AS prev
+        |       FROM cuts c JOIN cp USING (doc_id))
+        |SELECT doc_id, chunk_index,
+        |       CAST(prev + 1 AS BIGINT) AS start,
+        |       CAST(cut - prev AS BIGINT) AS len,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), codes[prev+1:cut]),
+        |                   (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash
+        |FROM oc""".stripMargin,
 
     // same synthesis, same canonicalization chain as x_text_urlcanon,
     // then plain group-by-canonical-key with min-id representative

@@ -389,6 +389,81 @@ object Native {
     override def prettyName: String = "nearest_cells"
   }
 
+  /** Content-defined chunking (CDC) of a string — the rsync/LBFS
+    * boundary-detection primitive behind storage-level dedup and delta
+    * compression: a chunk boundary falls AFTER position i whenever the
+    * polynomial hash of the trailing `w`-codepoint window satisfies
+    * `(H mod 2147483647) mod divisor == 0` (plus a forced final cut),
+    * so boundaries move WITH content — an insertion reshuffles only
+    * the chunks up to the next surviving cutpoint, unlike fixed-width
+    * chunking where everything downstream shifts.
+    *
+    * Returns array<struct<start, len, hash>> (1-based codepoint start,
+    * codepoint length, and the portable per-chunk rolling hash
+    * `(acc·31 + code) mod 2147483647` — the s7 fingerprint family).
+    * The window Horner value is maintained exactly in a long (max
+    * codepoint 0x10FFFF × Σ31^j for w=8 ≈ 3·10¹⁶, far under 2⁶³), and
+    * the roll `(h − c_out·31^{w−1})·31 + c_in` reproduces the
+    * recomputed sum bit-for-bit — which is what lets a SQL oracle
+    * re-derive every cutpoint with a per-position fold. Codepoint
+    * (not UTF-16) indexing matches SQL per-character splitting.
+    *
+    * This is the UNBOUNDED textbook form: no min/max chunk clamps, so
+    * degenerate content (long constant runs) can produce tiny chunks.
+    * Production CDC adds FastCDC-style bounds — a sequential decision
+    * a per-position oracle cannot express; keep the unbounded form
+    * where exact verification matters.
+    */
+  case class CdcChunks(child: Expression, w: Int, divisor: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 2 && divisor >= 2, s"need w >= 2 and divisor >= 2, got w=$w divisor=$divisor")
+    private val P = 2147483647L
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("start", LongType, nullable = false),
+      StructField("len", LongType, nullable = false),
+      StructField("hash", LongType, nullable = false))), containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val codes = s.codePoints().toArray
+      val n = codes.length
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      var pow = 1L // 31^(w-1)
+      var j = 1
+      while (j < w) { pow *= 31L; j += 1 }
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      if (n >= w) {
+        var h = 0L
+        var i = 0
+        while (i < w) { h = h * 31L + codes(i); i += 1 } // window ending at position w
+        if ((h % P) % divisor == 0) cuts += w
+        while (i < n) {
+          h = (h - codes(i - w) * pow) * 31L + codes(i)
+          i += 1
+          if ((h % P) % divisor == 0) cuts += i
+        }
+      }
+      if (cuts.isEmpty || cuts(cuts.length - 1) != n) cuts += n
+      val rows = new Array[Any](cuts.length)
+      var prev = 0
+      var k = 0
+      while (k < cuts.length) {
+        val c = cuts(k)
+        var h = 0L
+        var t = prev
+        while (t < c) { h = (h * 31L + codes(t)) % P; t += 1 }
+        rows(k) = org.apache.spark.sql.catalyst.InternalRow(
+          (prev + 1).toLong, (c - prev).toLong, h)
+        prev = c
+        k += 1
+      }
+      new GenericArrayData(rows)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "cdc_chunks"
+  }
+
   /** Unicode NFC normalization (canonical composition) of a string —
     * Spark ships no normalizer builtin; this wraps
     * `java.text.Normalizer` (the JDK's Unicode implementation), which
@@ -537,6 +612,9 @@ object Native {
 
   def normalizeNfc(text: Column): Column =
     GraftBridge.column(NormalizeNfc(ex(text)))
+
+  def cdcChunks(text: Column, w: Int, divisor: Int): Column =
+    GraftBridge.column(CdcChunks(ex(text), w, divisor))
 
   def langPredict(tokens: Column, langs: Seq[String], lists: Seq[Seq[String]]): Column = {
     require(langs.nonEmpty && langs.size == lists.size,

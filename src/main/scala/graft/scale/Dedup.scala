@@ -534,6 +534,29 @@ object Dedup {
       .drop("__fp__")
   }
 
+  /** Content-defined chunk table: one row per CDC chunk of each
+    * document — (idCol, chunk_index, start, len, chunk_hash), where
+    * boundaries are content-derived (see [[graft.functions.Native.CdcChunks]])
+    * so shared passages land in IDENTICAL chunks regardless of where
+    * they sit in the document. Grouping by chunk_hash then gives the
+    * storage-dedup / delta-compression census (how much of the corpus
+    * is repeated byte runs) that fixed-width chunking structurally
+    * misses after any insertion.
+    *
+    * Scale: one narrow native map + posexplode — no shuffle; the
+    * downstream census is one hash aggregate on an 8-byte key.
+    */
+  def cdcChunkTable(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, divisor: Int = 64): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    df.select(id, posexplode(
+        graft.functions.Native.cdcChunks(graft.ops.Cleaning.qcol(textCol), w, divisor)).as(Seq("__i", "__c")))
+      .select(id, col("__i").cast("long").as("chunk_index"),
+        col("__c.start").as("start"), col("__c.len").as("len"),
+        col("__c.hash").as("chunk_hash"))
+  }
+
   /** 64-bit SimHash over the token stream: bit j of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
     * Pure higher-order expressions; one narrow map.

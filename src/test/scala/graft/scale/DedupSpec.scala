@@ -196,4 +196,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("cdcChunkTable: chunks tile the doc; boundaries shift WITH content") {
+    // this text yields 4 content chunks at (w=8, divisor=64) — cuts at
+    // 62/147/191/318 (verified against the window-hash definition)
+    val base = "the quick brown fox jumps over the lazy dog while seventy seven " +
+      "wild geese wander westward over frozen rivers carrying bundles of " +
+      "letters to distant villages under a pale winter moon tonight again " +
+      "and the band played waltzing matilda as the ship pulled away from " +
+      "the quay in the early morning light of a cold grey dawn"
+    val df = Seq((1L, base), (2L, "tiny"), (3L, "")).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunkTable(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 4)
+    assert(d1.head._3 == 1L && d1.map(_._4).sum == base.length)
+    d1.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + a._4) // contiguous tiling
+      case _ =>
+    }
+    // sub-window doc = one whole chunk; empty doc = no chunks
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 4L)
+    assert(!rows.exists(_._1 == 3L))
+    // boundary-shift resistance: a 3-char prefix insertion shifts every
+    // content cut by exactly 3, so all chunks EXCEPT the first are
+    // byte-identical (fixed-width chunking would keep none of them)
+    val shifted = Dedup.cdcChunkTable(
+        Seq((9L, "XY " + base)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().sortBy(_.getLong(1)).map(_.getLong(4)).toSeq
+    assert(shifted.length == d1.length)
+    assert(shifted.tail == d1.map(_._5).toSeq.tail)
+    assert(shifted.head != d1.head._5)
+  }
 }
