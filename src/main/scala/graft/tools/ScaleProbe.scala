@@ -160,6 +160,14 @@ object ScaleProbe {
     time("pq_adc_search 1x")(pqSearch(emb))
     time("pq_adc_search 10x")(pqSearch(e10))
 
+    // round-4b: content-defined chunking — narrow native map, so 10×
+    // rows ⇒ ~1× wall-clock (scan-bound)
+    def cdc(d: DataFrame): Long =
+      graft.scale.Dedup.cdcChunkTable(d, "doc_id", "text").count()
+    cdc(docs)
+    time("x_dedup_cdc 1x")(cdc(docs))
+    time("x_dedup_cdc 10x")(cdc(d10))
+
     // salted join at 10x events: the hot-key spread must hold
     val events = graft.io.Sources.table(spark, sfDir, "events")
     def salted(ev: DataFrame): Long = {
