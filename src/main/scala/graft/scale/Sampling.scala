@@ -121,6 +121,11 @@ object Sampling {
     require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+    val keyType = df.schema(keyCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(keyType),
+      s"splitAssign needs an integral key column; '$keyCol' is $keyType — a " +
+        "non-numeric key casts to null and would silently land every row in " +
+        "the last split")
     val P = 1000003L
     val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
     val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail

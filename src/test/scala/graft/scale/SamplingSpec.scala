@@ -118,7 +118,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == got)
   }
 
-  test("splitAssign rejects bad fraction sets") {
+  test("splitAssign rejects bad fraction sets and non-integral keys") {
     val df = Seq((1L, "a")).toDF("k", "t")
     intercept[IllegalArgumentException](
       Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "b" -> 0.4)))
@@ -126,5 +126,8 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.splitAssign(df, "k", Seq("a" -> 1.0)))
     intercept[IllegalArgumentException](
       Sampling.splitAssign(df, "k", Seq("a" -> 0.5, "a" -> 0.5)))
+    // a string key would cast to null → every row in the last split
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "t", Seq("a" -> 0.5, "b" -> 0.5)))
   }
 }
