@@ -139,6 +139,118 @@ object Aggregates {
       BoundedTopK(GraftBridge.expr(value), GraftBridge.expr(weight), k)
         .toAggregateExpression())
 
+  /** BoundedTopK with a DOUBLE weight and a direction flag — the
+    * distance/similarity shape of the ANN epilogues: per-query top-k by
+    * (adc_dist asc, id asc) or (similarity desc, id asc). Same bounded
+    * map-side contract as BoundedTopK (buffer ≤ ~2k entries, shuffle ∝
+    * groups × k); the per-query `row_number` window it replaces holds
+    * EVERY scored corpus row of a query in one WindowExec task — the
+    * whole-corpus-per-task funnel that dies first at 100 TB.
+    *
+    * Ordering is total even on pathological weights: doubles compare by
+    * `java.lang.Double.compare` (NaN sorts greatest, -0.0 < 0.0), ties
+    * break on value asc — deterministic under any partitioning.
+    */
+  case class BoundedTopKDouble(
+      valueExpr: Expression, weightExpr: Expression, k: Int, ascending: Boolean,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[ArrayBuffer[(Long, Double)]] {
+    require(k > 0, s"k must be > 0, got $k")
+
+    override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (valueExpr.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure(
+          s"bounded_top_k_double requires BIGINT value, got ${valueExpr.dataType.simpleString} — cast('long') it")
+      else if (weightExpr.dataType != DoubleType)
+        TypeCheckResult.TypeCheckFailure(
+          s"bounded_top_k_double requires DOUBLE weight, got ${weightExpr.dataType.simpleString} — cast('double') it")
+      else TypeCheckResult.TypeCheckSuccess
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("value", LongType, nullable = false),
+      StructField("weight", DoubleType, nullable = false))), containsNull = false)
+
+    override def createAggregationBuffer(): ArrayBuffer[(Long, Double)] =
+      ArrayBuffer.empty
+
+    // (weight asc|desc, value asc): total order, deterministic
+    private def lt(a: (Long, Double), b: (Long, Double)): Boolean = {
+      val c0 = java.lang.Double.compare(a._2, b._2)
+      val c = if (ascending) c0 else -c0
+      c < 0 || (c == 0 && a._1 < b._1)
+    }
+
+    private def trim(buf: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
+      if (buf.length > k) {
+        val sorted = buf.sortWith(lt).take(k)
+        buf.clear(); buf ++= sorted
+      }
+      buf
+    }
+
+    override def update(
+        buf: ArrayBuffer[(Long, Double)], input: InternalRow): ArrayBuffer[(Long, Double)] = {
+      val v = valueExpr.eval(input)
+      val w = weightExpr.eval(input)
+      if (v != null && w != null) {
+        buf += ((v.asInstanceOf[Long], w.asInstanceOf[Double]))
+        if (buf.length >= 2 * k) trim(buf)
+      }
+      buf
+    }
+
+    override def merge(
+        b1: ArrayBuffer[(Long, Double)], b2: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
+      b1 ++= b2
+      trim(b1)
+    }
+
+    override def eval(buf: ArrayBuffer[(Long, Double)]): Any = {
+      val top = buf.sortWith(lt).take(k)
+      new GenericArrayData(top.map { case (v, w) =>
+        InternalRow(v, w)
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: ArrayBuffer[(Long, Double)]): Array[Byte] = {
+      val trimmed = trim(buf)
+      val bb = java.nio.ByteBuffer.allocate(4 + trimmed.length * 16)
+      bb.putInt(trimmed.length)
+      trimmed.foreach { case (v, w) => bb.putLong(v); bb.putDouble(w) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Double)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new ArrayBuffer[(Long, Double)](n)
+      var i = 0
+      while (i < n) { buf += ((bb.getLong, bb.getDouble)); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKDouble =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKDouble =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
+    override def prettyName: String = "bounded_top_k_double"
+  }
+
+  /** agg-ready Column: array<struct<value, weight>> of the exact top-k
+    * long values by double weight — `ascending = true` keeps the k
+    * SMALLEST weights (distance), false the k LARGEST (similarity);
+    * ties break on value asc either way.
+    */
+  def topKByDoubleWeight(
+      value: Column, weight: Column, k: Int, ascending: Boolean): Column =
+    GraftBridge.column(
+      BoundedTopKDouble(GraftBridge.expr(value), GraftBridge.expr(weight), k, ascending)
+        .toAggregateExpression())
+
   /** Mergeable weighted-quantile sketch over LONG values + LONG weights
     * — the shipped 100 TB path for weighted percentiles (the built-in
     * `approx_percentile` takes no weights; the exact form sorts every

@@ -164,15 +164,13 @@ object Pq {
     val scored = (if (excludeSelf) scored0.filter(col("__qid__") =!= col("__cid__")) else scored0)
       .select(col("__qid__"), col("__cid__"),
         graft.ops.Rounding.halfUp(dist, 6).as("adc_dist"))
-    // per-query top-k: same window shape as Similarity.topKBruteForce
-    // (each query's candidate set in one partition — fine while
-    // |queries| is the broadcast-small side; the recall/scale path for
-    // huge query sets is bucketed annTopK over the DECODED index)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid__")).orderBy(asc("adc_dist"), asc("__cid__"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
-        col("adc_dist"), col("rank"))
+    // per-query top-k via the shared BoundedTopKDouble epilogue: the
+    // linear ADC scan stays fully parallel and each partition forwards
+    // at most k candidates per query — no per-query window ever holds
+    // the scored corpus in one task (cf. Similarity.topKPerQuery).
+    // Ranking is on the ROUNDED distance, ties on candidate id — the
+    // exact contract the x_emb_pq_search oracle pins.
+    Similarity.topKPerQuery(scored, queryIdCol, idCol, k,
+      weightCol = "adc_dist", ascending = true)
   }
 }

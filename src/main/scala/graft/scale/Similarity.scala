@@ -78,17 +78,45 @@ object Similarity {
     topKPerQuery(scored, queryIdCol, idCol, k)
   }
 
-  /** Shared epilogue for every top-k path: per-query window rank with
-    * the deterministic (similarity desc, id asc) tiebreak — kept in ONE
+  /** Shared epilogue for every top-k path: per-query top-k with the
+    * deterministic (weight desc|asc, id asc) tiebreak — kept in ONE
     * place because the ordering contract is what the oracles pin.
+    *
+    * Shape: a BoundedTopKDouble AGGREGATE, not a `row_number` window.
+    * The window form shuffles EVERY scored candidate of a query into
+    * one WindowExec task before discarding all but k — a per-query
+    * whole-corpus funnel no AQE skew split can break up (AQE splits
+    * skewed join partitions, never windows). The aggregate bounds the
+    * work map-side: each partition keeps ≤ k candidates per query, the
+    * shuffle carries ≤ k rows per (query × partition), identical result
+    * by the same total order. Non-integral id types (no lossless long
+    * round-trip) fall back to the window form — the oracle-able test
+    * tables and any sane 100 TB corpus key on integral ids.
     */
-  private def topKPerQuery(
-      scored: DataFrame, queryIdCol: String, idCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("__qid__")).orderBy(desc("similarity"), asc("__cid__"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
-        col("similarity"), col("rank"))
+  private[scale] def topKPerQuery(
+      scored: DataFrame, queryIdCol: String, idCol: String, k: Int,
+      weightCol: String = "similarity", ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val cidType = scored.schema("__cid__").dataType
+    val orderWeight = if (ascending) asc(weightCol) else desc(weightCol)
+    cidType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        scored
+          .groupBy(col("__qid__"))
+          .agg(graft.functions.Aggregates.topKByDoubleWeight(
+            col("__cid__").cast("long"), col(weightCol).cast("double"), k, ascending).as("__tk__"))
+          .select(col("__qid__"), posexplode(col("__tk__")).as(Seq("__pos__", "__e__")))
+          .select(col("__qid__").as(queryIdCol),
+            col("__e__.value").cast(cidType).as(idCol),
+            col("__e__.weight").as(weightCol),
+            (col("__pos__") + 1).cast("int").as("rank"))
+      case _ =>
+        val w = Window.partitionBy(col("__qid__")).orderBy(orderWeight, asc("__cid__"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
+            col(weightCol), col("rank"))
+    }
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is

@@ -56,6 +56,37 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L)))
   }
 
+  test("double-weight top-k: both directions match the window form, partitioning-invariant") {
+    val big = (0L until 10000L).map(i =>
+      (i % 7, i, ((i * 2654435761L) % 1000L) / 8.0)).toDF("g", "v", "w")
+    for (ascending <- Seq(true, false)) {
+      def run(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+        .agg(Aggregates.topKByDoubleWeight(col("v"), col("w"), 5, ascending).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("g"), col("pos"), col("t.value"), col("t.weight"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val a = run(big)
+      assert(a == run(big.repartition(13)), s"ascending=$ascending not partitioning-invariant")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(if (ascending) asc("w") else desc("w"), asc("v"))
+      val oracle = big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("g"), (col("rn") - 1).cast("int"), col("v"), col("w"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(a == oracle, s"ascending=$ascending diverged from the window oracle")
+    }
+  }
+
+  test("double-weight top-k: ties break on value asc; null weights skipped") {
+    val df = Seq(
+      ("g", 4L, Some(1.5)), ("g", 2L, Some(1.5)), ("g", 9L, None), ("g", 1L, Some(9.0))
+    ).toDF("g", "v", "w")
+    val got = df.groupBy("g")
+      .agg(Aggregates.topKByDoubleWeight(col("v"), col("w"), 2, ascending = true).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.value"), col("t.weight")).as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 1.5), (4L, 1.5)))
+  }
+
   test("weighted quantile sketch: exact under capacity, matches the sort definition") {
     // 60 distinct values, integer weights — capacity 4096 → exact mode
     val df = (0L until 6000L).map(i => (i % 3, i % 60, 1L + i % 7)).toDF("g", "v", "w")

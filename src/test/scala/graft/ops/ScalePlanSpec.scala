@@ -99,6 +99,29 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(plan).isEmpty)
   }
 
+  test("ANN per-query top-k epilogues are bounded aggregates, not windows") {
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(j => (i * 7 + j * 3).toFloat))).toSeq
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val model = graft.scale.Pq.syntheticModel(8, m = 2, k = 4)
+    // a per-query row_number window would hold a query's ENTIRE scored
+    // corpus in one WindowExec task — the funnel BoundedTopKDouble
+    // removes; integral ids must never plan a window at all
+    val adc = graft.scale.Pq.adcTopK(vecs, queries, "vec_id", "embedding",
+      "query_id", k = 3, model)
+    assert(collectPlans(adc.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }.isEmpty,
+      "adcTopK must rank via BoundedTopKDouble, not a per-query window")
+    val knn = graft.scale.Similarity.knnExact(vecs, queries, "vec_id",
+      "embedding", "query_id", k = 3)
+    assert(collectPlans(knn.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }.isEmpty,
+      "knnExact must rank via BoundedTopKDouble, not a per-query window")
+  }
+
   test("adcTopK shuffles codes, not vectors: corpus side carries no embedding") {
     val vecs = (0L until 16L)
       .map(i => (i, Array.tabulate(8)(j => (i * 3 + j).toFloat))).toSeq
