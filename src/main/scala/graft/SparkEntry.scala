@@ -534,7 +534,7 @@ object SparkEntry {
     // the whole IVF machinery — quantizer fit, cell assignment, probe
     // join, per-cell scoring, top-k epilogue — is hash-checked against
     // the DuckDB exact-kNN oracle. The approximate path (nprobe < nlist)
-    // is x_sim_ivf_probe below (rows-only: recall depends on cells).
+    // is x_sim_ivf_probe below (recall-gated vs the exact baseline).
     "x_sim_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
@@ -545,14 +545,22 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    // the approximate path (nprobe < nlist), QUANTITATIVELY gated:
+    // recall@k against the exact kNN over the same queries is computed
+    // IN the query and thresholded against a pinned floor (measured
+    // recall at the test SFs: 0.57-0.64 — RecallProbe; floor 0.5).
+    // Both sides are deterministic (seeded fit, total-order top-k), so
+    // the boolean is hash-stable; a recall collapse flips it and fails
+    // the oracle compare — no more rows-only exemption.
     "x_sim_ivf_probe" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
         k = 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("vec_id"),
-          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+      val exact = Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5)
+      recallGate(approx, exact, k = 5, threshold = 0.5)
     }),
 
     // --- §7.4 text analysis ------------------------------------------
@@ -864,8 +872,59 @@ object SparkEntry {
       graft.scale.Pq.adcTopK(
         emb, emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
         "vec_id", "embedding", "query_id", k = 10, pqOracleModel, excludeSelf = true)
+    }),
+
+    // --- §7.4 round 5: IVF-PQ (IVFADC) -------------------------------
+    // full probe (nprobe = nlist): raw-vector codes make the composed
+    // path provably equal the flat ADC scan, so the ENTIRE IVFADC
+    // machinery — coarse fit, cell assignment, probe explode, in-cell
+    // ADC, bounded top-k — is hash-checked against the same generated
+    // oracle SQL family as x_emb_pq_search (distinct query range/k so
+    // the two gates can't mask each other)
+    "x_emb_ivfpq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 6, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true)
+    }),
+
+    // the production config (nprobe < nlist), recall-gated like
+    // x_sim_ivf_probe: recall@k vs the flat ADC scan, pinned floor 0.5
+    // (measured 0.55-0.69 across test SFs — RecallProbe)
+    "x_emb_ivfpq_probe" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val approx = graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 6, pqOracleModel, nlist = 8, nprobe = 4, excludeSelf = true)
+      val exact = graft.scale.Pq.adcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 6, pqOracleModel, excludeSelf = true)
+      recallGate(approx, exact, k = 6, threshold = 0.5)
     })
   )
+
+  /** Recall gate shared by the approximate-ANN queries: one summary row
+    * (k, n_queries, recall_min, recall_ok) where recall_ok pins
+    * |approx ∩ exact| / |exact| >= threshold. Both inputs are
+    * deterministic, so the boolean hash-gates the approximate config
+    * against its exact baseline — the quantitative form of "this ANN
+    * path still finds its neighbors" that a rows-only check can't give.
+    */
+  private def recallGate(
+      approx: DataFrame, exact: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val hits = e.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("__hit"))
+    val tot = e.agg(count(lit(1)).as("__n"),
+      countDistinct(col("query_id")).as("n_queries"))
+    tot.crossJoin(hits).select(
+      lit(k).cast("int").as("k"),
+      col("n_queries"),
+      lit(threshold).as("recall_min"),
+      (col("__hit").cast("double") / col("__n") >= threshold).as("recall_ok"))
+  }
 
   /** The PQ oracle codebook: deterministic exact-decimal centroids (see
     * Pq.syntheticModel) shared by the Spark queries above and the
@@ -2007,6 +2066,39 @@ object SparkEntry {
          |      WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
          |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // IVFADC full probe scores every (query, corpus) pair exactly once
+    // (each corpus row in ONE cell, every cell probed), so the oracle
+    // is the same flat-ADC SQL with this gate's query range and k —
+    // cell assignment provably cannot change the result
+    "x_emb_ivfpq" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
+         |enc AS (SELECT vec_id, ${pqCodesSql},
+         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
+         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
+         |      FROM enc q, enc x
+         |      WHERE q.vec_id >= 5 AND q.vec_id < 12 AND x.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
+         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 6""".stripMargin,
+
+    // recall gate: the measured claim is the BOOLEAN (recall >= the
+    // pinned floor); n_queries comes from the table so the row is not
+    // pure constants. A recall collapse in the nprobe<nlist config
+    // flips recall_ok and hash-fails this query.
+    "x_emb_ivfpq_probe" ->
+      """SELECT CAST(6 AS INT) AS k,
+        |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        |        WHERE vec_id >= 5 AND vec_id < 12) AS n_queries,
+        |       CAST(0.5 AS DOUBLE) AS recall_min,
+        |       TRUE AS recall_ok""".stripMargin,
+
+    "x_sim_ivf_probe" ->
+      """SELECT CAST(5 AS INT) AS k,
+        |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        |        WHERE vec_id < 20) AS n_queries,
+        |       CAST(0.5 AS DOUBLE) AS recall_min,
+        |       TRUE AS recall_ok""".stripMargin,
 
     // corpus-wide first-occurrence line dedup: keeper = min (doc_id,
     // line position) per distinct non-blank line (window mirror of the

@@ -107,17 +107,19 @@ object Pq {
     * bounds) rather than encoding garbage — filter malformed rows
     * first, as [[fit]] does.
     */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)
+    val kept = keepCols.map(col)
     val withDl = df.select(
-      (id +: (0 until model.m).map(j => distList(v, j, model).as(s"__dl_$j"))): _*)
+      (id +: kept) ++ (0 until model.m).map(j => distList(v, j, model).as(s"__dl_$j")): _*)
     val codeCols = (0 until model.m).map(j =>
       array_position(col(s"__dl_$j"), array_min(col(s"__dl_$j"))).as(s"code_$j"))
     val err = graft.ops.Rounding.halfUp(
       (0 until model.m).map(j => array_min(col(s"__dl_$j"))).reduceLeft(_ + _), 6)
       .as("recon_err")
-    withDl.select((graft.ops.Cleaning.qcol(idCol) +: codeCols :+ err): _*)
+    withDl.select((graft.ops.Cleaning.qcol(idCol) +: kept) ++ codeCols :+ err: _*)
   }
 
   /** Decode: reconstruction = concatenated selected centroids. The
@@ -170,6 +172,81 @@ object Pq {
     // the scored corpus in one task (cf. Similarity.topKPerQuery).
     // Ranking is on the ROUNDED distance, ties on candidate id — the
     // exact contract the x_emb_pq_search oracle pins.
+    Similarity.topKPerQuery(scored, queryIdCol, idCol, k,
+      weightCol = "adc_dist", ascending = true)
+  }
+
+  /** IVF-PQ (the IVFADC composition of Jégou et al. §V): a coarse
+    * quantizer partitions the corpus into `nlist` cells, every corpus
+    * row is stored as its cell id + `m` PQ codes, and a query probes
+    * only its `nprobe` nearest cells, ADC-scoring the codes INSIDE
+    * those cells — the standard large-corpus ANN index shape, and the
+    * composition [[adcTopK]] (flat scan, no pruning) and
+    * [[Similarity.ivfTopK]] (cell pruning, full-precision scoring)
+    * each only half-provide.
+    *
+    * At 100 TB this is the path that actually ships: the index is
+    * `nlist`-partitionable (cell id = partition key), each row costs
+    * `m` bytes + 4, the probe join is a cell-id equi-join (never a
+    * cross product), and per-query cost is corpus/nlist × nprobe code
+    * lookups. Skewed cells split under AQE like any equi-join.
+    *
+    * Design choice: codes quantize the RAW vector, not the residual
+    * (x − centroid). Residual encoding is the classic refinement but
+    * couples every code to its cell's centroid — with raw codes the
+    * full-probe configuration (`nprobe = nlist`) scores exactly the
+    * flat-ADC distances, so the whole composed machinery — quantizer
+    * fit, cell assignment, probe explode, in-cell ADC, top-k epilogue —
+    * is hash-checkable against [[adcTopK]]'s oracle (the x_emb_ivfpq
+    * gate), while `nprobe < nlist` stays the production config with a
+    * recall gate. Same bounded-deterministic coarse fit as
+    * [[Similarity.ivfTopK]] (seeded-hash TakeOrdered sample + Lloyd).
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, model: Model, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
+    require(queryIdCol != idCol,
+      s"queryIdCol and idCol are both '$idCol' — the output needs distinct " +
+        "names (alias the query side, e.g. .as(\"query_id\"), first)")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    // coarse quantizer: bounded deterministic fit (lowest seeded-hash
+    // ids, id tiebreak — partition-layout independent, re-run stable)
+    val sample = corpus
+      .select(v.cast("array<double>").as("__v__"),
+        xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
+      .filter(col("__v__").isNotNull && size(col("__v__")) === model.dim)
+      .orderBy(col("__h__"), col("__id__")).limit(nlist * 1000)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
+
+    // the index: cell id + m codes per row (the m-bytes-per-vector win;
+    // no corpus vector survives past this point). Raw L2 cells — PQ
+    // distances are L2, so no normalization (cf. ivfTopK's cosine prep).
+    val codes = encode(
+      corpus.withColumn("__cell__",
+        graft.functions.Native.nearestCells(v, centroids, 1)(0)),
+      idCol, vecCol, model, keepCols = Seq("__cell__"))
+      .withColumnRenamed(idCol, "__cid__")
+
+    // query side: ADC lookup tables (k×m doubles) + nprobe probe cells
+    val qtabs = queries.select(
+      (graft.ops.Cleaning.qcol(queryIdCol).as("__qid__") +:
+        explode(graft.functions.Native.nearestCells(v, centroids, nprobe)).as("__cell__") +:
+        (0 until model.m).map(j => distList(v, j, model).as(s"__dl_$j"))): _*)
+    val dist = (0 until model.m)
+      .map(j => element_at(col(s"__dl_$j"), col(s"code_$j").cast("int")))
+      .reduceLeft(_ + _)
+    // queries broadcast by the same contract as adcTopK; the join key is
+    // the cell id, so only same-cell codes are ever scored
+    val scored0 = broadcast(qtabs).join(codes, "__cell__")
+    val scored = (if (excludeSelf) scored0.filter(col("__qid__") =!= col("__cid__")) else scored0)
+      .select(col("__qid__"), col("__cid__"),
+        graft.ops.Rounding.halfUp(dist, 6).as("adc_dist"))
     Similarity.topKPerQuery(scored, queryIdCol, idCol, k,
       weightCol = "adc_dist", ascending = true)
   }

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the recall of the approximate ANN configurations that the
+  * recall-gated queries (x_sim_ivf_probe, x_emb_ivfpq_probe) pin —
+  * run at each test SF before choosing a gate threshold, so the pinned
+  * constant is measured evidence, not a guess. Measurement tooling
+  * only; not part of the engine.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def recall(approx: DataFrame, exact: DataFrame): Double = {
+      val a = approx.select(col("query_id"), col("vec_id"))
+      val e = exact.select(col("query_id"), col("vec_id"))
+      val hit = e.join(a, Seq("query_id", "vec_id"), "left_semi").count()
+      hit.toDouble / e.count()
+    }
+
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val emb = graft.io.Sources.table(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+
+      val ivfApprox = graft.scale.Similarity.ivfTopK(
+        emb, queries, "vec_id", "embedding", "query_id", k = 5, nlist = 16, nprobe = 8)
+      val ivfExact = graft.scale.Similarity.knnExact(
+        emb, queries, "vec_id", "embedding", "query_id", k = 5)
+      println(f"[recall] $sf ivf nprobe=8/16      ${recall(ivfApprox, ivfExact)}%.4f")
+
+      val model = graft.scale.Pq.syntheticModel(64, m = 8, k = 16, seed = 42L)
+      val q2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val pqApprox = graft.scale.Pq.ivfAdcTopK(
+        emb, q2, "vec_id", "embedding", "query_id", k = 6, model,
+        nlist = 8, nprobe = 4, excludeSelf = true)
+      val pqExact = graft.scale.Pq.adcTopK(
+        emb, q2, "vec_id", "embedding", "query_id", k = 6, model, excludeSelf = true)
+      println(f"[recall] $sf ivfadc nprobe=4/8    ${recall(pqApprox, pqExact)}%.4f")
+    }
+    spark.stop()
+  }
+}

@@ -48,6 +48,49 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAdcTopK full probe (nprobe = nlist) reproduces flat ADC exactly") {
+    val model = Pq.syntheticModel(dim, m = 4, k = 8, seed = 1L)
+    val corpus = vecs(60)
+    val queries = vecs(4).select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adc_dist", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val flat = rows(Pq.adcTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", k = 6, model, excludeSelf = true))
+    val full = rows(Pq.ivfAdcTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", k = 6, model, nlist = 5, nprobe = 5, excludeSelf = true))
+    assert(full == flat,
+      "full-probe IVFADC must equal the flat ADC scan (raw-vector codes)")
+  }
+
+  test("ivfAdcTopK production probe: recall vs flat ADC is high, never a false hit") {
+    val model = Pq.syntheticModel(dim, m = 4, k = 8, seed = 1L)
+    val corpus = vecs(120)
+    val queries = vecs(6).select(col("vec_id").as("query_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val flat = pairs(Pq.adcTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", k = 5, model, excludeSelf = true))
+    val probed = Pq.ivfAdcTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", k = 5, model, nlist = 6, nprobe = 3, excludeSelf = true)
+    val got = pairs(probed)
+    // pruning can only LOSE candidates relative to per-query flat rank
+    // order, never invent distances: every probed hit at rank r has the
+    // flat ADC distance, so recall is the one quality axis
+    val recall = (got intersect flat).size.toDouble / flat.size
+    assert(recall >= 0.5, s"recall vs flat ADC collapsed: $recall")
+    // and the distances it does report are the true ADC distances
+    val flatDists = Pq.adcTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", k = 120, model, excludeSelf = true)
+      .select("query_id", "vec_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, d) => (q, c) -> d }.toMap
+    probed.select("query_id", "vec_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, c, d) =>
+        assert(flatDists((q, c)) == d, s"probed dist for ($q,$c) diverged") }
+  }
+
   test("adcTopK == brute force over the decoded (reconstructed) corpus") {
     val model = Pq.syntheticModel(dim, m = 4, k = 8, seed = 1L)
     val corpus = vecs(40)
