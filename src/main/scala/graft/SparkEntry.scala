@@ -719,6 +719,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // incremental NEAR-dup: the new delivery's band buckets probe the
+    // accepted corpus' persisted band index (same split as
+    // x_dedup_incr); full-recall banding (bands = numHashes — cf.
+    // x_dedup_minhash) makes the verified cross-pair set equal the
+    // exhaustive batch×index shingle-Jaccard join the oracle computes
+    "x_dedup_incr_minhash" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val batch = docs.filter(col("doc_id") >= 400)
+      val accepted = docs.filter(col("doc_id") < 400)
+      Dedup.nearDupMinhashAgainstIndex(
+        batch,
+        Dedup.minhashBandIndex(accepted, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
+        Dedup.hashedShingleTable(accepted, "doc_id", "text", k = 3),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3)
+    }),
+
     // synthesize URLs into the corpus (same pattern as x_text_redact's
     // PII synthesis) so the domain extractor has real work at every SF
     "x_text_domains" -> ((s, d) =>
@@ -755,6 +771,22 @@ object SparkEntry {
     "s15_profile" -> ((s, d) =>
       Stats.profile(T(s, d, "customer"),
         Seq("c_mktsegment", "c_nationkey", "c_custkey"))),
+
+    // the audit's frequency/median columns ride the SAME one-pass agg
+    // (Space-Saving + weighted-quantile sketch) in their exact-mode
+    // oracle config (capacity >= distinct values); integral columns
+    // only — c_mktsegment's empty top_values explodes to zero rows,
+    // which the oracle pins by omission. Arrays explode to scalars
+    // (driver compare can't hash arrays).
+    "s15b_profile_topk" -> ((s, d) =>
+      Stats.profile(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_custkey"),
+        numericTopK = 3, sketchCapacity = 1 << 18)
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("p50"), posexplode(col("top_values")).as(Seq("__pos", "__tv")))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("p50"), (col("__pos") + 1).cast("int").as("rank"),
+          col("__tv.value").as("top_value"), col("__tv.count").as("top_count"))),
 
     // ingest-drift audit: wave B is a deterministic perturbation of
     // customer (fifth of rows dropped, a seventh of segments nulled);
@@ -1701,6 +1733,23 @@ object SparkEntry {
          |FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
          |WHERE CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) >= 0.3""".stripMargin,
 
+    // same inverted-index join restricted to batch x accepted pairs
+    // (the incremental probe never re-pairs the settled index side)
+    "x_dedup_incr_minhash" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         |  FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id >= 400 AND b.doc_id < 400 GROUP BY 1, 2),
+         |z AS (SELECT doc_id, len(sh) AS n FROM s)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) AS jaccard
+         |FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+         |WHERE CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) >= 0.3""".stripMargin,
+
     // group sizes from exact normalized-token-stream equality — what the
     // xxhash64 fingerprint encodes, minus the (negligible) collisions
     "x_text_fingerprint" ->
@@ -2359,6 +2408,32 @@ object SparkEntry {
         |       CAST(count(*) - count(c_nationkey) AS BIGINT),
         |       CAST(count(DISTINCT CAST(c_nationkey AS VARCHAR)) AS BIGINT)
         |FROM customer""".stripMargin,
+
+    // exact-mode Space-Saving == plain top-3 by (count desc, value asc);
+    // exact-mode sketch p50 == lower median (min value whose cumulative
+    // count reaches half the total). Only the integral columns emit
+    // rows (c_mktsegment's empty top_values explodes away).
+    "s15b_profile_topk" -> {
+      def perCol(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM customer) AS n_null,
+           |       (SELECT CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) FROM customer) AS n_distinct,
+           |       (SELECT CAST(min(v) AS BIGINT) FROM (
+           |          SELECT CAST($c AS BIGINT) AS v,
+           |                 CAST(count(*) AS BIGINT) AS cnt,
+           |                 sum(count(*)) OVER (ORDER BY CAST($c AS BIGINT)) AS cum,
+           |                 sum(count(*)) OVER () AS tot
+           |          FROM customer WHERE $c IS NOT NULL GROUP BY 1)
+           |        WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)) AS p50,
+           |       CAST(rank AS INT) AS rank, top_value, top_count
+           |FROM (SELECT CAST($c AS BIGINT) AS top_value,
+           |             CAST(count(*) AS BIGINT) AS top_count,
+           |             row_number() OVER (ORDER BY count(*) DESC, CAST($c AS BIGINT) ASC) AS rank
+           |      FROM customer WHERE $c IS NOT NULL GROUP BY 1)
+           |WHERE rank <= 3""".stripMargin
+      perCol("c_custkey") + "\nUNION ALL\n" + perCol("c_nationkey")
+    },
 
     "j3_salted_join" ->
       """WITH ut AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events FROM events GROUP BY 1)

@@ -177,17 +177,39 @@ object Stats {
     * `approx = true` swaps exact distinct for HLL `approx_count_distinct`
     * (the 100 TB default; not oracle-able, spec-covered).
     */
-  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+  /** @param numericTopK when > 0, the profile additionally carries — in
+    *        the SAME single aggregate pass — `p50` (the lower median of
+    *        the column's integral view, via the mergeable
+    *        weighted-quantile sketch) and `top_values`
+    *        (array<struct<value, count, error>>, the `numericTopK` most
+    *        frequent integral values via Space-Saving). Both read
+    *        `try_cast(value AS BIGINT)`: non-integral columns profile
+    *        to null p50 / empty top_values (their frequency audit is
+    *        the two-level valueCounts path). With `sketchCapacity` ≥
+    *        the column's distinct count both are EXACT and
+    *        order-invariant — the oracle configuration; the default
+    *        capacity is the bounded-memory 100 TB config.
+    */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+      numericTopK: Int = 0, sketchCapacity: Int = 4096): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val kvs = cols.map(c => struct(
       lit(c).as("col_name"), Cleaning.qcol(c).cast("string").as("value")))
     val stacked = df.select(explode(array(kvs: _*)).as("kv"))
       .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
-    stacked.groupBy("col_name").agg(
+    val baseAggs = Seq(
       count(lit(1)).as("n_rows"),
       sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
       (if (approx) approx_count_distinct(col("value")) else countDistinct(col("value")))
         .as("n_distinct"))
+    val num = col("value").try_cast("long")
+    val extraAggs = if (numericTopK <= 0) Nil else Seq(
+      graft.functions.Aggregates.weightedQuantileSketch(
+        num, lit(1L), 0.5, sketchCapacity).as("p50"),
+      graft.functions.Aggregates.heavyHitters(
+        num, numericTopK, sketchCapacity).as("top_values"))
+    val aggs = baseAggs ++ extraAggs
+    stacked.groupBy("col_name").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Ingest-drift audit between two deliveries of the same table

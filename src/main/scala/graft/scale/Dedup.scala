@@ -126,6 +126,95 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The PERSISTABLE near-dup index of an accepted corpus: one row per
+    * (doc × band) with the band's bucket key — what an incremental
+    * ingest pipeline writes once per accepted wave and probes every new
+    * delivery against (cf. [[dedupAgainstIndex]], the exact-match
+    * analogue). Pair with [[hashedShingleTable]] (the verify side) and
+    * both index frames are bytes-per-doc parquet tables; nothing about
+    * the accepted corpus' TEXT is ever re-read at probe time.
+    */
+  def minhashBandIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    bandBuckets(minhashSignatures(df, idCol, textCol, k, numHashes, seed),
+      idCol, bands, numHashes / bands)
+  }
+
+  /** (id, shingles) — the sorted hashed-shingle sets that Jaccard-verify
+    * candidate pairs (the other persisted half of the near-dup index;
+    * ~8 bytes per distinct shingle, no text).
+    */
+  def hashedShingleTable(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame =
+    df.select(graft.ops.Cleaning.qcol(idCol),
+      graft.functions.Native.hashedShingleSet(
+        TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k).as("shingles"))
+
+  /** Incremental MinHash near-dup: probe a NEW batch's band buckets
+    * against a persisted accepted-corpus index ([[minhashBandIndex]] +
+    * [[hashedShingleTable]], built with IDENTICAL k/numHashes/bands/
+    * seed — a mismatched family silently loses all recall, so pass the
+    * same constants). Output: (id_a = batch doc, id_b = index doc,
+    * jaccard >= threshold).
+    *
+    * Scale: the probe is a (band, bucket) equi-join — new-wave buckets
+    * against accepted buckets, never accepted × accepted (the already-
+    * deduped index pairs are settled); `maxBucketSize` caps BOTH sides
+    * independently (a boilerplate bucket is non-discriminative whichever
+    * side it is on, and the join output for a bucket is |batch| × |index|).
+    * Verification joins fetch only candidate ids' shingle sets.
+    */
+  def nearDupMinhashAgainstIndex(
+      batch: DataFrame, indexBuckets: DataFrame, indexShingles: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bBuckets = capBuckets(
+      minhashBandIndex(batch, idCol, textCol, k, numHashes, bands, seed),
+      Seq("band", "bucket"), maxBucketSize)
+    val iBuckets = capBuckets(indexBuckets, Seq("band", "bucket"), maxBucketSize)
+    val candidates = bBuckets
+      .select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
+      .join(iBuckets
+        .select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val setsB = hashedShingleTable(batch, idCol, textCol, k)
+      .select(graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val setsI = indexShingles
+      .select(graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(setsB, "id_a")
+      .join(setsI, "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** One-call incremental near-dedup: build the index frames from an
+    * accepted corpus inline (production persists them — see
+    * [[minhashBandIndex]]) and return the batch rows with no near-dup
+    * in the accepted set. The MinHash analogue of
+    * [[dedupAgainstIndex]]'s exact fingerprint anti-join.
+    */
+  def dedupIncrementalMinhash(
+      batch: DataFrame, accepted: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDupMinhashAgainstIndex(
+      batch,
+      minhashBandIndex(accepted, idCol, textCol, k, numHashes, bands, seed),
+      hashedShingleTable(accepted, idCol, textCol, k),
+      idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
+    batch.join(pairs.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over ALL same-bucket pairs where the bucket is
     * a cheap blocking key (here: doc length band + first token), i.e. a
     * bounded quadratic within tiny blocks. For unblocked exactness use

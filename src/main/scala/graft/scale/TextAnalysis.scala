@@ -156,20 +156,28 @@ object TextAnalysis {
     * (tfidf desc, token asc). All inputs are exact integer counts so the
     * double arithmetic is engine-deterministic (oracle-able).
     *
-    * Scale: two hash-aggregate shuffles (by (doc,token) and by token) +
-    * a token-keyed join; N is a broadcast 1-row aggregate.
+    * Scale: the exploded token frame — the widest intermediate — is
+    * aggregated ONCE (by (doc, token)); doc length is a window-SUM over
+    * that already-aggregated tf frame, sharing the rank window's
+    * doc-keyed exchange, so neither a second pass over the explode nor
+    * a doc-keyed join exists (it did: a second full shuffle of the
+    * token frame, the 4th-costliest bench query's avoidable half).
+    * Remaining shuffles: tf agg, dfreq agg (small, token-keyed, joins
+    * back AQE-broadcastable), the doc-keyed window exchange; N is a
+    * broadcast 1-row aggregate. The doc window buffers one doc's
+    * DISTINCT tokens — bounded by vocabulary, same as the rank window.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(graft.ops.Cleaning.qcol(idCol), explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("token"))
     val tf = toks.groupBy(graft.ops.Cleaning.qcol(idCol), col("token")).agg(count(lit(1)).as("tf_cnt"))
-    val docLen = toks.groupBy(graft.ops.Cleaning.qcol(idCol)).agg(count(lit(1)).as("doc_len"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
+    val wDoc = Window.partitionBy(graft.ops.Cleaning.qcol(idCol))
     val scored = tf
-      .join(docLen, idCol)
       .join(dfreq, "token")
       .crossJoin(broadcast(n))
+      .withColumn("doc_len", sum(col("tf_cnt")).over(wDoc))
       .withColumn("tfidf",
         (col("tf_cnt") / col("doc_len")) * log(col("n_docs") / col("df")))
     val w = Window.partitionBy(graft.ops.Cleaning.qcol(idCol)).orderBy(desc("tfidf"), asc("token"))

@@ -89,6 +89,26 @@ class StatsSpec extends AnyFunSuite {
     assert(out(0).getDouble(1) == 9.0)
   }
 
+  test("profile numericTopK: exact-mode p50 + top values per column, strings opt out") {
+    // 9 rows: k is 1..9 (p50 = lower median = 5), v has a planted mode
+    val df = Seq(
+      (1L, 7L, "x"), (2L, 7L, "y"), (3L, 7L, null.asInstanceOf[String]),
+      (4L, 2L, "x"), (5L, 2L, "y"), (6L, 9L, "x"),
+      (7L, 1L, "x"), (8L, 4L, "y"), (9L, 5L, "x")).toDF("k", "v", "s")
+    val got = Stats.profile(df, Seq("k", "v", "s"), numericTopK = 2, sketchCapacity = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("k").getLong(4) == 5L)     // p50 of 1..9
+    assert(got("v").getLong(4) == 5L)     // lower median of sorted v
+    assert(got("s").isNullAt(4))          // non-integral column: null p50
+    def top(c: String) = got(c).getSeq[org.apache.spark.sql.Row](5)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top("v") == Seq((7L, 3L), (2L, 2L))) // count desc, value asc
+    assert(top("k") == Seq((1L, 1L), (2L, 1L))) // all-ones tie: value asc
+    assert(top("s").isEmpty)              // empty, not null — explodes away
+    // base columns unchanged by the extension
+    assert((got("s").getLong(1), got("s").getLong(2), got("s").getLong(3)) == ((9L, 1L, 2L)))
+  }
+
   test("profileDiff: planted null-rate jump and row drop surface per column") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, null.asInstanceOf[String]))
       .toDF("k", "seg")

@@ -34,6 +34,54 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental minhash: waves probe the persisted band index, never re-pair it") {
+    // wave 1 (accepted): base + unrelated; wave 2 (new delivery): a
+    // near-dup of base, an exact copy of base, and a novel doc
+    val accepted = Seq((1L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, nearDup), (11L, base),
+      (12L, "novel wave content nothing like anything accepted before this delivery arrived")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(accepted, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 64)
+    val sets = Dedup.hashedShingleTable(accepted, "doc_id", "text", k = 3)
+    val pairs = Dedup.nearDupMinhashAgainstIndex(batch, idx, sets,
+      "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)))
+    // only batch x index pairs: the settled index side never re-pairs,
+    // and batch-internal pairs (10,11) are not this operator's job
+    assert(pairs.forall { case (a, b) => a >= 10L && b < 10L })
+    assert(!pairs.exists(_._2 == 3L))
+
+    // the one-call form drops exactly the near-dup batch rows
+    val kept = Dedup.dedupIncrementalMinhash(batch, accepted, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 64, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+
+    // full-recall cross-pair set == the batch x accepted restriction of
+    // the batch-union-accepted pair set (same banding family)
+    val unionPairs: Set[(Long, Long)] =
+      Dedup.nearDupMinhash(batch.unionByName(accepted), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 64, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val crossOnly = unionPairs
+      .filter { case (a, b) => (a < 10L) != (b < 10L) }
+      .map { case (a, b) => if (a >= 10L) (a, b) else (b, a) }
+    assert(pairs == crossOnly)
+
+    // a second wave probes the GROWN index (wave-2 survivors appended)
+    val accepted2 = accepted.unionByName(batch.filter(col("doc_id") === 12L))
+    val batch3 = Seq((20L, "novel wave content nothing like anything accepted before this delivery came")).toDF("doc_id", "text")
+    val pairs3 = Dedup.nearDupMinhashAgainstIndex(batch3,
+      Dedup.minhashBandIndex(accepted2, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
+      Dedup.hashedShingleTable(accepted2, "doc_id", "text", k = 3),
+      "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs3 == Set((20L, 12L)), s"wave-3 probe found $pairs3")
+  }
+
   test("simhash finds exact pair at hamming 0 and near-dup within budget") {
     val pairs = Dedup.nearDupSimhash(docs, "doc_id", "text", maxHamming = 20)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
