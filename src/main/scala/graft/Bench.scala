@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -44,10 +45,29 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE JSON line, but field-ordered for the harness' stdout TAIL
+    // window (last ~2000 chars survive): per-query map FIRST, summary
+    // fields LAST, times at millisecond precision (sub-ms digits are
+    // noise and cost tail space). The complete full-precision line is
+    // also appended to BENCH_FULL.jsonl so no per-query number is ever
+    // lost to truncation — every figure a verdict cites must trace to
+    // a committed artifact.
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val wall = (System.nanoTime() - wall0) / 1e9
+    val summary = s""""metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.length},"wall":${r3(wall)},"sf":"$sfDir""""
+    println(s"""{"queries":$qs,$summary}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.jsonl"),
+      s"""{"queries":$fullQs,$summary}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
   }
 }
