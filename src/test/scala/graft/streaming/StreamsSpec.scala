@@ -181,6 +181,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream e2e: file source + checkpoint restart, exactly-once, state survives") {
+    // the full production shape: files arrive in waves, the query dies
+    // between waves, and the restart must (a) not re-emit wave-1 output
+    // (file-sink exactly-once off the checkpoint's commit log) and
+    // (b) still dedup wave-2 content against wave-1 STATE (the
+    // dropDuplicatesWithinWatermark store restored from checkpoint)
+    val root = java.nio.file.Files.createTempDirectory("graft-curate-e2e").toString
+    val (srcDir, ckDir, outDir) = (s"$root/src", s"$root/ck", s"$root/out")
+    val good = "plain clean sentence with enough tokens here"
+    Seq((1L, ts(0), good),
+      (2L, ts(1), "Plain  clean sentence WITH enough tokens here"), // same normalized content
+      (3L, ts(2), "!!! ??? ***"))                                   // fails quality
+      .toDF("doc_id", "ts", "text").write.parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+        .parquet(srcDir)
+      val q = Streams.curateStream(src, "text", "ts", "1 hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // wave 1, then the query stops (a deploy, a crash)
+
+    Seq((6L, ts(2), good),                                          // late cross-restart duplicate
+      (5L, ts(4), "a different clean document with many tokens"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(srcDir)
+    runOnce() // restart from the same checkpoint picks up wave 2 only
+
+    val out = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
+    // one representative of the {1,2} content group (file-source
+    // partition order picks which — dropDuplicatesWithinWatermark keeps
+    // the first PROCESSED, unlike the deterministic batch keeper), the
+    // novel doc, nothing else, nothing twice, and crucially no doc 6:
+    // its dup was only ever visible to wave-1 state THROUGH the restart
+    assert(out.size == 2 && out.toSet.subsetOf(Set(1L, 2L, 5L)) && out.contains(5L),
+      s"restart must neither re-emit wave 1 nor pass the cross-restart dup: $out")
+  }
+
   test("stateful streaming sessionization matches the batch oracle on closed sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
