@@ -179,6 +179,37 @@ object ScaleProbe {
     salted(events)
     time("j3_salted_join 1x")(salted(events))
     time("j3_salted_join 10x")(salted(ev10))
+
+    // round-5: IVFADC (cells prune the ADC scan). nprobe=2/8 scores
+    // ~1/4 of each 10× cell; full probe is the flat-scan-equivalent
+    // upper bound — the gap between the two rows is the pruning win
+    def ivfadc(e: DataFrame, nprobe: Int): Long = {
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Pq.ivfAdcTopK(e, q, "vec_id", "embedding", "query_id",
+        k = 5, pqm, nlist = 8, nprobe = nprobe, excludeSelf = true).count()
+    }
+    ivfadc(emb, 2)
+    time("ivfadc probe=2/8 1x")(ivfadc(emb, 2))
+    time("ivfadc probe=2/8 10x")(ivfadc(e10, 2))
+    time("ivfadc probe=8/8 10x")(ivfadc(e10, 8))
+
+    // round-5: incremental minhash — a wave (10% of docs) probes the
+    // accepted index (the other 90%). The ×10 key-shift makes every
+    // wave doc ~9-way duplicated in the index (dup-heavy worst case,
+    // like the cleanCorpus probe), so sub-10× time here is sub-linear
+    // in the true pair mass
+    def incr(d: DataFrame): Long = {
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val acc = d.filter(col("doc_id") % 10 =!= 0)
+      graft.scale.Dedup.nearDupMinhashAgainstIndex(batch,
+        graft.scale.Dedup.minhashBandIndex(acc, "doc_id", "text"),
+        graft.scale.Dedup.hashedShingleTable(acc, "doc_id", "text"),
+        "doc_id", "text", maxBucketSize = 4096).count()
+    }
+    incr(docs)
+    time("incr_minhash 1x")(incr(docs))
+    time("incr_minhash 10x")(incr(d10))
     spark.stop()
   }
 }
