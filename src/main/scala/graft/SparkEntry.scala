@@ -469,6 +469,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           Rounding.halfUp(col("cosine"), 6).as("cosine"))),
 
+    // SemDeDup in its oracle configuration: nlist = 1 puts the whole
+    // (bounded) slice in one cell, so within-cell comparison IS the
+    // exhaustive all-pairs cosine the DuckDB oracle computes — the
+    // whole chain (quantizer fit, cell assignment, in-cell self-join,
+    // id-pair-then-fetch verify) hash-checked. Clustered production
+    // configs (nlist ~ sqrt n) are DedupSpec-bound. Distinct slice and
+    // threshold from x_dedup_embedding so the gates can't mask.
+    "x_dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedupPairs(
+        T(s, d, "embeddings").filter(col("vec_id") < 600),
+        "vec_id", "embedding", nlist = 1, threshold = 0.35)
+        .select(col("id_a"), col("id_b"),
+          Rounding.halfUp(col("cosine"), 6).as("cosine"))),
+
     "x_dedup_contam" -> ((s, d) =>
       Dedup.crossDocNgramStats(T(s, d, "documents"), "doc_id", "text", k = 5)),
 
@@ -1989,6 +2003,21 @@ object SparkEntry {
         |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c WHERE cos >= 0.4""".stripMargin,
+
+    // SemDeDup oracle config (nlist = 1): exhaustive all-pairs cosine
+    // over the slice — same oracle family as x_dedup_embedding with a
+    // deliberately different slice and threshold
+    "x_dedup_semantic" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
+        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
+        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 600 AND b.vec_id < 600),
+        |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
+        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM c WHERE cos >= 0.35""".stripMargin,
 
     // full-recall ANN ≡ exact kNN (see the x_sim_ann query comment);
     // query range/k deliberately differ from x_sim_knn

@@ -66,6 +66,19 @@ object GraftFunctions {
     "bounded_top_k" -> (
       new ExpressionInfo(classOf[Aggregates.BoundedTopK].getName, "bounded_top_k"),
       (es: Seq[Expression]) => Aggregates.BoundedTopK(es(0), es(1), intArg(es(2), "k"))),
+    // bounded_top_k_double(v, w, k[, ascending]) — double weight, the
+    // distance/similarity shape; ascending=true keeps the k SMALLEST
+    // weights (distance), default false keeps the largest, matching
+    // bounded_top_k's ordering
+    "bounded_top_k_double" -> (
+      new ExpressionInfo(classOf[Aggregates.BoundedTopKDouble].getName, "bounded_top_k_double"),
+      (es: Seq[Expression]) => Aggregates.BoundedTopKDouble(es(0), es(1),
+        intArg(es(2), "k"),
+        ascending = es.lift(3).map {
+          case Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ascending must be a boolean literal, got $other")
+        }.getOrElse(false))),
     "space_saving_top_k" -> (
       new ExpressionInfo(classOf[Aggregates.SpaceSavingTopK].getName, "space_saving_top_k"),
       (es: Seq[Expression]) => Aggregates.SpaceSavingTopK(es(0),

@@ -707,6 +707,74 @@ object Dedup {
       .distinct()
   }
 
+  /** Semantic duplicate pairs (the SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the same bounded
+    * deterministic coarse quantizer as [[Similarity.ivfTopK]], compare
+    * cosine ONLY within cells, and call a pair semantic duplicates at
+    * `threshold` — the embedding-space dedup that catches paraphrases
+    * and re-renderings exact/MinHash text dedup structurally misses.
+    *
+    * Scale: the quadratic stage ships 8-byte id pairs (vectors are
+    * fetched back by two id-keyed joins AFTER the within-cell
+    * self-join, cf. [[nearDupEmbedding]]); per-cell work is
+    * O(cellSize²), so `nlist` scales with the corpus (SemDeDup's own
+    * contract — ~sqrt(n) cells keeps total pair work ~n^1.5) and
+    * `maxCellSize` (via [[capBuckets]]) guards the degenerate cell a
+    * mode-collapsed embedding model produces. `nlist = 1` is the
+    * oracle configuration: one cell = exhaustive all-pairs cosine,
+    * hash-checked against the brute-force SQL oracle
+    * (`x_dedup_semantic`); clustered production configs are spec-bound
+    * (identical vectors always share a cell, so exact-duplicate recall
+    * is 1.0 at any nlist).
+    */
+  def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 256, threshold: Double = 0.95,
+      seed: Long = 42L, maxCellSize: Int = 0): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    // cells on the normalized vectors (cosine geometry); zero-norm
+    // vectors get a NULL cell and drop out — directionless vectors
+    // have cosine 0 to everything, never a semantic duplicate
+    val normArr = graft.functions.Native.l2Normalize(v)
+    val sample = df
+      .select(normArr.as("__nv__"), xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
+      .filter(col("__nv__").isNotNull)
+      .orderBy(col("__h__"), col("__id__")).limit(nlist * 1000)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
+    val cells0 = df.select(id,
+      graft.functions.Native.nearestCells(normArr, centroids, 1)(0).as("__cell__"))
+    val cells = capBuckets(cells0, Seq("__cell__"), maxCellSize)
+    val pairs = cells.select(col("__cell__"), id.as("id_a"))
+      .join(cells.select(col("__cell__"), id.as("id_b")), Seq("__cell__"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val va = df.select(id.as("id_a"), v.as("__v_a__"))
+    val vb = df.select(id.as("id_b"), v.as("__v_b__"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__v_a__"), col("__v_b__")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** One-call semantic dedup: keep the min-id representative of every
+    * semantic-duplicate component (connected components over
+    * [[semanticDedupPairs]], same hybrid CC as [[deduplicate]]).
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 256, threshold: Double = 0.95,
+      seed: Long = 42L, maxCellSize: Int = 0,
+      maxIter: Int = 20, checkEvery: Int = 2,
+      maxDriverPairs: Int = 2000000): DataFrame = {
+    val pairs = semanticDedupPairs(df, idCol, vecCol, nlist, threshold, seed, maxCellSize)
+    df.join(
+      nonRepresentatives(pairs, maxIter, checkEvery, maxDriverPairs)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification. Deterministic hyperplanes from `seed`.
     *

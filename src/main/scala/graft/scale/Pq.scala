@@ -191,22 +191,34 @@ object Pq {
     * cross product), and per-query cost is corpus/nlist × nprobe code
     * lookups. Skewed cells split under AQE like any equi-join.
     *
-    * Design choice: codes quantize the RAW vector, not the residual
-    * (x − centroid). Residual encoding is the classic refinement but
-    * couples every code to its cell's centroid — with raw codes the
-    * full-probe configuration (`nprobe = nlist`) scores exactly the
-    * flat-ADC distances, so the whole composed machinery — quantizer
-    * fit, cell assignment, probe explode, in-cell ADC, top-k epilogue —
-    * is hash-checkable against [[adcTopK]]'s oracle (the x_emb_ivfpq
-    * gate), while `nprobe < nlist` stays the production config with a
-    * recall gate. Same bounded-deterministic coarse fit as
-    * [[Similarity.ivfTopK]] (seeded-hash TakeOrdered sample + Lloyd).
+    * Encoding choice, `residual` (default false):
+    *  - `false`: codes quantize the RAW vector. The full-probe
+    *    configuration (`nprobe = nlist`) then scores exactly the
+    *    flat-ADC distances, so the whole composed machinery — quantizer
+    *    fit, cell assignment, probe explode, in-cell ADC, top-k
+    *    epilogue — is hash-checkable against [[adcTopK]]'s oracle (the
+    *    x_emb_ivfpq gate), while `nprobe < nlist` stays the production
+    *    config with a recall gate.
+    *  - `true`: codes quantize the RESIDUAL (x − centroid[cell]) — the
+    *    classic IVFADC refinement (Jégou et al. §V.A): residuals are
+    *    smaller than raw vectors, so the same m×k codebook quantizes
+    *    them finer and recall rises for identical index bytes. The
+    *    price is cell-coupled tables: a query builds its ADC lookup
+    *    table PER PROBED CELL (nprobe × m × k doubles vs m × k) from
+    *    (q − centroid[cell]), and the full-probe ≡ flat-ADC oracle
+    *    equivalence no longer holds — the gate is PqSpec's
+    *    reconstruction check (ADC dist ≡ L2 to centroid + decoded
+    *    residual, bit-for-bit) plus the measured recall gain
+    *    (RecallProbe).
+    * Same bounded-deterministic coarse fit as [[Similarity.ivfTopK]]
+    * (seeded-hash TakeOrdered sample + Lloyd) either way.
     */
   def ivfAdcTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int, model: Model, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L, excludeSelf: Boolean = false): DataFrame = {
+      seed: Long = 42L, excludeSelf: Boolean = false,
+      residual: Boolean = false): DataFrame = {
     require(queryIdCol != idCol,
       s"queryIdCol and idCol are both '$idCol' — the output needs distinct " +
         "names (alias the query side, e.g. .as(\"query_id\"), first)")
@@ -224,17 +236,39 @@ object Pq {
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 
+    // centroid lookup as a literal nested array (driver-sized model,
+    // shipped inside codegen'd expressions; 1-based element_at)
+    def centroidAt(cell: Column): Column =
+      element_at(typedLit(centroids.map(_.toSeq).toSeq), cell + 1)
+    def residualOf(vec: Column, cell: Column): Column =
+      zip_with(vec.cast("array<double>"), centroidAt(cell), (x, c) => x - c)
+
     // the index: cell id + m codes per row (the m-bytes-per-vector win;
     // no corpus vector survives past this point). Raw L2 cells — PQ
     // distances are L2, so no normalization (cf. ivfTopK's cosine prep).
-    val codes = encode(
-      corpus.withColumn("__cell__",
-        graft.functions.Native.nearestCells(v, centroids, 1)(0)),
-      idCol, vecCol, model, keepCols = Seq("__cell__"))
+    val withCell = corpus.withColumn("__cell__",
+      graft.functions.Native.nearestCells(v, centroids, 1)(0))
+    val codes = (if (residual)
+      encode(withCell.withColumn("__res__", residualOf(v, col("__cell__"))),
+        idCol, "__res__", model, keepCols = Seq("__cell__"))
+    else
+      encode(withCell, idCol, vecCol, model, keepCols = Seq("__cell__")))
       .withColumnRenamed(idCol, "__cid__")
 
-    // query side: ADC lookup tables (k×m doubles) + nprobe probe cells
-    val qtabs = queries.select(
+    // query side: ADC lookup tables + nprobe probe cells. Raw codes:
+    // ONE m×k table per query, cells exploded after. Residual codes:
+    // the table depends on the probed cell (built from q − centroid),
+    // so explode first and build nprobe tables per query.
+    val qtabs = if (residual) {
+      val probes = queries.select(
+        graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
+        graft.ops.Cleaning.qcol(vecCol).as("__qv__"),
+        explode(graft.functions.Native.nearestCells(v, centroids, nprobe)).as("__cell__"))
+      val qres = residualOf(col("__qv__"), col("__cell__"))
+      probes.select(
+        (col("__qid__") +: col("__cell__") +:
+          (0 until model.m).map(j => distList(qres, j, model).as(s"__dl_$j"))): _*)
+    } else queries.select(
       (graft.ops.Cleaning.qcol(queryIdCol).as("__qid__") +:
         explode(graft.functions.Native.nearestCells(v, centroids, nprobe)).as("__cell__") +:
         (0 until model.m).map(j => distList(v, j, model).as(s"__dl_$j"))): _*)

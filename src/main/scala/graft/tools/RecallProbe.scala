@@ -48,6 +48,28 @@ object RecallProbe {
       val pqExact = graft.scale.Pq.adcTopK(
         emb, q2, "vec_id", "embedding", "query_id", k = 6, model, excludeSelf = true)
       println(f"[recall] $sf ivfadc nprobe=4/8    ${recall(pqApprox, pqExact)}%.4f")
+
+      // residual vs raw codes, both against the TRUE exact-L2 top-k —
+      // the quantization-quality comparison (same index bytes)
+      import org.apache.spark.sql.expressions.Window
+      val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+      val qq = q2.select(col("query_id"), col("embedding").as("qv"))
+      val d2 = graft.scale.Similarity.dot(col("cv"), col("cv")) +
+        graft.scale.Similarity.dot(col("qv"), col("qv")) -
+        lit(2.0) * graft.scale.Similarity.dot(col("cv"), col("qv"))
+      val w = Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))
+      val exactL2 = c.crossJoin(broadcast(qq))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 6)
+      // fitted codebooks (the production path — the synthetic grid
+      // model is the oracle config and reconstructs randomly)
+      val fitted = graft.scale.Pq.fit(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      def ivfadc(residual: Boolean) = graft.scale.Pq.ivfAdcTopK(
+        emb, q2, "vec_id", "embedding", "query_id", k = 6, fitted,
+        nlist = 8, nprobe = 4, excludeSelf = true, residual = residual)
+      println(f"[recall] $sf raw-codes vs exactL2 ${recall(ivfadc(false), exactL2)}%.4f")
+      println(f"[recall] $sf residual  vs exactL2 ${recall(ivfadc(true), exactL2)}%.4f")
     }
     spark.stop()
   }

@@ -35,6 +35,20 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect()
     assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
       == Seq((2L, 30L), (3L, 20L)))
+    // double-weight variant: default keeps the largest (like
+    // bounded_top_k); ascending=true flips to k-smallest (distance)
+    Seq(("a", 1L, 1.5), ("a", 2L, 3.25), ("a", 3L, 2.0), ("b", 9L, 7.0))
+      .toDF("g", "v", "w").createOrReplaceTempView("gvwd")
+    val topD = spark.sql(
+      "SELECT g, bounded_top_k_double(v, w, 2) AS t FROM gvwd GROUP BY g ORDER BY g")
+      .collect()
+    assert(topD(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getDouble(1)))
+      == Seq((2L, 3.25), (3L, 2.0)))
+    val topAsc = spark.sql(
+      "SELECT g, bounded_top_k_double(v, w, 2, true) AS t FROM gvwd GROUP BY g ORDER BY g")
+      .collect()
+    assert(topAsc(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getDouble(1)))
+      == Seq((1L, 1.5), (3L, 2.0)))
     // plain `0.5` parses as a DECIMAL literal (Spark's Decimal value
     // class) — the natural SQL spelling must work, not just `0.5D`
     val med = spark.sql(

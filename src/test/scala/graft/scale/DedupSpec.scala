@@ -245,6 +245,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("semanticDedup: clustered config finds planted duplicates, keeps representatives") {
+    // two clusters of directions; ids 0/1 identical, 2 a near-copy of
+    // them, 10/11 identical in the other cluster, 20 unrelated
+    def vec(base: Array[Double], eps: Double, j: Int): Array[Double] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == j) eps else 0.0) }
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val df = Seq(
+      0L -> a, 1L -> a, 2L -> vec(a, 0.2, 3), // cos(a,2) ~ 0.981 < 0.99
+      10L -> b, 11L -> b,
+      20L -> Array(0.0, 0.0, 1.0, -1.0)
+    ).toDF("vec_id", "embedding")
+    // production-shaped: nlist > 1; identical vectors ALWAYS share a
+    // cell (same nearest centroid), so exact-duplicate recall is 1.0
+    val pairs = Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+      nlist = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 == 20L || p._2 == 20L))
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nlist = 2, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // min-id representative per component; 2 survives the 0.99 bar
+    assert(kept == Set(0L, 2L, 10L, 20L))
+    // nlist = 1 (the oracle config) degrades to exhaustive all-pairs:
+    // a superset of any clustered config's pairs at the same threshold
+    val allPairs = Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+      nlist = 1, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(allPairs))
+  }
+
   test("cdcChunkTable: chunks tile the doc; boundaries shift WITH content") {
     // this text yields 4 content chunks at (w=8, divisor=64) — cuts at
     // 62/147/191/318 (verified against the window-hash definition)

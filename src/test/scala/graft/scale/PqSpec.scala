@@ -91,6 +91,57 @@ class PqSpec extends AnyFunSuite {
         assert(flatDists((q, c)) == d, s"probed dist for ($q,$c) diverged") }
   }
 
+  test("ivfAdcTopK residual: full probe == brute force over centroid+decoded-residual") {
+    val model = Pq.syntheticModel(dim, m = 4, k = 8, seed = 1L)
+    val n = 40
+    val corpus = vecs(n)
+    val queries = vecs(3).select(col("vec_id").as("query_id"), col("embedding"))
+    val seed = 42L
+    val got = Pq.ivfAdcTopK(corpus, queries, "vec_id", "embedding", "query_id",
+      k = 5, model, nlist = 4, nprobe = 4, seed = seed,
+      excludeSelf = true, residual = true)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // driver reference: re-derive the deterministic coarse fit (same
+    // seeded-hash sample draw + Lloyd — private[scale], same package),
+    // then recon(x) = centroid[cell(x)] + decode(residual codes) and
+    // exact squared L2 per (query, candidate), ascending, id tiebreak
+    val sample = corpus
+      .select(col("embedding").cast("array<double>").as("v"),
+        xxhash64(col("vec_id"), lit(seed)).as("h"), col("vec_id").as("id"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .orderBy(col("h"), col("id")).limit(4 * 1000)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = Similarity.fitCentroidsLloyd(sample, 4, iters = 5, seed)
+    def raw(i: Int) = (0 until dim).map(j => ((i * 31 + j * 7) % 13 - 6).toDouble / 4.0).toArray
+    def cellOf(v: Array[Double]): Int =
+      cents.indices.minBy(c => (v.zip(cents(c)).map { case (x, y) => (x - y) * (x - y) }.sum, c))
+    val cb = model.codebooks
+    for (q <- 0 until 3) {
+      val qv = raw(q)
+      val expected = (0 until n).filter(_ != q).map { c =>
+        val x = raw(c)
+        val cell = cellOf(x)
+        // mirror the ENGINE's float association exactly: both residuals
+        // are materialized first, then per-subspace left-assoc sums —
+        // NOT q − (c + decode), which differs by ulps
+        val cq = cents(cell)
+        val qres = qv.zip(cq).map { case (a, b) => a - b }
+        val xres = x.zip(cq).map { case (a, b) => a - b }
+        val d = (0 until model.m).map { j =>
+          val lo = j * model.dsub; val hi = (j + 1) * model.dsub
+          val xsub = xres.slice(lo, hi)
+          val dists = cb(j).map(cv => cv.zip(xsub).map { case (a, b) => (b - a) * (b - a) }.sum)
+          val code = dists.indexWhere(_ == dists.min)
+          cb(j)(code).zip(qres.slice(lo, hi)).map { case (a, b) => (b - a) * (b - a) }.sum
+        }.sum
+        (math.floor(d * 1e6 + 0.5) / 1e6, c.toLong)
+      }.sorted.take(5).map(_._2)
+      assert(got(q.toLong) == expected, s"query $q")
+    }
+  }
+
   test("adcTopK == brute force over the decoded (reconstructed) corpus") {
     val model = Pq.syntheticModel(dim, m = 4, k = 8, seed = 1L)
     val corpus = vecs(40)
