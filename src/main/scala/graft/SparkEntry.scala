@@ -627,6 +627,15 @@ object SparkEntry {
     "x_text_langid" -> ((s, d) =>
       TextAnalysis.langIdTable(T(s, d, "documents"), "doc_id", "text")),
 
+    // unigram LM scoring against a trusted slice (doc_id % 3) as the
+    // reference model; vocab capped at 1000 so the top-V election
+    // (count desc, token asc) is exercised at every SF
+    "x_text_unigram" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+    }),
+
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -1852,6 +1861,35 @@ object SparkEntry {
          |       score_de, score_en, score_es, score_fr, score_zh
          |FROM s""".stripMargin
     },
+
+    // identical model build (top-1000 vocab by (cnt desc, token asc),
+    // add-one smoothing) and the identical scaled-long fold: log p is
+    // floored to micro-nat longs ONCE per vocab token, so every
+    // per-document sum is exact integer arithmetic on both engines
+    "x_text_unigram" ->
+      s"""WITH rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 3 = 0),
+         |rt AS (SELECT unnest(toks) AS tok FROM rd),
+         |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM rt GROUP BY 1),
+         |vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM vc),
+         |kv AS (SELECT tok, cnt FROM vr WHERE rk <= 1000),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM kv),
+         |vp AS (SELECT tok,
+         |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
+         |       FROM kv, tt),
+         |op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM tt),
+         |d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dt AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
+         |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2),
+         |sc AS (SELECT dc.doc_id,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+         |         CAST(sum(n * coalesce(vp.logp6, op.oov6)) AS BIGINT) AS s6
+         |       FROM dc LEFT JOIN vp ON dc.tok = vp.tok, op GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(sc.n_tokens, 0) AS n_tokens,
+         |       coalesce(sc.n_oov, 0) AS n_oov,
+         |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
+         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     "x_text_quality" ->
       s"""WITH b AS (

@@ -186,6 +186,73 @@ object TextAnalysis {
       .select(graft.ops.Cleaning.qcol(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** Unigram log-probability scoring — the degenerate-but-honest form
+    * of CCNet-style LM quality filtering (Wenzek et al. 2020 filter
+    * web text by LM perplexity; a unigram model is the variant whose
+    * every step a SQL oracle can replay). Each document scores the
+    * MEAN log probability of its tokens under a reference unigram
+    * model built from a trusted corpus: boilerplate/gibberish scores
+    * low, plain prose high — the standard pre-training corpus filter
+    * signal alongside [[qualityTable]].
+    *
+    * Model: top-`vocabSize` reference tokens by (count desc, token asc)
+    * with add-one smoothing — p(t) = (cnt+1)/(total+V+1) for in-vocab,
+    * 1/(total+V+1) for OOV, where `total` sums the KEPT vocabulary and
+    * V is its size.
+    *
+    * Determinism (the long-moment trick, cf. zscore/corrMatrix): log p
+    * is rounded HALF-UP to 6 dp (micro-nats — ample for a filter
+    * signal) and scaled to a LONG once per vocab token; every
+    * per-document step after that — count × logp, Σ over tokens — is
+    * exact integer arithmetic, so the result is partition/order-
+    * invariant and engine-exact (a raw double Σ log p would vary with
+    * Spark's reduction order and could never hash-gate; and 6 dp keeps
+    * the per-token rounding boundary ~10³ further from any cross-engine
+    * ln() ulp than 9 dp would).
+    *
+    * Scale: reference pass = one explode + hash agg + TakeOrdered-V
+    * (V is model-sized, broadcastable); document pass = explode, one
+    * (doc, token) hash agg, broadcast join against the V-row model,
+    * one doc-keyed agg. Nothing scales with corpus × vocab.
+    */
+  def unigramLogProbTable(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, vocabSize: Int = 65536): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val counts = ref
+      .select(explode(tokens(graft.ops.Cleaning.qcol(refTextCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .orderBy(desc("__cnt"), asc("__tok")).limit(vocabSize)
+    // driver-sized totals (V rows): total token mass + V, then the
+    // per-token scaled log-prob table rejoins as a broadcast relation
+    val tot = counts.agg(sum("__cnt").as("__total"), count(lit(1)).as("__v"))
+    val denom = col("__total") + col("__v") + 1
+    // scaled-long directly (floor(x·10⁶ + 0.5) as BIGINT): re-dividing
+    // a halfUp result and re-multiplying would reintroduce a double
+    // representation step between the rounding and the integer domain
+    def logp6(p: Column): Column = floor(log(p) * 1000000L + 0.5).cast("long")
+    val vocab = counts.crossJoin(broadcast(tot))
+      .select(col("__tok"), logp6((col("__cnt") + 1) / denom).as("__logp6"))
+    val oov = tot.select(logp6(lit(1) / denom).as("__oov6"))
+    val docToks = df.select(id, explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
+      .groupBy(id, col("__tok")).agg(count(lit(1)).as("__n"))
+    val scored = docToks
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(id).agg(
+        sum(col("__n")).as("n_tokens"),
+        sum(when(col("__logp6").isNull, col("__n")).otherwise(0L)).as("n_oov"),
+        sum(col("__n") * coalesce(col("__logp6"), col("__oov6"))).as("__s6"))
+    df.select(id).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        graft.ops.Rounding.halfUp(
+          col("__s6").cast("double") / 1000000L / col("n_tokens"), 9)
+          .as("avg_logp"))
+  }
+
   /** Document fingerprint: xxhash64 of the normalized token stream —
     * stable under whitespace/case variation. Plus a winnowing-style
     * k-shingle min-hash fingerprint (rolling window of the token-level

@@ -61,6 +61,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top1 == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("unigramLogProb: hand-computed scores, OOV counting, vocab cap, empty doc") {
+    // reference: "a a b" + "a c" → counts a=3, b=1, c=1; total=5, V=3
+    // p(a)=(3+1)/9, p(b)=p(c)=2/9, OOV=1/9
+    val ref = Seq((100L, "a a b"), (101L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),      // in-vocab only
+      (2L, "a z"),      // one OOV token
+      (3L, "")          // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    def lp6(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    def avg(scaled: Long, n: Long): Double =
+      math.floor((scaled.toDouble / 1e6 / n) * 1e9 + 0.5) / 1e9
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L)
+    assert(got(1L)._3 == avg(lp6(4.0 / 9) + lp6(2.0 / 9), 2))
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1L)
+    assert(got(2L)._3 == avg(lp6(4.0 / 9) + lp6(1.0 / 9), 2))
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0L && got(3L)._3.isNaN)
+    // vocab cap: with vocabSize = 1 only 'a' stays in vocab (count
+    // desc, token asc); total=3, V=1 → p(a)=4/5, OOV=1/5
+    val capped = TextAnalysis.unigramLogProbTable(
+      docs.filter(col("doc_id") =!= 3L), "doc_id", "text", ref, "text",
+      vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(capped(1L)._1 == 1L) // b is OOV now
+    assert(capped(1L)._2 == avg(lp6(4.0 / 5) + lp6(1.0 / 5), 2))
+  }
+
   test("fingerprint: stable under case/whitespace, distinct for distinct text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different text here"))
       .toDF("doc_id", "text")
