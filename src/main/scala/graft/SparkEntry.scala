@@ -857,6 +857,17 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
     }),
 
+    // temperature-balanced mixture (alpha = 0.5 up-weights small
+    // sources): rates are driver-computed constants from a sorted fold,
+    // so the kept set is engine-exact; same summary shape as mixture
+    "x_corpus_temperature" -> ((s, d) => {
+      val kept = Sampling.sampleByTemperature(T(s, d, "documents"),
+        "doc_id", "text", "source", alpha = 0.5, totalBudget = 2000L)
+      kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
+    }),
+
     // deterministic training shuffle: seed-reproducible (shard, pos)
     // permutation with no global sort (per-shard windows only)
     "x_corpus_shuffle" -> ((s, d) =>
@@ -2566,6 +2577,24 @@ object SparkEntry {
          |            / CAST(tot.total AS DOUBLE)), 1.0) AS rate,
          |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
          |      FROM t JOIN tot ON t.source = tot.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
+
+    // identical driver arithmetic: Z is a SORTED left-assoc fold
+    // (list_reduce over list(... ORDER BY source) == Scala foldLeft
+    // over the sorted collect), rate = floor(min(1, B*T^a/Z/T)*1e9+.5)/1e9
+    "x_corpus_temperature" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
+         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
+         |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(pow(CAST(total AS DOUBLE), 0.5) ORDER BY source)),
+         |        (a, b) -> a + b) AS z
+         |      FROM tot),
+         |r AS (SELECT t.doc_id, t.source, t.tok,
+         |        CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
+         |             ELSE floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000000 + 0.5) / 1000000000 END AS rate,
+         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |      FROM t JOIN tot ON t.source = tot.source, z)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
          |FROM r WHERE u < rate GROUP BY 1""".stripMargin
   )

@@ -98,6 +98,55 @@ object Sampling {
       .drop("__g", "__total", "__rate")
   }
 
+  /** Temperature-balanced mixture sampling — the multilingual /
+    * multi-source pretraining reweighting (mT5 / XLM-R style): group g
+    * with token mass T_g is sampled at p(g) ∝ T_g^α, α ∈ (0, 1], so
+    * low-resource sources are UP-weighted relative to their raw share
+    * (α = 1 reduces to proportional = keep-everything-at-budget;
+    * α → 0 approaches uniform across groups). Concretely, with total
+    * token budget B: target_g = B · T_g^α / Σ_h T_h^α and
+    * rate(g) = min(1, target_g / T_g); a row is kept when its
+    * deterministic per-key affine-hash uniform < rate(g) — the same
+    * portable u as [[sampleByTokenBudget]].
+    *
+    * Determinism: group masses are a source-count-sized frame
+    * (collected like the crosstab category grid); Z = Σ T^α and the
+    * per-group rates are computed on the DRIVER with a SORTED
+    * left-associative fold and rounded half-up to 9 dp, so the rate
+    * constants — and therefore the kept set — are engine-exact and
+    * partition-order-independent (a distributed double Σ over groups
+    * would not be). Scale: one hash aggregate over |groups|, rates
+    * ship as a literal CASE chain, then a narrow filter.
+    */
+  def sampleByTemperature(
+      df: DataFrame, keyCol: String, textCol: String, groupCol: String,
+      alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
+    val P = 1000003L
+    val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
+    val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")
+    val masses = df.groupBy(g.as("__g")).agg(sum(tokc).as("__t"))
+      .orderBy(asc_nulls_first("__g")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    val z = masses.foldLeft(0.0) { case (acc, (_, t)) =>
+      acc + math.pow(t.toDouble, alpha) }
+    def rate(t: Long): Double =
+      if (t <= 0 || z <= 0) 1.0
+      else math.floor(math.min(1.0,
+        totalBudget * math.pow(t.toDouble, alpha) / z / t) * 1e9 + 0.5) / 1e9
+    val rateExpr = masses.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, t)) =>
+        if (k == null) when(g.isNull, lit(rate(t))).otherwise(acc)
+        else when(g === k, lit(rate(t))).otherwise(acc)
+    }
+    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    // groups unseen at fit time (impossible here — rates come from the
+    // same frame) default to kept-whole
+    df.filter(u < coalesce(rateExpr, lit(1.0)))
+  }
+
   /** Deterministic train/val/test split assignment: every row gets a
     * named split label by comparing its portable per-key uniform (the
     * same affine hash mod 1000003 as [[byWeight]] /
