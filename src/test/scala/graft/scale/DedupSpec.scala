@@ -245,6 +245,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bloom index probe: every true dup dropped, novel docs survive, anti-join agrees") {
+    val accepted = (0L until 500L).map(i => (i, s"accepted document number $i with stable content"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, "accepted document number 7 with stable content"),   // true dup (norm-equal)
+      (1001L, "Accepted  DOCUMENT number 7 with stable content"),  // dup after normalization
+      (1002L, "a genuinely novel delivery document nothing matches"),
+      (1003L, "another brand new document from the latest crawl wave")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstIndexBloom(batch, accepted, "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives ever; these two novels survive (deterministic
+    // given the hash family — pinned, not probabilistic, once written)
+    assert(kept == Set(1002L, 1003L))
+    // bloom survivors are a subset of the exact anti-join's survivors
+    val exact = Dedup.dedupAgainstIndex(batch, accepted, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(exact))
+    // empty index drops nothing
+    val none = Dedup.dedupAgainstIndexBloom(batch, accepted.limit(0), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(none == Set(1000L, 1001L, 1002L, 1003L))
+  }
+
   test("semanticDedup: clustered config finds planted duplicates, keeps representatives") {
     // two clusters of directions; ids 0/1 identical, 2 a near-copy of
     // them, 10/11 identical in the other cluster, 20 unrelated
