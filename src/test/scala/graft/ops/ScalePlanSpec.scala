@@ -122,6 +122,63 @@ class ScalePlanSpec extends AnyFunSuite {
       "knnExact must rank via BoundedTopKDouble, not a per-query window")
   }
 
+  test("semanticDedupPairs: quadratic stage ships id pairs, vectors never cross its shuffle") {
+    val vecs = (0L until 48L)
+      .map(i => (i, Array.tabulate(8)(j => ((i % 5) * 11 + j).toFloat))).toSeq
+      .toDF("vec_id", "embedding")
+    val plan = graft.scale.Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+      nlist = 3, threshold = 0.99)
+    assert(unpartitionedWindows(plan).isEmpty)
+    // the cell self-join's exchanges must carry (cell, id) — never the
+    // embedding column (that is the id-pairs-then-fetch contract); the
+    // vector fetch joins rejoin by id AFTER the quadratic stage
+    val exchanges = collectPlans(plan.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val vecExchanges = exchanges.filter(
+      _.child.output.map(_.name.toLowerCase).exists(_.contains("embedding")))
+    // vectors may shuffle for the id-keyed fetch join, but any exchange
+    // that carries BOTH pair ids is the self-join output — ban vectors
+    vecExchanges.foreach { e =>
+      val names = e.child.output.map(_.name.toLowerCase)
+      assert(!(names.contains("id_a") && names.contains("id_b")),
+        s"pair-stage exchange carries embeddings: ${names.mkString(",")}")
+    }
+  }
+
+  test("tfidfTopK: one token-frame aggregate; doc_len rides the rank window's exchange") {
+    val docs = (0L until 30L).map(i => (i, s"alpha beta gamma token$i delta"))
+      .toSeq.toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+    assert(unpartitionedWindows(plan).isEmpty)
+    // exactly one aggregate reads the exploded (doc, token) stream: the
+    // tf agg (dfreq aggregates the already-shrunk tf frame). The old
+    // shape aggregated the explode twice (doc_len as a second pass).
+    val aggs = collectPlans(plan.queryExecution.executedPlan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // an agg "reads the explode directly" when a GenerateExec is
+    // reachable below it WITHOUT passing another aggregate — every agg
+    // higher on the lineage trivially has the explode somewhere in its
+    // subtree, so a plain subtree test would count them all
+    def reachesGenerate(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.GenerateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => false
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        reachesGenerate(a.inputPlan)
+      case other => other.children.exists(reachesGenerate)
+    }
+    val explodeReaders = aggs.filter(_.children.exists(reachesGenerate))
+    // the same logical agg appears per consumer branch (tf feeds both
+    // the join and dfreq) and as partial/final pairs, each with fresh
+    // expression ids — normalize ids away and count DISTINCT groupings
+    val groupings = explodeReaders
+      .map(_.groupingExpressions.map(_.toString.replaceAll("#\\d+", "")).toSet)
+      .distinct
+    assert(groupings.size <= 1,
+      s"the exploded token frame feeds ${groupings.size} distinct aggregates — doc_len regressed to a second pass")
+  }
+
   test("adcTopK shuffles codes, not vectors: corpus side carries no embedding") {
     val vecs = (0L until 16L)
       .map(i => (i, Array.tabulate(8)(j => (i * 3 + j).toFloat))).toSeq
