@@ -771,6 +771,27 @@ object SparkEntry {
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // matryoshka truncation to a 16-dim prefix: scalar outputs only
+    // (retained-norm fraction + first normalized component) since the
+    // compare harness can't hash array columns
+    "x_emb_matryoshka" -> ((s, d) =>
+      graft.scale.Embeddings.truncateMatryoshka(T(s, d, "embeddings"),
+        "vec_id", "embedding", dim = 16)
+        .select(col("vec_id"),
+          Rounding.halfUp(col("norm_kept"), 9).as("norm_kept"),
+          Rounding.halfUp(element_at(col("embedding"), 1), 9).as("e1"))),
+
+    // binary-quantized Hamming top-k: the oracle needn't re-pack — the
+    // packed xor+popcount distance equals the per-component sign
+    // disagreement count by construction, which DuckDB counts directly
+    "x_emb_binquant" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Embeddings.hammingTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 8, dim = 64, excludeSelf = true)
+    }),
+
     // weighted sampling over lineitem at ~20%: inclusion ∝ l_quantity;
     // summary by returnflag keeps the output small while hashing both
     // the kept-set membership and the weight mass
@@ -2169,6 +2190,33 @@ object SparkEntry {
         |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
         |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
         |FROM m""".stripMargin,
+
+    // 16-dim prefix + L2 renormalization: same sequential sum-of-squares
+    // folds, e1 = prefix[1] / prefix-norm (null when the prefix has no
+    // direction), norm_kept = prefix-norm / full-norm
+    "x_emb_matryoshka" ->
+      """WITH p AS (SELECT vec_id, embedding[1:16] AS pre, embedding AS f FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(pre) AS a))) AS np,
+        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(f) AS a))) AS nf,
+        |        CAST(pre[1] AS DOUBLE) AS p1
+        |      FROM p)
+        |SELECT vec_id,
+        |       floor((np / (CASE WHEN nf > 0 THEN nf END)) * 1000000000 + 0.5) / 1000000000 AS norm_kept,
+        |       floor((CASE WHEN np > 0 THEN p1 / np END) * 1000000000 + 0.5) / 1000000000 AS e1
+        |FROM n""".stripMargin,
+
+    // packed xor+popcount Hamming == per-component sign disagreement
+    // count by construction, so the oracle counts signs directly
+    "x_emb_binquant" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id >= 20 AND vec_id < 25),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        CAST(len(list_filter(range(1, 65),
+        |          i -> (CAST(e.embedding[i] AS DOUBLE) > 0) <> (CAST(q.qe[i] AS DOUBLE) > 0))) AS BIGINT) AS hamming
+        |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, vec_id, hamming, rank FROM r WHERE rank <= 8""".stripMargin,
 
     // PQ encode: the oracle re-derives every per-subspace distance as
     // the SAME left-associative double chain (generated from the same

@@ -62,6 +62,84 @@ object Embeddings {
     transform(v, x =>
       least(greatest(halfUp(x.cast("double") / scale), lit(-127.0)), lit(127.0)) * scale)
 
+  /** Matryoshka truncation (MRL, Kusupati et al. 2022): keep the first
+    * `dim` components and L2-renormalize — the storage/latency dial of
+    * matryoshka-trained embedding models (a 64-dim prefix of a 768-dim
+    * vector is itself a usable embedding). One narrow map; zero-norm
+    * prefixes return null (no direction survives the cut). Output:
+    * (id, truncated vector, retained norm fraction) — `norm_kept` is
+    * ‖prefix‖/‖full‖, the per-row signal of how much the cut lost
+    * (≈1 for matryoshka-trained models, lower for plain embeddings).
+    */
+  def truncateMatryoshka(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val prefix = slice(v, 1, dim)
+    val norm = (c: Column) =>
+      sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.select(id,
+      graft.functions.Native.l2Normalize(prefix).as("embedding"),
+      (norm(prefix) / when(norm(v) > 0, norm(v))).as("norm_kept"))
+  }
+
+  /** Binary quantization: one sign bit per component, packed into
+    * ceil(dim/64) longs — 32× smaller than float32, and Hamming
+    * distance (xor + popcount) approximates angular distance (the
+    * same sign-projection fact hyperplane LSH uses; here the
+    * hyperplanes are the coordinate axes, the convention of
+    * binary-quantizing vector stores). Bit j of word w is component
+    * 64w+j, set iff v > 0 — an exact integer fold the oracle replays.
+    * One narrow map.
+    */
+  def binaryQuantize(v: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    val words = (dim + 63) / 64
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 64
+      val n = math.min(64, dim - lo)
+      // Σ 2^j over positive components — distinct powers, so the sum
+      // is exact and can never overflow (≤ -1 even with bit 63 set)
+      val powers = Array.tabulate(n)(j => 1L << j)
+      aggregate(
+        zip_with(slice(v, lo + 1, n), typedLit(powers.toSeq),
+          (x, p) => when(x.cast("double") > 0, p).otherwise(0L)),
+        lit(0L), (acc, b) => acc + b)
+    }
+    array(wordCols: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit arrays. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, c) => acc + c)
+
+  /** Per-query top-k by packed-bit Hamming distance — brute force over
+    * the packed corpus (the binary-quantization serving shape: the
+    * scan reads ceil(dim/64) longs per row instead of dim floats; the
+    * epilogue is the same bounded aggregate as every ANN path, ties on
+    * (distance, id)). Output: (queryIdCol, idCol, hamming, rank).
+    */
+  def hammingTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, dim: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(queryIdCol != idCol,
+      s"queryIdCol and idCol are both '$idCol' — alias the query side first")
+    val packedC = corpus.select(graft.ops.Cleaning.qcol(idCol).as("__cid__"),
+      binaryQuantize(graft.ops.Cleaning.qcol(vecCol), dim).as("__pc__"))
+    val packedQ = queries.select(graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"),
+      binaryQuantize(graft.ops.Cleaning.qcol(vecCol), dim).as("__pq__"))
+    val scored0 = packedC.crossJoin(broadcast(packedQ))
+    val scored = (if (excludeSelf) scored0.filter(col("__qid__") =!= col("__cid__")) else scored0)
+      .select(col("__qid__"), col("__cid__"),
+        hammingPacked(col("__pc__"), col("__pq__")).cast("double").as("hamming"))
+    Similarity.topKPerQuery(scored, queryIdCol, idCol, k,
+      weightCol = "hamming", ascending = true)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
   /** Cosine via the sequential aggregate fold (not the native
     * expression): the reconstruction side is a derived double array the
     * oracle reproduces element-wise, so both engines must accumulate in

@@ -1,0 +1,64 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class EmbeddingsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("matryoshka truncation: unit-norm prefix, correct norm fraction, zero-prefix is null") {
+    val df = Seq(
+      (1L, Array(3f, 4f, 0f, 0f, 12f, 0f, 0f, 0f)), // prefix(4) norm 5, full norm 13
+      (2L, Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))   // zero prefix
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.truncateMatryoshka(df, "vec_id", "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val v1 = got(1L).getSeq[Double](1)
+    assert(v1 == Seq(0.6, 0.8, 0.0, 0.0))
+    assert(got(1L).getDouble(2) == 5.0 / 13.0)
+    assert(got(2L).isNullAt(1)) // no direction survives the cut
+    assert(got(2L).getDouble(2) == 0.0)
+  }
+
+  test("binary quantization: expected bit pattern, hamming matches manual count") {
+    // dim 70 forces two packed words; component j positive iff j in S
+    val s1 = Set(0, 1, 63, 64, 69)
+    val s2 = Set(0, 2, 63, 69)
+    def vec(s: Set[Int]) = Array.tabulate(70)(j => if (s(j)) 1f else -1f)
+    val df = Seq((1L, vec(s1)), (2L, vec(s2))).toDF("vec_id", "embedding")
+    val packed = df.select(col("vec_id"),
+        Embeddings.binaryQuantize(col("embedding"), 70).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def expectWords(s: Set[Int]): Seq[Long] = Seq(
+      s.filter(_ < 64).map(j => 1L << j).foldLeft(0L)(_ + _),
+      s.filter(_ >= 64).map(j => 1L << (j - 64)).foldLeft(0L)(_ + _))
+    assert(packed(1L) == expectWords(s1))
+    assert(packed(2L) == expectWords(s2))
+    val ham = df.select(Embeddings.hammingPacked(
+        lit(packed(1L).toArray), lit(packed(2L).toArray))).head.getLong(0)
+    assert(ham == (s1 diff s2).size + (s2 diff s1).size)
+  }
+
+  test("hammingTopK: ranks by sign disagreement with id tiebreak, no window in plan") {
+    val base = Array.tabulate(8)(j => if (j % 2 == 0) 1f else -1f)
+    def flip(n: Int) = base.zipWithIndex.map { case (x, j) => if (j < n) -x else x }
+    val corpus = Seq(
+      (0L, base), (1L, flip(1)), (2L, flip(2)), (3L, flip(8)), (4L, flip(1))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Embeddings.hammingTopK(corpus, q, "vec_id", "embedding", "query_id",
+      k = 3, dim = 8, excludeSelf = true)
+      .select("vec_id", "hamming", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    // dist: 1->1, 4->1 (tie broken by id), 2->2
+    assert(got.toSeq == Seq((1L, 1L, 1), (4L, 1L, 2), (2L, 2L, 3)))
+    val windows = got // plan check piggybacks on the ScalePlanSpec helper style
+    val plan = Embeddings.hammingTopK(corpus, q, "vec_id", "embedding", "query_id",
+      k = 3, dim = 8, excludeSelf = true)
+    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
+      "hammingTopK must use the bounded aggregate epilogue")
+  }
+}
