@@ -1000,17 +1000,21 @@ object SparkEntry {
     */
   private def recallGate(
       approx: DataFrame, exact: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val a = approx.select(col("query_id"), col("vec_id"))
-    val e = exact.select(col("query_id"), col("vec_id"))
-    val hits = e.join(a, Seq("query_id", "vec_id"), "left_semi")
-      .agg(count(lit(1)).as("__hit"))
-    val tot = e.agg(count(lit(1)).as("__n"),
-      countDistinct(col("query_id")).as("n_queries"))
-    tot.crossJoin(hits).select(
-      lit(k).cast("int").as("k"),
-      col("n_queries"),
-      lit(threshold).as("recall_min"),
-      (col("__hit").cast("double") / col("__n") >= threshold).as("recall_ok"))
+    // ONE pass over the exact baseline (the expensive side): a left
+    // join marks hits, a single aggregate counts totals, hits and
+    // distinct queries — two independent subtrees would re-run the
+    // exact scan once per branch
+    val a = approx.select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+    exact.select(col("query_id"), col("vec_id"))
+      .join(a, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .select(
+        lit(k).cast("int").as("k"),
+        col("n_queries"),
+        lit(threshold).as("recall_min"),
+        (col("__hits").cast("double") / col("__n") >= threshold).as("recall_ok"))
   }
 
   /** The PQ oracle codebook: deterministic exact-decimal centroids (see
@@ -2630,7 +2634,7 @@ object SparkEntry {
 
     // identical driver arithmetic: Z is a SORTED left-assoc fold
     // (list_reduce over list(... ORDER BY source) == Scala foldLeft
-    // over the sorted collect), rate = floor(min(1, B*T^a/Z/T)*1e9+.5)/1e9
+    // over the sorted collect), rate = floor(min(1, B*T^a/Z/T)*1e6+.5)/1e6
     "x_corpus_temperature" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
          |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
@@ -2640,7 +2644,7 @@ object SparkEntry {
          |      FROM tot),
          |r AS (SELECT t.doc_id, t.source, t.tok,
          |        CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
-         |             ELSE floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000000 + 0.5) / 1000000000 END AS rate,
+         |             ELSE floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000 END AS rate,
          |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
          |      FROM t JOIN tot ON t.source = tot.source, z)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept

@@ -150,6 +150,12 @@ object Aggregates {
     * Ordering is total even on pathological weights: doubles compare by
     * `java.lang.Double.compare` (NaN sorts greatest, -0.0 < 0.0), ties
     * break on value asc — deterministic under any partitioning.
+    *
+    * Deliberately a sibling of BoundedTopK rather than a shared
+    * codec-parameterized base: the two serde/trim loops are the hot
+    * path of a per-row aggregate, and keeping each monomorphic and
+    * flat is worth the ~80 duplicated lines (changes to the buffer
+    * contract must be applied to both — see BoundedTopK).
     */
   case class BoundedTopKDouble(
       valueExpr: Expression, weightExpr: Expression, k: Int, ascending: Boolean,

@@ -176,8 +176,8 @@ object Stats {
     * are profiled; count-distinct is Spark's two-phase partial form.
     * `approx = true` swaps exact distinct for HLL `approx_count_distinct`
     * (the 100 TB default; not oracle-able, spec-covered).
-    */
-  /** @param numericTopK when > 0, the profile additionally carries — in
+    *
+    * @param numericTopK when > 0, the profile additionally carries — in
     *        the SAME single aggregate pass — `p50` (the lower median of
     *        the column's integral view, via the mergeable
     *        weighted-quantile sketch) and `top_values`

@@ -614,8 +614,14 @@ object Dedup {
     */
   def dedupAgainstIndex(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text must stay NULL through the fingerprint: Spark's
+    // xxhash64 SKIPS null inputs (returns the seed hash), which would
+    // silently collapse every null-text row on both sides into ONE
+    // shared fingerprint — a null-text batch row would then be dropped
+    // as a "duplicate" of any null-text index row. A null key never
+    // matches an anti-join, so guarded rows are kept (novel).
     def fp(t: org.apache.spark.sql.Column) =
-      xxhash64(array_join(TextAnalysis.tokens(t), " "))
+      when(t.isNotNull, xxhash64(array_join(TextAnalysis.tokens(t), " ")))
     val indexFps = index
       .select(fp(graft.ops.Cleaning.qcol(textCol)).as("__fp__")).distinct()
     batch.withColumn("__fp__", fp(graft.ops.Cleaning.qcol(textCol)))
@@ -650,8 +656,10 @@ object Dedup {
       expectedItems: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    // null-guarded like dedupAgainstIndex: without the guard xxhash64
+    // maps every null text to one shared seed-hash fingerprint
     def fp(t: Column) =
-      xxhash64(array_join(TextAnalysis.tokens(t), " "))
+      when(t.isNotNull, xxhash64(array_join(TextAnalysis.tokens(t), " ")))
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val bloomAgg = GraftBridge.column(
@@ -787,7 +795,7 @@ object Dedup {
     val sample = df
       .select(normArr.as("__nv__"), xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
       .filter(col("__nv__").isNotNull)
-      .orderBy(col("__h__"), col("__id__")).limit(nlist * 1000)
+      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist * 1000, Similarity.MaxFitSample))
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
     val cells0 = df.select(id,

@@ -112,8 +112,11 @@ object Sampling {
     * Determinism: group masses are a source-count-sized frame
     * (collected like the crosstab category grid); Z = Σ T^α and the
     * per-group rates are computed on the DRIVER with a SORTED
-    * left-associative fold and rounded half-up to 9 dp, so the rate
-    * constants — and therefore the kept set — are engine-exact and
+    * left-associative fold and rounded half-up to 6 dp (pow() is not
+    * a correctly-rounded IEEE op, so the coarser grid keeps the floor
+    * boundary far from any cross-engine pow drift -- the same
+    * reasoning as the unigram scorer's micro-nat rounding), so the
+    * rate constants — and therefore the kept set — are engine-exact and
     * partition-order-independent (a distributed double Σ over groups
     * would not be). Scale: one hash aggregate over |groups|, rates
     * ship as a literal CASE chain, then a narrow filter.
@@ -135,7 +138,7 @@ object Sampling {
     def rate(t: Long): Double =
       if (t <= 0 || z <= 0) 1.0
       else math.floor(math.min(1.0,
-        totalBudget * math.pow(t.toDouble, alpha) / z / t) * 1e9 + 0.5) / 1e9
+        totalBudget * math.pow(t.toDouble, alpha) / z / t) * 1e6 + 0.5) / 1e6
     val rateExpr = masses.foldLeft(lit(null).cast("double")) {
       case (acc, (k, t)) =>
         if (k == null) when(g.isNull, lit(rate(t))).otherwise(acc)

@@ -18,6 +18,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Hard cap on every coarse-quantizer fit sample (rows collected to
+    * the driver), independent of `nlist`: nlist×1000 is the right
+    * sample while nlist is small, but a corpus-scaled nlist (the
+    * SemDeDup ~sqrt(n) contract) would otherwise grow the collect —
+    * and single-threaded Lloyd — without bound. Past the cap each
+    * centroid sees fewer sample points (still fine down to ~10/cell);
+    * a genuinely huge nlist wants a distributed fit, not a bigger
+    * driver. 128k × 64-dim doubles ≈ 67 MB.
+    */
+  private[scale] val MaxFitSample: Int = 131072
+
   /** Sequential-fold dot product of two float/double arrays (cast to
     * double), via zip_with + aggregate — codegen'd, deterministic order.
     */
@@ -111,8 +122,13 @@ object Similarity {
             col("__e__.weight").as(weightCol),
             (col("__pos__") + 1).cast("int").as("rank"))
       case _ =>
+        // drop null weights BEFORE ranking: the aggregate path skips
+        // them, and Spark's asc() would otherwise rank nulls FIRST —
+        // null-distance rows stealing the top-k is exactly the
+        // divergence this fallback must not have
         val w = Window.partitionBy(col("__qid__")).orderBy(orderWeight, asc("__cid__"))
-        scored.withColumn("rank", row_number().over(w))
+        scored.filter(col(weightCol).isNotNull)
+          .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),
             col(weightCol), col("rank"))
@@ -185,7 +201,7 @@ object Similarity {
     val sample = corpus
       .select(normArr.as("__nv__"), xxhash64(idC, lit(seed)).as("__h__"), idC.as("__id__"))
       .filter(col("__nv__").isNotNull)
-      .orderBy(col("__h__"), col("__id__")).limit(nlist * 1000)
+      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist * 1000, Similarity.MaxFitSample))
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 

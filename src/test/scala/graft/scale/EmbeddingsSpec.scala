@@ -55,10 +55,19 @@ class EmbeddingsSpec extends AnyFunSuite {
       .sortBy(_._3)
     // dist: 1->1, 4->1 (tie broken by id), 2->2
     assert(got.toSeq == Seq((1L, 1L, 1), (4L, 1L, 2), (2L, 2L, 3)))
-    val windows = got // plan check piggybacks on the ScalePlanSpec helper style
+    // structural plan check (cf. ScalePlanSpec): no WindowExec anywhere
     val plan = Embeddings.hammingTopK(corpus, q, "vec_id", "embedding", "query_id",
       k = 3, dim = 8, excludeSelf = true)
-    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
+    def collectPlans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val deeper = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectPlans(a.inputPlan)
+        case _ => p.children.flatMap(collectPlans)
+      }
+      p +: deeper
+    }
+    assert(collectPlans(plan.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
       "hammingTopK must use the bounded aggregate epilogue")
   }
 }
