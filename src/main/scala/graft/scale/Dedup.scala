@@ -195,6 +195,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Survivors of a wave probed against PREBUILT index frames: batch
+    * rows with no verified near-dup in the accepted set. This is the
+    * per-micro-batch body of a STREAMING incremental dedup
+    * (`foreachBatch` hands each micro-batch here as a plain batch
+    * frame against the persisted parquet index — see StreamsSpec's
+    * incremental case); the same call serves batch waves that already
+    * keep the index materialized.
+    */
+  def dedupAgainstBandIndex(
+      batch: DataFrame, indexBuckets: DataFrame, indexShingles: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDupMinhashAgainstIndex(
+      batch, indexBuckets, indexShingles,
+      idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
+    batch.join(pairs.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** One-call incremental near-dedup: build the index frames from an
     * accepted corpus inline (production persists them — see
     * [[minhashBandIndex]]) and return the batch rows with no near-dup
@@ -205,15 +226,12 @@ object Dedup {
       batch: DataFrame, accepted: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
-    val pairs = nearDupMinhashAgainstIndex(
+      maxBucketSize: Int = 0): DataFrame =
+    dedupAgainstBandIndex(
       batch,
       minhashBandIndex(accepted, idCol, textCol, k, numHashes, bands, seed),
       hashedShingleTable(accepted, idCol, textCol, k),
       idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
-    batch.join(pairs.select(col("id_a").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-  }
 
   /** Exact n-gram Jaccard over ALL same-bucket pairs where the bucket is
     * a cheap blocking key (here: doc length band + first token), i.e. a

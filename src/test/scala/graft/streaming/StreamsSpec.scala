@@ -222,6 +222,51 @@ class StreamsSpec extends AnyFunSuite {
       s"restart must neither re-emit wave 1 nor pass the cross-restart dup: $out")
   }
 
+  test("streaming incremental near-dedup: foreachBatch probes and grows the band index") {
+    implicit val sc = spark.sqlContext
+    import graft.scale.Dedup
+    val good = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val unrelated = "completely different content about spark query engines shuffling data across many executors"
+    val accepted0 = Seq((1L, good)).toDF("doc_id", "text")
+    // the accept-loop state: persisted index frames, grown per batch
+    // with each wave's survivors (production: parquet appends)
+    var idxBuckets = Dedup.minhashBandIndex(accepted0, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 64).localCheckpoint()
+    var idxSets = Dedup.hashedShingleTable(accepted0, "doc_id", "text", k = 3)
+      .localCheckpoint()
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keep = Dedup.dedupAgainstBandIndex(batch, idxBuckets, idxSets,
+          "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.5)
+          .localCheckpoint()
+        survived ++= keep.select("doc_id").as[Long].collect()
+        idxBuckets = idxBuckets.unionByName(
+          Dedup.minhashBandIndex(keep, "doc_id", "text",
+            k = 3, numHashes = 64, bands = 64)).localCheckpoint()
+        idxSets = idxSets.unionByName(
+          Dedup.hashedShingleTable(keep, "doc_id", "text", k = 3)).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a near-dup of the accepted doc + a novel doc
+      mem.addData((10L, good.replace("green", "dark")), (11L, unrelated))
+      q.processAllAvailable()
+      assert(survived.toSet == Set(11L), s"batch-1 survivors: $survived")
+      // batch 2: a near-dup of batch-1 SURVIVOR 11 — only droppable if
+      // the index grew with wave-1 survivors — plus a fresh novel doc
+      mem.addData(
+        (20L, unrelated.replace("many", "most")),
+        (21L, "entirely new subject matter for the second delivery wave arriving later tonight"))
+      q.processAllAvailable()
+      assert(survived.toSet == Set(11L, 21L), s"batch-2 survivors: $survived")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch oracle on closed sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
