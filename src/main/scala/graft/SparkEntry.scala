@@ -1004,7 +1004,11 @@ object SparkEntry {
     // join marks hits, a single aggregate counts totals, hits and
     // distinct queries — two independent subtrees would re-run the
     // exact scan once per branch
-    val a = approx.select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+    // distinct() makes the gate duplicate-proof: a future approx path
+    // emitting a candidate twice must not double-count hits AND totals
+    // (which would bias recall upward past the floor)
+    val a = approx.select(col("query_id"), col("vec_id")).distinct()
+      .withColumn("__hit", lit(1))
     exact.select(col("query_id"), col("vec_id"))
       .join(a, Seq("query_id", "vec_id"), "left")
       .agg(count(lit(1)).as("__n"),
@@ -2644,7 +2648,7 @@ object SparkEntry {
          |      FROM tot),
          |r AS (SELECT t.doc_id, t.source, t.tok,
          |        CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
-         |             ELSE floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000 END AS rate,
+         |             ELSE greatest(0.000001, floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000) END AS rate,
          |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
          |      FROM t JOIN tot ON t.source = tot.source, z)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept

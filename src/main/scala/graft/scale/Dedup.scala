@@ -630,19 +630,24 @@ object Dedup {
     * side is a pre-distinct'd fingerprint table — bytes per historical
     * doc, not the document itself.
     */
+  /** The ONE content fingerprint both incremental exact-dedup paths
+    * (anti-join and Bloom probe) key on — xxhash64 of the normalized
+    * token stream, NULL-guarded: Spark's xxhash64 SKIPS null inputs
+    * (returns the seed hash), which would silently collapse every
+    * null-text row into ONE shared fingerprint and drop null-text
+    * batch rows as "duplicates" of any null-text index row. A null
+    * fingerprint matches nothing (anti-join) / tests false (Bloom), so
+    * guarded rows are kept as novel. Shared so the two paths can never
+    * diverge on what counts as a duplicate.
+    */
+  private def tokenFingerprint(t: Column): Column =
+    when(t.isNotNull, xxhash64(array_join(TextAnalysis.tokens(t), " ")))
+
   def dedupAgainstIndex(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // NULL text must stay NULL through the fingerprint: Spark's
-    // xxhash64 SKIPS null inputs (returns the seed hash), which would
-    // silently collapse every null-text row on both sides into ONE
-    // shared fingerprint — a null-text batch row would then be dropped
-    // as a "duplicate" of any null-text index row. A null key never
-    // matches an anti-join, so guarded rows are kept (novel).
-    def fp(t: org.apache.spark.sql.Column) =
-      when(t.isNotNull, xxhash64(array_join(TextAnalysis.tokens(t), " ")))
     val indexFps = index
-      .select(fp(graft.ops.Cleaning.qcol(textCol)).as("__fp__")).distinct()
-    batch.withColumn("__fp__", fp(graft.ops.Cleaning.qcol(textCol)))
+      .select(tokenFingerprint(graft.ops.Cleaning.qcol(textCol)).as("__fp__")).distinct()
+    batch.withColumn("__fp__", tokenFingerprint(graft.ops.Cleaning.qcol(textCol)))
       .join(indexFps, Seq("__fp__"), "left_anti")
       .drop("__fp__")
   }
@@ -674,15 +679,11 @@ object Dedup {
       expectedItems: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    // null-guarded like dedupAgainstIndex: without the guard xxhash64
-    // maps every null text to one shared seed-hash fingerprint
-    def fp(t: Column) =
-      when(t.isNotNull, xxhash64(array_join(TextAnalysis.tokens(t), " ")))
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val bloomAgg = GraftBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        GraftBridge.expr(fp(graft.ops.Cleaning.qcol(textCol))),
+        GraftBridge.expr(tokenFingerprint(graft.ops.Cleaning.qcol(textCol))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
     val bloomBytes = index.agg(bloomAgg.as("__bloom__"))
       .head().getAs[Array[Byte]](0)
@@ -691,7 +692,7 @@ object Dedup {
       val might = GraftBridge.column(BloomFilterMightContain(
         Literal.create(bloomBytes,
           org.apache.spark.sql.types.BinaryType),
-        GraftBridge.expr(fp(graft.ops.Cleaning.qcol(textCol)))))
+        GraftBridge.expr(tokenFingerprint(graft.ops.Cleaning.qcol(textCol)))))
       batch.filter(!coalesce(might, lit(false)))
     }
   }
@@ -813,7 +814,7 @@ object Dedup {
     val sample = df
       .select(normArr.as("__nv__"), xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
       .filter(col("__nv__").isNotNull)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist * 1000, Similarity.MaxFitSample))
+      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
     val cells0 = df.select(id,

@@ -57,7 +57,7 @@ object Pq {
       .select(v.cast("array<double>").as("__v__"),
         xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
       .filter(col("__v__").isNotNull && size(col("__v__")) === dim)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(k * 1000, Similarity.MaxFitSample))
+      .orderBy(col("__h__"), col("__id__")).limit(math.min(k.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
       .collect().map(_.getSeq[Double](0).toArray)
     val dsub = dim / m
     val codebooks = Array.tabulate(m) { j =>
@@ -232,7 +232,7 @@ object Pq {
       .select(v.cast("array<double>").as("__v__"),
         xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
       .filter(col("__v__").isNotNull && size(col("__v__")) === model.dim)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist * 1000, Similarity.MaxFitSample))
+      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 

@@ -135,10 +135,13 @@ object Sampling {
         (if (r.isNullAt(1)) 0L else r.getLong(1)))
     val z = masses.foldLeft(0.0) { case (acc, (_, t)) =>
       acc + math.pow(t.toDouble, alpha) }
+    // floored at 1e-6: a group whose true rate rounds below the 6 dp
+    // grid must still be SAMPLED, not silently zeroed (up to 2× over-
+    // sampling of a ~sub-ppm rate, vs dropping the source outright)
     def rate(t: Long): Double =
       if (t <= 0 || z <= 0) 1.0
-      else math.floor(math.min(1.0,
-        totalBudget * math.pow(t.toDouble, alpha) / z / t) * 1e6 + 0.5) / 1e6
+      else math.max(1e-6, math.floor(math.min(1.0,
+        totalBudget * math.pow(t.toDouble, alpha) / z / t) * 1e6 + 0.5) / 1e6)
     val rateExpr = masses.foldLeft(lit(null).cast("double")) {
       case (acc, (k, t)) =>
         if (k == null) when(g.isNull, lit(rate(t))).otherwise(acc)

@@ -201,7 +201,7 @@ object Similarity {
     val sample = corpus
       .select(normArr.as("__nv__"), xxhash64(idC, lit(seed)).as("__h__"), idC.as("__id__"))
       .filter(col("__nv__").isNotNull)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist * 1000, Similarity.MaxFitSample))
+      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
 
