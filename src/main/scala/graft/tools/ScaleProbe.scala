@@ -210,6 +210,17 @@ object ScaleProbe {
     incr(docs)
     time("incr_minhash 1x")(incr(docs))
     time("incr_minhash 10x")(incr(d10))
+
+    // round-5: clustered semantic dedup — nlist grows with the corpus
+    // (sqrt-n contract), so per-cell quadratic work stays bounded; the
+    // ×10 key-shift makes every vector 10-way duplicated (45 pairs per
+    // original at threshold 1.0-ish) — a dup-heavy worst case
+    def semantic(e: DataFrame, nlist: Int): Long =
+      graft.scale.Dedup.semanticDedupPairs(e, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.99, maxCellSize = 65536).count()
+    semantic(emb, 16)
+    time("semantic nlist=16 1x")(semantic(emb, 16))
+    time("semantic nlist=48 10x")(semantic(e10, 48))
     spark.stop()
   }
 }
