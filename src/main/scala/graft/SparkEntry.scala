@@ -544,6 +544,18 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // cluster-size census over the same component assignment — the
+    // "how much duplication, in what clump sizes" audit a dedup run
+    // reports (two tiny aggregates on top of the clusters frame)
+    "x_dedup_cluster_sizes" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
+        maxBlockSize = NgramBlockCap)
+      Dedup.clusters(docs, "doc_id", pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // full probe (nprobe = nlist): provably equivalent to exact kNN, so
     // the whole IVF machinery — quantizer fit, cell assignment, probe
     // join, per-cell scoring, top-k epilogue — is hash-checked against
@@ -1722,6 +1734,22 @@ object SparkEntry {
          |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
          |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
+
+    // same recursive components, aggregated twice: cluster → size →
+    // how many clusters of each size (the dedup audit's census row)
+    "x_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1""".stripMargin,
 
     "x_sim_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
