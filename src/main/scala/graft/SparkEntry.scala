@@ -440,7 +440,8 @@ object SparkEntry {
     // the correctness gate for the same machinery.
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.nearDupMinhash(T(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 64, bands = 64, threshold = 0.3)),
+        k = 3, numHashes = 64, bands = 64, threshold = 0.3,
+        maxBucketSize = 0)), // explicit opt-out: full recall for the oracle
 
     // portable two-polynomial fingerprint + uncapped buckets: pigeonhole
     // recall is EXACT, so the output equals the all-pairs Hamming set
@@ -479,7 +480,8 @@ object SparkEntry {
     "x_dedup_semantic" -> ((s, d) =>
       Dedup.semanticDedupPairs(
         T(s, d, "embeddings").filter(col("vec_id") < 600),
-        "vec_id", "embedding", nlist = 1, threshold = 0.35)
+        "vec_id", "embedding", nlist = 1, threshold = 0.35,
+        maxCellSize = 0) // explicit opt-out: the one oracle cell is the slice
         .select(col("id_a"), col("id_b"),
           Rounding.halfUp(col("cosine"), 6).as("cosine"))),
 
@@ -546,14 +548,13 @@ object SparkEntry {
 
     // cluster-size census over the same component assignment — the
     // "how much duplication, in what clump sizes" audit a dedup run
-    // reports (two tiny aggregates on top of the clusters frame)
+    // reports (Dedup.clusterSizeCensus: two tiny aggregates on top of
+    // the clusters frame; a library caller passes an existing frame)
     "x_dedup_cluster_sizes" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
         maxBlockSize = NgramBlockCap)
-      Dedup.clusters(docs, "doc_id", pairs)
-        .groupBy("cluster").agg(count(lit(1)).as("sz"))
-        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      Dedup.clusterSizeCensus(Dedup.clusters(docs, "doc_id", pairs))
     }),
 
     // full probe (nprobe = nlist): provably equivalent to exact kNN, so
@@ -767,7 +768,8 @@ object SparkEntry {
         batch,
         Dedup.minhashBandIndex(accepted, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
         Dedup.hashedShingleTable(accepted, "doc_id", "text", k = 3),
-        "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3)
+        "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3,
+        maxBucketSize = 0) // explicit opt-out: full recall for the oracle
     }),
 
     // synthesize URLs into the corpus (same pattern as x_text_redact's

@@ -29,9 +29,17 @@ object Native {
   /** Cosine similarity of two float/double arrays, accumulated in
     * double in array order (bit-identical to the sequential
     * aggregate-fold form, hence to the DuckDB oracle). Zero norm → 0.0.
+    *
+    * The ONE native expression here with a real `doGenCode`: it sits on
+    * the verify hot path of every dedup/ANN query, and falling back
+    * would drop the enclosing stage out of whole-stage codegen (the
+    * hash/shingle-heavy siblings below stay `CodegenFallback` — their
+    * eval bodies dominate per-row cost, so the interpreted-call
+    * overhead is noise there, and each would need a generated copy of
+    * a nontrivial loop body for no measured gain).
     */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
     private def elemGetter(e: Expression): (ArrayData, Int) => Double =
@@ -57,6 +65,44 @@ object Native {
       val norm = math.sqrt(na) * math.sqrt(nb)
       if (norm > 0) dot / norm else 0.0
     }
+
+    // Same fused loop as nullSafeEval, generated: reads are direct
+    // ArrayData accessors (no per-element lambda dispatch), accumulation
+    // order is identical so codegen'd and interpreted results are
+    // bit-equal.
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      def getter(e: Expression, v: String, i: String): String =
+        e.dataType.asInstanceOf[ArrayType].elementType match {
+          case FloatType  => s"(double) $v.getFloat($i)"
+          case DoubleType => s"$v.getDouble($i)"
+          case t => throw new IllegalArgumentException(s"cosine_sim: bad element type $t")
+        }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val norm = ctx.freshName("norm")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final double $x = ${getter(left, a, i)};
+           |  final double $y = ${getter(right, b, i)};
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |final double $norm = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |${ev.value} = ($norm > 0.0) ? ($dot / $norm) : 0.0;
+           |""".stripMargin
+      })
+    }
+
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_sim"

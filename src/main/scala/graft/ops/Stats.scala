@@ -330,7 +330,10 @@ object Stats {
     * aggregation, collected as a (row, col) → weight map with sorted
     * category lists. The grid is summary-sized by definition (bounded
     * by category cardinalities — the same contract as the reference's
-    * own margin handling, and as Raking).
+    * own margin handling, and as Raking) — and ENFORCED: the collect is
+    * limit-capped at [[Crosstab.MaxCells]] and fails loudly past it
+    * (an id column passed as a category would otherwise OOM the driver
+    * instead of erroring — same guard as Crosstab's grid collect).
     */
   private def cellGrid(
       df: DataFrame, rowCol: String, colCol: String,
@@ -341,7 +344,10 @@ object Stats {
     val cellRows = df.filter(r.isNotNull && c.isNotNull)
       .groupBy(r.cast("string").as("__r"), c.cast("string").as("__c"))
       .agg(sum(w).as("obs"))
+      .limit(Crosstab.MaxCells + 1)
       .collect()
+    require(cellRows.length <= Crosstab.MaxCells,
+      s"cellGrid: >${Crosstab.MaxCells} distinct ($rowCol, $colCol) cells — not contingency-shaped columns")
     val obs = cellRows.map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
     (obs, obs.keys.map(_._1).toSeq.distinct.sorted, obs.keys.map(_._2).toSeq.distinct.sorted)
   }

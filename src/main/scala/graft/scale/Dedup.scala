@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default skew cap for every banded/blocked candidate generator
+    * (band buckets, simhash chunks, IVF cells, n-gram blocks): buckets
+    * larger than this are dropped before the quadratic self-join. ON by
+    * default — at 100 TB the first boilerplate-heavy bucket otherwise
+    * turns any of these operators into an O(bucket²) scale-killer, and
+    * a default is the one config a caller must not be able to forget
+    * (SCALE.md §6b measures the difference: capped hot-10× ≈ hot-1×;
+    * uncapped ≈ 10⁹ pairs). Pass `0` explicitly for full-recall runs on
+    * small curated corpora (the oracle configurations do).
+    */
+  val DefaultMaxBucketSize: Int = 4096
+
   /** Exact dedup: keep the lowest-id row per duplicate group.
     * Returns (idCol = min id, dup_count) per distinct key set — the
     * deterministic canonical form (dropDuplicates keeps an arbitrary
@@ -94,7 +106,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
@@ -172,7 +184,7 @@ object Dedup {
       idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bBuckets = capBuckets(
       minhashBandIndex(batch, idCol, textCol, k, numHashes, bands, seed),
       Seq("band", "bucket"), maxBucketSize)
@@ -208,7 +220,7 @@ object Dedup {
       idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = nearDupMinhashAgainstIndex(
       batch, indexBuckets, indexShingles,
       idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
@@ -226,7 +238,7 @@ object Dedup {
       batch: DataFrame, accepted: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     dedupAgainstBandIndex(
       batch,
       minhashBandIndex(accepted, idCol, textCol, k, numHashes, bands, seed),
@@ -252,7 +264,7 @@ object Dedup {
   def nearDupNgram(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxBlockSize: Int = 4096): DataFrame = {
+      maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val block = struct(
       // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
@@ -312,6 +324,20 @@ object Dedup {
       .join(if (local) broadcast(labels) else labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
+
+  /** Cluster-size census over an EXISTING clusters frame (the
+    * [[clusters]] output, or any (id, cluster) assignment): how much
+    * duplication, in what clump sizes — one row per cluster size with
+    * the number of clusters at that size. The audit report of a dedup
+    * run, as a library call so callers never recompute the pair graph
+    * for it: two summary-sized hash aggregates over a frame they
+    * already have.
+    */
+  def clusterSizeCensus(
+      clusters: DataFrame, clusterCol: String = "cluster"): DataFrame =
+    clusters.groupBy(graft.ops.Cleaning.qcol(clusterCol))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
 
   /** Ids a dedup pass should DROP: every edge-touched id whose component
     * min is NOT itself. Singletons are always their own representative
@@ -501,7 +527,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = 0,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       maxIter: Int = 20, checkEvery: Int = 2,
       maxDriverPairs: Int = 2000000): DataFrame = {
     val pairs = nearDupMinhash(df, idCol, textCol, k, numHashes, bands, threshold, seed, maxBucketSize)
@@ -665,6 +691,15 @@ object Dedup {
     * literal outgrows the driver and the anti-join form is the right
     * tool again, or shard the index into per-range blooms).
     *
+    * Spark's `BloomFilterAggregate` SILENTLY clamps its sizing to the
+    * session's runtime-bloom-filter caps (default 4M items / 8 MB
+    * bits) via `Math.min` — at the documented 10⁷-item default that
+    * clamp would degrade the effective fpp to ~10% without a word, so
+    * the build below RAISES those two confs to the requested sizing
+    * for the duration of the aggregate (restored in a finally; the
+    * caps exist to bound optimizer-injected runtime filters, not an
+    * explicitly requested index build).
+    *
     * Semantics: NO false negatives — every true duplicate is dropped,
     * guaranteed; a false positive (rate `fpp`) drops a NOVEL document.
     * That asymmetry is the right one for dedup (losing 1% of novel
@@ -685,8 +720,19 @@ object Dedup {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         GraftBridge.expr(tokenFingerprint(graft.ops.Cleaning.qcol(textCol))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val bloomBytes = index.agg(bloomAgg.as("__bloom__"))
-      .head().getAs[Array[Byte]](0)
+    val conf = index.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val bloomBytes =
+      try {
+        conf.set(itemsKey, math.max(expectedItems, oldItems.toLong).toString)
+        conf.set(bitsKey, math.max(numBits, oldBits.toLong).toString)
+        index.agg(bloomAgg.as("__bloom__")).head().getAs[Array[Byte]](0)
+      } finally {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     if (bloomBytes == null) batch // empty index: nothing to drop
     else {
       val might = GraftBridge.column(BloomFilterMightContain(
@@ -745,7 +791,7 @@ object Dedup {
     */
   def nearDupSimhash(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 0,
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
       portable: Boolean = false): DataFrame = {
     val chunks = maxHamming + 1
     val fpBits = if (portable) 60 else 64
@@ -804,7 +850,7 @@ object Dedup {
   def semanticDedupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 256, threshold: Double = 0.95,
-      seed: Long = 42L, maxCellSize: Int = 0): DataFrame = {
+      seed: Long = 42L, maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)
     // cells on the normalized vectors (cosine geometry); zero-norm
@@ -839,7 +885,7 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 256, threshold: Double = 0.95,
-      seed: Long = 42L, maxCellSize: Int = 0,
+      seed: Long = 42L, maxCellSize: Int = DefaultMaxBucketSize,
       maxIter: Int = 20, checkEvery: Int = 2,
       maxDriverPairs: Int = 2000000): DataFrame = {
     val pairs = semanticDedupPairs(df, idCol, vecCol, nlist, threshold, seed, maxCellSize)

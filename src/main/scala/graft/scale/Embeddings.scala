@@ -70,6 +70,10 @@ object Embeddings {
     * (id, truncated vector, retained norm fraction) — `norm_kept` is
     * ‖prefix‖/‖full‖, the per-row signal of how much the cut lost
     * (≈1 for matryoshka-trained models, lower for plain embeddings).
+    * Rows SHORTER than `dim` come back null/null (slice() would
+    * silently return the full array at norm_kept = 1.0, masking a
+    * misconfigured truncation dim — same malformed-row convention as
+    * the zero-norm case).
     */
   def truncateMatryoshka(
       df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
@@ -79,9 +83,10 @@ object Embeddings {
     val prefix = slice(v, 1, dim)
     val norm = (c: Column) =>
       sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val longEnough = size(v) >= dim
     df.select(id,
-      graft.functions.Native.l2Normalize(prefix).as("embedding"),
-      (norm(prefix) / when(norm(v) > 0, norm(v))).as("norm_kept"))
+      when(longEnough, graft.functions.Native.l2Normalize(prefix)).as("embedding"),
+      when(longEnough, norm(prefix) / when(norm(v) > 0, norm(v))).as("norm_kept"))
   }
 
   /** Binary quantization: one sign bit per component, packed into

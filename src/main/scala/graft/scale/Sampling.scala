@@ -118,9 +118,16 @@ object Sampling {
     * reasoning as the unigram scorer's micro-nat rounding), so the
     * rate constants — and therefore the kept set — are engine-exact and
     * partition-order-independent (a distributed double Σ over groups
-    * would not be). Scale: one hash aggregate over |groups|, rates
-    * ship as a literal CASE chain, then a narrow filter.
+    * would not be). Scale: one hash aggregate over |groups|, rates join
+    * back as a small BROADCAST frame (not an O(|groups|)-deep CASE
+    * chain, which blows up codegen depth), then a narrow filter. The
+    * driver-sized-model contract is enforced: the mass collect is
+    * limit-capped at [[MaxTemperatureGroups]] and fails loudly past it
+    * (a key column passed as the group by mistake must error, not OOM
+    * the driver).
     */
+  val MaxTemperatureGroups = 1000000
+
   def sampleByTemperature(
       df: DataFrame, keyCol: String, textCol: String, groupCol: String,
       alpha: Double, totalBudget: Long): DataFrame = {
@@ -129,8 +136,13 @@ object Sampling {
     val P = 1000003L
     val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
     val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")
-    val masses = df.groupBy(g.as("__g")).agg(sum(tokc).as("__t"))
-      .orderBy(asc_nulls_first("__g")).collect()
+    // orderBy precedes limit, so the cap is a TakeOrdered — the fold
+    // order (and therefore z) is unchanged for every in-bound input
+    val massRows = df.groupBy(g.as("__g")).agg(sum(tokc).as("__t"))
+      .orderBy(asc_nulls_first("__g")).limit(MaxTemperatureGroups + 1).collect()
+    require(massRows.length <= MaxTemperatureGroups,
+      s"sampleByTemperature: >$MaxTemperatureGroups distinct groups in '$groupCol' — not a mixture-shaped column")
+    val masses = massRows
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
         (if (r.isNullAt(1)) 0L else r.getLong(1)))
     val z = masses.foldLeft(0.0) { case (acc, (_, t)) =>
@@ -142,15 +154,19 @@ object Sampling {
       if (t <= 0 || z <= 0) 1.0
       else math.max(1e-6, math.floor(math.min(1.0,
         totalBudget * math.pow(t.toDouble, alpha) / z / t) * 1e6 + 0.5) / 1e6)
-    val rateExpr = masses.foldLeft(lit(null).cast("double")) {
-      case (acc, (k, t)) =>
-        if (k == null) when(g.isNull, lit(rate(t))).otherwise(acc)
-        else when(g === k, lit(rate(t))).otherwise(acc)
-    }
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val rates = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(masses.map { case (k, t) => SRow(k, rate(t)) }: _*),
+      StructType(Seq(StructField("__g", StringType), StructField("__rate", DoubleType))))
     val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val outCols = df.columns.map(graft.ops.Cleaning.qcol)
+    // null-safe join: a null group is a group (cf. sampleByTokenBudget);
     // groups unseen at fit time (impossible here — rates come from the
     // same frame) default to kept-whole
-    df.filter(u < coalesce(rateExpr, lit(1.0)))
+    df.join(broadcast(rates), g <=> col("__g"), "left")
+      .filter(u < coalesce(col("__rate"), lit(1.0)))
+      .select(outCols: _*)
   }
 
   /** Deterministic train/val/test split assignment: every row gets a

@@ -122,12 +122,13 @@ object Similarity {
             col("__e__.weight").as(weightCol),
             (col("__pos__") + 1).cast("int").as("rank"))
       case _ =>
-        // drop null weights BEFORE ranking: the aggregate path skips
-        // them, and Spark's asc() would otherwise rank nulls FIRST —
-        // null-distance rows stealing the top-k is exactly the
-        // divergence this fallback must not have
+        // drop null weights AND null ids BEFORE ranking: the aggregate
+        // path skips both (update drops a null value or weight), and
+        // Spark's asc() would otherwise rank nulls FIRST — null rows
+        // stealing the top-k is exactly the divergence this fallback
+        // must not have ("identical result by the same total order")
         val w = Window.partitionBy(col("__qid__")).orderBy(orderWeight, asc("__cid__"))
-        scored.filter(col(weightCol).isNotNull)
+        scored.filter(col(weightCol).isNotNull && col("__cid__").isNotNull)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col("__qid__").as(queryIdCol), col("__cid__").as(idCol),

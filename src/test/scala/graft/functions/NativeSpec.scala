@@ -37,6 +37,38 @@ class NativeSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("cosineSim is whole-stage-codegen'd: compiled path runs and agrees with interpreted eval") {
+    // with codegen fallback DISABLED a janino compile error would throw
+    // instead of silently interpreting — this proves the generated loop
+    // compiles and produces the same bits as nullSafeEval
+    val key = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = Seq(
+        (Array(0.3f, -1.2f, 2.7f), Array(1.1f, 0.4f, -0.2f)),
+        (Array(0f, 0f), Array(1f, 2f)), // zero norm → 0.0
+        (Array(3f, 4f), Array(3f, 4f))  // parallel → 1.0
+      ).toDF("a", "b")
+      val got = df.select(Native.cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+      val interp = df.collect().map { r =>
+        val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices.take(b.length)) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        }
+        val norm = math.sqrt(na) * math.sqrt(nb)
+        if (norm > 0) dot / norm else 0.0
+      }
+      assert(got.toSeq == interp.toSeq)
+      assert(got(1) == 0.0 && got(2) == 1.0)
+      // and the expression really is codegen-capable (not a fallback)
+      import org.apache.spark.sql.GraftBridge
+      assert(!GraftBridge.expr(Native.cosineSim(col("a"), col("b")))
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    } finally spark.conf.set(key, old)
+  }
+
   test("shingleMinhash deterministic and sensitive to content") {
     val fam = graft.scale.Shingling.HashFamily(16)
     val df = Seq(Seq("x", "y", "z", "w"), Seq("x", "y", "z", "w"), Seq("p", "q", "r", "s"))

@@ -26,6 +26,15 @@ class StatsSpec extends AnyFunSuite {
     assert(out("n") == 40L)
   }
 
+  test("chi2 fails loudly on a non-contingency-shaped (high-cardinality) column pair") {
+    // an id column passed as a category: > MaxCells distinct cells must
+    // raise, not OOM the driver (the collect is limit-capped)
+    val wide = spark.range(Crosstab.MaxCells + 1L)
+      .selectExpr("cast(id as string) as r", "cast(id as string) as c")
+    val err = intercept[IllegalArgumentException](Stats.chiSquare(wide, "r", "c"))
+    assert(err.getMessage.contains("cellGrid"))
+  }
+
   test("chi2 detects full dependence (2x2, phi=1 => chi2=n)") {
     val rows = (1 to 10).flatMap(_ => Seq(("a", "x"), ("b", "y")))
     val out = Stats.chiSquare(rows.toDF("r", "c"), "r", "c")

@@ -127,6 +127,16 @@ class DedupSpec extends AnyFunSuite {
     assert(gotOver == expect)
   }
 
+  test("clusterSizeCensus: size histogram over an existing clusters frame") {
+    // clusters {1,2,5}, {3,4}, {6} → one size-3, one size-2, one size-1
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (4L, 3L), (6L, 6L)
+    ).toDF("id", "cluster")
+    val got = Dedup.clusterSizeCensus(assign)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("clusters: driver and distributed paths agree on a random graph incl. string ids") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(200)((s"d${rnd.nextInt(80)}", s"d${rnd.nextInt(80)}"))
@@ -166,9 +176,29 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((100L, 101L))) // small-bucket pair survives
     assert(!capped.exists(p => p._1 <= 30L)) // degenerate bucket suppressed
     val uncapped = Dedup.nearDupMinhash(df, "doc_id", "text",
-      k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      k = 3, numHashes = 64, bands = 16, threshold = 0.3, maxBucketSize = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(uncapped.contains((1L, 2L))) // without the cap they all pair
+  }
+
+  test("banded-family skew caps default ON: a planted hot bucket is dropped without opting in") {
+    // 5000 identical boilerplate docs: every minhash band bucket (and
+    // every simhash chunk bucket) has 5000 members — past the 4096
+    // default cap, so a caller taking defaults gets no quadratic
+    // self-join inside it. The discriminative pair still pairs.
+    val boiler = (1L to 5000L).map(i => (i, "the same boilerplate text repeated again and again"))
+    val pair = Seq(
+      (9001L, "unique alpha beta gamma delta epsilon zeta eta theta"),
+      (9002L, "unique alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (boiler ++ pair).toDF("doc_id", "text").repartition(8)
+    val mh = Dedup.nearDupMinhash(df, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((9001L, 9002L)))
+    assert(!mh.exists(p => p._1 <= 5000L), "default cap left the hot minhash bucket live")
+    val sh = Dedup.nearDupSimhash(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!sh.exists(p => p._1 <= 5000L), "default cap left the hot simhash bucket live")
   }
 
   test("ngram block cap keeps a hot-token block sub-quadratic") {
@@ -268,6 +298,16 @@ class DedupSpec extends AnyFunSuite {
     val none = Dedup.dedupAgainstIndexBloom(batch, accepted.limit(0), "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(none == Set(1000L, 1001L, 1002L, 1003L))
+    // the DEFAULT sizing (10M items) exceeds Spark's silent runtime
+    // bloom caps (4M items / 8 MB): the build must raise the session
+    // confs so the documented fpp holds, and restore them afterwards
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    val keptDefault = Dedup.dedupAgainstIndexBloom(batch, accepted, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptDefault == Set(1002L, 1003L))
+    assert((spark.conf.get(itemsKey), spark.conf.get(bitsKey)) == before)
   }
 
   test("semanticDedup: clustered config finds planted duplicates, keeps representatives") {

@@ -22,6 +22,17 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(got(2L).getDouble(2) == 0.0)
   }
 
+  test("matryoshka truncation: rows shorter than dim are flagged null, not silently kept whole") {
+    val df = Seq(
+      (1L, Array(3f, 4f, 0f, 0f, 12f, 0f, 0f, 0f)), // long enough
+      (2L, Array(1f, 2f))                           // shorter than dim=4
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.truncateMatryoshka(df, "vec_id", "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got(1L).isNullAt(1))
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(2)) // masked, not norm_kept=1.0
+  }
+
   test("binary quantization: expected bit pattern, hamming matches manual count") {
     // dim 70 forces two packed words; component j positive iff j in S
     val s1 = Set(0, 1, 63, 64, 69)
