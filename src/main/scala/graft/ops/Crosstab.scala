@@ -59,9 +59,13 @@ object Crosstab {
     // COLLECT the grid — it is summary-sized by definition (bounded by
     // category cardinalities, the same contract as Stats.cellGrid and
     // the reference's own margin handling). Everything downstream —
-    // pivot, margins, percent denominators — runs over the local frame:
-    // no second scan of the fact table and no session-lived persist to
-    // leak (the r2 caches here had no owner to release them).
+    // pivot, margins, percent denominators — is computed LOCALLY over
+    // the collected grid and emitted as one local relation: the r5
+    // shape ran pivot/margins/percent as distributed plans over the
+    // tiny local frame, billing ~8 scheduler round-trips of fixed
+    // overhead per call (the a3 r4→r5 bench regression); the math is
+    // identical (halfUp is pure IEEE ops, weights are summed once
+    // distributed, locally only summary cells are added).
     val cellRows = base
       .groupBy(Cleaning.qcol(rows), Cleaning.qcol(cols))
       .agg(sum(col("__w__")).as("__w__"))
@@ -70,76 +74,83 @@ object Crosstab {
     require(cellRows.length <= MaxCells,
       s"crosstab: >$MaxCells distinct (row, col) cells — not crosstab-shaped columns")
     val cellSeq = cellRows.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
-    import df.sparkSession.implicits._
-    val cells = cellSeq.toDF(rows, cols, "__w__")
 
     // Deterministic, bounded pivot column set (sorted ascending like pandas)
+    val rowVals: Seq[String] = cellSeq.map(_._1).distinct.sorted
     val colVals: Seq[String] = cellSeq.map(_._2).distinct.sorted
     require(colVals.size <= MaxPivotValues,
       s"crosstab: >$MaxPivotValues distinct values in '$cols' — not a crosstab-shaped column")
 
-    val piv = cells
-      .groupBy(Cleaning.qcol(rows))
-      .pivot(Cleaning.qcol(cols), colVals)
-      .agg(sum(col("__w__")))
-      // fill_value=0 densification (app.py:131) — explicit coalesce, not
-      // na.fill (whose name resolution dot-parses pivot value names)
-      .select((Cleaning.qcol(rows) +:
-        colVals.map(c => coalesce(Cleaning.qcol(c), lit(0.0)).as(c))): _*)
+    val pow = math.pow(10, decimals)
+    def halfUp(x: Double): Double = math.floor(x * pow + 0.5) / pow
 
-    val vcols: Seq[Column] = colVals.map(Cleaning.qcol)
-    def rowSum(cs: Seq[String]): Column =
-      cs.map(c => coalesce(Cleaning.qcol(c), lit(0.0))).reduce(_ + _)
+    // fill_value=0 densification (app.py:131)
+    val cellMap = cellSeq.map { case (r, c, w) => (r, c) -> w }.toMap
+    type Matrix = Seq[(String, IndexedSeq[Option[Double]])]
+    val countsM: Matrix = rowVals.map(r =>
+      r -> colVals.map(c => Option(cellMap.getOrElse((r, c), 0.0))).toIndexedSeq)
 
-    // ---- percent matrix (null denominators, then round) ----
-    // pandas .sum() skips NaN and yields 0.0 even when ALL cells are NaN,
-    // so margin sums coalesce null→0.0
-    val sumsRow = colVals.map(c => coalesce(sum(Cleaning.qcol(c)), lit(0.0)).as(c))
-    val pct: DataFrame = percent match {
+    // ---- percent matrix (null denominators, then round; app.py:133-143) ----
+    val pctM: Matrix = percent match {
       case "row" =>
-        val denom = rowSum(colVals)
-        piv.select(
-          (Cleaning.qcol(rows) +: colVals.map(c =>
-            Rounding.halfUp(Cleaning.qcol(c) / when(denom =!= 0, denom) * 100, decimals).as(c))): _*)
-      case "col" =>
-        val colSums = piv.agg(sumsRow.head, sumsRow.tail: _*)
-          .select(colVals.map(c => Cleaning.qcol(c).as(s"__sum_$c")): _*)
-        piv.crossJoin(broadcast(colSums)).select(
-          (Cleaning.qcol(rows) +: colVals.map(c =>
-            Rounding.halfUp(Cleaning.qcol(c) / when(Cleaning.qcol(s"__sum_$c") =!= 0, Cleaning.qcol(s"__sum_$c")) * 100,
-              decimals).as(c))): _*)
-      case _ => // total
-        val grand = piv.agg(colVals.map(c => sum(Cleaning.qcol(c))).reduce(_ + _).as("__grand__"))
-        piv.crossJoin(broadcast(grand)).select(
-          (Cleaning.qcol(rows) +: colVals.map(c =>
-            Rounding.halfUp(Cleaning.qcol(c) / when(col("__grand__") =!= 0, col("__grand__")) * 100,
-              decimals).as(c))): _*)
-    }
-
-    def withMargins(m: DataFrame, pinRow: Boolean, pinCol: Boolean): DataFrame = {
-      val withTotalRow =
-        if (pinRow) {
-          // percent=row: Total row is 100.0 in every column (app.py:148)
-          val one = m.limit(1).select(
-            (lit("Total").as(rows) +: colVals.map(c => lit(100.0).as(c))): _*)
-          m.unionByName(one)
-        } else {
-          val tr = m.agg(sumsRow.head, sumsRow.tail: _*)
-            .select((lit("Total").as(rows) +: vcols): _*)
-          m.unionByName(tr)
+        countsM.map { case (r, cs) =>
+          val denom = cs.map(_.get).sum
+          r -> cs.map(v => if (denom != 0) Some(halfUp(v.get / denom * 100)) else None)
         }
-      // Total column is computed AFTER the Total row exists (app.py:147,149)
-      val totalCol = if (pinCol) lit(100.0) else rowSum(colVals)
-      withTotalRow.withColumn("Total", totalCol)
+      case "col" =>
+        val colSums = colVals.indices.map(j => countsM.map(_._2(j).get).sum)
+        countsM.map { case (r, cs) =>
+          r -> cs.zipWithIndex.map { case (v, j) =>
+            if (colSums(j) != 0) Some(halfUp(v.get / colSums(j) * 100)) else None }
+        }
+      case _ => // total
+        val grand = countsM.map(_._2.map(_.get).sum).sum
+        countsM.map { case (r, cs) =>
+          r -> cs.map(v => if (grand != 0) Some(halfUp(v.get / grand * 100)) else None)
+        }
     }
 
-    val (countsM, pctM) =
-      if (includeTotals)
-        (withMargins(piv, pinRow = false, pinCol = false),
-         withMargins(pct, pinRow = percent == "row", pinCol = percent == "col"))
-      else (piv, pct)
+    // margins (app.py:146-149): Total row first, then Total column over
+    // the matrix that already includes it (so Total×Total = grand total).
+    // pandas .sum() skips NaN and yields 0.0 even when ALL cells are NaN
+    // — hence getOrElse(0.0) in every margin sum.
+    def withMargins(m: Matrix, pinRow: Boolean, pinCol: Boolean)
+        : Seq[(String, IndexedSeq[Option[Double]], Option[Double])] = {
+      val withTotalRow: Matrix =
+        if (pinRow) {
+          // percent=row: Total row is 100.0 in every column (app.py:148);
+          // on an empty matrix there is no row to pin (r5 parity: limit(1))
+          if (m.isEmpty) m
+          else m :+ ("Total" -> colVals.map(_ => Option(100.0)).toIndexedSeq)
+        } else m :+ ("Total" -> colVals.indices.map(j =>
+          Option(m.iterator.map(_._2(j).getOrElse(0.0)).sum)).toIndexedSeq)
+      withTotalRow.map { case (r, cs) =>
+        (r, cs, if (pinCol) Option(100.0) else Option(cs.map(_.getOrElse(0.0)).sum))
+      }
+    }
 
-    countsM.withColumn("__type__", lit("count"))
-      .unionByName(pctM.withColumn("__type__", lit(s"%_$percent")))
+    val (countsOut, pctOut) =
+      if (includeTotals)
+        (withMargins(countsM, pinRow = false, pinCol = false),
+         withMargins(pctM, pinRow = percent == "row", pinCol = percent == "col"))
+      else
+        (countsM.map { case (r, cs) => (r, cs, None: Option[Double]) },
+         pctM.map { case (r, cs) => (r, cs, None: Option[Double]) })
+
+    // counts and pct stacked vertically with __type__ (app.py:150-156)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    def mkRows(m: Seq[(String, IndexedSeq[Option[Double]], Option[Double])], tpe: String): Seq[Row] =
+      m.map { case (r, cs, tot) =>
+        Row.fromSeq((r +: cs.map(_.map(Double.box).orNull)) ++
+          (if (includeTotals) Seq(tot.map(Double.box).orNull) else Nil) :+ tpe)
+      }
+    val schema = StructType(
+      (StructField(rows, StringType) +: colVals.map(c => StructField(c, DoubleType))) ++
+      (if (includeTotals) Seq(StructField("Total", DoubleType)) else Nil) :+
+      StructField("__type__", StringType))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList((mkRows(countsOut, "count") ++ mkRows(pctOut, s"%_$percent")): _*),
+      schema)
   }
 }
