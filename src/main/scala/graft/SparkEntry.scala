@@ -990,6 +990,38 @@ object SparkEntry {
         k = 6, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true)
     }),
 
+    // --- §7.4 round 6: quantizer model persistence -------------------
+    // PQ codebook save→load→encode: the loaded model must encode
+    // IDENTICALLY to the in-memory one (parquet doubles are IEEE-exact),
+    // so the oracle is the same generated SQL as x_emb_pq — any
+    // precision or ordering loss in the persistence layer hash-fails
+    "x_emb_pq_saved" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-model").toString
+      graft.scale.Models.savePq(s, pqOracleModel, dir)
+      val loaded = graft.scale.Models.loadPq(s, dir)
+      graft.scale.Pq.encode(T(s, d, "embeddings"), "vec_id", "embedding", loaded)
+    }),
+
+    // coarse-quantizer fit→save→load→probe, the multi-wave reuse path:
+    // full-probe IVFADC over LOADED centroids still provably equals the
+    // flat ADC scan (every corpus row in one cell, every cell probed),
+    // so the whole persistence + reuse composition is hash-gated by the
+    // same oracle family (distinct query range/k from x_emb_ivfpq so
+    // the gates can't mask each other)
+    "x_emb_ivfpq_saved" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+      val fitted = graft.scale.Similarity.fitIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 8, normalize = false, dim = 64)
+      graft.scale.Models.saveCentroids(s, fitted, dir)
+      val loaded = graft.scale.Models.loadCentroids(s, dir)
+      val q = emb.filter(col("vec_id") >= 12 && col("vec_id") < 18)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 5, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true,
+        centroids0 = Some(loaded))
+    }),
+
     // the production config (nprobe < nlist), recall-gated like
     // x_sim_ivf_probe: recall@k vs the flat ADC scan, pinned floor 0.5
     // (measured 0.55-0.69 across test SFs — RecallProbe)
@@ -2294,6 +2326,27 @@ object SparkEntry {
          |      WHERE q.vec_id >= 5 AND q.vec_id < 12 AND x.vec_id <> q.vec_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
          |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 6""".stripMargin,
+
+    // persistence gates: x_emb_pq_saved encodes with a LOADED codebook,
+    // so its oracle is x_emb_pq's SQL verbatim; x_emb_ivfpq_saved runs
+    // full-probe IVFADC over loaded centroids, so the flat-ADC oracle
+    // applies with its own query range/k
+    "x_emb_pq_saved" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings)
+         |SELECT vec_id, ${pqCodesSql},
+         |       ${Rounding.halfUpSql(pqReconErrSql, 6)} AS recon_err
+         |FROM c""".stripMargin,
+
+    "x_emb_ivfpq_saved" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
+         |enc AS (SELECT vec_id, ${pqCodesSql},
+         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
+         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
+         |      FROM enc q, enc x
+         |      WHERE q.vec_id >= 12 AND q.vec_id < 18 AND x.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
+         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // recall gate: the measured claim is the BOOLEAN (recall >= the
     // pinned floor); n_queries comes from the table so the row is not

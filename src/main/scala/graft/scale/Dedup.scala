@@ -850,19 +850,19 @@ object Dedup {
   def semanticDedupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 256, threshold: Double = 0.95,
-      seed: Long = 42L, maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+      seed: Long = 42L, maxCellSize: Int = DefaultMaxBucketSize,
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)
     // cells on the normalized vectors (cosine geometry); zero-norm
     // vectors get a NULL cell and drop out — directionless vectors
-    // have cosine 0 to everything, never a semantic duplicate
+    // have cosine 0 to everything, never a semantic duplicate.
+    // Quantizer: caller-supplied (persisted via Models.saveCentroids —
+    // fit once, reuse across waves) or a fresh bounded deterministic
+    // fit (Similarity.fitIvfCentroids).
     val normArr = graft.functions.Native.l2Normalize(v)
-    val sample = df
-      .select(normArr.as("__nv__"), xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
-      .filter(col("__nv__").isNotNull)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
+    val centroids = centroids0.getOrElse(
+      Similarity.fitIvfCentroids(df, idCol, vecCol, nlist, normalize = true, seed = seed))
     val cells0 = df.select(id,
       graft.functions.Native.nearestCells(normArr, centroids, 1)(0).as("__cell__"))
     val cells = capBuckets(cells0, Seq("__cell__"), maxCellSize)
@@ -887,8 +887,9 @@ object Dedup {
       nlist: Int = 256, threshold: Double = 0.95,
       seed: Long = 42L, maxCellSize: Int = DefaultMaxBucketSize,
       maxIter: Int = 20, checkEvery: Int = 2,
-      maxDriverPairs: Int = 2000000): DataFrame = {
-    val pairs = semanticDedupPairs(df, idCol, vecCol, nlist, threshold, seed, maxCellSize)
+      maxDriverPairs: Int = 2000000,
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
+    val pairs = semanticDedupPairs(df, idCol, vecCol, nlist, threshold, seed, maxCellSize, centroids0)
     df.join(
       nonRepresentatives(pairs, maxIter, checkEvery, maxDriverPairs)
         .select(col("id").as(idCol)),

@@ -1,0 +1,91 @@
+package graft.scale
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+
+/** Persistence for the driver-sized quantizer models — the vector-side
+  * analogue of [[Dedup.minhashBandIndex]]'s persisted-index pattern.
+  *
+  * At 100 TB the coarse quantizer (IVF cells, SemDeDup cells) and the
+  * PQ codebooks are fitted ONCE on a calibration sample and reused by
+  * every subsequent job and ingest wave: refitting per query both
+  * wastes the fit and — worse — silently shifts cell/code assignments
+  * between waves, so two waves of the same pipeline stop agreeing on
+  * which cell a vector lives in. These helpers store the fitted arrays
+  * as small parquet tables (nlist or m×k rows — kilobytes), so the
+  * model travels on the same storage as the data (HDFS/S3 path), reads
+  * back bit-exactly (parquet doubles are IEEE-exact), and is readable
+  * by any engine for audit.
+  *
+  * Save is `overwrite` — a model path is a named artifact, re-calibrating
+  * replaces it atomically (parquet dir swap), matching how the band
+  * index is re-published per accepted wave.
+  */
+object Models {
+
+  /** Persist IVF/semantic-dedup coarse centroids: one row per cell,
+    * (cell, centroid). Driver-sized by the fit contract (nlist ≤ a few
+    * thousand; [[Similarity.MaxFitSample]] bounds the fit itself).
+    */
+  def saveCentroids(
+      spark: SparkSession, centroids: Array[Array[Double]], path: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids saved by [[saveCentroids]], in cell order. The
+    * collect is nlist rows by construction.
+    */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell"), col("centroid")).orderBy(col("cell")).collect()
+    require(rows.nonEmpty, s"loadCentroids: empty model at $path")
+    require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"loadCentroids: non-contiguous cell ids at $path — not a saveCentroids artifact")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Persist a fitted PQ model: one row per (subspace, code) centroid
+    * plus the (dim, m, k) shape on every row (m×k rows — self-describing
+    * without a sidecar file).
+    */
+  def savePq(spark: SparkSession, model: Pq.Model, path: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("m", IntegerType, nullable = false),
+      StructField("k", IntegerType, nullable = false)))
+    val rows = for {
+      j <- 0 until model.m
+      c <- 0 until model.k
+    } yield Row(j, c, model.codebooks(j)(c).toSeq, model.dim, model.m, model.k)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a PQ model saved by [[savePq]]. The collect is m×k rows by
+    * construction; Model's own requires re-validate the shape.
+    */
+  def loadPq(spark: SparkSession, path: String): Pq.Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("code"), col("centroid"), col("dim"), col("m"), col("k"))
+      .orderBy(col("subspace"), col("code")).collect()
+    require(rows.nonEmpty, s"loadPq: empty model at $path")
+    val (dim, m, k) = (rows(0).getInt(3), rows(0).getInt(4), rows(0).getInt(5))
+    require(rows.length == m * k, s"loadPq: ${rows.length} rows != m*k = ${m * k} at $path")
+    val codebooks = Array.tabulate(m, k) { (j, c) =>
+      val r = rows(j * k + c)
+      require(r.getInt(0) == j && r.getInt(1) == c,
+        s"loadPq: missing (subspace=$j, code=$c) at $path — not a savePq artifact")
+      r.getSeq[Double](2).toArray
+    }
+    Pq.Model(dim, m, k, codebooks)
+  }
+}

@@ -218,23 +218,21 @@ object Pq {
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int, model: Model, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, excludeSelf: Boolean = false,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
     require(queryIdCol != idCol,
       s"queryIdCol and idCol are both '$idCol' — the output needs distinct " +
         "names (alias the query side, e.g. .as(\"query_id\"), first)")
     require(nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
-    val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)
-    // coarse quantizer: bounded deterministic fit (lowest seeded-hash
-    // ids, id tiebreak — partition-layout independent, re-run stable)
-    val sample = corpus
-      .select(v.cast("array<double>").as("__v__"),
-        xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
-      .filter(col("__v__").isNotNull && size(col("__v__")) === model.dim)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = Similarity.fitCentroidsLloyd(sample, nlist, iters = 5, seed)
+    // coarse quantizer: caller-supplied (a persisted model via
+    // Models.loadCentroids — fit once, reuse across waves) or a fresh
+    // bounded deterministic raw-L2 fit (Similarity.fitIvfCentroids)
+    val centroids = centroids0.getOrElse(Similarity.fitIvfCentroids(
+      corpus, idCol, vecCol, nlist, normalize = false, dim = model.dim, seed = seed))
+    require(centroids.nonEmpty && centroids.length == nlist,
+      s"centroids count ${centroids.length} != nlist=$nlist")
 
     // centroid lookup as a literal nested array (driver-sized model,
     // shipped inside codegen'd expressions; 1-based element_at)

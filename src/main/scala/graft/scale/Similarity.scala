@@ -176,35 +176,18 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      centroids0: Option[Array[Array[Double]]] = None): DataFrame = {
     // L2-normalize so euclidean cells align with cosine order. Native
     // expression (one tight loop; NULL for zero-norm vectors, which
     // carry no direction): the interpreted transform+aggregate HOF pair
     // this replaces was the dominant per-row cost of the corpus pass.
     val normArr = graft.functions.Native.l2Normalize(graft.ops.Cleaning.qcol(vecCol))
-    // Quantizer fit: collect a BOUNDED normalized sample (nlist×1000
-    // vectors — ample for nlist centroids, megabyte-scale, the same
-    // bounded-collect class as the crosstab category grid) and run
-    // seeded Lloyd on the driver. A distributed KMeans for a
-    // driver-sized problem costs ~15 Spark jobs of fixed overhead per
-    // fit (measured ~2s locally) and buys nothing: the distributed
-    // work — cell assignment and probe scoring — is what runs on the
-    // corpus, through one native expression per row.
-    // The sample is the nlist×1000 LOWEST values of a seeded hash of
-    // the id — a deterministic uniform draw (TakeOrdered: per-partition
-    // top-k then a driver merge, no full sort), where a bare limit()
-    // would take whichever partitions got scheduled first: biased
-    // toward early files AND run-to-run unstable. The id tiebreak makes
-    // the boundary exact even under (negligible) hash collisions.
-    // zero-norm vectors normalize to NULL — excluded from the fit
-    // sample (they carry no direction for the quantizer anyway)
-    val idC = graft.ops.Cleaning.qcol(idCol)
-    val sample = corpus
-      .select(normArr.as("__nv__"), xxhash64(idC, lit(seed)).as("__h__"), idC.as("__id__"))
-      .filter(col("__nv__").isNotNull)
-      .orderBy(col("__h__"), col("__id__")).limit(math.min(nlist.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = fitCentroidsLloyd(sample, nlist, iters = 5, seed)
+    // quantizer: caller-supplied (a persisted model loaded via
+    // Models.loadCentroids — fit once, reuse across jobs/waves) or a
+    // fresh bounded deterministic fit (see fitIvfCentroids)
+    val centroids = centroids0.getOrElse(
+      fitIvfCentroids(corpus, idCol, vecCol, nlist, normalize = true, seed = seed))
 
     // zero-norm corpus/query vectors get a NULL cell key and drop out
     // of the equi-join: a directionless vector is not IVF-indexable
@@ -226,6 +209,49 @@ object Similarity {
       .select(col("__qid__"), col("__cid__"),
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
     topKPerQuery(scored, queryIdCol, idCol, k)
+  }
+
+  /** The coarse-quantizer fit every IVF-family operator shares
+    * ([[ivfTopK]], [[Pq.ivfAdcTopK]], [[Dedup.semanticDedupPairs]]):
+    * collect a BOUNDED deterministic sample and run seeded Lloyd on the
+    * driver. The sample is the nlist×1000 (capped at [[MaxFitSample]])
+    * LOWEST values of a seeded hash of the id with id tiebreak — a
+    * uniform draw that is partition-layout independent and re-run
+    * stable (TakeOrdered: per-partition top-k then a driver merge; a
+    * bare limit() would take whichever partitions scheduled first). A
+    * distributed KMeans for a driver-sized problem costs ~15 Spark jobs
+    * of fixed overhead per fit (measured ~2s locally) and buys nothing:
+    * the distributed work — cell assignment and probe scoring — runs on
+    * the corpus through one native expression per row.
+    *
+    * `normalize=true` fits on L2-normalized vectors (cosine geometry —
+    * ivfTopK, semantic dedup; zero-norm rows normalize to NULL and drop
+    * out: they carry no direction). `normalize=false` fits raw L2
+    * (PQ/IVFADC); pass `dim` to exclude malformed rows, as encode would
+    * fail loudly on them.
+    *
+    * PUBLIC so multi-wave pipelines can fit ONCE, persist via
+    * [[Models.saveCentroids]], and reuse the loaded model across
+    * jobs/waves — at 100 TB the fit is a one-time calibration step, not
+    * a per-query cost (the minhash band index already works this way).
+    */
+  def fitIvfCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      normalize: Boolean = true, dim: Int = 0,
+      iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val vec =
+      if (normalize) graft.functions.Native.l2Normalize(v) else v.cast("array<double>")
+    val base = df
+      .select(vec.as("__v__"), xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
+      .filter(col("__v__").isNotNull)
+    val shaped = if (dim > 0) base.filter(size(col("__v__")) === dim) else base
+    val sample = shaped
+      .orderBy(col("__h__"), col("__id__"))
+      .limit(math.min(nlist.toLong * 1000L, MaxFitSample.toLong).toInt)
+      .collect().map(_.getSeq[Double](0).toArray)
+    fitCentroidsLloyd(sample, nlist, iters, seed)
   }
 
   /** Seeded Lloyd iterations over an in-memory sample (the IVF coarse

@@ -1,0 +1,96 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class ModelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("PQ model parquet roundtrip is bit-exact") {
+    val m = Pq.syntheticModel(dim = 16, m = 4, k = 8, seed = 7L)
+    val dir = tmp("models-pq")
+    Models.savePq(spark, m, dir)
+    val back = Models.loadPq(spark, dir)
+    assert(back.dim == m.dim && back.m == m.m && back.k == m.k)
+    for (j <- 0 until m.m; c <- 0 until m.k)
+      assert(back.codebooks(j)(c).toSeq == m.codebooks(j)(c).toSeq)
+  }
+
+  test("centroids parquet roundtrip is bit-exact and cell-ordered") {
+    val cents = Array(Array(0.25, -1.5), Array(3.125, 0.0), Array(-0.0078125, 42.0))
+    val dir = tmp("models-cents")
+    Models.saveCentroids(spark, cents, dir)
+    val back = Models.loadCentroids(spark, dir)
+    assert(back.length == 3)
+    assert(back.zip(cents).forall { case (a, b) => a.toSeq == b.toSeq })
+  }
+
+  test("load fails loudly on a non-model artifact") {
+    val dir = tmp("models-bad")
+    Seq((5, Seq(1.0)), (7, Seq(2.0))).toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](Models.loadCentroids(spark, dir))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
+  test("wave reuse: fit once on wave 1, save; wave 2 loads and encodes/assigns identically") {
+    // deterministic fake embeddings, two ingest waves
+    def wave(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+      }.toSeq.toDF("vec_id", "embedding")
+    val wave1 = wave(0 until 200)
+    val wave2 = wave(200 until 260)
+
+    // PQ: fit on wave 1, persist; wave 2 encodes with the LOADED model
+    val fitted = Pq.fit(wave1, "vec_id", "embedding", dim = 8, m = 4, k = 4)
+    val pqDir = tmp("models-wave-pq")
+    Models.savePq(spark, fitted, pqDir)
+    val viaLoaded = Pq.encode(wave2, "vec_id", "embedding", Models.loadPq(spark, pqDir))
+      .orderBy("vec_id").collect().toSeq
+    val viaMemory = Pq.encode(wave2, "vec_id", "embedding", fitted)
+      .orderBy("vec_id").collect().toSeq
+    assert(viaLoaded == viaMemory)
+
+    // IVF coarse centroids: wave 2's semantic-dedup cells come from the
+    // wave-1 fit, not a refit on wave 2 (cell assignments must not
+    // drift between waves)
+    val cents = Similarity.fitIvfCentroids(wave1, "vec_id", "embedding", nlist = 4)
+    val cDir = tmp("models-wave-ivf")
+    Models.saveCentroids(spark, cents, cDir)
+    val loaded = Models.loadCentroids(spark, cDir)
+    val viaLoadedPairs = Dedup.semanticDedupPairs(
+      wave2, "vec_id", "embedding", nlist = 4, threshold = 0.9,
+      centroids0 = Some(loaded)).orderBy("id_a", "id_b").collect().toSeq
+    val viaMemoryPairs = Dedup.semanticDedupPairs(
+      wave2, "vec_id", "embedding", nlist = 4, threshold = 0.9,
+      centroids0 = Some(cents)).orderBy("id_a", "id_b").collect().toSeq
+    assert(viaLoadedPairs == viaMemoryPairs)
+  }
+
+  test("ivfAdcTopK over loaded centroids at full probe equals flat adcTopK") {
+    val df = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat))
+    }.toSeq.toDF("vec_id", "embedding")
+    val model = Pq.syntheticModel(dim = 8, m = 4, k = 4)
+    val cents = Similarity.fitIvfCentroids(
+      df, "vec_id", "embedding", nlist = 4, normalize = false, dim = 8)
+    val dir = tmp("models-ivfadc")
+    Models.saveCentroids(spark, cents, dir)
+    val q = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivf = Pq.ivfAdcTopK(df, q, "vec_id", "embedding", "query_id",
+      k = 4, model, nlist = 4, nprobe = 4, excludeSelf = true,
+      centroids0 = Some(Models.loadCentroids(spark, dir)))
+      .orderBy("query_id", "rank").collect().toSeq
+    val flat = Pq.adcTopK(df, q, "vec_id", "embedding", "query_id",
+      k = 4, model, excludeSelf = true)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == flat)
+  }
+}
