@@ -919,6 +919,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))),
 
+    // the whole last mile in ONE composed call: clean → temperature mix
+    // → decorrelated split → per-(split, shard) packed manifest — every
+    // stage already individually green, this key gates the COMPOSITION
+    // (incl. the second-round split hash: same-hash splitting would put
+    // every temperature-kept doc in 'train')
+    "x_corpus_e2e" -> ((s, d) =>
+      graft.scale.Curation.curate(T(s, d, "documents"), "doc_id", "text", "source",
+        allowedLangs = Seq("en", "es"), alpha = 0.5, totalBudget = 2000L,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        packBudget = 256, shards = 8, metaCols = Seq("lang", "source"),
+        maxBlockSize = NgramBlockCap)),
+
     // --- §7.4 round 4: line-level dedup / URL canon / PQ -------------
     // C4-style corpus-wide line dedup. The synthetic docs are
     // single-line, so lines are synthesized token-per-line (space →
@@ -2718,6 +2730,39 @@ object SparkEntry {
          |      FROM t JOIN tot ON t.source = tot.source)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
          |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
+
+    // the composed last mile: corpus-clean CTEs → the temperature CTEs
+    // over `clean` (same Z fold/rate arithmetic as x_corpus_temperature)
+    // → second-round-hash split (cuts are the Scala cumulative doubles)
+    // → running-sum packing PARTITIONED BY (split, shard)
+    "x_corpus_e2e" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      corpusCleanCtes + s""",
+         |t AS (SELECT doc_id, lang, source, CAST(len($toksSql) AS BIGINT) AS tok FROM clean),
+         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
+         |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(pow(CAST(total AS DOUBLE), 0.5) ORDER BY source)),
+         |        (a, b) -> a + b) AS z
+         |      FROM tot),
+         |mixed AS (SELECT t.doc_id, t.lang, t.source, t.tok
+         |      FROM t JOIN tot ON t.source = tot.source, z
+         |      WHERE CAST(((t.doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0
+         |            < CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
+         |                   ELSE greatest(0.000001, floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000) END),
+         |sp AS (SELECT *, CASE WHEN u2 < ${cuts(0)} THEN 'train'
+         |                      WHEN u2 < ${cuts(1)} THEN 'val'
+         |                      ELSE 'test' END AS split
+         |       FROM (SELECT *,
+         |               CAST((((doc_id % 1000003) * 514229 + 741103) % 1000003 * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u2
+         |             FROM mixed)),
+         |w AS (SELECT *, doc_id % 8 AS shard,
+         |        sum(tok) OVER (PARTITION BY split, doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS st
+         |      FROM sp)
+         |SELECT doc_id, split, CAST(shard AS BIGINT) AS shard, tok AS token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id, CAST(st % 256 AS BIGINT) AS pack_offset,
+         |       lang, source
+         |FROM w""".stripMargin
+    },
 
     // identical driver arithmetic: Z is a SORTED left-assoc fold
     // (list_reduce over list(... ORDER BY source) == Scala foldLeft

@@ -1,0 +1,60 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The curation pipeline's last mile as ONE call: clean → mix → split →
+  * shard-packed manifest. Each stage is an already-verified operator
+  * ([[TextAnalysis.cleanCorpus]], [[Sampling.sampleByTemperature]],
+  * [[Sampling.splitAssign]], [[TextAnalysis.packSequences]]); this is
+  * the composition a training-data pipeline actually runs end-to-end,
+  * exposed so callers don't hand-wire the stage contracts (split BEFORE
+  * pack, pack partitioned BY split) themselves.
+  *
+  * Output: one row per surviving document —
+  * (id, metaCols…, split, shard, token_count, pack_id, pack_offset) —
+  * the manifest a trainer's data loader consumes.
+  *
+  * Scale shape (each stage keeps its own contract, see SCALE.md):
+  * clean is narrow filters + capped-blocked near-dup + CC; temperature
+  * rates are a driver-sized sorted fold joined back as a broadcast
+  * frame; split is a row-local affine hash; packing windows partition
+  * by (split, shard) — never global — and a pack can never straddle a
+  * split boundary (that would leak eval tokens into training packs).
+  *
+  * Split decorrelation — the contract hand-wired pipelines get wrong:
+  * [[Sampling.sampleByTemperature]] keeps exactly the rows whose
+  * affine-hash uniform u(id) is below the source's rate, so the
+  * survivors' u values all sit in [0, rate) — feeding the SAME id hash
+  * to [[Sampling.splitAssign]] would then put every kept document in
+  * the first split (val/test empty whenever rate ≤ train fraction).
+  * The composition splits on a SECOND affine round of the hash (a full
+  * permutation of Z_P — an interval of first-round values scatters
+  * across [0, P)), restoring independence between "kept" and "split".
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      allowedLangs: Seq[String],
+      alpha: Double, totalBudget: Long,
+      splits: Seq[(String, Double)],
+      packBudget: Int = 512, shards: Int = 8,
+      metaCols: Seq[String] = Nil,
+      k: Int = 3, threshold: Double = 0.2,
+      maxBlockSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val clean = TextAnalysis.cleanCorpus(docs, idCol, textCol, allowedLangs, k, threshold, maxBlockSize)
+    val mixed = Sampling.sampleByTemperature(clean, idCol, textCol, sourceCol, alpha, totalBudget)
+    // second-round hash key for the split (see scaladoc); h1 < P so the
+    // product stays far under the ANSI long-overflow line
+    val P = 1000003L
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val h1 = pmod(pmod(id.cast("long"), lit(P)) * 514229L + 741103L, lit(P))
+    val split = Sampling.splitAssign(
+        mixed.withColumn("__split_key__", h1), "__split_key__", splits)
+      .drop("__split_key__")
+    TextAnalysis.packSequences(split, idCol, textCol, packBudget, shards,
+        extraPartitionCols = Seq("split"))
+      .join(split.select((idCol +: metaCols).map(graft.ops.Cleaning.qcol): _*), idCol)
+  }
+}

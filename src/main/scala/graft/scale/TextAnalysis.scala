@@ -345,23 +345,30 @@ object TextAnalysis {
     * so each task sorts only its shard; `doc_id % shards` keeps the
     * assignment engine-portable and re-run-stable. Integer `div`/`pmod`
     * throughout — exact at any magnitude.
+    *
+    * `extraPartitionCols` prepend to the pack partition (and pass
+    * through to the output): pass `Seq("split")` so a pack never
+    * straddles a train/val/test boundary — a window that mixed splits
+    * would leak eval tokens into training packs.
     */
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
-      budget: Int = 512, shards: Int = 8): DataFrame = {
+      budget: Int = 512, shards: Int = 8,
+      extraPartitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, s"need positive budget/shards, got $budget/$shards")
     val id = graft.ops.Cleaning.qcol(idCol)
+    val extras = extraPartitionCols.map(graft.ops.Cleaning.qcol)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(id)
+      .partitionBy(extras :+ col("shard"): _*).orderBy(id)
     df.select(
-        id,
-        pmod(id.cast("long"), lit(shards.toLong)).as("shard"),
-        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"))
+        (id +: extras) :+
+        pmod(id.cast("long"), lit(shards.toLong)).as("shard") :+
+        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"): _*)
       .withColumn("__start", sum(col("token_count")).over(w) - col("token_count"))
       .select(
-        id, col("shard"), col("token_count"),
-        expr(s"__start div $budget").as("pack_id"),
-        pmod(col("__start"), lit(budget.toLong)).as("pack_offset"))
+        (id +: extras) :+ col("shard") :+ col("token_count") :+
+        expr(s"__start div $budget").as("pack_id") :+
+        pmod(col("__start"), lit(budget.toLong)).as("pack_offset"): _*)
   }
 
   /** Sliding-window chunking of the token stream — the RAG/pre-training

@@ -216,6 +216,46 @@ class CurationSpec extends AnyFunSuite {
     assert(brute.exists { case (a, b, h) => h == 0 }) // the i%3==0 clones
   }
 
+  test("curate: composed manifest respects stage contracts and decorrelates split from sampling") {
+    // 600 english-looking docs across 3 sources with a small budget so
+    // the temperature rates are well below the train fraction — the
+    // case where a same-hash split would put EVERY kept doc in 'train'.
+    // Unique tokens INTERLEAVE with the en stopwords so every 3-gram
+    // shingle carries a doc-unique token: langID sees english, but the
+    // near-dup stage must not collapse the fixture to one cluster.
+    val d = (0L until 600L).map { i =>
+      val src = s"s${i % 3}"
+      (i, s"the u${i}a a u${i}b of u${i}c and u${i}d is u${i}e to u${i}f", src)
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.curate(d, "doc_id", "text", "source",
+      allowedLangs = Seq("en"), alpha = 0.5, totalBudget = 750L,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      packBudget = 64, shards = 4, metaCols = Seq("source"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    // rates ≈ 0.1 here: with the same-hash bug this would be {"train"}
+    assert(splits == Set("train", "val", "test"),
+      s"split decorrelation failed: only $splits present")
+    // packs never straddle a split: (split, shard, pack_id) triples are
+    // disjoint across splits by construction — check offsets restart
+    val byKey = rows.groupBy(r => (r.getAs[String]("split"), r.getAs[Long]("shard")))
+    byKey.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      // running sum restarts at 0 within every (split, shard)
+      val starts = sorted.scanLeft(0L)((acc, r) => acc + r.getAs[Long]("token_count")).init
+      sorted.zip(starts).foreach { case (r, st) =>
+        assert(r.getAs[Long]("pack_id") == st / 64 && r.getAs[Long]("pack_offset") == st % 64)
+      }
+    }
+    // deterministic + partitioning-invariant end to end
+    val again = Curation.curate(d.repartition(13), "doc_id", "text", "source",
+      allowedLangs = Seq("en"), alpha = 0.5, totalBudget = 750L,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      packBudget = 64, shards = 4, metaCols = Seq("source")).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("nearDupEmbedding full-recall banding equals brute-force pairs") {
     // 40 vectors in 4 tight clusters + noise: every intra-cluster pair
     // has cosine ~1, cross-cluster pairs are far lower
