@@ -485,6 +485,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           Rounding.halfUp(col("cosine"), 6).as("cosine"))),
 
+    // incremental semantic dedup: a new wave probed against the
+    // accepted corpus' persisted cell index under SAVED centroids —
+    // the full fit→save→load→index→probe composition. nlist=1 makes
+    // recall exact (every batch×index pair is a candidate), so the
+    // oracle is the all-pairs batch×index cosine; threshold/slices
+    // differ from x_dedup_semantic so the gates can't mask.
+    "x_dedup_semantic_incr" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val accepted = emb.filter(col("vec_id") < 500)
+      val batch = emb.filter(col("vec_id") >= 500 && col("vec_id") < 650)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sem-model").toString
+      graft.scale.Models.saveCentroids(s,
+        graft.scale.Similarity.fitIvfCentroids(accepted, "vec_id", "embedding", nlist = 1), dir)
+      val cents = graft.scale.Models.loadCentroids(s, dir)
+      Dedup.semanticDedupPairsAgainstIndex(
+        batch, Dedup.semanticCellIndex(accepted, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents, threshold = 0.3, maxCellSize = 0)
+        .select(col("id_a"), col("id_b"),
+          Rounding.halfUp(col("cosine"), 6).as("cosine"))
+    }),
+
     "x_dedup_contam" -> ((s, d) =>
       Dedup.crossDocNgramStats(T(s, d, "documents"), "doc_id", "text", k = 5)),
 
@@ -2170,6 +2191,20 @@ object SparkEntry {
         |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c WHERE cos >= 0.35""".stripMargin,
+
+    // incremental semantic probe at nlist=1: all-pairs batch × index
+    // cosine (id_a = batch/new wave, id_b = accepted index)
+    "x_dedup_semantic_incr" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
+        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
+        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON TRUE
+        |  WHERE a.vec_id >= 500 AND a.vec_id < 650 AND b.vec_id < 500),
+        |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
+        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM c WHERE cos >= 0.3""".stripMargin,
 
     // full-recall ANN ≡ exact kNN (see the x_sim_ann query comment);
     // query range/k deliberately differ from x_sim_knn

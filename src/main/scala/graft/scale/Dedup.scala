@@ -878,6 +878,74 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The PERSISTABLE vector-side index of an accepted corpus: one row
+    * per accepted id with its coarse cell under a FIXED quantizer plus
+    * the vector itself — what a multi-wave semantic-dedup pipeline
+    * writes once per accepted wave and probes each new delivery
+    * against (the vector analogue of [[minhashBandIndex]] +
+    * [[hashedShingleTable]] in one frame; persist the CENTROIDS too,
+    * via [[Models.saveCentroids]] — a refit would silently shift cell
+    * assignments and lose cross-wave recall).
+    * Zero-norm vectors get a NULL cell and drop out (directionless —
+    * never a semantic duplicate).
+    */
+  def semanticCellIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      graft.functions.Native.nearestCells(
+        graft.functions.Native.l2Normalize(v), centroids, 1)(0).as("cell"),
+      v.as(vecCol))
+  }
+
+  /** Semantic near-dup pairs of a NEW WAVE against an accepted-corpus
+    * [[semanticCellIndex]]: batch rows are assigned cells under the
+    * SAME centroids, candidates come from a cell equi-join (batch
+    * cells × index cells — never accepted × accepted: settled pairs
+    * are settled), and exact cosine verifies. Output (id_a = batch id,
+    * id_b = index id, cosine >= threshold).
+    *
+    * Scale: each id sits in exactly ONE cell, so the equi-join emits
+    * each candidate pair once and the index vector rides the join row
+    * (no second fetch join needed — the [[Similarity.ivfTopK]] cells
+    * shape); `maxCellSize` caps both sides independently, same
+    * rationale as the band-bucket caps.
+    */
+  def semanticDedupPairsAgainstIndex(
+      batch: DataFrame, index: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double = 0.95,
+      maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bCells = capBuckets(
+      semanticCellIndex(batch, idCol, vecCol, centroids), Seq("cell"), maxCellSize)
+    val iCells = capBuckets(index, Seq("cell"), maxCellSize)
+    bCells
+      .select(col("cell"), graft.ops.Cleaning.qcol(idCol).as("id_a"),
+        graft.ops.Cleaning.qcol(vecCol).as("__v_a__"))
+      .join(iCells.select(col("cell"), graft.ops.Cleaning.qcol(idCol).as("id_b"),
+        graft.ops.Cleaning.qcol(vecCol).as("__v_b__")), Seq("cell"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__v_a__"), col("__v_b__")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Survivors of a wave probed against the semantic index: batch rows
+    * with no verified semantic duplicate in the accepted set — the
+    * per-micro-batch body of a streaming semantic-dedup accept loop
+    * (foreachBatch probes, survivors' [[semanticCellIndex]] rows append
+    * to the persisted index; the centroids NEVER refit mid-stream).
+    */
+  def dedupAgainstSemanticIndex(
+      batch: DataFrame, index: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double = 0.95,
+      maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = semanticDedupPairsAgainstIndex(
+      batch, index, idCol, vecCol, centroids, threshold, maxCellSize)
+    batch.join(pairs.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** One-call semantic dedup: keep the min-id representative of every
     * semantic-duplicate component (connected components over
     * [[semanticDedupPairs]], same hybrid CC as [[deduplicate]]).

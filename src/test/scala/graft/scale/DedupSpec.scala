@@ -310,6 +310,36 @@ class DedupSpec extends AnyFunSuite {
     assert((spark.conf.get(itemsKey), spark.conf.get(bitsKey)) == before)
   }
 
+  test("semanticDedupPairsAgainstIndex: batch probes accepted cells only; cap drops hot cell") {
+    // accepted corpus: two directions; batch: one near-dup of each + a novel
+    val accepted = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(0.999f, 0.04f, 0f, 0f)), // ~dup of 1
+      (11L, Array(0.04f, 0.999f, 0f, 0f)), // ~dup of 2
+      (12L, Array(0f, 0f, 1f, 0f))         // novel
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.fitIvfCentroids(accepted, "vec_id", "embedding", nlist = 2)
+    val idx = Dedup.semanticCellIndex(accepted, "vec_id", "embedding", cents)
+    val pairs = Dedup.semanticDedupPairsAgainstIndex(
+      batch, idx, "vec_id", "embedding", cents, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L), (11L, 2L)))
+    val kept = Dedup.dedupAgainstSemanticIndex(
+      batch, idx, "vec_id", "embedding", cents, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+    // a hot cell past the cap is dropped on BOTH sides: cap=1 suppresses
+    // every multi-member cell, so no pairs survive from them
+    val hotAccepted = (100L to 110L).map(i => (i, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val hotIdx = Dedup.semanticCellIndex(hotAccepted, "vec_id", "embedding", cents)
+    val capped = Dedup.semanticDedupPairsAgainstIndex(
+      batch, hotIdx, "vec_id", "embedding", cents, threshold = 0.9, maxCellSize = 1)
+      .count()
+    assert(capped == 0L)
+  }
+
   test("semanticDedup: clustered config finds planted duplicates, keeps representatives") {
     // two clusters of directions; ids 0/1 identical, 2 a near-copy of
     // them, 10/11 identical in the other cluster, 20 unrelated

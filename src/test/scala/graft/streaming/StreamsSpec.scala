@@ -267,6 +267,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic-dedup accept loop: fixed loaded centroids, growing cell index") {
+    import graft.scale.{Dedup, Models, Similarity}
+    implicit val sc = spark.sqlContext
+    // accepted corpus + a quantizer fitted ONCE and loaded from disk —
+    // the centroids never refit mid-stream (a refit would shift cells
+    // and silently lose cross-wave recall)
+    val accepted0 = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-stream").toString
+    Models.saveCentroids(spark,
+      Similarity.fitIvfCentroids(accepted0, "vec_id", "embedding", nlist = 1), dir)
+    val cents = Models.loadCentroids(spark, dir)
+    var index = Dedup.semanticCellIndex(accepted0, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keep = Dedup.dedupAgainstSemanticIndex(batch, index,
+          "vec_id", "embedding", cents, threshold = 0.9).localCheckpoint()
+        survived ++= keep.select("vec_id").as[Long].collect()
+        index = index.unionByName(
+          Dedup.semanticCellIndex(keep, "vec_id", "embedding", cents)).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      // wave 1: a near-dup of the accepted vector + a novel direction
+      mem.addData((10L, Array(0.999f, 0.04f, 0f, 0f)), (11L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(survived.toSet == Set(11L), s"wave-1 survivors: $survived")
+      // wave 2: a near-dup of wave-1 SURVIVOR 11 (droppable only if the
+      // index grew) + a fresh novel direction
+      mem.addData((20L, Array(0.04f, 0.999f, 0f, 0f)), (21L, Array(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      assert(survived.toSet == Set(11L, 21L), s"wave-2 survivors: $survived")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches the batch oracle on closed sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Streams.SessionEvent]
