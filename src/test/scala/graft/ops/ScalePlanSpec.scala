@@ -179,6 +179,39 @@ class ScalePlanSpec extends AnyFunSuite {
       s"the exploded token frame feeds ${groupings.size} distinct aggregates — doc_len regressed to a second pass")
   }
 
+  test("curate manifest windows are (split, shard)-partitioned, never global") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"the u${i}a a u${i}b of u${i}c and u${i}d is u${i}e", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.scale.Curation.curate(docs, "doc_id", "text", "source",
+      allowedLangs = Seq("en"), alpha = 0.5, totalBudget = 100L,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      packBudget = 32, shards = 2)
+    assert(unpartitionedWindows(plan).isEmpty,
+      "curate's packing window must partition by (split, shard)")
+    val wins = collectPlans(plan.queryExecution.executedPlan).collect {
+      case w: WindowExec => w.partitionSpec.map(_.toString.replaceAll("#\\d+", ""))
+    }
+    assert(wins.nonEmpty && wins.forall(_.exists(_.contains("split"))),
+      s"packing window must include split in its partition spec: $wins")
+  }
+
+  test("semantic index probe is a cell equi-join: no cartesian, no nested loop") {
+    val accepted = (0L until 12L)
+      .map(i => (i, Array.tabulate(4)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val batch = (100L until 106L)
+      .map(i => (i, Array.tabulate(4)(j => (i % 7 + j).toFloat))).toDF("vec_id", "embedding")
+    val cents = graft.scale.Similarity.fitIvfCentroids(accepted, "vec_id", "embedding", nlist = 2)
+    val plan = graft.scale.Dedup.semanticDedupPairsAgainstIndex(
+      batch, graft.scale.Dedup.semanticCellIndex(accepted, "vec_id", "embedding", cents),
+      "vec_id", "embedding", cents, threshold = 0.5)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "index probe degenerated to a cartesian product")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "index probe degenerated to a nested-loop join")
+  }
+
   test("adcTopK shuffles codes, not vectors: corpus side carries no embedding") {
     val vecs = (0L until 16L)
       .map(i => (i, Array.tabulate(8)(j => (i * 3 + j).toFloat))).toSeq
