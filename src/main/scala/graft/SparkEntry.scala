@@ -716,6 +716,19 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_index"),
           length(col("frame")).cast("long").as("frame_bytes"))),
 
+    // perceptual-hash image dedup (aHash over the stub decode) + the
+    // generic banded Hamming join — full-recall config (uncapped,
+    // pigeonhole exact), so the oracle is the all-pairs Hamming set
+    // over the same byte-level fingerprint
+    "x_mm_phash_dedup" -> ((s, d) => {
+      val fps = Multimodal.perceptualHash(
+        Multimodal.withBinaryPayload(
+          T(s, d, "documents").filter(col("doc_id") < 400), "text"),
+        "doc_id", "payload")
+      Dedup.nearDupByFingerprint(fps, "doc_id", "phash",
+        maxHamming = 4, fpBits = 60, maxBucketSize = 0)
+    }),
+
     // --- §7.4 streaming (batch-equivalent plans) ---------------------
     "x_stream_window" -> ((s, d) =>
       T(s, d, "events")
@@ -2083,6 +2096,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(fi AS INT) AS frame_index,
         |       CAST(greatest(least(n, fi * 64 + 64) - fi * 64, 1) AS BIGINT) AS frame_bytes
         |FROM f""".stripMargin,
+
+    // byte-level aHash mirror: cell i's value is the payload byte at
+    // i*step (step = max(1, n div 60), hex-expand + 256-row lookup like
+    // x_mm_features), mean in double, bit i iff v > mean; pairs are the
+    // full all-pairs Hamming set (the uncapped pigeonhole config is
+    // recall-exact)
+    "x_mm_phash_dedup" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents WHERE doc_id < 400),
+        |cells AS (SELECT d.doc_id, t.i, hmap.bval AS v
+        |          FROM d CROSS JOIN range(0, 60) t(i)
+        |          JOIN hmap ON hmap.hh = substr(d.hx, CAST(2 * (t.i * greatest(d.n // 60, 1)) + 1 AS INT), 2)
+        |          WHERE t.i * greatest(d.n // 60, 1) < d.n),
+        |m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean FROM cells GROUP BY 1),
+        |fps0 AS (SELECT cells.doc_id,
+        |           CAST(sum(CASE WHEN cells.v > m.mean THEN CAST(1 AS BIGINT) << CAST(cells.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        |         FROM cells JOIN m ON cells.doc_id = m.doc_id GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(fps0.f, 0) AS f FROM d LEFT JOIN fps0 ON d.doc_id = fps0.doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 4""".stripMargin,
 
     "x_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

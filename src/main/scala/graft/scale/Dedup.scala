@@ -793,13 +793,38 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
       portable: Boolean = false): DataFrame = {
-    val chunks = maxHamming + 1
     val fpBits = if (portable) 60 else 64
-    val bitsPer = fpBits / chunks
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val fpExpr =
       if (portable) graft.functions.Native.simhashPortable(toks) else simhash(toks)
-    val fp = df.select(graft.ops.Cleaning.qcol(idCol), fpExpr.as("fp"))
+    nearDupByFingerprint(
+      df.select(graft.ops.Cleaning.qcol(idCol), fpExpr.as("fp")),
+      idCol, "fp", maxHamming, fpBits, maxBucketSize)
+  }
+
+  /** Hamming near-dup pairs over an EXISTING integer fingerprint column
+    * — the banding half of [[nearDupSimhash]], generic so ANY ≤64-bit
+    * fingerprint family reuses it (text simhash, perceptual image
+    * hashes over multimodal payloads, CDC chunk hashes…): pigeonhole
+    * split into `maxHamming + 1` chunks (two fingerprints within
+    * `maxHamming` MUST agree on at least one chunk), candidates from
+    * per-chunk bucket joins, exact `bit_count(xor)` verify.
+    * When `maxHamming + 1` doesn't divide `fpBits` the remainder bits
+    * sit outside every chunk — recall still holds (a diff there only
+    * consumes Hamming budget, so ≤ maxHamming diffs over maxHamming+1
+    * covered chunks still leave one clean chunk); chunks merely
+    * discriminate on fewer bits. `fpBits >= maxHamming + 1` is required
+    * so every chunk has at least one bit.
+    */
+  def nearDupByFingerprint(
+      fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, fpBits: Int = 64,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val chunks = maxHamming + 1
+    require(fpBits >= chunks,
+      s"fpBits = $fpBits must be >= maxHamming+1 = $chunks (every chunk needs a bit)")
+    val bitsPer = fpBits / chunks
+    val fp = fps.select(graft.ops.Cleaning.qcol(idCol), graft.ops.Cleaning.qcol(fpCol).as("fp"))
 
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),

@@ -124,6 +124,62 @@ object Multimodal {
       .toDF(idCol, "frame_index", "frame")
   }
 
+  /** Perceptual hash of a payload — the average-hash (aHash) shape
+    * image dedup pipelines run after decode: downsample to a fixed
+    * `cells`-cell grid, threshold each cell against the grid mean, pack
+    * the bits into one long. Near-identical images (re-encodes, minor
+    * crops) land within a few bits; pair with
+    * [[Dedup.nearDupByFingerprint]] for the banded Hamming join — the
+    * image-side analogue of text SimHash dedup.
+    *
+    * The DECODE is the stub (cell value = payload byte at i×step,
+    * step = max(1, n/cells) — the same subsample convention as
+    * [[resize]]); a real pipeline substitutes luma averages per grid
+    * cell. Default 60 cells keeps the fingerprint positive in a signed
+    * long on every engine (same rationale as the portable SimHash).
+    * Cell i is present iff i×step < n; mean = Σv/|present| in double;
+    * bit i set iff v_i > mean (strict); empty/null payload → 0L.
+    */
+  def perceptualHash(
+      df: DataFrame, idCol: String, payloadCol: String,
+      cells: Int = 60, outCol: String = "phash"): DataFrame = {
+    require(cells > 0 && cells <= 63, s"cells must be in [1, 63], got $cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          val n = bytes.length
+          val step = math.max(1, n / cells)
+          val vs = new Array[Int](cells)
+          var present = 0
+          var sum = 0L
+          var i = 0
+          while (i < cells) {
+            val pos = i * step
+            if (pos < n) {
+              vs(i) = java.lang.Byte.toUnsignedInt(bytes(pos))
+              sum += vs(i); present += 1
+            } else vs(i) = -1
+            i += 1
+          }
+          var fp = 0L
+          if (present > 0) {
+            val mean = sum.toDouble / present
+            i = 0
+            while (i < cells) {
+              if (vs(i) > mean) fp |= 1L << i
+              i += 1
+            }
+          }
+          (id, fp)
+        }
+      }
+      .toDF(idCol, outCol)
+  }
+
   /** Feature-extract stage: fixed-size float feature vector per payload
     * (stub: byte histogram folded to `dim` buckets, L1-normalized) —
     * the same batch shape a real embedding model invocation would use.

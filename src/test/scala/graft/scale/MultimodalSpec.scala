@@ -50,4 +50,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(1L).length == 8)
     assert(math.abs(f(1L).sum - 1.0) < 1e-9)
   }
+
+  test("perceptualHash: hand-computed bits; identical payloads collide, distinct ones do not") {
+    import org.apache.spark.sql.functions.col
+    // short payload (n=4 < cells): step=1, cells 0..3, v=[10,200,10,200],
+    // mean=105 → bits 1 and 3 set → fp = 0b1010 = 10
+    val tiny = Seq((1L, Array[Byte](10, -56, 10, -56))).toDF("doc_id", "payload")
+    val fp1 = Multimodal.perceptualHash(tiny, "doc_id", "payload")
+      .head().getLong(1)
+    assert(fp1 == 10L)
+    // re-encode shape: identical bytes hash identically; a different
+    // byte pattern lands far away; the banded Hamming join finds
+    // exactly the planted pair
+    val imgA = Array.tabulate(600)(i => ((i * 37) % 251).toByte)
+    val imgB = Array.tabulate(600)(i => ((i * 113 + 7) % 251).toByte)
+    val d = Seq((1L, imgA), (2L, imgA.clone), (3L, imgB)).toDF("doc_id", "payload")
+    val fps = Multimodal.perceptualHash(d, "doc_id", "payload")
+    val pairs = Dedup.nearDupByFingerprint(fps, "doc_id", "phash",
+      maxHamming = 4, fpBits = 60, maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // null payload hashes to 0, not a crash
+    val withNull = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    assert(Multimodal.perceptualHash(withNull, "doc_id", "payload").head().getLong(1) == 0L)
+  }
 }
