@@ -963,7 +963,8 @@ object SparkEntry {
         allowedLangs = Seq("en", "es"), alpha = 0.5, totalBudget = 2000L,
         splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         packBudget = 256, shards = 8, metaCols = Seq("lang", "source"),
-        maxBlockSize = NgramBlockCap)),
+        maxBlockSize = NgramBlockCap,
+        materializeClean = true)), // snapshot: clean scans once, not twice
 
     // --- §7.4 round 4: line-level dedup / URL canon / PQ -------------
     // C4-style corpus-wide line dedup. The synthetic docs are

@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** @param materializeClean snapshot the cleaned corpus once
+    *        (`localCheckpoint`) before the mixing stage. The
+    *        temperature fit COLLECTS per-source masses — an action —
+    *        and the returned manifest plan scans the cleaned corpus
+    *        again, so without a snapshot the clean filters run twice
+    *        (at 100 TB: a second full corpus scan). The snapshot is
+    *        lineage-free and GC-released (no session-lifetime persist
+    *        to leak); results are identical either way — production
+    *        pipelines that materialize `clean` to storage between
+    *        stages get the same effect and can leave this off.
+    */
   def curate(
       docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
       allowedLangs: Seq[String],
@@ -42,8 +53,10 @@ object Curation {
       packBudget: Int = 512, shards: Int = 8,
       metaCols: Seq[String] = Nil,
       k: Int = 3, threshold: Double = 0.2,
-      maxBlockSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
-    val clean = TextAnalysis.cleanCorpus(docs, idCol, textCol, allowedLangs, k, threshold, maxBlockSize)
+      maxBlockSize: Int = Dedup.DefaultMaxBucketSize,
+      materializeClean: Boolean = false): DataFrame = {
+    val clean0 = TextAnalysis.cleanCorpus(docs, idCol, textCol, allowedLangs, k, threshold, maxBlockSize)
+    val clean = if (materializeClean) clean0.localCheckpoint() else clean0
     val mixed = Sampling.sampleByTemperature(clean, idCol, textCol, sourceCol, alpha, totalBudget)
     // second-round hash key for the split (see scaladoc); h1 < P so the
     // product stays far under the ANSI long-overflow line
