@@ -953,6 +953,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))),
 
+    // leakage-safe grouped split: every doc of a source lands in ONE
+    // split (portable poly-hash of the group feeds the affine uniform);
+    // summarized per (split, source) so co-assignment is visible in the
+    // hashed result — a source appearing under two splits would change
+    // the row set
+    "x_corpus_split_grouped" -> ((s, d) =>
+      Sampling.splitAssignGrouped(T(s, d, "documents"), "source",
+          Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // the whole last mile in ONE composed call: clean → temperature mix
     // → decorrelated split → per-(split, shard) packed manifest — every
     // stage already individually green, this key gates the COMPOSITION
@@ -1799,6 +1810,31 @@ object SparkEntry {
          |      FROM u)
          |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(len($toksSql)) AS BIGINT) AS tokens
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    // grouped split: the same 31-base poly hash of the GROUP string
+    // (cf. s7_fingerprint_portable) feeding the same affine uniform;
+    // cuts are the Scala cumulative doubles
+    "x_corpus_split_grouped" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      s"""WITH h AS (SELECT doc_id, source,
+         |    CASE WHEN coalesce(source, '') = '' THEN 0
+         |         ELSE list_reduce(
+         |                list_prepend(CAST(0 AS BIGINT),
+         |                  list_transform(string_split(coalesce(source, ''), ''), c -> CAST(unicode(c) AS BIGINT))),
+         |                (a, b) -> (a * 31 + b) % 2147483647)
+         |    END AS gh
+         |  FROM documents),
+         |u AS (SELECT doc_id, source,
+         |        CAST(((gh % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |      FROM h),
+         |s AS (SELECT source,
+         |        CASE WHEN u < ${cuts(0)} THEN 'train'
+         |             WHEN u < ${cuts(1)} THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM u)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY 1, 2""".stripMargin
     },
 

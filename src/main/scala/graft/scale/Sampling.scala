@@ -187,11 +187,7 @@ object Sampling {
   def splitAssign(
       df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
       outCol: String = "split"): DataFrame = {
-    require(splits.size >= 2, s"need at least two splits, got ${splits.size}")
-    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
-    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
-    val total = splits.map(_._2).sum
-    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+    validateSplits(splits)
     val keyType = df.schema(keyCol).dataType.typeName
     require(Seq("byte", "short", "integer", "long").contains(keyType),
       s"splitAssign needs an integral key column; '$keyCol' is $keyType — a " +
@@ -199,12 +195,55 @@ object Sampling {
         "the last split")
     val P = 1000003L
     val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
-    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    df.withColumn(outCol, assignByUniform(u, splits))
+  }
+
+  /** Group-aware (leakage-safe) split: every row of a GROUP lands in
+    * the SAME split — the guard against eval leakage when rows within a
+    * group are correlated (all pages of a domain, all near-dups of a
+    * cluster, all turns of a conversation): a row-level split would
+    * scatter near-identical rows across train AND eval. The group key
+    * is hashed with the engine-portable 31-base polynomial
+    * (cf. [[TextAnalysis.portableFingerprint]] — oracle-checkable,
+    * unlike xxhash64) and the hash feeds the same affine-mod-P uniform
+    * as [[splitAssign]]. Null groups are one group (hash of "").
+    *
+    * Split FRACTIONS apply to groups, not rows: a heavy group carries
+    * its whole mass into one split, so realized row fractions track
+    * the requested ones only as groups stay small relative to the
+    * corpus — the price of leakage-safety, by design.
+    */
+  def splitAssignGrouped(
+      df: DataFrame, groupCol: String, splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    validateSplits(splits)
+    val P = 1000003L
+    val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
+    val h = aggregate(
+      transform(split(coalesce(g, lit("")), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * 31L + code) % 2147483647L)
+    val u = pmod(pmod(h, lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    df.withColumn(outCol, assignByUniform(u, splits))
+  }
+
+  private def validateSplits(splits: Seq[(String, Double)]): Unit = {
+    require(splits.size >= 2, s"need at least two splits, got ${splits.size}")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+  }
+
+  /** Threshold fold shared by the split assigners: first match on the
+    * cumulative cuts wins; the last split takes the tail
+    * unconditionally so no row can fall through. */
+  private def assignByUniform(u: Column, splits: Seq[(String, Double)]): Column = {
+    val cuts = splitCuts(splits)
     val first = when(u < cuts.head, lit(splits.head._1))
-    val assigned = splits.tail.init.zip(cuts.tail.init).foldLeft(first) {
+    splits.tail.init.zip(cuts.tail.init).foldLeft(first) {
       case (acc, ((name, _), cut)) => acc.when(u < cut, lit(name))
     }.otherwise(lit(splits.last._1))
-    df.withColumn(outCol, assigned)
   }
 
   /** The cumulative thresholds [[splitAssign]] compares against —

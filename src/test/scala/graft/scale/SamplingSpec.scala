@@ -159,4 +159,27 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.splitAssign(df, "t", Seq("a" -> 0.5, "b" -> 0.5)))
   }
+
+  test("splitAssignGrouped: whole groups co-assign; diverse groups spread; null is a group") {
+    val rows = (0L until 900L).map(i => (i, s"domain${i % 90}.example")) ++
+      Seq((900L, null.asInstanceOf[String]), (901L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "domain")
+    val out = Sampling.splitAssignGrouped(df, "domain",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // LEAKAGE-SAFETY: every group maps to exactly one split (null incl.)
+    val perGroup = out.groupBy("domain").agg(
+      org.apache.spark.sql.functions.countDistinct("split").as("n")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // 90 diverse groups spread across all three splits, roughly by fraction
+    val bySplit = out.select("domain", "split").distinct()
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // deterministic + partition-invariant
+    val again = Sampling.splitAssignGrouped(df.repartition(7), "domain",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
 }
