@@ -370,8 +370,12 @@ object SparkEntry {
     // the oracle chains the same packing CTEs onto the recursive
     // corpus-clean SQL.
     "x_corpus_manifest" -> ((s, d) => {
+      // snapshot once: the pack side and the metadata join both read
+      // the cleaned corpus — without it the clean filters run twice
+      // (same rationale as Curation.curate's materializeClean)
       val clean = TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
         allowedLangs = Seq("en", "es"), maxBlockSize = NgramBlockCap)
+        .localCheckpoint()
       TextAnalysis.packSequences(clean, "doc_id", "text", budget = 256, shards = 8)
         .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
     }),
