@@ -357,6 +357,11 @@ object SparkEntry {
     "s7_fingerprint_portable" -> ((s, d) =>
       TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
 
+    // corpus health report: one narrow pass + one aggregate → the
+    // (metric, value) audit a crawl delivery gets before any curation
+    "x_text_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(T(s, d, "documents"), "text")),
+
     // the full training-data prep recipe in one call: quality filter →
     // language filter → near-dup dedup → representatives
     "x_corpus_clean" -> ((s, d) =>
@@ -1695,6 +1700,57 @@ object SparkEntry {
          |              (a, b) -> (a * 31 + b) % 2147483647)
          |  END AS fingerprint
          |FROM (SELECT doc_id, array_to_string($toksSql, ' ') AS j FROM documents)""".stripMargin,
+
+    // corpus report: the same per-row conventions as the stage oracles
+    // (toks, stopword-argmax lang, quality predicate, portable poly
+    // fingerprint), one aggregate, UNION ALL to (metric, value)
+    "x_text_report" -> {
+      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
+        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
+      val nD = "(CASE WHEN n_docs > 0 THEN CAST(n_docs AS DOUBLE) END)"
+      val langRows = Seq("de", "en", "es", "fr", "zh", "und").map(l =>
+        s"UNION ALL SELECT 'lang_share_$l', n_$l / $nD FROM a").mkString("\n")
+      s"""WITH tl AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sl AS (SELECT doc_id, $scores FROM tl),
+         |lng AS (SELECT doc_id,
+         |          CASE WHEN $m = 0 THEN 'und'
+         |               WHEN score_de = $m THEN 'de'
+         |               WHEN score_en = $m THEN 'en'
+         |               WHEN score_es = $m THEN 'es'
+         |               WHEN score_fr = $m THEN 'fr'
+         |               ELSE 'zh' END AS lang
+         |        FROM sl),
+         |q AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS tok,
+         |        CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+         |              AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / (CASE WHEN length(text) > 0 THEN length(text) END) < 0.3
+         |             THEN 1 ELSE 0 END AS keep,
+         |        CASE WHEN array_to_string(toks, ' ') = '' THEN 0
+         |             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                    list_transform(string_split(array_to_string(toks, ' '), ''), c -> CAST(unicode(c) AS BIGINT))),
+         |                  (a, b) -> (a * 31 + b) % 2147483647) END AS f
+         |      FROM tl),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN q.tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |        CAST(sum(q.tok) AS BIGINT) AS total_tokens,
+         |        CAST(sum(q.keep) AS BIGINT) AS n_keep,
+         |        CAST(count(DISTINCT q.f) AS BIGINT) AS n_fp,
+         |        CAST(sum(CASE WHEN lng.lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+         |        CAST(sum(CASE WHEN lng.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |        CAST(sum(CASE WHEN lng.lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+         |        CAST(sum(CASE WHEN lng.lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         |        CAST(sum(CASE WHEN lng.lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+         |        CAST(sum(CASE WHEN lng.lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+         |      FROM q JOIN lng ON q.doc_id = lng.doc_id)
+         |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS "value" FROM a
+         |UNION ALL SELECT 'n_empty_docs', CAST(n_empty AS DOUBLE) FROM a
+         |UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
+         |UNION ALL SELECT 'quality_keep_rate', n_keep / $nD FROM a
+         |UNION ALL SELECT 'exact_dup_rate', 1.0 - n_fp / $nD FROM a
+         |$langRows""".stripMargin
+    },
 
     "a8_nps_summary" ->
       """WITH c AS (

@@ -288,6 +288,49 @@ object TextAnalysis {
       graft.ops.Cleaning.qcol(idCol),
       portableFingerprint(graft.ops.Cleaning.qcol(textCol)).as("fingerprint"))
 
+  /** One-call corpus health report — the first audit a training-data
+    * team runs on a new crawl delivery, as a long-format (metric,
+    * value) frame: corpus size, empty-doc count, token volume, quality
+    * keep rate, exact-duplicate rate (1 − distinct normalized
+    * fingerprints / docs — empty docs share fingerprint 0 and count as
+    * duplicates, the same convention as exact dedup on normalized
+    * text), and the predicted-language distribution.
+    *
+    * Scale: ONE narrow pass computes per-row (tokens, lang, keep,
+    * fingerprint), then a single aggregate (count-distinct adds its
+    * standard two-phase expand) and a 1-row stack to long format — no
+    * per-metric rescans, no driver collect. Rates are double divisions
+    * of exact long counts (engine-portable; null when the corpus is
+    * empty).
+    */
+  def corpusReport(df: DataFrame, textCol: String): DataFrame = {
+    val t = graft.ops.Cleaning.qcol(textCol)
+    val langs = StopwordLists.map(_._1) :+ "und"
+    val rows = df.select(
+      tokenCount(t).cast("long").as("__tok"),
+      langId(t).as("__lang"),
+      coalesce(qualityKeep(t), lit(false)).cast("long").as("__keep"),
+      portableFingerprint(t).as("__fp"))
+    val aggCols =
+      count(lit(1)).as("n_docs") +:
+        sum(when(col("__tok") === 0, 1L).otherwise(0L)).as("n_empty_docs") +:
+        sum(col("__tok")).as("total_tokens") +:
+        sum(col("__keep")).as("n_keep") +:
+        countDistinct(col("__fp")).as("n_fp") +:
+        langs.map(l => sum(when(col("__lang") === l, 1L).otherwise(0L)).as(s"n_lang_$l"))
+    val agg = rows.agg(aggCols.head, aggCols.tail: _*)
+    val n = when(col("n_docs") > 0, col("n_docs"))
+    val wide = agg.select(
+      (col("n_docs").cast("double").as("n_docs") +:
+        col("n_empty_docs").cast("double").as("n_empty_docs") +:
+        col("total_tokens").cast("double").as("total_tokens") +:
+        (col("n_keep") / n).as("quality_keep_rate") +:
+        (lit(1.0) - col("n_fp") / n).as("exact_dup_rate") +:
+        langs.map(l => (col(s"n_lang_$l") / n).as(s"lang_share_$l"))): _*)
+    val pairs = wide.columns.map(c => s"'$c', `$c`").mkString(", ")
+    wide.selectExpr(s"stack(${wide.columns.length}, $pairs) as (metric, value)")
+  }
+
   /** Repetition signals per document (the Gopher/MassiveText quality
     * heuristics): type-token ratio, most-frequent-token fraction,
     * duplicated-token mass, and the same three at the bigram level.

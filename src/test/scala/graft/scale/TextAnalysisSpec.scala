@@ -208,4 +208,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("https://site.com/a") == ((2L, 2L))) // variants collapsed
     assert(got("https://site.com/b") == ((1L, 1L)))
   }
+
+  test("corpusReport: counts, rates, lang shares on a hand corpus") {
+    val df = Seq(
+      (1L, "the a of and is to in that extra"), // en, 9 toks, keep
+      (2L, "the a of and is to in that extra"), // exact dup of 1
+      (3L, ""),                                 // empty: und, not keep, fp 0
+      (4L, "el la de que y los es una mas")     // es, keep
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusReport(df, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") == 4.0)
+    assert(got("n_empty_docs") == 1.0)
+    assert(got("total_tokens") == 27.0)
+    assert(got("quality_keep_rate") == 3.0 / 4)
+    assert(got("exact_dup_rate") == 1.0 / 4) // 3 distinct fingerprints of 4 docs
+    assert(got("lang_share_en") == 2.0 / 4)
+    assert(got("lang_share_es") == 1.0 / 4)
+    assert(got("lang_share_und") == 1.0 / 4)
+    assert(got("lang_share_de") == 0.0 && got("lang_share_fr") == 0.0 && got("lang_share_zh") == 0.0)
+  }
 }
