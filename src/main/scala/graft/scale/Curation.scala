@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * pack, pack partitioned BY split) themselves.
   *
   * Output: one row per surviving document —
-  * (id, metaCols…, split, shard, token_count, pack_id, pack_offset) —
+  * (id, split, metaCols…, shard, token_count, pack_id, pack_offset) —
   * the manifest a trainer's data loader consumes.
   *
   * Scale shape (each stage keeps its own contract, see SCALE.md):
@@ -60,14 +60,14 @@ object Curation {
     val mixed = Sampling.sampleByTemperature(clean, idCol, textCol, sourceCol, alpha, totalBudget)
     // second-round hash key for the split (see scaladoc); h1 < P so the
     // product stays far under the ANSI long-overflow line
-    val P = 1000003L
     val id = graft.ops.Cleaning.qcol(idCol)
-    val h1 = pmod(pmod(id.cast("long"), lit(P)) * 514229L + 741103L, lit(P))
+    val h1 = graft.functions.PortableHash.affineHash(id)
     val split = Sampling.splitAssign(
         mixed.withColumn("__split_key__", h1), "__split_key__", splits)
       .drop("__split_key__")
+    // metadata rides through the pack windows (no re-join by id — a
+    // join's right side would re-run the whole clean plan a third time)
     TextAnalysis.packSequences(split, idCol, textCol, packBudget, shards,
-        extraPartitionCols = Seq("split"))
-      .join(split.select((idCol +: metaCols).map(graft.ops.Cleaning.qcol): _*), idCol)
+      extraPartitionCols = Seq("split"), passThroughCols = metaCols)
   }
 }

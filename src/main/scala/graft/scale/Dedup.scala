@@ -681,24 +681,26 @@ object Dedup {
   /** Incremental exact dedup via a BLOOM membership probe — the
     * zero-join variant of [[dedupAgainstIndex]] for when even the
     * co-partitioned anti-join is too much: the accepted corpus'
-    * fingerprint set is folded into one Bloom filter (distributed
-    * build, Spark's own `BloomFilterAggregate` — map-side partials OR
-    * bitmaps together, one binary row comes back), and the batch is
+    * fingerprint set is folded into one Bloom filter, and the batch is
     * filtered by a pure narrow `might_contain` — NO shuffle of either
-    * side at probe time. The filter ships as a literal (collected
-    * once, `numBits/8` bytes: ~12 MB at 10⁷ items / 1% fpp — the same
+    * side at probe time. The filter ships as a literal (built once,
+    * `numBits/8` bytes: ~12 MB at 10⁷ items / 1% fpp — the same
     * driver-sized-model class as the PQ codebooks; past ~10⁹ items the
     * literal outgrows the driver and the anti-join form is the right
     * tool again, or shard the index into per-range blooms).
     *
-    * Spark's `BloomFilterAggregate` SILENTLY clamps its sizing to the
-    * session's runtime-bloom-filter caps (default 4M items / 8 MB
-    * bits) via `Math.min` — at the documented 10⁷-item default that
-    * clamp would degrade the effective fpp to ~10% without a word, so
-    * the build below RAISES those two confs to the requested sizing
-    * for the duration of the aggregate (restored in a finally; the
-    * caps exist to bound optimizer-injected runtime filters, not an
-    * explicitly requested index build).
+    * Build: a `treeAggregate` of sketch-library partials (each task
+    * folds its partition into a local filter; filters OR together up
+    * the tree). Spark's own `BloomFilterAggregate` is deliberately NOT
+    * used: it silently clamps sizing to the session's runtime-filter
+    * caps (default 4M items / 8 MB) via `Math.min` — at the 10⁷-item
+    * default that clamp degrades the effective fpp to ~10% without a
+    * word — and working around it by raising the confs would mutate
+    * SESSION-GLOBAL state, racing with concurrent queries on the same
+    * session. The self-built sketch is exactly sized, conf-free, and
+    * thread-safe; its wire format is the same sketch-library one
+    * `BloomFilterMightContain` deserializes, so the probe side stays a
+    * native codegen'd expression.
     *
     * Semantics: NO false negatives — every true duplicate is dropped,
     * guaranteed; a false positive (rate `fpp`) drops a NOVEL document.
@@ -707,40 +709,30 @@ object Dedup {
     * approximate-by-nature and hash-dependent — spec-graded, not
     * oracle-keyed (cf. [[dedupAgainstIndex]] for the exact form).
     * Null-text batch rows are kept, matching the anti-join (a null
-    * never matches the index).
+    * never matches the index; null fingerprints are dropped before the
+    * build, matching `BloomFilterAggregate`'s null-skipping update).
     */
   def dedupAgainstIndexBloom(
       batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
       expectedItems: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
-    val bloomAgg = GraftBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        GraftBridge.expr(tokenFingerprint(graft.ops.Cleaning.qcol(textCol))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val conf = index.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
-    val bloomBytes =
-      try {
-        conf.set(itemsKey, math.max(expectedItems, oldItems.toLong).toString)
-        conf.set(bitsKey, math.max(numBits, oldBits.toLong).toString)
-        index.agg(bloomAgg.as("__bloom__")).head().getAs[Array[Byte]](0)
-      } finally {
-        conf.set(itemsKey, oldItems)
-        conf.set(bitsKey, oldBits)
-      }
-    if (bloomBytes == null) batch // empty index: nothing to drop
-    else {
-      val might = GraftBridge.column(BloomFilterMightContain(
-        Literal.create(bloomBytes,
-          org.apache.spark.sql.types.BinaryType),
-        GraftBridge.expr(tokenFingerprint(graft.ops.Cleaning.qcol(textCol)))))
-      batch.filter(!coalesce(might, lit(false)))
-    }
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = index
+      .select(tokenFingerprint(graft.ops.Cleaning.qcol(textCol)).as("__fp__"))
+      .filter(col("__fp__").isNotNull)
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .rdd
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (bf, v) => { bf.putLong(v); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val might = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bos.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expr(tokenFingerprint(graft.ops.Cleaning.qcol(textCol)))))
+    batch.filter(!coalesce(might, lit(false)))
   }
 
   /** Content-defined chunk table: one row per CDC chunk of each

@@ -3,6 +3,8 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHash
+
 /** Deterministic sampling operators for large-scale pipelines.
   *
   * Random `df.sample()` is non-reproducible across partitionings (seed
@@ -51,11 +53,10 @@ object Sampling {
       df: DataFrame, keyCol: String, weightCol: String,
       targetFrac: Double): DataFrame = {
     require(targetFrac >= 0 && targetFrac <= 1, s"targetFrac must be in [0,1], got $targetFrac")
-    val P = 1000003L
     val w = graft.ops.Cleaning.qcol(weightCol)
     val stats = df.agg(
       sum(w.cast("long")).as("__ws"), count(w).as("__wn"))
-    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val u = PortableHash.affineUniform(graft.ops.Cleaning.qcol(keyCol))
     df.crossJoin(broadcast(stats))
       .filter(u < least(lit(1.0),
         lit(targetFrac) * (w.cast("double") * col("__wn") / col("__ws"))))
@@ -81,14 +82,13 @@ object Sampling {
   def sampleByTokenBudget(
       df: DataFrame, keyCol: String, textCol: String, groupCol: String,
       budgets: Map[String, Long]): DataFrame = {
-    val P = 1000003L
     val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
     val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")
     val totals = df.groupBy(g.as("__g")).agg(sum(tokc).as("__total"))
     val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (k, b)) => when(col("__g") === k, lit(b)).otherwise(acc)
     }
-    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val u = PortableHash.affineUniform(graft.ops.Cleaning.qcol(keyCol))
     // null-safe join: a null group is a group (kept whole unless
     // budgeted) — a plain equi-join would silently drop those rows
     df.join(broadcast(totals), g <=> col("__g"))
@@ -133,7 +133,6 @@ object Sampling {
       alpha: Double, totalBudget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
-    val P = 1000003L
     val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
     val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")
     // orderBy precedes limit, so the cap is a TakeOrdered — the fold
@@ -159,7 +158,7 @@ object Sampling {
     val rates = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(masses.map { case (k, t) => SRow(k, rate(t)) }: _*),
       StructType(Seq(StructField("__g", StringType), StructField("__rate", DoubleType))))
-    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val u = PortableHash.affineUniform(graft.ops.Cleaning.qcol(keyCol))
     val outCols = df.columns.map(graft.ops.Cleaning.qcol)
     // null-safe join: a null group is a group (cf. sampleByTokenBudget);
     // groups unseen at fit time (impossible here — rates come from the
@@ -193,8 +192,7 @@ object Sampling {
       s"splitAssign needs an integral key column; '$keyCol' is $keyType — a " +
         "non-numeric key casts to null and would silently land every row in " +
         "the last split")
-    val P = 1000003L
-    val u = pmod(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val u = PortableHash.affineUniform(graft.ops.Cleaning.qcol(keyCol))
     df.withColumn(outCol, assignByUniform(u, splits))
   }
 
@@ -217,13 +215,8 @@ object Sampling {
       df: DataFrame, groupCol: String, splits: Seq[(String, Double)],
       outCol: String = "split"): DataFrame = {
     validateSplits(splits)
-    val P = 1000003L
     val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
-    val h = aggregate(
-      transform(split(coalesce(g, lit("")), ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, code) => (acc * 31L + code) % 2147483647L)
-    val u = pmod(pmod(h, lit(P)) * 514229L + 741103L, lit(P)) / lit(P).cast("double")
+    val u = PortableHash.affineUniform(PortableHash.polyHash31(coalesce(g, lit(""))))
     df.withColumn(outCol, assignByUniform(u, splits))
   }
 
@@ -272,7 +265,7 @@ object Sampling {
   def shuffleDeterministic(
       df: DataFrame, keyCol: String, shards: Int, seed: Long = 42L): DataFrame = {
     require(shards > 0, s"shards must be > 0, got $shards")
-    val P = 1000003L
+    val P = PortableHash.P
     val keyRaw = graft.ops.Cleaning.qcol(keyCol)
     val isIntegral = df.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -287,8 +280,7 @@ object Sampling {
     // Seed folded mod P up front: the affine sum then stays < 2^40 for
     // ANY Long seed (ANSI overflow-safe).
     val h =
-      if (isIntegral)
-        pmod(pmod(keyRaw.cast("long"), lit(P)) * 514229L + 741103L + pmod(lit(seed), lit(P)), lit(P))
+      if (isIntegral) PortableHash.affineHash(keyRaw, seed)
       else pmod(xxhash64(keyRaw, lit(seed)), lit(P))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), keyRaw)

@@ -275,13 +275,8 @@ object TextAnalysis {
     * (and therefore oracle-checkable, unlike xxhash64). Products stay
     * < 2^36, far inside ANSI-mode long range.
     */
-  def portableFingerprint(text: Column): Column = {
-    val joined = array_join(tokens(text), " ")
-    aggregate(
-      transform(split(joined, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, code) => (acc * 31L + code) % 2147483647L)
-  }
+  def portableFingerprint(text: Column): Column =
+    graft.functions.PortableHash.polyHash31(array_join(tokens(text), " "))
 
   def portableFingerprintTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -392,24 +387,29 @@ object TextAnalysis {
     * `extraPartitionCols` prepend to the pack partition (and pass
     * through to the output): pass `Seq("split")` so a pack never
     * straddles a train/val/test boundary — a window that mixed splits
-    * would leak eval tokens into training packs.
+    * would leak eval tokens into training packs. `passThroughCols` ride
+    * along to the output WITHOUT joining the pack partition (metadata a
+    * manifest wants next to each document — carrying them through here
+    * beats re-joining them back by id, which re-scans the input).
     */
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
       budget: Int = 512, shards: Int = 8,
-      extraPartitionCols: Seq[String] = Nil): DataFrame = {
+      extraPartitionCols: Seq[String] = Nil,
+      passThroughCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, s"need positive budget/shards, got $budget/$shards")
     val id = graft.ops.Cleaning.qcol(idCol)
     val extras = extraPartitionCols.map(graft.ops.Cleaning.qcol)
+    val metas = passThroughCols.map(graft.ops.Cleaning.qcol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(extras :+ col("shard"): _*).orderBy(id)
     df.select(
-        (id +: extras) :+
+        (id +: extras) ++ metas :+
         pmod(id.cast("long"), lit(shards.toLong)).as("shard") :+
         tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"): _*)
       .withColumn("__start", sum(col("token_count")).over(w) - col("token_count"))
       .select(
-        (id +: extras) :+ col("shard") :+ col("token_count") :+
+        (id +: extras) ++ metas :+ col("shard") :+ col("token_count") :+
         expr(s"__start div $budget").as("pack_id") :+
         pmod(col("__start"), lit(budget.toLong)).as("pack_offset"): _*)
   }

@@ -45,6 +45,14 @@ object MakeScaled {
     spark.sparkContext.setLogLevel("WARN")
     keyCols.foreach { case (name, keys) =>
       val base = spark.read.parquet(s"$src/$name.parquet")
+      // Copies must occupy disjoint key ranges — a source key >= Shift
+      // (e.g. an already-scaled dir re-used as input) would collide with
+      // copy i+1's range and silently break the per-copy integrity claim.
+      keys.foreach { k =>
+        val maxKey = base.agg(max(col(k).cast("long"))).head().getLong(0)
+        require(maxKey < Shift,
+          s"$name.$k max=$maxKey >= shift=$Shift; source too large or already scaled")
+      }
       val out: DataFrame =
         if (keys.isEmpty) base
         else (0 until factor).map { i =>

@@ -36,8 +36,9 @@ object QueryProbe {
           val ts = (1 to n).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
-            spark.catalog.clearCache(); System.gc()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache(); System.gc() // between runs, outside the timer
+            dt
           }
           println(f"[qprobe] $name%-24s min=${ts.min}%6.3f med=${ts.sorted.apply(n / 2)}%6.3f runs=" +
             ts.map(t => f"$t%.3f").mkString(","))
