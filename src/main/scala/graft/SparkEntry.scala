@@ -362,6 +362,14 @@ object SparkEntry {
     "x_text_report" -> ((s, d) =>
       TextAnalysis.corpusReport(T(s, d, "documents"), "text")),
 
+    // BM25 top-k retrieval for one fixed query: narrow per-term tf
+    // (no explode, no inverted index), 1-row corpus-stats broadcast,
+    // TakeOrdered(k) epilogue; bm25_micro is the exact long sum of
+    // half-up micro-unit term contributions (engine-invariant)
+    "x_text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(T(s, d, "documents"), "doc_id", "text",
+        query = "spark window merge vector", k = 10)),
+
     // the full training-data prep recipe in one call: quality filter →
     // language filter → near-dup dedup → representatives
     "x_corpus_clean" -> ((s, d) =>
@@ -585,6 +593,18 @@ object SparkEntry {
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
         maxBlockSize = NgramBlockCap)
       Dedup.clusterSizeCensus(Dedup.clusters(docs, "doc_id", pairs))
+    }),
+
+    // cross-source overlap census on a planted "recrawl" delivery (a
+    // fifth of the corpus re-ingested under a new source label — the
+    // scenario the matrix exists to catch; the raw synthetic sources
+    // share no exact text, so the fixture makes the overlap non-empty)
+    "x_dedup_overlap" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("source", lit("recrawl"))
+      Dedup.sourceOverlapMatrix(docs.unionByName(recrawl), "text", "source")
     }),
 
     // full probe (nprobe = nlist): provably equivalent to exact kNN, so
@@ -1914,6 +1934,55 @@ object SparkEntry {
 
     // same recursive components, aggregated twice: cluster → size →
     // how many clusters of each size (the dedup audit's census row)
+    // BM25: same association order as bm25TopK's expressions — IEEE
+    // +,*,/ agree exactly; ln() ulp drift is absorbed by the half-up
+    // micro-unit grid before the (order-invariant) long sum. The k1/b
+    // constants are interpolated from the SAME Scala doubles the Spark
+    // plan uses (shortest-roundtrip decimal, parses back bit-identical).
+    "x_text_bm25" -> {
+      val terms = Seq("spark", "window", "merge", "vector")
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = (k1 + 1.0).toString; val omb = (1.0 - b).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i" }.mkString(",\n  ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n  ")
+      val contribs = terms.indices.map { i =>
+        s"""CASE WHEN tf_$i > 0 THEN CAST(floor(
+           |  ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+           |  * ((CAST(tf_$i AS DOUBLE) * $k1p1) / (CAST(tf_$i AS DOUBLE) + $k1 * ($omb + $b * (CAST(dl AS DOUBLE) / (CAST(tt AS DOUBLE) / CAST(nd AS DOUBLE))))))
+           |  * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END""".stripMargin
+      }.mkString(" +\n")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |  $tfCols
+         |  FROM d),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt,
+         |  $dfCols
+         |  FROM p)
+         |SELECT doc_id, bm25_micro FROM (
+         |  SELECT doc_id, ($contribs) AS bm25_micro FROM p, s)
+         |WHERE bm25_micro > 0
+         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    // overlap census: DISTINCT (source, portable fp) then the
+    // fp-equality self-join — same planted recrawl fixture both sides
+    "x_dedup_overlap" ->
+      s"""WITH all_docs AS (
+         |  SELECT text, source FROM documents
+         |  UNION ALL
+         |  SELECT text, 'recrawl' AS source FROM documents WHERE doc_id % 5 = 0),
+         |f AS (SELECT DISTINCT source,
+         |    CASE WHEN array_to_string($toksSql, ' ') = '' THEN 0
+         |         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(string_split(array_to_string($toksSql, ' '), ''), c -> CAST(unicode(c) AS BIGINT))),
+         |              (a, b) -> (a * 31 + b) % 2147483647) END AS fp
+         |  FROM all_docs WHERE source IS NOT NULL AND text IS NOT NULL)
+         |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
     "x_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -339,6 +339,38 @@ object Dedup {
       .agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
 
+  /** Cross-source exact-overlap census: for every unordered source pair
+    * (source_a < source_b), how many DISTINCT normalized fingerprints
+    * occur in BOTH — the "which deliveries duplicate each other" audit
+    * a corpus team runs before mixing crawls (double-counted mass
+    * inflates a source's effective mixture weight; shared boilerplate
+    * shows up here first). Fingerprints are the portable exact-dedup
+    * ones ([[TextAnalysis.portableFingerprint]]), so two empty docs
+    * count as overlap (fp 0) — the same convention as exact dedup and
+    * [[TextAnalysis.corpusReport]]'s dup rate. Null sources and null
+    * texts pair with nothing.
+    *
+    * Scale: DISTINCT (source, fp) first — one shuffle that also bounds
+    * the self-join's per-fingerprint group at |sources| rows (a
+    * boilerplate fp shared by every source contributes |sources|² pairs
+    * ONCE, not per occurrence) — then an fp-keyed join whose output is
+    * capped by |sources|² rows after the final summary aggregate.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val src = graft.ops.Cleaning.qcol(sourceCol).cast("string")
+    val fps = df.select(
+        src.as("__src"),
+        TextAnalysis.portableFingerprint(graft.ops.Cleaning.qcol(textCol)).as("__fp"))
+      .filter(col("__src").isNotNull && col("__fp").isNotNull)
+      .distinct()
+    fps.select(col("__src").as("source_a"), col("__fp"))
+      .join(fps.select(col("__src").as("source_b"), col("__fp")), Seq("__fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Ids a dedup pass should DROP: every edge-touched id whose component
     * min is NOT itself. Singletons are always their own representative
     * and non-representatives always touch an edge, so — unlike

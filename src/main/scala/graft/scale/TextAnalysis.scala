@@ -186,6 +186,67 @@ object TextAnalysis {
       .select(graft.ops.Cleaning.qcol(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 top-k retrieval for one query string — the lexical-search
+    * ranking (Robertson/Spärck Jones; the BM25+ no-negative idf form:
+    * idf = ln(1 + (N − df + ½)/(df + ½))) over the whitespace token
+    * stream. The relevance primitive a corpus team uses to pull
+    * topic-targeted documents out of a crawl (seed-document expansion,
+    * eval-set retrieval) without an embedding model.
+    *
+    * Scale: NO inverted index and NO explode — the query has few terms,
+    * so per-doc tf is a narrow `size(filter(tokens, _ = term))` per
+    * term and doc length a narrow `tokenCount`: ONE pass over the
+    * corpus, a 1-row corpus-stats aggregate (N, total tokens, per-term
+    * df) broadcast back, then a global TakeOrdered(k) — zero doc-keyed
+    * shuffles. Contrast [[tfidfTopK]], which pays the (doc, token)
+    * aggregation because it scores EVERY token.
+    *
+    * Determinism (the scaled-long convention, cf.
+    * [[unigramLogProbTable]]): each term's contribution is rounded
+    * HALF-UP to micro-units once, and the doc score is the exact LONG
+    * sum of those — order-invariant and engine-exact; `bm25_micro` is
+    * that long (divide by 10⁶ for the float score). Ties break by id;
+    * zero-score docs (no query term present) are excluded.
+    */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String, query: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25TopK needs a non-empty query string")
+    require(k > 0, s"k must be > 0, got $k")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val toks = tokens(graft.ops.Cleaning.qcol(textCol))
+    val perDoc = df.select(
+      id +:
+        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("__dl") +:
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(toks, x => x === term)).cast("long").as(s"__tf_$i")
+        }: _*)
+    val statAggs = count(lit(1)).as("__nd") +: sum(col("__dl")).as("__tt") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // avgdl and every per-term factor below must associate EXACTLY as
+    // the oracle SQL writes them — IEEE +,*,/ are deterministic given
+    // the same association; ln() drift is absorbed by the 6-dp grid
+    val avgdl = col("__tt").cast("double") / col("__nd").cast("double")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val dfc = col(s"__df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("__nd").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      val tfn = (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)))
+      when(col(s"__tf_$i") > 0,
+        floor(idf * tfn * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(lit(0L))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("bm25_micro", contribs.reduce(_ + _))
+      .filter(col("bm25_micro") > 0)
+      .orderBy(desc("bm25_micro"), id)
+      .limit(k)
+      .select(id, col("bm25_micro"))
+  }
+
   /** Unigram log-probability scoring — the degenerate-but-honest form
     * of CCNet-style LM quality filtering (Wenzek et al. 2020 filter
     * web text by LM perplexity; a unigram model is the variant whose

@@ -233,4 +233,26 @@ class ScalePlanSpec extends AnyFunSuite {
         s"corpus embedding crossed a shuffle: ${shipped.mkString(",")}")
     }
   }
+
+  test("bm25TopK never shuffles the corpus: 1-row stats broadcast + TakeOrdered") {
+    val docs = (0L until 20L)
+      .map(i => (i, s"apple banana w$i x$i y$i")).toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.bm25TopK(docs, "doc_id", "text", "apple banana", k = 5)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    // the only corpus-wide movement allowed is the 1-row stats agg's
+    // single-partition exchange; a doc- or token-keyed repartition of
+    // the corpus (the explode/join formulation) must not appear
+    val wideExchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions > 1 => e
+    }
+    assert(wideExchanges.isEmpty,
+      s"bm25 corpus pass must stay narrow, found: ${wideExchanges.map(_.nodeName)}")
+    assert(unpartitionedWindows(plan).isEmpty)
+    // top-k epilogue is a TakeOrdered, not a global sort
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "bm25 epilogue should be TakeOrderedAndProject")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "bm25 must not globally sort the corpus")
+  }
 }

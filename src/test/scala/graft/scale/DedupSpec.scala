@@ -404,4 +404,17 @@ class DedupSpec extends AnyFunSuite {
     assert(shifted.tail == d1.map(_._5).toSeq.tail)
     assert(shifted.head != d1.head._5)
   }
+
+  test("sourceOverlapMatrix: distinct shared fingerprints per source pair, nulls drop") {
+    val df = Seq(
+      ("A", "x y"), ("A", " X  Y "), ("A", "q r"), // dup within A counts once
+      ("B", "x y"), ("B", "z"),
+      ("C", "z"), ("C", "x y"),
+      (null.asInstanceOf[String], "x y"), ("D", null.asInstanceOf[String])
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(df, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    // "x y" in A,B,C (normalization folds " X  Y "); "z" in B,C
+    assert(got == Set(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 2L)))
+  }
 }

@@ -228,4 +228,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("lang_share_und") == 1.0 / 4)
     assert(got("lang_share_de") == 0.0 && got("lang_share_fr") == 0.0 && got("lang_share_zh") == 0.0)
   }
+
+  test("bm25TopK: hand-checked scores, ranking, and zero-match exclusion") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "cherry date elderberry fig")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", "apple banana", k = 10)
+      .as[(Long, Long)].collect()
+    // independent recompute with plain scala math (same association)
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 13.0 / 4.0
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / 2.5) // both terms: df = 2
+    def contrib(tf: Double, dl: Double): Long =
+      math.floor(idf * ((tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))) * 1000000.0 + 0.5).toLong
+    val expected = Map(
+      1L -> (contrib(2, 3) + contrib(1, 3)),
+      2L -> contrib(1, 2),
+      3L -> contrib(4, 4))
+    assert(got.toMap == expected)
+    // ranked by score desc: doc 1 (both terms) > doc 3 (heavy tf) > doc 2
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L)) // doc 4: no term, excluded
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(df, "doc_id", "text", "   ")
+    }
+  }
 }
