@@ -699,6 +699,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
     }),
 
+    // best-5 docs per language by the unigram LM score — the "cap each
+    // domain at its k highest-quality documents" curation primitive on
+    // the map-side-bounded top-k aggregate (shuffle ∝ langs × k, never
+    // a corpus-wide window sort)
+    "x_corpus_bestk" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+      val withLang = docs.select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("avg_logp")), "doc_id")
+      Sampling.keepBestKPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", k = 5)
+    }),
+
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -847,6 +860,11 @@ object SparkEntry {
 
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // per-label class centroids in long format (scaled-long exact sums;
+    // word-count shuffle shape: partials collapse to labels × dim)
+    "x_emb_centroids" -> ((s, d) =>
+      graft.scale.Embeddings.groupCentroids(T(s, d, "embeddings"), "label", "embedding")),
 
     // matryoshka truncation to a 16-dim prefix: scalar outputs only
     // (retained-norm fraction + first normalized component) since the
@@ -1221,6 +1239,32 @@ object SparkEntry {
 
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  /** The unigram-LM scoring CTE chain (reference model on doc_id % 3,
+    * vocab 1000, micro-nat scaled-long fold) — shared by the
+    * x_text_unigram oracle and every oracle that ranks by the score,
+    * so the model definition can never drift between them. Ends at
+    * `sc(doc_id, n_tokens, n_oov, s6)`.
+    */
+  private lazy val unigramScoreCtes =
+    s"""rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 3 = 0),
+       |rt AS (SELECT unnest(toks) AS tok FROM rd),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM rt GROUP BY 1),
+       |vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM vc),
+       |kv AS (SELECT tok, cnt FROM vr WHERE rk <= 1000),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM kv),
+       |vp AS (SELECT tok,
+       |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
+       |       FROM kv, tt),
+       |op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM tt),
+       |d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dt AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
+       |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2),
+       |sc AS (SELECT dc.doc_id,
+       |         CAST(sum(n) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+       |         CAST(sum(n * coalesce(vp.logp6, op.oov6)) AS BIGINT) AS s6
+       |       FROM dc LEFT JOIN vp ON dc.tok = vp.tok, op GROUP BY 1)""".stripMargin
 
   /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
     * CTE/table — reused by the dedup, clustering, and corpus-clean
@@ -2181,29 +2225,25 @@ object SparkEntry {
     // floored to micro-nat longs ONCE per vocab token, so every
     // per-document sum is exact integer arithmetic on both engines
     "x_text_unigram" ->
-      s"""WITH rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 3 = 0),
-         |rt AS (SELECT unnest(toks) AS tok FROM rd),
-         |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM rt GROUP BY 1),
-         |vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM vc),
-         |kv AS (SELECT tok, cnt FROM vr WHERE rk <= 1000),
-         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM kv),
-         |vp AS (SELECT tok,
-         |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
-         |       FROM kv, tt),
-         |op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM tt),
-         |d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |dt AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
-         |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2),
-         |sc AS (SELECT dc.doc_id,
-         |         CAST(sum(n) AS BIGINT) AS n_tokens,
-         |         CAST(sum(CASE WHEN vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
-         |         CAST(sum(n * coalesce(vp.logp6, op.oov6)) AS BIGINT) AS s6
-         |       FROM dc LEFT JOIN vp ON dc.tok = vp.tok, op GROUP BY 1)
+      s"""WITH $unigramScoreCtes
          |SELECT d.doc_id,
          |       coalesce(sc.n_tokens, 0) AS n_tokens,
          |       coalesce(sc.n_oov, 0) AS n_oov,
          |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
          |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
+    // best-k per language by the SAME unigram score CTEs (shared with
+    // x_text_unigram so the two can never drift) — row_number mirrors
+    // BoundedTopKDouble's (score desc, id asc) total order
+    "x_corpus_bestk" ->
+      s"""WITH $unigramScoreCtes,
+         |scored AS (SELECT dd.doc_id, dd.lang,
+         |    floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
+         |  FROM documents dd JOIN sc ON dd.doc_id = sc.doc_id
+         |  WHERE sc.n_tokens > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id ASC) AS rk
+         |      FROM scored)
+         |SELECT lang, doc_id, avg_logp FROM r WHERE rk <= 5""".stripMargin,
 
     "x_text_quality" ->
       s"""WITH b AS (
@@ -2489,6 +2529,22 @@ object SparkEntry {
 
     // same per-element formula and left-to-right fold order as the
     // Spark side; the zero-vector guard nulls identically via CASE
+    // class centroids: per-component micro-rounded exact long sums —
+    // the division at the end is IEEE-identical given identical longs
+    "x_emb_centroids" ->
+      """WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT label, pos,
+        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
+        |  FROM e),
+        |g AS (SELECT label, CAST(pos AS BIGINT) AS pos,
+        |    CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS n_vectors
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, pos,
+        |       CAST(s6 AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0) AS centroid,
+        |       n_vectors
+        |FROM g""".stripMargin,
+
     "x_emb_quant" ->
       """WITH s AS (SELECT vec_id, embedding,
         |    (SELECT max(abs(CAST(a AS DOUBLE))) FROM (SELECT unnest(embedding) AS a)) AS mx

@@ -159,4 +159,40 @@ object Embeddings {
     val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     dt / when(na * nb > 0, na * nb)
   }
+
+  /** Per-group embedding centroid in LONG format — one row per
+    * (group, component position): the domain/class centroid every
+    * embedding-side curation step starts from (cluster tagging,
+    * nearest-domain assignment, drift monitoring between deliveries).
+    * Long format because the compare harness (and most sinks) can't
+    * hash array columns; callers wanting vectors `collect_list` over
+    * pos.
+    *
+    * Determinism (the scaled-long convention, cf. zscore/unigram):
+    * each component rounds HALF-UP to micro-units ONCE, and the
+    * per-(group, pos) sum is exact LONG arithmetic — partition-order-
+    * invariant and engine-exact; the mean divides the two exact
+    * numbers at the end. Overflow bound: |component|·10⁶·rows/group
+    * must stay below 2⁶³ (ANSI mode fails loudly, not silently).
+    *
+    * Scale: posexplode widens to rows × dim, but the (group, pos) hash
+    * aggregate's map-side partials collapse each task to |groups| × dim
+    * rows before the one shuffle — the word-count shape, nothing
+    * scales with corpus × dim past the partial agg. Null vectors and
+    * null components contribute nothing (n_vectors counts non-null
+    * contributions per position).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val g = graft.ops.Cleaning.qcol(groupCol)
+    val v = graft.ops.Cleaning.qcol(vecCol).cast("array<double>")
+    df.filter(v.isNotNull)
+      .select(g.as("__g"), posexplode(v).as(Seq("pos", "__x")))
+      .withColumn("__x6", floor(col("__x") * 1000000.0 + lit(0.5)))
+      .groupBy(col("__g"), col("pos"))
+      .agg(sum(col("__x6")).as("__s6"), count(col("__x6")).as("n_vectors"))
+      .select(col("__g").as(groupCol), col("pos").cast("long").as("pos"),
+        (col("__s6").cast("double") / (col("n_vectors").cast("double") * 1000000.0))
+          .as("centroid"),
+        col("n_vectors"))
+  }
 }

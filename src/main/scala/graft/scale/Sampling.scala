@@ -329,6 +329,35 @@ object Sampling {
         col("__t__.value").as(keyCol)): _*)
   }
 
+  /** Keep the k BEST rows of every group by a score column — the
+    * curation move "cap each domain/language at its k highest-quality
+    * documents". Ordering is (score desc, id asc), so ties are
+    * deterministic; null scores never win (filtered up front — a null
+    * beating a real score would be a silent quality inversion).
+    * Output: (groupCols…, idCol, weightCol) — re-join by id for full
+    * rows.
+    *
+    * BOUNDED state via the BoundedTopKDouble aggregate (cf.
+    * [[sampleKPerGroup]]): partial phase keeps ≤ k candidates per group
+    * per partition and the shuffle carries groups × k rows — the
+    * row_number window formulation shuffles and sorts EVERY scored row
+    * first, the per-group funnel that dies at 100 TB.
+    */
+  def keepBestKPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "keepBestKPerGroup needs at least one group column")
+    require(k > 0, s"k must be > 0, got $k")
+    val groups = groupCols.map(graft.ops.Cleaning.qcol)
+    val w = graft.ops.Cleaning.qcol(weightCol).cast("double")
+    df.filter(w.isNotNull)
+      .groupBy(groups: _*)
+      .agg(graft.functions.Aggregates.topKByDoubleWeight(
+        graft.ops.Cleaning.qcol(idCol).cast("long"), w, k, ascending = false).as("__top__"))
+      .select(groups :+ explode(col("__top__")).as("__t__"): _*)
+      .select(groups :+ col("__t__.value").as(idCol) :+ col("__t__.weight").as(weightCol): _*)
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

@@ -81,4 +81,24 @@ class EmbeddingsSpec extends AnyFunSuite {
       .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
       "hammingTopK must use the bounded aggregate epilogue")
   }
+
+  test("groupCentroids: hand means in long format, null vectors skipped") {
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f)), 0),
+      (2L, Some(Array(3.0f, 4.0f)), 0),
+      (3L, Some(Array(10.0f, 20.0f)), 1),
+      (4L, None, 1) // null vector: contributes nothing, n stays 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = Embeddings.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got((0, 0L)) == ((2.0, 2L))) // (1+3)/2
+    assert(got((0, 1L)) == ((3.0, 2L))) // (2+4)/2
+    assert(got((1, 0L)) == ((10.0, 1L)))
+    assert(got((1, 1L)) == ((20.0, 1L)))
+    assert(got.size == 4)
+    // partition-invariant: exact long sums, no double accumulation order
+    val again = Embeddings.groupCentroids(df.repartition(5), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == again)
+  }
 }

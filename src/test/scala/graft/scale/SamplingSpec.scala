@@ -182,4 +182,16 @@ class SamplingSpec extends AnyFunSuite {
     val first = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(first == again)
   }
+
+  test("keepBestKPerGroup: top scores win, ties break by id asc, null scores lose") {
+    val df = Seq(
+      ("a", 1L, Some(0.9)), ("a", 2L, Some(0.7)), ("a", 3L, Some(0.9)),
+      ("a", 4L, Some(0.1)), ("a", 5L, None), // null never wins
+      ("b", 6L, Some(0.5))
+    ).toDF("grp", "id", "score")
+    val got = Sampling.keepBestKPerGroup(df, Seq("grp"), "id", "score", k = 2)
+      .as[(String, Long, Double)].collect().toSet
+    // group a: two 0.9s tie → ids 1 and 3 (id asc beats the 0.7)
+    assert(got == Set(("a", 1L, 0.9), ("a", 3L, 0.9), ("b", 6L, 0.5)))
+  }
 }
