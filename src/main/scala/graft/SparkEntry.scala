@@ -699,6 +699,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
     }),
 
+    // DSIR importance resampling toward the English slice as the
+    // target domain: unigram log-ratio + deterministic Gumbel top-50
+    // (two broadcast-model scoring passes, TakeOrdered epilogue)
+    "x_corpus_dsir" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Sampling.importanceResample(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", n = 50, vocabSize = 1000)
+    }),
+
     // best-5 docs per language by the unigram LM score — the "cap each
     // domain at its k highest-quality documents" curation primitive on
     // the map-side-bounded top-k aggregate (shuffle ∝ langs × k, never
@@ -1240,31 +1249,44 @@ object SparkEntry {
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
-  /** The unigram-LM scoring CTE chain (reference model on doc_id % 3,
-    * vocab 1000, micro-nat scaled-long fold) — shared by the
-    * x_text_unigram oracle and every oracle that ranks by the score,
-    * so the model definition can never drift between them. Ends at
-    * `sc(doc_id, n_tokens, n_oov, s6)`.
-    */
-  private lazy val unigramScoreCtes =
-    s"""rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 3 = 0),
-       |rt AS (SELECT unnest(toks) AS tok FROM rd),
-       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM rt GROUP BY 1),
-       |vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM vc),
-       |kv AS (SELECT tok, cnt FROM vr WHERE rk <= 1000),
-       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM kv),
-       |vp AS (SELECT tok,
-       |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
-       |       FROM kv, tt),
-       |op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM tt),
-       |d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Per-doc (doc, token, count) CTEs over the scored corpus — the
+    * shared document side of every unigram-LM oracle. */
+  private lazy val docTokenCtes =
+    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |dt AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
-       |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2),
-       |sc AS (SELECT dc.doc_id,
+       |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2)""".stripMargin
+
+  /** The unigram-LM model + scoring CTE chain (vocab 1000, micro-nat
+    * scaled-long fold), parameterized by a CTE-name prefix and the
+    * reference-corpus WHERE clause so oracles can instantiate SEVERAL
+    * models over the same documents (cf. x_corpus_dsir: target model
+    * vs corpus model). Shared by x_text_unigram / x_corpus_bestk /
+    * x_corpus_dsir so the model definition can never drift between
+    * them. Requires [[docTokenCtes]] earlier in the WITH chain; ends
+    * at `<p>sc(doc_id, n_tokens, n_oov, s6)`.
+    */
+  private def unigramModelCtes(p: String, refWhere: String): String =
+    s"""${p}rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE $refWhere),
+       |${p}rt AS (SELECT unnest(toks) AS tok FROM ${p}rd),
+       |${p}vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ${p}rt GROUP BY 1),
+       |${p}vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM ${p}vc),
+       |${p}kv AS (SELECT tok, cnt FROM ${p}vr WHERE rk <= 1000),
+       |${p}tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM ${p}kv),
+       |${p}vp AS (SELECT tok,
+       |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
+       |       FROM ${p}kv, ${p}tt),
+       |${p}op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM ${p}tt),
+       |${p}sc AS (SELECT dc.doc_id,
        |         CAST(sum(n) AS BIGINT) AS n_tokens,
-       |         CAST(sum(CASE WHEN vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
-       |         CAST(sum(n * coalesce(vp.logp6, op.oov6)) AS BIGINT) AS s6
-       |       FROM dc LEFT JOIN vp ON dc.tok = vp.tok, op GROUP BY 1)""".stripMargin
+       |         CAST(sum(CASE WHEN ${p}vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+       |         CAST(sum(n * coalesce(${p}vp.logp6, ${p}op.oov6)) AS BIGINT) AS s6
+       |       FROM dc LEFT JOIN ${p}vp ON dc.tok = ${p}vp.tok, ${p}op GROUP BY 1)""".stripMargin
+
+  /** The x_text_unigram CTE chain, kept as the (doc CTEs + unprefixed
+    * model) instantiation. */
+  private lazy val unigramScoreCtes =
+    s"""$docTokenCtes,
+       |${unigramModelCtes("", "doc_id % 3 = 0")}""".stripMargin
 
   /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
     * CTE/table — reused by the dedup, clustering, and corpus-clean
@@ -2231,6 +2253,25 @@ object SparkEntry {
          |       coalesce(sc.n_oov, 0) AS n_oov,
          |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
          |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
+    // DSIR: two instantiations of the SAME model CTEs (target = en
+    // slice, reference = whole corpus), 9-dp score difference, the
+    // portable-affine Gumbel key, top-50 by (skey desc, id asc)
+    "x_corpus_dsir" ->
+      s"""WITH $docTokenCtes,
+         |${unigramModelCtes("t_", "lang = 'en'")},
+         |${unigramModelCtes("r_", "TRUE")},
+         |j AS (SELECT t_sc.doc_id,
+         |    floor((CAST(t_sc.s6 AS DOUBLE) / 1000000 / t_sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS lt,
+         |    floor((CAST(r_sc.s6 AS DOUBLE) / 1000000 / r_sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS lr
+         |  FROM t_sc JOIN r_sc ON t_sc.doc_id = r_sc.doc_id
+         |  WHERE t_sc.n_tokens > 0 AND r_sc.n_tokens > 0),
+         |k AS (SELECT doc_id, lt - lr AS logratio,
+         |    -ln(-ln((CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)) AS g
+         |  FROM j),
+         |s AS (SELECT doc_id, logratio,
+         |    floor((logratio + g) * 1000000000 + 0.5) / 1000000000 AS skey FROM k)
+         |SELECT doc_id, logratio, skey FROM s ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
 
     // best-k per language by the SAME unigram score CTEs (shared with
     // x_text_unigram so the two can never drift) — row_number mirrors

@@ -358,6 +358,55 @@ object Sampling {
       .select(groups :+ col("__t__.value").as(idCol) :+ col("__t__.weight").as(weightCol): _*)
   }
 
+  /** DSIR-shaped importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): pull
+    * the n corpus documents that look most like a TARGET domain, with
+    * randomness, by Gumbel top-n over the importance log-ratio
+    * log p_target(doc) − log p_corpus(doc). Both densities are the
+    * repo's deterministic unigram LM
+    * ([[TextAnalysis.unigramLogProbTable]] — DSIR's hashed-ngram bag
+    * reduced to the variant every step of which a SQL oracle can
+    * replay); the per-doc score is the MEAN token log-prob, so the
+    * ratio is length-neutral. Selection key = logratio + Gumbel(u),
+    * u the portable affine uniform shifted to (0, 1) — the standard
+    * Gumbel-max reparameterization of sampling-without-replacement
+    * ∝ exp(logratio), made reproducible across runs, partitionings,
+    * and engines; the key rounds half-up to 9 dp and ties break by id.
+    *
+    * Docs with no tokens score under neither model and are excluded.
+    * Output: (idCol, logratio, skey), the n selected docs.
+    *
+    * Scale: two broadcast-model scoring passes (each one explode +
+    * (doc, token) agg against a V-row broadcast model), an id-keyed
+    * join of two summary frames, then a narrow key map into a global
+    * TakeOrdered(n) — no corpus-wide sort, no per-group windows.
+    */
+  def importanceResample(
+      df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      n: Int, vocabSize: Int = 1000): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val lt = TextAnalysis.unigramLogProbTable(df, idCol, textCol, target, targetTextCol, vocabSize)
+      .select(id, col("avg_logp").as("__lt"))
+    val lr = TextAnalysis.unigramLogProbTable(df, idCol, textCol, df, textCol, vocabSize)
+      .select(id, col("avg_logp").as("__lr"))
+    // u strictly inside (0, 1): the +0.5 shift keeps ln(ln(u)) finite
+    // at both ends of the affine-hash range (u = 0 would send the
+    // one-in-a-million key with hash 0 to -inf, silently unselectable)
+    val u = (PortableHash.affineHash(id).cast("double") + lit(0.5)) /
+      lit(PortableHash.P).cast("double")
+    val g = -log(-log(u))
+    lt.join(lr, idCol)
+      .filter(col("__lt").isNotNull && col("__lr").isNotNull)
+      .withColumn("logratio", col("__lt") - col("__lr"))
+      .withColumn("skey",
+        floor((col("logratio") + g) * 1000000000.0 + lit(0.5)) / 1000000000.0)
+      .orderBy(desc("skey"), id)
+      .limit(n)
+      .select(id, col("logratio"), col("skey"))
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

@@ -194,4 +194,29 @@ class SamplingSpec extends AnyFunSuite {
     // group a: two 0.9s tie → ids 1 and 3 (id asc beats the 0.7)
     assert(got == Set(("a", 1L, 0.9), ("a", 3L, 0.9), ("b", 6L, 0.5)))
   }
+
+  test("importanceResample: selection skews to target-like docs, deterministic") {
+    // 20 docs in the target's vocabulary, 20 in a disjoint one: the
+    // target model scores alien tokens as OOV, so the log-ratio gap
+    // (several nats) dominates the Gumbel noise for most keys
+    val docs = ((0L until 20L).map(i => (i, s"alpha beta gamma delta t$i")) ++
+      (20L until 40L).map(i => (i, s"omega psi chi nu o$i"))).toDF("doc_id", "text")
+    val target = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+    val got = Sampling.importanceResample(docs, "doc_id", "text", target, "text", n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    val targetLike = got.count(_._1 < 20)
+    assert(targetLike >= 8, s"expected target-domain docs to dominate, got $targetLike/10")
+    // every target-like doc outscores every alien doc on logratio
+    val minT = got.filter(_._1 < 20).map(_._2).minOption
+    val maxO = got.filter(_._1 >= 20).map(_._2).maxOption
+    (minT, maxO) match {
+      case (Some(t), Some(o)) => assert(t > o)
+      case _ => ()
+    }
+    // deterministic + partition-invariant
+    val again = Sampling.importanceResample(docs.repartition(7), "doc_id", "text",
+      target, "text", n = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == again.toSeq)
+  }
 }
