@@ -1249,6 +1249,18 @@ object SparkEntry {
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
+  /** DuckDB mirror of [[graft.functions.PortableHash.polyHash31]] for
+    * an arbitrary string expression (empty string folds to 0) — the
+    * SINGLE source for every oracle that replays the poly-hash kernel,
+    * matching PortableHash's one-definition rule on the Scala side.
+    * `base` parameterizes SimHash's second 131-base row.
+    */
+  private def polyHashSqlOf(expr: String, base: Int = 31): String =
+    s"""CASE WHEN $expr = '' THEN 0
+       |     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |          (a, b) -> (a * $base + b) % 2147483647) END""".stripMargin
+
   /** Per-doc (doc, token, count) CTEs over the scored corpus — the
     * shared document side of every unigram-LM oracle. */
   private lazy val docTokenCtes =
@@ -1779,12 +1791,7 @@ object SparkEntry {
     // normalized token stream — same fold, left to right, both engines
     "s7_fingerprint_portable" ->
       s"""SELECT doc_id,
-         |  CASE WHEN j = '' THEN 0
-         |       ELSE list_reduce(
-         |              list_prepend(CAST(0 AS BIGINT),
-         |                list_transform(string_split(j, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |              (a, b) -> (a * 31 + b) % 2147483647)
-         |  END AS fingerprint
+         |  ${polyHashSqlOf("j")} AS fingerprint
          |FROM (SELECT doc_id, array_to_string($toksSql, ' ') AS j FROM documents)""".stripMargin,
 
     // corpus report: the same per-row conventions as the stage oracles
@@ -1813,10 +1820,7 @@ object SparkEntry {
          |        CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
          |              AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / (CASE WHEN length(text) > 0 THEN length(text) END) < 0.3
          |             THEN 1 ELSE 0 END AS keep,
-         |        CASE WHEN array_to_string(toks, ' ') = '' THEN 0
-         |             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |                    list_transform(string_split(array_to_string(toks, ' '), ''), c -> CAST(unicode(c) AS BIGINT))),
-         |                  (a, b) -> (a * 31 + b) % 2147483647) END AS f
+         |        ${polyHashSqlOf("array_to_string(toks, ' ')")} AS f
          |      FROM tl),
          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |        CAST(sum(CASE WHEN q.tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
@@ -1965,12 +1969,7 @@ object SparkEntry {
     "x_corpus_split_grouped" -> {
       val cuts = Sampling.splitCuts(Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
       s"""WITH h AS (SELECT doc_id, source,
-         |    CASE WHEN coalesce(source, '') = '' THEN 0
-         |         ELSE list_reduce(
-         |                list_prepend(CAST(0 AS BIGINT),
-         |                  list_transform(string_split(coalesce(source, ''), ''), c -> CAST(unicode(c) AS BIGINT))),
-         |                (a, b) -> (a * 31 + b) % 2147483647)
-         |    END AS gh
+         |    ${polyHashSqlOf("coalesce(source, '')")} AS gh
          |  FROM documents),
          |u AS (SELECT doc_id, source,
          |        CAST(((gh % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
@@ -1998,8 +1997,6 @@ object SparkEntry {
          |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
 
-    // same recursive components, aggregated twice: cluster → size →
-    // how many clusters of each size (the dedup audit's census row)
     // BM25: same association order as bm25TopK's expressions — IEEE
     // +,*,/ agree exactly; ln() ulp drift is absorbed by the half-up
     // micro-unit grid before the (order-invariant) long sum. The k1/b
@@ -2040,15 +2037,14 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT text, 'recrawl' AS source FROM documents WHERE doc_id % 5 = 0),
          |f AS (SELECT DISTINCT source,
-         |    CASE WHEN array_to_string($toksSql, ' ') = '' THEN 0
-         |         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |                list_transform(string_split(array_to_string($toksSql, ' '), ''), c -> CAST(unicode(c) AS BIGINT))),
-         |              (a, b) -> (a * 31 + b) % 2147483647) END AS fp
+         |    ${polyHashSqlOf(s"array_to_string($toksSql, ' ')")} AS fp
          |  FROM all_docs WHERE source IS NOT NULL AND text IS NOT NULL)
          |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
          |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
 
+    // same recursive components as x_dedup_clusters, aggregated twice:
+    // cluster → size → how many clusters of each size (the census row)
     "x_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2427,12 +2423,8 @@ object SparkEntry {
     "x_dedup_simhash" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |th AS (SELECT doc_id, unnest(list_transform(toks, t ->
-         |         [CASE WHEN t = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |            (a, b) -> (a * 31 + b) % 2147483647) END,
-         |          CASE WHEN t = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |            (a, b) -> (a * 131 + b) % 2147483647) END])) AS h
+         |         [${polyHashSqlOf("t")},
+         |          ${polyHashSqlOf("t", 131)}])) AS h
          |       FROM d),
          |bits AS (SELECT doc_id, j,
          |           sum((CASE WHEN j < 30 THEN (h[1] >> j) & 1 ELSE (h[2] >> (j - 30)) & 1 END) * 2 - 1) AS sgn
@@ -2568,8 +2560,6 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM d
         |WHERE len(list_filter(doms, x -> list_contains(['site3.example.com', 'cdn1.example.org'], x))) = 0""".stripMargin,
 
-    // same per-element formula and left-to-right fold order as the
-    // Spark side; the zero-vector guard nulls identically via CASE
     // class centroids: per-component micro-rounded exact long sums —
     // the division at the end is IEEE-identical given identical longs
     "x_emb_centroids" ->
@@ -2586,6 +2576,8 @@ object SparkEntry {
         |       n_vectors
         |FROM g""".stripMargin,
 
+    // same per-element formula and left-to-right fold order as the
+    // Spark side; the zero-vector guard nulls identically via CASE
     "x_emb_quant" ->
       """WITH s AS (SELECT vec_id, embedding,
         |    (SELECT max(abs(CAST(a AS DOUBLE))) FROM (SELECT unnest(embedding) AS a)) AS mx

@@ -187,11 +187,8 @@ object Sampling {
       df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
       outCol: String = "split"): DataFrame = {
     validateSplits(splits)
-    val keyType = df.schema(keyCol).dataType.typeName
-    require(Seq("byte", "short", "integer", "long").contains(keyType),
-      s"splitAssign needs an integral key column; '$keyCol' is $keyType — a " +
-        "non-numeric key casts to null and would silently land every row in " +
-        "the last split")
+    requireIntegralKey(df, keyCol, "splitAssign",
+      "a non-numeric key casts to null and would silently land every row in the last split")
     val u = PortableHash.affineUniform(graft.ops.Cleaning.qcol(keyCol))
     df.withColumn(outCol, assignByUniform(u, splits))
   }
@@ -218,6 +215,17 @@ object Sampling {
     val g = graft.ops.Cleaning.qcol(groupCol).cast("string")
     val u = PortableHash.affineUniform(PortableHash.polyHash31(coalesce(g, lit(""))))
     df.withColumn(outCol, assignByUniform(u, splits))
+  }
+
+  /** Guard for every operator whose key feeds `cast("long")` hash
+    * arithmetic: a non-integral key casts to NULL silently, which
+    * corrupts the result instead of erroring — each caller states its
+    * own failure mode. */
+  private def requireIntegralKey(
+      df: DataFrame, keyCol: String, op: String, consequence: String): Unit = {
+    val t = df.schema(keyCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(t),
+      s"$op needs an integral key column; '$keyCol' is $t — $consequence")
   }
 
   private def validateSplits(splits: Seq[(String, Double)]): Unit = {
@@ -348,6 +356,8 @@ object Sampling {
       k: Int): DataFrame = {
     require(groupCols.nonEmpty, "keepBestKPerGroup needs at least one group column")
     require(k > 0, s"k must be > 0, got $k")
+    requireIntegralKey(df, idCol, "keepBestKPerGroup",
+      "every id would cast to null and the aggregate would silently emit zero rows")
     val groups = groupCols.map(graft.ops.Cleaning.qcol)
     val w = graft.ops.Cleaning.qcol(weightCol).cast("double")
     df.filter(w.isNotNull)
@@ -386,6 +396,8 @@ object Sampling {
       target: DataFrame, targetTextCol: String,
       n: Int, vocabSize: Int = 1000): DataFrame = {
     require(n > 0, s"n must be > 0, got $n")
+    requireIntegralKey(df, idCol, "importanceResample",
+      "every Gumbel key would be null and the selection would silently become 'first n ids'")
     val id = graft.ops.Cleaning.qcol(idCol)
     val lt = TextAnalysis.unigramLogProbTable(df, idCol, textCol, target, targetTextCol, vocabSize)
       .select(id, col("avg_logp").as("__lt"))

@@ -48,10 +48,15 @@ object MakeScaled {
       // Copies must occupy disjoint key ranges — a source key >= Shift
       // (e.g. an already-scaled dir re-used as input) would collide with
       // copy i+1's range and silently break the per-copy integrity claim.
-      keys.foreach { k =>
-        val maxKey = base.agg(max(col(k).cast("long"))).head().getLong(0)
-        require(maxKey < Shift,
-          s"$name.$k max=$maxKey >= shift=$Shift; source too large or already scaled")
+      // One combined agg per table; an empty/all-null key maxes to null,
+      // which trivially satisfies the bound (nothing to collide).
+      if (keys.nonEmpty) {
+        val maxRow = base.agg(keys.map(k => max(col(k).cast("long")).as(k)).head,
+          keys.map(k => max(col(k).cast("long")).as(k)).tail: _*).head()
+        keys.zipWithIndex.foreach { case (k, i) =>
+          if (!maxRow.isNullAt(i)) require(maxRow.getLong(i) < Shift,
+            s"$name.$k max=${maxRow.getLong(i)} >= shift=$Shift; source too large or already scaled")
+        }
       }
       val out: DataFrame =
         if (keys.isEmpty) base

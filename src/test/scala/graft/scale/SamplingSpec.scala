@@ -193,6 +193,15 @@ class SamplingSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSet
     // group a: two 0.9s tie → ids 1 and 3 (id asc beats the 0.7)
     assert(got == Set(("a", 1L, 0.9), ("a", 3L, 0.9), ("b", 6L, 0.5)))
+    // string ids would cast to null and silently empty the output
+    val strIds = Seq(("a", "u1", 0.9)).toDF("grp", "id", "score")
+    assertThrows[IllegalArgumentException] {
+      Sampling.keepBestKPerGroup(strIds, Seq("grp"), "id", "score", 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.importanceResample(strIds.toDF("grp", "doc_id", "w"), "doc_id", "grp",
+        strIds, "grp", n = 1)
+    }
   }
 
   test("importanceResample: selection skews to target-like docs, deterministic") {
