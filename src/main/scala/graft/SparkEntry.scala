@@ -875,6 +875,18 @@ object SparkEntry {
     "x_emb_centroids" -> ((s, d) =>
       graft.scale.Embeddings.groupCentroids(T(s, d, "embeddings"), "label", "embedding")),
 
+    // centroid-classifier confusion audit: fit per-label centroids,
+    // assign every vector to its nearest (squared L2, ties to lowest
+    // label), count (true, assigned) pairs — fit + E-step + audit
+    "x_emb_assign" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cents = graft.scale.Embeddings.groupCentroids(emb, "label", "embedding")
+      graft.scale.Embeddings.assignToCentroids(emb, "embedding", cents, "label")
+        .filter(col("embedding").isNotNull)
+        .groupBy(col("label"), col("assigned"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // matryoshka truncation to a 16-dim prefix: scalar outputs only
     // (retained-norm fraction + first normalized component) since the
     // compare harness can't hash array columns
@@ -2559,6 +2571,31 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, lang, source FROM d
         |WHERE len(list_filter(doms, x -> list_contains(['site3.example.com', 'cdn1.example.org'], x))) = 0""".stripMargin,
+
+    // confusion audit: centroid lists rebuilt from the same exact
+    // means, distance as the same LEFT-TO-RIGHT ordered fold as
+    // NearestCells (an unordered sum() would drift), argmin via
+    // (dist asc, label asc) = the expression's (dist, index) tie rule
+    "x_emb_assign" ->
+      """WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |x AS (SELECT label, pos,
+        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
+        |  FROM e),
+        |g AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |    list(CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) ORDER BY pos) AS cvec
+        |  FROM g GROUP BY 1),
+        |a AS (SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(len(v.embedding)), j ->
+        |        (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]) * (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]))),
+        |      (p, q) -> p + q) AS dist
+        |  FROM embeddings v, c WHERE v.embedding IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rk FROM a)
+        |SELECT true_label AS label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
 
     // class centroids: per-component micro-rounded exact long sums —
     // the division at the end is IEEE-identical given identical longs

@@ -195,4 +195,66 @@ object Embeddings {
           .as("centroid"),
         col("n_vectors"))
   }
+
+  /** Rows-cap for the collected centroid model — |groups| × dim must be
+    * driver-sized (the same contract as the PQ codebooks / IVF
+    * centroids); a key column passed as the group by mistake must
+    * error loudly, not OOM the driver. */
+  val MaxCentroidModelRows = 1 << 20
+
+  /** Nearest-centroid assignment — the E-step / domain tagger pairing
+    * [[groupCentroids]]: every vector gets the group of its closest
+    * centroid (squared L2, ties to the lowest group key), as a new
+    * column. `centroids` is a (groupCol, pos, centroid) frame — fit it
+    * with [[groupCentroids]] on labeled data (or load a persisted one)
+    * and assign any corpus against it; composing the two over the SAME
+    * frame yields the centroid-classifier confusion audit.
+    *
+    * Scale: the model is collected once (cap [[MaxCentroidModelRows]],
+    * loud failure past it) and ships inside a native expression — the
+    * corpus pass is one narrow map plus a |groups|-row broadcast join
+    * mapping centroid index back to the group key. Null vectors assign
+    * null; null group keys are excluded from the model.
+    *
+    * Determinism: centroid components are the exact engine-invariant
+    * [[groupCentroids]] means; the distance fold is left-to-right per
+    * [[graft.functions.Native.NearestCells]], so an oracle replaying
+    * the same ordered fold agrees bit-for-bit.
+    */
+  def assignToCentroids(
+      df: DataFrame, vecCol: String, centroids: DataFrame,
+      groupCol: String, outCol: String = "assigned"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = centroids
+      .select(graft.ops.Cleaning.qcol(groupCol), col("pos"), col("centroid"))
+      .limit(MaxCentroidModelRows + 1).collect()
+      .filterNot(_.isNullAt(0))
+    require(rows.length <= MaxCentroidModelRows,
+      s"assignToCentroids: centroid model exceeds $MaxCentroidModelRows rows — '$groupCol' is not a group-sized column")
+    require(rows.nonEmpty, "assignToCentroids: empty centroid model")
+    val gType = centroids.schema(groupCol).dataType
+    val byGroup = rows.groupBy(_.get(0))
+    val orderedKeys: Seq[Any] = gType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        byGroup.keys.toSeq.sortBy(_.asInstanceOf[Number].longValue)
+      case StringType => byGroup.keys.toSeq.sortBy(_.asInstanceOf[String])
+      case t => throw new IllegalArgumentException(
+        s"assignToCentroids: group column must be integral or string for a total tie order, got ${t.simpleString}")
+    }
+    val cents: Array[Array[Double]] = orderedKeys.map { k =>
+      val comps = byGroup(k)
+      val arr = new Array[Double](comps.map(_.getLong(1)).max.toInt + 1)
+      comps.foreach(r => arr(r.getLong(1).toInt) = r.getDouble(2))
+      arr
+    }.toArray
+    import org.apache.spark.sql.{Row => SRow}
+    val mapping = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(orderedKeys.zipWithIndex.map { case (k, i) => SRow(i, k) }: _*),
+      StructType(Seq(StructField("__ci", IntegerType), StructField(outCol, gType))))
+    df.withColumn("__ci",
+        element_at(graft.functions.Native.nearestCells(
+          graft.ops.Cleaning.qcol(vecCol), cents, 1), 1))
+      .join(broadcast(mapping), Seq("__ci"), "left")
+      .drop("__ci")
+  }
 }

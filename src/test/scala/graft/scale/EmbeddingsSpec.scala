@@ -101,4 +101,32 @@ class EmbeddingsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
     assert(got == again)
   }
+
+  test("assignToCentroids: nearest centroid wins, null vectors assign null") {
+    val df = Seq(
+      (1L, Some(Array(0.0f, 0.0f)), 0),
+      (2L, Some(Array(0.2f, 0.0f)), 0),
+      (3L, Some(Array(10.0f, 0.0f)), 1),
+      (4L, Some(Array(9.8f, 0.0f)), 1),
+      (5L, None, 1) // null vector
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.groupCentroids(df, "label", "embedding")
+    val out = Embeddings.assignToCentroids(df, "embedding", cents, "label")
+    val got = out.collect().map { r =>
+      r.getLong(r.fieldIndex("vec_id")) ->
+        (if (r.isNullAt(r.fieldIndex("assigned"))) -1 else r.getInt(r.fieldIndex("assigned")))
+    }.toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> -1))
+    // a vector nearer the OTHER class's centroid crosses over
+    val probe = Seq((9L, Array(7.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val cross = Embeddings.assignToCentroids(probe, "embedding", cents, "label")
+      .collect().head
+    assert(cross.getInt(cross.fieldIndex("assigned")) == 1)
+    // non-orderable group type must error, not silently mis-order ties
+    val dblGroups = Seq((1L, Array(1.0f), 0.5)).toDF("vec_id", "embedding", "label")
+    assertThrows[IllegalArgumentException] {
+      Embeddings.assignToCentroids(df, "embedding",
+        Embeddings.groupCentroids(dblGroups, "label", "embedding"), "label")
+    }
+  }
 }
