@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
@@ -48,6 +48,25 @@ object Models {
     require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
       s"loadCentroids: non-contiguous cell ids at $path — not a saveCentroids artifact")
     rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Persist a [[Embeddings.groupCentroids]] frame — the class-centroid
+    * model for [[Embeddings.assignToCentroids]]: fit once on a labeled
+    * wave, reuse on every later delivery. Plain parquet (doubles are
+    * IEEE-lossless there), one file — the frame is driver-sized by the
+    * [[Embeddings.MaxCentroidModelRows]] contract.
+    */
+  def saveGroupCentroids(cents: DataFrame, path: String): Unit =
+    cents.repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a model saved by [[saveGroupCentroids]]; fails loudly on a
+    * path that is not a groupCentroids artifact. */
+  def loadGroupCentroids(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = Seq("pos", "centroid").filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"loadGroupCentroids: $path is not a groupCentroids artifact (missing ${missing.mkString(", ")})")
+    df
   }
 
   /** Persist a fitted PQ model: one row per (subspace, code) centroid

@@ -93,4 +93,31 @@ class ModelsSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().toSeq
     assert(ivf == flat)
   }
+
+  test("group-centroid model: save/load roundtrip, wave-2 assignment identical, loud non-artifact error") {
+    val labeled = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (math.cos(i % 3 * 10 + j) * 2).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.groupCentroids(labeled, "label", "embedding")
+    val dir = tmp("models-group-centroids")
+    Models.saveGroupCentroids(cents, dir)
+    val loaded = Models.loadGroupCentroids(spark, dir)
+    // bit-exact roundtrip (parquet doubles are lossless)
+    assert(loaded.orderBy("label", "pos").collect().toSeq ==
+      cents.orderBy("label", "pos").collect().toSeq)
+    // wave 2 tags with the LOADED wave-1 model — no drift vs in-memory
+    val wave2 = (100 until 130).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (math.cos(i % 3 * 10 + j) * 2 + 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val viaLoaded = Embeddings.assignToCentroids(wave2, "embedding", loaded, "label")
+      .orderBy("vec_id").collect().toSeq
+    val viaMemory = Embeddings.assignToCentroids(wave2, "embedding", cents, "label")
+      .orderBy("vec_id").collect().toSeq
+    assert(viaLoaded == viaMemory)
+    val pqDir = tmp("models-notcentroids")
+    Models.savePq(spark, Pq.syntheticModel(dim = 8, m = 2, k = 4), pqDir)
+    assertThrows[IllegalArgumentException] {
+      Models.loadGroupCentroids(spark, pqDir) // a PQ artifact, not centroids
+    }
+  }
 }

@@ -324,4 +324,31 @@ class StreamsSpec extends AnyFunSuite {
       assert(got == Set(Streams.SessionOut(1L, ts(0).getTime / 1000, ts(10).getTime / 1000, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming domain tagging: assignToCentroids over a loaded model is a stateless stream map") {
+    // fit on batch wave 1, persist; the STREAM of later vectors tags
+    // against the loaded model — the stateless E-step at ingest time
+    val wave1 = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1), (4L, Array(9.8f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cent_model").toString
+    graft.scale.Models.saveGroupCentroids(
+      graft.scale.Embeddings.groupCentroids(wave1, "label", "embedding"), dir)
+    val model = graft.scale.Models.loadGroupCentroids(spark, dir)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val tagged = graft.scale.Embeddings.assignToCentroids(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", model, "label")
+    val q = tagged.writeStream.outputMode("append").format("memory")
+      .queryName("tagout").start()
+    try {
+      mem.addData((10L, Array(0.5f, 0.1f)), (11L, Array(9.0f, -0.1f)), (12L, Array(1.0f, 0.0f)))
+      q.processAllAvailable()
+      val got = spark.table("tagout").select("vec_id", "assigned")
+        .as[(Long, Int)].collect().toMap
+      assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0))
+    } finally q.stop()
+  }
 }
