@@ -370,6 +370,17 @@ object SparkEntry {
       TextAnalysis.bm25TopK(T(s, d, "documents"), "doc_id", "text",
         query = "spark window merge vector", k = 10)),
 
+    // the inverted-index BM25 form for a query TABLE: one (doc, token)
+    // tf shuffle probed by the broadcast query vocabulary, per-query
+    // top-k on the bounded aggregate (shuffle ∝ queries × k)
+    "x_text_bm25_many" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "spark window"), (2L, "merge vector table"),
+        (3L, "customer stream")).toDF("query_id", "qtext")
+      TextAnalysis.bm25TopKMany(T(s, d, "documents"), "doc_id", "text",
+        queries, "query_id", "qtext", k = 5)
+    }),
+
     // the full training-data prep recipe in one call: quality filter →
     // language filter → near-dup dedup → representatives
     "x_corpus_clean" -> ((s, d) =>
@@ -1261,6 +1272,22 @@ object SparkEntry {
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
+  /** DuckDB mirror of [[graft.scale.TextAnalysis]]'s `bm25Contrib`
+    * kernel at the default k1 = 1.2, b = 0.75 — one definition for
+    * every BM25 oracle, with the constants interpolated from the SAME
+    * Scala doubles the Spark plan uses (shortest-roundtrip decimals
+    * parse back bit-identical).
+    */
+  private def bm25ContribSql(
+      tf: String, dfc: String, dl: String, nd: String, tt: String): String = {
+    val k1 = 1.2; val b = 0.75
+    val k1p1 = (k1 + 1.0).toString; val omb = (1.0 - b).toString
+    s"""CAST(floor(
+       |  ln(1.0 + (CAST($nd AS DOUBLE) - CAST($dfc AS DOUBLE) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
+       |  * ((CAST($tf AS DOUBLE) * $k1p1) / (CAST($tf AS DOUBLE) + $k1 * ($omb + $b * (CAST($dl AS DOUBLE) / (CAST($tt AS DOUBLE) / CAST($nd AS DOUBLE))))))
+       |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+  }
+
   /** DuckDB mirror of [[graft.functions.PortableHash.polyHash31]] for
     * an arbitrary string expression (empty string folds to 0) — the
     * SINGLE source for every oracle that replays the poly-hash kernel,
@@ -2009,24 +2036,19 @@ object SparkEntry {
          |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
 
-    // BM25: same association order as bm25TopK's expressions — IEEE
+    // BM25: same association order as bm25Contrib's expressions — IEEE
     // +,*,/ agree exactly; ln() ulp drift is absorbed by the half-up
     // micro-unit grid before the (order-invariant) long sum. The k1/b
     // constants are interpolated from the SAME Scala doubles the Spark
     // plan uses (shortest-roundtrip decimal, parses back bit-identical).
     "x_text_bm25" -> {
       val terms = Seq("spark", "window", "merge", "vector")
-      val k1 = 1.2; val b = 0.75
-      val k1p1 = (k1 + 1.0).toString; val omb = (1.0 - b).toString
       val tfCols = terms.zipWithIndex.map { case (t, i) =>
         s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i" }.mkString(",\n  ")
       val dfCols = terms.indices.map(i =>
         s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n  ")
       val contribs = terms.indices.map { i =>
-        s"""CASE WHEN tf_$i > 0 THEN CAST(floor(
-           |  ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
-           |  * ((CAST(tf_$i AS DOUBLE) * $k1p1) / (CAST(tf_$i AS DOUBLE) + $k1 * ($omb + $b * (CAST(dl AS DOUBLE) / (CAST(tt AS DOUBLE) / CAST(nd AS DOUBLE))))))
-           |  * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END""".stripMargin
+        s"CASE WHEN tf_$i > 0 THEN ${bm25ContribSql(s"tf_$i", s"df_$i", "dl", "nd", "tt")} ELSE 0 END"
       }.mkString(" +\n")
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
@@ -2040,6 +2062,34 @@ object SparkEntry {
          |WHERE bm25_micro > 0
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
     },
+
+    // many-query BM25: the inverted-index formulation, same contrib
+    // kernel; per-query top-5 mirrors the bounded aggregate's
+    // (score desc, id asc) total order
+    "x_text_bm25_many" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |    (CAST(1 AS BIGINT), 'spark window'),
+         |    (CAST(2 AS BIGINT), 'merge vector table'),
+         |    (CAST(3 AS BIGINT), 'customer stream')),
+         |qt AS (SELECT DISTINCT query_id,
+         |         unnest(CASE WHEN trim(qtext)='' THEN CAST([] AS VARCHAR[])
+         |                     ELSE string_split_regex(trim(lower(qtext)), '\\s+') END) AS tok
+         |       FROM q),
+         |toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tf),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |        ${bm25ContribSql("tf", "df", "dl", "nd", "tt")} AS contrib
+         |      FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) JOIN dfq USING (tok), s, t),
+         |b AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+         |      FROM c GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+         |      FROM b WHERE bm25_micro > 0)
+         |SELECT query_id, doc_id, bm25_micro, CAST(rk AS INT) AS rank
+         |FROM r WHERE rk <= 5""".stripMargin,
 
     // overlap census: DISTINCT (source, portable fp) then the
     // fp-equality self-join — same planted recrawl fixture both sides

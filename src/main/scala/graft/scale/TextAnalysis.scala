@@ -208,6 +208,22 @@ object TextAnalysis {
     * that long (divide by 10⁶ for the float score). Ties break by id;
     * zero-score docs (no query term present) are excluded.
     */
+  /** One term's BM25 contribution in half-up micro-units — the SINGLE
+    * definition both retrieval forms ([[bm25TopK]], [[bm25TopKMany]])
+    * and their oracles mirror; every factor must associate exactly as
+    * the oracle SQL writes it (IEEE +,*,/ are deterministic given the
+    * same association; ln() drift is absorbed by the 6-dp grid). */
+  private def bm25Contrib(
+      tf: Column, dfc: Column, dl: Column, nd: Column, tt: Column,
+      k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) +
+      (nd.cast("double") - dfc.cast("double") + lit(0.5)) / (dfc.cast("double") + lit(0.5)))
+    val tfn = (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (dl.cast("double") / (tt.cast("double") / nd.cast("double")))))
+    floor(idf * tfn * lit(1000000.0) + lit(0.5))
+  }
+
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String, query: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -226,18 +242,10 @@ object TextAnalysis {
       terms.indices.map(i =>
         sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-    // avgdl and every per-term factor below must associate EXACTLY as
-    // the oracle SQL writes them — IEEE +,*,/ are deterministic given
-    // the same association; ln() drift is absorbed by the 6-dp grid
-    val avgdl = col("__tt").cast("double") / col("__nd").cast("double")
     val contribs = terms.indices.map { i =>
-      val tf = col(s"__tf_$i").cast("double")
-      val dfc = col(s"__df_$i").cast("double")
-      val idf = log(lit(1.0) + (col("__nd").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)))
-      val tfn = (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)))
       when(col(s"__tf_$i") > 0,
-        floor(idf * tfn * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(lit(0L))
+        bm25Contrib(col(s"__tf_$i"), col(s"__df_$i"), col("__dl"),
+          col("__nd"), col("__tt"), k1, b).cast("long")).otherwise(lit(0L))
     }
     perDoc.crossJoin(broadcast(stats))
       .withColumn("bm25_micro", contribs.reduce(_ + _))
@@ -245,6 +253,65 @@ object TextAnalysis {
       .orderBy(desc("bm25_micro"), id)
       .limit(k)
       .select(id, col("bm25_micro"))
+  }
+
+  /** BM25 top-k for a TABLE of queries — the inverted-index
+    * formulation for when the query set is itself large: docs explode
+    * ONCE to a (doc, token) tf frame (the [[tfidfTopK]] shape, one
+    * shuffle), the query vocabulary probes it by a BROADCAST token
+    * join, and each (query, doc) sums exact micro-unit contributions
+    * (the same [[bm25Contrib]] kernel as the single-query form).
+    * Contrast [[bm25TopK]], which stays completely narrow but
+    * re-scans per query — right for ONE query, wrong for thousands.
+    *
+    * Scale: one token-frame shuffle (aggregated once, reused for tf,
+    * doc length via the doc-partitioned window sum, and df), queries
+    * broadcast, and the per-query top-k rides the map-side-bounded
+    * [[graft.functions.Aggregates.topKByDoubleWeight]] aggregate —
+    * shuffle ∝ queries × k, never a corpus-wide window sort. Docs
+    * with no query term never materialize a candidate row.
+    *
+    * Output: (queryIdCol, idCol, bm25_micro, rank), ranked by
+    * (score desc, id asc) per query.
+    */
+  def bm25TopKMany(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(Seq("byte", "short", "integer", "long").contains(df.schema(idCol).dataType.typeName),
+      s"bm25TopKMany needs an integral doc id ('$idCol' is ${df.schema(idCol).dataType.typeName}) " +
+        "— the bounded top-k aggregate carries ids as longs")
+    import org.apache.spark.sql.expressions.Window
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val qid = graft.ops.Cleaning.qcol(queryIdCol)
+    val toks = df.select(id, explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
+    val tf = toks.groupBy(id, col("__tok")).agg(count(lit(1)).as("__tf"))
+    val tfl = tf.withColumn("__dl", sum(col("__tf")).over(Window.partitionBy(id)))
+    val qt = queries
+      .select(qid.as("__qid"), explode(tokens(graft.ops.Cleaning.qcol(queryTextCol))).as("__tok"))
+      .distinct()
+    val dfreq = tf.join(broadcast(qt.select(col("__tok")).distinct()), "__tok")
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val stats = df.agg(
+      count(lit(1)).as("__nd"),
+      sum(tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")).as("__tt"))
+    val byDoc = tfl.join(broadcast(qt), "__tok")
+      .join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib",
+        bm25Contrib(col("__tf"), col("__df"), col("__dl"), col("__nd"), col("__tt"), k1, b)
+          .cast("long"))
+      .groupBy(col("__qid"), id)
+      .agg(sum(col("__contrib")).as("bm25_micro"))
+      .filter(col("bm25_micro") > 0)
+    byDoc.groupBy(col("__qid"))
+      .agg(graft.functions.Aggregates.topKByDoubleWeight(
+        id.cast("long"), col("bm25_micro").cast("double"), k, ascending = false).as("__top__"))
+      .select(col("__qid"), posexplode(col("__top__")).as(Seq("__r", "__t")))
+      .select(col("__qid").as(queryIdCol), col("__t.value").as(idCol),
+        col("__t.weight").cast("long").as("bm25_micro"),
+        (col("__r") + 1).cast("int").as("rank"))
   }
 
   /** Unigram log-probability scoring — the degenerate-but-honest form

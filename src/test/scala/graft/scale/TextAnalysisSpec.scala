@@ -255,4 +255,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.bm25TopK(df, "doc_id", "text", "   ")
     }
   }
+
+  test("bm25TopKMany agrees exactly with the single-query form per query") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "cherry date elderberry fig"),
+      (5L, "")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana"), (20L, "cherry"), (30L, "zzz"))
+      .toDF("query_id", "qtext")
+    val many = TextAnalysis.bm25TopKMany(df, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    for ((qid, qtext) <- Seq(10L -> "apple banana", 20L -> "cherry")) {
+      val single = TextAnalysis.bm25TopK(df, "doc_id", "text", qtext, k = 10)
+        .as[(Long, Long)].collect().toSet
+      val m = many.getOrElse(qid, Array.empty).map(t => (t._2, t._3)).toSet
+      assert(m == single, s"query $qid diverged between the two forms")
+    }
+    assert(!many.contains(30L)) // no doc matches: no rows, same as single form
+    // rank mirrors (score desc, id asc)
+    val ranked = TextAnalysis.bm25TopKMany(df, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 10L)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(ranked == Seq(1L, 3L, 2L))
+  }
 }
