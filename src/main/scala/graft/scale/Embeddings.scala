@@ -225,10 +225,14 @@ object Embeddings {
       df: DataFrame, vecCol: String, centroids: DataFrame,
       groupCol: String, outCol: String = "assigned"): DataFrame = {
     import org.apache.spark.sql.types._
+    val g = graft.ops.Cleaning.qcol(groupCol)
+    // null groups filter INSIDE the query, before the cap limit — done
+    // after, null rows would both eat cap slots (silently truncating
+    // real centroid rows) and defeat the loud over-cap guard
     val rows = centroids
-      .select(graft.ops.Cleaning.qcol(groupCol), col("pos"), col("centroid"))
+      .filter(g.isNotNull)
+      .select(g, col("pos"), col("centroid"))
       .limit(MaxCentroidModelRows + 1).collect()
-      .filterNot(_.isNullAt(0))
     require(rows.length <= MaxCentroidModelRows,
       s"assignToCentroids: centroid model exceeds $MaxCentroidModelRows rows — '$groupCol' is not a group-sized column")
     require(rows.nonEmpty, "assignToCentroids: empty centroid model")
@@ -241,19 +245,34 @@ object Embeddings {
       case t => throw new IllegalArgumentException(
         s"assignToCentroids: group column must be integral or string for a total tie order, got ${t.simpleString}")
     }
+    // a partial artifact (interrupted write, hand-filtered frame) must
+    // fail loudly here — zero-filling a missing component would score
+    // silently wrong (cf. loadCentroids' contiguity check)
     val cents: Array[Array[Double]] = orderedKeys.map { k =>
       val comps = byGroup(k)
-      val arr = new Array[Double](comps.map(_.getLong(1)).max.toInt + 1)
+      val positions = comps.map(_.getLong(1)).sorted
+      require(positions.head == 0L && positions.last == positions.length - 1L &&
+          positions.distinct.length == positions.length,
+        s"assignToCentroids: group '$k' has non-contiguous component positions — not a complete groupCentroids artifact")
+      val arr = new Array[Double](positions.length)
       comps.foreach(r => arr(r.getLong(1).toInt) = r.getDouble(2))
       arr
     }.toArray
+    val dims = cents.map(_.length).distinct
+    require(dims.length == 1,
+      s"assignToCentroids: groups disagree on dimension (${dims.sorted.mkString(", ")})")
+    val dim = dims.head
     import org.apache.spark.sql.{Row => SRow}
     val mapping = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(orderedKeys.zipWithIndex.map { case (k, i) => SRow(i, k) }: _*),
       StructType(Seq(StructField("__ci", IntegerType), StructField(outCol, gType))))
-    df.withColumn("__ci",
-        element_at(graft.functions.Native.nearestCells(
-          graft.ops.Cleaning.qcol(vecCol), cents, 1), 1))
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    // a vector whose length differs from the model dim must error, not
+    // be prefix-scored (NearestCells would silently use min(dim, |c|))
+    df.filter(assert_true(v.isNull || (size(v) === dim),
+        lit(s"assignToCentroids: vector dim != model dim $dim in '$vecCol'")).isNull)
+      .withColumn("__ci",
+        element_at(graft.functions.Native.nearestCells(v, cents, 1), 1))
       .join(broadcast(mapping), Seq("__ci"), "left")
       .drop("__ci")
   }

@@ -266,22 +266,22 @@ object TextAnalysis {
     *
     * Scale: one token-frame shuffle (aggregated once, reused for tf,
     * doc length via the doc-partitioned window sum, and df), queries
-    * broadcast, and the per-query top-k rides the map-side-bounded
-    * [[graft.functions.Aggregates.topKByDoubleWeight]] aggregate —
-    * shuffle ∝ queries × k, never a corpus-wide window sort. Docs
-    * with no query term never materialize a candidate row.
+    * broadcast, and the per-query top-k rides
+    * [[Similarity.topKPerQuery]] — the shared bounded-aggregate
+    * epilogue (shuffle ∝ queries × k, never a corpus-wide window
+    * sort; non-integral ids take its window fallback). Docs with no
+    * query term never materialize a candidate row.
     *
     * Output: (queryIdCol, idCol, bm25_micro, rank), ranked by
-    * (score desc, id asc) per query.
+    * (score desc, id asc) per query — exactly [[bm25TopK]]'s order.
     */
   def bm25TopKMany(
       df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
-    require(Seq("byte", "short", "integer", "long").contains(df.schema(idCol).dataType.typeName),
-      s"bm25TopKMany needs an integral doc id ('$idCol' is ${df.schema(idCol).dataType.typeName}) " +
-        "— the bounded top-k aggregate carries ids as longs")
+    require(queryIdCol != idCol,
+      s"queryIdCol and idCol are both '$idCol' — the output would carry two identically-named columns")
     import org.apache.spark.sql.expressions.Window
     val id = graft.ops.Cleaning.qcol(idCol)
     val qid = graft.ops.Cleaning.qcol(queryIdCol)
@@ -305,13 +305,11 @@ object TextAnalysis {
       .groupBy(col("__qid"), id)
       .agg(sum(col("__contrib")).as("bm25_micro"))
       .filter(col("bm25_micro") > 0)
-    byDoc.groupBy(col("__qid"))
-      .agg(graft.functions.Aggregates.topKByDoubleWeight(
-        id.cast("long"), col("bm25_micro").cast("double"), k, ascending = false).as("__top__"))
-      .select(col("__qid"), posexplode(col("__top__")).as(Seq("__r", "__t")))
-      .select(col("__qid").as(queryIdCol), col("__t.value").as(idCol),
-        col("__t.weight").cast("long").as("bm25_micro"),
-        (col("__r") + 1).cast("int").as("rank"))
+    Similarity.topKPerQuery(
+        byDoc.select(col("__qid").as("__qid__"), id.as("__cid__"),
+          col("bm25_micro").cast("double").as("bm25_micro")),
+        queryIdCol, idCol, k, weightCol = "bm25_micro", ascending = false)
+      .withColumn("bm25_micro", col("bm25_micro").cast("long")) // exact below 2^53
   }
 
   /** Unigram log-probability scoring — the degenerate-but-honest form

@@ -128,5 +128,26 @@ class EmbeddingsSpec extends AnyFunSuite {
       Embeddings.assignToCentroids(df, "embedding",
         Embeddings.groupCentroids(dblGroups, "label", "embedding"), "label")
     }
+    // a partial model (missing component row) must error, not zero-fill
+    assertThrows[IllegalArgumentException] {
+      Embeddings.assignToCentroids(df, "embedding",
+        cents.filter(!(col("label") === 0 && col("pos") === 0)), "label")
+    }
+    // a vector whose dim differs from the model must error, not be
+    // prefix-scored (collect forces the assert_true filter to run)
+    val wrongDim = Seq((7L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val dimErr = intercept[Exception] {
+      Embeddings.assignToCentroids(wrongDim, "embedding", cents, "label").collect()
+    }
+    assert(dimErr.getMessage.contains("vector dim != model dim"))
+    // null-group rows in the model frame are ignored, not cap-eaten
+    val withNullGroup = Seq((100L, Array(5.0f, 5.0f), null.asInstanceOf[Integer]))
+      .toDF("vec_id", "embedding", "label")
+    val centsPlus = Embeddings.groupCentroids(df.unionByName(
+      withNullGroup.withColumn("label", col("label").cast("int"))), "label", "embedding")
+    val viaPlus = Embeddings.assignToCentroids(df, "embedding", centsPlus, "label")
+      .select("vec_id", "assigned").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(viaPlus == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> -1))
   }
 }

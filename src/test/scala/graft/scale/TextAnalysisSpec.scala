@@ -279,5 +279,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("query_id") === 10L)
       .orderBy("rank").select("doc_id").as[Long].collect().toSeq
     assert(ranked == Seq(1L, 3L, 2L))
+    // doc id type is preserved through the epilogue, not widened to long
+    val intIds = df.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id").cast("int"))
+    val outSchema = TextAnalysis.bm25TopKMany(intIds, "doc_id", "text",
+      queries, "query_id", "qtext", k = 3).schema
+    assert(outSchema("doc_id").dataType.typeName == "integer")
+    // identically-named id columns would emit an ambiguous output
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.bm25TopKMany(df, "doc_id", "text",
+        queries.withColumnRenamed("query_id", "doc_id"), "doc_id", "qtext")
+    }
   }
 }
