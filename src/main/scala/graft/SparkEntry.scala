@@ -719,6 +719,18 @@ object SparkEntry {
         docs.filter(col("lang") === "en"), "text", n = 50, vocabSize = 1000)
     }),
 
+    // per-language quality floor: drop each language's worst 20% by the
+    // unigram LM score (rank-based — exact, no score arithmetic; null
+    // scores rank worst and drop first)
+    "x_corpus_qfloor" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+      val withLang = docs.select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("avg_logp")), "doc_id")
+      Sampling.dropBottomFractionPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", 0.2)
+    }),
+
     // best-5 docs per language by the unigram LM score — the "cap each
     // domain at its k highest-quality documents" curation primitive on
     // the map-side-bounded top-k aggregate (shuffle ∝ langs × k, never
@@ -2330,6 +2342,22 @@ object SparkEntry {
          |s AS (SELECT doc_id, logratio,
          |    floor((logratio + g) * 1000000000 + 0.5) / 1000000000 AS skey FROM k)
          |SELECT doc_id, logratio, skey FROM s ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
+
+    // quality floor: same unigram score CTEs; rank ASC NULLS FIRST
+    // explicitly (DuckDB defaults ASC to NULLS LAST, Spark to NULLS
+    // FIRST — the null convention is part of the operator's contract:
+    // unscorable docs drop first)
+    "x_corpus_qfloor" ->
+      s"""WITH $unigramScoreCtes,
+         |scored AS (SELECT dd.doc_id, dd.lang,
+         |    floor((CAST(sc.s6 AS DOUBLE) / 1000000 / sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
+         |  FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY avg_logp ASC NULLS FIRST, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored)
+         |SELECT doc_id, lang, avg_logp FROM r
+         |WHERE rk > floor(0.2 * CAST(n AS DOUBLE))""".stripMargin,
 
     // best-k per language by the SAME unigram score CTEs (shared with
     // x_text_unigram so the two can never drift) — row_number mirrors

@@ -419,6 +419,38 @@ object Sampling {
       .select(id, col("logratio"), col("skey"))
   }
 
+  /** Per-group quality floor: DROP the bottom `frac` fraction of every
+    * group by a score column — the curation counterpart of
+    * [[keepBestKPerGroup]] when the budget is relative ("drop each
+    * source's worst 20%") rather than absolute. Rank-based, so it is
+    * exact and engine-portable with NO score arithmetic: rows rank by
+    * (score asc NULLS FIRST, id asc) within their group and the lowest
+    * floor(frac · n) ranks drop — null scores count as worst and go
+    * first (an unscorable document must not survive a quality floor).
+    *
+    * Scale: one group-partitioned window exchange shared by the rank
+    * and the group count — never a global sort; groups must fit a
+    * task's sort (the same contract as every per-group exact
+    * quantile here, cf. `s3_wquantile`'s scaladoc — swap to the
+    * mergeable quantile sketch for a threshold-based variant past
+    * that).
+    */
+  def dropBottomFractionPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(groupCols.nonEmpty, "dropBottomFractionPerGroup needs at least one group column")
+    require(frac >= 0 && frac < 1, s"frac must be in [0,1), got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val groups = groupCols.map(graft.ops.Cleaning.qcol)
+    val wRank = Window.partitionBy(groups: _*)
+      .orderBy(asc_nulls_first(scoreCol), asc(idCol))
+    val wGrp = Window.partitionBy(groups: _*)
+    df.withColumn("__rk", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wGrp))
+      .filter(col("__rk") > floor(lit(frac) * col("__n").cast("double")))
+      .drop("__rk", "__n")
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

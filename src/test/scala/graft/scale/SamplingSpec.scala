@@ -204,6 +204,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("dropBottomFractionPerGroup: bottom frac by rank per group, nulls drop first") {
+    val df = Seq(
+      ("a", 1L, Some(0.9)), ("a", 2L, Some(0.1)), ("a", 3L, Some(0.5)),
+      ("a", 4L, None), ("a", 5L, Some(0.7)), // n=5 → floor(0.4·5)=2 drop: null id4, then 0.1 id2
+      ("b", 6L, Some(0.3)), ("b", 7L, Some(0.2)) // n=2 → floor(0.4·2)=0 drop
+    ).toDF("grp", "id", "score")
+    val kept = Sampling.dropBottomFractionPerGroup(df, Seq("grp"), "id", "score", 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 6L, 7L))
+    // frac 0 keeps everything; frac ≥ 1 rejected
+    assert(Sampling.dropBottomFractionPerGroup(df, Seq("grp"), "id", "score", 0.0)
+      .count() == 7)
+    assertThrows[IllegalArgumentException] {
+      Sampling.dropBottomFractionPerGroup(df, Seq("grp"), "id", "score", 1.0)
+    }
+  }
+
   test("importanceResample: selection skews to target-like docs, deterministic") {
     // 20 docs in the target's vocabulary, 20 in a disjoint one: the
     // target model scores alien tokens as OOV, so the log-ratio gap
