@@ -1079,6 +1079,15 @@ object SparkEntry {
         T(s, d, "documents").withColumn("text", translate(col("text"), " ", "\n")),
         "doc_id", "text")),
 
+    // CCNet-style per-source boilerplate strip on the same synthesized
+    // lines: common tokens recur across most docs OF EACH SOURCE, so the
+    // election must absorb in-group hot keys while leaving rare lines
+    // (rare tokens) untouched
+    "x_text_boilerplate" -> ((s, d) =>
+      TextAnalysis.stripBoilerplate(
+        T(s, d, "documents").withColumn("text", translate(col("text"), " ", "\n")),
+        "doc_id", "text", "source", minDocs = 3)),
+
     "x_text_urlcanon" -> ((s, d) =>
       TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
 
@@ -2831,6 +2840,27 @@ object SparkEntry {
         |       FROM l WHERE trim(line) <> ''),
         |kept AS (SELECT doc_id, line_no, line FROM nb WHERE rk = 1
         |         UNION ALL SELECT doc_id, line_no, line FROM l WHERE trim(line) = ''),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+        |      FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       CAST(coalesce(len(a.arr), 0) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(r.clean_text, '') AS clean_text
+        |FROM a LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // same line synthesis; boilerplate = line in >= 3 distinct docs of
+    // the same source, ALL occurrences stripped, blanks exempt
+    "x_text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source, replace(text, ' ', chr(10)) AS t FROM documents),
+        |a AS (SELECT doc_id, source, t, string_split(t, chr(10)) AS arr FROM d),
+        |l0 AS (SELECT doc_id, source, arr, unnest(range(1, len(arr) + 1)) AS i FROM a),
+        |l AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS line_no, arr[i] AS line FROM l0),
+        |bp AS (SELECT source, line FROM l WHERE trim(line) <> ''
+        |       GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT l.doc_id, l.line_no, l.line FROM l
+        |         LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+        |         WHERE bp.line IS NULL),
         |r AS (SELECT doc_id, count(*) AS n_kept,
         |             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
         |      FROM kept GROUP BY doc_id)

@@ -740,6 +740,67 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Per-group boilerplate line removal — the CCNet/RefinedWeb cousin
+    * of [[dedupLines]]: a non-blank line that occurs in at least
+    * `minDocs` DISTINCT documents of the same group (site, source,
+    * domain — whatever `groupCol` carries) is template chrome (nav
+    * bars, cookie banners, footers), and EVERY occurrence is stripped
+    * — unlike [[dedupLines]], which keeps the first. Lines are compared
+    * within-group only: a sentence that happens to repeat across
+    * unrelated sources is content, not chrome. Blank / whitespace-only
+    * lines always survive (layout, and the ultimate hot key). Output
+    * stays 1:1 with the corpus: (idCol, n_lines, n_kept, clean_text) —
+    * the same shape as [[dedupLines]] so the two compose with the same
+    * epilogue.
+    *
+    * Scale (100 TB): the boilerplate election is ONE hash aggregate on
+    * (group, 64-bit line hash) with map-side-partial distinct-doc
+    * counting — a banner repeated on every page of a domain collapses
+    * per-partition, never funneling through one task. The election
+    * output is only the boilerplate KEYS (filtered by `minDocs`, a tiny
+    * fraction of distinct lines), so the strip is a left_anti join AQE
+    * can broadcast. Reassembly state is bounded by single-document
+    * size. Line equality is 64-bit hash equality and the oracle
+    * compares the reassembled TEXT — a collision would be caught, not
+    * masked (the dedupLines contract).
+    */
+  def stripBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val lines = df.select(
+      id.as("__doc"), graft.ops.Cleaning.qcol(groupCol).as("__grp"),
+      posexplode(split(graft.ops.Cleaning.qcol(textCol), "\n")).as(Seq("__no", "__line")))
+    val nonBlank = lines.filter(trim(col("__line")) =!= "")
+      .withColumn("__lh", xxhash64(col("__line")))
+    // distinct-doc frequency per (group, line); count_distinct expands
+    // to the same two-phase partial aggregate a manual distinct+count
+    // would, without a second shuffle stage in the plan
+    val chrome = nonBlank.groupBy(col("__grp"), col("__lh"))
+      .agg(count_distinct(col("__doc")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__grp"), col("__lh"))
+    val keptNonBlank = nonBlank.join(chrome, Seq("__grp", "__lh"), "left_anti")
+      .select(col("__doc"), col("__no"), col("__line"))
+    val kept = keptNonBlank.unionByName(
+      lines.filter(trim(col("__line")) === "").select(col("__doc"), col("__no"), col("__line")))
+    val rebuilt = kept.groupBy(col("__doc")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__no"), col("__line")))),
+          s => s.getField("__line"))).as("clean_text"))
+    val t = graft.ops.Cleaning.qcol(textCol)
+    df.select(id.as("__doc"),
+        when(t.isNull, lit(0)).otherwise(size(split(t, "\n"))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__doc"), "left")
+      .select(
+        col("__doc").as(idCol),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** One-call corpus-preparation pipeline — the standard training-data
     * recipe as a single composition:
     *   1. quality filter (length/punctuation thresholds, `qualityTable`)

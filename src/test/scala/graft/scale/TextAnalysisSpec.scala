@@ -155,6 +155,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 0L, "")))                         // emptied doc keeps its row
   }
 
+  test("stripBoilerplate: in-group chrome stripped everywhere, cross-group content kept") {
+    val df = Seq(
+      (1L, "siteA", "cookie banner\nreal content one"),
+      (2L, "siteA", "cookie banner\nreal content two"),
+      (3L, "siteA", "cookie banner\n\nreal content three"),
+      (4L, "siteB", "cookie banner\nother text"), // same line, different group: only 1 doc there
+      (5L, "siteB", "unique closing")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "doc_id", "text", "source", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // banner appears in 3 distinct siteA docs -> stripped from ALL of them
+    assert(got(1L) == ((2L, 1L, "real content one")))
+    assert(got(2L) == ((2L, 1L, "real content two")))
+    assert(got(3L) == ((3L, 2L, "\nreal content three"))) // blank survives
+    // siteB's single banner copy is content there (df=1 < 3)
+    assert(got(4L) == ((2L, 2L, "cookie banner\nother text")))
+    assert(got(5L) == ((1L, 1L, "unique closing")))
+  }
+
+  test("stripBoilerplate: within-doc repeats count once toward the doc-frequency") {
+    val df = Seq(
+      (1L, "s", "x\nx\nx"), // 3 occurrences but ONE doc -> df=1, survives
+      (2L, "s", "y"),
+      (3L, "s", "y"),
+      (4L, "s", "y")        // y: df=3 -> stripped everywhere
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "doc_id", "text", "source", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "x\nx\nx")))
+    assert(got(2L) == ((1L, 0L, "")))
+    assert(got(3L) == ((1L, 0L, "")))
+    assert(got(4L) == ((1L, 0L, "")))
+  }
+
   test("dedupLines: empty and null text") {
     val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = TextAnalysis.dedupLines(df, "doc_id", "text")
