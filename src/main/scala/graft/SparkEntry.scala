@@ -710,6 +710,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
     }),
 
+    // bigram fluency scoring against the same doc_id%3 trusted slice:
+    // word ORDER starts to matter (shuffled spam scores like gibberish)
+    "x_text_bigram" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      TextAnalysis.bigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text")
+    }),
+
     // DSIR importance resampling toward the English slice as the
     // target domain: unigram log-ratio + deterministic Gumbel top-50
     // (two broadcast-model scoring passes, TakeOrdered epilogue)
@@ -1087,6 +1095,12 @@ object SparkEntry {
       TextAnalysis.stripBoilerplate(
         T(s, d, "documents").withColumn("text", translate(col("text"), " ", "\n")),
         "doc_id", "text", "source", minDocs = 3)),
+
+    // collocation mining: window-2 skipgram pairs ranked by lift
+    // (rank-equivalent to PMI, no transcendental in the output)
+    "x_text_pmi" -> ((s, d) =>
+      TextAnalysis.pmiPairs(T(s, d, "documents"), "doc_id", "text",
+        window = 2, minCount = 5L, topK = 25)),
 
     "x_text_urlcanon" -> ((s, d) =>
       TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
@@ -2333,6 +2347,40 @@ object SparkEntry {
          |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
          |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
+    // bigram model replayed in full: realized-bigram logp6 table,
+    // per-context unseen fallback, global unseen-context fallback —
+    // all on the 6-dp scaled-long grid, summed in exact integers
+    "x_text_bigram" ->
+      """WITH ra AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS arr
+        |            FROM documents WHERE doc_id % 3 = 0 AND trim(text) <> ''),
+        |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        |       FROM (SELECT unnest(arr) AS t FROM ra)),
+        |rb0 AS (SELECT arr, unnest(range(1, len(arr))) AS i FROM ra WHERE len(arr) >= 2),
+        |rbi AS (SELECT arr[i] AS u, arr[i + 1] AS w, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM rb0 GROUP BY 1, 2),
+        |ctx AS (SELECT u, CAST(sum(cnt) AS BIGINT) AS cu FROM rbi GROUP BY 1),
+        |bp AS (SELECT u, w,
+        |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (cu + v + 1)) * 1000000 + 0.5) AS BIGINT) AS bp6
+        |       FROM rbi JOIN ctx USING (u), vv),
+        |cp AS (SELECT u,
+        |         CAST(floor(ln(CAST(1 AS DOUBLE) / (cu + v + 1)) * 1000000 + 0.5) AS BIGINT) AS cp6
+        |       FROM ctx, vv),
+        |g AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (v + 1)) * 1000000 + 0.5) AS BIGINT) AS g6 FROM vv),
+        |da AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+        |       FROM documents WHERE trim(text) <> ''),
+        |db0 AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM da WHERE len(arr) >= 2),
+        |db AS (SELECT doc_id, arr[i] AS u, arr[i + 1] AS w, CAST(count(*) AS BIGINT) AS n
+        |       FROM db0 GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_pairs,
+        |              CAST(sum(CASE WHEN bp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_unseen,
+        |              sum(n * coalesce(bp6, cp6, g6)) AS s6
+        |       FROM db LEFT JOIN bp USING (u, w) LEFT JOIN cp USING (u), g GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(sc.n_pairs, 0) AS n_pairs,
+        |       coalesce(sc.n_unseen, 0) AS n_unseen,
+        |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_pairs) * 1000000000 + 0.5) / 1000000000 AS avg_logp
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
     // DSIR: two instantiations of the SAME model CTEs (target = en
     // slice, reference = whole corpus), 9-dp score difference, the
     // portable-affine Gumbel key, top-50 by (skey desc, id asc)
@@ -2848,6 +2896,30 @@ object SparkEntry {
         |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(r.clean_text, '') AS clean_text
         |FROM a LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // same windowed-pair construction (1-based positions), same count
+    // ratios with the identical double association; lift on the 6-dp
+    // half-up grid, ordered by the unrounded value then the pair
+    "x_text_pmi" ->
+      """WITH a AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+        |           FROM documents WHERE trim(text) <> ''),
+        |i0 AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM a WHERE len(arr) >= 2),
+        |pr0 AS (SELECT doc_id, arr, i, unnest(range(1, least(2, len(arr) - i) + 1)) AS d FROM i0),
+        |pr AS (SELECT least(arr[i], arr[i + d]) AS term_a, greatest(arr[i], arr[i + d]) AS term_b FROM pr0),
+        |pc AS (SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS pair_count FROM pr GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(pair_count) AS BIGINT) AS p_total FROM pc),
+        |uni AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(arr) AS t FROM a) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+        |s AS (SELECT term_a, term_b, pair_count,
+        |             CAST(pair_count AS DOUBLE) * n_tokens * n_tokens /
+        |               (CAST(p_total AS DOUBLE) * ua.c * ub.c) AS lift
+        |      FROM pc JOIN uni ua ON pc.term_a = ua.term
+        |              JOIN uni ub ON pc.term_b = ub.term, tot, n
+        |      WHERE pair_count >= 5)
+        |SELECT term_a, term_b, pair_count,
+        |       floor(lift * 1000000 + 0.5) / 1000000 AS lift
+        |FROM s ORDER BY s.lift DESC, term_a, term_b LIMIT 25""".stripMargin,
 
     // same line synthesis; boilerplate = line in >= 3 distinct docs of
     // the same source, ALL occurrences stripped, blanks exempt

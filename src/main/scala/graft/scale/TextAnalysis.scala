@@ -186,6 +186,63 @@ object TextAnalysis {
       .select(graft.ops.Cleaning.qcol(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** Windowed co-occurrence pair mining with PMI-style scoring — the
+    * collocation/phrase-discovery primitive (word2vec-era skipgram
+    * counting): every unordered token pair within `window` positions is
+    * counted, and pairs with at least `minCount` occurrences are ranked
+    * by LIFT = p(a,b) / (p(a)·p(b)) with p(a,b) = pair_count/P (P =
+    * total windowed pairs) and p(t) = token_count/N (N = total tokens).
+    * PMI is ln(lift) — the lift itself is emitted because it is a pure
+    * ratio of exact integer counts: rank-equivalent to PMI and
+    * engine-deterministic with no transcendental in the output (the
+    * scaled-long lesson of [[unigramLogProb]], solved by not taking the
+    * log at all).
+    *
+    * Scale (100 TB): pair generation is a NARROW per-row array
+    * transform — O(tokens × window) structs flattened in place, never a
+    * positional self-join of the exploded token frame (which would
+    * shuffle the corpus twice and blow up on long documents). The two
+    * aggregates (pair counts, unigram counts) partial-aggregate
+    * map-side; N and P are broadcast 1-row frames; the unigram joins
+    * are token-keyed and AQE-broadcastable once `minCount` prunes the
+    * tail. The final top-k is a single bounded sort.
+    */
+  def pmiPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 5L, topK: Int = 25): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokens(graft.ops.Cleaning.qcol(textCol))
+    // canonical (a <= b) pair structs for every (i, i+d), d <= window;
+    // guarded: sequence(0, -1) would DESCEND, not return empty
+    val pairsArr = when(size(toks) >= 2,
+      flatten(transform(sequence(lit(0), size(toks) - 2), i =>
+        transform(sequence(lit(1), least(lit(window), size(toks) - 1 - i)), d =>
+          struct(
+            least(get(toks, i), get(toks, i + d)).as("a"),
+            greatest(get(toks, i), get(toks, i + d)).as("b"))))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val prs = df.select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("term_a"), col("p.b").as("term_b"))
+    val pc = prs.groupBy("term_a", "term_b").agg(count(lit(1)).as("pair_count"))
+    val tot = pc.agg(sum(col("pair_count")).as("p_total"))
+    val uni = df.select(explode(toks).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val n = uni.agg(sum(col("__c")).as("n_tokens"))
+    val scored = pc
+      .join(uni.select(col("__t").as("term_a"), col("__c").as("c_a")), "term_a")
+      .join(uni.select(col("__t").as("term_b"), col("__c").as("c_b")), "term_b")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n))
+      .filter(col("pair_count") >= minCount)
+      .withColumn("lift",
+        col("pair_count").cast("double") * col("n_tokens") * col("n_tokens") /
+          (col("p_total").cast("double") * col("c_a") * col("c_b")))
+    scored.orderBy(desc("lift"), asc("term_a"), asc("term_b"))
+      .limit(topK)
+      .select(col("term_a"), col("term_b"), col("pair_count"),
+        graft.ops.Rounding.halfUp(col("lift"), 6).as("lift"))
+  }
+
   /** BM25 top-k retrieval for one query string — the lexical-search
     * ranking (Robertson/Spärck Jones; the BM25+ no-negative idf form:
     * idf = ln(1 + (N − df + ½)/(df + ½))) over the whitespace token
@@ -376,6 +433,78 @@ object TextAnalysis {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         graft.ops.Rounding.halfUp(
           col("__s6").cast("double") / 1000000L / col("n_tokens"), 9)
+          .as("avg_logp"))
+  }
+
+  /** Bigram log-probability scoring — the next fluency rung above
+    * [[unigramLogProbTable]] (CCNet filters on LM perplexity; a bigram
+    * model starts seeing word ORDER: shuffled-token spam scores like
+    * gibberish here while sailing through the unigram filter). Each
+    * document scores the mean log probability of its ADJACENT token
+    * pairs under an add-one-smoothed bigram model built from a trusted
+    * reference corpus: p(w|u) = (c(u,w)+1)/(c(u)+V+1), where c(u) is
+    * u's left-context mass, V the reference's distinct-token count;
+    * an unseen context u falls back to 1/(V+1).
+    *
+    * Determinism: the same scaled-long convention as the unigram
+    * scorer — each model log-prob is rounded half-up to 6 dp and held
+    * as a LONG; all per-document accumulation is exact integer
+    * arithmetic (order-invariant, hash-gateable).
+    *
+    * Scale (100 TB): bigram construction is a NARROW in-array
+    * transform (no positional self-join — the [[pmiPairs]] argument);
+    * the model tables are keyed aggregates of the reference corpus
+    * joined back BY KEY (realized-bigram table is reference-sized, so
+    * unlike the unigram scorer's broadcast-V model these joins stay
+    * shuffle joins unless AQE proves them small); V is a broadcast
+    * 1-row count. Nothing scales with corpus × vocab.
+    *
+    * Output: (idCol, n_pairs, n_unseen, avg_logp); docs with fewer
+    * than 2 tokens have n_pairs = 0 and a null score.
+    */
+  def bigramLogProbTable(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    def bigramsOf(text: Column): Column = {
+      val toks = tokens(text)
+      // guarded: sequence(0, -1) would descend, not return empty
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          struct(get(toks, i).as("u"), get(toks, i + 1).as("w"))))
+        .otherwise(array().cast("array<struct<u:string,w:string>>"))
+    }
+    val rbi = ref.select(explode(bigramsOf(graft.ops.Cleaning.qcol(refTextCol))).as("__b"))
+      .select(col("__b.u").as("__u"), col("__b.w").as("__w"))
+      .groupBy("__u", "__w").agg(count(lit(1)).as("__cnt"))
+    val ctx = rbi.groupBy("__u").agg(sum(col("__cnt")).as("__cu"))
+    val vv = ref.select(explode(tokens(graft.ops.Cleaning.qcol(refTextCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__v"))
+    def logp6(p: Column): Column = floor(log(p) * 1000000L + 0.5).cast("long")
+    val bp = rbi.join(ctx, "__u").crossJoin(broadcast(vv))
+      .select(col("__u"), col("__w"),
+        logp6((col("__cnt") + 1) / (col("__cu") + col("__v") + 1)).as("__bp6"))
+    val cp = ctx.crossJoin(broadcast(vv))
+      .select(col("__u"), logp6(lit(1) / (col("__cu") + col("__v") + 1)).as("__cp6"))
+    val g = vv.select(logp6(lit(1) / (col("__v") + 1)).as("__g6"))
+    val docBi = df.select(id, explode(bigramsOf(graft.ops.Cleaning.qcol(textCol))).as("__b"))
+      .select(id, col("__b.u").as("__u"), col("__b.w").as("__w"))
+      .groupBy(id, col("__u"), col("__w")).agg(count(lit(1)).as("__n"))
+    val scored = docBi
+      .join(bp, Seq("__u", "__w"), "left")
+      .join(cp, Seq("__u"), "left")
+      .crossJoin(broadcast(g))
+      .groupBy(id).agg(
+        sum(col("__n")).as("n_pairs"),
+        sum(when(col("__bp6").isNull, col("__n")).otherwise(0L)).as("n_unseen"),
+        sum(col("__n") * coalesce(col("__bp6"), col("__cp6"), col("__g6"))).as("__s6"))
+    df.select(id).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        graft.ops.Rounding.halfUp(
+          col("__s6").cast("double") / 1000000L / col("n_pairs"), 9)
           .as("avg_logp"))
   }
 

@@ -155,6 +155,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 0L, "")))                         // emptied doc keeps its row
   }
 
+  test("bigramLogProbTable: seen pair, unseen-in-context, unseen context, short doc") {
+    // ref "a b a": bigrams (a,b),(b,a); V=2; every denom = cu+V+1 = 4
+    val ref = Seq((100L, "a b a")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),  // seen bigram: ln(2/4)
+      (2L, "b b"),  // unseen pair, seen context b: ln(1/4)
+      (3L, "z q"),  // unseen context: ln(1/(V+1)) = ln(1/3)
+      (4L, "solo")  // no bigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbTable(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((1L, 0L, Some(-0.693147))))
+    assert(got(2L) == ((1L, 1L, Some(-1.386294))))
+    assert(got(3L) == ((1L, 1L, Some(-1.098612))))
+    assert(got(4L) == ((0L, 0L, None)))
+  }
+
+  test("bigramLogProbTable: word order separates what unigram scoring cannot") {
+    val ref = Seq((100L, "the cat sat on the mat the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the") // same bag of tokens, scrambled
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbTable(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) > got(2L), s"fluent doc must outscore scrambled: $got")
+  }
+
+  test("pmiPairs: hand-computed lift on a tiny corpus, canonical pair order") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // window 2 pairs: (a,b)x3, (a,a), (b,b); P=5, N=4, c(a)=c(b)=2
+    val got = TextAnalysis.pmiPairs(df, "doc_id", "text", window = 2, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 2.4), // (3*4*4)/(5*2*2)
+      ("a", "a", 1L, 0.8), // tie on lift -> term order breaks it
+      ("b", "b", 1L, 0.8)))
+  }
+
+  test("pmiPairs: window bounds, minCount prune, sub-2-token docs contribute nothing") {
+    val df = Seq(
+      (1L, "x y z"),   // window=1: (x,y), (y,z) only — no (x,z)
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(df, "doc_id", "text", window = 1, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("x", "y"), ("y", "z")))
+    assert(TextAnalysis.pmiPairs(df, "doc_id", "text", window = 1, minCount = 2L, topK = 10)
+      .count() == 0L)
+  }
+
   test("stripBoilerplate: in-group chrome stripped everywhere, cross-group content kept") {
     val df = Seq(
       (1L, "siteA", "cookie banner\nreal content one"),
