@@ -483,6 +483,31 @@ object SparkEntry {
       Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2,
         maxBlockSize = NgramBlockCap)),
 
+    // recrawl delta census: synthesized old (doc_id%7 dropped) and new
+    // (doc_id%5 dropped, %3 edited) waves of the same corpus, portable
+    // fingerprints, full-outer status classification -> 4-row census
+    "x_dedup_snapshot_delta" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      def fp(f: DataFrame): DataFrame =
+        f.select(col("doc_id"),
+          TextAnalysis.portableFingerprint(col("text")).as("fp"))
+      val oldWave = fp(docs.filter(col("doc_id") % 7 =!= 0))
+      val newWave = fp(docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))))
+      Dedup.snapshotDelta(oldWave, newWave, "doc_id", "fp")
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    }),
+
+    // asymmetric containment: inverted-index candidates (df-capped at
+    // the production default — the oracle replays the same cap), exact
+    // merge-walk intersection counts; catches near-subset pairs whose
+    // Jaccard is tiny
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(T(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5, maxShingleDocs = NgramBlockCap)),
+
     // full-recall banding again (cf. x_dedup_minhash): 2-bit keys over
     // 48 tables miss a cosine-0.4 pair with prob (1-(1-acos(.4)/pi)^2)^48
     // < 3e-11 — in practice the output equals the exhaustive cosine
@@ -1974,6 +1999,53 @@ object SparkEntry {
     // (64-bit xxhash collisions are ~1e-15 at these set sizes). The t0
     // equi-join drops null first tokens (empty docs) — none exist here.
     "x_dedup_ngram" -> ngramPairsSqlFrom("documents"),
+
+    // same wave synthesis + portable fingerprint; presence by join
+    // side, fingerprint equality null-safe (IS NOT DISTINCT FROM)
+    "x_dedup_snapshot_delta" ->
+      s"""WITH oldw AS (SELECT doc_id,
+         |    ${polyHashSqlOf(s"array_to_string($toksSql, ' ')")} AS fp
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |nw0 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |neww AS (SELECT doc_id,
+         |    ${polyHashSqlOf(s"array_to_string($toksSql, ' ')")} AS fp
+         |  FROM nw0),
+         |j AS (SELECT o.doc_id AS ko, n.doc_id AS kn, o.fp AS fo, n.fp AS fn
+         |      FROM oldw o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id)
+         |SELECT CASE WHEN ko IS NULL THEN 'added'
+         |            WHEN kn IS NULL THEN 'removed'
+         |            WHEN fo IS NOT DISTINCT FROM fn THEN 'unchanged'
+         |            ELSE 'changed' END AS status,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // same k=3 shingle construction as the ngram oracle; inverted-index
+    // candidates with the identical df cap (a shingle either fully
+    // survives or fully drops); intersection over the FULL sets
+    "x_dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         |  FROM d),
+         |inv0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |inv AS (SELECT doc_id, g FROM
+         |    (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS bsz FROM inv0)
+         |  WHERE bsz <= $NgramBlockCap),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+         |        CAST(len(sa.sh) AS BIGINT) AS n_a,
+         |        CAST(len(sb.sh) AS BIGINT) AS n_b
+         |      FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id)
+         |SELECT id_a, id_b, n_shared, n_a, n_b,
+         |       CAST(n_shared AS DOUBLE) / n_a AS cont_a,
+         |       CAST(n_shared AS DOUBLE) / n_b AS cont_b
+         |FROM v
+         |WHERE greatest(CAST(n_shared AS DOUBLE) / n_a, CAST(n_shared AS DOUBLE) / n_b) >= 0.5""".stripMargin,
 
     "x_corpus_clean" -> corpusCleanSql,
     "x_corpus_manifest" -> corpusManifestSql,

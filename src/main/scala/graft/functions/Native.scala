@@ -227,6 +227,35 @@ object Native {
     override def prettyName: String = "jaccard_sorted"
   }
 
+  /** Intersection COUNT of two SORTED long arrays via the same merge
+    * walk as [[JaccardSortedLongs]] — the shared numerator of every
+    * asymmetric overlap measure (containment |A∩B|/|A|, overlap
+    * coefficient |A∩B|/min(|A|,|B|)): emitting the exact integer count
+    * lets callers form whichever ratio they need in plain (oracle-
+    * replayable) column arithmetic instead of a per-measure expression.
+    */
+  case class IntersectSortedLongs(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "intersect_sorted_count"
+  }
+
   /** 64-bit SimHash of a token array: bit j set iff
     * Σ_tokens (bit_j(xxhash64(token)) ? +1 : −1) > 0.
     */
@@ -643,6 +672,9 @@ object Native {
 
   def jaccardSorted(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSortedLongs(ex(a), ex(b)))
+
+  def intersectSortedCount(a: Column, b: Column): Column =
+    GraftBridge.column(IntersectSortedLongs(ex(a), ex(b)))
 
   def hyperplaneLshKeys(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneLshKeys(ex(vec), planes))

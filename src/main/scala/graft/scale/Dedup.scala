@@ -165,6 +165,89 @@ object Dedup {
       graft.functions.Native.hashedShingleSet(
         TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k).as("shingles"))
 
+  /** Snapshot delta — the recrawl audit: given two KEYED snapshots of
+    * a corpus (canonical URL or doc id as `keyCol`, one row per key)
+    * each carrying a content fingerprint, classify every key as
+    * `added` (new only), `removed` (old only), `changed` (both,
+    * fingerprints differ) or `unchanged`. Pair with
+    * [[graft.scale.TextAnalysis.portableFingerprintTable]] for the
+    * fingerprint side; aggregate the output by `status` for the
+    * wave-over-wave census a crawl team tracks per delivery.
+    *
+    * Presence is tracked by marker columns, not fingerprint nullness —
+    * a null fingerprint (null text) still classifies by presence, and
+    * fingerprint equality is null-safe. Keys must be unique per
+    * snapshot (dedup first — [[exact]] or URL-keyed); duplicate keys
+    * would multiply through the join.
+    *
+    * Scale: ONE key-partitioned full-outer join of two
+    * (key, fingerprint) frames — bytes per row, no text; the census
+    * aggregate on top is 4 groups.
+    */
+  def snapshotDelta(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, fpCol: String): DataFrame = {
+    val o = oldDf.select(graft.ops.Cleaning.qcol(keyCol).as("__k"),
+      graft.ops.Cleaning.qcol(fpCol).as("__fo"), lit(true).as("__po"))
+    val n = newDf.select(graft.ops.Cleaning.qcol(keyCol).as("__k"),
+      graft.ops.Cleaning.qcol(fpCol).as("__fn"), lit(true).as("__pn"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(col("__fo") <=> col("__fn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Asymmetric CONTAINMENT near-dup — |A∩B| / |A| over k-shingle sets:
+    * the measure that catches near-SUBSET duplicates (a quote page
+    * inside a longer article, a mirror wrapped in extra chrome), which
+    * symmetric Jaccard structurally misses (a doc 10× the other's size
+    * caps their Jaccard at ~0.1 however complete the overlap).
+    *
+    * Candidate generation is an INVERTED-INDEX shingle join, not
+    * minhash banding: minhash agreement probability IS the Jaccard, so
+    * banding would under-sample exactly the lopsided pairs this measure
+    * exists for. Any pair with a shared non-boilerplate shingle is a
+    * candidate; `maxShingleDocs` (the [[capBuckets]] guard, ON by
+    * default) drops shingles shared by more docs than that — at 100 TB
+    * a boilerplate shingle is non-discriminative AND quadratic, the
+    * standard df-cap of every inverted-index pipeline. Verification
+    * fetches the two sorted hashed-shingle sets by id and takes the
+    * exact intersection count in one merge walk (native expression).
+    *
+    * Output: (id_a, id_b, n_shared, n_a, n_b, cont_a, cont_b), id_a <
+    * id_b, kept when max(cont_a, cont_b) >= threshold; cont_a =
+    * n_shared/n_a is "how much of A is inside B".
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxShingleDocs: Int = DefaultMaxBucketSize): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val sets = hashedShingleTable(df, idCol, textCol, k)
+    // per-doc sets are already distinct+sorted, so the inverted index
+    // is one narrow explode; the cap keys on the shingle hash alone
+    val inv = capBuckets(
+      sets.select(id, explode(col("shingles")).as("__sh")), Seq("__sh"), maxShingleDocs)
+    val a = inv.select(col("__sh"), id.as("id_a"))
+    val b = inv.select(col("__sh"), id.as("id_b"))
+    val cands = a.join(b, Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Native.intersectSortedCount(col("sh_a"), col("sh_b")).as("n_shared"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("cont_a", col("n_shared").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_shared").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** Incremental MinHash near-dup: probe a NEW batch's band buckets
     * against a persisted accepted-corpus index ([[minhashBandIndex]] +
     * [[hashedShingleTable]], built with IDENTICAL k/numHashes/bands/

@@ -417,4 +417,55 @@ class DedupSpec extends AnyFunSuite {
     // "x y" in A,B,C (normalization folds " X  Y "); "z" in B,C
     assert(got == Set(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 2L)))
   }
+
+  test("snapshotDelta: added/removed/changed/unchanged incl. null fingerprints") {
+    import spark.implicits._
+    val oldW = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)), (5L, None: Option[Long]))
+      .toDF("doc_id", "fp")
+    val newW = Seq((2L, Some(20L)), (3L, Some(31L)), (4L, Some(40L)), (5L, None: Option[Long]))
+      .toDF("doc_id", "fp")
+    val got = Dedup.snapshotDelta(oldW, newW, "doc_id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "removed",
+      2L -> "unchanged",
+      3L -> "changed",
+      4L -> "added",
+      5L -> "unchanged")) // null fp on both sides: presence decides, null-safe equality
+  }
+
+  test("containmentPairs: near-subset pair found at a Jaccard symmetric misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq(
+      (1L, small),          // fully contained in 2
+      (2L, big),
+      (3L, "unrelated text entirely different tokens")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(got.length == 1)
+    val (a, b, shared, contA, _) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(contA == 1.0, s"small doc fully contained, got $contA") // all of A's shingles in B
+    assert(shared == 3L) // 5 tokens, k=3 -> 3 shingles
+    // the symmetric measure would have rejected this pair at any
+    // reasonable threshold: jaccard = 3 / (3 + 83 - 3) < 0.04
+    val jac = Dedup.nearDupMinhash(df, "doc_id", "text", k = 3, numHashes = 64,
+      bands = 64, threshold = 0.5, maxBucketSize = 0).count()
+    assert(jac == 0L)
+  }
+
+  test("containmentPairs: df cap drops boilerplate shingles from candidate generation") {
+    import spark.implicits._
+    // every doc shares the same 3-token prefix -> that shingle's df = 4
+    val df = (1L to 4L).map(i => (i, s"common prefix here unique$i tail$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(df, "doc_id", "text", k = 3, threshold = 0.1,
+      maxShingleDocs = 0)
+    assert(uncapped.count() > 0) // the shared shingle pairs everything
+    val capped = Dedup.containmentPairs(df, "doc_id", "text", k = 3, threshold = 0.1,
+      maxShingleDocs = 3) // df=4 > 3 -> boilerplate shingle dropped
+    assert(capped.count() == 0)
+  }
 }
