@@ -156,6 +156,43 @@ object Native {
     override def prettyName: String = "shingle_minhash"
   }
 
+  /** MinHash signature computed FROM a stored hashed-shingle array
+    * (the [[HashedShingleSet]] representation) instead of from tokens:
+    * sig_i = min over hashes of (floorMod(h, P)·a_i + b_i) mod P —
+    * numerically IDENTICAL to [[ShingleMinHash]] on the originating
+    * text, because both reduce the same xxhash64 shingle values and a
+    * min is insensitive to the duplicate shingles the set form drops.
+    * Lets dedup paths that already materialized the set (the exact-
+    * collapse representatives) derive band keys without re-reading or
+    * re-shingling the text.
+    */
+  case class MinhashFromHashes(child: Expression, as: Array[Long], bs: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    private final val P = 2147483647L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val m = as.length
+      val sig = Array.fill(m)(P)
+      var j = 0
+      while (j < n) {
+        val h = java.lang.Math.floorMod(hs.getLong(j), P)
+        var i = 0
+        while (i < m) {
+          val v = java.lang.Math.floorMod(h * as(i) + bs(i), P)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "minhash_from_hashes"
+  }
+
   /** Sorted distinct xxhash64 values of the word k-shingles of a token
     * array (same shingling rule as ShingleMinHash). Representing a
     * shingle SET as a sorted long array makes the downstream pairwise
@@ -675,6 +712,9 @@ object Native {
 
   def intersectSortedCount(a: Column, b: Column): Column =
     GraftBridge.column(IntersectSortedLongs(ex(a), ex(b)))
+
+  def minhashFromHashes(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
+    GraftBridge.column(MinhashFromHashes(ex(hashes), as.toArray, bs.toArray))
 
   def hyperplaneLshKeys(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneLshKeys(ex(vec), planes))

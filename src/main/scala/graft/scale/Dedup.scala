@@ -101,41 +101,116 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, Jaccard-verified.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * EXACT-COLLAPSE prepass (`collapseIdentical`, ON by default): docs
+    * whose hashed k-shingle SETS are identical — byte-identical dups
+    * and trivial re-edits that survive tokenization — are collapsed to
+    * one representative (min id) BEFORE the quadratic candidate
+    * stages, and verified representative pairs are expanded back to
+    * member pairs afterwards. Lossless by construction: members of a
+    * set-group are interchangeable in every Jaccard (the measure
+    * depends only on the set), the MinHash signature is a pure
+    * function of the same set ([[graft.functions.Native.MinhashFromHashes]]),
+    * and intra-group pairs have Jaccard exactly 1.0. On a dup-heavy
+    * corpus (the 100 TB reality: crawls run 30-60% exact-dup) this
+    * shrinks the banding self-join and the verify join QUADRATICALLY
+    * in the duplication factor while the output stays identical —
+    * measured 10× on the 10-way-duplicated sf1 fixture (SCALE.md §6d);
+    * on an all-unique corpus it costs one extra set-keyed aggregation.
+    * The group key is the shingle array ITSELF (exact set equality,
+    * partial aggregation collapses dup content map-side), not a hash
+    * of it — no collision risk in the grouping.
     */
   def nearDupMinhash(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      collapseIdentical: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
-    val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val sets = hashedShingleTable(df, idCol, textCol, k)
 
-    // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
-    // huge fraction of the corpus (boilerplate-dominated shards) is
-    // non-discriminative AND quadratic in the self-join below — see
-    // capBuckets for why the guard is a partial-agg + semi join, not a
-    // window count or a persist.
-    val buckets = capBuckets(buckets0, Seq("band", "bucket"), maxBucketSize)
+    if (collapseIdentical) {
+      val fam = Shingling.HashFamily(numHashes, seed)
+      // Under collapse the skew cap applies TWICE: reps per band bucket
+      // (bounding the candidate self-join, now in distinct-content
+      // space) and members per identical-content group (a duplication
+      // flood past the cap would otherwise expand to O(cap²)+ intra
+      // pairs — the uncollapsed cap dropped the same flood outright
+      // because every one of its band buckets was oversized).
+      val groups0 = sets.groupBy(col("shingles"))
+        .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
+      val groups = if (maxBucketSize <= 0) groups0
+        else groups0.filter(size(col("__mem__")) <= maxBucketSize)
+      val repSigs = groups.select(col("__rep__"),
+        graft.functions.Native.minhashFromHashes(
+          col("shingles"), fam.coeffs.map(_._1), fam.coeffs.map(_._2)).as("sig"))
+      val buckets = capBuckets(bandBuckets(repSigs, "__rep__", bands, rowsPerBand),
+        Seq("band", "bucket"), maxBucketSize)
+      val a = buckets.select(col("band"), col("bucket"), col("__rep__").as("id_a"))
+      val b = buckets.select(col("band"), col("bucket"), col("__rep__").as("id_b"))
+      val candidates = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val repSets = groups.select(col("__rep__"), col("shingles"))
+      val verified = candidates
+        .join(repSets.select(col("__rep__").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(repSets.select(col("__rep__").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      // expansion joins are OUTPUT-sized: every produced row is an
+      // emitted pair. least/greatest restores the id_a < id_b contract
+      // (groups are disjoint, so no cross-pair can repeat).
+      val mem = groups.select(col("__rep__"), col("__mem__"))
+      val inter = verified
+        .join(mem.select(col("__rep__").as("id_a"), col("__mem__").as("__ma__")), "id_a")
+        .join(mem.select(col("__rep__").as("id_b"), col("__mem__").as("__mb__")), "id_b")
+        .select(explode(col("__ma__")).as("__x__"), col("__mb__"), col("jaccard"))
+        .select(col("__x__"), explode(col("__mb__")).as("__y__"), col("jaccard"))
+        .select(least(col("__x__"), col("__y__")).as("id_a"),
+          greatest(col("__x__"), col("__y__")).as("id_b"), col("jaccard"))
+      // intra-group pairs: identical non-empty sets — Jaccard exactly
+      // 1.0 (the brute-force merge-walk value; null-text groups have
+      // null sets and emit nothing, matching the verify join's
+      // null-drop on the uncollapsed path)
+      val intra = groups
+        .filter(size(col("shingles")) > 0 && size(col("__mem__")) > 1 &&
+          lit(1.0) >= threshold)
+        .select(col("__mem__"), explode(col("__mem__")).as("__x__"))
+        .select(col("__x__"), explode(col("__mem__")).as("__y__"))
+        .filter(col("__x__") < col("__y__"))
+        .select(col("__x__").as("id_a"), col("__y__").as("id_b"), lit(1.0).as("jaccard"))
+      inter.unionByName(intra)
+    } else {
+      val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
+      val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
 
-    val a = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
+      // huge fraction of the corpus (boilerplate-dominated shards) is
+      // non-discriminative AND quadratic in the self-join below — see
+      // capBuckets for why the guard is a partial-agg + semi join, not a
+      // window count or a persist.
+      val buckets = capBuckets(buckets0, Seq("band", "bucket"), maxBucketSize)
 
-    // verify with sorted shingle-HASH sets: ~10× smaller shuffle than
-    // string shingle arrays, and the pairwise Jaccard is a native long
-    // merge-walk (hash collisions at 64 bits are negligible)
-    val sets = df.select(graft.ops.Cleaning.qcol(idCol),
-      graft.functions.Native.hashedShingleSet(TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k).as("shingles"))
-    candidates
-      .join(sets.select(graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      val a = buckets.select(col("band"), col("bucket"), id.as("id_a"))
+      val b = buckets.select(col("band"), col("bucket"), id.as("id_b"))
+      val candidates = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+
+      // verify with sorted shingle-HASH sets: ~10× smaller shuffle than
+      // string shingle arrays, and the pairwise Jaccard is a native long
+      // merge-walk (hash collisions at 64 bits are negligible)
+      candidates
+        .join(sets.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** The PERSISTABLE near-dup index of an accepted corpus: one row per
