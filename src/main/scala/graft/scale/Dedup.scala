@@ -974,14 +974,14 @@ object Dedup {
   def nearDupSimhash(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, collapseIdentical: Boolean = true): DataFrame = {
     val fpBits = if (portable) 60 else 64
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val fpExpr =
       if (portable) graft.functions.Native.simhashPortable(toks) else simhash(toks)
     nearDupByFingerprint(
       df.select(graft.ops.Cleaning.qcol(idCol), fpExpr.as("fp")),
-      idCol, "fp", maxHamming, fpBits, maxBucketSize)
+      idCol, "fp", maxHamming, fpBits, maxBucketSize, collapseIdentical)
   }
 
   /** Hamming near-dup pairs over an EXISTING integer fingerprint column
@@ -998,40 +998,86 @@ object Dedup {
     * discriminate on fewer bits. `fpBits >= maxHamming + 1` is required
     * so every chunk has at least one bit.
     */
+  /** EXACT-COLLAPSE prepass (`collapseIdentical`, ON by default): docs
+    * sharing the SAME fingerprint value collapse to one representative
+    * before the chunk self-join, and verified representative pairs
+    * expand back to member pairs (intra-group Hamming is exactly 0,
+    * always within budget). Lossless: the verify depends only on the
+    * two fingerprints. Same double cap as [[nearDupMinhash]]'s
+    * collapse: reps per chunk bucket AND members per fingerprint group.
+    */
   def nearDupByFingerprint(
       fps: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3, fpBits: Int = 64,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      collapseIdentical: Boolean = true): DataFrame = {
     val chunks = maxHamming + 1
     require(fpBits >= chunks,
       s"fpBits = $fpBits must be >= maxHamming+1 = $chunks (every chunk needs a bit)")
     val bitsPer = fpBits / chunks
-    val fp = fps.select(graft.ops.Cleaning.qcol(idCol), graft.ops.Cleaning.qcol(fpCol).as("fp"))
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val fp = fps.select(id, graft.ops.Cleaning.qcol(fpCol).as("fp"))
 
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("fp"), c * bitsPer)
           .bitwiseAND((1L << bitsPer) - 1).as("ckey"))
     }
-    val buckets0 = fp.select(graft.ops.Cleaning.qcol(idCol), col("fp"),
-        explode(array(chunkStructs: _*)).as("cb"))
-      .select(graft.ops.Cleaning.qcol(idCol), col("fp"), col("cb.chunk"), col("cb.ckey"))
 
-    // Skew guard: a bucket shared by hundreds of docs (correlated bits —
-    // e.g. near-identical vocabulary corpus-wide) is non-discriminative
-    // and quadratic in the self-join. Dropping oversized buckets is the
-    // standard LSH skew mitigation; the pigeonhole recall guarantee then
-    // holds for pairs that share at least one NON-degenerate chunk.
-    // maxBucketSize <= 0 disables the cap.
-    val buckets = capBuckets(buckets0, Seq("chunk", "ckey"), maxBucketSize)
+    if (collapseIdentical) {
+      // null fingerprints pair with nothing on the uncollapsed path
+      // (equi-join keys); dropping that group up front preserves it
+      val groups0 = fp.filter(col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
+      val groups = if (maxBucketSize <= 0) groups0
+        else groups0.filter(size(col("__mem__")) <= maxBucketSize)
+      val buckets = capBuckets(
+        groups.select(col("__rep__"), col("fp"), explode(array(chunkStructs: _*)).as("cb"))
+          .select(col("__rep__"), col("fp"), col("cb.chunk"), col("cb.ckey")),
+        Seq("chunk", "ckey"), maxBucketSize)
+      val a = buckets.select(col("chunk"), col("ckey"), col("__rep__").as("id_a"), col("fp").as("fp_a"))
+      val b = buckets.select(col("chunk"), col("ckey"), col("__rep__").as("id_b"), col("fp").as("fp_b"))
+      val verified = a.join(b, Seq("chunk", "ckey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      val mem = groups.select(col("__rep__"), col("__mem__"))
+      val inter = verified
+        .join(mem.select(col("__rep__").as("id_a"), col("__mem__").as("__ma__")), "id_a")
+        .join(mem.select(col("__rep__").as("id_b"), col("__mem__").as("__mb__")), "id_b")
+        .select(explode(col("__ma__")).as("__x__"), col("__mb__"), col("hamming"))
+        .select(col("__x__"), explode(col("__mb__")).as("__y__"), col("hamming"))
+        .select(least(col("__x__"), col("__y__")).as("id_a"),
+          greatest(col("__x__"), col("__y__")).as("id_b"), col("hamming"))
+      val intra = groups.filter(size(col("__mem__")) > 1)
+        .select(col("__mem__"), explode(col("__mem__")).as("__x__"))
+        .select(col("__x__"), explode(col("__mem__")).as("__y__"))
+        .filter(col("__x__") < col("__y__"))
+        .select(col("__x__").as("id_a"), col("__y__").as("id_b"),
+          lit(0).cast("int").as("hamming"))
+      inter.unionByName(intra)
+    } else {
+      val buckets0 = fp.select(id, col("fp"),
+          explode(array(chunkStructs: _*)).as("cb"))
+        .select(id, col("fp"), col("cb.chunk"), col("cb.ckey"))
 
-    val a = buckets.select(col("chunk"), col("ckey"), graft.ops.Cleaning.qcol(idCol).as("id_a"), col("fp").as("fp_a"))
-    val b = buckets.select(col("chunk"), col("ckey"), graft.ops.Cleaning.qcol(idCol).as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming) // cheap predicate BEFORE the dedup shuffle
-      .distinct()
+      // Skew guard: a bucket shared by hundreds of docs (correlated bits —
+      // e.g. near-identical vocabulary corpus-wide) is non-discriminative
+      // and quadratic in the self-join. Dropping oversized buckets is the
+      // standard LSH skew mitigation; the pigeonhole recall guarantee then
+      // holds for pairs that share at least one NON-degenerate chunk.
+      // maxBucketSize <= 0 disables the cap.
+      val buckets = capBuckets(buckets0, Seq("chunk", "ckey"), maxBucketSize)
+
+      val a = buckets.select(col("chunk"), col("ckey"), id.as("id_a"), col("fp").as("fp_a"))
+      val b = buckets.select(col("chunk"), col("ckey"), id.as("id_b"), col("fp").as("fp_b"))
+      a.join(b, Seq("chunk", "ckey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming) // cheap predicate BEFORE the dedup shuffle
+        .distinct()
+    }
   }
 
   /** Semantic duplicate pairs (the SemDeDup shape, Abbas et al. 2023,

@@ -457,6 +457,44 @@ class DedupSpec extends AnyFunSuite {
     assert(jac == 0L)
   }
 
+  test("exact-collapse prepass: minhash and fingerprint outputs equal the uncollapsed paths") {
+    import spark.implicits._
+    // dup-heavy corpus: 3 copies each of 4 distinct docs (two of them a
+    // near-dup pair), one null-text doc, one short doc duplicated twice
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota", // near-dup of the first
+      "completely different content about other things entirely",
+      "third subject matter with its own vocabulary here")
+    val rows = (for {
+      (t, d) <- base.zipWithIndex
+      c <- 0 until 3
+    } yield (d * 100L + c, t)) ++
+      Seq((900L, null.asInstanceOf[String]), (901L, "tiny"), (902L, "tiny"))
+    val df = rows.toDF("doc_id", "text")
+
+    def canonJ(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mhOld = canonJ(Dedup.nearDupMinhash(df, "doc_id", "text", k = 3, numHashes = 64,
+      bands = 16, threshold = 0.3, maxBucketSize = 0, collapseIdentical = false))
+    val mhNew = canonJ(Dedup.nearDupMinhash(df, "doc_id", "text", k = 3, numHashes = 64,
+      bands = 16, threshold = 0.3, maxBucketSize = 0))
+    assert(mhNew == mhOld)
+    assert(mhNew.contains((0L, 1L, 1.0))) // intra-group copies of doc 0
+    assert(mhNew.exists { case (a, b, j) => a == 0L && b == 100L && j < 1.0 }) // expanded cross
+    assert(mhNew.contains((901L, 902L, 1.0))) // short-doc single-shingle group
+    assert(!mhNew.exists { case (a, b, _) => a == 900L || b == 900L }) // null text pairs nothing
+
+    def canonH(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val shOld = canonH(Dedup.nearDupSimhash(df, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 0, collapseIdentical = false))
+    val shNew = canonH(Dedup.nearDupSimhash(df, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 0))
+    assert(shNew == shOld)
+    assert(shNew.contains((0L, 1L, 0))) // identical docs at hamming 0
+  }
+
   test("containmentPairs: df cap drops boilerplate shingles from candidate generation") {
     import spark.implicits._
     // every doc shares the same 3-token prefix -> that shingle's df = 4
