@@ -419,27 +419,68 @@ object Dedup {
     * membership is deterministic (block sizes are data-determined), so
     * an exact oracle can mirror it.
     */
+  /** EXACT-COLLAPSE prepass (`collapseIdentical`, ON by default): runs
+    * AFTER the block cap — the cap's member-count semantics (and the
+    * oracles that mirror it) are untouched — and collapses identical
+    * (block, shingle set) rows to one representative for the quadratic
+    * within-block self-join, expanding afterwards. Identical docs share
+    * a block by construction (same length, same first token), so the
+    * dup-heavy win of [[nearDupMinhash]]'s collapse carries over; the
+    * output is identical either way.
+    */
   def nearDupNgram(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBlockSize: Int = DefaultMaxBucketSize,
+      collapseIdentical: Boolean = true): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val block = struct(
       // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
       // floor() agrees in both engines for the non-negative log here
       floor(log(greatest(length(graft.ops.Cleaning.qcol(textCol)), lit(1))) * 2).cast("int").as("lenband"),
       element_at(toks, 1).as("t0"))
-    val sets0 = df.select(graft.ops.Cleaning.qcol(idCol), block.as("block"),
+    val sets0 = df.select(id, block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
     val sets = capBuckets(sets0, Seq("block"), maxBlockSize)
-    val a = sets.select(col("block"), graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val b = sets.select(col("block"), graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, "block")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .distinct()
+
+    if (collapseIdentical) {
+      val groups = sets.groupBy(col("block"), col("shingles"))
+        .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
+      val a = groups.select(col("block"), col("__rep__").as("id_a"), col("shingles").as("sh_a"))
+      val b = groups.select(col("block"), col("__rep__").as("id_b"), col("shingles").as("sh_b"))
+      val verified = a.join(b, "block")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .distinct()
+      val mem = groups.select(col("__rep__"), col("__mem__"))
+      val inter = verified
+        .join(mem.select(col("__rep__").as("id_a"), col("__mem__").as("__ma__")), "id_a")
+        .join(mem.select(col("__rep__").as("id_b"), col("__mem__").as("__mb__")), "id_b")
+        .select(explode(col("__ma__")).as("__x__"), col("__mb__"), col("jaccard"))
+        .select(col("__x__"), explode(col("__mb__")).as("__y__"), col("jaccard"))
+        .select(least(col("__x__"), col("__y__")).as("id_a"),
+          greatest(col("__x__"), col("__y__")).as("id_b"), col("jaccard"))
+      val intra = groups
+        .filter(size(col("shingles")) > 0 && size(col("__mem__")) > 1 &&
+          lit(1.0) >= threshold)
+        .select(col("__mem__"), explode(col("__mem__")).as("__x__"))
+        .select(col("__x__"), explode(col("__mem__")).as("__y__"))
+        .filter(col("__x__") < col("__y__"))
+        .select(col("__x__").as("id_a"), col("__y__").as("id_b"), lit(1.0).as("jaccard"))
+      inter.unionByName(intra)
+    } else {
+      val a = sets.select(col("block"), id.as("id_a"), col("shingles").as("sh_a"))
+      val b = sets.select(col("block"), id.as("id_b"), col("shingles").as("sh_b"))
+      a.join(b, "block")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .distinct()
+    }
   }
 
   /** Connected components over near-dup pairs: assign every id the MIN id

@@ -493,6 +493,13 @@ class DedupSpec extends AnyFunSuite {
       maxBucketSize = 0))
     assert(shNew == shOld)
     assert(shNew.contains((0L, 1L, 0))) // identical docs at hamming 0
+
+    val ngOld = canonJ(Dedup.nearDupNgram(df, "doc_id", "text", k = 3, threshold = 0.2,
+      maxBlockSize = 0, collapseIdentical = false))
+    val ngNew = canonJ(Dedup.nearDupNgram(df, "doc_id", "text", k = 3, threshold = 0.2,
+      maxBlockSize = 0))
+    assert(ngNew == ngOld)
+    assert(ngNew.contains((0L, 1L, 1.0)))
   }
 
   test("containmentPairs: df cap drops boilerplate shingles from candidate generation") {
