@@ -309,17 +309,64 @@ object Similarity {
     * up to `tables`× redundant cosine work on every multi-table
     * collision before the dedup aggregate could drop it.
     */
+  /** EXACT-COLLAPSE prepass (`collapseIdentical`, ON by default):
+    * corpus rows with byte-identical vectors collapse to one
+    * representative (min id) before the LSH bucket join — every stage
+    * (bucketing, candidate dedup, cosine) then runs once per DISTINCT
+    * vector, and verified rep results expand back to members. Lossless
+    * by a containment argument: results rank by (similarity desc, id
+    * asc) and a group's rep id IS its min member id, so any group
+    * holding a true top-k member must itself rank within the top-(k+1)
+    * groups (k+1, not k: self-exclusion is deferred to after expansion,
+    * and at most ONE expanded row per query is the query itself). On a
+    * dup-heavy corpus (duplicate documents embed to duplicate vectors)
+    * the candidate mass shrinks by the duplication factor; on an
+    * all-unique corpus it costs one vector-keyed aggregation.
+    */
   def annTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int = 10, bits: Int = 12, tables: Int = 4,
-      seed: Long = 42L, dim: Int = 64): DataFrame = {
+      seed: Long = 42L, dim: Int = 64,
+      collapseIdentical: Boolean = true): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val vec = graft.ops.Cleaning.qcol(vecCol)
+    if (collapseIdentical) {
+      // null-vector rows never score on the uncollapsed path either
+      // (null lsh keys join nothing); dropping them up front is the same
+      val groups = corpus.filter(vec.isNotNull)
+        .groupBy(vec.as("__gvec__"))
+        .agg(min(id).as("__rid__"), sort_array(collect_list(id)).as("__mids__"))
+      val reps = groups.select(col("__rid__").as(idCol), col("__gvec__").as(vecCol))
+      val repTop = annImpl(reps, queries, idCol, vecCol, queryIdCol,
+        k + 1, bits, tables, seed, dim, selfExclude = false)
+      // expand each kept group's k+1 smallest member ids (more can never
+      // reach the final top-k), drop the query's own row, re-rank
+      val mem = groups.select(col("__rid__").as("__r__"),
+        slice(col("__mids__"), 1, k + 1).as("__mk__"))
+      val scored = repTop
+        .select(col(queryIdCol).as("__qid__"), col(idCol).as("__r__"), col("similarity"))
+        .join(mem, "__r__")
+        .select(col("__qid__"), explode(col("__mk__")).as("__cid__"), col("similarity"))
+        .filter(col("__qid__") =!= col("__cid__"))
+      topKPerQuery(scored, queryIdCol, idCol, k)
+    } else {
+      annImpl(corpus, queries, idCol, vecCol, queryIdCol,
+        k, bits, tables, seed, dim, selfExclude = true)
+    }
+  }
+
+  private def annImpl(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, bits: Int, tables: Int, seed: Long, dim: Int,
+      selfExclude: Boolean): DataFrame = {
     val c = withLshKeys(corpus, vecCol, bits, tables, seed, dim)
       .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("__cid__"))
     val q = withLshKeys(queries, vecCol, bits, tables, seed, dim)
       .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(queryIdCol).as("__qid__"))
-    val pairs = q.join(c, Seq("table", "lsh_key"))
-      .filter(col("__qid__") =!= col("__cid__"))
+    val pairs0 = q.join(c, Seq("table", "lsh_key"))
+    val pairs = (if (selfExclude) pairs0.filter(col("__qid__") =!= col("__cid__")) else pairs0)
       .select(col("__qid__"), col("__cid__")).distinct()
     // vectors rejoin by id on both sides — no broadcast HINT: a typical
     // query side is small and AQE broadcasts it from runtime stats, but

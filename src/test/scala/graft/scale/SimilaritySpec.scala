@@ -67,6 +67,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.forall(r => r._1 != r._2)) // self excluded
   }
 
+  test("ANN exact-collapse: dup-heavy corpus output equals the uncollapsed path") {
+    // 3 copies of each of 12 distinct vectors, plus a null-vector row;
+    // queries drawn FROM the corpus so self-exclusion and the k+1 group
+    // slack are both exercised
+    val vecs = (for {
+      i <- 0L until 12L
+      c <- 0 until 3
+    } yield (i * 100L + c, Array.tabulate(8)(j => (math.sin(i * 0.21 + j) + 2.0).toFloat))) ++
+      Seq((990L, null.asInstanceOf[Array[Float]]))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") === 0L || col("vec_id") === 301L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Long, Double, Int)].collect().toSet
+    val old = canon(Similarity.annTopK(df, queries, "vec_id", "embedding", "query_id",
+      k = 5, bits = 1, tables = 16, dim = 8, collapseIdentical = false))
+    val neu = canon(Similarity.annTopK(df, queries, "vec_id", "embedding", "query_id",
+      k = 5, bits = 1, tables = 16, dim = 8))
+    assert(neu == old)
+    // the query's own duplicates rank first (cosine of the identical
+    // vector — float-rounded, so compare loosely), self excluded
+    assert(neu.exists { case (q, c, s, r) => q == 0L && c == 1L && s > 0.9999 && r == 1 })
+    assert(!neu.exists { case (q, c, _, _) => q == c })
+  }
+
   test("knnExact is the recall baseline: ANN top-1 hits the exact top-1 for most queries") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => (math.sin(i * 0.21 + j) + 2.0).toFloat))
