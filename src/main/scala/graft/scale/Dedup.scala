@@ -295,32 +295,101 @@ object Dedup {
     * id_b, kept when max(cont_a, cont_b) >= threshold; cont_a =
     * n_shared/n_a is "how much of A is inside B".
     */
+  /** EXACT-COLLAPSE prepass (`collapseIdentical`, ON by default):
+    * identical shingle sets collapse to one representative before the
+    * inverted-index join; the df cap keeps its MEMBER-count semantics
+    * exactly (every member of a set-group carries every group shingle,
+    * so a shingle's document frequency is the sum of group sizes over
+    * the rep postings that contain it — the cap tests that weighted
+    * sum). Intra-group pairs (containment 1.0 both ways) are emitted
+    * only for groups with at least one surviving shingle, which is
+    * precisely when the uncollapsed index would have made them
+    * candidates. Output identical either way.
+    */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxShingleDocs: Int = DefaultMaxBucketSize): DataFrame = {
+      maxShingleDocs: Int = DefaultMaxBucketSize,
+      collapseIdentical: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val id = graft.ops.Cleaning.qcol(idCol)
     val sets = hashedShingleTable(df, idCol, textCol, k)
-    // per-doc sets are already distinct+sorted, so the inverted index
-    // is one narrow explode; the cap keys on the shingle hash alone
-    val inv = capBuckets(
-      sets.select(id, explode(col("shingles")).as("__sh")), Seq("__sh"), maxShingleDocs)
-    val a = inv.select(col("__sh"), id.as("id_a"))
-    val b = inv.select(col("__sh"), id.as("id_b"))
-    val cands = a.join(b, Seq("__sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(sets.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        graft.functions.Native.intersectSortedCount(col("sh_a"), col("sh_b")).as("n_shared"),
-        size(col("sh_a")).cast("long").as("n_a"),
-        size(col("sh_b")).cast("long").as("n_b"))
+
+    def epilogue(pairs: DataFrame): DataFrame = pairs
       .withColumn("cont_a", col("n_shared").cast("double") / col("n_a"))
       .withColumn("cont_b", col("n_shared").cast("double") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+
+    if (collapseIdentical) {
+      val groups = sets.groupBy(col("shingles"))
+        .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"),
+          count(lit(1)).as("__gsz__"))
+      val repInv0 = groups.select(col("__rep__"), col("__gsz__"),
+        explode(col("shingles")).as("__sh"))
+      val repInv =
+        if (maxShingleDocs <= 0) repInv0
+        else {
+          val oversized = repInv0.groupBy(col("__sh"))
+            .agg(sum(col("__gsz__")).as("__df__"))
+            .filter(col("__df__") > maxShingleDocs).select(col("__sh"))
+          repInv0.join(oversized, Seq("__sh"), "left_anti")
+        }
+      val a = repInv.select(col("__sh"), col("__rep__").as("id_a"))
+      val b = repInv.select(col("__sh"), col("__rep__").as("id_b"))
+      val cands = a.join(b, Seq("__sh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val repSets = groups.select(col("__rep__"), col("shingles"))
+      val verified = epilogue(cands
+        .join(repSets.select(col("__rep__").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(repSets.select(col("__rep__").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Native.intersectSortedCount(col("sh_a"), col("sh_b")).as("n_shared"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b")))
+      val outCols = Seq("id_a", "id_b", "n_shared", "n_a", "n_b", "cont_a", "cont_b")
+      val mem = groups.select(col("__rep__"), col("__mem__"))
+      val inter = verified
+        .join(mem.select(col("__rep__").as("id_a"), col("__mem__").as("__ma__")), "id_a")
+        .join(mem.select(col("__rep__").as("id_b"), col("__mem__").as("__mb__")), "id_b")
+        .select((explode(col("__ma__")).as("__x__") +:
+          (col("__mb__") +: outCols.drop(2).map(col))): _*)
+        .select((col("__x__") +: explode(col("__mb__")).as("__y__") +:
+          outCols.drop(2).map(col)): _*)
+        .select((least(col("__x__"), col("__y__")).as("id_a") +:
+          greatest(col("__x__"), col("__y__")).as("id_b") +:
+          outCols.drop(2).map(col)): _*)
+      // a group member is an old-path candidate iff some group shingle
+      // survives the cap — the surviving reps are exactly that set
+      val surviving = repInv.select(col("__rep__")).distinct()
+      val intra = groups.join(surviving, Seq("__rep__"), "left_semi")
+        .filter(size(col("__mem__")) > 1)
+        .select(col("__mem__"), size(col("shingles")).cast("long").as("n_a"))
+        .select(col("__mem__"), col("n_a"), explode(col("__mem__")).as("__x__"))
+        .select(col("__x__"), col("n_a"), explode(col("__mem__")).as("__y__"))
+        .filter(col("__x__") < col("__y__"))
+        .select(col("__x__").as("id_a"), col("__y__").as("id_b"),
+          col("n_a").as("n_shared"), col("n_a"), col("n_a").as("n_b"),
+          lit(1.0).as("cont_a"), lit(1.0).as("cont_b"))
+      inter.unionByName(intra)
+    } else {
+      // per-doc sets are already distinct+sorted, so the inverted index
+      // is one narrow explode; the cap keys on the shingle hash alone
+      val inv = capBuckets(
+        sets.select(id, explode(col("shingles")).as("__sh")), Seq("__sh"), maxShingleDocs)
+      val a = inv.select(col("__sh"), id.as("id_a"))
+      val b = inv.select(col("__sh"), id.as("id_b"))
+      val cands = a.join(b, Seq("__sh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      epilogue(cands
+        .join(sets.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Native.intersectSortedCount(col("sh_a"), col("sh_b")).as("n_shared"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b")))
+    }
   }
 
   /** Incremental MinHash near-dup: probe a NEW batch's band buckets

@@ -500,6 +500,17 @@ class DedupSpec extends AnyFunSuite {
       maxBlockSize = 0))
     assert(ngNew == ngOld)
     assert(ngNew.contains((0L, 1L, 1.0)))
+
+    def canonC(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    for (cap <- Seq(0, 3)) { // uncapped AND a cap the dup groups exceed
+      val ctOld = canonC(Dedup.containmentPairs(df, "doc_id", "text", k = 3,
+        threshold = 0.3, maxShingleDocs = cap, collapseIdentical = false))
+      val ctNew = canonC(Dedup.containmentPairs(df, "doc_id", "text", k = 3,
+        threshold = 0.3, maxShingleDocs = cap))
+      assert(ctNew == ctOld, s"containment divergence at cap=$cap")
+    }
   }
 
   test("containmentPairs: df cap drops boilerplate shingles from candidate generation") {
