@@ -576,6 +576,56 @@ object Native {
     override def prettyName: String = "cdc_chunks"
   }
 
+  /** Canonical (a <= b, binary UTF8 order — the same ordering
+    * `least`/`greatest` use for strings) windowed co-occurrence pairs
+    * of a token array: one struct per (i, i+d) position pair, d <=
+    * window. Semantically identical to the nested
+    * `flatten(transform(sequence..., transform(sequence..., struct(
+    * least, greatest))))` HOF pipeline it replaces in
+    * [[graft.scale.TextAnalysis.pmiPairs]] — but higher-order
+    * functions are interpreted per ELEMENT (closure dispatch + boxing
+    * per emitted struct), which made the O(tokens x window) expansion
+    * the whole query's cost; this is one tight loop per row.
+    */
+  case class WindowedPairs(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("a", StringType, nullable = true),
+        StructField("b", StringType, nullable = true))),
+      containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < 2) return new GenericArrayData(Array.empty[Any])
+      val w = math.min(window, n - 1)
+      // exact emission count: sum_i min(window, n-1-i)
+      val total = (n.toLong - 1) * w - w.toLong * (w - 1) / 2
+      val out = new Array[Any](total.toInt)
+      var idx = 0
+      var i = 0
+      while (i < n - 1) {
+        val lim = math.min(window, n - 1 - i)
+        val x = toks.getUTF8String(i)
+        var d = 1
+        while (d <= lim) {
+          val y = toks.getUTF8String(i + d)
+          out(idx) =
+            if (x.binaryCompare(y) <= 0)
+              org.apache.spark.sql.catalyst.InternalRow(x, y)
+            else org.apache.spark.sql.catalyst.InternalRow(y, x)
+          idx += 1
+          d += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "windowed_pairs"
+  }
+
   /** Unicode NFC normalization (canonical composition) of a string —
     * Spark ships no normalizer builtin; this wraps
     * `java.text.Normalizer` (the JDK's Unicode implementation), which
@@ -715,6 +765,9 @@ object Native {
 
   def minhashFromHashes(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
     GraftBridge.column(MinhashFromHashes(ex(hashes), as.toArray, bs.toArray))
+
+  def windowedPairs(tokens: Column, window: Int): Column =
+    GraftBridge.column(WindowedPairs(ex(tokens), window))
 
   def hyperplaneLshKeys(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneLshKeys(ex(vec), planes))

@@ -213,15 +213,12 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val toks = tokens(graft.ops.Cleaning.qcol(textCol))
-    // canonical (a <= b) pair structs for every (i, i+d), d <= window;
-    // guarded: sequence(0, -1) would DESCEND, not return empty
-    val pairsArr = when(size(toks) >= 2,
-      flatten(transform(sequence(lit(0), size(toks) - 2), i =>
-        transform(sequence(lit(1), least(lit(window), size(toks) - 1 - i)), d =>
-          struct(
-            least(get(toks, i), get(toks, i + d)).as("a"),
-            greatest(get(toks, i), get(toks, i + d)).as("b"))))))
-      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    // canonical (a <= b) pair structs for every (i, i+d), d <= window —
+    // a native tight loop: the equivalent nested-HOF pipeline
+    // (flatten/transform/least/greatest) is interpreted per emitted
+    // struct and was measured 20x slower on this, the hot map of the
+    // whole query (see Native.WindowedPairs)
+    val pairsArr = graft.functions.Native.windowedPairs(toks, window)
     val prs = df.select(explode(pairsArr).as("p"))
       .select(col("p.a").as("term_a"), col("p.b").as("term_b"))
     val pc = prs.groupBy("term_a", "term_b").agg(count(lit(1)).as("pair_count"))
