@@ -7,11 +7,14 @@ import org.apache.spark.sql.SparkSession
   * shuffle partitions) and prints per-run wall times — the tool for
   * confirming a targeted plan change moved the one query it aimed at
   * without waiting on the full suite.
-  * Usage: runMain graft.tools.QueryProbe <sfDir> <query>... [--n=5]
+  * Usage: runMain graft.tools.QueryProbe <sfDir> <query>... [--n=5] [--cold]
+  * `--cold` skips the untimed warmup run, so run 1 bills the one-time
+  * codegen/broadcast/planning cost the per-round bench sees.
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
     val n = args.collectFirst { case s if s.startsWith("--n=") => s.drop(4).toInt }.getOrElse(5)
+    val cold = args.contains("--cold")
     val rest = args.filterNot(_.startsWith("--"))
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val names = rest.tail.toSeq
@@ -32,7 +35,7 @@ object QueryProbe {
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"[qprobe] $name: no such query")
         case Some(fn) =>
-          fn(spark, sfDir).count() // warmup: codegen/broadcast paths
+          if (!cold) fn(spark, sfDir).count() // warmup: codegen/broadcast paths
           val ts = (1 to n).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
