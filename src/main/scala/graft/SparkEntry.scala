@@ -868,6 +868,12 @@ object SparkEntry {
     "x_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(T(s, d, "documents"), "doc_id", "text")),
 
+    // span-level exact-substring dedup: any 8-token window whose hash
+    // repeats anywhere in the corpus masks its member tokens
+    "x_text_spandedup" -> ((s, d) =>
+      TextAnalysis.maskRepeatedSpans(T(s, d, "documents"), "doc_id", "text",
+        w = 8, minCount = 2L)),
+
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
@@ -2745,6 +2751,30 @@ object SparkEntry {
          |       b.topb / (CASE WHEN b.bc > 0 THEN CAST(b.bc AS DOUBLE) END) AS top_bigram_frac,
          |       b.dupb / (CASE WHEN b.bc > 0 THEN CAST(b.bc AS DOUBLE) END) AS dup_bigram_frac
          |FROM d LEFT JOIN u ON d.doc_id = u.doc_id LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // same window enumeration (1-based list slices), same poly-hash
+    // kernel; a window is duplicated at >= 2 TOTAL occurrences (intra-
+    // doc repeats count); a token is masked when any duplicated window
+    // covers its position
+    "x_text_spandedup" ->
+      s"""WITH a AS (SELECT doc_id, $toksSql AS toks
+         |           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+         |w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM a WHERE len(toks) >= 8),
+         |wh AS (SELECT doc_id, i, ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM w0),
+         |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
+         |sg AS (SELECT doc_id, list(i) AS starts, CAST(count(*) AS BIGINT) AS nds FROM st GROUP BY doc_id),
+         |p0 AS (SELECT a.doc_id, toks, coalesce(sg.starts, []) AS starts FROM a LEFT JOIN sg USING (doc_id)),
+         |px AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks, starts FROM p0 WHERE len(toks) >= 1),
+         |kp AS (SELECT doc_id, p, toks[p] AS tok FROM px
+         |       WHERE len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0),
+         |kg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |              string_agg(tok, ' ' ORDER BY p) AS clean_text FROM kp GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
+         |       coalesce(sg.nds, CAST(0 AS BIGINT)) AS n_dup_spans,
+         |       coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |       coalesce(kg.clean_text, '') AS clean_text
+         |FROM a LEFT JOIN sg USING (doc_id) LEFT JOIN kg USING (doc_id)""".stripMargin,
 
     // shard-partitioned running sum (never a global sort), integer
     // div/mod — exact at any magnitude

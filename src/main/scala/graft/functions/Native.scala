@@ -626,6 +626,48 @@ object Native {
     override def prettyName: String = "windowed_pairs"
   }
 
+  /** 31-base polynomial hash (mod 2³¹−1, codepoint fold — the
+    * [[graft.functions.PortableHash.polyHash31]] kernel) of every
+    * length-`w` token window, in position order: output(i) hashes
+    * tokens [i, i+w) joined by a single space. Fewer than `w` tokens →
+    * empty array. The span-level dedup primitive (Lee et al. 2022's
+    * repeated-substring observation, hash-window form): one tight loop
+    * per row replaces an O(len·w·chars) nested-HOF pipeline whose
+    * per-codepoint interpreted dispatch dominated the query.
+    */
+  case class SpanPolyHashes(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < w) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](n - w + 1)
+      var i = 0
+      while (i <= n - w) {
+        var h = 0L
+        var j = i
+        while (j < i + w) {
+          if (j > i) h = (h * 31L + 32L) % 2147483647L // ' ' joiner
+          val s = toks.getUTF8String(j).toString
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            h = (h * 31L + cp) % 2147483647L
+            ci += Character.charCount(cp)
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "span_poly_hashes"
+  }
+
   /** Unicode NFC normalization (canonical composition) of a string —
     * Spark ships no normalizer builtin; this wraps
     * `java.text.Normalizer` (the JDK's Unicode implementation), which
@@ -768,6 +810,9 @@ object Native {
 
   def windowedPairs(tokens: Column, window: Int): Column =
     GraftBridge.column(WindowedPairs(ex(tokens), window))
+
+  def spanPolyHashes(tokens: Column, w: Int): Column =
+    GraftBridge.column(SpanPolyHashes(ex(tokens), w))
 
   def hyperplaneLshKeys(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(HyperplaneLshKeys(ex(vec), planes))

@@ -927,6 +927,67 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Span-level exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * observation, in hash-window form): every length-`w` token window
+    * is hashed ([[graft.functions.Native.SpanPolyHashes]]), a window
+    * whose hash occurs at least `minCount` times ANYWHERE in the corpus
+    * (including within one document — verbatim boilerplate repeats
+    * intra-doc too) marks its `w` member tokens as duplicated, and the
+    * cleaned text drops every covered token. Line dedup
+    * ([[lineDedupTable]]) catches aligned repeats; this catches the
+    * unaligned ones — licence blocks mid-paragraph, templated
+    * sentences, quoted chain-letters.
+    *
+    * Output per input row: (id, n_tokens, n_dup_spans, n_kept,
+    * clean_text) — clean_text is the kept tokens of the normalized
+    * (trimmed, lowercased, space-joined) stream, '' when everything is
+    * masked or the document is empty.
+    *
+    * Scale (100 TB): window hashing is ONE narrow per-row loop (no
+    * explode before the aggregate's partial side); the global span-df
+    * aggregate partial-aggregates map-side so the shuffle carries one
+    * (hash, count) per distinct span per partition; duplicated hashes
+    * are a corpus-duplication-bounded set that AQE broadcasts back;
+    * only DUPLICATED window starts shuffle doc-ward (bounded by dup
+    * mass, ≤ len per doc); masking is a row-local HOF over (token,
+    * start-list). A suffix array would find variable-length repeats
+    * exactly but cannot partial-aggregate — the fixed-w hash-window
+    * form is the shape that distributes.
+    */
+  def maskRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val toks = tokens(coalesce(graft.ops.Cleaning.qcol(textCol), lit("")))
+    val base = df.select(id.as("__doc"), toks.as("__toks"))
+    val spans = base.select(col("__doc"),
+      posexplode(graft.functions.Native.spanPolyHashes(col("__toks"), w))
+        .as(Seq("__i", "__h")))
+    val dup = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__h"))
+    val starts = spans.join(dup, Seq("__h"))
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("__i"))).as("__starts"),
+        count(lit(1)).as("__nds"))
+    val kept = filter(
+      transform(col("__toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+      s => !exists(col("__starts"),
+        st => st <= s.getField("i") && s.getField("i") < st + w))
+    base.join(starts, Seq("__doc"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .select(
+        col("__doc").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("__nds"), lit(0L)).as("n_dup_spans"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", transform(kept, s => s.getField("t"))).as("clean_text"))
+  }
+
   /** One-call corpus-preparation pipeline — the standard training-data
     * recipe as a single composition:
     *   1. quality filter (length/punctuation thresholds, `qualityTable`)

@@ -378,4 +378,53 @@ class TextAnalysisSpec extends AnyFunSuite {
         queries.withColumnRenamed("query_id", "doc_id"), "doc_id", "qtext")
     }
   }
+
+  test("maskRepeatedSpans: shared windows masked, unique and short docs kept whole") {
+    val shared = "a b c d" // the repeated 4-token span
+    val df = Seq(
+      (1L, s"$shared tail one extra"),
+      (2L, s"lead in $shared"),
+      (3L, "totally unique words here now"),
+      (4L, "tiny doc"),       // shorter than w: no windows, kept
+      (5L, "")                // empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maskRepeatedSpans(df, "doc_id", "text", w = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: windows at 0..3; only "a b c d" (start 0) repeats -> tokens 0-3 masked
+    assert(got(1L) == ((7L, 1L, 3L, "tail one extra")))
+    // doc 2: the shared span starts at position 2 -> "lead in" survives
+    assert(got(2L) == ((6L, 1L, 2L, "lead in")))
+    assert(got(3L) == ((5L, 0L, 5L, "totally unique words here now")))
+    assert(got(4L) == ((2L, 0L, 2L, "tiny doc")))
+    assert(got(5L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("maskRepeatedSpans: intra-doc repetition counts toward the threshold") {
+    val df = Seq(
+      (1L, "p q r s x p q r s"), // "p q r s" occurs twice INSIDE one doc
+      (2L, "other words entirely different")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maskRepeatedSpans(df, "doc_id", "text", w = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // both occurrences masked; the bridging 'x' (position 4) is covered
+    // by no duplicated window (windows containing it are unique)
+    assert(got(1L) == ((9L, 2L, 1L, "x")))
+    assert(got(2L)._2 == 0L)
+  }
+
+  test("maskRepeatedSpans: overlapping duplicated windows union their cover") {
+    // "a b c d e" shared by two docs: with w=4 both windows (a..d, b..e)
+    // duplicate -> all five tokens masked, n_dup_spans counts both
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maskRepeatedSpans(df, "doc_id", "text", w = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((5L, 2L, 0L, "")))
+    assert(got(2L) == ((5L, 2L, 0L, "")))
+  }
 }
