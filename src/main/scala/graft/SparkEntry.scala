@@ -874,6 +874,17 @@ object SparkEntry {
       TextAnalysis.maskRepeatedSpans(T(s, d, "documents"), "doc_id", "text",
         w = 8, minCount = 2L)),
 
+    // fasttext-shape hashed linear classifier: fit Naive-Bayes
+    // log-odds over 1024 hashed buckets (positive class = English
+    // docs), then score every document with the exact long sum
+    "x_text_hashclf" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
+    }),
+
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
@@ -2775,6 +2786,34 @@ object SparkEntry {
          |       coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
          |       coalesce(kg.clean_text, '') AS clean_text
          |FROM a LEFT JOIN sg USING (doc_id) LEFT JOIN kg USING (doc_id)""".stripMargin,
+
+    // same hashed-bucket model: poly-hash % 1024, add-one log-odds on
+    // the 6-dp micro grid (ln drift absorbed, cf. the BM25 kernel),
+    // doc scores as exact BIGINT sums
+    "x_text_hashclf" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, $toksSql AS toks
+         |           FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)),
+         |lt AS (SELECT pos, unnest(toks) AS t FROM d),
+         |bt AS (SELECT pos, ${polyHashSqlOf("t")} % 1024 AS bucket FROM lt),
+         |bc AS (SELECT bucket, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+         |              CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nc
+         |       FROM bt GROUP BY bucket),
+         |sp AS (SELECT unnest(range(0, 1024)) AS bucket),
+         |m0 AS (SELECT sp.bucket, coalesce(pc, CAST(0 AS BIGINT)) AS pc,
+         |              coalesce(nc, CAST(0 AS BIGINT)) AS nc FROM sp LEFT JOIN bc USING (bucket)),
+         |tot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt, CAST(sum(nc) AS BIGINT) AS nt FROM m0),
+         |m AS (SELECT bucket, CAST(floor(ln(
+         |        (CAST(pc + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)) /
+         |        (CAST(nc + 1 AS DOUBLE) * CAST(pt + 1024 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w
+         |     FROM m0, tot),
+         |dt AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |db AS (SELECT doc_id, ${polyHashSqlOf("t")} % 1024 AS bucket FROM dt),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |             CAST(sum(w) AS BIGINT) AS score_micro
+         |      FROM db JOIN m USING (bucket) GROUP BY doc_id)
+         |SELECT dd.doc_id, coalesce(s.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |       coalesce(s.score_micro, CAST(0 AS BIGINT)) AS score_micro
+         |FROM (SELECT DISTINCT doc_id FROM d) dd LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // shard-partitioned running sum (never a global sort), integer
     // div/mod — exact at any magnitude

@@ -927,6 +927,81 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Hashed-feature Naive-Bayes log-odds model — the fasttext-shape
+    * linear text classifier every corpus pipeline runs as its quality /
+    * domain filter (CCNet's fasttext LM filter, GPT-3's WebText-vs-
+    * CommonCrawl logistic classifier): token features hash into
+    * `buckets` fixed slots (the hashing trick — vocabulary-free, so the
+    * model is a FIXED-SIZE array no matter the corpus), and each bucket
+    * carries the add-one-smoothed log-odds of the positive class.
+    * Returned model: exactly `buckets` rows (bucket, pos_count,
+    * neg_count, w_micro) with w_micro = floor(ln(((posc+1)·(negtot+D))
+    * / ((negc+1)·(postot+D)))·10⁶ + 0.5) — the 6-dp scaled-long
+    * convention ([[unigramLogProbTable]]), so downstream sums are exact
+    * integer arithmetic. Buckets unseen in training still get the
+    * smoothing-prior weight (they are materialized, not dropped).
+    *
+    * Scale: ONE explode→groupBy over the labeled corpus (map-side
+    * partials collapse to ≤ `buckets` rows per partition); totals are a
+    * 1-row broadcast; the bucket spine is a driver-free `spark.range`.
+    * The model is buckets-sized — broadcastable by construction.
+    */
+  def hashedClassifierFit(
+      df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val lbl = graft.ops.Cleaning.qcol(labelCol)
+    val toks = tokens(coalesce(graft.ops.Cleaning.qcol(textCol), lit("")))
+    val bt = df.select(lbl.cast("boolean").as("__pos"), explode(toks).as("__t"))
+      .select(col("__pos"),
+        pmod(graft.functions.PortableHash.polyHash31(col("__t")), lit(buckets.toLong)).as("bucket"))
+    val bc = bt.groupBy(col("bucket")).agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__pc"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__nc"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val m0 = spine.join(bc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__pc"), lit(0L)).as("pos_count"),
+        coalesce(col("__nc"), lit(0L)).as("neg_count"))
+    val tot = m0.agg(sum(col("pos_count")).as("__pt"), sum(col("neg_count")).as("__nt"))
+    m0.crossJoin(broadcast(tot)).select(
+      col("bucket"), col("pos_count"), col("neg_count"),
+      floor(log(
+        ((col("pos_count") + 1L).cast("double") * (col("__nt") + buckets).cast("double")) /
+          ((col("neg_count") + 1L).cast("double") * (col("__pt") + buckets).cast("double")))
+        * 1000000L + 0.5).cast("long").as("w_micro"))
+  }
+
+  /** Scores every document under a [[hashedClassifierFit]] model:
+    * score_micro = Σ over token OCCURRENCES of w_micro(bucket(token))
+    * — an exact long sum (order-invariant, engine-exact; divide by 10⁶
+    * · n_tokens for the mean log-odds). Empty documents score 0.
+    *
+    * Scale: the model is `buckets` rows → broadcast-joined against the
+    * exploded token stream (narrow), then ONE doc-keyed aggregate: a
+    * single shuffle over the corpus regardless of model or vocabulary
+    * size — the property the hashing trick buys.
+    */
+  def hashedClassifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val toks = tokens(coalesce(graft.ops.Cleaning.qcol(textCol), lit("")))
+    val dt = df.select(id.as("__doc"), explode(toks).as("__t"))
+      .select(col("__doc"),
+        pmod(graft.functions.PortableHash.polyHash31(col("__t")), lit(buckets.toLong)).as("bucket"))
+    val scored = dt.join(broadcast(model.select(col("bucket"), col("w_micro"))), Seq("bucket"))
+      .groupBy(col("__doc")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w_micro")).as("score_micro"))
+    df.select(id.as("__doc")).distinct()
+      .join(scored, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
   /** Span-level exact-substring dedup (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"
     * observation, in hash-window form): every length-`w` token window

@@ -379,6 +379,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("hashedClassifier: discriminating tokens move scores toward their class") {
+    val df = Seq(
+      (1L, "alpha alpha alpha beta", true),
+      (2L, "alpha alpha gamma delta", true),
+      (3L, "omega omega omega zeta", false),
+      (4L, "omega zeta zeta kappa", false)
+    ).toDF("doc_id", "text", "lab")
+    val model = TextAnalysis.hashedClassifierFit(df, "text", "lab", buckets = 64)
+    assert(model.count() == 64) // every bucket materialized
+    val scores = TextAnalysis.hashedClassifierScore(df, "doc_id", "text", model, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // positive-class docs must outscore negative-class docs
+    assert(scores(1L) > 0 && scores(2L) > 0)
+    assert(scores(3L) < 0 && scores(4L) < 0)
+  }
+
+  test("hashedClassifier: empty docs score 0 and unseen docs get prior-only weights") {
+    val train = Seq((1L, "good text", true), (2L, "bad stuff", false)).toDF("doc_id", "text", "lab")
+    val model = TextAnalysis.hashedClassifierFit(train, "text", "lab", buckets = 32)
+    val apply = Seq((10L, ""), (11L, "never seen tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedClassifierScore(apply, "doc_id", "text", model, 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) == ((0L, 0L)))
+    assert(got(11L)._1 == 3L) // scored through unseen buckets, not dropped
+  }
+
   test("maskRepeatedSpans: shared windows masked, unique and short docs kept whole") {
     val shared = "a b c d" // the repeated 4-token span
     val df = Seq(
