@@ -885,6 +885,34 @@ object SparkEntry {
       TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
     }),
 
+    // classifier persistence gate: fit→save→load→score with a LOADED
+    // model must hash-match the direct fit-and-score chain (distinct
+    // bucket count from x_text_hashclf so the gates can't mask each
+    // other)
+    "x_text_hashclf_saved" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 512)
+      val dir = java.nio.file.Files.createTempDirectory("graft-hashclf-model").toString
+      graft.scale.Models.saveHashedClassifier(model, dir)
+      val loaded = graft.scale.Models.loadHashedClassifier(s, dir)
+      TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", loaded, buckets = 512)
+    }),
+
+    // the GPT-3-recipe composition: classifier-score the corpus, then
+    // floor each source at its best 70% (rank-based, per-group window)
+    "x_corpus_clffilter" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
+      val withSrc = docs.select(col("doc_id"), col("source"))
+        .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
+      Sampling.dropBottomFractionPerGroup(withSrc, Seq("source"), "doc_id", "score_micro", 0.3)
+    }),
+
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
@@ -1376,6 +1404,37 @@ object SparkEntry {
        |     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |            list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
        |          (a, b) -> (a * $base + b) % 2147483647) END""".stripMargin
+
+  /** The hashed-classifier fit+score CTE chain (poly-hash % buckets,
+    * add-one log-odds on the 6-dp micro grid, exact BIGINT doc sums) —
+    * ONE definition shared by every x_text_hashclf* / x_corpus_clffilter
+    * oracle, parameterized by bucket count so the persistence gate can
+    * run a distinct model shape. Terminal CTE: `hsc(doc_id, n_tokens,
+    * score_micro)` — one row per document. */
+  private def hashClfCtes(buckets: Int): String =
+    s"""hd AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, $toksSql AS toks
+       |       FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)),
+       |hlt AS (SELECT pos, unnest(toks) AS t FROM hd),
+       |hbt AS (SELECT pos, ${polyHashSqlOf("t")} % $buckets AS bucket FROM hlt),
+       |hbc AS (SELECT bucket, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+       |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nc
+       |        FROM hbt GROUP BY bucket),
+       |hsp AS (SELECT unnest(range(0, $buckets)) AS bucket),
+       |hm0 AS (SELECT hsp.bucket, coalesce(pc, CAST(0 AS BIGINT)) AS pc,
+       |               coalesce(nc, CAST(0 AS BIGINT)) AS nc FROM hsp LEFT JOIN hbc USING (bucket)),
+       |htot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt, CAST(sum(nc) AS BIGINT) AS nt FROM hm0),
+       |hm AS (SELECT bucket, CAST(floor(ln(
+       |         (CAST(pc + 1 AS DOUBLE) * CAST(nt + $buckets AS DOUBLE)) /
+       |         (CAST(nc + 1 AS DOUBLE) * CAST(pt + $buckets AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w
+       |       FROM hm0, htot),
+       |hdt AS (SELECT doc_id, unnest(toks) AS t FROM hd),
+       |hdb AS (SELECT doc_id, ${polyHashSqlOf("t")} % $buckets AS bucket FROM hdt),
+       |hs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |              CAST(sum(w) AS BIGINT) AS score_micro
+       |       FROM hdb JOIN hm USING (bucket) GROUP BY doc_id),
+       |hsc AS (SELECT hdd.doc_id, coalesce(hs.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |               coalesce(hs.score_micro, CAST(0 AS BIGINT)) AS score_micro
+       |        FROM (SELECT DISTINCT doc_id FROM hd) hdd LEFT JOIN hs USING (doc_id))""".stripMargin
 
   /** Per-doc (doc, token, count) CTEs over the scored corpus — the
     * shared document side of every unigram-LM oracle. */
@@ -2791,29 +2850,26 @@ object SparkEntry {
     // the 6-dp micro grid (ln drift absorbed, cf. the BM25 kernel),
     // doc scores as exact BIGINT sums
     "x_text_hashclf" ->
-      s"""WITH d AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, $toksSql AS toks
-         |           FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)),
-         |lt AS (SELECT pos, unnest(toks) AS t FROM d),
-         |bt AS (SELECT pos, ${polyHashSqlOf("t")} % 1024 AS bucket FROM lt),
-         |bc AS (SELECT bucket, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
-         |              CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nc
-         |       FROM bt GROUP BY bucket),
-         |sp AS (SELECT unnest(range(0, 1024)) AS bucket),
-         |m0 AS (SELECT sp.bucket, coalesce(pc, CAST(0 AS BIGINT)) AS pc,
-         |              coalesce(nc, CAST(0 AS BIGINT)) AS nc FROM sp LEFT JOIN bc USING (bucket)),
-         |tot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt, CAST(sum(nc) AS BIGINT) AS nt FROM m0),
-         |m AS (SELECT bucket, CAST(floor(ln(
-         |        (CAST(pc + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)) /
-         |        (CAST(nc + 1 AS DOUBLE) * CAST(pt + 1024 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w
-         |     FROM m0, tot),
-         |dt AS (SELECT doc_id, unnest(toks) AS t FROM d),
-         |db AS (SELECT doc_id, ${polyHashSqlOf("t")} % 1024 AS bucket FROM dt),
-         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |             CAST(sum(w) AS BIGINT) AS score_micro
-         |      FROM db JOIN m USING (bucket) GROUP BY doc_id)
-         |SELECT dd.doc_id, coalesce(s.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-         |       coalesce(s.score_micro, CAST(0 AS BIGINT)) AS score_micro
-         |FROM (SELECT DISTINCT doc_id FROM d) dd LEFT JOIN s USING (doc_id)""".stripMargin,
+      s"""WITH ${hashClfCtes(1024)}
+         |SELECT doc_id, n_tokens, score_micro FROM hsc""".stripMargin,
+
+    // the saved-model roundtrip scores bit-identically to the direct
+    // chain, so ONE oracle definition covers both — at the distinct
+    // 512-bucket shape
+    "x_text_hashclf_saved" ->
+      s"""WITH ${hashClfCtes(512)}
+         |SELECT doc_id, n_tokens, score_micro FROM hsc""".stripMargin,
+
+    // scoring chain + the qfloor window epilogue: per source, rank by
+    // (score asc, id asc), drop ranks <= floor(0.3 * n)
+    "x_corpus_clffilter" ->
+      s"""WITH ${hashClfCtes(1024)},
+         |cj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
+         |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_micro ASC, doc_id ASC) AS rk,
+         |              count(*) OVER (PARTITION BY source) AS n FROM cj)
+         |SELECT doc_id, source, n_tokens, score_micro
+         |FROM cr WHERE rk > floor(0.3 * CAST(n AS DOUBLE))""".stripMargin,
 
     // shard-partitioned running sum (never a global sort), integer
     // div/mod — exact at any magnitude

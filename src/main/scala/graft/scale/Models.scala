@@ -107,4 +107,29 @@ object Models {
     }
     Pq.Model(dim, m, k, codebooks)
   }
+
+  private val HashClfCols = Seq("bucket", "pos_count", "neg_count", "w_micro")
+
+  /** Persist a [[TextAnalysis.hashedClassifierFit]] model — the
+    * fit-once / score-every-wave reuse path of the quality-filter
+    * family (same contract as [[saveGroupCentroids]]): plain parquet,
+    * one file (the model is `buckets` rows by construction; longs are
+    * lossless there).
+    */
+  def saveHashedClassifier(model: DataFrame, path: String): Unit = {
+    val missing = HashClfCols.filterNot(model.columns.contains)
+    require(missing.isEmpty,
+      s"saveHashedClassifier: not a hashedClassifierFit frame (missing ${missing.mkString(", ")})")
+    model.repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[saveHashedClassifier]]; fails loudly on a
+    * path that is not such an artifact. */
+  def loadHashedClassifier(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = HashClfCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"loadHashedClassifier: $path is not a saveHashedClassifier artifact (missing ${missing.mkString(", ")})")
+    df
+  }
 }

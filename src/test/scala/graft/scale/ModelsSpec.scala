@@ -120,4 +120,31 @@ class ModelsSpec extends AnyFunSuite {
       Models.loadGroupCentroids(spark, pqDir) // a PQ artifact, not centroids
     }
   }
+
+  test("hashed-classifier model: save/load roundtrip scores identically, wrong artifact rejected") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma", true),
+      (2L, "delta epsilon zeta", false),
+      (3L, "alpha alpha beta", true)
+    ).toDF("doc_id", "text", "lab")
+    val model = TextAnalysis.hashedClassifierFit(train, "text", "lab", buckets = 64)
+    val dir = tmp("models-hashclf")
+    Models.saveHashedClassifier(model, dir)
+    val loaded = Models.loadHashedClassifier(spark, dir)
+    val direct = TextAnalysis.hashedClassifierScore(train, "doc_id", "text", model, 64)
+      .orderBy("doc_id").collect().toSeq
+    val viaDisk = TextAnalysis.hashedClassifierScore(train, "doc_id", "text", loaded, 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(direct == viaDisk)
+    // not-a-model artifacts fail loudly in both directions
+    assertThrows[IllegalArgumentException] {
+      Models.saveHashedClassifier(train, tmp("models-hashclf-bad"))
+    }
+    val pqDir2 = tmp("models-nothashclf")
+    Models.savePq(spark, Pq.syntheticModel(dim = 8, m = 2, k = 4), pqDir2)
+    assertThrows[IllegalArgumentException] {
+      Models.loadHashedClassifier(spark, pqDir2)
+    }
+  }
 }
