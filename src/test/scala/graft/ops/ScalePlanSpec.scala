@@ -255,4 +255,31 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
       "bm25 must not globally sort the corpus")
   }
+
+  test("maskRepeatedSpans: no cartesian/nested-loop, no unpartitioned window") {
+    val docs = (0L until 20L)
+      .map(i => (i, s"alpha beta gamma delta w$i x$i y$i z$i q$i")).toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.maskRepeatedSpans(docs, "doc_id", "text", w = 4)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "span-dedup must join duplicated hashes by key, not cross")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "span-dedup degenerated to a nested-loop join")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("hashedClassifierScore: model joins broadcast; the corpus never sorts globally") {
+    val train = (0L until 16L)
+      .map(i => (i, s"tok$i alpha beta", i % 2 == 0)).toDF("doc_id", "text", "lab")
+    val model = graft.scale.TextAnalysis.hashedClassifierFit(train, "text", "lab", buckets = 32)
+    val plan = graft.scale.TextAnalysis.hashedClassifierScore(train, "doc_id", "text", model, 32)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    // the model side must reach the token stream as a broadcast, never
+    // a shuffled repartition join (the fixed-size-model property)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "model should broadcast-join the exploded token stream")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "a buckets-sized model must never sort-merge against the corpus")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
 }
