@@ -620,6 +620,24 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // quality-aware survivor election: each near-dup cluster keeps its
+    // best CLASSIFIER-scored member (score desc, id asc), not min-id —
+    // the production dedup epilogue composed from the clusters frame +
+    // the hashed-classifier scores
+    "x_dedup_bestrep" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
+        maxBlockSize = NgramBlockCap)
+      val clustersDf = Dedup.clusters(docs, "doc_id", pairs)
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
+      Dedup.electRepresentatives(clustersDf, scored, "doc_id", "score_micro")
+        .select(col("cluster"), col("id"),
+          col("score_micro").cast("long").as("score_micro"))
+    }),
+
     // cluster-size census over the same component assignment — the
     // "how much duplication, in what clump sizes" audit a dedup run
     // reports (Dedup.clusterSizeCensus: two tiny aggregates on top of
@@ -2218,6 +2236,27 @@ object SparkEntry {
          |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
          |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
+
+    // the clusters CC chain + the shared classifier CTEs, then the
+    // argmax window (score desc, id asc) — rank-1 replays the bounded
+    // top-1 aggregate's total order
+    "x_dedup_bestrep" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |${hashClfCtes(1024)},
+         |rnk AS (SELECT c.cluster, c.id, hsc.score_micro,
+         |               row_number() OVER (PARTITION BY c.cluster
+         |                 ORDER BY hsc.score_micro DESC, c.id ASC) AS rk
+         |        FROM clu c JOIN hsc ON c.id = hsc.doc_id)
+         |SELECT cluster, id, score_micro FROM rnk WHERE rk = 1""".stripMargin,
 
     // BM25: same association order as bm25Contrib's expressions — IEEE
     // +,*,/ agree exactly; ln() ulp drift is absorbed by the half-up

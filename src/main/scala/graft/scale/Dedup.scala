@@ -601,6 +601,33 @@ object Dedup {
     * for it: two summary-sized hash aggregates over a frame they
     * already have.
     */
+  /** Quality-aware representative election over an existing clusters
+    * frame: each near-dup cluster keeps its HIGHEST-scoring member
+    * (score desc, id asc — the library's standard total order) instead
+    * of the arbitrary min-id the plain dedup keeps. This is the
+    * production near-dup epilogue: when a crawl holds five near-copies,
+    * survive the best one (longest, highest classifier score, newest
+    * snapshot — any caller-supplied score), not whichever id sorts
+    * first. Output: (cluster, id, scoreCol as double — the election
+    * key). Members with NULL scores never win (and a cluster of only
+    * null scores elects nobody — an unscorable group must not survive
+    * a quality gate, cf. [[Sampling.keepBestKPerGroup]]).
+    *
+    * Scale: one id-keyed join (clusters ⋈ scores co-partition on the
+    * id) + the map-side-bounded top-1 aggregate — shuffle ∝ clusters,
+    * never a cluster-partitioned window sort of every member.
+    */
+  def electRepresentatives(
+      clustersDf: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val joined = clustersDf.join(
+      scores.select(graft.ops.Cleaning.qcol(idCol).as("id"),
+        graft.ops.Cleaning.qcol(scoreCol)),
+      Seq("id"))
+    Sampling.keepBestKPerGroup(joined, Seq("cluster"), "id", scoreCol, k = 1)
+      .select(col("cluster"), col("id"), graft.ops.Cleaning.qcol(scoreCol))
+  }
+
   def clusterSizeCensus(
       clusters: DataFrame, clusterCol: String = "cluster"): DataFrame =
     clusters.groupBy(graft.ops.Cleaning.qcol(clusterCol))

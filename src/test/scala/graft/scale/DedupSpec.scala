@@ -524,4 +524,23 @@ class DedupSpec extends AnyFunSuite {
       maxShingleDocs = 3) // df=4 > 3 -> boilerplate shingle dropped
     assert(capped.count() == 0)
   }
+
+  test("electRepresentatives: best score wins, ties by id, null scores never win") {
+    import spark.implicits._
+    val clustersDf = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), // cluster 10
+      (4L, 40L), (5L, 40L),            // cluster 40: tied scores
+      (6L, 60L)                        // singleton, null score
+    ).toDF("id", "cluster")
+    val scores = Seq(
+      (1L, Some(5.0)), (2L, Some(9.0)), (3L, None),
+      (4L, Some(7.0)), (5L, Some(7.0)),
+      (6L, None)
+    ).toDF("doc_id", "q")
+    val got = Dedup.electRepresentatives(clustersDf, scores, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) == ((2L, 9.0)))  // highest score, null member ignored
+    assert(got(40L) == ((4L, 7.0)))  // tie -> lowest id
+    assert(!got.contains(60L))       // all-null cluster elects nobody
+  }
 }
