@@ -918,6 +918,21 @@ object SparkEntry {
       TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", loaded, buckets = 512)
     }),
 
+    // token-budgeted mixture: fill each source's 2000-token budget
+    // with its best classifier-scored documents (greedy prefix by
+    // quality, running sum within the per-group window)
+    "x_corpus_budget" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
+      val withSrc = docs.select(col("doc_id"), col("source"))
+        .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
+      Sampling.takeTokensPerGroup(withSrc, Seq("source"), "doc_id",
+        "score_micro", "n_tokens", tokenBudget = 2000L)
+    }),
+
     // the GPT-3-recipe composition: classifier-score the corpus, then
     // floor each source at its best 70% (rank-based, per-group window)
     "x_corpus_clffilter" -> ((s, d) => {
@@ -2898,6 +2913,19 @@ object SparkEntry {
     "x_text_hashclf_saved" ->
       s"""WITH ${hashClfCtes(512)}
          |SELECT doc_id, n_tokens, score_micro FROM hsc""".stripMargin,
+
+    // scoring chain + the budget window epilogue: per source, rank by
+    // (score desc, id asc), admit while the inclusive running token
+    // sum stays within 2000
+    "x_corpus_budget" ->
+      s"""WITH ${hashClfCtes(1024)},
+         |bj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
+         |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
+         |br AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |                 ORDER BY score_micro DESC, doc_id ASC
+         |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM bj)
+         |SELECT doc_id, source, n_tokens, score_micro, cum_tokens
+         |FROM br WHERE cum_tokens <= 2000""".stripMargin,
 
     // scoring chain + the qfloor window epilogue: per source, rank by
     // (score asc, id asc), drop ranks <= floor(0.3 * n)

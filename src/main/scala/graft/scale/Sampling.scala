@@ -451,6 +451,39 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Token-budgeted selection per group — the "fill each source's
+    * token budget with its best documents" mixture primitive (the
+    * operation that turns "we want 500B tokens at these source
+    * weights" into a concrete document set): rank each group by
+    * (score desc, id asc), admit documents while the RUNNING token sum
+    * (including the current document) stays within `tokenBudget`.
+    * Greedy prefix-by-quality — deterministic, and the admitted set is
+    * exactly the best documents that fit. Null scores rank last (only
+    * admitted if budget remains after every scored document). Output:
+    * the surviving rows + `cum_tokens` (the running sum at admission,
+    * for shard-planning audits).
+    *
+    * Scale: one group-partitioned window exchange shared by the rank
+    * and the running sum — never global; groups must fit a task's sort
+    * (the per-group exact-quantile contract, cf. `s3_wquantile`); past
+    * that, swap to a quantile-sketch score threshold per group and
+    * accept the approximate cut.
+    */
+  def takeTokensPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String, scoreCol: String,
+      tokenCol: String, tokenBudget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "takeTokensPerGroup needs at least one group column")
+    require(tokenBudget > 0, s"tokenBudget must be > 0, got $tokenBudget")
+    import org.apache.spark.sql.expressions.Window
+    val groups = groupCols.map(graft.ops.Cleaning.qcol)
+    val w = Window.partitionBy(groups: _*)
+      .orderBy(desc_nulls_last(scoreCol), asc(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens",
+        sum(graft.ops.Cleaning.qcol(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+  }
+
   /** Stratified systematic sampling: an independent systematic sample
     * within every stratum, with per-stratum modulus (sampling rate).
     * Strata missing from `mods` fall back to `defaultMod`.

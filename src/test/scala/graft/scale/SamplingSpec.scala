@@ -245,4 +245,22 @@ class SamplingSpec extends AnyFunSuite {
       target, "text", n = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == again.toSeq)
   }
+
+  test("takeTokensPerGroup: best docs admitted until the running token sum exceeds the budget") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: scores 9,8,7 with tokens 40,50,30 — budget 100 admits 9(40),8(90); 7 would hit 120
+      (1L, "a", 40L, 9.0), (2L, "a", 50L, 8.0), (3L, "a", 30L, 7.0),
+      // group b: single oversize doc never fits
+      (4L, "b", 200L, 5.0),
+      // group c: tie on score -> lower id first; null score ranks last
+      (5L, "c", 60L, 4.0), (6L, "c", 60L, 4.0), (7L, "c", 10L, Double.NaN)
+    ).toDF("id", "grp", "tok", "score")
+      .withColumn("score", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.isnan(org.apache.spark.sql.functions.col("score")),
+          org.apache.spark.sql.functions.lit(null)).otherwise(org.apache.spark.sql.functions.col("score")))
+    val got = Sampling.takeTokensPerGroup(df, Seq("grp"), "id", "score", "tok", 100L)
+      .select("id", "cum_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 40L, 2L -> 90L, 5L -> 60L))
+  }
 }
