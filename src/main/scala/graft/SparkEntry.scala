@@ -892,6 +892,17 @@ object SparkEntry {
       TextAnalysis.maskRepeatedSpans(T(s, d, "documents"), "doc_id", "text",
         w = 8, minCount = 2L)),
 
+    // incremental span dedup: the new delivery (docs >= 400, the
+    // x_dedup_incr split) masks spans whose combined frequency —
+    // batch occurrences + the accepted corpus' span index — reaches 2
+    "x_text_spandedup_incr" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      TextAnalysis.maskRepeatedSpansAgainstIndex(
+        docs.filter(col("doc_id") >= 400),
+        TextAnalysis.spanIndex(docs.filter(col("doc_id") < 400), "doc_id", "text", w = 8),
+        "doc_id", "text", w = 8, minCount = 2L)
+    }),
+
     // fasttext-shape hashed linear classifier: fit Naive-Bayes
     // log-odds over 1024 hashed buckets (positive class = English
     // docs), then score every document with the exact long sum
@@ -2886,6 +2897,35 @@ object SparkEntry {
          |w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM a WHERE len(toks) >= 8),
          |wh AS (SELECT doc_id, i, ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM w0),
          |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
+         |sg AS (SELECT doc_id, list(i) AS starts, CAST(count(*) AS BIGINT) AS nds FROM st GROUP BY doc_id),
+         |p0 AS (SELECT a.doc_id, toks, coalesce(sg.starts, []) AS starts FROM a LEFT JOIN sg USING (doc_id)),
+         |px AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks, starts FROM p0 WHERE len(toks) >= 1),
+         |kp AS (SELECT doc_id, p, toks[p] AS tok FROM px
+         |       WHERE len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0),
+         |kg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |              string_agg(tok, ' ' ORDER BY p) AS clean_text FROM kp GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
+         |       coalesce(sg.nds, CAST(0 AS BIGINT)) AS n_dup_spans,
+         |       coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |       coalesce(kg.clean_text, '') AS clean_text
+         |FROM a LEFT JOIN sg USING (doc_id) LEFT JOIN kg USING (doc_id)""".stripMargin,
+
+    // the batch-side window enumeration plus the index side's span
+    // counts; duplicated = batch count + index count >= 2
+    "x_text_spandedup_incr" ->
+      s"""WITH a AS (SELECT doc_id, $toksSql AS toks
+         |           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id >= 400)),
+         |ix AS (SELECT doc_id, $toksSql AS toks
+         |       FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id < 400)),
+         |w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM a WHERE len(toks) >= 8),
+         |wh AS (SELECT doc_id, i, ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM w0),
+         |iw0 AS (SELECT toks, unnest(range(1, len(toks) - 6)) AS i FROM ix WHERE len(toks) >= 8),
+         |iwh AS (SELECT ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM iw0),
+         |ic AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM iwh GROUP BY h),
+         |bc AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM wh GROUP BY h),
+         |dup AS (SELECT bc.h FROM bc LEFT JOIN ic USING (h)
+         |        WHERE bc.n + coalesce(ic.n, 0) >= 2),
          |st AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
          |sg AS (SELECT doc_id, list(i) AS starts, CAST(count(*) AS BIGINT) AS nds FROM st GROUP BY doc_id),
          |p0 AS (SELECT a.doc_id, toks, coalesce(sg.starts, []) AS starts FROM a LEFT JOIN sg USING (doc_id)),

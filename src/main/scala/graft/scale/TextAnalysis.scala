@@ -1035,16 +1035,33 @@ object TextAnalysis {
       w: Int = 8, minCount: Long = 2L): DataFrame = {
     require(w >= 2, s"w must be >= 2, got $w")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val (base, spans) = spanFrames(df, idCol, textCol, w)
+    val dup = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__h"))
+    maskBySpanStarts(base, spans, dup, idCol, w)
+  }
+
+  /** (base, spans) frames shared by the batch and incremental span-
+    * dedup forms: base = (doc, token array), spans = one (doc, start,
+    * window hash) row per length-`w` window. */
+  private def spanFrames(
+      df: DataFrame, idCol: String, textCol: String, w: Int): (DataFrame, DataFrame) = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val toks = tokens(coalesce(graft.ops.Cleaning.qcol(textCol), lit("")))
     val base = df.select(id.as("__doc"), toks.as("__toks"))
     val spans = base.select(col("__doc"),
       posexplode(graft.functions.Native.spanPolyHashes(col("__toks"), w))
         .as(Seq("__i", "__h")))
-    val dup = spans.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-      .select(col("__h"))
+    (base, spans)
+  }
+
+  /** The masking epilogue: duplicated-hash set → per-doc start lists →
+    * row-local token cover filter. */
+  private def maskBySpanStarts(
+      base: DataFrame, spans: DataFrame, dup: DataFrame,
+      idCol: String, w: Int): DataFrame = {
     val starts = spans.join(dup, Seq("__h"))
       .groupBy(col("__doc"))
       .agg(sort_array(collect_list(col("__i"))).as("__starts"),
@@ -1061,6 +1078,55 @@ object TextAnalysis {
         coalesce(col("__nds"), lit(0L)).as("n_dup_spans"),
         size(kept).cast("long").as("n_kept"),
         concat_ws(" ", transform(kept, s => s.getField("t"))).as("clean_text"))
+  }
+
+  /** Span-frequency index over an accepted corpus: (span_hash, n) —
+    * the persisted state of the incremental span-dedup loop (same
+    * probe-and-grow pattern as the MinHash band index,
+    * [[graft.scale.Dedup.minhashBandIndex]]). Merge waves with
+    * [[mergeSpanIndexes]].
+    */
+  def spanIndex(
+      df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    val (_, spans) = spanFrames(df, idCol, textCol, w)
+    spans.groupBy(col("__h").as("span_hash"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("span_hash"), col("n"))
+  }
+
+  /** Union two span indexes, summing counts — the index-growth step
+    * after a wave is accepted. */
+  def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("span_hash"), col("n"))
+      .unionByName(b.select(col("span_hash"), col("n")))
+      .groupBy(col("span_hash")).agg(sum(col("n")).as("n"))
+
+  /** Incremental [[maskRepeatedSpans]]: a new delivery is masked
+    * against the combined span frequency of the batch itself AND a
+    * persisted [[spanIndex]] — a span repeated across waves masks even
+    * when each wave saw it once. With an empty index this equals the
+    * batch form exactly (spec-asserted).
+    *
+    * Scale: the batch span aggregate is batch-sized; the index join is
+    * span-hash-keyed (the index side prunes to hashes the batch
+    * actually contains via the join itself); everything downstream is
+    * the batch-sized masking epilogue. The index never rescans old
+    * corpus text — the point of persisting counts, not documents.
+    */
+  def maskRepeatedSpansAgainstIndex(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val (base, spans) = spanFrames(batch, idCol, textCol, w)
+    val dup = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__bc"))
+      .join(index.select(col("span_hash").as("__h"), col("n").as("__ic")),
+        Seq("__h"), "left")
+      .filter(col("__bc") + coalesce(col("__ic"), lit(0L)) >= minCount)
+      .select(col("__h"))
+    maskBySpanStarts(base, spans, dup, idCol, w)
   }
 
   /** One-call corpus-preparation pipeline — the standard training-data

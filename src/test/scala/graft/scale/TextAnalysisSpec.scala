@@ -440,6 +440,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L)._2 == 0L)
   }
 
+  test("maskRepeatedSpansAgainstIndex: empty index equals the batch form; cross-wave spans mask") {
+    val batch = Seq(
+      (10L, "a b c d tail words here"),
+      (11L, "fresh unique content entirely new")
+    ).toDF("doc_id", "text")
+    val emptyIdx = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("span_hash",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    val viaEmpty = TextAnalysis.maskRepeatedSpansAgainstIndex(
+      batch, emptyIdx, "doc_id", "text", w = 4, minCount = 2)
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.maskRepeatedSpans(batch, "doc_id", "text", w = 4, minCount = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaEmpty == direct)
+    // the accepted wave saw "a b c d" once: combined count 1+1 = 2 -> masked now
+    val accepted = Seq((1L, "a b c d older context")).toDF("doc_id", "text")
+    val idx = TextAnalysis.spanIndex(accepted, "doc_id", "text", w = 4)
+    val got = TextAnalysis.maskRepeatedSpansAgainstIndex(
+      batch, idx, "doc_id", "text", w = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(got(10L) == ((1L, "tail words here")))
+    assert(got(11L) == ((0L, "fresh unique content entirely new")))
+  }
+
+  test("spanIndex/mergeSpanIndexes: counts sum across waves") {
+    val w1 = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    val w2 = Seq((2L, "x y z w"), (3L, "p q r s")).toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeSpanIndexes(
+      TextAnalysis.spanIndex(w1, "doc_id", "text", w = 4),
+      TextAnalysis.spanIndex(w2, "doc_id", "text", w = 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.values.toSeq.sorted == Seq(1L, 2L)) // "x y z w" twice, "p q r s" once
+  }
+
   test("maskRepeatedSpans: overlapping duplicated windows union their cover") {
     // "a b c d e" shared by two docs: with w=4 both windows (a..d, b..e)
     // duplicate -> all five tokens masked, n_dup_spans counts both
