@@ -351,4 +351,48 @@ class StreamsSpec extends AnyFunSuite {
       assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0))
     } finally q.stop()
   }
+
+  test("streaming span-dedup accept loop: growing span-frequency index masks cross-wave repeats") {
+    import graft.scale.TextAnalysis
+    implicit val sc = spark.sqlContext
+    val licence = "this work is licensed under the terms below"
+    // the accept-loop state: a span-frequency index grown per wave with
+    // the wave's OWN spans (counts, never documents — production:
+    // parquet appends + periodic mergeSpanIndexes compaction)
+    var index = TextAnalysis.spanIndex(
+      Seq((1L, licence)).toDF("doc_id", "text"), "doc_id", "text", w = 4)
+      .localCheckpoint()
+    val masked = scala.collection.mutable.Map[Long, (Long, String)]()
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = TextAnalysis.maskRepeatedSpansAgainstIndex(
+          batch, index, "doc_id", "text", w = 4, minCount = 2).localCheckpoint()
+        out.select("doc_id", "n_dup_spans", "clean_text")
+          .as[(Long, Long, String)].collect()
+          .foreach { case (id, nds, t) => masked(id) = (nds, t) }
+        index = TextAnalysis.mergeSpanIndexes(index,
+          TextAnalysis.spanIndex(batch, "doc_id", "text", w = 4)).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      // wave 1: repeats the licence seen by the seed index -> masked;
+      // a novel doc passes untouched
+      mem.addData(
+        (10L, s"new article body $licence"),
+        (11L, "original reporting with fresh words only"))
+      q.processAllAvailable()
+      assert(masked(10L)._1 > 0 && !masked(10L)._2.contains("licensed"))
+      assert(masked(11L) == ((0L, "original reporting with fresh words only")))
+      // wave 2: repeats wave-1's NOVEL doc — only maskable if the index
+      // grew with wave-1 spans
+      mem.addData((20L, "quoting original reporting with fresh words only verbatim"))
+      q.processAllAvailable()
+      assert(masked(20L)._1 > 0,
+        s"wave-2 repeat of wave-1 content must mask, got ${masked(20L)}")
+    } finally q.stop()
+  }
 }
