@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 140+-query bench generates >240MB of JIT'd code in one JVM;
+  // at the default code-cache size late queries run partly
+  // interpreted (measured ~6% suite drag at 146 queries)
+  "-XX:ReservedCodeCacheSize=1g",
 )
