@@ -798,6 +798,11 @@ object SparkEntry {
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
 
+    // the Gopher rule set (Rae et al. 2021 §A1.1): per-rule
+    // measurements + the conjunction, one narrow row-local pass
+    "x_text_gopher" -> ((s, d) =>
+      TextAnalysis.gopherRulesTable(T(s, d, "documents"), "doc_id", "text")),
+
     // duplicate-group size per doc: the xxhash64 fingerprint itself is
     // engine-specific, but fingerprint equality ≡ normalized-token-
     // stream equality (collisions ~1e-15 here), so the GROUP SIZES are
@@ -2659,6 +2664,33 @@ object SparkEntry {
          |       stophits / (CASE WHEN toks > 0 THEN toks END) AS stopword_ratio,
          |       (toks >= 5 AND toks <= 100000 AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3) AS keep
          |FROM b""".stripMargin,
+
+    // Gopher rules: exact integer counts, raw IEEE divisions, the
+    // conjunction under three-valued logic (n >= 50 is FALSE for empty
+    // docs, so FALSE AND NULL = FALSE on both engines)
+    "x_text_gopher" ->
+      s"""WITH a AS (SELECT doc_id, text, $toksSql AS toks
+         |           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+         |g AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b)
+         |    / (CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END) AS mean_word_len,
+         |  CAST((len(string_split(text, '#')) - 1)
+         |       + (len(string_split(text, '...')) - 1) AS DOUBLE)
+         |    / (CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END) AS symbol_ratio,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |    / (CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END) AS alpha_word_frac,
+         |  CAST(len(list_intersect(list_distinct(toks),
+         |       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop_hits
+         |  FROM a)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop_hits,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND symbol_ratio <= 0.1
+         |        AND alpha_word_frac >= 0.8
+         |        AND n_stop_hits >= 2) AS keep
+         |FROM g""".stripMargin,
 
     "x_mm_meta" ->
       """SELECT doc_id,

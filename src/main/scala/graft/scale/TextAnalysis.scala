@@ -122,6 +122,54 @@ object TextAnalysis {
       qualityKeep(t).as("keep"))
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, §A1.1 — the filter set
+    * most later corpora inherit), per document: word count in
+    * [50, 100000], mean word length in [3, 10], symbol-to-word ratio
+    * (# and ellipsis) ≤ 0.1, ≥ 80% of words contain an alphabetic
+    * character, and ≥ 2 distinct hits from the canonical 8-stopword
+    * list. Emits every per-rule measurement plus the conjunction
+    * (`keep`) so a pipeline can audit WHICH rule fired, not just the
+    * verdict. Ratios are raw IEEE divisions of exact integer counts
+    * (the [[qualityTable]] convention); null/zero-token docs emit null
+    * ratios and keep = false.
+    *
+    * Scale: entirely row-local (one narrow codegen'd pass, no shuffle,
+    * no state) — the cheapest filter in the stack, which is why
+    * production pipelines run it FIRST, ahead of anything keyed.
+    */
+  def gopherRulesTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(graft.ops.Cleaning.qcol(textCol), lit(""))
+    val toks = tokens(t)
+    val n = size(toks)
+    val safeN = when(n > 0, n.cast("double"))
+    val totalChars = aggregate(transform(toks, x => length(x)),
+      lit(0L), (acc, c) => acc + c)
+    val meanLen = totalChars / safeN
+    val symbols = (size(split(t, "#", -1)) - 1) + (size(split(t, "\\.\\.\\.", -1)) - 1)
+    val symbolRatio = symbols.cast("double") / safeN
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]")))
+    val alphaFrac = alphaWords.cast("double") / safeN
+    val stops = array(GopherStopwords.map(lit): _*)
+    val stopHits = size(array_intersect(toks, stops))
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.cast("long").as("n_stop_hits"),
+      (n >= 50 && n <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        alphaFrac >= 0.8 &&
+        stopHits >= 2).as("keep"))
+  }
+
+  /** Rae et al. 2021's canonical stopword set for the "≥ 2 distinct
+    * stopwords" rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   // Deliberately simple patterns with no engine-specific syntax
   // (no backrefs/lookarounds) so Java regex (Spark) and RE2 (DuckDB)
   // agree — the redaction oracle depends on it.
