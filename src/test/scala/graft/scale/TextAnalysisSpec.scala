@@ -36,6 +36,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L).getDouble(3) > 0.5) // punct_ratio
   }
 
+  test("gopherRules: per-rule measurements, conjunction, empty-doc nulls") {
+    // 10 words, 35 chars, 5 distinct stopwords, all-alpha; x5 = 50 words
+    val good = Array.fill(5)("the cat and dog have fun with that red house")
+      .mkString(" ")
+    val df = Seq(
+      (1L, good),                        // passes every rule
+      (2L, "the cat and that"),          // too short (n=4 < 50)
+      (3L, ""),                          // empty: null ratios, keep=false
+      (4L, good + " ## ## ## ## ## ##")  // 12 '#' / 56 words > 0.1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesTable(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 50L)
+    assert(got(1L).getDouble(2) == 3.5)       // 175 chars / 50 words
+    assert(got(1L).getDouble(3) == 0.0)
+    assert(got(1L).getDouble(4) == 1.0)
+    assert(got(1L).getLong(5) == 5L)          // the,and,have,with,that
+    assert(got(1L).getBoolean(6))
+    assert(got(2L).getLong(1) == 4L && !got(2L).getBoolean(6))
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(2) &&
+      !got(3L).getBoolean(6))
+    assert(got(4L).getLong(1) == 56L)
+    assert(got(4L).getDouble(3) == 12.0 / 56) // only the symbol rule fires
+    assert(got(4L).getDouble(4) == 50.0 / 56)
+    assert(!got(4L).getBoolean(6))
+  }
+
   test("redactPii: emails, urls, phones replaced with typed placeholders") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org today"),
