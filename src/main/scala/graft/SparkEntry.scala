@@ -966,6 +966,12 @@ object SparkEntry {
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
 
+    // packing-efficiency audit over the same layout: per-shard volume,
+    // pack count, tail waste, boundary straddles — all exact integers
+    "x_text_packeff" -> ((s, d) =>
+      TextAnalysis.packEfficiency(T(s, d, "documents"), "doc_id", "text",
+        budget = 256, shards = 8)),
+
     "x_text_chunks" -> ((s, d) =>
       TextAnalysis.chunkDocuments(T(s, d, "documents"), "doc_id", "text",
         chunk = 32, overlap = 8)),
@@ -1143,6 +1149,16 @@ object SparkEntry {
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
     }),
+
+    // capped water-filling epoch allocation: target weights 4/2/1/1
+    // over four sources, 2-epoch repeat ceiling, 8k-token budget — at
+    // sf0.01 the heaviest-weighted source hits its capacity cap and the
+    // remainder water-fills the rest (the nontrivial branch of the
+    // closed form; unlisted sources exercise the zero-weight branch)
+    "x_corpus_epochs" -> ((s, d) =>
+      Sampling.epochAllocation(T(s, d, "documents"), "text", "source",
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        budgetTokens = 8000L, maxEpochs = 2.0)),
 
     // temperature-balanced mixture (alpha = 0.5 up-weights small
     // sources): rates are driver-computed constants from a sorted fold,
@@ -3645,6 +3661,60 @@ object SparkEntry {
     // identical driver arithmetic: Z is a SORTED left-assoc fold
     // (list_reduce over list(... ORDER BY source) == Scala foldLeft
     // over the sorted collect), rate = floor(min(1, B*T^a/Z/T)*1e6+.5)/1e6
+    // packing-efficiency: the x_text_pack CTE + one integer aggregate;
+    // crossings = boundaries a doc's body spans inside its start pack
+    "x_text_packeff" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t),
+         |p AS (SELECT shard, token_count, st % 256 AS pack_offset FROM w),
+         |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(token_count) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN token_count > 0 THEN (pack_offset + token_count - 1) // 256 ELSE 0 END) AS BIGINT) AS n_crossings
+         |      FROM p GROUP BY shard)
+         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+         |       CAST(CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // 256 + 1 ELSE 0 END AS BIGINT) AS n_packs,
+         |       CAST((CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // 256 + 1 ELSE 0 END) * 256 - n_tokens AS BIGINT) AS tail_waste,
+         |       n_crossings
+         |FROM g""".stripMargin,
+
+    // epoch water-filling: every sum is over exact longs (micro-unit
+    // weights, half-up long capacities), every double is a single-op
+    // expression written in the same association as the Spark plan —
+    // the capped-prefix test and the waterline division match
+    // bit-for-bit
+    "x_corpus_epochs" ->
+      s"""WITH t AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tokens_available FROM documents GROUP BY 1),
+         |b AS (SELECT source, tokens_available,
+         |        CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
+         |             WHEN source = 'src2' THEN 1.0 WHEN source = 'src3' THEN 1.0
+         |             ELSE 0.0 END AS weight FROM t),
+         |p AS (SELECT source, tokens_available, weight,
+         |        CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT) AS wm,
+         |        CAST(floor(2.0 * CAST(tokens_available AS DOUBLE) + 0.5) AS BIGINT) AS cap
+         |      FROM b WHERE weight > 0),
+         |r AS (SELECT *, CAST(cap AS DOUBLE) / CAST(wm AS DOUBLE) AS rr FROM p),
+         |s AS (SELECT *,
+         |        sum(cap) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cc,
+         |        sum(wm) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cw,
+         |        (SELECT sum(cap) FROM p) AS capT,
+         |        (SELECT sum(wm) FROM p) AS wmT
+         |      FROM r),
+         |f AS (SELECT *, rr * CAST(wmT - cw AS DOUBLE) <= CAST(8000 - cc AS DOUBLE) AS capped FROM s),
+         |c AS (SELECT coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS capC,
+         |             coalesce(sum(CASE WHEN capped THEN wm ELSE 0 END), 0) AS wmC FROM f),
+         |a AS (SELECT f.source, f.tokens_available, f.weight,
+         |        CASE WHEN f.capped THEN f.cap
+         |             ELSE CAST(floor(CAST(8000 - c.capC AS DOUBLE) / CAST(f.wmT - c.wmC AS DOUBLE) * CAST(f.wm AS DOUBLE) + 0.5) AS BIGINT) END AS allocated_tokens
+         |      FROM f, c),
+         |u AS (SELECT source, tokens_available, weight, allocated_tokens FROM a
+         |      UNION ALL
+         |      SELECT source, tokens_available, weight, CAST(0 AS BIGINT) FROM b WHERE NOT (weight > 0))
+         |SELECT source, tokens_available, weight, allocated_tokens,
+         |       CASE WHEN tokens_available > 0
+         |            THEN floor(CAST(allocated_tokens AS DOUBLE) / CAST(tokens_available AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         |            ELSE 0.0 END AS epochs
+         |FROM u""".stripMargin,
+
     "x_corpus_temperature" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
          |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),

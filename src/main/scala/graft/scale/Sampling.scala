@@ -168,6 +168,91 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Epoch allocation by capped water-filling — the "how many epochs of
+    * each source" computation behind a pretraining data recipe: given
+    * target mixture weights w_i, a total token budget B, and a repeat
+    * ceiling of `maxEpochs` passes over any source, allocate
+    * a_i = min(capacity_i, λ·w_i) tokens with capacity_i =
+    * maxEpochs·tokens_i and λ the unique waterline making Σa_i = B
+    * (when B exceeds total capacity every source caps out and the
+    * budget is infeasible at this ceiling — visible as Σ epochs·tokens
+    * < B). Sources absent from `weights` (or at weight 0) get 0.
+    *
+    * Closed form, no iteration: sorted by capacity/weight ascending,
+    * the capped set is a prefix — source i caps iff
+    * r_i·(W − W_i) ≤ B − C_i with r_i = capacity_i/weight_i and
+    * C_i/W_i the running capacity/weight sums through i. λ then comes
+    * from the capped prefix in one step. Everything after the
+    * per-source token aggregate runs on a |weights|-sized summary
+    * frame: weights land in micro-units (exact longs), capacities are
+    * half-up longs, ALL running/total sums are integer-exact
+    * (order-invariant), and the only doubles are single-op
+    * ratio/product/divide expressions an oracle engine reproduces
+    * bit-for-bit when written in the same shape.
+    *
+    * Output: (source, tokens_available, weight, allocated_tokens
+    * [half-up long], epochs [= allocated/available, half-up 6 dp]).
+    *
+    * Scale: ONE hash aggregate over the corpus (|sources| rows out),
+    * then arithmetic on a frame bounded by the caller's literal weight
+    * map — the unpartitioned window sorts |weights| rows, not data.
+    */
+  def epochAllocation(
+      df: DataFrame, textCol: String, sourceCol: String,
+      weights: Map[String, Double], budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(v => v >= 0 && !v.isNaN && !v.isInfinite),
+      "weights must be finite and >= 0")
+    require(weights.values.exists(_ > 0), "at least one weight must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.ops.Cleaning.qcol(sourceCol).cast("string")
+    val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")
+    val totals = df.groupBy(src.as("source")).agg(sum(tokc).as("tokens_available"))
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val base = totals.withColumn("weight", coalesce(wExpr, lit(0.0)))
+    val pos = base.filter(col("weight") > 0)
+      .withColumn("__wm", floor(col("weight") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("__cap",
+        floor(lit(maxEpochs) * col("tokens_available").cast("double") + lit(0.5))
+          .cast("long"))
+      .withColumn("__r", col("__cap").cast("double") / col("__wm").cast("double"))
+    val w = Window.orderBy(asc("__r"), asc("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pos.agg(sum("__cap").as("__capT"), sum("__wm").as("__wmT"))
+    val flagged = pos.crossJoin(broadcast(tot))
+      .withColumn("__cc", sum(col("__cap")).over(w))
+      .withColumn("__cw", sum(col("__wm")).over(w))
+      .withColumn("__capped",
+        col("__r") * (col("__wmT") - col("__cw")).cast("double") <=
+          (lit(budgetTokens) - col("__cc")).cast("double"))
+    val cappedSums = flagged.agg(
+      sum(when(col("__capped"), col("__cap")).otherwise(lit(0L))).as("__capC"),
+      sum(when(col("__capped"), col("__wm")).otherwise(lit(0L))).as("__wmC"))
+    val allocated = flagged.crossJoin(broadcast(cappedSums))
+      .withColumn("__lambda",
+        when(col("__wmT") > col("__wmC"),
+          (lit(budgetTokens) - col("__capC")).cast("double") /
+            (col("__wmT") - col("__wmC")).cast("double")))
+      .withColumn("allocated_tokens",
+        when(col("__capped"), col("__cap"))
+          .otherwise(floor(col("__lambda") * col("__wm").cast("double") + lit(0.5))
+            .cast("long")))
+    val out = allocated.select(col("source"), col("tokens_available"),
+        col("weight"), col("allocated_tokens"))
+      .unionByName(base.filter(!(col("weight") > 0))
+        .select(col("source"), col("tokens_available"), col("weight"),
+          lit(0L).as("allocated_tokens")))
+    out.withColumn("epochs",
+      when(col("tokens_available") > 0, graft.ops.Rounding.halfUp(
+        col("allocated_tokens").cast("double") /
+          col("tokens_available").cast("double"), 6)).otherwise(lit(0.0)))
+  }
+
   /** Deterministic train/val/test split assignment: every row gets a
     * named split label by comparing its portable per-key uniform (the
     * same affine hash mod 1000003 as [[byWeight]] /

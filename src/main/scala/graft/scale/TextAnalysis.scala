@@ -714,6 +714,44 @@ object TextAnalysis {
         pmod(col("__start"), lit(budget.toLong)).as("pack_offset"): _*)
   }
 
+  /** Packing-efficiency audit over [[packSequences]]' layout — per
+    * (extras…, shard): document and token volume, pack count, the
+    * tail-pack waste (`n_packs·budget − n_tokens` — concat-and-chunk
+    * wastes ONLY the final partial window), and how many pack
+    * boundaries document bodies straddle (each straddle is a training
+    * window that opens mid-document — the fragmentation cost a shorter
+    * `budget` trades against more packs). The report a pipeline reads
+    * before choosing a context length: all integer arithmetic on exact
+    * token counts, so engines agree bit-for-bit.
+    *
+    * Scale: the [[packSequences]] shard-partitioned running sum plus
+    * ONE summary aggregate to |extras × shards| rows — nothing here
+    * outlives the per-shard window already sized by `shards`.
+    */
+  def packEfficiency(
+      df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 512, shards: Int = 8,
+      extraPartitionCols: Seq[String] = Nil): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, budget, shards, extraPartitionCols)
+    val groupCols = extraPartitionCols.map(graft.ops.Cleaning.qcol) :+ col("shard")
+    // boundaries crossed by one doc: its body spans token positions
+    // [pack_offset, pack_offset + token_count) within its start pack
+    val crossings = when(col("token_count") > 0,
+      expr(s"(pack_offset + token_count - 1) div ${budget.toLong}"))
+      .otherwise(lit(0L))
+    packed.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("token_count")).as("n_tokens"),
+        sum(crossings).as("n_crossings"))
+      .withColumn("n_packs",
+        when(col("n_tokens") > 0,
+          expr(s"(n_tokens - 1) div ${budget.toLong} + 1")).otherwise(lit(0L)))
+      .withColumn("tail_waste", col("n_packs") * budget - col("n_tokens"))
+      .select(groupCols ++ Seq(col("n_docs"), col("n_tokens"), col("n_packs"),
+        col("tail_waste"), col("n_crossings")): _*)
+  }
+
   /** Sliding-window chunking of the token stream — the RAG/pre-training
     * splitter: windows of `chunk` tokens whose starts advance by
     * `chunk - overlap`, so consecutive chunks share `overlap` tokens.

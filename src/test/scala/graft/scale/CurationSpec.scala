@@ -56,6 +56,20 @@ class CurationSpec extends AnyFunSuite {
     assert(shard0.map(_._5).toSeq == shard0.indices.map(i => (i * 30L) % 100L).toSeq)
   }
 
+  test("packEfficiency: per-shard packs, tail waste, boundary crossings") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // shard 0 (ids 0,2,4): tokens 4,8,3 -> starts 0,4,12; doc2 crosses
+    // the pack-10 boundary once; 15 tokens -> 2 packs, waste 5
+    // shard 1 (ids 1,3): tokens 10,0 -> exactly one full pack, no waste
+    val d = Seq((0L, txt(4)), (1L, txt(10)), (2L, txt(8)), (3L, ""), (4L, txt(3)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packEfficiency(d, "doc_id", "text", budget = 10, shards = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(0L) == ((3L, 15L, 2L, 5L, 1L)))
+    assert(got(1L) == ((2L, 10L, 1L, 0L, 0L)))
+  }
+
   test("packSequences is partitioning-invariant") {
     val d = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
     val a = TextAnalysis.packSequences(d, "doc_id", "text", 7, 4).collect().toSet

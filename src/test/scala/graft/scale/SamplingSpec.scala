@@ -263,4 +263,52 @@ class SamplingSpec extends AnyFunSuite {
       .select("id", "cum_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 40L, 2L -> 90L, 5L -> 60L))
   }
+
+  private def epochCorpus = {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+    Seq((1L, "A", txt(100)), (2L, "B", txt(50)), (3L, "C", txt(10)))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("epochAllocation: pure water-fill when no source hits its cap") {
+    // caps A=200 B=100; budget 150 with equal weights -> 75/75, C weight-0
+    val got = Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 150L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(3) == 75L && got("A").getDouble(4) == 0.75)
+    assert(got("B").getLong(3) == 75L && got("B").getDouble(4) == 1.5)
+    assert(got("C").getLong(3) == 0L && got("C").getDouble(4) == 0.0)
+    assert(got("C").getDouble(2) == 0.0) // weight column for unlisted source
+  }
+
+  test("epochAllocation: capped source caps out, remainder water-fills") {
+    // budget 280: B caps at 100 (2 epochs), A gets the remaining 180
+    val got = Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 280L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("B").getLong(3) == 100L && got("B").getDouble(4) == 2.0)
+    assert(got("A").getLong(3) == 180L && got("A").getDouble(4) == 1.8)
+  }
+
+  test("epochAllocation: infeasible budget caps every source") {
+    // total capacity 300 < budget 1000 -> allocation = capacity everywhere
+    val got = Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 1000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(3) == 200L && got("A").getDouble(4) == 2.0)
+    assert(got("B").getLong(3) == 100L && got("B").getDouble(4) == 2.0)
+  }
+
+  test("epochAllocation: rejects empty, negative, and all-zero weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(epochCorpus, "text", "source", Map.empty, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(epochCorpus, "text", "source", Map("A" -> -1.0), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(epochCorpus, "text", "source", Map("A" -> 0.0), 100L)
+    }
+  }
 }
