@@ -1160,6 +1160,18 @@ object SparkEntry {
         Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
         budgetTokens = 8000L, maxEpochs = 2.0)),
 
+    // the allocation materialized into the repeated-doc manifest a
+    // training loader reads: floor(e) copies + a deterministic
+    // fractional copy per doc — composes the x_corpus_epochs waterline
+    "x_corpus_epochs_expand" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val alloc = Sampling.epochAllocation(docs, "text", "source",
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        budgetTokens = 8000L, maxEpochs = 2.0)
+      Sampling.expandEpochs(docs, "doc_id", "source", alloc)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
     // temperature-balanced mixture (alpha = 0.5 up-weights small
     // sources): rates are driver-computed constants from a sorted fold,
     // so the kept set is engine-exact; same summary shape as mixture
@@ -1441,6 +1453,45 @@ object SparkEntry {
 
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  /** Shared CTE chain for the capped water-filling epoch allocation
+    * (x_corpus_epochs) — also the head of x_corpus_epochs_expand's
+    * oracle, so both keys provably score the SAME allocation. Ends in
+    * `alloc(source, tokens_available, weight, allocated_tokens,
+    * epochs)`. Every sum is over exact longs; every double is a
+    * single-op expression in the same association as the Spark plan. */
+  private lazy val epochAllocCte =
+    s"""t AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tokens_available FROM documents GROUP BY 1),
+       |b AS (SELECT source, tokens_available,
+       |        CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
+       |             WHEN source = 'src2' THEN 1.0 WHEN source = 'src3' THEN 1.0
+       |             ELSE 0.0 END AS weight FROM t),
+       |p AS (SELECT source, tokens_available, weight,
+       |        CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT) AS wm,
+       |        CAST(floor(2.0 * CAST(tokens_available AS DOUBLE) + 0.5) AS BIGINT) AS cap
+       |      FROM b WHERE weight > 0),
+       |r AS (SELECT *, CAST(cap AS DOUBLE) / CAST(wm AS DOUBLE) AS rr FROM p),
+       |s AS (SELECT *,
+       |        sum(cap) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cc,
+       |        sum(wm) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cw,
+       |        (SELECT sum(cap) FROM p) AS capT,
+       |        (SELECT sum(wm) FROM p) AS wmT
+       |      FROM r),
+       |f AS (SELECT *, rr * CAST(wmT - cw AS DOUBLE) <= CAST(8000 - cc AS DOUBLE) AS capped FROM s),
+       |c AS (SELECT coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS capC,
+       |             coalesce(sum(CASE WHEN capped THEN wm ELSE 0 END), 0) AS wmC FROM f),
+       |a AS (SELECT f.source, f.tokens_available, f.weight,
+       |        CASE WHEN f.capped THEN f.cap
+       |             ELSE CAST(floor(CAST(8000 - c.capC AS DOUBLE) / CAST(f.wmT - c.wmC AS DOUBLE) * CAST(f.wm AS DOUBLE) + 0.5) AS BIGINT) END AS allocated_tokens
+       |      FROM f, c),
+       |u AS (SELECT source, tokens_available, weight, allocated_tokens FROM a
+       |      UNION ALL
+       |      SELECT source, tokens_available, weight, CAST(0 AS BIGINT) FROM b WHERE NOT (weight > 0)),
+       |alloc AS (SELECT source, tokens_available, weight, allocated_tokens,
+       |       CASE WHEN tokens_available > 0
+       |            THEN floor(CAST(allocated_tokens AS DOUBLE) / CAST(tokens_available AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |            ELSE 0.0 END AS epochs
+       |FROM u)""".stripMargin
 
   /** DuckDB mirror of [[graft.scale.TextAnalysis]]'s `bm25Contrib`
     * kernel at the default k1 = 1.2, b = 0.75 — one definition for
@@ -3683,37 +3734,23 @@ object SparkEntry {
     // the capped-prefix test and the waterline division match
     // bit-for-bit
     "x_corpus_epochs" ->
-      s"""WITH t AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tokens_available FROM documents GROUP BY 1),
-         |b AS (SELECT source, tokens_available,
-         |        CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
-         |             WHEN source = 'src2' THEN 1.0 WHEN source = 'src3' THEN 1.0
-         |             ELSE 0.0 END AS weight FROM t),
-         |p AS (SELECT source, tokens_available, weight,
-         |        CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT) AS wm,
-         |        CAST(floor(2.0 * CAST(tokens_available AS DOUBLE) + 0.5) AS BIGINT) AS cap
-         |      FROM b WHERE weight > 0),
-         |r AS (SELECT *, CAST(cap AS DOUBLE) / CAST(wm AS DOUBLE) AS rr FROM p),
-         |s AS (SELECT *,
-         |        sum(cap) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cc,
-         |        sum(wm) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cw,
-         |        (SELECT sum(cap) FROM p) AS capT,
-         |        (SELECT sum(wm) FROM p) AS wmT
-         |      FROM r),
-         |f AS (SELECT *, rr * CAST(wmT - cw AS DOUBLE) <= CAST(8000 - cc AS DOUBLE) AS capped FROM s),
-         |c AS (SELECT coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS capC,
-         |             coalesce(sum(CASE WHEN capped THEN wm ELSE 0 END), 0) AS wmC FROM f),
-         |a AS (SELECT f.source, f.tokens_available, f.weight,
-         |        CASE WHEN f.capped THEN f.cap
-         |             ELSE CAST(floor(CAST(8000 - c.capC AS DOUBLE) / CAST(f.wmT - c.wmC AS DOUBLE) * CAST(f.wm AS DOUBLE) + 0.5) AS BIGINT) END AS allocated_tokens
-         |      FROM f, c),
-         |u AS (SELECT source, tokens_available, weight, allocated_tokens FROM a
-         |      UNION ALL
-         |      SELECT source, tokens_available, weight, CAST(0 AS BIGINT) FROM b WHERE NOT (weight > 0))
-         |SELECT source, tokens_available, weight, allocated_tokens,
-         |       CASE WHEN tokens_available > 0
-         |            THEN floor(CAST(allocated_tokens AS DOUBLE) / CAST(tokens_available AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-         |            ELSE 0.0 END AS epochs
-         |FROM u""".stripMargin,
+      s"""WITH $epochAllocCte
+         |SELECT source, tokens_available, weight, allocated_tokens, epochs
+         |FROM alloc""".stripMargin,
+
+    // the allocation materialized: floor(e) copies per doc plus a
+    // fractional copy below the portable per-key uniform (the same
+    // affine-hash mirror as x_corpus_temperature); shares the alloc
+    // CTE so both keys provably score the same waterline
+    "x_corpus_epochs_expand" ->
+      s"""WITH $epochAllocCte,
+         |d AS (SELECT doc_id, documents.source AS source, epochs,
+         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS uu
+         |      FROM documents JOIN alloc ON documents.source = alloc.source),
+         |e AS (SELECT doc_id, source, CAST(floor(epochs) AS BIGINT) +
+         |        CASE WHEN uu < epochs - floor(epochs) THEN 1 ELSE 0 END AS n
+         |      FROM d)
+         |SELECT doc_id, source, unnest(range(n)) AS epoch FROM e WHERE n > 0""".stripMargin,
 
     "x_corpus_temperature" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),

@@ -55,17 +55,27 @@ object Sources {
   }
 
   /** Convenience: read a named testdata table from an sf directory.
-    * Handles parquet TIMESTAMP(NANOS) columns (which Spark's reader
-    * rejects natively): with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * they surface as LongType nanos and are converted here to proper
-    * microsecond timestamps (truncating division, same as DuckDB's
-    * ns→us handling).
+    * Normalizes the events `ts` column to a session-TZ TIMESTAMP
+    * whatever the writer's physical type was:
+    *   - TIMESTAMP(NANOS) (which Spark's reader rejects natively):
+    *     with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces
+    *     as LongType nanos → truncating-divided to microseconds (same
+    *     as DuckDB's ns→us handling);
+    *   - `timestamp[us]` with no timezone (pandas/pyarrow default) →
+    *     TIMESTAMP_NTZ, cast to TIMESTAMP; sessions here run in UTC,
+    *     so wall values — and every unix_* extraction downstream —
+    *     equal the oracle engine's naive reading of the same file.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = readParquet(spark, s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** S3 — codebook reader: CSV (or parquet) with columns

@@ -253,6 +253,37 @@ object Sampling {
           col("tokens_available").cast("double"), 6)).otherwise(lit(0.0)))
   }
 
+  /** Materialize an [[epochAllocation]] into the repeated-document
+    * manifest a training run actually reads: every document of a
+    * source allocated e epochs appears `floor(e)` times, plus one more
+    * copy when its portable per-key uniform falls below the fractional
+    * part — so a 1.8-epoch source repeats every doc once and ~80% of
+    * docs twice, deterministically (same affine-hash uniform as every
+    * sampler here: re-runs, partitionings, and engines agree on WHICH
+    * docs carry the fractional copy). Output: the id/source pair plus
+    * a 0-based `epoch` copy index; sources absent from the allocation
+    * (or at 0 epochs) emit nothing.
+    *
+    * Scale: the allocation is a |sources|-row broadcast; expansion is
+    * a narrow per-row `sequence`/explode — output rows ∝ Σ tokens·e,
+    * exactly the training volume the budget bought, with no shuffle.
+    */
+  def expandEpochs(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      allocation: DataFrame): DataFrame = {
+    val src = graft.ops.Cleaning.qcol(sourceCol).cast("string")
+    val u = PortableHash.affineUniform(graft.ops.Cleaning.qcol(keyCol))
+    val alloc = allocation.select(col("source").as("__s"), col("epochs"))
+    val outCols = df.columns.map(graft.ops.Cleaning.qcol)
+    df.join(broadcast(alloc), src <=> col("__s"), "inner")
+      .withColumn("__full", floor(col("epochs")).cast("long"))
+      .withColumn("__n", col("__full") +
+        when(u < col("epochs") - floor(col("epochs")).cast("double"), lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("__n") > 0)
+      .select(outCols :+ explode(sequence(lit(0L), col("__n") - 1)).as("epoch"): _*)
+  }
+
   /** Deterministic train/val/test split assignment: every row gets a
     * named split label by comparing its portable per-key uniform (the
     * same affine hash mod 1000003 as [[byWeight]] /

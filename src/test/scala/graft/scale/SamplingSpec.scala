@@ -300,6 +300,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("B").getLong(3) == 100L && got("B").getDouble(4) == 2.0)
   }
 
+  test("expandEpochs: floor copies + deterministic fractional copy, zero-epoch sources vanish") {
+    val alloc = Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 150L, maxEpochs = 2.0)
+    // A: 0.75 epochs, u(1)=0.2553 < 0.75 -> one fractional copy;
+    // B: 1.5 epochs, u(2)=0.7696 >= 0.5 -> just the full copy; C: 0 -> none
+    val got = Sampling.expandEpochs(epochCorpus, "doc_id", "source", alloc)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L)))
+    // integral epochs: every doc exactly floor(e) times, no fractional copy
+    val full = Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "B" -> 1.0), budgetTokens = 1000L, maxEpochs = 2.0)
+    val got2 = Sampling.expandEpochs(epochCorpus, "doc_id", "source", full)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+    // partitioning-invariant
+    val again = Sampling.expandEpochs(epochCorpus.repartition(5), "doc_id", "source", alloc)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
   test("epochAllocation: rejects empty, negative, and all-zero weights") {
     intercept[IllegalArgumentException] {
       Sampling.epochAllocation(epochCorpus, "text", "source", Map.empty, 100L)
