@@ -268,6 +268,36 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(plan).isEmpty)
   }
 
+  test("packEfficiency: summary agg rides the pack window's shard exchange") {
+    val docs = (0L until 40L).map(i => (i, "a b c d e f g")).toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.packEfficiency(docs, "doc_id", "text",
+      budget = 10, shards = 4)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    // one by-shard exchange feeds BOTH the running-sum window and the
+    // per-shard aggregate — a second corpus shuffle means the groupBy
+    // stopped reusing the window's partitioning
+    assert(shuffles <= 1, s"expected the single shard exchange, got $shuffles")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("expandEpochs: the allocation broadcasts to the corpus; no sort-merge") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"src${i % 3}", "a b c d e")).toDF("doc_id", "source", "text")
+    val alloc = graft.scale.Sampling.epochAllocation(docs, "text", "source",
+      Map("src0" -> 2.0, "src1" -> 1.0), budgetTokens = 100L, maxEpochs = 3.0)
+    val plan = graft.scale.Sampling.expandEpochs(docs, "doc_id", "source", alloc)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    // the |weights|-sized allocation must reach every corpus row as a
+    // broadcast — a sort-merge join here would shuffle the corpus by
+    // source (skew city: sources are few and huge at 100 TB)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "allocation should broadcast-join the corpus")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "a sources-sized allocation must never sort-merge against the corpus")
+  }
+
   test("hashedClassifierScore: model joins broadcast; the corpus never sorts globally") {
     val train = (0L until 16L)
       .map(i => (i, s"tok$i alpha beta", i % 2 == 0)).toDF("doc_id", "text", "lab")
