@@ -976,6 +976,12 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(T(s, d, "documents"), "doc_id", "text",
         chunk = 32, overlap = 8)),
 
+    // padded bucketed batching: linear 32-token bands, fixed
+    // docs-per-batch within each (shard, band) — the no-split layout
+    "x_text_batches" -> ((s, d) =>
+      TextAnalysis.bucketedBatches(T(s, d, "documents"), "doc_id", "text",
+        capacity = 256, bandWidth = 32, shards = 8)),
+
     // keep-best exact dedup: among docs with identical normalized
     // content, keep the longest raw text (then min id) — the "best
     // source wins" policy
@@ -3727,6 +3733,17 @@ object SparkEntry {
          |       CAST((CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // 256 + 1 ELSE 0 END) * 256 - n_tokens AS BIGINT) AS tail_waste,
          |       n_crossings
          |FROM g""".stripMargin,
+
+    // bucketed batching: pure integer banding + a (shard, band)
+    // row_number — no float anywhere
+    "x_text_batches" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
+         |b AS (SELECT *, greatest(CAST(32 AS BIGINT), ((token_count + 31) // 32) * 32) AS padded_to FROM t),
+         |d AS (SELECT *, greatest(CAST(1 AS BIGINT), 256 // padded_to) AS dpb,
+         |        row_number() OVER (PARTITION BY shard, padded_to ORDER BY doc_id) AS rn FROM b)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count, padded_to,
+         |       CAST((rn - 1) // dpb AS BIGINT) AS batch_id
+         |FROM d""".stripMargin,
 
     // epoch water-filling: every sum is over exact longs (micro-unit
     // weights, half-up long capacities), every double is a single-op

@@ -752,6 +752,51 @@ object TextAnalysis {
         col("tail_waste"), col("n_crossings")): _*)
   }
 
+  /** Padded bucketed batching — the dynamic-batching layout for
+    * finetuning/inference where documents must NOT split across
+    * sequences (contrast [[packSequences]], which concatenates and
+    * chunks): docs are banded by length (linear bands of `bandWidth`
+    * tokens; a doc pads to its band ceiling), and each (shard, band)
+    * runs a fixed `capacity div band_ceil` docs per batch — so every
+    * batch holds same-band docs and its padded footprint stays ≤
+    * `capacity`. Length bucketing is what makes padding affordable:
+    * batching heterogeneous lengths together pads everything to the
+    * longest member; banding caps that waste at `bandWidth − 1` per
+    * doc, exactly accounted in `padded_to − token_count`. Docs longer
+    * than `capacity` get a batch of their own (`docs_per_batch`
+    * floors at 1) — flagged by `padded_to > capacity`, the caller's
+    * cue to route them to [[chunkDocuments]] first.
+    *
+    * All integer arithmetic (band ceilings, row numbers, div) — no
+    * engine drift possible. Empty docs band to the first band.
+    *
+    * Scale: one narrow map + a row_number window PARTITIONED BY
+    * (shard, band) — finer-grained than the pack window, never
+    * global; output is one row per doc, no shuffle beyond the window's.
+    */
+  def bucketedBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, bandWidth: Int = 16, shards: Int = 8): DataFrame = {
+    require(capacity > 0 && bandWidth > 0 && shards > 0,
+      s"need positive capacity/bandWidth/shards, got $capacity/$bandWidth/$shards")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("padded_to")).orderBy(id)
+    df.select(
+        id,
+        pmod(id.cast("long"), lit(shards.toLong)).as("shard"),
+        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"))
+      .withColumn("padded_to",
+        greatest(lit(bandWidth.toLong),
+          expr(s"((token_count + ${bandWidth - 1}) div $bandWidth) * $bandWidth")))
+      .withColumn("__dpb",
+        greatest(lit(1L), expr(s"${capacity.toLong} div padded_to")))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr("(__rn - 1) div __dpb"))
+      .select(id, col("shard"), col("token_count"), col("padded_to"),
+        col("batch_id"))
+  }
+
   /** Sliding-window chunking of the token stream — the RAG/pre-training
     * splitter: windows of `chunk` tokens whose starts advance by
     * `chunk - overlap`, so consecutive chunks share `overlap` tokens.

@@ -70,6 +70,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 10L, 1L, 0L, 0L)))
   }
 
+  test("bucketedBatches: linear bands, fixed docs-per-batch, oversize solo") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(5, 9, 10, 11, 25, 95, 100, 101, 250, 0).zipWithIndex
+      .map { case (n, i) => (i.toLong, txt(n)) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bucketedBatches(d, "doc_id", "text",
+      capacity = 100, bandWidth = 10, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // band-10 holds lens 5,9,10 and the empty doc: 10 docs/batch -> one batch
+    assert(Seq(0L, 1L, 2L, 9L).map(got) == Seq((10L, 0L), (10L, 0L), (10L, 0L), (10L, 0L)))
+    assert(got(3L) == ((20L, 0L)) && got(4L) == ((30L, 0L)))
+    // band-100: one doc per batch (100 div 100 = 1) -> ids 5,6 split
+    assert(got(5L) == ((100L, 0L)) && got(6L) == ((100L, 1L)))
+    // oversize docs pad past capacity and run solo (the chunk-first cue)
+    assert(got(7L) == ((110L, 0L)) && got(8L) == ((250L, 0L)))
+    // partition-invariant
+    val again = TextAnalysis.bucketedBatches(d.repartition(7), "doc_id", "text",
+      capacity = 100, bandWidth = 10, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(again == got)
+  }
+
   test("packSequences is partitioning-invariant") {
     val d = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
     val a = TextAnalysis.packSequences(d, "doc_id", "text", 7, 4).collect().toSet
