@@ -263,6 +263,13 @@ object SparkEntry {
       T(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
 
+    // HLL++ distinct gated against exact (the recall-gate contract):
+    // registers are mergeable map-side state — the 100 TB distinct —
+    // and the verdict row pins the sketch within 5% of truth
+    "x_agg_hll_gate" -> ((s, d) =>
+      graft.ops.Stats.approxDistinctGate(T(s, d, "lineitem"),
+        "l_orderkey", Seq("l_returnflag"), rsd = 0.02, relTol = 0.05)),
+
     // mergeable weighted-quantile sketch in its EXACT configuration
     // (50 distinct l_quantity values ≪ capacity → stride 1): the
     // shipped 100 TB weighted-percentile path, hash-checked against the
@@ -2032,6 +2039,13 @@ object SparkEntry {
     "x_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // sketch-vs-exact gate: the oracle pins the verdict TRUE and the
+    // exact counts; the HLL value itself never leaves the engine
+    "x_agg_hll_gate" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |       CAST(0.05 AS DOUBLE) AS rel_tol, TRUE AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "b1_trend" ->
       s"""WITH g AS (SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS wave,

@@ -266,6 +266,32 @@ object Stats {
     df.groupBy(groupCols.map(Cleaning.qcol): _*)
       .agg(approx_count_distinct(Cleaning.qcol(countCol), rsd).as("n_approx"))
 
+  /** Verdict frame gating [[approxDistinct]] against the exact count —
+    * the same contract as the ANN recall gates: the sketch value
+    * itself is engine-specific (HLL++ register layout), so the output
+    * carries the EXACT count plus a `within_tol` boolean the oracle
+    * pins to TRUE. HLL++ is deterministic for a given multiset (merges
+    * take per-register max — order-invariant), so the verdict is
+    * re-run- and partitioning-stable. Production callers use
+    * [[approxDistinct]] alone: constant memory per group and a
+    * map-side-mergeable register blob vs countDistinct's full
+    * key-expand shuffle — at 100 TB the difference between shuffling
+    * registers and shuffling every key occurrence.
+    */
+  def approxDistinctGate(
+      df: DataFrame, countCol: String, groupCols: Seq[String],
+      rsd: Double = 0.02, relTol: Double = 0.05): DataFrame = {
+    require(relTol > 0, s"relTol must be > 0, got $relTol")
+    val g = groupCols.map(Cleaning.qcol)
+    val approx = approxDistinct(df, countCol, groupCols, rsd)
+    val exact = df.groupBy(g: _*)
+      .agg(countDistinct(Cleaning.qcol(countCol)).as("n_exact"))
+    exact.join(approx, groupCols)
+      .select(g ++ Seq(col("n_exact"), lit(relTol).as("rel_tol"),
+        (abs(col("n_approx").cast("double") - col("n_exact").cast("double")) <=
+          lit(relTol) * col("n_exact").cast("double")).as("within_tol")): _*)
+  }
+
   /** Fixed-width histogram: bin index + count per bin over [lo, hi).
     * Values outside [lo, hi) are clamped into the edge bins (the
     * pandas/numpy "include outliers at the edges" convention a survey

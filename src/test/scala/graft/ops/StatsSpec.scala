@@ -92,6 +92,18 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got - 700L) <= 700 * 0.1)
   }
 
+  test("approxDistinctGate: verdict true within tolerance, exact count carried, stable under repartition") {
+    val df = (0 until 6000).map(i => (s"g${i % 2}", (i / 2) % (700 + (i % 2) * 300)))
+      .toDF("g", "v")
+    val got = Stats.approxDistinctGate(df, "v", Seq("g"), rsd = 0.02, relTol = 0.05)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got("g0") == ((700L, true)) && got("g1") == ((1000L, true)))
+    val again = Stats.approxDistinctGate(df.repartition(11), "v", Seq("g"),
+      rsd = 0.02, relTol = 0.05)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(again == got)
+  }
+
   test("weighted quantile q=1 returns the max") {
     val df = Seq(("g", 1.0, 2.0), ("g", 9.0, 1.0)).toDF("g", "v", "w")
     val out = Stats.weightedQuantile(df, "v", "w", Seq("g"), 1.0).collect()
