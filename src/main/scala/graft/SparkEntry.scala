@@ -270,6 +270,12 @@ object SparkEntry {
       graft.ops.Stats.approxDistinctGate(T(s, d, "lineitem"),
         "l_orderkey", Seq("l_returnflag"), rsd = 0.02, relTol = 0.05)),
 
+    // GK percentile sketch gated by exact rank bounds: the approx
+    // median must land between the exact q∓2/accuracy quantiles
+    "x_agg_approxq_gate" -> ((s, d) =>
+      graft.ops.Stats.approxPercentileGate(T(s, d, "lineitem"),
+        "l_extendedprice", Seq("l_returnflag"), q = 0.5, accuracy = 1000)),
+
     // mergeable weighted-quantile sketch in its EXACT configuration
     // (50 distinct l_quantity values ≪ capacity → stride 1): the
     // shipped 100 TB weighted-percentile path, hash-checked against the
@@ -2045,6 +2051,13 @@ object SparkEntry {
     "x_agg_hll_gate" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
         |       CAST(0.05 AS DOUBLE) AS rel_tol, TRUE AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // GK-sketch gate: same contract — counts + constants + pinned TRUE
+    "x_agg_approxq_gate" ->
+      """SELECT l_returnflag, CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |       CAST(0.5 AS DOUBLE) AS q, CAST(0.002 AS DOUBLE) AS rank_eps,
+        |       TRUE AS within_bounds
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "b1_trend" ->

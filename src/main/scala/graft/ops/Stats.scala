@@ -292,6 +292,35 @@ object Stats {
           lit(relTol) * col("n_exact").cast("double")).as("within_tol")): _*)
   }
 
+  /** Verdict frame gating `approx_percentile` (Greenwald-Khanna
+    * summaries, rank error ≤ n/accuracy) against EXACT percentile
+    * bounds: the sketch's q-quantile must land between the exact
+    * quantiles at q ∓ 2/accuracy. Same contract as
+    * [[approxDistinctGate]]: the sketch value is summary-internal
+    * (and its merge order unspecified — only its rank GUARANTEE is
+    * stable), so the output carries the group, its row count, the
+    * bound quantiles' positions, and the pinned verdict. Production
+    * callers use `approx_percentile` alone: fixed-size mergeable
+    * summaries vs the exact path's full per-group sort.
+    */
+  def approxPercentileGate(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      q: Double = 0.5, accuracy: Int = 1000): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val eps = 2.0 / accuracy
+    require(q - eps > 0 && q + eps < 1, s"q=$q too close to 0/1 for accuracy=$accuracy")
+    val g = groupCols.map(Cleaning.qcol)
+    val c = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val agged = df.groupBy(g: _*).agg(
+      count(c).as("n"),
+      approx_percentile(c, lit(q), lit(accuracy)).as("__v"),
+      percentile(c, lit(q - eps)).as("__lo"),
+      percentile(c, lit(q + eps)).as("__hi"))
+    agged.select(g ++ Seq(col("n"), lit(q).as("q"), lit(eps).as("rank_eps"),
+      (col("__v") >= col("__lo") && col("__v") <= col("__hi")).as("within_bounds")): _*)
+  }
+
   /** Fixed-width histogram: bin index + count per bin over [lo, hi).
     * Values outside [lo, hi) are clamped into the edge bins (the
     * pandas/numpy "include outliers at the edges" convention a survey

@@ -104,6 +104,21 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("approxPercentileGate: sketch median inside exact rank bounds, stable under repartition") {
+    val df = (0 until 20000).map(i => (s"g${i % 2}", (i * 7919 % 20000).toDouble))
+      .toDF("g", "v")
+    val got = Stats.approxPercentileGate(df, "v", Seq("g"), q = 0.5, accuracy = 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(got("g0") == ((10000L, true)) && got("g1") == ((10000L, true)))
+    val again = Stats.approxPercentileGate(df.repartition(13), "v", Seq("g"),
+      q = 0.5, accuracy = 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Stats.approxPercentileGate(df, "v", Seq("g"), q = 0.0005, accuracy = 1000)
+    }
+  }
+
   test("weighted quantile q=1 returns the max") {
     val df = Seq(("g", 1.0, 2.0), ("g", 9.0, 1.0)).toDF("g", "v", "w")
     val out = Stats.weightedQuantile(df, "v", "w", Seq("g"), 1.0).collect()
