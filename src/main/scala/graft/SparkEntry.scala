@@ -808,6 +808,19 @@ object SparkEntry {
       Sampling.keepBestKPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", k = 5)
     }),
 
+    // curriculum banding over the unigram-LM score: grid-exact decile
+    // assignment with no global sort (score recovered as the exact
+    // nano-nat long behind x_text_unigram's 9-dp avg_logp)
+    "x_corpus_curriculum" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+      val withScore = scored.select(col("doc_id"),
+        when(col("n_tokens") > 0,
+          floor(col("avg_logp") * 1000000000.0 + lit(0.5)).cast("long")).as("score"))
+      Sampling.curriculumBands(withScore, "doc_id", "score", bands = 10, grid = 1024)
+    }),
+
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -2664,6 +2677,21 @@ object SparkEntry {
          |       coalesce(sc.n_oov, 0) AS n_oov,
          |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
          |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
+    // curriculum banding: the unigram score chain, the exact nano-nat
+    // long (floor(x*1e9+0.5) — the integer behind avg_logp's 9 dp),
+    // then pure-integer lattice quantiles; every div operand is
+    // non-negative, so DuckDB's floor-// equals Spark's truncate-div
+    "x_corpus_curriculum" ->
+      s"""WITH $unigramScoreCtes,
+         |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score
+         |        FROM sc WHERE n_tokens > 0),
+         |ext AS (SELECT min(score) AS lo, max(score) AS hi, CAST(count(*) AS BIGINT) AS n FROM scr),
+         |bk AS (SELECT doc_id, score, (score - lo) // (((hi - lo) // 1024) + 1) AS b FROM scr, ext),
+         |h AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+         |m AS (SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c AS below FROM h),
+         |mb AS (SELECT b, least(CAST(9 AS BIGINT), (below * 10) // n) AS band FROM m, ext)
+         |SELECT bk.doc_id, bk.score, mb.band FROM bk JOIN mb ON bk.b = mb.b""".stripMargin,
 
     // bigram model replayed in full: realized-bigram logp6 table,
     // per-context unseen fallback, global unseen-context fallback —

@@ -253,6 +253,58 @@ object Sampling {
           col("tokens_available").cast("double"), 6)).otherwise(lit(0.0)))
   }
 
+  /** Curriculum banding: assign every scored document a band index in
+    * [0, bands) by its position in the corpus-wide score distribution
+    * — band 0 = lowest-scoring decile (at bands = 10), the order a
+    * curriculum schedule feeds training (easy/low-quality first or
+    * last, the trainer's choice). Exact-arithmetic quantiles at GRID
+    * resolution: scores (longs — the score_micro convention) bucket
+    * onto a `grid`-cell integer lattice between the observed min/max,
+    * the |grid|-row histogram's running count places each bucket's
+    * docs at `(docs_strictly_below × bands) div n`, and every doc in a
+    * bucket (and thus every tied score) shares a band. No floating
+    * point anywhere — re-runs, partitionings, and engines agree
+    * bit-for-bit; the only approximation is the declared lattice
+    * (band boundaries can shift by one bucket's width, never drift).
+    * Null scores are excluded — an unscorable document has no place in
+    * a curriculum (cf. [[keepBestKPerGroup]]'s null-loses rule).
+    *
+    * Scale: one min/max/count aggregate, one narrow bucket map, one
+    * |grid|-row histogram; the unpartitioned running-sum window sorts
+    * `grid` rows (bounded by the caller's literal, like
+    * [[epochAllocation]]'s |weights| window), and the bucket→band map
+    * broadcasts back. The corpus itself never sorts — contrast the
+    * naive global `ntile`, which funnels every row through one task.
+    */
+  def curriculumBands(
+      df: DataFrame, idCol: String, scoreCol: String,
+      bands: Int = 10, grid: Int = 1024): DataFrame = {
+    require(bands >= 2, s"bands must be >= 2, got $bands")
+    require(grid >= bands, s"grid must be >= bands, got grid=$grid bands=$bands")
+    import org.apache.spark.sql.expressions.Window
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val s = graft.ops.Cleaning.qcol(scoreCol).cast("long")
+    val scored = df.select(id, s.as("__s")).filter(col("__s").isNotNull)
+    val ext = scored.agg(min("__s").as("__lo"), max("__s").as("__hi"),
+      count(lit(1)).as("__n"))
+    // step >= 1 keeps every bucket inside [0, grid); all arithmetic is
+    // on non-negative longs, where div (truncate) == floor on BOTH
+    // engines — the negative-division semantics trap never arises
+    val bucketed = scored.crossJoin(broadcast(ext))
+      .withColumn("__b", expr(s"(__s - __lo) div (((__hi - __lo) div $grid) + 1)"))
+    val hist = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(asc("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapping = hist
+      .withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+      .crossJoin(broadcast(ext.select(col("__n"))))
+      .withColumn("band",
+        least(lit((bands - 1).toLong), expr(s"(__below * $bands) div __n")))
+      .select(col("__b"), col("band"))
+    bucketed.join(broadcast(mapping), Seq("__b"))
+      .select(id, col("__s").as(scoreCol), col("band"))
+  }
+
   /** Materialize an [[epochAllocation]] into the repeated-document
     * manifest a training run actually reads: every document of a
     * source allocated e epochs appears `floor(e)` times, plus one more

@@ -320,6 +320,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("curriculumBands: exact deciles on a unit lattice; ties share a band; nulls drop") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, Option(i.toLong))) :+ ((999L, Option.empty[Long])))
+      .toDF("id", "score")
+    val got = Sampling.curriculumBands(df, "id", "score", bands = 10, grid = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == 100) // the null-score doc is excluded
+    // scores 1..100 on step-1 buckets -> band = ((s-1)*10) div 100 exactly
+    assert((1 to 100).forall(i => got(i.toLong) == (i - 1) * 10 / 100))
+    // tied scores always share a band, placed by mass strictly below
+    val ties = (1 to 100).map(i => (i.toLong, if (i <= 50) 5L else 10L)).toDF("id", "score")
+    val tb = Sampling.curriculumBands(ties, "id", "score", bands = 10, grid = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(tb.filter(_._1 <= 50).map(_._2).toSet == Set(0L))
+    assert(tb.filter(_._1 > 50).map(_._2).toSet == Set(5L))
+    // partition-invariant
+    val again = Sampling.curriculumBands(df.repartition(9), "id", "score", 10, 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("epochAllocation: rejects empty, negative, and all-zero weights") {
     intercept[IllegalArgumentException] {
       Sampling.epochAllocation(epochCorpus, "text", "source", Map.empty, 100L)
