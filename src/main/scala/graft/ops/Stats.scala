@@ -283,42 +283,64 @@ object Stats {
       rsd: Double = 0.02, relTol: Double = 0.05): DataFrame = {
     require(relTol > 0, s"relTol must be > 0, got $relTol")
     val g = groupCols.map(Cleaning.qcol)
-    val approx = approxDistinct(df, countCol, groupCols, rsd)
-    val exact = df.groupBy(g: _*)
-      .agg(countDistinct(Cleaning.qcol(countCol)).as("n_exact"))
-    exact.join(approx, groupCols)
+    val c = Cleaning.qcol(countCol)
+    // ONE aggregation pass carrying both counts: half the scans/shuffles
+    // of an exact⋈approx join, and NULL-keyed groups survive (an
+    // equi-join on the group key would silently drop them)
+    df.groupBy(g: _*)
+      .agg(countDistinct(c).as("n_exact"),
+        approx_count_distinct(c, rsd).as("__approx"))
       .select(g ++ Seq(col("n_exact"), lit(relTol).as("rel_tol"),
-        (abs(col("n_approx").cast("double") - col("n_exact").cast("double")) <=
+        (abs(col("__approx").cast("double") - col("n_exact").cast("double")) <=
           lit(relTol) * col("n_exact").cast("double")).as("within_tol")): _*)
   }
 
   /** Verdict frame gating `approx_percentile` (Greenwald-Khanna
-    * summaries, rank error ≤ n/accuracy) against EXACT percentile
-    * bounds: the sketch's q-quantile must land between the exact
-    * quantiles at q ∓ 2/accuracy. Same contract as
-    * [[approxDistinctGate]]: the sketch value is summary-internal
-    * (and its merge order unspecified — only its rank GUARANTEE is
-    * stable), so the output carries the group, its row count, the
-    * bound quantiles' positions, and the pinned verdict. Production
-    * callers use `approx_percentile` alone: fixed-size mergeable
-    * summaries vs the exact path's full per-group sort.
+    * summaries) on its actual contract — the RANK guarantee: the
+    * returned element's exact rank interval must intersect
+    * [floor((q−ε)·n), ceil((q+ε)·n)] with ε = 2/accuracy. Checking
+    * ranks, not values, matters: an interpolated exact-percentile
+    * bound is a VALUE statement the sketch never makes, and fails
+    * spuriously on small or gappy groups (n = 2, values {0, 100}: the
+    * sketch's 0 is rank-perfect yet sits far below the interpolated
+    * 49.8). Same verdict-frame contract as [[approxDistinctGate]]:
+    * the sketch value stays engine-internal; the output carries the
+    * group, its non-null count, the constants, and the pinned
+    * boolean. Production callers use `approx_percentile` alone:
+    * fixed-size mergeable summaries vs the exact path's per-group
+    * sort. The gate's second pass ranks the sketch value with one
+    * conditional aggregate over a broadcast of the |groups|-row
+    * summary.
     */
   def approxPercentileGate(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       q: Double = 0.5, accuracy: Int = 1000): DataFrame = {
     require(q > 0 && q < 1, s"q must be in (0,1), got $q")
     require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     val eps = 2.0 / accuracy
-    require(q - eps > 0 && q + eps < 1, s"q=$q too close to 0/1 for accuracy=$accuracy")
     val g = groupCols.map(Cleaning.qcol)
     val c = Cleaning.toNumeric(Cleaning.qcol(valueCol))
-    val agged = df.groupBy(g: _*).agg(
+    val sk = df.groupBy(g: _*).agg(
       count(c).as("n"),
-      approx_percentile(c, lit(q), lit(accuracy)).as("__v"),
-      percentile(c, lit(q - eps)).as("__lo"),
-      percentile(c, lit(q + eps)).as("__hi"))
-    agged.select(g ++ Seq(col("n"), lit(q).as("q"), lit(eps).as("rank_eps"),
-      (col("__v") >= col("__lo") && col("__v") <= col("__hi")).as("within_bounds")): _*)
+      approx_percentile(c, lit(q), lit(accuracy)).as("__v"))
+    // null-safe group equality so NULL-keyed groups gate like any other
+    val skA = sk.toDF(groupCols.map("__g_" + _) ++ Seq("n", "__v"): _*)
+    val cond = groupCols.map(k => Cleaning.qcol(k) <=> col("__g_" + k)).reduce(_ && _)
+    val ranked = df.join(broadcast(skA), cond)
+      .groupBy(groupCols.map("__g_" + _).map(col): _*)
+      .agg(
+        first(col("n")).as("n"),
+        sum(when(c < col("__v"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(c <= col("__v"), 1L).otherwise(0L)).as("__le"))
+    val nD = col("n").cast("double")
+    val ok = (col("__le").cast("double") >= floor((lit(q) - lit(eps)) * nD)) &&
+      ((col("__lt") + 1).cast("double") <= ceil((lit(q) + lit(eps)) * nD))
+    ranked.select(
+      groupCols.map(k => col("__g_" + k).as(k)) ++ Seq(col("n"),
+        lit(q).as("q"), lit(eps).as("rank_eps"),
+        // a group with no non-null values has no ranks to violate
+        when(col("n") === 0, lit(true)).otherwise(ok).as("within_bounds")): _*)
   }
 
   /** Fixed-width histogram: bin index + count per bin over [lo, hi).

@@ -207,6 +207,11 @@ object Sampling {
     require(weights.values.forall(v => v >= 0 && !v.isNaN && !v.isInfinite),
       "weights must be finite and >= 0")
     require(weights.values.exists(_ > 0), "at least one weight must be > 0")
+    // the closed form runs on micro-unit long weights: a positive
+    // weight that rounds to 0 micro-units would divide by zero in the
+    // ratio and silently corrupt the waterline — reject it loudly
+    require(weights.values.forall(v => v == 0 || v >= 1e-6),
+      "positive weights must be >= 1e-6 (micro-unit quantization)")
     import org.apache.spark.sql.expressions.Window
     val src = graft.ops.Cleaning.qcol(sourceCol).cast("string")
     val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")

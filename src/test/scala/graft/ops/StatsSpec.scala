@@ -104,7 +104,7 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
-  test("approxPercentileGate: sketch median inside exact rank bounds, stable under repartition") {
+  test("approxPercentileGate: rank-guarantee verdict true for large, tiny, and gappy groups") {
     val df = (0 until 20000).map(i => (s"g${i % 2}", (i * 7919 % 20000).toDouble))
       .toDF("g", "v")
     val got = Stats.approxPercentileGate(df, "v", Seq("g"), q = 0.5, accuracy = 1000)
@@ -114,9 +114,12 @@ class StatsSpec extends AnyFunSuite {
       q = 0.5, accuracy = 1000)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(4))).toMap
     assert(again == got)
-    intercept[IllegalArgumentException] {
-      Stats.approxPercentileGate(df, "v", Seq("g"), q = 0.0005, accuracy = 1000)
-    }
+    // the case a value-interpolated bound fails spuriously: n=2 with a
+    // wide gap — the sketch's answer is rank-perfect and must pass
+    val tiny = Seq(("t", 0.0), ("t", 100.0), ("z", 5.0)).toDF("g", "v")
+    val tg = Stats.approxPercentileGate(tiny, "v", Seq("g"), q = 0.5, accuracy = 1000)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(tg == Map("t" -> true, "z" -> true))
   }
 
   test("weighted quantile q=1 returns the max") {

@@ -351,5 +351,11 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.epochAllocation(epochCorpus, "text", "source", Map("A" -> 0.0), 100L)
     }
+    // a positive weight that quantizes to 0 micro-units would divide by
+    // zero inside the waterline — rejected loudly, not silently wrong
+    intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(epochCorpus, "text", "source",
+        Map("A" -> 1.0, "B" -> 4e-7), 100L)
+    }
   }
 }
