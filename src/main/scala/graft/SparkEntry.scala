@@ -821,6 +821,23 @@ object SparkEntry {
       Sampling.curriculumBands(withScore, "doc_id", "score", bands = 10, grid = 1024)
     }),
 
+    // the curriculum materialized as a training layout: band becomes a
+    // pack partition, so no window ever mixes curriculum stages — the
+    // trainer consumes packs band by band
+    "x_corpus_curriculum_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+      val withScore = scored.select(col("doc_id"),
+        when(col("n_tokens") > 0,
+          floor(col("avg_logp") * 1000000000.0 + lit(0.5)).cast("long")).as("score"))
+      val bands = Sampling.curriculumBands(withScore, "doc_id", "score",
+        bands = 10, grid = 1024)
+      val joined = docs.join(bands.select(col("doc_id"), col("band")), "doc_id")
+      TextAnalysis.packSequences(joined, "doc_id", "text", budget = 256,
+        shards = 4, extraPartitionCols = Seq("band"))
+    }),
+
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
 
@@ -1622,6 +1639,23 @@ object SparkEntry {
   private lazy val unigramScoreCtes =
     s"""$docTokenCtes,
        |${unigramModelCtes("", "doc_id % 3 = 0")}""".stripMargin
+
+  /** Curriculum-banding CTE chain (x_corpus_curriculum) — ends in
+    * `cb(doc_id, score, band)`; also the head of
+    * x_corpus_curriculum_pack's oracle, so both keys provably band the
+    * corpus identically. Integer lattice quantiles over the exact
+    * nano-nat unigram score; every div operand is non-negative, where
+    * DuckDB's floor-// equals Spark's truncate-div. */
+  private lazy val curriculumCtes =
+    s"""$unigramScoreCtes,
+       |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score
+       |        FROM sc WHERE n_tokens > 0),
+       |ext AS (SELECT min(score) AS lo, max(score) AS hi, CAST(count(*) AS BIGINT) AS n FROM scr),
+       |bk AS (SELECT doc_id, score, (score - lo) // (((hi - lo) // 1024) + 1) AS b FROM scr, ext),
+       |h AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+       |m AS (SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c AS below FROM h),
+       |mb AS (SELECT b, least(CAST(9 AS BIGINT), (below * 10) // n) AS band FROM m, ext),
+       |cb AS (SELECT bk.doc_id, bk.score, mb.band FROM bk JOIN mb ON bk.b = mb.b)""".stripMargin
 
   /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
     * CTE/table — reused by the dedup, clustering, and corpus-clean
@@ -2683,15 +2717,21 @@ object SparkEntry {
     // then pure-integer lattice quantiles; every div operand is
     // non-negative, so DuckDB's floor-// equals Spark's truncate-div
     "x_corpus_curriculum" ->
-      s"""WITH $unigramScoreCtes,
-         |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score
-         |        FROM sc WHERE n_tokens > 0),
-         |ext AS (SELECT min(score) AS lo, max(score) AS hi, CAST(count(*) AS BIGINT) AS n FROM scr),
-         |bk AS (SELECT doc_id, score, (score - lo) // (((hi - lo) // 1024) + 1) AS b FROM scr, ext),
-         |h AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
-         |m AS (SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c AS below FROM h),
-         |mb AS (SELECT b, least(CAST(9 AS BIGINT), (below * 10) // n) AS band FROM m, ext)
-         |SELECT bk.doc_id, bk.score, mb.band FROM bk JOIN mb ON bk.b = mb.b""".stripMargin,
+      s"""WITH $curriculumCtes
+         |SELECT doc_id, score, band FROM cb""".stripMargin,
+
+    // curriculum → packing composition: band joins the pack partition
+    // (shares the banding CTEs, so both keys provably band identically)
+    "x_corpus_curriculum_pack" ->
+      s"""WITH $curriculumCtes,
+         |pt AS (SELECT cb.doc_id, cb.band, cb.doc_id % 4 AS shard,
+         |         CAST(len($toksSql) AS BIGINT) AS token_count
+         |       FROM cb JOIN documents ON cb.doc_id = documents.doc_id),
+         |pw AS (SELECT *, sum(token_count) OVER (PARTITION BY band, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM pt)
+         |SELECT doc_id, band, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM pw""".stripMargin,
 
     // bigram model replayed in full: realized-bigram logp6 table,
     // per-context unseen fallback, global unseen-context fallback —
