@@ -241,6 +241,20 @@ object SparkEntry {
           unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
     }),
 
+    // the tolerance variant: a click older than an hour is no
+    // attribution at all (pandas merge_asof tolerance semantics)
+    "j2b_asof_tolerance" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+      AsOf.asofJoinTolerance(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_ts"), toleranceMicros = 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
+    }),
+
     // value→interval join through the binned equi-join (a raw BETWEEN
     // theta-join plans as BroadcastNestedLoop); irregular overlapping
     // price bands derived from part, values from lineitem. Counts and
@@ -2085,6 +2099,18 @@ object SparkEntry {
       """SELECT p.event_id, p.user_id,
         |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
         |       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // native ASOF + a staleness CASE: a match older than the hour
+    // nulls out (never replaced by an older candidate — those are
+    // older still)
+    "j2b_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+        |       CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |            THEN CAST(epoch_ms(c.ts) AS BIGINT) END AS click_ms
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,

@@ -72,4 +72,36 @@ object AsOf {
       .select(leftCols.map(Cleaning.qcol) ++
         valueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
+
+  /** [[asofJoin]] with a staleness bound (pandas `merge_asof
+    * tolerance=` semantics): the latest preceding right row matches
+    * ONLY if `left.ts − right.ts ≤ toleranceMicros`; a nearest match
+    * older than that yields NO match (older candidates are older
+    * still, so none can qualify). Timestamp columns only. Same plan as
+    * [[asofJoin]] — the matched timestamp rides the carried struct and
+    * stale matches null out in a final narrow projection, so the
+    * tolerance adds zero shuffles.
+    */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      partitionCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, s"tolerance must be >= 0, got $toleranceMicros")
+    val mcol = "__matched_ts"
+    require(!left.columns.contains(mcol) && !valueCols.contains(mcol),
+      s"column name $mcol is reserved here")
+    val joined = asofJoin(left, right.withColumn(mcol, Cleaning.qcol(rightTs)),
+      partitionCols, leftTs, rightTs, valueCols :+ mcol)
+    // NULL matched ts -> stale is NULL -> otherwise-branch keeps the
+    // (already null) values: no special-casing needed
+    val stale = unix_micros(Cleaning.qcol(leftTs)) - unix_micros(col(mcol)) >
+      toleranceMicros
+    joined.select(left.columns.toSeq.map(Cleaning.qcol) ++
+      valueCols.map(c =>
+        when(stale, lit(null)).otherwise(Cleaning.qcol(c)).as(c)): _*)
+  }
 }

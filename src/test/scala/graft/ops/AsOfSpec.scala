@@ -31,6 +31,18 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(4L) == (None, None))
   }
 
+  test("asofJoinTolerance: stale matches null out, fresh ones survive") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val l = this.left.withColumn("ts", timestamp_micros(col("ts")))
+    val r = this.right.withColumn("ts", timestamp_micros(col("ts")))
+    val out = AsOf.asofJoinTolerance(l, r, Seq("user"), "ts", "ts", Seq("tag"), 15L)
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(out(1L) == Some("b"))  // diff 0 <= 15
+    assert(out(2L) == None)       // nearest match is 20us old: dropped, not replaced
+    assert(out(3L) == Some("d"))  // equal-ts inclusive
+    assert(out(4L) == None)       // no candidate at all
+  }
+
   test("value columns come from the same right row") {
     val r2 = right.withColumn("rts", org.apache.spark.sql.functions.col("ts"))
       .select("user", "ts", "rts", "tag")

@@ -298,6 +298,23 @@ class ScalePlanSpec extends AnyFunSuite {
       "a sources-sized allocation must never sort-merge against the corpus")
   }
 
+  test("curriculumBands: band map broadcasts back; the corpus never sorts globally") {
+    val docs = (0L until 200L).map(i => (i, i * 37 % 1000)).toDF("id", "score")
+    val plan = graft.scale.Sampling.curriculumBands(docs, "id", "score",
+      bands = 10, grid = 64)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "bucket->band map should broadcast-join the bucketed corpus")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "a grid-sized map must never sort-merge against the corpus")
+    // the only window is the grid-row running count — it must be the
+    // histogram's, never one over the raw score/id stream
+    unpartitionedWindows(plan).foreach { w =>
+      assert(w.output.exists(_.name.contains("__")),
+        s"unexpected corpus-level window: ${w.simpleStringWithNodeId()}")
+    }
+  }
+
   test("hashedClassifierScore: model joins broadcast; the corpus never sorts globally") {
     val train = (0L until 16L)
       .map(i => (i, s"tok$i alpha beta", i % 2 == 0)).toDF("doc_id", "text", "lab")
