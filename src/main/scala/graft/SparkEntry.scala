@@ -284,8 +284,10 @@ object SparkEntry {
       graft.ops.Stats.approxDistinctGate(T(s, d, "lineitem"),
         "l_orderkey", Seq("l_returnflag"), rsd = 0.02, relTol = 0.05)),
 
-    // GK percentile sketch gated by exact rank bounds: the approx
-    // median must land between the exact q∓2/accuracy quantiles
+    // GK percentile sketch gated on its rank guarantee: the returned
+    // element's exact rank interval must intersect the q∓2/accuracy
+    // rank window (ranks, not interpolated values — those fail
+    // spuriously on small/gappy groups)
     "x_agg_approxq_gate" -> ((s, d) =>
       graft.ops.Stats.approxPercentileGate(T(s, d, "lineitem"),
         "l_extendedprice", Seq("l_returnflag"), q = 0.5, accuracy = 1000)),

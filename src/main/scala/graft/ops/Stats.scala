@@ -321,26 +321,35 @@ object Stats {
     val eps = 2.0 / accuracy
     val g = groupCols.map(Cleaning.qcol)
     val c = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    // indexed internal aliases: immune to caller column-name collisions
+    // (a df column literally named "n" must not break the rank join)
+    // and to dotted group names (qcol only ever touches the df side)
+    val gAlias = groupCols.indices.map(i => s"__apg_g$i")
+    val reserved = gAlias :+ "__apg_n" :+ "__apg_v"
+    require(!df.columns.exists(reserved.contains),
+      s"column names ${reserved.mkString(", ")} are reserved here")
     val sk = df.groupBy(g: _*).agg(
-      count(c).as("n"),
-      approx_percentile(c, lit(q), lit(accuracy)).as("__v"))
+        count(c).as("__apg_n"),
+        approx_percentile(c, lit(q), lit(accuracy)).as("__apg_v"))
+      .toDF(gAlias ++ Seq("__apg_n", "__apg_v"): _*)
     // null-safe group equality so NULL-keyed groups gate like any other
-    val skA = sk.toDF(groupCols.map("__g_" + _) ++ Seq("n", "__v"): _*)
-    val cond = groupCols.map(k => Cleaning.qcol(k) <=> col("__g_" + k)).reduce(_ && _)
-    val ranked = df.join(broadcast(skA), cond)
-      .groupBy(groupCols.map("__g_" + _).map(col): _*)
+    val cond = groupCols.zip(gAlias)
+      .map { case (k, a) => Cleaning.qcol(k) <=> col(a) }.reduce(_ && _)
+    val ranked = df.join(broadcast(sk), cond)
+      .groupBy(gAlias.map(col): _*)
       .agg(
-        first(col("n")).as("n"),
-        sum(when(c < col("__v"), 1L).otherwise(0L)).as("__lt"),
-        sum(when(c <= col("__v"), 1L).otherwise(0L)).as("__le"))
-    val nD = col("n").cast("double")
+        first(col("__apg_n")).as("__apg_n"),
+        sum(when(c < col("__apg_v"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(c <= col("__apg_v"), 1L).otherwise(0L)).as("__le"))
+    val nD = col("__apg_n").cast("double")
     val ok = (col("__le").cast("double") >= floor((lit(q) - lit(eps)) * nD)) &&
       ((col("__lt") + 1).cast("double") <= ceil((lit(q) + lit(eps)) * nD))
     ranked.select(
-      groupCols.map(k => col("__g_" + k).as(k)) ++ Seq(col("n"),
+      groupCols.zip(gAlias).map { case (k, a) => col(a).as(k) } ++ Seq(
+        col("__apg_n").as("n"),
         lit(q).as("q"), lit(eps).as("rank_eps"),
         // a group with no non-null values has no ranks to violate
-        when(col("n") === 0, lit(true)).otherwise(ok).as("within_bounds")): _*)
+        when(col("__apg_n") === 0, lit(true)).otherwise(ok).as("within_bounds")): _*)
   }
 
   /** Fixed-width histogram: bin index + count per bin over [lo, hi).

@@ -210,8 +210,10 @@ object Sampling {
     // the closed form runs on micro-unit long weights: a positive
     // weight that rounds to 0 micro-units would divide by zero in the
     // ratio and silently corrupt the waterline — reject it loudly
-    require(weights.values.forall(v => v == 0 || v >= 1e-6),
-      "positive weights must be >= 1e-6 (micro-unit quantization)")
+    // (the boundary is the half-up quantization's own: v >= 5e-7
+    // rounds to >= 1 micro-unit and stays valid)
+    require(weights.values.forall(v => v == 0 || math.floor(v * 1e6 + 0.5) >= 1),
+      "positive weights must quantize to >= 1 micro-unit (>= 5e-7)")
     import org.apache.spark.sql.expressions.Window
     val src = graft.ops.Cleaning.qcol(sourceCol).cast("string")
     val tokc = TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")

@@ -308,10 +308,11 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       "a grid-sized map must never sort-merge against the corpus")
     // the only window is the grid-row running count — it must be the
-    // histogram's, never one over the raw score/id stream
+    // histogram's (post-aggregate __b/__c attrs), never one carrying
+    // the raw per-row id/score stream through a single task
     unpartitionedWindows(plan).foreach { w =>
-      assert(w.output.exists(_.name.contains("__")),
-        s"unexpected corpus-level window: ${w.simpleStringWithNodeId()}")
+      assert(!w.output.exists(a => a.name == "id" || a.name == "score" || a.name == "__s"),
+        s"corpus-level unpartitioned window: ${w.simpleStringWithNodeId()}")
     }
   }
 

@@ -120,6 +120,11 @@ class StatsSpec extends AnyFunSuite {
     val tg = Stats.approxPercentileGate(tiny, "v", Seq("g"), q = 0.5, accuracy = 1000)
       .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
     assert(tg == Map("t" -> true, "z" -> true))
+    // caller columns named like the gate's outputs must not collide
+    val clash = Seq(("t", 1.0, 7L), ("t", 2.0, 7L)).toDF("g", "v", "n")
+    val cg = Stats.approxPercentileGate(clash, "v", Seq("g"), q = 0.5, accuracy = 1000)
+      .collect()
+    assert(cg.length == 1 && cg(0).getBoolean(4))
   }
 
   test("weighted quantile q=1 returns the max") {

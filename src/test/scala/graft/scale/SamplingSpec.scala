@@ -352,10 +352,13 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.epochAllocation(epochCorpus, "text", "source", Map("A" -> 0.0), 100L)
     }
     // a positive weight that quantizes to 0 micro-units would divide by
-    // zero inside the waterline — rejected loudly, not silently wrong
+    // zero inside the waterline — rejected loudly, not silently wrong;
+    // the boundary is the half-up rounding's own (5e-7 -> 1 micro-unit)
     intercept[IllegalArgumentException] {
       Sampling.epochAllocation(epochCorpus, "text", "source",
         Map("A" -> 1.0, "B" -> 4e-7), 100L)
     }
+    Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "B" -> 6e-7), 100L).collect() // quantizes to 1: valid
   }
 }
