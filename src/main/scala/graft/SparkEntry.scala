@@ -1041,6 +1041,11 @@ object SparkEntry {
       TextAnalysis.bucketedBatches(T(s, d, "documents"), "doc_id", "text",
         capacity = 256, bandWidth = 32, shards = 8)),
 
+    // its per-shard audit: batches, padded footprint, padding waste
+    "x_text_batcheff" -> ((s, d) =>
+      TextAnalysis.batchEfficiency(T(s, d, "documents"), "doc_id", "text",
+        capacity = 256, bandWidth = 32, shards = 8)),
+
     // keep-best exact dedup: among docs with identical normalized
     // content, keep the longest raw text (then min id) — the "best
     // source wins" policy
@@ -3867,6 +3872,24 @@ object SparkEntry {
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count, padded_to,
          |       CAST((rn - 1) // dpb AS BIGINT) AS batch_id
          |FROM d""".stripMargin,
+
+    // batch audit: the batches CTE + distinct (band, batch) count and
+    // integer padding sums per shard
+    "x_text_batcheff" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
+         |b AS (SELECT *, greatest(CAST(32 AS BIGINT), ((token_count + 31) // 32) * 32) AS padded_to FROM t),
+         |d AS (SELECT *, greatest(CAST(1 AS BIGINT), 256 // padded_to) AS dpb,
+         |        row_number() OVER (PARTITION BY shard, padded_to ORDER BY doc_id) AS rn FROM b),
+         |a AS (SELECT shard, token_count, padded_to, (rn - 1) // dpb AS batch_id FROM d),
+         |nb AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_batches FROM
+         |         (SELECT DISTINCT shard, padded_to, batch_id FROM a) GROUP BY shard)
+         |SELECT CAST(a.shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(token_count) AS BIGINT) AS n_tokens,
+         |       CAST(any_value(nb.n_batches) AS BIGINT) AS n_batches,
+         |       CAST(sum(padded_to) AS BIGINT) AS padded_tokens,
+         |       CAST(sum(padded_to) - sum(token_count) AS BIGINT) AS waste_tokens
+         |FROM a JOIN nb ON a.shard = nb.shard
+         |GROUP BY a.shard""".stripMargin,
 
     // epoch water-filling: every sum is over exact longs (micro-unit
     // weights, half-up long capacities), every double is a single-op

@@ -797,6 +797,31 @@ object TextAnalysis {
         col("batch_id"))
   }
 
+  /** Batch-efficiency audit over [[bucketedBatches]]' layout — per
+    * shard: document/token volume, batch count, the padded footprint
+    * (every doc pays its band ceiling) and the padding waste. THE
+    * number that justifies length bucketing: batching heterogeneous
+    * lengths pads everything to the longest member, banding caps the
+    * per-doc waste at `bandWidth − 1`. All exact integer arithmetic.
+    *
+    * Scale: the (shard, band) row_number window plus two summary
+    * aggregates — batch identity is (band, batch) pairs, counted
+    * distinct per shard (bounded by docs/dpb, a summary by
+    * construction).
+    */
+  def batchEfficiency(
+      df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, bandWidth: Int = 16, shards: Int = 8): DataFrame = {
+    val b = bucketedBatches(df, idCol, textCol, capacity, bandWidth, shards)
+    b.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("token_count")).as("n_tokens"),
+        countDistinct(col("padded_to"), col("batch_id")).as("n_batches"),
+        sum(col("padded_to")).as("padded_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("n_tokens"))
+  }
+
   /** Sliding-window chunking of the token stream — the RAG/pre-training
     * splitter: windows of `chunk` tokens whose starts advance by
     * `chunk - overlap`, so consecutive chunks share `overlap` tokens.

@@ -89,6 +89,13 @@ class CurationSpec extends AnyFunSuite {
       capacity = 100, bandWidth = 10, shards = 1)
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(again == got)
+    // the audit over the same layout: 7 batches, 650 padded, 44 waste
+    val eff = TextAnalysis.batchEfficiency(d, "doc_id", "text",
+      capacity = 100, bandWidth = 10, shards = 1).collect()
+    assert(eff.length == 1)
+    val r = eff(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((10L, 606L, 7L, 650L, 44L)))
   }
 
   test("packSequences is partitioning-invariant") {
