@@ -27,6 +27,32 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
+  /** Fit-once cache for the hashed-classifier quality model: the
+    * composition queries (x_corpus_budget / x_corpus_clffilter /
+    * x_dedup_bestrep) score with a persisted model the way a real
+    * pipeline runs — the classifier is fitted and saved ONCE per
+    * (corpus dir, bucket count) per JVM, then each query loads the tiny
+    * (`buckets`-row) parquet artifact instead of re-scanning the corpus
+    * to refit. The save→load roundtrip is bit-exact (gated by
+    * x_text_hashclf_saved), so query hashes are identical to a direct
+    * fit; only the redundant corpus scans disappear.
+    */
+  private val clfModelDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def fittedClassifier(s: SparkSession, d: String, buckets: Int): DataFrame = {
+    val dir = clfModelDirs.getOrElseUpdate((d, buckets), {
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-clf-$buckets-").toString
+      graft.scale.Models.saveHashedClassifier(model, out)
+      out
+    })
+    graft.scale.Models.loadHashedClassifier(s, dir)
+  }
+
   /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
     * `customer` as the survey wave (TOM = market segment, CSAT = account
     * balance scale, NPS = nation key). Returns the awareness TOM table.
@@ -575,8 +601,11 @@ object SparkEntry {
     // differ from x_dedup_semantic so the gates can't mask.
     "x_dedup_semantic_incr" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
-      val accepted = emb.filter(col("vec_id") < 500)
-      val batch = emb.filter(col("vec_id") >= 500 && col("vec_id") < 650)
+      // modulo slices, not id ranges: non-empty at EVERY scale factor
+      // (sf0.01 ships only 500 vectors — a fixed id range above that
+      // made this gate vacuous on shipped data)
+      val accepted = emb.filter(col("vec_id") % 10 >= 3)
+      val batch = emb.filter(col("vec_id") % 10 < 3)
       val dir = java.nio.file.Files.createTempDirectory("graft-sem-model").toString
       graft.scale.Models.saveCentroids(s,
         graft.scale.Similarity.fitIvfCentroids(accepted, "vec_id", "embedding", nlist = 1), dir)
@@ -658,9 +687,7 @@ object SparkEntry {
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
         maxBlockSize = NgramBlockCap)
       val clustersDf = Dedup.clusters(docs, "doc_id", pairs)
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val model = fittedClassifier(s, d, buckets = 1024)
       val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
       Dedup.electRepresentatives(clustersDf, scored, "doc_id", "score_micro")
         .select(col("cluster"), col("id"),
@@ -830,10 +857,9 @@ object SparkEntry {
     "x_corpus_curriculum" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
-      val withScore = scored.select(col("doc_id"),
-        when(col("n_tokens") > 0,
-          floor(col("avg_logp") * 1000000000.0 + lit(0.5)).cast("long")).as("score"))
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000,
+        scoreNano = true)
+      val withScore = scored.select(col("doc_id"), col("score_nano").as("score"))
       Sampling.curriculumBands(withScore, "doc_id", "score", bands = 10, grid = 1024)
     }),
 
@@ -843,15 +869,11 @@ object SparkEntry {
     "x_corpus_curriculum_pack" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
-      val withScore = scored.select(col("doc_id"),
-        when(col("n_tokens") > 0,
-          floor(col("avg_logp") * 1000000000.0 + lit(0.5)).cast("long")).as("score"))
-      val bands = Sampling.curriculumBands(withScore, "doc_id", "score",
-        bands = 10, grid = 1024)
-      val joined = docs.join(bands.select(col("doc_id"), col("band")), "doc_id")
-      TextAnalysis.packSequences(joined, "doc_id", "text", budget = 256,
-        shards = 4, extraPartitionCols = Seq("band"))
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000,
+        scoreNano = true)
+      val withScore = scored.select(col("doc_id"), col("score_nano").as("score"))
+      graft.scale.Curation.curriculumPack(docs, "doc_id", "text",
+        withScore, "score", bands = 10, grid = 1024, packBudget = 256, shards = 4)
     }),
 
     "x_text_quality" -> ((s, d) =>
@@ -998,9 +1020,7 @@ object SparkEntry {
     // quality, running sum within the per-group window)
     "x_corpus_budget" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val model = fittedClassifier(s, d, buckets = 1024)
       val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
       val withSrc = docs.select(col("doc_id"), col("source"))
         .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
@@ -1012,9 +1032,7 @@ object SparkEntry {
     // floor each source at its best 70% (rank-based, per-group window)
     "x_corpus_clffilter" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val model = fittedClassifier(s, d, buckets = 1024)
       val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
       val withSrc = docs.select(col("doc_id"), col("source"))
         .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
@@ -1675,7 +1693,7 @@ object SparkEntry {
        |bk AS (SELECT doc_id, score, (score - lo) // (((hi - lo) // 1024) + 1) AS b FROM scr, ext),
        |h AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
        |m AS (SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c AS below FROM h),
-       |mb AS (SELECT b, least(CAST(9 AS BIGINT), (below * 10) // n) AS band FROM m, ext),
+       |mb AS (SELECT b, CAST(least(CAST(9 AS BIGINT), (below * 10) // n) AS BIGINT) AS band FROM m, ext),
        |cb AS (SELECT bk.doc_id, bk.score, mb.band FROM bk JOIN mb ON bk.b = mb.b)""".stripMargin
 
   /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
@@ -3068,7 +3086,7 @@ object SparkEntry {
         |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
         |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
         |  FROM embeddings a JOIN embeddings b ON TRUE
-        |  WHERE a.vec_id >= 500 AND a.vec_id < 650 AND b.vec_id < 500),
+        |  WHERE a.vec_id % 10 < 3 AND b.vec_id % 10 >= 3),
         |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c WHERE cos >= 0.3""".stripMargin,
@@ -3194,9 +3212,9 @@ object SparkEntry {
       s"""WITH ${hashClfCtes(1024)},
          |bj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
          |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
-         |br AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |br AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
          |                 ORDER BY score_micro DESC, doc_id ASC
-         |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM bj)
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM bj)
          |SELECT doc_id, source, n_tokens, score_micro, cum_tokens
          |FROM br WHERE cum_tokens <= 2000""".stripMargin,
 

@@ -70,4 +70,38 @@ object Curation {
     TextAnalysis.packSequences(split, idCol, textCol, packBudget, shards,
       extraPartitionCols = Seq("split"), passThroughCols = metaCols)
   }
+
+  /** Curriculum-ordered training layout as ONE call: band the corpus by
+    * a quality/difficulty score ([[Sampling.curriculumBands]] — grid-
+    * exact deciles, no global sort), then pack each band separately
+    * ([[TextAnalysis.packSequences]] with the band in the pack
+    * partition) so no training window ever mixes curriculum stages —
+    * the trainer consumes packs band by band, easiest to hardest.
+    *
+    * `scores` carries (idCol, scoreCol) — fit however the pipeline
+    * likes (unigram/bigram LM nano-nat longs, classifier micro-units);
+    * integer scores keep the banding engine-exact. Documents with a
+    * null score (e.g. zero tokens) are dropped, matching
+    * [[Sampling.curriculumBands]]' contract.
+    *
+    * Output: one row per scored document —
+    * (idCol, band, passThroughCols…, shard, token_count, pack_id,
+    * pack_offset).
+    *
+    * Scale shape: banding is two tiny aggregates (1 row + ≤`grid`
+    * rows, both broadcast back); the band join is id-keyed; packing
+    * windows partition by (band, shard) — never global.
+    */
+  def curriculumPack(
+      docs: DataFrame, idCol: String, textCol: String,
+      scores: DataFrame, scoreCol: String,
+      bands: Int = 10, grid: Int = 1024,
+      packBudget: Int = 512, shards: Int = 8,
+      passThroughCols: Seq[String] = Nil): DataFrame = {
+    val banded = Sampling.curriculumBands(scores, idCol, scoreCol, bands, grid)
+    val joined = docs.join(
+      banded.select(graft.ops.Cleaning.qcol(idCol), col("band")), Seq(idCol))
+    TextAnalysis.packSequences(joined, idCol, textCol, packBudget, shards,
+      extraPartitionCols = Seq("band"), passThroughCols = passThroughCols)
+  }
 }

@@ -445,7 +445,8 @@ object TextAnalysis {
     */
   def unigramLogProbTable(
       df: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String, vocabSize: Int = 65536): DataFrame = {
+      ref: DataFrame, refTextCol: String, vocabSize: Int = 65536,
+      scoreNano: Boolean = false): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val counts = ref
       .select(explode(tokens(graft.ops.Cleaning.qcol(refTextCol))).as("__tok"))
@@ -471,14 +472,25 @@ object TextAnalysis {
         sum(col("__n")).as("n_tokens"),
         sum(when(col("__logp6").isNull, col("__n")).otherwise(0L)).as("n_oov"),
         sum(col("__n") * coalesce(col("__logp6"), col("__oov6"))).as("__s6"))
+    val base = Seq(id,
+      coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+      coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+      graft.ops.Rounding.halfUp(
+        col("__s6").cast("double") / 1000000L / col("n_tokens"), 9)
+        .as("avg_logp"))
+    // score_nano is the exact integer behind avg_logp's 9 dp — computed
+    // from the integer fold __s6 directly (the identical IEEE expression
+    // the oracle runs), never by re-scaling the already-rounded double,
+    // so downstream integer consumers (curriculum banding) are hash-
+    // robust by construction at any score magnitude
+    val cols = if (scoreNano) base :+
+      when(col("n_tokens") > 0,
+        floor(col("__s6").cast("double") / 1000000L / col("n_tokens")
+          * 1000000000L + 0.5).cast("long")).as("score_nano")
+    else base
     df.select(id).distinct()
       .join(scored, Seq(idCol), "left")
-      .select(id,
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        graft.ops.Rounding.halfUp(
-          col("__s6").cast("double") / 1000000L / col("n_tokens"), 9)
-          .as("avg_logp"))
+      .select(cols: _*)
   }
 
   /** Bigram log-probability scoring — the next fluency rung above

@@ -320,4 +320,28 @@ class CurationSpec extends AnyFunSuite {
     }.filter(_._2 >= 0.9).map(_._1).toSet
     assert(lsh == brute && brute.size >= 40) // 4 clusters of 10 -> >= 4*45... bounded below loosely
   }
+
+  test("curriculumPack == hand-wired curriculumBands + packSequences; null scores drop") {
+    val d = (0L until 24L)
+      .map(i => (i, Seq.fill(10 + (i % 5).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // integer scores with ties and a gap; doc 23 unscored (null)
+    val scores = (0L until 24L)
+      .map(i => (i, if (i == 23L) None else Some((i % 7) * 100L)))
+      .toDF("doc_id", "score")
+    val got = Curation.curriculumPack(d, "doc_id", "text", scores, "score",
+      bands = 4, grid = 64, packBudget = 32, shards = 2)
+    val bands = Sampling.curriculumBands(scores, "doc_id", "score", bands = 4, grid = 64)
+    val expect = TextAnalysis.packSequences(
+      d.join(bands.select(col("doc_id"), col("band")), "doc_id"),
+      "doc_id", "text", budget = 32, shards = 2, extraPartitionCols = Seq("band"))
+    assert(got.columns.toSeq == expect.columns.toSeq)
+    assert(got.collect().toSet == expect.collect().toSet)
+    assert(got.count() == 23L) // the null-scored doc dropped
+    // a pack never straddles a band: (band, shard, pack_id) identifies
+    // rows of exactly one band by construction — check groups agree
+    val mixed = got.groupBy("band", "shard", "pack_id")
+      .agg(countDistinct("band").as("nb")).filter(col("nb") > 1).count()
+    assert(mixed == 0L)
+  }
 }

@@ -118,6 +118,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(capped(1L)._2 == avg(lp6(4.0 / 5) + lp6(1.0 / 5), 2))
   }
 
+  test("unigramLogProb scoreNano: exact long == re-derived from avg_logp; null on empty") {
+    val ref = Seq((100L, "a a b"), (101L, "a c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "a z"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text", ref, "text",
+      scoreNano = true)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_oov", "avg_logp", "score_nano"))
+    got.collect().foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.isNullAt(3) && r.isNullAt(4))
+      else {
+        // the exposed long is exactly the integer behind the 9-dp double
+        assert(r.getLong(4) == math.floor(r.getDouble(3) * 1e9 + 0.5).toLong)
+        assert(r.getLong(4) / 1e9 == r.getDouble(3))
+      }
+    }
+  }
+
   test("fingerprint: stable under case/whitespace, distinct for distinct text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different text here"))
       .toDF("doc_id", "text")
