@@ -73,6 +73,16 @@ object Sources {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast interprets the wall clock in the
+        // SESSION time zone: in any non-UTC session the values would
+        // silently shift relative to an oracle engine's naive reading
+        // of the same file — refuse rather than shift (every entrypoint
+        // here pins UTC; a library caller must do the same or read the
+        // NTZ column directly)
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Sources.table(events): session time zone must be UTC — the " +
+            "TIMESTAMP_NTZ ts column is interpreted in the session zone " +
+            s"(got '${spark.conf.get("spark.sql.session.timeZone")}')")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

@@ -192,6 +192,18 @@ object Sampling {
     *
     * Output: (source, tokens_available, weight, allocated_tokens
     * [half-up long], epochs [= allocated/available, half-up 6 dp]).
+    * Each UNCAPPED source rounds λ·w_i independently (half-up), so
+    * Σ allocated_tokens can drift from `budgetTokens` by up to half a
+    * token per uncapped source — pick the budget's unit (tokens, not
+    * billions-of-tokens) so that drift is immaterial, as any fixup
+    * (e.g. dumping the residual on one source) would trade exactness
+    * of the per-source shares for exactness of the total.
+    *
+    * Every POSITIVE-weight key in `weights` must name a source present
+    * in `df`: an absent key (a typo, or a source missing from this
+    * delivery) would otherwise silently redistribute that source's
+    * share across the rest — the plan fails loudly instead (checked
+    * inside the plan, no extra action at call time).
     *
     * Scale: ONE hash aggregate over the corpus (|sources| rows out),
     * then arithmetic on a frame bounded by the caller's literal weight
@@ -254,7 +266,21 @@ object Sampling {
       .unionByName(base.filter(!(col("weight") > 0))
         .select(col("source"), col("tokens_available"), col("weight"),
           lit(0L).as("allocated_tokens")))
-    out.withColumn("epochs",
+    // positive-weight keys absent from the data would silently
+    // redistribute their budget share (the waterfill only sees sources
+    // present in `df`) — fail loudly, in-plan (the 1-row check rides
+    // the same |sources| aggregate; a filter can't be pruned away, so
+    // the raise_error is guaranteed to evaluate)
+    val expectedPos = weights.count { case (_, v) => v > 0 }.toLong
+    val check = pos.agg(count(lit(1)).as("__np"))
+      .select(when(col("__np") === expectedPos, lit(true))
+        .otherwise(raise_error(format_string(
+          "epochAllocation: %d positive-weight sources in the weight map" +
+            " but only %s present in the data — a missing or typo'd" +
+            " source name would silently redistribute its budget share",
+          lit(expectedPos), col("__np")))).as("__src_ok"))
+    out.crossJoin(broadcast(check)).where(col("__src_ok")).drop("__src_ok")
+      .withColumn("epochs",
       when(col("tokens_available") > 0, graft.ops.Rounding.halfUp(
         col("allocated_tokens").cast("double") /
           col("tokens_available").cast("double"), 6)).otherwise(lit(0.0)))

@@ -361,4 +361,21 @@ class SamplingSpec extends AnyFunSuite {
     Sampling.epochAllocation(epochCorpus, "text", "source",
       Map("A" -> 1.0, "B" -> 6e-7), 100L).collect() // quantizes to 1: valid
   }
+
+  test("epochAllocation: positive-weight key absent from the data fails loudly") {
+    // a typo'd source name would otherwise silently hand its budget
+    // share to the others — the in-plan check raises at action time
+    val ex = intercept[Exception] {
+      Sampling.epochAllocation(epochCorpus, "text", "source",
+        Map("A" -> 1.0, "Z_TYPO" -> 1.0), budgetTokens = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("redistribute")))
+    // a ZERO-weight absent key is fine (it allocates nothing anyway)
+    val ok = Sampling.epochAllocation(epochCorpus, "text", "source",
+      Map("A" -> 1.0, "Z_TYPO" -> 0.0), budgetTokens = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ok("A") == 100L && !ok.contains("Z_TYPO"))
+  }
 }
