@@ -1113,6 +1113,14 @@ object TextAnalysis {
     * partials collapse to ≤ `buckets` rows per partition); totals are a
     * 1-row broadcast; the bucket spine is a driver-free `spark.range`.
     * The model is buckets-sized — broadcastable by construction.
+    *
+    * Fit ONCE per corpus, persist with
+    * [[graft.scale.Models.saveHashedClassifier]], and load the artifact
+    * everywhere a score is needed ([[hashedClassifierScore]] takes the
+    * loaded frame): the save→load roundtrip is bit-exact, and because
+    * the model frame is lazy, every plan that embeds the un-persisted
+    * fit re-scans the labeled corpus — at 100 TB that is a full extra
+    * pass per consumer.
     */
   def hashedClassifierFit(
       df: DataFrame, textCol: String, labelCol: String,

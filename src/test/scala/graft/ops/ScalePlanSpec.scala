@@ -330,4 +330,34 @@ class ScalePlanSpec extends AnyFunSuite {
       "a buckets-sized model must never sort-merge against the corpus")
     assert(unpartitionedWindows(plan).isEmpty)
   }
+
+  test("a persisted classifier model scores without the refit's extra corpus scan") {
+    // the fit-once contract (Models.saveHashedClassifier scaladoc):
+    // embedding the un-persisted fit in a scoring plan re-reads the
+    // corpus for the model branch; loading the parquet artifact must
+    // drop that scan (the shape the composition queries rely on)
+    val dir = java.nio.file.Files.createTempDirectory("plan-clf").toString
+    (0L until 64L).map(i => (i, s"tok$i alpha beta gamma", i % 2 == 0))
+      .toDF("doc_id", "text", "lab").write.parquet(s"$dir/docs.parquet")
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    def corpusScans(df: DataFrame): Int =
+      collectPlans(df.queryExecution.executedPlan).count {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("docs.parquet"))
+        case _ => false
+      }
+    val fit = graft.scale.TextAnalysis.hashedClassifierFit(docs, "text", "lab", buckets = 32)
+    graft.scale.Models.saveHashedClassifier(fit, s"$dir/model")
+    val loaded = graft.scale.Models.loadHashedClassifier(spark, s"$dir/model")
+    val direct =
+      graft.scale.TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", fit, 32)
+    val persisted =
+      graft.scale.TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", loaded, 32)
+    assert(corpusScans(persisted) < corpusScans(direct),
+      s"loading the artifact should shed the model branch's corpus scan " +
+        s"(persisted=${corpusScans(persisted)}, direct=${corpusScans(direct)})")
+    // and bit-identical scores either way (the x_text_hashclf_saved gate,
+    // asserted here at plan-test scale too)
+    assert(persisted.collect().toSet == direct.collect().toSet)
+  }
 }
