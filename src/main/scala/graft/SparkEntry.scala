@@ -168,6 +168,26 @@ object SparkEntry {
       Sources.readTable(s, path)
     }),
 
+    // WET (Common Crawl extracted-text WARC) roundtrip: documents →
+    // conversion records → distributed delimiter-split read → fields.
+    // Proves the record render (Content-Length = body bytes), the
+    // splitter, and body-identity end to end; the oracle replays the
+    // same projection straight off the documents table.
+    "s23_wet_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s23").toString
+      graft.io.Sinks.writeWet(
+        T(s, d, "documents").select(
+          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      graft.io.Warc.readWet(s, dir)
+        .filter(col("record_type") === "conversion")
+        .select(
+          regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("content_length"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("text"))
+    }),
+
     "s14_xls_roundtrip" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft_s14")
         .resolve("wb.xls").toString
@@ -2027,6 +2047,16 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY 1""".stripMargin,
+
+    // the WET roundtrip is body-identity: every field replays from the
+    // documents table (strlen = UTF-8 bytes in DuckDB, matching
+    // Spark's octet_length-derived Content-Length header)
+    "s23_wet_roundtrip" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS content_length,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       text
+        |FROM documents""".stripMargin,
 
     "s19_bucketed_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

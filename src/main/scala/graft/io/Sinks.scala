@@ -44,6 +44,39 @@ object Sinks {
   def writeJsonl(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").json(outDir)
 
+  /** WET sink — emit (url, date, text) rows as WARC/1.0 "conversion"
+    * records ([[Warc]] documents the format): each row renders to one
+    * record string via narrow codegen'd expressions, and the text
+    * writer's `lineSep = "\r\n\r\n"` supplies the record terminator —
+    * fully distributed, no driver materialization. Content-Length is
+    * the BODY'S UTF-8 byte count (`octet_length`, per the WARC spec),
+    * and a body containing the record separator `\r\n\r\n` (impossible
+    * in genuine extracted text, which is `\n`-separated) fails in-plan
+    * rather than producing a file that would mis-split on read.
+    */
+  def writeWet(
+      df: DataFrame, outDir: String,
+      urlCol: String = "url", dateCol: String = "date",
+      textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    val body = coalesce(graft.ops.Cleaning.qcol(textCol).cast("string"), lit(""))
+    val safeBody = when(body.contains("\r\n\r\n"),
+      raise_error(lit("writeWet: body contains the WARC record separator" +
+        " \\r\\n\\r\\n — such text cannot roundtrip a delimiter-split" +
+        " reader"))).otherwise(body)
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: conversion\r\n"),
+      lit("WARC-Target-URI: "), graft.ops.Cleaning.qcol(urlCol).cast("string"), lit("\r\n"),
+      lit("WARC-Date: "), graft.ops.Cleaning.qcol(dateCol).cast("string"), lit("\r\n"),
+      lit("Content-Type: text/plain\r\n"),
+      lit("Content-Length: "), octet_length(safeBody).cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      safeBody)
+    df.select(rec.as("value"))
+      .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(outDir)
+  }
+
   /** ORC sink — one `<name>.orc` directory per table, mirroring
     * `Sources.readOrc`/`readTable` dispatch. Fully distributed
     * (no driver materialization), same scale contract as parquet.

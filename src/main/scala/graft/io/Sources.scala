@@ -51,6 +51,9 @@ object Sources {
     else if (lower.endsWith(".orc")) readOrc(spark, path)
     else if (lower.endsWith(".xlsx")) Excel.read(spark, path)
     else if (lower.endsWith(".xls")) Xls.read(spark, path)
+    else if (lower.endsWith(".wet") || lower.endsWith(".wet.gz") ||
+      lower.endsWith(".warc") || lower.endsWith(".warc.gz"))
+      Warc.readWet(spark, path)
     else throw new IllegalArgumentException(s"Unsupported file type: $path")
   }
 
