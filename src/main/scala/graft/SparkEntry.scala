@@ -1059,6 +1059,23 @@ object SparkEntry {
       Sampling.dropBottomFractionPerGroup(withSrc, Seq("source"), "doc_id", "score_micro", 0.3)
     }),
 
+    // BPE vocabulary training on the doc_id % 5 sample (fit on a
+    // sample, encode everywhere — the production split): 6 learned
+    // merges, deterministic tie-break, oracle replays the full loop
+    "x_text_bpe" -> ((s, d) =>
+      TextAnalysis.bpeFitTable(
+        T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text",
+        merges = 6)),
+
+    // the learned merges applied to the WHOLE corpus as one composed
+    // narrow plan; per-doc unit stats are the token-budget numbers
+    "x_text_bpe_encode" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = TextAnalysis.bpeFit(
+        docs.filter(col("doc_id") % 5 === 0), "text", merges = 6)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
@@ -1561,6 +1578,42 @@ object SparkEntry {
 
   private val toksSql =
     "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  /** BPE oracle CTEs: replay [[TextAnalysis.bpeFit]]'s training loop as
+    * `k` unrolled merge rounds. Each round re-derives adjacent-pair
+    * counts (parallel unnest of the two slice-shifted unit lists),
+    * takes the SAME deterministic argmax (count desc, left asc, right
+    * asc — LIMIT 1), and applies the merge with `replace`, whose
+    * leftmost-first non-overlapping scan is identical in Spark and
+    * DuckDB (the `|unit|` wrapping guarantees adjacent matches never
+    * share characters). Learning runs on the doc_id % 5 sample slice;
+    * the chain ends with merge CTEs m1..mk.
+    */
+  private val BpeMergeRounds = 6
+
+  private def bpeRepsSql(where: String): String =
+    s"""(SELECT doc_id, list_transform(
+       |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(t)), '\\s+') END,
+       |    w -> regexp_replace(w, '(.)', '|\\1|', 'g')) AS reps
+       |  FROM (SELECT doc_id, replace(text, '|', '') AS t FROM documents WHERE $where))""".stripMargin
+
+  private def bpeApplySql(from: String, mi: String): String =
+    s"""(SELECT doc_id, list_transform(reps, s -> replace(s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|')) AS reps
+       |  FROM $from, $mi m)""".stripMargin
+
+  private lazy val bpeLearnCtes: String = {
+    val init = s"d0 AS ${bpeRepsSql("doc_id % 5 = 0")}"
+    val steps = (1 to BpeMergeRounds).map { i =>
+      s"""u$i AS (SELECT string_split(trim(rr.r, '|'), '||') AS u
+         |  FROM (SELECT unnest(reps) AS r FROM d${i - 1}) rr),
+         |c$i AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_slice(u, 1, len(u) - 1)) AS l, unnest(list_slice(u, 2, len(u))) AS r FROM u$i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM c$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |d$i AS ${bpeApplySql(s"d${i - 1}", s"m$i")}""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
 
   /** Shared CTE chain for the capped water-filling epoch allocation
     * (x_corpus_epochs) — also the head of x_corpus_epochs_expand's
@@ -3258,6 +3311,27 @@ object SparkEntry {
          |              count(*) OVER (PARTITION BY source) AS n FROM cj)
          |SELECT doc_id, source, n_tokens, score_micro
          |FROM cr WHERE rk > floor(0.3 * CAST(n AS DOUBLE))""".stripMargin,
+
+    // BPE merge table: the unrolled training loop (see bpeLearnCtes)
+    "x_text_bpe" ->
+      s"""WITH $bpeLearnCtes,
+         |mt AS (${(1 to BpeMergeRounds).map(i =>
+        s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", c AS pair_count FROM m$i""")
+        .mkString("\nUNION ALL ")})
+         |SELECT rank, "left", "right", pair_count FROM mt""".stripMargin,
+
+    // learned on the sample slice, applied to every document; unit
+    // stats in exact integers
+    "x_text_bpe_encode" ->
+      s"""WITH $bpeLearnCtes,
+         |f0 AS ${bpeRepsSql("TRUE")},
+         |${(1 to BpeMergeRounds).map(i =>
+        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")}
+         |SELECT doc_id,
+         |  CAST(len(reps) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_units,
+         |  CAST(coalesce(list_sum(list_transform(reps, s -> length(s) - 2 * len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_chars
+         |FROM f$BpeMergeRounds""".stripMargin,
 
     // shard-partitioned running sum (never a global sort), integer
     // div/mod — exact at any magnitude

@@ -356,9 +356,17 @@ object Dedup {
           (col("__mb__") +: outCols.drop(2).map(col))): _*)
         .select((col("__x__") +: explode(col("__mb__")).as("__y__") +:
           outCols.drop(2).map(col)): _*)
-        .select((least(col("__x__"), col("__y__")).as("id_a") +:
-          greatest(col("__x__"), col("__y__")).as("id_b") +:
-          outCols.drop(2).map(col)): _*)
+        // containment is ASYMMETRIC: when normalizing the expanded
+        // member pair to id_a < id_b flips the rep pair's orientation,
+        // the per-side columns must flip with it (n_shared is symmetric)
+        .select(
+          least(col("__x__"), col("__y__")).as("id_a"),
+          greatest(col("__x__"), col("__y__")).as("id_b"),
+          col("n_shared"),
+          when(col("__x__") < col("__y__"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+          when(col("__x__") < col("__y__"), col("n_b")).otherwise(col("n_a")).as("n_b"),
+          when(col("__x__") < col("__y__"), col("cont_a")).otherwise(col("cont_b")).as("cont_a"),
+          when(col("__x__") < col("__y__"), col("cont_b")).otherwise(col("cont_a")).as("cont_b"))
       // a group member is an old-path candidate iff some group shingle
       // survives the cap — the surviving reps are exactly that set
       val surviving = repInv.select(col("__rep__")).distinct()

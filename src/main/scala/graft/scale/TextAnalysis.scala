@@ -1315,6 +1315,130 @@ object TextAnalysis {
     * is a narrow map or bucket-local join (SCALE.md §4/§5); nothing here
     * caps at corpus size.
     */
+  /** One learned BPE merge: `left`+`right` → `left+right`, with the
+    * pair's occurrence count at the step it was learned. */
+  final case class BpeMerge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Internal BPE word representation: every current unit of a word
+    * wrapped in `|` bars — `"abc"` → `"|a||b||c|"`. Merging pair (a,b)
+    * is then `replace(rep, "|a||b|", "|ab|")`: `replace` scans left to
+    * right non-overlapping in Spark AND DuckDB, which is exactly BPE's
+    * leftmost-first greedy application, and adjacent matches never
+    * share characters (each unit owns its bars). `|` itself is
+    * stripped from the input ([[bpeInit]]) so a unit can never contain
+    * the delimiter.
+    */
+  private def bpeInit(text: Column): Column =
+    transform(tokens(regexp_replace(text, "\\|", "")),
+      w => regexp_replace(w, "(.)", "|$1|"))
+
+  private def bpeUnits(rep: Column): Column = split(trim(rep, "|"), "\\|\\|")
+
+  private def bpeApply(reps: Column, left: String, right: String): Column =
+    transform(reps, r =>
+      regexp_replace(r, // literal replace via quoted regex (see scaladoc)
+        java.util.regex.Pattern.quote(s"|$left||$right|"),
+        java.util.regex.Matcher.quoteReplacement(s"|$left$right|")))
+
+  /** Byte-pair-encoding vocabulary training — the "learn the tokenizer
+    * from the corpus" step of an LLM data pipeline (Sennrich et al.
+    * 2016). Standard word-internal BPE: words pre-tokenize on
+    * whitespace ([[tokens]]), every word starts as its character
+    * sequence, and each of `merges` rounds (1) counts ADJACENT unit
+    * pairs across all word occurrences, (2) picks the most frequent
+    * pair — ties broken (count desc, left asc, right asc), so the
+    * learned table is deterministic and engine-replayable — and
+    * (3) rewrites every occurrence leftmost-first. Stops early if no
+    * pair occurs twice.
+    *
+    * Scale: each round is ONE explode→hash-aggregate over the corpus
+    * (map-side partials; shuffle carries (pair, count)) plus a 1-ROW
+    * driver argmax (`orderBy.limit(1)` = TakeOrdered, never a global
+    * sort) — the driver holds the merge table (`merges` rows), nothing
+    * corpus-sized. The evolving representation is persisted per round
+    * and the previous round released, so round i+1 re-scans cached
+    * unit arrays, not the raw text re-merged i times. Production BPE
+    * fits on a SAMPLE (a few GB of text bounds the pair statistics);
+    * pass a pre-sampled frame for the 100 TB corpus.
+    */
+  def bpeFit(df: DataFrame, textCol: String, merges: Int): Seq[BpeMerge] = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var reps = df.select(bpeInit(graft.ops.Cleaning.qcol(textCol)).as("__reps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var step = 0
+      var done = false
+      while (step < merges && !done) {
+        val units = reps.select(explode(col("__reps")).as("__r"))
+          .select(bpeUnits(col("__r")).as("__u"))
+        // guarded: sequence(0, -1) would DESCEND, not return empty
+        val adjacent = when(size(col("__u")) >= 2,
+          transform(sequence(lit(0), size(col("__u")) - 2),
+            i => struct(element_at(col("__u"), i + 1).as("l"),
+              element_at(col("__u"), i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+        val best = units
+          .select(explode(adjacent).as("__p"))
+          .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getLong(2) < 2L) done = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += BpeMerge(step, l, r, c)
+          val next = reps.select(bpeApply(col("__reps"), l, r).as("__reps"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before releasing the parent
+          reps.unpersist()
+          reps = next
+          step += 1
+        }
+      }
+      out.toSeq
+    } finally reps.unpersist()
+  }
+
+  /** Learned merge table as a DataFrame — (rank, left, right,
+    * pair_count), `merges` rows (fewer on early stop). The shape
+    * [[graft.scale.Models]]-style persistence and the oracle gate
+    * consume. */
+  def bpeFitTable(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeFit(df, textCol, merges)
+      .map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode with an already-learned merge table: apply the merges in
+    * rank order (ONE composed narrow plan — `merges` nested literal
+    * replaces inside a single projection, no iteration, no shuffle)
+    * and report per-document unit statistics. This is the fit-once /
+    * encode-everywhere split: [[bpeFit]] on a sample, `bpeEncode` on
+    * the full corpus.
+    *
+    * Output: (idCol, n_words, n_units, n_chars) with n_units the
+    * post-merge token count — the number a token-budget planner needs.
+    */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val reps = merges.sortBy(_.rank).foldLeft(
+      bpeInit(graft.ops.Cleaning.qcol(textCol))) {
+      (acc, m) => bpeApply(acc, m.left, m.right)
+    }
+    df.select(id, reps.as("__reps"))
+      .select(id,
+        size(col("__reps")).cast("long").as("n_words"),
+        coalesce(aggregate(transform(col("__reps"), r => size(bpeUnits(r))),
+          lit(0L), (a, x) => a + x), lit(0L)).as("n_units"),
+        coalesce(aggregate(transform(col("__reps"), r => length(r) - size(bpeUnits(r)) * 2),
+          lit(0L), (a, x) => a + x.cast("long")), lit(0L)).as("n_chars"))
+  }
+
   def cleanCorpus(
       df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String],

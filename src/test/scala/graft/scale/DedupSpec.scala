@@ -513,6 +513,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs collapse expansion preserves per-side orientation") {
+    import spark.implicits._
+    // group {1, 20} shares a text; rep 1 pairs with doc 10. Expanding
+    // (1,10) to member 20 flips the normalized order: (10,20) must
+    // carry doc 10's sizes on the A side — containment is asymmetric,
+    // so an unswapped expansion is WRONG data, not a formatting nit
+    // (caught at sf0.1 by the oracle gate, invisible at sf0.01)
+    val t2 = "a b c d e f" // 4 shingles at k=3
+    val t1 = "a b c d e"   // 3 shingles, all inside t2
+    val df = Seq((1L, t2), (10L, t1), (20L, t2)).toDF("doc_id", "text")
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    val expected = Set(
+      (1L, 10L, 3L, 4L, 3L, 0.75, 1.0),
+      (1L, 20L, 4L, 4L, 4L, 1.0, 1.0),
+      (10L, 20L, 3L, 3L, 4L, 1.0, 0.75))
+    assert(canon(Dedup.containmentPairs(df, "doc_id", "text", k = 3,
+      threshold = 0.5)) == expected)
+    assert(canon(Dedup.containmentPairs(df, "doc_id", "text", k = 3,
+      threshold = 0.5, collapseIdentical = false)) == expected)
+  }
+
   test("containmentPairs: df cap drops boilerplate shingles from candidate generation") {
     import spark.implicits._
     // every doc shares the same 3-token prefix -> that shingle's df = 4

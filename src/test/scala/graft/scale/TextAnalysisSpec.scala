@@ -135,6 +135,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeFit: hand-computed merges, deterministic tie-break, early stop") {
+    // words: ab x3, cd x2, abc x2
+    val docs = Seq((1L, "ab ab ab cd cd"), (2L, "abc abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeFit(docs, "text", merges = 10)
+    // step 1: (a,b)=5; step 2: tie (ab,c)=2 vs (c,d)=2 -> left asc picks ab+c;
+    // step 3: (c,d)=2; then nothing occurs twice -> early stop at 3
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((0, "a", "b", 5L), (1, "ab", "c", 2L), (2, "c", "d", 2L)))
+  }
+
+  test("bpeFit greedy-left on runs; bpeEncode unit stats; '|' stripped") {
+    val runs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    // |a||a||a| merges leftmost-first: (a,a)x2 per word -> 6; then (aa,a)x3
+    val m = TextAnalysis.bpeFit(runs, "text", merges = 5)
+    assert(m.map(x => (x.left, x.right, x.pairCount)) ==
+      Seq(("a", "a", 6L), ("aa", "a", 3L)))
+    val enc = TextAnalysis.bpeEncode(runs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(enc == ((3L, 3L, 9L))) // 3 words, 1 unit each, 9 chars
+    // delimiter chars in the input are stripped before tokenization
+    val bars = Seq((1L, "a|b a|b")).toDF("doc_id", "text")
+    val mb = TextAnalysis.bpeFit(bars, "text", merges = 1)
+    assert(mb == Seq(TextAnalysis.BpeMerge(0, "a", "b", 2L)))
+    // empty text: zero rows of stats damage
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val encE = TextAnalysis.bpeEncode(empty, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(encE == ((0L, 0L, 0L)))
+  }
+
   test("fingerprint: stable under case/whitespace, distinct for distinct text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different text here"))
       .toDF("doc_id", "text")
