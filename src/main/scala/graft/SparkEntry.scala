@@ -53,6 +53,18 @@ object SparkEntry {
     graft.scale.Models.loadHashedClassifier(s, dir)
   }
 
+  /** Same fit-once contract for the BPE merge table: the training loop
+    * (6 corpus aggregates) runs once per corpus dir per JVM; both BPE
+    * keys and any later consumer replay the driver-held `merges`-row
+    * result. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[TextAnalysis.BpeMerge]]
+
+  private def fittedBpe(s: SparkSession, d: String, merges: Int): Seq[TextAnalysis.BpeMerge] =
+    bpeMergeCache.getOrElseUpdate((d, merges),
+      TextAnalysis.bpeFit(
+        T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text", merges))
+
   /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
     * `customer` as the survey wave (TOM = market segment, CSAT = account
     * balance scale, NPS = nation key). Returns the awareness TOM table.
@@ -1062,19 +1074,18 @@ object SparkEntry {
     // BPE vocabulary training on the doc_id % 5 sample (fit on a
     // sample, encode everywhere — the production split): 6 learned
     // merges, deterministic tie-break, oracle replays the full loop
-    "x_text_bpe" -> ((s, d) =>
-      TextAnalysis.bpeFitTable(
-        T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text",
-        merges = 6)),
+    "x_text_bpe" -> ((s, d) => {
+      import s.implicits._
+      fittedBpe(s, d, merges = 6)
+        .map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+        .toDF("rank", "left", "right", "pair_count")
+    }),
 
     // the learned merges applied to the WHOLE corpus as one composed
     // narrow plan; per-doc unit stats are the token-budget numbers
-    "x_text_bpe_encode" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val merges = TextAnalysis.bpeFit(
-        docs.filter(col("doc_id") % 5 === 0), "text", merges = 6)
-      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
-    }),
+    "x_text_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges = 6))),
 
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
