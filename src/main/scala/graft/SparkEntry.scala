@@ -662,6 +662,16 @@ object SparkEntry {
         "doc_id", "text", k = 5)
     }),
 
+    // the Bloom-prefiltered decontamination (exact output — the filter
+    // is a cost shape, spec-asserted ≡ contaminationAgainst); distinct
+    // benchmark slice so the two gates can't mask each other
+    "x_dedup_decontam_bloom" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.decontaminateBloom(
+        docs, docs.filter(col("doc_id") % 41 === 0).select(col("text")),
+        "doc_id", "text", k = 5)
+    }),
+
     // --- §7.4 similarity search --------------------------------------
     "x_sim_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -2493,6 +2503,24 @@ object SparkEntry {
          |        SELECT unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
          |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
          |        FROM d WHERE doc_id % 37 = 0))
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_contaminated,
+         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) AS contam_ratio
+         |FROM s LEFT JOIN b ON s.sh = b.sh GROUP BY 1""".stripMargin,
+
+    // Bloom-prefiltered variant: output is EXACT (the prefilter only
+    // reshapes cost), so the oracle is the same exact-join replay on
+    // the % 41 benchmark slice
+    "x_dedup_decontam_bloom" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
+         |      FROM d),
+         |b AS (SELECT DISTINCT sh FROM (
+         |        SELECT unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
+         |        FROM d WHERE doc_id % 41 = 0))
          |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
          |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_contaminated,
          |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) AS contam_ratio

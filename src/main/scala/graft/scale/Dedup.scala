@@ -956,6 +956,65 @@ object Dedup {
           .as("contam_ratio"))
   }
 
+  /** [[contaminationAgainst]] behind a Bloom-filter prefilter — the
+    * shape decontamination takes when the benchmark SUITE outgrows a
+    * comfortable broadcast (every eval set a lab tracks, ~10⁹ shingles):
+    * the benchmark's membership compresses to ~1.2 bytes/shingle at 1%
+    * fpp, ships to every task as ONE literal, and documents with no
+    * possible hit (the overwhelming majority of a clean corpus) never
+    * reach the exact join at all — they take the narrow
+    * `exists(shingles, might_contain)` path and report zero. Only BF
+    * candidates (true hits + the fpp sliver) join the real benchmark
+    * set, so the join's left side shrinks by the corpus'
+    * contamination rate.
+    *
+    * EXACT output: Bloom filters have no false negatives, so
+    * candidates ⊇ contaminated docs, and the exact join then zeroes
+    * the false positives — the result equals [[contaminationAgainst]]
+    * bit for bit (spec-asserted), the prefilter is purely a cost shape.
+    *
+    * Driver bound: the filter's byte size (`-ln(fpp)/ln²2 / 8` bytes
+    * per shingle) — eval-suite-sized by contract, like the broadcast
+    * it replaces. Costs one extra narrow shingle pass over the corpus
+    * (the candidate split); at 100 TB persist the shingled frame
+    * between the two passes if memory allows.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    def shingles(df: DataFrame) = graft.functions.Native.hashedShingleSet(
+      TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k)
+    val benchSh = benchmark.select(explode(shingles(benchmark)).as("__sh")).distinct()
+    val bf = benchSh.stat.bloomFilter("__sh", math.max(benchSh.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bfLit = lit(bos.toByteArray)
+    def mightContain(h: Column): Column = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftBridge.expr(bfLit),
+        org.apache.spark.sql.GraftBridge.expr(h)))
+    val withSets = corpus.select(id, shingles(corpus).as("__shs"))
+      .filter(col("__shs").isNotNull) // null text never shingles (join parity)
+    val isCandidate = exists(col("__shs"), h => mightContain(h))
+    val candStats = withSets.filter(isCandidate)
+      .select(id, explode(col("__shs")).as("__sh"))
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("__sh"), "left")
+      .groupBy(id)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("n_contaminated"),
+        (sum(when(col("__hit") === 1, 1L).otherwise(0L)) / count(lit(1)))
+          .as("contam_ratio"))
+    val cleanStats = withSets.filter(!isCandidate)
+      .select(id,
+        size(col("__shs")).cast("long").as("n_shingles"),
+        lit(0L).as("n_contaminated"),
+        lit(0.0).as("contam_ratio"))
+    candStats.unionByName(cleanStats)
+  }
+
   /** Exact dedup keeping the BEST row of each content group by a score
     * column (quality score, recency, source priority) instead of
     * `exact`'s min-id canonical — "of these identical documents, keep

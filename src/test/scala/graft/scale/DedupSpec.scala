@@ -513,6 +513,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom == contaminationAgainst exactly, at any fpp") {
+    import spark.implicits._
+    val bench = Seq("the quick brown fox jumps over the lazy dog tonight")
+      .toDF("text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"), // heavy hit
+      (2L, "quick brown fox jumps over something else entirely here"),   // partial
+      (3L, "no overlap with anything in the benchmark suite at all"),    // "the" 5-grams? no
+      (4L, "completely disjoint vocabulary alpha beta gamma delta"),
+      (5L, "")                                                           // degenerate
+    ).toDF("doc_id", "text")
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = canon(Dedup.contaminationAgainst(corpus, bench, "doc_id", "text", k = 5))
+    // tight and absurdly loose fpp both reproduce the exact output —
+    // false positives cost a join row, never a wrong answer
+    assert(canon(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", k = 5)) == exact)
+    assert(canon(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", k = 5,
+      fpp = 0.5)) == exact)
+    // sanity on the fixture itself: doc 1 contaminated, doc 4 clean
+    val m = exact.map(t => t._1 -> t._3).toMap
+    assert(m(1L) > 0L && m(4L) == 0L)
+  }
+
   test("containmentPairs collapse expansion preserves per-side orientation") {
     import spark.implicits._
     // group {1, 20} shares a text; rep 1 pairs with doc 10. Expanding
