@@ -132,4 +132,38 @@ object Models {
       s"loadHashedClassifier: $path is not a saveHashedClassifier artifact (missing ${missing.mkString(", ")})")
     df
   }
+
+  /** Persist a learned BPE merge table ([[TextAnalysis.bpeFit]]) — the
+    * tokenizer artifact a pipeline fits once on a sample and applies
+    * to every delivery ([[TextAnalysis.bpeEncode]]). Plain parquet,
+    * one file: `merges` rows, rank-ordered.
+    */
+  def saveBpeMerges(
+      spark: SparkSession, merges: Seq[TextAnalysis.BpeMerge], path: String): Unit = {
+    require(merges.nonEmpty, "saveBpeMerges: empty merge table")
+    require(merges.map(_.rank) == merges.indices,
+      "saveBpeMerges: ranks must be contiguous from 0 in order")
+    import spark.implicits._
+    merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveBpeMerges]], rank-ordered;
+    * fails loudly on a path that is not such an artifact. */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[TextAnalysis.BpeMerge] = {
+    val df = spark.read.parquet(path)
+    val missing = Seq("rank", "left", "right", "pair_count")
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"loadBpeMerges: $path is not a saveBpeMerges artifact (missing ${missing.mkString(", ")})")
+    val rows = df.select(col("rank"), col("left"), col("right"), col("pair_count"))
+      .orderBy(col("rank")).collect()
+    require(rows.nonEmpty, s"loadBpeMerges: empty model at $path")
+    val merges = rows.map(r => TextAnalysis.BpeMerge(
+      r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    require(merges.map(_.rank) == merges.indices,
+      s"loadBpeMerges: non-contiguous ranks at $path — not a saveBpeMerges artifact")
+    merges
+  }
 }

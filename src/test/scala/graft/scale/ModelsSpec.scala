@@ -147,4 +147,30 @@ class ModelsSpec extends AnyFunSuite {
       Models.loadHashedClassifier(spark, pqDir2)
     }
   }
+
+  test("BPE merge table: save/load roundtrip, encode parity, wrong artifact rejected") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab cd cd"), (2L, "abc abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeFit(docs, "text", merges = 5)
+    assert(merges.nonEmpty)
+    val dir = tmp("models-bpe")
+    Models.saveBpeMerges(spark, merges, dir)
+    val loaded = Models.loadBpeMerges(spark, dir)
+    assert(loaded == merges)
+    // the wave-reuse contract: encoding with the LOADED table is
+    // identical to encoding with the in-memory fit
+    val direct = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    val viaDisk = TextAnalysis.bpeEncode(docs, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(direct == viaDisk)
+    val pqDir = tmp("models-notbpe")
+    Models.savePq(spark, Pq.syntheticModel(dim = 8, m = 2, k = 4), pqDir)
+    assertThrows[IllegalArgumentException] {
+      Models.loadBpeMerges(spark, pqDir)
+    }
+    assertThrows[IllegalArgumentException] {
+      Models.saveBpeMerges(spark, Nil, tmp("models-bpe-empty"))
+    }
+  }
 }

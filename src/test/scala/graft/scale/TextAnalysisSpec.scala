@@ -165,6 +165,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(encE == ((0L, 0L, 0L)))
   }
 
+  test("bpeFit == plain-Scala reference BPE on randomized corpora") {
+    // independent implementation of the same contract: greedy-left
+    // merge, (count desc, left asc, right asc) argmax, stop below 2
+    def referenceBpe(docs: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      var words: Seq[Array[String]] = docs
+        .map(_.replace("|", ""))
+        .flatMap(t => t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        .map(_.map(_.toString).toArray)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var step = 0
+      var done = false
+      while (step < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        words.foreach { w =>
+          var i = 0
+          while (i < w.length - 1) { counts((w(i), w(i + 1))) += 1; i += 1 }
+        }
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= 2 =>
+            out += ((l, r, c))
+            words = words.map { w =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < w.length) {
+                if (i < w.length - 1 && w(i) == l && w(i + 1) == r) { buf += l + r; i += 2 }
+                else { buf += w(i); i += 1 }
+              }
+              buf.toArray
+            }
+            step += 1
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val docs = Seq.fill(8)(
+        Seq.fill(rnd.nextInt(9))(
+          Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString)
+          .mkString(" "))
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.bpeFit(df, "text", merges = 5)
+        .map(m => (m.left, m.right, m.pairCount))
+      val want = referenceBpe(docs, 5)
+      assert(got == want, s"trial $trial diverged: corpus=$docs got=$got want=$want")
+    }
+  }
+
   test("fingerprint: stable under case/whitespace, distinct for distinct text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different text here"))
       .toDF("doc_id", "text")
