@@ -331,6 +331,19 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(plan).isEmpty)
   }
 
+  test("decontaminateBloom: benchmark joins broadcast, the corpus never sort-merges") {
+    val corpus = (0L until 64L)
+      .map(i => (i, s"tok$i alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val plan = graft.scale.Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", k = 5)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the eval-sized benchmark set must never sort-merge against the corpus")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
   test("a persisted classifier model scores without the refit's extra corpus scan") {
     // the fit-once contract (Models.saveHashedClassifier scaladoc):
     // embedding the un-persisted fit in a scoring plan re-reads the
