@@ -561,6 +561,15 @@ object Stats {
     val w = Cleaning.weightExpr(df, Some(weightCol))
     val g = groupCols.map(Cleaning.qcol)
     val base = df.filter(v.isNotNull).select((g :+ v.as("__v")) :+ w.as("__w"): _*)
+      // pre-aggregate tied values before the window: the sorted pass
+      // then runs over DISTINCT (group, value) rows, not raw rows —
+      // with map-side partial aggregation, so the shuffle shrinks too.
+      // Result-identical: selection is min(value) past the threshold
+      // (the scaladoc's tie argument), and weights are integer-valued
+      // doubles by the determinism contract, so re-ordering the
+      // summation cannot move a single bit.
+      .groupBy(groupCols.map(Cleaning.qcol) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__w"))
     val win = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
       .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
