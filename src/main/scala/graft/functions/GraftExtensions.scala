@@ -31,6 +31,15 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def stringArrayArg(e: Expression, what: String): Array[String] =
+    if (!e.foldable) throw new IllegalArgumentException(s"$what must be a foldable array<string>")
+    else e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      case other => throw new IllegalArgumentException(s"$what must be an array<string>, got $other")
+    }
+
   val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
     "cosine_sim" -> (
       new ExpressionInfo(classOf[Native.CosineSimilarity].getName, "cosine_sim"),
@@ -59,6 +68,17 @@ object GraftFunctions {
     "l2_normalize" -> (
       new ExpressionInfo(classOf[Native.L2Normalize].getName, "l2_normalize"),
       (es: Seq[Expression]) => Native.L2Normalize(es.head)),
+    // bpe_stats(text, array(lefts...), array(rights...)) /
+    // bpe_tokens(...): native greedy BPE application with a literal
+    // merge table (rank = array position)
+    "bpe_stats" -> (
+      new ExpressionInfo(classOf[Bpe.BpeStats].getName, "bpe_stats"),
+      (es: Seq[Expression]) => Bpe.BpeStats(es(0),
+        stringArrayArg(es(1), "lefts"), stringArrayArg(es(2), "rights"))),
+    "bpe_tokens" -> (
+      new ExpressionInfo(classOf[Bpe.BpeTokens].getName, "bpe_tokens"),
+      (es: Seq[Expression]) => Bpe.BpeTokens(es(0),
+        stringArrayArg(es(1), "lefts"), stringArrayArg(es(2), "rights"))),
     "normalize_nfc" -> (
       new ExpressionInfo(classOf[Native.NormalizeNfc].getName, "normalize_nfc"),
       (es: Seq[Expression]) => Native.NormalizeNfc(es.head)),

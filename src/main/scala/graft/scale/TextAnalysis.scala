@@ -1412,17 +1412,51 @@ object TextAnalysis {
       .toDF("rank", "left", "right", "pair_count")
   }
 
-  /** Encode with an already-learned merge table: apply the merges in
-    * rank order (ONE composed narrow plan — `merges` nested literal
-    * replaces inside a single projection, no iteration, no shuffle)
-    * and report per-document unit statistics. This is the fit-once /
-    * encode-everywhere split: [[bpeFit]] on a sample, `bpeEncode` on
-    * the full corpus.
+  /** Encode with an already-learned merge table and report per-document
+    * unit statistics. This is the fit-once / encode-everywhere split:
+    * [[bpeFit]] on a sample, `bpeEncode` on the full corpus.
+    *
+    * The merge application runs in ONE native pass per word
+    * ([[graft.functions.Bpe.BpeStats]] — the standard min-rank greedy
+    * tokenizer loop, cost independent of vocabulary size) instead of
+    * the `merges`-deep nested-replace projection of
+    * [[bpeEncodeComposed]], which cannot survive a production 32k-merge
+    * vocabulary (janino refuses the expression tree long before that,
+    * and each merge is a full regex pass over the corpus). Results are
+    * bit-identical — the equivalence argument and its guarded corner
+    * cases live in [[graft.functions.Bpe]]'s scaladoc; BpeNativeSpec
+    * pins native ≡ composed on the gate vocabulary and on crafted
+    * edge-case words.
     *
     * Output: (idCol, n_words, n_units, n_chars) with n_units the
     * post-merge token count — the number a token-budget planner needs.
     */
   def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val sorted = merges.sortBy(_.rank)
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Bpe.BpeStats(
+        org.apache.spark.sql.GraftBridge.expr(graft.ops.Cleaning.qcol(textCol)),
+        sorted.map(_.left).toArray, sorted.map(_.right).toArray))
+    // epilogue mirrors the composed form's null semantics: null text →
+    // null n_words but 0 n_units/n_chars (the coalesce over a null
+    // aggregate)
+    df.select(id, stats.as("__s"))
+      .select(id,
+        col("__s.n_words").as("n_words"),
+        coalesce(col("__s.n_units"), lit(0L)).as("n_units"),
+        coalesce(col("__s.n_chars"), lit(0L)).as("n_chars"))
+  }
+
+  /** The pre-native encode plan — `merges` nested literal replaces in
+    * a single projection. Kept as the executable specification of
+    * [[bpeEncode]]'s semantics (it IS the shape the DuckDB oracle
+    * unrolls) and as the comparison arm of BpeNativeSpec; do not put it
+    * on a real corpus path with a non-toy vocabulary.
+    */
+  def bpeEncodeComposed(
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
@@ -1437,6 +1471,33 @@ object TextAnalysis {
           lit(0L), (a, x) => a + x), lit(0L)).as("n_units"),
         coalesce(aggregate(transform(col("__reps"), r => length(r) - size(bpeUnits(r)) * 2),
           lit(0L), (a, x) => a + x.cast("long")), lit(0L)).as("n_chars"))
+  }
+
+  /** Per-document flat token list (the final post-merge units of every
+    * word, in order) through the same native pass — what a
+    * token-id-mapping join consumes. Output: (idCol, tokens). */
+  def bpeTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val sorted = merges.sortBy(_.rank)
+    val toks = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Bpe.BpeTokens(
+        org.apache.spark.sql.GraftBridge.expr(graft.ops.Cleaning.qcol(textCol)),
+        sorted.map(_.left).toArray, sorted.map(_.right).toArray))
+    df.select(graft.ops.Cleaning.qcol(idCol), toks.as("tokens"))
+  }
+
+  /** Composed-plan image of [[bpeTokens]] for the parity spec: flatten
+    * the per-word unit arrays of the nested-replace representation. */
+  private[graft] def bpeTokensComposed(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val reps = merges.sortBy(_.rank).foldLeft(
+      bpeInit(graft.ops.Cleaning.qcol(textCol))) {
+      (acc, m) => bpeApply(acc, m.left, m.right)
+    }
+    df.select(graft.ops.Cleaning.qcol(idCol),
+      flatten(transform(reps, r => bpeUnits(r))).as("tokens"))
   }
 
   def cleanCorpus(
