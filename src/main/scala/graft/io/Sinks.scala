@@ -49,21 +49,28 @@ object Sinks {
     * record string via narrow codegen'd expressions, and the text
     * writer's `lineSep = "\r\n\r\n"` supplies the record terminator —
     * fully distributed, no driver materialization. Content-Length is
-    * the BODY'S UTF-8 byte count (`octet_length`, per the WARC spec),
-    * and a body containing the record separator `\r\n\r\n` (impossible
-    * in genuine extracted text, which is `\n`-separated) fails in-plan
-    * rather than producing a file that would mis-split on read.
+    * the BODY'S UTF-8 byte count (`octet_length`, per the WARC spec).
+    * Bodies that cannot roundtrip a `lineSep`-split reader fail
+    * in-plan rather than producing a file that mis-splits on read:
+    * [[Warc.readWet]] splits on EVERY `WARC/1.0\r\n` occurrence, so a
+    * body containing that sequence mis-splits regardless of what
+    * precedes it, and a body containing the record separator
+    * `\r\n\r\n` is refused as well (it happens to reparse today, but
+    * only because the header/body `locate` finds the earlier genuine
+    * boundary — not a contract worth relying on). Neither sequence can
+    * occur in genuine extracted text, which is `\n`-separated.
     */
   def writeWet(
       df: DataFrame, outDir: String,
       urlCol: String = "url", dateCol: String = "date",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      compression: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val body = coalesce(graft.ops.Cleaning.qcol(textCol).cast("string"), lit(""))
-    val safeBody = when(body.contains("\r\n\r\n"),
+    val safeBody = when(body.contains("\r\n\r\n") || body.contains("WARC/1.0\r\n"),
       raise_error(lit("writeWet: body contains the WARC record separator" +
-        " \\r\\n\\r\\n — such text cannot roundtrip a delimiter-split" +
-        " reader"))).otherwise(body)
+        " \\r\\n\\r\\n or the record header WARC/1.0\\r\\n — such text" +
+        " cannot roundtrip a delimiter-split reader"))).otherwise(body)
     val rec = concat(
       lit("WARC/1.0\r\n"),
       lit("WARC-Type: conversion\r\n"),
@@ -73,8 +80,9 @@ object Sinks {
       lit("Content-Length: "), octet_length(safeBody).cast("string"), lit("\r\n"),
       lit("\r\n"),
       safeBody)
-    df.select(rec.as("value"))
-      .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(outDir)
+    val writer = df.select(rec.as("value"))
+      .write.mode("overwrite").option("lineSep", "\r\n\r\n")
+    compression.fold(writer)(c => writer.option("compression", c)).text(outDir)
   }
 
   /** ORC sink — one `<name>.orc` directory per table, mirroring

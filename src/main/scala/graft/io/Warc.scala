@@ -28,11 +28,13 @@ import org.apache.spark.sql.functions._
   * the body then come out of narrow codegen'd expressions — no
   * mapPartitions, no custom InputFormat, no driver involvement.
   *
-  * Limitation (inherent to any delimiter-split reader): a body that
-  * itself contains the record separator sequence `\r\n\r\n` followed by
-  * `WARC/1.0\r\n` would split early. WET bodies are extracted text with
-  * `\n` newlines, where the sequence cannot occur; [[Sinks.writeWet]]
-  * refuses (in-plan) to write a body containing `\r\n\r\n`.
+  * Limitation (inherent to any delimiter-split reader): the split
+  * fires on EVERY occurrence of `WARC/1.0\r\n`, so a body containing
+  * that sequence ANYWHERE — no preceding `\r\n\r\n` required — splits
+  * early into corrupt records. WET bodies are extracted text with `\n`
+  * newlines, where no `\r\n` sequence can occur; [[Sinks.writeWet]]
+  * refuses (in-plan) to write a body containing `WARC/1.0\r\n` or the
+  * record separator `\r\n\r\n`.
   */
 object Warc {
 

@@ -544,6 +544,17 @@ object Stats {
     * (The inverted-CDF definition — exact, portable, and well-defined
     * for integer-valued weights; ties on the value cannot change the
     * answer because selection is by min(value) past the threshold.)
+    *
+    * CONTRACT: weights are expected to be INTEGER-VALUED doubles (the
+    * repo-wide determinism rule — survey weights, counts, cent-scaled
+    * money). The tie pre-aggregation below sums tied weights before
+    * the sorted window, which is bit-exact only because integer-valued
+    * doubles sum associatively; fractional weights would make the low
+    * bits of `__cum`/`__tot` depend on summation order and could flip
+    * the `cum >= q*tot` comparison at a threshold boundary. Fractional
+    * weights still give a correct quantile up to that boundary
+    * sensitivity — they just lose the bit-exactness guarantee.
+    *
     * One shuffle on the group key; the running sum is a sorted window
     * within each group — the standard distributed exact-quantile shape.
     * At 100 TB the sorted-window pass gives way to
@@ -551,6 +562,7 @@ object Stats {
     * aggregate with a capacity-bounded mergeable buffer, exact while a
     * group has ≤ capacity distinct (long) values and stride-bounded
     * error past that — same inverted-CDF definition.
+    * [[weightedQuantileAuto]] wires that swap.
     */
   def weightedQuantile(
       df: DataFrame, valueCol: String, weightCol: String,
@@ -579,5 +591,61 @@ object Stats {
       .filter(col("__cum") >= lit(q) * col("__tot"))
       .groupBy(groupCols.map(Cleaning.qcol): _*)
       .agg(min(col("__v")).as("quantile"))
+  }
+
+  /** Scale-adaptive weighted quantile: route each call to the exact
+    * sorted-window pass ([[weightedQuantile]]) or the capacity-bounded
+    * sketch aggregate
+    * ([[graft.functions.Aggregates.weightedQuantileSketch]]) based on a
+    * cheap probe of the data — the "at 100 TB" swap the exact form's
+    * scaladoc promises, wired.
+    *
+    * Probe (one hash-aggregate pass, map-side partials, 1-row collect):
+    * per-group approximate distinct value count (max over groups) and
+    * whether every value is an integral long. The sketch route is taken
+    * only when BOTH hold with margin — max distinct ≤ 0.8 × capacity
+    * (so HLL's ~2% error cannot smuggle an over-capacity group past the
+    * gate) and values integral (the sketch buckets longs) — because
+    * under exactly those conditions the sketch's stride never leaves 1
+    * and its result is IDENTICAL to the exact pass: same integer
+    * cumulative weights, same `cum >= q*total` double comparison, same
+    * min-value-past-threshold selection (WquantileAutoSpec pins this).
+    * Otherwise the exact sorted-window pass runs unchanged.
+    *
+    * Why this is the right 100 TB shape: when the probe says the
+    * distinct values fit, the query costs one hash aggregate — no
+    * per-group sort, no window — and the answer provably cannot
+    * change; when it says they don't, silently switching to a
+    * stride>1 sketch would trade exactness away without the caller
+    * asking, so the exact pass runs instead. Callers wanting bounded
+    * error on unbounded groups call the sketch aggregate directly.
+    */
+  def weightedQuantileAuto(
+      df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], q: Double, capacity: Int = 4096): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val g = groupCols.map(Cleaning.qcol)
+    val probe = df.filter(v.isNotNull)
+      .groupBy(g: _*)
+      .agg(
+        approx_count_distinct(v).as("__dc"),
+        max((v =!= floor(v)).cast("int")).as("__frac"),
+        max(abs(v)).as("__absmax"))
+      .agg(max(col("__dc")), max(col("__frac")), max(col("__absmax")))
+      .head()
+    val eligible = !probe.isNullAt(0) &&
+      probe.getLong(0) <= (capacity * 0.8).toLong &&
+      probe.getInt(1) == 0 &&
+      probe.getDouble(2) < 4.0e18 // comfortably inside Long
+    if (!eligible) weightedQuantile(df, valueCol, weightCol, groupCols, q)
+    else {
+      val w = Cleaning.weightExpr(df, Some(weightCol))
+      df.filter(v.isNotNull)
+        .groupBy(g: _*)
+        .agg(graft.functions.Aggregates.weightedQuantileSketch(
+          v.cast("long"), w.cast("long"), q, capacity).as("__q"))
+        .select(g :+ col("__q").cast("double").as("quantile"): _*)
+    }
   }
 }

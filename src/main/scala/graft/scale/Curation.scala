@@ -57,6 +57,23 @@ object Curation {
       materializeClean: Boolean = false): DataFrame = {
     val clean0 = TextAnalysis.cleanCorpus(docs, idCol, textCol, allowedLangs, k, threshold, maxBlockSize)
     val clean = if (materializeClean) clean0.localCheckpoint() else clean0
+    curateCleaned(clean, idCol, textCol, sourceCol, alpha, totalBudget,
+      splits, packBudget, shards, metaCols)
+  }
+
+  /** The post-clean stages of [[curate]] (mix → split → pack) on an
+    * ALREADY-cleaned corpus — the entry point for pipelines that
+    * materialize the cleaned snapshot to storage between stages (the
+    * production shape: clean once, consume many times; see
+    * SparkEntry's fit-once snapshot cache). `curate` == `cleanCorpus`
+    * then `curateCleaned`, by construction.
+    */
+  def curateCleaned(
+      clean: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      alpha: Double, totalBudget: Long,
+      splits: Seq[(String, Double)],
+      packBudget: Int = 512, shards: Int = 8,
+      metaCols: Seq[String] = Nil): DataFrame = {
     val mixed = Sampling.sampleByTemperature(clean, idCol, textCol, sourceCol, alpha, totalBudget)
     // second-round hash key for the split (see scaladoc); h1 < P so the
     // product stays far under the ANSI long-overflow line

@@ -33,11 +33,15 @@ object RecallProbe {
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
 
-      val ivfApprox = graft.scale.Similarity.ivfTopK(
-        emb, queries, "vec_id", "embedding", "query_id", k = 5, nlist = 16, nprobe = 8)
       val ivfExact = graft.scale.Similarity.knnExact(
         emb, queries, "vec_id", "embedding", "query_id", k = 5)
-      println(f"[recall] $sf ivf nprobe=8/16      ${recall(ivfApprox, ivfExact)}%.4f")
+      // nprobe=4/16 is the EXACT x_sim_ivf_probe gate config — its
+      // measured band justifies that gate's pinned floor
+      for (nprobe <- Seq(4, 8)) {
+        val ivfApprox = graft.scale.Similarity.ivfTopK(
+          emb, queries, "vec_id", "embedding", "query_id", k = 5, nlist = 16, nprobe = nprobe)
+        println(f"[recall] $sf ivf nprobe=$nprobe/16      ${recall(ivfApprox, ivfExact)}%.4f")
+      }
 
       val model = graft.scale.Pq.syntheticModel(64, m = 8, k = 16, seed = 42L)
       val q2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)

@@ -87,4 +87,48 @@ class WarcSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("record separator")))
   }
+
+  test("readWet over a multi-file gzip directory: file-level parallelism, values intact") {
+    // Common Crawl's shape: thousands of ~1 GB .gz WET files. Gzip is
+    // unsplittable, so the scan's parallelism unit is the FILE; small
+    // files bin-pack into tasks by size (maxPartitionBytes /
+    // openCostInBytes), large ones get a task each. Evidence for both:
+    // default confs pack these 6 tiny files into few tasks; forcing
+    // the pack size down to one-file granularity yields exactly one
+    // partition per file.
+    val dir = java.nio.file.Files.createTempDirectory("wet_multi").toString
+    val rows = (0 until 30).map(i =>
+      (s"https://ex.com/$i", "2026-01-01T00:00:00Z", s"body text $i\nmore $i"))
+      .toDF("url", "date", "text").repartition(6)
+    Sinks.writeWet(rows, dir, compression = Some("gzip"))
+    val gzFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".gz"))
+    assert(gzFiles == 6, s"expected 6 gzip part files, got $gzFiles")
+
+    val conf = spark.conf
+    val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "1")
+      conf.set("spark.sql.files.openCostInBytes", "1")
+      val read = Warc.readWet(spark, dir).filter($"record_type" === "conversion")
+      assert(read.rdd.getNumPartitions == 6,
+        s"expected one partition per gzip file, got ${read.rdd.getNumPartitions}")
+      val texts = read.select("text").collect().map(_.getString(0)).toSet
+      assert(texts == (0 until 30).map(i => s"body text $i\nmore $i").toSet)
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+  }
+
+  test("writeWet refuses a body containing the record header (lineSep fires on EVERY occurrence)") {
+    // no \r\n\r\n anywhere: the old separator-only guard passed this
+    // body, but readWet's lineSep split still fires mid-body
+    val dir = java.nio.file.Files.createTempDirectory("wet_bad2").toString
+    val bad = Seq(("u1", "d", "quoted: WARC/1.0\r\nrest")).toDF("url", "date", "text")
+    val ex = intercept[Exception] { Sinks.writeWet(bad, dir) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("WARC/1.0")))
+  }
 }

@@ -51,6 +51,40 @@ class StatsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(1) == 3.0)
   }
 
+  test("weightedQuantileAuto: sketch route == exact on sub-capacity integral groups") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", (rnd.nextInt(40) + 1).toDouble, (rnd.nextInt(5) + 1).toDouble)
+    }
+    val df = rows.toDF("g", "v", "w")
+    for (q <- Seq(0.1, 0.5, 0.9, 1.0)) {
+      val auto = Stats.weightedQuantileAuto(df, "v", "w", Seq("g"), q)
+      val exact = Stats.weightedQuantile(df, "v", "w", Seq("g"), q)
+      // probe-eligible (40 distinct integral values) → must be the
+      // sketch plan: no window, the aggregate carries the sketch
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"auto took the window route:\n$plan")
+      assert(plan.contains("weighted_quantile_sketch"),
+        s"sketch aggregate missing from plan:\n$plan")
+      val a = auto.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val e = exact.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(a == e, s"q=$q: $a vs $e")
+    }
+  }
+
+  test("weightedQuantileAuto: fractional values and over-capacity groups route to exact") {
+    val frac = Seq(("g", 1.5, 1.0), ("g", 2.5, 1.0), ("g", 3.5, 1.0)).toDF("g", "v", "w")
+    val fracPlan = Stats.weightedQuantileAuto(frac, "v", "w", Seq("g"), 0.5)
+    assert(fracPlan.queryExecution.executedPlan.toString.contains("Window"))
+    assert(fracPlan.collect().head.getDouble(1) == 2.5)
+
+    // distinct count above 0.8*capacity: capacity=16 → gate at 12
+    val wide = (1 to 100).map(i => ("g", i.toDouble, 1.0)).toDF("g", "v", "w")
+    val widePlan = Stats.weightedQuantileAuto(wide, "v", "w", Seq("g"), 0.5, capacity = 16)
+    assert(widePlan.queryExecution.executedPlan.toString.contains("Window"))
+    assert(widePlan.collect().head.getDouble(1) == 50.0)
+  }
+
   test("proportion CI: equal weights give neff = n and textbook MoE") {
     val df = (1 to 50).map(i => if (i <= 20) "a" else "b").toDF("c")
     val out = Stats.proportionCI(df, "c")
