@@ -119,7 +119,10 @@ object SparkEntry {
 
   private def fittedBpe(s: SparkSession, d: String, merges: Int): Seq[TextAnalysis.BpeMerge] =
     bpeMergeCache.getOrElseUpdate((d, merges),
-      TextAnalysis.bpeFit(
+      // the word-histogram fast fit: ONE corpus aggregate + a driver
+      // merge loop, merge-for-merge identical to the distributed
+      // bpeFit the oracle unrolls (falls back to it past maxWords)
+      TextAnalysis.bpeFitFast(
         T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text", merges))
 
   /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
@@ -1165,9 +1168,27 @@ object SparkEntry {
       TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
         fittedBpe(s, d, merges = 6))),
 
+    // the flat token stream itself (what a token-id mapping join
+    // consumes) — oracle-gates the native BpeTokens expression
+    // end-to-end, token by token with positions
+    "x_text_bpe_tokens" -> ((s, d) =>
+      TextAnalysis.bpeTokens(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges = 6))
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))),
+
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
+
+    // packing by the LEARNED tokenizer's counts (bpeEncode n_units →
+    // packByCount) — the composition a trainer actually consumes:
+    // windows are sized in real tokens, not whitespace estimates
+    "x_corpus_bpe_pack" -> ((s, d) =>
+      TextAnalysis.packByCount(
+        TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
+          fittedBpe(s, d, merges = 6)),
+        "doc_id", "n_units", budget = 256, shards = 8)),
 
     // packing-efficiency audit over the same layout: per-shard volume,
     // pack count, tail waste, boundary straddles — all exact integers
@@ -3470,10 +3491,40 @@ object SparkEntry {
          |  CAST(coalesce(list_sum(list_transform(reps, s -> length(s) - 2 * len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_chars
          |FROM f$BpeMergeRounds""".stripMargin,
 
+    // flat token stream: flatten the per-word unit lists of the
+    // fully-merged representation, position-indexed (generate_subscripts
+    // zips with unnest — the same paired-expansion idiom as the
+    // pair-count CTEs)
+    "x_text_bpe_tokens" ->
+      s"""WITH $bpeLearnCtes,
+         |f0 AS ${bpeRepsSql("TRUE")},
+         |${(1 to BpeMergeRounds).map(i =>
+        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
+         |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
+         |      FROM f$BpeMergeRounds)
+         |SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token
+         |FROM t""".stripMargin,
+
     // shard-partitioned running sum (never a global sort), integer
     // div/mod — exact at any magnitude
     "x_text_pack" ->
       s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM w""".stripMargin,
+
+    // bpe-count packing: the encode chain's n_units feeds the same
+    // shard-partitioned running-sum layout as x_text_pack
+    "x_corpus_bpe_pack" ->
+      s"""WITH $bpeLearnCtes,
+         |f0 AS ${bpeRepsSql("TRUE")},
+         |${(1 to BpeMergeRounds).map(i =>
+        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
+         |t AS (SELECT doc_id, doc_id % 8 AS shard,
+         |        CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS token_count
+         |      FROM f$BpeMergeRounds),
          |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
          |       CAST(st // 256 AS BIGINT) AS pack_id,

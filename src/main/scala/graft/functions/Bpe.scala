@@ -73,6 +73,21 @@ object Bpe {
   private def isLineTerminator(cp: Int): Boolean =
     cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
 
+  /** Unit list of a representation string — the exact image of
+    * `split(trim(rep, "|"), "\\|\\|")`: strip leading/trailing bar
+    * RUNS, then split on double bars keeping leading/trailing empties
+    * (Pattern.split limit -1, the call StringSplit makes). Shared with
+    * [[graft.scale.TextAnalysis.bpeFitFast]]'s driver loop so the
+    * word-histogram fit splits units exactly like the distributed
+    * rounds do. */
+  private[graft] def splitUnits(rep: String): Array[String] = {
+    var from = 0
+    var until = rep.length
+    while (from < until && rep.charAt(from) == '|') from += 1
+    while (until > from && rep.charAt(until - 1) == '|') until -= 1
+    DoubleBar.split(rep.substring(from, until), -1)
+  }
+
   /** Lookup structure built once per expression instance (transient —
     * rebuilt per executor after deserialization). */
   final class MergeTable(val lefts: Array[String], val rights: Array[String])
@@ -226,11 +241,7 @@ object Bpe {
         "|" + t.lefts(k) + t.rights(k) + "|")
       k += 1
     }
-    var from = 0
-    var until = rep.length
-    while (from < until && rep.charAt(from) == '|') from += 1
-    while (until > from && rep.charAt(until - 1) == '|') until -= 1
-    val units = DoubleBar.split(rep.substring(from, until), -1)
+    val units = splitUnits(rep)
     (units, (rep.codePointCount(0, rep.length) - 2L * units.length))
   }
 

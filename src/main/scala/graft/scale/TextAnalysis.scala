@@ -708,6 +708,26 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       budget: Int = 512, shards: Int = 8,
       extraPartitionCols: Seq[String] = Nil,
+      passThroughCols: Seq[String] = Nil): DataFrame =
+    packByCount(
+      df.withColumn("__pack_count__",
+        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")),
+      idCol, "__pack_count__", budget, shards, extraPartitionCols, passThroughCols)
+
+  /** [[packSequences]] with a PRECOMPUTED per-document token count —
+    * the shape a production pipeline actually packs with: counts come
+    * from the real tokenizer ([[bpeEncode]]'s `n_units`), not the
+    * whitespace estimate. Same layout contract: documents concatenate
+    * in id order within (extras…, shard), windows partition per
+    * (extras…, shard) — never global — and `pack_id`/`pack_offset`
+    * address each document's place in the fixed-`budget` training
+    * windows. `packSequences` == whitespace-count + `packByCount`, by
+    * construction.
+    */
+  def packByCount(
+      df: DataFrame, idCol: String, countCol: String,
+      budget: Int = 512, shards: Int = 8,
+      extraPartitionCols: Seq[String] = Nil,
       passThroughCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, s"need positive budget/shards, got $budget/$shards")
     val id = graft.ops.Cleaning.qcol(idCol)
@@ -718,7 +738,7 @@ object TextAnalysis {
     df.select(
         (id +: extras) ++ metas :+
         pmod(id.cast("long"), lit(shards.toLong)).as("shard") :+
-        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("token_count"): _*)
+        graft.ops.Cleaning.qcol(countCol).cast("long").as("token_count"): _*)
       .withColumn("__start", sum(col("token_count")).over(w) - col("token_count"))
       .select(
         (id +: extras) ++ metas :+ col("shard") :+ col("token_count") :+
@@ -1398,6 +1418,97 @@ object TextAnalysis {
       }
       out.toSeq
     } finally reps.unpersist()
+  }
+
+  /** [[bpeFit]] through the classic word-histogram route (Sennrich's
+    * fast fit): aggregate the corpus ONCE into (word representation,
+    * occurrence count) — words are pre-tokenized independently, so the
+    * pair statistics of every round are a weighted sum over DISTINCT
+    * words — then run the merge loop driver-locally over that bounded
+    * table. Merge-for-merge IDENTICAL to the distributed fit: the
+    * per-round pair counts are the same sums, the argmax uses the same
+    * (count desc, left, right) order with Spark/DuckDB's binary UTF-8
+    * string comparison (NOT Java's UTF-16 order — they diverge above
+    * U+7FFF), the `replace` application per distinct rep is the same
+    * leftmost-first literal scan, and reps that collide after a merge
+    * combine their counts exactly as the corpus rows always did.
+    * BpeFitFastSpec pins fast ≡ distributed on randomized corpora.
+    *
+    * Cost: ONE explode→hash-aggregate + a `maxWords`-bounded
+    * TakeOrdered collect, then O(distinct words × word length) per
+    * round ON THE DRIVER — versus one full corpus aggregate PER ROUND
+    * distributed. This is how production tokenizer training runs (a
+    * 100 TB corpus has ~10^7-10^8 distinct frequent words; vocab
+    * statistics saturate far below that). When the corpus has MORE
+    * distinct word reps than `maxWords`, truncating the histogram
+    * would silently change the learned table, so the call falls back
+    * to the exact distributed [[bpeFit]] instead — same
+    * route-only-when-provably-identical contract as
+    * [[graft.ops.Stats.weightedQuantileAuto]].
+    */
+  def bpeFitFast(
+      df: DataFrame, textCol: String, merges: Int,
+      maxWords: Int = 1 << 20): Seq[BpeMerge] = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    // top-(maxWords+1) by (count desc, rep asc): deterministic, and one
+    // extra row detects histogram overflow without a second aggregate
+    val repCounts = df
+      .select(explode(bpeInit(graft.ops.Cleaning.qcol(textCol))).as("__r"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), asc("__r"))
+      .limit(maxWords + 1)
+      .collect()
+    if (repCounts.length > maxWords) return bpeFit(df, textCol, merges)
+
+    // Spark's asc() on strings is binary UTF-8 order; Java String
+    // compareTo is UTF-16 order. Compare like the engine does.
+    def binLt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+    var reps = scala.collection.mutable.HashMap.empty[String, Long]
+    repCounts.foreach(r => reps.update(r.getString(0), reps.getOrElse(r.getString(0), 0L) + r.getLong(1)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 0
+    var done = false
+    while (step < merges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (rep, c) =>
+        val u = graft.functions.Bpe.splitUnits(rep)
+        var i = 0
+        while (i < u.length - 1) {
+          val k = (u(i), u(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { case e @ ((l, r), c) =>
+        if (c >= 2L) {
+          if (best == null) best = e
+          else {
+            val ((bl, br), bc) = best
+            if (c > bc || (c == bc && (binLt(l, bl) ||
+              (l == bl && binLt(r, br))))) best = e
+          }
+        }
+      }
+      if (best == null) done = true
+      else {
+        val ((l, r), c) = best
+        out += BpeMerge(step, l, r, c)
+        val pat = "|" + l + "||" + r + "|"
+        val rep2 = "|" + l + r + "|"
+        val next = scala.collection.mutable.HashMap.empty[String, Long]
+        reps.foreach { case (rep, cnt) =>
+          val nr = rep.replace(pat, rep2)
+          next.update(nr, next.getOrElse(nr, 0L) + cnt)
+        }
+        reps = next
+        step += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Learned merge table as a DataFrame — (rank, left, right,
