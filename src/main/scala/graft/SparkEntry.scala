@@ -1177,6 +1177,17 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))),
 
+    // dense-id vocabulary (binary-UTF-8 order — the engines' shared
+    // string collation) and the id stream a trainer consumes:
+    // fit → encode → ids, the complete tokenizer path
+    "x_text_bpe_vocab" -> ((s, d) =>
+      TextAnalysis.bpeVocab(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges = 6))),
+
+    "x_text_bpe_ids" -> ((s, d) =>
+      TextAnalysis.bpeIds(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges = 6))),
+
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
         budget = 256, shards = 8)),
@@ -3514,6 +3525,29 @@ object SparkEntry {
          |       CAST(st // 256 AS BIGINT) AS pack_id,
          |       CAST(st % 256 AS BIGINT) AS pack_offset
          |FROM w""".stripMargin,
+
+    // vocab: distinct output tokens, dense rank in binary-UTF-8 order
+    "x_text_bpe_vocab" ->
+      s"""WITH $bpeLearnCtes,
+         |f0 AS ${bpeRepsSql("TRUE")},
+         |${(1 to BpeMergeRounds).map(i =>
+        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
+         |t AS (SELECT DISTINCT unnest(flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||')))) AS token
+         |      FROM f$BpeMergeRounds)
+         |SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id FROM t""".stripMargin,
+
+    // id stream: the token stream joined to the vocab assignment
+    "x_text_bpe_ids" ->
+      s"""WITH $bpeLearnCtes,
+         |f0 AS ${bpeRepsSql("TRUE")},
+         |${(1 to BpeMergeRounds).map(i =>
+        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
+         |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
+         |      FROM f$BpeMergeRounds),
+         |s AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token FROM t),
+         |v AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+         |      FROM (SELECT DISTINCT token FROM s))
+         |SELECT s.doc_id, s.pos, v.token_id FROM s JOIN v USING (token)""".stripMargin,
 
     // bpe-count packing: the encode chain's n_units feeds the same
     // shard-partitioned running-sum layout as x_text_pack

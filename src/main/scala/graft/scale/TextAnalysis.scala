@@ -1598,6 +1598,39 @@ object TextAnalysis {
     df.select(graft.ops.Cleaning.qcol(idCol), toks.as("tokens"))
   }
 
+  /** Vocabulary of the encoded corpus: every DISTINCT output token with
+    * a dense id, ordered by binary-UTF-8 token (the engines' shared
+    * string order, so the assignment is engine-exact). Every token is
+    * either a single character or one merge's output, so the table is
+    * BOUNDED by |alphabet| + |merges| rows — the one place an
+    * unpartitioned rank window is scale-safe by construction (the same
+    * bounded-frame argument as the histogram grids; a 32k-merge vocab
+    * is a 33k-row frame).
+    */
+  def bpeVocab(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
+    bpeTokens(df, idCol, textCol, merges)
+      .select(explode(col("tokens")).as("token")).distinct()
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** The id stream a trainer actually consumes: (idCol, pos, token_id)
+    * — [[bpeTokens]] joined to the [[bpeVocab]] assignment. The vocab
+    * side is vocab-bounded, hence BROADCAST; the corpus never
+    * shuffles. fit → encode → ids is the complete tokenizer path.
+    */
+  def bpeIds(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    bpeTokens(df, idCol, textCol, merges)
+      .select(id, posexplode(col("tokens")).as(Seq("pos", "token")))
+      .join(broadcast(bpeVocab(df, idCol, textCol, merges)), "token")
+      .select(id, col("pos").cast("long").as("pos"), col("token_id"))
+  }
+
   /** Composed-plan image of [[bpeTokens]] for the parity spec: flatten
     * the per-word unit arrays of the nested-replace representation. */
   private[graft] def bpeTokensComposed(

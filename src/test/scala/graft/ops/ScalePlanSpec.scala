@@ -99,6 +99,28 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(plan).isEmpty)
   }
 
+  test("native bpeEncode is a narrow map: no shuffle, no window, one projection") {
+    val docs = (0L until 20L).map(i => (i, "the cat sat")).toSeq.toDF("doc_id", "text")
+    val merges = Seq(
+      graft.scale.TextAnalysis.BpeMerge(0, "t", "h", 9),
+      graft.scale.TextAnalysis.BpeMerge(1, "th", "e", 9))
+    for (plan <- Seq(
+      graft.scale.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges),
+      graft.scale.TextAnalysis.bpeTokens(docs, "doc_id", "text", merges))) {
+      val exchanges = collectPlans(plan.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "BPE application is row-local — no shuffle")
+      assert(unpartitionedWindows(plan).isEmpty)
+    }
+  }
+
+  test("packByCount windows partition by shard, never global") {
+    val counted = (0L until 40L).map(i => (i, 7L)).toSeq.toDF("doc_id", "n_units")
+    val plan = graft.scale.TextAnalysis.packByCount(counted, "doc_id", "n_units", 100, 4)
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
   test("ANN per-query top-k epilogues are bounded aggregates, not windows") {
     val vecs = (0L until 32L)
       .map(i => (i, Array.tabulate(8)(j => (i * 7 + j * 3).toFloat))).toSeq
