@@ -125,6 +125,17 @@ object SparkEntry {
       TextAnalysis.bpeFitFast(
         T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text", merges))
 
+  /** Fit-once cache for the dense-id vocabulary (vocab-bounded driver
+    * map; same staleness/concurrency contract as [[clfModelDirs]]). */
+  private val bpeVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Map[String, Long]]
+
+  private def fittedBpeVocab(s: SparkSession, d: String, merges: Int): Map[String, Long] =
+    bpeVocabCache.getOrElseUpdate((d, merges),
+      TextAnalysis.bpeVocab(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
   /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
     * `customer` as the survey wave (TOM = market segment, CSAT = account
     * balance scale, NPS = nation key). Returns the awareness TOM table.
@@ -1185,8 +1196,10 @@ object SparkEntry {
         fittedBpe(s, d, merges = 6))),
 
     "x_text_bpe_ids" -> ((s, d) =>
-      TextAnalysis.bpeIds(T(s, d, "documents"), "doc_id", "text",
-        fittedBpe(s, d, merges = 6))),
+      // fit-once vocab (a model artifact like the classifier/BPE
+      // caches) + literal-map lookup: ONE encode pass per query
+      TextAnalysis.bpeIdsWithVocab(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges = 6), fittedBpeVocab(s, d, merges = 6))),
 
     "x_text_pack" -> ((s, d) =>
       TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",

@@ -35,8 +35,13 @@ object GraftFunctions {
     if (!e.foldable) throw new IllegalArgumentException(s"$what must be a foldable array<string>")
     else e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        a.toObjectArray(org.apache.spark.sql.types.StringType).map {
+          case null => throw new IllegalArgumentException(
+            s"$what must not contain NULL elements")
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$what must be an array<string>, found element $other")
+        }
       case other => throw new IllegalArgumentException(s"$what must be an array<string>, got $other")
     }
 

@@ -602,14 +602,17 @@ object Stats {
     *
     * Probe (one hash-aggregate pass, map-side partials, 1-row collect):
     * per-group approximate distinct value count (max over groups) and
-    * whether every value is an integral long. The sketch route is taken
-    * only when BOTH hold with margin — max distinct ≤ 0.8 × capacity
-    * (so HLL's ~2% error cannot smuggle an over-capacity group past the
-    * gate) and values integral (the sketch buckets longs) — because
-    * under exactly those conditions the sketch's stride never leaves 1
-    * and its result is IDENTICAL to the exact pass: same integer
-    * cumulative weights, same `cum >= q*total` double comparison, same
-    * min-value-past-threshold selection (WquantileAutoSpec pins this).
+    * whether every VALUE and every WEIGHT is an integral long — the
+    * sketch buckets long values and sums long weights, so a fractional
+    * weight would silently truncate where the exact pass keeps doubles.
+    * The sketch route is taken only when ALL hold with margin — max
+    * distinct ≤ 0.8 × capacity (HLL at an explicit rsd=0.02 makes an
+    * over-capacity group slipping under the gate a ≥10σ event) and
+    * values/weights integral and long-range — because under exactly
+    * those conditions the sketch's stride never leaves 1 and its
+    * result is IDENTICAL to the exact pass: same integer cumulative
+    * weights, same `cum >= q*total` double comparison, same
+    * min-value-past-threshold selection (StatsSpec pins this).
     * Otherwise the exact sorted-window pass runs unchanged.
     *
     * Why this is the right 100 TB shape: when the probe says the
@@ -625,22 +628,29 @@ object Stats {
       groupCols: Seq[String], q: Double, capacity: Int = 4096): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val w = Cleaning.weightExpr(df, Some(weightCol))
     val g = groupCols.map(Cleaning.qcol)
     val probe = df.filter(v.isNotNull)
       .groupBy(g: _*)
       .agg(
-        approx_count_distinct(v).as("__dc"),
-        max((v =!= floor(v)).cast("int")).as("__frac"),
-        max(abs(v)).as("__absmax"))
-      .agg(max(col("__dc")), max(col("__frac")), max(col("__absmax")))
+        approx_count_distinct(v, 0.02).as("__dc"),
+        max((v =!= floor(v)).cast("int")).as("__vfrac"),
+        max(abs(v)).as("__vmax"),
+        max((w =!= floor(w)).cast("int")).as("__wfrac"),
+        max(abs(w)).as("__wmax"))
+      .agg(max(col("__dc")), max(col("__vfrac")), max(col("__vmax")),
+        max(col("__wfrac")), max(col("__wmax")))
       .head()
+    // NaN/Infinity fail the range checks (NaN sorts above every double
+    // in Spark, so it surfaces in the max) and route to the exact pass
     val eligible = !probe.isNullAt(0) &&
       probe.getLong(0) <= (capacity * 0.8).toLong &&
       probe.getInt(1) == 0 &&
-      probe.getDouble(2) < 4.0e18 // comfortably inside Long
+      probe.getDouble(2) < 4.0e18 && // comfortably inside Long
+      probe.getInt(3) == 0 &&
+      probe.getDouble(4) < 4.0e18
     if (!eligible) weightedQuantile(df, valueCol, weightCol, groupCols, q)
     else {
-      val w = Cleaning.weightExpr(df, Some(weightCol))
       df.filter(v.isNotNull)
         .groupBy(g: _*)
         .agg(graft.functions.Aggregates.weightedQuantileSketch(

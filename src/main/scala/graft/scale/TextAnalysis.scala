@@ -1617,19 +1617,37 @@ object TextAnalysis {
   }
 
   /** The id stream a trainer actually consumes: (idCol, pos, token_id)
-    * — [[bpeTokens]] joined to the [[bpeVocab]] assignment. The vocab
-    * side is vocab-bounded, hence BROADCAST; the corpus never
-    * shuffles. fit → encode → ids is the complete tokenizer path.
+    * — [[bpeTokens]] with a DRIVER-HELD vocabulary applied as a literal
+    * map lookup (vocab is bounded by |alphabet| + |merges|, so it ships
+    * inside the codegen'd expression; no join, no shuffle, ONE encode
+    * pass over the corpus). fit → vocab → ids is the complete
+    * tokenizer path; the vocab is a fit-once model artifact — derive
+    * it once ([[bpeVocab]] + collect, or a persisted copy) and reuse
+    * it across id-stream queries, exactly like the classifier/BPE
+    * caches. Tokens absent from the vocabulary map to null (cannot
+    * happen when the vocab came from the same immutable corpus).
     */
-  def bpeIds(
+  def bpeIdsWithVocab(
       df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[BpeMerge]): DataFrame = {
+      merges: Seq[BpeMerge], vocab: Map[String, Long]): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     bpeTokens(df, idCol, textCol, merges)
       .select(id, posexplode(col("tokens")).as(Seq("pos", "token")))
-      .join(broadcast(bpeVocab(df, idCol, textCol, merges)), "token")
-      .select(id, col("pos").cast("long").as("pos"), col("token_id"))
+      .select(id, col("pos").cast("long").as("pos"),
+        element_at(typedLit(vocab), col("token")).as("token_id"))
   }
+
+  /** Convenience form of [[bpeIdsWithVocab]] that derives the
+    * vocabulary inline — costs a SECOND encode pass over the corpus
+    * for the distinct-token collect, so pipelines issuing more than
+    * one id-stream query should hold the collected vocab and call
+    * [[bpeIdsWithVocab]] directly. */
+  def bpeIds(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame =
+    bpeIdsWithVocab(df, idCol, textCol, merges,
+      bpeVocab(df, idCol, textCol, merges).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
 
   /** Composed-plan image of [[bpeTokens]] for the parity spec: flatten
     * the per-word unit arrays of the nested-replace representation. */

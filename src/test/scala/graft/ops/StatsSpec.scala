@@ -83,6 +83,15 @@ class StatsSpec extends AnyFunSuite {
     val widePlan = Stats.weightedQuantileAuto(wide, "v", "w", Seq("g"), 0.5, capacity = 16)
     assert(widePlan.queryExecution.executedPlan.toString.contains("Window"))
     assert(widePlan.collect().head.getDouble(1) == 50.0)
+
+    // fractional WEIGHTS with integral values: the sketch would
+    // truncate w to long (every 0.5 → 0, returning the group minimum);
+    // the probe must route to exact
+    val fracW = (1 to 10).map(i => ("g", i.toDouble, 0.5)).toDF("g", "v", "w")
+    val fwPlan = Stats.weightedQuantileAuto(fracW, "v", "w", Seq("g"), 0.5)
+    assert(fwPlan.queryExecution.executedPlan.toString.contains("Window"),
+      "fractional weights must take the exact route")
+    assert(fwPlan.collect().head.getDouble(1) == 5.0)
   }
 
   test("proportion CI: equal weights give neff = n and textbook MoE") {
