@@ -221,6 +221,42 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE invariants: token concat reconstructs words; stats consistent; vocab dense") {
+    val textGen = Gen.listOfN(12,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", " ", "th", "e ")).map(_.mkString))
+    samples(textGen, 4).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = graft.scale.TextAnalysis.bpeFitFast(df, "text", 5)
+      // tokens concatenated per doc == the lowered words concatenated
+      // (merging never creates or destroys characters)
+      val got = graft.scale.TextAnalysis.bpeTokens(df, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString).toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val stripped = t.replace("|", "")
+        val joined =
+          if (stripped.trim.isEmpty) ""
+          else java.util.regex.Pattern.compile("\\s+")
+            .split(org.apache.spark.unsafe.types.UTF8String
+              .fromString(stripped).trim().toLowerCase.toString, -1).mkString
+        i.toLong -> joined
+      }.toMap
+      assert(got == want)
+      // stats: n_units between n_words (full merge) and n_chars (no merge)
+      graft.scale.TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+        .collect().foreach { r =>
+          val (nw, nu, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+          if (nc >= nw) assert(nu >= nw && nu <= nc, s"$nw <= $nu <= $nc")
+        }
+      // vocab ids are dense 0..n-1 and the id stream only uses them
+      val vocab = graft.scale.TextAnalysis.bpeVocab(df, "doc_id", "text", merges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(vocab.values.toSeq.sorted == (0L until vocab.size.toLong))
+      val ids = graft.scale.TextAnalysis.bpeIdsWithVocab(df, "doc_id", "text", merges, vocab)
+        .select("token_id").collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf(vocab.values.toSet))
+    }
+  }
+
   test("native jaccard is symmetric, bounded, and 1 on self") {
     val arrGen = Gen.listOfN(15, Gen.choose(1L, 20L)).map(_.distinct.sorted)
     samples(Gen.zip(arrGen, arrGen)).foreach { case (a, b) =>
