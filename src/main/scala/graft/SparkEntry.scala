@@ -1767,6 +1767,26 @@ object SparkEntry {
     (init +: steps).mkString(",\n")
   }
 
+  /** Full-corpus encode chain shared by every encode-consuming oracle:
+    * the learn CTEs plus f0 (all documents) through f`k` with each
+    * learned merge applied — ONE definition, so a change to the apply
+    * semantics (like the round-8 empty-round passthrough) lands in
+    * every consumer at once. */
+  private lazy val bpeEncodeCtes: String =
+    s"""$bpeLearnCtes,
+       |f0 AS ${bpeRepsSql("TRUE")},
+       |${(1 to BpeMergeRounds).map(i =>
+      s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")}""".stripMargin
+
+  /** Encode chain + the flattened position-indexed token stream
+    * (t = per-doc token lists, s = (doc_id, pos, token) rows) —
+    * shared by the tokens/vocab/ids oracles. */
+  private lazy val bpeStreamCtes: String =
+    s"""$bpeEncodeCtes,
+       |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
+       |      FROM f$BpeMergeRounds),
+       |s AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token FROM t)""".stripMargin
+
   /** Shared CTE chain for the capped water-filling epoch allocation
     * (x_corpus_epochs) — also the head of x_corpus_epochs_expand's
     * oracle, so both keys provably score the SAME allocation. Ends in
@@ -3505,10 +3525,7 @@ object SparkEntry {
     // learned on the sample slice, applied to every document; unit
     // stats in exact integers
     "x_text_bpe_encode" ->
-      s"""WITH $bpeLearnCtes,
-         |f0 AS ${bpeRepsSql("TRUE")},
-         |${(1 to BpeMergeRounds).map(i =>
-        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")}
+      s"""WITH $bpeEncodeCtes
          |SELECT doc_id,
          |  CAST(len(reps) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_units,
@@ -3520,14 +3537,8 @@ object SparkEntry {
     // zips with unnest — the same paired-expansion idiom as the
     // pair-count CTEs)
     "x_text_bpe_tokens" ->
-      s"""WITH $bpeLearnCtes,
-         |f0 AS ${bpeRepsSql("TRUE")},
-         |${(1 to BpeMergeRounds).map(i =>
-        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
-         |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
-         |      FROM f$BpeMergeRounds)
-         |SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token
-         |FROM t""".stripMargin,
+      s"""WITH $bpeStreamCtes
+         |SELECT doc_id, pos, token FROM s""".stripMargin,
 
     // shard-partitioned running sum (never a global sort), integer
     // div/mod — exact at any magnitude
@@ -3541,38 +3552,26 @@ object SparkEntry {
 
     // vocab: distinct output tokens, dense rank in binary-UTF-8 order
     "x_text_bpe_vocab" ->
-      s"""WITH $bpeLearnCtes,
-         |f0 AS ${bpeRepsSql("TRUE")},
-         |${(1 to BpeMergeRounds).map(i =>
-        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
-         |t AS (SELECT DISTINCT unnest(flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||')))) AS token
-         |      FROM f$BpeMergeRounds)
-         |SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id FROM t""".stripMargin,
+      s"""WITH $bpeStreamCtes
+         |SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+         |FROM (SELECT DISTINCT token FROM s)""".stripMargin,
 
     // id stream: the token stream joined to the vocab assignment
     "x_text_bpe_ids" ->
-      s"""WITH $bpeLearnCtes,
-         |f0 AS ${bpeRepsSql("TRUE")},
-         |${(1 to BpeMergeRounds).map(i =>
-        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
-         |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
-         |      FROM f$BpeMergeRounds),
-         |s AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token FROM t),
+      s"""WITH $bpeStreamCtes,
          |v AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
          |      FROM (SELECT DISTINCT token FROM s))
          |SELECT s.doc_id, s.pos, v.token_id FROM s JOIN v USING (token)""".stripMargin,
 
-    // bpe-count packing: the encode chain's n_units feeds the same
-    // shard-partitioned running-sum layout as x_text_pack
+    // bpe-count packing: the encode chain's n_units (= flattened token
+    // count) feeds the same shard-partitioned running-sum layout as
+    // x_text_pack
     "x_corpus_bpe_pack" ->
-      s"""WITH $bpeLearnCtes,
-         |f0 AS ${bpeRepsSql("TRUE")},
-         |${(1 to BpeMergeRounds).map(i =>
-        s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")},
-         |t AS (SELECT doc_id, doc_id % 8 AS shard,
-         |        CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS token_count
-         |      FROM f$BpeMergeRounds),
-         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
+      s"""WITH $bpeStreamCtes,
+         |c AS (SELECT doc_id, doc_id % 8 AS shard,
+         |        CAST(coalesce(len(toks), 0) AS BIGINT) AS token_count
+         |      FROM t),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM c)
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
          |       CAST(st // 256 AS BIGINT) AS pack_id,
          |       CAST(st % 256 AS BIGINT) AS pack_offset

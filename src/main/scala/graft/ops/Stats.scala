@@ -601,10 +601,14 @@ object Stats {
     * scaladoc promises, wired.
     *
     * Probe (one hash-aggregate pass, map-side partials, 1-row collect):
-    * per-group approximate distinct value count (max over groups) and
-    * whether every VALUE and every WEIGHT is an integral long — the
-    * sketch buckets long values and sums long weights, so a fractional
-    * weight would silently truncate where the exact pass keeps doubles.
+    * per-group approximate distinct value count (max over groups),
+    * whether every VALUE and every WEIGHT is an integral long, whether
+    * any weight is negative, and whether any group's weight SUM could
+    * overflow a long — the sketch buckets long values and sums long
+    * weights, so a fractional weight would silently truncate, a
+    * negative weight changes even which groups emit rows, and an
+    * overflowing sum wraps the threshold, where the exact pass keeps
+    * doubles throughout.
     * The sketch route is taken only when ALL hold with margin — max
     * distinct ≤ 0.8 × capacity (HLL at an explicit rsd=0.02 makes an
     * over-capacity group slipping under the gate a ≥10σ event) and
@@ -637,18 +641,26 @@ object Stats {
         max((v =!= floor(v)).cast("int")).as("__vfrac"),
         max(abs(v)).as("__vmax"),
         max((w =!= floor(w)).cast("int")).as("__wfrac"),
-        max(abs(w)).as("__wmax"))
+        min(w).as("__wmin"),
+        // the sketch sums a group's weights in a LONG: the probe must
+        // bound the per-group SUM, not just each weight (three 4e18
+        // weights are individually fine and wrap negative when added)
+        sum(w).as("__wsum"))
       .agg(max(col("__dc")), max(col("__vfrac")), max(col("__vmax")),
-        max(col("__wfrac")), max(col("__wmax")))
+        max(col("__wfrac")), min(col("__wmin")), max(col("__wsum")))
       .head()
     // NaN/Infinity fail the range checks (NaN sorts above every double
-    // in Spark, so it surfaces in the max) and route to the exact pass
-    val eligible = !probe.isNullAt(0) &&
+    // in Spark, so it surfaces in the max); negative weights change
+    // even the exact pass's row set semantics, so they stay exact; an
+    // all-null-values input leaves the non-count probe columns null —
+    // every such case routes to the exact pass
+    val eligible = (0 until 6).forall(i => !probe.isNullAt(i)) &&
       probe.getLong(0) <= (capacity * 0.8).toLong &&
       probe.getInt(1) == 0 &&
       probe.getDouble(2) < 4.0e18 && // comfortably inside Long
       probe.getInt(3) == 0 &&
-      probe.getDouble(4) < 4.0e18
+      probe.getDouble(4) >= 0.0 && // no negative weights in the sketch route
+      probe.getDouble(5) < 4.0e18 // group weight SUM stays inside Long
     if (!eligible) weightedQuantile(df, valueCol, weightCol, groupCols, q)
     else {
       df.filter(v.isNotNull)

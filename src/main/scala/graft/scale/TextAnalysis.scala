@@ -1600,20 +1600,39 @@ object TextAnalysis {
 
   /** Vocabulary of the encoded corpus: every DISTINCT output token with
     * a dense id, ordered by binary-UTF-8 token (the engines' shared
-    * string order, so the assignment is engine-exact). Every token is
-    * either a single character or one merge's output, so the table is
-    * BOUNDED by |alphabet| + |merges| rows — the one place an
-    * unpartitioned rank window is scale-safe by construction (the same
-    * bounded-frame argument as the histogram grids; a 32k-merge vocab
-    * is a 33k-row frame).
+    * string order, so the assignment is engine-exact).
+    *
+    * Boundedness: for terminator-free text every token is a single
+    * character or one merge's output, so the vocab is ≤ |alphabet| +
+    * |merges| rows. Words containing the line terminators `\s+` does
+    * not split on (U+0085/U+2028/U+2029) contribute GLUED multi-
+    * code-point units outside that bound — up to one per distinct such
+    * word — so the bound is a property of the corpus, not the
+    * algorithm. The id assignment therefore runs as a distinct
+    * aggregate + `maxVocab`-bounded TakeOrdered (a top-N heap, never a
+    * global sort or an unpartitioned window) and FAILS LOUDLY when the
+    * corpus exceeds `maxVocab` distinct tokens, instead of silently
+    * funneling a corpus-scale frame through one task. A pipeline
+    * hitting the guard strips those terminator code points in its
+    * normalization pass (the usual CCNet/C4 hygiene) rather than
+    * raising the cap.
     */
   def bpeVocab(
       df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[BpeMerge]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
-    bpeTokens(df, idCol, textCol, merges)
+      merges: Seq[BpeMerge], maxVocab: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = bpeTokens(df, idCol, textCol, merges)
       .select(explode(col("tokens")).as("token")).distinct()
-      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .orderBy(col("token")).limit(maxVocab + 1)
+      .collect().map(_.getString(0))
+    require(toks.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab distinct tokens — the corpus " +
+        "likely contains unnormalized line-terminator code points " +
+        "(U+0085/U+2028/U+2029) gluing per-word units; strip them in " +
+        "normalization or raise maxVocab")
+    toks.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq
+      .toDF("token", "token_id")
   }
 
   /** The id stream a trainer actually consumes: (idCol, pos, token_id)

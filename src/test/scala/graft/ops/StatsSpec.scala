@@ -92,6 +92,30 @@ class StatsSpec extends AnyFunSuite {
     assert(fwPlan.queryExecution.executedPlan.toString.contains("Window"),
       "fractional weights must take the exact route")
     assert(fwPlan.collect().head.getDouble(1) == 5.0)
+
+    // per-group weight SUM would wrap a long in the sketch (three 4e18
+    // weights are each individually in range): must route to exact
+    val bigW = Seq(("g", 1.0, 3.9e18), ("g", 2.0, 3.9e18), ("g", 3.0, 3.9e18))
+      .toDF("g", "v", "w")
+    val bwPlan = Stats.weightedQuantileAuto(bigW, "v", "w", Seq("g"), 0.5)
+    assert(bwPlan.queryExecution.executedPlan.toString.contains("Window"),
+      "overflow-range weight sums must take the exact route")
+    assert(bwPlan.collect().head.getDouble(1) == 2.0)
+
+    // negative weights change even which groups emit rows: exact route,
+    // and the row SET matches weightedQuantile (here: no row at all)
+    val negW = Seq(("g", 7.0, -2.0)).toDF("g", "v", "w")
+    val nwOut = Stats.weightedQuantileAuto(negW, "v", "w", Seq("g"), 0.5)
+    assert(nwOut.collect().toSeq ==
+      Stats.weightedQuantile(negW, "v", "w", Seq("g"), 0.5).collect().toSeq)
+
+    // degenerate inputs must not throw and must match the exact pass
+    // (global-group empty input yields ONE [null] row — a global agg
+    // over empty input — in BOTH routes)
+    val empty = Seq.empty[(String, Double, Double)].toDF("g", "v", "w")
+    assert(Stats.weightedQuantileAuto(empty, "v", "w", Seq.empty, 0.5).collect().toSeq ==
+      Stats.weightedQuantile(empty, "v", "w", Seq.empty, 0.5).collect().toSeq)
+    assert(Stats.weightedQuantileAuto(empty, "v", "w", Seq("g"), 0.5).collect().isEmpty)
   }
 
   test("proportion CI: equal weights give neff = n and textbook MoE") {
