@@ -175,34 +175,84 @@ object Bpe {
     false
   }
 
-  /** Fast path: min-rank greedy loop (requires distinctOutputs). */
+  /** Fast path: min-rank greedy via a doubly-linked unit list + a
+    * (rank, position) min-heap — O(len log len) total, so a
+    * pathological unbroken megabyte "word" (base64/DNA blobs are real
+    * in web crawls) stays tractable where a rescan-per-merge loop
+    * would be O(len²).
+    *
+    * Heap entries are CLAIMS "the pair starting at node i has rank r";
+    * a popped claim is re-validated against the live list (node alive,
+    * successor alive, current pair's rank equals the claimed rank) and
+    * skipped when stale. Equivalence to the pass-based form: claims
+    * pop in (rank, position) order, so all occurrences of the minimum
+    * rank merge left-to-right before any higher rank — exactly one
+    * leftmost-first pass per rank (an overlapping same-rank occurrence
+    * dies with its consumed node, reproducing the scan's
+    * skip-after-merge); and under [[MergeTable.canUseGreedy]] no merge
+    * can create a pair ranked at or below the rank being processed, so
+    * no pass would ever need re-running (same argument as the object
+    * scaladoc). Requires canUseGreedy.
+    */
   private def encodeGreedy(units0: Array[String], t: MergeTable): Array[String] = {
-    var units = units0
-    var done = units.length < 2
-    while (!done) {
-      var best = Int.MaxValue
-      var bl: String = null
-      var br: String = null
-      var i = 0
-      while (i < units.length - 1) {
-        val inner = t.rank.get(units(i))
-        if (inner != null) {
-          val rk = inner.get(units(i + 1))
-          if (rk != null && rk.intValue < best) {
-            best = rk.intValue
-            bl = units(i)
-            br = units(i + 1)
-          }
-        }
-        i += 1
-      }
-      if (bl == null) done = true
+    val n = units0.length
+    if (n < 2) return units0
+    val unit = units0.clone()
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      next(i) = i + 1 // n == end-of-list sentinel
+      prev(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    def rankOf(l: String, r: String): Int = {
+      val inner = t.rank.get(l)
+      if (inner == null) Int.MaxValue
       else {
-        units = mergePass(units, bl, br)
-        if (units.length < 2) done = true
+        val rk = inner.get(r)
+        if (rk == null) Int.MaxValue else rk.intValue
       }
     }
-    units
+    // claim key packs (rank, pos) into one Long so natural ordering is
+    // rank-major, position-minor
+    val heap = new java.util.PriorityQueue[java.lang.Long]()
+    def claim(pos: Int): Unit = {
+      val j = next(pos)
+      if (j < n) {
+        val rk = rankOf(unit(pos), unit(j))
+        if (rk != Int.MaxValue) heap.add((rk.toLong << 32) | pos.toLong)
+      }
+    }
+    i = 0
+    while (i < n - 1) { claim(i); i += 1 }
+    var remaining = n
+    while (!heap.isEmpty && remaining >= 2) {
+      val key = heap.poll().longValue
+      val rk = (key >>> 32).toInt
+      val pos = (key & 0xffffffffL).toInt
+      val j = next(pos)
+      if (alive(pos) && j < n && alive(j) && rankOf(unit(pos), unit(j)) == rk) {
+        unit(pos) = unit(pos) + unit(j)
+        alive(j) = false
+        val k = next(j)
+        next(pos) = k
+        if (k < n) prev(k) = pos
+        remaining -= 1
+        if (prev(pos) >= 0) claim(prev(pos))
+        claim(pos)
+      }
+    }
+    val out = new Array[String](remaining)
+    var p = 0
+    var o = 0
+    while (p < n) {
+      if (alive(p)) { out(o) = unit(p); o += 1 }
+      p += 1
+    }
+    out
   }
 
   /** Exact fallback: every merge in rank order, one pass each, exactly

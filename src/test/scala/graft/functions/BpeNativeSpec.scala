@@ -110,6 +110,24 @@ class BpeNativeSpec extends AnyFunSuite {
     assert(t.canUseGreedy)
   }
 
+  test("pathological unbroken word: heap-greedy matches composed and stays fast") {
+    // a 60k-char single "word" (the base64/DNA-blob shape web crawls
+    // contain) — the rescan-per-merge form would be O(len^2) here; the
+    // heap form must stay sub-second and bit-identical
+    val blob = "ab" * 30000
+    val df = Seq((1L, blob), (2L, "ab abab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeFitFast(df, "text", 6)
+    assert(merges.nonEmpty)
+    assertSame(
+      TextAnalysis.bpeEncode(df, "doc_id", "text", merges),
+      TextAnalysis.bpeEncodeComposed(df, "doc_id", "text", merges))
+    // run-merge semantics on the blob: "ab"->"abab"->"abababab" chains
+    // collapse leftmost-first; just pin the unit count is consistent
+    val n = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .filter($"doc_id" === 1L).head.getLong(2)
+    assert(n >= 1L && n <= blob.length.toLong)
+  }
+
   test("SQL surface: bpe_stats / bpe_tokens with literal merge arrays") {
     GraftFunctions.register(spark)
     val row = spark.sql(
