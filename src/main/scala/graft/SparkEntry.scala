@@ -788,6 +788,19 @@ object SparkEntry {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    // hard-negative mining for contrastive training: per anchor, the
+    // top-5 most-similar vectors with a DIFFERENT label — anchors
+    // broadcast, corpus scanned once, label filter prunes pre-scoring
+    "x_sim_hardneg" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+      Similarity.hardNegatives(emb, anchors, "vec_id", "embedding", "label",
+          "anchor_id", k = 5)
+        .select(col("anchor_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
     // clustered over the n-gram pair graph (same pairs as x_dedup_ngram)
     // so the whole chain — shingling, blocking, Jaccard, connected
     // components — is DuckDB-mirrorable (recursive CTE oracle)
@@ -823,6 +836,19 @@ object SparkEntry {
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
         maxBlockSize = NgramBlockCap)
       Dedup.clusterSizeCensus(Dedup.clusters(docs, "doc_id", pairs))
+    }),
+
+    // right-to-be-forgotten: erasure seeds (every 97th doc id) delete
+    // their whole near-dup cluster — the same CC assignment as
+    // x_dedup_clusters, then two broadcast joins; the output is the
+    // auditable manifest (kept / seed / propagated), not just survivors
+    "x_corpus_forget" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3, threshold = 0.2,
+        maxBlockSize = NgramBlockCap)
+      val clustersDf = Dedup.clusters(docs, "doc_id", pairs)
+      Dedup.forgetPropagate(clustersDf,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id")
     }),
 
     // cross-source overlap census on a planted "recrawl" delivery (a
@@ -1007,6 +1033,11 @@ object SparkEntry {
     // measurements + the conjunction, one narrow row-local pass
     "x_text_gopher" -> ((s, d) =>
       TextAnalysis.gopherRulesTable(T(s, d, "documents"), "doc_id", "text")),
+
+    // Flesch / Flesch-Kincaid readability: exact integer counts + one
+    // fixed IEEE literal chain per score (halfUp 6) — row-local pass
+    "x_text_readability" -> ((s, d) =>
+      TextAnalysis.readabilityTable(T(s, d, "documents"), "doc_id", "text")),
 
     // duplicate-group size per doc: the xxhash64 fingerprint itself is
     // engine-specific, but fingerprint equality ≡ normalized-token-
@@ -2751,6 +2782,28 @@ object SparkEntry {
          |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
 
+    // the clusters CC chain + erasure-seed propagation: a cluster
+    // containing any seed (doc_id % 97 = 0) is deleted wholesale;
+    // status audits WHY each id left (seed vs propagated)
+    "x_corpus_forget" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+         |sc AS (SELECT DISTINCT c.cluster FROM clu c JOIN sd ON sd.id = c.id)
+         |SELECT c.id, c.cluster,
+         |       CASE WHEN c.id IN (SELECT id FROM sd) THEN 'seed'
+         |            WHEN c.cluster IN (SELECT cluster FROM sc) THEN 'propagated'
+         |            ELSE 'kept' END AS status
+         |FROM clu c""".stripMargin,
+
     // the clusters CC chain + the shared classifier CTEs, then the
     // argmax window (score desc, id asc) — rank-1 replays the bounded
     // top-1 aggregate's total order
@@ -2889,6 +2942,28 @@ object SparkEntry {
         |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
         |      FROM s)
         |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // same exact-cosine ranking as x_sim_knn with the hard-negative
+    // label constraint: candidates must carry a NON-NULL label that
+    // DIFFERS from the anchor's
+    "x_sim_hardneg" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.anchor_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.anchor_id
+        |    AND e.label IS NOT NULL AND q.ql IS NOT NULL AND e.label <> q.ql),
+        |r AS (SELECT anchor_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT anchor_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
         |FROM r WHERE rk <= 5""".stripMargin,
 
     // full-probe IVF ≡ exact kNN (every cell probed), so the oracle is
@@ -3195,6 +3270,29 @@ object SparkEntry {
          |        AND alpha_word_frac >= 0.8
          |        AND n_stop_hits >= 2) AS keep
          |FROM g""".stripMargin,
+
+    // readability: exact integer counts (sentences = non-empty [.!?]+
+    // segments, syllables = per-word max(1, vowel-group count)), then
+    // each score is the IDENTICAL left-associative double-literal chain
+    // Spark evaluates, rounded half-up to 6 dp
+    "x_text_readability" ->
+      s"""WITH a AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |b AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+         |  CAST(len($toksSql) AS BIGINT) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($toksSql, w ->
+         |        CAST(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS BIGINT))),
+         |    (acc, c) -> acc + c) AS n_syllables
+         |  FROM a)
+         |SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  ${Rounding.halfUpSql(
+               "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / (CASE WHEN n_sentences > 0 THEN n_sentences END)) " +
+               "- 84.6 * (CAST(n_syllables AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END))", 6)} AS flesch,
+         |  ${Rounding.halfUpSql(
+               "0.39 * (CAST(n_words AS DOUBLE) / (CASE WHEN n_sentences > 0 THEN n_sentences END)) " +
+               "+ 11.8 * (CAST(n_syllables AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END)) - 15.59", 6)} AS fk_grade
+         |FROM b""".stripMargin,
 
     "x_mm_meta" ->
       """SELECT doc_id,

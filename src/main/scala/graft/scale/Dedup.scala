@@ -674,6 +674,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Deletion propagation through the near-dup graph — the
+    * right-to-be-forgotten pass a 100 TB corpus needs: a takedown /
+    * erasure request names SEED documents, but near-verbatim copies of
+    * the same content (mirrors, recrawls, quote farms) must go with
+    * them or the deletion is cosmetic. Given an existing `(id, cluster)`
+    * assignment (the [[clusters]] output over whatever pair graph the
+    * pipeline already maintains) and a seed id list, labels every
+    * corpus id with its deletion status:
+    *
+    *   - `"seed"`        — named directly by the request;
+    *   - `"propagated"`  — shares a near-dup cluster with a seed;
+    *   - `"kept"`        — survives.
+    *
+    * Returning ALL rows (not just survivors) is deliberate: an erasure
+    * pass must produce an auditable manifest of what was removed and
+    * WHY (seed vs propagated), not just the surviving corpus — the
+    * caller filters `status = 'kept'` for the output corpus and writes
+    * the rest to the audit log.
+    *
+    * Scale (100 TB): deletion lists are tiny relative to the corpus, so
+    * both derived relations — the distinct seed set and the distinct
+    * set of clusters containing a seed — are broadcast; the corpus-side
+    * clusters frame is traversed once with two broadcast left-joins and
+    * never shuffles. (If a pathological request names a large fraction
+    * of the corpus, Spark's broadcast-size guard fails loudly rather
+    * than silently degrading — drop the explicit [[broadcast]] hints for
+    * that regime and let AQE pick the join side.)
+    */
+  def forgetPropagate(
+      clustersDf: DataFrame, seeds: DataFrame, seedIdCol: String = "id"): DataFrame = {
+    val seedSet = seeds
+      .select(graft.ops.Cleaning.qcol(seedIdCol).as("id")).distinct()
+      .withColumn("__is_seed", lit(true))
+    val seedClusters = clustersDf
+      .join(broadcast(seedSet.select(col("id"))), Seq("id"))
+      .select(col("cluster")).distinct()
+      .withColumn("__hit", lit(true))
+    clustersDf
+      .join(broadcast(seedSet), Seq("id"), "left")
+      .join(broadcast(seedClusters), Seq("cluster"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("__is_seed"), lit("seed"))
+          .when(col("__hit"), lit("propagated"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Ids a dedup pass should DROP: every edge-touched id whose component
     * min is NOT itself. Singletons are always their own representative
     * and non-representatives always touch an edge, so — unlike

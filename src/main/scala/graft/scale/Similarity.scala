@@ -89,6 +89,45 @@ object Similarity {
     topKPerQuery(scored, queryIdCol, idCol, k)
   }
 
+  /** Hard-negative mining for contrastive / retrieval training data
+    * (DPR, SimCSE, CLIP-style): for each anchor, the top-k most similar
+    * corpus vectors whose LABEL differs from the anchor's — the
+    * near-miss negatives that carry the training signal (random
+    * negatives are trivially separable; same-label neighbors are
+    * positives, not negatives). Anchors carry their own label; corpus
+    * rows with a NULL label are skipped (unlabeled rows can't be proven
+    * negative), as are anchor-id self-matches.
+    *
+    * Scale: same shape as [[knnExact]] — the anchor side broadcasts
+    * (mining runs over a bounded anchor batch per pass), the corpus is
+    * scanned once and never shuffled, and the label filter prunes
+    * BEFORE scoring; the epilogue is the map-side-bounded top-k
+    * aggregate, so shuffle ∝ anchors × k, not anchors × corpus. For
+    * anchor batches too large to broadcast, run the ANN route first
+    * ([[annTopK]]/[[ivfTopK]] with k', then label-filter and re-rank) —
+    * this exact form is the oracle/recall baseline for that path.
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, anchorIdCol: String,
+      k: Int = 10): DataFrame = {
+    val q = anchors.select(
+      graft.ops.Cleaning.qcol(anchorIdCol).as("__qid__"),
+      graft.ops.Cleaning.qcol(vecCol).as("__qvec__"),
+      graft.ops.Cleaning.qcol(labelCol).as("__qlab__"))
+    val c = corpus.select(
+      graft.ops.Cleaning.qcol(idCol).as("__cid__"),
+      graft.ops.Cleaning.qcol(vecCol).as("__cvec__"),
+      graft.ops.Cleaning.qcol(labelCol).as("__clab__"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__cid__") =!= col("__qid__") &&
+        col("__clab__").isNotNull && col("__qlab__").isNotNull &&
+        col("__clab__") =!= col("__qlab__"))
+      .select(col("__qid__"), col("__cid__"),
+        cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
+    topKPerQuery(scored, anchorIdCol, idCol, k)
+  }
+
   /** Shared epilogue for every top-k path: per-query top-k with the
     * deterministic (weight desc|asc, id asc) tiebreak — kept in ONE
     * place because the ordering contract is what the oracles pin.

@@ -165,6 +165,56 @@ object TextAnalysis {
         stopHits >= 2).as("keep"))
   }
 
+  /** Readability scoring (Flesch 1948 / Kincaid 1975) — the classic
+    * prose-complexity signal corpus teams bucket on alongside the LM
+    * scorers ([[unigramLogProbTable]]): very high reading-ease flags
+    * listicle/SEO filler, very low flags OCR soup and code mistagged as
+    * prose. Per document:
+    *
+    *   - `n_sentences` — non-empty segments split on `[.!?]+` runs;
+    *   - `n_words`     — [[tokens]] count (whitespace tokens,
+    *                     matching every other scorer here);
+    *   - `n_syllables` — Σ per word of max(1, vowel-group count
+    *                     `[aeiouy]+`) — the standard portable
+    *                     heuristic (true syllabification is
+    *                     dictionary-bound; the vowel-group count is
+    *                     what every published reimplementation uses,
+    *                     and a filter only needs rank stability);
+    *   - `flesch`      — 206.835 − 1.015·(W/S) − 84.6·(Sy/W);
+    *   - `fk_grade`    — 0.39·(W/S) + 11.8·(Sy/W) − 15.59.
+    *
+    * Determinism: the counts are exact integers; each score is ONE
+    * fixed left-associative chain of double literals over two IEEE
+    * divisions, rounded half-up to 6 dp — identical arithmetic in any
+    * engine, so the oracle replays it bit-exactly (the zscore/rounding
+    * convention). Docs with zero words or zero sentences score null.
+    *
+    * Scale: entirely row-local — one narrow codegen'd projection, no
+    * shuffle, no state; composes with [[qualityTable]]/
+    * [[gopherRulesTable]] in the same scan.
+    */
+  def readabilityTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(graft.ops.Cleaning.qcol(textCol), lit(""))
+    val toks = tokens(t)
+    val sentences = size(filter(split(t, "[.!?]+", -1), x => trim(x) =!= ""))
+    val words = size(toks)
+    val syllables = aggregate(
+      transform(toks, w =>
+        greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, c) => acc + c)
+    val wps = words.cast("double") / when(sentences > 0, sentences)
+    val spw = syllables.cast("double") / when(words > 0, words)
+    df.select(
+      graft.ops.Cleaning.qcol(idCol),
+      sentences.cast("long").as("n_sentences"),
+      words.cast("long").as("n_words"),
+      syllables.cast("long").as("n_syllables"),
+      graft.ops.Rounding.halfUp(
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch"),
+      graft.ops.Rounding.halfUp(
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"))
+  }
+
   /** Rae et al. 2021's canonical stopword set for the "≥ 2 distinct
     * stopwords" rule. */
   val GopherStopwords: Seq[String] =

@@ -590,4 +590,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got(40L) == ((4L, 7.0)))  // tie -> lowest id
     assert(!got.contains(60L))       // all-null cluster elects nobody
   }
+
+  test("forgetPropagate: seeds delete their whole cluster, audited by status") {
+    import spark.implicits._
+    val clustersDf = Seq(
+      (1L, 1L), (2L, 1L),  // cluster 1: seed 2 -> 1 propagated
+      (3L, 3L),            // singleton kept
+      (4L, 4L), (5L, 4L),  // cluster 4: untouched
+      (6L, 6L)             // singleton seed
+    ).toDF("id", "cluster")
+    val seeds = Seq(2L, 6L, 6L, 99L).toDF("doc_id") // dup + unknown id are inert
+    val got = Dedup.forgetPropagate(clustersDf, seeds, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(
+      1L -> "propagated", 2L -> "seed", 3L -> "kept",
+      4L -> "kept", 5L -> "kept", 6L -> "seed"))
+  }
 }

@@ -108,4 +108,35 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = exact.count { case (q, id) => ann.get(q).contains(id) }
     assert(hits >= 7, s"ANN top-1 recall too low: $hits/10") // recall@1 with 8 tables
   }
+
+  test("hardNegatives: only other-label candidates, ranked like knnExact on that slice") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.29 + j * 0.7).toFloat), (i % 3).toInt)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val anchors = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+    val got = Similarity.hardNegatives(df, anchors, "vec_id", "embedding", "label",
+        "anchor_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    assert(got.forall { case (a, c, _, _) => a != c && labelOf(a) != labelOf(c) })
+    // equivalent to exact kNN over the pre-filtered other-label corpus
+    for (a <- 0L until 4L) {
+      val other = df.filter(col("label") =!= labelOf(a).toInt)
+      val anchor = anchors.filter(col("anchor_id") === a)
+      val exact = Similarity.knnExact(other, anchor, "vec_id", "embedding", "anchor_id",
+          k = 5, excludeSelf = false)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got.filter(_._1 == a).toSet == exact)
+    }
+    // null-label corpus rows are never negatives
+    val withNull = df.withColumn("label",
+      when(col("vec_id") === 29L, lit(null)).otherwise(col("label")))
+    val gotNull = Similarity.hardNegatives(withNull, anchors, "vec_id", "embedding",
+        "label", "anchor_id", k = 30)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(!gotNull.exists(_._2 == 29L))
+  }
 }

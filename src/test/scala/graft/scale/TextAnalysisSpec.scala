@@ -617,4 +617,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == ((5L, 2L, 0L, "")))
     assert(got(2L) == ((5L, 2L, 0L, "")))
   }
+
+  test("readabilityTable: counts and the Flesch/FK chains on known prose") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"), // 2 sentences, 6 words, 6 syllables
+      (2L, "xyz"),                       // vowel-less word still counts 1 syllable
+      (3L, ""),                          // empty: zero counts, null scores
+      (4L, "Ellipsis... then? more!!")   // punctuation runs collapse
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityTable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    // fk     = 0.39*(6/2) + 11.8*(6/6) - 15.59   = -2.62
+    val (s1, w1, sy1, f1, k1) = got(1L)
+    assert((s1, w1, sy1) == ((2L, 6L, 6L)))
+    assert(math.abs(f1.get - 119.19) < 1e-9 && math.abs(k1.get - -2.62) < 1e-9)
+    assert(got(2L)._1 == 1L && got(2L)._3 == 1L) // "xyz": 1 sentence-less segment... floor 1 syllable
+    assert(got(3L) == ((0L, 0L, 0L, None, None)))
+    assert(got(4L)._1 == 3L) // "Ellipsis", " then", " more" — trailing empty dropped
+  }
 }
