@@ -422,6 +422,14 @@ object SparkEntry {
       graft.ops.Stats.approxDistinctGate(T(s, d, "lineitem"),
         "l_orderkey", Seq("l_returnflag"), rsd = 0.02, relTol = 0.05)),
 
+    // Count-Min frequency sketch gated on its one-sided guarantee —
+    // estimate in [exact, exact + eps·N] for the top-20 heavy keys;
+    // the sketch blob is engine-internal, the verdict frame is what
+    // the oracle pins (the HLL/GK gate contract)
+    "x_agg_cms_gate" -> ((s, d) =>
+      Stats.countMinGate(T(s, d, "events"), "user_id",
+        eps = 0.005, confidence = 0.99, seed = 42, probeKeys = 20)),
+
     // GK percentile sketch gated on its rank guarantee: the returned
     // element's exact rank interval must intersect the q∓2/accuracy
     // rank window (ranks, not interpolated values — those fail
@@ -2448,6 +2456,16 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
         |       CAST(0.05 AS DOUBLE) AS rel_tol, TRUE AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // CMS gate: same contract — top-20 keys by (count desc, key asc),
+    // exact counts + constants + pinned TRUE
+    "x_agg_cms_gate" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT user_id, n_exact,
+        |        row_number() OVER (ORDER BY n_exact DESC, user_id ASC) AS rk FROM c)
+        |SELECT user_id, n_exact, CAST(0.005 AS DOUBLE) AS eps, TRUE AS within_bounds
+        |FROM r WHERE rk <= 20""".stripMargin,
 
     // GK-sketch gate: same contract — counts + constants + pinned TRUE
     "x_agg_approxq_gate" ->

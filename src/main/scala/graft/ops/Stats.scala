@@ -352,6 +352,67 @@ object Stats {
         when(col("__apg_n") === 0, lit(true)).otherwise(ok).as("within_bounds")): _*)
   }
 
+  /** Verdict frame gating the Count-Min sketch on ITS guarantee — the
+    * third leg of the approximate-aggregate family ([[approxDistinctGate]]
+    * gates HLL, [[approxPercentileGate]] gates GK): per probed key,
+    * `estimate >= true count` always (CMS never undercounts) and
+    * `estimate <= true + eps * N` with the configured confidence, N
+    * being the non-null row mass the sketch absorbed. The sketch blob
+    * is engine-internal (seeded hash rows), so — verdict-frame
+    * contract — the output carries the exact count, the constant, and
+    * the pinned boolean, never the raw estimate.
+    *
+    * Probes the top-`probeKeys` keys by (count desc, key asc): the
+    * heavy hitters are where a frequency sketch earns its keep, and
+    * the bounded probe set keeps driver work O(probeKeys).
+    *
+    * Production callers use the sketch alone ([[org.apache.spark.sql
+    * .DataFrameStatFunctions.countMinSketch]]): a fixed d×w counter
+    * grid, additively mergeable map-side — at 100 TB the point-lookup
+    * frequency store you ship to other systems, vs shuffling every key
+    * occurrence to count exactly. Deterministic for a given multiset
+    * and seed (integer adds, order-invariant), so the verdict is
+    * re-run- and partitioning-stable.
+    */
+  def countMinGate(
+      df: DataFrame, keyCol: String, eps: Double = 0.005,
+      confidence: Double = 0.99, seed: Int = 42, probeKeys: Int = 20): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0,1), got $confidence")
+    require(probeKeys > 0, s"probeKeys must be > 0, got $probeKeys")
+    val c = Cleaning.qcol(keyCol)
+    val nonNull = df.filter(c.isNotNull)
+    // the sketch pass: one additive-mergeable aggregate, blob to driver
+    val sketch = nonNull.stat.countMinSketch(c, eps, confidence, seed)
+    // the probe set: bounded top-N exact counts (count desc, key asc)
+    val exact = nonNull.groupBy(c.as(keyCol))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(keyCol).asc)
+      .limit(probeKeys)
+      .collect()
+    val n = sketch.totalCount()
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = exact.map { r =>
+      val key = r.get(0)
+      val cnt = r.getLong(1)
+      val est = sketch.estimateCount(key)
+      org.apache.spark.sql.Row(key, cnt, eps,
+        est >= cnt && est.toDouble <= cnt.toDouble + eps * n)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol,
+        nonNull.select(c).schema.head.dataType),
+      org.apache.spark.sql.types.StructField("n_exact",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("eps",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("within_bounds",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
   /** Fixed-width histogram: bin index + count per bin over [lo, hi).
     * Values outside [lo, hi) are clamped into the edge bins (the
     * pandas/numpy "include outliers at the edges" convention a survey

@@ -171,6 +171,23 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("countMinGate: estimates bounded for heavy keys, probe set ranked, nulls skipped") {
+    // skewed multiset: key k appears (50 - k) times, plus null rows
+    val rows = (0 until 50).flatMap(k => Seq.fill(50 - k)(Option(k.toLong))) ++
+      Seq.fill(100)(Option.empty[Long])
+    val df = rows.toDF("k")
+    val got = Stats.countMinGate(df, "k", eps = 0.01, confidence = 0.99,
+        seed = 7, probeKeys = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // top-5 by (count desc, key asc): keys 0..4 with counts 50..46
+    assert(got.toSeq == (0 until 5).map(k => (k.toLong, (50 - k).toLong, true)))
+    // deterministic under repartition (additive integer sketch)
+    val again = Stats.countMinGate(df.repartition(9), "k", eps = 0.01,
+        confidence = 0.99, seed = 7, probeKeys = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("approxPercentileGate: rank-guarantee verdict true for large, tiny, and gappy groups") {
     val df = (0 until 20000).map(i => (s"g${i % 2}", (i * 7919 % 20000).toDouble))
       .toDF("g", "v")
