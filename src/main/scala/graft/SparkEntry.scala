@@ -1047,6 +1047,12 @@ object SparkEntry {
     "x_text_readability" -> ((s, d) =>
       TextAnalysis.readabilityTable(T(s, d, "documents"), "doc_id", "text")),
 
+    // T5-style span corruption (block variant, 15% density, span 3):
+    // hash-selected masks, consecutive sentinels — the denoising
+    // (input, target) pair; doc-partitioned window + doc-keyed agg
+    "x_text_spancorrupt" -> ((s, d) =>
+      TextAnalysis.spanCorruptionTable(T(s, d, "documents"), "doc_id", "text")),
+
     // duplicate-group size per doc: the xxhash64 fingerprint itself is
     // engine-specific, but fingerprint equality ≡ normalized-token-
     // stream equality (collisions ~1e-15 here), so the GROUP SIZES are
@@ -3311,6 +3317,35 @@ object SparkEntry {
                "0.39 * (CAST(n_words AS DOUBLE) / (CASE WHEN n_sentences > 0 THEN n_sentences END)) " +
                "+ 11.8 * (CAST(n_syllables AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END)) - 15.59", 6)} AS fk_grade
          |FROM b""".stripMargin,
+
+    // span corruption: same chunking (fixed span 3), same poly-hash
+    // mask decision on "id:j", running sentinel index as a window,
+    // string_agg ORDER BY j replays the sorted-struct assembly
+    "x_text_spancorrupt" ->
+      s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 3.0) AS INT) AS nc FROM d0),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS j FROM d WHERE nc > 0),
+         |ch AS (SELECT doc_id, j,
+         |         array_to_string(toks[j*3+1 : j*3+3], ' ') AS chunk,
+         |         len(toks[j*3+1 : j*3+3]) AS nch,
+         |         (${polyHashSqlOf("CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 20) < 3 AS masked
+         |       FROM c),
+         |w AS (SELECT *, coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY doc_id ORDER BY j
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+         |      FROM ch),
+         |a AS (SELECT doc_id,
+         |        CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |        CAST(sum(CASE WHEN masked THEN nch ELSE 0 END) AS BIGINT) AS n_masked_tokens,
+         |        string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>' ELSE chunk END, ' ' ORDER BY j) AS input,
+         |        string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>' || ' ' || chunk END, ' ' ORDER BY j) AS target
+         |      FROM w GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         |       coalesce(a.n_spans, 0) AS n_spans,
+         |       coalesce(a.n_masked_tokens, 0) AS n_masked_tokens,
+         |       coalesce(a.input, '') AS input,
+         |       coalesce(a.target, '') AS target
+         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
 
     "x_mm_meta" ->
       """SELECT doc_id,

@@ -215,6 +215,77 @@ object TextAnalysis {
         lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"))
   }
 
+  /** Span-corruption example builder — the T5/UL2 denoising objective's
+    * data prep (Raffel et al. 2020 §3.1.4), in its deterministic
+    * block variant: the token stream is cut into fixed `spanLen` chunks
+    * and chunk j of document d is masked iff
+    * `polyHash31(d + ":" + j) mod noiseDen < noiseNum` (defaults: 3/20
+    * = 15% noise density at mean span length 3 — T5's published
+    * settings). Masked chunks are replaced by consecutive `<extra_id_k>`
+    * sentinels in `input`; `target` is the sentinel-delimited sequence
+    * of the masked-out spans — exactly the (input, target) pair a
+    * denoising trainer consumes. Hash-driven selection instead of RNG
+    * keeps every example reproducible across runs, partitionings, and
+    * engines (the oracle replays the same hash), which is what makes
+    * corpus-scale regeneration and incremental re-runs safe.
+    *
+    * Output: (idCol, n_tokens, n_spans, n_masked_tokens, input,
+    * target); empty docs emit zero counts and empty strings.
+    *
+    * Scale: explode to chunk rows (corpus × 1/spanLen), ONE
+    * doc-partitioned window for the running sentinel index (bounded by
+    * doc length — never a global sort), then a doc-keyed aggregate that
+    * reuses the window's partitioning; assembly is sort-free
+    * (array_sort over the collected chunk structs, each doc-sized).
+    */
+  def spanCorruptionTable(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, noiseNum: Int = 3, noiseDen: Int = 20): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    require(noiseNum > 0 && noiseNum < noiseDen,
+      s"need 0 < noiseNum < noiseDen, got $noiseNum/$noiseDen")
+    import org.apache.spark.sql.expressions.Window
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val toks = tokens(coalesce(graft.ops.Cleaning.qcol(textCol), lit("")))
+    val base = df.select(id.as("__id"), toks.as("__toks"),
+      ceil(size(toks) / lit(spanLen.toDouble)).cast("int").as("__nc"))
+    val chunks = base.filter(col("__nc") > 0)
+      .select(col("__id"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("__j"),
+        col("__toks"))
+      .select(col("__id"), col("__j"),
+        slice(col("__toks"), col("__j") * spanLen + 1, lit(spanLen)).as("__chunk"),
+        (pmod(graft.functions.PortableHash.polyHash31(
+          concat(col("__id").cast("string"), lit(":"), col("__j").cast("string"))),
+          lit(noiseDen.toLong)) < noiseNum).as("__masked"))
+    val w = Window.partitionBy("__id").orderBy("__j")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withK = chunks.withColumn("__k",
+      coalesce(sum(when(col("__masked"), 1L).otherwise(0L)).over(w), lit(0L)))
+    val sentinel = concat(lit("<extra_id_"), col("__k").cast("string"), lit(">"))
+    val chunkStr = array_join(col("__chunk"), " ")
+    val pieces = withK.select(col("__id"), col("__masked"),
+      size(col("__chunk")).cast("long").as("__nch"),
+      struct(col("__j"), when(col("__masked"), sentinel).otherwise(chunkStr).as("__p"))
+        .as("__pi"),
+      when(col("__masked"),
+        struct(col("__j"), concat(sentinel, lit(" "), chunkStr).as("__p"))).as("__pt"))
+    val agged = pieces.groupBy(col("__id")).agg(
+      sum(when(col("__masked"), 1L).otherwise(0L)).as("n_spans"),
+      sum(when(col("__masked"), col("__nch")).otherwise(0L)).as("n_masked_tokens"),
+      array_join(transform(array_sort(collect_list(col("__pi"))), x => x("__p")), " ")
+        .as("input"),
+      array_join(transform(array_sort(collect_list(col("__pt"))), x => x("__p")), " ")
+        .as("target"))
+    base.select(col("__id").as(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(agged.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(graft.ops.Cleaning.qcol(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+        coalesce(col("input"), lit("")).as("input"),
+        coalesce(col("target"), lit("")).as("target"))
+  }
+
   /** Rae et al. 2021's canonical stopword set for the "≥ 2 distinct
     * stopwords" rule. */
   val GopherStopwords: Seq[String] =

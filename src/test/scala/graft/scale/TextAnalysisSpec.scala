@@ -618,6 +618,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((5L, 2L, 0L, "")))
   }
 
+  test("spanCorruptionTable: sentinels consecutive, target reconstructs, empty docs inert") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l"), // 12 tokens -> 4 chunks of 3
+      (2L, ""),
+      (3L, "x y")                       // 2 tokens -> 1 short chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorruptionTable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val (nt, ns, nm, inp, tgt) = got(1L)
+    assert(nt == 12L)
+    // structural invariants (mask positions are hash-determined):
+    // sentinels are consecutive 0..ns-1 and appear in BOTH input and target
+    val sent = (0 until ns.toInt).map(k => s"<extra_id_$k>")
+    sent.foreach { s => assert(inp.contains(s) && tgt.contains(s)) }
+    assert(!inp.contains(s"<extra_id_$ns>"))
+    assert(nm <= nt && (ns == 0L) == (nm == 0L))
+    // splicing target spans back into input sentinels reconstructs the text
+    if (ns > 0) {
+      val spans = tgt.split("<extra_id_\\d+> ").filter(_.nonEmpty).map(_.trim)
+      val rebuilt = sent.zip(spans).foldLeft(inp) { case (acc, (s, sp)) =>
+        acc.replace(s, sp) }
+      assert(rebuilt == "a b c d e f g h i j k l")
+    }
+    assert(got(2L) == ((0L, 0L, 0L, "", "")))
+    val (nt3, ns3, nm3, inp3, tgt3) = got(3L)
+    assert(nt3 == 2L && (if (ns3 == 1L) inp3 == "<extra_id_0>" && tgt3 == "<extra_id_0> x y"
+                         else inp3 == "x y" && tgt3 == ""))
+    assert(nm3 == (if (ns3 == 1L) 2L else 0L))
+  }
+
   test("readabilityTable: counts and the Flesch/FK chains on known prose") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"), // 2 sentences, 6 words, 6 syllables
