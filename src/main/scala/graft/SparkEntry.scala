@@ -1012,6 +1012,16 @@ object SparkEntry {
     // curriculum banding over the unigram-LM score: grid-exact decile
     // assignment with no global sort (score recovered as the exact
     // nano-nat long behind x_text_unigram's 9-dp avg_logp)
+    // CCNet head/middle/tail (Wenzek 2020): per-language LM-score
+    // terciles on the exact nano-nat integer — distinct-score
+    // cumulative window, |langs|-row broadcast boundary frame, then a
+    // narrow row-local compare; nothing sorts the corpus
+    "x_corpus_ppl_buckets" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      graft.scale.Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+    }),
+
     "x_corpus_curriculum" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
@@ -3154,6 +3164,33 @@ object SparkEntry {
     "x_corpus_curriculum" ->
       s"""WITH $curriculumCtes
          |SELECT doc_id, score, band FROM cb""".stripMargin,
+
+    // CCNet terciles: same unigram chain + nano-nat fold, then
+    // value-based boundaries (smallest score whose per-lang cumulative
+    // tie-group count reaches k·n/3) and the same <= compares — the
+    // window's HUGEINT cumulative never reaches the output
+    "x_corpus_ppl_buckets" ->
+      s"""WITH $unigramScoreCtes,
+         |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score_nano
+         |        FROM sc WHERE n_tokens > 0),
+         |wl AS (SELECT d.doc_id, coalesce(CAST(d.lang AS VARCHAR), '') AS lang, s.score_nano
+         |       FROM documents d LEFT JOIN scr s ON d.doc_id = s.doc_id),
+         |cc AS (SELECT lang, score_nano, CAST(count(*) AS BIGINT) AS c
+         |       FROM wl WHERE score_nano IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, score_nano,
+         |          sum(c) OVER (PARTITION BY lang ORDER BY score_nano ROWS UNBOUNDED PRECEDING) AS cm
+         |        FROM cc),
+         |tt2 AS (SELECT lang, sum(c) AS n FROM cc GROUP BY 1),
+         |b AS (SELECT cum.lang,
+         |        min(CASE WHEN cm * 3 >= n THEN score_nano END) AS t1,
+         |        min(CASE WHEN cm * 3 >= 2 * n THEN score_nano END) AS t2
+         |      FROM cum JOIN tt2 ON cum.lang = tt2.lang GROUP BY 1)
+         |SELECT wl.doc_id, wl.lang, wl.score_nano,
+         |       CASE WHEN wl.score_nano IS NULL THEN 'unscored'
+         |            WHEN wl.score_nano <= b.t1 THEN 'tail'
+         |            WHEN wl.score_nano <= b.t2 THEN 'middle'
+         |            ELSE 'head' END AS bucket
+         |FROM wl LEFT JOIN b ON wl.lang = b.lang""".stripMargin,
 
     // curriculum → packing composition: band joins the pack partition
     // (shares the banding CTEs, so both keys provably band identically)

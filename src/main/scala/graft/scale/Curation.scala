@@ -121,4 +121,54 @@ object Curation {
     TextAnalysis.packSequences(joined, idCol, textCol, packBudget, shards,
       extraPartitionCols = Seq("band"), passThroughCols = passThroughCols)
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
+    * each LANGUAGE's documents into head / middle / tail terciles by LM
+    * score — the partition CCNet publishes and downstream corpora
+    * sample from (head = most-fluent third under the reference model;
+    * tail = the third that usually gets dropped or down-weighted).
+    * Scoring is [[TextAnalysis.unigramLogProbTable]]'s exact nano-nat
+    * integer (score_nano), so tercile boundaries and bucket membership
+    * are engine-exact — no float quantile interpolation.
+    *
+    * Boundary definition (value-based, tie-stable): t_k is the
+    * smallest score whose per-language cumulative count reaches
+    * k·n/3 (k = 1, 2); a document buckets `tail` when
+    * score ≤ t1, `middle` when t1 < score ≤ t2, else `head`. Ties
+    * land on one side by construction — equal scores always share a
+    * bucket (the [[graft.ops.Stats.ntileSummary]] convention).
+    * Documents with a null score (zero tokens) emit `unscored`.
+    *
+    * Scale: the boundary pass pre-aggregates to DISTINCT (lang, score)
+    * counts first — the per-language cumulative window runs over tie
+    * groups, not rows (the s3_wquantile shape) — and the boundary
+    * frame is |langs| rows, broadcast back onto a narrow row-local
+    * compare. Nothing sorts the corpus.
+    */
+  def perplexityBuckets(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      ref: DataFrame, refTextCol: String, vocabSize: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val scored = TextAnalysis.unigramLogProbTable(docs, idCol, textCol,
+      ref, refTextCol, vocabSize, scoreNano = true)
+    val withLang = docs.select(id,
+        coalesce(graft.ops.Cleaning.qcol(langCol).cast("string"), lit("")).as("lang"))
+      .join(scored.select(id, col("score_nano")), Seq(idCol))
+    val counts = withLang.filter(col("score_nano").isNotNull)
+      .groupBy(col("lang"), col("score_nano")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("lang").orderBy("score_nano")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = counts.groupBy(col("lang")).agg(sum(col("__c")).as("__n"))
+    val bounds = cum.join(tot, "lang").groupBy(col("lang")).agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("score_nano"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("score_nano"))).as("__t2"))
+    withLang.join(broadcast(bounds), Seq("lang"), "left")
+      .select(id, col("lang"), col("score_nano"),
+        when(col("score_nano").isNull, lit("unscored"))
+          .when(col("score_nano") <= col("__t1"), lit("tail"))
+          .when(col("score_nano") <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
 }

