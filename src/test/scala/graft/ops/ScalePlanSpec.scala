@@ -366,6 +366,72 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(plan).isEmpty)
   }
 
+  test("readabilityTable is a narrow map: no shuffle, no window") {
+    val docs = (0L until 20L).map(i => (i, "The cat sat. The dog ran!"))
+      .toSeq.toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.readabilityTable(docs, "doc_id", "text")
+    val exchanges = collectPlans(plan.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "readability scores are row-local — no shuffle")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("forgetPropagate: both propagation joins broadcast, the corpus never sort-merges") {
+    val clustersDf = (0L until 50L).map(i => (i, i / 5)).toSeq.toDF("id", "cluster")
+    val seeds = Seq(3L, 17L).toDF("id")
+    val plan = graft.scale.Dedup.forgetPropagate(clustersDf, seeds)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "deletion lists are tiny — the corpus-side frame must never sort-merge")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("hardNegatives: anchor side broadcasts, epilogue is the bounded aggregate") {
+    val vecs = (0L until 24L)
+      .map(i => (i, Array.tabulate(4)(j => (i + j).toFloat), (i % 2).toInt)).toSeq
+      .toDF("vec_id", "embedding", "label")
+    val anchors = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("anchor_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+    val plan = graft.scale.Similarity.hardNegatives(
+      vecs, anchors, "vec_id", "embedding", "label", "anchor_id", k = 3)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the anchor batch must broadcast, never a partitioned cartesian")
+    assert(unpartitionedWindows(plan).isEmpty,
+      "per-anchor top-k must be the bounded aggregate, not a corpus-wide window")
+  }
+
+  test("spanCorruptionTable: window and aggregate are doc-partitioned, no cartesian") {
+    val docs = (0L until 30L).map(i => (i, "a b c d e f g h i"))
+      .toSeq.toDF("doc_id", "text")
+    val plan = graft.scale.TextAnalysis.spanCorruptionTable(docs, "doc_id", "text")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(unpartitionedWindows(plan).isEmpty,
+      "the sentinel-index window must partition by document")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("perplexityBuckets: boundary windows partition by language, compare is narrow") {
+    val docs = (0L until 30L).map(i => (i, "aa bb cc", if (i % 2 == 0) "en" else "fr"))
+      .toSeq.toDF("doc_id", "text", "lang")
+    val plan = graft.scale.Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), "text",
+      vocabSize = 100)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(unpartitionedWindows(plan).isEmpty,
+      "the cumulative tercile window must partition by language")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
   test("a persisted classifier model scores without the refit's extra corpus scan") {
     // the fit-once contract (Models.saveHashedClassifier scaladoc):
     // embedding the un-persisted fit in a scoring plan re-reads the
