@@ -1234,6 +1234,13 @@ object SparkEntry {
       TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
         fittedBpe(s, d, merges = 6))),
 
+    // per-language fertility (units/word) and compression (chars/unit)
+    // under the fitted vocabulary — the multilingual tokenizer-equity
+    // audit; one narrow encode pass + a |langs|-row aggregate
+    "x_text_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(T(s, d, "documents"), "doc_id", "text",
+        "lang", fittedBpe(s, d, merges = 6))),
+
     // the flat token stream itself (what a token-id mapping join
     // consumes) — oracle-gates the native BpeTokens expression
     // end-to-end, token by token with positions
@@ -3719,6 +3726,31 @@ object SparkEntry {
          |  CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_units,
          |  CAST(coalesce(list_sum(list_transform(reps, s -> length(s) - 2 * len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_chars
          |FROM f$BpeMergeRounds""".stripMargin,
+
+    // fertility: the encode chain's per-doc stats joined to lang, then
+    // exact long sums (CAST back from DuckDB's HUGEINT widening) and
+    // the identical halfUp-6 ratio chains
+    "x_text_fertility" ->
+      s"""WITH $bpeEncodeCtes,
+         |st AS (SELECT doc_id,
+         |         CAST(len(reps) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_units,
+         |         CAST(coalesce(list_sum(list_transform(reps, s -> length(s) - 2 * len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_chars
+         |       FROM f$BpeMergeRounds),
+         |lj AS (SELECT coalesce(CAST(d.lang AS VARCHAR), '') AS lang,
+         |              st.n_words, st.n_units, st.n_chars
+         |       FROM documents d JOIN st ON d.doc_id = st.doc_id),
+         |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_words) AS BIGINT) AS n_words,
+         |         CAST(sum(n_units) AS BIGINT) AS n_units,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |       FROM lj GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_units, n_chars,
+         |       ${Rounding.halfUpSql(
+                   "CAST(n_units AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END)", 6)} AS fertility,
+         |       ${Rounding.halfUpSql(
+                   "CAST(n_chars AS DOUBLE) / (CASE WHEN n_units > 0 THEN n_units END)", 6)} AS chars_per_unit
+         |FROM ag""".stripMargin,
 
     // flat token stream: flatten the per-word unit lists of the
     // fully-merged representation, position-indexed (generate_subscripts

@@ -1682,6 +1682,40 @@ object TextAnalysis {
         coalesce(col("__s.n_chars"), lit(0L)).as("n_chars"))
   }
 
+  /** Tokenizer fertility audit per language — the multilingual-equity
+    * check every tokenizer paper reports (e.g. ~`units/word` fertility
+    * and `chars/unit` compression): a vocabulary fitted mostly on one
+    * language fragments the others into many short units, silently
+    * taxing their token budget and training signal. Aggregates
+    * [[bpeEncode]]'s per-document stats by the language column:
+    * (lang, n_docs, n_words, n_units, n_chars, fertility,
+    * chars_per_unit), ratios halfUp 6 on exact long sums — engine-exact.
+    *
+    * Scale: one narrow native-encode pass + one |langs|-row hash
+    * aggregate; the lang join is id-keyed. Nothing scales with vocab.
+    */
+  def tokenizerFertility(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val enc = bpeEncode(df, idCol, textCol, merges)
+    df.select(id,
+        coalesce(graft.ops.Cleaning.qcol(langCol).cast("string"), lit("")).as("lang"))
+      .join(enc, Seq(idCol))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_units")).as("n_units"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_units"), col("n_chars"),
+        graft.ops.Rounding.halfUp(
+          col("n_units").cast("double") / when(col("n_words") > 0, col("n_words")), 6)
+          .as("fertility"),
+        graft.ops.Rounding.halfUp(
+          col("n_chars").cast("double") / when(col("n_units") > 0, col("n_units")), 6)
+          .as("chars_per_unit"))
+  }
+
   /** The pre-native encode plan — `merges` nested literal replaces in
     * a single projection. Kept as the executable specification of
     * [[bpeEncode]]'s semantics (it IS the shape the DuckDB oracle

@@ -618,6 +618,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((5L, 2L, 0L, "")))
   }
 
+  test("tokenizerFertility: per-lang units/word and chars/unit on a hand vocabulary") {
+    val df = Seq(
+      (1L, "the the", "en"), // "the" merges to ONE unit -> fertility 1
+      (2L, "cat", "fr")      // no merges apply -> c|a|t, fertility 3
+    ).toDF("doc_id", "text", "lang")
+    val merges = Seq(
+      TextAnalysis.BpeMerge(0, "t", "h", 9),
+      TextAnalysis.BpeMerge(1, "th", "e", 9))
+    val got = TextAnalysis.tokenizerFertility(df, "doc_id", "text", "lang", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("en") == ((1L, 2L, 2L, 6L, 1.0, 3.0)))
+    assert(got("fr") == ((1L, 1L, 3L, 3L, 3.0, 1.0)))
+  }
+
   test("spanCorruptionTable: sentinels consecutive, target reconstructs, empty docs inert") {
     val df = Seq(
       (1L, "a b c d e f g h i j k l"), // 12 tokens -> 4 chunks of 3
