@@ -228,6 +228,16 @@ object SparkEntry {
           .agg(count(lit(1)).as("released_rows")))
     }),
 
+    // l-diversity audit — k-anonymity's blind spot: cells whose
+    // sensitive attribute (acctbal band) takes < 3 distinct values;
+    // one hash aggregate carrying both counts
+    "s10b_ldiversity" -> ((s, d) => {
+      val c = T(s, d, "customer").withColumn("band",
+        floor(col("c_acctbal") / 2000).cast("long"))
+      graft.ops.Privacy.lDiversitySummary(c,
+        Seq("c_nationkey", "c_mktsegment"), "band", l = 3)
+    }),
+
     // --- §2.1 IO roundtrips: each writes the parquet table through
     // graft's own sink, reads it back through graft's own source, and
     // the DuckDB oracle computes the same result straight from parquet —
@@ -2319,6 +2329,20 @@ object SparkEntry {
         |      FROM g),
         |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
         |SELECT * FROM a, r""".stripMargin,
+
+    // l-diversity: same grouped shape with a distinct-count; floor of
+    // an IEEE double division bands identically in both engines
+    "s10b_ldiversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
+        |      FROM b GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(coalesce(sum(CASE WHEN l_distinct < 3 THEN 1 END), 0) AS BIGINT) AS n_risky,
+        |       CAST(coalesce(sum(CASE WHEN l_distinct < 3 THEN n END), 0) AS BIGINT) AS rows_at_risk,
+        |       CAST(min(l_distinct) AS BIGINT) AS min_l
+        |FROM g""".stripMargin,
 
     // IO roundtrips: the Spark side goes parquet → graft sink → graft
     // source; the oracle reads the parquet table directly, so any

@@ -44,4 +44,21 @@ class PrivacySpec extends AnyFunSuite {
     // audit and suppression must agree: release is k-anonymous
     assert(Privacy.kAnonymityRisk(released, Seq("q1", "q2"), k = 3).count() == 0)
   }
+
+  test("lDiversity: uniform-sensitive cells flag risky even when k-safe; nulls don't count") {
+    import spark.implicits._
+    // cell a: 4 rows, all same diagnosis (k-safe at k=3, l-risky at l=2)
+    // cell b: 4 rows, 3 distinct -> safe at l=2
+    // cell c: 2 rows, sensitive all null -> diversity 0, risky
+    val df = Seq(
+      ("a", Some("flu")), ("a", Some("flu")), ("a", Some("flu")), ("a", Some("flu")),
+      ("b", Some("flu")), ("b", Some("cold")), ("b", Some("ache")), ("b", Some("flu")),
+      ("c", None), ("c", None)
+    ).toDF("q", "dx")
+    val risky = Privacy.lDiversityRisk(df, Seq("q"), "dx", l = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(risky == Map("a" -> ((4L, 1L)), "c" -> ((2L, 0L))))
+    val s = Privacy.lDiversitySummary(df, Seq("q"), "dx", l = 2).head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((3L, 2L, 6L, 0L)))
+  }
 }
