@@ -271,4 +271,69 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("forgetPropagate: deletion is cluster-closed and exactly seeds+propagated leave") {
+    val clusterGen = Gen.listOfN(30, Gen.choose(0L, 9L))
+    val seedGen = Gen.listOfN(4, Gen.choose(0L, 34L))
+    samples(Gen.zip(clusterGen, seedGen), 6).foreach { case (cl, seeds) =>
+      val clustersDf = cl.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("id", "cluster")
+      val got = graft.scale.Dedup.forgetPropagate(clustersDf, seeds.toDF("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // every id present exactly once
+      assert(got.map(_._1).sorted.toSeq == (0L until 30L).toSeq)
+      val inCorpusSeeds = seeds.toSet.filter(_ < 30L)
+      // seeds labeled seed; cluster-closure: a cluster is all-kept or all-deleted
+      assert(got.filter(g => inCorpusSeeds.contains(g._1)).forall(_._3 == "seed"))
+      got.groupBy(_._2).values.foreach { members =>
+        val statuses = members.map(_._3).toSet
+        assert(statuses == Set("kept") || !statuses.contains("kept"))
+      }
+      // nothing propagates in a cluster without a seed
+      val seedClusters = got.filter(g => inCorpusSeeds.contains(g._1)).map(_._2).toSet
+      got.filter(_._3 == "propagated").foreach(g => assert(seedClusters.contains(g._2)))
+    }
+  }
+
+  test("spanCorruption: masked+kept token mass partitions the doc on random text") {
+    val wordGen = Gen.listOfN(24, Gen.oneOf("ab", "cde", "f", "ghi", "jklm"))
+    samples(wordGen, 6).zipWithIndex.foreach { case (words, i) =>
+      val df = Seq((i.toLong, words.mkString(" "))).toDF("doc_id", "text")
+      val r = graft.scale.TextAnalysis.spanCorruptionTable(df, "doc_id", "text").head
+      val (nt, ns, nm, inp, tgt) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))
+      assert(nt == words.length.toLong)
+      // kept tokens in input + masked tokens in target == all tokens
+      val sentinelRe = "<extra_id_\\d+>"
+      val keptToks = inp.split("\\s+").filter(t => t.nonEmpty && !t.matches(sentinelRe))
+      val maskedToks = tgt.split("\\s+").filter(t => t.nonEmpty && !t.matches(sentinelRe))
+      assert(keptToks.length + maskedToks.length == nt)
+      assert(maskedToks.length.toLong == nm)
+      assert(ns <= (nt + 2) / 3 && nm <= nt)
+    }
+  }
+
+  test("perplexityBuckets: buckets partition each language; boundaries respect order") {
+    val langGen = Gen.listOfN(36, Gen.oneOf("en", "fr"))
+    val textGen = Gen.listOfN(36, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" ")))
+    samples(Gen.zip(langGen, textGen), 4).foreach { case (ls, ts) =>
+      val df = ls.zip(ts).zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, t, l) }.toDF("doc_id", "text", "lang")
+      val got = graft.scale.Curation.perplexityBuckets(df, "doc_id", "text", "lang",
+          df.filter(col("doc_id") % 2 === 0), "text", vocabSize = 50)
+        .collect().map(r => (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getString(3)))
+      assert(got.length == 36)
+      got.groupBy(_._1).values.foreach { perLang =>
+        val scored = perLang.filter(_._2.isDefined)
+        def scores(b: String) = scored.filter(_._3 == b).map(_._2.get)
+        val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+        if (h.nonEmpty && m.nonEmpty) assert(h.min > m.max)
+        if (m.nonEmpty && t.nonEmpty) assert(m.min > t.max)
+        if (h.nonEmpty && t.nonEmpty) assert(h.min > t.max)
+        assert((h ++ m ++ t).length == scored.length) // partition, no 4th bucket
+      }
+    }
+  }
 }
