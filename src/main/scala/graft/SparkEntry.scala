@@ -421,6 +421,14 @@ object SparkEntry {
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
     }),
 
+    // Z-order layout audit: Morton-interleaved (partkey, suppkey) cut
+    // into 16 Z-buckets — per bucket, the min/max rectangle on BOTH
+    // keys (the file-skipping metadata a z-ordered write would yield);
+    // one narrow projection + a 16-group aggregate
+    "x_layout_zorder" -> ((s, d) =>
+      graft.ops.Layout.zOrderLayoutAudit(T(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", bits = 16, bucketBits = 4)),
+
     "x_distinct_users" -> ((s, d) =>
       T(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))),
@@ -2503,6 +2511,28 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
         |       CAST(0.05 AS DOUBLE) AS rel_tol, TRUE AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Morton key: the closed form Σ (bitᵢ(x) + 2·bitᵢ(y))·4ⁱ — every
+    // operand exact in double (≤ 2³²), so floor/power replay bitwise;
+    // pmod-wrap mirrored as ((v % m) + m) % m
+    "x_layout_zorder" ->
+      """WITH m AS (SELECT l_partkey, l_suppkey,
+        |    ((l_partkey % 65536) + 65536) % 65536 AS xb,
+        |    ((l_suppkey % 65536) + 65536) % 65536 AS yb
+        |  FROM lineitem),
+        |z AS (SELECT l_partkey, l_suppkey,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), i ->
+        |      CAST(((CAST(floor(xb / power(2.0, i)) AS BIGINT) % 2)
+        |        + (CAST(floor(yb / power(2.0, i)) AS BIGINT) % 2) * 2)
+        |        * CAST(power(4.0, i) AS BIGINT) AS BIGINT))), (a, b) -> a + b) AS zv
+        |  FROM m)
+        |SELECT CAST(floor(zv / 268435456) AS BIGINT) AS zbucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+        |       CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+        |       CAST(min(l_suppkey) AS BIGINT) AS min_l_suppkey,
+        |       CAST(max(l_suppkey) AS BIGINT) AS max_l_suppkey
+        |FROM z GROUP BY 1""".stripMargin,
 
     // CMS gate: same contract — top-20 keys by (count desc, key asc),
     // exact counts + constants + pinned TRUE
