@@ -1154,6 +1154,12 @@ object SparkEntry {
           .withColumn("value", floor(col("value") * 100 + 0.5).cast("long")), 30)
         .withColumnRenamed("value_sum", "value_cents")),
 
+    // watermark-sizing audit: per-user event-time lag behind the
+    // arrival-order running max; the summary counts what a 1m/5m/1h
+    // watermark would drop — key-partitioned window, scalar epilogue
+    "x_stream_disorder" -> ((s, d) =>
+      Streams.disorderAudit(T(s, d, "events"), "user_id", "ts", "event_id")),
+
     "x_stream_dedup" -> ((s, d) =>
       Streams.dedupEvents(T(s, d, "events"), Seq("user_id", "event_type", "ts"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
@@ -3551,6 +3557,23 @@ object SparkEntry {
 
     // micros-floor gap arithmetic on both sides (see attributionJoin's
     // scaladoc on nanosecond-source precision)
+    // disorder = lag behind the per-user arrival-order running max of
+    // epoch_us (the unix_micros parity convention); thresholded counts
+    "x_stream_disorder" ->
+      """WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT greatest(0, coalesce(
+        |         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+        |         0)) AS lag_us
+        |      FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(coalesce(sum(CASE WHEN lag_us > 0 THEN 1 END), 0) AS BIGINT) AS n_out_of_order,
+        |       CAST(max(lag_us) AS BIGINT) AS max_disorder_us,
+        |       CAST(coalesce(sum(CASE WHEN lag_us > 60000000 THEN 1 END), 0) AS BIGINT) AS n_late_1m,
+        |       CAST(coalesce(sum(CASE WHEN lag_us > 300000000 THEN 1 END), 0) AS BIGINT) AS n_late_5m,
+        |       CAST(coalesce(sum(CASE WHEN lag_us > 3600000000 THEN 1 END), 0) AS BIGINT) AS n_late_1h
+        |FROM w""".stripMargin,
+
     "x_stream_attrib" ->
       """WITH a AS (SELECT user_id, ts AS from_ts FROM events WHERE event_type = 'click'),
         |b AS (SELECT user_id, ts AS to_ts FROM events WHERE event_type = 'purchase')

@@ -50,6 +50,40 @@ object Streams {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Out-of-orderness audit — the measurement that SIZES a watermark.
+    * Every streaming-state operator here (windowed aggs, dedup,
+    * sessionization, the stream-stream join) trades completeness
+    * against state via its watermark; picking one without measuring
+    * the source's actual disorder is a guess that silently drops late
+    * events. Per event, disorder = how far its event time lags the
+    * maximum event time already ARRIVED on the same key (arrival order
+    * = `arrivalCol`, e.g. the ingest sequence id); the one-row summary
+    * reports how many events a 1-minute / 5-minute / 1-hour watermark
+    * would have dropped, plus the max lag — read it and set the
+    * watermark at the tail you're willing to lose.
+    *
+    * Scale: one key-partitioned running-max window (arrival-ordered
+    * within key — never a global sort) + one scalar aggregate.
+    */
+  def disorderAudit(
+      events: DataFrame, keyCol: String, tsCol: String,
+      arrivalCol: String): DataFrame = {
+    val k = graft.ops.Cleaning.qcol(keyCol)
+    val w = Window.partitionBy(k)
+      .orderBy(graft.ops.Cleaning.qcol(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val us = unix_micros(graft.ops.Cleaning.qcol(tsCol))
+    val lag = greatest(lit(0L), coalesce(max(us).over(w) - us, lit(0L)))
+    events.select(lag.as("__d"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("__d") > 0, 1L)), lit(0L)).as("n_out_of_order"),
+        max(col("__d")).as("max_disorder_us"),
+        coalesce(sum(when(col("__d") > 60000000L, 1L)), lit(0L)).as("n_late_1m"),
+        coalesce(sum(when(col("__d") > 300000000L, 1L)), lit(0L)).as("n_late_5m"),
+        coalesce(sum(when(col("__d") > 3600000000L, 1L)), lit(0L)).as("n_late_1h"))
+  }
+
   /** Exact event dedup, batch form: one row per distinct key tuple.
     * (At-least-once sources — Kafka, retried ingests — make this the
     * first stage of every production event pipeline.)

@@ -21,6 +21,23 @@ class StreamsSpec extends AnyFunSuite {
     .withColumn("event_id", monotonically_increasing_id())
     .withColumn("props", lit("{}"))
 
+  test("disorderAudit: per-key lag vs arrival order, thresholded drop counts") {
+    // arrival order = event_id; user 1 arrives 10:00, 10:20, then 10:05
+    // (15 min late), then 10:18 (2 min late); user 2 is in order. A lag
+    // EXACTLY at a threshold would not drop (watermark keeps the edge).
+    val df = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(20)), (3L, 1L, ts(5)), (4L, 1L, ts(18)),
+      (5L, 2L, ts(7)), (6L, 2L, ts(8))
+    ).toDF("event_id", "user_id", "ts")
+    val r = Streams.disorderAudit(df, "user_id", "ts", "event_id").head
+    assert(r.getLong(0) == 6L)            // n_events
+    assert(r.getLong(1) == 2L)            // the two late user-1 events
+    assert(r.getLong(2) == 15L * 60000000L) // max lag 15 min in micros
+    assert(r.getLong(3) == 2L)            // both lags exceed 1 min
+    assert(r.getLong(4) == 1L)            // only the 15-min one exceeds 5 min
+    assert(r.getLong(5) == 0L)            // nothing exceeds 1 h
+  }
+
   test("batch sessionization: 30-min gap splits sessions") {
     val got = Streams.sessionize(events, 30)
       .select("user_id", "session_seq", "n_events", "value_sum")
