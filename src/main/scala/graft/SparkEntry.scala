@@ -957,6 +957,12 @@ object SparkEntry {
       counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     }),
 
+    // cohort retention matrix: users grouped by first-seen month,
+    // distinct-active counted per month offset — integer month index
+    // (year*12 + month - 1) so both engines derive identical cohorts
+    "x_events_retention" -> ((s, d) =>
+      graft.ops.Cohorts.retentionMatrix(T(s, d, "events"), "user_id", "ts")),
+
     "x_events_props" -> ((s, d) =>
       T(s, d, "events")
         .select(col("event_type"),
@@ -3557,6 +3563,20 @@ object SparkEntry {
 
     // micros-floor gap arithmetic on both sides (see attributionJoin's
     // scaladoc on nanosecond-source precision)
+    // retention: identical integer month math (year*12 + month - 1);
+    // offset 0 carries each cohort's size
+    "x_events_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, min(m) AS cm FROM e GROUP BY 1)
+        |SELECT CAST(floor(cm / 12) AS BIGINT) AS cohort_year,
+        |       CAST(cm % 12 + 1 AS BIGINT) AS cohort_month,
+        |       CAST(e.m - c.cm AS BIGINT) AS offset_months,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // disorder = lag behind the per-user arrival-order running max of
     // epoch_us (the unix_micros parity convention); thresholded counts
     "x_stream_disorder" ->

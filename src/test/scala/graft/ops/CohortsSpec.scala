@@ -1,0 +1,37 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class CohortsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retentionMatrix: cohorts by first month, offsets count distinct actives") {
+    val df = Seq(
+      // user 1: joins Jan, active Jan + Mar
+      (1L, ts("2024-01-05 10:00:00")), (1L, ts("2024-01-20 10:00:00")),
+      (1L, ts("2024-03-02 10:00:00")),
+      // user 2: joins Jan, active Jan only
+      (2L, ts("2024-01-15 10:00:00")),
+      // user 3: joins Feb, active Feb + Mar; year boundary check below
+      (3L, ts("2024-02-01 10:00:00")), (3L, ts("2024-03-30 10:00:00")),
+      // user 4: joins Dec 2023, active Jan 2024 (offset crosses the year)
+      (4L, ts("2023-12-31 23:59:59")), (4L, ts("2024-01-01 00:00:01"))
+    ).toDF("user_id", "ts")
+    val got = Cohorts.retentionMatrix(df, "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      (2024L, 1L, 0L) -> 2L, // Jan cohort: users 1, 2
+      (2024L, 1L, 2L) -> 1L, // user 1 back in March
+      (2024L, 2L, 0L) -> 1L, // Feb cohort: user 3
+      (2024L, 2L, 1L) -> 1L, // user 3 in March
+      (2023L, 12L, 0L) -> 1L, // Dec-2023 cohort: user 4
+      (2023L, 12L, 1L) -> 1L  // user 4 in Jan 2024 — offset spans the year
+    ))
+  }
+}
