@@ -231,6 +231,13 @@ object SparkEntry {
     // l-diversity audit — k-anonymity's blind spot: cells whose
     // sensitive attribute (acctbal band) takes < 3 distinct values;
     // one hash aggregate carrying both counts
+    // winsorized mean: values clamped to the group's exact [p10, p90]
+    // (inverted-CDF, value-based, tie-stable) before the mean — the
+    // robust location estimate; one scan, window over tie groups only
+    "s24_winsorized" -> ((s, d) =>
+      Stats.winsorizedMean(T(s, d, "lineitem"), "l_quantity",
+        Seq("l_returnflag"), lo = 0.1, hi = 0.9)),
+
     "s10b_ldiversity" -> ((s, d) => {
       val c = T(s, d, "customer").withColumn("band",
         floor(col("c_acctbal") / 2000).cast("long"))
@@ -2349,6 +2356,26 @@ object SparkEntry {
         |      FROM g),
         |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
         |SELECT * FROM a, r""".stripMargin,
+
+    // winsorized mean: the same tie-grouped cumulative frame as
+    // s3_wquantile, boundaries by min-past-threshold, clamp·count sums
+    // (integer-valued doubles — exact associative)
+    "s24_winsorized" ->
+      s"""WITH c AS (SELECT l_returnflag, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+         |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         |        sum(c) OVER (PARTITION BY l_returnflag) AS tot FROM c),
+         |b AS (SELECT l_returnflag,
+         |        min(CASE WHEN cum >= 0.1 * tot THEN v END) AS lo,
+         |        min(CASE WHEN cum >= 0.9 * tot THEN v END) AS hi
+         |      FROM w GROUP BY 1),
+         |m AS (SELECT w.l_returnflag, CAST(sum(w.c) AS BIGINT) AS n, b.lo, b.hi,
+         |        sum(greatest(b.lo, least(b.hi, w.v)) * w.c) AS s
+         |      FROM w JOIN b USING (l_returnflag) GROUP BY 1, 3, 4)
+         |SELECT l_returnflag, n, lo, hi,
+         |       ${Rounding.halfUpSql("s / n", 6)} AS winsorized_mean
+         |FROM m""".stripMargin,
 
     // l-diversity: same grouped shape with a distinct-count; floor of
     // an IEEE double division bands identically in both engines

@@ -654,6 +654,56 @@ object Stats {
       .agg(min(col("__v")).as("quantile"))
   }
 
+  /** Winsorized mean per group — the robust location estimate for
+    * heavy-tailed metrics (claim amounts, LTV, latencies): values are
+    * CLAMPED to the group's [lo, hi] quantile boundaries before the
+    * mean, so a fat tail moves the boundary, not the estimate.
+    * Boundaries use the [[weightedQuantile]] inverted-CDF definition on
+    * unit weights (smallest value whose cumulative tie-group count
+    * reaches q·n — value-based, tie-stable, engine-exact); clamping is
+    * value-based too, so equal values always clamp identically.
+    *
+    * Determinism: integral-VALUED inputs (the repo contract — counts,
+    * quantities, cent-scaled money) make the clamped sum exact
+    * associative double arithmetic; the mean is halfUp 6.
+    *
+    * Scale: the same distinct-value pre-aggregation as
+    * [[weightedQuantile]] — the sorted window runs over tie groups,
+    * not rows — and the mean is computed FROM that tie-grouped frame
+    * (clamp(v)·count), so the raw table is scanned exactly once.
+    * Output: (groupCols…, n, lo, hi, winsorized_mean).
+    */
+  def winsorizedMean(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got [$lo, $hi]")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val g = groupCols.map(Cleaning.qcol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(g :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val win = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(win))
+      .withColumn("__tot", sum(col("__c")).over(tot))
+    val bounds = cum.groupBy(groupCols.map(Cleaning.qcol): _*).agg(
+      min(when(col("__cum") >= lit(lo) * col("__tot"), col("__v"))).as("__lo"),
+      min(when(col("__cum") >= lit(hi) * col("__tot"), col("__v"))).as("__hi"))
+    val clamped = greatest(col("__lo"), least(col("__hi"), col("__v")))
+    counts.join(bounds, groupCols)
+      .groupBy(groupCols.map(Cleaning.qcol): _*)
+      .agg(
+        sum(col("__c")).as("n"),
+        first(col("__lo")).as("lo"),
+        first(col("__hi")).as("hi"),
+        Rounding.halfUp(
+          sum(clamped * col("__c")) / sum(col("__c")), 6).as("winsorized_mean"))
+  }
+
   /** Scale-adaptive weighted quantile: route each call to the exact
     * sorted-window pass ([[weightedQuantile]]) or the capacity-bounded
     * sketch aggregate

@@ -171,6 +171,26 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("winsorizedMean: tails clamp to the exact quantile bounds, ties stay together") {
+    // group a: 1..10 -> p10 bound = 1 (cum 1 >= 1), p90 bound = 9;
+    // clamped sum = 1 + 2..9 + 9 = 54 -> mean 5.4
+    val a = (1 to 10).map(v => ("a", v.toDouble))
+    // group b: heavy outlier; 9 ones and one 1000 -> hi bound is 1
+    // (cum 9 >= 9) ... all clamp to 1
+    val b = Seq.fill(9)(("b", 1.0)) :+ (("b", 1000.0))
+    val got = Stats.winsorizedMean((a ++ b).toDF("g", "v"), "v", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((10L, 1.0, 9.0, 5.4)))
+    assert(got("b") == ((10L, 1.0, 1.0, 1.0))) // outlier fully absorbed
+    // stable under repartition (exact integer-valued arithmetic)
+    val again = Stats.winsorizedMean((a ++ b).toDF("g", "v").repartition(7),
+        "v", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == got)
+  }
+
   test("countMinGate: estimates bounded for heavy keys, probe set ranked, nulls skipped") {
     // skewed multiset: key k appears (50 - k) times, plus null rows
     val rows = (0 until 50).flatMap(k => Seq.fill(50 - k)(Option(k.toLong))) ++
