@@ -1053,6 +1053,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
     }),
 
+    // mixture concentration: Gini + HHI of per-source token mass —
+    // the "one source dominates" audit; exact integer numerators via
+    // the rank identity, one |sources|-row bounded window
+    "x_corpus_concentration" -> ((s, d) =>
+      graft.scale.Curation.concentrationReport(T(s, d, "documents"),
+        "source", "text")),
+
     "x_corpus_curriculum" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
@@ -3264,6 +3271,23 @@ object SparkEntry {
     "x_corpus_curriculum" ->
       s"""WITH $curriculumCtes
          |SELECT doc_id, score, band FROM cb""".stripMargin,
+
+    // concentration: rank identity 2*Six - (n+1)*Sx over (mass asc,
+    // source asc) ranks; exact BIGINT numerators, one double division
+    "x_corpus_concentration" ->
+      s"""WITH m AS (SELECT coalesce(CAST(source AS VARCHAR), '') AS g,
+         |             CAST(sum(len($toksSql)) AS BIGINT) AS x
+         |           FROM documents GROUP BY 1),
+         |r AS (SELECT g, x, CAST(row_number() OVER (ORDER BY x ASC, g ASC) AS BIGINT) AS i FROM m),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(i * x) AS BIGINT) AS six, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM r)
+         |SELECT n AS n_groups, sx AS total_tokens,
+         |       ${Rounding.halfUpSql(
+                   "CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)", 6)} AS gini,
+         |       ${Rounding.halfUpSql(
+                   "CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS hhi
+         |FROM a""".stripMargin,
 
     // CCNet terciles: same unigram chain + nano-nat fold, then
     // value-based boundaries (smallest score whose per-lang cumulative

@@ -122,6 +122,55 @@ object Curation {
       extraPartitionCols = Seq("band"), passThroughCols = passThroughCols)
   }
 
+  /** Source-mixture concentration report — the one-row "is this corpus
+    * dangerously dominated by one source?" audit a mixture review runs
+    * before fixing sampling weights: the Gini coefficient and
+    * Herfindahl-Hirschman index of per-source TOKEN mass (documents
+    * mislead — sources differ 100× in doc length). Gini 0 = perfectly
+    * balanced, →1 = one source holds everything; HHI is the
+    * squared-share sum regulators use (≥ 0.25 ≈ highly concentrated).
+    *
+    * Determinism: masses are exact token-count longs; Gini uses the
+    * rank identity Σ(2i−n−1)xᵢ = 2Σi·xᵢ − (n+1)Σx over (mass asc,
+    * source asc) ranks — tied masses contribute identically under any
+    * permutation — so both numerators are exact integer aggregates and
+    * each index is one double division, halfUp 6.
+    *
+    * Scale: one corpus aggregate to |sources| rows, then a window and
+    * scalar fold over that CONFIG-SIZED frame (the documented
+    * bounded-frame window exception — |sources| is tens, never
+    * corpus-sized). Mass squares stay exact longs (order-invariant),
+    * with ANSI overflow as the loud guard past ~3e9 tokens in a single
+    * source — swap that sum to DECIMAL(38) at that scale.
+    */
+  def concentrationReport(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masses = df.groupBy(
+        coalesce(graft.ops.Cleaning.qcol(groupCol).cast("string"), lit("")).as("__g"))
+      .agg(sum(TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)))
+        .cast("long").as("__x"))
+    val ranked = masses.withColumn("__i",
+      row_number().over(Window.orderBy(col("__x").asc, col("__g").asc)).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__i") * col("__x")).as("__six"),
+        // exact long squares: ANSI overflow fails LOUDLY past ~3e9
+        // tokens in one source — swap to DECIMAL(38) there, keeping
+        // the order-invariant integer sum the hash gate needs
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(
+        col("__n").as("n_groups"),
+        col("__sx").as("total_tokens"),
+        graft.ops.Rounding.halfUp(
+          (col("__six") * 2 - (col("__n") + 1) * col("__sx")).cast("double") /
+            (col("__n") * col("__sx")).cast("double"), 6).as("gini"),
+        graft.ops.Rounding.halfUp(
+          col("__sxx").cast("double") /
+            (col("__sx").cast("double") * col("__sx").cast("double")), 6)
+          .as("hhi"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
     * each LANGUAGE's documents into head / middle / tail terciles by LM
     * score — the partition CCNet publishes and downstream corpora

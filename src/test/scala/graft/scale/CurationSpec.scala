@@ -345,6 +345,26 @@ class CurationSpec extends AnyFunSuite {
     assert(mixed == 0L)
   }
 
+  test("concentrationReport: hand-computed Gini/HHI, balance extremes") {
+    // masses 1,2,3 tokens across three sources:
+    // gini = (2*(1*1+2*2+3*3) - 4*6) / (3*6) = (28-24)/18 = 0.222222
+    // hhi  = (1+4+9)/36 = 0.388889
+    val df = Seq(
+      (1L, "a", "s1"), (2L, "a b", "s2"), (3L, "a b c", "s3")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.concentrationReport(df, "source", "text").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.222222 && r.getDouble(3) == 0.388889)
+    // perfectly balanced -> gini 0, hhi 1/n
+    val bal = Seq((1L, "a b", "s1"), (2L, "c d", "s2")).toDF("doc_id", "text", "source")
+    val rb = Curation.concentrationReport(bal, "source", "text").head
+    assert(rb.getDouble(2) == 0.0 && rb.getDouble(3) == 0.5)
+    // total dominance -> gini -> (n-1)/n with a zero-mass source
+    val dom = Seq((1L, "", "s0"), (2L, "a b c d", "s1")).toDF("doc_id", "text", "source")
+    val rd = Curation.concentrationReport(dom, "source", "text").head
+    assert(rd.getDouble(2) == 0.5 && rd.getDouble(3) == 1.0)
+  }
+
   test("perplexityBuckets: per-lang terciles ordered, ties share a bucket, empty doc unscored") {
     // two languages; "aa aa" docs repeat the reference's dominant token
     // (high score), mixed docs score lower, pure-OOV lowest
