@@ -68,6 +68,27 @@ object Layout {
         min(col("__y")).as(s"min_$yCol"), max(col("__y")).as(s"max_$yCol"))
   }
 
+  /** Per-file min/max audit of a WRITTEN dataset — reads back exactly
+    * the statistics a pruning scan uses: one row per physical file with
+    * its row count and each requested column's [min, max]. Run it after
+    * a [[zOrdered]] (or any) write to SEE the rectangles instead of
+    * trusting the layout: tight per-file ranges on every audited column
+    * mean two-sided predicates skip files; a full-width column means
+    * that dimension never prunes. One scan of the audited columns +
+    * one |files|-group aggregate.
+    */
+  def fileStatsAudit(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to audit")
+    val df = spark.read.parquet(path)
+    df.select(input_file_name().as("file") +: cols.map(Cleaning.qcol): _*)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(min(Cleaning.qcol(c)).as(s"min_$c"),
+          max(Cleaning.qcol(c)).as(s"max_$c"))): _*)
+  }
+
   /** Write-side composition: range-partition by the Morton key and
     * sort within partitions, so each output file covers one tight
     * Z-range (the rectangles [[zOrderLayoutAudit]] measures). Returns
