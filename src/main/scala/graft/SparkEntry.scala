@@ -231,6 +231,15 @@ object SparkEntry {
     // l-diversity audit — k-anonymity's blind spot: cells whose
     // sensitive attribute (acctbal band) takes < 3 distinct values;
     // one hash aggregate carrying both counts
+    // two-sample KS drift on the exact integer lattice: did src0 and
+    // src1 draw document lengths from the same distribution? (profile
+    // diffs compare moments; KS compares the whole CDF)
+    "s25_ks_drift" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .withColumn("toklen", TextAnalysis.tokenCount(col("text")))
+      Stats.ksDrift(docs, "toklen", "source", "src0", "src1")
+    }),
+
     // winsorized mean: values clamped to the group's exact [p10, p90]
     // (inverted-CDF, value-based, tie-stable) before the mean — the
     // robust location estimate; one scan, window over tie groups only
@@ -2363,6 +2372,29 @@ object SparkEntry {
         |      FROM g),
         |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
         |SELECT * FROM a, r""".stripMargin,
+
+    // KS: D = max |cumA·nB − cumB·nA| over the distinct-value lattice
+    // (exact integers; DuckDB's HUGEINT widenings cast back), one
+    // double division + the 1.358 large-sample 5% critical compare
+    "s25_ks_drift" ->
+      s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v FROM documents
+         |           WHERE source IN ('src0', 'src1')),
+         |c AS (SELECT v,
+         |        CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS ca,
+         |        CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS cb
+         |      FROM t WHERE v IS NOT NULL GROUP BY 1),
+         |w AS (SELECT *,
+         |        sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb FROM c),
+         |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
+         |d AS (SELECT na, nb,
+         |        CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS dd
+         |      FROM w, tt GROUP BY 1, 2)
+         |SELECT na AS n_a, nb AS n_b,
+         |       ${Rounding.halfUpSql("CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE)", 6)} AS ks,
+         |       (CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE) >
+         |        1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))) AS drifted
+         |FROM d""".stripMargin,
 
     // winsorized mean: the same tie-grouped cumulative frame as
     // s3_wquantile, boundaries by min-past-threshold, clamp·count sums

@@ -654,6 +654,61 @@ object Stats {
       .agg(min(col("__v")).as("quantile"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic — "did this
+    * numeric distribution CHANGE between two slices?" (new crawl vs
+    * old, source A vs source B, this week's lengths vs last week's).
+    * Profile diffs compare summary moments; KS compares the whole
+    * CDF, catching shape changes moments miss.
+    *
+    * Exactness: D = max |cdfA − cdfB| is computed on the integer
+    * lattice — max over distinct values of |cumA·nB − cumB·nA|, an
+    * exact long — and divided by n_a·n_b once at the end (halfUp 6),
+    * so the statistic is order-invariant and engine-exact. The
+    * verdict compares D against the classic large-sample 5% critical
+    * value 1.358·sqrt((n_a+n_b)/(n_a·n_b)).
+    *
+    * Scale: one conditional aggregate to DISTINCT values (map-side
+    * partials), then cumulative sums over that value-lattice frame —
+    * bounded by the number of distinct values, not rows (doc lengths,
+    * quantities, scores: thousands). For a genuinely unbounded
+    * continuous column, band values first (the histogram contract) —
+    * KS on the banded lattice bounds the exact D within one band's
+    * probability mass.
+    */
+  def ksDrift(
+      df: DataFrame, valueCol: String, sliceCol: String,
+      sliceA: String, sliceB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sliceA != sliceB, "slices must differ")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val s = Cleaning.qcol(sliceCol).cast("string")
+    val counts = df.filter(v.isNotNull && (s === sliceA || s === sliceB))
+      .groupBy(v.as("__v"))
+      .agg(
+        coalesce(sum(when(s === sliceA, 1L)), lit(0L)).as("__ca"),
+        coalesce(sum(when(s === sliceB, 1L)), lit(0L)).as("__cb"))
+    val win = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cuma", sum(col("__ca")).over(win))
+      .withColumn("__cumb", sum(col("__cb")).over(win))
+    val tot = counts.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))).as("__d"))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        Rounding.halfUp(
+          col("__d").cast("double") / (col("__na") * col("__nb")).cast("double"), 6)
+          .as("ks"),
+        (col("__d").cast("double") / (col("__na") * col("__nb")).cast("double") >
+          lit(1.358) * sqrt((col("__na") + col("__nb")).cast("double") /
+            (col("__na") * col("__nb")).cast("double"))).as("drifted"))
+  }
+
   /** Winsorized mean per group — the robust location estimate for
     * heavy-tailed metrics (claim amounts, LTV, latencies): values are
     * CLAMPED to the group's [lo, hi] quantile boundaries before the

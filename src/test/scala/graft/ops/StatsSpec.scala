@@ -171,6 +171,26 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("ksDrift: identical slices D=0; disjoint slices D=1; hand case exact") {
+    val same = ((1 to 20).map(v => ("a", v)) ++ (1 to 20).map(v => ("b", v)))
+      .toDF("s", "v")
+    val r0 = Stats.ksDrift(same, "v", "s", "a", "b").head
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2), r0.getBoolean(3)) ==
+      ((20L, 20L, 0.0, false)))
+    val disjoint = ((1 to 10).map(v => ("a", v)) ++ (11 to 20).map(v => ("b", v)))
+      .toDF("s", "v")
+    val r1 = Stats.ksDrift(disjoint, "v", "s", "a", "b").head
+    assert(r1.getDouble(2) == 1.0 && r1.getBoolean(3))
+    // hand case: A={1,2,3,4}, B={3,4,5,6} -> D at v=2: |2*4 - 0*4|/16 = 0.5
+    val hand = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)))
+      .toDF("s", "v")
+    val r2 = Stats.ksDrift(hand, "v", "s", "a", "b").head
+    assert(r2.getDouble(2) == 0.5)
+    // stable under repartition (integer lattice)
+    val again = Stats.ksDrift(hand.repartition(5), "v", "s", "a", "b").head
+    assert(again.getDouble(2) == 0.5 && again.getBoolean(3) == r2.getBoolean(3))
+  }
+
   test("winsorizedMean: tails clamp to the exact quantile bounds, ties stay together") {
     // group a: 1..10 -> p10 bound = 1 (cum 1 >= 1), p90 bound = 9;
     // clamped sum = 1 + 2..9 + 9 = 54 -> mean 5.4
