@@ -231,6 +231,13 @@ object SparkEntry {
     // l-diversity audit — k-anonymity's blind spot: cells whose
     // sensitive attribute (acctbal band) takes < 3 distinct values;
     // one hash aggregate carrying both counts
+    // banded PSI drift (the model-risk 0.25-threshold score) between
+    // src0 and src1 char-length distributions; per-band micro terms
+    // sum exactly, bands from the fixed [0, 600) grid
+    "s26_psi" -> ((s, d) =>
+      Stats.psiSummary(T(s, d, "documents"), "n_chars", "source",
+        "src0", "src1", lo = 0.0, hi = 600.0, nbins = 10)),
+
     // two-sample KS drift on the exact integer lattice: did src0 and
     // src1 draw document lengths from the same distribution? (profile
     // diffs compare moments; KS compares the whole CDF)
@@ -972,6 +979,11 @@ object SparkEntry {
       val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
       counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     }),
+
+    // monthly engagement: active days, MAU, avg DAU, and the DAU/MAU
+    // stickiness ratio — two distinct aggregates, months-sized output
+    "x_events_engagement" -> ((s, d) =>
+      graft.ops.Cohorts.engagement(T(s, d, "events"), "user_id", "ts")),
 
     // cohort retention matrix: users grouped by first-seen month,
     // distinct-active counted per month offset — integer month index
@@ -2373,6 +2385,28 @@ object SparkEntry {
         |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
         |SELECT * FROM a, r""".stripMargin,
 
+    // PSI: identical band grid, epsilon-floored shares, per-band term
+    // floored to micro units — the cross-band total is an exact
+    // integer sum on both engines
+    "s26_psi" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |c AS (SELECT CAST(greatest(0.0, least(9.0, floor((v - 0.0) / 600.0 * 10))) AS INT) AS band,
+        |        CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS n_a,
+        |        CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS n_b
+        |      FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+        |m AS (SELECT band, n_a, n_b,
+        |        CAST(floor((greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) - greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
+        |          * ln(greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) / greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
+        |          * 1e6 + 0.5) AS BIGINT) AS pm
+        |      FROM c, tt)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bands,
+        |       CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
+        |       CAST(sum(pm) AS DOUBLE) / 1e6 AS psi,
+        |       (CAST(sum(pm) AS BIGINT) > 250000) AS drifted
+        |FROM m""".stripMargin,
+
     // KS: D = max |cumA·nB − cumB·nA| over the distinct-value lattice
     // (exact integers; DuckDB's HUGEINT widenings cast back), one
     // double division + the 1.358 large-sample 5% critical compare
@@ -3646,6 +3680,24 @@ object SparkEntry {
 
     // micros-floor gap arithmetic on both sides (see attributionJoin's
     // scaladoc on nanosecond-source precision)
+    // engagement: exact calendar-integer day/month keys, two distinct
+    // counts, halfUp-6 ratios of exact counts
+    "x_events_engagement" ->
+      s"""WITH e AS (SELECT user_id, CAST(year(ts) AS BIGINT) AS y,
+         |             CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d
+         |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |dau AS (SELECT y, m, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+         |        FROM e GROUP BY 1, 2, 3),
+         |mau AS (SELECT y, m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+         |        FROM e GROUP BY 1, 2),
+         |ds AS (SELECT y, m, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(dau) AS BIGINT) AS sdau
+         |       FROM dau GROUP BY 1, 2)
+         |SELECT ds.y AS year, ds.m AS month, ds.n_days, mau.mau,
+         |       ${Rounding.halfUpSql("CAST(sdau AS DOUBLE) / n_days", 6)} AS avg_dau,
+         |       ${Rounding.halfUpSql("CAST(sdau AS DOUBLE) / (n_days * mau)", 6)} AS stickiness
+         |FROM ds JOIN mau ON ds.y = mau.y AND ds.m = mau.m""".stripMargin,
+
     // retention: identical integer month math (year*12 + month - 1);
     // offset 0 carries each cohort's size
     "x_events_retention" ->

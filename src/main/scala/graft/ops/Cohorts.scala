@@ -27,6 +27,43 @@ object Cohorts {
     * swap the epilogue's `countDistinct` for the gated HLL
     * ([[Stats.approxDistinct]]) — same frame, sketch state.
     */
+  /** Monthly engagement summary — DAU/WAU/MAU's one-table form: per
+    * calendar month, the active days, monthly actives (MAU), average
+    * daily actives, and the DAU/MAU stickiness ratio every growth
+    * report leads with. Calendar fields are exact integers, the two
+    * ratios are single double divisions of exact counts (halfUp 6) —
+    * engine-exact.
+    *
+    * Scale: one (day)-keyed distinct aggregate + one (month)-keyed
+    * distinct aggregate; both shuffle user ids once, output is
+    * months-sized. Swap `countDistinct` for the gated HLL at
+    * cardinalities where exact distinct stops being worth it.
+    */
+  def engagement(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val u = Cleaning.qcol(userCol)
+    val ts = Cleaning.qcol(tsCol)
+    val e = events.filter(u.isNotNull && ts.isNotNull)
+      .select(u.as("__u"),
+        year(ts).cast("long").as("__y"), month(ts).cast("long").as("__m"),
+        dayofmonth(ts).cast("long").as("__d"))
+    val dau = e.groupBy(col("__y"), col("__m"), col("__d"))
+      .agg(countDistinct(col("__u")).as("__dau"))
+    val mau = e.groupBy(col("__y"), col("__m"))
+      .agg(countDistinct(col("__u")).as("mau"))
+    dau.groupBy(col("__y"), col("__m"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__dau")).as("__sdau"))
+      .join(mau, Seq("__y", "__m"))
+      .select(
+        col("__y").as("year"), col("__m").as("month"),
+        col("n_days"), col("mau"),
+        Rounding.halfUp(
+          col("__sdau").cast("double") / col("n_days"), 6).as("avg_dau"),
+        Rounding.halfUp(
+          col("__sdau").cast("double") / (col("n_days") * col("mau")), 6)
+          .as("stickiness"))
+  }
+
   def retentionMatrix(
       events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val u = Cleaning.qcol(userCol)

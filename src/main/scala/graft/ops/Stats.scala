@@ -654,6 +654,68 @@ object Stats {
       .agg(min(col("__v")).as("quantile"))
   }
 
+  /** Population Stability Index — the banded drift score model-risk
+    * teams threshold on (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25
+    * drifted): Σ (pA−pB)·ln(pA/pB) over fixed-width value bands.
+    * Complements [[ksDrift]]: KS is the exact all-values statistic,
+    * PSI is the banded industry score whose per-band contributions
+    * a reviewer reads directly (the output keeps them).
+    *
+    * Determinism: band populations are exact integer counts (the
+    * [[histogram]] clamp convention); each band's term is ONE fixed
+    * double expression over two exact ratios, floored to micro units
+    * (the long-moment trick) so the cross-band total is an exact
+    * integer sum — order-invariant, engine-exact. Empty-band ratios
+    * use the standard PSI epsilon (1e-6 share floor) so a vanished
+    * band contributes a large-but-finite term instead of ±∞.
+    *
+    * Scale: one conditional hash aggregate to ≤ nbins rows, then
+    * arithmetic on that band frame. Output: one row per band
+    * (band, n_a, n_b, psi_term_micro) plus the caller sums — or use
+    * [[psiSummary]] for the one-row verdict.
+    */
+  def psiBands(
+      df: DataFrame, valueCol: String, sliceCol: String,
+      sliceA: String, sliceB: String,
+      lo: Double, hi: Double, nbins: Int = 10): DataFrame = {
+    require(nbins > 0 && hi > lo, "need nbins > 0 and hi > lo")
+    require(sliceA != sliceB, "slices must differ")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val s = Cleaning.qcol(sliceCol).cast("string")
+    val raw = floor((v - lo) / (hi - lo) * nbins)
+    val band = greatest(lit(0.0), least(lit((nbins - 1).toDouble), raw)).cast("int")
+    val counts = df
+      .filter(v.isNotNull && !isnan(v) && (s === sliceA || s === sliceB))
+      .groupBy(band.as("band"))
+      .agg(
+        coalesce(sum(when(s === sliceA, 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(s === sliceB, 1L)), lit(0L)).as("n_b"))
+    val tot = counts.agg(
+      coalesce(sum(col("n_a")), lit(0L)).as("__ta"),
+      coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
+    val pa = greatest(col("n_a").cast("double") / col("__ta"), lit(1e-6))
+    val pb = greatest(col("n_b").cast("double") / col("__tb"), lit(1e-6))
+    counts.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_a"), col("n_b"),
+        floor((pa - pb) * log(pa / pb) * 1e6 + 0.5).cast("long")
+          .as("psi_term_micro"))
+  }
+
+  /** One-row PSI verdict over [[psiBands]]: exact micro-unit total,
+    * the double score, and the 0.25 industry threshold. */
+  def psiSummary(
+      df: DataFrame, valueCol: String, sliceCol: String,
+      sliceA: String, sliceB: String,
+      lo: Double, hi: Double, nbins: Int = 10): DataFrame =
+    psiBands(df, valueCol, sliceCol, sliceA, sliceB, lo, hi, nbins)
+      .agg(
+        count(lit(1)).as("n_bands"),
+        sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+        sum(col("psi_term_micro")).as("__m"))
+      .select(col("n_bands"), col("n_a"), col("n_b"),
+        (col("__m").cast("double") / 1e6).as("psi"),
+        (col("__m") > 250000L).as("drifted"))
+
   /** Two-sample Kolmogorov-Smirnov drift statistic — "did this
     * numeric distribution CHANGE between two slices?" (new crawl vs
     * old, source A vs source B, this week's lengths vs last week's).

@@ -10,6 +10,21 @@ class CohortsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("engagement: per-month active days, MAU, avg DAU, stickiness") {
+    val df = Seq(
+      // Jan: day 1 has users {1,2}, day 2 has {1}; MAU = 2
+      (1L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), (1L, ts("2024-01-02 11:00:00")),
+      // Feb: one day, one user
+      (3L, ts("2024-02-10 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Cohorts.engagement(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got((2024L, 1L)) == ((2L, 2L, 1.5, 0.75))) // (2+1)/2 days; /MAU 2
+    assert(got((2024L, 2L)) == ((1L, 1L, 1.0, 1.0)))
+  }
+
   test("retentionMatrix: cohorts by first month, offsets count distinct actives") {
     val df = Seq(
       // user 1: joins Jan, active Jan + Mar

@@ -171,6 +171,22 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("psiSummary: identical slices score 0, shifted slices drift, terms exact micro") {
+    val same = ((1 to 100).map(v => ("a", v)) ++ (1 to 100).map(v => ("b", v)))
+      .toDF("s", "v")
+    val r0 = Stats.psiSummary(same, "v", "s", "a", "b", 0.0, 100.0, 10).head
+    assert(r0.getDouble(3) == 0.0 && !r0.getBoolean(4))
+    // b shifted far right: most mass changes bands -> large PSI
+    val shifted = ((1 to 100).map(v => ("a", v)) ++ (1 to 100).map(v => ("b", v + 60)))
+      .toDF("s", "v")
+    val r1 = Stats.psiSummary(shifted, "v", "s", "a", "b", 0.0, 100.0, 10).head
+    assert(r1.getDouble(3) > 0.25 && r1.getBoolean(4))
+    // stable under repartition (integer band counts + micro-floored terms)
+    val again = Stats.psiSummary(shifted.repartition(7), "v", "s", "a", "b",
+      0.0, 100.0, 10).head
+    assert(again.getDouble(3) == r1.getDouble(3))
+  }
+
   test("ksDrift: identical slices D=0; disjoint slices D=1; hand case exact") {
     val same = ((1 to 20).map(v => ("a", v)) ++ (1 to 20).map(v => ("b", v)))
       .toDF("s", "v")
