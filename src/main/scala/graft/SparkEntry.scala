@@ -887,6 +887,16 @@ object SparkEntry {
       Dedup.clusterSizeCensus(Dedup.clusters(docs, "doc_id", pairs))
     }),
 
+    // threshold sweep: jaccard histogram over the candidate graph run
+    // at a LOW floor (0.05) — the "what would threshold X delete?"
+    // tuning audit; nbands-group aggregate over the pair frame
+    "x_dedup_threshold_sweep" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3,
+        threshold = 0.05, maxBlockSize = NgramBlockCap)
+      Dedup.pairThresholdSweep(pairs, nbands = 10)
+    }),
+
     // right-to-be-forgotten: erasure seeds (every 97th doc id) delete
     // their whole near-dup cluster — the same CC assignment as
     // x_dedup_clusters, then two broadcast joins; the output is the
@@ -1009,6 +1019,11 @@ object SparkEntry {
 
     "x_text_langid" -> ((s, d) =>
       TextAnalysis.langIdTable(T(s, d, "documents"), "doc_id", "text")),
+
+    // lang-ID confusion matrix vs the ground-truth column: WHICH
+    // languages confuse, and where 'und' (no stopword coverage) lands
+    "x_text_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(T(s, d, "documents"), "doc_id", "text", "lang")),
 
     // unigram LM scoring against a trusted slice (doc_id % 3) as the
     // reference model; vocab capped at 1000 so the top-V election
@@ -1420,6 +1435,12 @@ object SparkEntry {
     // centroid-classifier confusion audit: fit per-label centroids,
     // assign every vector to its nearest (squared L2, ties to lowest
     // label), count (true, assigned) pairs — fit + E-step + audit
+    // embedding hygiene: zero-norm count, distinct dims, exact
+    // micro-lattice norm stats per label — run before any cosine stage
+    "x_emb_norms" -> ((s, d) =>
+      graft.scale.Embeddings.normAudit(T(s, d, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     "x_emb_assign" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val cents = graft.scale.Embeddings.groupCentroids(emb, "label", "embedding")
@@ -2076,7 +2097,7 @@ object SparkEntry {
     */
   private val NgramBlockCap = 4096
 
-  private def ngramPairsSqlFrom(src: String): String =
+  private def ngramPairsSqlFrom(src: String, threshold: Double = 0.2): String =
     s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
        |s0 AS (SELECT doc_id,
        |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
@@ -2094,7 +2115,7 @@ object SparkEntry {
        |SELECT DISTINCT id_a, id_b,
        |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
        |FROM p
-       |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin
+       |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold""".stripMargin
 
   /** Unrolled IPF oracle for s4_rake: the same cell/step arithmetic as
     * Raking.ipfCellWeights, with marginal sums spelled out left-to-right
@@ -3317,6 +3338,53 @@ object SparkEntry {
          |       score_de, score_en, score_es, score_fr, score_zh
          |FROM s""".stripMargin
     },
+
+    // confusion matrix: the same stopword-argmax CTEs joined to the
+    // ground-truth lang column
+    "x_text_langid_confusion" -> {
+      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
+        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM t),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN $m = 0 THEN 'und'
+         |             WHEN score_de = $m THEN 'de'
+         |             WHEN score_en = $m THEN 'en'
+         |             WHEN score_es = $m THEN 'es'
+         |             WHEN score_fr = $m THEN 'fr'
+         |             ELSE 'zh' END AS pred_lang
+         |      FROM s)
+         |SELECT coalesce(CAST(d.lang AS VARCHAR), '') AS lang, p.pred_lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d JOIN p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // threshold sweep: the same pair CTE at the 0.05 floor, banded
+    "x_dedup_threshold_sweep" ->
+      s"""WITH pairs AS (${ngramPairsSqlFrom("documents", 0.05)})
+         |SELECT least(9, CAST(floor(jaccard * 10) AS BIGINT)) AS band,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs GROUP BY 1""".stripMargin,
+
+    // norm audit: per-vector left-to-right square fold (the knn-oracle
+    // unnest convention), micro-floored, exact long stats per label
+    "x_emb_norms" ->
+      s"""WITH n AS (SELECT CAST(label AS VARCHAR) AS label, len(embedding) AS dim,
+         |    CAST(floor(sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+         |                     FROM (SELECT unnest(embedding) AS a))) * 1e6 + 0.5) AS BIGINT) AS nm
+         |  FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(coalesce(sum(CASE WHEN nm = 0 THEN 1 END), 0) AS BIGINT) AS n_zero,
+         |       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+         |       CAST(min(nm) AS DOUBLE) / 1e6 AS min_norm,
+         |       ${Rounding.halfUpSql("CAST(sum(nm) AS DOUBLE) / 1e6 / count(*)", 6)} AS mean_norm,
+         |       CAST(max(nm) AS DOUBLE) / 1e6 AS max_norm
+         |FROM n GROUP BY 1""".stripMargin,
 
     // identical model build (top-1000 vocab by (cnt desc, token asc),
     // add-one smoothing) and the identical scaled-long fold: log p is

@@ -674,6 +674,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Similarity-threshold sweep over an EXISTING candidate-pair frame
+    * (any `(id_a, id_b, jaccard)` output — run the pair generator at a
+    * LOW floor first): pairs per similarity band, the histogram that
+    * answers "what does threshold X actually delete?" before anyone
+    * commits to one. The classic tuning read: a bimodal histogram has
+    * a natural cut; mass piling against the floor band means the
+    * generator's floor is already cutting into signal.
+    *
+    * Bands are floor(jaccard·nbands) clamped to the top band — the
+    * jaccard values are exact rationals of integer counts, so banding
+    * is engine-exact. One nbands-group aggregate over the pair frame.
+    */
+  def pairThresholdSweep(pairs: DataFrame, nbands: Int = 10): DataFrame = {
+    require(nbands > 0, s"nbands must be > 0, got $nbands")
+    val band = least(lit((nbands - 1).toLong),
+      floor(col("jaccard") * nbands).cast("long"))
+    pairs.groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Deletion propagation through the near-dup graph — the
     * right-to-be-forgotten pass a 100 TB corpus needs: a takedown /
     * erasure request names SEED documents, but near-verbatim copies of

@@ -33,6 +33,39 @@ object Embeddings {
     * the driver's oracle can hash (array columns are not hashable by
     * the compare harness).
     */
+  /** Embedding hygiene audit per label — run BEFORE any cosine-based
+    * pipeline stage: zero-norm vectors poison cosine (the library's
+    * zero-guard maps them to similarity 0, silently), ragged
+    * dimensions break every fold, and a label whose norms collapse
+    * toward 0 usually means a broken encoder batch. Per label:
+    * vector count, zero-norm count, DISTINCT dimension count (1 is
+    * healthy), and min/mean/max L2 norm.
+    *
+    * Determinism: each vector's norm is one fixed left-to-right fold
+    * (array order), floored to micro units; min/mean/max run on the
+    * exact micro longs, so the audit is partition- and engine-exact.
+    * One narrow pass + a |labels|-group aggregate.
+    */
+  def normAudit(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val normMicro = floor(
+      sqrt(aggregate(v, lit(0.0d), (acc, x) =>
+        acc + x.cast("double") * x.cast("double"))) * 1e6 + 0.5).cast("long")
+    df.filter(v.isNotNull)
+      .select(graft.ops.Cleaning.qcol(labelCol).cast("string").as("label"),
+        size(v).as("__dim"), normMicro.as("__nm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        coalesce(sum(when(col("__nm") === 0L, 1L)), lit(0L)).as("n_zero"),
+        countDistinct(col("__dim")).as("n_dims_distinct"),
+        (min(col("__nm")).cast("double") / 1e6).as("min_norm"),
+        graft.ops.Rounding.halfUp(
+          sum(col("__nm")).cast("double") / 1e6 / count(lit(1)), 6).as("mean_norm"),
+        (max(col("__nm")).cast("double") / 1e6).as("max_norm"))
+  }
+
   def quantizeInt8Table(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)

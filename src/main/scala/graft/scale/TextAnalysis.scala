@@ -88,6 +88,22 @@ object TextAnalysis {
     df.select((graft.ops.Cleaning.qcol(idCol) +: langId(t).as("pred_lang") +: scoreCols): _*)
   }
 
+  /** Language-ID confusion matrix vs a ground-truth column — the
+    * classifier audit that decides whether the heuristic is good
+    * enough to route on: one row per (true lang, predicted lang) with
+    * the document count. Off-diagonal mass shows WHICH languages
+    * confuse (not just an accuracy scalar), and the `und` column shows
+    * where the stopword lists have no coverage. One narrow prediction
+    * pass + a |langs|²-group aggregate.
+    */
+  def langIdConfusion(
+      df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame =
+    df.select(
+        coalesce(graft.ops.Cleaning.qcol(langCol).cast("string"), lit("")).as("lang"),
+        langId(graft.ops.Cleaning.qcol(textCol)).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Quality metrics per document — length, punctuation/digit/whitespace
     * ratios, English-stopword ratio, and a boolean keep-flag with fixed
     * thresholds. All ratios are exact-integer divisions (deterministic

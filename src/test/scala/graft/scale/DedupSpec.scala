@@ -591,6 +591,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(60L))       // all-null cluster elects nobody
   }
 
+  test("pairThresholdSweep: jaccard histogram bands, top band clamps 1.0") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.05), (3L, 4L, 0.14), (5L, 6L, 0.95), (7L, 8L, 1.0), (9L, 10L, 0.5)
+    ).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.pairThresholdSweep(pairs, nbands = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 5L -> 1L, 9L -> 2L)) // 1.0 clamps to band 9
+  }
+
   test("forgetPropagate: seeds delete their whole cluster, audited by status") {
     import spark.implicits._
     val clustersDf = Seq(

@@ -150,4 +150,20 @@ class EmbeddingsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
     assert(viaPlus == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> -1))
   }
+
+  test("normAudit: zero vectors counted, ragged dims flagged, exact micro norms") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f), 0),        // norm 5
+      (2L, Array(0.0f, 0.0f), 0),        // zero vector
+      (3L, Array(6.0f, 8.0f), 1),        // norm 10
+      (4L, Array(1.0f, 0.0f, 0.0f), 1)   // ragged: dim 3 in label 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = Embeddings.normAudit(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("0") == ((2L, 1L, 1L, 0.0, 2.5, 5.0)))
+    assert(got("1") == ((2L, 0L, 2L, 1.0, 5.5, 10.0))) // ragged -> 2 distinct dims
+  }
 }

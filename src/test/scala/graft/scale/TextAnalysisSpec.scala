@@ -618,6 +618,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((5L, 2L, 0L, "")))
   }
 
+  test("langIdConfusion: diagonal for clean text, off-diagonal and und placed") {
+    val df = Seq(
+      (1L, "the cat is of the dog", "en"),  // en predicted en
+      (2L, "el que la de y los", "es"),     // es predicted es
+      (3L, "el que la de y los", "en"),     // mislabeled: lands (en, es)
+      (4L, "zzz qqq xxx", "fr"),            // no stopword hits -> und
+      (5L, "the cat", null)                 // null truth -> '' row
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdConfusion(df, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("en", "en") -> 1L, ("es", "es") -> 1L, ("en", "es") -> 1L,
+      ("fr", "und") -> 1L, ("", "en") -> 1L))
+  }
+
   test("tokenizerFertility: per-lang units/word and chars/unit on a hand vocabulary") {
     val df = Seq(
       (1L, "the the", "en"), // "the" merges to ONE unit -> fertility 1
