@@ -990,6 +990,13 @@ object SparkEntry {
       counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
     }),
 
+    // SCD-2: per-user event_type runs as validity intervals — change
+    // points via lag, closed by lead, open-ended current row; two
+    // user-partitioned windows, change-point-sized output
+    "x_events_scd2" -> ((s, d) =>
+      graft.ops.Cohorts.scd2Intervals(T(s, d, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
     // monthly engagement: active days, MAU, avg DAU, and the DAU/MAU
     // stickiness ratio — two distinct aggregates, months-sized output
     "x_events_engagement" -> ((s, d) =>
@@ -3748,6 +3755,21 @@ object SparkEntry {
 
     // micros-floor gap arithmetic on both sides (see attributionJoin's
     // scaladoc on nanosecond-source precision)
+    // SCD-2: same lag/lead change-point chain on epoch micros;
+    // IS NOT DISTINCT FROM mirrors Spark's null-safe <=>
+    "x_events_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(event_type AS VARCHAR) AS v,
+        |             epoch_us(ts) AS us, event_id
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT *, lag(v) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, v, us, event_id FROM c
+        |       WHERE NOT (v IS NOT DISTINCT FROM prev))
+        |SELECT user_id, v AS event_type,
+        |       CAST(us AS BIGINT) AS valid_from_us,
+        |       CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS valid_to_us
+        |FROM ch""".stripMargin,
+
     // engagement: exact calendar-integer day/month keys, two distinct
     // counts, halfUp-6 ratios of exact counts
     "x_events_engagement" ->

@@ -27,6 +27,46 @@ object Cohorts {
     * swap the epilogue's `countDistinct` for the gated HLL
     * ([[Stats.approxDistinct]]) — same frame, sketch state.
     */
+  /** SCD-2 interval build — collapse an event stream into the
+    * slowly-changing-dimension form a warehouse serves: one row per
+    * (key, value) RUN with its validity interval, instead of one row
+    * per event. Consecutive events with the SAME value merge; a value
+    * change closes the previous interval at the new event's timestamp
+    * and opens the next; the latest interval per key stays open
+    * (`valid_to_us` null) — the standard "current row" convention.
+    * Ordering is (ts, arrival id) so simultaneous events resolve
+    * deterministically; timestamps surface as epoch micros (the
+    * engine-parity convention for event time).
+    *
+    * Scale: two key-partitioned windows (lag to find change points,
+    * lead to close intervals) over the events of ONE key at a time —
+    * never a global sort; output is change-point-sized, not
+    * event-sized.
+    */
+  def scd2Intervals(
+      events: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, arrivalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Cleaning.qcol(keyCol)
+    val ts = Cleaning.qcol(tsCol)
+    val byTime = Window.partitionBy(col("__k"))
+      .orderBy(col("__us"), col("__arr"))
+    val e = events.filter(k.isNotNull && ts.isNotNull)
+      .select(k.as("__k"),
+        Cleaning.qcol(valueCol).cast("string").as("__v"),
+        unix_micros(ts).as("__us"),
+        Cleaning.qcol(arrivalCol).as("__arr"))
+    val changes = e
+      .withColumn("__prev", lag(col("__v"), 1).over(byTime))
+      // null-safe: the first event is always a change point, and a
+      // null value differs from a non-null previous (and vice versa)
+      .filter(!(col("__v") <=> col("__prev")))
+    changes
+      .withColumn("__next_us", lead(col("__us"), 1).over(byTime))
+      .select(col("__k").as(keyCol), col("__v").as(valueCol),
+        col("__us").as("valid_from_us"), col("__next_us").as("valid_to_us"))
+  }
+
   /** Monthly engagement summary — DAU/WAU/MAU's one-table form: per
     * calendar month, the active days, monthly actives (MAU), average
     * daily actives, and the DAU/MAU stickiness ratio every growth

@@ -10,6 +10,32 @@ class CohortsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("scd2Intervals: runs merge, changes close intervals, current row open") {
+    val df = Seq(
+      // user 1: A, A, B, A -> three intervals
+      (1L, 1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "A", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "B", ts("2024-01-01 12:00:00")),
+      (4L, 1L, "A", ts("2024-01-01 13:00:00")),
+      // user 2: single event -> one open interval
+      (5L, 2L, "C", ts("2024-01-01 10:30:00")),
+      // user 3: simultaneous ts resolves by arrival id (B then A)
+      (6L, 3L, "B", ts("2024-01-01 10:00:00")),
+      (7L, 3L, "A", ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    def us(s: String) = ts(s).getTime * 1000L
+    val got = Cohorts.scd2Intervals(df, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "A", us("2024-01-01 10:00:00"), us("2024-01-01 12:00:00")),
+      (1L, "B", us("2024-01-01 12:00:00"), us("2024-01-01 13:00:00")),
+      (1L, "A", us("2024-01-01 13:00:00"), -1L),
+      (2L, "C", us("2024-01-01 10:30:00"), -1L),
+      (3L, "B", us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00")),
+      (3L, "A", us("2024-01-01 10:00:00"), -1L)))
+  }
+
   test("engagement: per-month active days, MAU, avg DAU, stickiness") {
     val df = Seq(
       // Jan: day 1 has users {1,2}, day 2 has {1}; MAU = 2
