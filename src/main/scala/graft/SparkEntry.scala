@@ -1027,6 +1027,13 @@ object SparkEntry {
     "x_text_langid" -> ((s, d) =>
       TextAnalysis.langIdTable(T(s, d, "documents"), "doc_id", "text")),
 
+    // vocab coverage curve: token mass covered by the top-k vocabulary
+    // at candidate sizes — OOV(k) = 1 - coverage(k); TakeOrdered head
+    // + cumulative window over the bounded top frame
+    "x_text_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(T(s, d, "documents"), "text",
+        ks = Seq(100, 1000, 10000))),
+
     // lang-ID confusion matrix vs the ground-truth column: WHICH
     // languages confuse, and where 'und' (no stopword coverage) lands
     "x_text_langid_confusion" -> ((s, d) =>
@@ -1216,6 +1223,13 @@ object SparkEntry {
       Streams.sessionize(T(s, d, "events")
           .withColumn("value", floor(col("value") * 100 + 0.5).cast("long")), 30)
         .withColumnRenamed("value_sum", "value_cents")),
+
+    // funnel latency: exact p50/p90/max seconds from click to purchase
+    // over the attribution pairs — the gap-bounded seconds lattice
+    // keeps the quantile window frame ≤ gap·60 rows
+    "x_stream_ttc" -> ((s, d) =>
+      Streams.timeToConvert(T(s, d, "events"), "click", "purchase",
+        gapMinutes = 30)),
 
     // watermark-sizing audit: per-user event-time lag behind the
     // arrival-order running max; the summary counts what a 1m/5m/1h
@@ -3346,6 +3360,21 @@ object SparkEntry {
          |FROM s""".stripMargin
     },
 
+    // coverage: same (cnt desc, token asc) vocab election, cumulative
+    // over the rank<=max(k) head, k probes joined against it
+    "x_text_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM c),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rk FROM c),
+         |cm AS (SELECT rk, sum(cnt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM r WHERE rk <= 10000),
+         |kk AS (SELECT unnest([CAST(100 AS BIGINT), 1000, 10000]) AS k)
+         |SELECT kk.k, CAST(max(cm.cum) AS BIGINT) AS covered_tokens,
+         |       ${Rounding.halfUpSql("CAST(max(cm.cum) AS DOUBLE) / total", 6)} AS coverage
+         |FROM kk JOIN cm ON cm.rk <= kk.k, tt
+         |GROUP BY kk.k, tt.total""".stripMargin,
+
     // confusion matrix: the same stopword-argmax CTEs joined to the
     // ground-truth lang column
     "x_text_langid_confusion" -> {
@@ -3801,6 +3830,24 @@ object SparkEntry {
         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // ttc: the attribution pair deltas floored to seconds, then the
+    // min-past-threshold quantile chain on the bounded lattice
+    "x_stream_ttc" ->
+      """WITH a AS (SELECT user_id, ts AS from_ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts AS to_ts FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT CAST(floor(CAST(epoch_us(b.to_ts) - epoch_us(a.from_ts) AS DOUBLE) / 1000000.0) AS BIGINT) AS d
+        |      FROM a JOIN b ON a.user_id = b.user_id
+        |        AND epoch_us(b.to_ts) - epoch_us(a.from_ts) > 0
+        |        AND epoch_us(b.to_ts) - epoch_us(a.from_ts) <= 1800000000),
+        |c AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+        |w AS (SELECT *, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM c)
+        |SELECT n AS n_pairs,
+        |       CAST(min(CASE WHEN cum * 2 >= n THEN d END) AS BIGINT) AS p50_s,
+        |       CAST(min(CASE WHEN cum * 10 >= n * 9 THEN d END) AS BIGINT) AS p90_s,
+        |       CAST(max(d) AS BIGINT) AS max_s
+        |FROM w, tt GROUP BY n""".stripMargin,
 
     // disorder = lag behind the per-user arrival-order running max of
     // epoch_us (the unix_micros parity convention); thresholded counts

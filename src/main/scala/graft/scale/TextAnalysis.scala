@@ -88,6 +88,46 @@ object TextAnalysis {
     df.select((graft.ops.Cleaning.qcol(idCol) +: langId(t).as("pred_lang") +: scoreCols): _*)
   }
 
+  /** Vocabulary coverage curve — the "how big must the vocab be?"
+    * audit that sizes a tokenizer before anyone trains one: for each
+    * candidate size k, what fraction of the corpus's token mass the
+    * top-k tokens (count desc, token asc — the deterministic vocab
+    * election every scorer here uses) would cover. OOV rate at size k
+    * is 1 − coverage(k); the curve's knee is the economic vocab size.
+    *
+    * Scale: one explode + token hash-aggregate (vocab-sized), a
+    * TakeOrdered max(k) head — a bounded top-N heap, never a sort of
+    * the full vocabulary — and a cumulative window over that BOUNDED
+    * frame; the k probes join against ≤ max(k) rows. Counts are exact
+    * longs; coverage is one double division, halfUp 6.
+    */
+  def vocabCoverage(
+      df: DataFrame, textCol: String, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
+    val counts = df
+      .select(explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(coalesce(sum(col("__cnt")), lit(0L)).as("__total"))
+    val top = counts.orderBy(desc("__cnt"), asc("__t")).limit(ks.max)
+    val w = Window.orderBy(desc("__cnt"), asc("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = top
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(desc("__cnt"), asc("__t"))).cast("long"))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+    val spark = df.sparkSession
+    import spark.implicits._
+    ks.sorted.map(_.toLong).toDF("k")
+      .join(ranked, col("__rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("__cum")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_tokens"),
+        graft.ops.Rounding.halfUp(
+          col("covered_tokens").cast("double") / col("__total"), 6).as("coverage"))
+  }
+
   /** Language-ID confusion matrix vs a ground-truth column — the
     * classifier audit that decides whether the heuristic is good
     * enough to route on: one row per (true lang, predicted lang) with

@@ -186,6 +186,37 @@ object Streams {
       .select(col("user_id"), col("from_ts"), col("to_ts"))
   }
 
+  /** Time-to-convert distribution over the [[attributionJoin]] pairs —
+    * the funnel-latency read ("how long after a click does the
+    * purchase land?") that sizes retargeting windows and the
+    * attribution gap itself: n pairs, exact p50/p90, and max, in
+    * SECONDS. Flooring deltas to seconds is what makes this
+    * scale-exact: the value lattice is bounded by the gap (≤
+    * gapMinutes·60 distinct values), so the quantile pass is a tie
+    * aggregate + a window over a BOUNDED frame — never a sort of the
+    * pair set. Quantiles use the inverted-CDF min-past-threshold
+    * definition (the [[graft.ops.Stats.weightedQuantile]] contract).
+    */
+  def timeToConvert(
+      events: DataFrame, fromType: String, toType: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val pairs = attributionJoin(events, fromType, toType, gapMinutes)
+    val deltaS = floor((unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
+      .cast("double") / 1000000.0).cast("long")
+    val counts = pairs.select(deltaS.as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        first(col("__n")).as("n_pairs"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__d"))).as("p50_s"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("__d"))).as("p90_s"),
+        max(col("__d")).as("max_s"))
+  }
+
   /** Streaming form: both sides watermarked, so the join state the
     * runtime buffers is bounded by watermark + gap (left rows older
     * than the horizon can never match a new right row and are evicted).

@@ -618,6 +618,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((5L, 2L, 0L, "")))
   }
 
+  test("vocabCoverage: cumulative mass at each k, small-vocab clamp") {
+    // counts: aa=4, bb=2, cc=1 -> total 7
+    val df = Seq((1L, "aa aa bb"), (2L, "aa aa bb cc")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", ks = Seq(1, 2, 10))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.571429)))
+    assert(got(2L) == ((6L, 0.857143)))
+    assert(got(10L) == ((7L, 1.0))) // k beyond vocab covers everything
+  }
+
   test("langIdConfusion: diagonal for clean text, off-diagonal and und placed") {
     val df = Seq(
       (1L, "the cat is of the dog", "en"),  // en predicted en

@@ -38,6 +38,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 0L)            // nothing exceeds 1 h
   }
 
+  test("timeToConvert: exact p50/p90 seconds on the gap-bounded lattice") {
+    // user 1: click at 10:00, purchases at +2min, +10min, +20min
+    val df = Seq(
+      (1L, ts(0), "click", 0.0),
+      (1L, ts(2), "purchase", 1.0),
+      (1L, ts(10), "purchase", 1.0),
+      (1L, ts(20), "purchase", 1.0),
+      (2L, ts(5), "click", 0.0) // no purchase -> contributes nothing
+    ).toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("props", lit("{}"))
+    val r = Streams.timeToConvert(df, "click", "purchase", gapMinutes = 30).head
+    // deltas: 120, 600, 1200 s -> p50 = 600 (cum 2*2 >= 3), p90 = 1200
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 600L, 1200L, 1200L)))
+  }
+
   test("batch sessionization: 30-min gap splits sessions") {
     val got = Streams.sessionize(events, 30)
       .select("user_id", "session_seq", "n_events", "value_sum")
