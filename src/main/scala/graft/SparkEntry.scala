@@ -259,6 +259,12 @@ object SparkEntry {
     // l-diversity audit — k-anonymity's blind spot: cells whose
     // sensitive attribute (acctbal band) takes < 3 distinct values;
     // one hash aggregate carrying both counts
+    // Neyman allocation: split a 1000-interview budget across return
+    // flags by N_h·S_h — exact cent moments, sorted-order weight fold
+    "s27_neyman" -> ((s, d) =>
+      Stats.neymanAllocation(T(s, d, "lineitem"), "l_quantity",
+        "l_returnflag", budget = 1000L)),
+
     // banded PSI drift (the model-risk 0.25-threshold score) between
     // src0 and src1 char-length distributions; per-band micro terms
     // sum exactly, bands from the fixed [0, 600) grid
@@ -2441,6 +2447,27 @@ object SparkEntry {
         |      FROM g),
         |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
         |SELECT * FROM a, r""".stripMargin,
+
+    // Neyman: exact cent moments, the identical S_h double chain, and
+    // the weight total as an EXPLICIT ordered left fold (list_reduce
+    // over list(wh ORDER BY stratum) — the Scala foldLeft association)
+    "s27_neyman" ->
+      """WITH m AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
+        |        CAST(count(*) AS BIGINT) AS nh,
+        |        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        |        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |               * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+        |      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |w AS (SELECT stratum, nh,
+        |        nh * sqrt(greatest(CAST(s2 AS DOUBLE) / nh
+        |          - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh), 0.0)) AS wh
+        |      FROM m),
+        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(wh ORDER BY stratum)), (a, b) -> a + b) AS totw FROM w)
+        |SELECT stratum, nh,
+        |       CASE WHEN totw > 0 THEN floor(wh / totw * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS share,
+        |       CAST(CASE WHEN totw > 0 THEN floor(1000 * wh / totw + 0.5) ELSE 0 END AS BIGINT) AS alloc
+        |FROM w, t""".stripMargin,
 
     // PSI: identical band grid, epsilon-floored shares, per-band term
     // floored to micro units — the cross-band total is an exact

@@ -654,6 +654,66 @@ object Stats {
       .agg(min(col("__v")).as("quantile"))
   }
 
+  /** Neyman optimal allocation — the survey-design answer to "how do I
+    * split a sample budget across strata?": n_h ∝ N_h·S_h, so big AND
+    * variable strata get the samples, and a zero-variance stratum gets
+    * none (one observation already tells its whole story — the
+    * textbook result, surfaced rather than hidden). Pairs with the
+    * rim-weighting/neff machinery ([[graft.bht.Raking]]) as the design
+    * step that runs BEFORE fieldwork.
+    *
+    * Determinism: per-stratum moments are exact cent-scaled longs (one
+    * hash aggregate; ANSI overflow guards the square sum — swap to
+    * DECIMAL(38) for currency-scale values at extreme row counts);
+    * each S_h is a fixed double chain over those exact longs, and the
+    * weight total folds left-to-right in SORTED stratum order — the
+    * identical association an ordered-window cumulative produces, so
+    * the oracle replays every bit. Allocations round half-up.
+    *
+    * Scale: one aggregate to |strata| rows (driver-capped at 10k —
+    * a stratification wider than that is a key, not a design).
+    */
+  def neymanAllocation(
+      df: DataFrame, valueCol: String, stratumCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val cents = floor(v * 100 + 0.5).cast("long")
+    val m = df.filter(v.isNotNull)
+      .groupBy(Cleaning.qcol(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("nh"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+      .collect()
+    require(m.length <= 10000,
+      s"${m.length} strata — a stratification this wide is a key, not a design")
+    val rows = m.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val whs = rows.map { case (_, nh, s1, s2) =>
+      val mean = s1.toDouble / nh
+      val variance = s2.toDouble / nh - mean * mean
+      nh * math.sqrt(math.max(variance, 0.0))
+    }
+    val totW = whs.foldLeft(0.0)(_ + _)
+    val out = rows.zip(whs).map { case ((st, nh, _, _), wh) =>
+      val alloc =
+        if (totW > 0) math.floor(budget * wh / totW + 0.5).toLong else 0L
+      val share =
+        if (totW > 0) math.floor(wh / totW * 1e6 + 0.5) / 1e6 else 0.0
+      org.apache.spark.sql.Row(st, nh, share, alloc)
+    }
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(out.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stratum",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nh",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("share",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("alloc",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Population Stability Index — the banded drift score model-risk
     * teams threshold on (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25
     * drifted): Σ (pA−pB)·ln(pA/pB) over fixed-width value bands.

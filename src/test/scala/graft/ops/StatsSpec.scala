@@ -171,6 +171,22 @@ class StatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("neymanAllocation: n_h*S_h proportional split, zero-variance stratum gets none") {
+    // stratum a: values {0, 20} x 50 rows -> sd 10, nh 100, wh 1000
+    // stratum b: constant 5 -> sd 0, wh 0
+    // stratum c: values {0, 10} x 25 rows -> sd 5, nh 50, wh 250
+    val df = ((1 to 50).flatMap(_ => Seq(("a", 0.0), ("a", 20.0))) ++
+      (1 to 30).map(_ => ("b", 5.0)) ++
+      (1 to 25).flatMap(_ => Seq(("c", 0.0), ("c", 10.0))))
+      .toDF("s", "v")
+    val got = Stats.neymanAllocation(df, "v", "s", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("a") == ((100L, 0.8, 800L)))
+    assert(got("b") == ((30L, 0.0, 0L)))
+    assert(got("c") == ((50L, 0.2, 200L)))
+  }
+
   test("psiSummary: identical slices score 0, shifted slices drift, terms exact micro") {
     val same = ((1 to 100).map(v => ("a", v)) ++ (1 to 100).map(v => ("b", v)))
       .toDF("s", "v")
