@@ -265,6 +265,20 @@ object SparkEntry {
       Stats.neymanAllocation(T(s, d, "lineitem"), "l_quantity",
         "l_returnflag", budget = 1000L)),
 
+    // shape profile: skewness + excess kurtosis per return flag from
+    // exact BIGINT power sums — one hash aggregate, halfUp-6 outputs
+    "s28_moments" -> ((s, d) =>
+      Stats.momentsByGroup(T(s, d, "lineitem"), "l_quantity",
+        Seq("l_returnflag"))),
+
+    // t-closeness audit — l-diversity's blind spot: cells whose
+    // acctbal-band distribution sits EMD > 0.25 from the population's;
+    // exact integer cumulative cross-multiply on a dense band grid
+    "s10c_tcloseness" -> ((s, d) =>
+      graft.ops.Privacy.tClosenessSummary(T(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+        lo = -1000.0, hi = 10000.0, nbins = 10, t = 0.25)),
+
     // banded PSI drift (the model-risk 0.25-threshold score) between
     // src0 and src1 char-length distributions; per-band micro terms
     // sum exactly, bands from the fixed [0, 600) grid
@@ -2468,6 +2482,77 @@ object SparkEntry {
         |       CASE WHEN totw > 0 THEN floor(wh / totw * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS share,
         |       CAST(CASE WHEN totw > 0 THEN floor(1000 * wh / totw + 0.5) ELSE 0 END AS BIGINT) AS alloc
         |FROM w, t""".stripMargin,
+
+    // Moments: the identical integer lattice, exact BIGINT power sums,
+    // and the same left-associated central-moment double chain;
+    // m2*sqrt(m2) (not pow 1.5) so both engines hit IEEE primitives
+    "s28_moments" ->
+      """WITH v AS (SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+        |        CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+        |      FROM lineitem WHERE l_quantity IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |        CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |        CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, CAST(s1 AS DOUBLE) / n AS mean,
+        |        CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
+        |        CAST(s4 AS DOUBLE) / n AS r4
+        |      FROM m),
+        |c AS (SELECT l_returnflag, n, mean,
+        |        greatest(r2 - mean * mean, 0.0) AS m2,
+        |        r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |        r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |          - 3.0 * mean * mean * mean * mean AS m4
+        |      FROM d)
+        |SELECT l_returnflag, n, floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+        |  CASE WHEN m2 > 0 THEN floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS skewness,
+        |  CASE WHEN m2 > 0 THEN floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS kurt_excess
+        |FROM c""".stripMargin,
+
+    // t-closeness: the identical clamp band grid, a DENSE cell×band
+    // lattice (missing bands at 0), exact integer cumulative
+    // cross-multiply |cnc·N − cng·n_c| — no double accumulates
+    "s10c_tcloseness" ->
+      """WITH s AS (SELECT c_nationkey AS q1, c_mktsegment AS q2,
+        |        CAST(greatest(0.0, least(9.0,
+        |          floor((c_acctbal - (-1000.0)) / (10000.0 - (-1000.0)) * 10)))
+        |          AS INT) AS band
+        |      FROM customer WHERE c_acctbal IS NOT NULL),
+        |cb AS (SELECT q1, q2, band, CAST(count(*) AS BIGINT) AS nb
+        |       FROM s GROUP BY 1, 2, 3),
+        |cells AS (SELECT q1, q2, CAST(sum(nb) AS BIGINT) AS nc
+        |          FROM cb GROUP BY 1, 2),
+        |gb AS (SELECT band, CAST(sum(nb) AS BIGINT) AS ngb FROM cb GROUP BY 1),
+        |gt AS (SELECT CAST(sum(ngb) AS BIGINT) AS ng FROM gb),
+        |bands AS (SELECT CAST(unnest(range(10)) AS INT) AS band),
+        |grid AS (SELECT c.q1, c.q2, c.nc, b.band,
+        |        CAST(coalesce(cb.nb, 0) AS BIGINT) AS nb,
+        |        CAST(coalesce(gb.ngb, 0) AS BIGINT) AS ngb
+        |      FROM cells c CROSS JOIN bands b
+        |      LEFT JOIN cb ON cb.q1 = c.q1 AND cb.q2 = c.q2 AND cb.band = b.band
+        |      LEFT JOIN gb ON gb.band = b.band),
+        |cum AS (SELECT q1, q2, nc,
+        |        CAST(sum(nb) OVER (PARTITION BY q1, q2 ORDER BY band)
+        |          AS BIGINT) AS cnc,
+        |        CAST(sum(ngb) OVER (PARTITION BY q1, q2 ORDER BY band)
+        |          AS BIGINT) AS cng
+        |      FROM grid),
+        |emd AS (SELECT e.q1, e.q2, max(e.nc) AS nc, max(g.ng) AS ng,
+        |        CAST(sum(abs(e.cnc * g.ng - e.cng * e.nc)) AS BIGINT) AS num
+        |      FROM cum e, gt g GROUP BY 1, 2),
+        |p AS (SELECT nc, floor(CAST(num AS DOUBLE)
+        |        / (CAST(nc AS DOUBLE) * CAST(ng AS DOUBLE) * 9.0)
+        |        * 1e6 + 0.5) / 1e6 AS emd_t FROM emd)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(coalesce(sum(CASE WHEN emd_t > 0.25 THEN 1 END), 0) AS BIGINT)
+        |    AS n_risky,
+        |  CAST(coalesce(sum(CASE WHEN emd_t > 0.25 THEN nc END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  max(emd_t) AS max_t
+        |FROM p""".stripMargin,
 
     // PSI: identical band grid, epsilon-floored shares, per-band term
     // floored to micro units — the cross-band total is an exact

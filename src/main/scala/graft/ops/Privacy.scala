@@ -83,4 +83,75 @@ object Privacy {
     val cond = quasiCols.map(c => Cleaning.qcol(c) <=> col(s"__r_$c")).reduce(_ && _)
     df.join(broadcast(risky), cond, "left_anti")
   }
+
+  /** t-closeness release audit — l-diversity's blind spot: a cell can
+    * hold 3+ DISTINCT sensitive values (l-safe) whose distribution
+    * still differs sharply from the population's (e.g. all three in
+    * the lowest income band), so cell membership shifts an attacker's
+    * posterior. A cell is risky when the Earth Mover's Distance
+    * between its sensitive-value band distribution and the global one
+    * exceeds `t`. For the ordered bands used here, EMD is the mean
+    * absolute cumulative-share gap: Σ_b |CumP_cell(b) − CumP_global(b)|
+    * / (nbins − 1).
+    *
+    * Determinism: bands come from the fixed [lo, hi) clamp grid (the
+    * histogram convention); cumulative counts are exact integer
+    * window sums over a DENSE cell×band grid (missing bands
+    * materialized at 0, so both engines cumulate the same lattice);
+    * the per-cell EMD numerator is the exact integer cross-multiply
+    * Σ|cnc·N − cng·n_c| (the [[graft.ops.Stats.ksDrift]] trick — no
+    * double accumulates), divided once and halfUp-6.
+    *
+    * Scale: one hash aggregate to |cells|·nbins rows, a broadcast
+    * band grid, and a window PARTITIONED by cell with a ≤ nbins frame
+    * — nothing corpus-wide moves. Numerator bound: cnc·N ≤ n_cell·N
+    * < 2⁶³ holds past 10⁹ rows with 10⁷-row cells.
+    * Output: one audit row (n_cells, n_risky, rows_at_risk, max_t).
+    */
+  def tClosenessSummary(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      lo: Double, hi: Double, nbins: Int = 10, t: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiCols.nonEmpty && nbins > 1 && hi > lo && t > 0,
+      "need quasi columns, nbins > 1, hi > lo, t > 0")
+    val v = Cleaning.toNumeric(Cleaning.qcol(sensitiveCol))
+    val raw = floor((v - lo) / (hi - lo) * nbins)
+    val band = greatest(lit(0.0), least(lit((nbins - 1).toDouble), raw)).cast("int")
+    val cellBand = df.filter(v.isNotNull && !isnan(v))
+      .groupBy(quasiCols.map(Cleaning.qcol) :+ band.as("__band"): _*)
+      .agg(count(lit(1)).as("__nb"))
+    val cells = cellBand.groupBy(quasiCols.map(Cleaning.qcol): _*)
+      .agg(sum(col("__nb")).as("__nc"))
+    val gBand = cellBand.groupBy(col("__band")).agg(sum(col("__nb")).as("__ngb"))
+    val gTot = gBand.agg(coalesce(sum(col("__ngb")), lit(0L)).as("__ng"))
+    val bands = df.sparkSession.range(nbins)
+      .select(col("id").cast("int").as("__band"))
+    val grid = cells.crossJoin(broadcast(bands))
+      .join(cellBand, quasiCols :+ "__band", "left")
+      .na.fill(0L, Seq("__nb"))
+      .join(broadcast(gBand), Seq("__band"), "left")
+      .na.fill(0L, Seq("__ngb"))
+    val win = Window.partitionBy(quasiCols.map(Cleaning.qcol): _*)
+      .orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emdT = Rounding.halfUp(
+      col("__num").cast("double") /
+        (col("__nc").cast("double") * col("__ng").cast("double") *
+          lit((nbins - 1).toDouble)), 6)
+    grid
+      .withColumn("__cnc", sum(col("__nb")).over(win))
+      .withColumn("__cng", sum(col("__ngb")).over(win))
+      .crossJoin(broadcast(gTot))
+      .groupBy(quasiCols.map(Cleaning.qcol): _*)
+      .agg(max(col("__nc")).as("__nc"), max(col("__ng")).as("__ng"),
+        sum(abs(col("__cnc") * col("__ng") - col("__cng") * col("__nc")))
+          .as("__num"))
+      .select(col("__nc"), emdT.as("__t"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(when(col("__t") > t, 1L)), lit(0L)).as("n_risky"),
+        coalesce(sum(when(col("__t") > t, col("__nc"))), lit(0L))
+          .as("rows_at_risk"),
+        max(col("__t")).as("max_t"))
+  }
 }

@@ -61,4 +61,39 @@ class PrivacySpec extends AnyFunSuite {
     val s = Privacy.lDiversitySummary(df, Seq("q"), "dx", l = 2).head
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((3L, 2L, 6L, 0L)))
   }
+
+  test("tCloseness: concentrated cells flag at EMD > t; nulls excluded; repartition-stable") {
+    import spark.implicits._
+    // cell a: uniform over bands 0..9 (10 rows, plus a null that must not count)
+    // cell b: all 10 rows in band 0 — far from the pooled distribution
+    // pooled cum diffs give EMD exactly 0.25 for BOTH cells (each is 0.5
+    // of the mass, symmetric around the pooled CDF)
+    val rows = (0 to 9).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", Option.empty[Double])) ++
+      (1 to 10).map(_ => ("b", Some(0.0)))
+    val df = rows.toDF("q", "v")
+    val risky = Privacy.tClosenessSummary(df, Seq("q"), "v",
+      lo = 0.0, hi = 10.0, nbins = 10, t = 0.2).head
+    assert((risky.getLong(0), risky.getLong(1), risky.getLong(2),
+      risky.getDouble(3)) == ((2L, 2L, 20L, 0.25)))
+    // raise t past both EMDs: same cells, nothing risky
+    val safe = Privacy.tClosenessSummary(df, Seq("q"), "v",
+      lo = 0.0, hi = 10.0, nbins = 10, t = 0.3).head
+    assert((safe.getLong(0), safe.getLong(1), safe.getLong(2),
+      safe.getDouble(3)) == ((2L, 0L, 0L, 0.25)))
+    // exact integer cumulative cross-multiply: partitioning can't move it
+    val again = Privacy.tClosenessSummary(df.repartition(7), Seq("q"), "v",
+      lo = 0.0, hi = 10.0, nbins = 10, t = 0.2).head
+    assert(again.getDouble(3) == 0.25 && again.getLong(1) == 2L)
+  }
+
+  test("tCloseness: a cell matching the population scores 0") {
+    import spark.implicits._
+    // both cells uniform over the same bands -> pooled == each cell
+    val df = ((0 to 9).map(v => ("a", v.toDouble)) ++
+      (0 to 9).map(v => ("b", v.toDouble))).toDF("q", "v")
+    val s = Privacy.tClosenessSummary(df, Seq("q"), "v",
+      lo = 0.0, hi = 10.0, nbins = 10, t = 0.1).head
+    assert((s.getLong(1), s.getDouble(3)) == ((0L, 0.0)))
+  }
 }

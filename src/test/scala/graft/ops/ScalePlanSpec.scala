@@ -54,6 +54,22 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(rows.keys.min >= 1 && rows.keys.max <= 4)
   }
 
+  test("tClosenessSummary: cumulative window is partitioned by the cell") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 5.0), ("b", "x", 9.0))
+      .toDF("q1", "q2", "v")
+    val plan = Privacy.tClosenessSummary(df, Seq("q1", "q2"), "v",
+      lo = 0.0, hi = 10.0, nbins = 10)
+    assert(unpartitionedWindows(plan).isEmpty,
+      "the band cumulative must run per cell (≤ nbins frame), never corpus-wide")
+  }
+
+  test("momentsByGroup is one hash aggregate — no window at all") {
+    val plan = Stats.momentsByGroup(orders, "o_totalprice", Seq("o_orderkey"))
+    assert(collectPlans(plan.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }.isEmpty,
+      "shape moments come from power sums in the groupBy, not a sorted window")
+  }
+
   test("percent denominators are broadcast 1-row aggs, not empty-frame windows") {
     val freq = Tabulation.freqTable(orders.withColumn("g",
       org.apache.spark.sql.functions.col("o_orderkey") % 3), "g", None, 1)

@@ -187,6 +187,26 @@ class StatsSpec extends AnyFunSuite {
     assert(got("c") == ((50L, 0.2, 200L)))
   }
 
+  test("momentsByGroup: known shapes — one-sided tail, uniform, constant") {
+    // group a: {0,0,0,10} -> skew 2/sqrt(3) = 1.154701, kurt 7/3 - 3
+    // group b: constant -> m2 = 0 guard, both report 0.0
+    // group c: {1,2,3} uniform -> skew exactly 0, kurt -1.5
+    val df = (Seq(("a", 0.0), ("a", 0.0), ("a", 0.0), ("a", 10.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0)) ++
+      Seq(("c", 1.0), ("c", 2.0), ("c", 3.0))).toDF("g", "v")
+    val got = Stats.momentsByGroup(df, "v", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((4L, 2.5, 1.154701, -0.666667)))
+    assert(got("b") == ((3L, 5.0, 0.0, 0.0)))
+    assert(got("c") == ((3L, 2.0, 0.0, -1.5)))
+    // exact BIGINT power sums: partitioning can't move any output
+    val again = Stats.momentsByGroup(df.repartition(5), "v", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == got)
+  }
+
   test("psiSummary: identical slices score 0, shifted slices drift, terms exact micro") {
     val same = ((1 to 100).map(v => ("a", v)) ++ (1 to 100).map(v => ("b", v)))
       .toDF("s", "v")
