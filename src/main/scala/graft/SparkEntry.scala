@@ -271,6 +271,13 @@ object SparkEntry {
       Stats.momentsByGroup(T(s, d, "lineitem"), "l_quantity",
         Seq("l_returnflag"))),
 
+    // Benford forensic screen on order-total cents: first digit of the
+    // exact BIGINT, observed vs log10(1+1/d) expected share per digit
+    "s29_benford" -> ((s, d) =>
+      Stats.benfordAudit(
+        T(s, d, "orders").select((col("o_totalprice") * 100).as("cents")),
+        "cents")),
+
     // t-closeness audit — l-diversity's blind spot: cells whose
     // acctbal-band distribution sits EMD > 0.25 from the population's;
     // exact integer cumulative cross-multiply on a dense band grid
@@ -2482,6 +2489,30 @@ object SparkEntry {
         |       CASE WHEN totw > 0 THEN floor(wh / totw * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS share,
         |       CAST(CASE WHEN totw > 0 THEN floor(1000 * wh / totw + 0.5) ELSE 0 END AS BIGINT) AS alloc
         |FROM w, t""".stripMargin,
+
+    // Benford: first digit from the exact BIGINT's decimal string on
+    // both engines; expected shares are the SAME micro-rounded Scala
+    // literals interpolated here (never re-derived in SQL)
+    "s29_benford" -> {
+      val vals = (1 to 9).map(d =>
+        s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6})")
+        .mkString(", ")
+      s"""WITH e AS (SELECT CAST(d AS INT) AS digit, CAST(x AS DOUBLE) AS expected
+         |      FROM (VALUES $vals) t(d, x)),
+         |v AS (SELECT CAST(floor(abs(o_totalprice * 100) + 0.5) AS BIGINT) AS m
+         |      FROM orders WHERE o_totalprice IS NOT NULL),
+         |c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM v WHERE m > 0 GROUP BY 1),
+         |tt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn FROM c)
+         |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+         |  floor(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)
+         |    * 1e6 + 0.5) / 1e6 AS share,
+         |  e.expected,
+         |  floor(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)
+         |    - e.expected) * 1e6 + 0.5) / 1e6 AS abs_dev
+         |FROM e LEFT JOIN c ON c.digit = e.digit, tt""".stripMargin
+    },
 
     // Moments: the identical integer lattice, exact BIGINT power sums,
     // and the same left-associated central-moment double chain;

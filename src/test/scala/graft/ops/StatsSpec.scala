@@ -187,6 +187,24 @@ class StatsSpec extends AnyFunSuite {
     assert(got("c") == ((50L, 0.2, 200L)))
   }
 
+  test("benfordAudit: digit from the BIGINT string; zeros/nulls out, absent digits report") {
+    // digits: 1 x3 (one negative -> abs), 2 x1, 3 x1, 9 x1; 0 and null excluded
+    val df = Seq(Some(1.0), Some(12.0), Some(-150.0), Some(2.0), Some(3.0),
+      Some(9.0), Some(0.0), None).toDF("v")
+    val rows = Stats.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.size == 9 && rows.values.map(_._1).sum == 6L)
+    // digit 1: 3/6 = 0.5 observed vs 0.30103 Benford
+    assert(rows(1) == ((3L, 0.5, 0.30103, 0.19897)))
+    // absent digit: zero share, the gap IS the expected share
+    assert(rows(5)._1 == 0L && rows(5)._2 == 0.0 && rows(5)._4 == rows(5)._3)
+    val again = Stats.benfordAudit(df.repartition(5), "v").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == rows)
+  }
+
   test("momentsByGroup: known shapes — one-sided tail, uniform, constant") {
     // group a: {0,0,0,10} -> skew 2/sqrt(3) = 1.154701, kurt 7/3 - 3
     // group b: constant -> m2 = 0 guard, both report 0.0
