@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
@@ -32,19 +32,37 @@ object Bench {
         .partitionBy("l_returnflag").orderBy("l_quantity")
       warm.withColumn("rn", row_number().over(w)).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Cold/warm split (round-8 verdict #1): each query runs TWICE in
+    // this JVM. The first sample carries that query's one-shot costs —
+    // janino codegen for its plan shape, typedLit model tables, the
+    // fit-once caches — which land anywhere in a wide band and have
+    // produced false regression scares three rounds running (ivfpq r7,
+    // clffilter r8, pq_search r8-final). The second sample is the
+    // steady-state plan cost a 1000-executor production run would pay
+    // per partition wave, so WARM is the number regression judgments
+    // key off; COLD is kept alongside as the one-shot model/codegen
+    // cost. `queries` (and the summary total) report warm; the full
+    // BENCH_FULL.jsonl line carries both maps.
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // between queries (outside the timed span): drop any stray cache
+      // between samples (outside the timed span): drop any stray cache
       // entries and nudge the ContextCleaner (localCheckpoint blocks are
-      // GC-released) so each query is timed against its PLAN, not the
+      // GC-released) so each sample is timed against its PLAN, not the
       // accumulated cache pressure of everything that ran before it —
       // repeated same-JVM runs must measure like fresh JVMs.
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      dt
     }
+    val both = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timeOnce(fn)
+      val warm = timeOnce(fn)
+      (name, cold, warm)
+    }
+    val results = both.map { case (n, _, w) => n -> w }
+    val colds = both.map { case (n, c, _) => n -> c }
     // ONE JSON line, but field-ordered for the harness' stdout TAIL
     // window (last ~2000 chars survive): per-query map FIRST, summary
     // fields LAST, times at millisecond precision (sub-ms digits are
@@ -57,14 +75,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
+    // "timing":"warm" marks the semantics change (round 9): `queries`
+    // and `value` are the per-query WARM (second-in-JVM) samples; the
+    // cold samples ride only in the full-precision BENCH_FULL line.
     val summary = s""""metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.length},"wall":${r3(wall)},"sf":"$sfDir""""
+      s""""timing":"warm","n_queries":${results.length},"wall":${r3(wall)},"sf":"$sfDir""""
     println(s"""{"queries":$qs,$summary}""")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullCold = colds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.jsonl"),
-      s"""{"queries":$fullQs,$summary}""" + "\n",
+      s"""{"queries":$fullQs,"cold":$fullCold,$summary}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () } // read-only cwd must not fail the bench

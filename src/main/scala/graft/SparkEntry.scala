@@ -37,45 +37,21 @@ object SparkEntry {
     * x_text_hashclf_saved), so query hashes are identical to a direct
     * fit; only the redundant corpus scans disappear.
     *
-    * Staleness/concurrency contract (shared by every fit-once cache
-    * here): the data under a corpus dir is assumed IMMUTABLE for the
-    * JVM's lifetime — the bench/verify harness reads driver-generated
-    * parquet that never changes mid-run; a long-lived service would
-    * key these caches on a data fingerprint instead. TrieMap
-    * `getOrElseUpdate` may evaluate the thunk more than once under
-    * concurrent first calls — harmless here (fits are deterministic
-    * and idempotent; last writer wins, duplicates are temp-dir files
-    * the exit hook removes). Model temp dirs are deleted recursively
-    * on JVM exit ([[tempArtifactDir]]).
+    * All fit-once state lives in [[graft.scale.Models]] (round-9: the
+    * keyed maps moved behind `fitOnceArtifactDir` / `fitOnceSnapshot` /
+    * `fitOnceValue` so a production caller of TextAnalysis / Curation /
+    * Dedup gets the same behavior); the staleness/concurrency contract
+    * — corpus dirs immutable for the JVM lifetime, idempotent thunks,
+    * temp artifacts removed at JVM exit — is documented there.
     */
-  private val clfModelDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
-
-  /** Temp dir for a cached model artifact, removed recursively at JVM
-    * exit (Files' own deleteOnExit handles only empty dirs). */
-  private def tempArtifactDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        finally walk.close()
-      } catch { case _: Throwable => () }
-    }))
-    dir.toString
-  }
-
   private def fittedClassifier(s: SparkSession, d: String, buckets: Int): DataFrame = {
-    val dir = clfModelDirs.getOrElseUpdate((d, buckets), {
+    val dir = graft.scale.Models.fitOnceArtifactDir("clf", s"$d|$buckets") { out =>
       val docs = T(s, d, "documents")
       val labeled = docs.withColumn("__lab",
         coalesce(col("lang"), lit("")) === "en")
       val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets)
-      val out = tempArtifactDir(s"graft-clf-$buckets-")
       graft.scale.Models.saveHashedClassifier(model, out)
-      out
-    })
+    }
     graft.scale.Models.loadHashedClassifier(s, dir)
   }
 
@@ -91,24 +67,17 @@ object SparkEntry {
     * holds the survivor rows' original columns (long/string), whose
     * parquet roundtrip is value-identical, and every consumer depends
     * only on those values — the three keys' gate hashes are unchanged
-    * vs the recompute form. Same staleness/concurrency contract as
-    * [[clfModelDirs]].
+    * vs the recompute form. Contract documented at
+    * [[graft.scale.Models.fitOnceSnapshot]].
     */
-  private val cleanSnapshotDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
-
   private def cleanedCorpus(
       s: SparkSession, d: String, allowedLangs: Seq[String],
-      maxBlockSize: Int): DataFrame = {
-    val dir = cleanSnapshotDirs.getOrElseUpdate((d, allowedLangs.mkString(","), maxBlockSize), {
-      val out = tempArtifactDir("graft-cleansnap-")
+      maxBlockSize: Int): DataFrame =
+    graft.scale.Models.fitOnceSnapshot(
+      s, "cleansnap", s"$d|${allowedLangs.mkString(",")}|$maxBlockSize") {
       TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
         allowedLangs, maxBlockSize = maxBlockSize)
-        .write.mode("overwrite").parquet(s"$out/clean")
-      s"$out/clean"
-    })
-    s.read.parquet(dir)
-  }
+    }
 
   /** Fit-once cache for the NEAR-DUP CLUSTER ASSIGNMENT: four keys
     * (x_dedup_clusters / cluster_sizes / bestrep / x_corpus_forget)
@@ -118,35 +87,25 @@ object SparkEntry {
     * assignment. The chain runs once per (corpus dir, k, threshold,
     * cap) per JVM and lands as a parquet snapshot; bit-exact because
     * the assignment is two long columns (value-identical roundtrip)
-    * and every consumer depends only on those values. Same
-    * staleness/concurrency contract as [[clfModelDirs]].
+    * and every consumer depends only on those values. Contract
+    * documented at [[graft.scale.Models.fitOnceSnapshot]].
     */
-  private val clusterSnapshotDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Double, Int), String]
-
   private def corpusClusters(s: SparkSession, d: String): DataFrame = {
     val (k, threshold, cap) = (3, 0.2, NgramBlockCap)
-    val dir = clusterSnapshotDirs.getOrElseUpdate((d, k, threshold, cap), {
-      val out = tempArtifactDir("graft-clusters-")
+    graft.scale.Models.fitOnceSnapshot(s, "clusters", s"$d|$k|$threshold|$cap") {
       val docs = T(s, d, "documents")
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = k,
         threshold = threshold, maxBlockSize = cap)
       Dedup.clusters(docs, "doc_id", pairs)
-        .write.mode("overwrite").parquet(s"$out/clusters")
-      s"$out/clusters"
-    })
-    s.read.parquet(dir)
+    }
   }
 
   /** Same fit-once contract for the BPE merge table: the training loop
     * (6 corpus aggregates) runs once per corpus dir per JVM; both BPE
     * keys and any later consumer replay the driver-held `merges`-row
     * result. */
-  private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[TextAnalysis.BpeMerge]]
-
   private def fittedBpe(s: SparkSession, d: String, merges: Int): Seq[TextAnalysis.BpeMerge] =
-    bpeMergeCache.getOrElseUpdate((d, merges),
+    graft.scale.Models.fitOnceValue("bpe", s"$d|$merges")(
       // the word-histogram fast fit: ONE corpus aggregate + a driver
       // merge loop, merge-for-merge identical to the distributed
       // bpeFit the oracle unrolls (falls back to it past maxWords)
@@ -154,12 +113,9 @@ object SparkEntry {
         T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text", merges))
 
   /** Fit-once cache for the dense-id vocabulary (vocab-bounded driver
-    * map; same staleness/concurrency contract as [[clfModelDirs]]). */
-  private val bpeVocabCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Map[String, Long]]
-
+    * map; contract documented at [[graft.scale.Models.fitOnceValue]]). */
   private def fittedBpeVocab(s: SparkSession, d: String, merges: Int): Map[String, Long] =
-    bpeVocabCache.getOrElseUpdate((d, merges),
+    graft.scale.Models.fitOnceValue("bpevocab", s"$d|$merges")(
       TextAnalysis.bpeVocab(T(s, d, "documents"), "doc_id", "text",
         fittedBpe(s, d, merges)).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
@@ -351,6 +307,35 @@ object SparkEntry {
           concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
           lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
       graft.io.Warc.readWet(s, dir)
+        .filter(col("record_type") === "conversion")
+        .select(
+          regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("content_length"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("text"))
+    }),
+
+    // ADVERSARIAL WET roundtrip (round-8 verdict #4): bodies planted
+    // with the record magic `WARC/1.0\r\n` and the record separator
+    // `\r\n\r\n` — text the delimiter-split readWet provably mis-splits
+    // and the old writeWet refused outright — written with
+    // Content-Length framing (forStrictReader) and read back by the
+    // strict reader, which slices bodies by declared length. The oracle
+    // replays the plant straight off the documents table: body-identity
+    // through the hostile roundtrip.
+    "s24_wet_strict" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s24").toString
+      val planted = T(s, d, "documents").select(
+        col("doc_id"),
+        concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\r\nWARC/1.0\r\n"), col("text")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("a\r\n\r\nb "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.io.Sinks.writeWet(planted, dir, forStrictReader = true)
+      graft.io.Warc.readWetStrict(s, dir)
         .filter(col("record_type") === "conversion")
         .select(
           regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
@@ -2688,6 +2673,26 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS n_chars,
         |       text
         |FROM documents""".stripMargin,
+
+    // replays the adversarial plant (WARC magic / record separator
+    // inside bodies) and asserts body-identity through the
+    // Content-Length-framed roundtrip
+    "s24_wet_strict" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || chr(13) || chr(10) || 'WARC/1.0'
+        |                   || chr(13) || chr(10) || text
+        |              WHEN doc_id % 5 = 1
+        |              THEN 'a' || chr(13) || chr(10) || chr(13) || chr(10)
+        |                   || 'b ' || text
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS content_length,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       text
+        |FROM planted""".stripMargin,
 
     "s19_bucketed_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

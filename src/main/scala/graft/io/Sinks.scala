@@ -59,15 +59,25 @@ object Sinks {
     * only because the header/body `locate` finds the earlier genuine
     * boundary — not a contract worth relying on). Neither sequence can
     * occur in genuine extracted text, which is `\n`-separated.
+    *
+    * `forStrictReader = true` lifts that refusal: Content-Length
+    * framing makes ANY body roundtrip exactly through
+    * [[Warc.readWetStrict]] (which slices bodies by declared length
+    * rather than delimiter-splitting), so files written this way are
+    * valid WARC but must be read with the strict reader — `readWet`
+    * would mis-split them, which is precisely what its limitation note
+    * documents.
     */
   def writeWet(
       df: DataFrame, outDir: String,
       urlCol: String = "url", dateCol: String = "date",
       textCol: String = "text",
-      compression: Option[String] = None): Unit = {
+      compression: Option[String] = None,
+      forStrictReader: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val body = coalesce(graft.ops.Cleaning.qcol(textCol).cast("string"), lit(""))
-    val safeBody = when(body.contains("\r\n\r\n") || body.contains("WARC/1.0\r\n"),
+    val safeBody = if (forStrictReader) body else
+      when(body.contains("\r\n\r\n") || body.contains("WARC/1.0\r\n"),
       raise_error(lit("writeWet: body contains the WARC record separator" +
         " \\r\\n\\r\\n or the record header WARC/1.0\\r\\n — such text" +
         " cannot roundtrip a delimiter-split reader"))).otherwise(body)

@@ -24,6 +24,79 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructFie
   */
 object Models {
 
+  // -------------------------------------------------------------------
+  // Fit-once caches (round-9: promoted here from SparkEntry so any
+  // production caller of TextAnalysis/Curation/Dedup gets the same
+  // fit-once behavior the bench suite prices).
+  //
+  // Staleness/concurrency contract (shared by all three helpers): the
+  // data behind a cache key is assumed IMMUTABLE for the JVM's
+  // lifetime — callers key on the corpus dir + fit params, which is
+  // sound for batch pipelines reading published immutable waves; a
+  // long-lived service should fold a data fingerprint into `key`.
+  // TrieMap `getOrElseUpdate` may evaluate the thunk more than once
+  // under concurrent first calls — harmless when fits are
+  // deterministic and idempotent (last writer wins; duplicate temp
+  // dirs are removed by the JVM-exit hook). Artifact dirs created by
+  // [[fitOnceArtifactDir]] are deleted recursively at JVM exit.
+  // -------------------------------------------------------------------
+
+  private val fitOnceDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val fitOnceValues =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
+
+  /** Temp dir for a cached model artifact, removed recursively at JVM
+    * exit (Files' own deleteOnExit handles only empty dirs). */
+  def tempArtifactDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
+  /** Fit-once ARTIFACT cache: the first call per (kind, key) per JVM
+    * creates a temp dir, runs `save` into it, and memoizes the path;
+    * every later call returns the same path without re-fitting. The
+    * caller loads from the returned dir (so the load path — and its
+    * bit-exactness guarantees — is identical whether the artifact was
+    * just fitted or is a cache hit).
+    */
+  def fitOnceArtifactDir(kind: String, key: String)(save: String => Unit): String =
+    fitOnceDirs.getOrElseUpdate((kind, key), {
+      val out = tempArtifactDir(s"graft-$kind-")
+      save(out)
+      out
+    })
+
+  /** Fit-once SNAPSHOT cache: the first call per (kind, key) per JVM
+    * materializes `build` as a parquet snapshot; every call (first
+    * included) returns the snapshot READ-BACK, so consumers always see
+    * the stored shape a production pipeline would read (clean once to
+    * storage, consume many times). Bit-exact for long/string/double
+    * columns (value-identical parquet roundtrip).
+    */
+  def fitOnceSnapshot(spark: SparkSession, kind: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = fitOnceArtifactDir(kind, key) { out =>
+      build.write.mode("overwrite").parquet(s"$out/snapshot")
+    }
+    spark.read.parquet(s"$dir/snapshot")
+  }
+
+  /** Fit-once DRIVER-VALUE cache for driver-sized fit results (a BPE
+    * merge table, a vocab map): first call per (kind, key) per JVM runs
+    * `fit`, later calls replay the held value.
+    */
+  def fitOnceValue[T](kind: String, key: String)(fit: => T): T =
+    fitOnceValues.getOrElseUpdate((kind, key), fit).asInstanceOf[T]
+
   /** Persist IVF/semantic-dedup coarse centroids: one row per cell,
     * (cell, centroid). Driver-sized by the fit contract (nlist ≤ a few
     * thousand; [[Similarity.MaxFitSample]] bounds the fit itself).

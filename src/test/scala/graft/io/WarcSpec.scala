@@ -131,4 +131,75 @@ class WarcSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("WARC/1.0")))
   }
+
+  test("readWetStrict ingests adversarial bodies the delimiter reader mis-splits") {
+    // bodies containing the record magic AND the record separator —
+    // the exact text readWet's lineSep split corrupts
+    val rows = Seq(
+      (1L, "before\r\nWARC/1.0\r\nafter"),
+      (2L, "sep\r\n\r\ninside"),
+      (3L, "plain body"),
+      (4L, "WARC/1.0\r\n"), // body IS the magic
+      (5L, "café 世界\r\nWARC/1.0\r\n tail")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wet_strict").toString
+    Sinks.writeWet(rows.select(
+      concat(lit("https://ex.org/d/"), col("doc_id")).as("url"),
+      lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir,
+      forStrictReader = true)
+    val back = Warc.readWetStrict(spark, dir)
+      .filter(col("record_type") === "conversion")
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("content_length"), r.getAs[String]("text")))).toMap
+    assert(back.size == 5)
+    rows.collect().foreach { r =>
+      val (clen, body) = back(s"https://ex.org/d/${r.getLong(0)}")
+      assert(body == r.getString(1), s"body mismatch for doc ${r.getLong(0)}")
+      assert(clen == r.getString(1).getBytes("UTF-8").length.toLong)
+    }
+    // and the delimiter reader DOES mis-split this file: more "records"
+    // than rows were written (each embedded magic spawns a phantom)
+    assert(Warc.readWet(spark, dir).count() > 5)
+  }
+
+  test("readWetStrict fails loudly on structural violations, with file+offset") {
+    def parse(s: String) = Warc.parseStrict("t.wet", s.getBytes("UTF-8"))
+    def rec(body: String, cl: Int = -1): String = {
+      val n = if (cl >= 0) cl else body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: $n\r\n\r\n$body\r\n\r\n"
+    }
+    // well-formed parses exactly
+    assert(parse(rec("abc") + rec("def")).map(_.text) == Seq("abc", "def"))
+    // extra blank-line padding between records tolerated
+    assert(parse(rec("abc") + "\r\n" + rec("def")).map(_.text) == Seq("abc", "def"))
+    // overdeclared Content-Length → truncated-body failure
+    val e1 = intercept[IllegalArgumentException](parse(rec("abc", cl = 9999)))
+    assert(e1.getMessage.contains("truncated") && e1.getMessage.contains("t.wet"))
+    // underdeclared Content-Length → terminator lands mid-body
+    val e2 = intercept[IllegalArgumentException](parse(rec("abcdef", cl = 2)))
+    assert(e2.getMessage.contains("terminator"))
+    // missing Content-Length
+    val e3 = intercept[IllegalArgumentException](
+      parse("WARC/1.0\r\nWARC-Type: conversion\r\n\r\nabc\r\n\r\n"))
+    assert(e3.getMessage.contains("Content-Length"))
+    // garbage prologue → magic failure with byte offset
+    val e4 = intercept[IllegalArgumentException](parse("junk" + rec("abc")))
+    assert(e4.getMessage.contains("WARC/1.0") && e4.getMessage.contains("byte 0"))
+  }
+
+  test("readWetStrict reads gzip WET: per-file inflate, values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_strict_gz")
+    val body = "gz body\r\nWARC/1.0\r\n embedded"
+    val n = body.getBytes("UTF-8").length
+    val recText = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: https://ex.org/gz\r\nContent-Length: $n\r\n\r\n$body\r\n\r\n"
+    val gz = new java.io.ByteArrayOutputStream()
+    val zs = new java.util.zip.GZIPOutputStream(gz)
+    zs.write(recText.getBytes("UTF-8")); zs.close()
+    java.nio.file.Files.write(dir.resolve("a.warc.wet.gz"), gz.toByteArray)
+    val got = Warc.readWetStrict(spark, dir.toString).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("text") == body)
+    assert(got(0).getAs[String]("url") == "https://ex.org/gz")
+  }
 }

@@ -173,4 +173,39 @@ class ModelsSpec extends AnyFunSuite {
       Models.saveBpeMerges(spark, Nil, tmp("models-bpe-empty"))
     }
   }
+
+  test("fit-once caches: thunk runs once per (kind, key), hits return the identical artifact") {
+    import java.util.concurrent.atomic.AtomicInteger
+
+    // artifact-dir cache: same key → same dir, one save; new key → new fit
+    val saves = new AtomicInteger(0)
+    def dirFor(key: String): String =
+      Models.fitOnceArtifactDir("spec-art", key) { out =>
+        saves.incrementAndGet()
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "m.txt"), key)
+        ()
+      }
+    val d1 = dirFor("k1"); val d2 = dirFor("k1"); val d3 = dirFor("k2")
+    assert(d1 == d2 && d1 != d3 && saves.get == 2)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(d1, "m.txt")) == "k1")
+
+    // snapshot cache: build runs once; every call returns the stored
+    // read-back with identical rows (the bit-exactness contract)
+    val builds = new AtomicInteger(0)
+    def snap(): org.apache.spark.sql.DataFrame =
+      Models.fitOnceSnapshot(spark, "spec-snap", "k1") {
+        builds.incrementAndGet()
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      }
+    val r1 = snap().orderBy("id").collect().toSeq
+    val r2 = snap().orderBy("id").collect().toSeq
+    assert(builds.get == 1 && r1 == r2 && r1.map(_.getLong(0)) == Seq(1L, 2L))
+
+    // driver-value cache: fit runs once, the held value is replayed
+    val fits = new AtomicInteger(0)
+    def v(): Seq[Int] = Models.fitOnceValue("spec-val", "k1") {
+      fits.incrementAndGet(); Seq(1, 2, 3)
+    }
+    assert((v() eq v()) && fits.get == 1)
+  }
 }
