@@ -1814,8 +1814,43 @@ object SparkEntry {
       val exact = graft.scale.Pq.adcTopK(emb, q, "vec_id", "embedding", "query_id",
         k = 6, pqOracleModel, excludeSelf = true)
       recallGate(approx, exact, k = 6, threshold = 0.54)
+    }),
+
+    // --- link-graph domain quality ranking (round-9) ----------------
+    // PageRank over a synthetic domain link graph derived
+    // deterministically from documents (src = doc_id mod 64, dst from
+    // a doc-dependent hash): 5 power iterations in integer micro-units
+    // so the oracle can unroll the exact same arithmetic — the
+    // crawl-quality signal that feeds the mixture/qfloor operators.
+    "x_graph_rank" -> ((s, d) =>
+      graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)),
+
+    // fixed-threshold quality tiers over the rank table (tier 0 =
+    // above every cut) + per-tier census — the shape a mixture/qfloor
+    // consumer joins on
+    "x_graph_tiers" -> ((s, d) => {
+      val ranks = graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)
+      graft.scale.Graph.rankTiers(ranks, GraphTierCuts)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("rank_micro")).as("rank_sum"),
+          min(col("rank_micro")).as("rank_min"),
+          max(col("rank_micro")).as("rank_max"))
     })
   )
+
+  /** Synthetic domain link graph: every document contributes one edge
+    * (its "from" domain links the domain its content points at), both
+    * endpoints deterministic functions of the row — mirrored verbatim
+    * by the oracle's edge CTE. */
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      (col("doc_id") % 64).as("src"),
+      ((col("doc_id") * 31 + col("n_chars")) % 64).as("dst"))
+
+  /** Fixed tier cuts (micro-rank units) for x_graph_tiers — pinned
+    * literals per the [[graft.scale.Graph.rankTiers]] contract. */
+  private val GraphTierCuts = Seq(800000L, 1000000L, 1200000L)
 
   /** Recall gate shared by the approximate-ANN queries: one summary row
     * (k, n_queries, recall_min, recall_ok) where recall_ok pins
@@ -5036,6 +5071,51 @@ object SparkEntry {
          |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
          |      FROM t JOIN tot ON t.source = tot.source, z)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
-         |FROM r WHERE u < rate GROUP BY 1""".stripMargin
+         |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
+
+    // PageRank unrolled: the fixed iteration count makes the oracle a
+    // finite CTE chain replaying the exact integer micro-unit
+    // arithmetic (`//` = Spark's `div` on positive longs); every sum
+    // is CAST back to BIGINT (DuckDB widens to HUGEINT)
+    "x_graph_rank" ->
+      (graphRankOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    "x_graph_tiers" ->
+      (graphRankOracleCtes(5) + """,
+        tiers AS (
+          SELECT r AS rank_micro,
+                 CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
+                         + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
+                         + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier
+          FROM r5)
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(rank_micro) AS BIGINT) AS rank_sum,
+               min(rank_micro) AS rank_min, max(rank_micro) AS rank_max
+        FROM tiers GROUP BY 1""")
   )
+
+  /** The x_graph_* oracle prologue: edge/degree/node CTEs mirroring
+    * [[graphEdges]] + Graph.pageRank's hygiene (distinct edges, no
+    * self-loops), then one CTE per unrolled power iteration. */
+  private def graphRankOracleCtes(iterations: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
 }

@@ -1,0 +1,114 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph quality ranking — the standard crawl-quality signal a
+  * pretraining pipeline feeds into its mixture/quality-floor operators
+  * (this repo's `Sampling.qualityFloor` / `Curation` mixers): domains
+  * that many reputable domains link to are upweighted, link farms that
+  * only link to themselves are not. PageRank over a (src_domain,
+  * dst_domain) edge table with a FIXED iteration count (the production
+  * shape: rank jobs run k power iterations per crawl wave, not to
+  * convergence — Common Crawl's own ranking publishes fixed-iteration
+  * harmonic/PageRank variants).
+  *
+  * Determinism contract: all arithmetic is integer (micro-scaled longs
+  * with explicit integer division), so the result is independent of
+  * partitioning and float summation order — bit-identical across
+  * engines, which is what lets a DuckDB oracle unroll the same k
+  * iterations and hash-match. rank_micro(v) converges toward 1e6 *
+  * classic per-node PageRank (damping d = dampingPct/100, teleport
+  * (1-d), uniform unit init); dangling-node mass is NOT redistributed
+  * (the usual large-graph simplification — redistribution is a global
+  * scalar per iteration that changes no ordering).
+  *
+  * Scale: each iteration is ONE equi-join (ranks to edge sources) plus
+  * ONE aggregation (contributions summed per destination) plus a left
+  * join back to the node set — the transitive closure is never
+  * materialized, and the working set per iteration is |edges| +
+  * |nodes|, shuffled on the node key. At web scale |nodes| (domains,
+  * ~1e8) is far smaller than |edges| (~1e10); the edge table is the
+  * scan-dominant side and shuffles once per iteration on src then dst.
+  * With a bucketed/pre-partitioned edge table the src-side shuffle
+  * disappears (the join inherits the layout; see Sinks.writeBucketed).
+  * Lineage is kept bounded for deep runs by localCheckpointing the
+  * rank frame every few iterations (plans otherwise grow linearly and
+  * re-analyze superlinearly).
+  */
+object Graph {
+
+  /** Iterations between eager localCheckpoints of the rank frame: deep
+    * iterative plans otherwise accumulate one join+agg of depth per
+    * round and Catalyst re-analysis goes superlinear. 4 keeps plans
+    * shallow while checkpointing rarely enough that the materialized
+    * frame (|nodes| rows of two longs) stays a minor cost. */
+  val CheckpointEvery = 4
+
+  /** Fixed-point PageRank (see object doc). Input: an edge table;
+    * self-loops and duplicate edges are removed first (a self-loop is
+    * rank recycling, duplicates would double-count a link's vote —
+    * both standard link-graph hygiene). Returns (node, rank_micro)
+    * with one row per node appearing as source or destination.
+    *
+    * @param dampingPct damping factor in percent (85 = the classic 0.85)
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "pageRank: need at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"pageRank: dampingPct must be 0..100, got $dampingPct")
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    val e = edges.select(src, dst)
+      .filter(col("src") =!= col("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val teleportMicro = (100L - dampingPct) * 10000L // (1-d) * 1e6
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (i <- 1 to iterations) {
+      // contribution of each edge = src rank split evenly over its
+      // out-links (integer division — the determinism contract)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("in_sum"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleportMicro) +
+            expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
+            .as("rank_micro"))
+      if (i % CheckpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Rank quality tiers by EXPLICIT rank thresholds (ascending,
+    * micro-units): tier 0 = above every threshold (highest quality),
+    * tier = thresholds.size = at-or-below all of them. Explicit
+    * literals rather than in-query quantiles keep the operator fully
+    * deterministic and engine-portable (a published ranking ships
+    * fixed cut-offs per wave — recomputing cut-offs per query would
+    * silently re-tier between runs); derive thresholds once from
+    * [[pageRank]] output with a quantile sketch if needed, then pin
+    * them.
+    *
+    * Scale: a narrow projection over the |nodes|-sized rank table —
+    * the tier expression is a literal conditional chain, no shuffle,
+    * no window.
+    */
+  def rankTiers(ranks: DataFrame, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "rankTiers: thresholds must be non-empty and ascending")
+    val above = thresholds.map(t =>
+      when(col("rank_micro") > t, lit(1)).otherwise(lit(0)))
+      .reduce[Column](_ + _)
+    ranks.select(col("node"), col("rank_micro"),
+      (lit(thresholds.size) - above).cast("int").as("tier"))
+  }
+}

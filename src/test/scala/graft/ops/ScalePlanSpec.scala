@@ -477,4 +477,17 @@ class ScalePlanSpec extends AnyFunSuite {
     // asserted here at plan-test scale too)
     assert(persisted.collect().toSet == direct.collect().toSet)
   }
+
+  test("pageRank iterations are equi-joins: no cartesian, no nested loop, no global window") {
+    val edges = (0L until 300L)
+      .map(i => (i % 23, (i * 31 + 7) % 23)).toDF("src", "dst")
+    val ranks = graft.scale.Graph.pageRank(edges, "src", "dst", iterations = 5)
+    val nodes = collectPlans(ranks.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "pageRank degenerated to a cartesian product")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "pageRank degenerated to a nested-loop join")
+    assert(unpartitionedWindows(ranks).isEmpty,
+      "pageRank must not use any global-order window")
+  }
 }

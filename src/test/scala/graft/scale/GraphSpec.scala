@@ -1,0 +1,95 @@
+package graft.scale
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Fixed-point PageRank: integer micro-unit power iterations must match
+  * a driver-side reference replay exactly (the determinism contract the
+  * DuckDB oracle relies on), with standard link-graph hygiene.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Driver-side reference: the same integer arithmetic, map-based. */
+  private def referenceRank(
+      edges: Seq[(Long, Long)], iterations: Int, dampingPct: Long = 85L): Map[Long, Long] = {
+    val e = edges.filter(t => t._1 != t._2).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(n => n -> ((100L - dampingPct) * 10000L +
+        dampingPct * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def rankMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank equals the integer reference replay on an irregular graph") {
+    val edges = (0L until 200L).flatMap { i =>
+      Seq((i % 17, (i * 31 + 7) % 17), (i % 13, (i * i + 3) % 17))
+    }
+    val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 5))
+    assert(got == referenceRank(edges, 5))
+  }
+
+  test("deep runs (past the checkpoint cadence) still match the reference") {
+    val edges = (0L until 60L).map(i => (i % 9, (i * 5 + 2) % 9))
+    val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 9))
+    assert(got == referenceRank(edges, 9))
+  }
+
+  test("hygiene: self-loops and duplicate edges do not vote") {
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val dirty = clean ++ Seq((1L, 1L), (1L, 2L), (1L, 2L), (3L, 3L))
+    val a = rankMap(Graph.pageRank(clean.toDF("src", "dst"), "src", "dst", 4))
+    val b = rankMap(Graph.pageRank(dirty.toDF("src", "dst"), "src", "dst", 4))
+    assert(a == b)
+  }
+
+  test("dangling and sink nodes: sinks keep teleport+incoming, isolated sources decay to teleport") {
+    // 1 -> 2 -> 3; 3 has no out-links (dangling): its mass is dropped,
+    // not redistributed; node 1 has no in-links: pure teleport after i1
+    val got = rankMap(Graph.pageRank(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", 3))
+    assert(got == referenceRank(Seq((1L, 2L), (2L, 3L)), 3))
+    assert(got(1L) == 150000L) // teleport only
+    assert(got(3L) > got(1L))  // sink accumulates incoming votes
+  }
+
+  test("a well-linked hub outranks peripheral nodes") {
+    // star: everyone links to 0, 0 links to 1
+    val edges = (1L to 8L).map(i => (i, 0L)) :+ (0L, 1L)
+    val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 5))
+    assert((2L to 8L).forall(i => got(0L) > got(i)))
+    assert(got(1L) > got(2L)) // 1 receives the hub's whole vote
+  }
+
+  test("rankTiers: fixed ascending cuts, tier 0 above every cut, loud on bad input") {
+    val ranks = Seq((1L, 2000000L), (2L, 1100000L), (3L, 900000L), (4L, 100000L))
+      .toDF("node", "rank_micro")
+    val tiers = Graph.rankTiers(ranks, Seq(800000L, 1000000L, 1200000L))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tiers == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    assertThrows[IllegalArgumentException](
+      Graph.rankTiers(ranks, Seq(3L, 2L)))
+    assertThrows[IllegalArgumentException](
+      Graph.rankTiers(ranks, Nil))
+  }
+
+  test("iteration monotonicity sanity: total rank mass is bounded by n * 1e6") {
+    val edges = (0L until 100L).map(i => (i % 11, (i * 3 + 1) % 11))
+    val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 6))
+    // with unit init, total mass can only leak (dangling drop + integer
+    // truncation), never grow
+    assert(got.values.sum <= got.size * 1000000L)
+    assert(got.values.forall(_ >= 150000L))
+  }
+}
