@@ -1836,8 +1836,57 @@ object SparkEntry {
           sum(col("rank_micro")).as("rank_sum"),
           min(col("rank_micro")).as("rank_min"),
           max(col("rank_micro")).as("rank_max"))
-    })
+    }),
+
+    // --- conversation/SFT data operators (round-9) -------------------
+    // role-aware exact turn dedup over the derived multi-turn view
+    // with every 11th turn's text replaced by a boilerplate
+    // acknowledgement (chat corpora are full of "thanks!"-class turns
+    // on BOTH sides of the dialogue — without the plant the raw view
+    // has no exact dups at small sf and the gate would be vacuous):
+    // keeper election per (role, text) by earliest (conv, turn). The
+    // boilerplate occurs under both roles, so a role-blind dedup
+    // would merge the two groups into one row — the gate catches it.
+    "x_conv_dedup" -> ((s, d) => {
+      val planted = conversations(s, d).withColumn("text",
+        when((col("conv_id") + col("turn")) % 11 === 0, lit("thanks!"))
+          .otherwise(col("text")))
+      graft.scale.Conversations.turnDedupExact(planted)
+        .filter(col("is_keeper") && col("dup_count") > 1)
+        .select(col("role"), col("text"),
+          col("keeper_conv"), col("keeper_turn"), col("dup_count"))
+    }),
+
+    // role-aware NEAR dedup: n-gram Jaccard pairs that can only form
+    // within a role (role folded into the blocking key); decoded back
+    // to (conv, turn) endpoints
+    "x_conv_dedup_near" -> ((s, d) =>
+      graft.scale.Conversations.turnDedupNearPairs(conversations(s, d),
+        k = 3, threshold = 0.2, maxBlockSize = NgramBlockCap)),
+
+    // conversation-preserving chat packing: conversations token-summed
+    // and packed atomically (the grouped analogue of
+    // x_corpus_split_grouped) — the manifest row set changes if any
+    // conversation is ever split across (shard, pack_id)
+    "x_conv_pack" -> ((s, d) =>
+      graft.scale.Conversations.packConversations(
+        conversations(s, d), budget = 256, shards = 8))
   )
+
+  /** Derived multi-turn conversation view over `documents` (the
+    * testdata has no conversations table; both engines derive the SAME
+    * view): conversation = doc_id mod 200, turn order = doc_id order
+    * within the conversation, roles alternate user/assistant. */
+  private def conversations(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select((col("doc_id") % 200).as("conv_id"), col("doc_id"), col("text"))
+      .withColumn("turn", row_number().over(w).cast("long"))
+      .select(col("conv_id"), col("turn"),
+        when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")).as("role"),
+        col("text"))
+  }
 
   /** Synthetic domain link graph: every document contributes one edge
     * (its "from" domain links the domain its content points at), both
@@ -5091,8 +5140,75 @@ object SparkEntry {
         SELECT tier, CAST(count(*) AS BIGINT) AS n_nodes,
                CAST(sum(rank_micro) AS BIGINT) AS rank_sum,
                min(rank_micro) AS rank_min, max(rank_micro) AS rank_max
-        FROM tiers GROUP BY 1""")
+        FROM tiers GROUP BY 1"""),
+
+    // role-aware exact turn dedup: keeper = min encoded (conv, turn)
+    // per (role, text) over the boilerplate-planted view; HAVING keeps
+    // only duplicated groups
+    "x_conv_dedup" ->
+      s"""WITH $convViewSql,
+         |c3 AS (SELECT conv_id, turn, role,
+         |         CASE WHEN (conv_id + turn) % 11 = 0 THEN 'thanks!' ELSE text END AS text
+         |       FROM c2)
+         |SELECT role, text,
+         |       CAST(min(conv_id * 1000000 + turn) // 1000000 AS BIGINT) AS keeper_conv,
+         |       CAST(min(conv_id * 1000000 + turn) % 1000000 AS BIGINT) AS keeper_turn,
+         |       CAST(count(*) AS BIGINT) AS dup_count
+         |FROM c3 GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    // role-aware near dedup: the x_dedup_ngram pair replay with the
+    // role folded into the blocking key and block cap, endpoints
+    // decoded from the encoded turn key
+    "x_conv_dedup_near" ->
+      s"""WITH $convViewSql,
+         |d AS (SELECT conv_id * 1000000 + turn AS tk, role, text, $toksSql AS toks FROM c2),
+         |s0 AS (SELECT tk, role,
+         |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
+         |    toks[1] AS t0,
+         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         |  FROM d),
+         |s AS (SELECT tk, role, lenband, t0, sh FROM
+         |    (SELECT s0.*, count(*) OVER (PARTITION BY role, lenband, t0) AS bsz FROM s0)
+         |  WHERE bsz <= $NgramBlockCap),
+         |p AS (SELECT a.tk AS tk_a, b.tk AS tk_b,
+         |    len(list_intersect(a.sh, b.sh)) AS inter,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+         |  FROM s a JOIN s b ON a.role = b.role AND a.lenband = b.lenband AND a.t0 = b.t0 AND a.tk < b.tk)
+         |SELECT DISTINCT
+         |       CAST(tk_a // 1000000 AS BIGINT) AS conv_a,
+         |       CAST(tk_a % 1000000 AS BIGINT) AS turn_a,
+         |       CAST(tk_b // 1000000 AS BIGINT) AS conv_b,
+         |       CAST(tk_b % 1000000 AS BIGINT) AS turn_b,
+         |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
+         |FROM p
+         |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin,
+
+    // conversation-preserving packing: conversation token sums feed the
+    // same shard-partitioned running-sum layout as x_text_pack — at the
+    // conversation level, so no conversation can straddle a pack
+    "x_conv_pack" ->
+      s"""WITH $convViewSql,
+         |ct AS (SELECT conv_id, CAST(sum(len($toksSql)) AS BIGINT) AS token_count FROM c2 GROUP BY 1),
+         |t AS (SELECT conv_id, conv_id % 8 AS shard, token_count FROM ct),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY conv_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
+         |SELECT conv_id, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM w""".stripMargin
   )
+
+  /** Shared oracle CTEs for the derived conversation view — mirrors
+    * [[conversations]] verbatim. */
+  private val convViewSql =
+    """conv AS (
+      |  SELECT doc_id % 200 AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY doc_id % 200 ORDER BY doc_id) AS BIGINT) AS turn,
+      |         text
+      |  FROM documents),
+      |c2 AS (SELECT conv_id, turn,
+      |         CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role, text
+      |       FROM conv)""".stripMargin
 
   /** The x_graph_* oracle prologue: edge/degree/node CTEs mirroring
     * [[graphEdges]] + Graph.pageRank's hygiene (distinct edges, no

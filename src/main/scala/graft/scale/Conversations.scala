@@ -1,0 +1,115 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Cleaning.qcol
+
+/** Conversation/SFT-shaped data operators — multi-turn chat corpora
+  * (conv_id, turn, role, text) need two properties the document-level
+  * operators don't enforce:
+  *
+  *  1. **role awareness**: a user turn and an assistant turn with the
+  *     same text are NOT duplicates of each other (boilerplate
+  *     questions vs boilerplate answers are different training
+  *     signals), so every dedup key/block includes the role;
+  *  2. **conversation integrity**: packing must never split a
+  *     conversation across training windows — a window that opens
+  *     mid-conversation orphans the assistant turns from the context
+  *     they answer (the grouped analogue of the leakage-safe grouped
+  *     split: assignment happens at the GROUP level, members inherit).
+  *
+  * Turn identity is the encoded `conv_id * TurnKeyBase + turn` long:
+  * order-preserving ((c1,t1) < (c2,t2) lexicographically iff the keys
+  * compare the same way, given turn < TurnKeyBase), integer-exact in
+  * any engine, and decodable with div/mod. API contract (same style as
+  * `Stats.weightedQuantile`'s integer-weight precondition): `turn`
+  * must be in [0, TurnKeyBase) and `conv_id` non-negative — chat data
+  * is thousands of turns per conversation at the extreme, a millionfold
+  * margin below the contract bound.
+  */
+object Conversations {
+
+  /** Turn-key encoding base: supports conversations up to 1e6 turns
+    * and conv_ids up to ~9.2e12 without long overflow. */
+  val TurnKeyBase = 1000000L
+
+  /** The encoded turn identity (see object doc). */
+  def turnKey(convCol: Column, turnCol: Column): Column =
+    convCol.cast("long") * TurnKeyBase + turnCol.cast("long")
+
+  /** Role-aware EXACT turn dedup: elects, per (role, text), the keeper
+    * turn — the earliest by (conv_id, turn) — and annotates every turn
+    * with its group's keeper and multiplicity. Keeper election is an
+    * aggregate + equi-join back on the group key (never a window over
+    * the turn key — the same scale rule as `dedupLines`). Returns the
+    * input columns plus `keeper_conv`, `keeper_turn`, `dup_count`,
+    * `is_keeper`; `filter(col("is_keeper"))` is the deduped corpus.
+    *
+    * Scale: two shuffles on (role, text) — one for the election
+    * aggregate, one for the join (AQE reuses the co-partitioning).
+    * Dup groups concentrate mass exactly where dedup wins, so the
+    * aggregate is the reducing side; no driver participation.
+    */
+  def turnDedupExact(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      roleCol: String = "role", textCol: String = "text"): DataFrame = {
+    val key = turnKey(qcol(convCol), qcol(turnCol))
+    val keepers = convs.groupBy(qcol(roleCol), qcol(textCol))
+      .agg(min(key).as("__keeper_key"), count(lit(1)).as("dup_count"))
+    convs.join(keepers, Seq(roleCol, textCol))
+      .withColumn("keeper_conv", expr(s"__keeper_key div $TurnKeyBase"))
+      .withColumn("keeper_turn", pmod(col("__keeper_key"), lit(TurnKeyBase)))
+      .withColumn("is_keeper", key === col("__keeper_key"))
+      .drop("__keeper_key")
+  }
+
+  /** Role-aware NEAR-dup turn pairs: n-gram Jaccard with the role
+    * folded into the blocking key (cross-role pairs never form — see
+    * [[Dedup.nearDupNgram]]'s `extraBlockCols`). Returns
+    * (conv_a, turn_a, conv_b, turn_b, jaccard), pair order = encoded
+    * turn-key order.
+    *
+    * Scale: inherits nearDupNgram's contract — blocked bounded
+    * quadratic with the deterministic block cap; role blocking only
+    * SHRINKS blocks (a block is now per (role, lenband, t0)).
+    */
+  def turnDedupNearPairs(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      roleCol: String = "role", textCol: String = "text",
+      k: Int = 3, threshold: Double = 0.5,
+      maxBlockSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val keyed = convs.select(
+      turnKey(qcol(convCol), qcol(turnCol)).as("__tk"),
+      qcol(roleCol).as("__role"), qcol(textCol).as("__text"))
+    Dedup.nearDupNgram(keyed, "__tk", "__text", k, threshold, maxBlockSize,
+        extraBlockCols = Seq("__role"))
+      .select(
+        expr(s"id_a div $TurnKeyBase").as("conv_a"),
+        pmod(col("id_a"), lit(TurnKeyBase)).as("turn_a"),
+        expr(s"id_b div $TurnKeyBase").as("conv_b"),
+        pmod(col("id_b"), lit(TurnKeyBase)).as("turn_b"),
+        col("jaccard"))
+  }
+
+  /** Conversation-preserving chat packing: token-sums each conversation
+    * (whitespace token count over every turn), then runs the standard
+    * shard-partitioned concat-and-chunk layout at the CONVERSATION
+    * level — a conversation is one atomic unit, so it can never be
+    * split across packs by construction (its turns all inherit the
+    * single (shard, pack_id) of their conversation).
+    * Returns the conversation-level manifest (convCol, shard,
+    * token_count, pack_id, pack_offset); join turns back by convCol
+    * for the turn-level layout.
+    *
+    * Scale: one aggregate to |conversations| rows, then
+    * [[TextAnalysis.packByCount]]'s per-shard running-sum window —
+    * never a global sort.
+    */
+  def packConversations(
+      convs: DataFrame, convCol: String = "conv_id", textCol: String = "text",
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    val perConv = convs.groupBy(qcol(convCol))
+      .agg(sum(TextAnalysis.tokenCount(qcol(textCol)).cast("long")).as("__conv_tokens"))
+    TextAnalysis.packByCount(perConv, convCol, "__conv_tokens", budget, shards)
+  }
+}

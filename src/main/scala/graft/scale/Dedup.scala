@@ -505,18 +505,25 @@ object Dedup {
     * dup-heavy win of [[nearDupMinhash]]'s collapse carries over; the
     * output is identical either way.
     */
+  /** `extraBlockCols` prepend to the blocking key: pairs only form
+    * within equal values (e.g. a chat `role` column — a user turn is
+    * never a near-dup candidate of an assistant turn), and the block
+    * cap counts members per (extras…, lenband, t0).
+    */
   def nearDupNgram(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
       maxBlockSize: Int = DefaultMaxBucketSize,
-      collapseIdentical: Boolean = true): DataFrame = {
+      collapseIdentical: Boolean = true,
+      extraBlockCols: Seq[String] = Nil): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val toks = TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol))
     val block = struct(
+      extraBlockCols.map(graft.ops.Cleaning.qcol) ++ Seq(
       // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
       // floor() agrees in both engines for the non-negative log here
       floor(log(greatest(length(graft.ops.Cleaning.qcol(textCol)), lit(1))) * 2).cast("int").as("lenband"),
-      element_at(toks, 1).as("t0"))
+      element_at(toks, 1).as("t0")): _*)
     val sets0 = df.select(id, block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
     val sets = capBuckets(sets0, Seq("block"), maxBlockSize)

@@ -1,0 +1,106 @@
+package graft.scale
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Conversation/SFT operators: role-aware dedup must never merge
+  * across roles, keeper election must be the earliest (conv, turn),
+  * and packing must keep every conversation inside exactly one
+  * (shard, pack_id).
+  */
+class ConversationsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def convs = Seq(
+    // conv 1: boilerplate on both sides
+    (1L, 1L, "user", "thanks!"),
+    (1L, 2L, "assistant", "thanks!"),
+    (1L, 3L, "user", "how do I reset my password"),
+    // conv 2: repeats conv 1's user boilerplate and question
+    (2L, 1L, "user", "thanks!"),
+    (2L, 2L, "assistant", "click the reset link"),
+    (2L, 3L, "user", "how do I reset my password"),
+    // conv 3: assistant repeats, plus a unique turn
+    (3L, 1L, "assistant", "thanks!"),
+    (3L, 2L, "user", "completely unique turn text")
+  ).toDF("conv_id", "turn", "role", "text")
+
+  test("turnDedupExact: keeper is earliest (conv, turn), per role — never across roles") {
+    val out = Conversations.turnDedupExact(convs)
+    val byKey = out.collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn")) ->
+      ((r.getAs[String]("role"), r.getAs[Long]("keeper_conv"), r.getAs[Long]("keeper_turn"),
+        r.getAs[Long]("dup_count"), r.getAs[Boolean]("is_keeper")))).toMap
+    assert(byKey.size == 8) // annotation, not row loss
+    // user "thanks!" group: (1,1) keeps, (2,1) is a dup of it
+    assert(byKey((1L, 1L)) == (("user", 1L, 1L, 2L, true)))
+    assert(byKey((2L, 1L)) == (("user", 1L, 1L, 2L, false)))
+    // assistant "thanks!" group is SEPARATE: (1,2) keeps, (3,1) dups
+    assert(byKey((1L, 2L)) == (("assistant", 1L, 2L, 2L, true)))
+    assert(byKey((3L, 1L)) == (("assistant", 1L, 2L, 2L, false)))
+    // question group: earliest is (1,3)
+    assert(byKey((1L, 3L))._5 && !byKey((2L, 3L))._5)
+    // unique turns are their own keepers
+    assert(byKey((3L, 2L)) == (("user", 3L, 2L, 1L, true)))
+    // deduped corpus = keepers only: one boilerplate per ROLE survives
+    val kept = out.filter(col("is_keeper")).collect()
+    assert(kept.count(_.getAs[String]("text") == "thanks!") == 2)
+  }
+
+  test("turnDedupNearPairs: same-role pairs only, endpoints decode correctly") {
+    val near = Seq(
+      (1L, 1L, "user", "the quick brown fox jumps over the lazy dog"),
+      (2L, 5L, "user", "the quick brown fox jumps over the lazy cat"),
+      (3L, 2L, "assistant", "the quick brown fox jumps over the lazy dog"),
+      (4L, 1L, "assistant", "entirely different content here")
+    ).toDF("conv_id", "turn", "role", "text")
+    val pairs = Conversations.turnDedupNearPairs(near, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the user fox pair is found; the cross-role identical pair
+    // (1,1)x(3,2) must NOT appear
+    assert(pairs.contains((1L, 1L, 2L, 5L)))
+    assert(!pairs.exists(p => (p._1, p._2) == ((1L, 1L)) && (p._3, p._4) == ((3L, 2L))))
+    assert(!pairs.exists(p => (p._1, p._2) == ((3L, 2L)) || (p._3, p._4) == ((3L, 2L))))
+  }
+
+  test("packConversations: every conversation lands in exactly one (shard, pack_id)") {
+    val big = (0L until 400L).map { i =>
+      (i % 40, i / 40 + 1, if (i % 2 == 0) "user" else "assistant",
+        s"turn $i with some words " + ("pad " * (i % 7).toInt))
+    }.toDF("conv_id", "turn", "role", "text")
+    val packed = Conversations.packConversations(big, budget = 64, shards = 4)
+    // conversation-level manifest: one row per conversation
+    assert(packed.count() == 40)
+    assert(packed.select("conv_id").distinct().count() == 40)
+    // turns inherit their conversation's single placement — join back
+    // and check each conversation maps to exactly one (shard, pack)
+    val placements = big.join(packed, "conv_id")
+      .groupBy("conv_id")
+      .agg(countDistinct(struct(col("shard"), col("pack_id"))).as("n_places"))
+      .agg(max("n_places")).head().getLong(0)
+    assert(placements == 1L)
+    // equivalence with packByCount over the conversation aggregate
+    val perConv = big.groupBy(col("conv_id"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n"))
+    val direct = TextAnalysis.packByCount(perConv, "conv_id", "n", 64, 4)
+      .collect().toSet
+    assert(packed.collect().toSet == direct)
+  }
+
+  test("packConversations never splits even a conversation larger than the budget") {
+    val giant = (1L to 30L).map(t => (7L, t, "user", "w " * 50)).toDF("conv_id", "turn", "role", "text")
+    val packed = Conversations.packConversations(giant, budget = 64, shards = 2).collect()
+    assert(packed.length == 1) // one atomic unit, one placement
+    assert(packed.head.getAs[Long]("token_count") == 1500L)
+  }
+
+  test("turnKey encoding is order-preserving and decodable") {
+    val pairs = Seq((0L, 0L), (0L, 999999L), (1L, 0L), (5L, 123L), (5L, 124L))
+    val keys = pairs.map { case (c, t) => c * Conversations.TurnKeyBase + t }
+    assert(keys == keys.sorted)
+    pairs.zip(keys).foreach { case ((c, t), k) =>
+      assert(k / Conversations.TurnKeyBase == c && k % Conversations.TurnKeyBase == t)
+    }
+  }
+}
