@@ -8,9 +8,26 @@ import org.apache.spark.sql.functions._
   * run at each test SF before choosing a gate threshold, so the pinned
   * constant is measured evidence, not a guess. Measurement tooling
   * only; not part of the engine.
+  *
+  * Besides the stdout table, every measurement appends one JSON line to
+  * `RECALL.jsonl` (committed evidence — recall drift becomes visible
+  * across rounds the same way BENCH_FULL.jsonl makes wall-time drift
+  * visible). Optional first arg tags the rows (e.g. `r9`); default
+  * `adhoc`.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
+    val tag = args.headOption.getOrElse("adhoc")
+    def emit(sf: String, probe: String, k: Int, recallV: Double,
+        gate: String, floor: Double): Unit = {
+      val line = f"""{"tag":"$tag","sf":"$sf","probe":"$probe","k":$k,""" +
+        f""""recall":$recallV%.4f,"gate":"$gate","floor":$floor}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("RECALL.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -40,7 +57,10 @@ object RecallProbe {
       for (nprobe <- Seq(4, 8)) {
         val ivfApprox = graft.scale.Similarity.ivfTopK(
           emb, queries, "vec_id", "embedding", "query_id", k = 5, nlist = 16, nprobe = nprobe)
-        println(f"[recall] $sf ivf nprobe=$nprobe/16      ${recall(ivfApprox, ivfExact)}%.4f")
+        val r = recall(ivfApprox, ivfExact)
+        println(f"[recall] $sf ivf nprobe=$nprobe/16      $r%.4f")
+        if (nprobe == 4) emit(sf, "ivf_nprobe4_16", 5, r, "x_sim_ivf_probe", 0.55)
+        else emit(sf, "ivf_nprobe8_16", 5, r, "-", 0.0)
       }
 
       val model = graft.scale.Pq.syntheticModel(64, m = 8, k = 16, seed = 42L)
@@ -51,7 +71,9 @@ object RecallProbe {
         nlist = 8, nprobe = 4, excludeSelf = true)
       val pqExact = graft.scale.Pq.adcTopK(
         emb, q2, "vec_id", "embedding", "query_id", k = 6, model, excludeSelf = true)
-      println(f"[recall] $sf ivfadc nprobe=4/8    ${recall(pqApprox, pqExact)}%.4f")
+      val rPq = recall(pqApprox, pqExact)
+      println(f"[recall] $sf ivfadc nprobe=4/8    $rPq%.4f")
+      emit(sf, "ivfadc_nprobe4_8", 6, rPq, "x_emb_ivfpq_probe", 0.54)
 
       // residual vs raw codes, both against the TRUE exact-L2 top-k —
       // the quantization-quality comparison (same index bytes)
@@ -72,8 +94,12 @@ object RecallProbe {
       def ivfadc(residual: Boolean) = graft.scale.Pq.ivfAdcTopK(
         emb, q2, "vec_id", "embedding", "query_id", k = 6, fitted,
         nlist = 8, nprobe = 4, excludeSelf = true, residual = residual)
-      println(f"[recall] $sf raw-codes vs exactL2 ${recall(ivfadc(false), exactL2)}%.4f")
-      println(f"[recall] $sf residual  vs exactL2 ${recall(ivfadc(true), exactL2)}%.4f")
+      val rRaw = recall(ivfadc(false), exactL2)
+      val rRes = recall(ivfadc(true), exactL2)
+      println(f"[recall] $sf raw-codes vs exactL2 $rRaw%.4f")
+      println(f"[recall] $sf residual  vs exactL2 $rRes%.4f")
+      emit(sf, "ivfadc_fitted_raw_vs_l2", 6, rRaw, "-", 0.0)
+      emit(sf, "ivfadc_fitted_residual_vs_l2", 6, rRes, "-", 0.0)
     }
     spark.stop()
   }
