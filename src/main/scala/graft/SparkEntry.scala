@@ -1870,7 +1870,40 @@ object SparkEntry {
     // conversation is ever split across (shard, pack_id)
     "x_conv_pack" -> ((s, d) =>
       graft.scale.Conversations.packConversations(
-        conversations(s, d), budget = 256, shards = 8))
+        conversations(s, d), budget = 256, shards = 8)),
+
+    // SFT context-window truncation: keep each conversation's newest
+    // turns within a 120-token budget (newest turn always kept)
+    "x_conv_truncate" -> ((s, d) =>
+      graft.scale.Conversations.truncateToBudget(
+          conversations(s, d), budget = 120)
+        .select(col("conv_id"), col("turn"), col("role"),
+          col("turn_tokens"), col("kept"))),
+
+    // WEIGHTED PageRank: every document is one vote, so multi-edges
+    // carry their multiplicity as the link weight — hot (src,dst)
+    // pairs vote proportionally instead of collapsing to 1
+    "x_graph_rank_weighted" -> ((s, d) =>
+      graft.scale.Graph.pageRankWeighted(
+        graphEdges(s, d).withColumn("w", lit(1L)),
+        "src", "dst", "w", iterations = 5)),
+
+    // the advertised composition: link-graph rank tiers feeding
+    // curation — keep documents whose domain sits in the top two
+    // quality tiers, budget-report per source (tier table is 64 rows
+    // → broadcast join, corpus never shuffles)
+    "x_graph_qmix" -> ((s, d) => {
+      val ranks = graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)
+      val tiers = graft.scale.Graph.rankTiers(ranks, GraphTierCuts)
+        .select(col("node"), col("tier"))
+      T(s, d, "documents")
+        .select(col("source"), (col("doc_id") % 64).as("node"),
+          graft.scale.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .join(broadcast(tiers), "node")
+        .filter(col("tier") <= 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_kept"))
+    })
   )
 
   /** Derived multi-turn conversation view over `documents` (the
@@ -5184,6 +5217,43 @@ object SparkEntry {
          |FROM p
          |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin,
 
+    // suffix-window truncation: turn-descending running sum per
+    // conversation; rn=1 pins the always-kept newest turn
+    "x_conv_truncate" ->
+      s"""WITH $convViewSql,
+         |tt AS (SELECT conv_id, turn, role, CAST(len($toksSql) AS BIGINT) AS turn_tokens FROM c2),
+         |wn AS (SELECT *,
+         |    CAST(sum(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sfx,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn DESC) AS rn
+         |  FROM tt)
+         |SELECT conv_id, turn, role, turn_tokens,
+         |       (rn = 1 OR sfx <= 120) AS kept
+         |FROM wn""".stripMargin,
+
+    // weighted PageRank: multi-edge multiplicity as the link weight,
+    // contribution = (rank * w) // out-weight — same unrolled replay
+    "x_graph_rank_weighted" ->
+      (graphRankWeightedOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    // rank-tier curation compose: top-2-tier domains keep their docs,
+    // token budget per source (the tier table is the broadcast side)
+    "x_graph_qmix" ->
+      (graphRankOracleCtes(5) + s""",
+        |tiers AS (
+        |  SELECT node,
+        |         CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier
+        |  FROM r5),
+        |docs AS (SELECT source, doc_id % 64 AS node,
+        |           CAST(len($toksSql) AS BIGINT) AS tok
+        |         FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS tokens_kept
+        |FROM docs JOIN tiers USING (node)
+        |WHERE tier <= 1
+        |GROUP BY 1""".stripMargin),
+
     // conversation-preserving packing: conversation token sums feed the
     // same shard-partitioned running-sum layout as x_text_pack — at the
     // conversation level, so no conversation can straddle a pack
@@ -5230,6 +5300,31 @@ object SparkEntry {
          |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
          |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
          |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** Weighted variant of [[graphRankOracleCtes]]: multi-edge
+    * multiplicity as the weight, contribution = (r * w) // outw. */
+  private def graphRankWeightedOracleCtes(iterations: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst FROM documents)
+        |  WHERE src <> dst GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, (r${i - 1}.r * e.w) // ow.outw AS contrib
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |                    JOIN ow ON e.src = ow.src) c ON n.node = c.node
          |  GROUP BY 1)""".stripMargin
     }.mkString
     base + iters

@@ -105,6 +105,36 @@ object Conversations {
     * [[TextAnalysis.packByCount]]'s per-shard running-sum window —
     * never a global sort.
     */
+  /** SFT context-window truncation: keep each conversation's SUFFIX —
+    * the most recent turns whose combined whitespace token count fits
+    * `budget` — dropping history from the front (the standard chat
+    * fine-tuning prep: the latest exchange matters, old context is
+    * expendable). The newest turn is ALWAYS kept even if it alone
+    * exceeds the budget (dropping it would silently delete the
+    * conversation; a trainer truncates tokens inside the turn
+    * downstream). Returns the input columns plus `turn_tokens`,
+    * `kept` (boolean).
+    *
+    * Scale: one window per conversation key (turn-descending running
+    * sum) — partitioned by the real conversation key, never global.
+    */
+  def truncateToBudget(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      textCol: String = "text", budget: Int = 512): DataFrame = {
+    require(budget > 0, s"truncateToBudget: budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qcol(convCol)).orderBy(qcol(turnCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    convs
+      .withColumn("turn_tokens", TextAnalysis.tokenCount(qcol(textCol)).cast("long"))
+      .withColumn("__sfx", sum(col("turn_tokens")).over(w))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qcol(convCol)).orderBy(qcol(turnCol).desc)))
+      .withColumn("kept", col("__rn") === 1 || col("__sfx") <= budget)
+      .drop("__sfx", "__rn")
+  }
+
   def packConversations(
       convs: DataFrame, convCol: String = "conv_id", textCol: String = "text",
       budget: Int = 512, shards: Int = 8): DataFrame = {

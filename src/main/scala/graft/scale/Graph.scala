@@ -56,26 +56,57 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85): DataFrame = {
-    require(iterations >= 1, "pageRank: need at least one iteration")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"pageRank: dampingPct must be 0..100, got $dampingPct")
     val src = col(srcCol).cast("long").as("src")
     val dst = col(dstCol).cast("long").as("dst")
     val e = edges.select(src, dst)
       .filter(col("src") =!= col("dst")).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumn("w", lit(1L))
+    rankIterate(e, iterations, dampingPct)
+  }
+
+  /** WEIGHTED fixed-point PageRank: each link votes in proportion to
+    * its weight (multi-edges aggregate by summing `weightCol` per
+    * (src, dst); the natural crawl weight is link multiplicity — how
+    * many pages of domain A link domain B). Contribution of edge
+    * (u, v) = rank(u) * w(u,v) div W(u) with W(u) = u's total
+    * out-weight — integer arithmetic throughout, same determinism
+    * contract as [[pageRank]] (which is exactly the all-weights-1
+    * case). API contract: weights are positive integer-valued longs;
+    * rank*weight must stay below 2^63 (ANSI mode fails loudly if a
+    * pathological weight breaks it).
+    */
+  def pageRankWeighted(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    val e = edges.select(src, dst, col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+    rankIterate(e, iterations, dampingPct)
+  }
+
+  /** Shared power-iteration core over a prepared (src, dst, w) edge
+    * frame (deduped, self-loop-free, positive integer weights). */
+  private def rankIterate(
+      e: DataFrame, iterations: Int, dampingPct: Int): DataFrame = {
+    require(iterations >= 1, "pageRank: need at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"pageRank: dampingPct must be 0..100, got $dampingPct")
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val teleportMicro = (100L - dampingPct) * 10000L // (1-d) * 1e6
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (i <- 1 to iterations) {
-      // contribution of each edge = src rank split evenly over its
-      // out-links (integer division — the determinism contract)
+      // contribution of each edge = src rank split over its out-weight
+      // (integer division — the determinism contract)
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        .join(outw, "src")
         .select(col("dst").as("node"),
-          expr("rank_micro div outdeg").as("contrib"))
+          expr("(rank_micro * w) div outw").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("in_sum"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),

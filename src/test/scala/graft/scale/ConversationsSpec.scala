@@ -95,6 +95,29 @@ class ConversationsSpec extends AnyFunSuite {
     assert(packed.head.getAs[Long]("token_count") == 1500L)
   }
 
+  test("truncateToBudget keeps the newest-turn suffix within budget; newest always survives") {
+    val data = Seq(
+      // conv 1: turns of 10/20/30/40 tokens — budget 60 keeps suffix {4,3} (70 would include turn 2)
+      (1L, 1L, "user", "w " * 10), (1L, 2L, "assistant", "w " * 20),
+      (1L, 3L, "user", "w " * 30), (1L, 4L, "assistant", "w " * 40),
+      // conv 2: newest turn alone blows the budget — still kept
+      (2L, 1L, "user", "w " * 5), (2L, 2L, "assistant", "w " * 500)
+    ).toDF("conv_id", "turn", "role", "text")
+    val out = Conversations.truncateToBudget(data, budget = 60)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn")) ->
+        ((r.getAs[Long]("turn_tokens"), r.getAs[Boolean]("kept")))).toMap
+    assert(out((1L, 4L)) == ((40L, true)))
+    assert(out((1L, 3L)) == ((30L, false))) // 40+30=70 > 60
+    assert(out((1L, 2L)) == ((20L, false)) && out((1L, 1L)) == ((10L, false)))
+    assert(out((2L, 2L)) == ((500L, true)))  // newest always kept
+    assert(out((2L, 1L)) == ((5L, false)))
+    // a conversation fully inside the budget keeps everything
+    val small = Seq((3L, 1L, "user", "a b"), (3L, 2L, "assistant", "c d e"))
+      .toDF("conv_id", "turn", "role", "text")
+    assert(Conversations.truncateToBudget(small, budget = 60)
+      .filter(!col("kept")).count() == 0)
+  }
+
   test("turnKey encoding is order-preserving and decodable") {
     val pairs = Seq((0L, 0L), (0L, 999999L), (1L, 0L), (5L, 123L), (5L, 124L))
     val keys = pairs.map { case (c, t) => c * Conversations.TurnKeyBase + t }

@@ -84,6 +84,46 @@ class GraphSpec extends AnyFunSuite {
       Graph.rankTiers(ranks, Nil))
   }
 
+  /** Weighted reference replay: contribution = r*w / W(u). */
+  private def referenceRankW(
+      edges: Seq[(Long, Long, Long)], iterations: Int): Map[Long, Long] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }
+      .filter(_._3 > 0).toSeq
+    val outw = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => r(s) * w / outw(s) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankWeighted equals its reference; all-weights-1 equals unweighted pageRank") {
+    val raw = (0L until 150L).map(i => (i % 13, (i * 7 + 3) % 13, 1L + i % 4))
+    val got = rankMap(Graph.pageRankWeighted(
+      raw.toDF("src", "dst", "w"), "src", "dst", "w", 5))
+    assert(got == referenceRankW(raw, 5))
+    // unit weights reduce exactly to the unweighted operator — but only
+    // on a deduped edge set (pageRank dedupes, weighted sums multiplicity)
+    val uniq = raw.map(t => (t._1, t._2)).distinct
+    val viaW = rankMap(Graph.pageRankWeighted(
+      uniq.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"), "src", "dst", "w", 5))
+    val viaU = rankMap(Graph.pageRank(uniq.toDF("src", "dst"), "src", "dst", 5))
+    assert(viaW == viaU)
+  }
+
+  test("pageRankWeighted: a heavier link pulls more rank to its target") {
+    // 1 links 2 and 3; the 2-link is 9x heavier
+    val got = rankMap(Graph.pageRankWeighted(
+      Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+        .toDF("src", "dst", "w"), "src", "dst", "w", 5))
+    assert(got(2L) > got(3L))
+  }
+
   test("iteration monotonicity sanity: total rank mass is bounded by n * 1e6") {
     val edges = (0L until 100L).map(i => (i % 11, (i * 3 + 1) % 11))
     val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 6))
