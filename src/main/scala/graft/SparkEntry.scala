@@ -1903,7 +1903,16 @@ object SparkEntry {
         .filter(col("tier") <= 1)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_kept"))
-    })
+    }),
+
+    // per-node degree/reciprocity audit — the link-exchange (spam-farm)
+    // signal next to the rank
+    "x_graph_degree" -> ((s, d) =>
+      graft.scale.Graph.degreeAudit(graphEdges(s, d), "src", "dst")),
+
+    // conversation shape audit: the SFT pre-packing profile
+    "x_conv_stats" -> ((s, d) =>
+      graft.scale.Conversations.conversationStats(conversations(s, d)))
   )
 
   /** Derived multi-turn conversation view over `documents` (the
@@ -5229,6 +5238,34 @@ object SparkEntry {
          |SELECT conv_id, turn, role, turn_tokens,
          |       (rn = 1 OR sfx <= 120) AS kept
          |FROM wn""".stripMargin,
+
+    // degree/reciprocity audit over the cleaned edge set
+    "x_graph_degree" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1),
+        |rc AS (SELECT a.src AS node, CAST(count(*) AS BIGINT) AS reciprocal
+        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+        |SELECT node,
+        |       COALESCE(out_deg, 0) AS out_deg,
+        |       COALESCE(in_deg, 0) AS in_deg,
+        |       COALESCE(reciprocal, 0) AS reciprocal
+        |FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        |     LEFT JOIN rc USING (node)""".stripMargin,
+
+    // conversation shape audit: one aggregate per conversation
+    "x_conv_stats" ->
+      s"""WITH $convViewSql
+         |SELECT conv_id,
+         |       CAST(count(*) AS BIGINT) AS n_turns,
+         |       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+         |       CAST(max(len($toksSql)) AS BIGINT) AS max_turn_tokens,
+         |       min(turn) AS first_turn, max(turn) AS last_turn
+         |FROM c2 GROUP BY 1""".stripMargin,
 
     // weighted PageRank: multi-edge multiplicity as the link weight,
     // contribution = (rank * w) // out-weight — same unrolled replay

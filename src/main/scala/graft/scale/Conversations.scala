@@ -105,6 +105,29 @@ object Conversations {
     * [[TextAnalysis.packByCount]]'s per-shard running-sum window —
     * never a global sort.
     */
+  /** Conversation shape audit — the per-conversation profile an SFT
+    * pipeline reads before packing/truncation (and the filter input
+    * for malformed data: single-role conversations, monster turns,
+    * non-contiguous turn numbering): turn count, distinct roles, total
+    * and max turn token counts, first/last turn index. All integer —
+    * engines agree bitwise.
+    *
+    * Scale: ONE hash aggregate to |conversations| rows.
+    */
+  def conversationStats(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      roleCol: String = "role", textCol: String = "text"): DataFrame = {
+    val tok = TextAnalysis.tokenCount(qcol(textCol)).cast("long")
+    convs.groupBy(qcol(convCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        countDistinct(qcol(roleCol)).as("n_roles"),
+        sum(tok).as("total_tokens"),
+        max(tok).as("max_turn_tokens"),
+        min(qcol(turnCol).cast("long")).as("first_turn"),
+        max(qcol(turnCol).cast("long")).as("last_turn"))
+  }
+
   /** SFT context-window truncation: keep each conversation's SUFFIX —
     * the most recent turns whose combined whitespace token count fits
     * `budget` — dropping history from the front (the standard chat

@@ -119,6 +119,38 @@ object Graph {
     ranks
   }
 
+  /** Degree/reciprocity audit over the cleaned link graph (self-loops
+    * and duplicates removed, as [[pageRank]] sees it): per node, out-
+    * degree, in-degree, and the count of RECIPROCAL out-links (u→v
+    * where v→u also exists — high reciprocity between domains is the
+    * classic link-exchange/spam-farm signal feeding the same quality
+    * pipeline as the rank itself).
+    *
+    * Scale: three aggregations over |edges| and one self-equi-join on
+    * the (dst, src) key for reciprocity — never a cartesian; output is
+    * |nodes| rows.
+    */
+  def degreeAudit(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("reciprocal"))
+    nodes
+      .join(out, Seq("node"), "left")
+      .join(in, Seq("node"), "left")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
+  }
+
   /** Rank quality tiers by EXPLICIT rank thresholds (ascending,
     * micro-units): tier 0 = above every threshold (highest quality),
     * tier = thresholds.size = at-or-below all of them. Explicit

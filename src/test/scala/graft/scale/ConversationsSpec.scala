@@ -118,6 +118,16 @@ class ConversationsSpec extends AnyFunSuite {
       .filter(!col("kept")).count() == 0)
   }
 
+  test("conversationStats: shape profile per conversation") {
+    val got = Conversations.conversationStats(convs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // conv 1: 3 turns, 2 roles, tokens 1+1+6=8, max 6, turns 1..3
+    assert(got(1L) == ((3L, 2L, 8L, 6L, 1L, 3L)))
+    // conv 3: 2 turns, 2 roles, tokens 1+4=5
+    assert(got(3L) == ((2L, 2L, 5L, 4L, 1L, 2L)))
+  }
+
   test("turnKey encoding is order-preserving and decodable") {
     val pairs = Seq((0L, 0L), (0L, 999999L), (1L, 0L), (5L, 123L), (5L, 124L))
     val keys = pairs.map { case (c, t) => c * Conversations.TurnKeyBase + t }

@@ -124,6 +124,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(3L))
   }
 
+  test("degreeAudit: out/in/reciprocal counts on a hand graph, zero-filled") {
+    // 1<->2 reciprocal; 1->3, 3->4 one-way; dup edge + self-loop ignored
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (1L, 3L), (4L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.degreeAudit(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1L)), // out: 2,3; in: 2; reciprocal: 1<->2
+      2L -> ((1L, 1L, 1L)),
+      3L -> ((1L, 1L, 0L)),
+      4L -> ((0L, 1L, 0L)))) // pure sink: zero-filled out/reciprocal
+  }
+
   test("iteration monotonicity sanity: total rank mass is bounded by n * 1e6") {
     val edges = (0L until 100L).map(i => (i % 11, (i * 3 + 1) % 11))
     val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 6))
