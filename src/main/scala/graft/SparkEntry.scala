@@ -323,8 +323,8 @@ object SparkEntry {
     // strict reader, which slices bodies by declared length. The oracle
     // replays the plant straight off the documents table: body-identity
     // through the hostile roundtrip.
-    "s24_wet_strict" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_s24").toString
+    "s30_wet_strict" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s30").toString
       val planted = T(s, d, "documents").select(
         col("doc_id"),
         concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
@@ -2803,7 +2803,7 @@ object SparkEntry {
     // replays the adversarial plant (WARC magic / record separator
     // inside bodies) and asserts body-identity through the
     // Content-Length-framed roundtrip
-    "s24_wet_strict" ->
+    "s30_wet_strict" ->
       """WITH planted AS (
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 5 = 0
