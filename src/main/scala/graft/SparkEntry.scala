@@ -1847,14 +1847,25 @@ object SparkEntry {
     // keeper election per (role, text) by earliest (conv, turn). The
     // boilerplate occurs under both roles, so a role-blind dedup
     // would merge the two groups into one row — the gate catches it.
-    "x_conv_dedup" -> ((s, d) => {
-      val planted = conversations(s, d).withColumn("text",
-        when((col("conv_id") + col("turn")) % 11 === 0, lit("thanks!"))
-          .otherwise(col("text")))
-      graft.scale.Conversations.turnDedupExact(planted)
+    "x_conv_dedup" -> ((s, d) =>
+      graft.scale.Conversations.turnDedupExact(plantedConversations(s, d))
         .filter(col("is_keeper") && col("dup_count") > 1)
         .select(col("role"), col("text"),
-          col("keeper_conv"), col("keeper_turn"), col("dup_count"))
+          col("keeper_conv"), col("keeper_turn"), col("dup_count"))),
+
+    // the conversation last mile in ONE composed call: role-aware
+    // exact dedup -> suffix truncation to the context budget ->
+    // conversation-atomic packing. Every stage is individually green;
+    // this key gates the COMPOSITION (survivor turns feed the window,
+    // kept turns feed the conv token sums, packs stay atomic)
+    "x_conv_e2e" -> ((s, d) => {
+      val deduped = graft.scale.Conversations.turnDedupExact(plantedConversations(s, d))
+        .filter(col("is_keeper"))
+        .select(col("conv_id"), col("turn"), col("role"), col("text"))
+      val kept = graft.scale.Conversations.truncateToBudget(deduped, budget = 120)
+        .filter(col("kept"))
+        .select(col("conv_id"), col("turn"), col("role"), col("text"))
+      graft.scale.Conversations.packConversations(kept, budget = 256, shards = 8)
     }),
 
     // role-aware NEAR dedup: n-gram Jaccard pairs that can only form
@@ -1929,6 +1940,17 @@ object SparkEntry {
         when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")).as("role"),
         col("text"))
   }
+
+  /** [[conversations]] with every 11th turn's text replaced by a
+    * boilerplate acknowledgement — chat corpora are full of
+    * "thanks!"-class turns on BOTH sides of the dialogue, and the
+    * plant makes the dedup gates non-vacuous: the same boilerplate
+    * occurs under both roles, so a role-blind dedup would (wrongly)
+    * merge them. */
+  private def plantedConversations(s: SparkSession, d: String): DataFrame =
+    conversations(s, d).withColumn("text",
+      when((col("conv_id") + col("turn")) % 11 === 0, lit("thanks!"))
+        .otherwise(col("text")))
 
   /** Synthetic domain link graph: every document contributes one edge
     * (its "from" domain links the domain its content points at), both
@@ -5225,6 +5247,32 @@ object SparkEntry {
          |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
          |FROM p
          |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin,
+
+    // conversation e2e: dedup keepers (window-min election ≡ the
+    // aggregate+join) -> suffix truncation -> conversation-atomic
+    // pack layout, all over the planted view
+    "x_conv_e2e" ->
+      s"""WITH $convViewSql,
+         |c3 AS (SELECT conv_id, turn, role,
+         |         CASE WHEN (conv_id + turn) % 11 = 0 THEN 'thanks!' ELSE text END AS text
+         |       FROM c2),
+         |k AS (SELECT conv_id, turn, role, text FROM (
+         |        SELECT c3.*, min(conv_id * 1000000 + turn) OVER (PARTITION BY role, text) AS kk
+         |        FROM c3)
+         |      WHERE conv_id * 1000000 + turn = kk),
+         |tt AS (SELECT conv_id, turn, CAST(len($toksSql) AS BIGINT) AS turn_tokens FROM k),
+         |wn AS (SELECT *,
+         |    CAST(sum(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sfx,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn DESC) AS rn
+         |  FROM tt),
+         |kept AS (SELECT conv_id, turn_tokens FROM wn WHERE rn = 1 OR sfx <= 120),
+         |ct AS (SELECT conv_id, CAST(sum(turn_tokens) AS BIGINT) AS token_count FROM kept GROUP BY 1),
+         |t AS (SELECT conv_id, conv_id % 8 AS shard, token_count FROM ct),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY conv_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
+         |SELECT conv_id, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM w""".stripMargin,
 
     // suffix-window truncation: turn-descending running sum per
     // conversation; rn=1 pins the always-kept newest turn

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
 import graft.SparkTestSession
 
 /** Physical-plan guards for the scale contracts SCALE.md documents —
@@ -476,6 +477,35 @@ class ScalePlanSpec extends AnyFunSuite {
     // and bit-identical scores either way (the x_text_hashclf_saved gate,
     // asserted here at plan-test scale too)
     assert(persisted.collect().toSet == direct.collect().toSet)
+  }
+
+  test("rank-tier curation compose: tier table broadcasts, corpus side never sort-merges") {
+    val edges = (0L until 400L).map(i => (i % 31, (i * 13 + 5) % 31)).toDF("src", "dst")
+    val ranks = graft.scale.Graph.pageRank(edges, "src", "dst", iterations = 3)
+    val tiers = graft.scale.Graph.rankTiers(ranks, Seq(500000L, 1000000L))
+      .select(col("node"), col("tier"))
+    val docs = (0L until 500L).map(i => (i, s"src${i % 7}", i % 31, 5L + i % 9))
+      .toDF("doc_id", "source", "node", "tok")
+    val plan = docs.join(org.apache.spark.sql.functions.broadcast(tiers), "node")
+      .filter(col("tier") <= 1)
+      .groupBy(col("source")).agg(sum(col("tok")).as("tokens_kept"))
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the tier join must be a broadcast hash join")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the corpus must not sort-merge against the 64-row tier table")
+  }
+
+  test("role-aware turn dedup: election is an aggregate + equi-join, no cartesian, no turn-key window") {
+    val convs = (0L until 300L).map(i =>
+      (i % 40, i / 40 + 1, if (i % 2 == 0) "user" else "assistant", s"text ${i % 50}"))
+      .toDF("conv_id", "turn", "role", "text")
+    val plan = graft.scale.Conversations.turnDedupExact(convs)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+    assert(unpartitionedWindows(plan).isEmpty,
+      "keeper election must never be a window over the turn key")
   }
 
   test("pageRank iterations are equi-joins: no cartesian, no nested loop, no global window") {
