@@ -1921,6 +1921,18 @@ object SparkEntry {
     "x_graph_degree" -> ((s, d) =>
       graft.scale.Graph.degreeAudit(graphEdges(s, d), "src", "dst")),
 
+    // TrustRank: teleport restricted to a trusted seed set (every 7th
+    // domain); non-seed domains earn rank ONLY through damped links
+    // from the trusted region
+    "x_graph_trust" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .filter(col("node") % 7 === 0)
+        .withColumn("teleport_micro", lit(1000000L))
+      graft.scale.Graph.pageRankPersonalized(e, "src", "dst", seeds, iterations = 5)
+    }),
+
     // conversation shape audit: the SFT pre-packing profile
     "x_conv_stats" -> ((s, d) =>
       graft.scale.Conversations.conversationStats(conversations(s, d)))
@@ -5320,6 +5332,12 @@ object SparkEntry {
     "x_graph_rank_weighted" ->
       (graphRankWeightedOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
 
+    // TrustRank: the unrolled replay with the teleport vector
+    // restricted to seed domains (node % 7 = 0), rank initialized AT
+    // the teleport vector
+    "x_graph_trust" ->
+      (graphTrustOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
     // rank-tier curation compose: top-2-tier domains keep their docs,
     // token budget per source (the tier table is the broadcast side)
     "x_graph_qmix" ->
@@ -5381,6 +5399,32 @@ object SparkEntry {
          |r$i AS (
          |  SELECT n.node,
          |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** TrustRank variant of [[graphRankOracleCtes]]: teleport mass only
+    * on seed nodes (node % 7 = 0), init = teleport vector. */
+  private def graphTrustOracleCtes(iterations: Int): String = {
+    val t = "CASE WHEN node % 7 = 0 THEN 1000000 ELSE 0 END"
+    val base =
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+         |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST($t AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST((15 * (CASE WHEN n.node % 7 = 0 THEN 1000000 ELSE 0 END)) // 100
+         |              + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
          |  FROM nodes n
          |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
          |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node

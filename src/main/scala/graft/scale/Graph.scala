@@ -87,18 +87,56 @@ object Graph {
     rankIterate(e, iterations, dampingPct)
   }
 
+  /** PERSONALIZED (topic-sensitive / TrustRank-style) fixed-point
+    * PageRank: the teleport mass is a caller-supplied per-node vector
+    * instead of uniform — the classic trusted-seed quality signal
+    * (seed the teleport on hand-vetted domains; spam that reputable
+    * regions never link to receives rank only through the damped link
+    * votes, i.e. almost none). `teleport` is a (node, teleport_micro)
+    * frame; nodes absent from it get ZERO teleport mass. Iteration
+    * v: rank' = ((100-d)·t(v)) div 100 + (d·in_sum) div 100, rank
+    * initialized AT the teleport vector — with t ≡ 1e6 this is
+    * exactly [[pageRank]] (spec-pinned).
+    *
+    * Scale: identical shape to [[pageRank]] plus one broadcast-or-
+    * keyed join of the teleport vector per iteration (|teleport| ≤
+    * |nodes|; a seed list is tiny and broadcasts).
+    */
+  def pageRankPersonalized(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      teleport: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    val e = edges.select(src, dst)
+      .filter(col("src") =!= col("dst")).distinct()
+      .withColumn("w", lit(1L))
+    rankIterate(e, iterations, dampingPct,
+      Some(teleport.select(col("node").cast("long").as("node"),
+        col("teleport_micro").cast("long").as("teleport_micro"))))
+  }
+
   /** Shared power-iteration core over a prepared (src, dst, w) edge
-    * frame (deduped, self-loop-free, positive integer weights). */
+    * frame (deduped, self-loop-free, positive integer weights);
+    * `teleportOpt` personalizes the teleport vector (None = uniform
+    * 1e6 per node). */
   private def rankIterate(
-      e: DataFrame, iterations: Int, dampingPct: Int): DataFrame = {
+      e: DataFrame, iterations: Int, dampingPct: Int,
+      teleportOpt: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct must be 0..100, got $dampingPct")
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val teleportMicro = (100L - dampingPct) * 10000L // (1-d) * 1e6
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    // nodes carries each node's teleport mass so the per-iteration
+    // epilogue is one join with the node set it needs anyway
+    val nodes = teleportOpt match {
+      case None => nodes0.withColumn("t_micro", lit(1000000L))
+      case Some(t) => nodes0.join(t, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("teleport_micro"), lit(0L)).as("t_micro"))
+    }
+    var ranks = nodes.select(col("node"), col("t_micro").as("rank_micro"))
     for (i <- 1 to iterations) {
       // contribution of each edge = src rank split over its out-weight
       // (integer division — the determinism contract)
@@ -110,7 +148,7 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("contrib")).as("in_sum"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleportMicro) +
+          (expr(s"((${100 - dampingPct}) * t_micro) div 100") +
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
       if (i % CheckpointEvery == 0 && i < iterations)

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** PageRank scale probe: the oracle graph is 64 nodes (cost there is
+  * iteration count, not data mass), so this probe measures the
+  * operator at REAL graph sizes — synthetic power-law-ish edge tables
+  * at 1M/5M/20M edges over 100k/500k/2M nodes — and reports seconds
+  * per iteration, the number that extrapolates to a domain graph
+  * (~1e8 nodes / 1e10 edges shuffles the same plan shape per
+  * iteration). Measurement tooling only.
+  *
+  * Usage: runMain graft.tools.GraphProbe [maxMillionsEdges]
+  */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val maxM = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (millions <- Seq(1, 5, 20).filter(_ <= maxM)) {
+      val edges = millions.toLong * 1000000L
+      val nodes = edges / 10L
+      // skewed dst (quadratic hash mod) so hubs exist, like real link
+      // graphs; src uniform
+      val e = spark.range(edges).select(
+        pmod(col("id") * 2654435761L, lit(nodes)).as("src"),
+        pmod((col("id") % 100000L) * (col("id") % 100000L) + col("id") % 977L,
+          lit(nodes)).as("dst"))
+      for (iters <- Seq(1, 5)) {
+        val t0 = System.nanoTime()
+        val n = graft.scale.Graph.pageRank(e, "src", "dst", iterations = iters).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[graphprobe] edges=${millions}M nodes=${nodes / 1000}k " +
+          f"iters=$iters wall=$dt%.1fs ranked_nodes=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -124,6 +124,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(3L))
   }
 
+  test("pageRankPersonalized: uniform 1e6 teleport is EXACTLY pageRank") {
+    val edges = (0L until 200L).map(i => (i % 17, (i * 31 + 7) % 17)).toDF("src", "dst")
+    val nodes = (0L until 17L).map(n => (n, 1000000L)).toDF("node", "teleport_micro")
+    val a = rankMap(Graph.pageRank(edges, "src", "dst", 5))
+    val b = rankMap(Graph.pageRankPersonalized(edges, "src", "dst", nodes, 5))
+    assert(a == b)
+  }
+
+  test("pageRankPersonalized (TrustRank): rank flows only from the seeded region") {
+    // seed {0}; chain 0 -> 1 -> 2; island 3 <-> 4 gets no trust at all
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq((0L, 1000000L)).toDF("node", "teleport_micro")
+    val got = rankMap(Graph.pageRankPersonalized(edges, "src", "dst", seeds, 5))
+    assert(got(0L) == 150000L)           // teleport only (nothing links 0)
+    assert(got(1L) > 0L && got(2L) > 0L) // damped trust flows down the chain
+    assert(got(1L) > got(2L))            // attenuating with distance
+    assert(got(3L) == 0L && got(4L) == 0L) // untrusted island: zero
+  }
+
   test("degreeAudit: out/in/reciprocal counts on a hand graph, zero-filled") {
     // 1<->2 reciprocal; 1->3, 3->4 one-way; dup edge + self-loop ignored
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (1L, 3L), (4L, 4L))
