@@ -1921,6 +1921,17 @@ object SparkEntry {
     "x_graph_degree" -> ((s, d) =>
       graft.scale.Graph.degreeAudit(graphEdges(s, d), "src", "dst")),
 
+    // weakly-connected domain components over the link graph (the
+    // same min-label CC engine as the dedup clusters): isolated link
+    // neighborhoods = candidate spam pockets / dead crawl islands
+    "x_graph_components" -> ((s, d) => {
+      val e = graphEdges(s, d).filter(col("src") =!= col("dst")).distinct()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val pairs = e.select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.clusters(nodes, "node", pairs)
+    }),
+
     // TrustRank: teleport restricted to a trusted seed set (every 7th
     // domain); non-seed domains earn rank ONLY through damped links
     // from the trusted region
@@ -1935,7 +1946,27 @@ object SparkEntry {
 
     // conversation shape audit: the SFT pre-packing profile
     "x_conv_stats" -> ((s, d) =>
-      graft.scale.Conversations.conversationStats(conversations(s, d)))
+      graft.scale.Conversations.conversationStats(conversations(s, d))),
+
+    // CONVERSATION-level near-dup: re-posted/template-stamped threads
+    // share turns — exact turn-set Jaccard over a view built to
+    // overlap (5-turn conversations, every 7th doc replaced by one of
+    // 13 template turns shared across conversations); boilerplate
+    // beyond the df cap is dropped before pairing
+    "x_conv_overlap" -> ((s, d) => {
+      val v = T(s, d, "documents").select(
+        expr("doc_id div 5").as("conv_id"),
+        (col("doc_id") % 5 + 1).as("turn"),
+        col("doc_id"), col("text"))
+        .withColumn("role",
+          when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("template "), col("conv_id") % 13))
+            .otherwise(col("text")))
+      graft.scale.Conversations.conversationOverlapPairs(
+        v, threshold = 0.1, maxTurnDf = 64)
+    })
   )
 
   /** Derived multi-turn conversation view over `documents` (the
@@ -5316,6 +5347,28 @@ object SparkEntry {
         |FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
         |     LEFT JOIN rc USING (node)""".stripMargin,
 
+    // conversation-level overlap: exact turn-set Jaccard over the
+    // overlap-prone view, df-capped before pairing
+    "x_conv_overlap" ->
+      """WITH v AS (
+        |  SELECT doc_id // 5 AS conv_id, doc_id % 5 + 1 AS turn,
+        |         CASE WHEN (doc_id % 5 + 1) % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'template ' || (doc_id // 5) % 13 ELSE text END AS text
+        |  FROM documents),
+        |t0 AS (SELECT DISTINCT conv_id AS conv, role, text FROM v),
+        |dfc AS (SELECT role, text FROM (
+        |          SELECT role, text, count(DISTINCT conv) AS df FROM t0 GROUP BY 1, 2)
+        |        WHERE df <= 64),
+        |t AS (SELECT t0.* FROM t0 JOIN dfc USING (role, text)),
+        |sz AS (SELECT conv, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY 1),
+        |p AS (SELECT a.conv AS conv_a, b.conv AS conv_b, CAST(count(*) AS BIGINT) AS shared
+        |      FROM t a JOIN t b ON a.role = b.role AND a.text = b.text AND a.conv < b.conv
+        |      GROUP BY 1, 2)
+        |SELECT conv_a, conv_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+        |       CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+        |FROM p JOIN sz sa ON p.conv_a = sa.conv JOIN sz sb ON p.conv_b = sb.conv
+        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.1""".stripMargin,
+
     // conversation shape audit: one aggregate per conversation
     "x_conv_stats" ->
       s"""WITH $convViewSql
@@ -5337,6 +5390,27 @@ object SparkEntry {
     // the teleport vector
     "x_graph_trust" ->
       (graphTrustOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    // weakly-connected components: recursive min-label closure over
+    // the symmetrized edge set (the x_dedup_clusters replay shape).
+    // NB inside WITH RECURSIVE a two-branch `a UNION b` CTE is treated
+    // as an ITERATION by DuckDB (base/step), not a set union — spell
+    // the dedup as DISTINCT over UNION ALL
+    "x_graph_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |            (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+        |reach(rid, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.rid),
+        |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
+        |SELECT n.node AS id, coalesce(l.cluster, n.node) AS cluster
+        |FROM nodes n LEFT JOIN lbls l ON n.node = l.rid""".stripMargin,
 
     // rank-tier curation compose: top-2-tier domains keep their docs,
     // token budget per source (the tier table is the broadcast side)

@@ -105,6 +105,59 @@ object Conversations {
     * [[TextAnalysis.packByCount]]'s per-shard running-sum window —
     * never a global sort.
     */
+  /** CONVERSATION-level near-dup pairs — two conversations are
+    * near-copies when they SHARE most of their turns (re-posted
+    * threads, template-stamped dialogues): Jaccard over each
+    * conversation's distinct (role, text) turn set, computed EXACTLY
+    * by a self-join on shared turns — no hashing, no shingles, so the
+    * oracle replays it verbatim. Returns (conv_a, conv_b, shared,
+    * size_a, size_b, jaccard) for pairs at or above `threshold`.
+    *
+    * `maxTurnDf` caps a turn's document frequency (the number of
+    * conversations it appears in): boilerplate turns ("thanks!") that
+    * occur in a corpus-scale fraction of conversations are dropped
+    * BEFORE the pair join — the standard df-cap move (see
+    * `Dedup.containmentPairs`): without it the join on a boilerplate
+    * turn is O(df²) and grows quadratically with the corpus. Sizes
+    * are measured over the CAPPED turn set, so jaccard stays in [0,1]
+    * and engines agree.
+    *
+    * Scale: one distinct + one df-aggregate + a self-equi-join on the
+    * (role, text) key whose per-key fan-out is ≤ maxTurnDf², then a
+    * per-pair aggregate — bounded quadratic, same contract as the
+    * blocked dedup family.
+    */
+  def conversationOverlapPairs(
+      convs: DataFrame, convCol: String = "conv_id",
+      roleCol: String = "role", textCol: String = "text",
+      threshold: Double = 0.5, maxTurnDf: Int = 64): DataFrame = {
+    require(threshold >= 0 && threshold <= 1, s"threshold must be in [0,1]")
+    require(maxTurnDf >= 2, s"maxTurnDf must be >= 2, got $maxTurnDf")
+    val t0 = convs.select(qcol(convCol).as("conv"),
+      qcol(roleCol).as("role"), qcol(textCol).as("text")).distinct()
+    val dfc = t0.groupBy(col("role"), col("text"))
+      .agg(countDistinct(col("conv")).as("__df"))
+      .filter(col("__df") <= maxTurnDf)
+      .select(col("role"), col("text"))
+    val t = t0.join(dfc, Seq("role", "text"))
+    val sizes = t.groupBy(col("conv")).agg(count(lit(1)).as("sz"))
+    val shared = t.select(col("role"), col("text"), col("conv").as("conv_a"))
+      .join(t.select(col("role"), col("text"), col("conv").as("conv_b")),
+        Seq("role", "text"))
+      .filter(col("conv_a") < col("conv_b"))
+      .groupBy(col("conv_a"), col("conv_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("conv").as("conv_a"), col("sz").as("size_a")), "conv_a")
+      .join(sizes.select(col("conv").as("conv_b"), col("sz").as("size_b")), "conv_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("conv_a"), col("conv_b"), col("shared"),
+        col("size_a"), col("size_b"), col("jaccard"))
+  }
+
   /** Conversation shape audit — the per-conversation profile an SFT
     * pipeline reads before packing/truncation (and the filter input
     * for malformed data: single-role conversations, monster turns,

@@ -128,6 +128,30 @@ class ConversationsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 2L, 5L, 4L, 1L, 2L)))
   }
 
+  test("conversationOverlapPairs: exact turn-set jaccard, df cap drops boilerplate, role-aware") {
+    val data = Seq(
+      // convs 1 and 2 share 2 of 3 distinct turns each -> j = 2/4 = 0.5
+      (1L, "user", "shared q1"), (1L, "assistant", "shared a1"), (1L, "user", "only in 1"),
+      (2L, "user", "shared q1"), (2L, "assistant", "shared a1"), (2L, "user", "only in 2"),
+      // conv 3 shares "shared q1" but as ASSISTANT -> not the same turn
+      (3L, "assistant", "shared q1"), (3L, "user", "unrelated"), (3L, "user", "more unrelated"),
+      // boilerplate in every conv: df=4 > cap=3 -> dropped before pairing
+      (1L, "user", "thanks!"), (2L, "user", "thanks!"), (3L, "user", "thanks!"), (4L, "user", "thanks!"),
+      (4L, "user", "fourth conv body")
+    ).toDF("conv_id", "role", "text")
+    val got = Conversations.conversationOverlapPairs(
+      data, threshold = 0.3, maxTurnDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 2L))) // role blocks conv 3; cap blocks the thanks! pairs
+    assert(got((1L, 2L)) == ((2L, 3L, 3L, 0.5)))
+    // without the boilerplate plant exceeding the cap, raising maxTurnDf
+    // lets the boilerplate connect everything — the cap is what holds
+    val loose = Conversations.conversationOverlapPairs(
+      data, threshold = 0.1, maxTurnDf = 10)
+    assert(loose.count() > 1)
+  }
+
   test("turnKey encoding is order-preserving and decodable") {
     val pairs = Seq((0L, 0L), (0L, 999999L), (1L, 0L), (5L, 123L), (5L, 124L))
     val keys = pairs.map { case (c, t) => c * Conversations.TurnKeyBase + t }
