@@ -1966,7 +1966,39 @@ object SparkEntry {
             .otherwise(col("text")))
       graft.scale.Conversations.conversationOverlapPairs(
         v, threshold = 0.1, maxTurnDf = 64)
-    })
+    }),
+
+    // tokenizer ROUND-TRIP gate: decode the id stream through the
+    // reversed vocab and check it reproduces the whitespace-stripped
+    // normalized input — encode → vocab → ids → decode as ONE path
+    "x_text_bpe_decode" -> ((s, d) =>
+      TextAnalysis.bpeDecodeAudit(T(s, d, "documents"), "doc_id", "text",
+        "source", fittedBpe(s, d, merges = 6),
+        fittedBpeVocab(s, d, merges = 6))),
+
+    // mixture-diversity audit: Shannon unigram entropy per source
+    "x_text_entropy" -> ((s, d) =>
+      TextAnalysis.sliceEntropy(T(s, d, "documents"), "source", "text")),
+
+    // small-file compaction plan over a per-(source, band) manifest
+    // (bytes = exact n_chars mass — a deterministic stand-in for file
+    // sizes, derivable by both engines)
+    "x_layout_compact" -> ((s, d) => {
+      val man = T(s, d, "documents")
+        .groupBy(col("source").as("dir"), expr("doc_id % 149").as("band"))
+        .agg(sum(col("n_chars")).as("bytes"))
+        .select(col("dir"),
+          concat(lit("part-"), lpad(col("band").cast("string"), 4, "0")).as("path"),
+          col("bytes"))
+      graft.ops.Layout.compactionSummary(man, "dir", "path", "bytes",
+        targetBytes = 2048L)
+    }),
+
+    // join-skew audit: the top heavy keys with exact micro-share and
+    // the salt factor a bounded-reducer salted join would need
+    "s31_skew_advisor" -> ((s, d) =>
+      graft.ops.Skew.saltAdvisor(T(s, d, "events"), "user_id",
+        rowsPerTask = 32L, topK = 25))
   )
 
   /** Derived multi-turn conversation view over `documents` (the
@@ -5442,7 +5474,73 @@ object SparkEntry {
          |SELECT conv_id, CAST(shard AS BIGINT) AS shard, token_count,
          |       CAST(st // 256 AS BIGINT) AS pack_id,
          |       CAST(st % 256 AS BIGINT) AS pack_offset
-         |FROM w""".stripMargin
+         |FROM w""".stripMargin,
+
+    // tokenizer round-trip: decode the id stream through the reversed
+    // vocab (ids join vocab twice — forward to make ids, backward to
+    // decode), gather per doc in position order, compare against the
+    // whitespace-stripped normalized input
+    "x_text_bpe_decode" ->
+      s"""WITH $bpeStreamCtes,
+         |v AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+         |      FROM (SELECT DISTINCT token FROM s)),
+         |i AS (SELECT s.doc_id, s.pos, v.token_id FROM s JOIN v USING (token)),
+         |r AS (SELECT i.doc_id, string_agg(v2.token, '' ORDER BY i.pos) AS dec,
+         |        CAST(count(*) AS BIGINT) AS nt
+         |      FROM i JOIN v v2 USING (token_id) GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(source AS VARCHAR) AS slice,
+         |           regexp_replace(lower(replace(text, '|', '')), '\\s+', '', 'g') AS ref
+         |         FROM documents)
+         |SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN coalesce(r.dec, '') = base.ref THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless,
+         |       CAST(sum(coalesce(r.nt, 0)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(length(base.ref)) AS BIGINT) AS n_chars
+         |FROM base LEFT JOIN r USING (doc_id) GROUP BY 1""".stripMargin,
+
+    // slice entropy: per-type -p·ln(p) micro terms (the PSI ln recipe)
+    // summed as exact longs per slice
+    "x_text_entropy" ->
+      s"""WITH t AS (SELECT CAST(source AS VARCHAR) AS slice, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT slice, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |n AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |m AS (SELECT c.slice, c.c,
+         |        CAST(floor(-((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS hm
+         |      FROM c JOIN n USING (slice)),
+         |g AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS n_types, CAST(sum(hm) AS BIGINT) AS h
+         |      FROM m GROUP BY 1)
+         |SELECT slice, n_tokens, n_types,
+         |       CAST(h AS DOUBLE) / 1000000.0 AS entropy,
+         |       ${Rounding.halfUpSql(
+                   "(CAST(h AS DOUBLE) / 1000000.0) / (CASE WHEN n_types > 1 THEN ln(CAST(n_types AS DOUBLE)) END)", 6)} AS entropy_norm
+         |FROM g""".stripMargin,
+
+    // compaction plan: dir-partitioned running byte offsets, integer
+    // `//` binning, per-group rollup
+    "x_layout_compact" ->
+      """WITH m AS (SELECT CAST(source AS VARCHAR) AS dir, doc_id % 149 AS band,
+        |             CAST(sum(n_chars) AS BIGINT) AS bytes
+        |           FROM documents GROUP BY 1, 2),
+        |f AS (SELECT dir, 'part-' || lpad(CAST(band AS VARCHAR), 4, '0') AS path, bytes FROM m),
+        |w AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY dir ORDER BY path ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS st FROM f)
+        |SELECT dir, CAST(st // 2048 AS BIGINT) AS group_id,
+        |       CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+        |       min(path) AS first_path, max(path) AS last_path
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // skew advisor: exact counts, integer micro-share and ceil-div
+    // salt, deterministic (n desc, key asc) top-25 head
+    "s31_skew_advisor" ->
+      """WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), 'null') AS key,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT key, n, CAST(n * 1000000 // tt AS BIGINT) AS share_micro,
+        |       CAST((n + 31) // 32 AS BIGINT) AS salt,
+        |       (n > 32) AS skewed
+        |FROM c, t
+        |ORDER BY n DESC, key ASC
+        |LIMIT 25""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors

@@ -95,6 +95,61 @@ object Layout {
           max(Cleaning.qcol(c)).as(s"max_$c"))): _*)
   }
 
+  /** Small-file compaction plan — the other half of layout hygiene at
+    * 100 TB: streaming/CDC ingest leaves millions of KB-sized files
+    * whose per-file open/footer cost dominates scans, and the fix is a
+    * periodic compaction pass that rewrites each hive partition's
+    * files into ~`targetBytes` outputs. This planner assigns every
+    * file a `group_id` (files sharing a group are rewritten together)
+    * by CONTIGUOUS start-offset binning: within a partition directory,
+    * files are laid end-to-end in path order and a file joins the bin
+    * its first byte falls in (`group_id = start_offset div target`).
+    * Contiguity keeps any path-embedded ordering (ingest time, shard)
+    * physically clustered after the rewrite, and the rule is a pure
+    * running-sum expression — deterministic, engine-replayable, and
+    * incremental-friendly (appending files never reshuffles earlier
+    * groups). Bins land within one file of `targetBytes`; a single
+    * file larger than the target keeps one group to itself (files are
+    * atomic — a planner never splits a parquet file).
+    *
+    * Scale: the manifest is FILE-count sized (≈ bytes/targetBytes
+    * rows, not data rows) and the running sum is a window PARTITIONED
+    * BY the directory — bounded by files-per-partition-dir, never a
+    * global sort. The plan is metadata-only; the rewrite it drives is
+    * one `group_id`-partitioned read-write pass.
+    */
+  def compactionPlan(
+      manifest: DataFrame, dirCol: String, pathCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dir")).orderBy(col("path"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .select(Cleaning.qcol(dirCol).cast("string").as("dir"),
+        Cleaning.qcol(pathCol).cast("string").as("path"),
+        Cleaning.qcol(bytesCol).cast("long").as("bytes"))
+      .withColumn("__start", sum(col("bytes")).over(w) - col("bytes"))
+      // long `div`, never floor of a double quotient — exact at any
+      // byte magnitude (the DuckDB mirror is `//`)
+      .withColumn("group_id", expr(s"__start div ${targetBytes}"))
+      .drop("__start")
+  }
+
+  /** Per-group rollup of [[compactionPlan]] — the work manifest a
+    * compaction job executes and the evidence row a lakehouse table
+    * keeps (files merged, bytes moved per output). `n_files` ≫ 1 at
+    * ~`targetBytes` per group is the healthy signature; `n_files` = 1
+    * groups are already-compact files the job skips.
+    */
+  def compactionSummary(
+      manifest: DataFrame, dirCol: String, pathCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame =
+    compactionPlan(manifest, dirCol, pathCol, bytesCol, targetBytes)
+      .groupBy(col("dir"), col("group_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("path")).as("first_path"), max(col("path")).as("last_path"))
+
   /** Write-side composition: range-partition by the Morton key and
     * sort within partitions, so each output file covers one tight
     * Z-range (the rectangles [[zOrderLayoutAudit]] measures). Returns

@@ -44,4 +44,44 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt__"), joinType).drop("__salt__")
   }
+
+  /** Join-key skew audit + salt recommendation — the measurement that
+    * decides BETWEEN the mitigations: AQE's skew split handles mild
+    * imbalance for free; [[saltedJoin]] pays |right| × salts
+    * replication and is only worth it when specific keys are provably
+    * hot. This reports the `topK` heaviest keys with, per key: exact
+    * row count, corpus share in micro-units (exact integer division —
+    * no float drift), the salt factor `saltedJoin` would need to bound
+    * each key's reducer at ~`rowsPerTask` rows (`ceil(n /
+    * rowsPerTask)`), and a `skewed` verdict (salt > 1). Null keys —
+    * THE classic hot key — group under the literal key "null" instead
+    * of vanishing from the audit.
+    *
+    * Scale: one hash aggregate by key (map-side partials), a broadcast
+    * 1-row total, then a `topK` TakeOrdered head (count desc, key asc
+    * — deterministic) — never a global sort, output is `topK` rows.
+    * At 100 TB this is the profile run BEFORE the big join, on the
+    * join column only (column-pruned scan).
+    */
+  def saltAdvisor(
+      df: DataFrame, keyCol: String, rowsPerTask: Long,
+      topK: Int = 20): DataFrame = {
+    require(rowsPerTask > 0, s"rowsPerTask must be positive, got $rowsPerTask")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val k = Cleaning.qcol(keyCol).cast("string")
+    val counts = df
+      .groupBy(coalesce(k, lit("null")).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        // exact integer micro-share and ceil-division (long `div`,
+        // never a double quotient — a double can round up across the
+        // integer boundary the truncation is supposed to floor at)
+        expr("n * 1000000 div __t").as("share_micro"),
+        expr(s"(n + ${rowsPerTask - 1L}) div ${rowsPerTask}").as("salt"),
+        (col("n") > lit(rowsPerTask)).as("skewed"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topK)
+  }
 }

@@ -860,6 +860,47 @@ object TextAnalysis {
         frac(col("__dup_bigram"), col("bigram_count")).as("dup_bigram_frac"))
   }
 
+  /** Shannon token-entropy per corpus slice — the standard diversity
+    * audit for a training mixture: a slice whose unigram distribution
+    * collapses (low entropy, low type-token ratio) is boilerplate- or
+    * template-dominated and gets down-weighted before it poisons the
+    * mix. Reports, per slice: token count, distinct-type count,
+    * Shannon entropy H = -Σ p·ln p over the slice's unigram histogram
+    * (nats), and the normalized H / ln(types) in [0, 1].
+    *
+    * Exactness: each type's -p·ln(p) term is micro-rounded
+    * (`floor(x·1e6 + 0.5)` — non-negative for p ∈ (0,1]) and the
+    * per-slice SUM runs over exact longs, so the statistic is
+    * order-invariant and engine-exact (the PSI recipe, Stats.psiBands).
+    *
+    * Scale: explode → (slice, token) hash aggregate (map-side partials;
+    * shuffle carries distinct (slice, token) mass, not corpus tokens),
+    * a broadcast join of the |slices|-row totals, then a |slices|-group
+    * aggregate. Nothing sorts; output is |slices| rows.
+    */
+  def sliceEntropy(df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val s = graft.ops.Cleaning.qcol(sliceCol).cast("string")
+    val counts = df
+      .select(s.as("slice"), explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__t"))
+      .groupBy(col("slice"), col("__t")).agg(count(lit(1)).as("__c"))
+    val tot = counts.groupBy(col("slice")).agg(sum(col("__c")).as("__n"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    counts.join(broadcast(tot), "slice")
+      .select(col("slice"), col("__c"),
+        floor(-(p * log(p)) * 1e6 + 0.5).cast("long").as("__hm"))
+      .groupBy(col("slice"))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__hm")).as("__h"))
+      .select(col("slice"), col("n_tokens"), col("n_types"),
+        (col("__h").cast("double") / 1e6).as("entropy"),
+        graft.ops.Rounding.halfUp(
+          (col("__h").cast("double") / 1e6) /
+            when(col("n_types") > 1L, log(col("n_types").cast("double"))),
+          6).as("entropy_norm"))
+  }
+
   /** Concat-and-chunk sequence packing — assign every document a
     * (shard, pack_id, pack_offset) for fixed-size training windows of
     * `budget` tokens: documents are concatenated in id order within a
@@ -1878,6 +1919,68 @@ object TextAnalysis {
     bpeIdsWithVocab(df, idCol, textCol, merges,
       bpeVocab(df, idCol, textCol, merges).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** Tokenizer round-trip audit: DECODE the id stream back to text and
+    * verify it reproduces the encoder's input — the e2e integrity gate
+    * a tokenization pipeline runs before shipping an id-stream corpus
+    * (it catches vocab/id-table drift, OOV holes, and truncation bugs
+    * that per-stage checks miss, because it exercises
+    * encode → vocab → ids → reverse-vocab → decode as one path).
+    *
+    * Decode is the real inverse: [[bpeIdsWithVocab]]'s (id, pos,
+    * token_id) rows map back through the REVERSED vocab (a driver-held
+    * literal map, like the forward lookup), are gathered per document
+    * in position order, and concatenated. BPE merges only ever
+    * concatenate characters, so a lossless document satisfies
+    * decode(ids) == its whitespace-stripped normalized text
+    * (lowercase, `|` pre-stripped, every `\s+` run removed — word
+    * boundaries are not representable in this marker-free token
+    * stream, which is exactly what the audit documents). An id that
+    * misses the reverse vocab decodes to a DROPPED token (null skipped
+    * by the join), so any corruption surfaces as lossless = false
+    * rather than a throw — an audit reports, it does not crash the
+    * pipeline.
+    *
+    * Scale: one encode pass (the id stream), one per-document gather
+    * (hash aggregate keyed by the document id; the collected struct
+    * list is doc-sized — the span-corruption bound), a broadcast-sized
+    * reverse vocab riding inside the expression, then a |slices|-group
+    * summary. Nothing corpus-scale sorts or collects.
+    */
+  def bpeDecodeAudit(
+      df: DataFrame, idCol: String, textCol: String, sliceCol: String,
+      merges: Seq[BpeMerge], vocab: Map[String, Long]): DataFrame = {
+    val inv: Map[Long, String] = vocab.map(_.swap)
+    require(inv.size == vocab.size,
+      "vocab must be injective (duplicate token_id) — decode would be ambiguous")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val dec = bpeIdsWithVocab(df, idCol, textCol, merges, vocab)
+      .groupBy(id.as("__id"))
+      .agg(
+        count(lit(1)).as("__nt"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              element_at(typedLit(inv), col("token_id")).as("tok")))),
+            x => x.getField("tok")),
+          "").as("__dec"))
+    // what encode saw, word boundaries removed: bpeInit strips '|',
+    // tokens() lowercases and splits \s+, decode concatenates units
+    val ref = regexp_replace(
+      lower(regexp_replace(graft.ops.Cleaning.qcol(textCol), "\\|", "")),
+      "\\s+", "")
+    df.select(id.as("__id"),
+        graft.ops.Cleaning.qcol(sliceCol).cast("string").as("slice"),
+        ref.as("__ref"))
+      .join(dec, Seq("__id"), "left")
+      .groupBy(col("slice"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("__dec"), lit("")) === col("__ref"), 1L)
+          .otherwise(0L)).as("n_lossless"),
+        sum(coalesce(col("__nt"), lit(0L))).as("n_tokens"),
+        sum(length(col("__ref")).cast("long")).as("n_chars"))
+  }
 
   /** Composed-plan image of [[bpeTokens]] for the parity spec: flatten
     * the per-word unit arrays of the nested-replace representation. */

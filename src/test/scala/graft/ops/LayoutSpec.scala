@@ -67,4 +67,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.select(sum(col("payload"))).head.getLong(0) == (0L until 100L).sum)
     assert(out.count() == 100L)
   }
+
+  test("compactionPlan: contiguous start-offset binning per directory") {
+    val man = Seq(
+      ("a", "p0", 100L), ("a", "p1", 100L), ("a", "p2", 300L), ("a", "p3", 50L),
+      ("b", "q0", 5000L), ("b", "q1", 10L)
+    ).toDF("dir", "path", "bytes")
+    val got = Layout.compactionPlan(man, "dir", "path", "bytes", targetBytes = 250L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // dir a starts: 0, 100, 200, 500 -> groups 0, 0, 0, 2 (group 1 empty:
+    // p2 straddles the 250 boundary but files are atomic)
+    assert(got == Map(
+      ("a", "p0") -> 0L, ("a", "p1") -> 0L, ("a", "p2") -> 0L, ("a", "p3") -> 2L,
+      // an oversized file keeps a group to itself; its successor starts a new one
+      ("b", "q0") -> 0L, ("b", "q1") -> 20L))
+    // append-stability: new files at the end never reshuffle earlier groups
+    val appended = man.union(Seq(("a", "p4", 10L)).toDF("dir", "path", "bytes"))
+    val got2 = Layout.compactionPlan(appended, "dir", "path", "bytes", 250L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got.forall { case (k, g) => got2(k) == g } && got2(("a", "p4")) == 2L)
+  }
+
+  test("compactionSummary: per-group file counts, byte mass, path range") {
+    val man = Seq(
+      ("a", "p0", 100L), ("a", "p1", 100L), ("a", "p2", 300L), ("a", "p3", 50L)
+    ).toDF("dir", "path", "bytes")
+    val got = Layout.compactionSummary(man, "dir", "path", "bytes", 250L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((3L, 500L, "p0", "p2")),
+      ("a", 2L) -> ((1L, 50L, "p3", "p3"))))
+  }
 }

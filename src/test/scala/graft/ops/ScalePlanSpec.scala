@@ -520,4 +520,50 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(ranks).isEmpty,
       "pageRank must not use any global-order window")
   }
+
+  test("sliceEntropy: totals broadcast back; the token stream never sort-merges") {
+    val docs = (0L until 200L).map(i => (i, s"s${i % 3}", s"tok${i % 40} alpha beta"))
+      .toDF("doc_id", "source", "text")
+    val plan = graft.scale.TextAnalysis.sliceEntropy(docs, "source", "text")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the |slices|-row totals must broadcast-join the (slice, token) counts")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the token-count stream must never sort-merge against a slice-sized table")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("bpeDecodeAudit: doc-keyed gather, no cartesian, no global window") {
+    val docs = (0L until 60L).map(i => (i, s"s${i % 2}", s"the cat ${i % 9}"))
+      .toDF("doc_id", "source", "text")
+    val merges = graft.scale.TextAnalysis.bpeFit(docs, "text", merges = 3)
+    val vocab = graft.scale.TextAnalysis.bpeVocab(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = graft.scale.TextAnalysis.bpeDecodeAudit(
+      docs, "doc_id", "text", "source", merges, vocab)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(unpartitionedWindows(plan).isEmpty,
+      "the decode gather must be a hash aggregate, never a global-order window")
+  }
+
+  test("compactionPlan: the running sum is a dir-partitioned window, never global") {
+    val man = (0L until 300L).map(i => (s"d${i % 11}", f"part-$i%04d", 100L + i))
+      .toDF("dir", "path", "bytes")
+    val plan = Layout.compactionPlan(man, "dir", "path", "bytes", targetBytes = 1000L)
+    assert(unpartitionedWindows(plan).isEmpty,
+      "a global-order window would funnel the whole manifest through one task")
+  }
+
+  test("saltAdvisor: broadcast 1-row total + TakeOrdered head, never a global sort") {
+    val df = (0L until 500L).map(i => i % 17).toDF("k")
+    val plan = Skew.saltAdvisor(df, "k", rowsPerTask = 32L, topK = 10)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the 1-row total must ride a broadcast, not a cartesian product")
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "the head must be a top-K heap (TakeOrderedAndProject), not sort + limit")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
 }

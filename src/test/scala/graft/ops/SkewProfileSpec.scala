@@ -102,4 +102,29 @@ class SkewProfileSpec extends AnyFunSuite {
     val nd = r.getLong(3)
     assert(nd > 900L && nd < 1100L) // HLL within a few percent of 1000
   }
+
+  test("saltAdvisor: exact micro shares, ceil salts, null key surfaced") {
+    // 100 rows on the hot key, 10 on a warm one, 5 nulls: total 115
+    val df = ((0 until 100).map(_ => Option(7L)) ++
+      (0 until 10).map(_ => Option(2L)) ++
+      (0 until 5).map(_ => Option.empty[Long])).toDF("k")
+    val got = Skew.saltAdvisor(df, "k", rowsPerTask = 32L, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      // share_micro = n * 1e6 div 115 (truncating); salt = ceil(n / 32)
+      ("7", 100L, 869565L, 4L, true),
+      ("2", 10L, 86956L, 1L, false),
+      ("null", 5L, 43478L, 1L, false)))
+    // topK caps the head without disturbing its order
+    assert(Skew.saltAdvisor(df, "k", 32L, topK = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("7"))
+  }
+
+  test("saltAdvisor: count ties break deterministically by key ascending") {
+    val df = Seq("b", "a", "b", "a", "c").toDF("k")
+    val got = Skew.saltAdvisor(df, "k", rowsPerTask = 10L, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
 }

@@ -711,4 +711,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L, None, None)))
     assert(got(4L)._1 == 3L) // "Ellipsis", " then", " more" — trailing empty dropped
   }
+
+  test("sliceEntropy: exact micro-summed Shannon entropy per slice") {
+    val df = Seq(
+      (1L, "a", "x x y y"),    // uniform over 2 types -> H = ln 2, norm 1
+      (2L, "b", "z z z"),      // single type -> H = 0, norm null
+      (3L, "a", null: String)  // null text contributes no tokens
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sliceEntropy(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // each -0.5*ln(0.5) term micro-rounds to 346574; 2 terms sum exactly
+    assert(got("a") == ((4L, 2L, 0.693148, Some(1.000001))))
+    assert(got("b") == ((3L, 1L, 0.0, None)))
+  }
+
+  test("bpeDecodeAudit: lossless on the fit corpus; vocab holes surface as lossy") {
+    val docs = Seq(
+      (1L, "s1", "the the cat"), (2L, "s1", "the hat"), (3L, "s2", "")
+    ).toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.bpeFit(docs, "text", merges = 4)
+    val vocab = TextAnalysis.bpeVocab(docs, "doc_id", "text", merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def audit(v: Map[String, Long]) =
+      TextAnalysis.bpeDecodeAudit(docs, "doc_id", "text", "source", merges, v)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val full = audit(vocab)
+    // s1: both docs decode back to "thethecat"/"thehat" (9 + 6 chars);
+    // s2: the empty doc decodes to "" and is lossless with 0 tokens
+    assert(full("s1")._1 == 2L && full("s1")._2 == 2L && full("s1")._4 == 15L)
+    assert(full("s1")._3 > 0L)
+    assert(full("s2") == ((1L, 1L, 0L, 0L)))
+    // every vocab entry is a token some doc emits, so removing any one
+    // entry must turn at least one doc lossy — and must NOT throw
+    val holed = audit(vocab - vocab.keys.min)
+    assert(holed.values.map(_._2).sum < holed.values.map(_._1).sum)
+    // decode through a non-injective vocab would be ambiguous: refuse
+    val dup = vocab + ("__dup__" -> vocab.values.min)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeDecodeAudit(docs, "doc_id", "text", "source", merges, dup)
+    }
+  }
 }
