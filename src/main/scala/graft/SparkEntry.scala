@@ -1472,6 +1472,24 @@ object SparkEntry {
         Seq("site3.example.com", "cdn1.example.org"))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // SUFFIX-semantics blocklist: blocking news2.example.com must also
+    // catch subN.news2.example.com (the planted URLs all carry an
+    // extra subdomain level, so exact-domain matching would block
+    // nothing); unused.example.net proves dead entries are inert
+    "x_text_blocksuffix" -> ((s, d) =>
+      TextAnalysis.filterBlockedDomainSuffix(
+          withSubdomainUrls(T(s, d, "documents")), "text", BlockSuffixList)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // blocklist hygiene report: per entry, URLs and docs it fires on,
+    // zero-filled so dead entries surface for pruning
+    "x_text_blocksuffix_audit" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.blockedDomainAudit(
+        withSubdomainUrls(T(s, d, "documents")), "doc_id", "text",
+        BlockSuffixList.toDF("domain"))
+    }),
+
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
@@ -1825,6 +1843,12 @@ object SparkEntry {
     "x_graph_rank" -> ((s, d) =>
       graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)),
 
+    // HITS hubs & authorities: the link-farm detector PageRank can't
+    // see (high hub + low authority = a directory that only points);
+    // integer micro-unit half-steps, max-divisor rescale, 4 iterations
+    "x_graph_hits" -> ((s, d) =>
+      graft.scale.Graph.hits(graphEdges(s, d), "src", "dst", iterations = 4)),
+
     // fixed-threshold quality tiers over the rank table (tier 0 =
     // above every cut) + per-tier census — the shape a mixture/qfloor
     // consumer joins on
@@ -2082,6 +2106,23 @@ object SparkEntry {
     docs.withColumn("text", concat(col("text"),
       lit(" see https://site"), col("doc_id") % 7, lit(".example.com/page"), col("doc_id"),
       lit(" and http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5))
+
+  /** URL synthesis with an EXTRA subdomain level in front of the
+    * domain a blocklist would list — exercises suffix (wildcard)
+    * matching: sub{k}.news{j}.example.com is blocked by the entry
+    * news{j}.example.com only under suffix semantics. */
+  private def withSubdomainUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" https://sub"), col("doc_id") % 4, lit(".news"), col("doc_id") % 7,
+      lit(".example.com/p"), col("doc_id"),
+      lit(" http://ads"), col("doc_id") % 3, lit(".tracker"), col("doc_id") % 5,
+      lit(".example.org/b")))
+
+  /** Blocklist for the suffix-filter queries — two live entries (one
+    * per planted URL family) and one dead entry that must stay inert
+    * and zero-fill in the audit. */
+  private val BlockSuffixList =
+    Seq("news2.example.com", "tracker3.example.org", "unused.example.net")
 
   /** URL synthesis for the canonicalization query: mixed-case hosts
     * (must lowercase), mixed-case paths (must NOT lowercase), tracking
@@ -4575,6 +4616,39 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM d
         |WHERE len(list_filter(doms, x -> list_contains(['site3.example.com', 'cdn1.example.org'], x))) = 0""".stripMargin,
 
+    // suffix blocklist: expand every URL domain to its dot-suffix list
+    // (1-based list slicing from label i+1 to end) and keep docs whose
+    // suffixes never hit the blocklist
+    "x_text_blocksuffix" ->
+      """WITH p AS (SELECT doc_id, lang, source,
+        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
+        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p),
+        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain FROM u),
+        |sfx AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
+        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM d),
+        |blocked AS (SELECT DISTINCT doc_id FROM sfx
+        |  WHERE suffix IN ('news2.example.com', 'tracker3.example.org', 'unused.example.net'))
+        |SELECT doc_id, lang, source FROM p WHERE doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin,
+
+    // blocklist hygiene: LEFT join from the entry list so dead entries
+    // zero-fill; count(col) skips the unmatched nulls
+    "x_text_blocksuffix_audit" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
+        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p),
+        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain FROM u),
+        |sfx AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
+        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM d),
+        |b AS (SELECT * FROM (VALUES ('news2.example.com'), ('tracker3.example.org'),
+        |                            ('unused.example.net')) AS t(domain))
+        |SELECT b.domain, CAST(count(sfx.doc_id) AS BIGINT) AS n_urls,
+        |       CAST(count(DISTINCT sfx.doc_id) AS BIGINT) AS n_docs
+        |FROM b LEFT JOIN sfx ON sfx.suffix = b.domain GROUP BY 1""".stripMargin,
+
     // confusion audit: centroid lists rebuilt from the same exact
     // means, distance as the same LEFT-TO-RIGHT ordered fold as
     // NearestCells (an unordered sum() would drift), argmin via
@@ -5268,6 +5342,10 @@ object SparkEntry {
     "x_graph_rank" ->
       (graphRankOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
 
+    "x_graph_hits" ->
+      (graphHitsOracleCtes(4) +
+        "\nSELECT a4.node, a4.s AS auth_micro, h4.s AS hub_micro FROM a4 JOIN h4 USING (node)"),
+
     "x_graph_tiers" ->
       (graphRankOracleCtes(5) + """,
         tiers AS (
@@ -5576,6 +5654,44 @@ object SparkEntry {
          |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
          |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
          |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** HITS oracle CTE chain — unrolls [[graft.scale.Graph.hits]]'s
+    * alternating gather/rescale half-steps over the same derived edge
+    * table: a{i}r = raw authority gather of h{i-1}, a{i} = the integer
+    * max-divisor rescale, then the hub half-step against a{i}. Scalar
+    * subquery MAX mirrors the 1-row broadcast aggregate. */
+  private def graphHitsOracleCtes(iterations: Int): String = {
+    // every CTE here is referenced at least twice downstream (the
+    // gather join + the scalar MAX divisor), so without MATERIALIZED
+    // DuckDB's default inlining copies the whole preceding chain per
+    // reference — exponential in the iteration count
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |a${i}r AS MATERIALIZED (
+         |  SELECT n.node, CAST(COALESCE(SUM(c.s), 0) AS BIGINT) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, h${i - 1}.s FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node) c
+         |    ON n.node = c.node GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node,
+         |  CAST(raw // ((SELECT MAX(raw) FROM a${i}r) // 1000000 + 1) AS BIGINT) AS s
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT n.node, CAST(COALESCE(SUM(c.s), 0) AS BIGINT) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS node, a$i.s FROM e JOIN a$i ON e.dst = a$i.node) c
+         |    ON n.node = c.node GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT node,
+         |  CAST(raw // ((SELECT MAX(raw) FROM h${i}r) // 1000000 + 1) AS BIGINT) AS s
+         |  FROM h${i}r)""".stripMargin
     }.mkString
     base + iters
   }

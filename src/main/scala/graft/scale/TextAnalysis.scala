@@ -1215,6 +1215,73 @@ object TextAnalysis {
     df.filter(!arrays_overlap(doms, blockedLit))
   }
 
+  /** All dot-suffixes of a domain, longest first: "a.b.example.com" →
+    * ["a.b.example.com", "b.example.com", "example.com", "com"] — the
+    * expansion that gives a blocklist entry wildcard-subdomain
+    * semantics. Bounded by the label count (real hostnames: ≤ ~10). */
+  private def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
+  /** Drop documents containing a URL whose domain IS or IS UNDER a
+    * blocked entry — the suffix semantics real blocklists (UT1,
+    * registrable-domain lists) carry: blocking `example.com` must also
+    * block `cdn.news.example.com`, which [[filterBlockedDomains]]'
+    * exact match misses (crawl URLs put arbitrary subdomain prefixes
+    * in front of the listed domain). A domain matches when any of its
+    * dot-suffixes equals a blocklist entry — exact string equality on
+    * the expanded suffix set, so `notexample.com` never matches
+    * `example.com` (the naive `endsWith` false positive).
+    *
+    * Row-local narrow filter: the blocklist ships lowercased as a
+    * literal array and each row checks `arrays_overlap` of its
+    * flattened URL-domain suffixes — no join, no shuffle, codegen'd,
+    * the 100 TB shape for list sizes up to ~100k entries. For
+    * million-entry lists use [[blockedDomainAudit]]'s broadcast-join
+    * shape on the exploded suffixes and anti-join the ids back. Docs
+    * with no URLs (or null text) always survive.
+    */
+  def filterBlockedDomainSuffix(
+      df: DataFrame, textCol: String, blocked: Seq[String]): DataFrame = {
+    val blockedLit = lit(blocked.map(_.toLowerCase).toArray)
+    val doms = coalesce(
+      domainsOf(graft.ops.Cleaning.qcol(textCol)), array().cast("array<string>"))
+    df.filter(!arrays_overlap(
+      flatten(transform(doms, d => domainSuffixes(d))), blockedLit))
+  }
+
+  /** Blocklist hygiene report: per blocklist entry, how many URL
+    * occurrences and how many documents it actually blocks (suffix
+    * semantics, as [[filterBlockedDomainSuffix]]). Zero-filled — dead
+    * entries that never fire show up as (domain, 0, 0), which is
+    * exactly what a blocklist curator prunes on.
+    *
+    * Scale: the corpus side explodes to (doc, domain, suffix) rows
+    * (bounded by URLs × labels) and inner-joins the BROADCAST
+    * blocklist — the corpus never shuffles on the suffix key; the
+    * surviving matched mass is ≤ |blocklist| groups, and the final
+    * zero-fill join runs between two blocklist-sized frames.
+    */
+  def blockedDomainAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val block = blocklist.select(lower(col("domain")).as("domain"))
+    val hits = df
+      .select(id.as("__id"),
+        explode(domainsOf(graft.ops.Cleaning.qcol(textCol))).as("__dom"))
+      .select(col("__id"), explode(domainSuffixes(col("__dom"))).as("domain"))
+      .join(broadcast(block), Seq("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("__id")).as("n_docs"))
+    block.join(hits, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Corpus-wide exact LINE-level dedup — the C4/RefinedWeb boilerplate
     * remover: across ALL documents, every distinct non-blank line keeps
     * only its first occurrence (lexicographically-min (doc id, line

@@ -555,6 +555,25 @@ class ScalePlanSpec extends AnyFunSuite {
       "a global-order window would funnel the whole manifest through one task")
   }
 
+  test("filterBlockedDomainSuffix is row-local: no shuffle; audit broadcasts the blocklist") {
+    val docs = (0L until 100L).map(i => (i, s"see https://sub$i.news${i % 5}.example.com/p"))
+      .toDF("doc_id", "text")
+    val filtered = graft.scale.TextAnalysis.filterBlockedDomainSuffix(
+      docs, "text", Seq("news2.example.com"))
+    val fEx = collectPlans(filtered.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(fEx.isEmpty, "the literal-blocklist filter must be a narrow row-local map")
+    val audit = graft.scale.TextAnalysis.blockedDomainAudit(
+      docs, "doc_id", "text", Seq("news2.example.com", "dead.net").toDF("domain"))
+    val nodes = collectPlans(audit.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the blocklist must broadcast against the exploded suffix stream")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the corpus-side suffix stream must never shuffle on the suffix key")
+    assert(unpartitionedWindows(audit).isEmpty)
+  }
+
   test("saltAdvisor: broadcast 1-row total + TakeOrdered head, never a global sort") {
     val df = (0L until 500L).map(i => i % 17).toDF("k")
     val plan = Skew.saltAdvisor(df, "k", rowsPerTask = 32L, topK = 10)

@@ -164,4 +164,63 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum <= got.size * 1000000L)
     assert(got.values.forall(_ >= 150000L))
   }
+
+  /** Driver-side HITS reference: the same integer half-steps. */
+  private def referenceHits(
+      edges: Seq[(Long, Long)], iterations: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(t => t._1 != t._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    def half(scores: Map[Long, Long], gatherFromSrc: Boolean): Map[Long, Long] = {
+      val raw = nodes.map { n =>
+        n -> e.collect {
+          case (s, d) if gatherFromSrc && d == n => scores(s)
+          case (s, d) if !gatherFromSrc && s == n => scores(d)
+        }.sum
+      }.toMap
+      val m = raw.values.max
+      raw.map { case (n, r) => n -> r / (m / 1000000L + 1L) }
+    }
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = half(hub, gatherFromSrc = true)
+      hub = half(auth, gatherFromSrc = false)
+    }
+    nodes.map(n => n -> ((auth(n), hub(n)))).toMap
+  }
+
+  private def hitsMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits equals the integer reference replay on an irregular graph") {
+    val edges = (0L until 200L).flatMap { i =>
+      Seq((i % 17, (i * 31 + 7) % 17), (i % 13, (i * i + 3) % 17))
+    }
+    val got = hitsMap(Graph.hits(edges.toDF("src", "dst"), "src", "dst", 4))
+    assert(got == referenceHits(edges, 4))
+    // deep run past the old checkpoint cadence stays exact too
+    val deep = hitsMap(Graph.hits(edges.toDF("src", "dst"), "src", "dst", 6))
+    assert(deep == referenceHits(edges, 6))
+  }
+
+  test("hits: pure authorities score zero hub and vice versa; dup/self-loop hygiene") {
+    // a, b -> c: c is the only authority, a and b are equal pure hubs
+    val clean = Seq((10L, 30L), (20L, 30L))
+    val got = hitsMap(Graph.hits(clean.toDF("src", "dst"), "src", "dst", 3))
+    assert(got(30L)._1 > 0L && got(30L)._2 == 0L) // authority, no out-links
+    assert(got(10L) == got(20L))                  // symmetric hubs
+    assert(got(10L)._1 == 0L && got(10L)._2 > 0L) // nothing links a
+    val dirty = clean ++ Seq((10L, 30L), (20L, 20L))
+    assert(hitsMap(Graph.hits(dirty.toDF("src", "dst"), "src", "dst", 3)) == got)
+  }
+
+  test("hits: a directory hub outscores ordinary nodes on hub, not authority") {
+    // 0 links every authority 1..6; the authorities also link each
+    // other sparsely (1->2->...->6->1) so 0 is never itself linked
+    val edges = (1L to 6L).map(a => (0L, a)) ++ (1L to 6L).map(a => (a, a % 6 + 1))
+    val got = hitsMap(Graph.hits(edges.toDF("src", "dst"), "src", "dst", 4))
+    assert((1L to 6L).forall(a => got(0L)._2 > got(a)._2),
+      "the directory must have the top hub score")
+    assert(got(0L)._1 == 0L, "nothing links the directory: zero authority")
+  }
 }

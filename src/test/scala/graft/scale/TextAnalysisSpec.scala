@@ -727,6 +727,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("b") == ((3L, 1L, 0.0, None)))
   }
 
+  test("filterBlockedDomainSuffix: subdomains blocked, lookalike domains and null text survive") {
+    val df = Seq(
+      (1L, "see https://cdn.news.example.com/x"), // subdomain of a blocked entry
+      (2L, "link https://notexample.com/y"),      // suffix BOUNDARY: not a match
+      (3L, "at https://example.com/z"),           // exact domain = its own suffix
+      (4L, "no urls at all"),
+      (5L, null: String),
+      (6L, "mixed https://CDN.Example.COM/w")     // case-folded before matching
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.filterBlockedDomainSuffix(df, "text", Seq("example.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("blockedDomainAudit: per-entry URL/doc counts, dead entries zero-filled") {
+    val df = Seq(
+      (1L, "https://a.example.com/1 https://b.example.com/2"),
+      (2L, "https://a.example.com/3 and https://other.org/x"),
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val block = Seq("example.com", "dead.net").toDF("domain")
+    val got = TextAnalysis.blockedDomainAudit(df, "doc_id", "text", block)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "example.com" -> ((3L, 2L)), // 3 URL occurrences across 2 docs
+      "dead.net" -> ((0L, 0L))))
+  }
+
   test("bpeDecodeAudit: lossless on the fit corpus; vocab holes surface as lossy") {
     val docs = Seq(
       (1L, "s1", "the the cat"), (2L, "s1", "the hat"), (3L, "s2", "")
