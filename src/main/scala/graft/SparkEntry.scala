@@ -1849,6 +1849,30 @@ object SparkEntry {
     "x_graph_hits" -> ((s, d) =>
       graft.scale.Graph.hits(graphEdges(s, d), "src", "dst", iterations = 4)),
 
+    // co-citation mirror detection: pairs of domains the same sources
+    // link, out-degree-capped self-join (cap replayed by the oracle)
+    "x_graph_cocite" -> ((s, d) =>
+      graft.scale.Graph.coCitation(graphEdges(s, d), "src", "dst",
+        maxOutDegree = 48, minCommon = 2)),
+
+    // incremental rank refresh: warm-start 2 iterations over a CHANGED
+    // edge set (the % 80 graph adds nodes 64..79, which must cold-init
+    // at teleport mass) from the % 64 graph's 3-iteration ranks
+    "x_graph_rank_refresh" -> ((s, d) =>
+      graft.scale.Graph.pageRankRefresh(graphEdges2(s, d), "src", "dst",
+        graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 3),
+        iterations = 2)),
+
+    // bounded-hop distance from trusted seeds (node % 7 = 0, the
+    // TrustRank seed set): min-plus iteration, unreached -> NULL
+    "x_graph_seeddist" -> ((s, d) => {
+      val edges = graphEdges(s, d)
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .filter(col("node") % 7 === 0)
+      graft.scale.Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 4)
+    }),
+
     // fixed-threshold quality tiers over the rank table (tier 0 =
     // above every cut) + per-tier census — the shape a mixture/qfloor
     // consumer joins on
@@ -2059,6 +2083,14 @@ object SparkEntry {
     T(s, d, "documents").select(
       (col("doc_id") % 64).as("src"),
       ((col("doc_id") * 31 + col("n_chars")) % 64).as("dst"))
+
+  /** The "next crawl wave" edge set for the refresh query: a different
+    * derivation over 80 nodes, so 64..79 are NEW nodes the warm start
+    * must cold-init at teleport mass. */
+  private def graphEdges2(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      (col("doc_id") % 80).as("src"),
+      ((col("doc_id") * 13 + col("n_chars")) % 80).as("dst"))
 
   /** Fixed tier cuts (micro-rank units) for x_graph_tiers — pinned
     * literals per the [[graft.scale.Graph.rankTiers]] contract. */
@@ -5346,6 +5378,52 @@ object SparkEntry {
       (graphHitsOracleCtes(4) +
         "\nSELECT a4.node, a4.s AS auth_micro, h4.s AS hub_micro FROM a4 JOIN h4 USING (node)"),
 
+    // co-citation: the same degree-capped (<= 48) self-join on the
+    // shared source, unordered pairs by dst_a < dst_b
+    "x_graph_cocite" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 48),
+        |k AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
+        |SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(count(*) AS BIGINT) AS n_common
+        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // warm-start refresh: 3 cold iterations on the %64 graph (the CTE
+    // chain), then 2 refresh iterations on the %80 graph with init =
+    // prior ranks, new nodes cold-initialized at 1e6 teleport mass
+    "x_graph_rank_refresh" ->
+      (graphRankOracleCtes(3) + """,
+        |e2 AS (
+        |  SELECT DISTINCT doc_id % 80 AS src, (doc_id * 13 + n_chars) % 80 AS dst
+        |  FROM documents WHERE doc_id % 80 <> (doc_id * 13 + n_chars) % 80),
+        |deg2 AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e2 GROUP BY 1),
+        |nodes2 AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+        |s0 AS (SELECT n.node, CAST(COALESCE(r3.r, 1000000) AS BIGINT) AS r
+        |       FROM nodes2 n LEFT JOIN r3 ON n.node = r3.node),
+        |s1 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes2 n
+        |  LEFT JOIN (SELECT e2.dst AS node, s0.r // deg2.outdeg AS contrib
+        |             FROM e2 JOIN s0 ON e2.src = s0.node
+        |                    JOIN deg2 ON e2.src = deg2.src) c ON n.node = c.node
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes2 n
+        |  LEFT JOIN (SELECT e2.dst AS node, s1.r // deg2.outdeg AS contrib
+        |             FROM e2 JOIN s1 ON e2.src = s1.node
+        |                    JOIN deg2 ON e2.src = deg2.src) c ON n.node = c.node
+        |  GROUP BY 1)
+        |SELECT node, r AS rank_micro FROM s2""".stripMargin),
+
+    "x_graph_seeddist" ->
+      (graphSeedDistOracleCtes(4) + """
+        |SELECT node, CASE WHEN h >= 999999999 THEN NULL ELSE h END AS hops FROM d4""".stripMargin),
+
     "x_graph_tiers" ->
       (graphRankOracleCtes(5) + """,
         tiers AS (
@@ -5692,6 +5770,30 @@ object SparkEntry {
          |h$i AS MATERIALIZED (SELECT node,
          |  CAST(raw // ((SELECT MAX(raw) FROM h${i}r) // 1000000 + 1) AS BIGINT) AS s
          |  FROM h${i}r)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** Seed-distance oracle CTE chain — min-plus BFS from the node % 7
+    * seed set, integer sentinel for unreached; each d(i) references
+    * d(i-1) twice (self min + gather), hence MATERIALIZED. */
+  private def graphSeedDistOracleCtes(maxHops: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d0 AS MATERIALIZED (SELECT node,
+        |  CAST(CASE WHEN node % 7 = 0 THEN 0 ELSE 999999999 END AS BIGINT) AS h FROM nodes)""".stripMargin
+    val iters = (1 to maxHops).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(least(p.h, COALESCE(g.m, 999999999)) AS BIGINT) AS h
+         |  FROM nodes n
+         |  JOIN d${i - 1} p ON n.node = p.node
+         |  LEFT JOIN (SELECT e.dst AS node, MIN(dp.h + 1) AS m
+         |             FROM e JOIN d${i - 1} dp ON e.src = dp.node GROUP BY 1) g
+         |    ON n.node = g.node)""".stripMargin
     }.mkString
     base + iters
   }

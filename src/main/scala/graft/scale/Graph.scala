@@ -115,13 +115,44 @@ object Graph {
         col("teleport_micro").cast("long").as("teleport_micro"))))
   }
 
+  /** WARM-START rank refresh — the incremental path a production crawl
+    * actually runs: after a crawl delta lands (new edges, dead hosts
+    * dropped), continue the power iteration FROM the previous wave's
+    * converged ranks instead of re-running the full iteration budget
+    * from the uniform start. Because power iteration is a contraction,
+    * a handful of refresh iterations from a near-converged vector
+    * reaches the same quality a cold start needs many multiples of —
+    * at 1e10 edges, the difference between a nightly job and an
+    * impossible one. Nodes NEW in this wave's edge set start at the
+    * uniform teleport mass (exactly a cold node's init); nodes that
+    * left the graph drop out. Refreshing over an UNCHANGED edge set
+    * for k iterations is bit-identical to extending the original run
+    * by k (spec-pinned) — the same integer-arithmetic contract as
+    * [[pageRank]].
+    */
+  def pageRankRefresh(
+      edges: DataFrame, srcCol: String, dstCol: String, ranks0: DataFrame,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    val src = col(srcCol).cast("long").as("src")
+    val dst = col(dstCol).cast("long").as("dst")
+    val e = edges.select(src, dst)
+      .filter(col("src") =!= col("dst")).distinct()
+      .withColumn("w", lit(1L))
+    rankIterate(e, iterations, dampingPct, None,
+      Some(ranks0.select(col("node").cast("long").as("node"),
+        col("rank_micro").cast("long").as("rank_micro"))))
+  }
+
   /** Shared power-iteration core over a prepared (src, dst, w) edge
     * frame (deduped, self-loop-free, positive integer weights);
     * `teleportOpt` personalizes the teleport vector (None = uniform
-    * 1e6 per node). */
+    * 1e6 per node); `initOpt` warm-starts the iteration from a prior
+    * (node, rank_micro) frame (absent nodes start at their teleport
+    * mass). */
   private def rankIterate(
       e: DataFrame, iterations: Int, dampingPct: Int,
-      teleportOpt: Option[DataFrame] = None): DataFrame = {
+      teleportOpt: Option[DataFrame] = None,
+      initOpt: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct must be 0..100, got $dampingPct")
@@ -136,7 +167,12 @@ object Graph {
         .select(col("node"),
           coalesce(col("teleport_micro"), lit(0L)).as("t_micro"))
     }
-    var ranks = nodes.select(col("node"), col("t_micro").as("rank_micro"))
+    var ranks = initOpt match {
+      case None => nodes.select(col("node"), col("t_micro").as("rank_micro"))
+      case Some(r0) => nodes.join(r0, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rank_micro"), col("t_micro")).as("rank_micro"))
+    }
     for (i <- 1 to iterations) {
       // contribution of each edge = src rank split over its out-weight
       // (integer division — the determinism contract)
@@ -226,6 +262,102 @@ object Graph {
     val mx = full.agg(max(col("raw")).as("__m"))
     full.crossJoin(broadcast(mx))
       .select(col("node"), expr("raw div (__m div 1000000 + 1)").as("score"))
+  }
+
+  /** Sentinel distance for unreached nodes during [[seedDistance]]
+    * iteration — far above any reachable hop count, well below
+    * overflow even after `maxHops` increments. */
+  private val UnreachedHops = 999999999L
+
+  /** Bounded-hop distance from a seed set — the "distance from trusted
+    * domains" quality proxy (the CCNet/crawl-frontier heuristic: pages
+    * few hops from hand-vetted seeds are likelier worth keeping, and
+    * hop distance is cheaper and more robust than a full rank when all
+    * the consumer needs is near/far tiers). Computes, per node, the
+    * length of the shortest directed path FROM any seed, capped at
+    * `maxHops` iterations: nodes not reached within the cap report
+    * NULL (at web scale the cap is the operator — the diameter of the
+    * reachable web is small, and an uncapped BFS frontier is a bug,
+    * not a feature). Seeds absent from the edge set are ignored
+    * (distance is measured on this wave's graph).
+    *
+    * Determinism: pure integer min-plus iteration — dist'(v) =
+    * min(dist(v), 1 + min over in-edges of dist(u)) with an integer
+    * sentinel for "unreached" — exact at any partitioning, unrollable
+    * by the oracle.
+    *
+    * Scale: per iteration ONE equi-join (distances onto edge sources)
+    * + ONE min-aggregate per destination + a left join back — the
+    * [[pageRank]] iteration shape with min instead of sum;
+    * localCheckpoint every [[CheckpointEvery]] iterations bounds the
+    * lineage. Output is |nodes| rows.
+    */
+  def seedDistance(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "seedDistance: need at least one hop")
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("__seed", lit(1))
+    var dist = nodes.join(s, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(0L))
+          .otherwise(lit(UnreachedHops)).as("hops"))
+    for (i <- 1 to maxHops) {
+      val gather = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("hops") + 1L).as("__g"))
+      dist = dist.join(gather, Seq("node"), "left")
+        .select(col("node"),
+          least(col("hops"), coalesce(col("__g"), lit(UnreachedHops))).as("hops"))
+      if (i % CheckpointEvery == 0 && i < maxHops) dist = dist.localCheckpoint()
+    }
+    dist.select(col("node"),
+      when(col("hops") >= UnreachedHops, lit(null).cast("long"))
+        .otherwise(col("hops")).as("hops"))
+  }
+
+  /** Co-citation pairs — domains frequently linked BY THE SAME sources
+    * (Small 1973's bibliographic measure, applied as the standard
+    * mirror/duplicate-site detector: two hosts serving the same
+    * content accumulate near-identical in-link profiles, so their
+    * co-citation count approaches both in-degrees). Reports every
+    * unordered pair (dst_a < dst_b) co-linked by at least `minCommon`
+    * distinct sources.
+    *
+    * The quadratic guard — the same contract as the dedup blockers:
+    * sources with out-degree > `maxOutDegree` are EXCLUDED before the
+    * self-join (a page linking thousands of domains is a directory,
+    * not a similarity witness — standard practice, and it bounds the
+    * per-source pair fan-out at maxOutDegree²/2). The cap is part of
+    * the operator's semantics and replayed by the oracle.
+    *
+    * Scale: one degree aggregate, one co-partitioned filter join on
+    * src, then the capped self-equi-join on src and a pair aggregate —
+    * never a cartesian; pair mass ≤ |kept sources| · maxOutDegree²/2,
+    * and `minCommon` prunes the long random tail at the aggregate.
+    */
+  def coCitation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxOutDegree: Int, minCommon: Long): DataFrame = {
+    require(maxOutDegree >= 2, s"coCitation: maxOutDegree must be >= 2, got $maxOutDegree")
+    require(minCommon >= 1, s"coCitation: minCommon must be >= 1, got $minCommon")
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val keep = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") <= maxOutDegree).select(col("src")),
+      Seq("src"))
+    keep.select(col("src"), col("dst").as("dst_a"))
+      .join(keep.select(col("src"), col("dst").as("dst_b")), Seq("src"))
+      .filter(col("dst_a") < col("dst_b"))
+      .groupBy(col("dst_a"), col("dst_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
   }
 
   /** Degree/reciprocity audit over the cleaned link graph (self-loops

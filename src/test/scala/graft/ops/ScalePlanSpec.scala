@@ -555,6 +555,22 @@ class ScalePlanSpec extends AnyFunSuite {
       "a global-order window would funnel the whole manifest through one task")
   }
 
+  test("coCitation and seedDistance: equi-joins only, no cartesian, no global window") {
+    val edges = (0L until 300L).map(i => (i % 23, (i * 31 + 7) % 23)).toDF("src", "dst")
+    val cocite = graft.scale.Graph.coCitation(edges, "src", "dst",
+      maxOutDegree = 16, minCommon = 2)
+    val cn = collectPlans(cocite.queryExecution.executedPlan)
+    assert(!cn.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the co-citation self-join must stay an equi-join on the shared source")
+    assert(!cn.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+    assert(unpartitionedWindows(cocite).isEmpty)
+    val seeds = (0L until 23L by 7L).toDF("node")
+    val dist = graft.scale.Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 4)
+    val dn = collectPlans(dist.queryExecution.executedPlan)
+    assert(!dn.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(unpartitionedWindows(dist).isEmpty)
+  }
+
   test("filterBlockedDomainSuffix is row-local: no shuffle; audit broadcasts the blocklist") {
     val docs = (0L until 100L).map(i => (i, s"see https://sub$i.news${i % 5}.example.com/p"))
       .toDF("doc_id", "text")

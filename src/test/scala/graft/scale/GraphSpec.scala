@@ -214,6 +214,62 @@ class GraphSpec extends AnyFunSuite {
     assert(hitsMap(Graph.hits(dirty.toDF("src", "dst"), "src", "dst", 3)) == got)
   }
 
+  test("coCitation: shared-source pairs counted, directory sources capped out, hygiene") {
+    // sources 1,2,3 all link {10, 11}; source 3 also links 12
+    val base = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 12L))
+    def pairs(edges: Seq[(Long, Long)], cap: Int, min: Long) =
+      Graph.coCitation(edges.toDF("src", "dst"), "src", "dst", cap, min)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs(base, cap = 10, min = 2) == Map((10L, 11L) -> 3L))
+    // minCommon = 1 also surfaces the single-witness pairs via source 3
+    assert(pairs(base, cap = 10, min = 1) ==
+      Map((10L, 11L) -> 3L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+    // a directory source linking 12 > cap destinations is excluded, so
+    // its pairs vanish instead of flooding the output
+    val withDir = base ++ (20L to 31L).map(d => (9L, d))
+    assert(pairs(withDir, cap = 10, min = 2) == Map((10L, 11L) -> 3L))
+    // duplicate edges are one witness, self-loops none
+    val dirty = base ++ Seq((1L, 10L), (2L, 2L))
+    assert(pairs(dirty, cap = 10, min = 2) == pairs(base, cap = 10, min = 2))
+  }
+
+  test("pageRankRefresh: unchanged edges = extending the original run; new nodes cold-init") {
+    val edges = (0L until 200L).map(i => (i % 17, (i * 31 + 7) % 17)).toDF("src", "dst")
+    val warm = rankMap(Graph.pageRankRefresh(edges, "src", "dst",
+      Graph.pageRank(edges, "src", "dst", 3), 2))
+    assert(warm == referenceRank((0L until 200L).map(i => (i % 17, (i * 31 + 7) % 17)), 5))
+    // changed edge set: node 99 is new — it must start at teleport mass
+    // (1e6), which after one refresh iteration leaves it at exactly the
+    // teleport floor plus its in-flow; a node with no in-links lands at
+    // 150000 just like a cold node
+    val edges2 = Seq((1L, 2L), (2L, 3L), (99L, 2L)).toDF("src", "dst")
+    val got = rankMap(Graph.pageRankRefresh(edges2, "src", "dst",
+      Graph.pageRank(edges, "src", "dst", 3), 1))
+    assert(got(99L) == 150000L)
+    assert(got.contains(3L) && got.keySet == Set(1L, 2L, 3L, 99L))
+  }
+
+  test("seedDistance: chain hops, cap -> NULL, min over multiple paths, absent seeds inert") {
+    // chain 0->1->...->5, island 10<->11, shortcut 0->3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 3L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(0L, 77L).toDF("node") // 77 is not in the graph
+    val got = Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(
+      0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L),
+      3L -> Some(1L),  // the shortcut wins over the 3-hop chain
+      4L -> Some(2L), 5L -> Some(3L),
+      10L -> None, 11L -> None)) // unreachable island
+    // one hop fewer: node 5 falls past the cap
+    val capped = Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(capped(5L).isEmpty && capped(4L) == Some(2L))
+  }
+
   test("hits: a directory hub outscores ordinary nodes on hub, not authority") {
     // 0 links every authority 1..6; the authorities also link each
     // other sparsely (1->2->...->6->1) so 0 is never itself linked
