@@ -2028,6 +2028,11 @@ object SparkEntry {
     "x_text_entropy" -> ((s, d) =>
       TextAnalysis.sliceEntropy(T(s, d, "documents"), "source", "text")),
 
+    // mixture-redundancy audit: pairwise Jensen-Shannon divergence
+    // between the sources' unigram distributions
+    "x_text_js" -> ((s, d) =>
+      TextAnalysis.sliceJsDivergence(T(s, d, "documents"), "source", "text")),
+
     // small-file compaction plan over a per-(source, band) manifest
     // (bytes = exact n_chars mass — a deterministic stand-in for file
     // sizes, derivable by both engines)
@@ -5669,6 +5674,29 @@ object SparkEntry {
          |       CAST(h AS DOUBLE) / 1000000.0 AS entropy,
          |       ${Rounding.halfUpSql(
                    "(CAST(h AS DOUBLE) / 1000000.0) / (CASE WHEN n_types > 1 THEN ln(CAST(n_types AS DOUBLE)) END)", 6)} AS entropy_norm
+         |FROM g""".stripMargin,
+
+    // pairwise JS divergence: nano-rounded per-shared-token terms
+    // summed as longs; exclusive-mass tail = ln(2) correction from
+    // exact counts in one fixed expression (identical tree both sides)
+    "x_text_js" ->
+      s"""WITH t AS (SELECT CAST(source AS VARCHAR) AS slice, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT slice, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |n AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |j AS (SELECT a.slice AS slice_a, b.slice AS slice_b, a.c AS ca, b.c AS cb, na.n AS na, nb.n AS nb
+         |      FROM c a JOIN c b ON a.tok = b.tok AND a.slice < b.slice
+         |      JOIN n na ON na.slice = a.slice JOIN n nb ON nb.slice = b.slice),
+         |m AS (SELECT slice_a, slice_b, ca, cb, na, nb,
+         |        CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+         |              + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))) * 1.0E9 + 0.5) AS BIGINT) AS tn
+         |      FROM j),
+         |g AS (SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_shared_types,
+         |        CAST(sum(tn) AS BIGINT) AS t, CAST(sum(ca) AS BIGINT) AS sa,
+         |        CAST(sum(cb) AS BIGINT) AS sb, max(na) AS na, max(nb) AS nb
+         |      FROM m GROUP BY 1, 2)
+         |SELECT slice_a, slice_b, n_shared_types,
+         |       ${Rounding.halfUpSql(
+                   "(CAST(t AS DOUBLE) / 1.0E9 + ln(2.0) * (CAST(na - sa AS DOUBLE) / CAST(na AS DOUBLE) + CAST(nb - sb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0", 6)} AS js
          |FROM g""".stripMargin,
 
     // compaction plan: dir-partitioned running byte offsets, integer

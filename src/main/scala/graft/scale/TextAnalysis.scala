@@ -901,6 +901,64 @@ object TextAnalysis {
           6).as("entropy_norm"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between corpus slices'
+    * unigram distributions — the redundancy counterpart to
+    * [[sliceEntropy]]'s collapse audit: two sources with near-zero JS
+    * are the same distribution twice (merge or down-weight one),
+    * JS → ln 2 means fully disjoint vocabularies (a likely
+    * language/domain mismatch in the mixture). Reports every unordered
+    * slice pair sharing at least one token type:
+    * (slice_a, slice_b, n_shared_types, js) with js in nats ∈
+    * [0, ln 2].
+    *
+    * Exactness: the shared-token sum Σ p·ln(2p/(p+q)) + q·ln(2q/(p+q))
+    * is nano-rounded PER TERM and summed as longs (order-invariant);
+    * the exclusive-mass correction is exact — a token absent from the
+    * other slice contributes p·ln 2, so the tail collapses to
+    * ln 2 · ((n_a − shared_a)/n_a + (n_b − shared_b)/n_b) computed
+    * from exact long counts in ONE fixed expression at the end. Both
+    * engines evaluate the identical arithmetic tree.
+    *
+    * Scale: the (slice, token) count table self-joins on the TOKEN key
+    * (co-partitioned; per-token fan-out bounded by |slices|), per-pair
+    * aggregate to |slices|² rows, totals broadcast. Pairs with no
+    * shared vocabulary do not appear (their JS is exactly ln 2).
+    */
+  def sliceJsDivergence(
+      df: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val s = graft.ops.Cleaning.qcol(sliceCol).cast("string")
+    val counts = df
+      .select(s.as("slice"), explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__t"))
+      .groupBy(col("slice"), col("__t")).agg(count(lit(1)).as("__c"))
+    val tot = counts.groupBy(col("slice")).agg(sum(col("__c")).as("__n"))
+    val shared = counts.select(col("slice").as("slice_a"), col("__t"), col("__c").as("__ca"))
+      .join(counts.select(col("slice").as("slice_b"), col("__t"), col("__c").as("__cb")),
+        Seq("__t"))
+      .filter(col("slice_a") < col("slice_b"))
+      .join(broadcast(tot.select(col("slice").as("slice_a"), col("__n").as("__na"))), Seq("slice_a"))
+      .join(broadcast(tot.select(col("slice").as("slice_b"), col("__n").as("__nb"))), Seq("slice_b"))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val term = p * log(lit(2.0) * p / (p + q)) + q * log(lit(2.0) * q / (p + q))
+    shared
+      .select(col("slice_a"), col("slice_b"),
+        floor(term * 1e9 + 0.5).cast("long").as("__tn"),
+        col("__ca"), col("__cb"), col("__na"), col("__nb"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(
+        count(lit(1)).as("n_shared_types"),
+        sum(col("__tn")).as("__t"),
+        sum(col("__ca")).as("__sa"), sum(col("__cb")).as("__sb"),
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+      .select(col("slice_a"), col("slice_b"), col("n_shared_types"),
+        graft.ops.Rounding.halfUp(
+          (col("__t").cast("double") / 1e9 +
+            log(lit(2.0)) *
+              ((col("__na") - col("__sa")).cast("double") / col("__na").cast("double") +
+                (col("__nb") - col("__sb")).cast("double") / col("__nb").cast("double"))) / 2.0,
+          6).as("js"))
+  }
+
   /** Concat-and-chunk sequence packing — assign every document a
     * (shard, pack_id, pack_offset) for fixed-size training windows of
     * `budget` tokens: documents are concatenated in id order within a

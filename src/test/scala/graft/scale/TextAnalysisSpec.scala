@@ -727,6 +727,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("b") == ((3L, 1L, 0.0, None)))
   }
 
+  test("sliceJsDivergence: identical slices at 0, overlap matches replay, disjoint pairs absent") {
+    val df = Seq(
+      (1L, "a", "x x y"), (2L, "b", "x z z"),
+      (3L, "c", "x x y"),        // identical distribution to slice a
+      (4L, "d", "q w")           // shares no vocabulary with anyone
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sliceJsDivergence(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // the same double arithmetic as the operator, replayed on maps
+    def js(ca: Map[String, Long], cb: Map[String, Long]): Double = {
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      val shared = (ca.keySet & cb.keySet).toSeq
+      val t = shared.map { k =>
+        val p = ca(k).toDouble / na.toDouble
+        val q = cb(k).toDouble / nb.toDouble
+        math.floor((p * math.log(2.0 * p / (p + q)) +
+          q * math.log(2.0 * q / (p + q))) * 1e9 + 0.5).toLong
+      }.sum
+      val (sa, sb) = (shared.map(ca).sum, shared.map(cb).sum)
+      val raw = (t / 1e9 + math.log(2.0) *
+        ((na - sa).toDouble / na.toDouble + (nb - sb).toDouble / nb.toDouble)) / 2.0
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    val (ca, cb) = (Map("x" -> 2L, "y" -> 1L), Map("x" -> 1L, "z" -> 2L))
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c"))) // d never pairs
+    assert(got(("a", "c")) == ((2L, 0.0)))                        // identical dists
+    assert(got(("a", "b")) == ((1L, js(ca, cb))))
+    assert(got(("b", "c")) == ((1L, js(cb, ca))))                 // symmetric
+    assert(got(("a", "b"))._2 > 0.0 && got(("a", "b"))._2 < math.log(2.0))
+  }
+
   test("filterBlockedDomainSuffix: subdomains blocked, lookalike domains and null text survive") {
     val df = Seq(
       (1L, "see https://cdn.news.example.com/x"), // subdomain of a blocked entry
