@@ -1307,6 +1307,18 @@ object SparkEntry {
       TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
     }),
 
+    // calibration/reliability table: per mean-log-odds band, the
+    // observed positive rate — catches fold-overs and dead score
+    // regions that rank-based gates can't see
+    "x_text_clf_calibration" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      TextAnalysis.classifierCalibration(labeled, "doc_id", "text", "__lab",
+        model, buckets = 1024)
+    }),
+
     // classifier persistence gate: fit→save→load→score with a LOADED
     // model must hash-match the direct fit-and-score chain (distinct
     // bucket count from x_text_hashclf so the gates can't mask each
@@ -4510,6 +4522,27 @@ object SparkEntry {
     "x_text_hashclf" ->
       s"""WITH ${hashClfCtes(1024)}
          |SELECT doc_id, n_tokens, score_micro FROM hsc""".stripMargin,
+
+    // calibration: mean-log-odds double binning (floor of the same
+    // IEEE tree — safe for negative scores, where integer div's
+    // truncate-vs-floor split would break parity), per-doc means
+    // micro-rounded before the bin sum
+    "x_text_clf_calibration" ->
+      s"""WITH ${hashClfCtes(1024)},
+         |cl AS (SELECT hsc.doc_id, hsc.n_tokens, hsc.score_micro,
+         |         coalesce(d.lang, '') = 'en' AS pos
+         |       FROM hsc JOIN documents d USING (doc_id) WHERE hsc.n_tokens > 0),
+         |cb AS (SELECT
+         |    CAST(floor(CAST(score_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) * 4) AS BIGINT) AS bin,
+         |    CAST(floor(CAST(score_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m6,
+         |    pos FROM cl)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       ${Rounding.halfUpSql(
+                   "CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS pos_rate,
+         |       ${Rounding.halfUpSql(
+                   "CAST(sum(m6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)} AS mean_score
+         |FROM cb GROUP BY 1""".stripMargin,
 
     // the saved-model roundtrip scores bit-identically to the direct
     // chain, so ONE oracle definition covers both — at the distinct

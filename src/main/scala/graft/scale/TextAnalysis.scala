@@ -1541,6 +1541,57 @@ object TextAnalysis {
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
   }
 
+  /** Classifier calibration (reliability) table — the audit that
+    * closes the fit → score → threshold loop: per mean-log-odds band,
+    * how often is the label ACTUALLY positive? A well-calibrated
+    * quality classifier shows pos_rate rising monotonically with
+    * mean_score; a flat or folded curve means the scores order
+    * documents but their magnitudes are meaningless, so any
+    * budget/threshold computed from score VALUES (rather than ranks)
+    * is garbage. Run it on a held-out set for honest calibration —
+    * in-sample it still catches fold-overs and dead score regions.
+    *
+    * Binning: bin = floor(mean_nats · binsPerNat), where mean_nats =
+    * score_micro / (1e6 · n_tokens) — the floor of an identical IEEE
+    * expression on both engines (the lenband precedent), safe for
+    * NEGATIVE scores too, where integer `div`'s truncate-vs-floor
+    * divergence would break parity. Per-doc means are micro-rounded
+    * to longs before the bin sum, so mean_score is order-invariant.
+    * Empty documents (n_tokens = 0) are excluded — they carry no
+    * signal and their mean is undefined.
+    *
+    * Scale: one scoring pass (broadcast model), a row-local binning,
+    * and a |bins|-group aggregate — bins are bounded by the weight
+    * range (tens of nats × binsPerNat), never corpus-sized.
+    */
+  def classifierCalibration(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      model: DataFrame, buckets: Int, binsPerNat: Int = 4): DataFrame = {
+    require(binsPerNat >= 1, s"binsPerNat must be >= 1, got $binsPerNat")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val scored = hashedClassifierScore(df, idCol, textCol, model, buckets)
+      .filter(col("n_tokens") > 0)
+    val j = scored.join(
+      df.select(id, graft.ops.Cleaning.qcol(labelCol).cast("boolean").as("__pos")),
+      Seq(idCol))
+    val meanNats = col("score_micro").cast("double") /
+      (lit(1e6) * col("n_tokens").cast("double"))
+    j.select(
+        floor(meanNats * binsPerNat).cast("long").as("bin"),
+        floor(meanNats * 1e6 + 0.5).cast("long").as("__m6"),
+        col("__pos"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__m6")).as("__sm"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        graft.ops.Rounding.halfUp(
+          col("n_pos").cast("double") / col("n_docs").cast("double"), 6).as("pos_rate"),
+        graft.ops.Rounding.halfUp(
+          col("__sm").cast("double") / 1e6 / col("n_docs").cast("double"), 6).as("mean_score"))
+  }
+
   /** Span-level exact-substring dedup (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"
     * observation, in hash-window form): every length-`w` token window

@@ -727,6 +727,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("b") == ((3L, 1L, 0.0, None)))
   }
 
+  test("classifierCalibration: separable corpus pins the rate extremes, empty docs excluded") {
+    val docs = ((0L until 8L).map(i => (i, "good quality prose here", true)) ++
+      (8L until 16L).map(i => (i, "spam junk garbage noise", false)) :+
+      ((16L, "", true))).toDF("doc_id", "text", "lab")
+    val model = TextAnalysis.hashedClassifierFit(docs, "text", "lab", buckets = 64)
+    val got = TextAnalysis.classifierCalibration(
+      docs, "doc_id", "text", "lab", model, buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // the empty doc is excluded: 16 docs across all bins
+    assert(got.values.map(_._1).sum == 16L)
+    // a separable corpus must calibrate to the extremes: every bin is
+    // pure, positives score above negatives
+    assert(got.values.forall(v => v._3 == 0.0 || v._3 == 1.0))
+    val posBins = got.filter(_._2._3 == 1.0).keys
+    val negBins = got.filter(_._2._3 == 0.0).keys
+    assert(posBins.nonEmpty && negBins.nonEmpty && posBins.min > negBins.max)
+    // mean_score sits inside its bin's band (bin = floor(mean*4))
+    got.foreach { case (bin, (_, _, _, ms)) =>
+      assert(ms >= bin / 4.0 - 1e-6 && ms < (bin + 1) / 4.0 + 1e-6,
+        s"bin $bin mean_score $ms outside its band") }
+  }
+
   test("sliceJsDivergence: identical slices at 0, overlap matches replay, disjoint pairs absent") {
     val df = Seq(
       (1L, "a", "x x y"), (2L, "b", "x z z"),
