@@ -1505,6 +1505,13 @@ object SparkEntry {
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // JL random projection 64 -> 8: data-independent dim reduction
+    // (a PCA refit would shift the space under a persisted ANN index);
+    // static unrolled ±chains, long-format output
+    "x_emb_project" -> ((s, d) =>
+      graft.scale.Embeddings.randomProject(T(s, d, "embeddings"), "vec_id", "embedding",
+        graft.scale.Embeddings.projectionSigns(64, 8, seed = 7L))),
+
     // per-label class centroids in long format (scaled-long exact sums;
     // word-count shuffle shape: partials collapse to labels × dim)
     "x_emb_centroids" -> ((s, d) =>
@@ -4762,6 +4769,10 @@ object SparkEntry {
 
     // same per-element formula and left-to-right fold order as the
     // Spark side; the zero-vector guard nulls identically via CASE
+    // JL projection: the identical ± chain per output component, sign
+    // matrix re-derived from the same (dim, outDim, seed) call
+    "x_emb_project" -> embProjectOracleSql,
+
     "x_emb_quant" ->
       """WITH s AS (SELECT vec_id, embedding,
         |    (SELECT max(abs(CAST(a AS DOUBLE))) FROM (SELECT unnest(embedding) AS a)) AS mx
@@ -5833,6 +5844,29 @@ object SparkEntry {
          |  FROM h${i}r)""".stripMargin
     }.mkString
     base + iters
+  }
+
+  /** JL-projection oracle — the ± add/subtract chain per output
+    * component written term-for-term as [[graft.scale.Embeddings
+    * .randomProject]] builds it (left-associated, widened once per
+    * slot, scaled once at the end), signs re-derived from the SAME
+    * `projectionSigns(64, 8, 7)` call so the literals cannot drift. */
+  private lazy val embProjectOracleSql: String = {
+    val signs = graft.scale.Embeddings.projectionSigns(64, 8, seed = 7L)
+    val inv = 1.0 / math.sqrt(8.0)
+    val selects = signs.zipWithIndex.map { case (row, j) =>
+      val chain = new StringBuilder
+      if (row(0) < 0) chain.append("-")
+      chain.append("CAST(embedding[1] AS DOUBLE)")
+      for (i <- 1 until 64) {
+        chain.append(if (row(i) > 0) " + " else " - ")
+        chain.append(s"CAST(embedding[${i + 1}] AS DOUBLE)")
+      }
+      s"SELECT vec_id, CAST($j AS BIGINT) AS pos, ($chain) * $inv AS val FROM pe"
+    }
+    s"""WITH pe AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** Seed-distance oracle CTE chain — min-plus BFS from the node % 7

@@ -66,6 +66,64 @@ object Embeddings {
         (max(col("__nm")).cast("double") / 1e6).as("max_norm"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProject]] — a seeded
+    * 64-bit LCG stepped row-major, so the matrix is a pure function of
+    * (dim, outDim, seed) and an oracle re-derives the identical
+    * literals from the same call. */
+  def projectionSigns(dim: Int, outDim: Int, seed: Long): Array[Array[Int]] = {
+    require(dim >= 1 && outDim >= 1, s"bad projection shape ${dim}x$outDim")
+    var x = seed
+    Array.tabulate(outDim, dim) { (_, _) =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 33) & 1L) == 0L) 1 else -1
+    }
+  }
+
+  /** Sparse random projection (Achlioptas ±1 / Johnson-Lindenstrauss):
+    * y_j = (Σ_i s_ji · x_i) / √outDim with s ∈ {−1, +1} from
+    * [[projectionSigns]] — the cheap dimensionality reduction a
+    * pipeline runs before LSH/brute-force similarity when PCA's
+    * data-dependent fit isn't worth a training pass: JL guarantees
+    * pairwise-distance preservation in expectation for ANY data, the
+    * matrix is free, and the transform is data-independent, so
+    * incremental batches project identically forever (a PCA refit
+    * would silently shift the space under a persisted ANN index).
+    *
+    * Determinism: each output component is a STATIC left-to-right
+    * add/subtract chain over the vector slots (unrolled at plan build
+    * — the Morton lesson: no interpreted HOF fold in the hot path),
+    * scaled once at the end; float→double widening and ±
+    * chains are IEEE-exact, so engines agree bitwise. Output in long
+    * format (id, pos, val), one row per projected component; vectors
+    * that are null or not exactly `dim` wide are dropped (the fixed-
+    * width contract of every consumer downstream).
+    *
+    * Scale: narrow row-local codegen'd projection — no shuffle, no
+    * model state beyond the literal sign matrix riding in the plan.
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      signs: Array[Array[Int]]): DataFrame = {
+    val outDim = signs.length
+    val dim = signs(0).length
+    require(signs.forall(_.length == dim), "ragged sign matrix")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val comps: Seq[Column] = signs.toSeq.map { row =>
+      val x0 = element_at(v, 1).cast("double")
+      val first: Column = if (row(0) > 0) x0 else -x0
+      val s = (1 until dim).foldLeft(first) { (acc, i) =>
+        val xi = element_at(v, i + 1).cast("double")
+        if (row(i) > 0) acc + xi else acc - xi
+      }
+      s * lit(inv)
+    }
+    df.filter(v.isNotNull && size(v) === dim)
+      .select(id, posexplode(array(comps: _*)).as(Seq("pos", "val")))
+      .select(id, col("pos").cast("long").as("pos"), col("val"))
+  }
+
   def quantizeInt8Table(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)

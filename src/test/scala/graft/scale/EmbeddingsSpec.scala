@@ -166,4 +166,31 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(got("0") == ((2L, 1L, 1L, 0.0, 2.5, 5.0)))
     assert(got("1") == ((2L, 0L, 2L, 1.0, 5.5, 10.0))) // ragged -> 2 distinct dims
   }
+
+  test("projectionSigns: seed-deterministic, ±1 only, seeds diverge") {
+    val a = Embeddings.projectionSigns(64, 8, seed = 7L)
+    val b = Embeddings.projectionSigns(64, 8, seed = 7L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(s => s == 1 || s == -1))
+    // both signs occur, and a different seed gives a different matrix
+    assert(a.flatten.toSet == Set(1, -1))
+    val c = Embeddings.projectionSigns(64, 8, seed = 8L)
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
+  }
+
+  test("randomProject: exact hand chain, malformed vectors dropped") {
+    val signs = Array(Array(1, -1), Array(-1, 1))
+    val df = Seq(
+      (1L, Array(3.0f, 1.0f)),
+      (2L, Array(0.5f, -0.5f)),
+      (3L, Array(1.0f)),             // wrong width: dropped
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.randomProject(df, "vec_id", "embedding", signs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(got == Map(
+      (1L, 0L) -> (3.0 - 1.0) * inv, (1L, 1L) -> (-3.0 + 1.0) * inv,
+      (2L, 0L) -> (0.5 - -0.5) * inv, (2L, 1L) -> (-0.5 + -0.5) * inv))
+  }
 }
