@@ -1502,6 +1502,30 @@ object SparkEntry {
         BlockSuffixList.toDF("domain"))
     }),
 
+    // the web-corpus curation e2e: suffix blocklist -> domain quality
+    // tier (broadcast rank-tier join; unranked domains conservatively
+    // excluded — unknown quality is not good quality) -> classifier
+    // score floor, summarized per source. The composition a CCNet-
+    // style pipeline actually ships, built from the gated parts.
+    "x_corpus_web_e2e" -> ((s, d) => {
+      val docs0 = T(s, d, "documents")
+      val kept1 = TextAnalysis.filterBlockedDomainSuffix(
+        withSubdomainUrls(docs0), "text", BlockSuffixList)
+      val tiers = graft.scale.Graph.rankTiers(
+        graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5),
+        GraphTierCuts).select(col("node"), col("tier"))
+      val kept2 = kept1.withColumn("node", col("doc_id") % 64)
+        .join(broadcast(tiers), Seq("node")).filter(col("tier") <= 2)
+      val labeled = docs0.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      val good = TextAnalysis.hashedClassifierScore(docs0, "doc_id", "text", model, 1024)
+        .filter(col("score_micro") >= 0L).select(col("doc_id"))
+      kept2.join(good, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    }),
+
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
 
@@ -4725,6 +4749,32 @@ object SparkEntry {
         |SELECT b.domain, CAST(count(sfx.doc_id) AS BIGINT) AS n_urls,
         |       CAST(count(DISTINCT sfx.doc_id) AS BIGINT) AS n_docs
         |FROM b LEFT JOIN sfx ON sfx.suffix = b.domain GROUP BY 1""".stripMargin,
+
+    // web-curation e2e: blocklist CTEs (b-prefixed), 5-iteration rank
+    // chain + tier projection, classifier chain, three-way join
+    "x_corpus_web_e2e" ->
+      (graphRankOracleCtes(5) + s""",
+        |${hashClfCtes(1024)},
+        |bp AS (SELECT doc_id,
+        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
+        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
+        |  FROM documents),
+        |bu AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM bp),
+        |bd AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\\s]+)', 1)) AS domain FROM bu),
+        |bs AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
+        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM bd),
+        |bb AS (SELECT DISTINCT doc_id FROM bs
+        |  WHERE suffix IN ('news2.example.com', 'tracker3.example.org', 'unused.example.net')),
+        |tt AS (SELECT node, CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier FROM r5)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+        |FROM documents d
+        |JOIN tt ON tt.node = d.doc_id % 64 AND tt.tier <= 2
+        |JOIN hsc ON hsc.doc_id = d.doc_id AND hsc.score_micro >= 0
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bb)
+        |GROUP BY 1""".stripMargin),
 
     // confusion audit: centroid lists rebuilt from the same exact
     // means, distance as the same LEFT-TO-RIGHT ordered fold as
