@@ -40,6 +40,20 @@ object GraphProbe {
         println(f"[graphprobe] edges=${millions}M nodes=${nodes / 1000}k " +
           f"iters=$iters wall=$dt%.1fs ranked_nodes=$n")
       }
+      // HITS pays 2 gathers + 2 one-row MAX passes + 2 |nodes|-row
+      // checkpoints per iteration vs pageRank's single gather — the
+      // probe pins the measured multiple
+      val t1 = System.nanoTime()
+      val h = graft.scale.Graph.hits(e, "src", "dst", iterations = 4).count()
+      val dh = (System.nanoTime() - t1) / 1e9
+      println(f"[graphprobe] edges=${millions}M nodes=${nodes / 1000}k " +
+        f"hits_iters=4 wall=$dh%.1fs scored_nodes=$h")
+      val t2 = System.nanoTime()
+      val s = graft.scale.Graph.seedDistance(e, "src", "dst",
+        spark.range(0, nodes, 1000L).select(col("id").as("node")), maxHops = 4).count()
+      val ds = (System.nanoTime() - t2) / 1e9
+      println(f"[graphprobe] edges=${millions}M nodes=${nodes / 1000}k " +
+        f"seeddist_hops=4 wall=$ds%.1fs nodes=$s")
     }
     spark.stop()
   }
