@@ -637,6 +637,21 @@ object SparkEntry {
         queries, "query_id", "qtext", k = 5)
     }),
 
+    // hybrid-retrieval fusion: two BM25 parameterizations of the same
+    // query table, reciprocal-rank fused (rank-based — no score
+    // normalization needed, the point of RRF)
+    "x_text_rrf" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "spark window"), (2L, "merge vector table"),
+        (3L, "customer stream")).toDF("query_id", "qtext")
+      val docs = T(s, d, "documents")
+      val la = TextAnalysis.bm25TopKMany(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5)
+      val lb = TextAnalysis.bm25TopKMany(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5, k1 = 0.3, b = 0.9)
+      graft.scale.Similarity.rrfFuse(la, lb, "query_id", "doc_id")
+    }),
+
     // the full training-data prep recipe: quality filter → language
     // filter → near-dup dedup → representatives — served from the
     // fit-once snapshot cache (cleanedCorpus): the chain itself runs
@@ -2372,9 +2387,44 @@ object SparkEntry {
     * Scala doubles the Spark plan uses (shortest-roundtrip decimals
     * parse back bit-identical).
     */
+  /** Shared inverted-index CTEs for the query-table BM25 oracles: the
+    * 3-query VALUES table, its token set, and the (doc, token) tf /
+    * doc-length / df / corpus-stat frames. `tf`/`toks` are
+    * MATERIALIZED — two rank chains reference them and DuckDB's
+    * default inlining would re-run the document scan per reference. */
+  private lazy val bm25ManyBaseCtes: String =
+    s"""q(query_id, qtext) AS (VALUES
+       |    (CAST(1 AS BIGINT), 'spark window'),
+       |    (CAST(2 AS BIGINT), 'merge vector table'),
+       |    (CAST(3 AS BIGINT), 'customer stream')),
+       |qt AS (SELECT DISTINCT query_id,
+       |         unnest(CASE WHEN trim(qtext)='' THEN CAST([] AS VARCHAR[])
+       |                     ELSE string_split_regex(trim(lower(qtext)), '\\s+') END) AS tok
+       |       FROM q),
+       |toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tf)""".stripMargin
+
+  /** One BM25 scoring + per-query top-`k` rank chain over
+    * [[bm25ManyBaseCtes]], CTE names prefixed `p` so several
+    * parameterizations coexist in one WITH (the RRF oracle). Terminal:
+    * `<p>r(query_id, doc_id, bm25_micro, rk)`, rk ≤ k. */
+  private def bm25ManyRankCtes(p: String, k1: Double, b: Double, k: Int): String =
+    s"""${p}c AS (SELECT qt.query_id, tf.doc_id,
+       |        ${bm25ContribSql("tf", "df", "dl", "nd", "tt", k1, b)} AS contrib
+       |      FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) JOIN dfq USING (tok), s, t),
+       |${p}b AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+       |      FROM ${p}c GROUP BY 1, 2),
+       |${p}r AS (SELECT * FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+       |      FROM ${p}b WHERE bm25_micro > 0) WHERE rk <= $k)""".stripMargin
+
   private def bm25ContribSql(
-      tf: String, dfc: String, dl: String, nd: String, tt: String): String = {
-    val k1 = 1.2; val b = 0.75
+      tf: String, dfc: String, dl: String, nd: String, tt: String,
+      k1: Double = 1.2, b: Double = 0.75): String = {
     val k1p1 = (k1 + 1.0).toString; val omb = (1.0 - b).toString
     s"""CAST(floor(
        |  ln(1.0 + (CAST($nd AS DOUBLE) - CAST($dfc AS DOUBLE) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
@@ -3612,29 +3662,21 @@ object SparkEntry {
     // kernel; per-query top-5 mirrors the bounded aggregate's
     // (score desc, id asc) total order
     "x_text_bm25_many" ->
-      s"""WITH q(query_id, qtext) AS (VALUES
-         |    (CAST(1 AS BIGINT), 'spark window'),
-         |    (CAST(2 AS BIGINT), 'merge vector table'),
-         |    (CAST(3 AS BIGINT), 'customer stream')),
-         |qt AS (SELECT DISTINCT query_id,
-         |         unnest(CASE WHEN trim(qtext)='' THEN CAST([] AS VARCHAR[])
-         |                     ELSE string_split_regex(trim(lower(qtext)), '\\s+') END) AS tok
-         |       FROM q),
-         |toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
-         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tf),
-         |c AS (SELECT qt.query_id, tf.doc_id,
-         |        ${bm25ContribSql("tf", "df", "dl", "nd", "tt")} AS contrib
-         |      FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) JOIN dfq USING (tok), s, t),
-         |b AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
-         |      FROM c GROUP BY 1, 2),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC) AS rk
-         |      FROM b WHERE bm25_micro > 0)
-         |SELECT query_id, doc_id, bm25_micro, CAST(rk AS INT) AS rank
-         |FROM r WHERE rk <= 5""".stripMargin,
+      s"""WITH $bm25ManyBaseCtes,
+         |${bm25ManyRankCtes("m", 1.2, 0.75, 5)}
+         |SELECT query_id, doc_id, bm25_micro, CAST(rk AS INT) AS rank FROM mr""".stripMargin,
+
+    // reciprocal-rank fusion of the two BM25 parameterizations: the
+    // same rank chains instantiated twice, fused on coalesced keys
+    "x_text_rrf" ->
+      s"""WITH $bm25ManyBaseCtes,
+         |${bm25ManyRankCtes("pa", 1.2, 0.75, 5)},
+         |${bm25ManyRankCtes("pb", 0.3, 0.9, 5)}
+         |SELECT query_id, doc_id,
+         |       CAST(a.rk AS INT) AS rank_a, CAST(b2.rk AS INT) AS rank_b,
+         |       coalesce(1.0 / (60.0 + CAST(a.rk AS DOUBLE)), 0.0)
+         |         + coalesce(1.0 / (60.0 + CAST(b2.rk AS DOUBLE)), 0.0) AS rrf
+         |FROM par a FULL JOIN pbr b2 USING (query_id, doc_id)""".stripMargin,
 
     // overlap census: DISTINCT (source, portable fp) then the
     // fp-equality self-join — same planted recrawl fixture both sides

@@ -420,4 +420,42 @@ object Similarity {
         cosine(col("__qvec__"), col("__cvec__")).as("similarity"))
     topKPerQuery(scored, queryIdCol, idCol, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * top-k candidate lists — THE standard hybrid-retrieval combiner
+    * (lexical BM25 + dense ANN, or two parameterizations of one
+    * ranker): rrf = Σ_lists 1/(kRrf + rank), summed over the lists
+    * that returned the candidate. Rank-based fusion needs no score
+    * normalization — the reason it wins in practice: BM25 micros and
+    * cosine similarities live on incomparable scales, but their RANKS
+    * fuse directly. Candidates missing from a list contribute 0 from
+    * it (their rank there is unknown, not last). kRrf = 60 is the
+    * published default; smaller values weight top ranks harder.
+    *
+    * Inputs are (queryIdCol, idCol, `rankCol`) frames as every top-k
+    * operator here emits them (rank 1-based, deterministic
+    * tie-broken). Output: (queryIdCol, idCol, rank_a, rank_b, rrf)
+    * with null rank_x when list x missed the candidate.
+    *
+    * Determinism: ranks are exact ints and the rrf sum is a 2-term
+    * fixed-order expression over them — engines agree bitwise.
+    *
+    * Scale: both inputs are top-k bounded (≤ k rows per query), so
+    * the full-outer join and everything after it is candidate-list
+    * sized — the corpus is long gone by fusion time.
+    */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, queryIdCol: String, idCol: String,
+      kRrf: Int = 60, rankCol: String = "rank"): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val q = graft.ops.Cleaning.qcol(queryIdCol)
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val ra = a.select(q, id, col(rankCol).cast("int").as("rank_a"))
+    val rb = b.select(q, id, col(rankCol).cast("int").as("rank_b"))
+    ra.join(rb, Seq(queryIdCol, idCol), "full_outer")
+      .select(q, id, col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_b").cast("double")), lit(0.0)))
+          .as("rrf"))
+  }
 }

@@ -139,4 +139,24 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect()
     assert(!gotNull.exists(_._2 == 29L))
   }
+
+  test("rrfFuse: exact 2-list fusion, single-list candidates keep null ranks") {
+    val la = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val lb = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(la, lb, "query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Int]),
+          Option(r.get(3)).map(_.asInstanceOf[Int]), r.getDouble(4)))).toMap
+    assert(got == Map(
+      (1L, 10L) -> ((Some(1), None, 1.0 / 61.0)),
+      (1L, 11L) -> ((Some(2), Some(1), 1.0 / 62.0 + 1.0 / 61.0)),
+      (1L, 12L) -> ((None, Some(2), 1.0 / 62.0)),
+      (2L, 20L) -> ((Some(1), None, 1.0 / 61.0))))
+    // both-list consensus outranks either single-list head
+    assert(got((1L, 11L))._3 > got((1L, 10L))._3 && got((1L, 10L))._3 > got((1L, 12L))._3)
+    // a smaller kRrf weights top ranks harder
+    val tight = Similarity.rrfFuse(la, lb, "query_id", "doc_id", kRrf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(tight((1L, 10L)) == 1.0 / 2.0 && tight((1L, 11L)) == 1.0 / 3.0 + 1.0 / 2.0)
+  }
 }
