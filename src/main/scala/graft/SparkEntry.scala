@@ -2109,7 +2109,12 @@ object SparkEntry {
     // the salt factor a bounded-reducer salted join would need
     "s31_skew_advisor" -> ((s, d) =>
       graft.ops.Skew.saltAdvisor(T(s, d, "events"), "user_id",
-        rowsPerTask = 32L, topK = 25))
+        rowsPerTask = 32L, topK = 25)),
+
+    // robust outliers: median/MAD (50% breakdown) per source over doc
+    // lengths — the masking-proof screen beside the z-score profile
+    "s32_robust_outliers" -> ((s, d) =>
+      graft.ops.Stats.robustOutlierAudit(T(s, d, "documents"), "source", "n_chars"))
   )
 
   /** Derived multi-turn conversation view over `documents` (the
@@ -5847,6 +5852,26 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
         |       min(path) AS first_path, max(path) AS last_path
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // robust outliers: type-1 lower medians over tie groups ((n+1)//2
+    // cumulative threshold), exact integer deviations, k=3 MAD fence
+    "s32_robust_outliers" ->
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS slice, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY slice) AS tot FROM c),
+        |m AS (SELECT slice, CAST(max(tot) AS BIGINT) AS n,
+        |        min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS median FROM w GROUP BY 1),
+        |d AS (SELECT c.slice, abs(c.v - m.median) AS v, CAST(sum(c.c) AS BIGINT) AS c
+        |      FROM c JOIN m USING (slice) GROUP BY 1, 2),
+        |w2 AS (SELECT *, sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY slice) AS tot FROM d),
+        |m2 AS (SELECT slice, min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS mad FROM w2 GROUP BY 1)
+        |SELECT d.slice, m.n, m.median, m2.mad,
+        |       CAST(coalesce(sum(CASE WHEN d.v > m2.mad * 3 THEN d.c END), 0) AS BIGINT) AS n_outliers,
+        |       max(d.v) AS max_dev
+        |FROM d JOIN m USING (slice) JOIN m2 USING (slice)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // skew advisor: exact counts, integer micro-share and ceil-div
     // salt, deterministic (n desc, key asc) top-25 head

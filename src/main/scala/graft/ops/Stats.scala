@@ -1050,4 +1050,65 @@ object Stats {
         when(m2 > 0, Rounding.halfUp(m4 / (m2 * m2) - lit(3.0), 6))
           .otherwise(lit(0.0)).as("kurt_excess")): _*)
   }
+
+  /** MAD-based robust outlier audit per slice — the screen that mean/
+    * stddev z-scores cannot provide, because outliers inflate the very
+    * stddev meant to flag them (masking): median and MAD (median
+    * absolute deviation) have a 50% breakdown point, so a corrupted
+    * delivery batch cannot hide its own anomalies. Per slice: n,
+    * median, MAD, the count of values with |x − median| > k·MAD, and
+    * the largest absolute deviation.
+    *
+    * Exactness contract: `valueCol` must be integral (guarded loudly —
+    * a silent double truncation would corrupt the medians); both
+    * medians are the TYPE-1 lower quantile over distinct-value tie
+    * groups — min value whose cumulative count reaches ceil(n/2),
+    * `(n + 1) div 2` in exact integer arithmetic — so every output is
+    * an exact long and engines agree. k·MAD = 0 when more than half
+    * the slice shares one value; every unequal value is then an
+    * outlier — the correct degenerate reading (the slice is a
+    * constant plus noise).
+    *
+    * Scale: tie-group aggregate first, so the per-slice cumulative
+    * windows run over DISTINCT VALUES, not rows (the s3_wquantile
+    * shape) — bounded for integer-ish domains; route truly unbounded
+    * domains through the quantile sketch instead. The |slices|-row
+    * median/MAD frames broadcast back onto the tie groups.
+    */
+  def robustOutlierAudit(
+      df: DataFrame, sliceCol: String, valueCol: String, k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vt = df.schema(valueCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(vt),
+      s"robustOutlierAudit needs an integral value column; '$valueCol' is $vt — " +
+        "a silent double->long truncation would corrupt the medians")
+    import org.apache.spark.sql.expressions.Window
+    val s = Cleaning.qcol(sliceCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val groups = df.filter(v.isNotNull)
+      .select(s.as("slice"), v.as("v"))
+      .groupBy(col("slice"), col("v")).agg(count(lit(1)).as("c"))
+    def lowerMedian(g: DataFrame, out: String): DataFrame = {
+      val byVal = Window.partitionBy(col("slice")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("__cum", sum(col("c")).over(byVal))
+        .withColumn("__tot", sum(col("c")).over(Window.partitionBy(col("slice"))))
+        .groupBy(col("slice"))
+        .agg(max(col("__tot")).as(s"__n_$out"),
+          min(when(col("__cum") >= expr("(__tot + 1) div 2"), col("v"))).as(out))
+    }
+    val med = lowerMedian(groups, "median")
+    val devGroups = groups.join(broadcast(med), Seq("slice"))
+      .select(col("slice"), abs(col("v") - col("median")).as("v"), col("c"))
+      .groupBy(col("slice"), col("v")).agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devGroups, "mad").select(col("slice"), col("mad"))
+    devGroups.join(broadcast(med), Seq("slice")).join(broadcast(mad), Seq("slice"))
+      .groupBy(col("slice"))
+      .agg(
+        max(col("__n_median")).as("n"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        coalesce(sum(when(col("v") > col("mad") * k, col("c"))), lit(0L)).as("n_outliers"),
+        max(col("v")).as("max_dev"))
+  }
 }

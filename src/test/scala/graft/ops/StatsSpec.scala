@@ -384,4 +384,20 @@ class StatsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Stats.corrMatrix(frac, Seq("a", "b")))
     assert(e.getMessage.contains("integral"))
   }
+
+  test("robustOutlierAudit: exact medians/MAD, degenerate MAD=0, type guard") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("a", _)) ++
+      Seq(5L, 5L, 5L, 9L).map(("b", _))).toDF("src", "v")
+    val got = Stats.robustOutlierAudit(df, "src", "v", k = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a: median 3, devs {0,1,1,2,97} -> MAD 1, fence 3 -> only 97 flags
+    assert(got("a") == ((5L, 3L, 1L, 1L, 97L)))
+    // b: constant-majority -> MAD 0: every unequal value is an outlier
+    assert(got("b") == ((4L, 5L, 0L, 1L, 4L)))
+    val bad = Seq(("a", "x")).toDF("src", "v")
+    intercept[IllegalArgumentException] {
+      Stats.robustOutlierAudit(bad, "src", "v")
+    }
+  }
 }
