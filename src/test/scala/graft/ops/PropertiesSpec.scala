@@ -336,4 +336,59 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("compactionPlan invariants: partition of the manifest, bounded groups, monotone ids") {
+    val byteGen = Gen.listOfN(30, Gen.choose(1L, 900L))
+    samples(byteGen, 6).foreach { bytes =>
+      val man = bytes.zipWithIndex.map { case (b, i) => (s"d${i % 3}", f"p$i%03d", b) }
+        .toDF("dir", "path", "bytes")
+      val plan = Layout.compactionPlan(man, "dir", "path", "bytes", targetBytes = 1000L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(plan.length == bytes.length) // 1:1 with the manifest
+      plan.groupBy(_._1).foreach { case (_, files) =>
+        val sorted = files.sortBy(_._2)
+        // group ids are monotone non-decreasing in path order (contiguity)
+        assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+        // a group never exceeds target + one file (files are atomic)
+        sorted.groupBy(_._4).values.foreach { g =>
+          val total = g.map(_._3).sum
+          assert(g.length == 1 || total - g.map(_._3).max < 1000L,
+            s"group over target even without its last file: $g")
+        }
+      }
+    }
+  }
+
+  test("saltAdvisor invariants: shares bounded by the total, salts cover the counts") {
+    val keyGen = Gen.listOfN(60, Gen.choose(0L, 6L))
+    samples(keyGen, 6).foreach { ks =>
+      val rows = Skew.saltAdvisor(ks.toDF("k"), "k", rowsPerTask = 8L, topK = 10)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      assert(rows.map(_._2).sum <= 1000000L)    // micro shares can't exceed 100%
+      rows.foreach { case (n, _, salt, skewed) =>
+        assert(salt * 8L >= n)                  // salts cover the key's rows
+        assert((salt - 1L) * 8L < n)            // ...with no slack bucket
+        assert(skewed == (n > 8L))
+      }
+    }
+  }
+
+  test("rrf fusion invariants: score bounds and consensus dominance") {
+    val listGen = Gen.listOfN(6, Gen.choose(100L, 110L)).map(_.distinct)
+    samples(Gen.zip(listGen, listGen), 6).foreach { case (docsA, docsB) =>
+      val la = docsA.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }.toDF("query_id", "doc_id", "rank")
+      val lb = docsB.zipWithIndex.map { case (d, i) => (1L, d, i + 1) }.toDF("query_id", "doc_id", "rank")
+      val fused = graft.scale.Similarity.rrfFuse(la, lb, "query_id", "doc_id")
+        .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+      assert(fused.keySet == (docsA ++ docsB).toSet)
+      assert(fused.values.forall(v => v > 0.0 && v <= 2.0 / 61.0))
+      // with short lists (k ≤ 6: 2/(60+k) > 1/61), EVERY consensus doc
+      // outscores EVERY single-list doc — the RRF property that makes
+      // it a consensus combiner
+      val both = docsA.toSet & docsB.toSet
+      val onlyOne = fused.keySet -- both
+      for (c <- both; s <- onlyOne) assert(fused(c) > fused(s),
+        s"consensus doc $c (${fused(c)}) not above single-list $s (${fused(s)})")
+    }
+  }
 }
