@@ -301,11 +301,14 @@ object SparkEntry {
     // splitter, and body-identity end to end; the oracle replays the
     // same projection straight off the documents table.
     "s23_wet_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_s23").toString
-      graft.io.Sinks.writeWet(
-        T(s, d, "documents").select(
-          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-          lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      // fit-once temp artifact: cleaned at JVM exit, and the cold/warm
+      // bench samples reuse one corpus-sized WET copy instead of two
+      val dir = graft.scale.Models.fitOnceArtifactDir("wet-s23", d) { out =>
+        graft.io.Sinks.writeWet(
+          T(s, d, "documents").select(
+            concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+            lit("2026-01-01T00:00:00Z").as("date"), col("text")), out)
+      }
       graft.io.Warc.readWet(s, dir)
         .filter(col("record_type") === "conversion")
         .select(
@@ -324,17 +327,20 @@ object SparkEntry {
     // replays the plant straight off the documents table: body-identity
     // through the hostile roundtrip.
     "s30_wet_strict" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_s30").toString
-      val planted = T(s, d, "documents").select(
-        col("doc_id"),
-        concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-        lit("2026-01-01T00:00:00Z").as("date"),
-        when(col("doc_id") % 5 === 0,
-            concat(col("text"), lit("\r\nWARC/1.0\r\n"), col("text")))
-          .when(col("doc_id") % 5 === 1,
-            concat(lit("a\r\n\r\nb "), col("text")))
-          .otherwise(col("text")).as("text"))
-      graft.io.Sinks.writeWet(planted, dir, forStrictReader = true)
+      // fit-once temp artifact (see s23): JVM-exit cleanup + one write
+      // shared by the cold and warm bench samples
+      val dir = graft.scale.Models.fitOnceArtifactDir("wet-s30", d) { out =>
+        val planted = T(s, d, "documents").select(
+          col("doc_id"),
+          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit("\r\nWARC/1.0\r\n"), col("text")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("a\r\n\r\nb "), col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.io.Sinks.writeWet(planted, out, forStrictReader = true)
+      }
       graft.io.Warc.readWetStrict(s, dir)
         .filter(col("record_type") === "conversion")
         .select(

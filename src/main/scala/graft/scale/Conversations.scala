@@ -45,8 +45,14 @@ object Conversations {
     * input columns plus `keeper_conv`, `keeper_turn`, `dup_count`,
     * `is_keeper`; `filter(col("is_keeper"))` is the deduped corpus.
     *
+    * NULL parity: a NULL role or text is a real group — DuckDB's
+    * GROUP BY groups NULLs together, and Spark's groupBy does too, so
+    * the join back must be null-safe (`<=>`); a plain equi-join would
+    * silently DROP null-keyed turns instead of annotating them.
+    *
     * Scale: two shuffles on (role, text) — one for the election
-    * aggregate, one for the join (AQE reuses the co-partitioning).
+    * aggregate, one for the join (AQE reuses the co-partitioning;
+    * EqualNullSafe keys hash-partition like plain equality).
     * Dup groups concentrate mass exactly where dedup wins, so the
     * aggregate is the reducing side; no driver participation.
     */
@@ -56,7 +62,11 @@ object Conversations {
     val key = turnKey(qcol(convCol), qcol(turnCol))
     val keepers = convs.groupBy(qcol(roleCol), qcol(textCol))
       .agg(min(key).as("__keeper_key"), count(lit(1)).as("dup_count"))
-    convs.join(keepers, Seq(roleCol, textCol))
+      .withColumnRenamed(roleCol, "__k_role")
+      .withColumnRenamed(textCol, "__k_text")
+    convs.join(keepers,
+        qcol(roleCol) <=> col("__k_role") && qcol(textCol) <=> col("__k_text"))
+      .drop("__k_role", "__k_text")
       .withColumn("keeper_conv", expr(s"__keeper_key div $TurnKeyBase"))
       .withColumn("keeper_turn", pmod(col("__keeper_key"), lit(TurnKeyBase)))
       .withColumn("is_keeper", key === col("__keeper_key"))
@@ -91,20 +101,6 @@ object Conversations {
         col("jaccard"))
   }
 
-  /** Conversation-preserving chat packing: token-sums each conversation
-    * (whitespace token count over every turn), then runs the standard
-    * shard-partitioned concat-and-chunk layout at the CONVERSATION
-    * level — a conversation is one atomic unit, so it can never be
-    * split across packs by construction (its turns all inherit the
-    * single (shard, pack_id) of their conversation).
-    * Returns the conversation-level manifest (convCol, shard,
-    * token_count, pack_id, pack_offset); join turns back by convCol
-    * for the turn-level layout.
-    *
-    * Scale: one aggregate to |conversations| rows, then
-    * [[TextAnalysis.packByCount]]'s per-shard running-sum window —
-    * never a global sort.
-    */
   /** CONVERSATION-level near-dup pairs — two conversations are
     * near-copies when they SHARE most of their turns (re-posted
     * threads, template-stamped dialogues): Jaccard over each
@@ -191,6 +187,13 @@ object Conversations {
     * downstream). Returns the input columns plus `turn_tokens`,
     * `kept` (boolean).
     *
+    * API contract (same style as the TurnKeyBase contract above):
+    * (convCol, turnCol) must be UNIQUE — the suffix window orders by
+    * turn alone, so duplicate (conv_id, turn) rows would make the
+    * running sum (and therefore `kept`) nondeterministic across runs
+    * and engines. Run [[turnDedupExact]] (or a distinct on the key)
+    * first if the input can carry duplicates.
+    *
     * Scale: one window per conversation key (turn-descending running
     * sum) — partitioned by the real conversation key, never global.
     */
@@ -211,6 +214,20 @@ object Conversations {
       .drop("__sfx", "__rn")
   }
 
+  /** Conversation-preserving chat packing: token-sums each conversation
+    * (whitespace token count over every turn), then runs the standard
+    * shard-partitioned concat-and-chunk layout at the CONVERSATION
+    * level — a conversation is one atomic unit, so it can never be
+    * split across packs by construction (its turns all inherit the
+    * single (shard, pack_id) of their conversation).
+    * Returns the conversation-level manifest (convCol, shard,
+    * token_count, pack_id, pack_offset); join turns back by convCol
+    * for the turn-level layout.
+    *
+    * Scale: one aggregate to |conversations| rows, then
+    * [[TextAnalysis.packByCount]]'s per-shard running-sum window —
+    * never a global sort.
+    */
   def packConversations(
       convs: DataFrame, convCol: String = "conv_id", textCol: String = "text",
       budget: Int = 512, shards: Int = 8): DataFrame = {

@@ -148,7 +148,11 @@ object Graph {
     * `teleportOpt` personalizes the teleport vector (None = uniform
     * 1e6 per node); `initOpt` warm-starts the iteration from a prior
     * (node, rank_micro) frame (absent nodes start at their teleport
-    * mass). */
+    * mass). Both caller-supplied frames are deduplicated on `node`
+    * before joining (max mass wins — deterministic): a duplicate node
+    * row would otherwise fan out the node set through the left join
+    * and double-count contributions in every subsequent iteration —
+    * the same hygiene the operator applies to the edge set. */
   private def rankIterate(
       e: DataFrame, iterations: Int, dampingPct: Int,
       teleportOpt: Option[DataFrame] = None,
@@ -163,15 +167,19 @@ object Graph {
     // epilogue is one join with the node set it needs anyway
     val nodes = teleportOpt match {
       case None => nodes0.withColumn("t_micro", lit(1000000L))
-      case Some(t) => nodes0.join(t, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("teleport_micro"), lit(0L)).as("t_micro"))
+      case Some(t) =>
+        val t1 = t.groupBy(col("node")).agg(max(col("teleport_micro")).as("teleport_micro"))
+        nodes0.join(t1, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("teleport_micro"), lit(0L)).as("t_micro"))
     }
     var ranks = initOpt match {
       case None => nodes.select(col("node"), col("t_micro").as("rank_micro"))
-      case Some(r0) => nodes.join(r0, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("rank_micro"), col("t_micro")).as("rank_micro"))
+      case Some(r0) =>
+        val r1 = r0.groupBy(col("node")).agg(max(col("rank_micro")).as("rank_micro"))
+        nodes.join(r1, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("rank_micro"), col("t_micro")).as("rank_micro"))
     }
     for (i <- 1 to iterations) {
       // contribution of each edge = src rank split over its out-weight

@@ -48,6 +48,29 @@ class ConversationsSpec extends AnyFunSuite {
     assert(kept.count(_.getAs[String]("text") == "thanks!") == 2)
   }
 
+  test("turnDedupExact: NULL role/text turns are grouped and annotated, never dropped") {
+    val withNulls = Seq(
+      (1L, 1L, "user", "hello"),
+      (2L, 1L, null.asInstanceOf[String], "hello"),   // null role, twice
+      (3L, 1L, null.asInstanceOf[String], "hello"),
+      (4L, 1L, "user", null.asInstanceOf[String]),    // null text, twice
+      (5L, 1L, "user", null.asInstanceOf[String])
+    ).toDF("conv_id", "turn", "role", "text")
+    val out = Conversations.turnDedupExact(withNulls)
+    // every input turn survives the annotation join (null-safe <=>)
+    assert(out.count() === 5)
+    // the two null-role turns form ONE group (DuckDB GROUP BY parity):
+    // keeper = conv 2, dup_count = 2
+    val nullRole = out.filter(col("role").isNull)
+      .select(col("conv_id"), col("keeper_conv"), col("dup_count"), col("is_keeper"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    assert(nullRole.toSeq === Seq((2L, 2L, 2L, true), (3L, 2L, 2L, false)))
+    val nullText = out.filter(col("text").isNull)
+      .select(col("conv_id"), col("keeper_conv"), col("dup_count"), col("is_keeper"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    assert(nullText.toSeq === Seq((4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+  }
+
   test("turnDedupNearPairs: same-role pairs only, endpoints decode correctly") {
     val near = Seq(
       (1L, 1L, "user", "the quick brown fox jumps over the lazy dog"),

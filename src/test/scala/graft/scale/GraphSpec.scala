@@ -132,6 +132,24 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("duplicate teleport/init node rows do not fan out the rank table") {
+    val edges = (0L until 200L).map(i => (i % 17, (i * 31 + 7) % 17)).toDF("src", "dst")
+    val nodes = (0L until 17L).map(n => (n, 1000000L)).toDF("node", "teleport_micro")
+    // same teleport vector with every row stamped twice: identical ranks,
+    // one row per node (duplicates would double contributions each round)
+    val doubled = nodes.union(nodes)
+    val a = rankMap(Graph.pageRankPersonalized(edges, "src", "dst", nodes, 5))
+    val b = rankMap(Graph.pageRankPersonalized(edges, "src", "dst", doubled, 5))
+    assert(a == b)
+    val out = Graph.pageRankPersonalized(edges, "src", "dst", doubled, 5)
+    assert(out.count() === Graph.pageRank(edges, "src", "dst", 5).count())
+    // same guard on the warm-start init frame (pageRankRefresh)
+    val r0 = Graph.pageRank(edges, "src", "dst", 3)
+    val ref = rankMap(Graph.pageRankRefresh(edges, "src", "dst", r0, 2))
+    val refDup = rankMap(Graph.pageRankRefresh(edges, "src", "dst", r0.union(r0), 2))
+    assert(ref == refDup)
+  }
+
   test("pageRankPersonalized (TrustRank): rank flows only from the seeded region") {
     // seed {0}; chain 0 -> 1 -> 2; island 3 <-> 4 gets no trust at all
     val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
