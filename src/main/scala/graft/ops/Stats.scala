@@ -1111,4 +1111,46 @@ object Stats {
         coalesce(sum(when(col("v") > col("mad") * k, col("c"))), lit(0L)).as("n_outliers"),
         max(col("v")).as("max_dev"))
   }
+
+  /** Per-slice rank (quantile) normalization — the scale-free feature
+    * transform: each distinct value within a slice maps to its
+    * average-rank percentile in [0, 1e6] micro units
+    * (`pct = (avgrank − 1) / (n − 1)`, avgrank = midrank of the tie
+    * group), so downstream consumers compare values ACROSS slices with
+    * wildly different scales (per-language lengths, per-source scores)
+    * on one axis. Pure integer identity: with `cnt_less` values
+    * strictly below the group and `ties` in it,
+    * `avgrank − 1 = cnt_less + (ties − 1)/2`, so
+    * `pct_micro = (2·cnt_less + ties − 1) · 1e6 div (2·(n − 1))` —
+    * exact longs, engines agree bitwise. A single-row slice has no
+    * spread; it maps to the 500000 midpoint by convention.
+    *
+    * Output: one row per (slice, value) tie group — (sliceCol,
+    * valueCol, ties, pct_micro); join back on (slice, value) to
+    * annotate rows. NULL slices/values are excluded (no rank order).
+    *
+    * Scale: one (slice, value) aggregate, then the cumulative window
+    * over TIE GROUPS (the weighted-quantile pattern — the corpus never
+    * sorts, only the distinct-value table does) partitioned by the
+    * real slice key.
+    */
+  def rankNormalize(
+      df: DataFrame, sliceCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Cleaning.qcol
+    val g = df
+      .filter(qcol(sliceCol).isNotNull && qcol(valueCol).isNotNull)
+      .groupBy(qcol(sliceCol), qcol(valueCol))
+      .agg(count(lit(1)).as("ties"))
+    val wCum = Window.partitionBy(qcol(sliceCol)).orderBy(qcol(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(qcol(sliceCol))
+    g.withColumn("__cum", sum(col("ties")).over(wCum))
+      .withColumn("__n", sum(col("ties")).over(wAll))
+      .withColumn("pct_micro",
+        when(col("__n") > 1,
+          expr("((2 * (__cum - ties) + ties - 1) * 1000000L) div (2 * (__n - 1))"))
+          .otherwise(lit(500000L)))
+      .drop("__cum", "__n")
+  }
 }

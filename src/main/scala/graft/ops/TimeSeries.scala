@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Cleaning.qcol
+
+/** Keyed time-series operators over an event stream — the feature
+  * engineering a metrics/training pipeline runs between raw events and
+  * a model table: fixed-interval resampling with gap-fill, per-key lag
+  * and rolling-window features, and a rolling relative-deviation
+  * outlier flag (beyond-reference, SURVEY §7.4 events family).
+  *
+  * Determinism contract (the toolkit every oracle-gated operator here
+  * shares): values enter as HALF-UP micro-scaled longs
+  * (`floor(v·1e6 + 0.5)` — one IEEE multiply+add per row, identical in
+  * any engine), every sum/min/max is integer-exact and
+  * order-invariant, and every window orders by a UNIQUE key
+  * (`(ts, event_id)` or the bucket index), so frames — and therefore
+  * results — are engine- and partitioning-independent.
+  */
+object TimeSeries {
+
+  /** Half-up micro-scaling of a double value column (the shared
+    * parity primitive: floor is exact on longs, the multiply+add is
+    * one fixed IEEE expression both engines evaluate identically). */
+  def microVal(c: Column): Column =
+    floor(c.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Fixed-interval resample with gap-fill and forward-fill: buckets
+    * each key's events into `intervalSec`-wide bins (bucket index =
+    * `epoch_us div (intervalSec·1e6)`), then materializes EVERY bucket
+    * between the key's first and last observation — gap buckets get
+    * `n_events = 0`, a NULL bucket sum, and the last observed sum
+    * carried forward in `v_ffill_micro` (NULL before the first
+    * observation, which cannot happen here since lattices start at an
+    * observed bucket).
+    *
+    * Forward-fill is the integer "group of last non-null" identity —
+    * `grp = count(v) OVER (key ORDER BY bucket)` then
+    * `max(v) OVER (key, grp)` — rather than an IGNORE NULLS window
+    * (not portable across engines): within a grp exactly one row is
+    * non-null, so `max` selects it exactly.
+    *
+    * Scale: one (key, bucket) aggregate, one per-key min/max aggregate,
+    * a `sequence()` lattice explode, a co-partitioned left join back,
+    * and two key-partitioned windows ordered by the unique bucket
+    * index. The lattice is (span / interval) rows per key — the caller
+    * picks the interval, and `maxBucketsPerKey` raise_errors (in-plan,
+    * before any explode materializes) on a key whose span would explode
+    * the lattice: at 100 TB a daily grid over years is ≤ ~4k rows per
+    * key, metadata-sized next to the events themselves.
+    */
+  def resampleGapFill(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      intervalSec: Long, maxBucketsPerKey: Long = 100000L): DataFrame = {
+    require(intervalSec > 0, s"resampleGapFill: intervalSec must be positive")
+    require(maxBucketsPerKey > 0, s"resampleGapFill: maxBucketsPerKey must be positive")
+    val ivUs = intervalSec * 1000000L
+    val base = events
+      .filter(qcol(keyCol).isNotNull && qcol(tsCol).isNotNull)
+      .select(qcol(keyCol).as("key"), unix_micros(qcol(tsCol)).as("__us"),
+        microVal(qcol(valueCol)).as("vm"))
+      .withColumn("bucket", expr(s"__us div ${ivUs}L"))
+    val obs = base.groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("v_sum_micro"))
+    // the guard lives INSIDE the consumed `hi` expression — a separate
+    // audit column would be pruned by the optimizer and never fire
+    val guardedHi =
+      when(col("hi") - col("lo") >= maxBucketsPerKey,
+        raise_error(concat(lit("resampleGapFill: key "), col("key").cast("string"),
+          lit(s" spans more than $maxBucketsPerKey buckets — widen intervalSec")))
+          .cast("long"))
+        .otherwise(col("hi"))
+    val lattice = obs.groupBy(col("key"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), guardedHi)).as("bucket"))
+    val joined = lattice.join(obs, Seq("key", "bucket"), "left")
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("__grp", count(col("v_sum_micro")).over(wOrd))
+      .withColumn("v_ffill_micro",
+        max(col("v_sum_micro")).over(Window.partitionBy(col("key"), col("__grp"))))
+      .select(col("key"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v_sum_micro"), col("v_ffill_micro"))
+  }
+
+  /** Per-key lag / delta / rolling-window features over the event
+    * stream ordered by the UNIQUE (ts, idCol) pair: previous value,
+    * value delta, inter-arrival gap in microseconds, and the rolling
+    * count/sum/min/max over the `rollN` PRECEDING events (current row
+    * excluded — the leakage-safe frame a feature pipeline needs: a
+    * feature computed at event time must not see the event itself).
+    * All outputs are exact longs on micro-scaled values.
+    *
+    * API contract: `idCol` must be unique within a key (event ids are)
+    * — it is the deterministic tie-break for same-timestamp events.
+    *
+    * Scale: ONE key-partitioned window pass (all features share the
+    * frame); state is the rollN-row sliding frame. Never global.
+    */
+  def lagFeatures(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, rollN: Int = 5): DataFrame = {
+    require(rollN >= 1, s"lagFeatures: rollN must be >= 1, got $rollN")
+    val base = events
+      .filter(qcol(keyCol).isNotNull && qcol(tsCol).isNotNull)
+      .select(qcol(keyCol).as("key"), qcol(idCol).as("id"),
+        unix_micros(qcol(tsCol)).as("us"),
+        microVal(qcol(valueCol)).as("vm"))
+    val ord = Window.partitionBy(col("key")).orderBy(col("us"), col("id"))
+    val roll = ord.rowsBetween(-rollN, -1)
+    base
+      .withColumn("lag_vm", lag(col("vm"), 1).over(ord))
+      .withColumn("delta_vm", col("vm") - col("lag_vm"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(ord))
+      .withColumn("roll_n", count(col("vm")).over(roll))
+      .withColumn("roll_sum", sum(col("vm")).over(roll))
+      .withColumn("roll_min", min(col("vm")).over(roll))
+      .withColumn("roll_max", max(col("vm")).over(roll))
+  }
+
+  /** Rolling relative-deviation outlier flag — the streaming-friendly
+    * anomaly screen over [[lagFeatures]]'s frame: an event is flagged
+    * when its value deviates from the rolling mean of the previous
+    * `rollN` events by more than `thresholdPct` percent of the rolling
+    * mean ABSOLUTE value. Entirely in integers — the test
+    * `|v·n − Σv| · 100 > pct · Σ|v|` is the deviation inequality with
+    * both sides multiplied by `n·100`, so no division ever happens and
+    * engines agree bitwise. Events with fewer than `minObs` prior
+    * observations are never flagged (is_anomaly false, audit columns
+    * still emitted).
+    *
+    * Scale: the same single key-partitioned window pass as
+    * [[lagFeatures]]; magnitudes bounded by `rollN · max|v| · 100` —
+    * micro-scaled values to ~9e16 before a long would overflow.
+    */
+  def rollingDeviation(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, rollN: Int = 5, thresholdPct: Int = 200,
+      minObs: Int = 3): DataFrame = {
+    require(thresholdPct > 0, "rollingDeviation: thresholdPct must be positive")
+    require(minObs >= 1 && minObs <= rollN,
+      s"rollingDeviation: need 1 <= minObs <= rollN, got $minObs / $rollN")
+    val base = events
+      .filter(qcol(keyCol).isNotNull && qcol(tsCol).isNotNull)
+      .select(qcol(keyCol).as("key"), qcol(idCol).as("id"),
+        unix_micros(qcol(tsCol)).as("us"),
+        microVal(qcol(valueCol)).as("vm"))
+    val ord = Window.partitionBy(col("key")).orderBy(col("us"), col("id"))
+    val roll = ord.rowsBetween(-rollN, -1)
+    base
+      .withColumn("roll_n", count(col("vm")).over(roll))
+      .withColumn("roll_sum", sum(col("vm")).over(roll))
+      .withColumn("roll_abs_sum", sum(abs(col("vm"))).over(roll))
+      .withColumn("dev100",
+        abs(col("vm") * col("roll_n") - col("roll_sum")) * lit(100L))
+      .withColumn("is_anomaly",
+        col("roll_n") >= minObs &&
+          col("dev100") > lit(thresholdPct.toLong) * col("roll_abs_sum"))
+      .select(col("key"), col("id"), col("vm"), col("roll_n"),
+        col("roll_sum"), col("roll_abs_sum"), col("dev100"), col("is_anomaly"))
+  }
+}

@@ -608,6 +608,29 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Duplication-aware sampling weights over an EXISTING clusters
+    * frame (the [[clusters]] output, or any (id, cluster) assignment):
+    * every member of a size-k near-dup cluster carries weight
+    * `1e6 div k` micro, so a cluster contributes ~one document of mass
+    * no matter how many copies crawled in — the soft alternative to
+    * hard dedup (keep every copy, downweight at sampling time; the
+    * Lee 2022 observation that duplicated text otherwise gets
+    * duplicated gradient). Output: (id, cluster, cluster_size,
+    * weight_micro); feed the weights into the mixture/temperature
+    * samplers as the per-row mass.
+    *
+    * Scale: one |clusters|-row size aggregate + one co-partitioned
+    * join back on the cluster key — the same shape as the census, over
+    * a frame the pipeline already has.
+    */
+  def clusterWeights(assignment: DataFrame): DataFrame = {
+    val sizes = assignment.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assignment.join(sizes, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_micro"))
+  }
+
   /** Cluster-size census over an EXISTING clusters frame (the
     * [[clusters]] output, or any (id, cluster) assignment): how much
     * duplication, in what clump sizes — one row per cluster size with

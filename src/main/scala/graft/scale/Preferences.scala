@@ -1,0 +1,132 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-data operators — the RLHF/eval side of a training-data
+  * pipeline: a stream of pairwise outcomes (winner item, loser item)
+  * from human raters or auto-judges, rolled up to per-item win rates
+  * and fixed-iteration Bradley-Terry strengths (Bradley & Terry 1952;
+  * the MM update of Hunter 2004, re-expressed as joins+aggregates the
+  * way [[Graph.pageRank]] re-expresses power iteration).
+  *
+  * Determinism contract (the [[Graph]] family's): strengths live in
+  * integer MICRO units, every division is integer `div`, and each
+  * iteration ends in a max-divisor rescale to 1e6 (the HITS move —
+  * overflow-proof and scale-pinning), so a fixed iteration count
+  * unrolls in any engine bit-exactly.
+  */
+object Preferences {
+
+  /** Per-item outcome rollup: (item, wins, losses, games,
+    * winrate_micro = wins·1e6 div games). One union + one aggregate.
+    *
+    * Scale: games shuffle once on the item key; output is |items|
+    * rows. */
+  def itemStats(
+      games: DataFrame, winnerCol: String, loserCol: String): DataFrame = {
+    val w = games.select(col(winnerCol).cast("long").as("item"),
+      lit(1L).as("win"))
+    val l = games.select(col(loserCol).cast("long").as("item"),
+      lit(0L).as("win"))
+    w.union(l)
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"))
+      .agg(sum(col("win")).as("wins"),
+        count(lit(1)).as("games"))
+      .withColumn("losses", col("games") - col("wins"))
+      .withColumn("winrate_micro", expr("(wins * 1000000L) div games"))
+      .select(col("item"), col("wins"), col("losses"), col("games"),
+        col("winrate_micro"))
+  }
+
+  /** Unordered-pair outcome matrix: one row per item pair `a < b` with
+    * the game count and a's wins (b's wins = games − wins_a). The
+    * input-to-model aggregate of [[btStrengths]], exposed because the
+    * pair matrix IS the audit surface (sparsity, coverage, lopsided
+    * match-ups).
+    *
+    * Scale: one aggregate on the canonicalized pair key — |pairs| ≤
+    * |items|² rows out, corpus-sized rows in. */
+  def pairStats(
+      games: DataFrame, winnerCol: String, loserCol: String): DataFrame =
+    games
+      .select(col(winnerCol).cast("long").as("w"), col(loserCol).cast("long").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+      .select(least(col("w"), col("l")).as("item_a"),
+        greatest(col("w"), col("l")).as("item_b"),
+        when(col("w") < col("l"), 1L).otherwise(0L).as("win_a"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("games"), sum(col("win_a")).as("wins_a"))
+
+  /** Fixed-iteration Bradley-Terry strengths in integer micro units.
+    *
+    * Model: P(i beats j) = s_i / (s_i + s_j). The MM update (Hunter
+    * 2004) with Laplace-smoothed win totals W_i = wins_i + 1 (the
+    * smoothing keeps every item's strength strictly positive, so no
+    * denominator can hit zero and winless items rank by their
+    * opposition rather than collapsing to a degenerate 0 fixed point):
+    *
+    *   d_i  = Σ_{j : games(i,j)>0}  (n_ij · 1e12) div (s_i + s_j)
+    *   s_i' = (W_i · 1e12) div d_i,  then rescale s' to max 1e6
+    *
+    * Every operand is a long, every step integer division, and the
+    * per-iteration max-divisor rescale pins the scale (strengths are
+    * only defined up to a constant factor anyway) — bounded magnitudes
+    * at any game count, bit-exact in any engine.
+    *
+    * Scale: the corpus-sized work is the ONE [[pairStats]] aggregate;
+    * each iteration then runs on the |pairs|-row matrix — two
+    * strength joins on the item key, a per-item aggregate, and a 1-row
+    * MAX broadcast. Each iteration references the previous strengths
+    * TWICE (s_i and s_j), so the frame is localCheckpointed per
+    * iteration — without it the lazy plan doubles per step (the
+    * measured HITS lesson, SCALE.md). Output: (item, wins, games,
+    * strength_micro).
+    *
+    * Overflow contract: with the 1e12 numerator scale, per-pair game
+    * counts and per-item smoothed wins must stay below ~9.2e6. BT
+    * strengths are invariant under scaling ALL counts by a common
+    * factor (d_i and W_i scale together and the ratio cancels), so at
+    * corpus scale pass `countDiv` > 1: every pair count and win total
+    * is integer-divided by it first (floored at 1 so no pair vanishes)
+    * — the standard count-rescale, exact in reals, and the integer
+    * rounding it introduces is part of the deterministic replay.
+    */
+  def btStrengths(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      iterations: Int = 4, countDiv: Long = 1L): DataFrame = {
+    require(iterations >= 1, "btStrengths: need at least one iteration")
+    require(countDiv >= 1, "btStrengths: countDiv must be >= 1")
+    val pairs = pairStats(games, winnerCol, loserCol)
+      .withColumn("games", greatest(expr(s"games div ${countDiv}L"), lit(1L)))
+    // directed view: (i, j, n_ij) both ways — d_i sums over opponents
+    val directed = pairs.select(
+        col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
+      .union(pairs.select(
+        col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
+    val totals = itemStats(
+      games.filter(col(winnerCol).cast("long") =!= col(loserCol).cast("long")),
+      winnerCol, loserCol)
+      .select(col("item"), col("wins"), col("games"))
+      .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
+    var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
+    for (_ <- 1 to iterations) {
+      val d = directed
+        .join(s.select(col("item").as("i"), col("s_micro").as("si")), "i")
+        .join(s.select(col("item").as("j"), col("s_micro").as("sj")), "j")
+        .select(col("i").as("item"),
+          expr("(n * 1000000000000L) div (si + sj)").as("term"))
+        .groupBy(col("item")).agg(sum(col("term")).as("d"))
+      val raw = totals.join(d, Seq("item"))
+        .select(col("item"), expr("(w_smooth * 1000000000000L) div d").as("s_raw"))
+      val mx = raw.agg(max(col("s_raw")).as("mx"))
+      s = raw.crossJoin(broadcast(mx))
+        .select(col("item"), expr("(s_raw * 1000000L) div mx").as("s_micro"))
+        .localCheckpoint()
+    }
+    totals.select(col("item"), col("wins"), col("games"))
+      .join(s, Seq("item"))
+      .withColumnRenamed("s_micro", "strength_micro")
+  }
+}

@@ -400,4 +400,21 @@ class StatsSpec extends AnyFunSuite {
       Stats.robustOutlierAudit(bad, "src", "v")
     }
   }
+
+  test("rankNormalize: average-rank percentiles with ties, per slice, exact integers") {
+    val df = (Seq(10L, 20L, 20L, 30L).map(("a", _)) ++
+      Seq(7L).map(("b", _)) ++
+      Seq(1L, 2L).map(("c", _))).toDF("slice", "v")
+    val got = Stats.rankNormalize(df, "slice", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // slice a, n=4: v=10 rank 1 -> 0; v=20 ranks 2,3 avg 2.5 -> (2.5-1)/3 = .5
+    // v=30 rank 4 -> 1.0
+    assert(got(("a", 10L)) === ((1L, 0L)))
+    assert(got(("a", 20L)) === ((2L, 500000L)))
+    assert(got(("a", 30L)) === ((1L, 1000000L)))
+    // single-row slice: midpoint by convention
+    assert(got(("b", 7L)) === ((1L, 500000L)))
+    // two singleton values: endpoints
+    assert(got(("c", 1L)) === ((1L, 0L)) && got(("c", 2L)) === ((1L, 1000000L)))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Keyed time-series operators: the resample lattice must cover every
+  * bucket with exact forward-fill, the feature frame must exclude the
+  * current row (leakage), and the deviation flag must be the pure
+  * integer inequality.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // user 1: buckets 0,1,4 (gap at 2,3); user 2: single bucket
+  private def events = Seq(
+    (1L, ts("2024-01-01 00:00:10"), 101L, 1.5),
+    (1L, ts("2024-01-01 00:00:20"), 102L, 2.5),
+    (1L, ts("2024-01-01 00:01:30"), 103L, 10.0),
+    (1L, ts("2024-01-01 00:04:05"), 104L, 4.0),
+    (2L, ts("2024-01-01 00:02:00"), 201L, 7.25)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  test("resampleGapFill: full lattice, zero-count gaps, exact forward-fill") {
+    val out = TimeSeries.resampleGapFill(events, "user_id", "ts", "value", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2))
+    val minuteOf = (s: String) => ts(s).getTime / 60000L // epoch minutes
+    val b0 = minuteOf("2024-01-01 00:00:00")
+    // user 1: five buckets b0..b0+4
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq === (b0 to b0 + 4))
+    assert(u1.map(_._3).toSeq === Seq(2L, 1L, 0L, 0L, 1L)) // n_events
+    assert(u1.map(_._4).toSeq ===
+      Seq(Some(4000000L), Some(10000000L), None, None, Some(4000000L)))
+    assert(u1.map(_._5).toSeq === Seq(Some(4000000L), Some(10000000L),
+      Some(10000000L), Some(10000000L), Some(4000000L))) // ffill carries
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.toSeq === Seq((2L, b0 + 2, 1L, Some(7250000L), Some(7250000L))))
+  }
+
+  test("resampleGapFill: lattice guard raises on a span past maxBucketsPerKey") {
+    val wide = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-03-01 00:00:00"), 2L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val ex = intercept[Exception] {
+      TimeSeries.resampleGapFill(wide, "user_id", "ts", "value", 60,
+        maxBucketsPerKey = 100).collect()
+    }
+    assert(ex.getMessage.contains("widen intervalSec") ||
+      Option(ex.getCause).exists(_.getMessage.contains("widen intervalSec")))
+  }
+
+  test("lagFeatures: lag/delta/gap and a strictly-preceding rolling frame") {
+    val out = TimeSeries.lagFeatures(events, "user_id", "ts", "event_id", "value", rollN = 2)
+      .filter(col("key") === 1L).orderBy(col("us"))
+      .select("vm", "lag_vm", "delta_vm", "gap_us", "roll_n", "roll_sum", "roll_min", "roll_max")
+      .collect()
+    // row 1: no history
+    assert(out(0).isNullAt(1) && out(0).getLong(4) === 0L)
+    // row 2 sees exactly row 1
+    assert(out(1).getLong(1) === 1500000L && out(1).getLong(2) === 1000000L)
+    assert(out(1).getLong(3) === 10000000L) // 10s gap in us
+    assert(out(1).getLong(4) === 1L && out(1).getLong(5) === 1500000L)
+    // row 3 sees rows 1-2, NOT itself (leakage-safe frame)
+    assert(out(2).getLong(4) === 2L && out(2).getLong(5) === 4000000L)
+    assert(out(2).getLong(6) === 1500000L && out(2).getLong(7) === 2500000L)
+    // row 4's frame slides off row 1
+    assert(out(3).getLong(5) === 12500000L)
+  }
+
+  test("rollingDeviation: integer inequality flags the planted spike, minObs gates") {
+    val steady = (1 to 8).map(i =>
+      (1L, ts(f"2024-01-01 00:00:${i}%02d"), i.toLong, if (i == 7) 50.0 else 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.rollingDeviation(steady, "user_id", "ts", "event_id", "value",
+        rollN = 4, thresholdPct = 200, minObs = 3)
+      .orderBy(col("id")).collect()
+    assert(out.count(_.getBoolean(7)) === 1)
+    assert(out.filter(_.getBoolean(7)).map(_.getLong(1)).toSeq === Seq(7L))
+    // first two rows can never flag (roll_n < minObs)
+    assert(!out(0).getBoolean(7) && !out(1).getBoolean(7))
+    // the spike row's audit arithmetic: 4 prior 2.0s -> sum 8e6, dev = |50e6*4 - 8e6|*100
+    val spike = out.filter(_.getLong(1) == 7L).head
+    assert(spike.getLong(4) === 8000000L && spike.getLong(6) === 19200000000L)
+  }
+}

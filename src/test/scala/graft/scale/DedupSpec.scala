@@ -616,4 +616,22 @@ class DedupSpec extends AnyFunSuite {
       1L -> "propagated", 2L -> "seed", 3L -> "kept",
       4L -> "kept", 5L -> "kept", 6L -> "seed"))
   }
+
+  test("clusterWeights: 1e6 div size per member, singletons keep full mass") {
+    val assignment = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // size-3 cluster
+      (4L, 4L), (5L, 4L),           // size-2 cluster
+      (6L, 6L)                      // singleton
+    ).toDF("id", "cluster")
+    val got = Dedup.clusterWeights(assignment)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 333333L)) && got(2L) === ((3L, 333333L)))
+    assert(got(4L) === ((2L, 500000L)) && got(5L) === ((2L, 500000L)))
+    assert(got(6L) === ((1L, 1000000L)))
+    // every cluster contributes ~1 doc of mass (within integer-div loss)
+    val eff = Dedup.clusterWeights(assignment)
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("weight_micro")))
+      .collect()(0).getLong(0)
+    assert(eff === 333333L * 3 + 500000L * 2 + 1000000L)
+  }
 }
