@@ -2120,8 +2120,113 @@ object SparkEntry {
     // robust outliers: median/MAD (50% breakdown) per source over doc
     // lengths — the masking-proof screen beside the z-score profile
     "s32_robust_outliers" -> ((s, d) =>
-      graft.ops.Stats.robustOutlierAudit(T(s, d, "documents"), "source", "n_chars"))
+      graft.ops.Stats.robustOutlierAudit(T(s, d, "documents"), "source", "n_chars")),
+
+    // --- keyed time series (round-10) --------------------------------
+    // daily resample per user with gap-fill + integer forward-fill:
+    // every bucket between a user's first and last day, zero-count
+    // gaps, last observed daily sum carried forward
+    "x_ts_resample" -> ((s, d) =>
+      graft.ops.TimeSeries.resampleGapFill(T(s, d, "events"),
+        "user_id", "ts", "value", intervalSec = 86400L)),
+
+    // per-user lag/delta/rolling features over the strictly-preceding
+    // 5-event frame (leakage-safe: a feature computed at event time
+    // never sees the event itself); micro-scaled exact longs
+    "x_ts_features" -> ((s, d) =>
+      graft.ops.TimeSeries.lagFeatures(T(s, d, "events"),
+        "user_id", "ts", "event_id", "value", rollN = 5)),
+
+    // rolling relative-deviation outlier flag: divisionless integer
+    // inequality |v·n − Σv|·100 > pct·Σ|v| over the same frame
+    "x_ts_anomaly" -> ((s, d) =>
+      graft.ops.TimeSeries.rollingDeviation(T(s, d, "events"),
+        "user_id", "ts", "event_id", "value",
+        rollN = 5, thresholdPct = 200, minObs = 3)),
+
+    // --- C4/FineWeb web-corpus line filters (round-10) ----------------
+    // the rule layer before model-based quality: the synthetic corpus
+    // has no web boilerplate, so the query PLANTS the structures the
+    // filters exist to catch (braces, lorem ipsum, a cookie notice,
+    // multi-line docs with terminal punctuation) by doc_id class —
+    // the s30 move; the oracle replays the plant verbatim
+    "x_text_c4filters" -> ((s, d) => {
+      val planted = T(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" { x } ")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("Lorem ipsum dolor sit amet. "), col("text")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("This site uses cookies per our privacy policy. "), col("text")))
+          .when(col("doc_id") % 7 === 3,
+            concat(lit("The first line is a clean sentence.\n"), col("text"), lit(".\n"),
+              lit("The third line is a clean sentence too.\nshort line.")))
+          .when(col("doc_id") % 7 === 4, concat(col("text"), lit(".")))
+          .otherwise(col("text")).as("text"))
+      graft.scale.WebFilters.c4LineFilters(planted, "text",
+          minWordsPerLine = 5, minKeptLines = 2)
+        .select(col("doc_id"), col("has_brace"), col("has_lorem"), col("has_policy"),
+          col("n_lines"), col("n_kept_lines"), col("kept_ratio_micro"), col("keep"))
+    }),
+
+    // --- preference data / Bradley-Terry (round-10) -------------------
+    // per-item outcome rollup over the derived pairwise-judgment view
+    "x_pref_winrate" -> ((s, d) =>
+      graft.scale.Preferences.itemStats(preferenceGames(s, d), "winner", "loser")),
+
+    // fixed-iteration Bradley-Terry strengths in integer micro units
+    // (4 MM iterations, max-divisor rescale each round — the oracle
+    // unrolls the identical arithmetic as a materialized CTE chain)
+    "x_pref_bt" -> ((s, d) =>
+      graft.scale.Preferences.btStrengths(preferenceGames(s, d), "winner", "loser",
+        iterations = 4)),
+
+    // --- duplication-aware sampling weights (round-10) ----------------
+    // soft dedup: every member of a size-k near-dup cluster carries
+    // 1e6 div k micro of sampling mass; rolled up per source as the
+    // effective (dedup-discounted) corpus size — reads the same
+    // fit-once cluster snapshot as the dedup census keys
+    "x_corpus_dupweight" -> ((s, d) => {
+      val w = Dedup.clusterWeights(corpusClusters(s, d))
+      T(s, d, "documents").select(col("doc_id").as("id"), col("source"))
+        .join(w, Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("weight_micro")).as("eff_docs_micro"))
+    }),
+
+    // --- per-slice rank normalization (round-10) ----------------------
+    // average-rank percentile of every distinct doc length within its
+    // language — the scale-free transform for cross-slice comparison
+    "x_stats_ranknorm" -> ((s, d) =>
+      graft.ops.Stats.rankNormalize(T(s, d, "documents"), "lang", "n_chars"))
   )
+
+  /** Derived pairwise-preference view over `documents` (the testdata
+    * has no ratings table; both engines derive the SAME view): within
+    * each language, consecutive docs by doc_id form a judged pair and
+    * the longer document wins — items are the NUMERIC source ids, ties
+    * and same-source pairs are dropped. FIXTURE, not library: the
+    * lang-partitioned lead() window sorts a corpus fraction per
+    * partition, which is fine for deriving test games but not a shape
+    * to ship — production callers hand [[graft.scale.Preferences]] a
+    * real ratings table and no window runs at all. */
+  private def preferenceGames(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("item"),
+        col("n_chars"))
+      .withColumn("n_item", lead(col("item"), 1).over(w))
+      .withColumn("n_nchars", lead(col("n_chars"), 1).over(w))
+      .filter(col("n_item").isNotNull &&
+        col("item") =!= col("n_item") && col("n_chars") =!= col("n_nchars"))
+      .select(
+        when(col("n_chars") > col("n_nchars"), col("item")).otherwise(col("n_item")).as("winner"),
+        when(col("n_chars") > col("n_nchars"), col("n_item")).otherwise(col("item")).as("loser"))
+  }
 
   /** Derived multi-turn conversation view over `documents` (the
     * testdata has no conversations table; both engines derive the SAME
@@ -5891,7 +5996,155 @@ object SparkEntry {
         |       (n > 32) AS skewed
         |FROM c, t
         |ORDER BY n DESC, key ASC
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    // daily resample with gap-fill: lattice = range(lo, hi] per user,
+    // forward-fill via the integer group-of-last-non-null identity
+    // (count over preceding rows, then max within the group) — the
+    // same formulation the Spark side uses, portable to any engine
+    "x_ts_resample" ->
+      """WITH base AS (SELECT user_id AS key, epoch_us(ts) // 86400000000 AS bucket,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT key, bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(vm) AS BIGINT) AS v_sum_micro FROM base GROUP BY 1, 2),
+        |mm AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |lat AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM mm),
+        |j AS (SELECT lat.key, lat.bucket,
+        |        CAST(COALESCE(obs.n_events, 0) AS BIGINT) AS n_events, obs.v_sum_micro
+        |      FROM lat LEFT JOIN obs ON lat.key = obs.key AND lat.bucket = obs.bucket),
+        |g AS (SELECT *, count(v_sum_micro)
+        |        OVER (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM j)
+        |SELECT key, bucket, n_events, v_sum_micro,
+        |       CAST(max(v_sum_micro) OVER (PARTITION BY key, grp) AS BIGINT) AS v_ffill_micro
+        |FROM g""".stripMargin,
+
+    // per-key lag/rolling features: strictly-preceding 5-row frame
+    // ordered by the unique (us, event_id); sums CAST back to BIGINT
+    "x_ts_features" ->
+      """WITH base AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT key, id, us, vm,
+        |  lag(vm) OVER w AS lag_vm,
+        |  vm - lag(vm) OVER w AS delta_vm,
+        |  us - lag(us) OVER w AS gap_us,
+        |  CAST(count(vm) OVER wr AS BIGINT) AS roll_n,
+        |  CAST(sum(vm) OVER wr AS BIGINT) AS roll_sum,
+        |  min(vm) OVER wr AS roll_min,
+        |  max(vm) OVER wr AS roll_max
+        |FROM base
+        |WINDOW w AS (PARTITION BY key ORDER BY us, id),
+        |  wr AS (PARTITION BY key ORDER BY us, id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    // rolling deviation flag: the divisionless inequality replayed on
+    // the identical frame; NULL dev on an empty frame, AND-false gates
+    "x_ts_anomaly" ->
+      """WITH base AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (SELECT key, id, vm,
+        |    CAST(count(vm) OVER wr AS BIGINT) AS roll_n,
+        |    CAST(sum(vm) OVER wr AS BIGINT) AS roll_sum,
+        |    CAST(sum(abs(vm)) OVER wr AS BIGINT) AS roll_abs_sum
+        |  FROM base
+        |  WINDOW wr AS (PARTITION BY key ORDER BY us, id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT key, id, vm, roll_n, roll_sum, roll_abs_sum,
+        |  abs(vm * roll_n - roll_sum) * 100 AS dev100,
+        |  COALESCE(roll_n >= 3 AND abs(vm * roll_n - roll_sum) * 100 > 200 * roll_abs_sum,
+        |    FALSE) AS is_anomaly
+        |FROM w""".stripMargin,
+
+    // C4 line filters over the planted web-ish view: the same
+    // boilerplate plants, line split, word floor + terminal rule
+    "x_text_c4filters" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' { x } '
+         |       WHEN doc_id % 7 = 1 THEN 'Lorem ipsum dolor sit amet. ' || text
+         |       WHEN doc_id % 7 = 2 THEN 'This site uses cookies per our privacy policy. ' || text
+         |       WHEN doc_id % 7 = 3 THEN 'The first line is a clean sentence.' || chr(10) || text || '.' || chr(10) || 'The third line is a clean sentence too.' || chr(10) || 'short line.'
+         |       WHEN doc_id % 7 = 4 THEN text || '.'
+         |       ELSE text END AS text
+         |  FROM documents),
+         |f AS (SELECT doc_id, text, str_split(text, chr(10)) AS lines FROM p),
+         |k AS (SELECT doc_id, text, CAST(len(lines) AS BIGINT) AS n_lines,
+         |        CAST(len(list_filter(lines,
+         |          l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+         |            AND ${c4TerminalSql("trim(l)")})) AS BIGINT) AS n_kept_lines
+         |      FROM f),
+         |flags AS (SELECT doc_id, n_lines, n_kept_lines,
+         |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |    (contains(lower(text), 'uses cookies') OR contains(lower(text), 'privacy policy')
+         |      OR contains(lower(text), 'terms of use') OR contains(lower(text), 'cookie policy')) AS has_policy
+         |  FROM k)
+         |SELECT doc_id, has_brace, has_lorem, has_policy, n_lines, n_kept_lines,
+         |  CAST(CASE WHEN n_lines > 0
+         |        THEN floor(CAST(n_kept_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) * 1000000.0 + 0.5)
+         |        ELSE 0 END AS BIGINT) AS kept_ratio_micro,
+         |  (NOT has_brace AND NOT has_lorem AND NOT has_policy AND n_kept_lines >= 2) AS keep
+         |FROM flags""".stripMargin,
+
+    // per-item win/loss rollup over the derived preference view
+    "x_pref_winrate" ->
+      (s"WITH $prefGamesSql," +
+        """
+          |wl AS (SELECT winner AS item, 1 AS win FROM games
+          |       UNION ALL SELECT loser, 0 FROM games)
+          |SELECT item, CAST(sum(win) AS BIGINT) AS wins,
+          |       CAST(count(*) - sum(win) AS BIGINT) AS losses,
+          |       CAST(count(*) AS BIGINT) AS games,
+          |       CAST((sum(win) * 1000000) // count(*) AS BIGINT) AS winrate_micro
+          |FROM wl GROUP BY 1""".stripMargin),
+
+    // Bradley-Terry: the 4-iteration MM chain unrolled — every step
+    // references the previous strengths twice (s_i and s_j) plus the
+    // scalar MAX divisor, so each CTE is MATERIALIZED (the HITS
+    // lesson: default inlining is exponential in the chain depth)
+    "x_pref_bt" ->
+      (btOracleCtes(4) +
+        """
+          |SELECT t.item, t.wins, t.games, s4.s AS strength_micro
+          |FROM totals t JOIN s4 USING (item)""".stripMargin),
+
+    // duplication-aware sampling weights: the dedup family's cluster
+    // replay (reach = min-label closure) + 1e6 // size per member,
+    // rolled up per source
+    "x_corpus_dupweight" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster, d.source
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
+         |SELECT asg.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT asg.cluster) AS BIGINT) AS n_clusters,
+         |       CAST(sum(1000000 // cs.sz) AS BIGINT) AS eff_docs_micro
+         |FROM asg JOIN cs USING (cluster)
+         |GROUP BY 1""".stripMargin,
+
+    // per-slice average-rank percentile over tie groups — the exact
+    // integer identity, single-value slices at the 500000 midpoint
+    "x_stats_ranknorm" ->
+      """WITH g AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS ties
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT lang, n_chars, ties,
+        |    CAST(sum(ties) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(ties) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT lang, n_chars, ties,
+        |  CAST(CASE WHEN n > 1
+        |        THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
+        |        ELSE 500000 END AS BIGINT) AS pct_micro
+        |FROM w""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors
@@ -5909,6 +6162,67 @@ object SparkEntry {
   /** The x_graph_* oracle prologue: edge/degree/node CTEs mirroring
     * [[graphEdges]] + Graph.pageRank's hygiene (distinct edges, no
     * self-loops), then one CTE per unrolled power iteration. */
+  /** The C4 terminal-punctuation rule as SQL over the 9 literal
+    * suffixes — mirrors [[graft.scale.WebFilters]]'s endsWith chain. */
+  private def c4TerminalSql(v: String): String =
+    (for (p <- Seq(".", "!", "?"); q <- Seq("", "\"", "'")) yield p + q)
+      .map(sfx => s"ends_with($v, '${sfx.replace("'", "''")}')")
+      .mkString("(", " OR ", ")")
+
+  /** The derived pairwise-preference view (`preferenceGames`) as
+    * oracle CTEs ending in `games(winner, loser)`. */
+  private def prefGamesSql: String =
+    """g0 AS (SELECT lang, doc_id,
+      |         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS item, n_chars
+      |       FROM documents),
+      |g1 AS (SELECT item, n_chars,
+      |         lead(item) OVER (PARTITION BY lang ORDER BY doc_id) AS n_item,
+      |         lead(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS n_nchars
+      |       FROM g0),
+      |games AS (SELECT CASE WHEN n_chars > n_nchars THEN item ELSE n_item END AS winner,
+      |                 CASE WHEN n_chars > n_nchars THEN n_item ELSE item END AS loser
+      |          FROM g1
+      |          WHERE n_item IS NOT NULL AND item <> n_item AND n_chars <> n_nchars)""".stripMargin
+
+  /** Bradley-Terry oracle CTE chain — unrolls
+    * [[graft.scale.Preferences.btStrengths]]'s MM iterations (games →
+    * pair matrix → smoothed totals → d/raw/rescale per step). Every
+    * step CTE is referenced twice (the s_i and s_j joins) plus the
+    * scalar MAX divisor, so each is MATERIALIZED — DuckDB's default
+    * inlining would copy the whole preceding chain per reference. */
+  private def btOracleCtes(iterations: Int): String = {
+    val base =
+      s"""WITH $prefGamesSql,
+         |pairs AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+         |                 CAST(count(*) AS BIGINT) AS n
+         |          FROM games GROUP BY 1, 2),
+         |directed AS (SELECT a AS i, b AS j, n FROM pairs
+         |             UNION ALL SELECT b, a, n FROM pairs),
+         |wl AS (SELECT winner AS item, 1 AS win FROM games
+         |       UNION ALL SELECT loser, 0 FROM games),
+         |totals AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
+         |                  CAST(count(*) AS BIGINT) AS games,
+         |                  CAST(sum(win) + 1 AS BIGINT) AS w_smooth
+         |           FROM wl GROUP BY 1),
+         |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM totals)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT d.i AS item,
+         |         CAST(sum((d.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS dsum
+         |  FROM directed d JOIN s${i - 1} si ON d.i = si.item
+         |                  JOIN s${i - 1} sj ON d.j = sj.item
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT t.item, CAST((t.w_smooth * 1000000000000) // d.dsum AS BIGINT) AS s_raw
+         |  FROM totals t JOIN d$i d USING (item)),
+         |s$i AS MATERIALIZED (
+         |  SELECT item, CAST((s_raw * 1000000) // (SELECT max(s_raw) FROM r$i) AS BIGINT) AS s
+         |  FROM r$i)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
   private def graphRankOracleCtes(iterations: Int): String = {
     val base =
       """WITH e AS (

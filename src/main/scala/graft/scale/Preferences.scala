@@ -25,9 +25,9 @@ object Preferences {
     * rows. */
   def itemStats(
       games: DataFrame, winnerCol: String, loserCol: String): DataFrame = {
-    val w = games.select(col(winnerCol).cast("long").as("item"),
+    val w = games.select(col(winnerCol).as("item"),
       lit(1L).as("win"))
-    val l = games.select(col(loserCol).cast("long").as("item"),
+    val l = games.select(col(loserCol).as("item"),
       lit(0L).as("win"))
     w.union(l)
       .filter(col("item").isNotNull)
@@ -51,7 +51,7 @@ object Preferences {
   def pairStats(
       games: DataFrame, winnerCol: String, loserCol: String): DataFrame =
     games
-      .select(col(winnerCol).cast("long").as("w"), col(loserCol).cast("long").as("l"))
+      .select(col(winnerCol).as("w"), col(loserCol).as("l"))
       .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
       .select(least(col("w"), col("l")).as("item_a"),
         greatest(col("w"), col("l")).as("item_b"),
@@ -106,7 +106,7 @@ object Preferences {
       .union(pairs.select(
         col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
     val totals = itemStats(
-      games.filter(col(winnerCol).cast("long") =!= col(loserCol).cast("long")),
+      games.filter(col(winnerCol) =!= col(loserCol)),
       winnerCol, loserCol)
       .select(col("item"), col("wins"), col("games"))
       .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
