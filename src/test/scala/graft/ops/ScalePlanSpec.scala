@@ -601,4 +601,51 @@ class ScalePlanSpec extends AnyFunSuite {
       "the head must be a top-K heap (TakeOrderedAndProject), not sort + limit")
     assert(unpartitionedWindows(plan).isEmpty)
   }
+
+  private def tsEvents = (1 to 40).map { i =>
+    (i % 4L, java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+      i.toLong, i * 1.5)
+  }.toDF("user_id", "ts", "event_id", "value")
+
+  test("TimeSeries: every window is key-partitioned; the lattice join is never cartesian") {
+    val rs = TimeSeries.resampleGapFill(tsEvents, "user_id", "ts", "value", 86400L)
+    assert(unpartitionedWindows(rs).isEmpty,
+      "gap-fill windows must partition by the series key")
+    val nodes = collectPlans(rs.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the lattice joins observations on (key, bucket), never a cartesian")
+    val lf = TimeSeries.lagFeatures(tsEvents, "user_id", "ts", "event_id", "value")
+    assert(unpartitionedWindows(lf).isEmpty)
+    // all lag + rolling features share ONE key-partitioned window pass
+    assert(collectPlans(lf.queryExecution.executedPlan)
+      .count(_.isInstanceOf[WindowExec]) === 1,
+      "lag/delta/rolling features must fuse into a single WindowExec")
+    val rd = TimeSeries.rollingDeviation(tsEvents, "user_id", "ts", "event_id", "value")
+    assert(unpartitionedWindows(rd).isEmpty)
+  }
+
+  test("c4LineFilters is a narrow row-local pass: no shuffle, no window") {
+    val docs = Seq((1L, "A clean sentence sits right here.\nshort")).toDF("doc_id", "text")
+    val plan = graft.scale.WebFilters.c4LineFilters(docs, "text")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("btStrengths: iteration epilogue is a broadcast max, never cartesian; no windows") {
+    val games = (1 to 60).map(i => ((i % 5).toLong, ((i + 1) % 5).toLong))
+      .toDF("winner", "loser").filter(col("winner") =!= col("loser"))
+    val plan = graft.scale.Preferences.btStrengths(games, "winner", "loser", iterations = 2)
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the 1-row max divisor must ride a broadcast, not a cartesian product")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("rankNormalize windows are slice-partitioned over tie groups") {
+    val df = (1 to 50).map(i => (s"s${i % 3}", (i % 7).toLong)).toDF("slice", "v")
+    val plan = Stats.rankNormalize(df, "slice", "v")
+    assert(unpartitionedWindows(plan).isEmpty,
+      "the cumulative rank window must partition by the slice key")
+  }
 }
