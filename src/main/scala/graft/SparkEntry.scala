@@ -2200,7 +2200,39 @@ object SparkEntry {
     // average-rank percentile of every distinct doc length within its
     // language — the scale-free transform for cross-slice comparison
     "x_stats_ranknorm" -> ((s, d) =>
-      graft.ops.Stats.rankNormalize(T(s, d, "documents"), "lang", "n_chars"))
+      graft.ops.Stats.rankNormalize(T(s, d, "documents"), "lang", "n_chars")),
+
+    // volume-drift trend: exact integer OLS slope of daily event
+    // counts per event type (x = day index, y = daily count) — the
+    // "is this stream growing or dying" audit from one aggregate
+    "x_ts_trend" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("__us"))
+        .withColumn("day", expr("__us div 86400000000L"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.Stats.groupTrend(daily, "event_type", "day", "y")
+    }),
+
+    // template-prefix detection over a planted view (every 3rd doc is
+    // stamped with a mailer prefix): shared 24-char prefixes per
+    // source with exact integer shares — the structural-dup signal
+    "x_text_templates" -> ((s, d) => {
+      val planted = T(s, d, "documents").select(
+        col("source"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("Subscribe to our newsletter today! "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.scale.WebFilters.templatePrefixShares(planted, "source", "text",
+        prefixChars = 24, minCount = 2)
+    }),
+
+    // per-label mean-centering audit: the energy the common component
+    // holds (mean squared norm before/after centering, exact micro²)
+    "x_emb_center" -> ((s, d) =>
+      graft.scale.Embeddings.centerAudit(T(s, d, "embeddings"),
+        "vec_id", "embedding", "label"))
   )
 
   /** Derived pairwise-preference view over `documents` (the testdata
@@ -6144,7 +6176,79 @@ object SparkEntry {
         |  CAST(CASE WHEN n > 1
         |        THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
         |        ELSE 500000 END AS BIGINT) AS pct_micro
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // daily-volume OLS trend: exact integer moments; negative
+    // numerators replay Spark's truncate-toward-zero div via the
+    // sign-factored abs form (DuckDB's // floors — the documented
+    // negative-division divergence)
+    "x_ts_trend" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT event_type AS "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(day * y) AS BIGINT) AS sxy, CAST(sum(day * day) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM daily GROUP BY 1),
+        |d AS (SELECT "group", n, sx, sy,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |    n * syy - sy * sy AS ytot FROM m),
+        |sl AS (SELECT *, CASE WHEN den <> 0 THEN
+        |      CASE WHEN num >= 0 THEN (num * 1000000) // den
+        |           ELSE -(((-num) * 1000000) // den) END END AS slope_micro
+        |  FROM d),
+        |ic AS (SELECT *, CASE WHEN den <> 0 THEN
+        |      CASE WHEN sy * 1000000 - slope_micro * sx >= 0
+        |           THEN (sy * 1000000 - slope_micro * sx) // n
+        |           ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END END AS intercept_micro
+        |  FROM sl)
+        |SELECT "group", n, CAST(slope_micro AS BIGINT) AS slope_micro,
+        |  CAST(intercept_micro AS BIGINT) AS intercept_micro,
+        |  CASE WHEN den <> 0 AND ytot <> 0 THEN
+        |    floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(den AS DOUBLE) * CAST(ytot AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS r2
+        |FROM ic""".stripMargin,
+
+    // template prefixes over the planted mailer view: exact shares of
+    // shared 24-char prefixes per source past the df floor
+    "x_text_templates" ->
+      """WITH p AS (SELECT source AS slice,
+        |    substr(CASE WHEN doc_id % 3 = 0
+        |           THEN 'Subscribe to our newsletter today! ' || text
+        |           ELSE text END, 1, 24) AS prefix
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT slice, prefix, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT slice, CAST(count(*) AS BIGINT) AS slice_total FROM p GROUP BY 1)
+        |SELECT c.slice, c.prefix, c.n, t.slice_total,
+        |       CAST((c.n * 1000000) // t.slice_total AS BIGINT) AS share_micro
+        |FROM c JOIN t USING (slice) WHERE c.n >= 2""".stripMargin,
+
+    // mean-centering audit: micro-long elements, truncate-toward-zero
+    // per-dimension mean (the sign-factored replay of Spark's div on
+    // possibly-negative sums), exact long sums of squares
+    "x_emb_center" ->
+      """WITH e AS (SELECT vec_id AS id, label AS grp,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |m AS (SELECT grp, pos, CAST(sum(vm) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |mm AS (SELECT grp, pos,
+        |    CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END AS mean_micro FROM m),
+        |j AS (SELECT e.grp, e.id, e.vm, mm.mean_micro
+        |      FROM e JOIN mm ON e.grp = mm.grp AND e.pos = mm.pos),
+        |a AS (SELECT grp, CAST(count(DISTINCT id) AS BIGINT) AS n_vecs,
+        |    CAST(sum(vm * vm) AS BIGINT) AS ss_before,
+        |    CAST(sum((vm - mean_micro) * (vm - mean_micro)) AS BIGINT) AS ss_after
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n_vecs,
+        |  CAST(ss_before // n_vecs AS BIGINT) AS mean_ss_before,
+        |  CAST(ss_after // n_vecs AS BIGINT) AS mean_ss_after,
+        |  CAST(ss_before - ss_after AS BIGINT) AS shift_micro2
+        |FROM a""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors

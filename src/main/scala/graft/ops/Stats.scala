@@ -1112,6 +1112,62 @@ object Stats {
         max(col("v")).as("max_dev"))
   }
 
+  /** Per-group least-squares trend — the drift detector a pipeline
+    * runs over daily volumes, quality scores, or any (x, y) series per
+    * slice: exact closed-form OLS from integer moment sums.
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * Both numerator and denominator are EXACT longs (integral-column
+    * contract, enforced like [[corrMatrix]]); `slope_micro` and
+    * `intercept_micro` are integer `div` on them, so engines agree
+    * bitwise. `r2` is the one derived double (numerator² overflows a
+    * long) — computed as a fixed IEEE expression over the exact longs,
+    * halfUp 6. Degenerate groups (constant x, or constant y for r2)
+    * yield NULL. Output: (group, n, slope_micro, intercept_micro, r2).
+    *
+    * Overflow contract: moment sums must fit a long — |x|,|y| ≤ ~3e5
+    * at a billion rows per group, or pre-aggregate/bucket first (the
+    * daily-volume use never gets close: x = day index, y = daily
+    * count).
+    *
+    * Scale: ONE hash aggregate to |groups| rows (map-side partials),
+    * then row-local arithmetic. The corpus never sorts.
+    */
+  def groupTrend(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    for (c <- Seq(xCol, yCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"groupTrend requires integral columns for exact long moments; '$c' is " +
+          dt.typeName)
+    }
+    df.filter(qcol(xCol).isNotNull && qcol(yCol).isNotNull)
+      .select(qcol(groupCol).as("group"),
+        qcol(xCol).cast("long").as("x"), qcol(yCol).cast("long").as("y"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("ytot", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope_micro",
+        when(col("den") =!= 0, expr("(num * 1000000L) div den")))
+      .withColumn("intercept_micro",
+        when(col("den") =!= 0, expr("(sy * 1000000L - slope_micro * sx) div n")))
+      .withColumn("r2",
+        when(col("den") =!= 0 && col("ytot") =!= 0,
+          Rounding.halfUp(
+            col("num").cast("double") * col("num").cast("double") /
+              (col("den").cast("double") * col("ytot").cast("double")), 6)))
+      .select(col("group"), col("n"), col("slope_micro"),
+        col("intercept_micro"), col("r2"))
+  }
+
   /** Per-slice rank (quantile) normalization — the scale-free feature
     * transform: each distinct value within a slice maps to its
     * average-rank percentile in [0, 1e6] micro units

@@ -367,4 +367,53 @@ object Embeddings {
       .join(broadcast(mapping), Seq("__ci"), "left")
       .drop("__ci")
   }
+
+  /** Per-group mean-centering audit — the preprocessing check before
+    * cosine/IVF work: anisotropic embedding spaces (all vectors
+    * sharing a large common component) waste the metric's dynamic
+    * range, and centering per group removes exactly the shared
+    * component. Reports, per group, the mean squared norm BEFORE and
+    * AFTER subtracting the group's per-dimension mean — the gap is the
+    * energy the common component held (with exact means,
+    * ss_before − ss_after = n·‖mean‖²; the integer-div mean perturbs
+    * that identity by at most one micro unit per dimension).
+    *
+    * Exact integer replay: elements are half-up micro longs, the
+    * per-dimension mean is integer `div`, and both sums of squares are
+    * exact long arithmetic — engines agree bitwise. Overflow bound:
+    * Σ vm² ≤ n·dim·(max|v|·1e6)² needs n·dim ≲ 9e6 at |v| ≤ 1 — past
+    * that, run per partition-sized group or rescale (documented, the
+    * moment-sum contract of `Stats.groupTrend`).
+    *
+    * Scale: one posexplode (narrow), one (group, dim) aggregate to
+    * |groups|·dim rows broadcast back, one final |groups|-row
+    * aggregate. Vectors shuffle as (group, pos, element) longs — never
+    * as arrays.
+    */
+  def centerAudit(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    val e = df
+      .filter(qcol(vecCol).isNotNull && qcol(groupCol).isNotNull)
+      .select(qcol(idCol).as("id"), qcol(groupCol).as("grp"),
+        posexplode(qcol(vecCol)).as(Seq("pos", "v")))
+      .withColumn("vm",
+        floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val means = e.groupBy(col("grp"), col("pos"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("mean_micro", expr("s div cnt"))
+      .select(col("grp"), col("pos"), col("mean_micro"))
+    e.join(broadcast(means), Seq("grp", "pos"))
+      .groupBy(col("grp"))
+      .agg(
+        countDistinct(col("id")).as("n_vecs"),
+        sum(col("vm") * col("vm")).as("ss_before"),
+        sum((col("vm") - col("mean_micro")) * (col("vm") - col("mean_micro")))
+          .as("ss_after"))
+      .withColumn("mean_ss_before", expr("ss_before div n_vecs"))
+      .withColumn("mean_ss_after", expr("ss_after div n_vecs"))
+      .withColumn("shift_micro2", col("ss_before") - col("ss_after"))
+      .select(col("grp"), col("n_vecs"), col("mean_ss_before"),
+        col("mean_ss_after"), col("shift_micro2"))
+  }
 }

@@ -73,4 +73,34 @@ object WebFilters {
         !col("has_brace") && !col("has_lorem") && !col("has_policy") &&
           col("n_kept_lines") >= minKeptLines)
   }
+
+  /** Template/boilerplate prefix detection — the structural dedup
+    * signal the hash families miss: template-stamped pages (mailers,
+    * listing pages, auto-generated posts) share their first `k`
+    * characters verbatim while differing later, so a prefix whose
+    * share within a slice is abnormal marks a template. Returns one
+    * row per (slice, prefix) with `n` occurrences past `minCount`,
+    * the slice total and the exact integer share — feed high-share
+    * prefixes into the blocklist/near-dup path.
+    *
+    * Scale: one (slice, prefix) aggregate + one |slices|-row total
+    * aggregate broadcast back. Prefixes are `prefixChars` bytes — the
+    * shuffle carries a fixed-width key, never the documents.
+    */
+  def templatePrefixShares(
+      docs: DataFrame, sliceCol: String, textCol: String = "text",
+      prefixChars: Int = 24, minCount: Long = 2L): DataFrame = {
+    require(prefixChars >= 1, "templatePrefixShares: prefixChars must be >= 1")
+    require(minCount >= 1, "templatePrefixShares: minCount must be >= 1")
+    val p = docs
+      .filter(qcol(sliceCol).isNotNull && qcol(textCol).isNotNull)
+      .select(qcol(sliceCol).as("slice"),
+        substring(qcol(textCol), 1, prefixChars).as("prefix"))
+    val counts = p.groupBy(col("slice"), col("prefix"))
+      .agg(count(lit(1)).as("n"))
+    val totals = p.groupBy(col("slice")).agg(count(lit(1)).as("slice_total"))
+    counts.filter(col("n") >= minCount)
+      .join(broadcast(totals), Seq("slice"))
+      .withColumn("share_micro", expr("(n * 1000000L) div slice_total"))
+  }
 }

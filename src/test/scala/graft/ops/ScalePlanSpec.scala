@@ -648,4 +648,30 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(plan).isEmpty,
       "the cumulative rank window must partition by the slice key")
   }
+
+  test("groupTrend is one hash aggregate: no window, no join") {
+    val df = (1 to 40).map(i => (s"g${i % 3}", i.toLong, (i * 2).toLong)).toDF("g", "x", "y")
+    val plan = Stats.groupTrend(df, "g", "x", "y")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+  }
+
+  test("templatePrefixShares: slice totals ride a broadcast, prefixes shuffle as fixed-width keys") {
+    val docs = (1 to 30).map(i => (s"s${i % 2}", s"prefix $i text")).toDF("source", "text")
+    val plan = graft.scale.WebFilters.templatePrefixShares(docs, "source", "text")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the |slices|-row totals must broadcast, not sort-merge")
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
+
+  test("centerAudit: per-dim means broadcast back; vectors shuffle as scalars, no cartesian") {
+    val df = (1 to 20).map(i => (i.toLong, Array(i * 0.1f, -i * 0.1f), s"l${i % 2}"))
+      .toDF("vec_id", "embedding", "label")
+    val plan = graft.scale.Embeddings.centerAudit(df, "vec_id", "embedding", "label")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(unpartitionedWindows(plan).isEmpty)
+  }
 }

@@ -401,6 +401,28 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupTrend: exact integer slope/intercept, r2=1 on a perfect line, degenerate NULLs") {
+    val df = (Seq((0L, 10L), (1L, 13L), (2L, 16L), (3L, 19L)).map { case (x, y) => ("up", x, y) } ++
+      Seq((0L, 9L), (1L, 7L), (2L, 5L)).map { case (x, y) => ("down", x, y) } ++
+      Seq((5L, 4L), (5L, 8L)).map { case (x, y) => ("flatx", x, y) } ++
+      Seq((1L, 6L), (2L, 6L)).map { case (x, y) => ("flaty", x, y) })
+      .toDF("g", "x", "y")
+    val got = Stats.groupTrend(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // up: slope 3, intercept 10, perfect fit
+    assert(got("up").getLong(2) === 3000000L && got("up").getLong(3) === 10000000L)
+    assert(got("up").getDouble(4) === 1.0)
+    // down: slope -2 EXACT (negative division must truncate identically)
+    assert(got("down").getLong(2) === -2000000L && got("down").getLong(3) === 9000000L)
+    // constant x: no slope
+    assert(got("flatx").isNullAt(2) && got("flatx").isNullAt(4))
+    // constant y: slope 0, r2 NULL (ytot = 0)
+    assert(got("flaty").getLong(2) === 0L && got("flaty").isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Stats.groupTrend(Seq(("a", 1.5, 2L)).toDF("g", "x", "y"), "g", "x", "y")
+    }
+  }
+
   test("rankNormalize: average-rank percentiles with ties, per slice, exact integers") {
     val df = (Seq(10L, 20L, 20L, 30L).map(("a", _)) ++
       Seq(7L).map(("b", _)) ++

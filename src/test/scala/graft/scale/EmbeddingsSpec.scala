@@ -193,4 +193,23 @@ class EmbeddingsSpec extends AnyFunSuite {
       (1L, 0L) -> (3.0 - 1.0) * inv, (1L, 1L) -> (-3.0 + 1.0) * inv,
       (2L, 0L) -> (0.5 - -0.5) * inv, (2L, 1L) -> (-0.5 + -0.5) * inv))
   }
+
+  test("centerAudit: centering removes exactly the common component's energy") {
+    val df = Seq(
+      // group a: common component (1, 1) plus symmetric noise (±0.5, 0)
+      (1L, Array(1.5f, 1.0f), "a"),
+      (2L, Array(0.5f, 1.0f), "a"),
+      // group b: already centered
+      (3L, Array(0.5f, -0.5f), "b"),
+      (4L, Array(-0.5f, 0.5f), "b")
+    ).toDF("vec_id", "embedding", "grp_in")
+    val got = Embeddings.centerAudit(df, "vec_id", "embedding", "grp_in")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: ss_before = (1.5²+1²) + (0.5²+1²) = 4.5e12 over 2 vecs; mean (1,1);
+    //    ss_after = 0.25e12+0.25e12 = 0.5e12; shift = n·‖mean‖² = 4e12
+    assert(got("a") === ((2L, 2250000000000L, 250000000000L, 4000000000000L)))
+    // b: mean 0 -> centering is a no-op
+    assert(got("b") === ((2L, 500000000000L, 500000000000L, 0L)))
+  }
 }

@@ -45,6 +45,24 @@ class WebFiltersSpec extends AnyFunSuite {
     assert(out(4L) === ((false, false, true, false)))
   }
 
+  test("templatePrefixShares: shared k-char prefixes surface with exact shares") {
+    val docs = Seq(
+      (1L, "s0", "Subscribe now! offer one"),
+      (2L, "s0", "Subscribe now! offer two"),
+      (3L, "s0", "Subscribe now! offer three"),
+      (4L, "s0", "completely organic text"),
+      (5L, "s1", "Subscribe now! elsewhere"),
+      (6L, "s1", "other text entirely here")
+    ).toDF("doc_id", "source", "text")
+    val got = WebFilters.templatePrefixShares(docs, "source", "text",
+        prefixChars = 14, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // only s0's template passes minCount; share = 3/4
+    assert(got.size === 1)
+    assert(got(("s0", "Subscribe now!")) === ((3L, 4L, 750000L)))
+  }
+
   test("minKeptLines gate: two good lines fail the default 3-line floor") {
     val docs = Seq((1L, "A clean first sentence stands here.\nA clean second sentence stands here."))
       .toDF("doc_id", "text")
