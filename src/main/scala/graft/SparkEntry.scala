@@ -2232,7 +2232,24 @@ object SparkEntry {
     // holds (mean squared norm before/after centering, exact micro²)
     "x_emb_center" -> ((s, d) =>
       graft.scale.Embeddings.centerAudit(T(s, d, "embeddings"),
-        "vec_id", "embedding", "label"))
+        "vec_id", "embedding", "label")),
+
+    // seeded Laplace release counts per source (ε = 0.5): the DP
+    // mechanism's full data path with the secure RNG swapped for the
+    // portable hash so the gate can replay it (documented trade)
+    "x_priv_dpcounts" -> ((s, d) =>
+      graft.ops.Privacy.dpNoisyCounts(T(s, d, "documents"), "source",
+        epsilonMicro = 500000L)),
+
+    // role-alternation audit over a deliberately mis-shaped role
+    // assignment ((turn·13 + conv) % 5 — the derived view's strict
+    // alternation would make the gate vacuous): same-role adjacency
+    // count + arg-min/max first/last roles per conversation
+    "x_conv_alternation" -> ((s, d) =>
+      graft.scale.Conversations.alternationAudit(
+        conversations(s, d).withColumn("role",
+          when((col("turn") * 13 + col("conv_id")) % 5 < 2, lit("user"))
+            .otherwise(lit("assistant")))))
   )
 
   /** Derived pairwise-preference view over `documents` (the testdata
@@ -6248,7 +6265,40 @@ object SparkEntry {
         |  CAST(ss_before // n_vecs AS BIGINT) AS mean_ss_before,
         |  CAST(ss_after // n_vecs AS BIGINT) AS mean_ss_after,
         |  CAST(ss_before - ss_after AS BIGINT) AS shift_micro2
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // seeded Laplace counts: poly-hash -> affine -> centered uniform ->
+    // inverse CDF, every float op in the same order as the Scala side;
+    // the single ln per group is floor-micro-rounded (entropy precedent)
+    "x_priv_dpcounts" ->
+      s"""WITH c AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         |h AS (SELECT *, ((${polyHashSqlOf("\"group\"")} % 1000003) * 514229 + 741103) % 1000003 AS hv
+         |      FROM c),
+         |u AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 1000003.0 - 0.5 AS cdev FROM h),
+         |z AS (SELECT *, CAST(floor((((-2.0) * sign(cdev)) * ln(1.0 - 2.0 * abs(cdev)))
+         |        * 1000000.0 + 0.5) AS BIGINT) AS noise_micro FROM u)
+         |SELECT "group", n, noise_micro,
+         |       CAST(n * 1000000 + noise_micro AS BIGINT) AS noisy_count_micro,
+         |       CAST(500000 AS BIGINT) AS epsilon_micro
+         |FROM z""".stripMargin,
+
+    // alternation audit over the perturbed-role conversation view:
+    // lag window per conversation + arg-min/max first/last roles
+    "x_conv_alternation" ->
+      s"""WITH $convViewSql,
+         |c3 AS (SELECT conv_id, turn,
+         |         CASE WHEN (turn * 13 + conv_id) % 5 < 2 THEN 'user'
+         |              ELSE 'assistant' END AS role
+         |       FROM c2),
+         |l AS (SELECT conv_id, turn, role,
+         |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn) AS prev
+         |      FROM c3)
+         |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         |       CAST(coalesce(sum(CASE WHEN role = prev THEN 1 END), 0) AS BIGINT) AS n_violations,
+         |       arg_min(role, turn) AS first_role,
+         |       arg_max(role, turn) AS last_role
+         |FROM l GROUP BY 1""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors

@@ -154,4 +154,49 @@ object Privacy {
           .as("rows_at_risk"),
         max(col("__t")).as("max_t"))
   }
+
+  /** Laplace-noised release counts — the differential-privacy
+    * mechanism's data path: per-group counts plus Laplace(1/ε) noise
+    * (sensitivity 1 for a count query), emitted in micro units beside
+    * the noise scale so a release pipeline can drop the true count.
+    *
+    * THE NOISE HERE IS SEEDED, NOT SECURE: u derives from the portable
+    * group-key hash ([[graft.functions.PortableHash]]), which makes the
+    * output reproducible across runs/engines — the property every
+    * oracle-gated operator in this repo needs, and exactly the property
+    * a real DP release must NOT have. Production swaps `uniformCol`
+    * for a secure RNG draw; everything else (inverse-CDF transform,
+    * scale, rounding) is the shipping arithmetic. The same
+    * testability-over-secrecy trade the deterministic corpus shuffle
+    * documents.
+    *
+    * Inverse CDF: u ∈ (0,1), c = u − ½,
+    * noise = −(1/ε)·sgn(c)·ln(1 − 2|c|); the single `ln` per GROUP is
+    * micro-rounded with `floor(x·1e6 + 0.5)` (floor, not integer div —
+    * identical for negatives in every engine; the slice-entropy
+    * precedent).
+    *
+    * Scale: ONE hash aggregate to |groups| rows, then row-local
+    * arithmetic — the noise costs one hash and one log per group, not
+    * per row.
+    */
+  def dpNoisyCounts(
+      df: DataFrame, groupCol: String, epsilonMicro: Long = 500000L): DataFrame = {
+    require(epsilonMicro > 0, "dpNoisyCounts: epsilonMicro must be positive")
+    val b: Double = 1000000.0 / epsilonMicro  // 1/epsilon, the Laplace scale
+    val g = Cleaning.qcol(groupCol)
+    val counts = df.filter(g.isNotNull)
+      .groupBy(g).agg(count(lit(1)).as("n"))
+    val h = graft.functions.PortableHash.affineHash(
+      graft.functions.PortableHash.polyHash31(g.cast("string")))
+    val u = (h.cast("double") + lit(0.5)) / lit(graft.functions.PortableHash.P.toDouble)
+    val c = u - lit(0.5)
+    val noise = -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    counts
+      .withColumn("noise_micro", floor(noise * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("noisy_count_micro", col("n") * lit(1000000L) + col("noise_micro"))
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+      .select(g.as("group"), col("n"), col("noise_micro"),
+        col("noisy_count_micro"), col("epsilon_micro"))
+  }
 }

@@ -177,6 +177,34 @@ object Conversations {
         max(qcol(turnCol).cast("long")).as("last_turn"))
   }
 
+  /** Role-alternation audit — the SFT-shape QC the packer assumes: a
+    * chat template expects user/assistant turns to alternate, and a
+    * conversation with consecutive same-role turns (merged scrapes,
+    * dropped turns, system-message spam) breaks loss masking. Per
+    * conversation: turn count, number of adjacent same-role pairs,
+    * and the first/last roles (arg-min/max by the unique turn key —
+    * deterministic, engine-portable). `n_violations = 0 AND
+    * first_role = 'user'` is the standard template precondition.
+    *
+    * Scale: one conversation-partitioned lag window + one aggregate to
+    * |conversations| rows.
+    */
+  def alternationAudit(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      roleCol: String = "role"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qcol(convCol)).orderBy(qcol(turnCol))
+    convs
+      .withColumn("__prev", lag(qcol(roleCol), 1).over(w))
+      .groupBy(qcol(convCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        coalesce(sum(when(qcol(roleCol) === col("__prev"), 1L)), lit(0L))
+          .as("n_violations"),
+        min_by(qcol(roleCol), qcol(turnCol)).as("first_role"),
+        max_by(qcol(roleCol), qcol(turnCol)).as("last_role"))
+  }
+
   /** SFT context-window truncation: keep each conversation's SUFFIX —
     * the most recent turns whose combined whitespace token count fits
     * `budget` — dropping history from the front (the standard chat

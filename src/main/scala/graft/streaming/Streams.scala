@@ -298,4 +298,60 @@ object Streams {
           out.iterator
       }
   }
+
+  case class TsEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class DevOut(key: Long, id: Long, vm: Long, roll_n: Long,
+      roll_sum: Option[Long], roll_abs_sum: Option[Long], dev100: Option[Long],
+      is_anomaly: Boolean)
+
+  /** Streaming rolling relative-deviation flag — the stateful twin of
+    * [[graft.ops.TimeSeries.rollingDeviation]]: per key, keep the last
+    * `rollN` micro-values as state and test each arriving event
+    * against the divisionless inequality `|v·n − Σv|·100 > pct·Σ|v|`
+    * over its strictly-preceding frame. With per-key in-order arrival
+    * the output is ROW-IDENTICAL to the batch operator (spec-pinned);
+    * out-of-order arrivals evaluate against the frame as of arrival —
+    * the usual streaming/batch disorder caveat the disorder audit
+    * sizes.
+    *
+    * Scale/state: exactly `rollN` longs per key, forever — no
+    * watermark needed because the state never grows with time, only
+    * with key cardinality (the sessionization family's bound).
+    */
+  def rollingDeviationStream(
+      events: Dataset[TsEvent], rollN: Int = 5, thresholdPct: Int = 200,
+      minObs: Int = 3): Dataset[DevOut] = {
+    require(rollN >= 1 && minObs >= 1 && minObs <= rollN && thresholdPct > 0,
+      "rollingDeviationStream: need rollN >= minObs >= 1 and a positive threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Long], DevOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[TsEvent], state: GroupState[Vector[Long]]) =>
+          // same order key as the batch window: (ts, event_id)
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var buf = state.getOption.getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ListBuffer[DevOut]()
+          sorted.foreach { e =>
+            // the batch microVal formula, bit for bit
+            val vm = math.floor(e.value * 1000000.0 + 0.5).toLong
+            val n = buf.size.toLong
+            if (n == 0) {
+              out += DevOut(userId, e.event_id, vm, 0L, None, None, None,
+                is_anomaly = false)
+            } else {
+              val s = buf.sum
+              val as = buf.map(math.abs).sum
+              val dev = math.abs(vm * n - s) * 100L
+              out += DevOut(userId, e.event_id, vm, n, Some(s), Some(as),
+                Some(dev), is_anomaly = n >= minObs && dev > thresholdPct * as)
+            }
+            buf = (buf :+ vm).takeRight(rollN)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
 }

@@ -96,4 +96,28 @@ class PrivacySpec extends AnyFunSuite {
       lo = 0.0, hi = 10.0, nbins = 10, t = 0.1).head
     assert((s.getLong(1), s.getDouble(3)) == ((0L, 0.0)))
   }
+
+  test("dpNoisyCounts: noise replays the seeded inverse-CDF exactly; epsilon scales it") {
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("g")
+    val got = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 500000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // replay the documented formula for group "a" in plain Scala
+    def expectedNoise(key: String, b: Double): Long = {
+      val poly = key.foldLeft(0L)((a, ch) => (a * 31L + ch.toLong) % 2147483647L)
+      val h = ((poly % 1000003L) * 514229L + 741103L) % 1000003L
+      val u = (h.toDouble + 0.5) / 1000003.0
+      val c = u - 0.5
+      val noise = -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      math.floor(noise * 1000000.0 + 0.5).toLong
+    }
+    assert(got("a")._1 === 7L)
+    assert(got("a")._2 === expectedNoise("a", 2.0))
+    assert(got("a")._3 === 7L * 1000000L + got("a")._2)
+    assert(got("b")._2 === expectedNoise("b", 2.0))
+    // halving epsilon doubles the scale before rounding
+    val tight = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 250000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tight("a") === expectedNoise("a", 4.0))
+  }
 }

@@ -175,6 +175,20 @@ class ConversationsSpec extends AnyFunSuite {
     assert(loose.count() > 1)
   }
 
+  test("alternationAudit: adjacent same-role pairs counted, first/last by turn") {
+    val df = Seq(
+      (1L, 1L, "user"), (1L, 2L, "assistant"), (1L, 3L, "user"),     // clean
+      (2L, 1L, "user"), (2L, 2L, "user"), (2L, 3L, "user"),          // 2 violations
+      (3L, 1L, "assistant"), (3L, 2L, "assistant"), (3L, 3L, "user") // starts wrong, 1 violation
+    ).toDF("conv_id", "turn", "role")
+    val got = Conversations.alternationAudit(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got(1L) === ((3L, 0L, "user", "user")))
+    assert(got(2L) === ((3L, 2L, "user", "user")))
+    assert(got(3L) === ((3L, 1L, "assistant", "user")))
+  }
+
   test("turnKey encoding is order-preserving and decodable") {
     val pairs = Seq((0L, 0L), (0L, 999999L), (1L, 0L), (5L, 123L), (5L, 124L))
     val keys = pairs.map { case (c, t) => c * Conversations.TurnKeyBase + t }

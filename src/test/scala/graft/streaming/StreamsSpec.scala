@@ -359,6 +359,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling deviation matches the batch operator row-for-row across batches") {
+    implicit val sc = spark.sqlContext
+    val events = (1 to 9).map(i => Streams.TsEvent(
+      1L + i % 2, new Timestamp(i * 1000L), i.toLong, if (i == 8) 90.0 else 3.0))
+    val mem = MemoryStream[Streams.TsEvent]
+    val q = Streams.rollingDeviationStream(mem.toDS(), rollN = 3,
+        thresholdPct = 200, minObs = 2)
+      .writeStream.outputMode("append").format("memory").queryName("devout").start()
+    try {
+      // in-order per key, split across two batches: state must carry
+      mem.addData(events.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(5): _*)
+      q.processAllAvailable()
+      val got = spark.table("devout")
+        .select("key", "id", "vm", "roll_n", "roll_sum", "roll_abs_sum", "dev100", "is_anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long]), r.getBoolean(7))).toSet
+      val batch = graft.ops.TimeSeries.rollingDeviation(
+          events.toDF().withColumnRenamed("user_id", "u"), "u", "ts", "event_id", "value",
+          rollN = 3, thresholdPct = 200, minObs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long]), r.getBoolean(7))).toSet
+      assert(got === batch)
+      assert(got.exists(_._8), "the planted spike must flag on both paths")
+    } finally q.stop()
+  }
+
   test("streaming domain tagging: assignToCentroids over a loaded model is a stateless stream map") {
     // fit on batch wave 1, persist; the STREAM of later vectors tags
     // against the loaded model — the stateless E-step at ingest time
