@@ -2249,7 +2249,14 @@ object SparkEntry {
       graft.scale.Conversations.alternationAudit(
         conversations(s, d).withColumn("role",
           when((col("turn") * 13 + col("conv_id")) % 5 < 2, lit("user"))
-            .otherwise(lit("assistant")))))
+            .otherwise(lit("assistant"))))),
+
+    // equi-depth histogram of doc lengths per language: quantile
+    // buckets on the exact tie-group percentile — heavy-tail-aware
+    // resolution the equi-width s1 histogram can't give
+    "x_stats_eqdepth" -> ((s, d) =>
+      graft.ops.Stats.equiDepthHistogram(T(s, d, "documents"), "lang", "n_chars",
+        nbins = 8))
   )
 
   /** Derived pairwise-preference view over `documents` (the testdata
@@ -6298,7 +6305,30 @@ object SparkEntry {
          |       CAST(coalesce(sum(CASE WHEN role = prev THEN 1 END), 0) AS BIGINT) AS n_violations,
          |       arg_min(role, turn) AS first_role,
          |       arg_max(role, turn) AS last_role
-         |FROM l GROUP BY 1""".stripMargin
+         |FROM l GROUP BY 1""".stripMargin,
+
+    // equi-depth bins on the rank-normalize identity: a tie group
+    // lands whole in min(pct·nbins // 1e6, nbins-1)
+    "x_stats_eqdepth" ->
+      """WITH g AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS ties
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT lang, n_chars, ties,
+        |    CAST(sum(ties) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(ties) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |p AS (SELECT lang, n_chars, ties,
+        |    CAST(CASE WHEN n > 1
+        |          THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
+        |          ELSE 500000 END AS BIGINT) AS pct_micro
+        |  FROM w),
+        |b AS (SELECT lang, n_chars, ties,
+        |    least((pct_micro * 8) // 1000000, 7) AS bin FROM p)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(sum(ties) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors

@@ -1209,4 +1209,31 @@ object Stats {
           .otherwise(lit(500000L)))
       .drop("__cum", "__n")
   }
+
+  /** Equi-DEPTH histogram per slice — the quantile-bucketed complement
+    * of the equi-width [[histogram]]: bins hold (approximately) equal
+    * row counts instead of equal value ranges, so heavy-tailed columns
+    * (doc lengths, scores) get resolution where the mass is. Built on
+    * [[rankNormalize]]'s exact average-rank percentile: bin =
+    * `min(pct_micro·nbins div 1e6, nbins−1)` — a whole TIE GROUP lands
+    * in one bin (values never split), which is the correct equi-depth
+    * semantics under ties and keeps everything integer-exact. Output:
+    * (slice, bin, n_rows, n_values, lo, hi).
+    *
+    * Scale: [[rankNormalize]]'s tie-group aggregate + one
+    * (slice, bin) rollup — the corpus never sorts.
+    */
+  def equiDepthHistogram(
+      df: DataFrame, sliceCol: String, valueCol: String, nbins: Int = 10): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    require(nbins >= 2, s"equiDepthHistogram: nbins must be >= 2, got $nbins")
+    rankNormalize(df, sliceCol, valueCol)
+      .withColumn("bin",
+        least(expr(s"(pct_micro * $nbins) div 1000000L"), lit(nbins - 1L)))
+      .groupBy(qcol(sliceCol), col("bin"))
+      .agg(sum(col("ties")).as("n_rows"),
+        count(lit(1)).as("n_values"),
+        min(qcol(valueCol)).as("lo"),
+        max(qcol(valueCol)).as("hi"))
+  }
 }

@@ -439,4 +439,22 @@ class StatsSpec extends AnyFunSuite {
     // two singleton values: endpoints
     assert(got(("c", 1L)) === ((1L, 0L)) && got(("c", 2L)) === ((1L, 1000000L)))
   }
+
+  test("equiDepthHistogram: near-equal bin masses, tie groups never split, heavy tail resolved") {
+    // 100 rows, values 1..100 in one slice: 4 bins of exactly 25 rows
+    val df = (1 to 100).map(v => ("a", v.toLong)).toDF("slice", "v")
+    val got = Stats.equiDepthHistogram(df, "slice", "v", nbins = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.map(_._1).toSeq === Seq.fill(4)(25L))
+    assert(got(0L)._2 === 1L && got(3L)._3 === 100L)
+    // a dominant tie group lands whole in one bin
+    val ties = (Seq.fill(90)(5L) ++ Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 11L))
+      .map(("b", _)).toDF("slice", "v")
+    val gt = Stats.equiDepthHistogram(ties, "slice", "v", nbins = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val five = gt.filter(t => t._3 <= 5 && t._4 >= 5)
+    assert(five.size === 1 && five.head._2 >= 90L,
+      s"the 90-row tie group must sit whole in one bin: ${gt.toSeq}")
+  }
 }
