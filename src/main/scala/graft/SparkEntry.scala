@@ -2256,7 +2256,41 @@ object SparkEntry {
     // resolution the equi-width s1 histogram can't give
     "x_stats_eqdepth" -> ((s, d) =>
       graft.ops.Stats.equiDepthHistogram(T(s, d, "documents"), "lang", "n_chars",
-        nbins = 8))
+        nbins = 8)),
+
+    // event path analysis: exact trigram-of-event-types table (bounded
+    // by |types|³ — the full table IS summary-sized, no top-k needed)
+    "x_events_paths" -> ((s, d) =>
+      graft.ops.Cohorts.eventTrigrams(T(s, d, "events"))),
+
+    // linear multi-touch attribution rolled up per user: every click
+    // in the 30-min gap before a purchase shares 1e6 div n credit;
+    // conservation holds up to the integer-div remainder
+    "x_events_multitouch" -> ((s, d) =>
+      graft.streaming.Streams.multiTouchAttribution(
+          T(s, d, "events"), "click", "purchase", gapMinutes = 30)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("to_id")).as("n_conversions"),
+          count(lit(1)).as("n_pairs"),
+          sum(col("credit_micro")).as("credit_sum_micro"),
+          max(col("n_touches")).as("max_touches"))),
+
+    // referential-integrity contract audit over PLANTED violations
+    // (the FK-consistent TPC-H tables would make the gate vacuous):
+    // customers thinned 10% -> orphan orders; every 13th order's
+    // custkey nulled -> null-key counter; orders thinned 1/7 ->
+    // orphan lineitems
+    "x_qc_refint" -> ((s, d) => {
+      val cust = T(s, d, "customer").filter(col("c_custkey") % 10 =!= 0)
+      val ordersNulled = T(s, d, "orders").withColumn("o_custkey",
+        when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_custkey")))
+      val ordersThinned = T(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
+      graft.ops.Contracts.referentialAudit(
+          ordersNulled, "o_custkey", cust, "c_custkey", "orders->customer")
+        .union(graft.ops.Contracts.referentialAudit(
+          T(s, d, "lineitem"), "l_orderkey", ordersThinned, "o_orderkey",
+          "lineitem->orders"))
+    })
   )
 
   /** Derived pairwise-preference view over `documents` (the testdata
@@ -6328,7 +6362,54 @@ object SparkEntry {
         |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(sum(ties) AS BIGINT) AS n_rows,
         |       CAST(count(*) AS BIGINT) AS n_values,
         |       min(n_chars) AS lo, max(n_chars) AS hi
-        |FROM b GROUP BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // event-type trigrams: lead windows ordered by (epoch_us, id) —
+    // micro-floored time so nano-vs-micro tie order can't diverge
+    "x_events_paths" ->
+      """WITH s AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // linear multi-touch: the attribution pair join + a per-conversion
+    // count window, integer credit split
+    "x_events_multitouch" ->
+      """WITH l AS (SELECT user_id, event_id AS from_id, epoch_us(ts) AS fus
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS ru, event_id AS to_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT l.user_id, from_id, to_id FROM l JOIN r
+        |      ON l.user_id = r.ru AND tus - fus > 0 AND tus - fus <= 1800000000),
+        |n AS (SELECT *, CAST(count(*) OVER (PARTITION BY to_id) AS BIGINT) AS n_touches
+        |      FROM p)
+        |SELECT user_id, CAST(count(DISTINCT to_id) AS BIGINT) AS n_conversions,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_sum_micro,
+        |       max(n_touches) AS max_touches
+        |FROM n GROUP BY 1""".stripMargin,
+
+    // referential contract audit over the planted violations: distinct
+    // parent keys left-joined under the child, three counters per rule
+    "x_qc_refint" ->
+      """WITH cust AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+        |o AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS fk
+        |      FROM orders),
+        |r1 AS (SELECT 'orders->customer' AS rule, CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(coalesce(sum(CASE WHEN o.fk IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_keys,
+        |    CAST(coalesce(sum(CASE WHEN o.fk IS NOT NULL AND cust.c_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_orphans
+        |  FROM o LEFT JOIN cust ON o.fk = cust.c_custkey),
+        |ord2 AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+        |r2 AS (SELECT 'lineitem->orders' AS rule, CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(coalesce(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_keys,
+        |    CAST(coalesce(sum(CASE WHEN l.l_orderkey IS NOT NULL AND ord2.o_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN ord2 ON l.l_orderkey = ord2.o_orderkey)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors

@@ -12,6 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object Cohorts {
 
+  /** Event path analysis — the top journeys a product-analytics team
+    * reads after the funnel: per user, every consecutive TRIGRAM of
+    * event types (ordered by the unique (ts, id) key), counted over
+    * the corpus. The output is at most |event_types|³ rows, so no
+    * top-k machinery is needed — the full exact table IS
+    * summary-sized. Window functions, never a self-join: lead(1) and
+    * lead(2) share one user-partitioned pass.
+    *
+    * Scale: ONE key-partitioned window + one hash aggregate onto a
+    * bounded-cardinality key.
+    */
+  def eventTrigrams(
+      events: DataFrame, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Retention matrix: one row per (cohort month, month offset) with
     * the distinct active users. Month index is the integer
     * `year·12 + month − 1` — pure integer arithmetic on calendar

@@ -217,6 +217,38 @@ object Streams {
         max(col("__d")).as("max_s"))
   }
 
+  /** Linear MULTI-touch attribution over the [[attributionJoin]]
+    * pairs: every touch (`fromType` event) inside the gap before a
+    * conversion (`toType` event) shares the conversion's credit
+    * equally — `credit_micro = 1e6 div n_touches` — instead of
+    * last-touch's winner-take-all. One row per (touch, conversion)
+    * pair with the touch count and integer credit; conservation holds
+    * up to the integer-div remainder (sum of a conversion's credits ∈
+    * (1e6 − n, 1e6]).
+    *
+    * Scale: the same user-keyed equi-join as [[attributionJoin]], then
+    * a window PARTITIONED BY THE CONVERSION id — a frame bounded by
+    * the touches inside one gap window, never global.
+    */
+  def multiTouchAttribution(
+      events: DataFrame, fromType: String, toType: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val l = events.filter(col("event_type") === fromType)
+      .select(col("user_id"), col("event_id").as("from_id"), col("ts").as("from_ts"))
+    val r = events.filter(col("event_type") === toType)
+      .select(col("user_id").as("__r_uid__"), col("event_id").as("to_id"),
+        col("ts").as("to_ts"))
+    val du = unix_micros(col("to_ts")) - unix_micros(col("from_ts"))
+    val pairs = l.join(r,
+        col("user_id") === col("__r_uid__") &&
+          du > 0 && du <= gapMinutes * 60000000L)
+      .select(col("user_id"), col("from_id"), col("to_id"))
+    val w = Window.partitionBy(col("to_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("credit_micro", expr("1000000L div n_touches"))
+  }
+
   /** Streaming form: both sides watermarked, so the join state the
     * runtime buffers is bounded by watermark + gap (left rows older
     * than the horizon can never match a new right row and are evicted).

@@ -5,6 +5,24 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 class CohortsSpec extends AnyFunSuite {
+
+  test("eventTrigrams: consecutive type trigrams per user, ordered by (ts, id)") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "buy"),
+      (1L, t(4), 4L, "view"),
+      (2L, t(1), 5L, "view"), (2L, t(2), 6L, "click"), (2L, t(3), 7L, "buy"),
+      (3L, t(1), 8L, "view"), (3L, t(2), 9L, "click") // too short: no trigram
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cohorts.eventTrigrams(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      ("view", "click", "buy") -> 2L,
+      ("click", "buy", "view") -> 1L))
+  }
+
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

@@ -359,6 +359,26 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multiTouchAttribution: equal split per conversion, credit conserved up to div remainder") {
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: three clicks then a purchase inside the gap
+      (1L, t(10), 1L, "click"), (1L, t(20), 2L, "click"), (1L, t(30), 3L, "click"),
+      (1L, t(60), 4L, "purchase"),
+      // user 2: one click, one purchase; a second purchase outside the gap
+      (2L, t(10), 5L, "click"), (2L, t(40), 6L, "purchase"),
+      (2L, t(10000), 7L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Streams.multiTouchAttribution(ev, "click", "purchase", gapMinutes = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (1L, 4L) -> ((3L, 333333L)), (2L, 4L) -> ((3L, 333333L)), (3L, 4L) -> ((3L, 333333L)),
+      (5L, 6L) -> ((1L, 1000000L))))
+    // conservation: each conversion's credit sums into (1e6 - n, 1e6]
+    val perConv = got.toSeq.groupBy(_._1._2).map { case (c, xs) => c -> xs.map(_._2._2).sum }
+    assert(perConv(4L) === 999999L && perConv(6L) === 1000000L)
+  }
+
   test("streaming rolling deviation matches the batch operator row-for-row across batches") {
     implicit val sc = spark.sqlContext
     val events = (1 to 9).map(i => Streams.TsEvent(
