@@ -391,4 +391,91 @@ class PropertiesSpec extends AnyFunSuite {
         s"consensus doc $c (${fused(c)}) not above single-list $s (${fused(s)})")
     }
   }
+
+  test("resampleGapFill: contiguous lattice per key, observed mass conserved, ffill total") {
+    val tsGen = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 400000L),
+      Gen.choose(-50.0, 50.0)))
+    samples(tsGen, 6).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((k, s, v), i) =>
+        (k, new java.sql.Timestamp(s * 1000L), i.toLong, v) }
+        .toDF("user_id", "ts", "event_id", "value")
+      val out = TimeSeries.resampleGapFill(df, "user_id", "ts", "value", 3600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+      // lattice contiguous per key
+      out.groupBy(_._1).foreach { case (_, rs) =>
+        val bs = rs.map(_._2).sorted
+        assert(bs.zip(bs.tail).forall { case (a, b) => b == a + 1 })
+        // first lattice row is an observation, so ffill never null
+        assert(rs.forall(_._5.isDefined))
+      }
+      // event count conserved; gap rows carry no sum
+      assert(out.map(_._3).sum === rows.size)
+      assert(out.filter(_._3 == 0).forall(_._4.isEmpty))
+      // observed micro mass conserved exactly
+      val expected = rows.groupBy(r => (r._1, r._2 * 1000000L / 3600000000L))
+        .values.map(_.map(r => math.floor(r._3 * 1000000.0 + 0.5).toLong).sum).sum
+      assert(out.flatMap(_._4).sum === expected)
+    }
+  }
+
+  test("rankNormalize: pct in [0,1e6], strictly increasing in value per slice, ties sum to n") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 12L)))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.toDF("slice", "v")
+      val out = Stats.rankNormalize(df, "slice", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (s, rs) =>
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.forall(t => t._4 >= 0L && t._4 <= 1000000L))
+        if (sorted.size > 1)
+          assert(sorted.map(_._4).zip(sorted.tail.map(_._4)).forall { case (a, b) => a < b },
+            s"pct not strictly increasing in $s: ${sorted.toSeq}")
+        assert(sorted.map(_._3).sum === rows.count(_._1 == s))
+      }
+    }
+  }
+
+  test("btStrengths: ceiling at 1e6, all positive, more wins against same opponent never hurts") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 4L)))
+      .map(_.filter(p => p._1 != p._2))
+    samples(gen, 5).foreach { games =>
+      if (games.size >= 3) {
+        val df = games.toDF("winner", "loser")
+        val s = graft.scale.Preferences.btStrengths(df, "winner", "loser", iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+        assert(s.values.max === 1000000L, s"rescale ceiling: $s")
+        assert(s.values.forall(_ > 0L), s"smoothing keeps strengths positive: $s")
+      }
+    }
+  }
+
+  test("equiDepthHistogram: bins partition the slice mass; bin ranges never overlap") {
+    val gen = Gen.listOfN(60, Gen.choose(0L, 30L))
+    samples(gen, 6).foreach { vals =>
+      val df = vals.map(("s", _)).toDF("slice", "v")
+      val out = Stats.equiDepthHistogram(df, "slice", "v", nbins = 5)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1)
+      assert(out.map(_._2).sum === vals.size)
+      out.zip(out.tail).foreach { case (a, b) =>
+        assert(a._4 < b._3, s"bin ranges overlap: $out") }
+    }
+  }
+
+  test("dpNoisyCounts: reproducible, bounded by the inverse-CDF tail, scale-monotone") {
+    val gen = Gen.listOfN(40, Gen.oneOf("g1", "g2", "g3", "g4"))
+    samples(gen, 5).foreach { vals =>
+      val df = vals.toDF("g")
+      val a = Privacy.dpNoisyCounts(df, "g", 500000L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val b = Privacy.dpNoisyCounts(df, "g", 500000L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(a === b)
+      // |noise| <= b * ln(2*P) micro (u is at least 1/(2P) from the edges)
+      val bound = (2.0 * math.log(2.0 * 1000003.0) * 1000000.0).toLong + 1
+      assert(a.values.forall(v => math.abs(v._2) <= bound))
+    }
+  }
 }
