@@ -2290,7 +2290,22 @@ object SparkEntry {
         .union(graft.ops.Contracts.referentialAudit(
           T(s, d, "lineitem"), "l_orderkey", ordersThinned, "o_orderkey",
           "lineitem->orders"))
-    })
+    }),
+
+    // id-sequence completeness: TPC-H orderkeys are sparse BY DESIGN
+    // (real gap signal, no plant needed); event ids are the dense
+    // counter-example
+    "x_qc_gaps" -> ((s, d) =>
+      graft.ops.Contracts.sequenceGapAudit(T(s, d, "orders"), "o_orderkey", "orders.o_orderkey")
+        .union(graft.ops.Contracts.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id"))),
+
+    // character-level near-dup over derived 40-char titles: relative
+    // edit-distance pairs inside (lenband, first-token) capped blocks —
+    // the short-text complement of the shingle dedup family
+    "x_dedup_editdist" -> ((s, d) =>
+      Dedup.nearDupEditDistance(
+        T(s, d, "documents").select(col("doc_id"), substring(col("text"), 1, 40).as("text")),
+        "doc_id", "text", maxDistPct = 15))
   )
 
   /** Derived pairwise-preference view over `documents` (the testdata
@@ -6409,7 +6424,46 @@ object SparkEntry {
         |    CAST(coalesce(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_keys,
         |    CAST(coalesce(sum(CASE WHEN l.l_orderkey IS NOT NULL AND ord2.o_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_orphans
         |  FROM lineitem l LEFT JOIN ord2 ON l.l_orderkey = ord2.o_orderkey)
-        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin,
+
+    // id-sequence completeness: span - distinct = missing ids
+    "x_qc_gaps" ->
+      """WITH a AS (SELECT 'orders.o_orderkey' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(o_orderkey) AS BIGINT) AS min_id,
+        |    CAST(max(o_orderkey) AS BIGINT) AS max_id
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        |b AS (SELECT 'events.event_id' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(event_id) AS BIGINT) AS min_id,
+        |    CAST(max(event_id) AS BIGINT) AS max_id
+        |  FROM events WHERE event_id IS NOT NULL),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT rule, n_rows, n_distinct, min_id, max_id,
+        |       CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS n_missing,
+        |       CAST(n_rows - n_distinct AS BIGINT) AS n_dupes
+        |FROM u""".stripMargin,
+
+    // edit-distance title dedup: same (lenband, t0) blocking + 4096
+    // cap as the shingle family, unit-cost levenshtein both engines
+    "x_dedup_editdist" ->
+      s"""WITH ttl AS (SELECT doc_id AS id, substr(text, 1, 40) AS t FROM documents),
+         |k AS (SELECT id, t,
+         |    CAST(floor(ln(greatest(length(t), 1)) * 2) AS INT) AS lenband,
+         |    list_extract(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(trim(lower(t)), '\\s+') END, 1) AS t0
+         |  FROM ttl),
+         |sz AS (SELECT lenband, t0, count(*) AS c FROM k GROUP BY 1, 2),
+         |kk AS (SELECT k.* FROM k JOIN sz ON k.lenband = sz.lenband AND k.t0 = sz.t0
+         |       WHERE sz.c <= ${Dedup.DefaultMaxBucketSize}),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+         |        CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS max_len
+         |      FROM kk a JOIN kk b
+         |      ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.id < b.id)
+         |SELECT id_a, id_b, dist, max_len FROM p WHERE dist * 100 <= 15 * max_len""".stripMargin
   )
 
   /** Shared oracle CTEs for the derived conversation view — mirrors

@@ -43,4 +43,27 @@ object Contracts {
       .select(lit(rule).as("rule"), col("n_child"), col("n_null_keys"),
         col("n_orphans"))
   }
+
+  /** Id-sequence gap/duplicate audit — the completeness side of the
+    * contract: a surrogate-key column that should be dense (event ids,
+    * row sequence numbers) is summarized as
+    * `(rule, n_rows, n_distinct, min_id, max_id, n_missing, n_dupes)`
+    * where `n_missing = span − distinct` (ids absent from the range)
+    * and `n_dupes = rows − distinct`. Nonzero missing on a
+    * should-be-dense key means a delivery dropped rows upstream.
+    *
+    * Scale: ONE aggregate (count-distinct adds its standard two-phase
+    * expand); no window, no join.
+    */
+  def sequenceGapAudit(df: DataFrame, idCol: String, rule: String): DataFrame =
+    df.filter(qcol(idCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(qcol(idCol)).as("n_distinct"),
+        min(qcol(idCol).cast("long")).as("min_id"),
+        max(qcol(idCol).cast("long")).as("max_id"))
+      .select(lit(rule).as("rule"), col("n_rows"), col("n_distinct"),
+        col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1L - col("n_distinct")).as("n_missing"),
+        (col("n_rows") - col("n_distinct")).as("n_dupes"))
 }

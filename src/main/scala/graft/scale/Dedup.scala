@@ -608,6 +608,54 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Character-level near-dup pairs by RELATIVE edit distance — the
+    * complement of the shingle families for SHORT texts, where one
+    * typo moves n-gram Jaccard a lot but edit distance barely at all
+    * (and vice versa for long block moves). A pair survives when
+    * `levenshtein(a, b) · 100 ≤ maxDistPct · max(|a|, |b|)` — the
+    * relative form keeps the threshold length-free and the test
+    * integer-exact (both engines implement the same unit-cost DP).
+    * Returns (id_a, id_b, dist, max_len).
+    *
+    * Scale: the shingle family's blocking contract — (length band,
+    * first token) blocks with the deterministic `maxBlockSize` cap —
+    * bounds the candidate pairs; the O(|a|·|b|) DP per surviving
+    * candidate is the cost knob, so keep this operator for short-text
+    * corpora (titles, turns, lines) and the shingle operators for
+    * documents. Block caps replayed by the oracle.
+    */
+  def nearDupEditDistance(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDistPct: Int = 10, maxBlockSize: Int = DefaultMaxBucketSize,
+      extraBlockCols: Seq[String] = Nil): DataFrame = {
+    require(maxDistPct >= 1 && maxDistPct <= 100,
+      s"nearDupEditDistance: maxDistPct must be 1..100, got $maxDistPct")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val t = graft.ops.Cleaning.qcol(textCol)
+    val toks = TextAnalysis.tokens(t)
+    val block = struct(
+      extraBlockCols.map(graft.ops.Cleaning.qcol) ++ Seq(
+        floor(log(greatest(length(t), lit(1))) * 2).cast("int").as("lenband"),
+        element_at(toks, 1).as("t0")): _*)
+    val keyed0 = df.select(id.as("__id"), block.as("block"), t.as("__t"))
+    val keyed = capBuckets(keyed0, Seq("block"), maxBlockSize)
+    val a = keyed.select(col("block"), col("__id").as("id_a"), col("__t").as("t_a"))
+    val b = keyed.select(col("block"), col("__id").as("id_b"), col("__t").as("t_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      // |len(a) − len(b)| lower-bounds the edit distance, so this
+      // prunes the O(|a|·|b|) DP without changing the result set (any
+      // row it drops would fail the final filter) — no oracle impact
+      .filter(abs(length(col("t_a")) - length(col("t_b"))).cast("long") * 100L
+        <= lit(maxDistPct.toLong) * greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("max_len",
+        greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+      .filter(col("dist").cast("long") * 100L <= lit(maxDistPct.toLong) * col("max_len"))
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+        col("max_len"))
+  }
+
   /** Duplication-aware sampling weights over an EXISTING clusters
     * frame (the [[clusters]] output, or any (id, cluster) assignment):
     * every member of a size-k near-dup cluster carries weight

@@ -25,6 +25,15 @@ class ContractsSpec extends AnyFunSuite {
     assert((clean.getLong(1), clean.getLong(2), clean.getLong(3)) === ((2L, 0L, 0L)))
   }
 
+  test("sequenceGapAudit: missing = span - distinct, dupes = rows - distinct") {
+    val df = Seq(1L, 2L, 2L, 5L, 7L).toDF("id")
+    val r = Contracts.sequenceGapAudit(df, "id", "events-dense").collect().head
+    assert(r.getString(0) === "events-dense")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 4L, 1L, 7L)))
+    assert(r.getLong(5) === 3L) // 3, 4, 6 missing
+    assert(r.getLong(6) === 1L) // one duplicate
+  }
+
   test("referentialAudit: duplicate parent keys never inflate the child count") {
     val parent = Seq(1L, 1L, 1L, 2L).toDF("pk")
     val child = Seq(1L, 1L, 2L, 3L).toDF("fk")

@@ -617,6 +617,21 @@ class DedupSpec extends AnyFunSuite {
       4L -> "kept", 5L -> "kept", 6L -> "seed"))
   }
 
+  test("nearDupEditDistance: relative threshold, same-block only, prefilter harmless") {
+    val docs = Seq(
+      (1L, "hello world example text"),
+      (2L, "hello world exampel text"),   // 2 swaps -> dist 2 of 24 chars
+      (3L, "hello world totally different content here entirely"),
+      (4L, "zebra unrelated first token")  // different t0 block
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupEditDistance(docs, "doc_id", "text", maxDistPct = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === 2L)
+    // tighter threshold drops the pair
+    assert(Dedup.nearDupEditDistance(docs, "doc_id", "text", maxDistPct = 5).count() === 0)
+  }
+
   test("clusterWeights: 1e6 div size per member, singletons keep full mass") {
     val assignment = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // size-3 cluster
