@@ -2299,13 +2299,21 @@ object SparkEntry {
       graft.ops.Contracts.sequenceGapAudit(T(s, d, "orders"), "o_orderkey", "orders.o_orderkey")
         .union(graft.ops.Contracts.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id"))),
 
-    // character-level near-dup over derived 40-char titles: relative
-    // edit-distance pairs inside (lenband, first-token) capped blocks —
-    // the short-text complement of the shingle dedup family
+    // character-level near-dup over derived 40-char titles. Blocking
+    // MUST be tighter than the document family's (lenband, t0) here:
+    // 40-char titles share one length band and ~|vocab| first tokens,
+    // so blocks grow linearly with the corpus and the pair count
+    // quadratically — the 10x suite gate measured 10.4 s -> 106 s
+    // (sf0.1 -> sf1) before the 10-char-prefix block was added, ~1 s
+    // after. The standard blocking recall trade: an edit inside the
+    // first 10 chars now breaks the pair (documented, same contract
+    // as every blocked family).
     "x_dedup_editdist" -> ((s, d) =>
       Dedup.nearDupEditDistance(
-        T(s, d, "documents").select(col("doc_id"), substring(col("text"), 1, 40).as("text")),
-        "doc_id", "text", maxDistPct = 15))
+        T(s, d, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 40).as("text"),
+          substring(col("text"), 1, 10).as("pblock")),
+        "doc_id", "text", maxDistPct = 15, extraBlockCols = Seq("pblock")))
   )
 
   /** Derived pairwise-preference view over `documents` (the testdata
@@ -6446,23 +6454,26 @@ object SparkEntry {
         |       CAST(n_rows - n_distinct AS BIGINT) AS n_dupes
         |FROM u""".stripMargin,
 
-    // edit-distance title dedup: same (lenband, t0) blocking + 4096
-    // cap as the shingle family, unit-cost levenshtein both engines
+    // edit-distance title dedup: (10-char prefix, lenband, t0) capped
+    // blocks (the prefix keeps blocks corpus-size-free — the measured
+    // 10x fix), unit-cost levenshtein both engines
     "x_dedup_editdist" ->
-      s"""WITH ttl AS (SELECT doc_id AS id, substr(text, 1, 40) AS t FROM documents),
-         |k AS (SELECT id, t,
+      s"""WITH ttl AS (SELECT doc_id AS id, substr(text, 1, 40) AS t,
+         |    substr(text, 1, 10) AS pb FROM documents),
+         |k AS (SELECT id, t, pb,
          |    CAST(floor(ln(greatest(length(t), 1)) * 2) AS INT) AS lenband,
          |    list_extract(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
          |      ELSE string_split_regex(trim(lower(t)), '\\s+') END, 1) AS t0
          |  FROM ttl),
-         |sz AS (SELECT lenband, t0, count(*) AS c FROM k GROUP BY 1, 2),
-         |kk AS (SELECT k.* FROM k JOIN sz ON k.lenband = sz.lenband AND k.t0 = sz.t0
+         |sz AS (SELECT pb, lenband, t0, count(*) AS c FROM k GROUP BY 1, 2, 3),
+         |kk AS (SELECT k.* FROM k JOIN sz
+         |       ON k.pb = sz.pb AND k.lenband = sz.lenband AND k.t0 = sz.t0
          |       WHERE sz.c <= ${Dedup.DefaultMaxBucketSize}),
          |p AS (SELECT a.id AS id_a, b.id AS id_b,
          |        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
          |        CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS max_len
          |      FROM kk a JOIN kk b
-         |      ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.id < b.id)
+         |      ON a.pb = b.pb AND a.lenband = b.lenband AND a.t0 = b.t0 AND a.id < b.id)
          |SELECT id_a, id_b, dist, max_len FROM p WHERE dist * 100 <= 15 * max_len""".stripMargin
   )
 
