@@ -2209,7 +2209,10 @@ object SparkEntry {
       val daily = T(s, d, "events")
         .filter(col("event_type").isNotNull && col("ts").isNotNull)
         .select(col("event_type"), unix_micros(col("ts")).as("__us"))
-        .withColumn("day", expr("__us div 86400000000L"))
+        // floor-div (not Spark div) so pre-1970 timestamps bucket like
+        // the oracle's `//` — same fix as resampleGapFill
+        .withColumn("day",
+          graft.ops.TimeSeries.floorDivEpochExpr("__us", 86400000000L))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("y"))
       graft.ops.Stats.groupTrend(daily, "event_type", "day", "y")
@@ -2772,7 +2775,7 @@ object SparkEntry {
     s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
        |s0 AS (SELECT doc_id,
        |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
-       |    toks[1] AS t0,
+       |    coalesce(toks[1], '') AS t0,
        |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
        |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
        |  FROM d),
@@ -5829,7 +5832,7 @@ object SparkEntry {
          |d AS (SELECT conv_id * 1000000 + turn AS tk, role, text, $toksSql AS toks FROM c2),
          |s0 AS (SELECT tk, role,
          |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
-         |    toks[1] AS t0,
+         |    coalesce(toks[1], '') AS t0,
          |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
          |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
          |  FROM d),
@@ -6462,8 +6465,8 @@ object SparkEntry {
          |    substr(text, 1, 10) AS pb FROM documents),
          |k AS (SELECT id, t, pb,
          |    CAST(floor(ln(greatest(length(t), 1)) * 2) AS INT) AS lenband,
-         |    list_extract(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
-         |      ELSE string_split_regex(trim(lower(t)), '\\s+') END, 1) AS t0
+         |    coalesce(list_extract(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(trim(lower(t)), '\\s+') END, 1), '') AS t0
          |  FROM ttl),
          |sz AS (SELECT pb, lenband, t0, count(*) AS c FROM k GROUP BY 1, 2, 3),
          |kk AS (SELECT k.* FROM k JOIN sz
@@ -6547,7 +6550,7 @@ object SparkEntry {
          |  SELECT t.item, CAST((t.w_smooth * 1000000000000) // d.dsum AS BIGINT) AS s_raw
          |  FROM totals t JOIN d$i d USING (item)),
          |s$i AS MATERIALIZED (
-         |  SELECT item, CAST((s_raw * 1000000) // (SELECT max(s_raw) FROM r$i) AS BIGINT) AS s
+         |  SELECT item, CAST(greatest((s_raw * 1000000) // (SELECT max(s_raw) FROM r$i), 1) AS BIGINT) AS s
          |  FROM r$i)""".stripMargin
     }.mkString
     base + iters

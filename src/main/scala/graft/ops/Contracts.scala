@@ -59,7 +59,12 @@ object Contracts {
     df.filter(qcol(idCol).isNotNull)
       .agg(
         count(lit(1)).as("n_rows"),
-        countDistinct(qcol(idCol)).as("n_distinct"),
+        // distinct over the SAME long cast as min/max: a non-integral
+        // id column (strings '01' vs '1') would otherwise make
+        // n_missing/n_dupes internally inconsistent. A non-numeric id
+        // column fails the cast loudly (ANSI) on every counter alike —
+        // the audit's contract is an integral sequence
+        countDistinct(qcol(idCol).cast("long")).as("n_distinct"),
         min(qcol(idCol).cast("long")).as("min_id"),
         max(qcol(idCol).cast("long")).as("max_id"))
       .select(lit(rule).as("rule"), col("n_rows"), col("n_distinct"),

@@ -27,6 +27,20 @@ object TimeSeries {
   def microVal(c: Column): Column =
     floor(c.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
 
+  /** FLOOR division of a long epoch column (by NAME — composed via
+    * `expr`, the repo's integer-div idiom) by a positive literal
+    * interval — integer-exact (never through a double) and uniform
+    * across the 1970 boundary: Spark's `div` truncates toward zero, so
+    * a pre-1970 timestamp would otherwise share bucket 0 with the
+    * first post-1970 interval AND disagree with DuckDB `//` (floor).
+    * The negative branch is the exact identity
+    * `floor(a/d) = -((-a + d-1) div d)` for d > 0. */
+  def floorDivEpochExpr(colName: String, d: Long): Column = {
+    require(d > 0, s"floorDivEpochExpr: divisor must be positive, got $d")
+    expr(s"CASE WHEN $colName >= 0L THEN $colName div ${d}L " +
+      s"ELSE -((-$colName + ${d - 1}L) div ${d}L) END")
+  }
+
   /** Fixed-interval resample with gap-fill and forward-fill: buckets
     * each key's events into `intervalSec`-wide bins (bucket index =
     * `epoch_us div (intervalSec·1e6)`), then materializes EVERY bucket
@@ -61,7 +75,7 @@ object TimeSeries {
       .filter(qcol(keyCol).isNotNull && qcol(tsCol).isNotNull)
       .select(qcol(keyCol).as("key"), unix_micros(qcol(tsCol)).as("__us"),
         microVal(qcol(valueCol)).as("vm"))
-      .withColumn("bucket", expr(s"__us div ${ivUs}L"))
+      .withColumn("bucket", floorDivEpochExpr("__us", ivUs))
     val obs = base.groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("v_sum_micro"))
     // the guard lives INSIDE the consumed `hi` expression — a separate

@@ -523,7 +523,13 @@ object Dedup {
       // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates —
       // floor() agrees in both engines for the non-negative log here
       floor(log(greatest(length(graft.ops.Cleaning.qcol(textCol)), lit(1))) * 2).cast("int").as("lenband"),
-      element_at(toks, 1).as("t0")): _*)
+      // get() (0-indexed, null on out-of-bounds) instead of element_at:
+      // a token-less text has tokens()=[], where element_at(,1) throws
+      // under ANSI; coalesce to '' so the null never reaches the block
+      // struct (struct equality treats null fields as EQUAL in Spark's
+      // join but the oracle's a.t0=b.t0 never matches NULL — the ''
+      // sentinel keeps both engines blocking token-less rows together)
+      coalesce(get(toks, lit(0)), lit("")).as("t0")): _*)
     val sets0 = df.select(id, block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
     val sets = capBuckets(sets0, Seq("block"), maxBlockSize)
@@ -636,7 +642,8 @@ object Dedup {
     val block = struct(
       extraBlockCols.map(graft.ops.Cleaning.qcol) ++ Seq(
         floor(log(greatest(length(t), lit(1))) * 2).cast("int").as("lenband"),
-        element_at(toks, 1).as("t0")): _*)
+        // same null-safe t0 as nearDupNgram (ANSI element_at hazard)
+        coalesce(get(toks, lit(0)), lit("")).as("t0")): _*)
     val keyed0 = df.select(id.as("__id"), block.as("block"), t.as("__t"))
     val keyed = capBuckets(keyed0, Seq("block"), maxBlockSize)
     val a = keyed.select(col("block"), col("__id").as("id_a"), col("__t").as("t_a"))

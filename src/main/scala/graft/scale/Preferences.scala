@@ -126,8 +126,15 @@ object Preferences {
       // the measured every-2nd variant was ~1.6x SLOWER (5.5 s vs 3.4
       // at sf0.1) — the re-executed joins cost more than the saved
       // materialization barriers. Same conclusion as HITS.
+      // floor at 1 micro: the max-divisor rescale truncates an item
+      // with s_raw < mx/1e6 to ZERO, and a later pair of two
+      // zero-strength items would divide by (si + sj) = 0 — ANSI Spark
+      // throws, DuckDB `//` yields NULL, divergent failure under
+      // extreme win-rate skew. One micro keeps si + sj > 0 invariant
+      // and is below the model's resolution anyway.
       s = raw.crossJoin(broadcast(mx))
-        .select(col("item"), expr("(s_raw * 1000000L) div mx").as("s_micro"))
+        .select(col("item"),
+          expr("greatest((s_raw * 1000000L) div mx, 1L)").as("s_micro"))
         .localCheckpoint()
     }
     totals.select(col("item"), col("wins"), col("games"))
