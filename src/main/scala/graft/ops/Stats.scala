@@ -627,9 +627,11 @@ object Stats {
     */
   def weightedQuantile(
       df: DataFrame, valueCol: String, weightCol: String,
-      groupCols: Seq[String], q: Double): DataFrame = {
+      groupCols: Seq[String], q: Double,
+      maxDistinctPerGroup: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    require(maxDistinctPerGroup > 0, "maxDistinctPerGroup must be positive")
     val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
     val w = Cleaning.weightExpr(df, Some(weightCol))
     val g = groupCols.map(Cleaning.qcol)
@@ -646,10 +648,23 @@ object Stats {
     val win = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
       .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
+    // the per-group distinct-value count shares the tot window (same
+    // partitioning, no extra shuffle); the guard rides INSIDE the
+    // consumed __tot of the threshold filter — a group whose value
+    // lattice exceeds the cap (a continuous column) errors loudly in
+    // the same window pass instead of silently sorting an
+    // arbitrarily-large single partition per group. For genuinely
+    // continuous columns use weightedQuantileSketch/-Auto.
     base
       .withColumn("__cum", sum(col("__w")).over(win))
       .withColumn("__tot", sum(col("__w")).over(tot))
-      .filter(col("__cum") >= lit(q) * col("__tot"))
+      .withColumn("__nv", count(lit(1)).over(tot))
+      .filter(col("__cum") >= lit(q) *
+        when(col("__nv") > maxDistinctPerGroup,
+          raise_error(lit(s"weightedQuantile: a group exceeds " +
+            s"$maxDistinctPerGroup distinct values — band the column or use " +
+            "weightedQuantileSketch")).cast("double"))
+          .otherwise(col("__tot")))
       .groupBy(groupCols.map(Cleaning.qcol): _*)
       .agg(min(col("__v")).as("quantile"))
   }
@@ -795,13 +810,21 @@ object Stats {
     * quantities, scores: thousands). For a genuinely unbounded
     * continuous column, band values first (the histogram contract) —
     * KS on the banded lattice bounds the exact D within one band's
-    * probability mass.
+    * probability mass. The contract is ENFORCED in-plan: the distinct
+    * count rides the 1-row totals broadcast, and the guard lives
+    * inside the cumulative sum's INPUT expression (the
+    * consumed-expression rule — a standalone audit column would be
+    * pruned), in the projection BELOW the window's exchange+sort — a
+    * continuous column raise_errors loudly before the single-partition
+    * sort materializes, instead of silently cliffing.
     */
   def ksDrift(
       df: DataFrame, valueCol: String, sliceCol: String,
-      sliceA: String, sliceB: String): DataFrame = {
+      sliceA: String, sliceB: String,
+      maxDistinctValues: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sliceA != sliceB, "slices must differ")
+    require(maxDistinctValues > 0, "maxDistinctValues must be positive")
     val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
     val s = Cleaning.qcol(sliceCol).cast("string")
     val counts = df.filter(v.isNotNull && (s === sliceA || s === sliceB))
@@ -811,13 +834,21 @@ object Stats {
         coalesce(sum(when(s === sliceB, 1L)), lit(0L)).as("__cb"))
     val win = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("__cuma", sum(col("__ca")).over(win))
-      .withColumn("__cumb", sum(col("__cb")).over(win))
     val tot = counts.agg(
       coalesce(sum(col("__ca")), lit(0L)).as("__na"),
-      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
-    cum.crossJoin(broadcast(tot))
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"),
+      count(lit(1)).as("__nv"))
+    val guardedCa =
+      when(col("__nv") > maxDistinctValues,
+        raise_error(concat(
+          lit(s"ksDrift: value lattice exceeds $maxDistinctValues distinct values"),
+          lit(" — band the column first (the histogram contract)")))
+          .cast("long"))
+        .otherwise(col("__ca"))
+    val cum = counts.crossJoin(broadcast(tot))
+      .withColumn("__cuma", sum(guardedCa).over(win))
+      .withColumn("__cumb", sum(col("__cb")).over(win))
+    cum
       .agg(
         first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
         max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))).as("__d"))
@@ -852,10 +883,12 @@ object Stats {
     */
   def winsorizedMean(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
-      lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+      lo: Double = 0.1, hi: Double = 0.9,
+      maxDistinctPerGroup: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1, got [$lo, $hi]")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(maxDistinctPerGroup > 0, "maxDistinctPerGroup must be positive")
     val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
     val g = groupCols.map(Cleaning.qcol)
     val counts = df.filter(v.isNotNull)
@@ -864,9 +897,18 @@ object Stats {
     val win = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
       .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(groupCols.map(Cleaning.qcol): _*)
+    // same in-plan cardinality guard as weightedQuantile: the
+    // distinct-value count shares the tot window and the raise_error
+    // rides inside the consumed __tot of the boundary predicate
+    val guardedTot =
+      when(count(lit(1)).over(tot) > maxDistinctPerGroup,
+        raise_error(lit(s"winsorizedMean: a group exceeds " +
+          s"$maxDistinctPerGroup distinct values — band the column first"))
+          .cast("long"))
+        .otherwise(sum(col("__c")).over(tot))
     val cum = counts
       .withColumn("__cum", sum(col("__c")).over(win))
-      .withColumn("__tot", sum(col("__c")).over(tot))
+      .withColumn("__tot", guardedTot)
     val bounds = cum.groupBy(groupCols.map(Cleaning.qcol): _*).agg(
       min(when(col("__cum") >= lit(lo) * col("__tot"), col("__v"))).as("__lo"),
       min(when(col("__cum") >= lit(hi) * col("__tot"), col("__v"))).as("__hi"))

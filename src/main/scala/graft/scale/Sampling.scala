@@ -216,6 +216,12 @@ object Sampling {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
     require(weights.nonEmpty, "weights must be non-empty")
+    // the unpartitioned waterline window sorts exactly the
+    // positive-weight sources — enforce the summary-size contract on
+    // the driver-side map itself (static: fails at call time)
+    require(weights.size <= 100000,
+      s"epochAllocation: ${weights.size} weight keys would put a " +
+        "corpus-sized frame under the unpartitioned waterline window")
     require(weights.values.forall(v => v >= 0 && !v.isNaN && !v.isInfinite),
       "weights must be finite and >= 0")
     require(weights.values.exists(_ > 0), "at least one weight must be > 0")
@@ -314,6 +320,10 @@ object Sampling {
       bands: Int = 10, grid: Int = 1024): DataFrame = {
     require(bands >= 2, s"bands must be >= 2, got $bands")
     require(grid >= bands, s"grid must be >= bands, got grid=$grid bands=$bands")
+    // the running-sum window sorts |grid| rows — keep the caller's
+    // literal inside summary size (static contract, like epochAllocation)
+    require(grid <= 10000000,
+      s"curriculumBands: grid=$grid exceeds the 1e7 summary-window bound")
     import org.apache.spark.sql.expressions.Window
     val id = graft.ops.Cleaning.qcol(idCol)
     val s = graft.ops.Cleaning.qcol(scoreCol).cast("long")

@@ -105,6 +105,10 @@ object TextAnalysis {
       df: DataFrame, textCol: String, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive, got $ks")
+    // the head is a bounded TakeOrdered + a window over max(k) rows —
+    // enforce the bound statically on the caller's literal
+    require(ks.max <= 10000000,
+      s"vocabCoverage: max k=${ks.max} exceeds the 1e7 summary-window bound")
     val counts = df
       .select(explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))

@@ -200,6 +200,15 @@ object Streams {
   def timeToConvert(
       events: DataFrame, fromType: String, toType: String,
       gapMinutes: Int = 30): DataFrame = {
+    // the unpartitioned cumulative window below is safe ONLY because
+    // the second-floored lattice is bounded by the gap itself
+    // (attributionJoin keeps 0 < delta <= gapMinutes·60 s) — enforce
+    // that bound statically so a pathological gap can't turn the
+    // summary window into a corpus sort (stronger than an in-plan
+    // guard: it fails at plan construction, not mid-job)
+    require(gapMinutes >= 1 && gapMinutes.toLong * 60L <= 10000000L,
+      s"timeToConvert: gapMinutes=$gapMinutes puts more than 1e7 distinct " +
+        "second buckets under one cumulative window — widen the floor unit")
     val pairs = attributionJoin(events, fromType, toType, gapMinutes)
     val deltaS = floor((unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
       .cast("double") / 1000000.0).cast("long")

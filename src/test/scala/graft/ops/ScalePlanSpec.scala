@@ -674,4 +674,36 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
     assert(unpartitionedWindows(plan).isEmpty)
   }
+
+  test("summary-window cardinality guards survive optimization (consumed-expression rule)") {
+    // the raise_error must still be IN the physical plan — a guard the
+    // optimizer prunes is documentation, not enforcement
+    val df = (1 to 30).map(i => ("g", (i % 5).toDouble, 1.0,
+      if (i % 2 == 0) "a" else "b")).toDF("g", "v", "w", "s")
+    def planText(p: DataFrame): String =
+      p.queryExecution.executedPlan.treeString(verbose = true)
+    assert(planText(Stats.ksDrift(df, "v", "s", "a", "b")).contains("raise_error"),
+      "ksDrift's lattice guard was pruned")
+    assert(planText(Stats.weightedQuantile(df, "v", "w", Seq("g"), 0.5))
+      .contains("raise_error"), "weightedQuantile's cardinality guard was pruned")
+    assert(planText(Stats.winsorizedMean(df, "v", Seq("g")))
+      .contains("raise_error"), "winsorizedMean's cardinality guard was pruned")
+  }
+
+  test("statically-bounded summary windows reject corpus-sized caller literals") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      graft.scale.TextAnalysis.vocabCoverage(docs, "text", ks = Seq(20000000)))
+    intercept[IllegalArgumentException](
+      graft.scale.Sampling.curriculumBands(docs.withColumn("s", col("doc_id")),
+        "doc_id", "s", bands = 2, grid = 20000000))
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "click", 1L)).toDF("user_id", "ts", "event_type", "event_id")
+    intercept[IllegalArgumentException](
+      graft.streaming.Streams.timeToConvert(events, "click", "purchase",
+        gapMinutes = 200000))
+    intercept[IllegalArgumentException](
+      graft.scale.Sampling.epochAllocation(docs, "text", "doc_id",
+        (1 to 100001).map(i => s"s$i" -> 1.0).toMap, budgetTokens = 10L))
+  }
 }

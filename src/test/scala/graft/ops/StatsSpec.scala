@@ -457,4 +457,26 @@ class StatsSpec extends AnyFunSuite {
     assert(five.size === 1 && five.head._2 >= 90L,
       s"the 90-row tie group must sit whole in one bin: ${gt.toSeq}")
   }
+
+  test("summary-window guards raise loudly past the distinct-value cap") {
+    // a continuous-ish column: 200 distinct doubles in one group/slice —
+    // the exact caller mistake the documented contracts used to permit
+    val wide = spark.range(200).selectExpr(
+      "'g' AS g", "cast(id AS double) AS v", "1.0 AS w",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s")
+    def raised(body: => Unit): String = {
+      val ex = intercept[Exception](body)
+      Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    assert(raised(Stats.ksDrift(wide, "v", "s", "a", "b",
+      maxDistinctValues = 50).collect()).contains("band the column"))
+    assert(raised(Stats.weightedQuantile(wide, "v", "w", Seq("g"), 0.5,
+      maxDistinctPerGroup = 50).collect()).contains("weightedQuantileSketch"))
+    assert(raised(Stats.winsorizedMean(wide, "v", Seq("g"),
+      maxDistinctPerGroup = 50).collect()).contains("band the column"))
+    // under the cap, results are untouched by the guard machinery
+    val r = Stats.ksDrift(wide, "v", "s", "a", "b").head
+    assert(r.getAs[Long]("n_a") === 100L && r.getAs[Long]("n_b") === 100L)
+  }
 }
