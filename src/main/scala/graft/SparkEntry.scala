@@ -2181,6 +2181,13 @@ object SparkEntry {
       graft.scale.Preferences.btStrengths(preferenceGames(s, d), "winner", "loser",
         iterations = 4)),
 
+    // the convergence curve behind the iteration-count default: max
+    // per-item strength move per MM iteration — 6 iterations to show
+    // the tail past the production 4
+    "x_pref_bt_delta" -> ((s, d) =>
+      graft.scale.Preferences.btConvergence(preferenceGames(s, d), "winner", "loser",
+        iterations = 6)),
+
     // --- duplication-aware sampling weights (round-10) ----------------
     // soft dedup: every member of a size-k near-dup cluster carries
     // 1e6 div k micro of sampling mass; rolled up per source as the
@@ -6223,6 +6230,16 @@ object SparkEntry {
         """
           |SELECT t.item, t.wins, t.games, s4.s AS strength_micro
           |FROM totals t JOIN s4 USING (item)""".stripMargin),
+
+    // per-iteration max strength move over the same unrolled chain —
+    // one delta row per adjacent (s_{i-1}, s_i) CTE pair
+    "x_pref_bt_delta" ->
+      (btOracleCtes(6) + "\n" +
+        (1 to 6).map { i =>
+          s"""SELECT CAST($i AS INT) AS iteration,
+             |       CAST(max(abs(a.s - b.s)) AS BIGINT) AS max_delta_micro
+             |FROM s$i a JOIN s${i - 1} b USING (item)""".stripMargin
+        }.mkString("\nUNION ALL\n")),
 
     // duplication-aware sampling weights: the dedup family's cluster
     // replay (reach = min-label closure) + 1e6 // size per member,

@@ -84,6 +84,15 @@ object Preferences {
     * measured HITS lesson, SCALE.md). Output: (item, wins, games,
     * strength_micro).
     *
+    * Iteration default: measured, not blind — [[btConvergence]] on the
+    * preference fixture shows max per-item movement 443k → 135k → 63k
+    * → 39k micro over the first 4 iterations (sf0.01, r11; the
+    * `x_pref_bt_delta` key replays the curve), and the RANKING is
+    * already identical to the 8-iteration run at 4 (PreferencesSpec
+    * gate). Strengths keep drifting ~0.7x per extra iteration — run
+    * more when the downstream consumer needs calibrated probabilities
+    * rather than an ordering.
+    *
     * Overflow contract: with the 1e12 numerator scale, per-pair game
     * counts and per-item smoothed wins must stay below ~9.2e6. BT
     * strengths are invariant under scaling ALL counts by a common
@@ -111,34 +120,85 @@ object Preferences {
       .select(col("item"), col("wins"), col("games"))
       .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
     var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
-    for (i <- 1 to iterations) {
-      val d = directed
-        .join(s.select(col("item").as("i"), col("s_micro").as("si")), "i")
-        .join(s.select(col("item").as("j"), col("s_micro").as("sj")), "j")
-        .select(col("i").as("item"),
-          expr("(n * 1000000000000L) div (si + sj)").as("term"))
-        .groupBy(col("item")).agg(sum(col("term")).as("d"))
-      val raw = totals.join(d, Seq("item"))
-        .select(col("item"), expr("(w_smooth * 1000000000000L) div d").as("s_raw"))
-      val mx = raw.agg(max(col("s_raw")).as("mx"))
-      // checkpoint EVERY iteration: the double reference (s_i, s_j)
-      // re-executes the whole un-checkpointed segment 2x per step, and
-      // the measured every-2nd variant was ~1.6x SLOWER (5.5 s vs 3.4
-      // at sf0.1) — the re-executed joins cost more than the saved
-      // materialization barriers. Same conclusion as HITS.
-      // floor at 1 micro: the max-divisor rescale truncates an item
-      // with s_raw < mx/1e6 to ZERO, and a later pair of two
-      // zero-strength items would divide by (si + sj) = 0 — ANSI Spark
-      // throws, DuckDB `//` yields NULL, divergent failure under
-      // extreme win-rate skew. One micro keeps si + sj > 0 invariant
-      // and is below the model's resolution anyway.
-      s = raw.crossJoin(broadcast(mx))
-        .select(col("item"),
-          expr("greatest((s_raw * 1000000L) div mx, 1L)").as("s_micro"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations) s = btStep(directed, totals, s)
     totals.select(col("item"), col("wins"), col("games"))
       .join(s, Seq("item"))
       .withColumnRenamed("s_micro", "strength_micro")
+  }
+
+  /** One MM iteration: d-sum on the directed pair matrix, the smoothed
+    * win update, and the max-divisor rescale — returning the next
+    * (item, s_micro) frame, localCheckpointed.
+    *
+    * Checkpoint EVERY iteration: the double reference (s_i, s_j)
+    * re-executes the whole un-checkpointed segment 2x per step, and
+    * the measured every-2nd variant was ~1.6x SLOWER (5.5 s vs 3.4
+    * at sf0.1) — the re-executed joins cost more than the saved
+    * materialization barriers. Same conclusion as HITS.
+    *
+    * Floor at 1 micro: the max-divisor rescale truncates an item
+    * with s_raw < mx/1e6 to ZERO, and a later pair of two
+    * zero-strength items would divide by (si + sj) = 0 — ANSI Spark
+    * throws, DuckDB `//` yields NULL, divergent failure under
+    * extreme win-rate skew. One micro keeps si + sj > 0 invariant
+    * and is below the model's resolution anyway.
+    */
+  private def btStep(
+      directed: DataFrame, totals: DataFrame, s: DataFrame): DataFrame = {
+    val d = directed
+      .join(s.select(col("item").as("i"), col("s_micro").as("si")), "i")
+      .join(s.select(col("item").as("j"), col("s_micro").as("sj")), "j")
+      .select(col("i").as("item"),
+        expr("(n * 1000000000000L) div (si + sj)").as("term"))
+      .groupBy(col("item")).agg(sum(col("term")).as("d"))
+    val raw = totals.join(d, Seq("item"))
+      .select(col("item"), expr("(w_smooth * 1000000000000L) div d").as("s_raw"))
+    val mx = raw.agg(max(col("s_raw")).as("mx"))
+    raw.crossJoin(broadcast(mx))
+      .select(col("item"),
+        expr("greatest((s_raw * 1000000L) div mx, 1L)").as("s_micro"))
+      .localCheckpoint()
+  }
+
+  /** Per-iteration convergence audit of [[btStrengths]] — the measured
+    * curve behind the default iteration count, the [[Graph]] family's
+    * GraphProbe evidence re-expressed for preferences: for each MM
+    * iteration, the largest absolute strength move across items,
+    * `max_i |s_i^t − s_i^{t−1}|`, in micro units. The curve answers
+    * "how many iterations does THIS corpus need?" with data instead of
+    * a blind constant. Output: (iteration, max_delta_micro).
+    *
+    * Scale: the same one corpus-sized [[pairStats]] aggregate as
+    * [[btStrengths]]; each delta row is ONE |items|-row join+aggregate
+    * over frames the checkpointed loop already materialized —
+    * iterations·O(|items|) extra work, summary-sized output.
+    */
+  def btConvergence(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      iterations: Int = 8, countDiv: Long = 1L): DataFrame = {
+    require(iterations >= 1, "btConvergence: need at least one iteration")
+    require(countDiv >= 1, "btConvergence: countDiv must be >= 1")
+    val pairs = pairStats(games, winnerCol, loserCol)
+      .withColumn("games", greatest(expr(s"games div ${countDiv}L"), lit(1L)))
+    val directed = pairs.select(
+        col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
+      .union(pairs.select(
+        col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
+    val totals = itemStats(
+      games.filter(col(winnerCol) =!= col(loserCol)),
+      winnerCol, loserCol)
+      .select(col("item"), col("wins"), col("games"))
+      .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
+    var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
+    val deltas = (1 to iterations).map { i =>
+      val next = btStep(directed, totals, s)
+      val row = s.select(col("item"), col("s_micro").as("__prev"))
+        .join(next, Seq("item"))
+        .agg(max(abs(col("s_micro") - col("__prev"))).as("max_delta_micro"))
+        .select(lit(i).as("iteration"), col("max_delta_micro"))
+      s = next
+      row
+    }
+    deltas.reduce(_ unionByName _)
   }
 }

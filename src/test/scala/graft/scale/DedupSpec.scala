@@ -632,6 +632,48 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDupEditDistance(docs, "doc_id", "text", maxDistPct = 5).count() === 0)
   }
 
+  test("nearDupEditDistance: measured blocking recall on planted pairs, incl. edits inside the prefix") {
+    // the RecallProbe move for the edit-distance family: a fixture with
+    // KNOWN near-dup pairs — 16 suffix-edited (blocking-safe) and 10
+    // edited INSIDE the first 10 chars (the blocking trade's loss mode)
+    // — recall measured against the brute-force all-pairs truth, and
+    // the lost set pinned to be EXACTLY the prefix-edited plants.
+    val words = Seq("amber", "basil", "cedar", "delta", "ember", "gamma",
+      "hazel", "irons", "jumbo", "karma", "lemon", "mango", "noble",
+      "ocean", "piano", "raven", "sonar", "tulip", "umbra", "vivid",
+      "wharf", "xenon", "yacht", "zebra", "coral", "fudge")
+    def mkBase(i: Int) =
+      s"${words(i)} ${words((i + 7) % 26)} ${words((i + 13) % 26)} ${words((i + 19) % 26)} headline"
+    val rows = (0 until 26).map(i => (i.toLong * 2, mkBase(i))) ++
+      (0 until 16).map(i =>
+        (i.toLong * 2 + 1, mkBase(i).replace("headline", "headlines"))) ++
+      (16 until 26).map(i => (i.toLong * 2 + 1, mkBase(i).updated(1, 'x')))
+    val fixture = rows.toDF("doc_id", "text")
+      .withColumn("pblock", substring(col("text"), 1, 10))
+    val l = fixture.select(col("doc_id").as("id_a"), col("text").as("t_a"))
+    val r = fixture.select(col("doc_id").as("id_b"), col("text").as("t_b"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("t_a"), col("t_b")).cast("long") * 100L <=
+        lit(15L) * greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 26).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(truth === planted, "fixture must plant exactly the 26 intended pairs")
+    val blocked = Dedup.nearDupEditDistance(fixture, "doc_id", "text",
+      maxDistPct = 15, extraBlockCols = Seq("pblock"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(truth), "blocking may only drop pairs, never invent")
+    val suffixPairs = (0 until 16).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(suffixPairs.subsetOf(blocked),
+      "prefix-preserving edits must have recall 1.0 under (prefix, lenband, t0) blocks")
+    assert(truth -- blocked ===
+      (16 until 26).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet,
+      "the ONLY lost pairs are the prefix-edited plants (the documented trade)")
+    // the pinned floor: 16/26 on this worst-case-heavy mix; real title
+    // corpora skew far more prefix-preserving (RecallProbe measures the
+    // corpus number per round)
+    assert(blocked.size.toDouble / truth.size >= 16.0 / 26 - 1e-9)
+  }
+
   test("clusterWeights: 1e6 div size per member, singletons keep full mass") {
     val assignment = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // size-3 cluster

@@ -52,6 +52,26 @@ class PreferencesSpec extends AnyFunSuite {
     assert(s(1L) === 1000000L && s(3L) > 0L && s(1L) > s(2L) && s(2L) > s(3L))
   }
 
+  test("btConvergence: decaying deltas; the default 4 iterations is rank-stable vs 8") {
+    // a denser deterministic tournament than `games`: 12 items, every
+    // pair played 1-4 times with a hash-seeded but fixed outcome
+    val g = (for (a <- 1 to 12; b <- 1 to 12 if a < b; r <- 1 to (a + b) % 4 + 1)
+      yield if ((a * 7 + b * 3 + r) % 5 < 3) (a.toLong, b.toLong) else (b.toLong, a.toLong))
+      .toDF("winner", "loser")
+    val curve = Preferences.btConvergence(g, "winner", "loser", iterations = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((2 to 8).forall(i => curve(i) <= curve(i - 1)),
+      s"per-iteration max deltas must not grow: $curve")
+    assert(curve(4) < curve(1) / 5,
+      s"by the default 4 iterations the step must shrink below 20% of step 1: $curve")
+    def ranking(iters: Int) =
+      Preferences.btStrengths(g, "winner", "loser", iterations = iters)
+        .orderBy(desc("strength_micro"), asc("item"))
+        .select("item").as[Long].collect().toSeq
+    assert(ranking(4) === ranking(8),
+      "the default iteration count must already be rank-stable vs 2x the iterations")
+  }
+
   test("btStrengths: countDiv rescale preserves the ranking") {
     val big = games.union(games).union(games).union(games)
     val a = Preferences.btStrengths(big, "winner", "loser", iterations = 3)
