@@ -2247,9 +2247,11 @@ object SparkEntry {
     // seeded Laplace release counts per source (ε = 0.5): the DP
     // mechanism's full data path with the secure RNG swapped for the
     // portable hash so the gate can replay it (documented trade)
+    // non-default releaseSalt on purpose: the oracle replays a SECOND
+    // release's fresh noise, proving salted draws are engine-exact too
     "x_priv_dpcounts" -> ((s, d) =>
       graft.ops.Privacy.dpNoisyCounts(T(s, d, "documents"), "source",
-        epsilonMicro = 500000L)),
+        epsilonMicro = 500000L, releaseSalt = "release-2")),
 
     // role-alternation audit over a deliberately mis-shaped role
     // assignment ((turn·13 + conv) % 5 — the derived view's strict
@@ -6357,7 +6359,7 @@ object SparkEntry {
     "x_priv_dpcounts" ->
       s"""WITH c AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n
          |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
-         |h AS (SELECT *, ((${polyHashSqlOf("\"group\"")} % 1000003) * 514229 + 741103) % 1000003 AS hv
+         |h AS (SELECT *, ((${polyHashSqlOf("\"group\" || 'release-2'")} % 1000003) * 514229 + 741103) % 1000003 AS hv
          |      FROM c),
          |u AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 1000003.0 - 0.5 AS cdev FROM h),
          |z AS (SELECT *, CAST(floor((((-2.0) * sign(cdev)) * ln(1.0 - 2.0 * abs(cdev)))

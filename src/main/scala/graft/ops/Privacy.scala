@@ -176,19 +176,32 @@ object Privacy {
     * identical for negatives in every engine; the slice-entropy
     * precedent).
     *
+    * `releaseSalt` folds a release identifier into the seeded hash so
+    * REPEATED releases of the same groups draw fresh (still
+    * replayable) noise — without it even the deterministic design
+    * couldn't model the multiple-release accounting a real DP pipeline
+    * needs (identical noise across releases would make re-release
+    * free, which is exactly wrong: each distinct salt is a fresh
+    * ε-spend, and the privacy ledger must SUM ε across salts — the
+    * sequential-composition rule; that ledger is the caller's, this
+    * operator only guarantees fresh draws per salt). The default ""
+    * is the canonical single-release form.
+    *
     * Scale: ONE hash aggregate to |groups| rows, then row-local
     * arithmetic — the noise costs one hash and one log per group, not
     * per row.
     */
   def dpNoisyCounts(
-      df: DataFrame, groupCol: String, epsilonMicro: Long = 500000L): DataFrame = {
+      df: DataFrame, groupCol: String, epsilonMicro: Long = 500000L,
+      releaseSalt: String = ""): DataFrame = {
     require(epsilonMicro > 0, "dpNoisyCounts: epsilonMicro must be positive")
     val b: Double = 1000000.0 / epsilonMicro  // 1/epsilon, the Laplace scale
     val g = Cleaning.qcol(groupCol)
     val counts = df.filter(g.isNotNull)
       .groupBy(g).agg(count(lit(1)).as("n"))
     val h = graft.functions.PortableHash.affineHash(
-      graft.functions.PortableHash.polyHash31(g.cast("string")))
+      graft.functions.PortableHash.polyHash31(
+        concat(g.cast("string"), lit(releaseSalt))))
     val u = (h.cast("double") + lit(0.5)) / lit(graft.functions.PortableHash.P.toDouble)
     val c = u - lit(0.5)
     val noise = -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))

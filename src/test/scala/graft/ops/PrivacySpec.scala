@@ -119,5 +119,19 @@ class PrivacySpec extends AnyFunSuite {
     val tight = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 250000L)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(tight("a") === expectedNoise("a", 4.0))
+
+    // releaseSalt: a second release draws FRESH (still replayable)
+    // noise — the salted key feeds the same formula, so each distinct
+    // salt is an independent epsilon-spend the caller's ledger sums
+    val salted = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 500000L,
+      releaseSalt = "rel2")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(salted("a") === expectedNoise("arel2", 2.0))
+    assert(salted("a") !== got("a")._2,
+      "a fresh salt must redraw the noise, not replay release 1's")
+    // default salt "" is the canonical single-release form (unchanged)
+    val again = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 500000L, releaseSalt = "")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again === got.map { case (k, v) => k -> v._2 })
   }
 }
