@@ -2311,6 +2311,42 @@ object SparkEntry {
       graft.ops.Contracts.sequenceGapAudit(T(s, d, "orders"), "o_orderkey", "orders.o_orderkey")
         .union(graft.ops.Contracts.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id"))),
 
+    // uniqueness on a view with PLANTED dupes (every 10th order row
+    // appears twice) and planted null keys (every 97th orderkey)
+    "x_qc_unique" -> ((s, d) =>
+      graft.ops.Contracts.uniquenessAudit(
+        qcDupedOrders(s, d), Seq("k1", "k2"), "orders.pk")),
+
+    // accepted-values: 'error' is outside the allowed domain (a real
+    // violation in the data, no plant needed); nulls planted separately
+    "x_qc_enum" -> ((s, d) =>
+      graft.ops.Contracts.enumDomainAudit(
+        T(s, d, "events").withColumn("event_type",
+          when(col("event_id") % 101 === 0, lit(null))
+            .otherwise(col("event_type"))),
+        "event_type", Seq("click", "view", "signup", "purchase"),
+        "events.event_type")),
+
+    // accepted-range on quantity: [5, 45] against the natural 1..50
+    // domain — violations on both sides
+    "x_qc_range" -> ((s, d) =>
+      graft.ops.Contracts.rangeAudit(
+        T(s, d, "lineitem"), "l_quantity", 5L, 45L, "lineitem.l_quantity")),
+
+    // freshness vs the fixed as-of (2024-02-01T00:00:00Z): one rule
+    // inside its lag budget, one stale — both rows from one aggregate
+    // shape, the as-of passed in (never read from a clock)
+    "x_qc_fresh" -> ((s, d) =>
+      graft.ops.Contracts.freshnessAudit(
+          T(s, d, "events"), "ts", QcAsOfEpochUs, 7L * 86400L, "events.ts.weekly")
+        .union(graft.ops.Contracts.freshnessAudit(
+          T(s, d, "events"), "ts", QcAsOfEpochUs, 3600L, "events.ts.hourly"))),
+
+    // the composed delivery report: every contract normalized to
+    // (rule, n_rows, n_violations) and unioned — the one-glance gate a
+    // delivery pipeline actually pages on
+    "x_qc_report" -> ((s, d) => qcDeliveryReport(s, d)),
+
     // character-level near-dup over derived 40-char titles. Blocking
     // MUST be tighter than the document family's (lenband, t0) here:
     // 40-char titles share one length band and ~|vocab| first tokens,
@@ -2337,6 +2373,55 @@ object SparkEntry {
     * partition, which is fine for deriving test games but not a shape
     * to ship — production callers hand [[graft.scale.Preferences]] a
     * real ratings table and no window runs at all. */
+  /** Fixed as-of clock for the freshness contract keys — 2024-02-01
+    * 00:00:00 UTC in epoch micros. A literal, never a clock read, so
+    * the audit replays in any engine at any wall time. */
+  private val QcAsOfEpochUs: Long = 1706745600000000L
+
+  /** Planted-violation orders view for the uniqueness contract: every
+    * 10th order row appears TWICE (the dupes) and every 97th orderkey
+    * is nulled (the null-key class). FIXTURE, not library — both
+    * engines derive the same view. */
+  private def qcDupedOrders(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "orders").select(
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_orderkey")).as("k1"),
+      col("o_custkey").as("k2"))
+    base.unionByName(base.filter(col("k1") % 10 === 0))
+  }
+
+  /** The composed delivery-contract report: each audit normalized to
+    * (rule, n_rows, n_violations) and unioned — referential nulls +
+    * orphans, sequence missing + dupes, uniqueness nulls + excess
+    * rows, enum invalids, range outliers, and staleness. */
+  private def qcDeliveryReport(s: SparkSession, d: String): DataFrame = {
+    val C = graft.ops.Contracts
+    val refint = C.referentialAudit(
+        T(s, d, "orders"), "o_custkey", T(s, d, "customer"), "c_custkey",
+        "orders->customer")
+      .select(col("rule"), col("n_child").as("n_rows"),
+        (col("n_null_keys") + col("n_orphans")).as("n_violations"))
+    val gaps = C.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id")
+      .select(col("rule"), col("n_rows"),
+        (col("n_missing") + col("n_dupes")).as("n_violations"))
+    val uniq = C.uniquenessAudit(qcDupedOrders(s, d), Seq("k1", "k2"), "orders.pk")
+      .select(col("rule"), col("n_rows"),
+        (col("n_null_keys") + col("n_dupe_rows")).as("n_violations"))
+    val enums = C.enumDomainAudit(T(s, d, "events"), "event_type",
+        Seq("click", "view", "signup", "purchase"), "events.event_type")
+      .select(col("rule"), col("n_rows"),
+        (col("n_null") + col("n_invalid")).as("n_violations"))
+    val range = C.rangeAudit(T(s, d, "lineitem"), "l_quantity", 5L, 45L,
+        "lineitem.l_quantity")
+      .select(col("rule"), col("n_rows"),
+        (col("n_null") + col("n_below") + col("n_above")).as("n_violations"))
+    val fresh = C.freshnessAudit(T(s, d, "events"), "ts", QcAsOfEpochUs,
+        3600L, "events.ts.hourly")
+      .select(col("rule"), col("n_rows"),
+        when(col("is_fresh"), 0L).otherwise(1L).as("n_violations"))
+    Seq(refint, gaps, uniq, enums, range, fresh).reduce(_ unionByName _)
+  }
+
   private def preferenceGames(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -2679,6 +2764,14 @@ object SparkEntry {
     * matching PortableHash's one-definition rule on the Scala side.
     * `base` parameterizes SimHash's second 131-base row.
     */
+  /** The planted-dup orders view (`qcDupedOrders`) as oracle CTEs
+    * ending in `v(k1, k2)`. */
+  private def qcDupedOrdersSql: String =
+    """v0 AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |              ELSE o_orderkey END AS k1,
+      |             o_custkey AS k2 FROM orders),
+      |v AS (SELECT * FROM v0 UNION ALL SELECT * FROM v0 WHERE k1 % 10 = 0)""".stripMargin
+
   private def polyHashSqlOf(expr: String, base: Int = 31): String =
     s"""CASE WHEN $expr = '' THEN 0
        |     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -6475,6 +6568,116 @@ object SparkEntry {
         |       CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS n_missing,
         |       CAST(n_rows - n_distinct AS BIGINT) AS n_dupes
         |FROM u""".stripMargin,
+
+    // uniqueness over the planted-dup view (every 10th row twice,
+    // every 97th key nulled) — per-key counts then one summary
+    "x_qc_unique" ->
+      s"""WITH $qcDupedOrdersSql,
+         |pk AS (SELECT (k1 IS NULL OR k2 IS NULL) AS isn, k1, k2,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM v GROUP BY 1, 2, 3)
+         |SELECT 'orders.pk' AS rule,
+         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(CASE WHEN isn THEN c END), 0) AS BIGINT) AS n_null_keys,
+         |  CAST(coalesce(sum(CASE WHEN NOT isn THEN 1 END), 0) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(sum(CASE WHEN NOT isn AND c > 1 THEN 1 END), 0) AS BIGINT) AS n_dupe_keys,
+         |  CAST(coalesce(sum(CASE WHEN NOT isn THEN c - 1 END), 0) AS BIGINT) AS n_dupe_rows
+         |FROM pk""".stripMargin,
+
+    // accepted-values: per-value counts then one summary; min_invalid
+    // is the deterministic witness
+    "x_qc_enum" ->
+      """WITH e AS (SELECT CASE WHEN event_id % 101 = 0 THEN NULL
+        |                       ELSE event_type END AS v FROM events),
+        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |         (v IS NOT NULL AND
+        |          v NOT IN ('click', 'view', 'signup', 'purchase')) AS bad
+        |       FROM e GROUP BY 1)
+        |SELECT 'events.event_type' AS rule,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT) AS n_null,
+        |  CAST(coalesce(sum(CASE WHEN bad THEN c END), 0) AS BIGINT) AS n_invalid,
+        |  CAST(coalesce(sum(CASE WHEN bad THEN 1 END), 0) AS BIGINT) AS n_invalid_values,
+        |  min(CASE WHEN bad THEN v END) AS min_invalid
+        |FROM pv""".stripMargin,
+
+    // accepted-range on the integral-valued quantity (floor == Spark's
+    // truncating cast for these non-negative integral doubles)
+    "x_qc_range" ->
+      """SELECT 'lineitem.l_quantity' AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 END), 0) AS BIGINT) AS n_null,
+        |  CAST(coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) < 5 THEN 1 END), 0) AS BIGINT) AS n_below,
+        |  CAST(coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) > 45 THEN 1 END), 0) AS BIGINT) AS n_above,
+        |  CAST(min(floor(l_quantity)) AS BIGINT) AS min_v,
+        |  CAST(max(floor(l_quantity)) AS BIGINT) AS max_v
+        |FROM lineitem""".stripMargin,
+
+    // freshness vs the fixed as-of literal; lag replays Spark's
+    // truncating div via the sign-factored // form
+    "x_qc_fresh" ->
+      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |             CAST(max(epoch_us(ts)) AS BIGINT) AS max_epoch_us
+         |           FROM events),
+         |l AS (SELECT *,
+         |        CAST(CASE WHEN $QcAsOfEpochUs - max_epoch_us >= 0
+         |               THEN ($QcAsOfEpochUs - max_epoch_us) // 1000000
+         |               ELSE -((max_epoch_us - $QcAsOfEpochUs) // 1000000)
+         |             END AS BIGINT) AS lag_s
+         |      FROM m)
+         |SELECT 'events.ts.weekly' AS rule, n_rows, max_epoch_us, lag_s,
+         |       coalesce(lag_s <= ${7L * 86400L}, false) AS is_fresh FROM l
+         |UNION ALL
+         |SELECT 'events.ts.hourly' AS rule, n_rows, max_epoch_us, lag_s,
+         |       coalesce(lag_s <= 3600, false) AS is_fresh FROM l""".stripMargin,
+
+    // the composed report: every contract's (rule, n_rows,
+    // n_violations) normalization unioned
+    "x_qc_report" ->
+      s"""WITH $qcDupedOrdersSql,
+         |pk AS (SELECT (k1 IS NULL OR k2 IS NULL) AS isn, k1, k2,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM v GROUP BY 1, 2, 3),
+         |refp AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
+         |refint AS (SELECT 'orders->customer' AS rule,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(CASE WHEN o.o_custkey IS NULL THEN 1 END), 0) +
+         |         coalesce(sum(CASE WHEN o.o_custkey IS NOT NULL AND refp.c_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_violations
+         |  FROM orders o LEFT JOIN refp ON o.o_custkey = refp.c_custkey),
+         |gaps AS (SELECT 'events.event_id' AS rule,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST((max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)) +
+         |         (count(*) - count(DISTINCT event_id)) AS BIGINT) AS n_violations
+         |  FROM events WHERE event_id IS NOT NULL),
+         |uniq AS (SELECT 'orders.pk' AS rule,
+         |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(CASE WHEN isn THEN c END), 0) +
+         |         coalesce(sum(CASE WHEN NOT isn THEN c - 1 END), 0) AS BIGINT) AS n_violations
+         |  FROM pk),
+         |enums AS (SELECT 'events.event_type' AS rule,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 END), 0) +
+         |         coalesce(sum(CASE WHEN event_type IS NOT NULL AND
+         |           event_type NOT IN ('click', 'view', 'signup', 'purchase') THEN 1 END), 0) AS BIGINT) AS n_violations
+         |  FROM events),
+         |rng AS (SELECT 'lineitem.l_quantity' AS rule,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 END), 0) +
+         |         coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) < 5 THEN 1 END), 0) +
+         |         coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) > 45 THEN 1 END), 0) AS BIGINT) AS n_violations
+         |  FROM lineitem),
+         |fr AS (SELECT 'events.ts.hourly' AS rule,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CASE WHEN coalesce(
+         |           CAST(CASE WHEN $QcAsOfEpochUs - max(epoch_us(ts)) >= 0
+         |                  THEN ($QcAsOfEpochUs - max(epoch_us(ts))) // 1000000
+         |                  ELSE -((max(epoch_us(ts)) - $QcAsOfEpochUs) // 1000000)
+         |                END AS BIGINT) <= 3600, false)
+         |         THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_violations
+         |  FROM events)
+         |SELECT * FROM refint UNION ALL SELECT * FROM gaps
+         |UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM enums
+         |UNION ALL SELECT * FROM rng UNION ALL SELECT * FROM fr""".stripMargin,
 
     // edit-distance title dedup: (10-char prefix, lenband, t0) capped
     // blocks (the prefix keeps blocks corpus-size-free — the measured
