@@ -8,11 +8,20 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns with typed metadata, and run
   * decode / feature-extraction as a partition-local batch map.
   *
-  * The actual media decode is STUBBED (this container ships no image/
-  * audio codecs — see `FakeDecode`); everything Spark-side is real:
-  * schema, binary column handling, the mapPartitions batch shape (the
-  * Scala analogue of `mapInPandas`: one iterator per partition, arbitrary
-  * per-batch native calls, constant memory), and partitioning behavior.
+  * Two decode configs share one batch shape:
+  *   - the STUB (`FakeDecode` and the byte-subsample stages) — fully
+  *     deterministic from payload BYTES, so the `x_mm_*` oracle keys
+  *     replay it in DuckDB;
+  *   - the REAL image path (`decodeMetaImageIO`, `perceptualHashImage`,
+  *     `resizeImage`, `extractFeaturesImage`) on javax.imageio — the
+  *     JDK's built-in PNG/BMP/GIF/JPEG codecs, spec-gated on generated
+  *     fixture images (MultimodalSpec pins decode meta and the
+  *     encoding-invariance of pixel-level features). Audio/video
+  *     remain stub-only (no JDK codec).
+  * Everything Spark-side is identical between configs: schema, binary
+  * column handling, the mapPartitions batch shape (the Scala analogue
+  * of `mapInPandas`: one iterator per partition, per-partition codec
+  * init, constant memory), and partitioning behavior.
   */
 object Multimodal {
 
@@ -178,6 +187,208 @@ object Multimodal {
         }
       }
       .toDF(idCol, outCol)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image decode — javax.imageio (JDK-builtin: PNG/BMP/GIF/JPEG
+  // readers ship with the JRE, no external codec, no egress). The same
+  // mapPartitions batch shape as the stub stages above, so a pipeline
+  // swaps ONE stage to go from replayable-fake to real decode. The
+  // stub stays the oracle config (byte-level deterministic across
+  // engines); the real stages are spec-gated (MultimodalSpec decodes
+  // generated PNG/BMP fixtures and pins encoding-invariance).
+  // ------------------------------------------------------------------
+
+  /** Decode `bytes` with the first capable ImageIO reader. None for
+    * empty/undecodable payloads (kept in-band by callers). */
+  private def decodeImage(
+      bytes: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val fmt = r.getFormatName.toLowerCase
+          Option(r.read(0)).map(img => (fmt, img))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Integer luma (0..255) of an RGB pixel — the BT.601 weights in
+    * integer arithmetic (deterministic on every JVM). */
+  private def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** REAL decode stage: [[decodeMeta]]'s shape with javax.imageio in
+    * the partition-local batch. Undecodable payloads surface as format
+    * "undecodable" with 0x0 dimensions — in-band, so an audit filter
+    * can count/route them instead of the job dying on one bad file.
+    * The checksum is the stub's byte-rolling hash (payload identity,
+    * not pixel identity — two encodings of one image differ here and
+    * agree in [[perceptualHashImage]], which is the point of each).
+    */
+  def decodeMetaImageIO(
+      df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          var ck = 1125899906842597L
+          var i = 0
+          while (i < bytes.length) { ck = ck * 31 + bytes(i); i += 1 }
+          decodeImage(bytes) match {
+            case Some((fmt, img)) =>
+              MediaMeta(id, bytes.length.toLong, fmt, img.getWidth, img.getHeight, ck)
+            case None =>
+              MediaMeta(id, bytes.length.toLong, "undecodable", 0, 0, ck)
+          }
+        }
+      }
+  }
+
+  /** REAL perceptual hash: decode, average integer luma per cell of a
+    * `gridW`x`gridH` grid, threshold each cell against the grid mean
+    * (strict, like the stub), pack the bits. The property the stub
+    * cannot have and image dedup actually needs: two ENCODINGS of the
+    * same pixels (PNG vs BMP) hash identically — spec-pinned. Pair
+    * with [[Dedup.nearDupByFingerprint]] for the banded Hamming join.
+    * Undecodable payloads hash to 0L (in-band).
+    */
+  def perceptualHashImage(
+      df: DataFrame, idCol: String, payloadCol: String,
+      gridW: Int = 8, gridH: Int = 7, outCol: String = "phash"): DataFrame = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 63,
+      s"grid must fit a signed long: got ${gridW}x$gridH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val fp = decodeImage(bytes) match {
+            case None => 0L
+            case Some((_, img)) =>
+              val w = img.getWidth; val h = img.getHeight
+              val cells = gridW * gridH
+              val means = new Array[Double](cells)
+              var total = 0.0
+              var cy = 0
+              while (cy < gridH) {
+                var cx = 0
+                while (cx < gridW) {
+                  val x0 = cx * w / gridW; val x1 = math.max(x0 + 1, (cx + 1) * w / gridW)
+                  val y0 = cy * h / gridH; val y1 = math.max(y0 + 1, (cy + 1) * h / gridH)
+                  var s = 0L; var c = 0
+                  var y = y0
+                  while (y < y1 && y < h) {
+                    var x = x0
+                    while (x < x1 && x < w) { s += luma(img.getRGB(x, y)); c += 1; x += 1 }
+                    y += 1
+                  }
+                  val m = if (c > 0) s.toDouble / c else 0.0
+                  means(cy * gridW + cx) = m
+                  total += m
+                  cx += 1
+                }
+                cy += 1
+              }
+              val mean = total / cells
+              var out = 0L
+              var i = 0
+              while (i < cells) { if (means(i) > mean) out |= 1L << i; i += 1 }
+              out
+          }
+          (id, fp)
+        }
+      }
+      .toDF(idCol, outCol)
+  }
+
+  /** REAL resize: decode, nearest-neighbor resample (a deterministic
+    * integer map — `src(x·w div W, y·h div H)` — rather than AWT's
+    * platform-tuned rendering pipeline), re-encode as PNG (lossless;
+    * the spec pins pixel equality through the roundtrip, not byte
+    * equality — PNG compressors may differ across JVMs). Undecodable
+    * payloads pass through as empty output payloads with 0x0 declared
+    * dimensions.
+    */
+  def resizeImage(
+      df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int = 256, targetH: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImage(bytes) match {
+            case None => (id, 0, 0, Array.emptyByteArray)
+            case Some((_, img)) =>
+              val w = img.getWidth; val h = img.getHeight
+              val out = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < targetH) {
+                var x = 0
+                while (x < targetW) {
+                  out.setRGB(x, y, img.getRGB(x * w / targetW, y * h / targetH))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (id, targetW, targetH, bos.toByteArray)
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "payload")
+  }
+
+  /** REAL feature vector: L1-normalized luma histogram over all pixels
+    * folded to `dim` buckets (`luma · dim div 256`) — encoding-
+    * invariant like [[perceptualHashImage]]. Undecodable → zero
+    * vector.
+    */
+  def extractFeaturesImage(
+      df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"), graft.ops.Cleaning.qcol(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](dim)
+          decodeImage(bytes).foreach { case (_, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { hist(luma(img.getRGB(x, y)) * dim / 256) += 1.0; x += 1 }
+              y += 1
+            }
+            val total = math.max(1.0, (w.toLong * h).toDouble)
+            var i = 0
+            while (i < dim) { hist(i) /= total; i += 1 }
+          }
+          (id, hist)
+        }
+      }
+      .toDF(idCol, "features")
   }
 
   /** Feature-extract stage: fixed-size float feature vector per payload

@@ -74,4 +74,65 @@ class MultimodalSpec extends AnyFunSuite {
     val withNull = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
     assert(Multimodal.perceptualHash(withNull, "doc_id", "payload").head().getLong(1) == 0L)
   }
+
+  /** A real 8x6 RGB gradient, encoded with the JDK's own writers —
+    * round-tripping through genuinely-encoded PNG/BMP bytes is the
+    * real-decode fixture (no binary blob checked in). */
+  private def fixtureImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 30) << 16) | ((y * 40) << 8) | ((x + y) * 10))
+    img
+  }
+
+  private def encode(fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(fixtureImage(), fmt, bos),
+      s"JDK must ship a $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decodeMetaImageIO: real PNG/BMP decode; garbage payloads stay in-band") {
+    val png = encode("png"); val bmp = encode("bmp")
+    val junk = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val df = Seq((1L, png), (2L, bmp), (3L, junk)).toDF("doc_id", "payload")
+    val m = Multimodal.decodeMetaImageIO(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(m(1L).format === "png" && m(1L).width === 8 && m(1L).height === 6)
+    assert(m(2L).format === "bmp" && m(2L).width === 8 && m(2L).height === 6)
+    assert(m(1L).n_bytes === png.length.toLong && m(2L).n_bytes === bmp.length.toLong)
+    assert(m(3L).format === "undecodable" && m(3L).width === 0 && m(3L).height === 0)
+  }
+
+  test("perceptualHashImage + extractFeaturesImage: encoding-invariant (PNG == BMP of the same pixels)") {
+    val df = Seq((1L, encode("png")), (2L, encode("bmp")),
+      (3L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val ph = Multimodal.perceptualHashImage(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) === ph(2L),
+      "two lossless encodings of the same pixels must hash identically")
+    assert(ph(1L) !== 0L)
+    assert(ph(3L) === 0L) // undecodable, in-band
+    val fx = Multimodal.extractFeaturesImage(df, "doc_id", "payload", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fx(1L) === fx(2L))
+    assert(math.abs(fx(1L).sum - 1.0) < 1e-9)
+    assert(fx(3L).forall(_ === 0.0))
+  }
+
+  test("resizeImage: nearest-neighbor pixels survive the PNG re-encode roundtrip") {
+    val df = Seq((1L, encode("png"))).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImage(df, "doc_id", "payload",
+      targetW = 4, targetH = 3).collect().head
+    assert(out.getInt(1) === 4 && out.getInt(2) === 3)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](3)))
+    assert(img.getWidth === 4 && img.getHeight === 3)
+    val src = fixtureImage()
+    // nearest-neighbor map: out(x, y) == src(x*8/4, y*6/3), bit-exact
+    // through the lossless PNG roundtrip
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) === (src.getRGB(x * 2, y * 2) & 0xffffff))
+  }
 }
