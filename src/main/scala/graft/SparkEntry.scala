@@ -309,16 +309,11 @@ object SparkEntry {
             concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
             lit("2026-01-01T00:00:00Z").as("date"), col("text")), out)
       }
-      graft.io.Warc.readWet(s, dir)
-        .filter(col("record_type") === "conversion")
-        .select(
-          regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
-          col("content_length"),
-          length(col("text")).cast("long").as("n_chars"),
-          col("text"))
+      wetConversions(graft.io.Warc.readWet(s, dir))
     }),
 
     // ADVERSARIAL WET roundtrip (round-8 verdict #4): bodies planted
+    // (shared epilogue: wetConversions)
     // with the record magic `WARC/1.0\r\n` and the record separator
     // `\r\n\r\n` — text the delimiter-split readWet provably mis-splits
     // and the old writeWet refused outright — written with
@@ -341,13 +336,7 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
         graft.io.Sinks.writeWet(planted, out, forStrictReader = true)
       }
-      graft.io.Warc.readWetStrict(s, dir)
-        .filter(col("record_type") === "conversion")
-        .select(
-          regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
-          col("content_length"),
-          length(col("text")).cast("long").as("n_chars"),
-          col("text"))
+      wetConversions(graft.io.Warc.readWetStrict(s, dir))
     }),
 
     "s14_xls_roundtrip" -> ((s, d) => {
@@ -1528,24 +1517,7 @@ object SparkEntry {
     // excluded — unknown quality is not good quality) -> classifier
     // score floor, summarized per source. The composition a CCNet-
     // style pipeline actually ships, built from the gated parts.
-    "x_corpus_web_e2e" -> ((s, d) => {
-      val docs0 = T(s, d, "documents")
-      val kept1 = TextAnalysis.filterBlockedDomainSuffix(
-        withSubdomainUrls(docs0), "text", BlockSuffixList)
-      val tiers = graft.scale.Graph.rankTiers(
-        graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5),
-        GraphTierCuts).select(col("node"), col("tier"))
-      val kept2 = kept1.withColumn("node", col("doc_id") % 64)
-        .join(broadcast(tiers), Seq("node")).filter(col("tier") <= 2)
-      val labeled = docs0.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
-      val good = TextAnalysis.hashedClassifierScore(docs0, "doc_id", "text", model, 1024)
-        .filter(col("score_micro") >= 0L).select(col("doc_id"))
-      kept2.join(good, Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-    }),
+    "x_corpus_web_e2e" -> ((s, d) => webE2ePipeline(s, d)),
 
     "x_emb_quant" -> ((s, d) =>
       graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
@@ -2150,24 +2122,11 @@ object SparkEntry {
     // filters exist to catch (braces, lorem ipsum, a cookie notice,
     // multi-line docs with terminal punctuation) by doc_id class —
     // the s30 move; the oracle replays the plant verbatim
-    "x_text_c4filters" -> ((s, d) => {
-      val planted = T(s, d, "documents").select(
-        col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" { x } ")))
-          .when(col("doc_id") % 7 === 1,
-            concat(lit("Lorem ipsum dolor sit amet. "), col("text")))
-          .when(col("doc_id") % 7 === 2,
-            concat(lit("This site uses cookies per our privacy policy. "), col("text")))
-          .when(col("doc_id") % 7 === 3,
-            concat(lit("The first line is a clean sentence.\n"), col("text"), lit(".\n"),
-              lit("The third line is a clean sentence too.\nshort line.")))
-          .when(col("doc_id") % 7 === 4, concat(col("text"), lit(".")))
-          .otherwise(col("text")).as("text"))
-      graft.scale.WebFilters.c4LineFilters(planted, "text",
+    "x_text_c4filters" -> ((s, d) =>
+      graft.scale.WebFilters.c4LineFilters(c4PlantedDocs(s, d), "text",
           minWordsPerLine = 5, minKeptLines = 2)
         .select(col("doc_id"), col("has_brace"), col("has_lorem"), col("has_policy"),
-          col("n_lines"), col("n_kept_lines"), col("kept_ratio_micro"), col("keep"))
-    }),
+          col("n_lines"), col("n_kept_lines"), col("kept_ratio_micro"), col("keep"))),
 
     // --- preference data / Bradley-Terry (round-10) -------------------
     // per-item outcome rollup over the derived pairwise-judgment view
@@ -2279,13 +2238,9 @@ object SparkEntry {
     // in the 30-min gap before a purchase shares 1e6 div n credit;
     // conservation holds up to the integer-div remainder
     "x_events_multitouch" -> ((s, d) =>
-      graft.streaming.Streams.multiTouchAttribution(
-          T(s, d, "events"), "click", "purchase", gapMinutes = 30)
-        .groupBy(col("user_id"))
-        .agg(countDistinct(col("to_id")).as("n_conversions"),
-          count(lit(1)).as("n_pairs"),
-          sum(col("credit_micro")).as("credit_sum_micro"),
-          max(col("n_touches")).as("max_touches"))),
+      graft.streaming.Streams.multiTouchCreditRollup(
+        graft.streaming.Streams.multiTouchAttribution(
+          T(s, d, "events"), "click", "purchase", gapMinutes = 30))),
 
     // referential-integrity contract audit over PLANTED violations
     // (the FK-consistent TPC-H tables would make the gate vacuous):
@@ -2373,6 +2328,58 @@ object SparkEntry {
     * partition, which is fine for deriving test games but not a shape
     * to ship — production callers hand [[graft.scale.Preferences]] a
     * real ratings table and no window runs at all. */
+  /** WET-roundtrip epilogue shared by the s23/s30 keys: conversion
+    * records back to (doc_id from the fixture URL, declared
+    * content_length, measured n_chars, text). */
+  private def wetConversions(records: DataFrame): DataFrame =
+    records
+      .filter(col("record_type") === "conversion")
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("content_length"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("text"))
+
+  /** Planted C4-violation documents view (every residue mod 7 plants a
+    * different rule trigger) — FIXTURE for the c4 filter keys; both
+    * engines derive the same view. */
+  private def c4PlantedDocs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" { x } ")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("Lorem ipsum dolor sit amet. "), col("text")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("This site uses cookies per our privacy policy. "), col("text")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("The first line is a clean sentence.\n"), col("text"), lit(".\n"),
+            lit("The third line is a clean sentence too.\nshort line.")))
+        .when(col("doc_id") % 7 === 4, concat(col("text"), lit(".")))
+        .otherwise(col("text")).as("text"))
+
+  /** The three-stage web-curation composition behind `x_corpus_web_e2e`:
+    * domain-suffix blocklist → rank-tier gate → classifier floor →
+    * per-source census. Each stage is a library operator; this wires
+    * the e2e order. */
+  private def webE2ePipeline(s: SparkSession, d: String): DataFrame = {
+    val docs0 = T(s, d, "documents")
+    val kept1 = TextAnalysis.filterBlockedDomainSuffix(
+      withSubdomainUrls(docs0), "text", BlockSuffixList)
+    val tiers = graft.scale.Graph.rankTiers(
+      graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5),
+      GraphTierCuts).select(col("node"), col("tier"))
+    val kept2 = kept1.withColumn("node", col("doc_id") % 64)
+      .join(broadcast(tiers), Seq("node")).filter(col("tier") <= 2)
+    val labeled = docs0.withColumn("__lab",
+      coalesce(col("lang"), lit("")) === "en")
+    val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+    val good = TextAnalysis.hashedClassifierScore(docs0, "doc_id", "text", model, 1024)
+      .filter(col("score_micro") >= 0L).select(col("doc_id"))
+    kept2.join(good, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
   /** Fixed as-of clock for the freshness contract keys — 2024-02-01
     * 00:00:00 UTC in epoch micros. A literal, never a clock read, so
     * the audit replays in any engine at any wall time. */

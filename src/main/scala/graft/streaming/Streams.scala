@@ -258,6 +258,22 @@ object Streams {
       .withColumn("credit_micro", expr("1000000L div n_touches"))
   }
 
+  /** Per-user rollup of the [[multiTouchAttribution]] pair table — the
+    * report epilogue a marketing pipeline reads: conversions touched,
+    * pair count, total credited micro-mass, and the widest touch set.
+    * A library call (not an inline epilogue) because every multi-touch
+    * consumer ends in exactly this shape.
+    *
+    * Scale: ONE user-keyed hash aggregate over the pair table
+    * (count-distinct adds its standard two-phase expand).
+    */
+  def multiTouchCreditRollup(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("user_id"))
+      .agg(countDistinct(col("to_id")).as("n_conversions"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("credit_micro")).as("credit_sum_micro"),
+        max(col("n_touches")).as("max_touches"))
+
   /** Streaming form: both sides watermarked, so the join state the
     * runtime buffers is bounded by watermark + gap (left rows older
     * than the horizon can never match a new right row and are evicted).
