@@ -2147,6 +2147,18 @@ object SparkEntry {
       graft.scale.Preferences.btConvergence(preferenceGames(s, d), "winner", "loser",
         iterations = 6)),
 
+    // Wilson 95% band on the win rates — the leaderboard's
+    // reorder-with-confidence guard
+    "x_pref_wilson" -> ((s, d) =>
+      graft.scale.Preferences.winRateWilson(preferenceGames(s, d), "winner", "loser")),
+
+    // two-rater agreement over a derived rating view: rater a = lang,
+    // rater b = lang with every 7th doc mislabeled — kappa < 1 by
+    // construction, chance term exact
+    "x_pref_kappa" -> ((s, d) =>
+      graft.scale.Preferences.cohenKappa(
+        raterFixture(s, d), "item", "rater", "label", "a", "b")),
+
     // --- duplication-aware sampling weights (round-10) ----------------
     // soft dedup: every member of a size-k near-dup cluster carries
     // 1e6 div k micro of sampling mass; rolled up per source as the
@@ -2427,6 +2439,19 @@ object SparkEntry {
       .select(col("rule"), col("n_rows"),
         when(col("is_fresh"), 0L).otherwise(1L).as("n_violations"))
     Seq(refint, gaps, uniq, enums, range, fresh).reduce(_ unionByName _)
+  }
+
+  /** Derived two-rater label view over `documents` (no ratings table
+    * in the testdata; both engines derive the SAME view): rater `a`
+    * reports `lang`, rater `b` reports `lang` with every 7th doc
+    * mislabeled as 'xx'. FIXTURE for the agreement keys. */
+  private def raterFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.select(col("doc_id").as("item"), lit("a").as("rater"),
+        col("lang").as("label"))
+      .unionByName(docs.select(col("doc_id").as("item"), lit("b").as("rater"),
+        when(col("doc_id") % 7 === 0, lit("xx"))
+          .otherwise(col("lang")).as("label")))
   }
 
   private def preferenceGames(s: SparkSession, d: String): DataFrame = {
@@ -6342,6 +6367,61 @@ object SparkEntry {
              |       CAST(max(abs(a.s - b.s)) AS BIGINT) AS max_delta_micro
              |FROM s$i a JOIN s${i - 1} b USING (item)""".stripMargin
         }.mkString("\nUNION ALL\n")),
+
+    // Wilson band: identical double expression shape both engines
+    // (1.96 literal round-trips to the same IEEE double; sqrt is
+    // correctly rounded everywhere), halfUp 6 like every double output
+    "x_pref_wilson" ->
+      (s"WITH $prefGamesSql," +
+        s"""
+          |wl AS (SELECT winner AS item, 1 AS win FROM games
+          |       UNION ALL SELECT loser, 0 FROM games),
+          |t AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
+          |        CAST(count(*) - sum(win) AS BIGINT) AS losses,
+          |        CAST(count(*) AS BIGINT) AS games,
+          |        CAST((sum(win) * 1000000) // count(*) AS BIGINT) AS winrate_micro
+          |      FROM wl GROUP BY 1),
+          |w AS (SELECT *, CAST(wins AS DOUBLE) / CAST(games AS DOUBLE) AS p,
+          |        CAST(games AS DOUBLE) AS nn FROM t)
+          |SELECT item, wins, losses, games, winrate_micro,
+          |  ${Rounding.halfUpSql("(p + (1.96*1.96)/(2.0*nn) - 1.96 * sqrt(p*(1.0-p)/nn + (1.96*1.96)/(4.0*(nn*nn)))) / (1.0 + (1.96*1.96)/nn)", 6)} AS wilson_lo,
+          |  ${Rounding.halfUpSql("(p + (1.96*1.96)/(2.0*nn) + 1.96 * sqrt(p*(1.0-p)/nn + (1.96*1.96)/(4.0*(nn*nn)))) / (1.0 + (1.96*1.96)/nn)", 6)} AS wilson_hi
+          |FROM w""".stripMargin),
+
+    // Cohen's kappa over the derived two-rater view; kappa division
+    // replays Spark's truncate-toward-zero div via the sign-factored
+    // form (negative kappa is possible in general)
+    "x_pref_kappa" ->
+      """WITH r AS (SELECT doc_id AS item, 'a' AS rater, lang AS label FROM documents
+        |           UNION ALL
+        |           SELECT doc_id, 'b',
+        |                  CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+        |           FROM documents),
+        |one AS (SELECT item, rater, min(label) AS label FROM r
+        |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+        |bth AS (SELECT a.item, a.label AS la, b.label AS lb
+        |        FROM (SELECT item, label FROM one WHERE rater = 'a') a
+        |        JOIN (SELECT item, label FROM one WHERE rater = 'b') b USING (item)),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |          CAST(coalesce(sum(CASE WHEN la = lb THEN 1 END), 0) AS BIGINT) AS n_agree
+        |        FROM bth),
+        |ca AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS ca FROM bth GROUP BY 1),
+        |cb AS (SELECT lb AS label, CAST(count(*) AS BIGINT) AS cb FROM bth GROUP BY 1),
+        |ch AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS crs
+        |       FROM ca JOIN cb USING (label)),
+        |po AS (SELECT n_items, n_agree,
+        |         CASE WHEN n_items > 0
+        |           THEN CAST((n_agree * 1000000) // n_items AS BIGINT) END AS po_micro,
+        |         CASE WHEN n_items > 0
+        |           THEN CAST((crs * 1000000) // (n_items * n_items) AS BIGINT) END AS pe_micro
+        |       FROM agg, ch)
+        |SELECT n_items, n_agree, po_micro, pe_micro,
+        |       CASE WHEN pe_micro >= 1000000 THEN NULL
+        |            WHEN po_micro >= pe_micro
+        |              THEN CAST(((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro) AS BIGINT)
+        |            ELSE CAST(-(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
+        |       END AS kappa_micro
+        |FROM po""".stripMargin,
 
     // duplication-aware sampling weights: the dedup family's cluster
     // replay (reach = min-label closure) + 1e6 // size per member,

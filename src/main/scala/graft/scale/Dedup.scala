@@ -629,11 +629,24 @@ object Dedup {
     * candidate is the cost knob, so keep this operator for short-text
     * corpora (titles, turns, lines) and the shingle operators for
     * documents. Block caps replayed by the oracle.
+    *
+    * Identical-text collapse (the [[nearDupNgram]] move, measured on
+    * the r11 sf10 probe): dup-heavy corpora put k identical copies of
+    * a title in one block, and without collapse the DP runs on k²·
+    * cross pairs per title — the 100x dup-heavy dir ran >12 min before
+    * the fix and ~seconds after. The collapse groups equal (block,
+    * text) rows AFTER the cap (cap semantics and oracle untouched),
+    * runs the DP once per distinct-text pair, and expands members
+    * back: inter-group pairs inherit the rep pair's (dist, max_len)
+    * — texts are equal within a group, so every member combination
+    * has exactly that distance — and intra-group pairs are dist 0 by
+    * identity. Result-identical to the uncollapsed join.
     */
   def nearDupEditDistance(
       df: DataFrame, idCol: String, textCol: String,
       maxDistPct: Int = 10, maxBlockSize: Int = DefaultMaxBucketSize,
-      extraBlockCols: Seq[String] = Nil): DataFrame = {
+      extraBlockCols: Seq[String] = Nil,
+      collapseIdentical: Boolean = true): DataFrame = {
     require(maxDistPct >= 1 && maxDistPct <= 100,
       s"nearDupEditDistance: maxDistPct must be 1..100, got $maxDistPct")
     val id = graft.ops.Cleaning.qcol(idCol)
@@ -646,21 +659,49 @@ object Dedup {
         coalesce(get(toks, lit(0)), lit("")).as("t0")): _*)
     val keyed0 = df.select(id.as("__id"), block.as("block"), t.as("__t"))
     val keyed = capBuckets(keyed0, Seq("block"), maxBlockSize)
-    val a = keyed.select(col("block"), col("__id").as("id_a"), col("__t").as("t_a"))
-    val b = keyed.select(col("block"), col("__id").as("id_b"), col("__t").as("t_b"))
-    a.join(b, "block")
-      .filter(col("id_a") < col("id_b"))
-      // |len(a) − len(b)| lower-bounds the edit distance, so this
-      // prunes the O(|a|·|b|) DP without changing the result set (any
-      // row it drops would fail the final filter) — no oracle impact
-      .filter(abs(length(col("t_a")) - length(col("t_b"))).cast("long") * 100L
-        <= lit(maxDistPct.toLong) * greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .withColumn("max_len",
-        greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
-      .filter(col("dist").cast("long") * 100L <= lit(maxDistPct.toLong) * col("max_len"))
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
-        col("max_len"))
+
+    def verifiedPairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("block"), col("__id").as("id_a"), col("__t").as("t_a"))
+      val b = rows.select(col("block"), col("__id").as("id_b"), col("__t").as("t_b"))
+      a.join(b, "block")
+        .filter(col("id_a") < col("id_b"))
+        // |len(a) − len(b)| lower-bounds the edit distance, so this
+        // prunes the O(|a|·|b|) DP without changing the result set (any
+        // row it drops would fail the final filter) — no oracle impact
+        .filter(abs(length(col("t_a")) - length(col("t_b"))).cast("long") * 100L
+          <= lit(maxDistPct.toLong) * greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+        .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+        .withColumn("max_len",
+          greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+        .filter(col("dist").cast("long") * 100L <= lit(maxDistPct.toLong) * col("max_len"))
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+          col("max_len"))
+    }
+
+    if (!collapseIdentical) verifiedPairs(keyed)
+    else {
+      val groups = keyed.groupBy(col("block"), col("__t"))
+        .agg(min(col("__id")).as("__rep__"), collect_list(col("__id")).as("__mem__"))
+      val reps = groups.select(col("block"), col("__rep__").as("__id"), col("__t"))
+      val repPairs = verifiedPairs(reps)
+      val mem = groups.select(col("__rep__"), col("__mem__"))
+      val inter = repPairs
+        .join(mem.select(col("__rep__").as("id_a"), col("__mem__").as("__ma__")), "id_a")
+        .join(mem.select(col("__rep__").as("id_b"), col("__mem__").as("__mb__")), "id_b")
+        .select(explode(col("__ma__")).as("__x__"), col("__mb__"), col("dist"), col("max_len"))
+        .select(col("__x__"), explode(col("__mb__")).as("__y__"), col("dist"), col("max_len"))
+        .select(least(col("__x__"), col("__y__")).as("id_a"),
+          greatest(col("__x__"), col("__y__")).as("id_b"), col("dist"), col("max_len"))
+      val intra = groups
+        .filter(size(col("__mem__")) > 1)
+        .select(col("__mem__"), length(col("__t")).cast("long").as("max_len"),
+          explode(col("__mem__")).as("__x__"))
+        .select(col("__x__"), explode(col("__mem__")).as("__y__"), col("max_len"))
+        .filter(col("__x__") < col("__y__"))
+        .select(col("__x__").as("id_a"), col("__y__").as("id_b"),
+          lit(0L).as("dist"), col("max_len"))
+      inter.unionByName(intra)
+    }
   }
 
   /** Duplication-aware sampling weights over an EXISTING clusters

@@ -126,6 +126,96 @@ object Preferences {
       .withColumnRenamed("s_micro", "strength_micro")
   }
 
+  /** Wilson score interval on per-item win rates — the confidence
+    * band a leaderboard needs before it reorders two items on a
+    * handful of games (a raw 3/4 win rate outranks 70/100 without it).
+    * Emits [[itemStats]] plus `wilson_lo`/`wilson_hi` at the z given
+    * in micro units (default 1.96 — the 95% band).
+    *
+    * Determinism: p, the interval arithmetic, and the final halfUp 6
+    * rounding are ONE fixed IEEE double expression (w, n exact longs;
+    * sqrt is correctly rounded per IEEE-754 in any engine), written in
+    * the identical shape on the oracle side — the ln-chain precedent.
+    *
+    * Scale: a row-local projection over the |items|-row [[itemStats]]
+    * aggregate — free.
+    */
+  def winRateWilson(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      zMicro: Long = 1960000L): DataFrame = {
+    require(zMicro > 0, "winRateWilson: zMicro must be positive")
+    val z = zMicro.toDouble / 1e6
+    val stats = itemStats(games, winnerCol, loserCol)
+    val n = col("games").cast("double")
+    val p = col("wins").cast("double") / n
+    val zz = lit(z) * lit(z)
+    val a = p + zz / (lit(2.0) * n)
+    val b = sqrt(p * (lit(1.0) - p) / n + zz / (lit(4.0) * (n * n)))
+    val den = lit(1.0) + zz / n
+    stats
+      .withColumn("wilson_lo", graft.ops.Rounding.halfUp((a - lit(z) * b) / den, 6))
+      .withColumn("wilson_hi", graft.ops.Rounding.halfUp((a + lit(z) * b) / den, 6))
+  }
+
+  /** Cohen's kappa between two raters over a shared item set — the
+    * inter-annotator agreement gate an RLHF/eval pipeline runs before
+    * trusting a label stream (raw percent agreement overstates quality
+    * whenever the label marginals are skewed; kappa subtracts the
+    * chance term).
+    *
+    * Input: one row per (item, rater, label). Duplicate ratings by the
+    * same rater collapse to the MIN label (the library's deterministic
+    * tie rule). Only items rated by BOTH raters enter the statistic;
+    * an empty overlap emits the row with NULL rates (no loud failure —
+    * an agreement AUDIT reports, it never throws).
+    *
+    * Integer-exact: po and pe live in micro units
+    * (`agree·1e6 div n`, `Σ_k cA_k·cB_k·1e6 div n²`), and
+    * `kappa_micro = (po−pe)·1e6 div (1e6−pe)` — NULL when pe = 1 (a
+    * degenerate single-label world has no chance-corrected signal).
+    * Output: one row (n_items, n_agree, po_micro, pe_micro,
+    * kappa_micro).
+    *
+    * Scale: one (item, rater) pre-aggregate, one item-keyed self-join
+    * of the two rater slices, one |labels|²-bounded marginal join —
+    * everything past the first aggregate is label-cardinality-sized.
+    * Overflow: cA_k·cB_k·1e6 needs n ≲ 3e6 per label side; divide
+    * counts upstream for bigger panels (the BT countDiv move).
+    */
+  def cohenKappa(
+      ratings: DataFrame, itemCol: String, raterCol: String, labelCol: String,
+      raterA: String, raterB: String): DataFrame = {
+    require(raterA != raterB, "cohenKappa: raters must differ")
+    val one = ratings
+      .select(col(itemCol).as("item"), col(raterCol).cast("string").as("rater"),
+        col(labelCol).cast("string").as("label"))
+      .filter(col("item").isNotNull && col("label").isNotNull &&
+        (col("rater") === raterA || col("rater") === raterB))
+      .groupBy(col("item"), col("rater"))
+      .agg(min(col("label")).as("label"))
+    val a = one.filter(col("rater") === raterA)
+      .select(col("item"), col("label").as("la"))
+    val b = one.filter(col("rater") === raterB)
+      .select(col("item"), col("label").as("lb"))
+    val both = a.join(b, Seq("item"))
+    val agg = both.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(when(col("la") === col("lb"), 1L)), lit(0L)).as("n_agree"))
+    val ca = both.groupBy(col("la").as("label")).agg(count(lit(1)).as("ca"))
+    val cb = both.groupBy(col("lb").as("label")).agg(count(lit(1)).as("cb"))
+    val chance = ca.join(cb, Seq("label"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("cross"))
+    agg.crossJoin(broadcast(chance))
+      .select(col("n_items"), col("n_agree"),
+        when(col("n_items") > 0L,
+          expr("(n_agree * 1000000L) div n_items")).as("po_micro"),
+        when(col("n_items") > 0L,
+          expr("(cross * 1000000L) div (n_items * n_items)")).as("pe_micro"))
+      .withColumn("kappa_micro",
+        when(col("pe_micro") < 1000000L,
+          expr("((po_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)")))
+  }
+
   /** One MM iteration: d-sum on the directed pair matrix, the smoothed
     * win update, and the max-divisor rescale — returning the next
     * (item, s_micro) frame, localCheckpointed.
