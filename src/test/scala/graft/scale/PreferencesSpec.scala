@@ -72,6 +72,60 @@ class PreferencesSpec extends AnyFunSuite {
       "the default iteration count must already be rank-stable vs 2x the iterations")
   }
 
+  test("winRateWilson: brackets p, shrinks with sample size, replays the formula") {
+    val w = Preferences.winRateWilson(games, "winner", "loser")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(5), r.getDouble(6)))).toMap
+    // independent replay of the documented expression for item 1 (7/8)
+    def wilson(wins: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val nn = n.toDouble; val p = wins.toDouble / nn
+      val zz = z * z
+      val a = p + zz / (2.0 * nn)
+      val b = math.sqrt(p * (1.0 - p) / nn + zz / (4.0 * (nn * nn)))
+      val den = 1.0 + zz / nn
+      (math.floor((a - z * b) / den * 1e6 + 0.5) / 1e6,
+        math.floor((a + z * b) / den * 1e6 + 0.5) / 1e6)
+    }
+    val (lo1, hi1) = wilson(7L, 8L)
+    assert(w(1L)._3 === lo1 && w(1L)._4 === hi1)
+    assert(w(1L)._3 < 0.875 && 0.875 < w(1L)._4)
+    // 4x the games at the same rate -> strictly narrower band
+    val big = games.union(games).union(games).union(games)
+    val wb = Preferences.winRateWilson(big, "winner", "loser")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    assert(wb(1L)._2 - wb(1L)._1 < w(1L)._4 - w(1L)._3)
+  }
+
+  test("cohenKappa: hand case exact; duplicate ratings collapse to min; empty overlap is null-rated") {
+    // 10 items, 8/10 agreement, balanced marginals: po=0.8, pe=0.5,
+    // kappa=0.6 exactly on the micro grid
+    val rows =
+      (1 to 10).map(i => (i.toLong, "a", if (i <= 5) "x" else "y")) ++
+        (1 to 10).map(i => (i.toLong, "b",
+          if (i == 5) "y" else if (i == 10) "x" else if (i <= 5) "x" else "y"))
+    val r = Preferences.cohenKappa(rows.toDF("item", "rater", "label"),
+      "item", "rater", "label", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((10L, 8L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((800000L, 500000L, 600000L)))
+    // a duplicate rating by rater a collapses to the MIN label
+    val dup = rows :+ ((1L, "a", "z"))
+    val rd = Preferences.cohenKappa(dup.toDF("item", "rater", "label"),
+      "item", "rater", "label", "a", "b").collect().head
+    assert(rd.getLong(0) === 10L && rd.getLong(1) === 8L) // min("x","z")="x"
+    // disjoint item sets: zero overlap, null rates, no division blowup
+    val disj = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("item", "rater", "label")
+    val rn = Preferences.cohenKappa(disj, "item", "rater", "label", "a", "b")
+      .collect().head
+    assert(rn.getLong(0) === 0L && rn.isNullAt(2) && rn.isNullAt(4))
+    // perfect single-label agreement: pe=1, kappa undefined -> null
+    val mono = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"), (2L, "b", "x"))
+      .toDF("item", "rater", "label")
+    val rm = Preferences.cohenKappa(mono, "item", "rater", "label", "a", "b")
+      .collect().head
+    assert(rm.getLong(2) === 1000000L && rm.getLong(3) === 1000000L && rm.isNullAt(4))
+  }
+
   test("btStrengths: countDiv rescale preserves the ranking") {
     val big = games.union(games).union(games).union(games)
     val a = Preferences.btStrengths(big, "winner", "loser", iterations = 3)
