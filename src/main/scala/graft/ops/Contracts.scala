@@ -162,6 +162,36 @@ object Contracts {
         coalesce(col("lag_s") <= maxLagSec, lit(false)))
   }
 
+  /** Schema-drift audit between two deliveries — the contract a feed
+    * breaks FIRST (a renamed column fails every downstream select
+    * before any value test runs): one row per drifted column with
+    * `status` in added/removed/type_changed and both type strings
+    * (catalog DDL form). Columns compare by name (case-sensitive —
+    * Spark's resolution may be lax, but a contract is not); an
+    * identical schema yields zero rows.
+    *
+    * Driver-side by nature (schemas are metadata, not data — the S4/S7
+    * class: spec-verified, no oracle needed); the output is a
+    * DataFrame so it unions into the delivery report like every other
+    * audit.
+    */
+  def schemaDriftAudit(
+      before: DataFrame, after: DataFrame, rule: String): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val a = before.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val b = after.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
+        (rule, c, "added", null.asInstanceOf[String], b(c))) ++
+      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
+        (rule, c, "removed", a(c), null.asInstanceOf[String])) ++
+      (a.keySet & b.keySet).toSeq.sorted.collect {
+        case c if a(c) != b(c) => (rule, c, "type_changed", a(c), b(c))
+      }
+    rows.toDF("rule", "column", "status", "type_before", "type_after")
+  }
+
   def sequenceGapAudit(df: DataFrame, idCol: String, rule: String): DataFrame =
     df.filter(qcol(idCol).isNotNull)
       .agg(

@@ -80,6 +80,19 @@ class ContractsSpec extends AnyFunSuite {
     assert((r.getLong(5), r.getLong(6)) === ((1L, 100L)))
   }
 
+  test("schemaDriftAudit: added/removed/type_changed rows, empty on identity") {
+    val before = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val after = Seq((1L, 1, true)).toDF("id", "name", "fresh")
+    val got = Contracts.schemaDriftAudit(before, after, "docs.v2")
+      .collect().map(r => (r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(got === Set(
+      ("fresh", "added", None, Some("BOOLEAN")),
+      ("score", "removed", Some("DOUBLE"), None),
+      ("name", "type_changed", Some("STRING"), Some("INT"))))
+    assert(Contracts.schemaDriftAudit(before, before, "same").count() === 0L)
+  }
+
   test("freshnessAudit: lag vs a passed-in as-of; empty delivery is stale") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq((1L, ts)).toDF("id", "ts")
