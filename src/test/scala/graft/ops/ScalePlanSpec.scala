@@ -690,6 +690,35 @@ class ScalePlanSpec extends AnyFunSuite {
       .contains("raise_error"), "winsorizedMean's cardinality guard was pruned")
   }
 
+  test("round-11 ops: kappa's chance term broadcasts, wilson/contracts are agg-only") {
+    val games = (1 to 40).map(i => ((i % 5).toLong, ((i + 2) % 5).toLong))
+      .toDF("winner", "loser").filter(col("winner") =!= col("loser"))
+    val wilson = graft.scale.Preferences.winRateWilson(games, "winner", "loser")
+    assert(unpartitionedWindows(wilson).isEmpty)
+    assert(!collectPlans(wilson.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the Wilson band is a projection over itemStats — no join at all")
+    val ratings = (1 to 60).map(i =>
+      (i.toLong % 20, if (i % 2 == 0) "a" else "b", s"l${i % 3}"))
+      .toDF("item", "rater", "label")
+    val kappa = graft.scale.Preferences.cohenKappa(
+      ratings, "item", "rater", "label", "a", "b")
+    val knodes = collectPlans(kappa.queryExecution.executedPlan)
+    assert(!knodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the 1-row chance term must ride a broadcast")
+    assert(unpartitionedWindows(kappa).isEmpty)
+    for (audit <- Seq(
+        graft.ops.Contracts.uniquenessAudit(orders, Seq("o_orderkey"), "u"),
+        graft.ops.Contracts.enumDomainAudit(orders.selectExpr("cast(o_orderkey % 3 as string) as v"),
+          "v", Seq("0", "1"), "e"),
+        graft.ops.Contracts.rangeAudit(orders, "o_orderkey", 1L, 5L, "r"))) {
+      val nodes = collectPlans(audit.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]) &&
+        !nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        "contract audits are aggregates — no windows, no sort-merge joins")
+    }
+  }
+
   test("statically-bounded summary windows reject corpus-sized caller literals") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
