@@ -478,4 +478,55 @@ class PropertiesSpec extends AnyFunSuite {
       assert(a.values.forall(v => math.abs(v._2) <= bound))
     }
   }
+
+  test("uniquenessAudit invariants: counters partition the rows; dupes = rows - nulls - distinct") {
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.option(Gen.choose(1L, 8L)), Gen.choose(1L, 3L)))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.toDF("k1", "k2")
+      val r = graft.ops.Contracts.uniquenessAudit(df, Seq("k1", "k2"), "u")
+        .collect().head
+      val (n, nulls, distinct, dupeKeys, dupeRows) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n === rows.size.toLong)
+      assert(nulls === rows.count(_._1.isEmpty).toLong)
+      assert(dupeRows === n - nulls - distinct)
+      val expectDistinct = rows.filter(_._1.isDefined).distinct.size.toLong
+      assert(distinct === expectDistinct)
+      assert(dupeKeys <= distinct)
+    }
+  }
+
+  test("winRateWilson invariants: lo <= p <= hi, bounds inside [0,1]") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 6L), Gen.choose(1L, 6L)))
+    samples(gen, 6).foreach { gs =>
+      val games = gs.filter(g => g._1 != g._2).toDF("winner", "loser")
+      if (games.count() > 0) {
+        graft.scale.Preferences.winRateWilson(games, "winner", "loser")
+          .collect().foreach { r =>
+            val p = r.getLong(1).toDouble / r.getLong(3)
+            val (lo, hi) = (r.getDouble(5), r.getDouble(6))
+            assert(lo >= 0.0 && hi <= 1.0 && lo <= hi)
+            // half-up 6dp rounding can move a bound by <= 5e-7
+            assert(lo <= p + 5e-7 && p - 5e-7 <= hi)
+          }
+      }
+    }
+  }
+
+  test("cohenKappa invariants: kappa in [-1e6, 1e6] micro, po=1 forces kappa=1e6") {
+    val gen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(1L, 8L), Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z")))
+    samples(gen, 6).foreach { triples =>
+      val ratings = triples.flatMap { case (item, la, lb) =>
+        Seq((item, "a", la), (item, "b", lb)) }.toDF("item", "rater", "label")
+      val r = graft.scale.Preferences.cohenKappa(
+        ratings, "item", "rater", "label", "a", "b").collect().head
+      if (!r.isNullAt(4)) {
+        val k = r.getLong(4)
+        assert(k >= -1000000L && k <= 1000000L, s"kappa out of range: $k")
+        if (r.getLong(2) === 1000000L) assert(k === 1000000L)
+      }
+    }
+  }
 }
