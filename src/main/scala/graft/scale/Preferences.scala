@@ -107,6 +107,25 @@ object Preferences {
       iterations: Int = 4, countDiv: Long = 1L): DataFrame = {
     require(iterations >= 1, "btStrengths: need at least one iteration")
     require(countDiv >= 1, "btStrengths: countDiv must be >= 1")
+    val (directed, totals) = btSetup(games, winnerCol, loserCol, countDiv)
+    var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
+    for (_ <- 1 to iterations) s = btStep(directed, totals, s)
+    totals.select(col("item"), col("wins"), col("games"))
+      .join(s, Seq("item"))
+      .withColumnRenamed("s_micro", "strength_micro")
+  }
+
+  /** The shared MM inputs, MATERIALIZED once: the lazy forms would
+    * re-run the corpus-sized pair/win aggregates on EVERY iteration
+    * (each step's `d` join re-evaluates its inputs — only `s` was
+    * checkpointed before r11; measured ~2x on the fixture, and at
+    * corpus scale it is the difference between one corpus scan and
+    * `iterations` of them). Both frames are summary-sized (|pairs|,
+    * |items|) so the materialization barrier is metadata-priced.
+    */
+  private def btSetup(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      countDiv: Long): (DataFrame, DataFrame) = {
     val pairs = pairStats(games, winnerCol, loserCol)
       .withColumn("games", greatest(expr(s"games div ${countDiv}L"), lit(1L)))
     // directed view: (i, j, n_ij) both ways — d_i sums over opponents
@@ -114,16 +133,14 @@ object Preferences {
         col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
       .union(pairs.select(
         col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
+      .localCheckpoint()
     val totals = itemStats(
       games.filter(col(winnerCol) =!= col(loserCol)),
       winnerCol, loserCol)
       .select(col("item"), col("wins"), col("games"))
       .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
-    var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
-    for (_ <- 1 to iterations) s = btStep(directed, totals, s)
-    totals.select(col("item"), col("wins"), col("games"))
-      .join(s, Seq("item"))
-      .withColumnRenamed("s_micro", "strength_micro")
+      .localCheckpoint()
+    (directed, totals)
   }
 
   /** Wilson score interval on per-item win rates — the confidence
@@ -268,17 +285,7 @@ object Preferences {
       iterations: Int = 8, countDiv: Long = 1L): DataFrame = {
     require(iterations >= 1, "btConvergence: need at least one iteration")
     require(countDiv >= 1, "btConvergence: countDiv must be >= 1")
-    val pairs = pairStats(games, winnerCol, loserCol)
-      .withColumn("games", greatest(expr(s"games div ${countDiv}L"), lit(1L)))
-    val directed = pairs.select(
-        col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
-      .union(pairs.select(
-        col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
-    val totals = itemStats(
-      games.filter(col(winnerCol) =!= col(loserCol)),
-      winnerCol, loserCol)
-      .select(col("item"), col("wins"), col("games"))
-      .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
+    val (directed, totals) = btSetup(games, winnerCol, loserCol, countDiv)
     var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
     val deltas = (1 to iterations).map { i =>
       val next = btStep(directed, totals, s)
