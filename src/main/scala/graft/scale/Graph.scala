@@ -160,19 +160,27 @@ object Graph {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct must be 0..100, got $dampingPct")
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // materialize the loop INPUTS once (the r11 Bradley-Terry lesson):
+    // the lazy forms would re-run the edge prep (distinct + filters on
+    // the raw graph) and the out-weight/node aggregates on EVERY
+    // iteration — only the rank frame was checkpointed before. The
+    // edge frame materializes at |edges| rows of three longs; outw and
+    // the node set are node-sized.
+    val ec = e.localCheckpoint()
+    val outw = ec.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint()
+    val nodes0 = ec.select(col("src").as("node"))
+      .union(ec.select(col("dst").as("node"))).distinct()
     // nodes carries each node's teleport mass so the per-iteration
     // epilogue is one join with the node set it needs anyway
-    val nodes = teleportOpt match {
+    val nodes = (teleportOpt match {
       case None => nodes0.withColumn("t_micro", lit(1000000L))
       case Some(t) =>
         val t1 = t.groupBy(col("node")).agg(max(col("teleport_micro")).as("teleport_micro"))
         nodes0.join(t1, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("teleport_micro"), lit(0L)).as("t_micro"))
-    }
+    }).localCheckpoint()
     var ranks = initOpt match {
       case None => nodes.select(col("node"), col("t_micro").as("rank_micro"))
       case Some(r0) =>
@@ -184,7 +192,7 @@ object Graph {
     for (i <- 1 to iterations) {
       // contribution of each edge = src rank split over its out-weight
       // (integer division — the determinism contract)
-      val contribs = e
+      val contribs = ec
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outw, "src")
         .select(col("dst").as("node"),
@@ -234,11 +242,15 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "hits: need at least one iteration")
+    // inputs materialized once — each half-step would otherwise re-run
+    // the edge distinct and node union (the rankIterate/BT lesson)
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     var hub = nodes.select(col("node"), lit(1000000L).as("score"))
     var auth = hub
     for (i <- 1 to iterations) {
@@ -304,9 +316,11 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "seedDistance: need at least one hop")
+    // inputs materialized once per fit — the rankIterate/BT lesson
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val s = seeds.select(col("node").cast("long").as("node")).distinct()

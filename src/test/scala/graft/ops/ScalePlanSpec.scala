@@ -492,7 +492,17 @@ class ScalePlanSpec extends AnyFunSuite {
     val nodes = collectPlans(plan.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "the tier join must be a broadcast hash join")
-    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+    // scope the no-SMJ claim to the CORPUS side: the doc_id column must
+    // never flow through a sort-merge join (the tier table broadcasts).
+    // The rank fit's own node-keyed joins upstream are allowed to
+    // shuffle — node sets are corpus-sized at scale, and since r11 the
+    // fit's checkpointed inputs carry no size stats (so tiny test
+    // graphs plan the same shuffle joins real graphs would).
+    val smjWithDocs = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.output.exists(_.name == "doc_id") => j
+    }
+    assert(smjWithDocs.isEmpty,
       "the corpus must not sort-merge against the 64-row tier table")
   }
 
