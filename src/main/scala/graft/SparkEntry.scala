@@ -6535,11 +6535,12 @@ object SparkEntry {
 
     // seeded Laplace counts: poly-hash -> affine -> centered uniform ->
     // inverse CDF, every float op in the same order as the Scala side;
-    // the single ln per group is floor-micro-rounded (entropy precedent)
+    // the single ln per group is floor-micro-rounded (entropy precedent).
+    // chr(31) mirrors the Scala side's U+001F group/salt domain separator
     "x_priv_dpcounts" ->
       s"""WITH c AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n
          |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
-         |h AS (SELECT *, ((${polyHashSqlOf("\"group\" || 'release-2'")} % 1000003) * 514229 + 741103) % 1000003 AS hv
+         |h AS (SELECT *, ((${polyHashSqlOf("\"group\" || chr(31) || 'release-2'")} % 1000003) * 514229 + 741103) % 1000003 AS hv
          |      FROM c),
          |u AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 1000003.0 - 0.5 AS cdev FROM h),
          |z AS (SELECT *, CAST(floor((((-2.0) * sign(cdev)) * ln(1.0 - 2.0 * abs(cdev)))

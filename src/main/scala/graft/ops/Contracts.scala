@@ -179,15 +179,34 @@ object Contracts {
       before: DataFrame, after: DataFrame, rule: String): DataFrame = {
     val spark = before.sparkSession
     import spark.implicits._
-    val a = before.schema.fields.map(f => f.name -> f.dataType.sql).toMap
-    val b = after.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    // Duplicate field names are legal in Spark schemas (post-join
+    // frames) but make a name->type map silently keep only the last
+    // entry, so drift on a duplicated column could be missed or
+    // misreported. Surface each offending name as its own "duplicate"
+    // row (type fields carry the comma-joined type list on the side(s)
+    // that duplicate it) and exclude it from the add/remove/change
+    // comparison — the contract verdict on an ambiguous name is
+    // "fix the duplication first", not a guess between its types.
+    def types(df: DataFrame): Map[String, Seq[String]] =
+      df.schema.fields.groupBy(_.name)
+        .map { case (n, fs) => n -> fs.map(_.dataType.sql).toSeq }
+    val a = types(before)
+    val b = types(after)
+    val dup = (a.filter(_._2.length > 1).keySet ++
+      b.filter(_._2.length > 1).keySet)
+    def one(m: Map[String, Seq[String]], c: String): String = m.get(c) match {
+      case Some(ts) => ts.mkString(",")
+      case None => null
+    }
     val rows =
-      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
-        (rule, c, "added", null.asInstanceOf[String], b(c))) ++
-      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
-        (rule, c, "removed", a(c), null.asInstanceOf[String])) ++
-      (a.keySet & b.keySet).toSeq.sorted.collect {
-        case c if a(c) != b(c) => (rule, c, "type_changed", a(c), b(c))
+      dup.toSeq.sorted.map(c => (rule, c, "duplicate", one(a, c), one(b, c))) ++
+      (b.keySet -- a.keySet -- dup).toSeq.sorted.map(c =>
+        (rule, c, "added", null.asInstanceOf[String], b(c).head)) ++
+      (a.keySet -- b.keySet -- dup).toSeq.sorted.map(c =>
+        (rule, c, "removed", a(c).head, null.asInstanceOf[String])) ++
+      ((a.keySet & b.keySet) -- dup).toSeq.sorted.collect {
+        case c if a(c).head != b(c).head =>
+          (rule, c, "type_changed", a(c).head, b(c).head)
       }
     rows.toDF("rule", "column", "status", "type_before", "type_after")
   }

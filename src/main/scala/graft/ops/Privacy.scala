@@ -199,9 +199,16 @@ object Privacy {
     val g = Cleaning.qcol(groupCol)
     val counts = df.filter(g.isNotNull)
       .groupBy(g).agg(count(lit(1)).as("n"))
+    // Domain-separate group and salt with U+001F (unit separator) so
+    // crafted names can't alias two releases onto one draw: without it
+    // (group="a", salt="b2") and (group="ab", salt="2") hash the same
+    // concatenation and replay identical noise, silently voiding the
+    // fresh-draw-per-salt composition guarantee. U+001F is a control
+    // char no group name carries, and its codepoint (31) folds
+    // identically through ascii()/unicode() on both engines.
     val h = graft.functions.PortableHash.affineHash(
       graft.functions.PortableHash.polyHash31(
-        concat(g.cast("string"), lit(releaseSalt))))
+        concat(g.cast("string"), lit("\u001f"), lit(releaseSalt))))
     val u = (h.cast("double") + lit(0.5)) / lit(graft.functions.PortableHash.P.toDouble)
     val c = u - lit(0.5)
     val noise = -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))

@@ -658,7 +658,15 @@ object Dedup {
         // same null-safe t0 as nearDupNgram (ANSI element_at hazard)
         coalesce(get(toks, lit(0)), lit("")).as("t0")): _*)
     val keyed0 = df.select(id.as("__id"), block.as("block"), t.as("__t"))
+    // NULL texts can never satisfy the distance filters (levenshtein
+    // with a NULL side is NULL in both engines), so the uncollapsed
+    // join drops them implicitly. Drop them explicitly AFTER the cap
+    // (cap selection and oracle untouched) so the identical-text
+    // collapse — whose groupBy would otherwise treat NULL __t as one
+    // equal-text group and emit spurious dist-0 intra pairs — stays
+    // result-identical to the uncollapsed join on null-bearing corpora.
     val keyed = capBuckets(keyed0, Seq("block"), maxBlockSize)
+      .filter(col("__t").isNotNull)
 
     def verifiedPairs(rows: DataFrame): DataFrame = {
       val a = rows.select(col("block"), col("__id").as("id_a"), col("__t").as("t_a"))

@@ -199,6 +199,12 @@ object Multimodal {
   // generated PNG/BMP fixtures and pins encoding-invariance).
   // ------------------------------------------------------------------
 
+  /** Largest pixel count [[decodeImage]] will allocate (64 Mpx ≈ 256 MB
+    * of ARGB) — headers claiming more are treated as undecodable before
+    * any allocation happens (decompression-bomb guard). Generous for
+    * real corpora: 64 Mpx is ~8Kx8K, beyond any training image. */
+  private val MaxDecodePixels: Long = 64L * 1024L * 1024L
+
   /** Decode `bytes` with the first capable ImageIO reader. None for
     * empty/undecodable payloads (kept in-band by callers). */
   private def decodeImage(
@@ -214,7 +220,17 @@ object Multimodal {
         try {
           r.setInput(iis)
           val fmt = r.getFormatName.toLowerCase
-          Option(r.read(0)).map(img => (fmt, img))
+          // Decompression-bomb guard: a tiny payload whose header
+          // declares huge dimensions (e.g. a 100000x100000 PNG) would
+          // make r.read(0) allocate the full BufferedImage and OOM the
+          // executor — an Error the Exception catch below can't keep
+          // in-band. getWidth/getHeight only parse the header, so
+          // oversized claims are rejected before any pixel allocation
+          // and surface as "undecodable" like any other bad payload.
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxDecodePixels) None
+          else Option(r.read(0)).map(img => (fmt, img))
         } catch { case _: Exception => None }
         finally r.dispose()
       }

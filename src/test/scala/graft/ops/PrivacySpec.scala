@@ -102,8 +102,10 @@ class PrivacySpec extends AnyFunSuite {
     val got = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 500000L)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    // replay the documented formula for group "a" in plain Scala
-    def expectedNoise(key: String, b: Double): Long = {
+    // replay the documented formula for group "a" in plain Scala;
+    // the hashed key is always group + U+001F + salt (domain-separated)
+    def expectedNoise(group: String, b: Double, salt: String = ""): Long = {
+      val key = group + "\u001f" + salt
       val poly = key.foldLeft(0L)((a, ch) => (a * 31L + ch.toLong) % 2147483647L)
       val h = ((poly % 1000003L) * 514229L + 741103L) % 1000003L
       val u = (h.toDouble + 0.5) / 1000003.0
@@ -111,6 +113,7 @@ class PrivacySpec extends AnyFunSuite {
       val noise = -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
       math.floor(noise * 1000000.0 + 0.5).toLong
     }
+    // the hashed key is group + U+001F + salt (domain-separated)
     assert(got("a")._1 === 7L)
     assert(got("a")._2 === expectedNoise("a", 2.0))
     assert(got("a")._3 === 7L * 1000000L + got("a")._2)
@@ -126,12 +129,23 @@ class PrivacySpec extends AnyFunSuite {
     val salted = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 500000L,
       releaseSalt = "rel2")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(salted("a") === expectedNoise("arel2", 2.0))
+    assert(salted("a") === expectedNoise("a", 2.0, salt = "rel2"))
     assert(salted("a") !== got("a")._2,
       "a fresh salt must redraw the noise, not replay release 1's")
     // default salt "" is the canonical single-release form (unchanged)
     val again = Privacy.dpNoisyCounts(df, "g", epsilonMicro = 500000L, releaseSalt = "")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again === got.map { case (k, v) => k -> v._2 })
+
+    // the separator is exactly what makes nominally-distinct releases
+    // distinct: (group, salt) pairs whose separator-less concatenations
+    // collide ("a"+"b2" vs "ab"+"2") must now draw DIFFERENT noise
+    val ab = Seq("a", "ab").toDF("g")
+    val r1 = Privacy.dpNoisyCounts(ab, "g", releaseSalt = "b2")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val r2 = Privacy.dpNoisyCounts(ab, "g", releaseSalt = "2")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1("a") !== r2("ab"),
+      "domain separation must break the (a,b2)/(ab,2) concat collision")
   }
 }

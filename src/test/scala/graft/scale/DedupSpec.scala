@@ -632,6 +632,30 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.nearDupEditDistance(docs, "doc_id", "text", maxDistPct = 5).count() === 0)
   }
 
+  test("nearDupEditDistance: NULL texts never pair, collapsed == uncollapsed") {
+    // levenshtein(null, x) is NULL and fails every filter, so the
+    // uncollapsed join drops null-text rows; the identical-text collapse
+    // must agree — its groupBy would otherwise treat NULL __t as one
+    // equal-text group and declare all null rows mutual dist-0 dups
+    val docs = Seq(
+      (1L, Some("hello world example text")),
+      (2L, Some("hello world exampel text")),
+      (3L, Option.empty[String]),
+      (4L, Option.empty[String]),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    def pairs(collapse: Boolean) =
+      Dedup.nearDupEditDistance(docs, "doc_id", "text", maxDistPct = 10,
+        collapseIdentical = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val collapsed = pairs(collapse = true)
+    assert(collapsed === pairs(collapse = false),
+      "collapse must be result-identical on null-bearing corpora")
+    assert(collapsed.map(p => (p._1, p._2)) === Set((1L, 2L)),
+      "no pair may involve a null-text row")
+  }
+
   test("nearDupEditDistance: measured blocking recall on planted pairs, incl. edits inside the prefix") {
     // the RecallProbe move for the edit-distance family: a fixture with
     // KNOWN near-dup pairs — 16 suffix-edited (blocking-safe) and 10

@@ -105,6 +105,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(3L).format === "undecodable" && m(3L).width === 0 && m(3L).height === 0)
   }
 
+  test("decodeMetaImageIO: decompression-bomb headers reject before allocation") {
+    // a tiny payload whose IHDR claims 100000x100000 would allocate a
+    // ~40 GB BufferedImage if read blindly; the dimension guard must
+    // reject it as undecodable from the header alone. Craft it by
+    // patching a REAL png's IHDR (width@16, height@20) and fixing the
+    // chunk CRC so the reader parses the header as valid.
+    val png = encode("png")
+    val bomb = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 100000); putInt(20, 100000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type "IHDR" + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    val df = Seq((1L, bomb), (2L, png)).toDF("doc_id", "payload")
+    val m = Multimodal.decodeMetaImageIO(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(m(1L).format === "undecodable" && m(1L).width === 0 && m(1L).height === 0)
+    assert(m(2L).format === "png" && m(2L).width === 8) // guard is surgical
+  }
+
   test("perceptualHashImage + extractFeaturesImage: encoding-invariant (PNG == BMP of the same pixels)") {
     val df = Seq((1L, encode("png")), (2L, encode("bmp")),
       (3L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
