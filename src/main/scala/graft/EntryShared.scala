@@ -1,0 +1,1116 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Shared fixtures, fit-once caches, and oracle-SQL CTE builders used
+  * by the per-family Queries* objects composing [[SparkEntry]]. Moved
+  * here verbatim when SparkEntry split by family (round 12); every
+  * member was private to SparkEntry before, and the object stays
+  * package-private so the public surface is still exactly
+  * SparkEntry.{entry, queries, oracleSql}.
+  */
+private[graft] object EntryShared {
+
+  def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** Fit-once cache for the hashed-classifier quality model: the
+    * composition queries (x_corpus_budget / x_corpus_clffilter /
+    * x_dedup_bestrep) score with a persisted model the way a real
+    * pipeline runs — the classifier is fitted and saved ONCE per
+    * (corpus dir, bucket count) per JVM, then each query loads the tiny
+    * (`buckets`-row) parquet artifact instead of re-scanning the corpus
+    * to refit. The save→load roundtrip is bit-exact (gated by
+    * x_text_hashclf_saved), so query hashes are identical to a direct
+    * fit; only the redundant corpus scans disappear.
+    *
+    * All fit-once state lives in [[graft.scale.Models]] (round-9: the
+    * keyed maps moved behind `fitOnceArtifactDir` / `fitOnceSnapshot` /
+    * `fitOnceValue` so a production caller of TextAnalysis / Curation /
+    * Dedup gets the same behavior); the staleness/concurrency contract
+    * — corpus dirs immutable for the JVM lifetime, idempotent thunks,
+    * temp artifacts removed at JVM exit — is documented there.
+    */
+  def fittedClassifier(s: SparkSession, d: String, buckets: Int): DataFrame = {
+    val dir = graft.scale.Models.fitOnceArtifactDir("clf", s"$d|$buckets") { out =>
+      val docs = T(s, d, "documents")
+      val labeled = docs.withColumn("__lab",
+        coalesce(col("lang"), lit("")) === "en")
+      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets)
+      graft.scale.Models.saveHashedClassifier(model, out)
+    }
+    graft.scale.Models.loadHashedClassifier(s, dir)
+  }
+
+  /** Fit-once cache for the CLEANED-CORPUS snapshot: x_corpus_clean /
+    * x_corpus_manifest / x_corpus_e2e all start from the same
+    * quality→langid→near-dup→CC survivor set — the three largest
+    * absolute costs in the suite when each recomputes the chain. The
+    * chain runs ONCE per (corpus dir, langs, block cap) per JVM and
+    * lands as a parquet snapshot; each query reads the snapshot —
+    * exactly how a production pipeline prices it (clean once to
+    * storage, consume many times; [[graft.scale.Curation.curateCleaned]]
+    * is the library entry for that shape). Bit-exact: the snapshot
+    * holds the survivor rows' original columns (long/string), whose
+    * parquet roundtrip is value-identical, and every consumer depends
+    * only on those values — the three keys' gate hashes are unchanged
+    * vs the recompute form. Contract documented at
+    * [[graft.scale.Models.fitOnceSnapshot]].
+    */
+  def cleanedCorpus(
+      s: SparkSession, d: String, allowedLangs: Seq[String],
+      maxBlockSize: Int): DataFrame =
+    graft.scale.Models.fitOnceSnapshot(
+      s, "cleansnap", s"$d|${allowedLangs.mkString(",")}|$maxBlockSize") {
+      TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
+        allowedLangs, maxBlockSize = maxBlockSize)
+    }
+
+  /** Fit-once cache for the NEAR-DUP CLUSTER ASSIGNMENT: four keys
+    * (x_dedup_clusters / cluster_sizes / bestrep / x_corpus_forget)
+    * consume the same n-gram pair graph + connected components over
+    * the full corpus — a production pipeline clusters ONCE to storage
+    * and every consumer (census, survivor election, erasure) reads the
+    * assignment. The chain runs once per (corpus dir, k, threshold,
+    * cap) per JVM and lands as a parquet snapshot; bit-exact because
+    * the assignment is two long columns (value-identical roundtrip)
+    * and every consumer depends only on those values. Contract
+    * documented at [[graft.scale.Models.fitOnceSnapshot]].
+    */
+  def corpusClusters(s: SparkSession, d: String): DataFrame = {
+    val (k, threshold, cap) = (3, 0.2, NgramBlockCap)
+    graft.scale.Models.fitOnceSnapshot(s, "clusters", s"$d|$k|$threshold|$cap") {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = k,
+        threshold = threshold, maxBlockSize = cap)
+      Dedup.clusters(docs, "doc_id", pairs)
+    }
+  }
+
+  /** Same fit-once contract for the BPE merge table: the training loop
+    * (6 corpus aggregates) runs once per corpus dir per JVM; both BPE
+    * keys and any later consumer replay the driver-held `merges`-row
+    * result. */
+  def fittedBpe(s: SparkSession, d: String, merges: Int): Seq[TextAnalysis.BpeMerge] =
+    graft.scale.Models.fitOnceValue("bpe", s"$d|$merges")(
+      // the word-histogram fast fit: ONE corpus aggregate + a driver
+      // merge loop, merge-for-merge identical to the distributed
+      // bpeFit the oracle unrolls (falls back to it past maxWords)
+      TextAnalysis.bpeFitFast(
+        T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text", merges))
+
+  /** Fit-once cache for the dense-id vocabulary (vocab-bounded driver
+    * map; contract documented at [[graft.scale.Models.fitOnceValue]]). */
+  def fittedBpeVocab(s: SparkSession, d: String, merges: Int): Map[String, Long] =
+    graft.scale.Models.fitOnceValue("bpevocab", s"$d|$merges")(
+      TextAnalysis.bpeVocab(T(s, d, "documents"), "doc_id", "text",
+        fittedBpe(s, d, merges)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
+    * `customer` as the survey wave (TOM = market segment, CSAT = account
+    * balance scale, NPS = nation key). Returns the awareness TOM table.
+    */
+
+  /** Derived pairwise-preference view over `documents` (the testdata
+    * has no ratings table; both engines derive the SAME view): within
+    * each language, consecutive docs by doc_id form a judged pair and
+    * the longer document wins — items are the NUMERIC source ids, ties
+    * and same-source pairs are dropped. FIXTURE, not library: the
+    * lang-partitioned lead() window sorts a corpus fraction per
+    * partition, which is fine for deriving test games but not a shape
+    * to ship — production callers hand [[graft.scale.Preferences]] a
+    * real ratings table and no window runs at all. */
+  /** WET-roundtrip epilogue shared by the s23/s30 keys: conversion
+    * records back to (doc_id from the fixture URL, declared
+    * content_length, measured n_chars, text). */
+  def wetConversions(records: DataFrame): DataFrame =
+    records
+      .filter(col("record_type") === "conversion")
+      .select(
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("content_length"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("text"))
+
+  /** Planted C4-violation documents view (every residue mod 7 plants a
+    * different rule trigger) — FIXTURE for the c4 filter keys; both
+    * engines derive the same view. */
+  def c4PlantedDocs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" { x } ")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("Lorem ipsum dolor sit amet. "), col("text")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("This site uses cookies per our privacy policy. "), col("text")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("The first line is a clean sentence.\n"), col("text"), lit(".\n"),
+            lit("The third line is a clean sentence too.\nshort line.")))
+        .when(col("doc_id") % 7 === 4, concat(col("text"), lit(".")))
+        .otherwise(col("text")).as("text"))
+
+  /** The three-stage web-curation composition behind `x_corpus_web_e2e`:
+    * domain-suffix blocklist → rank-tier gate → classifier floor →
+    * per-source census. Each stage is a library operator; this wires
+    * the e2e order. */
+  def webE2ePipeline(s: SparkSession, d: String): DataFrame = {
+    val docs0 = T(s, d, "documents")
+    val kept1 = TextAnalysis.filterBlockedDomainSuffix(
+      withSubdomainUrls(docs0), "text", BlockSuffixList)
+    val tiers = graft.scale.Graph.rankTiers(
+      graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5),
+      GraphTierCuts).select(col("node"), col("tier"))
+    val kept2 = kept1.withColumn("node", col("doc_id") % 64)
+      .join(broadcast(tiers), Seq("node")).filter(col("tier") <= 2)
+    val labeled = docs0.withColumn("__lab",
+      coalesce(col("lang"), lit("")) === "en")
+    val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+    val good = TextAnalysis.hashedClassifierScore(docs0, "doc_id", "text", model, 1024)
+      .filter(col("score_micro") >= 0L).select(col("doc_id"))
+    kept2.join(good, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
+  /** Fixed as-of clock for the freshness contract keys — 2024-02-01
+    * 00:00:00 UTC in epoch micros. A literal, never a clock read, so
+    * the audit replays in any engine at any wall time. */
+  val QcAsOfEpochUs: Long = 1706745600000000L
+
+  /** Planted-violation orders view for the uniqueness contract: every
+    * 10th order row appears TWICE (the dupes) and every 97th orderkey
+    * is nulled (the null-key class). FIXTURE, not library — both
+    * engines derive the same view. */
+  def qcDupedOrders(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "orders").select(
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_orderkey")).as("k1"),
+      col("o_custkey").as("k2"))
+    base.unionByName(base.filter(col("k1") % 10 === 0))
+  }
+
+  /** The composed delivery-contract report: each audit normalized to
+    * (rule, n_rows, n_violations) and unioned — referential nulls +
+    * orphans, sequence missing + dupes, uniqueness nulls + excess
+    * rows, enum invalids, range outliers, and staleness. */
+  def qcDeliveryReport(s: SparkSession, d: String): DataFrame = {
+    val C = graft.ops.Contracts
+    val refint = C.referentialAudit(
+        T(s, d, "orders"), "o_custkey", T(s, d, "customer"), "c_custkey",
+        "orders->customer")
+      .select(col("rule"), col("n_child").as("n_rows"),
+        (col("n_null_keys") + col("n_orphans")).as("n_violations"))
+    val gaps = C.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id")
+      .select(col("rule"), col("n_rows"),
+        (col("n_missing") + col("n_dupes")).as("n_violations"))
+    val uniq = C.uniquenessAudit(qcDupedOrders(s, d), Seq("k1", "k2"), "orders.pk")
+      .select(col("rule"), col("n_rows"),
+        (col("n_null_keys") + col("n_dupe_rows")).as("n_violations"))
+    val enums = C.enumDomainAudit(T(s, d, "events"), "event_type",
+        Seq("click", "view", "signup", "purchase"), "events.event_type")
+      .select(col("rule"), col("n_rows"),
+        (col("n_null") + col("n_invalid")).as("n_violations"))
+    val range = C.rangeAudit(T(s, d, "lineitem"), "l_quantity", 5L, 45L,
+        "lineitem.l_quantity")
+      .select(col("rule"), col("n_rows"),
+        (col("n_null") + col("n_below") + col("n_above")).as("n_violations"))
+    val fresh = C.freshnessAudit(T(s, d, "events"), "ts", QcAsOfEpochUs,
+        3600L, "events.ts.hourly")
+      .select(col("rule"), col("n_rows"),
+        when(col("is_fresh"), 0L).otherwise(1L).as("n_violations"))
+    Seq(refint, gaps, uniq, enums, range, fresh).reduce(_ unionByName _)
+  }
+
+  /** Derived two-rater label view over `documents` (no ratings table
+    * in the testdata; both engines derive the SAME view): rater `a`
+    * reports `lang`, rater `b` reports `lang` with every 7th doc
+    * mislabeled as 'xx'. FIXTURE for the agreement keys. */
+  def raterFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.select(col("doc_id").as("item"), lit("a").as("rater"),
+        col("lang").as("label"))
+      .unionByName(docs.select(col("doc_id").as("item"), lit("b").as("rater"),
+        when(col("doc_id") % 7 === 0, lit("xx"))
+          .otherwise(col("lang")).as("label")))
+  }
+
+  def preferenceGames(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("item"),
+        col("n_chars"))
+      .withColumn("n_item", lead(col("item"), 1).over(w))
+      .withColumn("n_nchars", lead(col("n_chars"), 1).over(w))
+      .filter(col("n_item").isNotNull &&
+        col("item") =!= col("n_item") && col("n_chars") =!= col("n_nchars"))
+      .select(
+        when(col("n_chars") > col("n_nchars"), col("item")).otherwise(col("n_item")).as("winner"),
+        when(col("n_chars") > col("n_nchars"), col("n_item")).otherwise(col("item")).as("loser"))
+  }
+
+  /** Derived multi-turn conversation view over `documents` (the
+    * testdata has no conversations table; both engines derive the SAME
+    * view): conversation = doc_id mod 200, turn order = doc_id order
+    * within the conversation, roles alternate user/assistant. */
+  def conversations(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select((col("doc_id") % 200).as("conv_id"), col("doc_id"), col("text"))
+      .withColumn("turn", row_number().over(w).cast("long"))
+      .select(col("conv_id"), col("turn"),
+        when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")).as("role"),
+        col("text"))
+  }
+
+  /** [[conversations]] with every 11th turn's text replaced by a
+    * boilerplate acknowledgement — chat corpora are full of
+    * "thanks!"-class turns on BOTH sides of the dialogue, and the
+    * plant makes the dedup gates non-vacuous: the same boilerplate
+    * occurs under both roles, so a role-blind dedup would (wrongly)
+    * merge them. */
+  def plantedConversations(s: SparkSession, d: String): DataFrame =
+    conversations(s, d).withColumn("text",
+      when((col("conv_id") + col("turn")) % 11 === 0, lit("thanks!"))
+        .otherwise(col("text")))
+
+  /** Synthetic domain link graph: every document contributes one edge
+    * (its "from" domain links the domain its content points at), both
+    * endpoints deterministic functions of the row — mirrored verbatim
+    * by the oracle's edge CTE. */
+  def graphEdges(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      (col("doc_id") % 64).as("src"),
+      ((col("doc_id") * 31 + col("n_chars")) % 64).as("dst"))
+
+  /** The "next crawl wave" edge set for the refresh query: a different
+    * derivation over 80 nodes, so 64..79 are NEW nodes the warm start
+    * must cold-init at teleport mass. */
+  def graphEdges2(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+      (col("doc_id") % 80).as("src"),
+      ((col("doc_id") * 13 + col("n_chars")) % 80).as("dst"))
+
+  /** Fixed tier cuts (micro-rank units) for x_graph_tiers — pinned
+    * literals per the [[graft.scale.Graph.rankTiers]] contract. */
+  val GraphTierCuts = Seq(800000L, 1000000L, 1200000L)
+
+  /** Recall gate shared by the approximate-ANN queries: one summary row
+    * (k, n_queries, recall_min, recall_ok) where recall_ok pins
+    * |approx ∩ exact| / |exact| >= threshold. Both inputs are
+    * deterministic, so the boolean hash-gates the approximate config
+    * against its exact baseline — the quantitative form of "this ANN
+    * path still finds its neighbors" that a rows-only check can't give.
+    */
+  def recallGate(
+      approx: DataFrame, exact: DataFrame, k: Int, threshold: Double): DataFrame = {
+    // ONE pass over the exact baseline (the expensive side): a left
+    // join marks hits, a single aggregate counts totals, hits and
+    // distinct queries — two independent subtrees would re-run the
+    // exact scan once per branch
+    // distinct() makes the gate duplicate-proof: a future approx path
+    // emitting a candidate twice must not double-count hits AND totals
+    // (which would bias recall upward past the floor)
+    val a = approx.select(col("query_id"), col("vec_id")).distinct()
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("vec_id"))
+      .join(a, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .select(
+        lit(k).cast("int").as("k"),
+        col("n_queries"),
+        lit(threshold).as("recall_min"),
+        (col("__hits").cast("double") / col("__n") >= threshold).as("recall_ok"))
+  }
+
+  /** The PQ oracle codebook: deterministic exact-decimal centroids (see
+    * Pq.syntheticModel) shared by the Spark queries above and the
+    * generated oracle SQL below. */
+  lazy val pqOracleModel = graft.scale.Pq.syntheticModel(64, m = 8, k = 16, seed = 42L)
+
+  /** Deterministic URL synthesis shared by the domain queries and their
+    * oracles: every doc gets one `site{id%7}.example.com` and one
+    * `cdn{id%3}.example.org` URL. */
+  def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" see https://site"), col("doc_id") % 7, lit(".example.com/page"), col("doc_id"),
+      lit(" and http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5))
+
+  /** URL synthesis with an EXTRA subdomain level in front of the
+    * domain a blocklist would list — exercises suffix (wildcard)
+    * matching: sub{k}.news{j}.example.com is blocked by the entry
+    * news{j}.example.com only under suffix semantics. */
+  def withSubdomainUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" https://sub"), col("doc_id") % 4, lit(".news"), col("doc_id") % 7,
+      lit(".example.com/p"), col("doc_id"),
+      lit(" http://ads"), col("doc_id") % 3, lit(".tracker"), col("doc_id") % 5,
+      lit(".example.org/b")))
+
+  /** Blocklist for the suffix-filter queries — two live entries (one
+    * per planted URL family) and one dead entry that must stay inert
+    * and zero-fill in the audit. */
+  val BlockSuffixList =
+    Seq("news2.example.com", "tracker3.example.org", "unused.example.net")
+
+  /** URL synthesis for the canonicalization query: mixed-case hosts
+    * (must lowercase), mixed-case paths (must NOT lowercase), tracking
+    * params in first/last positions, a non-tracking param that must
+    * survive, and a fragment. Mirrored verbatim in the oracle SQL. */
+  def withTrackedUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" https://News"), col("doc_id") % 7, lit(".Example.com/Article"), col("doc_id"),
+      lit("?utm_source=feed"), col("doc_id") % 3, lit("&id="), col("doc_id") % 5,
+      lit("&utm_campaign=w"), col("doc_id") % 4, lit("#sec"), col("doc_id") % 3,
+      lit(" http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5,
+      lit("?gclid=g"), col("doc_id"), lit("&page=2")))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — identical math, identical aliases
+  // ---------------------------------------------------------------------
+
+  def r1(e: String) = Rounding.halfUpSql(e, 1)
+
+  /** Generated PQ oracle fragments — same codebook constants as
+    * `pqOracleModel` (exact-decimal grid, so the literals below parse
+    * back to the identical doubles), same left-associative chains as
+    * `Pq.subDist`. `dl_j` = subspace-j distance list; `code_j` =
+    * 1-based first-index-of-min. */
+  lazy val pqDistListsSql: String = {
+    val m = pqOracleModel
+    (0 until m.m).map { j =>
+      val lists = m.codebooks(j).map { c =>
+        (0 until m.dsub).map { t =>
+          val idx = j * m.dsub + t + 1
+          val v = c(t).toString
+          s"(CAST(embedding[$idx] AS DOUBLE) - ($v))*(CAST(embedding[$idx] AS DOUBLE) - ($v))"
+        }.mkString(" + ")
+      }.mkString("[", ", ", "]")
+      s"$lists AS dl_$j"
+    }.mkString(",\n    ")
+  }
+
+  lazy val pqCodesSql: String =
+    (0 until pqOracleModel.m)
+      .map(j => s"CAST(list_indexof(dl_$j, list_aggregate(dl_$j, 'min')) AS BIGINT) AS code_$j")
+      .mkString(",\n       ")
+
+  lazy val pqReconErrSql: String =
+    (0 until pqOracleModel.m).map(j => s"list_aggregate(dl_$j, 'min')").mkString(" + ")
+
+  val stopSqlLists = Map(
+    "de" -> "['der','die','das','und','ist','nicht','mit','ein']",
+    "en" -> "['the','a','of','and','is','to','in','that']",
+    "es" -> "['el','la','de','que','y','los','es','una']",
+    "fr" -> "['le','la','les','de','et','est','une','que']",
+    "zh" -> "['的','是','了','在','我','有','和','不']")
+
+  val toksSql =
+    "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+  /** BPE oracle CTEs: replay [[TextAnalysis.bpeFit]]'s training loop as
+    * `k` unrolled merge rounds. Each round re-derives adjacent-pair
+    * counts (parallel unnest of the two slice-shifted unit lists),
+    * takes the SAME deterministic argmax (count desc, left asc, right
+    * asc — LIMIT 1), and applies the merge with `replace`, whose
+    * leftmost-first non-overlapping scan is identical in Spark and
+    * DuckDB (the `|unit|` wrapping guarantees adjacent matches never
+    * share characters). Learning runs on the doc_id % 5 sample slice;
+    * the chain ends with merge CTEs m1..mk. bpeFit's early stop is
+    * replayed exactly: each argmax requires c >= 2 (so a dried-up
+    * round yields an EMPTY m_i, never a count-1 merge Spark would not
+    * emit), and the apply step left-joins the merge row so an empty
+    * round passes reps through unchanged instead of emptying the
+    * chain. Once dry, every later round is dry too (reps unchanged ⇒
+    * same pair counts), so learned ranks stay consecutive.
+    */
+  val BpeMergeRounds = 6
+
+  def bpeRepsSql(where: String): String =
+    s"""(SELECT doc_id, list_transform(
+       |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(t)), '\\s+') END,
+       |    w -> regexp_replace(w, '(.)', '|\\1|', 'g')) AS reps
+       |  FROM (SELECT doc_id, replace(text, '|', '') AS t FROM documents WHERE $where))""".stripMargin
+
+  def bpeApplySql(from: String, mi: String): String =
+    // LEFT JOIN ON TRUE + passthrough: when the sample dries up before
+    // round k, m_k is EMPTY (its argmax keeps Spark's c >= 2 early-stop
+    // rule) — a plain cross join would empty the whole chain, the left
+    // join instead leaves reps unchanged, exactly like bpeFit's no-op
+    // round
+    s"""(SELECT doc_id, CASE WHEN m.l IS NULL THEN reps
+       |    ELSE list_transform(reps, s -> replace(s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|')) END AS reps
+       |  FROM $from LEFT JOIN $mi m ON TRUE)""".stripMargin
+
+  lazy val bpeLearnCtes: String = {
+    val init = s"d0 AS ${bpeRepsSql("doc_id % 5 = 0")}"
+    val steps = (1 to BpeMergeRounds).map { i =>
+      s"""u$i AS (SELECT string_split(trim(rr.r, '|'), '||') AS u
+         |  FROM (SELECT unnest(reps) AS r FROM d${i - 1}) rr),
+         |c$i AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_slice(u, 1, len(u) - 1)) AS l, unnest(list_slice(u, 2, len(u))) AS r FROM u$i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM c$i WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |d$i AS ${bpeApplySql(s"d${i - 1}", s"m$i")}""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Full-corpus encode chain shared by every encode-consuming oracle:
+    * the learn CTEs plus f0 (all documents) through f`k` with each
+    * learned merge applied — ONE definition, so a change to the apply
+    * semantics (like the round-8 empty-round passthrough) lands in
+    * every consumer at once. */
+  lazy val bpeEncodeCtes: String =
+    s"""$bpeLearnCtes,
+       |f0 AS ${bpeRepsSql("TRUE")},
+       |${(1 to BpeMergeRounds).map(i =>
+      s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")}""".stripMargin
+
+  /** Encode chain + the flattened position-indexed token stream
+    * (t = per-doc token lists, s = (doc_id, pos, token) rows) —
+    * shared by the tokens/vocab/ids oracles. */
+  lazy val bpeStreamCtes: String =
+    s"""$bpeEncodeCtes,
+       |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
+       |      FROM f$BpeMergeRounds),
+       |s AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token FROM t)""".stripMargin
+
+  /** Shared CTE chain for the capped water-filling epoch allocation
+    * (x_corpus_epochs) — also the head of x_corpus_epochs_expand's
+    * oracle, so both keys provably score the SAME allocation. Ends in
+    * `alloc(source, tokens_available, weight, allocated_tokens,
+    * epochs)`. Every sum is over exact longs; every double is a
+    * single-op expression in the same association as the Spark plan. */
+  lazy val epochAllocCte =
+    s"""t AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tokens_available FROM documents GROUP BY 1),
+       |b AS (SELECT source, tokens_available,
+       |        CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
+       |             WHEN source = 'src2' THEN 1.0 WHEN source = 'src3' THEN 1.0
+       |             ELSE 0.0 END AS weight FROM t),
+       |p AS (SELECT source, tokens_available, weight,
+       |        CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT) AS wm,
+       |        CAST(floor(2.0 * CAST(tokens_available AS DOUBLE) + 0.5) AS BIGINT) AS cap
+       |      FROM b WHERE weight > 0),
+       |r AS (SELECT *, CAST(cap AS DOUBLE) / CAST(wm AS DOUBLE) AS rr FROM p),
+       |s AS (SELECT *,
+       |        sum(cap) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cc,
+       |        sum(wm) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cw,
+       |        (SELECT sum(cap) FROM p) AS capT,
+       |        (SELECT sum(wm) FROM p) AS wmT
+       |      FROM r),
+       |f AS (SELECT *, rr * CAST(wmT - cw AS DOUBLE) <= CAST(8000 - cc AS DOUBLE) AS capped FROM s),
+       |c AS (SELECT coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS capC,
+       |             coalesce(sum(CASE WHEN capped THEN wm ELSE 0 END), 0) AS wmC FROM f),
+       |a AS (SELECT f.source, f.tokens_available, f.weight,
+       |        CASE WHEN f.capped THEN f.cap
+       |             ELSE CAST(floor(CAST(8000 - c.capC AS DOUBLE) / CAST(f.wmT - c.wmC AS DOUBLE) * CAST(f.wm AS DOUBLE) + 0.5) AS BIGINT) END AS allocated_tokens
+       |      FROM f, c),
+       |u AS (SELECT source, tokens_available, weight, allocated_tokens FROM a
+       |      UNION ALL
+       |      SELECT source, tokens_available, weight, CAST(0 AS BIGINT) FROM b WHERE NOT (weight > 0)),
+       |alloc AS (SELECT source, tokens_available, weight, allocated_tokens,
+       |       CASE WHEN tokens_available > 0
+       |            THEN floor(CAST(allocated_tokens AS DOUBLE) / CAST(tokens_available AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |            ELSE 0.0 END AS epochs
+       |FROM u)""".stripMargin
+
+  /** DuckDB mirror of [[graft.scale.TextAnalysis]]'s `bm25Contrib`
+    * kernel at the default k1 = 1.2, b = 0.75 — one definition for
+    * every BM25 oracle, with the constants interpolated from the SAME
+    * Scala doubles the Spark plan uses (shortest-roundtrip decimals
+    * parse back bit-identical).
+    */
+  /** Shared inverted-index CTEs for the query-table BM25 oracles: the
+    * 3-query VALUES table, its token set, and the (doc, token) tf /
+    * doc-length / df / corpus-stat frames. `tf`/`toks` are
+    * MATERIALIZED — two rank chains reference them and DuckDB's
+    * default inlining would re-run the document scan per reference. */
+  lazy val bm25ManyBaseCtes: String =
+    s"""q(query_id, qtext) AS (VALUES
+       |    (CAST(1 AS BIGINT), 'spark window'),
+       |    (CAST(2 AS BIGINT), 'merge vector table'),
+       |    (CAST(3 AS BIGINT), 'customer stream')),
+       |qt AS (SELECT DISTINCT query_id,
+       |         unnest(CASE WHEN trim(qtext)='' THEN CAST([] AS VARCHAR[])
+       |                     ELSE string_split_regex(trim(lower(qtext)), '\\s+') END) AS tok
+       |       FROM q),
+       |toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tf)""".stripMargin
+
+  /** One BM25 scoring + per-query top-`k` rank chain over
+    * [[bm25ManyBaseCtes]], CTE names prefixed `p` so several
+    * parameterizations coexist in one WITH (the RRF oracle). Terminal:
+    * `<p>r(query_id, doc_id, bm25_micro, rk)`, rk ≤ k. */
+  def bm25ManyRankCtes(p: String, k1: Double, b: Double, k: Int): String =
+    s"""${p}c AS (SELECT qt.query_id, tf.doc_id,
+       |        ${bm25ContribSql("tf", "df", "dl", "nd", "tt", k1, b)} AS contrib
+       |      FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) JOIN dfq USING (tok), s, t),
+       |${p}b AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
+       |      FROM ${p}c GROUP BY 1, 2),
+       |${p}r AS (SELECT * FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+       |      FROM ${p}b WHERE bm25_micro > 0) WHERE rk <= $k)""".stripMargin
+
+  def bm25ContribSql(
+      tf: String, dfc: String, dl: String, nd: String, tt: String,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = (k1 + 1.0).toString; val omb = (1.0 - b).toString
+    s"""CAST(floor(
+       |  ln(1.0 + (CAST($nd AS DOUBLE) - CAST($dfc AS DOUBLE) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
+       |  * ((CAST($tf AS DOUBLE) * $k1p1) / (CAST($tf AS DOUBLE) + $k1 * ($omb + $b * (CAST($dl AS DOUBLE) / (CAST($tt AS DOUBLE) / CAST($nd AS DOUBLE))))))
+       |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.functions.PortableHash.polyHash31]] for
+    * an arbitrary string expression (empty string folds to 0) — the
+    * SINGLE source for every oracle that replays the poly-hash kernel,
+    * matching PortableHash's one-definition rule on the Scala side.
+    * `base` parameterizes SimHash's second 131-base row.
+    */
+  /** The planted-dup orders view (`qcDupedOrders`) as oracle CTEs
+    * ending in `v(k1, k2)`. */
+  def qcDupedOrdersSql: String =
+    """v0 AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |              ELSE o_orderkey END AS k1,
+      |             o_custkey AS k2 FROM orders),
+      |v AS (SELECT * FROM v0 UNION ALL SELECT * FROM v0 WHERE k1 % 10 = 0)""".stripMargin
+
+  def polyHashSqlOf(expr: String, base: Int = 31): String =
+    s"""CASE WHEN $expr = '' THEN 0
+       |     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |          (a, b) -> (a * $base + b) % 2147483647) END""".stripMargin
+
+  /** The hashed-classifier fit+score CTE chain (poly-hash % buckets,
+    * add-one log-odds on the 6-dp micro grid, exact BIGINT doc sums) —
+    * ONE definition shared by every x_text_hashclf* / x_corpus_clffilter
+    * oracle, parameterized by bucket count so the persistence gate can
+    * run a distinct model shape. Terminal CTE: `hsc(doc_id, n_tokens,
+    * score_micro)` — one row per document. */
+  def hashClfCtes(buckets: Int): String =
+    s"""hd AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, $toksSql AS toks
+       |       FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)),
+       |hlt AS (SELECT pos, unnest(toks) AS t FROM hd),
+       |hbt AS (SELECT pos, ${polyHashSqlOf("t")} % $buckets AS bucket FROM hlt),
+       |hbc AS (SELECT bucket, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+       |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nc
+       |        FROM hbt GROUP BY bucket),
+       |hsp AS (SELECT unnest(range(0, $buckets)) AS bucket),
+       |hm0 AS (SELECT hsp.bucket, coalesce(pc, CAST(0 AS BIGINT)) AS pc,
+       |               coalesce(nc, CAST(0 AS BIGINT)) AS nc FROM hsp LEFT JOIN hbc USING (bucket)),
+       |htot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt, CAST(sum(nc) AS BIGINT) AS nt FROM hm0),
+       |hm AS (SELECT bucket, CAST(floor(ln(
+       |         (CAST(pc + 1 AS DOUBLE) * CAST(nt + $buckets AS DOUBLE)) /
+       |         (CAST(nc + 1 AS DOUBLE) * CAST(pt + $buckets AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w
+       |       FROM hm0, htot),
+       |hdt AS (SELECT doc_id, unnest(toks) AS t FROM hd),
+       |hdb AS (SELECT doc_id, ${polyHashSqlOf("t")} % $buckets AS bucket FROM hdt),
+       |hs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |              CAST(sum(w) AS BIGINT) AS score_micro
+       |       FROM hdb JOIN hm USING (bucket) GROUP BY doc_id),
+       |hsc AS (SELECT hdd.doc_id, coalesce(hs.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |               coalesce(hs.score_micro, CAST(0 AS BIGINT)) AS score_micro
+       |        FROM (SELECT DISTINCT doc_id FROM hd) hdd LEFT JOIN hs USING (doc_id))""".stripMargin
+
+  /** Per-doc (doc, token, count) CTEs over the scored corpus — the
+    * shared document side of every unigram-LM oracle. */
+  lazy val docTokenCtes =
+    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dt AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
+       |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2)""".stripMargin
+
+  /** The unigram-LM model + scoring CTE chain (vocab 1000, micro-nat
+    * scaled-long fold), parameterized by a CTE-name prefix and the
+    * reference-corpus WHERE clause so oracles can instantiate SEVERAL
+    * models over the same documents (cf. x_corpus_dsir: target model
+    * vs corpus model). Shared by x_text_unigram / x_corpus_bestk /
+    * x_corpus_dsir so the model definition can never drift between
+    * them. Requires [[docTokenCtes]] earlier in the WITH chain; ends
+    * at `<p>sc(doc_id, n_tokens, n_oov, s6)`.
+    */
+  def unigramModelCtes(p: String, refWhere: String): String =
+    s"""${p}rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE $refWhere),
+       |${p}rt AS (SELECT unnest(toks) AS tok FROM ${p}rd),
+       |${p}vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ${p}rt GROUP BY 1),
+       |${p}vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM ${p}vc),
+       |${p}kv AS (SELECT tok, cnt FROM ${p}vr WHERE rk <= 1000),
+       |${p}tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM ${p}kv),
+       |${p}vp AS (SELECT tok,
+       |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
+       |       FROM ${p}kv, ${p}tt),
+       |${p}op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM ${p}tt),
+       |${p}sc AS (SELECT dc.doc_id,
+       |         CAST(sum(n) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN ${p}vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+       |         CAST(sum(n * coalesce(${p}vp.logp6, ${p}op.oov6)) AS BIGINT) AS s6
+       |       FROM dc LEFT JOIN ${p}vp ON dc.tok = ${p}vp.tok, ${p}op GROUP BY 1)""".stripMargin
+
+  /** The x_text_unigram CTE chain, kept as the (doc CTEs + unprefixed
+    * model) instantiation. */
+  lazy val unigramScoreCtes =
+    s"""$docTokenCtes,
+       |${unigramModelCtes("", "doc_id % 3 = 0")}""".stripMargin
+
+  /** Curriculum-banding CTE chain (x_corpus_curriculum) — ends in
+    * `cb(doc_id, score, band)`; also the head of
+    * x_corpus_curriculum_pack's oracle, so both keys provably band the
+    * corpus identically. Integer lattice quantiles over the exact
+    * nano-nat unigram score; every div operand is non-negative, where
+    * DuckDB's floor-// equals Spark's truncate-div. */
+  lazy val curriculumCtes =
+    s"""$unigramScoreCtes,
+       |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score
+       |        FROM sc WHERE n_tokens > 0),
+       |ext AS (SELECT min(score) AS lo, max(score) AS hi, CAST(count(*) AS BIGINT) AS n FROM scr),
+       |bk AS (SELECT doc_id, score, (score - lo) // (((hi - lo) // 1024) + 1) AS b FROM scr, ext),
+       |h AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+       |m AS (SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c AS below FROM h),
+       |mb AS (SELECT b, CAST(least(CAST(9 AS BIGINT), (below * 10) // n) AS BIGINT) AS band FROM m, ext),
+       |cb AS (SELECT bk.doc_id, bk.score, mb.band FROM bk JOIN mb ON bk.b = mb.b)""".stripMargin
+
+  /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
+    * CTE/table — reused by the dedup, clustering, and corpus-clean
+    * oracles. Emits (id_a, id_b, jaccard). Mirrors nearDupNgram's
+    * maxBlockSize guard with the same window count (block membership is
+    * deterministic, so the capped operator stays exactly checkable).
+    */
+  val NgramBlockCap = 4096
+
+  def ngramPairsSqlFrom(src: String, threshold: Double = 0.2): String =
+    s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
+       |s0 AS (SELECT doc_id,
+       |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
+       |    coalesce(toks[1], '') AS t0,
+       |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |  FROM d),
+       |s AS (SELECT doc_id, lenband, t0, sh FROM
+       |    (SELECT s0.*, count(*) OVER (PARTITION BY lenband, t0) AS bsz FROM s0)
+       |  WHERE bsz <= $NgramBlockCap),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+       |  FROM s a JOIN s b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT id_a, id_b,
+       |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
+       |FROM p
+       |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold""".stripMargin
+
+  /** Unrolled IPF oracle for s4_rake: the same cell/step arithmetic as
+    * Raking.ipfCellWeights, with marginal sums spelled out left-to-right
+    * in sorted category order — bit-identical IEEE results.
+    */
+  val rakeSql: String = {
+    val rows = Seq("A", "N", "R"); val cols = Seq("F", "O")
+    val rowT = Map("A" -> "300000.0", "N" -> "400000.0", "R" -> "300000.0")
+    val colT = Map("F" -> "450000.0", "O" -> "550000.0")
+    def v(rc: String, cc: String) = s"w_${rc}_$cc"
+    val cellDefs = (for (rc <- rows; cc <- cols) yield
+      s"coalesce(sum(coalesce(CAST(l_quantity AS DOUBLE),0)) FILTER (WHERE CAST(l_returnflag AS VARCHAR)='$rc' AND CAST(l_linestatus AS VARCHAR)='$cc'), 0) AS ${v(rc, cc)}")
+      .mkString(",\n    ")
+    def rowStep(prev: String, name: String) = {
+      val exprs = for (rc <- rows; cc <- cols) yield {
+        val rsum = cols.map(c2 => v(rc, c2)).reduceLeft((a, b) => s"($a + $b)")
+        s"${v(rc, cc)} * (CASE WHEN $rsum > 0 THEN ${rowT(rc)} / $rsum ELSE 0 END) AS ${v(rc, cc)}"
+      }
+      s"$name AS (SELECT ${exprs.mkString(", ")} FROM $prev)"
+    }
+    def colStep(prev: String, name: String) = {
+      val exprs = for (rc <- rows; cc <- cols) yield {
+        val csum = rows.map(r2 => v(r2, cc)).reduceLeft((a, b) => s"($a + $b)")
+        s"${v(rc, cc)} * (CASE WHEN $csum > 0 THEN ${colT(cc)} / $csum ELSE 0 END) AS ${v(rc, cc)}"
+      }
+      s"$name AS (SELECT ${exprs.mkString(", ")} FROM $prev)"
+    }
+    val steps = (1 to 5).flatMap(i =>
+      Seq(rowStep(if (i == 1) "cells" else s"c${i - 1}", s"r$i"), colStep(s"r$i", s"c$i")))
+    val out = (for (rc <- rows; cc <- cols) yield
+      s"SELECT '$rc' AS l_returnflag, '$cc' AS l_linestatus, ${Rounding.halfUpSql(v(rc, cc), 6)} AS weight FROM c5")
+      .mkString("\nUNION ALL ")
+    s"""WITH cells AS (
+       |  SELECT
+       |    $cellDefs
+       |  FROM lineitem
+       |  WHERE CAST(l_returnflag AS VARCHAR) IN ('A','N','R') AND CAST(l_linestatus AS VARCHAR) IN ('F','O')),
+       |${steps.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
+  /** b6 oracle: the rake CTE chain (same as s4) + per-case application —
+    * factor = cellTarget/cellMass, per-row weight = designWeight*factor,
+    * micro-floored then summed as longs (order-independent).
+    */
+  val rakeApplySql: String = {
+    val rows = Seq("A", "N", "R"); val cols = Seq("F", "O")
+    // re-derive the shared CTE chain from rakeSql (everything before the
+    // final per-cell SELECT): cells .. c5
+    val ctesEnd = rakeSql.indexOf("SELECT 'A' AS l_returnflag")
+    val ctes = rakeSql.substring(0, ctesEnd).stripSuffix("\n")
+    val factorRows = (for (rc <- rows; cc <- cols) yield
+      s"SELECT '$rc' AS r, '$cc' AS c, w_${rc}_$cc AS cw FROM c5").mkString("\nUNION ALL ")
+    s"""$ctes,
+       |factors AS ($factorRows),
+       |mass AS (SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
+       |           sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS m
+       |         FROM lineitem GROUP BY 1, 2),
+       |fac AS (SELECT factors.r, factors.c, factors.cw / mass.m AS f
+       |        FROM factors JOIN mass ON factors.r = mass.r AND factors.c = mass.c),
+       |per AS (SELECT CAST(l_returnflag AS VARCHAR) AS r,
+       |          CAST(floor(coalesce(CAST(l_quantity AS DOUBLE), 0) * fac.f * 1e6 + 0.5) AS BIGINT) AS wm
+       |        FROM lineitem
+       |        JOIN fac ON fac.r = CAST(l_returnflag AS VARCHAR) AND fac.c = CAST(l_linestatus AS VARCHAR))
+       |SELECT r AS l_returnflag, CAST(sum(wm) AS BIGINT) AS weight_micro, CAST(count(*) AS BIGINT) AS n
+       |FROM per GROUP BY 1""".stripMargin
+  }
+
+  /** Full corpus-clean oracle: quality keep + language filter + n-gram
+    * near-dup connected components over the SURVIVORS, keeping cluster
+    * representatives — composed from the same SQL pieces the individual
+    * stage oracles use.
+    */
+  val corpusCleanCtes: String = {
+    val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
+      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
+    s"""WITH RECURSIVE
+       |tq AS (SELECT doc_id,
+       |         length(text) AS chars,
+       |         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonpunct,
+       |         len($toksSql) AS toks
+       |       FROM documents),
+       |keepq AS (SELECT doc_id FROM tq
+       |          WHERE toks >= 5 AND toks <= 100000
+       |            AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3),
+       |tl AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sl AS (SELECT doc_id,
+       |  $scores
+       |FROM tl),
+       |langq AS (SELECT doc_id FROM sl
+       |          WHERE (CASE WHEN $m = 0 THEN 'und'
+       |                      WHEN score_de = $m THEN 'de'
+       |                      WHEN score_en = $m THEN 'en'
+       |                      WHEN score_es = $m THEN 'es'
+       |                      WHEN score_fr = $m THEN 'fr'
+       |                      ELSE 'zh' END) IN ('en', 'es')),
+       |surv AS (SELECT d.* FROM documents d
+       |         JOIN keepq USING (doc_id) JOIN langq USING (doc_id)),
+       |pairs AS (${ngramPairsSqlFrom("surv")}),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(rid, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+       |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+       |clean AS (SELECT s.doc_id, s.lang, s.source, s.text
+       |          FROM surv s LEFT JOIN lbls ON s.doc_id = lbls.rid
+       |          WHERE lbls.cluster IS NULL OR lbls.cluster = s.doc_id)""".stripMargin
+  }
+
+  val corpusCleanSql: String =
+    corpusCleanCtes + "\nSELECT doc_id, lang, source FROM clean"
+
+  /** The manifest oracle: the corpus-clean CTE chain + shard-partitioned
+    * packing over the survivors — the same composition the Spark query
+    * performs. */
+  val corpusManifestSql: String =
+    corpusCleanCtes + s""",
+       |ct AS (SELECT doc_id, lang, source, doc_id % 8 AS shard,
+       |              CAST(len($toksSql) AS BIGINT) AS token_count FROM clean),
+       |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM ct)
+       |SELECT doc_id, lang, source, CAST(shard AS BIGINT) AS shard, token_count,
+       |       CAST(st // 256 AS BIGINT) AS pack_id,
+       |       CAST(st % 256 AS BIGINT) AS pack_offset
+       |FROM w""".stripMargin
+
+  def crosstabSql(percent: String): String = {
+    val piv =
+      """piv AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+        |         sum(CASE WHEN CAST(l_linestatus AS VARCHAR)='F' THEN coalesce(CAST(l_quantity AS DOUBLE),0) ELSE 0 END) AS "F",
+        |         sum(CASE WHEN CAST(l_linestatus AS VARCHAR)='O' THEN coalesce(CAST(l_quantity AS DOUBLE),0) ELSE 0 END) AS "O"
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1)""".stripMargin
+    val pctCells = percent match {
+      case "total" =>
+        s"""g AS (SELECT CASE WHEN sum("F")+sum("O") <> 0 THEN sum("F")+sum("O") END AS dn FROM piv),
+           |pct AS (SELECT l_returnflag, ${r1("\"F\" / g.dn * 100")} AS "F", ${r1("\"O\" / g.dn * 100")} AS "O" FROM piv, g)""".stripMargin
+      case "row" =>
+        s"""pct AS (SELECT l_returnflag,
+           |  ${r1("\"F\" / (CASE WHEN \"F\"+\"O\" <> 0 THEN \"F\"+\"O\" END) * 100")} AS "F",
+           |  ${r1("\"O\" / (CASE WHEN \"F\"+\"O\" <> 0 THEN \"F\"+\"O\" END) * 100")} AS "O" FROM piv)""".stripMargin
+      case "col" =>
+        s"""g AS (SELECT CASE WHEN sum("F") <> 0 THEN sum("F") END AS df, CASE WHEN sum("O") <> 0 THEN sum("O") END AS dd FROM piv),
+           |pct AS (SELECT l_returnflag, ${r1("\"F\" / g.df * 100")} AS "F", ${r1("\"O\" / g.dd * 100")} AS "O" FROM piv, g)""".stripMargin
+    }
+    val pctTotalRow = percent match {
+      case "row" => """SELECT 'Total', 100.0, 100.0"""
+      case _ => """SELECT 'Total', (SELECT coalesce(sum("F"),0) FROM pct), (SELECT coalesce(sum("O"),0) FROM pct)"""
+    }
+    val pctTotalCol = percent match {
+      case "col" => "100.0"
+      case _ => """coalesce("F",0)+coalesce("O",0)"""
+    }
+    s"""WITH $piv,
+       |counts AS (SELECT * FROM piv UNION ALL SELECT 'Total', (SELECT sum("F") FROM piv), (SELECT sum("O") FROM piv)),
+       |counts2 AS (SELECT l_returnflag, "F", "O", "F"+"O" AS "Total", 'count' AS __type__ FROM counts),
+       |$pctCells,
+       |pctt AS (SELECT * FROM pct UNION ALL $pctTotalRow),
+       |pct2 AS (SELECT l_returnflag, "F", "O", $pctTotalCol AS "Total", '%_$percent' AS __type__ FROM pctt)
+       |SELECT * FROM counts2 UNION ALL SELECT * FROM pct2""".stripMargin
+  }
+
+
+  /** Shared oracle CTEs for the derived conversation view — mirrors
+    * [[conversations]] verbatim. */
+  val convViewSql =
+    """conv AS (
+      |  SELECT doc_id % 200 AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY doc_id % 200 ORDER BY doc_id) AS BIGINT) AS turn,
+      |         text
+      |  FROM documents),
+      |c2 AS (SELECT conv_id, turn,
+      |         CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role, text
+      |       FROM conv)""".stripMargin
+
+  /** The x_graph_* oracle prologue: edge/degree/node CTEs mirroring
+    * [[graphEdges]] + Graph.pageRank's hygiene (distinct edges, no
+    * self-loops), then one CTE per unrolled power iteration. */
+  /** The C4 terminal-punctuation rule as SQL over the 9 literal
+    * suffixes — mirrors [[graft.scale.WebFilters]]'s endsWith chain. */
+  def c4TerminalSql(v: String): String =
+    (for (p <- Seq(".", "!", "?"); q <- Seq("", "\"", "'")) yield p + q)
+      .map(sfx => s"ends_with($v, '${sfx.replace("'", "''")}')")
+      .mkString("(", " OR ", ")")
+
+  /** The derived pairwise-preference view (`preferenceGames`) as
+    * oracle CTEs ending in `games(winner, loser)`. */
+  def prefGamesSql: String =
+    """g0 AS (SELECT lang, doc_id,
+      |         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS item, n_chars
+      |       FROM documents),
+      |g1 AS (SELECT item, n_chars,
+      |         lead(item) OVER (PARTITION BY lang ORDER BY doc_id) AS n_item,
+      |         lead(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS n_nchars
+      |       FROM g0),
+      |games AS (SELECT CASE WHEN n_chars > n_nchars THEN item ELSE n_item END AS winner,
+      |                 CASE WHEN n_chars > n_nchars THEN n_item ELSE item END AS loser
+      |          FROM g1
+      |          WHERE n_item IS NOT NULL AND item <> n_item AND n_chars <> n_nchars)""".stripMargin
+
+  /** Bradley-Terry oracle CTE chain — unrolls
+    * [[graft.scale.Preferences.btStrengths]]'s MM iterations (games →
+    * pair matrix → smoothed totals → d/raw/rescale per step). Every
+    * step CTE is referenced twice (the s_i and s_j joins) plus the
+    * scalar MAX divisor, so each is MATERIALIZED — DuckDB's default
+    * inlining would copy the whole preceding chain per reference. */
+  def btOracleCtes(iterations: Int): String = {
+    val base =
+      s"""WITH $prefGamesSql,
+         |pairs AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+         |                 CAST(count(*) AS BIGINT) AS n
+         |          FROM games GROUP BY 1, 2),
+         |directed AS (SELECT a AS i, b AS j, n FROM pairs
+         |             UNION ALL SELECT b, a, n FROM pairs),
+         |wl AS (SELECT winner AS item, 1 AS win FROM games
+         |       UNION ALL SELECT loser, 0 FROM games),
+         |totals AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
+         |                  CAST(count(*) AS BIGINT) AS games,
+         |                  CAST(sum(win) + 1 AS BIGINT) AS w_smooth
+         |           FROM wl GROUP BY 1),
+         |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM totals)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT d.i AS item,
+         |         CAST(sum((d.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS dsum
+         |  FROM directed d JOIN s${i - 1} si ON d.i = si.item
+         |                  JOIN s${i - 1} sj ON d.j = sj.item
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT t.item, CAST((t.w_smooth * 1000000000000) // d.dsum AS BIGINT) AS s_raw
+         |  FROM totals t JOIN d$i d USING (item)),
+         |s$i AS MATERIALIZED (
+         |  SELECT item, CAST(greatest((s_raw * 1000000) // (SELECT max(s_raw) FROM r$i), 1) AS BIGINT) AS s
+         |  FROM r$i)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  def graphRankOracleCtes(iterations: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** HITS oracle CTE chain — unrolls [[graft.scale.Graph.hits]]'s
+    * alternating gather/rescale half-steps over the same derived edge
+    * table: a{i}r = raw authority gather of h{i-1}, a{i} = the integer
+    * max-divisor rescale, then the hub half-step against a{i}. Scalar
+    * subquery MAX mirrors the 1-row broadcast aggregate. */
+  def graphHitsOracleCtes(iterations: Int): String = {
+    // every CTE here is referenced at least twice downstream (the
+    // gather join + the scalar MAX divisor), so without MATERIALIZED
+    // DuckDB's default inlining copies the whole preceding chain per
+    // reference — exponential in the iteration count
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |a${i}r AS MATERIALIZED (
+         |  SELECT n.node, CAST(COALESCE(SUM(c.s), 0) AS BIGINT) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, h${i - 1}.s FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node) c
+         |    ON n.node = c.node GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node,
+         |  CAST(raw // ((SELECT MAX(raw) FROM a${i}r) // 1000000 + 1) AS BIGINT) AS s
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT n.node, CAST(COALESCE(SUM(c.s), 0) AS BIGINT) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS node, a$i.s FROM e JOIN a$i ON e.dst = a$i.node) c
+         |    ON n.node = c.node GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT node,
+         |  CAST(raw // ((SELECT MAX(raw) FROM h${i}r) // 1000000 + 1) AS BIGINT) AS s
+         |  FROM h${i}r)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** JL-projection oracle — the ± add/subtract chain per output
+    * component written term-for-term as [[graft.scale.Embeddings
+    * .randomProject]] builds it (left-associated, widened once per
+    * slot, scaled once at the end), signs re-derived from the SAME
+    * `projectionSigns(64, 8, 7)` call so the literals cannot drift. */
+  lazy val embProjectOracleSql: String = {
+    val signs = graft.scale.Embeddings.projectionSigns(64, 8, seed = 7L)
+    val inv = 1.0 / math.sqrt(8.0)
+    val selects = signs.zipWithIndex.map { case (row, j) =>
+      val chain = new StringBuilder
+      if (row(0) < 0) chain.append("-")
+      chain.append("CAST(embedding[1] AS DOUBLE)")
+      for (i <- 1 until 64) {
+        chain.append(if (row(i) > 0) " + " else " - ")
+        chain.append(s"CAST(embedding[${i + 1}] AS DOUBLE)")
+      }
+      s"SELECT vec_id, CAST($j AS BIGINT) AS pos, ($chain) * $inv AS val FROM pe"
+    }
+    s"""WITH pe AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** Seed-distance oracle CTE chain — min-plus BFS from the node % 7
+    * seed set, integer sentinel for unreached; each d(i) references
+    * d(i-1) twice (self min + gather), hence MATERIALIZED. */
+  def graphSeedDistOracleCtes(maxHops: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d0 AS MATERIALIZED (SELECT node,
+        |  CAST(CASE WHEN node % 7 = 0 THEN 0 ELSE 999999999 END AS BIGINT) AS h FROM nodes)""".stripMargin
+    val iters = (1 to maxHops).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(least(p.h, COALESCE(g.m, 999999999)) AS BIGINT) AS h
+         |  FROM nodes n
+         |  JOIN d${i - 1} p ON n.node = p.node
+         |  LEFT JOIN (SELECT e.dst AS node, MIN(dp.h + 1) AS m
+         |             FROM e JOIN d${i - 1} dp ON e.src = dp.node GROUP BY 1) g
+         |    ON n.node = g.node)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** TrustRank variant of [[graphRankOracleCtes]]: teleport mass only
+    * on seed nodes (node % 7 = 0), init = teleport vector. */
+  def graphTrustOracleCtes(iterations: Int): String = {
+    val t = "CASE WHEN node % 7 = 0 THEN 1000000 ELSE 0 END"
+    val base =
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+         |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST($t AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST((15 * (CASE WHEN n.node % 7 = 0 THEN 1000000 ELSE 0 END)) // 100
+         |              + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
+
+  /** Weighted variant of [[graphRankOracleCtes]]: multi-edge
+    * multiplicity as the weight, contribution = (r * w) // outw. */
+  def graphRankWeightedOracleCtes(iterations: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst FROM documents)
+        |  WHERE src <> dst GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, (r${i - 1}.r * e.w) // ow.outw AS contrib
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |                    JOIN ow ON e.src = ow.src) c ON n.node = c.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + iters
+  }
+}

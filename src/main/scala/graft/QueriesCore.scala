@@ -1,0 +1,1392 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import EntryShared._
+
+/** [[SparkEntry]] slice: reference-surface queries (aggregations, transforms, IO roundtrips, joins, sampling/stats).
+  * Query lambdas and their DuckDB oracle mirrors live side by side;
+  * the maps compose into the driver contract in [[SparkEntry]].
+  * Determinism rules documented there apply to every entry.
+  */
+private[graft] object QueriesCore {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.3 aggregations -------------------------------------------
+    "a1_value_counts" -> ((s, d) =>
+      Tabulation.valueCounts(T(s, d, "customer"), "c_mktsegment")),
+
+    "a2_freq_table" -> ((s, d) =>
+      Tabulation.freqTable(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"), 1)),
+
+    "a3_crosstab_total" -> ((s, d) =>
+      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "total", includeTotals = true, 1)),
+
+    "a3_crosstab_row" -> ((s, d) =>
+      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "row", includeTotals = true, 1)),
+
+    "a3_crosstab_col" -> ((s, d) =>
+      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"), "col", includeTotals = true, 1)),
+
+    "a4_multidim_level" -> ((s, d) =>
+      MultiDim.multiDimTabulation(T(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Some("l_quantity"), "l_returnflag", 1)),
+
+    "a4_multidim_total" -> ((s, d) =>
+      MultiDim.multiDimTabulation(T(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"), Some("l_quantity"), "total", 1)),
+
+    "a5_full_tabulation" -> ((s, d) =>
+      Tabulation.fullTabulation(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_name"))),
+
+    "a5b_full_tab_orders" -> ((s, d) =>
+      Tabulation.fullTabulation(T(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderdate", "o_totalprice"))),
+
+    "a6_selected_counts" -> ((s, d) =>
+      Tabulation.selectedCounts(T(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))),
+
+    "a7_csat_summary" -> ((s, d) =>
+      Kpis.csatSummary(T(s, d, "lineitem"), "l_quantity")),
+
+    "a8_nps_summary" -> ((s, d) =>
+      Kpis.npsSummary(T(s, d, "part"), "p_size")),
+
+    "a7b_describe" -> ((s, d) =>
+      Stats.describe(T(s, d, "lineitem"), "l_quantity")),
+
+    "a9_rollup_tab" -> ((s, d) =>
+      MultiDim.rollupTabulation(T(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Some("l_quantity"))),
+
+    "s1_histogram" -> ((s, d) =>
+      Stats.histogram(T(s, d, "orders"), "o_totalprice", 0.0, 600000.0, 24)),
+
+    "s2_chi2" -> ((s, d) =>
+      Stats.chiSquare(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Some("l_quantity"))),
+
+    "s8_sigtest" -> ((s, d) =>
+      Stats.columnProportionZTest(T(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
+
+    "s9_prop_ci" -> ((s, d) =>
+      Stats.proportionCI(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"))),
+
+    "s10_kanon" -> ((s, d) => {
+      val quasi = Seq("c_nationkey", "c_mktsegment")
+      val c = T(s, d, "customer")
+      graft.ops.Privacy.kAnonymitySummary(c, quasi, k = 30)
+        .crossJoin(graft.ops.Privacy.suppress(c, quasi, k = 30)
+          .agg(count(lit(1)).as("released_rows")))
+    }),
+
+    // l-diversity audit — k-anonymity's blind spot: cells whose
+    // sensitive attribute (acctbal band) takes < 3 distinct values;
+    // one hash aggregate carrying both counts
+    // Neyman allocation: split a 1000-interview budget across return
+    // flags by N_h·S_h — exact cent moments, sorted-order weight fold
+    "s27_neyman" -> ((s, d) =>
+      Stats.neymanAllocation(T(s, d, "lineitem"), "l_quantity",
+        "l_returnflag", budget = 1000L)),
+
+    // shape profile: skewness + excess kurtosis per return flag from
+    // exact BIGINT power sums — one hash aggregate, halfUp-6 outputs
+    "s28_moments" -> ((s, d) =>
+      Stats.momentsByGroup(T(s, d, "lineitem"), "l_quantity",
+        Seq("l_returnflag"))),
+
+    // Benford forensic screen on order-total cents: first digit of the
+    // exact BIGINT, observed vs log10(1+1/d) expected share per digit
+    "s29_benford" -> ((s, d) =>
+      Stats.benfordAudit(
+        T(s, d, "orders").select((col("o_totalprice") * 100).as("cents")),
+        "cents")),
+
+    // t-closeness audit — l-diversity's blind spot: cells whose
+    // acctbal-band distribution sits EMD > 0.25 from the population's;
+    // exact integer cumulative cross-multiply on a dense band grid
+    "s10c_tcloseness" -> ((s, d) =>
+      graft.ops.Privacy.tClosenessSummary(T(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+        lo = -1000.0, hi = 10000.0, nbins = 10, t = 0.25)),
+
+    // banded PSI drift (the model-risk 0.25-threshold score) between
+    // src0 and src1 char-length distributions; per-band micro terms
+    // sum exactly, bands from the fixed [0, 600) grid
+    "s26_psi" -> ((s, d) =>
+      Stats.psiSummary(T(s, d, "documents"), "n_chars", "source",
+        "src0", "src1", lo = 0.0, hi = 600.0, nbins = 10)),
+
+    // two-sample KS drift on the exact integer lattice: did src0 and
+    // src1 draw document lengths from the same distribution? (profile
+    // diffs compare moments; KS compares the whole CDF)
+    "s25_ks_drift" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .withColumn("toklen", TextAnalysis.tokenCount(col("text")))
+      Stats.ksDrift(docs, "toklen", "source", "src0", "src1")
+    }),
+
+    // winsorized mean: values clamped to the group's exact [p10, p90]
+    // (inverted-CDF, value-based, tie-stable) before the mean — the
+    // robust location estimate; one scan, window over tie groups only
+    "s24_winsorized" -> ((s, d) =>
+      Stats.winsorizedMean(T(s, d, "lineitem"), "l_quantity",
+        Seq("l_returnflag"), lo = 0.1, hi = 0.9)),
+
+    "s10b_ldiversity" -> ((s, d) => {
+      val c = T(s, d, "customer").withColumn("band",
+        floor(col("c_acctbal") / 2000).cast("long"))
+      graft.ops.Privacy.lDiversitySummary(c,
+        Seq("c_nationkey", "c_mktsegment"), "band", l = 3)
+    }),
+
+    // --- §2.1 IO roundtrips: each writes the parquet table through
+    // graft's own sink, reads it back through graft's own source, and
+    // the DuckDB oracle computes the same result straight from parquet —
+    // so header handling, quoting, escaping, and type inference are all
+    // on the hash-checked path (temp files under java.io.tmpdir).
+    "s11_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s11").toString
+      graft.io.Sinks.writeCsv(Map("nation" -> T(s, d, "nation")), dir)
+      val part = new java.io.File(s"$dir/nation").listFiles()
+        .map(_.getPath).find(_.endsWith(".csv"))
+        .getOrElse(sys.error(s"no csv part written under $dir/nation"))
+      Sources.readTable(s, part)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
+    "s12_excel_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_s12")
+        .resolve("wb.xlsx").toString
+      graft.io.Sinks.writeExcel(Map("nation" -> T(s, d, "nation")), path)
+      Sources.readTable(s, path)
+    }),
+
+    // WET (Common Crawl extracted-text WARC) roundtrip: documents →
+    // conversion records → distributed delimiter-split read → fields.
+    // Proves the record render (Content-Length = body bytes), the
+    // splitter, and body-identity end to end; the oracle replays the
+    // same projection straight off the documents table.
+    "s23_wet_roundtrip" -> ((s, d) => {
+      // fit-once temp artifact: cleaned at JVM exit, and the cold/warm
+      // bench samples reuse one corpus-sized WET copy instead of two
+      val dir = graft.scale.Models.fitOnceArtifactDir("wet-s23", d) { out =>
+        graft.io.Sinks.writeWet(
+          T(s, d, "documents").select(
+            concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+            lit("2026-01-01T00:00:00Z").as("date"), col("text")), out)
+      }
+      wetConversions(graft.io.Warc.readWet(s, dir))
+    }),
+
+    // ADVERSARIAL WET roundtrip (round-8 verdict #4): bodies planted
+    // (shared epilogue: wetConversions)
+    // with the record magic `WARC/1.0\r\n` and the record separator
+    // `\r\n\r\n` — text the delimiter-split readWet provably mis-splits
+    // and the old writeWet refused outright — written with
+    // Content-Length framing (forStrictReader) and read back by the
+    // strict reader, which slices bodies by declared length. The oracle
+    // replays the plant straight off the documents table: body-identity
+    // through the hostile roundtrip.
+    "s30_wet_strict" -> ((s, d) => {
+      // fit-once temp artifact (see s23): JVM-exit cleanup + one write
+      // shared by the cold and warm bench samples
+      val dir = graft.scale.Models.fitOnceArtifactDir("wet-s30", d) { out =>
+        val planted = T(s, d, "documents").select(
+          col("doc_id"),
+          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit("\r\nWARC/1.0\r\n"), col("text")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("a\r\n\r\nb "), col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.io.Sinks.writeWet(planted, out, forStrictReader = true)
+      }
+      wetConversions(graft.io.Warc.readWetStrict(s, dir))
+    }),
+
+    "s14_xls_roundtrip" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_s14")
+        .resolve("wb.xls").toString
+      graft.io.Xls.write("nation", T(s, d, "nation"), path)
+      Sources.readTable(s, path)
+    }),
+
+    // ORC roundtrip: parquet → graft ORC sink → graft source → agg; the
+    // oracle computes the same agg straight from parquet, so the ORC
+    // writer/reader pair is on the hash-checked path (DuckDB has no ORC
+    // reader — the parquet-sourced oracle checks the full roundtrip
+    // instead, which is the stronger contract anyway).
+    "s18_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s18").toString
+      graft.io.Sinks.writeOrc(Map("nation" -> T(s, d, "nation")), dir)
+      Sources.readTable(s, s"$dir/nation.orc")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
+    // Bucketed-ingest roundtrip: parquet → bucketed managed table
+    // (pre-hashed files + catalog bucket metadata) → catalog read → agg.
+    // Data correctness of the bucketed layout is hash-checked here; the
+    // shuffle-FREE join/agg plan it buys is asserted in BucketingSpec.
+    "s19_bucketed_roundtrip" -> ((s, d) => {
+      graft.io.Sinks.writeBucketed(
+        T(s, d, "nation"), "graft_s19_nation", buckets = 4, bucketCols = Seq("n_regionkey"))
+      s.table("graft_s19_nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
+    "s13_json_bundle" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_s13")
+        .resolve("bundle.json").toString
+      graft.io.Sinks.writeJsonBundle(
+        Map("region" -> T(s, d, "region"), "nation" -> T(s, d, "nation")), path)
+      s.read.option("multiLine", "true").json(path)
+        .select(explode(col("nation")).as("r"))
+        .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
+    }),
+
+    "b5_csat_weighted" -> ((s, d) =>
+      Kpis.csatSummaryWeighted(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
+        Seq("l_returnflag"))),
+
+    "s3_wquantile" -> ((s, d) =>
+      Stats.weightedQuantile(T(s, d, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq("l_returnflag"), 0.5)),
+
+    // the scale-adaptive router on a probe-eligible column (integral
+    // values, 50 distinct quantities ≪ capacity): takes the SKETCH
+    // route, whose stride-1 result the inverted-CDF oracle hash-gates;
+    // s3 above keeps the exact sorted-window route green (fractional
+    // prices are probe-ineligible)
+    "s3b_wquantile_auto" -> ((s, d) =>
+      Stats.weightedQuantileAuto(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
+        Seq("l_returnflag"), 0.5)),
+
+    "s4_rake" -> ((s, d) =>
+      Raking.ipfCellWeights(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        rowTargets = Map("A" -> 300000.0, "N" -> 400000.0, "R" -> 300000.0),
+        colTargets = Map("F" -> 450000.0, "O" -> 550000.0),
+        weightCol = Some("l_quantity"), iters = 5)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          Rounding.halfUp(col("weight"), 6).as("weight"))),
+
+    // the full weighting loop: fit IPF cell targets -> apply per-case
+    // factors (design weight preserved) -> weighted tabulation; micro-
+    // scaled longs make the group sums exact in both engines
+    "b6_rake_weighted_freq" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val cw = Raking.ipfCellWeights(li, "l_returnflag", "l_linestatus",
+        rowTargets = Map("A" -> 300000.0, "N" -> 400000.0, "R" -> 300000.0),
+        colTargets = Map("F" -> 450000.0, "O" -> 550000.0),
+        weightCol = Some("l_quantity"), iters = 5)
+      Raking.applyRake(li, "l_returnflag", "l_linestatus", cw, Some("l_quantity"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(floor(col("rake_weight") * 1e6 + 0.5).cast("long")).as("weight_micro"),
+          count(lit(1)).as("n"))
+    }),
+
+    // bounded-state k-per-group sampling through the BoundedTopK
+    // aggregate (shuffle ∝ groups × k, not rows); affine-hash order is
+    // engine-portable so the oracle mirrors it with a window
+    "s20_sample_pergroup" -> ((s, d) =>
+      Sampling.sampleKPerGroup(T(s, d, "orders"),
+        Seq("o_orderstatus"), "o_orderkey", k = 10)),
+
+    "s5_sample_strat" -> ((s, d) =>
+      Sampling.stratifiedSystematic(T(s, d, "orders"), "o_orderstatus", "o_orderkey",
+        Map("O" -> 2L, "F" -> 5L), defaultMod = 10L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))),
+
+    "j2_asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
+    }),
+
+    // the tolerance variant: a click older than an hour is no
+    // attribution at all (pandas merge_asof tolerance semantics)
+    "j2b_asof_tolerance" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+      AsOf.asofJoinTolerance(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_ts"), toleranceMicros = 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
+    }),
+
+    // value→interval join through the binned equi-join (a raw BETWEEN
+    // theta-join plans as BroadcastNestedLoop); irregular overlapping
+    // price bands derived from part, values from lineitem. Counts and
+    // cent-sums per band are engine-exact; the band bounds are the same
+    // double arithmetic in both engines.
+    "j4_range_join" -> ((s, d) => {
+      val bands = T(s, d, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("band"),
+          (col("p_retailprice") * 10).as("lo"),
+          (col("p_retailprice") * 10 + 5000 + (col("p_partkey") % 7) * 3000).as("hi"))
+      graft.ops.RangeJoin.rangeJoin(
+          T(s, d, "lineitem").select(col("l_extendedprice")), "l_extendedprice",
+          bands, "lo", "hi", binWidth = 5000)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
+    }),
+
+    "s6_neff" -> ((s, d) =>
+      Raking.effectiveSampleSize(T(s, d, "lineitem"), "l_quantity", Seq("l_returnflag"))),
+
+    "b1_trend" -> ((s, d) => {
+      val df = T(s, d, "orders")
+        .withColumn("wave", unix_timestamp(date_trunc("month", col("o_orderdate"))))
+      graft.bht.Trend.waveOverWave(df, "wave", Seq("o_orderstatus"))
+    }),
+
+    "b2_nps_weighted" -> ((s, d) =>
+      Kpis.npsSummaryWeighted(
+        T(s, d, "part").withColumn("wt", (col("p_partkey") % 5 + 1).cast("double")),
+        "p_size", "wt", Seq("p_brand"))),
+
+    // churn: users active in the first half of the event window but not
+    // the second. SINGLE data pass: per-user conditional flags from one
+    // groupBy (no distinct×2 + anti-join, no driver-side head() action);
+    // the midpoint scalar attaches as a broadcast 1-row agg.
+    "b3_churn" -> ((s, d) => {
+      val ev = T(s, d, "events").select(col("user_id"), unix_millis(col("ts")).as("__ms"))
+      val mid = ev.agg(
+        floor((min(col("__ms")) + max(col("__ms"))) / 2).cast("long").as("__mid"))
+      // empty events: null midpoint → both flags 0 → churn 0 (same as
+      // the oracle) — null comparisons are false in `when`
+      ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("__ms") < col("__mid"), 1).otherwise(0)).as("__early"),
+          max(when(col("__ms") >= col("__mid"), 1).otherwise(0)).as("__late"))
+        .filter(col("__early") === 1 && col("__late") === 0)
+        .agg(count(lit(1)).as("churned_users"))
+    }),
+
+    // spend deciles: VALUE-based buckets from one exact-percentile agg —
+    // ties share a bucket, and no global-order window ever funnels the
+    // table through a single task (the scale contract; see
+    // Stats.bucketSummary and ScalePlanSpec's no-unpartitioned-window
+    // assert). Bucketing runs on integer cents so boundaries and sums
+    // are exact and engine-portable.
+    "b4_deciles" -> ((s, d) => {
+      val o = T(s, d, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      Stats.bucketSummary(o, "cents", nBuckets = 10)
+        .select(col("bucket").cast("int").as("decile"), col("n"),
+          col("total").cast("long").as("total_cents"))
+    }),
+
+    "s7_fingerprint_portable" -> ((s, d) =>
+      TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
+
+    // --- §2.2 transforms ---------------------------------------------
+    "t5_codebook_recode" -> ((s, d) => {
+      val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
+        Map("n_regionkey" -> Map("0" -> "AFRICA", "1" -> "AMERICA", "2" -> "ASIA")))
+      recoded.groupBy("n_regionkey").agg(count(lit(1)).as("count"))
+    }),
+
+    // S3 on the hash-checked path: the codebook arrives as a FILE with
+    // the reference's column,value,label contract (app.py:218-227) and
+    // flows through Sources.readCodebook (CSV parse + astype(str)
+    // collapse) before the recode — a mis-parse there breaks the hash,
+    // unlike t5 which feeds applyCodebook a literal map.
+    "t5b_codebook_file" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_t5b")
+        .resolve("codebook.csv")
+      java.nio.file.Files.writeString(path,
+        "column,value,label\n" +
+          "n_regionkey,0,AFRICA\nn_regionkey,1,AMERICA\nn_regionkey,2,ASIA\n")
+      val cb = Sources.readCodebook(s, path.toString)
+      Cleaning.applyCodebook(T(s, d, "nation"), cb)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("count"))
+    }),
+
+    "t10_brand_dictionary" -> ((s, d) =>
+      Tabulation.distinctValues(T(s, d, "customer"), "c_mktsegment")),
+
+    // --- §2.4 sort/limit/union/join ----------------------------------
+    "o3_sort_limit" -> ((s, d) =>
+      T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), desc("o_orderkey")).limit(20)),
+
+    "u1_union_funnel" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      Tabulation.selectedCounts(o, Seq("o_orderstatus")).withColumn("stage", lit("ever_used"))
+        .unionByName(
+          Tabulation.selectedCounts(o, Seq("o_orderpriority")).withColumn("stage", lit("consider")))
+    }),
+
+    "j1_join_enrich" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val n = T(s, d, "nation")
+      val r = T(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("acctbal_cents"))
+    }),
+
+    // weighted sampling over lineitem at ~20%: inclusion ∝ l_quantity;
+    // summary by returnflag keeps the output small while hashing both
+    // the kept-set membership and the weight mass
+    "s17_sample_weighted" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+        .withColumn("__key", col("l_orderkey") * 8 + col("l_linenumber"))
+      Sampling.byWeight(li, "__key", "l_quantity", targetFrac = 0.2)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("l_quantity").cast("long")).as("qty_kept"))
+    }),
+
+    // per-brand z-score feature normalization; p_size is integer-valued
+    // so the moments are exact longs (see Stats.zscore determinism note)
+    "s16_zscore" -> ((s, d) =>
+      Stats.zscore(T(s, d, "part"), "p_size", groupCols = Seq("p_brand"))
+        .select(col("p_partkey"), col("p_size"),
+          Rounding.halfUp(col("z"), 9).as("z"))),
+
+    // ingest audit: one pass, all requested columns
+    "s15_profile" -> ((s, d) =>
+      Stats.profile(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_custkey"))),
+
+    // the audit's frequency/median columns ride the SAME one-pass agg
+    // (Space-Saving + weighted-quantile sketch) in their exact-mode
+    // oracle config (capacity >= distinct values); integral columns
+    // only — c_mktsegment's empty top_values explodes to zero rows,
+    // which the oracle pins by omission. Arrays explode to scalars
+    // (driver compare can't hash arrays).
+    "s15b_profile_topk" -> ((s, d) =>
+      Stats.profile(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey", "c_custkey"),
+        numericTopK = 3, sketchCapacity = 1 << 18)
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("p50"), posexplode(col("top_values")).as(Seq("__pos", "__tv")))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("p50"), (col("__pos") + 1).cast("int").as("rank"),
+          col("__tv.value").as("top_value"), col("__tv.count").as("top_count"))),
+
+    // ingest-drift audit: wave B is a deterministic perturbation of
+    // customer (fifth of rows dropped, a seventh of segments nulled);
+    // the diff surfaces the planted null-rate jump per column
+    "s22_profile_diff" -> ((s, d) => {
+      val a = T(s, d, "customer")
+      val b = a.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_mktsegment")))
+      Stats.profileDiff(a, b, Seq("c_mktsegment", "c_nationkey"))
+        .withColumn("null_rate_delta", Rounding.halfUp(col("null_rate_delta"), 9))
+    }),
+
+    // feature-correlation audit: p·(p+3)/2 exact long moments in ONE
+    // aggregate; inputs pre-cast to integral (cents-scaled) so the
+    // Pearson arithmetic is engine-exact (see Stats.corrMatrix)
+    "s21_corr" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select(
+        col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_cents"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("tax_cents"))
+      Stats.corrMatrix(li, Seq("l_linenumber", "qty", "disc_cents", "tax_cents"))
+    }),
+
+    // hot-key join through the salt fan-out: output equals the plain
+    // join (the salt is internal), so the oracle is the plain SQL join
+    "j3_salted_join" -> ((s, d) => {
+      val ev = T(s, d, "events").select(col("user_id"), col("event_type"))
+      val userTotals = T(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      graft.ops.Skew.saltedJoin(ev, userTotals, "user_id", salts = 8)
+        .groupBy("event_type")
+        .agg(sum("user_events").as("sum_user_events"), count(lit(1)).as("n"))
+    }),
+
+    // join-skew audit: the top heavy keys with exact micro-share and
+    // the salt factor a bounded-reducer salted join would need
+    "s31_skew_advisor" -> ((s, d) =>
+      graft.ops.Skew.saltAdvisor(T(s, d, "events"), "user_id",
+        rowsPerTask = 32L, topK = 25)),
+
+    // robust outliers: median/MAD (50% breakdown) per source over doc
+    // lengths — the masking-proof screen beside the z-score profile
+    "s32_robust_outliers" -> ((s, d) =>
+      graft.ops.Stats.robustOutlierAudit(T(s, d, "documents"), "source", "n_chars")),
+
+    // --- per-slice rank normalization (round-10) ----------------------
+    // average-rank percentile of every distinct doc length within its
+    // language — the scale-free transform for cross-slice comparison
+    "x_stats_ranknorm" -> ((s, d) =>
+      graft.ops.Stats.rankNormalize(T(s, d, "documents"), "lang", "n_chars")),
+
+    // equi-depth histogram of doc lengths per language: quantile
+    // buckets on the exact tie-group percentile — heavy-tail-aware
+    // resolution the equi-width s1 histogram can't give
+    "x_stats_eqdepth" -> ((s, d) =>
+      graft.ops.Stats.equiDepthHistogram(T(s, d, "documents"), "lang", "n_chars",
+        nbins = 8)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_value_counts" ->
+      """SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS option, CAST(count(*) AS BIGINT) AS "count"
+        |FROM customer
+        |WHERE c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> ''
+        |GROUP BY 1""".stripMargin,
+
+    "a2_freq_table" ->
+      s"""WITH c AS (
+         |  SELECT trim(coalesce(CAST(l_returnflag AS VARCHAR), 'nan')) AS "value",
+         |         sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS "count"
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CASE WHEN sum("count") <> 0 THEN sum("count") END AS dn FROM c)
+         |SELECT 'l_returnflag' AS "column", "value", "count",
+         |       ${r1("\"count\" / t.dn * 100")} AS pct_total
+         |FROM c, t""".stripMargin,
+
+    "a3_crosstab_total" -> crosstabSql("total"),
+    "a3_crosstab_row" -> crosstabSql("row"),
+    "a3_crosstab_col" -> crosstabSql("col"),
+
+    "a4_multidim_level" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, l_linestatus, sum(coalesce(CAST(l_quantity AS DOUBLE),0)) AS "count"
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (SELECT *, sum("count") OVER (PARTITION BY l_returnflag) AS dn FROM g)
+         |SELECT l_returnflag, l_linestatus, "count",
+         |       ${r1("\"count\" / (CASE WHEN dn <> 0 THEN dn END) * 100")} AS pct
+         |FROM w""".stripMargin,
+
+    "a4_multidim_total" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, l_linestatus, l_linenumber, sum(coalesce(CAST(l_quantity AS DOUBLE),0)) AS "count"
+         |  FROM lineitem GROUP BY 1, 2, 3),
+         |t AS (SELECT CASE WHEN sum("count") <> 0 THEN sum("count") END AS dn FROM g)
+         |SELECT l_returnflag, l_linestatus, l_linenumber, "count",
+         |       ${r1("\"count\" / t.dn * 100")} AS pct
+         |FROM g, t""".stripMargin,
+
+    "a5_full_tabulation" ->
+      """SELECT 'c_mktsegment' AS "column", trim(coalesce(CAST(c_mktsegment AS VARCHAR),'nan')) AS "value", CAST(count(*) AS BIGINT) AS "count" FROM customer GROUP BY 2
+        |UNION ALL
+        |SELECT 'c_nationkey', trim(coalesce(CAST(c_nationkey AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2
+        |UNION ALL
+        |SELECT 'c_name', trim(coalesce(CAST(c_name AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2""".stripMargin,
+
+    // timestamp stringification follows the pandas rule: fraction omitted
+    // when zero, full 6 digits otherwise (mirrored via strftime CASE)
+    "a5b_full_tab_orders" ->
+      """SELECT 'o_orderstatus' AS "column", trim(coalesce(CAST(o_orderstatus AS VARCHAR),'nan')) AS "value", CAST(count(*) AS BIGINT) AS "count" FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'o_orderdate', trim(coalesce(CASE WHEN microsecond(o_orderdate) % 1000000 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') END, 'nan')), CAST(count(*) AS BIGINT) FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'o_totalprice', trim(coalesce(CAST(o_totalprice AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM orders GROUP BY 2""".stripMargin,
+
+    "a6_selected_counts" ->
+      """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count" FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' AND lower(CAST(o_orderpriority AS VARCHAR)) <> '0') AS BIGINT) FROM orders""".stripMargin,
+
+    "a7_csat_summary" ->
+      """SELECT 'mean' AS metric, avg(CAST(l_quantity AS DOUBLE)) AS "value" FROM lineitem
+        |UNION ALL
+        |SELECT 'top2_box', CAST(count(*) FILTER (WHERE CAST(l_quantity AS DOUBLE) >= (SELECT max(CAST(l_quantity AS DOUBLE)) FROM lineitem) - 1) AS BIGINT) / count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'n', CAST(count(l_quantity) AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "a7b_describe" ->
+      """SELECT 'count' AS metric, CAST(count(l_quantity) AS DOUBLE) AS "value" FROM lineitem
+        |UNION ALL SELECT 'mean', avg(CAST(l_quantity AS DOUBLE)) FROM lineitem
+        |UNION ALL SELECT 'min', min(CAST(l_quantity AS DOUBLE)) FROM lineitem
+        |UNION ALL SELECT 'p25', quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) FROM lineitem
+        |UNION ALL SELECT 'p50', quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) FROM lineitem
+        |UNION ALL SELECT 'p75', quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) FROM lineitem
+        |UNION ALL SELECT 'max', max(CAST(l_quantity AS DOUBLE)) FROM lineitem""".stripMargin,
+
+    "a9_rollup_tab" ->
+      """WITH t AS (SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
+        |              coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL)
+        |SELECT coalesce(r, 'Total') AS l_returnflag,
+        |       coalesce(c, 'Total') AS l_linestatus,
+        |       CAST(grouping(r) AS INT) AS g_l_returnflag,
+        |       CAST(grouping(c) AS INT) AS g_l_linestatus,
+        |       sum(w) AS "count"
+        |FROM t GROUP BY ROLLUP(r, c)""".stripMargin,
+
+    "s1_histogram" ->
+      """SELECT CAST(greatest(0.0, least(23.0, floor((o_totalprice - 0.0) / 600000.0 * 24))) AS INT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS "count"
+        |FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "s2_chi2" ->
+      """WITH cells0 AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
+        |         sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS obs
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT rr.r, cc.c, coalesce(o.obs, 0) AS obs
+        |  FROM (SELECT DISTINCT r FROM cells0) rr
+        |  CROSS JOIN (SELECT DISTINCT c FROM cells0) cc
+        |  LEFT JOIN cells0 o ON o.r = rr.r AND o.c = cc.c),
+        |e AS (SELECT r, c, obs,
+        |        sum(obs) OVER (PARTITION BY r) * sum(obs) OVER (PARTITION BY c) / sum(obs) OVER () AS ex
+        |      FROM cells),
+        |m AS (SELECT CAST(floor((obs - ex) * (obs - ex) / ex * 1e6 + 0.5) AS BIGINT) AS cm, r, c, obs FROM e),
+        |a AS (SELECT CAST(sum(cm) AS BIGINT) AS chi2_micro,
+        |             CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+        |             CAST(sum(obs) AS BIGINT) AS n FROM m)
+        |SELECT 'chi2_micro' AS metric, chi2_micro AS "value" FROM a
+        |UNION ALL SELECT 'dof', dof FROM a
+        |UNION ALL SELECT 'n', n FROM a""".stripMargin,
+
+    "s10_kanon" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY 1, 2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(coalesce(sum(CASE WHEN n < 30 THEN 1 END), 0) AS BIGINT) AS n_risky,
+        |        CAST(coalesce(sum(CASE WHEN n < 30 THEN n END), 0) AS BIGINT) AS rows_at_risk,
+        |        CAST(min(n) AS BIGINT) AS min_cell
+        |      FROM g),
+        |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
+        |SELECT * FROM a, r""".stripMargin,
+
+    // Neyman: exact cent moments, the identical S_h double chain, and
+    // the weight total as an EXPLICIT ordered left fold (list_reduce
+    // over list(wh ORDER BY stratum) — the Scala foldLeft association)
+    "s27_neyman" ->
+      """WITH m AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
+        |        CAST(count(*) AS BIGINT) AS nh,
+        |        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        |        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |               * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+        |      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |w AS (SELECT stratum, nh,
+        |        nh * sqrt(greatest(CAST(s2 AS DOUBLE) / nh
+        |          - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh), 0.0)) AS wh
+        |      FROM m),
+        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(wh ORDER BY stratum)), (a, b) -> a + b) AS totw FROM w)
+        |SELECT stratum, nh,
+        |       CASE WHEN totw > 0 THEN floor(wh / totw * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS share,
+        |       CAST(CASE WHEN totw > 0 THEN floor(1000 * wh / totw + 0.5) ELSE 0 END AS BIGINT) AS alloc
+        |FROM w, t""".stripMargin,
+
+    // Benford: first digit from the exact BIGINT's decimal string on
+    // both engines; expected shares are the SAME micro-rounded Scala
+    // literals interpolated here (never re-derived in SQL)
+    "s29_benford" -> {
+      val vals = (1 to 9).map(d =>
+        s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6})")
+        .mkString(", ")
+      s"""WITH e AS (SELECT CAST(d AS INT) AS digit, CAST(x AS DOUBLE) AS expected
+         |      FROM (VALUES $vals) t(d, x)),
+         |v AS (SELECT CAST(floor(abs(o_totalprice * 100) + 0.5) AS BIGINT) AS m
+         |      FROM orders WHERE o_totalprice IS NOT NULL),
+         |c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM v WHERE m > 0 GROUP BY 1),
+         |tt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn FROM c)
+         |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+         |  floor(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)
+         |    * 1e6 + 0.5) / 1e6 AS share,
+         |  e.expected,
+         |  floor(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)
+         |    - e.expected) * 1e6 + 0.5) / 1e6 AS abs_dev
+         |FROM e LEFT JOIN c ON c.digit = e.digit, tt""".stripMargin
+    },
+
+    // Moments: the identical integer lattice, exact BIGINT power sums,
+    // and the same left-associated central-moment double chain;
+    // m2*sqrt(m2) (not pow 1.5) so both engines hit IEEE primitives
+    "s28_moments" ->
+      """WITH v AS (SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+        |        CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+        |      FROM lineitem WHERE l_quantity IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |        CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |        CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, CAST(s1 AS DOUBLE) / n AS mean,
+        |        CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
+        |        CAST(s4 AS DOUBLE) / n AS r4
+        |      FROM m),
+        |c AS (SELECT l_returnflag, n, mean,
+        |        greatest(r2 - mean * mean, 0.0) AS m2,
+        |        r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |        r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |          - 3.0 * mean * mean * mean * mean AS m4
+        |      FROM d)
+        |SELECT l_returnflag, n, floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+        |  CASE WHEN m2 > 0 THEN floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS skewness,
+        |  CASE WHEN m2 > 0 THEN floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS kurt_excess
+        |FROM c""".stripMargin,
+
+    // t-closeness: the identical clamp band grid, a DENSE cell×band
+    // lattice (missing bands at 0), exact integer cumulative
+    // cross-multiply |cnc·N − cng·n_c| — no double accumulates
+    "s10c_tcloseness" ->
+      """WITH s AS (SELECT c_nationkey AS q1, c_mktsegment AS q2,
+        |        CAST(greatest(0.0, least(9.0,
+        |          floor((c_acctbal - (-1000.0)) / (10000.0 - (-1000.0)) * 10)))
+        |          AS INT) AS band
+        |      FROM customer WHERE c_acctbal IS NOT NULL),
+        |cb AS (SELECT q1, q2, band, CAST(count(*) AS BIGINT) AS nb
+        |       FROM s GROUP BY 1, 2, 3),
+        |cells AS (SELECT q1, q2, CAST(sum(nb) AS BIGINT) AS nc
+        |          FROM cb GROUP BY 1, 2),
+        |gb AS (SELECT band, CAST(sum(nb) AS BIGINT) AS ngb FROM cb GROUP BY 1),
+        |gt AS (SELECT CAST(sum(ngb) AS BIGINT) AS ng FROM gb),
+        |bands AS (SELECT CAST(unnest(range(10)) AS INT) AS band),
+        |grid AS (SELECT c.q1, c.q2, c.nc, b.band,
+        |        CAST(coalesce(cb.nb, 0) AS BIGINT) AS nb,
+        |        CAST(coalesce(gb.ngb, 0) AS BIGINT) AS ngb
+        |      FROM cells c CROSS JOIN bands b
+        |      LEFT JOIN cb ON cb.q1 = c.q1 AND cb.q2 = c.q2 AND cb.band = b.band
+        |      LEFT JOIN gb ON gb.band = b.band),
+        |cum AS (SELECT q1, q2, nc,
+        |        CAST(sum(nb) OVER (PARTITION BY q1, q2 ORDER BY band)
+        |          AS BIGINT) AS cnc,
+        |        CAST(sum(ngb) OVER (PARTITION BY q1, q2 ORDER BY band)
+        |          AS BIGINT) AS cng
+        |      FROM grid),
+        |emd AS (SELECT e.q1, e.q2, max(e.nc) AS nc, max(g.ng) AS ng,
+        |        CAST(sum(abs(e.cnc * g.ng - e.cng * e.nc)) AS BIGINT) AS num
+        |      FROM cum e, gt g GROUP BY 1, 2),
+        |p AS (SELECT nc, floor(CAST(num AS DOUBLE)
+        |        / (CAST(nc AS DOUBLE) * CAST(ng AS DOUBLE) * 9.0)
+        |        * 1e6 + 0.5) / 1e6 AS emd_t FROM emd)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(coalesce(sum(CASE WHEN emd_t > 0.25 THEN 1 END), 0) AS BIGINT)
+        |    AS n_risky,
+        |  CAST(coalesce(sum(CASE WHEN emd_t > 0.25 THEN nc END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  max(emd_t) AS max_t
+        |FROM p""".stripMargin,
+
+    // PSI: identical band grid, epsilon-floored shares, per-band term
+    // floored to micro units — the cross-band total is an exact
+    // integer sum on both engines
+    "s26_psi" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |c AS (SELECT CAST(greatest(0.0, least(9.0, floor((v - 0.0) / 600.0 * 10))) AS INT) AS band,
+        |        CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS n_a,
+        |        CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS n_b
+        |      FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+        |m AS (SELECT band, n_a, n_b,
+        |        CAST(floor((greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) - greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
+        |          * ln(greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) / greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
+        |          * 1e6 + 0.5) AS BIGINT) AS pm
+        |      FROM c, tt)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bands,
+        |       CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
+        |       CAST(sum(pm) AS DOUBLE) / 1e6 AS psi,
+        |       (CAST(sum(pm) AS BIGINT) > 250000) AS drifted
+        |FROM m""".stripMargin,
+
+    // KS: D = max |cumA·nB − cumB·nA| over the distinct-value lattice
+    // (exact integers; DuckDB's HUGEINT widenings cast back), one
+    // double division + the 1.358 large-sample 5% critical compare
+    "s25_ks_drift" ->
+      s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v FROM documents
+         |           WHERE source IN ('src0', 'src1')),
+         |c AS (SELECT v,
+         |        CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS ca,
+         |        CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS cb
+         |      FROM t WHERE v IS NOT NULL GROUP BY 1),
+         |w AS (SELECT *,
+         |        sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb FROM c),
+         |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
+         |d AS (SELECT na, nb,
+         |        CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS dd
+         |      FROM w, tt GROUP BY 1, 2)
+         |SELECT na AS n_a, nb AS n_b,
+         |       ${Rounding.halfUpSql("CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE)", 6)} AS ks,
+         |       (CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE) >
+         |        1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))) AS drifted
+         |FROM d""".stripMargin,
+
+    // winsorized mean: the same tie-grouped cumulative frame as
+    // s3_wquantile, boundaries by min-past-threshold, clamp·count sums
+    // (integer-valued doubles — exact associative)
+    "s24_winsorized" ->
+      s"""WITH c AS (SELECT l_returnflag, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+         |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         |        sum(c) OVER (PARTITION BY l_returnflag) AS tot FROM c),
+         |b AS (SELECT l_returnflag,
+         |        min(CASE WHEN cum >= 0.1 * tot THEN v END) AS lo,
+         |        min(CASE WHEN cum >= 0.9 * tot THEN v END) AS hi
+         |      FROM w GROUP BY 1),
+         |m AS (SELECT w.l_returnflag, CAST(sum(w.c) AS BIGINT) AS n, b.lo, b.hi,
+         |        sum(greatest(b.lo, least(b.hi, w.v)) * w.c) AS s
+         |      FROM w JOIN b USING (l_returnflag) GROUP BY 1, 3, 4)
+         |SELECT l_returnflag, n, lo, hi,
+         |       ${Rounding.halfUpSql("s / n", 6)} AS winsorized_mean
+         |FROM m""".stripMargin,
+
+    // l-diversity: same grouped shape with a distinct-count; floor of
+    // an IEEE double division bands identically in both engines
+    "s10b_ldiversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
+        |      FROM b GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(coalesce(sum(CASE WHEN l_distinct < 3 THEN 1 END), 0) AS BIGINT) AS n_risky,
+        |       CAST(coalesce(sum(CASE WHEN l_distinct < 3 THEN n END), 0) AS BIGINT) AS rows_at_risk,
+        |       CAST(min(l_distinct) AS BIGINT) AS min_l
+        |FROM g""".stripMargin,
+
+    // IO roundtrips: the Spark side goes parquet → graft sink → graft
+    // source; the oracle reads the parquet table directly, so any
+    // quoting/escaping/inference drift in the IO layer breaks the hash
+    "s11_csv_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "s18_orc_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    // the WET roundtrip is body-identity: every field replays from the
+    // documents table (strlen = UTF-8 bytes in DuckDB, matching
+    // Spark's octet_length-derived Content-Length header)
+    "s23_wet_roundtrip" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS content_length,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       text
+        |FROM documents""".stripMargin,
+
+    // replays the adversarial plant (WARC magic / record separator
+    // inside bodies) and asserts body-identity through the
+    // Content-Length-framed roundtrip
+    "s30_wet_strict" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || chr(13) || chr(10) || 'WARC/1.0'
+        |                   || chr(13) || chr(10) || text
+        |              WHEN doc_id % 5 = 1
+        |              THEN 'a' || chr(13) || chr(10) || chr(13) || chr(10)
+        |                   || 'b ' || text
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS content_length,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       text
+        |FROM planted""".stripMargin,
+
+    "s19_bucketed_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "s12_excel_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s13_json_bundle" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s14_xls_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s9_prop_ci" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS option,
+        |             coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_returnflag IS NOT NULL),
+        |t AS (SELECT sum(w) AS wtot, sum(w) * sum(w) / sum(w * w) AS neff FROM b),
+        |g AS (SELECT option, sum(w) AS wsum FROM b GROUP BY 1)
+        |SELECT option, wsum / t.wtot AS share, t.neff AS neff,
+        |       CAST(floor(1.96 * sqrt((wsum / t.wtot) * (1 - (wsum / t.wtot)) / t.neff) * 1e6 + 0.5) AS BIGINT) AS moe_micro
+        |FROM g, t""".stripMargin,
+
+    "b5_csat_weighted" ->
+      """WITH m AS (SELECT max(CAST(l_quantity AS DOUBLE)) AS mx FROM lineitem),
+        |b AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS s,
+        |        coalesce(CAST(l_linenumber AS DOUBLE), 0) AS w FROM lineitem)
+        |SELECT l_returnflag,
+        |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w * s END), 0)
+        |         / (CASE WHEN sum(CASE WHEN s IS NOT NULL THEN w END) <> 0
+        |                 THEN sum(CASE WHEN s IS NOT NULL THEN w END) END) AS mean,
+        |       CASE WHEN m.mx IS NULL THEN NULL
+        |            ELSE coalesce(sum(CASE WHEN s >= m.mx - 1 THEN w END), 0)
+        |                   / (CASE WHEN sum(w) <> 0 THEN sum(w) END) END AS top2_box,
+        |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w END), 0) AS n
+        |FROM b, m GROUP BY 1, m.mx""".stripMargin,
+
+    "s3_wquantile" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+        |              coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT *,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM b)
+        |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
+
+    // identical inverted-CDF definition — the sketch route at stride 1
+    // must be indistinguishable from the exact pass
+    "s3b_wquantile_auto" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+        |              coalesce(CAST(l_linenumber AS DOUBLE), 0) AS w
+        |           FROM lineitem WHERE l_quantity IS NOT NULL),
+        |s AS (SELECT *,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM b)
+        |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
+
+    "s4_rake" -> rakeSql,
+
+    "b6_rake_weighted_freq" -> rakeApplySql,
+
+    // two-proportion z per (row, column-pair), pooled variance; same
+    // formula text both engines => identical IEEE bits
+    "s8_sigtest" ->
+      """WITH cells AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS r, CAST(o_orderstatus AS VARCHAR) AS c,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT c, sum(w) AS n FROM cells GROUP BY 1),
+        |pr AS (SELECT a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+        |       FROM cn a JOIN cn b ON a.c < b.c WHERE a.n > 0 AND b.n > 0),
+        |rws AS (SELECT DISTINCT r FROM cells),
+        |v AS (SELECT rws.r, pr.ca, pr.cb, pr.na, pr.nb,
+        |        coalesce(a.w, 0) AS wa, coalesce(b.w, 0) AS wb
+        |      FROM rws CROSS JOIN pr
+        |      LEFT JOIN cells a ON a.r = rws.r AND a.c = pr.ca
+        |      LEFT JOIN cells b ON b.r = rws.r AND b.c = pr.cb),
+        |f AS (SELECT r, ca AS col_a, cb AS col_b,
+        |        (wa / na) AS p1, (wb / nb) AS p2,
+        |        sqrt(((wa + wb) / (na + nb)) * (1 - ((wa + wb) / (na + nb))) * (1 / na + 1 / nb)) AS den
+        |      FROM v)
+        |SELECT r AS o_orderpriority, col_a, col_b,
+        |       CASE WHEN den > 0 THEN CAST(floor((p1 - p2) / den * 1e6 + 0.5) AS BIGINT) END AS z_micro,
+        |       CASE WHEN den > 0 THEN abs((p1 - p2) / den) > 1.96 ELSE false END AS significant
+        |FROM f""".stripMargin,
+
+    "s5_sample_strat" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE o_orderkey % (CASE CAST(o_orderstatus AS VARCHAR) WHEN 'O' THEN 2 WHEN 'F' THEN 5 ELSE 10 END) = 0
+        |GROUP BY 1""".stripMargin,
+
+    "j2_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+        |       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // native ASOF + a staleness CASE: a match older than the hour
+    // nulls out (never replaced by an older candidate — those are
+    // older still)
+    "j2b_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+        |       CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |            THEN CAST(epoch_ms(c.ts) AS BIGINT) END AS click_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "b1_trend" ->
+      s"""WITH g AS (SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS wave,
+         |             o_orderstatus, CAST(count(*) AS DOUBLE) AS metric
+         |           FROM orders GROUP BY 1, 2),
+         |l AS (SELECT *, lag(metric) OVER (PARTITION BY o_orderstatus ORDER BY wave) AS prev FROM g)
+         |SELECT wave, o_orderstatus, metric, prev, metric - prev AS delta,
+         |       ${Rounding.halfUpSql("(metric - prev) / (CASE WHEN prev <> 0 THEN prev END) * 100", 1)} AS pct_change
+         |FROM l""".stripMargin,
+
+    "b2_nps_weighted" ->
+      """WITH b AS (SELECT p_brand, CAST(p_size AS DOUBLE) AS s,
+        |             coalesce(CAST(p_partkey % 5 + 1 AS DOUBLE), 0) AS wt FROM part),
+        |a AS (SELECT p_brand,
+        |        coalesce(sum(CASE WHEN s BETWEEN 0 AND 6 THEN wt END), 0) AS detractors,
+        |        coalesce(sum(CASE WHEN s BETWEEN 7 AND 8 THEN wt END), 0) AS passives,
+        |        coalesce(sum(CASE WHEN s BETWEEN 9 AND 10 THEN wt END), 0) AS promoters,
+        |        coalesce(sum(CASE WHEN s IS NOT NULL THEN wt END), 0) AS n
+        |      FROM b GROUP BY 1)
+        |SELECT p_brand, detractors, passives, promoters, n,
+        |       CASE WHEN n <> 0 THEN (promoters / n - detractors / n) * 100 END AS nps
+        |FROM a""".stripMargin,
+
+    // NOT EXISTS, not NOT IN: the latter collapses to UNKNOWN for every
+    // row if the subquery ever contains a NULL key, silently diverging
+    // from Spark's left_anti
+    "b3_churn" ->
+      """WITH m AS (SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS BIGINT) AS mid FROM events),
+        |e AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) < mid),
+        |l AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) >= mid)
+        |SELECT CAST(count(*) AS BIGINT) AS churned_users
+        |FROM e WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.user_id = e.user_id)""".stripMargin,
+
+    // value-based deciles: boundary definition is quantile_cont ≡ Spark's
+    // exact `percentile` (type-7, idx = p·(N−1), linear interpolation on
+    // integer cents — identical IEEE arithmetic both engines); bucket =
+    // 1 + #boundaries strictly below the value
+    "b4_deciles" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM c)
+        |SELECT CAST(1 + len(list_filter(b.bounds, x -> c.cents > x)) AS INT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c.cents) AS BIGINT) AS total_cents
+        |FROM c, b GROUP BY 1""".stripMargin,
+
+    "s6_neff" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       (sum(w) * sum(w) / sum(w * w)) AS neff,
+        |       (count(*) / (sum(w) * sum(w) / sum(w * w))) AS deff
+        |FROM (SELECT l_returnflag, coalesce(CAST(l_quantity AS DOUBLE), 0) AS w FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+
+    // 31-base polynomial rolling hash mod 2^31-1 over codepoints of the
+    // normalized token stream — same fold, left to right, both engines
+    "s7_fingerprint_portable" ->
+      s"""SELECT doc_id,
+         |  ${polyHashSqlOf("j")} AS fingerprint
+         |FROM (SELECT doc_id, array_to_string($toksSql, ' ') AS j FROM documents)""".stripMargin,
+
+    "a8_nps_summary" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 0 AND 6) AS BIGINT) AS detr,
+        |         CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 7 AND 8) AS BIGINT) AS pass,
+        |         CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 9 AND 10) AS BIGINT) AS prom,
+        |         CAST(count(p_size) AS BIGINT) AS n
+        |  FROM part)
+        |SELECT 'nps' AS metric, (CAST(prom AS DOUBLE) / n - CAST(detr AS DOUBLE) / n) * 100 AS "value" FROM c
+        |UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM c
+        |UNION ALL SELECT 'promoters', CAST(prom AS DOUBLE) FROM c
+        |UNION ALL SELECT 'passives', CAST(pass AS DOUBLE) FROM c
+        |UNION ALL SELECT 'detractors', CAST(detr AS DOUBLE) FROM c""".stripMargin,
+
+    "t5_codebook_recode" ->
+      """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'
+        |            ELSE CAST(n_regionkey AS VARCHAR) END AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS "count"
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "t5b_codebook_file" ->
+      """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
+        |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'
+        |            ELSE CAST(n_regionkey AS VARCHAR) END AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS "count"
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "t10_brand_dictionary" ->
+      """SELECT DISTINCT trim(CAST(c_mktsegment AS VARCHAR)) AS brand
+        |FROM customer
+        |WHERE c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> ''""".stripMargin,
+
+    "o3_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 20",
+
+    "u1_union_funnel" ->
+      """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count", 'ever_used' AS stage FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' AND lower(CAST(o_orderpriority AS VARCHAR)) <> '0') AS BIGINT), 'consider' FROM orders""".stripMargin,
+
+    "j1_join_enrich" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // same perturbation, same per-column profile arithmetic; distinct
+    // counts ignore nulls in both engines
+    "s22_profile_diff" -> {
+      def side(src: String, suffix: String) =
+        Seq("c_mktsegment", "c_nationkey").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows_$suffix,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_$suffix,
+             |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct_$suffix
+             |FROM $src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT c_custkey,
+         |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+         |    c_nationkey
+         |  FROM customer WHERE c_custkey % 5 <> 0),
+         |pa AS (${side("customer", "a")}),
+         |pb AS (${side("b", "b")})
+         |SELECT col_name, n_rows_a, n_null_a, n_distinct_a,
+         |       n_rows_b, n_null_b, n_distinct_b,
+         |       ${Rounding.halfUpSql(
+                 "CAST(n_null_b AS DOUBLE) / n_rows_b - CAST(n_null_a AS DOUBLE) / n_rows_a", 9)} AS null_rate_delta
+         |FROM pa JOIN pb USING (col_name)""".stripMargin
+    },
+
+    // Pearson from the same exact long moments, same double formula
+    // (DuckDB's sum(int) is HUGEINT — exact; the DOUBLE casts land on
+    // identical values ≤ 2^53). CAST(l_quantity AS BIGINT) diverges
+    // from Spark's truncating cast only on non-integer values, which
+    // l_quantity doesn't have (the a2 contract).
+    "s21_corr" -> {
+      val names = Seq("l_linenumber", "qty", "disc_cents", "tax_cents")
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      def varD(i: Int) = s"(${d("n")} * ${d(s"q$i")} - ${d(s"s$i")} * ${d(s"s$i")})"
+      def rSql(i: Int, j: Int) = Rounding.halfUpSql(
+        s"CASE WHEN ${varD(i)} > 0 AND ${varD(j)} > 0 THEN " +
+          s"(${d("n")} * ${d(s"p${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")}) / " +
+          s"(sqrt(${varD(i)}) * sqrt(${varD(j)})) END", 9)
+      val pairIdx = for { i <- names.indices; j <- names.indices if i < j } yield (i, j)
+      val moments =
+        (names.indices.map(i => s"sum(${names(i)}) AS s$i") ++
+          names.indices.map(i => s"sum(${names(i)} * ${names(i)}) AS q$i") ++
+          pairIdx.map { case (i, j) => s"sum(${names(i)} * ${names(j)}) AS p${i}_$j" } :+
+          "count(*) AS n").mkString(", ")
+      val branches = pairIdx.map { case (i, j) =>
+        s"SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b, n, ${rSql(i, j)} AS r FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents,
+         |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_cents
+         |  FROM lineitem
+         |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         |m AS (SELECT $moments FROM b)
+         |$branches""".stripMargin
+    },
+
+    // same affine hash and identical rate arithmetic:
+    // u < least(1, 0.2 * (w * n / ws))
+    // the aggregate's (hash desc, key asc) order == the window's;
+    // CRT pair of seeded affine hashes (seed 42 → multipliers
+    // 514272 / 741146) combined as h1*P2 + h2 — injective below
+    // P1*P2 ≈ 1.2e18 keys, every product BIGINT-safe in both engines
+    "s20_sample_pergroup" ->
+      """WITH h AS (SELECT o_orderstatus, o_orderkey,
+        |        ((o_orderkey % 1073741789) * 514272) % 1073741789 * 1073741783
+        |          + ((o_orderkey % 1073741783) * 741146) % 1073741783 AS hv
+        |      FROM orders),
+        |r AS (SELECT o_orderstatus, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv DESC, o_orderkey) AS rn
+        |      FROM h)
+        |SELECT o_orderstatus, o_orderkey FROM r WHERE rn <= 10""".stripMargin,
+
+    "s17_sample_weighted" ->
+      """WITH st AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws,
+        |                   CAST(count(l_quantity) AS BIGINT) AS wn
+        |            FROM lineitem),
+        |k AS (SELECT l.l_returnflag, l.l_quantity
+        |      FROM lineitem l, st
+        |      WHERE CAST(((l.l_orderkey * 8 + l.l_linenumber) % 1000003) * 514229 + 741103 AS BIGINT) % 1000003
+        |            / 1000003.0
+        |            < least(1.0, 0.2 * (CAST(l.l_quantity AS DOUBLE) * st.wn / st.ws)))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_kept
+        |FROM k GROUP BY 1""".stripMargin,
+
+    // identical operation order: mean = s/n, var = (ss - s*s/n)/(n-1),
+    // z = (x - mean)/sqrt(var), all from exact integer moments
+    "s16_zscore" ->
+      """WITH st AS (SELECT p_brand,
+        |              CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS s,
+        |              CAST(sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS BIGINT) AS ss,
+        |              CAST(count(p_size) AS BIGINT) AS n
+        |            FROM part GROUP BY 1)
+        |SELECT p.p_partkey, p.p_size,
+        |       floor((CASE WHEN n >= 2 AND ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) > 0
+        |              THEN (CAST(p.p_size AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |                   / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) END) * 1000000000 + 0.5) / 1000000000 AS z
+        |FROM part p JOIN st ON p.p_brand = st.p_brand""".stripMargin,
+
+    "s15_profile" ->
+      """SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT) AS n_distinct
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(c_mktsegment) AS BIGINT),
+        |       CAST(count(DISTINCT CAST(c_mktsegment AS VARCHAR)) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(c_nationkey) AS BIGINT),
+        |       CAST(count(DISTINCT CAST(c_nationkey AS VARCHAR)) AS BIGINT)
+        |FROM customer""".stripMargin,
+
+    // exact-mode Space-Saving == plain top-3 by (count desc, value asc);
+    // exact-mode sketch p50 == lower median (min value whose cumulative
+    // count reaches half the total). Only the integral columns emit
+    // rows (c_mktsegment's empty top_values explodes away).
+    "s15b_profile_topk" -> {
+      def perCol(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM customer) AS n_null,
+           |       (SELECT CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) FROM customer) AS n_distinct,
+           |       (SELECT CAST(min(v) AS BIGINT) FROM (
+           |          SELECT CAST($c AS BIGINT) AS v,
+           |                 CAST(count(*) AS BIGINT) AS cnt,
+           |                 sum(count(*)) OVER (ORDER BY CAST($c AS BIGINT)) AS cum,
+           |                 sum(count(*)) OVER () AS tot
+           |          FROM customer WHERE $c IS NOT NULL GROUP BY 1)
+           |        WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)) AS p50,
+           |       CAST(rank AS INT) AS rank, top_value, top_count
+           |FROM (SELECT CAST($c AS BIGINT) AS top_value,
+           |             CAST(count(*) AS BIGINT) AS top_count,
+           |             row_number() OVER (ORDER BY count(*) DESC, CAST($c AS BIGINT) ASC) AS rank
+           |      FROM customer WHERE $c IS NOT NULL GROUP BY 1)
+           |WHERE rank <= 3""".stripMargin
+      perCol("c_custkey") + "\nUNION ALL\n" + perCol("c_nationkey")
+    },
+
+    "j3_salted_join" ->
+      """WITH ut AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST(sum(ut.user_events) AS BIGINT) AS sum_user_events,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN ut ON e.user_id = ut.user_id
+        |GROUP BY 1""".stripMargin,
+
+    // plain BETWEEN theta-join — DuckDB's IEJoin handles it natively;
+    // the Spark side must reach the identical result through the binned
+    // equi-join decomposition
+    "j4_range_join" ->
+      """WITH b AS (SELECT p_partkey AS band, p_retailprice * 10 AS lo,
+        |             p_retailprice * 10 + 5000 + (p_partkey % 7) * 3000 AS hi
+        |           FROM part WHERE p_partkey <= 100)
+        |SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+        |GROUP BY 1""".stripMargin,
+
+    // robust outliers: type-1 lower medians over tie groups ((n+1)//2
+    // cumulative threshold), exact integer deviations, k=3 MAD fence
+    "s32_robust_outliers" ->
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS slice, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *, sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY slice) AS tot FROM c),
+        |m AS (SELECT slice, CAST(max(tot) AS BIGINT) AS n,
+        |        min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS median FROM w GROUP BY 1),
+        |d AS (SELECT c.slice, abs(c.v - m.median) AS v, CAST(sum(c.c) AS BIGINT) AS c
+        |      FROM c JOIN m USING (slice) GROUP BY 1, 2),
+        |w2 AS (SELECT *, sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(c) OVER (PARTITION BY slice) AS tot FROM d),
+        |m2 AS (SELECT slice, min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS mad FROM w2 GROUP BY 1)
+        |SELECT d.slice, m.n, m.median, m2.mad,
+        |       CAST(coalesce(sum(CASE WHEN d.v > m2.mad * 3 THEN d.c END), 0) AS BIGINT) AS n_outliers,
+        |       max(d.v) AS max_dev
+        |FROM d JOIN m USING (slice) JOIN m2 USING (slice)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // skew advisor: exact counts, integer micro-share and ceil-div
+    // salt, deterministic (n desc, key asc) top-25 head
+    "s31_skew_advisor" ->
+      """WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), 'null') AS key,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT key, n, CAST(n * 1000000 // tt AS BIGINT) AS share_micro,
+        |       CAST((n + 31) // 32 AS BIGINT) AS salt,
+        |       (n > 32) AS skewed
+        |FROM c, t
+        |ORDER BY n DESC, key ASC
+        |LIMIT 25""".stripMargin,
+
+    // per-slice average-rank percentile over tie groups — the exact
+    // integer identity, single-value slices at the 500000 midpoint
+    "x_stats_ranknorm" ->
+      """WITH g AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS ties
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT lang, n_chars, ties,
+        |    CAST(sum(ties) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(ties) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT lang, n_chars, ties,
+        |  CAST(CASE WHEN n > 1
+        |        THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
+        |        ELSE 500000 END AS BIGINT) AS pct_micro
+        |FROM w""".stripMargin,
+
+    // equi-depth bins on the rank-normalize identity: a tie group
+    // lands whole in min(pct·nbins // 1e6, nbins-1)
+    "x_stats_eqdepth" ->
+      """WITH g AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS ties
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT lang, n_chars, ties,
+        |    CAST(sum(ties) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(ties) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM g),
+        |p AS (SELECT lang, n_chars, ties,
+        |    CAST(CASE WHEN n > 1
+        |          THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
+        |          ELSE 500000 END AS BIGINT) AS pct_micro
+        |  FROM w),
+        |b AS (SELECT lang, n_chars, ties,
+        |    least((pct_micro * 8) // 1000000, 7) AS bin FROM p)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(sum(ties) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+  )
+}

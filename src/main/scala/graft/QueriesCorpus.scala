@@ -1,0 +1,630 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import EntryShared._
+
+/** [[SparkEntry]] slice: corpus curation pipelines (mixing, splits, budgets, curriculum, e2e).
+  * Query lambdas and their DuckDB oracle mirrors live side by side;
+  * the maps compose into the driver contract in [[SparkEntry]].
+  * Determinism rules documented there apply to every entry.
+  */
+private[graft] object QueriesCorpus {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the full training-data prep recipe: quality filter → language
+    // filter → near-dup dedup → representatives — served from the
+    // fit-once snapshot cache (cleanedCorpus): the chain itself runs
+    // once per JVM, this key reads its parquet output
+    "x_corpus_clean" -> ((s, d) =>
+      cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // end-to-end training-shard manifest: assign every cleaned-corpus
+    // survivor its (shard, pack, offset) — the file a trainer's data
+    // loader actually consumes. Reads the fit-once snapshot (the pack
+    // side and the metadata join both scan it; as a parquet read that
+    // costs two column-pruned scans, not two clean-chain recomputes);
+    // the oracle chains the same packing CTEs onto the recursive
+    // corpus-clean SQL.
+    "x_corpus_manifest" -> ((s, d) => {
+      val clean = cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap)
+      TextAnalysis.packSequences(clean, "doc_id", "text", budget = 256, shards = 8)
+        .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    }),
+
+    // right-to-be-forgotten: erasure seeds (every 97th doc id) delete
+    // their whole near-dup cluster — the same CC assignment as
+    // x_dedup_clusters, then two broadcast joins; the output is the
+    // auditable manifest (kept / seed / propagated), not just survivors
+    "x_corpus_forget" -> ((s, d) =>
+      Dedup.forgetPropagate(corpusClusters(s, d),
+        T(s, d, "documents").filter(col("doc_id") % 97 === 0), "doc_id")),
+
+    // DSIR importance resampling toward the English slice as the
+    // target domain: unigram log-ratio + deterministic Gumbel top-50
+    // (two broadcast-model scoring passes, TakeOrdered epilogue)
+    "x_corpus_dsir" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Sampling.importanceResample(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", n = 50, vocabSize = 1000)
+    }),
+
+    // per-language quality floor: drop each language's worst 20% by the
+    // unigram LM score (rank-based — exact, no score arithmetic; null
+    // scores rank worst and drop first)
+    "x_corpus_qfloor" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+      val withLang = docs.select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("avg_logp")), "doc_id")
+      Sampling.dropBottomFractionPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", 0.2)
+    }),
+
+    // best-5 docs per language by the unigram LM score — the "cap each
+    // domain at its k highest-quality documents" curation primitive on
+    // the map-side-bounded top-k aggregate (shuffle ∝ langs × k, never
+    // a corpus-wide window sort)
+    "x_corpus_bestk" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+      val withLang = docs.select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("avg_logp")), "doc_id")
+      Sampling.keepBestKPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", k = 5)
+    }),
+
+    // curriculum banding over the unigram-LM score: grid-exact decile
+    // assignment with no global sort (score recovered as the exact
+    // nano-nat long behind x_text_unigram's 9-dp avg_logp)
+    // CCNet head/middle/tail (Wenzek 2020): per-language LM-score
+    // terciles on the exact nano-nat integer — distinct-score
+    // cumulative window, |langs|-row broadcast boundary frame, then a
+    // narrow row-local compare; nothing sorts the corpus
+    "x_corpus_ppl_buckets" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      graft.scale.Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
+    }),
+
+    // mixture concentration: Gini + HHI of per-source token mass —
+    // the "one source dominates" audit; exact integer numerators via
+    // the rank identity, one |sources|-row bounded window
+    "x_corpus_concentration" -> ((s, d) =>
+      graft.scale.Curation.concentrationReport(T(s, d, "documents"),
+        "source", "text")),
+
+    "x_corpus_curriculum" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000,
+        scoreNano = true)
+      val withScore = scored.select(col("doc_id"), col("score_nano").as("score"))
+      Sampling.curriculumBands(withScore, "doc_id", "score", bands = 10, grid = 1024)
+    }),
+
+    // the curriculum materialized as a training layout: band becomes a
+    // pack partition, so no window ever mixes curriculum stages — the
+    // trainer consumes packs band by band
+    "x_corpus_curriculum_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000,
+        scoreNano = true)
+      val withScore = scored.select(col("doc_id"), col("score_nano").as("score"))
+      graft.scale.Curation.curriculumPack(docs, "doc_id", "text",
+        withScore, "score", bands = 10, grid = 1024, packBudget = 256, shards = 4)
+    }),
+
+    // token-budgeted mixture: fill each source's 2000-token budget
+    // with its best classifier-scored documents (greedy prefix by
+    // quality, running sum within the per-group window)
+    "x_corpus_budget" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val model = fittedClassifier(s, d, buckets = 1024)
+      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
+      val withSrc = docs.select(col("doc_id"), col("source"))
+        .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
+      Sampling.takeTokensPerGroup(withSrc, Seq("source"), "doc_id",
+        "score_micro", "n_tokens", tokenBudget = 2000L)
+    }),
+
+    // the GPT-3-recipe composition: classifier-score the corpus, then
+    // floor each source at its best 70% (rank-based, per-group window)
+    "x_corpus_clffilter" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val model = fittedClassifier(s, d, buckets = 1024)
+      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
+      val withSrc = docs.select(col("doc_id"), col("source"))
+        .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
+      Sampling.dropBottomFractionPerGroup(withSrc, Seq("source"), "doc_id", "score_micro", 0.3)
+    }),
+
+    // packing by the LEARNED tokenizer's counts (bpeEncode n_units →
+    // packByCount) — the composition a trainer actually consumes:
+    // windows are sized in real tokens, not whitespace estimates
+    "x_corpus_bpe_pack" -> ((s, d) =>
+      TextAnalysis.packByCount(
+        TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
+          fittedBpe(s, d, merges = 6)),
+        "doc_id", "n_units", budget = 256, shards = 8)),
+
+    // the web-corpus curation e2e: suffix blocklist -> domain quality
+    // tier (broadcast rank-tier join; unranked domains conservatively
+    // excluded — unknown quality is not good quality) -> classifier
+    // score floor, summarized per source. The composition a CCNet-
+    // style pipeline actually ships, built from the gated parts.
+    "x_corpus_web_e2e" -> ((s, d) => webE2ePipeline(s, d)),
+
+    // mixture construction: cap three sources (one to zero), leave the
+    // rest whole; emit the per-source audit the pipeline would log
+    "x_corpus_mixture" -> ((s, d) => {
+      val kept = Sampling.sampleByTokenBudget(T(s, d, "documents"),
+        "doc_id", "text", "source",
+        Map("src0" -> 500L, "src1" -> 800L, "src5" -> 0L))
+      kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
+    }),
+
+    // capped water-filling epoch allocation: target weights 4/2/1/1
+    // over four sources, 2-epoch repeat ceiling, 8k-token budget — at
+    // sf0.01 the heaviest-weighted source hits its capacity cap and the
+    // remainder water-fills the rest (the nontrivial branch of the
+    // closed form; unlisted sources exercise the zero-weight branch)
+    "x_corpus_epochs" -> ((s, d) =>
+      Sampling.epochAllocation(T(s, d, "documents"), "text", "source",
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        budgetTokens = 8000L, maxEpochs = 2.0)),
+
+    // the allocation materialized into the repeated-doc manifest a
+    // training loader reads: floor(e) copies + a deterministic
+    // fractional copy per doc — composes the x_corpus_epochs waterline
+    "x_corpus_epochs_expand" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val alloc = Sampling.epochAllocation(docs, "text", "source",
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        budgetTokens = 8000L, maxEpochs = 2.0)
+      Sampling.expandEpochs(docs, "doc_id", "source", alloc)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // temperature-balanced mixture (alpha = 0.5 up-weights small
+    // sources): rates are driver-computed constants from a sorted fold,
+    // so the kept set is engine-exact; same summary shape as mixture
+    "x_corpus_temperature" -> ((s, d) => {
+      val kept = Sampling.sampleByTemperature(T(s, d, "documents"),
+        "doc_id", "text", "source", alpha = 0.5, totalBudget = 2000L)
+      kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
+    }),
+
+    // deterministic training shuffle: seed-reproducible (shard, pos)
+    // permutation with no global sort (per-shard windows only)
+    "x_corpus_shuffle" -> ((s, d) =>
+      Sampling.shuffleDeterministic(T(s, d, "documents"), "doc_id",
+          shards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // deterministic train/val/test split: portable affine-hash uniform
+    // vs cumulative thresholds, summarized per (split, source)
+    "x_corpus_split" -> ((s, d) =>
+      Sampling.splitAssign(T(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))),
+
+    // leakage-safe grouped split: every doc of a source lands in ONE
+    // split (portable poly-hash of the group feeds the affine uniform);
+    // summarized per (split, source) so co-assignment is visible in the
+    // hashed result — a source appearing under two splits would change
+    // the row set
+    "x_corpus_split_grouped" -> ((s, d) =>
+      Sampling.splitAssignGrouped(T(s, d, "documents"), "source",
+          Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // the whole last mile in ONE composed call: clean → temperature mix
+    // → decorrelated split → per-(split, shard) packed manifest — every
+    // stage already individually green, this key gates the COMPOSITION
+    // (incl. the second-round split hash: same-hash splitting would put
+    // every temperature-kept doc in 'train')
+    "x_corpus_e2e" -> ((s, d) =>
+      // post-clean stages on the fit-once snapshot — the production
+      // "clean once to storage, curate from there" shape; curate ==
+      // cleanCorpus + curateCleaned by construction
+      graft.scale.Curation.curateCleaned(
+        cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap),
+        "doc_id", "text", "source",
+        alpha = 0.5, totalBudget = 2000L,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        packBudget = 256, shards = 8, metaCols = Seq("lang", "source"))),
+
+    // --- duplication-aware sampling weights (round-10) ----------------
+    // soft dedup: every member of a size-k near-dup cluster carries
+    // 1e6 div k micro of sampling mass; rolled up per source as the
+    // effective (dedup-discounted) corpus size — reads the same
+    // fit-once cluster snapshot as the dedup census keys
+    "x_corpus_dupweight" -> ((s, d) => {
+      val w = Dedup.clusterWeights(corpusClusters(s, d))
+      T(s, d, "documents").select(col("doc_id").as("id"), col("source"))
+        .join(w, Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("weight_micro")).as("eff_docs_micro"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_corpus_clean" -> corpusCleanSql,
+    "x_corpus_manifest" -> corpusManifestSql,
+
+    // affine hash mod the prime 1000003 (the sampleByTokenBudget mirror),
+    // shard = h mod 8, pos = per-shard rank on (h, id) — no global order
+    "x_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |        ((doc_id % 1000003) * 514229 + 741103 + 42) % 1000003 AS hv
+        |      FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
+    // same affine-hash uniform; thresholds are the Scala-computed
+    // cumulative doubles (0.8 + 0.1 != 0.9 in IEEE — the oracle must
+    // compare against the IDENTICAL values splitAssign used)
+    "x_corpus_split" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH u AS (SELECT doc_id, source, text,
+         |    CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |  FROM documents),
+         |s AS (SELECT source, text,
+         |        CASE WHEN u < ${cuts(0)} THEN 'train'
+         |             WHEN u < ${cuts(1)} THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM u)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS tokens
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    // grouped split: the same 31-base poly hash of the GROUP string
+    // (cf. s7_fingerprint_portable) feeding the same affine uniform;
+    // cuts are the Scala cumulative doubles
+    "x_corpus_split_grouped" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${polyHashSqlOf("coalesce(source, '')")} AS gh
+         |  FROM documents),
+         |u AS (SELECT doc_id, source,
+         |        CAST(((gh % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |      FROM h),
+         |s AS (SELECT source,
+         |        CASE WHEN u < ${cuts(0)} THEN 'train'
+         |             WHEN u < ${cuts(1)} THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM u)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    // the clusters CC chain + erasure-seed propagation: a cluster
+    // containing any seed (doc_id % 97 = 0) is deleted wholesale;
+    // status audits WHY each id left (seed vs propagated)
+    "x_corpus_forget" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+         |sc AS (SELECT DISTINCT c.cluster FROM clu c JOIN sd ON sd.id = c.id)
+         |SELECT c.id, c.cluster,
+         |       CASE WHEN c.id IN (SELECT id FROM sd) THEN 'seed'
+         |            WHEN c.cluster IN (SELECT cluster FROM sc) THEN 'propagated'
+         |            ELSE 'kept' END AS status
+         |FROM clu c""".stripMargin,
+
+    // curriculum banding: the unigram score chain, the exact nano-nat
+    // long (floor(x*1e9+0.5) — the integer behind avg_logp's 9 dp),
+    // then pure-integer lattice quantiles; every div operand is
+    // non-negative, so DuckDB's floor-// equals Spark's truncate-div
+    "x_corpus_curriculum" ->
+      s"""WITH $curriculumCtes
+         |SELECT doc_id, score, band FROM cb""".stripMargin,
+
+    // concentration: rank identity 2*Six - (n+1)*Sx over (mass asc,
+    // source asc) ranks; exact BIGINT numerators, one double division
+    "x_corpus_concentration" ->
+      s"""WITH m AS (SELECT coalesce(CAST(source AS VARCHAR), '') AS g,
+         |             CAST(sum(len($toksSql)) AS BIGINT) AS x
+         |           FROM documents GROUP BY 1),
+         |r AS (SELECT g, x, CAST(row_number() OVER (ORDER BY x ASC, g ASC) AS BIGINT) AS i FROM m),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(i * x) AS BIGINT) AS six, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM r)
+         |SELECT n AS n_groups, sx AS total_tokens,
+         |       ${Rounding.halfUpSql(
+                   "CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)", 6)} AS gini,
+         |       ${Rounding.halfUpSql(
+                   "CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS hhi
+         |FROM a""".stripMargin,
+
+    // CCNet terciles: same unigram chain + nano-nat fold, then
+    // value-based boundaries (smallest score whose per-lang cumulative
+    // tie-group count reaches k·n/3) and the same <= compares — the
+    // window's HUGEINT cumulative never reaches the output
+    "x_corpus_ppl_buckets" ->
+      s"""WITH $unigramScoreCtes,
+         |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score_nano
+         |        FROM sc WHERE n_tokens > 0),
+         |wl AS (SELECT d.doc_id, coalesce(CAST(d.lang AS VARCHAR), '') AS lang, s.score_nano
+         |       FROM documents d LEFT JOIN scr s ON d.doc_id = s.doc_id),
+         |cc AS (SELECT lang, score_nano, CAST(count(*) AS BIGINT) AS c
+         |       FROM wl WHERE score_nano IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, score_nano,
+         |          sum(c) OVER (PARTITION BY lang ORDER BY score_nano ROWS UNBOUNDED PRECEDING) AS cm
+         |        FROM cc),
+         |tt2 AS (SELECT lang, sum(c) AS n FROM cc GROUP BY 1),
+         |b AS (SELECT cum.lang,
+         |        min(CASE WHEN cm * 3 >= n THEN score_nano END) AS t1,
+         |        min(CASE WHEN cm * 3 >= 2 * n THEN score_nano END) AS t2
+         |      FROM cum JOIN tt2 ON cum.lang = tt2.lang GROUP BY 1)
+         |SELECT wl.doc_id, wl.lang, wl.score_nano,
+         |       CASE WHEN wl.score_nano IS NULL THEN 'unscored'
+         |            WHEN wl.score_nano <= b.t1 THEN 'tail'
+         |            WHEN wl.score_nano <= b.t2 THEN 'middle'
+         |            ELSE 'head' END AS bucket
+         |FROM wl LEFT JOIN b ON wl.lang = b.lang""".stripMargin,
+
+    // curriculum → packing composition: band joins the pack partition
+    // (shares the banding CTEs, so both keys provably band identically)
+    "x_corpus_curriculum_pack" ->
+      s"""WITH $curriculumCtes,
+         |pt AS (SELECT cb.doc_id, cb.band, cb.doc_id % 4 AS shard,
+         |         CAST(len($toksSql) AS BIGINT) AS token_count
+         |       FROM cb JOIN documents ON cb.doc_id = documents.doc_id),
+         |pw AS (SELECT *, sum(token_count) OVER (PARTITION BY band, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM pt)
+         |SELECT doc_id, band, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM pw""".stripMargin,
+
+    // DSIR: two instantiations of the SAME model CTEs (target = en
+    // slice, reference = whole corpus), 9-dp score difference, the
+    // portable-affine Gumbel key, top-50 by (skey desc, id asc)
+    "x_corpus_dsir" ->
+      s"""WITH $docTokenCtes,
+         |${unigramModelCtes("t_", "lang = 'en'")},
+         |${unigramModelCtes("r_", "TRUE")},
+         |j AS (SELECT t_sc.doc_id,
+         |    floor((CAST(t_sc.s6 AS DOUBLE) / 1000000 / t_sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS lt,
+         |    floor((CAST(r_sc.s6 AS DOUBLE) / 1000000 / r_sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS lr
+         |  FROM t_sc JOIN r_sc ON t_sc.doc_id = r_sc.doc_id
+         |  WHERE t_sc.n_tokens > 0 AND r_sc.n_tokens > 0),
+         |k AS (SELECT doc_id, lt - lr AS logratio,
+         |    -ln(-ln((CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)) AS g
+         |  FROM j),
+         |s AS (SELECT doc_id, logratio,
+         |    floor((logratio + g) * 1000000000 + 0.5) / 1000000000 AS skey FROM k)
+         |SELECT doc_id, logratio, skey FROM s ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
+
+    // quality floor: same unigram score CTEs; rank ASC NULLS FIRST
+    // explicitly (DuckDB defaults ASC to NULLS LAST, Spark to NULLS
+    // FIRST — the null convention is part of the operator's contract:
+    // unscorable docs drop first)
+    "x_corpus_qfloor" ->
+      s"""WITH $unigramScoreCtes,
+         |scored AS (SELECT dd.doc_id, dd.lang,
+         |    floor((CAST(sc.s6 AS DOUBLE) / 1000000 / sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
+         |  FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY avg_logp ASC NULLS FIRST, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored)
+         |SELECT doc_id, lang, avg_logp FROM r
+         |WHERE rk > floor(0.2 * CAST(n AS DOUBLE))""".stripMargin,
+
+    // best-k per language by the SAME unigram score CTEs (shared with
+    // x_text_unigram so the two can never drift) — row_number mirrors
+    // BoundedTopKDouble's (score desc, id asc) total order
+    "x_corpus_bestk" ->
+      s"""WITH $unigramScoreCtes,
+         |scored AS (SELECT dd.doc_id, dd.lang,
+         |    floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
+         |  FROM documents dd JOIN sc ON dd.doc_id = sc.doc_id
+         |  WHERE sc.n_tokens > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id ASC) AS rk
+         |      FROM scored)
+         |SELECT lang, doc_id, avg_logp FROM r WHERE rk <= 5""".stripMargin,
+
+    // scoring chain + the budget window epilogue: per source, rank by
+    // (score desc, id asc), admit while the inclusive running token
+    // sum stays within 2000
+    "x_corpus_budget" ->
+      s"""WITH ${hashClfCtes(1024)},
+         |bj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
+         |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
+         |br AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |                 ORDER BY score_micro DESC, doc_id ASC
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM bj)
+         |SELECT doc_id, source, n_tokens, score_micro, cum_tokens
+         |FROM br WHERE cum_tokens <= 2000""".stripMargin,
+
+    // scoring chain + the qfloor window epilogue: per source, rank by
+    // (score asc, id asc), drop ranks <= floor(0.3 * n)
+    "x_corpus_clffilter" ->
+      s"""WITH ${hashClfCtes(1024)},
+         |cj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
+         |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_micro ASC, doc_id ASC) AS rk,
+         |              count(*) OVER (PARTITION BY source) AS n FROM cj)
+         |SELECT doc_id, source, n_tokens, score_micro
+         |FROM cr WHERE rk > floor(0.3 * CAST(n AS DOUBLE))""".stripMargin,
+
+    // bpe-count packing: the encode chain's n_units (= flattened token
+    // count) feeds the same shard-partitioned running-sum layout as
+    // x_text_pack
+    "x_corpus_bpe_pack" ->
+      s"""WITH $bpeStreamCtes,
+         |c AS (SELECT doc_id, doc_id % 8 AS shard,
+         |        CAST(coalesce(len(toks), 0) AS BIGINT) AS token_count
+         |      FROM t),
+         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM c)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id,
+         |       CAST(st % 256 AS BIGINT) AS pack_offset
+         |FROM w""".stripMargin,
+
+    // web-curation e2e: blocklist CTEs (b-prefixed), 5-iteration rank
+    // chain + tier projection, classifier chain, three-way join
+    "x_corpus_web_e2e" ->
+      (graphRankOracleCtes(5) + s""",
+        |${hashClfCtes(1024)},
+        |bp AS (SELECT doc_id,
+        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
+        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
+        |  FROM documents),
+        |bu AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM bp),
+        |bd AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\\s]+)', 1)) AS domain FROM bu),
+        |bs AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
+        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM bd),
+        |bb AS (SELECT DISTINCT doc_id FROM bs
+        |  WHERE suffix IN ('news2.example.com', 'tracker3.example.org', 'unused.example.net')),
+        |tt AS (SELECT node, CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier FROM r5)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+        |FROM documents d
+        |JOIN tt ON tt.node = d.doc_id % 64 AND tt.tier <= 2
+        |JOIN hsc ON hsc.doc_id = d.doc_id AND hsc.score_micro >= 0
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bb)
+        |GROUP BY 1""".stripMargin),
+
+    // same affine hash mod 1000003 and the same least(1, budget/total)
+    // rate arithmetic; src5's zero budget drops the group entirely
+    "x_corpus_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
+         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
+         |r AS (SELECT t.doc_id, t.source, t.tok,
+         |        coalesce(least(1.0,
+         |          (CASE t.source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800 WHEN 'src5' THEN 0 END)
+         |            / CAST(tot.total AS DOUBLE)), 1.0) AS rate,
+         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |      FROM t JOIN tot ON t.source = tot.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
+
+    // the composed last mile: corpus-clean CTEs → the temperature CTEs
+    // over `clean` (same Z fold/rate arithmetic as x_corpus_temperature)
+    // → second-round-hash split (cuts are the Scala cumulative doubles)
+    // → running-sum packing PARTITIONED BY (split, shard)
+    "x_corpus_e2e" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      corpusCleanCtes + s""",
+         |t AS (SELECT doc_id, lang, source, CAST(len($toksSql) AS BIGINT) AS tok FROM clean),
+         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
+         |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(pow(CAST(total AS DOUBLE), 0.5) ORDER BY source)),
+         |        (a, b) -> a + b) AS z
+         |      FROM tot),
+         |mixed AS (SELECT t.doc_id, t.lang, t.source, t.tok
+         |      FROM t JOIN tot ON t.source = tot.source, z
+         |      WHERE CAST(((t.doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0
+         |            < CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
+         |                   ELSE greatest(0.000001, floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000) END),
+         |sp AS (SELECT *, CASE WHEN u2 < ${cuts(0)} THEN 'train'
+         |                      WHEN u2 < ${cuts(1)} THEN 'val'
+         |                      ELSE 'test' END AS split
+         |       FROM (SELECT *,
+         |               CAST((((doc_id % 1000003) * 514229 + 741103) % 1000003 * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u2
+         |             FROM mixed)),
+         |w AS (SELECT *, doc_id % 8 AS shard,
+         |        sum(tok) OVER (PARTITION BY split, doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS st
+         |      FROM sp)
+         |SELECT doc_id, split, CAST(shard AS BIGINT) AS shard, tok AS token_count,
+         |       CAST(st // 256 AS BIGINT) AS pack_id, CAST(st % 256 AS BIGINT) AS pack_offset,
+         |       lang, source
+         |FROM w""".stripMargin
+    },
+
+    // epoch water-filling: every sum is over exact longs (micro-unit
+    // weights, half-up long capacities), every double is a single-op
+    // expression written in the same association as the Spark plan —
+    // the capped-prefix test and the waterline division match
+    // bit-for-bit
+    "x_corpus_epochs" ->
+      s"""WITH $epochAllocCte
+         |SELECT source, tokens_available, weight, allocated_tokens, epochs
+         |FROM alloc""".stripMargin,
+
+    // the allocation materialized: floor(e) copies per doc plus a
+    // fractional copy below the portable per-key uniform (the same
+    // affine-hash mirror as x_corpus_temperature); shares the alloc
+    // CTE so both keys provably score the same waterline
+    "x_corpus_epochs_expand" ->
+      s"""WITH $epochAllocCte,
+         |d AS (SELECT doc_id, documents.source AS source, epochs,
+         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS uu
+         |      FROM documents JOIN alloc ON documents.source = alloc.source),
+         |e AS (SELECT doc_id, source, CAST(floor(epochs) AS BIGINT) +
+         |        CASE WHEN uu < epochs - floor(epochs) THEN 1 ELSE 0 END AS n
+         |      FROM d)
+         |SELECT doc_id, source, unnest(range(n)) AS epoch FROM e WHERE n > 0""".stripMargin,
+
+    "x_corpus_temperature" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
+         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
+         |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(pow(CAST(total AS DOUBLE), 0.5) ORDER BY source)),
+         |        (a, b) -> a + b) AS z
+         |      FROM tot),
+         |r AS (SELECT t.doc_id, t.source, t.tok,
+         |        CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
+         |             ELSE greatest(0.000001, floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000) END AS rate,
+         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |      FROM t JOIN tot ON t.source = tot.source, z)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
+
+    // duplication-aware sampling weights: the dedup family's cluster
+    // replay (reach = min-label closure) + 1e6 // size per member,
+    // rolled up per source
+    "x_corpus_dupweight" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster, d.source
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
+         |SELECT asg.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT asg.cluster) AS BIGINT) AS n_clusters,
+         |       CAST(sum(1000000 // cs.sz) AS BIGINT) AS eff_docs_micro
+         |FROM asg JOIN cs USING (cluster)
+         |GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import EntryShared._
+
+/** [[SparkEntry]] slice: link-graph quality ranking (PageRank family, HITS, components).
+  * Query lambdas and their DuckDB oracle mirrors live side by side;
+  * the maps compose into the driver contract in [[SparkEntry]].
+  * Determinism rules documented there apply to every entry.
+  */
+private[graft] object QueriesGraph {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- link-graph domain quality ranking (round-9) ----------------
+    // PageRank over a synthetic domain link graph derived
+    // deterministically from documents (src = doc_id mod 64, dst from
+    // a doc-dependent hash): 5 power iterations in integer micro-units
+    // so the oracle can unroll the exact same arithmetic — the
+    // crawl-quality signal that feeds the mixture/qfloor operators.
+    "x_graph_rank" -> ((s, d) =>
+      graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)),
+
+    // HITS hubs & authorities: the link-farm detector PageRank can't
+    // see (high hub + low authority = a directory that only points);
+    // integer micro-unit half-steps, max-divisor rescale, 4 iterations
+    "x_graph_hits" -> ((s, d) =>
+      graft.scale.Graph.hits(graphEdges(s, d), "src", "dst", iterations = 4)),
+
+    // co-citation mirror detection: pairs of domains the same sources
+    // link, out-degree-capped self-join (cap replayed by the oracle)
+    "x_graph_cocite" -> ((s, d) =>
+      graft.scale.Graph.coCitation(graphEdges(s, d), "src", "dst",
+        maxOutDegree = 48, minCommon = 2)),
+
+    // incremental rank refresh: warm-start 2 iterations over a CHANGED
+    // edge set (the % 80 graph adds nodes 64..79, which must cold-init
+    // at teleport mass) from the % 64 graph's 3-iteration ranks
+    "x_graph_rank_refresh" -> ((s, d) =>
+      graft.scale.Graph.pageRankRefresh(graphEdges2(s, d), "src", "dst",
+        graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 3),
+        iterations = 2)),
+
+    // bounded-hop distance from trusted seeds (node % 7 = 0, the
+    // TrustRank seed set): min-plus iteration, unreached -> NULL
+    "x_graph_seeddist" -> ((s, d) => {
+      val edges = graphEdges(s, d)
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .filter(col("node") % 7 === 0)
+      graft.scale.Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 4)
+    }),
+
+    // fixed-threshold quality tiers over the rank table (tier 0 =
+    // above every cut) + per-tier census — the shape a mixture/qfloor
+    // consumer joins on
+    "x_graph_tiers" -> ((s, d) => {
+      val ranks = graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)
+      graft.scale.Graph.rankTiers(ranks, GraphTierCuts)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("rank_micro")).as("rank_sum"),
+          min(col("rank_micro")).as("rank_min"),
+          max(col("rank_micro")).as("rank_max"))
+    }),
+
+    // WEIGHTED PageRank: every document is one vote, so multi-edges
+    // carry their multiplicity as the link weight — hot (src,dst)
+    // pairs vote proportionally instead of collapsing to 1
+    "x_graph_rank_weighted" -> ((s, d) =>
+      graft.scale.Graph.pageRankWeighted(
+        graphEdges(s, d).withColumn("w", lit(1L)),
+        "src", "dst", "w", iterations = 5)),
+
+    // the advertised composition: link-graph rank tiers feeding
+    // curation — keep documents whose domain sits in the top two
+    // quality tiers, budget-report per source (tier table is 64 rows
+    // → broadcast join, corpus never shuffles)
+    "x_graph_qmix" -> ((s, d) => {
+      val ranks = graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)
+      val tiers = graft.scale.Graph.rankTiers(ranks, GraphTierCuts)
+        .select(col("node"), col("tier"))
+      T(s, d, "documents")
+        .select(col("source"), (col("doc_id") % 64).as("node"),
+          graft.scale.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .join(broadcast(tiers), "node")
+        .filter(col("tier") <= 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_kept"))
+    }),
+
+    // per-node degree/reciprocity audit — the link-exchange (spam-farm)
+    // signal next to the rank
+    "x_graph_degree" -> ((s, d) =>
+      graft.scale.Graph.degreeAudit(graphEdges(s, d), "src", "dst")),
+
+    // weakly-connected domain components over the link graph (the
+    // same min-label CC engine as the dedup clusters): isolated link
+    // neighborhoods = candidate spam pockets / dead crawl islands
+    "x_graph_components" -> ((s, d) => {
+      val e = graphEdges(s, d).filter(col("src") =!= col("dst")).distinct()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val pairs = e.select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.clusters(nodes, "node", pairs)
+    }),
+
+    // TrustRank: teleport restricted to a trusted seed set (every 7th
+    // domain); non-seed domains earn rank ONLY through damped links
+    // from the trusted region
+    "x_graph_trust" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .filter(col("node") % 7 === 0)
+        .withColumn("teleport_micro", lit(1000000L))
+      graft.scale.Graph.pageRankPersonalized(e, "src", "dst", seeds, iterations = 5)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // PageRank unrolled: the fixed iteration count makes the oracle a
+    // finite CTE chain replaying the exact integer micro-unit
+    // arithmetic (`//` = Spark's `div` on positive longs); every sum
+    // is CAST back to BIGINT (DuckDB widens to HUGEINT)
+    "x_graph_rank" ->
+      (graphRankOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    "x_graph_hits" ->
+      (graphHitsOracleCtes(4) +
+        "\nSELECT a4.node, a4.s AS auth_micro, h4.s AS hub_micro FROM a4 JOIN h4 USING (node)"),
+
+    // co-citation: the same degree-capped (<= 48) self-join on the
+    // shared source, unordered pairs by dst_a < dst_b
+    "x_graph_cocite" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 48),
+        |k AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
+        |SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(count(*) AS BIGINT) AS n_common
+        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // warm-start refresh: 3 cold iterations on the %64 graph (the CTE
+    // chain), then 2 refresh iterations on the %80 graph with init =
+    // prior ranks, new nodes cold-initialized at 1e6 teleport mass
+    "x_graph_rank_refresh" ->
+      (graphRankOracleCtes(3) + """,
+        |e2 AS (
+        |  SELECT DISTINCT doc_id % 80 AS src, (doc_id * 13 + n_chars) % 80 AS dst
+        |  FROM documents WHERE doc_id % 80 <> (doc_id * 13 + n_chars) % 80),
+        |deg2 AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e2 GROUP BY 1),
+        |nodes2 AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+        |s0 AS (SELECT n.node, CAST(COALESCE(r3.r, 1000000) AS BIGINT) AS r
+        |       FROM nodes2 n LEFT JOIN r3 ON n.node = r3.node),
+        |s1 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes2 n
+        |  LEFT JOIN (SELECT e2.dst AS node, s0.r // deg2.outdeg AS contrib
+        |             FROM e2 JOIN s0 ON e2.src = s0.node
+        |                    JOIN deg2 ON e2.src = deg2.src) c ON n.node = c.node
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes2 n
+        |  LEFT JOIN (SELECT e2.dst AS node, s1.r // deg2.outdeg AS contrib
+        |             FROM e2 JOIN s1 ON e2.src = s1.node
+        |                    JOIN deg2 ON e2.src = deg2.src) c ON n.node = c.node
+        |  GROUP BY 1)
+        |SELECT node, r AS rank_micro FROM s2""".stripMargin),
+
+    "x_graph_seeddist" ->
+      (graphSeedDistOracleCtes(4) + """
+        |SELECT node, CASE WHEN h >= 999999999 THEN NULL ELSE h END AS hops FROM d4""".stripMargin),
+
+    "x_graph_tiers" ->
+      (graphRankOracleCtes(5) + """,
+        tiers AS (
+          SELECT r AS rank_micro,
+                 CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
+                         + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
+                         + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier
+          FROM r5)
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(rank_micro) AS BIGINT) AS rank_sum,
+               min(rank_micro) AS rank_min, max(rank_micro) AS rank_max
+        FROM tiers GROUP BY 1"""),
+
+    // degree/reciprocity audit over the cleaned edge set
+    "x_graph_degree" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1),
+        |rc AS (SELECT a.src AS node, CAST(count(*) AS BIGINT) AS reciprocal
+        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+        |SELECT node,
+        |       COALESCE(out_deg, 0) AS out_deg,
+        |       COALESCE(in_deg, 0) AS in_deg,
+        |       COALESCE(reciprocal, 0) AS reciprocal
+        |FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        |     LEFT JOIN rc USING (node)""".stripMargin,
+
+    // weighted PageRank: multi-edge multiplicity as the link weight,
+    // contribution = (rank * w) // out-weight — same unrolled replay
+    "x_graph_rank_weighted" ->
+      (graphRankWeightedOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    // TrustRank: the unrolled replay with the teleport vector
+    // restricted to seed domains (node % 7 = 0), rank initialized AT
+    // the teleport vector
+    "x_graph_trust" ->
+      (graphTrustOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    // weakly-connected components: recursive min-label closure over
+    // the symmetrized edge set (the x_dedup_clusters replay shape).
+    // NB inside WITH RECURSIVE a two-branch `a UNION b` CTE is treated
+    // as an ITERATION by DuckDB (base/step), not a set union — spell
+    // the dedup as DISTINCT over UNION ALL
+    "x_graph_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
+        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |            (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+        |reach(rid, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.rid),
+        |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
+        |SELECT n.node AS id, coalesce(l.cluster, n.node) AS cluster
+        |FROM nodes n LEFT JOIN lbls l ON n.node = l.rid""".stripMargin,
+
+    // rank-tier curation compose: top-2-tier domains keep their docs,
+    // token budget per source (the tier table is the broadcast side)
+    "x_graph_qmix" ->
+      (graphRankOracleCtes(5) + s""",
+        |tiers AS (
+        |  SELECT node,
+        |         CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier
+        |  FROM r5),
+        |docs AS (SELECT source, doc_id % 64 AS node,
+        |           CAST(len($toksSql) AS BIGINT) AS tok
+        |         FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS tokens_kept
+        |FROM docs JOIN tiers USING (node)
+        |WHERE tier <= 1
+        |GROUP BY 1""".stripMargin),
+  )
+}

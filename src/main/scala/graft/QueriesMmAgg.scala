@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import EntryShared._
+
+/** [[SparkEntry]] slice: multimodal payload stages and custom aggregates.
+  * Query lambdas and their DuckDB oracle mirrors live side by side;
+  * the maps compose into the driver contract in [[SparkEntry]].
+  * Determinism rules documented there apply to every entry.
+  */
+private[graft] object QueriesMmAgg {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HLL++ distinct gated against exact (the recall-gate contract):
+    // registers are mergeable map-side state — the 100 TB distinct —
+    // and the verdict row pins the sketch within 5% of truth
+    "x_agg_hll_gate" -> ((s, d) =>
+      graft.ops.Stats.approxDistinctGate(T(s, d, "lineitem"),
+        "l_orderkey", Seq("l_returnflag"), rsd = 0.02, relTol = 0.05)),
+
+    // Count-Min frequency sketch gated on its one-sided guarantee —
+    // estimate in [exact, exact + eps·N] for the top-20 heavy keys;
+    // the sketch blob is engine-internal, the verdict frame is what
+    // the oracle pins (the HLL/GK gate contract)
+    "x_agg_cms_gate" -> ((s, d) =>
+      Stats.countMinGate(T(s, d, "events"), "user_id",
+        eps = 0.005, confidence = 0.99, seed = 42, probeKeys = 20)),
+
+    // GK percentile sketch gated on its rank guarantee: the returned
+    // element's exact rank interval must intersect the q∓2/accuracy
+    // rank window (ranks, not interpolated values — those fail
+    // spuriously on small/gappy groups)
+    "x_agg_approxq_gate" -> ((s, d) =>
+      graft.ops.Stats.approxPercentileGate(T(s, d, "lineitem"),
+        "l_extendedprice", Seq("l_returnflag"), q = 0.5, accuracy = 1000)),
+
+    // mergeable weighted-quantile sketch in its EXACT configuration
+    // (50 distinct l_quantity values ≪ capacity → stride 1): the
+    // shipped 100 TB weighted-percentile path, hash-checked against the
+    // sort-based lower-weighted-median definition
+    // explicit floor() both sides: Spark's double→long cast truncates
+    // while DuckDB's CAST rounds half-even — floor is the one form the
+    // engines agree on (the testdata is integer-valued, but the oracle
+    // must not depend on that)
+    "x_agg_wquantile" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("v"),
+          col("l_linenumber").cast("long").as("w"))
+        .filter(col("v").isNotNull && col("w").isNotNull)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Aggregates.weightedQuantileSketch(
+          col("v"), col("w"), 0.5).as("median_qty"))),
+
+    // one-pass Space-Saving heavy hitters over RAW event rows (no
+    // per-user pre-aggregation shuffle); capacity 65536 ≥ distinct
+    // users at every sf → exact counts (the oracle config; approximate
+    // eviction mode is spec-graded on its count/error guarantees)
+    "x_agg_heavyhitters" -> ((s, d) =>
+      T(s, d, "events")
+        .agg(graft.functions.Aggregates.heavyHitters(
+          col("user_id"), outputK = 10, capacity = 65536).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("t.value").as("user_id"), col("t.count").as("n"))),
+
+    // custom TypedImperativeAggregate: exact per-group top-k with a
+    // k-bounded buffer — partial aggregation caps the shuffle at
+    // groups × k rows where the window form shuffles every row
+    "x_agg_topk" -> ((s, d) => {
+      val per = T(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .filter(col("cents").isNotNull)
+      per.groupBy(col("event_type"))
+        .agg(graft.functions.Aggregates.topKByWeight(col("user_id"), col("cents"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("t.value").as("user_id"), col("t.weight").as("cents"))
+    }),
+
+    // --- §7.4 multimodal ---------------------------------------------
+    "x_mm_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"), "doc_id", "payload")
+        .toDF().select("doc_id", "n_bytes", "format", "width", "height")),
+
+    // long format (one row per histogram bucket): the driver's compare
+    // hashes scalar cells, so the feature vector is exploded; value =
+    // bucket_count / payload_bytes is exact integer division in IEEE
+    // doubles on both engines
+    "x_mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
+        "doc_id", "payload", dim = 16)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "value")))),
+
+    // resize plumbing: output size arithmetic of the stub resampler
+    "x_mm_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
+        "doc_id", "payload", targetW = 128, targetH = 128)
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("out_bytes"))),
+
+    // frame-sampling plumbing: emit (doc_id, frame_index, frame_bytes) —
+    // the byte arithmetic of the stub sampler is DuckDB-mirrorable
+    "x_mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
+        "doc_id", "payload", frameSize = 64, every = 2)
+        .select(col("doc_id"), col("frame_index"),
+          length(col("frame")).cast("long").as("frame_bytes"))),
+
+    // perceptual-hash image dedup (aHash over the stub decode) + the
+    // generic banded Hamming join — full-recall config (uncapped,
+    // pigeonhole exact), so the oracle is the all-pairs Hamming set
+    // over the same byte-level fingerprint
+    "x_mm_phash_dedup" -> ((s, d) => {
+      val fps = Multimodal.perceptualHash(
+        Multimodal.withBinaryPayload(
+          T(s, d, "documents").filter(col("doc_id") < 400), "text"),
+        "doc_id", "payload")
+      Dedup.nearDupByFingerprint(fps, "doc_id", "phash",
+        maxHamming = 4, fpBits = 60, maxBucketSize = 0)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // sketch-vs-exact gate: the oracle pins the verdict TRUE and the
+    // exact counts; the HLL value itself never leaves the engine
+    "x_agg_hll_gate" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |       CAST(0.05 AS DOUBLE) AS rel_tol, TRUE AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // CMS gate: same contract — top-20 keys by (count desc, key asc),
+    // exact counts + constants + pinned TRUE
+    "x_agg_cms_gate" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT user_id, n_exact,
+        |        row_number() OVER (ORDER BY n_exact DESC, user_id ASC) AS rk FROM c)
+        |SELECT user_id, n_exact, CAST(0.005 AS DOUBLE) AS eps, TRUE AS within_bounds
+        |FROM r WHERE rk <= 20""".stripMargin,
+
+    // GK-sketch gate: same contract — counts + constants + pinned TRUE
+    "x_agg_approxq_gate" ->
+      """SELECT l_returnflag, CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |       CAST(0.5 AS DOUBLE) AS q, CAST(0.002 AS DOUBLE) AS rank_eps,
+        |       TRUE AS within_bounds
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "x_mm_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CASE ord(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |       CAST(64 + ord(substr(text, 1, 1)) % 192 AS INT) AS width,
+        |       CAST(64 + octet_length(encode(text)) % 192 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    // byte-level mirror of the stub feature extractor: hex-expand the
+    // UTF-8 blob, map hex pairs back to byte values via a 256-row lookup,
+    // fold to 16 buckets, L1-normalize. count/total is exact integer
+    // division in IEEE doubles on both engines.
+    "x_mm_features" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, hx FROM d),
+        |v AS (SELECT b.doc_id, CAST(hmap.bval % 16 AS INT) AS bucket
+        |      FROM b JOIN hmap ON substr(b.hx, CAST(2*b.i-1 AS INT), 2) = hmap.hh),
+        |c AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt FROM v GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, n, CAST(unnest(range(0, 16)) AS INT) AS bucket FROM d)
+        |SELECT grid.doc_id, grid.bucket,
+        |       coalesce(c.cnt, 0) / greatest(CAST(grid.n AS DOUBLE), 1.0) AS "value"
+        |FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.bucket = c.bucket""".stripMargin,
+
+    // resize stub: out length = min(128*128/64, max(1, n))
+    "x_mm_resize" ->
+      """SELECT doc_id, CAST(128 AS INT) AS width, CAST(128 AS INT) AS height,
+        |       CAST(least(256, greatest(1, octet_length(encode(text)))) AS BIGINT) AS out_bytes
+        |FROM documents""".stripMargin,
+
+    // mirrors FakeDecode frame slicing: nFrames = max(1, n/64), every
+    // 2nd frame, last/empty frames clamp to >= 1 byte (copyOfRange pad)
+    "x_mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, greatest(n // 64, 1), 2)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_index,
+        |       CAST(greatest(least(n, fi * 64 + 64) - fi * 64, 1) AS BIGINT) AS frame_bytes
+        |FROM f""".stripMargin,
+
+    // byte-level aHash mirror: cell i's value is the payload byte at
+    // i*step (step = max(1, n div 60), hex-expand + 256-row lookup like
+    // x_mm_features), mean in double, bit i iff v > mean; pairs are the
+    // full all-pairs Hamming set (the uncapped pigeonhole config is
+    // recall-exact)
+    "x_mm_phash_dedup" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents WHERE doc_id < 400),
+        |cells AS (SELECT d.doc_id, t.i, hmap.bval AS v
+        |          FROM d CROSS JOIN range(0, 60) t(i)
+        |          JOIN hmap ON hmap.hh = substr(d.hx, CAST(2 * (t.i * greatest(d.n // 60, 1)) + 1 AS INT), 2)
+        |          WHERE t.i * greatest(d.n // 60, 1) < d.n),
+        |m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean FROM cells GROUP BY 1),
+        |fps0 AS (SELECT cells.doc_id,
+        |           CAST(sum(CASE WHEN cells.v > m.mean THEN CAST(1 AS BIGINT) << CAST(cells.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        |         FROM cells JOIN m ON cells.doc_id = m.doc_id GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(fps0.f, 0) AS f FROM d LEFT JOIN fps0 ON d.doc_id = fps0.doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 4""".stripMargin,
+
+    // lower weighted median: smallest value whose cumulative weight
+    // reaches half the total (same cum >= q*tot double comparison)
+    "x_agg_wquantile" ->
+      """WITH b AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS v,
+        |             CAST(l_linenumber AS BIGINT) AS w
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+        |s AS (SELECT l_returnflag, v, CAST(sum(w) AS BIGINT) AS wv FROM b GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, wv,
+        |        CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+        |        CAST(sum(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |      FROM s)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS median_qty
+        |FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+        |GROUP BY 1""".stripMargin,
+
+    "x_agg_heavyhitters" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rn FROM c)
+        |SELECT CAST(rn AS INT) AS rank, user_id, n FROM r WHERE rn <= 10""".stripMargin,
+
+    // the window form IS the oracle: identical (weight desc, value asc)
+    // order contract as the bounded aggregate
+    "x_agg_topk" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |        CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cents,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rank
+        |      FROM per WHERE cents IS NOT NULL)
+        |SELECT event_type, CAST(rank AS INT) AS rank, user_id, cents
+        |FROM r WHERE rank <= 5""".stripMargin,
+  )
+}

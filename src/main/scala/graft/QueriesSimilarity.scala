@@ -1,0 +1,558 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MappingConfig
+import graft.io.Sources
+import graft.ops.{AsOf, Cleaning, Crosstab, MultiDim, Rounding, Stats, Tabulation}
+import graft.bht.{Builders, Kpis, Raking}
+import graft.pipeline.Transform
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import EntryShared._
+
+/** [[SparkEntry]] slice: similarity search and embedding operators (kNN, LSH, IVF, PQ, quantization).
+  * Query lambdas and their DuckDB oracle mirrors live side by side;
+  * the maps compose into the driver contract in [[SparkEntry]].
+  * Determinism rules documented there apply to every entry.
+  */
+private[graft] object QueriesSimilarity {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- §7.4 similarity search --------------------------------------
+    "x_sim_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.topKBruteForce(emb, "vec_id", "embedding", q, 10, excludeId = Some(0L))
+        .select(col("vec_id"), Rounding.halfUp(col("similarity"), 6).as("similarity"))
+    }),
+
+    // full-recall LSH (cf. x_sim_ivf's full probe): 1-bit keys over 64
+    // tables — a true top-k neighbor at cosine c collides somewhere
+    // except with prob (acos(c)/pi)^64 (< 1e-19 even at c=0), so the
+    // output provably equals exact kNN and the whole ANN machinery —
+    // hyperplane signatures, bucket equi-join, cross-table dedup, top-k
+    // epilogue — is hash-checked against the exact-kNN oracle. The
+    // approximate production config (wider keys, fewer tables) is
+    // recall-graded in SimilaritySpec. Distinct query range/k from
+    // x_sim_knn so the two gates can't mask each other.
+    "x_sim_ann" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.annTopK(emb, queries, "vec_id", "embedding", "query_id",
+        k = 7, bits = 1, tables = 64)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
+    // queries drawn FROM the corpus, so self-exclusion applies
+    "x_sim_knn" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
+    // hard-negative mining for contrastive training: per anchor, the
+    // top-5 most-similar vectors with a DIFFERENT label — anchors
+    // broadcast, corpus scanned once, label filter prunes pre-scoring
+    "x_sim_hardneg" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+      Similarity.hardNegatives(emb, anchors, "vec_id", "embedding", "label",
+          "anchor_id", k = 5)
+        .select(col("anchor_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
+    // full probe (nprobe = nlist): provably equivalent to exact kNN, so
+    // the whole IVF machinery — quantizer fit, cell assignment, probe
+    // join, per-cell scoring, top-k epilogue — is hash-checked against
+    // the DuckDB exact-kNN oracle. The approximate path (nprobe < nlist)
+    // is x_sim_ivf_probe below (recall-gated vs the exact baseline).
+    "x_sim_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("vec_id"),
+          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
+    }),
+
+    // the approximate path (nprobe < nlist), QUANTITATIVELY gated:
+    // recall@k against the exact kNN over the same queries is computed
+    // IN the query and thresholded against a pinned floor. Measured at
+    // the gate's exact config (nprobe=4/16, k=5, queries<20 —
+    // RecallProbe, r8): 0.57 / 0.57 / 0.58-0.64 across sf0.001/0.01/
+    // 0.1; floor 0.55 = measured min minus a 0.02 guard (both sides
+    // are DETERMINISTIC — seeded fit, total-order top-k — so the band
+    // has no run-to-run variance and a tight floor is safe; the old
+    // 0.5 floor would have let a real regression to 0.51 pass).
+    // A recall collapse flips the boolean and fails the oracle compare
+    // — no rows-only exemption.
+    "x_sim_ivf_probe" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5, nlist = 16, nprobe = 4)
+      val exact = Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id",
+        k = 5)
+      recallGate(approx, exact, k = 5, threshold = 0.55)
+    }),
+
+    "x_emb_quant" -> ((s, d) =>
+      graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // JL random projection 64 -> 8: data-independent dim reduction
+    // (a PCA refit would shift the space under a persisted ANN index);
+    // static unrolled ±chains, long-format output
+    "x_emb_project" -> ((s, d) =>
+      graft.scale.Embeddings.randomProject(T(s, d, "embeddings"), "vec_id", "embedding",
+        graft.scale.Embeddings.projectionSigns(64, 8, seed = 7L))),
+
+    // per-label class centroids in long format (scaled-long exact sums;
+    // word-count shuffle shape: partials collapse to labels × dim)
+    "x_emb_centroids" -> ((s, d) =>
+      graft.scale.Embeddings.groupCentroids(T(s, d, "embeddings"), "label", "embedding")),
+
+    // centroid-classifier confusion audit: fit per-label centroids,
+    // assign every vector to its nearest (squared L2, ties to lowest
+    // label), count (true, assigned) pairs — fit + E-step + audit
+    // embedding hygiene: zero-norm count, distinct dims, exact
+    // micro-lattice norm stats per label — run before any cosine stage
+    "x_emb_norms" -> ((s, d) =>
+      graft.scale.Embeddings.normAudit(T(s, d, "embeddings"),
+        "vec_id", "embedding", "label")),
+
+    "x_emb_assign" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cents = graft.scale.Embeddings.groupCentroids(emb, "label", "embedding")
+      graft.scale.Embeddings.assignToCentroids(emb, "embedding", cents, "label")
+        .filter(col("embedding").isNotNull)
+        .groupBy(col("label"), col("assigned"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // matryoshka truncation to a 16-dim prefix: scalar outputs only
+    // (retained-norm fraction + first normalized component) since the
+    // compare harness can't hash array columns
+    "x_emb_matryoshka" -> ((s, d) =>
+      graft.scale.Embeddings.truncateMatryoshka(T(s, d, "embeddings"),
+        "vec_id", "embedding", dim = 16)
+        .select(col("vec_id"),
+          Rounding.halfUp(col("norm_kept"), 9).as("norm_kept"),
+          Rounding.halfUp(element_at(col("embedding"), 1), 9).as("e1"))),
+
+    // binary-quantized Hamming top-k: the oracle needn't re-pack — the
+    // packed xor+popcount distance equals the per-component sign
+    // disagreement count by construction, which DuckDB counts directly
+    "x_emb_binquant" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Embeddings.hammingTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 8, dim = 64, excludeSelf = true)
+    }),
+
+    // PQ encode under the exact-decimal synthetic codebook — the oracle
+    // configuration of the PQ machinery (production fits with Pq.fit;
+    // PqSpec gates that path end-to-end)
+    "x_emb_pq" -> ((s, d) =>
+      graft.scale.Pq.encode(T(s, d, "embeddings"), "vec_id", "embedding", pqOracleModel)),
+
+    // ADC top-k search against the same codebook: 5 query vectors from
+    // the table itself, corpus side contributes codes only
+    "x_emb_pq_search" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.scale.Pq.adcTopK(
+        emb, emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "embedding", "query_id", k = 10, pqOracleModel, excludeSelf = true)
+    }),
+
+    // --- §7.4 round 5: IVF-PQ (IVFADC) -------------------------------
+    // full probe (nprobe = nlist): raw-vector codes make the composed
+    // path provably equal the flat ADC scan, so the ENTIRE IVFADC
+    // machinery — coarse fit, cell assignment, probe explode, in-cell
+    // ADC, bounded top-k — is hash-checked against the same generated
+    // oracle SQL family as x_emb_pq_search (distinct query range/k so
+    // the two gates can't mask each other)
+    "x_emb_ivfpq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 6, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true)
+    }),
+
+    // --- §7.4 round 6: quantizer model persistence -------------------
+    // PQ codebook save→load→encode: the loaded model must encode
+    // IDENTICALLY to the in-memory one (parquet doubles are IEEE-exact),
+    // so the oracle is the same generated SQL as x_emb_pq — any
+    // precision or ordering loss in the persistence layer hash-fails
+    "x_emb_pq_saved" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-model").toString
+      graft.scale.Models.savePq(s, pqOracleModel, dir)
+      val loaded = graft.scale.Models.loadPq(s, dir)
+      graft.scale.Pq.encode(T(s, d, "embeddings"), "vec_id", "embedding", loaded)
+    }),
+
+    // coarse-quantizer fit→save→load→probe, the multi-wave reuse path:
+    // full-probe IVFADC over LOADED centroids still provably equals the
+    // flat ADC scan (every corpus row in one cell, every cell probed),
+    // so the whole persistence + reuse composition is hash-gated by the
+    // same oracle family (distinct query range/k from x_emb_ivfpq so
+    // the gates can't mask each other)
+    "x_emb_ivfpq_saved" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+      val fitted = graft.scale.Similarity.fitIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 8, normalize = false, dim = 64)
+      graft.scale.Models.saveCentroids(s, fitted, dir)
+      val loaded = graft.scale.Models.loadCentroids(s, dir)
+      val q = emb.filter(col("vec_id") >= 12 && col("vec_id") < 18)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 5, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true,
+        centroids0 = Some(loaded))
+    }),
+
+    // the production config (nprobe < nlist), recall-gated like
+    // x_sim_ivf_probe. Measured at this exact config (ivfadc
+    // nprobe=4/8, k=6, queries 5-12, excludeSelf — RecallProbe, r8):
+    // 0.5476 / 0.6190 / 0.6905 across sf0.001/0.01/0.1; floor 0.54 =
+    // measured min minus a ~0.008 guard (deterministic band, see
+    // x_sim_ivf_probe's rationale)
+    "x_emb_ivfpq_probe" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val approx = graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 6, pqOracleModel, nlist = 8, nprobe = 4, excludeSelf = true)
+      val exact = graft.scale.Pq.adcTopK(emb, q, "vec_id", "embedding", "query_id",
+        k = 6, pqOracleModel, excludeSelf = true)
+      recallGate(approx, exact, k = 6, threshold = 0.54)
+    }),
+
+    // per-label mean-centering audit: the energy the common component
+    // holds (mean squared norm before/after centering, exact micro²)
+    "x_emb_center" -> ((s, d) =>
+      graft.scale.Embeddings.centerAudit(T(s, d, "embeddings"),
+        "vec_id", "embedding", "label")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id,
+        |       floor((CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) * 1000000 + 0.5) / 1000000 AS similarity
+        |FROM s
+        |ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    // exact multi-query kNN: same cosine form as x_sim_topk, per-query
+    // row_number over (similarity desc, vec_id)
+    "x_sim_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // same exact-cosine ranking as x_sim_knn with the hard-negative
+    // label constraint: candidates must carry a NON-NULL label that
+    // DIFFERS from the anchor's
+    "x_sim_hardneg" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.anchor_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.anchor_id
+        |    AND e.label IS NOT NULL AND q.ql IS NOT NULL AND e.label <> q.ql),
+        |r AS (SELECT anchor_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT anchor_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // full-probe IVF ≡ exact kNN (every cell probed), so the oracle is
+    // the same exact-kNN SQL as x_sim_knn
+    "x_sim_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // norm audit: per-vector left-to-right square fold (the knn-oracle
+    // unnest convention), micro-floored, exact long stats per label
+    "x_emb_norms" ->
+      s"""WITH n AS (SELECT CAST(label AS VARCHAR) AS label, len(embedding) AS dim,
+         |    CAST(floor(sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+         |                     FROM (SELECT unnest(embedding) AS a))) * 1e6 + 0.5) AS BIGINT) AS nm
+         |  FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(coalesce(sum(CASE WHEN nm = 0 THEN 1 END), 0) AS BIGINT) AS n_zero,
+         |       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+         |       CAST(min(nm) AS DOUBLE) / 1e6 AS min_norm,
+         |       ${Rounding.halfUpSql("CAST(sum(nm) AS DOUBLE) / 1e6 / count(*)", 6)} AS mean_norm,
+         |       CAST(max(nm) AS DOUBLE) / 1e6 AS max_norm
+         |FROM n GROUP BY 1""".stripMargin,
+
+    // full-recall ANN ≡ exact kNN (see the x_sim_ann query comment);
+    // query range/k deliberately differ from x_sim_knn
+    "x_sim_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id >= 100 AND vec_id < 120),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
+        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
+        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 7""".stripMargin,
+
+    // confusion audit: centroid lists rebuilt from the same exact
+    // means, distance as the same LEFT-TO-RIGHT ordered fold as
+    // NearestCells (an unordered sum() would drift), argmin via
+    // (dist asc, label asc) = the expression's (dist, index) tie rule
+    "x_emb_assign" ->
+      """WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |x AS (SELECT label, pos,
+        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
+        |  FROM e),
+        |g AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT label,
+        |    list(CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) ORDER BY pos) AS cvec
+        |  FROM g GROUP BY 1),
+        |a AS (SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(len(v.embedding)), j ->
+        |        (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]) * (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]))),
+        |      (p, q) -> p + q) AS dist
+        |  FROM embeddings v, c WHERE v.embedding IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rk FROM a)
+        |SELECT true_label AS label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
+    // class centroids: per-component micro-rounded exact long sums —
+    // the division at the end is IEEE-identical given identical longs
+    "x_emb_centroids" ->
+      """WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT label, pos,
+        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
+        |  FROM e),
+        |g AS (SELECT label, CAST(pos AS BIGINT) AS pos,
+        |    CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS n_vectors
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, pos,
+        |       CAST(s6 AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0) AS centroid,
+        |       n_vectors
+        |FROM g""".stripMargin,
+
+    // same per-element formula and left-to-right fold order as the
+    // Spark side; the zero-vector guard nulls identically via CASE
+    // JL projection: the identical ± chain per output component, sign
+    // matrix re-derived from the same (dim, outDim, seed) call
+    "x_emb_project" -> embProjectOracleSql,
+
+    "x_emb_quant" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    (SELECT max(abs(CAST(a AS DOUBLE))) FROM (SELECT unnest(embedding) AS a)) AS mx
+        |  FROM embeddings),
+        |t AS (SELECT vec_id, embedding, (CASE WHEN mx > 0 THEN mx END) / 127.0 AS sc FROM s),
+        |r AS (SELECT vec_id, sc, embedding,
+        |    list_transform(embedding, x -> least(greatest(floor(CAST(x AS DOUBLE) / sc + 0.5), -127.0), 127.0) * sc) AS recon
+        |  FROM t),
+        |m AS (SELECT vec_id, sc,
+        |    (SELECT sum(CAST(a AS DOUBLE) * b) FROM (SELECT unnest(embedding) AS a, unnest(recon) AS b)) AS dt,
+        |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(embedding) AS a))) AS na,
+        |    sqrt((SELECT sum(b * b) FROM (SELECT unnest(recon) AS b))) AS nb,
+        |    (SELECT max(abs(CAST(a AS DOUBLE) - b)) FROM (SELECT unnest(embedding) AS a, unnest(recon) AS b)) AS mxe
+        |  FROM r)
+        |SELECT vec_id,
+        |       floor(sc * 1000000000 + 0.5) / 1000000000 AS qscale,
+        |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
+        |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
+        |FROM m""".stripMargin,
+
+    // 16-dim prefix + L2 renormalization: same sequential sum-of-squares
+    // folds, e1 = prefix[1] / prefix-norm (null when the prefix has no
+    // direction), norm_kept = prefix-norm / full-norm
+    "x_emb_matryoshka" ->
+      """WITH p AS (SELECT vec_id, embedding[1:16] AS pre, embedding AS f FROM embeddings),
+        |n AS (SELECT vec_id,
+        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(pre) AS a))) AS np,
+        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(f) AS a))) AS nf,
+        |        CAST(pre[1] AS DOUBLE) AS p1
+        |      FROM p)
+        |SELECT vec_id,
+        |       floor((np / (CASE WHEN nf > 0 THEN nf END)) * 1000000000 + 0.5) / 1000000000 AS norm_kept,
+        |       floor((CASE WHEN np > 0 THEN p1 / np END) * 1000000000 + 0.5) / 1000000000 AS e1
+        |FROM n""".stripMargin,
+
+    // packed xor+popcount Hamming == per-component sign disagreement
+    // count by construction, so the oracle counts signs directly
+    "x_emb_binquant" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id >= 20 AND vec_id < 25),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        CAST(len(list_filter(range(1, 65),
+        |          i -> (CAST(e.embedding[i] AS DOUBLE) > 0) <> (CAST(q.qe[i] AS DOUBLE) > 0))) AS BIGINT) AS hamming
+        |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, vec_id, hamming, rank FROM r WHERE rank <= 8""".stripMargin,
+
+    // PQ encode: the oracle re-derives every per-subspace distance as
+    // the SAME left-associative double chain (generated from the same
+    // codebook constants), so argmin indices and min distances are
+    // bitwise identical
+    "x_emb_pq" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings)
+         |SELECT vec_id, ${pqCodesSql},
+         |       ${Rounding.halfUpSql(pqReconErrSql, 6)} AS recon_err
+         |FROM c""".stripMargin,
+
+    // ADC search: query q's distance LIST per subspace indexed at the
+    // corpus row's code — Σ_j dl_j[code_j] — rounded BEFORE ranking on
+    // both sides (rank ties break on candidate id)
+    "x_emb_pq_search" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
+         |enc AS (SELECT vec_id, ${pqCodesSql},
+         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
+         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
+         |      FROM enc q, enc x
+         |      WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
+         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // IVFADC full probe scores every (query, corpus) pair exactly once
+    // (each corpus row in ONE cell, every cell probed), so the oracle
+    // is the same flat-ADC SQL with this gate's query range and k —
+    // cell assignment provably cannot change the result
+    "x_emb_ivfpq" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
+         |enc AS (SELECT vec_id, ${pqCodesSql},
+         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
+         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
+         |      FROM enc q, enc x
+         |      WHERE q.vec_id >= 5 AND q.vec_id < 12 AND x.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
+         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 6""".stripMargin,
+
+    // persistence gates: x_emb_pq_saved encodes with a LOADED codebook,
+    // so its oracle is x_emb_pq's SQL verbatim; x_emb_ivfpq_saved runs
+    // full-probe IVFADC over loaded centroids, so the flat-ADC oracle
+    // applies with its own query range/k
+    "x_emb_pq_saved" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings)
+         |SELECT vec_id, ${pqCodesSql},
+         |       ${Rounding.halfUpSql(pqReconErrSql, 6)} AS recon_err
+         |FROM c""".stripMargin,
+
+    "x_emb_ivfpq_saved" ->
+      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
+         |enc AS (SELECT vec_id, ${pqCodesSql},
+         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
+         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
+         |      FROM enc q, enc x
+         |      WHERE q.vec_id >= 12 AND q.vec_id < 18 AND x.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
+         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // recall gate: the measured claim is the BOOLEAN (recall >= the
+    // pinned floor); n_queries comes from the table so the row is not
+    // pure constants. A recall collapse in the nprobe<nlist config
+    // flips recall_ok and hash-fails this query.
+    "x_emb_ivfpq_probe" ->
+      """SELECT CAST(6 AS INT) AS k,
+        |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        |        WHERE vec_id >= 5 AND vec_id < 12) AS n_queries,
+        |       CAST(0.54 AS DOUBLE) AS recall_min,
+        |       TRUE AS recall_ok""".stripMargin,
+
+    "x_sim_ivf_probe" ->
+      """SELECT CAST(5 AS INT) AS k,
+        |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        |        WHERE vec_id < 20) AS n_queries,
+        |       CAST(0.55 AS DOUBLE) AS recall_min,
+        |       TRUE AS recall_ok""".stripMargin,
+
+    // mean-centering audit: micro-long elements, truncate-toward-zero
+    // per-dimension mean (the sign-factored replay of Spark's div on
+    // possibly-negative sums), exact long sums of squares
+    "x_emb_center" ->
+      """WITH e AS (SELECT vec_id AS id, label AS grp,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |m AS (SELECT grp, pos, CAST(sum(vm) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |mm AS (SELECT grp, pos,
+        |    CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END AS mean_micro FROM m),
+        |j AS (SELECT e.grp, e.id, e.vm, mm.mean_micro
+        |      FROM e JOIN mm ON e.grp = mm.grp AND e.pos = mm.pos),
+        |a AS (SELECT grp, CAST(count(DISTINCT id) AS BIGINT) AS n_vecs,
+        |    CAST(sum(vm * vm) AS BIGINT) AS ss_before,
+        |    CAST(sum((vm - mean_micro) * (vm - mean_micro)) AS BIGINT) AS ss_after
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n_vecs,
+        |  CAST(ss_before // n_vecs AS BIGINT) AS mean_ss_before,
+        |  CAST(ss_after // n_vecs AS BIGINT) AS mean_ss_after,
+        |  CAST(ss_before - ss_after AS BIGINT) AS shift_micro2
+        |FROM a""".stripMargin,
+  )
+}

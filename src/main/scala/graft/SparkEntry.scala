@@ -24,101 +24,6 @@ import graft.streaming.Streams
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    Sources.table(s, dir, name)
-
-  /** Fit-once cache for the hashed-classifier quality model: the
-    * composition queries (x_corpus_budget / x_corpus_clffilter /
-    * x_dedup_bestrep) score with a persisted model the way a real
-    * pipeline runs — the classifier is fitted and saved ONCE per
-    * (corpus dir, bucket count) per JVM, then each query loads the tiny
-    * (`buckets`-row) parquet artifact instead of re-scanning the corpus
-    * to refit. The save→load roundtrip is bit-exact (gated by
-    * x_text_hashclf_saved), so query hashes are identical to a direct
-    * fit; only the redundant corpus scans disappear.
-    *
-    * All fit-once state lives in [[graft.scale.Models]] (round-9: the
-    * keyed maps moved behind `fitOnceArtifactDir` / `fitOnceSnapshot` /
-    * `fitOnceValue` so a production caller of TextAnalysis / Curation /
-    * Dedup gets the same behavior); the staleness/concurrency contract
-    * — corpus dirs immutable for the JVM lifetime, idempotent thunks,
-    * temp artifacts removed at JVM exit — is documented there.
-    */
-  private def fittedClassifier(s: SparkSession, d: String, buckets: Int): DataFrame = {
-    val dir = graft.scale.Models.fitOnceArtifactDir("clf", s"$d|$buckets") { out =>
-      val docs = T(s, d, "documents")
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets)
-      graft.scale.Models.saveHashedClassifier(model, out)
-    }
-    graft.scale.Models.loadHashedClassifier(s, dir)
-  }
-
-  /** Fit-once cache for the CLEANED-CORPUS snapshot: x_corpus_clean /
-    * x_corpus_manifest / x_corpus_e2e all start from the same
-    * quality→langid→near-dup→CC survivor set — the three largest
-    * absolute costs in the suite when each recomputes the chain. The
-    * chain runs ONCE per (corpus dir, langs, block cap) per JVM and
-    * lands as a parquet snapshot; each query reads the snapshot —
-    * exactly how a production pipeline prices it (clean once to
-    * storage, consume many times; [[graft.scale.Curation.curateCleaned]]
-    * is the library entry for that shape). Bit-exact: the snapshot
-    * holds the survivor rows' original columns (long/string), whose
-    * parquet roundtrip is value-identical, and every consumer depends
-    * only on those values — the three keys' gate hashes are unchanged
-    * vs the recompute form. Contract documented at
-    * [[graft.scale.Models.fitOnceSnapshot]].
-    */
-  private def cleanedCorpus(
-      s: SparkSession, d: String, allowedLangs: Seq[String],
-      maxBlockSize: Int): DataFrame =
-    graft.scale.Models.fitOnceSnapshot(
-      s, "cleansnap", s"$d|${allowedLangs.mkString(",")}|$maxBlockSize") {
-      TextAnalysis.cleanCorpus(T(s, d, "documents"), "doc_id", "text",
-        allowedLangs, maxBlockSize = maxBlockSize)
-    }
-
-  /** Fit-once cache for the NEAR-DUP CLUSTER ASSIGNMENT: four keys
-    * (x_dedup_clusters / cluster_sizes / bestrep / x_corpus_forget)
-    * consume the same n-gram pair graph + connected components over
-    * the full corpus — a production pipeline clusters ONCE to storage
-    * and every consumer (census, survivor election, erasure) reads the
-    * assignment. The chain runs once per (corpus dir, k, threshold,
-    * cap) per JVM and lands as a parquet snapshot; bit-exact because
-    * the assignment is two long columns (value-identical roundtrip)
-    * and every consumer depends only on those values. Contract
-    * documented at [[graft.scale.Models.fitOnceSnapshot]].
-    */
-  private def corpusClusters(s: SparkSession, d: String): DataFrame = {
-    val (k, threshold, cap) = (3, 0.2, NgramBlockCap)
-    graft.scale.Models.fitOnceSnapshot(s, "clusters", s"$d|$k|$threshold|$cap") {
-      val docs = T(s, d, "documents")
-      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = k,
-        threshold = threshold, maxBlockSize = cap)
-      Dedup.clusters(docs, "doc_id", pairs)
-    }
-  }
-
-  /** Same fit-once contract for the BPE merge table: the training loop
-    * (6 corpus aggregates) runs once per corpus dir per JVM; both BPE
-    * keys and any later consumer replay the driver-held `merges`-row
-    * result. */
-  private def fittedBpe(s: SparkSession, d: String, merges: Int): Seq[TextAnalysis.BpeMerge] =
-    graft.scale.Models.fitOnceValue("bpe", s"$d|$merges")(
-      // the word-histogram fast fit: ONE corpus aggregate + a driver
-      // merge loop, merge-for-merge identical to the distributed
-      // bpeFit the oracle unrolls (falls back to it past maxWords)
-      TextAnalysis.bpeFitFast(
-        T(s, d, "documents").filter(col("doc_id") % 5 === 0), "text", merges))
-
-  /** Fit-once cache for the dense-id vocabulary (vocab-bounded driver
-    * map; contract documented at [[graft.scale.Models.fitOnceValue]]). */
-  private def fittedBpeVocab(s: SparkSession, d: String, merges: Int): Map[String, Long] =
-    graft.scale.Models.fitOnceValue("bpevocab", s"$d|$merges")(
-      TextAnalysis.bpeVocab(T(s, d, "documents"), "doc_id", "text",
-        fittedBpe(s, d, merges)).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
 
   /** Flagship: full BHT transform pipeline (§3.2) on sf0.001, treating
     * `customer` as the survey wave (TOM = market segment, CSAT = account
@@ -135,6892 +40,38 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
-  // Operator queries (name → (spark, sfDir) => DataFrame)
+  // Operator queries (name -> (spark, sfDir) => DataFrame) and their
+  // DuckDB oracle mirrors — defined family-by-family in the Queries*
+  // objects (QueriesCore, QueriesText, ...) and composed here. Key sets
+  // are disjoint by construction (each family owns its key prefixes);
+  // the require below keeps that invariant loud if a key ever lands in
+  // two families.
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- §2.3 aggregations -------------------------------------------
-    "a1_value_counts" -> ((s, d) =>
-      Tabulation.valueCounts(T(s, d, "customer"), "c_mktsegment")),
-
-    "a2_freq_table" -> ((s, d) =>
-      Tabulation.freqTable(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"), 1)),
-
-    "a3_crosstab_total" -> ((s, d) =>
-      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
-        Some("l_quantity"), "total", includeTotals = true, 1)),
-
-    "a3_crosstab_row" -> ((s, d) =>
-      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
-        Some("l_quantity"), "row", includeTotals = true, 1)),
-
-    "a3_crosstab_col" -> ((s, d) =>
-      Crosstab.crosstab(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
-        Some("l_quantity"), "col", includeTotals = true, 1)),
-
-    "a4_multidim_level" -> ((s, d) =>
-      MultiDim.multiDimTabulation(T(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), Some("l_quantity"), "l_returnflag", 1)),
-
-    "a4_multidim_total" -> ((s, d) =>
-      MultiDim.multiDimTabulation(T(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus", "l_linenumber"), Some("l_quantity"), "total", 1)),
-
-    "a5_full_tabulation" -> ((s, d) =>
-      Tabulation.fullTabulation(T(s, d, "customer"),
-        Seq("c_mktsegment", "c_nationkey", "c_name"))),
-
-    "a5b_full_tab_orders" -> ((s, d) =>
-      Tabulation.fullTabulation(T(s, d, "orders"),
-        Seq("o_orderstatus", "o_orderdate", "o_totalprice"))),
-
-    "a6_selected_counts" -> ((s, d) =>
-      Tabulation.selectedCounts(T(s, d, "orders"),
-        Seq("o_orderstatus", "o_orderpriority"))),
-
-    "a7_csat_summary" -> ((s, d) =>
-      Kpis.csatSummary(T(s, d, "lineitem"), "l_quantity")),
-
-    "a8_nps_summary" -> ((s, d) =>
-      Kpis.npsSummary(T(s, d, "part"), "p_size")),
-
-    "a7b_describe" -> ((s, d) =>
-      Stats.describe(T(s, d, "lineitem"), "l_quantity")),
-
-    "a9_rollup_tab" -> ((s, d) =>
-      MultiDim.rollupTabulation(T(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), Some("l_quantity"))),
-
-    "s1_histogram" -> ((s, d) =>
-      Stats.histogram(T(s, d, "orders"), "o_totalprice", 0.0, 600000.0, 24)),
-
-    "s2_chi2" -> ((s, d) =>
-      Stats.chiSquare(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
-        Some("l_quantity"))),
-
-    "s8_sigtest" -> ((s, d) =>
-      Stats.columnProportionZTest(T(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
-
-    "s9_prop_ci" -> ((s, d) =>
-      Stats.proportionCI(T(s, d, "lineitem"), "l_returnflag", Some("l_quantity"))),
-
-    "s10_kanon" -> ((s, d) => {
-      val quasi = Seq("c_nationkey", "c_mktsegment")
-      val c = T(s, d, "customer")
-      graft.ops.Privacy.kAnonymitySummary(c, quasi, k = 30)
-        .crossJoin(graft.ops.Privacy.suppress(c, quasi, k = 30)
-          .agg(count(lit(1)).as("released_rows")))
-    }),
-
-    // l-diversity audit — k-anonymity's blind spot: cells whose
-    // sensitive attribute (acctbal band) takes < 3 distinct values;
-    // one hash aggregate carrying both counts
-    // Neyman allocation: split a 1000-interview budget across return
-    // flags by N_h·S_h — exact cent moments, sorted-order weight fold
-    "s27_neyman" -> ((s, d) =>
-      Stats.neymanAllocation(T(s, d, "lineitem"), "l_quantity",
-        "l_returnflag", budget = 1000L)),
-
-    // shape profile: skewness + excess kurtosis per return flag from
-    // exact BIGINT power sums — one hash aggregate, halfUp-6 outputs
-    "s28_moments" -> ((s, d) =>
-      Stats.momentsByGroup(T(s, d, "lineitem"), "l_quantity",
-        Seq("l_returnflag"))),
-
-    // Benford forensic screen on order-total cents: first digit of the
-    // exact BIGINT, observed vs log10(1+1/d) expected share per digit
-    "s29_benford" -> ((s, d) =>
-      Stats.benfordAudit(
-        T(s, d, "orders").select((col("o_totalprice") * 100).as("cents")),
-        "cents")),
-
-    // t-closeness audit — l-diversity's blind spot: cells whose
-    // acctbal-band distribution sits EMD > 0.25 from the population's;
-    // exact integer cumulative cross-multiply on a dense band grid
-    "s10c_tcloseness" -> ((s, d) =>
-      graft.ops.Privacy.tClosenessSummary(T(s, d, "customer"),
-        Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
-        lo = -1000.0, hi = 10000.0, nbins = 10, t = 0.25)),
-
-    // banded PSI drift (the model-risk 0.25-threshold score) between
-    // src0 and src1 char-length distributions; per-band micro terms
-    // sum exactly, bands from the fixed [0, 600) grid
-    "s26_psi" -> ((s, d) =>
-      Stats.psiSummary(T(s, d, "documents"), "n_chars", "source",
-        "src0", "src1", lo = 0.0, hi = 600.0, nbins = 10)),
-
-    // two-sample KS drift on the exact integer lattice: did src0 and
-    // src1 draw document lengths from the same distribution? (profile
-    // diffs compare moments; KS compares the whole CDF)
-    "s25_ks_drift" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-        .withColumn("toklen", TextAnalysis.tokenCount(col("text")))
-      Stats.ksDrift(docs, "toklen", "source", "src0", "src1")
-    }),
-
-    // winsorized mean: values clamped to the group's exact [p10, p90]
-    // (inverted-CDF, value-based, tie-stable) before the mean — the
-    // robust location estimate; one scan, window over tie groups only
-    "s24_winsorized" -> ((s, d) =>
-      Stats.winsorizedMean(T(s, d, "lineitem"), "l_quantity",
-        Seq("l_returnflag"), lo = 0.1, hi = 0.9)),
-
-    "s10b_ldiversity" -> ((s, d) => {
-      val c = T(s, d, "customer").withColumn("band",
-        floor(col("c_acctbal") / 2000).cast("long"))
-      graft.ops.Privacy.lDiversitySummary(c,
-        Seq("c_nationkey", "c_mktsegment"), "band", l = 3)
-    }),
-
-    // --- §2.1 IO roundtrips: each writes the parquet table through
-    // graft's own sink, reads it back through graft's own source, and
-    // the DuckDB oracle computes the same result straight from parquet —
-    // so header handling, quoting, escaping, and type inference are all
-    // on the hash-checked path (temp files under java.io.tmpdir).
-    "s11_csv_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_s11").toString
-      graft.io.Sinks.writeCsv(Map("nation" -> T(s, d, "nation")), dir)
-      val part = new java.io.File(s"$dir/nation").listFiles()
-        .map(_.getPath).find(_.endsWith(".csv"))
-        .getOrElse(sys.error(s"no csv part written under $dir/nation"))
-      Sources.readTable(s, part)
-        .groupBy(col("n_regionkey"))
-        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
-    }),
-
-    "s12_excel_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_s12")
-        .resolve("wb.xlsx").toString
-      graft.io.Sinks.writeExcel(Map("nation" -> T(s, d, "nation")), path)
-      Sources.readTable(s, path)
-    }),
-
-    // WET (Common Crawl extracted-text WARC) roundtrip: documents →
-    // conversion records → distributed delimiter-split read → fields.
-    // Proves the record render (Content-Length = body bytes), the
-    // splitter, and body-identity end to end; the oracle replays the
-    // same projection straight off the documents table.
-    "s23_wet_roundtrip" -> ((s, d) => {
-      // fit-once temp artifact: cleaned at JVM exit, and the cold/warm
-      // bench samples reuse one corpus-sized WET copy instead of two
-      val dir = graft.scale.Models.fitOnceArtifactDir("wet-s23", d) { out =>
-        graft.io.Sinks.writeWet(
-          T(s, d, "documents").select(
-            concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-            lit("2026-01-01T00:00:00Z").as("date"), col("text")), out)
-      }
-      wetConversions(graft.io.Warc.readWet(s, dir))
-    }),
-
-    // ADVERSARIAL WET roundtrip (round-8 verdict #4): bodies planted
-    // (shared epilogue: wetConversions)
-    // with the record magic `WARC/1.0\r\n` and the record separator
-    // `\r\n\r\n` — text the delimiter-split readWet provably mis-splits
-    // and the old writeWet refused outright — written with
-    // Content-Length framing (forStrictReader) and read back by the
-    // strict reader, which slices bodies by declared length. The oracle
-    // replays the plant straight off the documents table: body-identity
-    // through the hostile roundtrip.
-    "s30_wet_strict" -> ((s, d) => {
-      // fit-once temp artifact (see s23): JVM-exit cleanup + one write
-      // shared by the cold and warm bench samples
-      val dir = graft.scale.Models.fitOnceArtifactDir("wet-s30", d) { out =>
-        val planted = T(s, d, "documents").select(
-          col("doc_id"),
-          concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-          lit("2026-01-01T00:00:00Z").as("date"),
-          when(col("doc_id") % 5 === 0,
-              concat(col("text"), lit("\r\nWARC/1.0\r\n"), col("text")))
-            .when(col("doc_id") % 5 === 1,
-              concat(lit("a\r\n\r\nb "), col("text")))
-            .otherwise(col("text")).as("text"))
-        graft.io.Sinks.writeWet(planted, out, forStrictReader = true)
-      }
-      wetConversions(graft.io.Warc.readWetStrict(s, dir))
-    }),
-
-    "s14_xls_roundtrip" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_s14")
-        .resolve("wb.xls").toString
-      graft.io.Xls.write("nation", T(s, d, "nation"), path)
-      Sources.readTable(s, path)
-    }),
-
-    // ORC roundtrip: parquet → graft ORC sink → graft source → agg; the
-    // oracle computes the same agg straight from parquet, so the ORC
-    // writer/reader pair is on the hash-checked path (DuckDB has no ORC
-    // reader — the parquet-sourced oracle checks the full roundtrip
-    // instead, which is the stronger contract anyway).
-    "s18_orc_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_s18").toString
-      graft.io.Sinks.writeOrc(Map("nation" -> T(s, d, "nation")), dir)
-      Sources.readTable(s, s"$dir/nation.orc")
-        .groupBy(col("n_regionkey"))
-        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
-    }),
-
-    // Bucketed-ingest roundtrip: parquet → bucketed managed table
-    // (pre-hashed files + catalog bucket metadata) → catalog read → agg.
-    // Data correctness of the bucketed layout is hash-checked here; the
-    // shuffle-FREE join/agg plan it buys is asserted in BucketingSpec.
-    "s19_bucketed_roundtrip" -> ((s, d) => {
-      graft.io.Sinks.writeBucketed(
-        T(s, d, "nation"), "graft_s19_nation", buckets = 4, bucketCols = Seq("n_regionkey"))
-      s.table("graft_s19_nation")
-        .groupBy(col("n_regionkey"))
-        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
-    }),
-
-    "s13_json_bundle" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_s13")
-        .resolve("bundle.json").toString
-      graft.io.Sinks.writeJsonBundle(
-        Map("region" -> T(s, d, "region"), "nation" -> T(s, d, "nation")), path)
-      s.read.option("multiLine", "true").json(path)
-        .select(explode(col("nation")).as("r"))
-        .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
-    }),
-
-    "b5_csat_weighted" -> ((s, d) =>
-      Kpis.csatSummaryWeighted(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
-        Seq("l_returnflag"))),
-
-    "s3_wquantile" -> ((s, d) =>
-      Stats.weightedQuantile(T(s, d, "lineitem"), "l_extendedprice", "l_quantity",
-        Seq("l_returnflag"), 0.5)),
-
-    // the scale-adaptive router on a probe-eligible column (integral
-    // values, 50 distinct quantities ≪ capacity): takes the SKETCH
-    // route, whose stride-1 result the inverted-CDF oracle hash-gates;
-    // s3 above keeps the exact sorted-window route green (fractional
-    // prices are probe-ineligible)
-    "s3b_wquantile_auto" -> ((s, d) =>
-      Stats.weightedQuantileAuto(T(s, d, "lineitem"), "l_quantity", "l_linenumber",
-        Seq("l_returnflag"), 0.5)),
-
-    "s4_rake" -> ((s, d) =>
-      Raking.ipfCellWeights(T(s, d, "lineitem"), "l_returnflag", "l_linestatus",
-        rowTargets = Map("A" -> 300000.0, "N" -> 400000.0, "R" -> 300000.0),
-        colTargets = Map("F" -> 450000.0, "O" -> 550000.0),
-        weightCol = Some("l_quantity"), iters = 5)
-        .select(col("l_returnflag"), col("l_linestatus"),
-          Rounding.halfUp(col("weight"), 6).as("weight"))),
-
-    // the full weighting loop: fit IPF cell targets -> apply per-case
-    // factors (design weight preserved) -> weighted tabulation; micro-
-    // scaled longs make the group sums exact in both engines
-    "b6_rake_weighted_freq" -> ((s, d) => {
-      val li = T(s, d, "lineitem")
-      val cw = Raking.ipfCellWeights(li, "l_returnflag", "l_linestatus",
-        rowTargets = Map("A" -> 300000.0, "N" -> 400000.0, "R" -> 300000.0),
-        colTargets = Map("F" -> 450000.0, "O" -> 550000.0),
-        weightCol = Some("l_quantity"), iters = 5)
-      Raking.applyRake(li, "l_returnflag", "l_linestatus", cw, Some("l_quantity"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          sum(floor(col("rake_weight") * 1e6 + 0.5).cast("long")).as("weight_micro"),
-          count(lit(1)).as("n"))
-    }),
-
-    // bounded-state k-per-group sampling through the BoundedTopK
-    // aggregate (shuffle ∝ groups × k, not rows); affine-hash order is
-    // engine-portable so the oracle mirrors it with a window
-    "s20_sample_pergroup" -> ((s, d) =>
-      Sampling.sampleKPerGroup(T(s, d, "orders"),
-        Seq("o_orderstatus"), "o_orderkey", k = 10)),
-
-    "s5_sample_strat" -> ((s, d) =>
-      Sampling.stratifiedSystematic(T(s, d, "orders"), "o_orderstatus", "o_orderkey",
-        Map("O" -> 2L, "F" -> 5L), defaultMod = 10L)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))),
-
-    "j2_asof_join" -> ((s, d) => {
-      val ev = T(s, d, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
-      AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_ts"))
-        .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
-    }),
-
-    // the tolerance variant: a click older than an hour is no
-    // attribution at all (pandas merge_asof tolerance semantics)
-    "j2b_asof_tolerance" -> ((s, d) => {
-      val ev = T(s, d, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
-      AsOf.asofJoinTolerance(purchases, clicks, Seq("user_id"), "ts", "ts",
-        Seq("click_ts"), toleranceMicros = 3600000000L)
-        .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ts_ms"), unix_millis(col("click_ts")).as("click_ms"))
-    }),
-
-    // value→interval join through the binned equi-join (a raw BETWEEN
-    // theta-join plans as BroadcastNestedLoop); irregular overlapping
-    // price bands derived from part, values from lineitem. Counts and
-    // cent-sums per band are engine-exact; the band bounds are the same
-    // double arithmetic in both engines.
-    "j4_range_join" -> ((s, d) => {
-      val bands = T(s, d, "part").filter(col("p_partkey") <= 100)
-        .select(col("p_partkey").as("band"),
-          (col("p_retailprice") * 10).as("lo"),
-          (col("p_retailprice") * 10 + 5000 + (col("p_partkey") % 7) * 3000).as("hi"))
-      graft.ops.RangeJoin.rangeJoin(
-          T(s, d, "lineitem").select(col("l_extendedprice")), "l_extendedprice",
-          bands, "lo", "hi", binWidth = 5000)
-        .groupBy(col("band"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
-    }),
-
-    // Z-order layout audit: Morton-interleaved (partkey, suppkey) cut
-    // into 16 Z-buckets — per bucket, the min/max rectangle on BOTH
-    // keys (the file-skipping metadata a z-ordered write would yield);
-    // one narrow projection + a 16-group aggregate
-    "x_layout_zorder" -> ((s, d) =>
-      graft.ops.Layout.zOrderLayoutAudit(T(s, d, "lineitem"),
-        "l_partkey", "l_suppkey", bits = 16, bucketBits = 4)),
-
-    "x_distinct_users" -> ((s, d) =>
-      T(s, d, "events").groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users"))),
-
-    // HLL++ distinct gated against exact (the recall-gate contract):
-    // registers are mergeable map-side state — the 100 TB distinct —
-    // and the verdict row pins the sketch within 5% of truth
-    "x_agg_hll_gate" -> ((s, d) =>
-      graft.ops.Stats.approxDistinctGate(T(s, d, "lineitem"),
-        "l_orderkey", Seq("l_returnflag"), rsd = 0.02, relTol = 0.05)),
-
-    // Count-Min frequency sketch gated on its one-sided guarantee —
-    // estimate in [exact, exact + eps·N] for the top-20 heavy keys;
-    // the sketch blob is engine-internal, the verdict frame is what
-    // the oracle pins (the HLL/GK gate contract)
-    "x_agg_cms_gate" -> ((s, d) =>
-      Stats.countMinGate(T(s, d, "events"), "user_id",
-        eps = 0.005, confidence = 0.99, seed = 42, probeKeys = 20)),
-
-    // GK percentile sketch gated on its rank guarantee: the returned
-    // element's exact rank interval must intersect the q∓2/accuracy
-    // rank window (ranks, not interpolated values — those fail
-    // spuriously on small/gappy groups)
-    "x_agg_approxq_gate" -> ((s, d) =>
-      graft.ops.Stats.approxPercentileGate(T(s, d, "lineitem"),
-        "l_extendedprice", Seq("l_returnflag"), q = 0.5, accuracy = 1000)),
-
-    // mergeable weighted-quantile sketch in its EXACT configuration
-    // (50 distinct l_quantity values ≪ capacity → stride 1): the
-    // shipped 100 TB weighted-percentile path, hash-checked against the
-    // sort-based lower-weighted-median definition
-    // explicit floor() both sides: Spark's double→long cast truncates
-    // while DuckDB's CAST rounds half-even — floor is the one form the
-    // engines agree on (the testdata is integer-valued, but the oracle
-    // must not depend on that)
-    "x_agg_wquantile" -> ((s, d) =>
-      T(s, d, "lineitem")
-        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("v"),
-          col("l_linenumber").cast("long").as("w"))
-        .filter(col("v").isNotNull && col("w").isNotNull)
-        .groupBy(col("l_returnflag"))
-        .agg(graft.functions.Aggregates.weightedQuantileSketch(
-          col("v"), col("w"), 0.5).as("median_qty"))),
-
-    // one-pass Space-Saving heavy hitters over RAW event rows (no
-    // per-user pre-aggregation shuffle); capacity 65536 ≥ distinct
-    // users at every sf → exact counts (the oracle config; approximate
-    // eviction mode is spec-graded on its count/error guarantees)
-    "x_agg_heavyhitters" -> ((s, d) =>
-      T(s, d, "events")
-        .agg(graft.functions.Aggregates.heavyHitters(
-          col("user_id"), outputK = 10, capacity = 65536).as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "t")))
-        .select((col("pos") + 1).cast("int").as("rank"),
-          col("t.value").as("user_id"), col("t.count").as("n"))),
-
-    // custom TypedImperativeAggregate: exact per-group top-k with a
-    // k-bounded buffer — partial aggregation caps the shuffle at
-    // groups × k rows where the window form shuffles every row
-    "x_agg_topk" -> ((s, d) => {
-      val per = T(s, d, "events")
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
-        .filter(col("cents").isNotNull)
-      per.groupBy(col("event_type"))
-        .agg(graft.functions.Aggregates.topKByWeight(col("user_id"), col("cents"), 5).as("top"))
-        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
-          col("t.value").as("user_id"), col("t.weight").as("cents"))
-    }),
-
-    "s6_neff" -> ((s, d) =>
-      Raking.effectiveSampleSize(T(s, d, "lineitem"), "l_quantity", Seq("l_returnflag"))),
-
-    "b1_trend" -> ((s, d) => {
-      val df = T(s, d, "orders")
-        .withColumn("wave", unix_timestamp(date_trunc("month", col("o_orderdate"))))
-      graft.bht.Trend.waveOverWave(df, "wave", Seq("o_orderstatus"))
-    }),
-
-    "b2_nps_weighted" -> ((s, d) =>
-      Kpis.npsSummaryWeighted(
-        T(s, d, "part").withColumn("wt", (col("p_partkey") % 5 + 1).cast("double")),
-        "p_size", "wt", Seq("p_brand"))),
-
-    // churn: users active in the first half of the event window but not
-    // the second. SINGLE data pass: per-user conditional flags from one
-    // groupBy (no distinct×2 + anti-join, no driver-side head() action);
-    // the midpoint scalar attaches as a broadcast 1-row agg.
-    "b3_churn" -> ((s, d) => {
-      val ev = T(s, d, "events").select(col("user_id"), unix_millis(col("ts")).as("__ms"))
-      val mid = ev.agg(
-        floor((min(col("__ms")) + max(col("__ms"))) / 2).cast("long").as("__mid"))
-      // empty events: null midpoint → both flags 0 → churn 0 (same as
-      // the oracle) — null comparisons are false in `when`
-      ev.crossJoin(broadcast(mid))
-        .groupBy(col("user_id"))
-        .agg(
-          max(when(col("__ms") < col("__mid"), 1).otherwise(0)).as("__early"),
-          max(when(col("__ms") >= col("__mid"), 1).otherwise(0)).as("__late"))
-        .filter(col("__early") === 1 && col("__late") === 0)
-        .agg(count(lit(1)).as("churned_users"))
-    }),
-
-    // spend deciles: VALUE-based buckets from one exact-percentile agg —
-    // ties share a bucket, and no global-order window ever funnels the
-    // table through a single task (the scale contract; see
-    // Stats.bucketSummary and ScalePlanSpec's no-unpartitioned-window
-    // assert). Bucketing runs on integer cents so boundaries and sums
-    // are exact and engine-portable.
-    "b4_deciles" -> ((s, d) => {
-      val o = T(s, d, "orders")
-        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-      Stats.bucketSummary(o, "cents", nBuckets = 10)
-        .select(col("bucket").cast("int").as("decile"), col("n"),
-          col("total").cast("long").as("total_cents"))
-    }),
-
-    "s7_fingerprint_portable" -> ((s, d) =>
-      TextAnalysis.portableFingerprintTable(T(s, d, "documents"), "doc_id", "text")),
-
-    // corpus health report: one narrow pass + one aggregate → the
-    // (metric, value) audit a crawl delivery gets before any curation
-    "x_text_report" -> ((s, d) =>
-      TextAnalysis.corpusReport(T(s, d, "documents"), "text")),
-
-    // BM25 top-k retrieval for one fixed query: narrow per-term tf
-    // (no explode, no inverted index), 1-row corpus-stats broadcast,
-    // TakeOrdered(k) epilogue; bm25_micro is the exact long sum of
-    // half-up micro-unit term contributions (engine-invariant)
-    "x_text_bm25" -> ((s, d) =>
-      TextAnalysis.bm25TopK(T(s, d, "documents"), "doc_id", "text",
-        query = "spark window merge vector", k = 10)),
-
-    // the inverted-index BM25 form for a query TABLE: one (doc, token)
-    // tf shuffle probed by the broadcast query vocabulary, per-query
-    // top-k on the bounded aggregate (shuffle ∝ queries × k)
-    "x_text_bm25_many" -> ((s, d) => {
-      import s.implicits._
-      val queries = Seq((1L, "spark window"), (2L, "merge vector table"),
-        (3L, "customer stream")).toDF("query_id", "qtext")
-      TextAnalysis.bm25TopKMany(T(s, d, "documents"), "doc_id", "text",
-        queries, "query_id", "qtext", k = 5)
-    }),
-
-    // hybrid-retrieval fusion: two BM25 parameterizations of the same
-    // query table, reciprocal-rank fused (rank-based — no score
-    // normalization needed, the point of RRF)
-    "x_text_rrf" -> ((s, d) => {
-      import s.implicits._
-      val queries = Seq((1L, "spark window"), (2L, "merge vector table"),
-        (3L, "customer stream")).toDF("query_id", "qtext")
-      val docs = T(s, d, "documents")
-      val la = TextAnalysis.bm25TopKMany(docs, "doc_id", "text",
-        queries, "query_id", "qtext", k = 5)
-      val lb = TextAnalysis.bm25TopKMany(docs, "doc_id", "text",
-        queries, "query_id", "qtext", k = 5, k1 = 0.3, b = 0.9)
-      graft.scale.Similarity.rrfFuse(la, lb, "query_id", "doc_id")
-    }),
-
-    // the full training-data prep recipe: quality filter → language
-    // filter → near-dup dedup → representatives — served from the
-    // fit-once snapshot cache (cleanedCorpus): the chain itself runs
-    // once per JVM, this key reads its parquet output
-    "x_corpus_clean" -> ((s, d) =>
-      cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap)
-        .select(col("doc_id"), col("lang"), col("source"))),
-
-    // end-to-end training-shard manifest: assign every cleaned-corpus
-    // survivor its (shard, pack, offset) — the file a trainer's data
-    // loader actually consumes. Reads the fit-once snapshot (the pack
-    // side and the metadata join both scan it; as a parquet read that
-    // costs two column-pruned scans, not two clean-chain recomputes);
-    // the oracle chains the same packing CTEs onto the recursive
-    // corpus-clean SQL.
-    "x_corpus_manifest" -> ((s, d) => {
-      val clean = cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap)
-      TextAnalysis.packSequences(clean, "doc_id", "text", budget = 256, shards = 8)
-        .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-    }),
-
-    // --- §2.2 transforms ---------------------------------------------
-    "t5_codebook_recode" -> ((s, d) => {
-      val recoded = Cleaning.applyCodebook(T(s, d, "nation"),
-        Map("n_regionkey" -> Map("0" -> "AFRICA", "1" -> "AMERICA", "2" -> "ASIA")))
-      recoded.groupBy("n_regionkey").agg(count(lit(1)).as("count"))
-    }),
-
-    // S3 on the hash-checked path: the codebook arrives as a FILE with
-    // the reference's column,value,label contract (app.py:218-227) and
-    // flows through Sources.readCodebook (CSV parse + astype(str)
-    // collapse) before the recode — a mis-parse there breaks the hash,
-    // unlike t5 which feeds applyCodebook a literal map.
-    "t5b_codebook_file" -> ((s, d) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_t5b")
-        .resolve("codebook.csv")
-      java.nio.file.Files.writeString(path,
-        "column,value,label\n" +
-          "n_regionkey,0,AFRICA\nn_regionkey,1,AMERICA\nn_regionkey,2,ASIA\n")
-      val cb = Sources.readCodebook(s, path.toString)
-      Cleaning.applyCodebook(T(s, d, "nation"), cb)
-        .groupBy("n_regionkey").agg(count(lit(1)).as("count"))
-    }),
-
-    "t10_brand_dictionary" -> ((s, d) =>
-      Tabulation.distinctValues(T(s, d, "customer"), "c_mktsegment")),
-
-    // --- §2.4 sort/limit/union/join ----------------------------------
-    "o3_sort_limit" -> ((s, d) =>
-      T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(desc("o_totalprice"), desc("o_orderkey")).limit(20)),
-
-    "u1_union_funnel" -> ((s, d) => {
-      val o = T(s, d, "orders")
-      Tabulation.selectedCounts(o, Seq("o_orderstatus")).withColumn("stage", lit("ever_used"))
-        .unionByName(
-          Tabulation.selectedCounts(o, Seq("o_orderpriority")).withColumn("stage", lit("consider")))
-    }),
-
-    "j1_join_enrich" -> ((s, d) => {
-      val c = T(s, d, "customer")
-      val n = T(s, d, "nation")
-      val r = T(s, d, "region")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(
-          count(lit(1)).as("n_customers"),
-          sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("acctbal_cents"))
-    }),
-
-    // --- §7.4 dedup ---------------------------------------------------
-    "x_dedup_exact" -> ((s, d) =>
-      Dedup.exact(T(s, d, "documents"), "doc_id", Seq("text"))),
-
-    // full-recall banding (bands = numHashes, one slot per band): any
-    // pair sharing ONE of 64 minhash slots is a candidate, so a true
-    // pair at jaccard j is missed with prob (1−j)^64 (< 1e-9 at the
-    // 0.3 threshold) — in practice the verified output equals the
-    // exhaustive shingle-Jaccard pair set, which the DuckDB oracle
-    // computes via an inverted-index self-join. Production banding
-    // (bands < numHashes) stays the API default; this configuration is
-    // the correctness gate for the same machinery.
-    "x_dedup_minhash" -> ((s, d) =>
-      Dedup.nearDupMinhash(T(s, d, "documents"), "doc_id", "text",
-        k = 3, numHashes = 64, bands = 64, threshold = 0.3,
-        maxBucketSize = 0)), // explicit opt-out: full recall for the oracle
-
-    // portable two-polynomial fingerprint + uncapped buckets: pigeonhole
-    // recall is EXACT, so the output equals the all-pairs Hamming set
-    // the DuckDB oracle computes by brute force. The xxhash64 fingerprint
-    // and the skew cap stay the production defaults (DedupSpec).
-    "x_dedup_simhash" -> ((s, d) =>
-      Dedup.nearDupSimhash(T(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3, maxBucketSize = 0, portable = true)),
-
-    "x_dedup_ngram" -> ((s, d) =>
-      Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.2,
-        maxBlockSize = NgramBlockCap)),
-
-    // recrawl delta census: synthesized old (doc_id%7 dropped) and new
-    // (doc_id%5 dropped, %3 edited) waves of the same corpus, portable
-    // fingerprints, full-outer status classification -> 4-row census
-    "x_dedup_snapshot_delta" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      def fp(f: DataFrame): DataFrame =
-        f.select(col("doc_id"),
-          TextAnalysis.portableFingerprint(col("text")).as("fp"))
-      val oldWave = fp(docs.filter(col("doc_id") % 7 =!= 0))
-      val newWave = fp(docs.filter(col("doc_id") % 5 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text"))))
-      Dedup.snapshotDelta(oldWave, newWave, "doc_id", "fp")
-        .groupBy("status").agg(count(lit(1)).as("n"))
-    }),
-
-    // asymmetric containment: inverted-index candidates (df-capped at
-    // the production default — the oracle replays the same cap), exact
-    // merge-walk intersection counts; catches near-subset pairs whose
-    // Jaccard is tiny
-    "x_dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(T(s, d, "documents"), "doc_id", "text",
-        k = 3, threshold = 0.5, maxShingleDocs = NgramBlockCap)),
-
-    // full-recall banding again (cf. x_dedup_minhash): 2-bit keys over
-    // 48 tables miss a cosine-0.4 pair with prob (1-(1-acos(.4)/pi)^2)^48
-    // < 3e-11 — in practice the output equals the exhaustive cosine
-    // pair set, which the DuckDB oracle computes all-pairs. Production
-    // banding (wider keys, fewer tables) stays the API default; this
-    // config is the correctness gate for the same machinery, run on a
-    // bounded 1000-vector slice (the low-bit banding is quadratic by
-    // design — the gate doesn't need the whole corpus to exercise it).
-    "x_dedup_embedding" -> ((s, d) =>
-      Dedup.nearDupEmbedding(
-        T(s, d, "embeddings").filter(col("vec_id") < 1000),
-        "vec_id", "embedding", bits = 2, tables = 48, threshold = 0.4)
-        .select(col("id_a"), col("id_b"),
-          Rounding.halfUp(col("cosine"), 6).as("cosine"))),
-
-    // SemDeDup in its oracle configuration: nlist = 1 puts the whole
-    // (bounded) slice in one cell, so within-cell comparison IS the
-    // exhaustive all-pairs cosine the DuckDB oracle computes — the
-    // whole chain (quantizer fit, cell assignment, in-cell self-join,
-    // id-pair-then-fetch verify) hash-checked. Clustered production
-    // configs (nlist ~ sqrt n) are DedupSpec-bound. Distinct slice and
-    // threshold from x_dedup_embedding so the gates can't mask.
-    "x_dedup_semantic" -> ((s, d) =>
-      Dedup.semanticDedupPairs(
-        T(s, d, "embeddings").filter(col("vec_id") < 600),
-        "vec_id", "embedding", nlist = 1, threshold = 0.35,
-        maxCellSize = 0) // explicit opt-out: the one oracle cell is the slice
-        .select(col("id_a"), col("id_b"),
-          Rounding.halfUp(col("cosine"), 6).as("cosine"))),
-
-    // incremental semantic dedup: a new wave probed against the
-    // accepted corpus' persisted cell index under SAVED centroids —
-    // the full fit→save→load→index→probe composition. nlist=1 makes
-    // recall exact (every batch×index pair is a candidate), so the
-    // oracle is the all-pairs batch×index cosine; threshold/slices
-    // differ from x_dedup_semantic so the gates can't mask.
-    "x_dedup_semantic_incr" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      // modulo slices, not id ranges: non-empty at EVERY scale factor
-      // (sf0.01 ships only 500 vectors — a fixed id range above that
-      // made this gate vacuous on shipped data)
-      val accepted = emb.filter(col("vec_id") % 10 >= 3)
-      val batch = emb.filter(col("vec_id") % 10 < 3)
-      val dir = java.nio.file.Files.createTempDirectory("graft-sem-model").toString
-      graft.scale.Models.saveCentroids(s,
-        graft.scale.Similarity.fitIvfCentroids(accepted, "vec_id", "embedding", nlist = 1), dir)
-      val cents = graft.scale.Models.loadCentroids(s, dir)
-      Dedup.semanticDedupPairsAgainstIndex(
-        batch, Dedup.semanticCellIndex(accepted, "vec_id", "embedding", cents),
-        "vec_id", "embedding", cents, threshold = 0.3, maxCellSize = 0)
-        .select(col("id_a"), col("id_b"),
-          Rounding.halfUp(col("cosine"), 6).as("cosine"))
-    }),
-
-    "x_dedup_contam" -> ((s, d) =>
-      Dedup.crossDocNgramStats(T(s, d, "documents"), "doc_id", "text", k = 5)),
-
-    // eval-set decontamination: the "benchmark" is a deterministic slice
-    // of the corpus (doc_id % 37), so the oracle can rebuild it — the
-    // operator itself takes ANY external benchmark frame
-    "x_dedup_decontam" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      Dedup.contaminationAgainst(
-        docs, docs.filter(col("doc_id") % 37 === 0).select(col("text")),
-        "doc_id", "text", k = 5)
-    }),
-
-    // the Bloom-prefiltered decontamination (exact output — the filter
-    // is a cost shape, spec-asserted ≡ contaminationAgainst); distinct
-    // benchmark slice so the two gates can't mask each other
-    "x_dedup_decontam_bloom" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      Dedup.decontaminateBloom(
-        docs, docs.filter(col("doc_id") % 41 === 0).select(col("text")),
-        "doc_id", "text", k = 5)
-    }),
-
-    // --- §7.4 similarity search --------------------------------------
-    "x_sim_topk" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble)
-      Similarity.topKBruteForce(emb, "vec_id", "embedding", q, 10, excludeId = Some(0L))
-        .select(col("vec_id"), Rounding.halfUp(col("similarity"), 6).as("similarity"))
-    }),
-
-    // full-recall LSH (cf. x_sim_ivf's full probe): 1-bit keys over 64
-    // tables — a true top-k neighbor at cosine c collides somewhere
-    // except with prob (acos(c)/pi)^64 (< 1e-19 even at c=0), so the
-    // output provably equals exact kNN and the whole ANN machinery —
-    // hyperplane signatures, bucket equi-join, cross-table dedup, top-k
-    // epilogue — is hash-checked against the exact-kNN oracle. The
-    // approximate production config (wider keys, fewer tables) is
-    // recall-graded in SimilaritySpec. Distinct query range/k from
-    // x_sim_knn so the two gates can't mask each other.
-    "x_sim_ann" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.annTopK(emb, queries, "vec_id", "embedding", "query_id",
-        k = 7, bits = 1, tables = 64)
-        .select(col("query_id"), col("vec_id"),
-          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
-    }),
-
-    // queries drawn FROM the corpus, so self-exclusion applies
-    "x_sim_knn" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id", k = 5)
-        .select(col("query_id"), col("vec_id"),
-          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
-    }),
-
-    // hard-negative mining for contrastive training: per anchor, the
-    // top-5 most-similar vectors with a DIFFERENT label — anchors
-    // broadcast, corpus scanned once, label filter prunes pre-scoring
-    "x_sim_hardneg" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val anchors = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
-      Similarity.hardNegatives(emb, anchors, "vec_id", "embedding", "label",
-          "anchor_id", k = 5)
-        .select(col("anchor_id"), col("vec_id"),
-          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
-    }),
-
-    // clustered over the n-gram pair graph (same pairs as x_dedup_ngram)
-    // so the whole chain — shingling, blocking, Jaccard, connected
-    // components — is DuckDB-mirrorable (recursive CTE oracle). The
-    // assignment is the fit-once snapshot all four cluster consumers
-    // read (cluster once to storage, consume many — the production
-    // pricing, cf. the clean-corpus snapshot)
-    "x_dedup_clusters" -> ((s, d) => corpusClusters(s, d)),
-
-    // quality-aware survivor election: each near-dup cluster keeps its
-    // best CLASSIFIER-scored member (score desc, id asc), not min-id —
-    // the production dedup epilogue composed from the clusters frame +
-    // the hashed-classifier scores
-    "x_dedup_bestrep" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val clustersDf = corpusClusters(s, d)
-      val model = fittedClassifier(s, d, buckets = 1024)
-      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
-      Dedup.electRepresentatives(clustersDf, scored, "doc_id", "score_micro")
-        .select(col("cluster"), col("id"),
-          col("score_micro").cast("long").as("score_micro"))
-    }),
-
-    // cluster-size census over the same component assignment — the
-    // "how much duplication, in what clump sizes" audit a dedup run
-    // reports (Dedup.clusterSizeCensus: two tiny aggregates on top of
-    // the clusters frame; a library caller passes an existing frame)
-    "x_dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizeCensus(corpusClusters(s, d))),
-
-    // threshold sweep: jaccard histogram over the candidate graph run
-    // at a LOW floor (0.05) — the "what would threshold X delete?"
-    // tuning audit; nbands-group aggregate over the pair frame
-    "x_dedup_threshold_sweep" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text", k = 3,
-        threshold = 0.05, maxBlockSize = NgramBlockCap)
-      Dedup.pairThresholdSweep(pairs, nbands = 10)
-    }),
-
-    // right-to-be-forgotten: erasure seeds (every 97th doc id) delete
-    // their whole near-dup cluster — the same CC assignment as
-    // x_dedup_clusters, then two broadcast joins; the output is the
-    // auditable manifest (kept / seed / propagated), not just survivors
-    "x_corpus_forget" -> ((s, d) =>
-      Dedup.forgetPropagate(corpusClusters(s, d),
-        T(s, d, "documents").filter(col("doc_id") % 97 === 0), "doc_id")),
-
-    // cross-source overlap census on a planted "recrawl" delivery (a
-    // fifth of the corpus re-ingested under a new source label — the
-    // scenario the matrix exists to catch; the raw synthetic sources
-    // share no exact text, so the fixture makes the overlap non-empty)
-    "x_dedup_overlap" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val recrawl = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("source", lit("recrawl"))
-      Dedup.sourceOverlapMatrix(docs.unionByName(recrawl), "text", "source")
-    }),
-
-    // full probe (nprobe = nlist): provably equivalent to exact kNN, so
-    // the whole IVF machinery — quantizer fit, cell assignment, probe
-    // join, per-cell scoring, top-k epilogue — is hash-checked against
-    // the DuckDB exact-kNN oracle. The approximate path (nprobe < nlist)
-    // is x_sim_ivf_probe below (recall-gated vs the exact baseline).
-    "x_sim_ivf" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
-        k = 5, nlist = 16, nprobe = 16)
-        .select(col("query_id"), col("vec_id"),
-          Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
-    }),
-
-    // the approximate path (nprobe < nlist), QUANTITATIVELY gated:
-    // recall@k against the exact kNN over the same queries is computed
-    // IN the query and thresholded against a pinned floor. Measured at
-    // the gate's exact config (nprobe=4/16, k=5, queries<20 —
-    // RecallProbe, r8): 0.57 / 0.57 / 0.58-0.64 across sf0.001/0.01/
-    // 0.1; floor 0.55 = measured min minus a 0.02 guard (both sides
-    // are DETERMINISTIC — seeded fit, total-order top-k — so the band
-    // has no run-to-run variance and a tight floor is safe; the old
-    // 0.5 floor would have let a real regression to 0.51 pass).
-    // A recall collapse flips the boolean and fails the oracle compare
-    // — no rows-only exemption.
-    "x_sim_ivf_probe" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "query_id",
-        k = 5, nlist = 16, nprobe = 4)
-      val exact = Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id",
-        k = 5)
-      recallGate(approx, exact, k = 5, threshold = 0.55)
-    }),
-
-    // --- §7.4 text analysis ------------------------------------------
-    "x_text_tokens" -> ((s, d) =>
-      TextAnalysis.tokenStats(T(s, d, "documents"), "doc_id", "text")),
-
-    "x_text_bpeish" -> ((s, d) =>
-      TextAnalysis.tokenBudget(T(s, d, "documents"), "doc_id", "text")),
-
-    "x_text_redact" -> ((s, d) => {
-      // synthesize PII into the corpus so the scrubber paths all fire;
-      // identical synthesis in the oracle SQL
-      val withPii = T(s, d, "documents").select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact u"), col("doc_id"), lit("@example.com or https://ex.com/d"),
-          col("doc_id"), lit(" tel +1 555 123 45"), col("doc_id") % 100).as("text"))
-      TextAnalysis.redactTable(withPii, "doc_id", "text")
-    }),
-
-    "x_text_tfidf" -> ((s, d) =>
-      TextAnalysis.tfidfTopK(T(s, d, "documents"), "doc_id", "text", k = 3)
-        .select(col("doc_id"), col("token"),
-          Rounding.halfUp(col("tfidf"), 9).as("tfidf"), col("rank"))),
-
-    "x_text_topterms" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val counts = T(s, d, "documents")
-        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
-      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-    }),
-
-    // SCD-2: per-user event_type runs as validity intervals — change
-    // points via lag, closed by lead, open-ended current row; two
-    // user-partitioned windows, change-point-sized output
-    "x_events_scd2" -> ((s, d) =>
-      graft.ops.Cohorts.scd2Intervals(T(s, d, "events"),
-        "user_id", "event_type", "ts", "event_id")),
-
-    // monthly engagement: active days, MAU, avg DAU, and the DAU/MAU
-    // stickiness ratio — two distinct aggregates, months-sized output
-    "x_events_engagement" -> ((s, d) =>
-      graft.ops.Cohorts.engagement(T(s, d, "events"), "user_id", "ts")),
-
-    // cohort retention matrix: users grouped by first-seen month,
-    // distinct-active counted per month offset — integer month index
-    // (year*12 + month - 1) so both engines derive identical cohorts
-    "x_events_retention" -> ((s, d) =>
-      graft.ops.Cohorts.retentionMatrix(T(s, d, "events"), "user_id", "ts")),
-
-    "x_events_props" -> ((s, d) =>
-      T(s, d, "events")
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").try_cast("long").as("k"))
-        .groupBy("event_type")
-        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"),
-          min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
-
-    "x_events_topusers" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val counts = T(s, d, "events")
-        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy(desc("n"), asc("user_id"))
-      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-    }),
-
-    "x_text_langid" -> ((s, d) =>
-      TextAnalysis.langIdTable(T(s, d, "documents"), "doc_id", "text")),
-
-    // vocab coverage curve: token mass covered by the top-k vocabulary
-    // at candidate sizes — OOV(k) = 1 - coverage(k); TakeOrdered head
-    // + cumulative window over the bounded top frame
-    "x_text_vocab_coverage" -> ((s, d) =>
-      TextAnalysis.vocabCoverage(T(s, d, "documents"), "text",
-        ks = Seq(100, 1000, 10000))),
-
-    // lang-ID confusion matrix vs the ground-truth column: WHICH
-    // languages confuse, and where 'und' (no stopword coverage) lands
-    "x_text_langid_confusion" -> ((s, d) =>
-      TextAnalysis.langIdConfusion(T(s, d, "documents"), "doc_id", "text", "lang")),
-
-    // unigram LM scoring against a trusted slice (doc_id % 3) as the
-    // reference model; vocab capped at 1000 so the top-V election
-    // (count desc, token asc) is exercised at every SF
-    "x_text_unigram" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
-    }),
-
-    // bigram fluency scoring against the same doc_id%3 trusted slice:
-    // word ORDER starts to matter (shuffled spam scores like gibberish)
-    "x_text_bigram" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      TextAnalysis.bigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text")
-    }),
-
-    // DSIR importance resampling toward the English slice as the
-    // target domain: unigram log-ratio + deterministic Gumbel top-50
-    // (two broadcast-model scoring passes, TakeOrdered epilogue)
-    "x_corpus_dsir" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      Sampling.importanceResample(docs, "doc_id", "text",
-        docs.filter(col("lang") === "en"), "text", n = 50, vocabSize = 1000)
-    }),
-
-    // per-language quality floor: drop each language's worst 20% by the
-    // unigram LM score (rank-based — exact, no score arithmetic; null
-    // scores rank worst and drop first)
-    "x_corpus_qfloor" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
-      val withLang = docs.select(col("doc_id"), col("lang"))
-        .join(scored.select(col("doc_id"), col("avg_logp")), "doc_id")
-      Sampling.dropBottomFractionPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", 0.2)
-    }),
-
-    // best-5 docs per language by the unigram LM score — the "cap each
-    // domain at its k highest-quality documents" curation primitive on
-    // the map-side-bounded top-k aggregate (shuffle ∝ langs × k, never
-    // a corpus-wide window sort)
-    "x_corpus_bestk" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
-      val withLang = docs.select(col("doc_id"), col("lang"))
-        .join(scored.select(col("doc_id"), col("avg_logp")), "doc_id")
-      Sampling.keepBestKPerGroup(withLang, Seq("lang"), "doc_id", "avg_logp", k = 5)
-    }),
-
-    // curriculum banding over the unigram-LM score: grid-exact decile
-    // assignment with no global sort (score recovered as the exact
-    // nano-nat long behind x_text_unigram's 9-dp avg_logp)
-    // CCNet head/middle/tail (Wenzek 2020): per-language LM-score
-    // terciles on the exact nano-nat integer — distinct-score
-    // cumulative window, |langs|-row broadcast boundary frame, then a
-    // narrow row-local compare; nothing sorts the corpus
-    "x_corpus_ppl_buckets" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      graft.scale.Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000)
-    }),
-
-    // mixture concentration: Gini + HHI of per-source token mass —
-    // the "one source dominates" audit; exact integer numerators via
-    // the rank identity, one |sources|-row bounded window
-    "x_corpus_concentration" -> ((s, d) =>
-      graft.scale.Curation.concentrationReport(T(s, d, "documents"),
-        "source", "text")),
-
-    "x_corpus_curriculum" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000,
-        scoreNano = true)
-      val withScore = scored.select(col("doc_id"), col("score_nano").as("score"))
-      Sampling.curriculumBands(withScore, "doc_id", "score", bands = 10, grid = 1024)
-    }),
-
-    // the curriculum materialized as a training layout: band becomes a
-    // pack partition, so no window ever mixes curriculum stages — the
-    // trainer consumes packs band by band
-    "x_corpus_curriculum_pack" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val scored = TextAnalysis.unigramLogProbTable(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 3 === 0), "text", vocabSize = 1000,
-        scoreNano = true)
-      val withScore = scored.select(col("doc_id"), col("score_nano").as("score"))
-      graft.scale.Curation.curriculumPack(docs, "doc_id", "text",
-        withScore, "score", bands = 10, grid = 1024, packBudget = 256, shards = 4)
-    }),
-
-    "x_text_quality" -> ((s, d) =>
-      TextAnalysis.qualityTable(T(s, d, "documents"), "doc_id", "text")),
-
-    // the Gopher rule set (Rae et al. 2021 §A1.1): per-rule
-    // measurements + the conjunction, one narrow row-local pass
-    "x_text_gopher" -> ((s, d) =>
-      TextAnalysis.gopherRulesTable(T(s, d, "documents"), "doc_id", "text")),
-
-    // Flesch / Flesch-Kincaid readability: exact integer counts + one
-    // fixed IEEE literal chain per score (halfUp 6) — row-local pass
-    "x_text_readability" -> ((s, d) =>
-      TextAnalysis.readabilityTable(T(s, d, "documents"), "doc_id", "text")),
-
-    // T5-style span corruption (block variant, 15% density, span 3):
-    // hash-selected masks, consecutive sentinels — the denoising
-    // (input, target) pair; doc-partitioned window + doc-keyed agg
-    "x_text_spancorrupt" -> ((s, d) =>
-      TextAnalysis.spanCorruptionTable(T(s, d, "documents"), "doc_id", "text")),
-
-    // duplicate-group size per doc: the xxhash64 fingerprint itself is
-    // engine-specific, but fingerprint equality ≡ normalized-token-
-    // stream equality (collisions ~1e-15 here), so the GROUP SIZES are
-    // oracle-able against DuckDB grouping the token stream directly
-    "x_text_fingerprint" -> ((s, d) => {
-      val fp = TextAnalysis.fingerprintTable(T(s, d, "documents"), "doc_id", "text")
-      val sizes = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("n_same_fp"))
-      fp.join(sizes, "fingerprint").select(col("doc_id"), col("n_same_fp"))
-    }),
-
-    // --- §7.4 multimodal ---------------------------------------------
-    "x_mm_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(
-        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"), "doc_id", "payload")
-        .toDF().select("doc_id", "n_bytes", "format", "width", "height")),
-
-    // long format (one row per histogram bucket): the driver's compare
-    // hashes scalar cells, so the feature vector is exploded; value =
-    // bucket_count / payload_bytes is exact integer division in IEEE
-    // doubles on both engines
-    "x_mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
-        "doc_id", "payload", dim = 16)
-        .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "value")))),
-
-    // resize plumbing: output size arithmetic of the stub resampler
-    "x_mm_resize" -> ((s, d) =>
-      Multimodal.resize(
-        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
-        "doc_id", "payload", targetW = 128, targetH = 128)
-        .select(col("doc_id"), col("width"), col("height"),
-          length(col("payload")).cast("long").as("out_bytes"))),
-
-    // frame-sampling plumbing: emit (doc_id, frame_index, frame_bytes) —
-    // the byte arithmetic of the stub sampler is DuckDB-mirrorable
-    "x_mm_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(
-        Multimodal.withBinaryPayload(T(s, d, "documents"), "text"),
-        "doc_id", "payload", frameSize = 64, every = 2)
-        .select(col("doc_id"), col("frame_index"),
-          length(col("frame")).cast("long").as("frame_bytes"))),
-
-    // perceptual-hash image dedup (aHash over the stub decode) + the
-    // generic banded Hamming join — full-recall config (uncapped,
-    // pigeonhole exact), so the oracle is the all-pairs Hamming set
-    // over the same byte-level fingerprint
-    "x_mm_phash_dedup" -> ((s, d) => {
-      val fps = Multimodal.perceptualHash(
-        Multimodal.withBinaryPayload(
-          T(s, d, "documents").filter(col("doc_id") < 400), "text"),
-        "doc_id", "payload")
-      Dedup.nearDupByFingerprint(fps, "doc_id", "phash",
-        maxHamming = 4, fpBits = 60, maxBucketSize = 0)
-    }),
-
-    // --- §7.4 streaming (batch-equivalent plans) ---------------------
-    "x_stream_window" -> ((s, d) =>
-      T(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
-        .select(unix_timestamp(col("w.start")).as("window_start"),
-          col("event_type"), col("n_events"), col("value_cents"))),
-
-    "x_stream_funnel" -> ((s, d) =>
-      Streams.funnel(T(s, d, "events"), Seq("signup", "click", "purchase"))),
-
-    "x_stream_sessions" -> ((s, d) =>
-      Streams.sessionize(T(s, d, "events")
-          .withColumn("value", floor(col("value") * 100 + 0.5).cast("long")), 30)
-        .withColumnRenamed("value_sum", "value_cents")),
-
-    // funnel latency: exact p50/p90/max seconds from click to purchase
-    // over the attribution pairs — the gap-bounded seconds lattice
-    // keeps the quantile window frame ≤ gap·60 rows
-    "x_stream_ttc" -> ((s, d) =>
-      Streams.timeToConvert(T(s, d, "events"), "click", "purchase",
-        gapMinutes = 30)),
-
-    // watermark-sizing audit: per-user event-time lag behind the
-    // arrival-order running max; the summary counts what a 1m/5m/1h
-    // watermark would drop — key-partitioned window, scalar epilogue
-    "x_stream_disorder" -> ((s, d) =>
-      Streams.disorderAudit(T(s, d, "events"), "user_id", "ts", "event_id")),
-
-    "x_stream_dedup" -> ((s, d) =>
-      Streams.dedupEvents(T(s, d, "events"), Seq("user_id", "event_type", "ts"))
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
-
-    "x_stream_sliding" -> ((s, d) =>
-      Streams.slidingCounts(T(s, d, "events"), "1 hour", "30 minutes")),
-
-    "x_stream_attrib" -> ((s, d) =>
-      Streams.attributionJoin(T(s, d, "events"), "click", "purchase", gapMinutes = 30)
-        .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))),
-
-    // --- §7.4 corpus curation (round 3) ------------------------------
-    "x_text_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionStats(T(s, d, "documents"), "doc_id", "text")),
-
-    // span-level exact-substring dedup: any 8-token window whose hash
-    // repeats anywhere in the corpus masks its member tokens
-    "x_text_spandedup" -> ((s, d) =>
-      TextAnalysis.maskRepeatedSpans(T(s, d, "documents"), "doc_id", "text",
-        w = 8, minCount = 2L)),
-
-    // incremental span dedup: the new delivery (docs >= 400, the
-    // x_dedup_incr split) masks spans whose combined frequency —
-    // batch occurrences + the accepted corpus' span index — reaches 2
-    "x_text_spandedup_incr" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      TextAnalysis.maskRepeatedSpansAgainstIndex(
-        docs.filter(col("doc_id") >= 400),
-        TextAnalysis.spanIndex(docs.filter(col("doc_id") < 400), "doc_id", "text", w = 8),
-        "doc_id", "text", w = 8, minCount = 2L)
-    }),
-
-    // fasttext-shape hashed linear classifier: fit Naive-Bayes
-    // log-odds over 1024 hashed buckets (positive class = English
-    // docs), then score every document with the exact long sum
-    "x_text_hashclf" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
-      TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
-    }),
-
-    // calibration/reliability table: per mean-log-odds band, the
-    // observed positive rate — catches fold-overs and dead score
-    // regions that rank-based gates can't see
-    "x_text_clf_calibration" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
-      TextAnalysis.classifierCalibration(labeled, "doc_id", "text", "__lab",
-        model, buckets = 1024)
-    }),
-
-    // classifier persistence gate: fit→save→load→score with a LOADED
-    // model must hash-match the direct fit-and-score chain (distinct
-    // bucket count from x_text_hashclf so the gates can't mask each
-    // other)
-    "x_text_hashclf_saved" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val labeled = docs.withColumn("__lab",
-        coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 512)
-      val dir = java.nio.file.Files.createTempDirectory("graft-hashclf-model").toString
-      graft.scale.Models.saveHashedClassifier(model, dir)
-      val loaded = graft.scale.Models.loadHashedClassifier(s, dir)
-      TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", loaded, buckets = 512)
-    }),
-
-    // token-budgeted mixture: fill each source's 2000-token budget
-    // with its best classifier-scored documents (greedy prefix by
-    // quality, running sum within the per-group window)
-    "x_corpus_budget" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val model = fittedClassifier(s, d, buckets = 1024)
-      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
-      val withSrc = docs.select(col("doc_id"), col("source"))
-        .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
-      Sampling.takeTokensPerGroup(withSrc, Seq("source"), "doc_id",
-        "score_micro", "n_tokens", tokenBudget = 2000L)
-    }),
-
-    // the GPT-3-recipe composition: classifier-score the corpus, then
-    // floor each source at its best 70% (rank-based, per-group window)
-    "x_corpus_clffilter" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val model = fittedClassifier(s, d, buckets = 1024)
-      val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", model, buckets = 1024)
-      val withSrc = docs.select(col("doc_id"), col("source"))
-        .join(scored.select(col("doc_id"), col("n_tokens"), col("score_micro")), "doc_id")
-      Sampling.dropBottomFractionPerGroup(withSrc, Seq("source"), "doc_id", "score_micro", 0.3)
-    }),
-
-    // BPE vocabulary training on the doc_id % 5 sample (fit on a
-    // sample, encode everywhere — the production split): 6 learned
-    // merges, deterministic tie-break, oracle replays the full loop
-    "x_text_bpe" -> ((s, d) => {
-      import s.implicits._
-      fittedBpe(s, d, merges = 6)
-        .map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
-        .toDF("rank", "left", "right", "pair_count")
-    }),
-
-    // the learned merges applied to the WHOLE corpus as one composed
-    // narrow plan; per-doc unit stats are the token-budget numbers
-    "x_text_bpe_encode" -> ((s, d) =>
-      TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
-        fittedBpe(s, d, merges = 6))),
-
-    // per-language fertility (units/word) and compression (chars/unit)
-    // under the fitted vocabulary — the multilingual tokenizer-equity
-    // audit; one narrow encode pass + a |langs|-row aggregate
-    "x_text_fertility" -> ((s, d) =>
-      TextAnalysis.tokenizerFertility(T(s, d, "documents"), "doc_id", "text",
-        "lang", fittedBpe(s, d, merges = 6))),
-
-    // the flat token stream itself (what a token-id mapping join
-    // consumes) — oracle-gates the native BpeTokens expression
-    // end-to-end, token by token with positions
-    "x_text_bpe_tokens" -> ((s, d) =>
-      TextAnalysis.bpeTokens(T(s, d, "documents"), "doc_id", "text",
-        fittedBpe(s, d, merges = 6))
-        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))),
-
-    // dense-id vocabulary (binary-UTF-8 order — the engines' shared
-    // string collation) and the id stream a trainer consumes:
-    // fit → encode → ids, the complete tokenizer path
-    "x_text_bpe_vocab" -> ((s, d) =>
-      TextAnalysis.bpeVocab(T(s, d, "documents"), "doc_id", "text",
-        fittedBpe(s, d, merges = 6))),
-
-    "x_text_bpe_ids" -> ((s, d) =>
-      // fit-once vocab (a model artifact like the classifier/BPE
-      // caches) + literal-map lookup: ONE encode pass per query
-      TextAnalysis.bpeIdsWithVocab(T(s, d, "documents"), "doc_id", "text",
-        fittedBpe(s, d, merges = 6), fittedBpeVocab(s, d, merges = 6))),
-
-    "x_text_pack" -> ((s, d) =>
-      TextAnalysis.packSequences(T(s, d, "documents"), "doc_id", "text",
-        budget = 256, shards = 8)),
-
-    // packing by the LEARNED tokenizer's counts (bpeEncode n_units →
-    // packByCount) — the composition a trainer actually consumes:
-    // windows are sized in real tokens, not whitespace estimates
-    "x_corpus_bpe_pack" -> ((s, d) =>
-      TextAnalysis.packByCount(
-        TextAnalysis.bpeEncode(T(s, d, "documents"), "doc_id", "text",
-          fittedBpe(s, d, merges = 6)),
-        "doc_id", "n_units", budget = 256, shards = 8)),
-
-    // packing-efficiency audit over the same layout: per-shard volume,
-    // pack count, tail waste, boundary straddles — all exact integers
-    "x_text_packeff" -> ((s, d) =>
-      TextAnalysis.packEfficiency(T(s, d, "documents"), "doc_id", "text",
-        budget = 256, shards = 8)),
-
-    "x_text_chunks" -> ((s, d) =>
-      TextAnalysis.chunkDocuments(T(s, d, "documents"), "doc_id", "text",
-        chunk = 32, overlap = 8)),
-
-    // padded bucketed batching: linear 32-token bands, fixed
-    // docs-per-batch within each (shard, band) — the no-split layout
-    "x_text_batches" -> ((s, d) =>
-      TextAnalysis.bucketedBatches(T(s, d, "documents"), "doc_id", "text",
-        capacity = 256, bandWidth = 32, shards = 8)),
-
-    // its per-shard audit: batches, padded footprint, padding waste
-    "x_text_batcheff" -> ((s, d) =>
-      TextAnalysis.batchEfficiency(T(s, d, "documents"), "doc_id", "text",
-        capacity = 256, bandWidth = 32, shards = 8)),
-
-    // keep-best exact dedup: among docs with identical normalized
-    // content, keep the longest raw text (then min id) — the "best
-    // source wins" policy
-    "x_dedup_keepbest" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-        .withColumn("__norm", array_join(TextAnalysis.tokens(col("text")), " "))
-      Dedup.exactKeepBest(docs, "doc_id", Seq("__norm"), "n_chars")
-        .select(col("doc_id"), col("lang"), col("source"))
-    }),
-
-    // incremental ingest: docs >= 400 are "the new delivery", the rest
-    // are the already-accepted index; survivors have novel content
-    "x_dedup_incr" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      Dedup.dedupAgainstIndex(
-        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
-        "doc_id", "text")
-        .select(col("doc_id"), col("lang"), col("source"))
-    }),
-
-    // incremental NEAR-dup: the new delivery's band buckets probe the
-    // accepted corpus' persisted band index (same split as
-    // x_dedup_incr); full-recall banding (bands = numHashes — cf.
-    // x_dedup_minhash) makes the verified cross-pair set equal the
-    // exhaustive batch×index shingle-Jaccard join the oracle computes
-    "x_dedup_incr_minhash" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val batch = docs.filter(col("doc_id") >= 400)
-      val accepted = docs.filter(col("doc_id") < 400)
-      Dedup.nearDupMinhashAgainstIndex(
-        batch,
-        Dedup.minhashBandIndex(accepted, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
-        Dedup.hashedShingleTable(accepted, "doc_id", "text", k = 3),
-        "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3,
-        maxBucketSize = 0) // explicit opt-out: full recall for the oracle
-    }),
-
-    // synthesize URLs into the corpus (same pattern as x_text_redact's
-    // PII synthesis) so the domain extractor has real work at every SF
-    "x_text_domains" -> ((s, d) =>
-      TextAnalysis.urlDomainStats(withUrls(T(s, d, "documents")), "doc_id", "text")),
-
-    "x_text_blockfilter" -> ((s, d) =>
-      TextAnalysis.filterBlockedDomains(withUrls(T(s, d, "documents")), "text",
-        Seq("site3.example.com", "cdn1.example.org"))
-        .select(col("doc_id"), col("lang"), col("source"))),
-
-    // SUFFIX-semantics blocklist: blocking news2.example.com must also
-    // catch subN.news2.example.com (the planted URLs all carry an
-    // extra subdomain level, so exact-domain matching would block
-    // nothing); unused.example.net proves dead entries are inert
-    "x_text_blocksuffix" -> ((s, d) =>
-      TextAnalysis.filterBlockedDomainSuffix(
-          withSubdomainUrls(T(s, d, "documents")), "text", BlockSuffixList)
-        .select(col("doc_id"), col("lang"), col("source"))),
-
-    // blocklist hygiene report: per entry, URLs and docs it fires on,
-    // zero-filled so dead entries surface for pruning
-    "x_text_blocksuffix_audit" -> ((s, d) => {
-      import s.implicits._
-      TextAnalysis.blockedDomainAudit(
-        withSubdomainUrls(T(s, d, "documents")), "doc_id", "text",
-        BlockSuffixList.toDF("domain"))
-    }),
-
-    // the web-corpus curation e2e: suffix blocklist -> domain quality
-    // tier (broadcast rank-tier join; unranked domains conservatively
-    // excluded — unknown quality is not good quality) -> classifier
-    // score floor, summarized per source. The composition a CCNet-
-    // style pipeline actually ships, built from the gated parts.
-    "x_corpus_web_e2e" -> ((s, d) => webE2ePipeline(s, d)),
-
-    "x_emb_quant" -> ((s, d) =>
-      graft.scale.Embeddings.quantizeInt8Table(T(s, d, "embeddings"), "vec_id", "embedding")),
-
-    // JL random projection 64 -> 8: data-independent dim reduction
-    // (a PCA refit would shift the space under a persisted ANN index);
-    // static unrolled ±chains, long-format output
-    "x_emb_project" -> ((s, d) =>
-      graft.scale.Embeddings.randomProject(T(s, d, "embeddings"), "vec_id", "embedding",
-        graft.scale.Embeddings.projectionSigns(64, 8, seed = 7L))),
-
-    // per-label class centroids in long format (scaled-long exact sums;
-    // word-count shuffle shape: partials collapse to labels × dim)
-    "x_emb_centroids" -> ((s, d) =>
-      graft.scale.Embeddings.groupCentroids(T(s, d, "embeddings"), "label", "embedding")),
-
-    // centroid-classifier confusion audit: fit per-label centroids,
-    // assign every vector to its nearest (squared L2, ties to lowest
-    // label), count (true, assigned) pairs — fit + E-step + audit
-    // embedding hygiene: zero-norm count, distinct dims, exact
-    // micro-lattice norm stats per label — run before any cosine stage
-    "x_emb_norms" -> ((s, d) =>
-      graft.scale.Embeddings.normAudit(T(s, d, "embeddings"),
-        "vec_id", "embedding", "label")),
-
-    "x_emb_assign" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val cents = graft.scale.Embeddings.groupCentroids(emb, "label", "embedding")
-      graft.scale.Embeddings.assignToCentroids(emb, "embedding", cents, "label")
-        .filter(col("embedding").isNotNull)
-        .groupBy(col("label"), col("assigned"))
-        .agg(count(lit(1)).as("n"))
-    }),
-
-    // matryoshka truncation to a 16-dim prefix: scalar outputs only
-    // (retained-norm fraction + first normalized component) since the
-    // compare harness can't hash array columns
-    "x_emb_matryoshka" -> ((s, d) =>
-      graft.scale.Embeddings.truncateMatryoshka(T(s, d, "embeddings"),
-        "vec_id", "embedding", dim = 16)
-        .select(col("vec_id"),
-          Rounding.halfUp(col("norm_kept"), 9).as("norm_kept"),
-          Rounding.halfUp(element_at(col("embedding"), 1), 9).as("e1"))),
-
-    // binary-quantized Hamming top-k: the oracle needn't re-pack — the
-    // packed xor+popcount distance equals the per-component sign
-    // disagreement count by construction, which DuckDB counts directly
-    "x_emb_binquant" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      graft.scale.Embeddings.hammingTopK(emb, q, "vec_id", "embedding", "query_id",
-        k = 8, dim = 64, excludeSelf = true)
-    }),
-
-    // weighted sampling over lineitem at ~20%: inclusion ∝ l_quantity;
-    // summary by returnflag keeps the output small while hashing both
-    // the kept-set membership and the weight mass
-    "s17_sample_weighted" -> ((s, d) => {
-      val li = T(s, d, "lineitem")
-        .withColumn("__key", col("l_orderkey") * 8 + col("l_linenumber"))
-      Sampling.byWeight(li, "__key", "l_quantity", targetFrac = 0.2)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_kept"),
-          sum(col("l_quantity").cast("long")).as("qty_kept"))
-    }),
-
-    // per-brand z-score feature normalization; p_size is integer-valued
-    // so the moments are exact longs (see Stats.zscore determinism note)
-    "s16_zscore" -> ((s, d) =>
-      Stats.zscore(T(s, d, "part"), "p_size", groupCols = Seq("p_brand"))
-        .select(col("p_partkey"), col("p_size"),
-          Rounding.halfUp(col("z"), 9).as("z"))),
-
-    // ingest audit: one pass, all requested columns
-    "s15_profile" -> ((s, d) =>
-      Stats.profile(T(s, d, "customer"),
-        Seq("c_mktsegment", "c_nationkey", "c_custkey"))),
-
-    // the audit's frequency/median columns ride the SAME one-pass agg
-    // (Space-Saving + weighted-quantile sketch) in their exact-mode
-    // oracle config (capacity >= distinct values); integral columns
-    // only — c_mktsegment's empty top_values explodes to zero rows,
-    // which the oracle pins by omission. Arrays explode to scalars
-    // (driver compare can't hash arrays).
-    "s15b_profile_topk" -> ((s, d) =>
-      Stats.profile(T(s, d, "customer"),
-        Seq("c_mktsegment", "c_nationkey", "c_custkey"),
-        numericTopK = 3, sketchCapacity = 1 << 18)
-        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
-          col("p50"), posexplode(col("top_values")).as(Seq("__pos", "__tv")))
-        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
-          col("p50"), (col("__pos") + 1).cast("int").as("rank"),
-          col("__tv.value").as("top_value"), col("__tv.count").as("top_count"))),
-
-    // ingest-drift audit: wave B is a deterministic perturbation of
-    // customer (fifth of rows dropped, a seventh of segments nulled);
-    // the diff surfaces the planted null-rate jump per column
-    "s22_profile_diff" -> ((s, d) => {
-      val a = T(s, d, "customer")
-      val b = a.filter(col("c_custkey") % 5 =!= 0)
-        .withColumn("c_mktsegment",
-          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_mktsegment")))
-      Stats.profileDiff(a, b, Seq("c_mktsegment", "c_nationkey"))
-        .withColumn("null_rate_delta", Rounding.halfUp(col("null_rate_delta"), 9))
-    }),
-
-    // feature-correlation audit: p·(p+3)/2 exact long moments in ONE
-    // aggregate; inputs pre-cast to integral (cents-scaled) so the
-    // Pearson arithmetic is engine-exact (see Stats.corrMatrix)
-    "s21_corr" -> ((s, d) => {
-      val li = T(s, d, "lineitem").select(
-        col("l_linenumber"),
-        col("l_quantity").cast("long").as("qty"),
-        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_cents"),
-        floor(col("l_tax") * 100 + 0.5).cast("long").as("tax_cents"))
-      Stats.corrMatrix(li, Seq("l_linenumber", "qty", "disc_cents", "tax_cents"))
-    }),
-
-    // hot-key join through the salt fan-out: output equals the plain
-    // join (the salt is internal), so the oracle is the plain SQL join
-    "j3_salted_join" -> ((s, d) => {
-      val ev = T(s, d, "events").select(col("user_id"), col("event_type"))
-      val userTotals = T(s, d, "events")
-        .groupBy("user_id").agg(count(lit(1)).as("user_events"))
-      graft.ops.Skew.saltedJoin(ev, userTotals, "user_id", salts = 8)
-        .groupBy("event_type")
-        .agg(sum("user_events").as("sum_user_events"), count(lit(1)).as("n"))
-    }),
-
-    // mixture construction: cap three sources (one to zero), leave the
-    // rest whole; emit the per-source audit the pipeline would log
-    "x_corpus_mixture" -> ((s, d) => {
-      val kept = Sampling.sampleByTokenBudget(T(s, d, "documents"),
-        "doc_id", "text", "source",
-        Map("src0" -> 500L, "src1" -> 800L, "src5" -> 0L))
-      kept.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
-    }),
-
-    // capped water-filling epoch allocation: target weights 4/2/1/1
-    // over four sources, 2-epoch repeat ceiling, 8k-token budget — at
-    // sf0.01 the heaviest-weighted source hits its capacity cap and the
-    // remainder water-fills the rest (the nontrivial branch of the
-    // closed form; unlisted sources exercise the zero-weight branch)
-    "x_corpus_epochs" -> ((s, d) =>
-      Sampling.epochAllocation(T(s, d, "documents"), "text", "source",
-        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
-        budgetTokens = 8000L, maxEpochs = 2.0)),
-
-    // the allocation materialized into the repeated-doc manifest a
-    // training loader reads: floor(e) copies + a deterministic
-    // fractional copy per doc — composes the x_corpus_epochs waterline
-    "x_corpus_epochs_expand" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val alloc = Sampling.epochAllocation(docs, "text", "source",
-        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
-        budgetTokens = 8000L, maxEpochs = 2.0)
-      Sampling.expandEpochs(docs, "doc_id", "source", alloc)
-        .select(col("doc_id"), col("source"), col("epoch"))
-    }),
-
-    // temperature-balanced mixture (alpha = 0.5 up-weights small
-    // sources): rates are driver-computed constants from a sorted fold,
-    // so the kept set is engine-exact; same summary shape as mixture
-    "x_corpus_temperature" -> ((s, d) => {
-      val kept = Sampling.sampleByTemperature(T(s, d, "documents"),
-        "doc_id", "text", "source", alpha = 0.5, totalBudget = 2000L)
-      kept.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
-    }),
-
-    // deterministic training shuffle: seed-reproducible (shard, pos)
-    // permutation with no global sort (per-shard windows only)
-    "x_corpus_shuffle" -> ((s, d) =>
-      Sampling.shuffleDeterministic(T(s, d, "documents"), "doc_id",
-          shards = 8, seed = 42L)
-        .select(col("doc_id"), col("shard"), col("pos"))),
-
-    // deterministic train/val/test split: portable affine-hash uniform
-    // vs cumulative thresholds, summarized per (split, source)
-    "x_corpus_split" -> ((s, d) =>
-      Sampling.splitAssign(T(s, d, "documents"), "doc_id",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .groupBy(col("split"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))),
-
-    // leakage-safe grouped split: every doc of a source lands in ONE
-    // split (portable poly-hash of the group feeds the affine uniform);
-    // summarized per (split, source) so co-assignment is visible in the
-    // hashed result — a source appearing under two splits would change
-    // the row set
-    "x_corpus_split_grouped" -> ((s, d) =>
-      Sampling.splitAssignGrouped(T(s, d, "documents"), "source",
-          Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
-        .groupBy(col("split"), col("source"))
-        .agg(count(lit(1)).as("n_docs"))),
-
-    // the whole last mile in ONE composed call: clean → temperature mix
-    // → decorrelated split → per-(split, shard) packed manifest — every
-    // stage already individually green, this key gates the COMPOSITION
-    // (incl. the second-round split hash: same-hash splitting would put
-    // every temperature-kept doc in 'train')
-    "x_corpus_e2e" -> ((s, d) =>
-      // post-clean stages on the fit-once snapshot — the production
-      // "clean once to storage, curate from there" shape; curate ==
-      // cleanCorpus + curateCleaned by construction
-      graft.scale.Curation.curateCleaned(
-        cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap),
-        "doc_id", "text", "source",
-        alpha = 0.5, totalBudget = 2000L,
-        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        packBudget = 256, shards = 8, metaCols = Seq("lang", "source"))),
-
-    // --- §7.4 round 4: line-level dedup / URL canon / PQ -------------
-    // C4-style corpus-wide line dedup. The synthetic docs are
-    // single-line, so lines are synthesized token-per-line (space →
-    // newline) — which also plants massive hot duplicate lines ("the",
-    // "a", …): exactly the boilerplate shape the partial-agg keeper
-    // election must absorb
-    "x_text_linededup" -> ((s, d) =>
-      TextAnalysis.dedupLines(
-        T(s, d, "documents").withColumn("text", translate(col("text"), " ", "\n")),
-        "doc_id", "text")),
-
-    // CCNet-style per-source boilerplate strip on the same synthesized
-    // lines: common tokens recur across most docs OF EACH SOURCE, so the
-    // election must absorb in-group hot keys while leaving rare lines
-    // (rare tokens) untouched
-    "x_text_boilerplate" -> ((s, d) =>
-      TextAnalysis.stripBoilerplate(
-        T(s, d, "documents").withColumn("text", translate(col("text"), " ", "\n")),
-        "doc_id", "text", "source", minDocs = 3)),
-
-    // collocation mining: window-2 skipgram pairs ranked by lift
-    // (rank-equivalent to PMI, no transcendental in the output)
-    "x_text_pmi" -> ((s, d) =>
-      TextAnalysis.pmiPairs(T(s, d, "documents"), "doc_id", "text",
-        window = 2, minCount = 5L, topK = 25)),
-
-    "x_text_urlcanon" -> ((s, d) =>
-      TextAnalysis.urlCanonStats(withTrackedUrls(T(s, d, "documents")), "doc_id", "text")),
-
-    // content-defined chunking: every chunk row (boundaries, portable
-    // chunk hash) re-derived by the oracle's per-position window fold
-    "x_dedup_cdc" -> ((s, d) =>
-      Dedup.cdcChunkTable(T(s, d, "documents"), "doc_id", "text", w = 8, divisor = 64)),
-
-    // URL-keyed crawl dedup: canonical URL (tracking params stripped,
-    // authority case-folded) as the exact-dedup key — tracking-variant
-    // URLs collapse to one group, min doc id represents. The standard
-    // crawl-level dedup composed from canonicalizeUrl + Dedup.exact.
-    "x_dedup_urlkey" -> ((s, d) => {
-      val docs = T(s, d, "documents").withColumn("url",
-        concat(lit("https://Site"), col("doc_id") % 20, lit(".example.com/page"),
-          col("doc_id") % 50, lit("?utm_source=x"), col("doc_id")))
-      Dedup.exact(
-        docs.withColumn("curl", TextAnalysis.canonicalizeUrl(col("url"))),
-        "doc_id", Seq("curl"))
-    }),
-
-    // unicode normalization: plant a combining sequence (NFC composes),
-    // a zero-width space, a control char, and a CRLF in every doc —
-    // the oracle re-derives the identical chain via nfc_normalize
-    "x_text_normalize" -> ((s, d) =>
-      TextAnalysis.normalizeTable(
-        T(s, d, "documents").withColumn("text",
-          concat(col("text"), lit(" cafe\u0301\u200B zw\u0007ctl\r\nnl"))),
-        "doc_id", "text")),
-
-    // PQ encode under the exact-decimal synthetic codebook — the oracle
-    // configuration of the PQ machinery (production fits with Pq.fit;
-    // PqSpec gates that path end-to-end)
-    "x_emb_pq" -> ((s, d) =>
-      graft.scale.Pq.encode(T(s, d, "embeddings"), "vec_id", "embedding", pqOracleModel)),
-
-    // ADC top-k search against the same codebook: 5 query vectors from
-    // the table itself, corpus side contributes codes only
-    "x_emb_pq_search" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      graft.scale.Pq.adcTopK(
-        emb, emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
-        "vec_id", "embedding", "query_id", k = 10, pqOracleModel, excludeSelf = true)
-    }),
-
-    // --- §7.4 round 5: IVF-PQ (IVFADC) -------------------------------
-    // full probe (nprobe = nlist): raw-vector codes make the composed
-    // path provably equal the flat ADC scan, so the ENTIRE IVFADC
-    // machinery — coarse fit, cell assignment, probe explode, in-cell
-    // ADC, bounded top-k — is hash-checked against the same generated
-    // oracle SQL family as x_emb_pq_search (distinct query range/k so
-    // the two gates can't mask each other)
-    "x_emb_ivfpq" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
-        k = 6, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true)
-    }),
-
-    // --- §7.4 round 6: quantizer model persistence -------------------
-    // PQ codebook save→load→encode: the loaded model must encode
-    // IDENTICALLY to the in-memory one (parquet doubles are IEEE-exact),
-    // so the oracle is the same generated SQL as x_emb_pq — any
-    // precision or ordering loss in the persistence layer hash-fails
-    "x_emb_pq_saved" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-pq-model").toString
-      graft.scale.Models.savePq(s, pqOracleModel, dir)
-      val loaded = graft.scale.Models.loadPq(s, dir)
-      graft.scale.Pq.encode(T(s, d, "embeddings"), "vec_id", "embedding", loaded)
-    }),
-
-    // coarse-quantizer fit→save→load→probe, the multi-wave reuse path:
-    // full-probe IVFADC over LOADED centroids still provably equals the
-    // flat ADC scan (every corpus row in one cell, every cell probed),
-    // so the whole persistence + reuse composition is hash-gated by the
-    // same oracle family (distinct query range/k from x_emb_ivfpq so
-    // the gates can't mask each other)
-    "x_emb_ivfpq_saved" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
-      val fitted = graft.scale.Similarity.fitIvfCentroids(
-        emb, "vec_id", "embedding", nlist = 8, normalize = false, dim = 64)
-      graft.scale.Models.saveCentroids(s, fitted, dir)
-      val loaded = graft.scale.Models.loadCentroids(s, dir)
-      val q = emb.filter(col("vec_id") >= 12 && col("vec_id") < 18)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
-        k = 5, pqOracleModel, nlist = 8, nprobe = 8, excludeSelf = true,
-        centroids0 = Some(loaded))
-    }),
-
-    // the production config (nprobe < nlist), recall-gated like
-    // x_sim_ivf_probe. Measured at this exact config (ivfadc
-    // nprobe=4/8, k=6, queries 5-12, excludeSelf — RecallProbe, r8):
-    // 0.5476 / 0.6190 / 0.6905 across sf0.001/0.01/0.1; floor 0.54 =
-    // measured min minus a ~0.008 guard (deterministic band, see
-    // x_sim_ivf_probe's rationale)
-    "x_emb_ivfpq_probe" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val approx = graft.scale.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", "query_id",
-        k = 6, pqOracleModel, nlist = 8, nprobe = 4, excludeSelf = true)
-      val exact = graft.scale.Pq.adcTopK(emb, q, "vec_id", "embedding", "query_id",
-        k = 6, pqOracleModel, excludeSelf = true)
-      recallGate(approx, exact, k = 6, threshold = 0.54)
-    }),
-
-    // --- link-graph domain quality ranking (round-9) ----------------
-    // PageRank over a synthetic domain link graph derived
-    // deterministically from documents (src = doc_id mod 64, dst from
-    // a doc-dependent hash): 5 power iterations in integer micro-units
-    // so the oracle can unroll the exact same arithmetic — the
-    // crawl-quality signal that feeds the mixture/qfloor operators.
-    "x_graph_rank" -> ((s, d) =>
-      graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)),
-
-    // HITS hubs & authorities: the link-farm detector PageRank can't
-    // see (high hub + low authority = a directory that only points);
-    // integer micro-unit half-steps, max-divisor rescale, 4 iterations
-    "x_graph_hits" -> ((s, d) =>
-      graft.scale.Graph.hits(graphEdges(s, d), "src", "dst", iterations = 4)),
-
-    // co-citation mirror detection: pairs of domains the same sources
-    // link, out-degree-capped self-join (cap replayed by the oracle)
-    "x_graph_cocite" -> ((s, d) =>
-      graft.scale.Graph.coCitation(graphEdges(s, d), "src", "dst",
-        maxOutDegree = 48, minCommon = 2)),
-
-    // incremental rank refresh: warm-start 2 iterations over a CHANGED
-    // edge set (the % 80 graph adds nodes 64..79, which must cold-init
-    // at teleport mass) from the % 64 graph's 3-iteration ranks
-    "x_graph_rank_refresh" -> ((s, d) =>
-      graft.scale.Graph.pageRankRefresh(graphEdges2(s, d), "src", "dst",
-        graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 3),
-        iterations = 2)),
-
-    // bounded-hop distance from trusted seeds (node % 7 = 0, the
-    // TrustRank seed set): min-plus iteration, unreached -> NULL
-    "x_graph_seeddist" -> ((s, d) => {
-      val edges = graphEdges(s, d)
-      val seeds = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
-        .filter(col("node") % 7 === 0)
-      graft.scale.Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 4)
-    }),
-
-    // fixed-threshold quality tiers over the rank table (tier 0 =
-    // above every cut) + per-tier census — the shape a mixture/qfloor
-    // consumer joins on
-    "x_graph_tiers" -> ((s, d) => {
-      val ranks = graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)
-      graft.scale.Graph.rankTiers(ranks, GraphTierCuts)
-        .groupBy(col("tier"))
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(col("rank_micro")).as("rank_sum"),
-          min(col("rank_micro")).as("rank_min"),
-          max(col("rank_micro")).as("rank_max"))
-    }),
-
-    // --- conversation/SFT data operators (round-9) -------------------
-    // role-aware exact turn dedup over the derived multi-turn view
-    // with every 11th turn's text replaced by a boilerplate
-    // acknowledgement (chat corpora are full of "thanks!"-class turns
-    // on BOTH sides of the dialogue — without the plant the raw view
-    // has no exact dups at small sf and the gate would be vacuous):
-    // keeper election per (role, text) by earliest (conv, turn). The
-    // boilerplate occurs under both roles, so a role-blind dedup
-    // would merge the two groups into one row — the gate catches it.
-    "x_conv_dedup" -> ((s, d) =>
-      graft.scale.Conversations.turnDedupExact(plantedConversations(s, d))
-        .filter(col("is_keeper") && col("dup_count") > 1)
-        .select(col("role"), col("text"),
-          col("keeper_conv"), col("keeper_turn"), col("dup_count"))),
-
-    // the conversation last mile in ONE composed call: role-aware
-    // exact dedup -> suffix truncation to the context budget ->
-    // conversation-atomic packing. Every stage is individually green;
-    // this key gates the COMPOSITION (survivor turns feed the window,
-    // kept turns feed the conv token sums, packs stay atomic)
-    "x_conv_e2e" -> ((s, d) => {
-      val deduped = graft.scale.Conversations.turnDedupExact(plantedConversations(s, d))
-        .filter(col("is_keeper"))
-        .select(col("conv_id"), col("turn"), col("role"), col("text"))
-      val kept = graft.scale.Conversations.truncateToBudget(deduped, budget = 120)
-        .filter(col("kept"))
-        .select(col("conv_id"), col("turn"), col("role"), col("text"))
-      graft.scale.Conversations.packConversations(kept, budget = 256, shards = 8)
-    }),
-
-    // role-aware NEAR dedup: n-gram Jaccard pairs that can only form
-    // within a role (role folded into the blocking key); decoded back
-    // to (conv, turn) endpoints
-    "x_conv_dedup_near" -> ((s, d) =>
-      graft.scale.Conversations.turnDedupNearPairs(conversations(s, d),
-        k = 3, threshold = 0.2, maxBlockSize = NgramBlockCap)),
-
-    // conversation-preserving chat packing: conversations token-summed
-    // and packed atomically (the grouped analogue of
-    // x_corpus_split_grouped) — the manifest row set changes if any
-    // conversation is ever split across (shard, pack_id)
-    "x_conv_pack" -> ((s, d) =>
-      graft.scale.Conversations.packConversations(
-        conversations(s, d), budget = 256, shards = 8)),
-
-    // SFT context-window truncation: keep each conversation's newest
-    // turns within a 120-token budget (newest turn always kept)
-    "x_conv_truncate" -> ((s, d) =>
-      graft.scale.Conversations.truncateToBudget(
-          conversations(s, d), budget = 120)
-        .select(col("conv_id"), col("turn"), col("role"),
-          col("turn_tokens"), col("kept"))),
-
-    // WEIGHTED PageRank: every document is one vote, so multi-edges
-    // carry their multiplicity as the link weight — hot (src,dst)
-    // pairs vote proportionally instead of collapsing to 1
-    "x_graph_rank_weighted" -> ((s, d) =>
-      graft.scale.Graph.pageRankWeighted(
-        graphEdges(s, d).withColumn("w", lit(1L)),
-        "src", "dst", "w", iterations = 5)),
-
-    // the advertised composition: link-graph rank tiers feeding
-    // curation — keep documents whose domain sits in the top two
-    // quality tiers, budget-report per source (tier table is 64 rows
-    // → broadcast join, corpus never shuffles)
-    "x_graph_qmix" -> ((s, d) => {
-      val ranks = graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5)
-      val tiers = graft.scale.Graph.rankTiers(ranks, GraphTierCuts)
-        .select(col("node"), col("tier"))
-      T(s, d, "documents")
-        .select(col("source"), (col("doc_id") % 64).as("node"),
-          graft.scale.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
-        .join(broadcast(tiers), "node")
-        .filter(col("tier") <= 1)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_kept"))
-    }),
-
-    // per-node degree/reciprocity audit — the link-exchange (spam-farm)
-    // signal next to the rank
-    "x_graph_degree" -> ((s, d) =>
-      graft.scale.Graph.degreeAudit(graphEdges(s, d), "src", "dst")),
-
-    // weakly-connected domain components over the link graph (the
-    // same min-label CC engine as the dedup clusters): isolated link
-    // neighborhoods = candidate spam pockets / dead crawl islands
-    "x_graph_components" -> ((s, d) => {
-      val e = graphEdges(s, d).filter(col("src") =!= col("dst")).distinct()
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-      val pairs = e.select(col("src").as("id_a"), col("dst").as("id_b"))
-      Dedup.clusters(nodes, "node", pairs)
-    }),
-
-    // TrustRank: teleport restricted to a trusted seed set (every 7th
-    // domain); non-seed domains earn rank ONLY through damped links
-    // from the trusted region
-    "x_graph_trust" -> ((s, d) => {
-      val e = graphEdges(s, d)
-      val seeds = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .filter(col("node") % 7 === 0)
-        .withColumn("teleport_micro", lit(1000000L))
-      graft.scale.Graph.pageRankPersonalized(e, "src", "dst", seeds, iterations = 5)
-    }),
-
-    // conversation shape audit: the SFT pre-packing profile
-    "x_conv_stats" -> ((s, d) =>
-      graft.scale.Conversations.conversationStats(conversations(s, d))),
-
-    // CONVERSATION-level near-dup: re-posted/template-stamped threads
-    // share turns — exact turn-set Jaccard over a view built to
-    // overlap (5-turn conversations, every 7th doc replaced by one of
-    // 13 template turns shared across conversations); boilerplate
-    // beyond the df cap is dropped before pairing
-    "x_conv_overlap" -> ((s, d) => {
-      val v = T(s, d, "documents").select(
-        expr("doc_id div 5").as("conv_id"),
-        (col("doc_id") % 5 + 1).as("turn"),
-        col("doc_id"), col("text"))
-        .withColumn("role",
-          when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0,
-            concat(lit("template "), col("conv_id") % 13))
-            .otherwise(col("text")))
-      graft.scale.Conversations.conversationOverlapPairs(
-        v, threshold = 0.1, maxTurnDf = 64)
-    }),
-
-    // tokenizer ROUND-TRIP gate: decode the id stream through the
-    // reversed vocab and check it reproduces the whitespace-stripped
-    // normalized input — encode → vocab → ids → decode as ONE path
-    "x_text_bpe_decode" -> ((s, d) =>
-      TextAnalysis.bpeDecodeAudit(T(s, d, "documents"), "doc_id", "text",
-        "source", fittedBpe(s, d, merges = 6),
-        fittedBpeVocab(s, d, merges = 6))),
-
-    // mixture-diversity audit: Shannon unigram entropy per source
-    "x_text_entropy" -> ((s, d) =>
-      TextAnalysis.sliceEntropy(T(s, d, "documents"), "source", "text")),
-
-    // mixture-redundancy audit: pairwise Jensen-Shannon divergence
-    // between the sources' unigram distributions
-    "x_text_js" -> ((s, d) =>
-      TextAnalysis.sliceJsDivergence(T(s, d, "documents"), "source", "text")),
-
-    // small-file compaction plan over a per-(source, band) manifest
-    // (bytes = exact n_chars mass — a deterministic stand-in for file
-    // sizes, derivable by both engines)
-    "x_layout_compact" -> ((s, d) => {
-      val man = T(s, d, "documents")
-        .groupBy(col("source").as("dir"), expr("doc_id % 149").as("band"))
-        .agg(sum(col("n_chars")).as("bytes"))
-        .select(col("dir"),
-          concat(lit("part-"), lpad(col("band").cast("string"), 4, "0")).as("path"),
-          col("bytes"))
-      graft.ops.Layout.compactionSummary(man, "dir", "path", "bytes",
-        targetBytes = 2048L)
-    }),
-
-    // join-skew audit: the top heavy keys with exact micro-share and
-    // the salt factor a bounded-reducer salted join would need
-    "s31_skew_advisor" -> ((s, d) =>
-      graft.ops.Skew.saltAdvisor(T(s, d, "events"), "user_id",
-        rowsPerTask = 32L, topK = 25)),
-
-    // robust outliers: median/MAD (50% breakdown) per source over doc
-    // lengths — the masking-proof screen beside the z-score profile
-    "s32_robust_outliers" -> ((s, d) =>
-      graft.ops.Stats.robustOutlierAudit(T(s, d, "documents"), "source", "n_chars")),
-
-    // --- keyed time series (round-10) --------------------------------
-    // daily resample per user with gap-fill + integer forward-fill:
-    // every bucket between a user's first and last day, zero-count
-    // gaps, last observed daily sum carried forward
-    "x_ts_resample" -> ((s, d) =>
-      graft.ops.TimeSeries.resampleGapFill(T(s, d, "events"),
-        "user_id", "ts", "value", intervalSec = 86400L)),
-
-    // per-user lag/delta/rolling features over the strictly-preceding
-    // 5-event frame (leakage-safe: a feature computed at event time
-    // never sees the event itself); micro-scaled exact longs
-    "x_ts_features" -> ((s, d) =>
-      graft.ops.TimeSeries.lagFeatures(T(s, d, "events"),
-        "user_id", "ts", "event_id", "value", rollN = 5)),
-
-    // rolling relative-deviation outlier flag: divisionless integer
-    // inequality |v·n − Σv|·100 > pct·Σ|v| over the same frame
-    "x_ts_anomaly" -> ((s, d) =>
-      graft.ops.TimeSeries.rollingDeviation(T(s, d, "events"),
-        "user_id", "ts", "event_id", "value",
-        rollN = 5, thresholdPct = 200, minObs = 3)),
-
-    // --- C4/FineWeb web-corpus line filters (round-10) ----------------
-    // the rule layer before model-based quality: the synthetic corpus
-    // has no web boilerplate, so the query PLANTS the structures the
-    // filters exist to catch (braces, lorem ipsum, a cookie notice,
-    // multi-line docs with terminal punctuation) by doc_id class —
-    // the s30 move; the oracle replays the plant verbatim
-    "x_text_c4filters" -> ((s, d) =>
-      graft.scale.WebFilters.c4LineFilters(c4PlantedDocs(s, d), "text",
-          minWordsPerLine = 5, minKeptLines = 2)
-        .select(col("doc_id"), col("has_brace"), col("has_lorem"), col("has_policy"),
-          col("n_lines"), col("n_kept_lines"), col("kept_ratio_micro"), col("keep"))),
-
-    // --- preference data / Bradley-Terry (round-10) -------------------
-    // per-item outcome rollup over the derived pairwise-judgment view
-    "x_pref_winrate" -> ((s, d) =>
-      graft.scale.Preferences.itemStats(preferenceGames(s, d), "winner", "loser")),
-
-    // fixed-iteration Bradley-Terry strengths in integer micro units
-    // (4 MM iterations, max-divisor rescale each round — the oracle
-    // unrolls the identical arithmetic as a materialized CTE chain)
-    "x_pref_bt" -> ((s, d) =>
-      graft.scale.Preferences.btStrengths(preferenceGames(s, d), "winner", "loser",
-        iterations = 4)),
-
-    // the convergence curve behind the iteration-count default: max
-    // per-item strength move per MM iteration — 6 iterations to show
-    // the tail past the production 4
-    "x_pref_bt_delta" -> ((s, d) =>
-      graft.scale.Preferences.btConvergence(preferenceGames(s, d), "winner", "loser",
-        iterations = 6)),
-
-    // Wilson 95% band on the win rates — the leaderboard's
-    // reorder-with-confidence guard
-    "x_pref_wilson" -> ((s, d) =>
-      graft.scale.Preferences.winRateWilson(preferenceGames(s, d), "winner", "loser")),
-
-    // two-rater agreement over a derived rating view: rater a = lang,
-    // rater b = lang with every 7th doc mislabeled — kappa < 1 by
-    // construction, chance term exact
-    "x_pref_kappa" -> ((s, d) =>
-      graft.scale.Preferences.cohenKappa(
-        raterFixture(s, d), "item", "rater", "label", "a", "b")),
-
-    // --- duplication-aware sampling weights (round-10) ----------------
-    // soft dedup: every member of a size-k near-dup cluster carries
-    // 1e6 div k micro of sampling mass; rolled up per source as the
-    // effective (dedup-discounted) corpus size — reads the same
-    // fit-once cluster snapshot as the dedup census keys
-    "x_corpus_dupweight" -> ((s, d) => {
-      val w = Dedup.clusterWeights(corpusClusters(s, d))
-      T(s, d, "documents").select(col("doc_id").as("id"), col("source"))
-        .join(w, Seq("id"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("cluster")).as("n_clusters"),
-          sum(col("weight_micro")).as("eff_docs_micro"))
-    }),
-
-    // --- per-slice rank normalization (round-10) ----------------------
-    // average-rank percentile of every distinct doc length within its
-    // language — the scale-free transform for cross-slice comparison
-    "x_stats_ranknorm" -> ((s, d) =>
-      graft.ops.Stats.rankNormalize(T(s, d, "documents"), "lang", "n_chars")),
-
-    // volume-drift trend: exact integer OLS slope of daily event
-    // counts per event type (x = day index, y = daily count) — the
-    // "is this stream growing or dying" audit from one aggregate
-    "x_ts_trend" -> ((s, d) => {
-      val daily = T(s, d, "events")
-        .filter(col("event_type").isNotNull && col("ts").isNotNull)
-        .select(col("event_type"), unix_micros(col("ts")).as("__us"))
-        // floor-div (not Spark div) so pre-1970 timestamps bucket like
-        // the oracle's `//` — same fix as resampleGapFill
-        .withColumn("day",
-          graft.ops.TimeSeries.floorDivEpochExpr("__us", 86400000000L))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
-      graft.ops.Stats.groupTrend(daily, "event_type", "day", "y")
-    }),
-
-    // template-prefix detection over a planted view (every 3rd doc is
-    // stamped with a mailer prefix): shared 24-char prefixes per
-    // source with exact integer shares — the structural-dup signal
-    "x_text_templates" -> ((s, d) => {
-      val planted = T(s, d, "documents").select(
-        col("source"),
-        when(col("doc_id") % 3 === 0,
-            concat(lit("Subscribe to our newsletter today! "), col("text")))
-          .otherwise(col("text")).as("text"))
-      graft.scale.WebFilters.templatePrefixShares(planted, "source", "text",
-        prefixChars = 24, minCount = 2)
-    }),
-
-    // per-label mean-centering audit: the energy the common component
-    // holds (mean squared norm before/after centering, exact micro²)
-    "x_emb_center" -> ((s, d) =>
-      graft.scale.Embeddings.centerAudit(T(s, d, "embeddings"),
-        "vec_id", "embedding", "label")),
-
-    // seeded Laplace release counts per source (ε = 0.5): the DP
-    // mechanism's full data path with the secure RNG swapped for the
-    // portable hash so the gate can replay it (documented trade)
-    // non-default releaseSalt on purpose: the oracle replays a SECOND
-    // release's fresh noise, proving salted draws are engine-exact too
-    "x_priv_dpcounts" -> ((s, d) =>
-      graft.ops.Privacy.dpNoisyCounts(T(s, d, "documents"), "source",
-        epsilonMicro = 500000L, releaseSalt = "release-2")),
-
-    // role-alternation audit over a deliberately mis-shaped role
-    // assignment ((turn·13 + conv) % 5 — the derived view's strict
-    // alternation would make the gate vacuous): same-role adjacency
-    // count + arg-min/max first/last roles per conversation
-    "x_conv_alternation" -> ((s, d) =>
-      graft.scale.Conversations.alternationAudit(
-        conversations(s, d).withColumn("role",
-          when((col("turn") * 13 + col("conv_id")) % 5 < 2, lit("user"))
-            .otherwise(lit("assistant"))))),
-
-    // equi-depth histogram of doc lengths per language: quantile
-    // buckets on the exact tie-group percentile — heavy-tail-aware
-    // resolution the equi-width s1 histogram can't give
-    "x_stats_eqdepth" -> ((s, d) =>
-      graft.ops.Stats.equiDepthHistogram(T(s, d, "documents"), "lang", "n_chars",
-        nbins = 8)),
-
-    // event path analysis: exact trigram-of-event-types table (bounded
-    // by |types|³ — the full table IS summary-sized, no top-k needed)
-    "x_events_paths" -> ((s, d) =>
-      graft.ops.Cohorts.eventTrigrams(T(s, d, "events"))),
-
-    // linear multi-touch attribution rolled up per user: every click
-    // in the 30-min gap before a purchase shares 1e6 div n credit;
-    // conservation holds up to the integer-div remainder
-    "x_events_multitouch" -> ((s, d) =>
-      graft.streaming.Streams.multiTouchCreditRollup(
-        graft.streaming.Streams.multiTouchAttribution(
-          T(s, d, "events"), "click", "purchase", gapMinutes = 30))),
-
-    // referential-integrity contract audit over PLANTED violations
-    // (the FK-consistent TPC-H tables would make the gate vacuous):
-    // customers thinned 10% -> orphan orders; every 13th order's
-    // custkey nulled -> null-key counter; orders thinned 1/7 ->
-    // orphan lineitems
-    "x_qc_refint" -> ((s, d) => {
-      val cust = T(s, d, "customer").filter(col("c_custkey") % 10 =!= 0)
-      val ordersNulled = T(s, d, "orders").withColumn("o_custkey",
-        when(col("o_orderkey") % 13 === 0, lit(null)).otherwise(col("o_custkey")))
-      val ordersThinned = T(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
-      graft.ops.Contracts.referentialAudit(
-          ordersNulled, "o_custkey", cust, "c_custkey", "orders->customer")
-        .union(graft.ops.Contracts.referentialAudit(
-          T(s, d, "lineitem"), "l_orderkey", ordersThinned, "o_orderkey",
-          "lineitem->orders"))
-    }),
-
-    // id-sequence completeness: TPC-H orderkeys are sparse BY DESIGN
-    // (real gap signal, no plant needed); event ids are the dense
-    // counter-example
-    "x_qc_gaps" -> ((s, d) =>
-      graft.ops.Contracts.sequenceGapAudit(T(s, d, "orders"), "o_orderkey", "orders.o_orderkey")
-        .union(graft.ops.Contracts.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id"))),
-
-    // uniqueness on a view with PLANTED dupes (every 10th order row
-    // appears twice) and planted null keys (every 97th orderkey)
-    "x_qc_unique" -> ((s, d) =>
-      graft.ops.Contracts.uniquenessAudit(
-        qcDupedOrders(s, d), Seq("k1", "k2"), "orders.pk")),
-
-    // accepted-values: 'error' is outside the allowed domain (a real
-    // violation in the data, no plant needed); nulls planted separately
-    "x_qc_enum" -> ((s, d) =>
-      graft.ops.Contracts.enumDomainAudit(
-        T(s, d, "events").withColumn("event_type",
-          when(col("event_id") % 101 === 0, lit(null))
-            .otherwise(col("event_type"))),
-        "event_type", Seq("click", "view", "signup", "purchase"),
-        "events.event_type")),
-
-    // accepted-range on quantity: [5, 45] against the natural 1..50
-    // domain — violations on both sides
-    "x_qc_range" -> ((s, d) =>
-      graft.ops.Contracts.rangeAudit(
-        T(s, d, "lineitem"), "l_quantity", 5L, 45L, "lineitem.l_quantity")),
-
-    // freshness vs the fixed as-of (2024-02-01T00:00:00Z): one rule
-    // inside its lag budget, one stale — both rows from one aggregate
-    // shape, the as-of passed in (never read from a clock)
-    "x_qc_fresh" -> ((s, d) =>
-      graft.ops.Contracts.freshnessAudit(
-          T(s, d, "events"), "ts", QcAsOfEpochUs, 7L * 86400L, "events.ts.weekly")
-        .union(graft.ops.Contracts.freshnessAudit(
-          T(s, d, "events"), "ts", QcAsOfEpochUs, 3600L, "events.ts.hourly"))),
-
-    // the composed delivery report: every contract normalized to
-    // (rule, n_rows, n_violations) and unioned — the one-glance gate a
-    // delivery pipeline actually pages on
-    "x_qc_report" -> ((s, d) => qcDeliveryReport(s, d)),
-
-    // character-level near-dup over derived 40-char titles. Blocking
-    // MUST be tighter than the document family's (lenband, t0) here:
-    // 40-char titles share one length band and ~|vocab| first tokens,
-    // so blocks grow linearly with the corpus and the pair count
-    // quadratically — the 10x suite gate measured 10.4 s -> 106 s
-    // (sf0.1 -> sf1) before the 10-char-prefix block was added, ~1 s
-    // after. The standard blocking recall trade: an edit inside the
-    // first 10 chars now breaks the pair (documented, same contract
-    // as every blocked family).
-    "x_dedup_editdist" -> ((s, d) =>
-      Dedup.nearDupEditDistance(
-        T(s, d, "documents").select(col("doc_id"),
-          substring(col("text"), 1, 40).as("text"),
-          substring(col("text"), 1, 10).as("pblock")),
-        "doc_id", "text", maxDistPct = 15, extraBlockCols = Seq("pblock")))
+  private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (QueriesAudits.queries, QueriesAudits.oracleSql),
+    (QueriesConversations.queries, QueriesConversations.oracleSql),
+    (QueriesCore.queries, QueriesCore.oracleSql),
+    (QueriesCorpus.queries, QueriesCorpus.oracleSql),
+    (QueriesDedup.queries, QueriesDedup.oracleSql),
+    (QueriesEvents.queries, QueriesEvents.oracleSql),
+    (QueriesGraph.queries, QueriesGraph.oracleSql),
+    (QueriesMmAgg.queries, QueriesMmAgg.oracleSql),
+    (QueriesSimilarity.queries, QueriesSimilarity.oracleSql),
+    (QueriesText.queries, QueriesText.oracleSql),
   )
 
-  /** Derived pairwise-preference view over `documents` (the testdata
-    * has no ratings table; both engines derive the SAME view): within
-    * each language, consecutive docs by doc_id form a judged pair and
-    * the longer document wins — items are the NUMERIC source ids, ties
-    * and same-source pairs are dropped. FIXTURE, not library: the
-    * lang-partitioned lead() window sorts a corpus fraction per
-    * partition, which is fine for deriving test games but not a shape
-    * to ship — production callers hand [[graft.scale.Preferences]] a
-    * real ratings table and no window runs at all. */
-  /** WET-roundtrip epilogue shared by the s23/s30 keys: conversion
-    * records back to (doc_id from the fixture URL, declared
-    * content_length, measured n_chars, text). */
-  private def wetConversions(records: DataFrame): DataFrame =
-    records
-      .filter(col("record_type") === "conversion")
-      .select(
-        regexp_extract(col("url"), "([0-9]+)$", 1).cast("long").as("doc_id"),
-        col("content_length"),
-        length(col("text")).cast("long").as("n_chars"),
-        col("text"))
-
-  /** Planted C4-violation documents view (every residue mod 7 plants a
-    * different rule trigger) — FIXTURE for the c4 filter keys; both
-    * engines derive the same view. */
-  private def c4PlantedDocs(s: SparkSession, d: String): DataFrame =
-    T(s, d, "documents").select(
-      col("doc_id"),
-      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" { x } ")))
-        .when(col("doc_id") % 7 === 1,
-          concat(lit("Lorem ipsum dolor sit amet. "), col("text")))
-        .when(col("doc_id") % 7 === 2,
-          concat(lit("This site uses cookies per our privacy policy. "), col("text")))
-        .when(col("doc_id") % 7 === 3,
-          concat(lit("The first line is a clean sentence.\n"), col("text"), lit(".\n"),
-            lit("The third line is a clean sentence too.\nshort line.")))
-        .when(col("doc_id") % 7 === 4, concat(col("text"), lit(".")))
-        .otherwise(col("text")).as("text"))
-
-  /** The three-stage web-curation composition behind `x_corpus_web_e2e`:
-    * domain-suffix blocklist → rank-tier gate → classifier floor →
-    * per-source census. Each stage is a library operator; this wires
-    * the e2e order. */
-  private def webE2ePipeline(s: SparkSession, d: String): DataFrame = {
-    val docs0 = T(s, d, "documents")
-    val kept1 = TextAnalysis.filterBlockedDomainSuffix(
-      withSubdomainUrls(docs0), "text", BlockSuffixList)
-    val tiers = graft.scale.Graph.rankTiers(
-      graft.scale.Graph.pageRank(graphEdges(s, d), "src", "dst", iterations = 5),
-      GraphTierCuts).select(col("node"), col("tier"))
-    val kept2 = kept1.withColumn("node", col("doc_id") % 64)
-      .join(broadcast(tiers), Seq("node")).filter(col("tier") <= 2)
-    val labeled = docs0.withColumn("__lab",
-      coalesce(col("lang"), lit("")) === "en")
-    val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
-    val good = TextAnalysis.hashedClassifierScore(docs0, "doc_id", "text", model, 1024)
-      .filter(col("score_micro") >= 0L).select(col("doc_id"))
-    kept2.join(good, Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val maps = families.map(_._1)
+    require(maps.map(_.size).sum == maps.flatMap(_.keys).toSet.size,
+      "duplicate query key across family objects")
+    maps.reduce(_ ++ _)
   }
 
-  /** Fixed as-of clock for the freshness contract keys — 2024-02-01
-    * 00:00:00 UTC in epoch micros. A literal, never a clock read, so
-    * the audit replays in any engine at any wall time. */
-  private val QcAsOfEpochUs: Long = 1706745600000000L
-
-  /** Planted-violation orders view for the uniqueness contract: every
-    * 10th order row appears TWICE (the dupes) and every 97th orderkey
-    * is nulled (the null-key class). FIXTURE, not library — both
-    * engines derive the same view. */
-  private def qcDupedOrders(s: SparkSession, d: String): DataFrame = {
-    val base = T(s, d, "orders").select(
-      when(col("o_orderkey") % 97 === 0, lit(null))
-        .otherwise(col("o_orderkey")).as("k1"),
-      col("o_custkey").as("k2"))
-    base.unionByName(base.filter(col("k1") % 10 === 0))
-  }
-
-  /** The composed delivery-contract report: each audit normalized to
-    * (rule, n_rows, n_violations) and unioned — referential nulls +
-    * orphans, sequence missing + dupes, uniqueness nulls + excess
-    * rows, enum invalids, range outliers, and staleness. */
-  private def qcDeliveryReport(s: SparkSession, d: String): DataFrame = {
-    val C = graft.ops.Contracts
-    val refint = C.referentialAudit(
-        T(s, d, "orders"), "o_custkey", T(s, d, "customer"), "c_custkey",
-        "orders->customer")
-      .select(col("rule"), col("n_child").as("n_rows"),
-        (col("n_null_keys") + col("n_orphans")).as("n_violations"))
-    val gaps = C.sequenceGapAudit(T(s, d, "events"), "event_id", "events.event_id")
-      .select(col("rule"), col("n_rows"),
-        (col("n_missing") + col("n_dupes")).as("n_violations"))
-    val uniq = C.uniquenessAudit(qcDupedOrders(s, d), Seq("k1", "k2"), "orders.pk")
-      .select(col("rule"), col("n_rows"),
-        (col("n_null_keys") + col("n_dupe_rows")).as("n_violations"))
-    val enums = C.enumDomainAudit(T(s, d, "events"), "event_type",
-        Seq("click", "view", "signup", "purchase"), "events.event_type")
-      .select(col("rule"), col("n_rows"),
-        (col("n_null") + col("n_invalid")).as("n_violations"))
-    val range = C.rangeAudit(T(s, d, "lineitem"), "l_quantity", 5L, 45L,
-        "lineitem.l_quantity")
-      .select(col("rule"), col("n_rows"),
-        (col("n_null") + col("n_below") + col("n_above")).as("n_violations"))
-    val fresh = C.freshnessAudit(T(s, d, "events"), "ts", QcAsOfEpochUs,
-        3600L, "events.ts.hourly")
-      .select(col("rule"), col("n_rows"),
-        when(col("is_fresh"), 0L).otherwise(1L).as("n_violations"))
-    Seq(refint, gaps, uniq, enums, range, fresh).reduce(_ unionByName _)
-  }
-
-  /** Derived two-rater label view over `documents` (no ratings table
-    * in the testdata; both engines derive the SAME view): rater `a`
-    * reports `lang`, rater `b` reports `lang` with every 7th doc
-    * mislabeled as 'xx'. FIXTURE for the agreement keys. */
-  private def raterFixture(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents")
-    docs.select(col("doc_id").as("item"), lit("a").as("rater"),
-        col("lang").as("label"))
-      .unionByName(docs.select(col("doc_id").as("item"), lit("b").as("rater"),
-        when(col("doc_id") % 7 === 0, lit("xx"))
-          .otherwise(col("lang")).as("label")))
-  }
-
-  private def preferenceGames(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-    T(s, d, "documents")
-      .select(col("lang"), col("doc_id"),
-        regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("item"),
-        col("n_chars"))
-      .withColumn("n_item", lead(col("item"), 1).over(w))
-      .withColumn("n_nchars", lead(col("n_chars"), 1).over(w))
-      .filter(col("n_item").isNotNull &&
-        col("item") =!= col("n_item") && col("n_chars") =!= col("n_nchars"))
-      .select(
-        when(col("n_chars") > col("n_nchars"), col("item")).otherwise(col("n_item")).as("winner"),
-        when(col("n_chars") > col("n_nchars"), col("n_item")).otherwise(col("item")).as("loser"))
-  }
-
-  /** Derived multi-turn conversation view over `documents` (the
-    * testdata has no conversations table; both engines derive the SAME
-    * view): conversation = doc_id mod 200, turn order = doc_id order
-    * within the conversation, roles alternate user/assistant. */
-  private def conversations(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("conv_id")).orderBy(col("doc_id"))
-    T(s, d, "documents")
-      .select((col("doc_id") % 200).as("conv_id"), col("doc_id"), col("text"))
-      .withColumn("turn", row_number().over(w).cast("long"))
-      .select(col("conv_id"), col("turn"),
-        when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")).as("role"),
-        col("text"))
-  }
-
-  /** [[conversations]] with every 11th turn's text replaced by a
-    * boilerplate acknowledgement — chat corpora are full of
-    * "thanks!"-class turns on BOTH sides of the dialogue, and the
-    * plant makes the dedup gates non-vacuous: the same boilerplate
-    * occurs under both roles, so a role-blind dedup would (wrongly)
-    * merge them. */
-  private def plantedConversations(s: SparkSession, d: String): DataFrame =
-    conversations(s, d).withColumn("text",
-      when((col("conv_id") + col("turn")) % 11 === 0, lit("thanks!"))
-        .otherwise(col("text")))
-
-  /** Synthetic domain link graph: every document contributes one edge
-    * (its "from" domain links the domain its content points at), both
-    * endpoints deterministic functions of the row — mirrored verbatim
-    * by the oracle's edge CTE. */
-  private def graphEdges(s: SparkSession, d: String): DataFrame =
-    T(s, d, "documents").select(
-      (col("doc_id") % 64).as("src"),
-      ((col("doc_id") * 31 + col("n_chars")) % 64).as("dst"))
-
-  /** The "next crawl wave" edge set for the refresh query: a different
-    * derivation over 80 nodes, so 64..79 are NEW nodes the warm start
-    * must cold-init at teleport mass. */
-  private def graphEdges2(s: SparkSession, d: String): DataFrame =
-    T(s, d, "documents").select(
-      (col("doc_id") % 80).as("src"),
-      ((col("doc_id") * 13 + col("n_chars")) % 80).as("dst"))
-
-  /** Fixed tier cuts (micro-rank units) for x_graph_tiers — pinned
-    * literals per the [[graft.scale.Graph.rankTiers]] contract. */
-  private val GraphTierCuts = Seq(800000L, 1000000L, 1200000L)
-
-  /** Recall gate shared by the approximate-ANN queries: one summary row
-    * (k, n_queries, recall_min, recall_ok) where recall_ok pins
-    * |approx ∩ exact| / |exact| >= threshold. Both inputs are
-    * deterministic, so the boolean hash-gates the approximate config
-    * against its exact baseline — the quantitative form of "this ANN
-    * path still finds its neighbors" that a rows-only check can't give.
-    */
-  private def recallGate(
-      approx: DataFrame, exact: DataFrame, k: Int, threshold: Double): DataFrame = {
-    // ONE pass over the exact baseline (the expensive side): a left
-    // join marks hits, a single aggregate counts totals, hits and
-    // distinct queries — two independent subtrees would re-run the
-    // exact scan once per branch
-    // distinct() makes the gate duplicate-proof: a future approx path
-    // emitting a candidate twice must not double-count hits AND totals
-    // (which would bias recall upward past the floor)
-    val a = approx.select(col("query_id"), col("vec_id")).distinct()
-      .withColumn("__hit", lit(1))
-    exact.select(col("query_id"), col("vec_id"))
-      .join(a, Seq("query_id", "vec_id"), "left")
-      .agg(count(lit(1)).as("__n"),
-        sum(coalesce(col("__hit"), lit(0))).as("__hits"),
-        countDistinct(col("query_id")).as("n_queries"))
-      .select(
-        lit(k).cast("int").as("k"),
-        col("n_queries"),
-        lit(threshold).as("recall_min"),
-        (col("__hits").cast("double") / col("__n") >= threshold).as("recall_ok"))
-  }
-
-  /** The PQ oracle codebook: deterministic exact-decimal centroids (see
-    * Pq.syntheticModel) shared by the Spark queries above and the
-    * generated oracle SQL below. */
-  private lazy val pqOracleModel = graft.scale.Pq.syntheticModel(64, m = 8, k = 16, seed = 42L)
-
-  /** Deterministic URL synthesis shared by the domain queries and their
-    * oracles: every doc gets one `site{id%7}.example.com` and one
-    * `cdn{id%3}.example.org` URL. */
-  private def withUrls(docs: DataFrame): DataFrame =
-    docs.withColumn("text", concat(col("text"),
-      lit(" see https://site"), col("doc_id") % 7, lit(".example.com/page"), col("doc_id"),
-      lit(" and http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5))
-
-  /** URL synthesis with an EXTRA subdomain level in front of the
-    * domain a blocklist would list — exercises suffix (wildcard)
-    * matching: sub{k}.news{j}.example.com is blocked by the entry
-    * news{j}.example.com only under suffix semantics. */
-  private def withSubdomainUrls(docs: DataFrame): DataFrame =
-    docs.withColumn("text", concat(col("text"),
-      lit(" https://sub"), col("doc_id") % 4, lit(".news"), col("doc_id") % 7,
-      lit(".example.com/p"), col("doc_id"),
-      lit(" http://ads"), col("doc_id") % 3, lit(".tracker"), col("doc_id") % 5,
-      lit(".example.org/b")))
-
-  /** Blocklist for the suffix-filter queries — two live entries (one
-    * per planted URL family) and one dead entry that must stay inert
-    * and zero-fill in the audit. */
-  private val BlockSuffixList =
-    Seq("news2.example.com", "tracker3.example.org", "unused.example.net")
-
-  /** URL synthesis for the canonicalization query: mixed-case hosts
-    * (must lowercase), mixed-case paths (must NOT lowercase), tracking
-    * params in first/last positions, a non-tracking param that must
-    * survive, and a fragment. Mirrored verbatim in the oracle SQL. */
-  private def withTrackedUrls(docs: DataFrame): DataFrame =
-    docs.withColumn("text", concat(col("text"),
-      lit(" https://News"), col("doc_id") % 7, lit(".Example.com/Article"), col("doc_id"),
-      lit("?utm_source=feed"), col("doc_id") % 3, lit("&id="), col("doc_id") % 5,
-      lit("&utm_campaign=w"), col("doc_id") % 4, lit("#sec"), col("doc_id") % 3,
-      lit(" http://cdn"), col("doc_id") % 3, lit(".example.org/x"), col("doc_id") % 5,
-      lit("?gclid=g"), col("doc_id"), lit("&page=2")))
-
-  // ---------------------------------------------------------------------
-  // DuckDB oracle SQL — identical math, identical aliases
-  // ---------------------------------------------------------------------
-
-  private def r1(e: String) = Rounding.halfUpSql(e, 1)
-
-  /** Generated PQ oracle fragments — same codebook constants as
-    * `pqOracleModel` (exact-decimal grid, so the literals below parse
-    * back to the identical doubles), same left-associative chains as
-    * `Pq.subDist`. `dl_j` = subspace-j distance list; `code_j` =
-    * 1-based first-index-of-min. */
-  private lazy val pqDistListsSql: String = {
-    val m = pqOracleModel
-    (0 until m.m).map { j =>
-      val lists = m.codebooks(j).map { c =>
-        (0 until m.dsub).map { t =>
-          val idx = j * m.dsub + t + 1
-          val v = c(t).toString
-          s"(CAST(embedding[$idx] AS DOUBLE) - ($v))*(CAST(embedding[$idx] AS DOUBLE) - ($v))"
-        }.mkString(" + ")
-      }.mkString("[", ", ", "]")
-      s"$lists AS dl_$j"
-    }.mkString(",\n    ")
-  }
-
-  private lazy val pqCodesSql: String =
-    (0 until pqOracleModel.m)
-      .map(j => s"CAST(list_indexof(dl_$j, list_aggregate(dl_$j, 'min')) AS BIGINT) AS code_$j")
-      .mkString(",\n       ")
-
-  private lazy val pqReconErrSql: String =
-    (0 until pqOracleModel.m).map(j => s"list_aggregate(dl_$j, 'min')").mkString(" + ")
-
-  private val stopSqlLists = Map(
-    "de" -> "['der','die','das','und','ist','nicht','mit','ein']",
-    "en" -> "['the','a','of','and','is','to','in','that']",
-    "es" -> "['el','la','de','que','y','los','es','una']",
-    "fr" -> "['le','la','les','de','et','est','une','que']",
-    "zh" -> "['的','是','了','在','我','有','和','不']")
-
-  private val toksSql =
-    "CASE WHEN trim(text)='' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END"
-
-  /** BPE oracle CTEs: replay [[TextAnalysis.bpeFit]]'s training loop as
-    * `k` unrolled merge rounds. Each round re-derives adjacent-pair
-    * counts (parallel unnest of the two slice-shifted unit lists),
-    * takes the SAME deterministic argmax (count desc, left asc, right
-    * asc — LIMIT 1), and applies the merge with `replace`, whose
-    * leftmost-first non-overlapping scan is identical in Spark and
-    * DuckDB (the `|unit|` wrapping guarantees adjacent matches never
-    * share characters). Learning runs on the doc_id % 5 sample slice;
-    * the chain ends with merge CTEs m1..mk. bpeFit's early stop is
-    * replayed exactly: each argmax requires c >= 2 (so a dried-up
-    * round yields an EMPTY m_i, never a count-1 merge Spark would not
-    * emit), and the apply step left-joins the merge row so an empty
-    * round passes reps through unchanged instead of emptying the
-    * chain. Once dry, every later round is dry too (reps unchanged ⇒
-    * same pair counts), so learned ranks stay consecutive.
-    */
-  private val BpeMergeRounds = 6
-
-  private def bpeRepsSql(where: String): String =
-    s"""(SELECT doc_id, list_transform(
-       |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(t)), '\\s+') END,
-       |    w -> regexp_replace(w, '(.)', '|\\1|', 'g')) AS reps
-       |  FROM (SELECT doc_id, replace(text, '|', '') AS t FROM documents WHERE $where))""".stripMargin
-
-  private def bpeApplySql(from: String, mi: String): String =
-    // LEFT JOIN ON TRUE + passthrough: when the sample dries up before
-    // round k, m_k is EMPTY (its argmax keeps Spark's c >= 2 early-stop
-    // rule) — a plain cross join would empty the whole chain, the left
-    // join instead leaves reps unchanged, exactly like bpeFit's no-op
-    // round
-    s"""(SELECT doc_id, CASE WHEN m.l IS NULL THEN reps
-       |    ELSE list_transform(reps, s -> replace(s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|')) END AS reps
-       |  FROM $from LEFT JOIN $mi m ON TRUE)""".stripMargin
-
-  private lazy val bpeLearnCtes: String = {
-    val init = s"d0 AS ${bpeRepsSql("doc_id % 5 = 0")}"
-    val steps = (1 to BpeMergeRounds).map { i =>
-      s"""u$i AS (SELECT string_split(trim(rr.r, '|'), '||') AS u
-         |  FROM (SELECT unnest(reps) AS r FROM d${i - 1}) rr),
-         |c$i AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(list_slice(u, 1, len(u) - 1)) AS l, unnest(list_slice(u, 2, len(u))) AS r FROM u$i)
-         |  GROUP BY 1, 2),
-         |m$i AS (SELECT l, r, c FROM c$i WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-         |d$i AS ${bpeApplySql(s"d${i - 1}", s"m$i")}""".stripMargin
-    }
-    (init +: steps).mkString(",\n")
-  }
-
-  /** Full-corpus encode chain shared by every encode-consuming oracle:
-    * the learn CTEs plus f0 (all documents) through f`k` with each
-    * learned merge applied — ONE definition, so a change to the apply
-    * semantics (like the round-8 empty-round passthrough) lands in
-    * every consumer at once. */
-  private lazy val bpeEncodeCtes: String =
-    s"""$bpeLearnCtes,
-       |f0 AS ${bpeRepsSql("TRUE")},
-       |${(1 to BpeMergeRounds).map(i =>
-      s"f$i AS ${bpeApplySql(s"f${i - 1}", s"m$i")}").mkString(",\n")}""".stripMargin
-
-  /** Encode chain + the flattened position-indexed token stream
-    * (t = per-doc token lists, s = (doc_id, pos, token) rows) —
-    * shared by the tokens/vocab/ids oracles. */
-  private lazy val bpeStreamCtes: String =
-    s"""$bpeEncodeCtes,
-       |t AS (SELECT doc_id, flatten(list_transform(reps, s -> string_split(trim(s, '|'), '||'))) AS toks
-       |      FROM f$BpeMergeRounds),
-       |s AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS token FROM t)""".stripMargin
-
-  /** Shared CTE chain for the capped water-filling epoch allocation
-    * (x_corpus_epochs) — also the head of x_corpus_epochs_expand's
-    * oracle, so both keys provably score the SAME allocation. Ends in
-    * `alloc(source, tokens_available, weight, allocated_tokens,
-    * epochs)`. Every sum is over exact longs; every double is a
-    * single-op expression in the same association as the Spark plan. */
-  private lazy val epochAllocCte =
-    s"""t AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tokens_available FROM documents GROUP BY 1),
-       |b AS (SELECT source, tokens_available,
-       |        CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
-       |             WHEN source = 'src2' THEN 1.0 WHEN source = 'src3' THEN 1.0
-       |             ELSE 0.0 END AS weight FROM t),
-       |p AS (SELECT source, tokens_available, weight,
-       |        CAST(floor(weight * 1000000.0 + 0.5) AS BIGINT) AS wm,
-       |        CAST(floor(2.0 * CAST(tokens_available AS DOUBLE) + 0.5) AS BIGINT) AS cap
-       |      FROM b WHERE weight > 0),
-       |r AS (SELECT *, CAST(cap AS DOUBLE) / CAST(wm AS DOUBLE) AS rr FROM p),
-       |s AS (SELECT *,
-       |        sum(cap) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cc,
-       |        sum(wm) OVER (ORDER BY rr, source ROWS UNBOUNDED PRECEDING) AS cw,
-       |        (SELECT sum(cap) FROM p) AS capT,
-       |        (SELECT sum(wm) FROM p) AS wmT
-       |      FROM r),
-       |f AS (SELECT *, rr * CAST(wmT - cw AS DOUBLE) <= CAST(8000 - cc AS DOUBLE) AS capped FROM s),
-       |c AS (SELECT coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS capC,
-       |             coalesce(sum(CASE WHEN capped THEN wm ELSE 0 END), 0) AS wmC FROM f),
-       |a AS (SELECT f.source, f.tokens_available, f.weight,
-       |        CASE WHEN f.capped THEN f.cap
-       |             ELSE CAST(floor(CAST(8000 - c.capC AS DOUBLE) / CAST(f.wmT - c.wmC AS DOUBLE) * CAST(f.wm AS DOUBLE) + 0.5) AS BIGINT) END AS allocated_tokens
-       |      FROM f, c),
-       |u AS (SELECT source, tokens_available, weight, allocated_tokens FROM a
-       |      UNION ALL
-       |      SELECT source, tokens_available, weight, CAST(0 AS BIGINT) FROM b WHERE NOT (weight > 0)),
-       |alloc AS (SELECT source, tokens_available, weight, allocated_tokens,
-       |       CASE WHEN tokens_available > 0
-       |            THEN floor(CAST(allocated_tokens AS DOUBLE) / CAST(tokens_available AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-       |            ELSE 0.0 END AS epochs
-       |FROM u)""".stripMargin
-
-  /** DuckDB mirror of [[graft.scale.TextAnalysis]]'s `bm25Contrib`
-    * kernel at the default k1 = 1.2, b = 0.75 — one definition for
-    * every BM25 oracle, with the constants interpolated from the SAME
-    * Scala doubles the Spark plan uses (shortest-roundtrip decimals
-    * parse back bit-identical).
-    */
-  /** Shared inverted-index CTEs for the query-table BM25 oracles: the
-    * 3-query VALUES table, its token set, and the (doc, token) tf /
-    * doc-length / df / corpus-stat frames. `tf`/`toks` are
-    * MATERIALIZED — two rank chains reference them and DuckDB's
-    * default inlining would re-run the document scan per reference. */
-  private lazy val bm25ManyBaseCtes: String =
-    s"""q(query_id, qtext) AS (VALUES
-       |    (CAST(1 AS BIGINT), 'spark window'),
-       |    (CAST(2 AS BIGINT), 'merge vector table'),
-       |    (CAST(3 AS BIGINT), 'customer stream')),
-       |qt AS (SELECT DISTINCT query_id,
-       |         unnest(CASE WHEN trim(qtext)='' THEN CAST([] AS VARCHAR[])
-       |                     ELSE string_split_regex(trim(lower(qtext)), '\\s+') END) AS tok
-       |       FROM q),
-       |toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-       |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |s AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
-       |t AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tf)""".stripMargin
-
-  /** One BM25 scoring + per-query top-`k` rank chain over
-    * [[bm25ManyBaseCtes]], CTE names prefixed `p` so several
-    * parameterizations coexist in one WITH (the RRF oracle). Terminal:
-    * `<p>r(query_id, doc_id, bm25_micro, rk)`, rk ≤ k. */
-  private def bm25ManyRankCtes(p: String, k1: Double, b: Double, k: Int): String =
-    s"""${p}c AS (SELECT qt.query_id, tf.doc_id,
-       |        ${bm25ContribSql("tf", "df", "dl", "nd", "tt", k1, b)} AS contrib
-       |      FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) JOIN dfq USING (tok), s, t),
-       |${p}b AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_micro
-       |      FROM ${p}c GROUP BY 1, 2),
-       |${p}r AS (SELECT * FROM (
-       |      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id ASC) AS rk
-       |      FROM ${p}b WHERE bm25_micro > 0) WHERE rk <= $k)""".stripMargin
-
-  private def bm25ContribSql(
-      tf: String, dfc: String, dl: String, nd: String, tt: String,
-      k1: Double = 1.2, b: Double = 0.75): String = {
-    val k1p1 = (k1 + 1.0).toString; val omb = (1.0 - b).toString
-    s"""CAST(floor(
-       |  ln(1.0 + (CAST($nd AS DOUBLE) - CAST($dfc AS DOUBLE) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
-       |  * ((CAST($tf AS DOUBLE) * $k1p1) / (CAST($tf AS DOUBLE) + $k1 * ($omb + $b * (CAST($dl AS DOUBLE) / (CAST($tt AS DOUBLE) / CAST($nd AS DOUBLE))))))
-       |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
-  }
-
-  /** DuckDB mirror of [[graft.functions.PortableHash.polyHash31]] for
-    * an arbitrary string expression (empty string folds to 0) — the
-    * SINGLE source for every oracle that replays the poly-hash kernel,
-    * matching PortableHash's one-definition rule on the Scala side.
-    * `base` parameterizes SimHash's second 131-base row.
-    */
-  /** The planted-dup orders view (`qcDupedOrders`) as oracle CTEs
-    * ending in `v(k1, k2)`. */
-  private def qcDupedOrdersSql: String =
-    """v0 AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
-      |              ELSE o_orderkey END AS k1,
-      |             o_custkey AS k2 FROM orders),
-      |v AS (SELECT * FROM v0 UNION ALL SELECT * FROM v0 WHERE k1 % 10 = 0)""".stripMargin
-
-  private def polyHashSqlOf(expr: String, base: Int = 31): String =
-    s"""CASE WHEN $expr = '' THEN 0
-       |     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |            list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
-       |          (a, b) -> (a * $base + b) % 2147483647) END""".stripMargin
-
-  /** The hashed-classifier fit+score CTE chain (poly-hash % buckets,
-    * add-one log-odds on the 6-dp micro grid, exact BIGINT doc sums) —
-    * ONE definition shared by every x_text_hashclf* / x_corpus_clffilter
-    * oracle, parameterized by bucket count so the persistence gate can
-    * run a distinct model shape. Terminal CTE: `hsc(doc_id, n_tokens,
-    * score_micro)` — one row per document. */
-  private def hashClfCtes(buckets: Int): String =
-    s"""hd AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, $toksSql AS toks
-       |       FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)),
-       |hlt AS (SELECT pos, unnest(toks) AS t FROM hd),
-       |hbt AS (SELECT pos, ${polyHashSqlOf("t")} % $buckets AS bucket FROM hlt),
-       |hbc AS (SELECT bucket, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
-       |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nc
-       |        FROM hbt GROUP BY bucket),
-       |hsp AS (SELECT unnest(range(0, $buckets)) AS bucket),
-       |hm0 AS (SELECT hsp.bucket, coalesce(pc, CAST(0 AS BIGINT)) AS pc,
-       |               coalesce(nc, CAST(0 AS BIGINT)) AS nc FROM hsp LEFT JOIN hbc USING (bucket)),
-       |htot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt, CAST(sum(nc) AS BIGINT) AS nt FROM hm0),
-       |hm AS (SELECT bucket, CAST(floor(ln(
-       |         (CAST(pc + 1 AS DOUBLE) * CAST(nt + $buckets AS DOUBLE)) /
-       |         (CAST(nc + 1 AS DOUBLE) * CAST(pt + $buckets AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w
-       |       FROM hm0, htot),
-       |hdt AS (SELECT doc_id, unnest(toks) AS t FROM hd),
-       |hdb AS (SELECT doc_id, ${polyHashSqlOf("t")} % $buckets AS bucket FROM hdt),
-       |hs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |              CAST(sum(w) AS BIGINT) AS score_micro
-       |       FROM hdb JOIN hm USING (bucket) GROUP BY doc_id),
-       |hsc AS (SELECT hdd.doc_id, coalesce(hs.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-       |               coalesce(hs.score_micro, CAST(0 AS BIGINT)) AS score_micro
-       |        FROM (SELECT DISTINCT doc_id FROM hd) hdd LEFT JOIN hs USING (doc_id))""".stripMargin
-
-  /** Per-doc (doc, token, count) CTEs over the scored corpus — the
-    * shared document side of every unigram-LM oracle. */
-  private lazy val docTokenCtes =
-    s"""d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |dt AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
-       |dc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2)""".stripMargin
-
-  /** The unigram-LM model + scoring CTE chain (vocab 1000, micro-nat
-    * scaled-long fold), parameterized by a CTE-name prefix and the
-    * reference-corpus WHERE clause so oracles can instantiate SEVERAL
-    * models over the same documents (cf. x_corpus_dsir: target model
-    * vs corpus model). Shared by x_text_unigram / x_corpus_bestk /
-    * x_corpus_dsir so the model definition can never drift between
-    * them. Requires [[docTokenCtes]] earlier in the WITH chain; ends
-    * at `<p>sc(doc_id, n_tokens, n_oov, s6)`.
-    */
-  private def unigramModelCtes(p: String, refWhere: String): String =
-    s"""${p}rd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE $refWhere),
-       |${p}rt AS (SELECT unnest(toks) AS tok FROM ${p}rd),
-       |${p}vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ${p}rt GROUP BY 1),
-       |${p}vr AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM ${p}vc),
-       |${p}kv AS (SELECT tok, cnt FROM ${p}vr WHERE rk <= 1000),
-       |${p}tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM ${p}kv),
-       |${p}vp AS (SELECT tok,
-       |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS logp6
-       |       FROM ${p}kv, ${p}tt),
-       |${p}op AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (total + v + 1)) * 1000000 + 0.5) AS BIGINT) AS oov6 FROM ${p}tt),
-       |${p}sc AS (SELECT dc.doc_id,
-       |         CAST(sum(n) AS BIGINT) AS n_tokens,
-       |         CAST(sum(CASE WHEN ${p}vp.logp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
-       |         CAST(sum(n * coalesce(${p}vp.logp6, ${p}op.oov6)) AS BIGINT) AS s6
-       |       FROM dc LEFT JOIN ${p}vp ON dc.tok = ${p}vp.tok, ${p}op GROUP BY 1)""".stripMargin
-
-  /** The x_text_unigram CTE chain, kept as the (doc CTEs + unprefixed
-    * model) instantiation. */
-  private lazy val unigramScoreCtes =
-    s"""$docTokenCtes,
-       |${unigramModelCtes("", "doc_id % 3 = 0")}""".stripMargin
-
-  /** Curriculum-banding CTE chain (x_corpus_curriculum) — ends in
-    * `cb(doc_id, score, band)`; also the head of
-    * x_corpus_curriculum_pack's oracle, so both keys provably band the
-    * corpus identically. Integer lattice quantiles over the exact
-    * nano-nat unigram score; every div operand is non-negative, where
-    * DuckDB's floor-// equals Spark's truncate-div. */
-  private lazy val curriculumCtes =
-    s"""$unigramScoreCtes,
-       |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score
-       |        FROM sc WHERE n_tokens > 0),
-       |ext AS (SELECT min(score) AS lo, max(score) AS hi, CAST(count(*) AS BIGINT) AS n FROM scr),
-       |bk AS (SELECT doc_id, score, (score - lo) // (((hi - lo) // 1024) + 1) AS b FROM scr, ext),
-       |h AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
-       |m AS (SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c AS below FROM h),
-       |mb AS (SELECT b, CAST(least(CAST(9 AS BIGINT), (below * 10) // n) AS BIGINT) AS band FROM m, ext),
-       |cb AS (SELECT bk.doc_id, bk.score, mb.band FROM bk JOIN mb ON bk.b = mb.b)""".stripMargin
-
-  /** N-gram near-dup pair SQL over an arbitrary (doc_id, text) source
-    * CTE/table — reused by the dedup, clustering, and corpus-clean
-    * oracles. Emits (id_a, id_b, jaccard). Mirrors nearDupNgram's
-    * maxBlockSize guard with the same window count (block membership is
-    * deterministic, so the capped operator stays exactly checkable).
-    */
-  private val NgramBlockCap = 4096
-
-  private def ngramPairsSqlFrom(src: String, threshold: Double = 0.2): String =
-    s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
-       |s0 AS (SELECT doc_id,
-       |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
-       |    coalesce(toks[1], '') AS t0,
-       |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-       |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-       |  FROM d),
-       |s AS (SELECT doc_id, lenband, t0, sh FROM
-       |    (SELECT s0.*, count(*) OVER (PARTITION BY lenband, t0) AS bsz FROM s0)
-       |  WHERE bsz <= $NgramBlockCap),
-       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    len(list_intersect(a.sh, b.sh)) AS inter,
-       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
-       |  FROM s a JOIN s b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.doc_id < b.doc_id)
-       |SELECT DISTINCT id_a, id_b,
-       |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
-       |FROM p
-       |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold""".stripMargin
-
-  /** Unrolled IPF oracle for s4_rake: the same cell/step arithmetic as
-    * Raking.ipfCellWeights, with marginal sums spelled out left-to-right
-    * in sorted category order — bit-identical IEEE results.
-    */
-  private val rakeSql: String = {
-    val rows = Seq("A", "N", "R"); val cols = Seq("F", "O")
-    val rowT = Map("A" -> "300000.0", "N" -> "400000.0", "R" -> "300000.0")
-    val colT = Map("F" -> "450000.0", "O" -> "550000.0")
-    def v(rc: String, cc: String) = s"w_${rc}_$cc"
-    val cellDefs = (for (rc <- rows; cc <- cols) yield
-      s"coalesce(sum(coalesce(CAST(l_quantity AS DOUBLE),0)) FILTER (WHERE CAST(l_returnflag AS VARCHAR)='$rc' AND CAST(l_linestatus AS VARCHAR)='$cc'), 0) AS ${v(rc, cc)}")
-      .mkString(",\n    ")
-    def rowStep(prev: String, name: String) = {
-      val exprs = for (rc <- rows; cc <- cols) yield {
-        val rsum = cols.map(c2 => v(rc, c2)).reduceLeft((a, b) => s"($a + $b)")
-        s"${v(rc, cc)} * (CASE WHEN $rsum > 0 THEN ${rowT(rc)} / $rsum ELSE 0 END) AS ${v(rc, cc)}"
-      }
-      s"$name AS (SELECT ${exprs.mkString(", ")} FROM $prev)"
-    }
-    def colStep(prev: String, name: String) = {
-      val exprs = for (rc <- rows; cc <- cols) yield {
-        val csum = rows.map(r2 => v(r2, cc)).reduceLeft((a, b) => s"($a + $b)")
-        s"${v(rc, cc)} * (CASE WHEN $csum > 0 THEN ${colT(cc)} / $csum ELSE 0 END) AS ${v(rc, cc)}"
-      }
-      s"$name AS (SELECT ${exprs.mkString(", ")} FROM $prev)"
-    }
-    val steps = (1 to 5).flatMap(i =>
-      Seq(rowStep(if (i == 1) "cells" else s"c${i - 1}", s"r$i"), colStep(s"r$i", s"c$i")))
-    val out = (for (rc <- rows; cc <- cols) yield
-      s"SELECT '$rc' AS l_returnflag, '$cc' AS l_linestatus, ${Rounding.halfUpSql(v(rc, cc), 6)} AS weight FROM c5")
-      .mkString("\nUNION ALL ")
-    s"""WITH cells AS (
-       |  SELECT
-       |    $cellDefs
-       |  FROM lineitem
-       |  WHERE CAST(l_returnflag AS VARCHAR) IN ('A','N','R') AND CAST(l_linestatus AS VARCHAR) IN ('F','O')),
-       |${steps.mkString(",\n")}
-       |$out""".stripMargin
-  }
-
-  /** b6 oracle: the rake CTE chain (same as s4) + per-case application —
-    * factor = cellTarget/cellMass, per-row weight = designWeight*factor,
-    * micro-floored then summed as longs (order-independent).
-    */
-  private val rakeApplySql: String = {
-    val rows = Seq("A", "N", "R"); val cols = Seq("F", "O")
-    // re-derive the shared CTE chain from rakeSql (everything before the
-    // final per-cell SELECT): cells .. c5
-    val ctesEnd = rakeSql.indexOf("SELECT 'A' AS l_returnflag")
-    val ctes = rakeSql.substring(0, ctesEnd).stripSuffix("\n")
-    val factorRows = (for (rc <- rows; cc <- cols) yield
-      s"SELECT '$rc' AS r, '$cc' AS c, w_${rc}_$cc AS cw FROM c5").mkString("\nUNION ALL ")
-    s"""$ctes,
-       |factors AS ($factorRows),
-       |mass AS (SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
-       |           sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS m
-       |         FROM lineitem GROUP BY 1, 2),
-       |fac AS (SELECT factors.r, factors.c, factors.cw / mass.m AS f
-       |        FROM factors JOIN mass ON factors.r = mass.r AND factors.c = mass.c),
-       |per AS (SELECT CAST(l_returnflag AS VARCHAR) AS r,
-       |          CAST(floor(coalesce(CAST(l_quantity AS DOUBLE), 0) * fac.f * 1e6 + 0.5) AS BIGINT) AS wm
-       |        FROM lineitem
-       |        JOIN fac ON fac.r = CAST(l_returnflag AS VARCHAR) AND fac.c = CAST(l_linestatus AS VARCHAR))
-       |SELECT r AS l_returnflag, CAST(sum(wm) AS BIGINT) AS weight_micro, CAST(count(*) AS BIGINT) AS n
-       |FROM per GROUP BY 1""".stripMargin
-  }
-
-  /** Full corpus-clean oracle: quality keep + language filter + n-gram
-    * near-dup connected components over the SURVIVORS, keeping cluster
-    * representatives — composed from the same SQL pieces the individual
-    * stage oracles use.
-    */
-  private val corpusCleanCtes: String = {
-    val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-    }.mkString(",\n  ")
-    val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
-    s"""WITH RECURSIVE
-       |tq AS (SELECT doc_id,
-       |         length(text) AS chars,
-       |         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonpunct,
-       |         len($toksSql) AS toks
-       |       FROM documents),
-       |keepq AS (SELECT doc_id FROM tq
-       |          WHERE toks >= 5 AND toks <= 100000
-       |            AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3),
-       |tl AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |sl AS (SELECT doc_id,
-       |  $scores
-       |FROM tl),
-       |langq AS (SELECT doc_id FROM sl
-       |          WHERE (CASE WHEN $m = 0 THEN 'und'
-       |                      WHEN score_de = $m THEN 'de'
-       |                      WHEN score_en = $m THEN 'en'
-       |                      WHEN score_es = $m THEN 'es'
-       |                      WHEN score_fr = $m THEN 'fr'
-       |                      ELSE 'zh' END) IN ('en', 'es')),
-       |surv AS (SELECT d.* FROM documents d
-       |         JOIN keepq USING (doc_id) JOIN langq USING (doc_id)),
-       |pairs AS (${ngramPairsSqlFrom("surv")}),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION SELECT id_b, id_a FROM pairs),
-       |reach(rid, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-       |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
-       |clean AS (SELECT s.doc_id, s.lang, s.source, s.text
-       |          FROM surv s LEFT JOIN lbls ON s.doc_id = lbls.rid
-       |          WHERE lbls.cluster IS NULL OR lbls.cluster = s.doc_id)""".stripMargin
-  }
-
-  private val corpusCleanSql: String =
-    corpusCleanCtes + "\nSELECT doc_id, lang, source FROM clean"
-
-  /** The manifest oracle: the corpus-clean CTE chain + shard-partitioned
-    * packing over the survivors — the same composition the Spark query
-    * performs. */
-  private val corpusManifestSql: String =
-    corpusCleanCtes + s""",
-       |ct AS (SELECT doc_id, lang, source, doc_id % 8 AS shard,
-       |              CAST(len($toksSql) AS BIGINT) AS token_count FROM clean),
-       |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM ct)
-       |SELECT doc_id, lang, source, CAST(shard AS BIGINT) AS shard, token_count,
-       |       CAST(st // 256 AS BIGINT) AS pack_id,
-       |       CAST(st % 256 AS BIGINT) AS pack_offset
-       |FROM w""".stripMargin
-
-  private def crosstabSql(percent: String): String = {
-    val piv =
-      """piv AS (
-        |  SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
-        |         sum(CASE WHEN CAST(l_linestatus AS VARCHAR)='F' THEN coalesce(CAST(l_quantity AS DOUBLE),0) ELSE 0 END) AS "F",
-        |         sum(CASE WHEN CAST(l_linestatus AS VARCHAR)='O' THEN coalesce(CAST(l_quantity AS DOUBLE),0) ELSE 0 END) AS "O"
-        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
-        |  GROUP BY 1)""".stripMargin
-    val pctCells = percent match {
-      case "total" =>
-        s"""g AS (SELECT CASE WHEN sum("F")+sum("O") <> 0 THEN sum("F")+sum("O") END AS dn FROM piv),
-           |pct AS (SELECT l_returnflag, ${r1("\"F\" / g.dn * 100")} AS "F", ${r1("\"O\" / g.dn * 100")} AS "O" FROM piv, g)""".stripMargin
-      case "row" =>
-        s"""pct AS (SELECT l_returnflag,
-           |  ${r1("\"F\" / (CASE WHEN \"F\"+\"O\" <> 0 THEN \"F\"+\"O\" END) * 100")} AS "F",
-           |  ${r1("\"O\" / (CASE WHEN \"F\"+\"O\" <> 0 THEN \"F\"+\"O\" END) * 100")} AS "O" FROM piv)""".stripMargin
-      case "col" =>
-        s"""g AS (SELECT CASE WHEN sum("F") <> 0 THEN sum("F") END AS df, CASE WHEN sum("O") <> 0 THEN sum("O") END AS dd FROM piv),
-           |pct AS (SELECT l_returnflag, ${r1("\"F\" / g.df * 100")} AS "F", ${r1("\"O\" / g.dd * 100")} AS "O" FROM piv, g)""".stripMargin
-    }
-    val pctTotalRow = percent match {
-      case "row" => """SELECT 'Total', 100.0, 100.0"""
-      case _ => """SELECT 'Total', (SELECT coalesce(sum("F"),0) FROM pct), (SELECT coalesce(sum("O"),0) FROM pct)"""
-    }
-    val pctTotalCol = percent match {
-      case "col" => "100.0"
-      case _ => """coalesce("F",0)+coalesce("O",0)"""
-    }
-    s"""WITH $piv,
-       |counts AS (SELECT * FROM piv UNION ALL SELECT 'Total', (SELECT sum("F") FROM piv), (SELECT sum("O") FROM piv)),
-       |counts2 AS (SELECT l_returnflag, "F", "O", "F"+"O" AS "Total", 'count' AS __type__ FROM counts),
-       |$pctCells,
-       |pctt AS (SELECT * FROM pct UNION ALL $pctTotalRow),
-       |pct2 AS (SELECT l_returnflag, "F", "O", $pctTotalCol AS "Total", '%_$percent' AS __type__ FROM pctt)
-       |SELECT * FROM counts2 UNION ALL SELECT * FROM pct2""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "a1_value_counts" ->
-      """SELECT trim(CAST(c_mktsegment AS VARCHAR)) AS option, CAST(count(*) AS BIGINT) AS "count"
-        |FROM customer
-        |WHERE c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> ''
-        |GROUP BY 1""".stripMargin,
-
-    "a2_freq_table" ->
-      s"""WITH c AS (
-         |  SELECT trim(coalesce(CAST(l_returnflag AS VARCHAR), 'nan')) AS "value",
-         |         sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS "count"
-         |  FROM lineitem GROUP BY 1),
-         |t AS (SELECT CASE WHEN sum("count") <> 0 THEN sum("count") END AS dn FROM c)
-         |SELECT 'l_returnflag' AS "column", "value", "count",
-         |       ${r1("\"count\" / t.dn * 100")} AS pct_total
-         |FROM c, t""".stripMargin,
-
-    "a3_crosstab_total" -> crosstabSql("total"),
-    "a3_crosstab_row" -> crosstabSql("row"),
-    "a3_crosstab_col" -> crosstabSql("col"),
-
-    "a4_multidim_level" ->
-      s"""WITH g AS (
-         |  SELECT l_returnflag, l_linestatus, sum(coalesce(CAST(l_quantity AS DOUBLE),0)) AS "count"
-         |  FROM lineitem GROUP BY 1, 2),
-         |w AS (SELECT *, sum("count") OVER (PARTITION BY l_returnflag) AS dn FROM g)
-         |SELECT l_returnflag, l_linestatus, "count",
-         |       ${r1("\"count\" / (CASE WHEN dn <> 0 THEN dn END) * 100")} AS pct
-         |FROM w""".stripMargin,
-
-    "a4_multidim_total" ->
-      s"""WITH g AS (
-         |  SELECT l_returnflag, l_linestatus, l_linenumber, sum(coalesce(CAST(l_quantity AS DOUBLE),0)) AS "count"
-         |  FROM lineitem GROUP BY 1, 2, 3),
-         |t AS (SELECT CASE WHEN sum("count") <> 0 THEN sum("count") END AS dn FROM g)
-         |SELECT l_returnflag, l_linestatus, l_linenumber, "count",
-         |       ${r1("\"count\" / t.dn * 100")} AS pct
-         |FROM g, t""".stripMargin,
-
-    "a5_full_tabulation" ->
-      """SELECT 'c_mktsegment' AS "column", trim(coalesce(CAST(c_mktsegment AS VARCHAR),'nan')) AS "value", CAST(count(*) AS BIGINT) AS "count" FROM customer GROUP BY 2
-        |UNION ALL
-        |SELECT 'c_nationkey', trim(coalesce(CAST(c_nationkey AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2
-        |UNION ALL
-        |SELECT 'c_name', trim(coalesce(CAST(c_name AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM customer GROUP BY 2""".stripMargin,
-
-    // timestamp stringification follows the pandas rule: fraction omitted
-    // when zero, full 6 digits otherwise (mirrored via strftime CASE)
-    "a5b_full_tab_orders" ->
-      """SELECT 'o_orderstatus' AS "column", trim(coalesce(CAST(o_orderstatus AS VARCHAR),'nan')) AS "value", CAST(count(*) AS BIGINT) AS "count" FROM orders GROUP BY 2
-        |UNION ALL
-        |SELECT 'o_orderdate', trim(coalesce(CASE WHEN microsecond(o_orderdate) % 1000000 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') END, 'nan')), CAST(count(*) AS BIGINT) FROM orders GROUP BY 2
-        |UNION ALL
-        |SELECT 'o_totalprice', trim(coalesce(CAST(o_totalprice AS VARCHAR),'nan')), CAST(count(*) AS BIGINT) FROM orders GROUP BY 2""".stripMargin,
-
-    "a6_selected_counts" ->
-      """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count" FROM orders
-        |UNION ALL
-        |SELECT 'o_orderpriority', CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' AND lower(CAST(o_orderpriority AS VARCHAR)) <> '0') AS BIGINT) FROM orders""".stripMargin,
-
-    "a7_csat_summary" ->
-      """SELECT 'mean' AS metric, avg(CAST(l_quantity AS DOUBLE)) AS "value" FROM lineitem
-        |UNION ALL
-        |SELECT 'top2_box', CAST(count(*) FILTER (WHERE CAST(l_quantity AS DOUBLE) >= (SELECT max(CAST(l_quantity AS DOUBLE)) FROM lineitem) - 1) AS BIGINT) / count(*) FROM lineitem
-        |UNION ALL
-        |SELECT 'n', CAST(count(l_quantity) AS DOUBLE) FROM lineitem""".stripMargin,
-
-    "a7b_describe" ->
-      """SELECT 'count' AS metric, CAST(count(l_quantity) AS DOUBLE) AS "value" FROM lineitem
-        |UNION ALL SELECT 'mean', avg(CAST(l_quantity AS DOUBLE)) FROM lineitem
-        |UNION ALL SELECT 'min', min(CAST(l_quantity AS DOUBLE)) FROM lineitem
-        |UNION ALL SELECT 'p25', quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) FROM lineitem
-        |UNION ALL SELECT 'p50', quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) FROM lineitem
-        |UNION ALL SELECT 'p75', quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) FROM lineitem
-        |UNION ALL SELECT 'max', max(CAST(l_quantity AS DOUBLE)) FROM lineitem""".stripMargin,
-
-    "a9_rollup_tab" ->
-      """WITH t AS (SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
-        |              coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
-        |           FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL)
-        |SELECT coalesce(r, 'Total') AS l_returnflag,
-        |       coalesce(c, 'Total') AS l_linestatus,
-        |       CAST(grouping(r) AS INT) AS g_l_returnflag,
-        |       CAST(grouping(c) AS INT) AS g_l_linestatus,
-        |       sum(w) AS "count"
-        |FROM t GROUP BY ROLLUP(r, c)""".stripMargin,
-
-    "s1_histogram" ->
-      """SELECT CAST(greatest(0.0, least(23.0, floor((o_totalprice - 0.0) / 600000.0 * 24))) AS INT) AS bin,
-        |       CAST(count(*) AS BIGINT) AS "count"
-        |FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1""".stripMargin,
-
-    "s2_chi2" ->
-      """WITH cells0 AS (
-        |  SELECT CAST(l_returnflag AS VARCHAR) AS r, CAST(l_linestatus AS VARCHAR) AS c,
-        |         sum(coalesce(CAST(l_quantity AS DOUBLE), 0)) AS obs
-        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
-        |cells AS (
-        |  SELECT rr.r, cc.c, coalesce(o.obs, 0) AS obs
-        |  FROM (SELECT DISTINCT r FROM cells0) rr
-        |  CROSS JOIN (SELECT DISTINCT c FROM cells0) cc
-        |  LEFT JOIN cells0 o ON o.r = rr.r AND o.c = cc.c),
-        |e AS (SELECT r, c, obs,
-        |        sum(obs) OVER (PARTITION BY r) * sum(obs) OVER (PARTITION BY c) / sum(obs) OVER () AS ex
-        |      FROM cells),
-        |m AS (SELECT CAST(floor((obs - ex) * (obs - ex) / ex * 1e6 + 0.5) AS BIGINT) AS cm, r, c, obs FROM e),
-        |a AS (SELECT CAST(sum(cm) AS BIGINT) AS chi2_micro,
-        |             CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
-        |             CAST(sum(obs) AS BIGINT) AS n FROM m)
-        |SELECT 'chi2_micro' AS metric, chi2_micro AS "value" FROM a
-        |UNION ALL SELECT 'dof', dof FROM a
-        |UNION ALL SELECT 'n', n FROM a""".stripMargin,
-
-    "s10_kanon" ->
-      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
-        |           FROM customer GROUP BY 1, 2),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
-        |        CAST(coalesce(sum(CASE WHEN n < 30 THEN 1 END), 0) AS BIGINT) AS n_risky,
-        |        CAST(coalesce(sum(CASE WHEN n < 30 THEN n END), 0) AS BIGINT) AS rows_at_risk,
-        |        CAST(min(n) AS BIGINT) AS min_cell
-        |      FROM g),
-        |r AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS released_rows FROM g WHERE n >= 30)
-        |SELECT * FROM a, r""".stripMargin,
-
-    // Neyman: exact cent moments, the identical S_h double chain, and
-    // the weight total as an EXPLICIT ordered left fold (list_reduce
-    // over list(wh ORDER BY stratum) — the Scala foldLeft association)
-    "s27_neyman" ->
-      """WITH m AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
-        |        CAST(count(*) AS BIGINT) AS nh,
-        |        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
-        |        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
-        |               * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
-        |      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
-        |w AS (SELECT stratum, nh,
-        |        nh * sqrt(greatest(CAST(s2 AS DOUBLE) / nh
-        |          - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh), 0.0)) AS wh
-        |      FROM m),
-        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list(wh ORDER BY stratum)), (a, b) -> a + b) AS totw FROM w)
-        |SELECT stratum, nh,
-        |       CASE WHEN totw > 0 THEN floor(wh / totw * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS share,
-        |       CAST(CASE WHEN totw > 0 THEN floor(1000 * wh / totw + 0.5) ELSE 0 END AS BIGINT) AS alloc
-        |FROM w, t""".stripMargin,
-
-    // Benford: first digit from the exact BIGINT's decimal string on
-    // both engines; expected shares are the SAME micro-rounded Scala
-    // literals interpolated here (never re-derived in SQL)
-    "s29_benford" -> {
-      val vals = (1 to 9).map(d =>
-        s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6})")
-        .mkString(", ")
-      s"""WITH e AS (SELECT CAST(d AS INT) AS digit, CAST(x AS DOUBLE) AS expected
-         |      FROM (VALUES $vals) t(d, x)),
-         |v AS (SELECT CAST(floor(abs(o_totalprice * 100) + 0.5) AS BIGINT) AS m
-         |      FROM orders WHERE o_totalprice IS NOT NULL),
-         |c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit,
-         |        CAST(count(*) AS BIGINT) AS n
-         |      FROM v WHERE m > 0 GROUP BY 1),
-         |tt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn FROM c)
-         |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
-         |  floor(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)
-         |    * 1e6 + 0.5) / 1e6 AS share,
-         |  e.expected,
-         |  floor(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tt.nn AS DOUBLE)
-         |    - e.expected) * 1e6 + 0.5) / 1e6 AS abs_dev
-         |FROM e LEFT JOIN c ON c.digit = e.digit, tt""".stripMargin
-    },
-
-    // Moments: the identical integer lattice, exact BIGINT power sums,
-    // and the same left-associated central-moment double chain;
-    // m2*sqrt(m2) (not pow 1.5) so both engines hit IEEE primitives
-    "s28_moments" ->
-      """WITH v AS (SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
-        |        CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
-        |      FROM lineitem WHERE l_quantity IS NOT NULL),
-        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
-        |        CAST(sum(q*q*q) AS BIGINT) AS s3,
-        |        CAST(sum(q*q*q*q) AS BIGINT) AS s4
-        |      FROM v GROUP BY 1),
-        |d AS (SELECT l_returnflag, n, CAST(s1 AS DOUBLE) / n AS mean,
-        |        CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
-        |        CAST(s4 AS DOUBLE) / n AS r4
-        |      FROM m),
-        |c AS (SELECT l_returnflag, n, mean,
-        |        greatest(r2 - mean * mean, 0.0) AS m2,
-        |        r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
-        |        r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
-        |          - 3.0 * mean * mean * mean * mean AS m4
-        |      FROM d)
-        |SELECT l_returnflag, n, floor(mean * 1e6 + 0.5) / 1e6 AS mean,
-        |  CASE WHEN m2 > 0 THEN floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6
-        |       ELSE 0.0 END AS skewness,
-        |  CASE WHEN m2 > 0 THEN floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
-        |       ELSE 0.0 END AS kurt_excess
-        |FROM c""".stripMargin,
-
-    // t-closeness: the identical clamp band grid, a DENSE cell×band
-    // lattice (missing bands at 0), exact integer cumulative
-    // cross-multiply |cnc·N − cng·n_c| — no double accumulates
-    "s10c_tcloseness" ->
-      """WITH s AS (SELECT c_nationkey AS q1, c_mktsegment AS q2,
-        |        CAST(greatest(0.0, least(9.0,
-        |          floor((c_acctbal - (-1000.0)) / (10000.0 - (-1000.0)) * 10)))
-        |          AS INT) AS band
-        |      FROM customer WHERE c_acctbal IS NOT NULL),
-        |cb AS (SELECT q1, q2, band, CAST(count(*) AS BIGINT) AS nb
-        |       FROM s GROUP BY 1, 2, 3),
-        |cells AS (SELECT q1, q2, CAST(sum(nb) AS BIGINT) AS nc
-        |          FROM cb GROUP BY 1, 2),
-        |gb AS (SELECT band, CAST(sum(nb) AS BIGINT) AS ngb FROM cb GROUP BY 1),
-        |gt AS (SELECT CAST(sum(ngb) AS BIGINT) AS ng FROM gb),
-        |bands AS (SELECT CAST(unnest(range(10)) AS INT) AS band),
-        |grid AS (SELECT c.q1, c.q2, c.nc, b.band,
-        |        CAST(coalesce(cb.nb, 0) AS BIGINT) AS nb,
-        |        CAST(coalesce(gb.ngb, 0) AS BIGINT) AS ngb
-        |      FROM cells c CROSS JOIN bands b
-        |      LEFT JOIN cb ON cb.q1 = c.q1 AND cb.q2 = c.q2 AND cb.band = b.band
-        |      LEFT JOIN gb ON gb.band = b.band),
-        |cum AS (SELECT q1, q2, nc,
-        |        CAST(sum(nb) OVER (PARTITION BY q1, q2 ORDER BY band)
-        |          AS BIGINT) AS cnc,
-        |        CAST(sum(ngb) OVER (PARTITION BY q1, q2 ORDER BY band)
-        |          AS BIGINT) AS cng
-        |      FROM grid),
-        |emd AS (SELECT e.q1, e.q2, max(e.nc) AS nc, max(g.ng) AS ng,
-        |        CAST(sum(abs(e.cnc * g.ng - e.cng * e.nc)) AS BIGINT) AS num
-        |      FROM cum e, gt g GROUP BY 1, 2),
-        |p AS (SELECT nc, floor(CAST(num AS DOUBLE)
-        |        / (CAST(nc AS DOUBLE) * CAST(ng AS DOUBLE) * 9.0)
-        |        * 1e6 + 0.5) / 1e6 AS emd_t FROM emd)
-        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
-        |  CAST(coalesce(sum(CASE WHEN emd_t > 0.25 THEN 1 END), 0) AS BIGINT)
-        |    AS n_risky,
-        |  CAST(coalesce(sum(CASE WHEN emd_t > 0.25 THEN nc END), 0) AS BIGINT)
-        |    AS rows_at_risk,
-        |  max(emd_t) AS max_t
-        |FROM p""".stripMargin,
-
-    // PSI: identical band grid, epsilon-floored shares, per-band term
-    // floored to micro units — the cross-band total is an exact
-    // integer sum on both engines
-    "s26_psi" ->
-      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
-        |           WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
-        |c AS (SELECT CAST(greatest(0.0, least(9.0, floor((v - 0.0) / 600.0 * 10))) AS INT) AS band,
-        |        CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS n_a,
-        |        CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS n_b
-        |      FROM t GROUP BY 1),
-        |tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c),
-        |m AS (SELECT band, n_a, n_b,
-        |        CAST(floor((greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) - greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
-        |          * ln(greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) / greatest(CAST(n_b AS DOUBLE) / tb, 1e-6))
-        |          * 1e6 + 0.5) AS BIGINT) AS pm
-        |      FROM c, tt)
-        |SELECT CAST(count(*) AS BIGINT) AS n_bands,
-        |       CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
-        |       CAST(sum(pm) AS DOUBLE) / 1e6 AS psi,
-        |       (CAST(sum(pm) AS BIGINT) > 250000) AS drifted
-        |FROM m""".stripMargin,
-
-    // KS: D = max |cumA·nB − cumB·nA| over the distinct-value lattice
-    // (exact integers; DuckDB's HUGEINT widenings cast back), one
-    // double division + the 1.358 large-sample 5% critical compare
-    "s25_ks_drift" ->
-      s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v FROM documents
-         |           WHERE source IN ('src0', 'src1')),
-         |c AS (SELECT v,
-         |        CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS ca,
-         |        CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS cb
-         |      FROM t WHERE v IS NOT NULL GROUP BY 1),
-         |w AS (SELECT *,
-         |        sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
-         |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb FROM c),
-         |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c),
-         |d AS (SELECT na, nb,
-         |        CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS dd
-         |      FROM w, tt GROUP BY 1, 2)
-         |SELECT na AS n_a, nb AS n_b,
-         |       ${Rounding.halfUpSql("CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE)", 6)} AS ks,
-         |       (CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE) >
-         |        1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))) AS drifted
-         |FROM d""".stripMargin,
-
-    // winsorized mean: the same tie-grouped cumulative frame as
-    // s3_wquantile, boundaries by min-past-threshold, clamp·count sums
-    // (integer-valued doubles — exact associative)
-    "s24_winsorized" ->
-      s"""WITH c AS (SELECT l_returnflag, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
-         |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
-         |w AS (SELECT *,
-         |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-         |        sum(c) OVER (PARTITION BY l_returnflag) AS tot FROM c),
-         |b AS (SELECT l_returnflag,
-         |        min(CASE WHEN cum >= 0.1 * tot THEN v END) AS lo,
-         |        min(CASE WHEN cum >= 0.9 * tot THEN v END) AS hi
-         |      FROM w GROUP BY 1),
-         |m AS (SELECT w.l_returnflag, CAST(sum(w.c) AS BIGINT) AS n, b.lo, b.hi,
-         |        sum(greatest(b.lo, least(b.hi, w.v)) * w.c) AS s
-         |      FROM w JOIN b USING (l_returnflag) GROUP BY 1, 3, 4)
-         |SELECT l_returnflag, n, lo, hi,
-         |       ${Rounding.halfUpSql("s / n", 6)} AS winsorized_mean
-         |FROM m""".stripMargin,
-
-    // l-diversity: same grouped shape with a distinct-count; floor of
-    // an IEEE double division bands identically in both engines
-    "s10b_ldiversity" ->
-      """WITH b AS (SELECT c_nationkey, c_mktsegment,
-        |             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band FROM customer),
-        |g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |             CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
-        |      FROM b GROUP BY 1, 2)
-        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
-        |       CAST(coalesce(sum(CASE WHEN l_distinct < 3 THEN 1 END), 0) AS BIGINT) AS n_risky,
-        |       CAST(coalesce(sum(CASE WHEN l_distinct < 3 THEN n END), 0) AS BIGINT) AS rows_at_risk,
-        |       CAST(min(l_distinct) AS BIGINT) AS min_l
-        |FROM g""".stripMargin,
-
-    // IO roundtrips: the Spark side goes parquet → graft sink → graft
-    // source; the oracle reads the parquet table directly, so any
-    // quoting/escaping/inference drift in the IO layer breaks the hash
-    "s11_csv_roundtrip" ->
-      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
-        |FROM nation GROUP BY 1""".stripMargin,
-
-    "s18_orc_roundtrip" ->
-      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
-        |FROM nation GROUP BY 1""".stripMargin,
-
-    // the WET roundtrip is body-identity: every field replays from the
-    // documents table (strlen = UTF-8 bytes in DuckDB, matching
-    // Spark's octet_length-derived Content-Length header)
-    "s23_wet_roundtrip" ->
-      """SELECT doc_id,
-        |       CAST(strlen(text) AS BIGINT) AS content_length,
-        |       CAST(length(text) AS BIGINT) AS n_chars,
-        |       text
-        |FROM documents""".stripMargin,
-
-    // replays the adversarial plant (WARC magic / record separator
-    // inside bodies) and asserts body-identity through the
-    // Content-Length-framed roundtrip
-    "s30_wet_strict" ->
-      """WITH planted AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 5 = 0
-        |              THEN text || chr(13) || chr(10) || 'WARC/1.0'
-        |                   || chr(13) || chr(10) || text
-        |              WHEN doc_id % 5 = 1
-        |              THEN 'a' || chr(13) || chr(10) || chr(13) || chr(10)
-        |                   || 'b ' || text
-        |              ELSE text END AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |       CAST(strlen(text) AS BIGINT) AS content_length,
-        |       CAST(length(text) AS BIGINT) AS n_chars,
-        |       text
-        |FROM planted""".stripMargin,
-
-    "s19_bucketed_roundtrip" ->
-      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
-        |FROM nation GROUP BY 1""".stripMargin,
-
-    "s12_excel_roundtrip" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation""".stripMargin,
-
-    "s13_json_bundle" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation""".stripMargin,
-
-    "s14_xls_roundtrip" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation""".stripMargin,
-
-    "s9_prop_ci" ->
-      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS option,
-        |             coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
-        |           FROM lineitem WHERE l_returnflag IS NOT NULL),
-        |t AS (SELECT sum(w) AS wtot, sum(w) * sum(w) / sum(w * w) AS neff FROM b),
-        |g AS (SELECT option, sum(w) AS wsum FROM b GROUP BY 1)
-        |SELECT option, wsum / t.wtot AS share, t.neff AS neff,
-        |       CAST(floor(1.96 * sqrt((wsum / t.wtot) * (1 - (wsum / t.wtot)) / t.neff) * 1e6 + 0.5) AS BIGINT) AS moe_micro
-        |FROM g, t""".stripMargin,
-
-    "b5_csat_weighted" ->
-      """WITH m AS (SELECT max(CAST(l_quantity AS DOUBLE)) AS mx FROM lineitem),
-        |b AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS s,
-        |        coalesce(CAST(l_linenumber AS DOUBLE), 0) AS w FROM lineitem)
-        |SELECT l_returnflag,
-        |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w * s END), 0)
-        |         / (CASE WHEN sum(CASE WHEN s IS NOT NULL THEN w END) <> 0
-        |                 THEN sum(CASE WHEN s IS NOT NULL THEN w END) END) AS mean,
-        |       CASE WHEN m.mx IS NULL THEN NULL
-        |            ELSE coalesce(sum(CASE WHEN s >= m.mx - 1 THEN w END), 0)
-        |                   / (CASE WHEN sum(w) <> 0 THEN sum(w) END) END AS top2_box,
-        |       coalesce(sum(CASE WHEN s IS NOT NULL THEN w END), 0) AS n
-        |FROM b, m GROUP BY 1, m.mx""".stripMargin,
-
-    "s3_wquantile" ->
-      """WITH b AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
-        |              coalesce(CAST(l_quantity AS DOUBLE), 0) AS w
-        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |s AS (SELECT *,
-        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
-        |      FROM b)
-        |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
-
-    // identical inverted-CDF definition — the sketch route at stride 1
-    // must be indistinguishable from the exact pass
-    "s3b_wquantile_auto" ->
-      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
-        |              coalesce(CAST(l_linenumber AS DOUBLE), 0) AS w
-        |           FROM lineitem WHERE l_quantity IS NOT NULL),
-        |s AS (SELECT *,
-        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |        sum(w) OVER (PARTITION BY l_returnflag) AS tot
-        |      FROM b)
-        |SELECT l_returnflag, min(v) AS quantile FROM s WHERE cum >= 0.5 * tot GROUP BY 1""".stripMargin,
-
-    "s4_rake" -> rakeSql,
-
-    "b6_rake_weighted_freq" -> rakeApplySql,
-
-    // two-proportion z per (row, column-pair), pooled variance; same
-    // formula text both engines => identical IEEE bits
-    "s8_sigtest" ->
-      """WITH cells AS (
-        |  SELECT CAST(o_orderpriority AS VARCHAR) AS r, CAST(o_orderstatus AS VARCHAR) AS c,
-        |         CAST(count(*) AS DOUBLE) AS w
-        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
-        |  GROUP BY 1, 2),
-        |cn AS (SELECT c, sum(w) AS n FROM cells GROUP BY 1),
-        |pr AS (SELECT a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
-        |       FROM cn a JOIN cn b ON a.c < b.c WHERE a.n > 0 AND b.n > 0),
-        |rws AS (SELECT DISTINCT r FROM cells),
-        |v AS (SELECT rws.r, pr.ca, pr.cb, pr.na, pr.nb,
-        |        coalesce(a.w, 0) AS wa, coalesce(b.w, 0) AS wb
-        |      FROM rws CROSS JOIN pr
-        |      LEFT JOIN cells a ON a.r = rws.r AND a.c = pr.ca
-        |      LEFT JOIN cells b ON b.r = rws.r AND b.c = pr.cb),
-        |f AS (SELECT r, ca AS col_a, cb AS col_b,
-        |        (wa / na) AS p1, (wb / nb) AS p2,
-        |        sqrt(((wa + wb) / (na + nb)) * (1 - ((wa + wb) / (na + nb))) * (1 / na + 1 / nb)) AS den
-        |      FROM v)
-        |SELECT r AS o_orderpriority, col_a, col_b,
-        |       CASE WHEN den > 0 THEN CAST(floor((p1 - p2) / den * 1e6 + 0.5) AS BIGINT) END AS z_micro,
-        |       CASE WHEN den > 0 THEN abs((p1 - p2) / den) > 1.96 ELSE false END AS significant
-        |FROM f""".stripMargin,
-
-    "s5_sample_strat" ->
-      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM orders
-        |WHERE o_orderkey % (CASE CAST(o_orderstatus AS VARCHAR) WHEN 'O' THEN 2 WHEN 'F' THEN 5 ELSE 10 END) = 0
-        |GROUP BY 1""".stripMargin,
-
-    "j2_asof_join" ->
-      """SELECT p.event_id, p.user_id,
-        |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
-        |       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ms
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
-
-    // native ASOF + a staleness CASE: a match older than the hour
-    // nulls out (never replaced by an older candidate — those are
-    // older still)
-    "j2b_asof_tolerance" ->
-      """SELECT p.event_id, p.user_id,
-        |       CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
-        |       CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
-        |            THEN CAST(epoch_ms(c.ts) AS BIGINT) END AS click_ms
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
-
-    "x_distinct_users" ->
-      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY 1""".stripMargin,
-
-    // sketch-vs-exact gate: the oracle pins the verdict TRUE and the
-    // exact counts; the HLL value itself never leaves the engine
-    "x_agg_hll_gate" ->
-      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
-        |       CAST(0.05 AS DOUBLE) AS rel_tol, TRUE AS within_tol
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    // Morton key: the closed form Σ (bitᵢ(x) + 2·bitᵢ(y))·4ⁱ — every
-    // operand exact in double (≤ 2³²), so floor/power replay bitwise;
-    // pmod-wrap mirrored as ((v % m) + m) % m
-    "x_layout_zorder" ->
-      """WITH m AS (SELECT l_partkey, l_suppkey,
-        |    ((l_partkey % 65536) + 65536) % 65536 AS xb,
-        |    ((l_suppkey % 65536) + 65536) % 65536 AS yb
-        |  FROM lineitem),
-        |z AS (SELECT l_partkey, l_suppkey,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), i ->
-        |      CAST(((CAST(floor(xb / power(2.0, i)) AS BIGINT) % 2)
-        |        + (CAST(floor(yb / power(2.0, i)) AS BIGINT) % 2) * 2)
-        |        * CAST(power(4.0, i) AS BIGINT) AS BIGINT))), (a, b) -> a + b) AS zv
-        |  FROM m)
-        |SELECT CAST(floor(zv / 268435456) AS BIGINT) AS zbucket,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
-        |       CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
-        |       CAST(min(l_suppkey) AS BIGINT) AS min_l_suppkey,
-        |       CAST(max(l_suppkey) AS BIGINT) AS max_l_suppkey
-        |FROM z GROUP BY 1""".stripMargin,
-
-    // CMS gate: same contract — top-20 keys by (count desc, key asc),
-    // exact counts + constants + pinned TRUE
-    "x_agg_cms_gate" ->
-      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
-        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-        |r AS (SELECT user_id, n_exact,
-        |        row_number() OVER (ORDER BY n_exact DESC, user_id ASC) AS rk FROM c)
-        |SELECT user_id, n_exact, CAST(0.005 AS DOUBLE) AS eps, TRUE AS within_bounds
-        |FROM r WHERE rk <= 20""".stripMargin,
-
-    // GK-sketch gate: same contract — counts + constants + pinned TRUE
-    "x_agg_approxq_gate" ->
-      """SELECT l_returnflag, CAST(count(l_extendedprice) AS BIGINT) AS n,
-        |       CAST(0.5 AS DOUBLE) AS q, CAST(0.002 AS DOUBLE) AS rank_eps,
-        |       TRUE AS within_bounds
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    "b1_trend" ->
-      s"""WITH g AS (SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS wave,
-         |             o_orderstatus, CAST(count(*) AS DOUBLE) AS metric
-         |           FROM orders GROUP BY 1, 2),
-         |l AS (SELECT *, lag(metric) OVER (PARTITION BY o_orderstatus ORDER BY wave) AS prev FROM g)
-         |SELECT wave, o_orderstatus, metric, prev, metric - prev AS delta,
-         |       ${Rounding.halfUpSql("(metric - prev) / (CASE WHEN prev <> 0 THEN prev END) * 100", 1)} AS pct_change
-         |FROM l""".stripMargin,
-
-    "b2_nps_weighted" ->
-      """WITH b AS (SELECT p_brand, CAST(p_size AS DOUBLE) AS s,
-        |             coalesce(CAST(p_partkey % 5 + 1 AS DOUBLE), 0) AS wt FROM part),
-        |a AS (SELECT p_brand,
-        |        coalesce(sum(CASE WHEN s BETWEEN 0 AND 6 THEN wt END), 0) AS detractors,
-        |        coalesce(sum(CASE WHEN s BETWEEN 7 AND 8 THEN wt END), 0) AS passives,
-        |        coalesce(sum(CASE WHEN s BETWEEN 9 AND 10 THEN wt END), 0) AS promoters,
-        |        coalesce(sum(CASE WHEN s IS NOT NULL THEN wt END), 0) AS n
-        |      FROM b GROUP BY 1)
-        |SELECT p_brand, detractors, passives, promoters, n,
-        |       CASE WHEN n <> 0 THEN (promoters / n - detractors / n) * 100 END AS nps
-        |FROM a""".stripMargin,
-
-    // NOT EXISTS, not NOT IN: the latter collapses to UNKNOWN for every
-    // row if the subquery ever contains a NULL key, silently diverging
-    // from Spark's left_anti
-    "b3_churn" ->
-      """WITH m AS (SELECT CAST((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS BIGINT) AS mid FROM events),
-        |e AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) < mid),
-        |l AS (SELECT DISTINCT user_id FROM events, m WHERE epoch_ms(ts) >= mid)
-        |SELECT CAST(count(*) AS BIGINT) AS churned_users
-        |FROM e WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.user_id = e.user_id)""".stripMargin,
-
-    // value-based deciles: boundary definition is quantile_cont ≡ Spark's
-    // exact `percentile` (type-7, idx = p·(N−1), linear interpolation on
-    // integer cents — identical IEEE arithmetic both engines); bucket =
-    // 1 + #boundaries strictly below the value
-    "b4_deciles" ->
-      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
-        |b AS (SELECT quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM c)
-        |SELECT CAST(1 + len(list_filter(b.bounds, x -> c.cents > x)) AS INT) AS decile,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(c.cents) AS BIGINT) AS total_cents
-        |FROM c, b GROUP BY 1""".stripMargin,
-
-    "s6_neff" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |       (sum(w) * sum(w) / sum(w * w)) AS neff,
-        |       (count(*) / (sum(w) * sum(w) / sum(w * w))) AS deff
-        |FROM (SELECT l_returnflag, coalesce(CAST(l_quantity AS DOUBLE), 0) AS w FROM lineitem)
-        |GROUP BY 1""".stripMargin,
-
-    // 31-base polynomial rolling hash mod 2^31-1 over codepoints of the
-    // normalized token stream — same fold, left to right, both engines
-    "s7_fingerprint_portable" ->
-      s"""SELECT doc_id,
-         |  ${polyHashSqlOf("j")} AS fingerprint
-         |FROM (SELECT doc_id, array_to_string($toksSql, ' ') AS j FROM documents)""".stripMargin,
-
-    // corpus report: the same per-row conventions as the stage oracles
-    // (toks, stopword-argmax lang, quality predicate, portable poly
-    // fingerprint), one aggregate, UNION ALL to (metric, value)
-    "x_text_report" -> {
-      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(",\n  ")
-      val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
-      val nD = "(CASE WHEN n_docs > 0 THEN CAST(n_docs AS DOUBLE) END)"
-      val langRows = Seq("de", "en", "es", "fr", "zh", "und").map(l =>
-        s"UNION ALL SELECT 'lang_share_$l', n_$l / $nD FROM a").mkString("\n")
-      s"""WITH tl AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |sl AS (SELECT doc_id, $scores FROM tl),
-         |lng AS (SELECT doc_id,
-         |          CASE WHEN $m = 0 THEN 'und'
-         |               WHEN score_de = $m THEN 'de'
-         |               WHEN score_en = $m THEN 'en'
-         |               WHEN score_es = $m THEN 'es'
-         |               WHEN score_fr = $m THEN 'fr'
-         |               ELSE 'zh' END AS lang
-         |        FROM sl),
-         |q AS (SELECT doc_id,
-         |        CAST(len(toks) AS BIGINT) AS tok,
-         |        CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
-         |              AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / (CASE WHEN length(text) > 0 THEN length(text) END) < 0.3
-         |             THEN 1 ELSE 0 END AS keep,
-         |        ${polyHashSqlOf("array_to_string(toks, ' ')")} AS f
-         |      FROM tl),
-         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(CASE WHEN q.tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-         |        CAST(sum(q.tok) AS BIGINT) AS total_tokens,
-         |        CAST(sum(q.keep) AS BIGINT) AS n_keep,
-         |        CAST(count(DISTINCT q.f) AS BIGINT) AS n_fp,
-         |        CAST(sum(CASE WHEN lng.lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
-         |        CAST(sum(CASE WHEN lng.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-         |        CAST(sum(CASE WHEN lng.lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
-         |        CAST(sum(CASE WHEN lng.lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
-         |        CAST(sum(CASE WHEN lng.lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
-         |        CAST(sum(CASE WHEN lng.lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
-         |      FROM q JOIN lng ON q.doc_id = lng.doc_id)
-         |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS "value" FROM a
-         |UNION ALL SELECT 'n_empty_docs', CAST(n_empty AS DOUBLE) FROM a
-         |UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
-         |UNION ALL SELECT 'quality_keep_rate', n_keep / $nD FROM a
-         |UNION ALL SELECT 'exact_dup_rate', 1.0 - n_fp / $nD FROM a
-         |$langRows""".stripMargin
-    },
-
-    "a8_nps_summary" ->
-      """WITH c AS (
-        |  SELECT CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 0 AND 6) AS BIGINT) AS detr,
-        |         CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 7 AND 8) AS BIGINT) AS pass,
-        |         CAST(count(*) FILTER (WHERE CAST(p_size AS DOUBLE) BETWEEN 9 AND 10) AS BIGINT) AS prom,
-        |         CAST(count(p_size) AS BIGINT) AS n
-        |  FROM part)
-        |SELECT 'nps' AS metric, (CAST(prom AS DOUBLE) / n - CAST(detr AS DOUBLE) / n) * 100 AS "value" FROM c
-        |UNION ALL SELECT 'n', CAST(n AS DOUBLE) FROM c
-        |UNION ALL SELECT 'promoters', CAST(prom AS DOUBLE) FROM c
-        |UNION ALL SELECT 'passives', CAST(pass AS DOUBLE) FROM c
-        |UNION ALL SELECT 'detractors', CAST(detr AS DOUBLE) FROM c""".stripMargin,
-
-    "t5_codebook_recode" ->
-      """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
-        |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
-        |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'
-        |            ELSE CAST(n_regionkey AS VARCHAR) END AS n_regionkey,
-        |       CAST(count(*) AS BIGINT) AS "count"
-        |FROM nation GROUP BY 1""".stripMargin,
-
-    "t5b_codebook_file" ->
-      """SELECT CASE WHEN CAST(n_regionkey AS VARCHAR) = '0' THEN 'AFRICA'
-        |            WHEN CAST(n_regionkey AS VARCHAR) = '1' THEN 'AMERICA'
-        |            WHEN CAST(n_regionkey AS VARCHAR) = '2' THEN 'ASIA'
-        |            ELSE CAST(n_regionkey AS VARCHAR) END AS n_regionkey,
-        |       CAST(count(*) AS BIGINT) AS "count"
-        |FROM nation GROUP BY 1""".stripMargin,
-
-    "t10_brand_dictionary" ->
-      """SELECT DISTINCT trim(CAST(c_mktsegment AS VARCHAR)) AS brand
-        |FROM customer
-        |WHERE c_mktsegment IS NOT NULL AND trim(CAST(c_mktsegment AS VARCHAR)) <> ''""".stripMargin,
-
-    "o3_sort_limit" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 20",
-
-    "u1_union_funnel" ->
-      """SELECT 'o_orderstatus' AS brand, CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' AND lower(CAST(o_orderstatus AS VARCHAR)) <> '0') AS BIGINT) AS "count", 'ever_used' AS stage FROM orders
-        |UNION ALL
-        |SELECT 'o_orderpriority', CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' AND lower(CAST(o_orderpriority AS VARCHAR)) <> '0') AS BIGINT), 'consider' FROM orders""".stripMargin,
-
-    "j1_join_enrich" ->
-      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
-        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2""".stripMargin,
-
-    "x_dedup_exact" ->
-      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_count
-        |FROM documents GROUP BY text""".stripMargin,
-
-    // Jaccard over string shingle sets == the engine's hashed shingle sets
-    // (64-bit xxhash collisions are ~1e-15 at these set sizes). The t0
-    // equi-join drops null first tokens (empty docs) — none exist here.
-    "x_dedup_ngram" -> ngramPairsSqlFrom("documents"),
-
-    // same wave synthesis + portable fingerprint; presence by join
-    // side, fingerprint equality null-safe (IS NOT DISTINCT FROM)
-    "x_dedup_snapshot_delta" ->
-      s"""WITH oldw AS (SELECT doc_id,
-         |    ${polyHashSqlOf(s"array_to_string($toksSql, ' ')")} AS fp
-         |  FROM documents WHERE doc_id % 7 <> 0),
-         |nw0 AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END AS text
-         |  FROM documents WHERE doc_id % 5 <> 0),
-         |neww AS (SELECT doc_id,
-         |    ${polyHashSqlOf(s"array_to_string($toksSql, ' ')")} AS fp
-         |  FROM nw0),
-         |j AS (SELECT o.doc_id AS ko, n.doc_id AS kn, o.fp AS fo, n.fp AS fn
-         |      FROM oldw o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id)
-         |SELECT CASE WHEN ko IS NULL THEN 'added'
-         |            WHEN kn IS NULL THEN 'removed'
-         |            WHEN fo IS NOT DISTINCT FROM fn THEN 'unchanged'
-         |            ELSE 'changed' END AS status,
-         |       CAST(count(*) AS BIGINT) AS n
-         |FROM j GROUP BY 1""".stripMargin,
-
-    // same k=3 shingle construction as the ngram oracle; inverted-index
-    // candidates with the identical df cap (a shingle either fully
-    // survives or fully drops); intersection over the FULL sets
-    "x_dedup_containment" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-         |  FROM d),
-         |inv0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |inv AS (SELECT doc_id, g FROM
-         |    (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS bsz FROM inv0)
-         |  WHERE bsz <= $NgramBlockCap),
-         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |v AS (SELECT id_a, id_b,
-         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
-         |        CAST(len(sa.sh) AS BIGINT) AS n_a,
-         |        CAST(len(sb.sh) AS BIGINT) AS n_b
-         |      FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id)
-         |SELECT id_a, id_b, n_shared, n_a, n_b,
-         |       CAST(n_shared AS DOUBLE) / n_a AS cont_a,
-         |       CAST(n_shared AS DOUBLE) / n_b AS cont_b
-         |FROM v
-         |WHERE greatest(CAST(n_shared AS DOUBLE) / n_a, CAST(n_shared AS DOUBLE) / n_b) >= 0.5""".stripMargin,
-
-    "x_corpus_clean" -> corpusCleanSql,
-    "x_corpus_manifest" -> corpusManifestSql,
-
-    // distinct 5-shingles per doc; nd == document frequency
-    "x_dedup_contam" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |        unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
-         |      FROM d),
-         |f AS (SELECT sh, CAST(count(*) AS BIGINT) AS nd FROM s GROUP BY 1)
-         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |       CAST(count(*) FILTER (WHERE f.nd >= 2) AS BIGINT) AS n_shared,
-         |       CAST(count(*) FILTER (WHERE f.nd >= 2) AS DOUBLE) / count(*) AS dup_ratio
-         |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin,
-
-    // same k=5 string-shingle mirror as x_dedup_contam (hash equality ≡
-    // string equality on the Spark side); benchmark = the doc_id % 37
-    // slice rebuilt in SQL
-    "x_dedup_decontam" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |        unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
-         |      FROM d),
-         |b AS (SELECT DISTINCT sh FROM (
-         |        SELECT unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
-         |        FROM d WHERE doc_id % 37 = 0))
-         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_contaminated,
-         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) AS contam_ratio
-         |FROM s LEFT JOIN b ON s.sh = b.sh GROUP BY 1""".stripMargin,
-
-    // Bloom-prefiltered variant: output is EXACT (the prefilter only
-    // reshapes cost), so the oracle is the same exact-join replay on
-    // the % 41 benchmark slice
-    "x_dedup_decontam_bloom" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |        unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
-         |      FROM d),
-         |b AS (SELECT DISTINCT sh FROM (
-         |        SELECT unnest(list_distinct(CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-         |                 ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
-         |        FROM d WHERE doc_id % 41 = 0))
-         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_contaminated,
-         |       CAST(coalesce(sum(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) AS contam_ratio
-         |FROM s LEFT JOIN b ON s.sh = b.sh GROUP BY 1""".stripMargin,
-
-    // affine hash mod the prime 1000003 (the sampleByTokenBudget mirror),
-    // shard = h mod 8, pos = per-shard rank on (h, id) — no global order
-    "x_corpus_shuffle" ->
-      """WITH h AS (SELECT doc_id,
-        |        ((doc_id % 1000003) * 514229 + 741103 + 42) % 1000003 AS hv
-        |      FROM documents)
-        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
-        |       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
-        |FROM h""".stripMargin,
-
-    // same affine-hash uniform; thresholds are the Scala-computed
-    // cumulative doubles (0.8 + 0.1 != 0.9 in IEEE — the oracle must
-    // compare against the IDENTICAL values splitAssign used)
-    "x_corpus_split" -> {
-      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      s"""WITH u AS (SELECT doc_id, source, text,
-         |    CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
-         |  FROM documents),
-         |s AS (SELECT source, text,
-         |        CASE WHEN u < ${cuts(0)} THEN 'train'
-         |             WHEN u < ${cuts(1)} THEN 'val'
-         |             ELSE 'test' END AS split
-         |      FROM u)
-         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(len($toksSql)) AS BIGINT) AS tokens
-         |FROM s GROUP BY 1, 2""".stripMargin
-    },
-
-    // grouped split: the same 31-base poly hash of the GROUP string
-    // (cf. s7_fingerprint_portable) feeding the same affine uniform;
-    // cuts are the Scala cumulative doubles
-    "x_corpus_split_grouped" -> {
-      val cuts = Sampling.splitCuts(Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
-      s"""WITH h AS (SELECT doc_id, source,
-         |    ${polyHashSqlOf("coalesce(source, '')")} AS gh
-         |  FROM documents),
-         |u AS (SELECT doc_id, source,
-         |        CAST(((gh % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
-         |      FROM h),
-         |s AS (SELECT source,
-         |        CASE WHEN u < ${cuts(0)} THEN 'train'
-         |             WHEN u < ${cuts(1)} THEN 'val'
-         |             ELSE 'test' END AS split
-         |      FROM u)
-         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs
-         |FROM s GROUP BY 1, 2""".stripMargin
-    },
-
-    // min-reachable-id connected components over the same n-gram pair
-    // graph, as a recursive CTE; singletons keep their own id
-    "x_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
-         |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
-         |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
-
-    // the clusters CC chain + erasure-seed propagation: a cluster
-    // containing any seed (doc_id % 97 = 0) is deleted wholesale;
-    // status audits WHY each id left (seed vs propagated)
-    "x_corpus_forget" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
-         |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
-         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
-         |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
-         |sc AS (SELECT DISTINCT c.cluster FROM clu c JOIN sd ON sd.id = c.id)
-         |SELECT c.id, c.cluster,
-         |       CASE WHEN c.id IN (SELECT id FROM sd) THEN 'seed'
-         |            WHEN c.cluster IN (SELECT cluster FROM sc) THEN 'propagated'
-         |            ELSE 'kept' END AS status
-         |FROM clu c""".stripMargin,
-
-    // the clusters CC chain + the shared classifier CTEs, then the
-    // argmax window (score desc, id asc) — rank-1 replays the bounded
-    // top-1 aggregate's total order
-    "x_dedup_bestrep" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
-         |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
-         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
-         |${hashClfCtes(1024)},
-         |rnk AS (SELECT c.cluster, c.id, hsc.score_micro,
-         |               row_number() OVER (PARTITION BY c.cluster
-         |                 ORDER BY hsc.score_micro DESC, c.id ASC) AS rk
-         |        FROM clu c JOIN hsc ON c.id = hsc.doc_id)
-         |SELECT cluster, id, score_micro FROM rnk WHERE rk = 1""".stripMargin,
-
-    // BM25: same association order as bm25Contrib's expressions — IEEE
-    // +,*,/ agree exactly; ln() ulp drift is absorbed by the half-up
-    // micro-unit grid before the (order-invariant) long sum. The k1/b
-    // constants are interpolated from the SAME Scala doubles the Spark
-    // plan uses (shortest-roundtrip decimal, parses back bit-identical).
-    "x_text_bm25" -> {
-      val terms = Seq("spark", "window", "merge", "vector")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i" }.mkString(",\n  ")
-      val dfCols = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n  ")
-      val contribs = terms.indices.map { i =>
-        s"CASE WHEN tf_$i > 0 THEN ${bm25ContribSql(s"tf_$i", s"df_$i", "dl", "nd", "tt")} ELSE 0 END"
-      }.mkString(" +\n")
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |  $tfCols
-         |  FROM d),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt,
-         |  $dfCols
-         |  FROM p)
-         |SELECT doc_id, bm25_micro FROM (
-         |  SELECT doc_id, ($contribs) AS bm25_micro FROM p, s)
-         |WHERE bm25_micro > 0
-         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
-    },
-
-    // many-query BM25: the inverted-index formulation, same contrib
-    // kernel; per-query top-5 mirrors the bounded aggregate's
-    // (score desc, id asc) total order
-    "x_text_bm25_many" ->
-      s"""WITH $bm25ManyBaseCtes,
-         |${bm25ManyRankCtes("m", 1.2, 0.75, 5)}
-         |SELECT query_id, doc_id, bm25_micro, CAST(rk AS INT) AS rank FROM mr""".stripMargin,
-
-    // reciprocal-rank fusion of the two BM25 parameterizations: the
-    // same rank chains instantiated twice, fused on coalesced keys
-    "x_text_rrf" ->
-      s"""WITH $bm25ManyBaseCtes,
-         |${bm25ManyRankCtes("pa", 1.2, 0.75, 5)},
-         |${bm25ManyRankCtes("pb", 0.3, 0.9, 5)}
-         |SELECT query_id, doc_id,
-         |       CAST(a.rk AS INT) AS rank_a, CAST(b2.rk AS INT) AS rank_b,
-         |       coalesce(1.0 / (60.0 + CAST(a.rk AS DOUBLE)), 0.0)
-         |         + coalesce(1.0 / (60.0 + CAST(b2.rk AS DOUBLE)), 0.0) AS rrf
-         |FROM par a FULL JOIN pbr b2 USING (query_id, doc_id)""".stripMargin,
-
-    // overlap census: DISTINCT (source, portable fp) then the
-    // fp-equality self-join — same planted recrawl fixture both sides
-    "x_dedup_overlap" ->
-      s"""WITH all_docs AS (
-         |  SELECT text, source FROM documents
-         |  UNION ALL
-         |  SELECT text, 'recrawl' AS source FROM documents WHERE doc_id % 5 = 0),
-         |f AS (SELECT DISTINCT source,
-         |    ${polyHashSqlOf(s"array_to_string($toksSql, ' ')")} AS fp
-         |  FROM all_docs WHERE source IS NOT NULL AND text IS NOT NULL)
-         |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
-         |GROUP BY 1, 2""".stripMargin,
-
-    // same recursive components as x_dedup_clusters, aggregated twice:
-    // cluster → size → how many clusters of each size (the census row)
-    "x_dedup_cluster_sizes" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
-         |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
-         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
-         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
-         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1""".stripMargin,
-
-    "x_sim_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |s AS (
-        |  SELECT e.vec_id,
-        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
-        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
-        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
-        |  FROM embeddings e, q
-        |  WHERE e.vec_id <> 0)
-        |SELECT vec_id,
-        |       floor((CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) * 1000000 + 0.5) / 1000000 AS similarity
-        |FROM s
-        |ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC
-        |LIMIT 10""".stripMargin,
-
-    // exact multi-query kNN: same cosine form as x_sim_topk, per-query
-    // row_number over (similarity desc, vec_id)
-    "x_sim_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
-        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
-        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
-        |  FROM embeddings e, q
-        |  WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, vec_id,
-        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
-        |      FROM s)
-        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
-        |FROM r WHERE rk <= 5""".stripMargin,
-
-    // same exact-cosine ranking as x_sim_knn with the hard-negative
-    // label constraint: candidates must carry a NON-NULL label that
-    // DIFFERS from the anchor's
-    "x_sim_hardneg" ->
-      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
-        |           FROM embeddings WHERE vec_id < 20),
-        |s AS (
-        |  SELECT q.anchor_id, e.vec_id,
-        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
-        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
-        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
-        |  FROM embeddings e, q
-        |  WHERE e.vec_id <> q.anchor_id
-        |    AND e.label IS NOT NULL AND q.ql IS NOT NULL AND e.label <> q.ql),
-        |r AS (SELECT anchor_id, vec_id,
-        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
-        |        row_number() OVER (PARTITION BY anchor_id
-        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
-        |      FROM s)
-        |SELECT anchor_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
-        |FROM r WHERE rk <= 5""".stripMargin,
-
-    // full-probe IVF ≡ exact kNN (every cell probed), so the oracle is
-    // the same exact-kNN SQL as x_sim_knn
-    "x_sim_ivf" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
-        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
-        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
-        |  FROM embeddings e, q
-        |  WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, vec_id,
-        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
-        |      FROM s)
-        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
-        |FROM r WHERE rk <= 5""".stripMargin,
-
-    // exhaustive shingle-Jaccard pairs via an inverted-index self-join
-    // (no blocking): every pair with jaccard > 0 shares a shingle, so
-    // the index join has full recall; the Spark side's 64-slot banding
-    // misses a j≥0.3 pair with prob (1−j)^64 — vanishing, and verified
-    // empirically at all test SFs
-    "x_dedup_minhash" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-         |  FROM d),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |z AS (SELECT doc_id, len(sh) AS n FROM s)
-         |SELECT c.id_a, c.id_b,
-         |       CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) AS jaccard
-         |FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
-         |WHERE CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) >= 0.3""".stripMargin,
-
-    // same inverted-index join restricted to batch x accepted pairs
-    // (the incremental probe never re-pairs the settled index side)
-    "x_dedup_incr_minhash" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-         |  FROM d),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id >= 400 AND b.doc_id < 400 GROUP BY 1, 2),
-         |z AS (SELECT doc_id, len(sh) AS n FROM s)
-         |SELECT c.id_a, c.id_b,
-         |       CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) AS jaccard
-         |FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
-         |WHERE CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) >= 0.3""".stripMargin,
-
-    // group sizes from exact normalized-token-stream equality — what the
-    // xxhash64 fingerprint encodes, minus the (negligible) collisions
-    "x_text_fingerprint" ->
-      s"""SELECT doc_id,
-         |       CAST(count(*) OVER (PARTITION BY array_to_string($toksSql, ' ')) AS BIGINT) AS n_same_fp
-         |FROM documents""".stripMargin,
-
-    "x_text_bpeish" ->
-      s"""SELECT doc_id,
-         |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
-         |       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS bpeish_tokens
-         |FROM documents""".stripMargin,
-
-    "x_text_tokens" ->
-      s"""SELECT doc_id,
-         |       CAST(len($toksSql) AS BIGINT) AS token_count,
-         |       CAST(length(text) AS BIGINT) AS char_count
-         |FROM documents""".stripMargin,
-
-    "x_text_redact" ->
-      """WITH p AS (SELECT doc_id,
-        |    text || ' contact u' || doc_id || '@example.com or https://ex.com/d' || doc_id || ' tel +1 555 123 45' || (doc_id % 100) AS text
-        |  FROM documents),
-        |r AS (SELECT doc_id,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        'https?://[^\s]+', '<URL>', 'g'),
-        |      '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
-        |  FROM p)
-        |SELECT doc_id, clean_text,
-        |       CAST(len(string_split_regex(clean_text, '<EMAIL>|<URL>|<PHONE>')) - 1 AS BIGINT) AS n_redactions
-        |FROM r""".stripMargin,
-
-    "x_text_tfidf" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |              FROM documents WHERE trim(text) <> ''),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_cnt FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len FROM toks GROUP BY 1),
-        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-        |s AS (SELECT tf.doc_id, tf.token,
-        |             (tf_cnt / doc_len) * ln(n_docs / df) AS tfidf
-        |      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), n),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk FROM s)
-        |SELECT doc_id, token, floor(tfidf * 1000000000 + 0.5) / 1000000000 AS tfidf, CAST(rk AS INT) AS rank
-        |FROM r WHERE rk <= 3""".stripMargin,
-
-    "x_text_topterms" ->
-      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |           FROM documents WHERE trim(text) <> ''),
-        |g AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk FROM g)
-        |SELECT lang, token, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5""".stripMargin,
-
-    "x_events_props" ->
-      """SELECT event_type,
-        |       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
-        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
-        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "x_events_topusers" ->
-      """WITH g AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rk FROM g)
-        |SELECT event_type, user_id, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 3""".stripMargin,
-
-    "x_text_langid" -> {
-      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(",\n  ")
-      val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  $scores
-         |FROM t)
-         |SELECT doc_id,
-         |       CASE WHEN $m = 0 THEN 'und'
-         |            WHEN score_de = $m THEN 'de'
-         |            WHEN score_en = $m THEN 'en'
-         |            WHEN score_es = $m THEN 'es'
-         |            WHEN score_fr = $m THEN 'fr'
-         |            ELSE 'zh' END AS pred_lang,
-         |       score_de, score_en, score_es, score_fr, score_zh
-         |FROM s""".stripMargin
-    },
-
-    // coverage: same (cnt desc, token asc) vocab election, cumulative
-    // over the rank<=max(k) head, k probes joined against it
-    "x_text_vocab_coverage" ->
-      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
-         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
-         |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM c),
-         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rk FROM c),
-         |cm AS (SELECT rk, sum(cnt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum
-         |       FROM r WHERE rk <= 10000),
-         |kk AS (SELECT unnest([CAST(100 AS BIGINT), 1000, 10000]) AS k)
-         |SELECT kk.k, CAST(max(cm.cum) AS BIGINT) AS covered_tokens,
-         |       ${Rounding.halfUpSql("CAST(max(cm.cum) AS DOUBLE) / total", 6)} AS coverage
-         |FROM kk JOIN cm ON cm.rk <= kk.k, tt
-         |GROUP BY kk.k, tt.total""".stripMargin,
-
-    // confusion matrix: the same stopword-argmax CTEs joined to the
-    // ground-truth lang column
-    "x_text_langid_confusion" -> {
-      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(",\n  ")
-      val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  $scores
-         |FROM t),
-         |p AS (SELECT doc_id,
-         |        CASE WHEN $m = 0 THEN 'und'
-         |             WHEN score_de = $m THEN 'de'
-         |             WHEN score_en = $m THEN 'en'
-         |             WHEN score_es = $m THEN 'es'
-         |             WHEN score_fr = $m THEN 'fr'
-         |             ELSE 'zh' END AS pred_lang
-         |      FROM s)
-         |SELECT coalesce(CAST(d.lang AS VARCHAR), '') AS lang, p.pred_lang,
-         |       CAST(count(*) AS BIGINT) AS n_docs
-         |FROM documents d JOIN p ON d.doc_id = p.doc_id
-         |GROUP BY 1, 2""".stripMargin
-    },
-
-    // threshold sweep: the same pair CTE at the 0.05 floor, banded
-    "x_dedup_threshold_sweep" ->
-      s"""WITH pairs AS (${ngramPairsSqlFrom("documents", 0.05)})
-         |SELECT least(9, CAST(floor(jaccard * 10) AS BIGINT)) AS band,
-         |       CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM pairs GROUP BY 1""".stripMargin,
-
-    // norm audit: per-vector left-to-right square fold (the knn-oracle
-    // unnest convention), micro-floored, exact long stats per label
-    "x_emb_norms" ->
-      s"""WITH n AS (SELECT CAST(label AS VARCHAR) AS label, len(embedding) AS dim,
-         |    CAST(floor(sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
-         |                     FROM (SELECT unnest(embedding) AS a))) * 1e6 + 0.5) AS BIGINT) AS nm
-         |  FROM embeddings WHERE embedding IS NOT NULL)
-         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
-         |       CAST(coalesce(sum(CASE WHEN nm = 0 THEN 1 END), 0) AS BIGINT) AS n_zero,
-         |       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
-         |       CAST(min(nm) AS DOUBLE) / 1e6 AS min_norm,
-         |       ${Rounding.halfUpSql("CAST(sum(nm) AS DOUBLE) / 1e6 / count(*)", 6)} AS mean_norm,
-         |       CAST(max(nm) AS DOUBLE) / 1e6 AS max_norm
-         |FROM n GROUP BY 1""".stripMargin,
-
-    // identical model build (top-1000 vocab by (cnt desc, token asc),
-    // add-one smoothing) and the identical scaled-long fold: log p is
-    // floored to micro-nat longs ONCE per vocab token, so every
-    // per-document sum is exact integer arithmetic on both engines
-    "x_text_unigram" ->
-      s"""WITH $unigramScoreCtes
-         |SELECT d.doc_id,
-         |       coalesce(sc.n_tokens, 0) AS n_tokens,
-         |       coalesce(sc.n_oov, 0) AS n_oov,
-         |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
-         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
-
-    // curriculum banding: the unigram score chain, the exact nano-nat
-    // long (floor(x*1e9+0.5) — the integer behind avg_logp's 9 dp),
-    // then pure-integer lattice quantiles; every div operand is
-    // non-negative, so DuckDB's floor-// equals Spark's truncate-div
-    "x_corpus_curriculum" ->
-      s"""WITH $curriculumCtes
-         |SELECT doc_id, score, band FROM cb""".stripMargin,
-
-    // concentration: rank identity 2*Six - (n+1)*Sx over (mass asc,
-    // source asc) ranks; exact BIGINT numerators, one double division
-    "x_corpus_concentration" ->
-      s"""WITH m AS (SELECT coalesce(CAST(source AS VARCHAR), '') AS g,
-         |             CAST(sum(len($toksSql)) AS BIGINT) AS x
-         |           FROM documents GROUP BY 1),
-         |r AS (SELECT g, x, CAST(row_number() OVER (ORDER BY x ASC, g ASC) AS BIGINT) AS i FROM m),
-         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-         |             CAST(sum(i * x) AS BIGINT) AS six, CAST(sum(x * x) AS BIGINT) AS sxx
-         |      FROM r)
-         |SELECT n AS n_groups, sx AS total_tokens,
-         |       ${Rounding.halfUpSql(
-                   "CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)", 6)} AS gini,
-         |       ${Rounding.halfUpSql(
-                   "CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS hhi
-         |FROM a""".stripMargin,
-
-    // CCNet terciles: same unigram chain + nano-nat fold, then
-    // value-based boundaries (smallest score whose per-lang cumulative
-    // tie-group count reaches k·n/3) and the same <= compares — the
-    // window's HUGEINT cumulative never reaches the output
-    "x_corpus_ppl_buckets" ->
-      s"""WITH $unigramScoreCtes,
-         |scr AS (SELECT doc_id, CAST(floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) AS BIGINT) AS score_nano
-         |        FROM sc WHERE n_tokens > 0),
-         |wl AS (SELECT d.doc_id, coalesce(CAST(d.lang AS VARCHAR), '') AS lang, s.score_nano
-         |       FROM documents d LEFT JOIN scr s ON d.doc_id = s.doc_id),
-         |cc AS (SELECT lang, score_nano, CAST(count(*) AS BIGINT) AS c
-         |       FROM wl WHERE score_nano IS NOT NULL GROUP BY 1, 2),
-         |cum AS (SELECT lang, score_nano,
-         |          sum(c) OVER (PARTITION BY lang ORDER BY score_nano ROWS UNBOUNDED PRECEDING) AS cm
-         |        FROM cc),
-         |tt2 AS (SELECT lang, sum(c) AS n FROM cc GROUP BY 1),
-         |b AS (SELECT cum.lang,
-         |        min(CASE WHEN cm * 3 >= n THEN score_nano END) AS t1,
-         |        min(CASE WHEN cm * 3 >= 2 * n THEN score_nano END) AS t2
-         |      FROM cum JOIN tt2 ON cum.lang = tt2.lang GROUP BY 1)
-         |SELECT wl.doc_id, wl.lang, wl.score_nano,
-         |       CASE WHEN wl.score_nano IS NULL THEN 'unscored'
-         |            WHEN wl.score_nano <= b.t1 THEN 'tail'
-         |            WHEN wl.score_nano <= b.t2 THEN 'middle'
-         |            ELSE 'head' END AS bucket
-         |FROM wl LEFT JOIN b ON wl.lang = b.lang""".stripMargin,
-
-    // curriculum → packing composition: band joins the pack partition
-    // (shares the banding CTEs, so both keys provably band identically)
-    "x_corpus_curriculum_pack" ->
-      s"""WITH $curriculumCtes,
-         |pt AS (SELECT cb.doc_id, cb.band, cb.doc_id % 4 AS shard,
-         |         CAST(len($toksSql) AS BIGINT) AS token_count
-         |       FROM cb JOIN documents ON cb.doc_id = documents.doc_id),
-         |pw AS (SELECT *, sum(token_count) OVER (PARTITION BY band, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM pt)
-         |SELECT doc_id, band, CAST(shard AS BIGINT) AS shard, token_count,
-         |       CAST(st // 256 AS BIGINT) AS pack_id,
-         |       CAST(st % 256 AS BIGINT) AS pack_offset
-         |FROM pw""".stripMargin,
-
-    // bigram model replayed in full: realized-bigram logp6 table,
-    // per-context unseen fallback, global unseen-context fallback —
-    // all on the 6-dp scaled-long grid, summed in exact integers
-    "x_text_bigram" ->
-      """WITH ra AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS arr
-        |            FROM documents WHERE doc_id % 3 = 0 AND trim(text) <> ''),
-        |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
-        |       FROM (SELECT unnest(arr) AS t FROM ra)),
-        |rb0 AS (SELECT arr, unnest(range(1, len(arr))) AS i FROM ra WHERE len(arr) >= 2),
-        |rbi AS (SELECT arr[i] AS u, arr[i + 1] AS w, CAST(count(*) AS BIGINT) AS cnt
-        |        FROM rb0 GROUP BY 1, 2),
-        |ctx AS (SELECT u, CAST(sum(cnt) AS BIGINT) AS cu FROM rbi GROUP BY 1),
-        |bp AS (SELECT u, w,
-        |         CAST(floor(ln((CAST(cnt AS DOUBLE) + 1) / (cu + v + 1)) * 1000000 + 0.5) AS BIGINT) AS bp6
-        |       FROM rbi JOIN ctx USING (u), vv),
-        |cp AS (SELECT u,
-        |         CAST(floor(ln(CAST(1 AS DOUBLE) / (cu + v + 1)) * 1000000 + 0.5) AS BIGINT) AS cp6
-        |       FROM ctx, vv),
-        |g AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / (v + 1)) * 1000000 + 0.5) AS BIGINT) AS g6 FROM vv),
-        |da AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
-        |       FROM documents WHERE trim(text) <> ''),
-        |db0 AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM da WHERE len(arr) >= 2),
-        |db AS (SELECT doc_id, arr[i] AS u, arr[i + 1] AS w, CAST(count(*) AS BIGINT) AS n
-        |       FROM db0 GROUP BY 1, 2, 3),
-        |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_pairs,
-        |              CAST(sum(CASE WHEN bp6 IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_unseen,
-        |              sum(n * coalesce(bp6, cp6, g6)) AS s6
-        |       FROM db LEFT JOIN bp USING (u, w) LEFT JOIN cp USING (u), g GROUP BY 1)
-        |SELECT d.doc_id,
-        |       coalesce(sc.n_pairs, 0) AS n_pairs,
-        |       coalesce(sc.n_unseen, 0) AS n_unseen,
-        |       floor((CAST(s6 AS DOUBLE) / 1000000 / n_pairs) * 1000000000 + 0.5) / 1000000000 AS avg_logp
-        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
-
-    // DSIR: two instantiations of the SAME model CTEs (target = en
-    // slice, reference = whole corpus), 9-dp score difference, the
-    // portable-affine Gumbel key, top-50 by (skey desc, id asc)
-    "x_corpus_dsir" ->
-      s"""WITH $docTokenCtes,
-         |${unigramModelCtes("t_", "lang = 'en'")},
-         |${unigramModelCtes("r_", "TRUE")},
-         |j AS (SELECT t_sc.doc_id,
-         |    floor((CAST(t_sc.s6 AS DOUBLE) / 1000000 / t_sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS lt,
-         |    floor((CAST(r_sc.s6 AS DOUBLE) / 1000000 / r_sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS lr
-         |  FROM t_sc JOIN r_sc ON t_sc.doc_id = r_sc.doc_id
-         |  WHERE t_sc.n_tokens > 0 AND r_sc.n_tokens > 0),
-         |k AS (SELECT doc_id, lt - lr AS logratio,
-         |    -ln(-ln((CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)) AS g
-         |  FROM j),
-         |s AS (SELECT doc_id, logratio,
-         |    floor((logratio + g) * 1000000000 + 0.5) / 1000000000 AS skey FROM k)
-         |SELECT doc_id, logratio, skey FROM s ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
-
-    // quality floor: same unigram score CTEs; rank ASC NULLS FIRST
-    // explicitly (DuckDB defaults ASC to NULLS LAST, Spark to NULLS
-    // FIRST — the null convention is part of the operator's contract:
-    // unscorable docs drop first)
-    "x_corpus_qfloor" ->
-      s"""WITH $unigramScoreCtes,
-         |scored AS (SELECT dd.doc_id, dd.lang,
-         |    floor((CAST(sc.s6 AS DOUBLE) / 1000000 / sc.n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
-         |  FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id),
-         |r AS (SELECT *,
-         |    row_number() OVER (PARTITION BY lang ORDER BY avg_logp ASC NULLS FIRST, doc_id ASC) AS rk,
-         |    count(*) OVER (PARTITION BY lang) AS n
-         |  FROM scored)
-         |SELECT doc_id, lang, avg_logp FROM r
-         |WHERE rk > floor(0.2 * CAST(n AS DOUBLE))""".stripMargin,
-
-    // best-k per language by the SAME unigram score CTEs (shared with
-    // x_text_unigram so the two can never drift) — row_number mirrors
-    // BoundedTopKDouble's (score desc, id asc) total order
-    "x_corpus_bestk" ->
-      s"""WITH $unigramScoreCtes,
-         |scored AS (SELECT dd.doc_id, dd.lang,
-         |    floor((CAST(s6 AS DOUBLE) / 1000000 / n_tokens) * 1000000000 + 0.5) / 1000000000 AS avg_logp
-         |  FROM documents dd JOIN sc ON dd.doc_id = sc.doc_id
-         |  WHERE sc.n_tokens > 0),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id ASC) AS rk
-         |      FROM scored)
-         |SELECT lang, doc_id, avg_logp FROM r WHERE rk <= 5""".stripMargin,
-
-    "x_text_quality" ->
-      s"""WITH b AS (
-         |  SELECT doc_id,
-         |         length(text) AS chars,
-         |         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS nonpunct,
-         |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
-         |         len($toksSql) AS toks,
-         |         len(list_filter($toksSql, x -> list_contains(${stopSqlLists("en")}, x))) AS stophits
-         |  FROM documents)
-         |SELECT doc_id,
-         |       CAST(chars AS BIGINT) AS char_count,
-         |       CAST(toks AS BIGINT) AS token_count,
-         |       (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) AS punct_ratio,
-         |       digits / (CASE WHEN chars > 0 THEN chars END) AS digit_ratio,
-         |       stophits / (CASE WHEN toks > 0 THEN toks END) AS stopword_ratio,
-         |       (toks >= 5 AND toks <= 100000 AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3) AS keep
-         |FROM b""".stripMargin,
-
-    // Gopher rules: exact integer counts, raw IEEE divisions, the
-    // conjunction under three-valued logic (n >= 50 is FALSE for empty
-    // docs, so FALSE AND NULL = FALSE on both engines)
-    "x_text_gopher" ->
-      s"""WITH a AS (SELECT doc_id, text, $toksSql AS toks
-         |           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
-         |g AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_words,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(toks, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b)
-         |    / (CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END) AS mean_word_len,
-         |  CAST((len(string_split(text, '#')) - 1)
-         |       + (len(string_split(text, '...')) - 1) AS DOUBLE)
-         |    / (CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END) AS symbol_ratio,
-         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-         |    / (CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END) AS alpha_word_frac,
-         |  CAST(len(list_intersect(list_distinct(toks),
-         |       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop_hits
-         |  FROM a)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop_hits,
-         |       (n_words >= 50 AND n_words <= 100000
-         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |        AND symbol_ratio <= 0.1
-         |        AND alpha_word_frac >= 0.8
-         |        AND n_stop_hits >= 2) AS keep
-         |FROM g""".stripMargin,
-
-    // readability: exact integer counts (sentences = non-empty [.!?]+
-    // segments, syllables = per-word max(1, vowel-group count)), then
-    // each score is the IDENTICAL left-associative double-literal chain
-    // Spark evaluates, rounded half-up to 6 dp
-    "x_text_readability" ->
-      s"""WITH a AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-         |b AS (SELECT doc_id,
-         |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
-         |  CAST(len($toksSql) AS BIGINT) AS n_words,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform($toksSql, w ->
-         |        CAST(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS BIGINT))),
-         |    (acc, c) -> acc + c) AS n_syllables
-         |  FROM a)
-         |SELECT doc_id, n_sentences, n_words, n_syllables,
-         |  ${Rounding.halfUpSql(
-               "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / (CASE WHEN n_sentences > 0 THEN n_sentences END)) " +
-               "- 84.6 * (CAST(n_syllables AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END))", 6)} AS flesch,
-         |  ${Rounding.halfUpSql(
-               "0.39 * (CAST(n_words AS DOUBLE) / (CASE WHEN n_sentences > 0 THEN n_sentences END)) " +
-               "+ 11.8 * (CAST(n_syllables AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END)) - 15.59", 6)} AS fk_grade
-         |FROM b""".stripMargin,
-
-    // span corruption: same chunking (fixed span 3), same poly-hash
-    // mask decision on "id:j", running sentinel index as a window,
-    // string_agg ORDER BY j replays the sorted-struct assembly
-    "x_text_spancorrupt" ->
-      s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |d AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 3.0) AS INT) AS nc FROM d0),
-         |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS j FROM d WHERE nc > 0),
-         |ch AS (SELECT doc_id, j,
-         |         array_to_string(toks[j*3+1 : j*3+3], ' ') AS chunk,
-         |         len(toks[j*3+1 : j*3+3]) AS nch,
-         |         (${polyHashSqlOf("CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % 20) < 3 AS masked
-         |       FROM c),
-         |w AS (SELECT *, coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END)
-         |         OVER (PARTITION BY doc_id ORDER BY j
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
-         |      FROM ch),
-         |a AS (SELECT doc_id,
-         |        CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
-         |        CAST(sum(CASE WHEN masked THEN nch ELSE 0 END) AS BIGINT) AS n_masked_tokens,
-         |        string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>' ELSE chunk END, ' ' ORDER BY j) AS input,
-         |        string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>' || ' ' || chunk END, ' ' ORDER BY j) AS target
-         |      FROM w GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
-         |       coalesce(a.n_spans, 0) AS n_spans,
-         |       coalesce(a.n_masked_tokens, 0) AS n_masked_tokens,
-         |       coalesce(a.input, '') AS input,
-         |       coalesce(a.target, '') AS target
-         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
-
-    "x_mm_meta" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CASE ord(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |       CAST(64 + ord(substr(text, 1, 1)) % 192 AS INT) AS width,
-        |       CAST(64 + octet_length(encode(text)) % 192 AS INT) AS height
-        |FROM documents""".stripMargin,
-
-    // byte-level mirror of the stub feature extractor: hex-expand the
-    // UTF-8 blob, map hex pairs back to byte values via a 256-row lookup,
-    // fold to 16 buckets, L1-normalize. count/total is exact integer
-    // division in IEEE doubles on both engines.
-    "x_mm_features" ->
-      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
-        |d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-        |             CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
-        |b AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, hx FROM d),
-        |v AS (SELECT b.doc_id, CAST(hmap.bval % 16 AS INT) AS bucket
-        |      FROM b JOIN hmap ON substr(b.hx, CAST(2*b.i-1 AS INT), 2) = hmap.hh),
-        |c AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt FROM v GROUP BY 1, 2),
-        |grid AS (SELECT doc_id, n, CAST(unnest(range(0, 16)) AS INT) AS bucket FROM d)
-        |SELECT grid.doc_id, grid.bucket,
-        |       coalesce(c.cnt, 0) / greatest(CAST(grid.n AS DOUBLE), 1.0) AS "value"
-        |FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.bucket = c.bucket""".stripMargin,
-
-    // resize stub: out length = min(128*128/64, max(1, n))
-    "x_mm_resize" ->
-      """SELECT doc_id, CAST(128 AS INT) AS width, CAST(128 AS INT) AS height,
-        |       CAST(least(256, greatest(1, octet_length(encode(text)))) AS BIGINT) AS out_bytes
-        |FROM documents""".stripMargin,
-
-    // mirrors FakeDecode frame slicing: nFrames = max(1, n/64), every
-    // 2nd frame, last/empty frames clamp to >= 1 byte (copyOfRange pad)
-    "x_mm_frames" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, n, unnest(range(0, greatest(n // 64, 1), 2)) AS fi FROM d)
-        |SELECT doc_id, CAST(fi AS INT) AS frame_index,
-        |       CAST(greatest(least(n, fi * 64 + 64) - fi * 64, 1) AS BIGINT) AS frame_bytes
-        |FROM f""".stripMargin,
-
-    // byte-level aHash mirror: cell i's value is the payload byte at
-    // i*step (step = max(1, n div 60), hex-expand + 256-row lookup like
-    // x_mm_features), mean in double, bit i iff v > mean; pairs are the
-    // full all-pairs Hamming set (the uncapped pigeonhole config is
-    // recall-exact)
-    "x_mm_phash_dedup" ->
-      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
-        |d AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-        |             CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents WHERE doc_id < 400),
-        |cells AS (SELECT d.doc_id, t.i, hmap.bval AS v
-        |          FROM d CROSS JOIN range(0, 60) t(i)
-        |          JOIN hmap ON hmap.hh = substr(d.hx, CAST(2 * (t.i * greatest(d.n // 60, 1)) + 1 AS INT), 2)
-        |          WHERE t.i * greatest(d.n // 60, 1) < d.n),
-        |m AS (SELECT doc_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean FROM cells GROUP BY 1),
-        |fps0 AS (SELECT cells.doc_id,
-        |           CAST(sum(CASE WHEN cells.v > m.mean THEN CAST(1 AS BIGINT) << CAST(cells.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
-        |         FROM cells JOIN m ON cells.doc_id = m.doc_id GROUP BY 1),
-        |fp AS (SELECT d.doc_id, coalesce(fps0.f, 0) AS f FROM d LEFT JOIN fps0 ON d.doc_id = fps0.doc_id),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
-        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 4""".stripMargin,
-
-    "x_stream_window" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
-        |       event_type,
-        |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "x_stream_funnel" ->
-      """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
-        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t0 ON e.user_id = t0.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1),
-        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1)
-        |SELECT CAST(1 AS INT) AS step_index, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t0
-        |UNION ALL SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM t1
-        |UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM t2""".stripMargin,
-
-    "x_stream_sessions" ->
-      """WITH e AS (SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
-        |f AS (SELECT *, CASE WHEN prev IS NULL OR (epoch_ms(ts) - epoch_ms(prev)) > 1800000 THEN 1 ELSE 0 END AS isnew FROM l),
-        |s AS (SELECT *, sum(isnew) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-        |       CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
-        |       CAST(epoch_ms(max(ts)) AS BIGINT) AS session_end_ms,
-        |       CAST(sum(cents) AS BIGINT) AS value_cents
-        |FROM s GROUP BY 1, 2""".stripMargin,
-
-    "x_stream_dedup" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM (SELECT DISTINCT user_id, event_type, ts FROM events) GROUP BY 1""".stripMargin,
-
-    // each event falls in exactly two 1h windows sliding by 30min: the
-    // ones starting at the two half-hour boundaries within (ts-1h, ts]
-    "x_stream_sliding" ->
-      """WITH b AS (SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 1800000) AS t30 FROM events),
-        |u AS (SELECT event_type, unnest([t30, t30 - 1800000]) AS ws FROM b)
-        |SELECT CAST(ws // 1000 AS BIGINT) AS window_start, event_type,
-        |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM u GROUP BY 1, 2""".stripMargin,
-
-    // micros-floor gap arithmetic on both sides (see attributionJoin's
-    // scaladoc on nanosecond-source precision)
-    // SCD-2: same lag/lead change-point chain on epoch micros;
-    // IS NOT DISTINCT FROM mirrors Spark's null-safe <=>
-    "x_events_scd2" ->
-      """WITH e AS (SELECT user_id, CAST(event_type AS VARCHAR) AS v,
-        |             epoch_us(ts) AS us, event_id
-        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |c AS (SELECT *, lag(v) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
-        |      FROM e),
-        |ch AS (SELECT user_id, v, us, event_id FROM c
-        |       WHERE NOT (v IS NOT DISTINCT FROM prev))
-        |SELECT user_id, v AS event_type,
-        |       CAST(us AS BIGINT) AS valid_from_us,
-        |       CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS valid_to_us
-        |FROM ch""".stripMargin,
-
-    // engagement: exact calendar-integer day/month keys, two distinct
-    // counts, halfUp-6 ratios of exact counts
-    "x_events_engagement" ->
-      s"""WITH e AS (SELECT user_id, CAST(year(ts) AS BIGINT) AS y,
-         |             CAST(month(ts) AS BIGINT) AS m, CAST(day(ts) AS BIGINT) AS d
-         |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-         |dau AS (SELECT y, m, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
-         |        FROM e GROUP BY 1, 2, 3),
-         |mau AS (SELECT y, m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-         |        FROM e GROUP BY 1, 2),
-         |ds AS (SELECT y, m, CAST(count(*) AS BIGINT) AS n_days,
-         |         CAST(sum(dau) AS BIGINT) AS sdau
-         |       FROM dau GROUP BY 1, 2)
-         |SELECT ds.y AS year, ds.m AS month, ds.n_days, mau.mau,
-         |       ${Rounding.halfUpSql("CAST(sdau AS DOUBLE) / n_days", 6)} AS avg_dau,
-         |       ${Rounding.halfUpSql("CAST(sdau AS DOUBLE) / (n_days * mau)", 6)} AS stickiness
-         |FROM ds JOIN mau ON ds.y = mau.y AND ds.m = mau.m""".stripMargin,
-
-    // retention: identical integer month math (year*12 + month - 1);
-    // offset 0 carries each cohort's size
-    "x_events_retention" ->
-      """WITH e AS (SELECT user_id,
-        |    CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS m
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |c AS (SELECT user_id, min(m) AS cm FROM e GROUP BY 1)
-        |SELECT CAST(floor(cm / 12) AS BIGINT) AS cohort_year,
-        |       CAST(cm % 12 + 1 AS BIGINT) AS cohort_month,
-        |       CAST(e.m - c.cm AS BIGINT) AS offset_months,
-        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-        |FROM e JOIN c ON e.user_id = c.user_id
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    // ttc: the attribution pair deltas floored to seconds, then the
-    // min-past-threshold quantile chain on the bounded lattice
-    "x_stream_ttc" ->
-      """WITH a AS (SELECT user_id, ts AS from_ts FROM events WHERE event_type = 'click'),
-        |b AS (SELECT user_id, ts AS to_ts FROM events WHERE event_type = 'purchase'),
-        |p AS (SELECT CAST(floor(CAST(epoch_us(b.to_ts) - epoch_us(a.from_ts) AS DOUBLE) / 1000000.0) AS BIGINT) AS d
-        |      FROM a JOIN b ON a.user_id = b.user_id
-        |        AND epoch_us(b.to_ts) - epoch_us(a.from_ts) > 0
-        |        AND epoch_us(b.to_ts) - epoch_us(a.from_ts) <= 1800000000),
-        |c AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
-        |w AS (SELECT *, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum FROM c),
-        |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM c)
-        |SELECT n AS n_pairs,
-        |       CAST(min(CASE WHEN cum * 2 >= n THEN d END) AS BIGINT) AS p50_s,
-        |       CAST(min(CASE WHEN cum * 10 >= n * 9 THEN d END) AS BIGINT) AS p90_s,
-        |       CAST(max(d) AS BIGINT) AS max_s
-        |FROM w, tt GROUP BY n""".stripMargin,
-
-    // disorder = lag behind the per-user arrival-order running max of
-    // epoch_us (the unix_micros parity convention); thresholded counts
-    "x_stream_disorder" ->
-      """WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT greatest(0, coalesce(
-        |         max(us) OVER (PARTITION BY user_id ORDER BY event_id
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
-        |         0)) AS lag_us
-        |      FROM d)
-        |SELECT CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(coalesce(sum(CASE WHEN lag_us > 0 THEN 1 END), 0) AS BIGINT) AS n_out_of_order,
-        |       CAST(max(lag_us) AS BIGINT) AS max_disorder_us,
-        |       CAST(coalesce(sum(CASE WHEN lag_us > 60000000 THEN 1 END), 0) AS BIGINT) AS n_late_1m,
-        |       CAST(coalesce(sum(CASE WHEN lag_us > 300000000 THEN 1 END), 0) AS BIGINT) AS n_late_5m,
-        |       CAST(coalesce(sum(CASE WHEN lag_us > 3600000000 THEN 1 END), 0) AS BIGINT) AS n_late_1h
-        |FROM w""".stripMargin,
-
-    "x_stream_attrib" ->
-      """WITH a AS (SELECT user_id, ts AS from_ts FROM events WHERE event_type = 'click'),
-        |b AS (SELECT user_id, ts AS to_ts FROM events WHERE event_type = 'purchase')
-        |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_attributed
-        |FROM a JOIN b ON a.user_id = b.user_id
-        |  AND epoch_us(b.to_ts) - epoch_us(a.from_ts) > 0
-        |  AND epoch_us(b.to_ts) - epoch_us(a.from_ts) <= 1800000000
-        |GROUP BY 1""".stripMargin,
-
-    // brute-force mirror of the portable 60-bit SimHash: per-token
-    // 31-/131-base polynomial hashes over codepoints (same fold as s7),
-    // per-bit majority, then all-pairs Hamming via xor + bit_count.
-    // The Spark side's pigeonhole bucketing has exact recall, so the
-    // pair sets match exactly.
-    "x_dedup_simhash" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |th AS (SELECT doc_id, unnest(list_transform(toks, t ->
-         |         [${polyHashSqlOf("t")},
-         |          ${polyHashSqlOf("t", 131)}])) AS h
-         |       FROM d),
-         |bits AS (SELECT doc_id, j,
-         |           sum((CASE WHEN j < 30 THEN (h[1] >> j) & 1 ELSE (h[2] >> (j - 30)) & 1 END) * 2 - 1) AS sgn
-         |         FROM th, range(0, 60) t(j) GROUP BY 1, 2),
-         |fps AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
-         |        FROM bits GROUP BY 1),
-         |fp AS (SELECT d.doc_id, coalesce(fps.f, 0) AS f FROM d LEFT JOIN fps ON d.doc_id = fps.doc_id),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
-         |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
-
-    // exhaustive all-pairs cosine — the full-recall LSH config's output
-    // (see the x_dedup_embedding query comment); same fold order as the
-    // kNN oracles so the doubles are bit-identical
-    "x_dedup_embedding" ->
-      """WITH s AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
-        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
-        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < 1000 AND b.vec_id < 1000),
-        |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
-        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
-        |FROM c WHERE cos >= 0.4""".stripMargin,
-
-    // SemDeDup oracle config (nlist = 1): exhaustive all-pairs cosine
-    // over the slice — same oracle family as x_dedup_embedding with a
-    // deliberately different slice and threshold
-    "x_dedup_semantic" ->
-      """WITH s AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
-        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
-        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < 600 AND b.vec_id < 600),
-        |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
-        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
-        |FROM c WHERE cos >= 0.35""".stripMargin,
-
-    // incremental semantic probe at nlist=1: all-pairs batch × index
-    // cosine (id_a = batch/new wave, id_b = accepted index)
-    "x_dedup_semantic_incr" ->
-      """WITH s AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
-        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
-        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON TRUE
-        |  WHERE a.vec_id % 10 < 3 AND b.vec_id % 10 >= 3),
-        |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
-        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
-        |FROM c WHERE cos >= 0.3""".stripMargin,
-
-    // full-recall ANN ≡ exact kNN (see the x_sim_ann query comment);
-    // query range/k deliberately differ from x_sim_knn
-    "x_sim_ann" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id >= 100 AND vec_id < 120),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a, unnest(q.qe) AS b)) AS dt,
-        |         sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS a))) AS na,
-        |         sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(q.qe) AS b))) AS nb
-        |  FROM embeddings e, q
-        |  WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, vec_id,
-        |        CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC) AS rk
-        |      FROM s)
-        |SELECT query_id, vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS similarity, CAST(rk AS INT) AS rank
-        |FROM r WHERE rk <= 7""".stripMargin,
-
-    // unigram/bigram counts are exact integers; every ratio is one IEEE
-    // division (engine-exact); zero denominators null out via the CASE
-    // guard exactly like the Spark `when` guard
-    "x_text_repetition" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |u0 AS (SELECT doc_id, unnest(toks) AS t FROM d),
-         |uc AS (SELECT doc_id, t, count(*) AS c FROM u0 GROUP BY 1, 2),
-         |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tc, CAST(count(*) AS BIGINT) AS td,
-         |             CAST(max(c) AS BIGINT) AS topt, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupt
-         |      FROM uc GROUP BY 1),
-         |bg AS (SELECT doc_id, CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
-         |                           ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS bgs
-         |       FROM d),
-         |b0 AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
-         |bc AS (SELECT doc_id, g, count(*) AS c FROM b0 GROUP BY 1, 2),
-         |b AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bc, CAST(max(c) AS BIGINT) AS topb,
-         |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupb
-         |      FROM bc GROUP BY 1)
-         |SELECT d.doc_id,
-         |       coalesce(u.tc, 0) AS token_count,
-         |       u.td / (CASE WHEN u.tc > 0 THEN CAST(u.tc AS DOUBLE) END) AS distinct_token_ratio,
-         |       u.topt / (CASE WHEN u.tc > 0 THEN CAST(u.tc AS DOUBLE) END) AS top_token_frac,
-         |       u.dupt / (CASE WHEN u.tc > 0 THEN CAST(u.tc AS DOUBLE) END) AS dup_token_frac,
-         |       coalesce(b.bc, 0) AS bigram_count,
-         |       b.topb / (CASE WHEN b.bc > 0 THEN CAST(b.bc AS DOUBLE) END) AS top_bigram_frac,
-         |       b.dupb / (CASE WHEN b.bc > 0 THEN CAST(b.bc AS DOUBLE) END) AS dup_bigram_frac
-         |FROM d LEFT JOIN u ON d.doc_id = u.doc_id LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin,
-
-    // same window enumeration (1-based list slices), same poly-hash
-    // kernel; a window is duplicated at >= 2 TOTAL occurrences (intra-
-    // doc repeats count); a token is masked when any duplicated window
-    // covers its position
-    "x_text_spandedup" ->
-      s"""WITH a AS (SELECT doc_id, $toksSql AS toks
-         |           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
-         |w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM a WHERE len(toks) >= 8),
-         |wh AS (SELECT doc_id, i, ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM w0),
-         |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
-         |st AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
-         |sg AS (SELECT doc_id, list(i) AS starts, CAST(count(*) AS BIGINT) AS nds FROM st GROUP BY doc_id),
-         |p0 AS (SELECT a.doc_id, toks, coalesce(sg.starts, []) AS starts FROM a LEFT JOIN sg USING (doc_id)),
-         |px AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks, starts FROM p0 WHERE len(toks) >= 1),
-         |kp AS (SELECT doc_id, p, toks[p] AS tok FROM px
-         |       WHERE len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0),
-         |kg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |              string_agg(tok, ' ' ORDER BY p) AS clean_text FROM kp GROUP BY doc_id)
-         |SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
-         |       coalesce(sg.nds, CAST(0 AS BIGINT)) AS n_dup_spans,
-         |       coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
-         |       coalesce(kg.clean_text, '') AS clean_text
-         |FROM a LEFT JOIN sg USING (doc_id) LEFT JOIN kg USING (doc_id)""".stripMargin,
-
-    // the batch-side window enumeration plus the index side's span
-    // counts; duplicated = batch count + index count >= 2
-    "x_text_spandedup_incr" ->
-      s"""WITH a AS (SELECT doc_id, $toksSql AS toks
-         |           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id >= 400)),
-         |ix AS (SELECT doc_id, $toksSql AS toks
-         |       FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id < 400)),
-         |w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM a WHERE len(toks) >= 8),
-         |wh AS (SELECT doc_id, i, ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM w0),
-         |iw0 AS (SELECT toks, unnest(range(1, len(toks) - 6)) AS i FROM ix WHERE len(toks) >= 8),
-         |iwh AS (SELECT ${polyHashSqlOf("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS h FROM iw0),
-         |ic AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM iwh GROUP BY h),
-         |bc AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM wh GROUP BY h),
-         |dup AS (SELECT bc.h FROM bc LEFT JOIN ic USING (h)
-         |        WHERE bc.n + coalesce(ic.n, 0) >= 2),
-         |st AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
-         |sg AS (SELECT doc_id, list(i) AS starts, CAST(count(*) AS BIGINT) AS nds FROM st GROUP BY doc_id),
-         |p0 AS (SELECT a.doc_id, toks, coalesce(sg.starts, []) AS starts FROM a LEFT JOIN sg USING (doc_id)),
-         |px AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks, starts FROM p0 WHERE len(toks) >= 1),
-         |kp AS (SELECT doc_id, p, toks[p] AS tok FROM px
-         |       WHERE len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0),
-         |kg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |              string_agg(tok, ' ' ORDER BY p) AS clean_text FROM kp GROUP BY doc_id)
-         |SELECT a.doc_id, CAST(len(a.toks) AS BIGINT) AS n_tokens,
-         |       coalesce(sg.nds, CAST(0 AS BIGINT)) AS n_dup_spans,
-         |       coalesce(kg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
-         |       coalesce(kg.clean_text, '') AS clean_text
-         |FROM a LEFT JOIN sg USING (doc_id) LEFT JOIN kg USING (doc_id)""".stripMargin,
-
-    // same hashed-bucket model: poly-hash % 1024, add-one log-odds on
-    // the 6-dp micro grid (ln drift absorbed, cf. the BM25 kernel),
-    // doc scores as exact BIGINT sums
-    "x_text_hashclf" ->
-      s"""WITH ${hashClfCtes(1024)}
-         |SELECT doc_id, n_tokens, score_micro FROM hsc""".stripMargin,
-
-    // calibration: mean-log-odds double binning (floor of the same
-    // IEEE tree — safe for negative scores, where integer div's
-    // truncate-vs-floor split would break parity), per-doc means
-    // micro-rounded before the bin sum
-    "x_text_clf_calibration" ->
-      s"""WITH ${hashClfCtes(1024)},
-         |cl AS (SELECT hsc.doc_id, hsc.n_tokens, hsc.score_micro,
-         |         coalesce(d.lang, '') = 'en' AS pos
-         |       FROM hsc JOIN documents d USING (doc_id) WHERE hsc.n_tokens > 0),
-         |cb AS (SELECT
-         |    CAST(floor(CAST(score_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) * 4) AS BIGINT) AS bin,
-         |    CAST(floor(CAST(score_micro AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m6,
-         |    pos FROM cl)
-         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |       ${Rounding.halfUpSql(
-                   "CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS pos_rate,
-         |       ${Rounding.halfUpSql(
-                   "CAST(sum(m6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 6)} AS mean_score
-         |FROM cb GROUP BY 1""".stripMargin,
-
-    // the saved-model roundtrip scores bit-identically to the direct
-    // chain, so ONE oracle definition covers both — at the distinct
-    // 512-bucket shape
-    "x_text_hashclf_saved" ->
-      s"""WITH ${hashClfCtes(512)}
-         |SELECT doc_id, n_tokens, score_micro FROM hsc""".stripMargin,
-
-    // scoring chain + the budget window epilogue: per source, rank by
-    // (score desc, id asc), admit while the inclusive running token
-    // sum stays within 2000
-    "x_corpus_budget" ->
-      s"""WITH ${hashClfCtes(1024)},
-         |bj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
-         |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
-         |br AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
-         |                 ORDER BY score_micro DESC, doc_id ASC
-         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM bj)
-         |SELECT doc_id, source, n_tokens, score_micro, cum_tokens
-         |FROM br WHERE cum_tokens <= 2000""".stripMargin,
-
-    // scoring chain + the qfloor window epilogue: per source, rank by
-    // (score asc, id asc), drop ranks <= floor(0.3 * n)
-    "x_corpus_clffilter" ->
-      s"""WITH ${hashClfCtes(1024)},
-         |cj AS (SELECT d2.doc_id, d2.source, hsc.n_tokens, hsc.score_micro
-         |       FROM (SELECT doc_id, source FROM documents) d2 JOIN hsc USING (doc_id)),
-         |cr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_micro ASC, doc_id ASC) AS rk,
-         |              count(*) OVER (PARTITION BY source) AS n FROM cj)
-         |SELECT doc_id, source, n_tokens, score_micro
-         |FROM cr WHERE rk > floor(0.3 * CAST(n AS DOUBLE))""".stripMargin,
-
-    // BPE merge table: the unrolled training loop (see bpeLearnCtes)
-    "x_text_bpe" ->
-      s"""WITH $bpeLearnCtes,
-         |mt AS (${(1 to BpeMergeRounds).map(i =>
-        s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", r AS "right", c AS pair_count FROM m$i""")
-        .mkString("\nUNION ALL ")})
-         |SELECT rank, "left", "right", pair_count FROM mt""".stripMargin,
-
-    // learned on the sample slice, applied to every document; unit
-    // stats in exact integers
-    "x_text_bpe_encode" ->
-      s"""WITH $bpeEncodeCtes
-         |SELECT doc_id,
-         |  CAST(len(reps) AS BIGINT) AS n_words,
-         |  CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_units,
-         |  CAST(coalesce(list_sum(list_transform(reps, s -> length(s) - 2 * len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_chars
-         |FROM f$BpeMergeRounds""".stripMargin,
-
-    // fertility: the encode chain's per-doc stats joined to lang, then
-    // exact long sums (CAST back from DuckDB's HUGEINT widening) and
-    // the identical halfUp-6 ratio chains
-    "x_text_fertility" ->
-      s"""WITH $bpeEncodeCtes,
-         |st AS (SELECT doc_id,
-         |         CAST(len(reps) AS BIGINT) AS n_words,
-         |         CAST(coalesce(list_sum(list_transform(reps, s -> len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_units,
-         |         CAST(coalesce(list_sum(list_transform(reps, s -> length(s) - 2 * len(string_split(trim(s, '|'), '||')))), 0) AS BIGINT) AS n_chars
-         |       FROM f$BpeMergeRounds),
-         |lj AS (SELECT coalesce(CAST(d.lang AS VARCHAR), '') AS lang,
-         |              st.n_words, st.n_units, st.n_chars
-         |       FROM documents d JOIN st ON d.doc_id = st.doc_id),
-         |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(n_words) AS BIGINT) AS n_words,
-         |         CAST(sum(n_units) AS BIGINT) AS n_units,
-         |         CAST(sum(n_chars) AS BIGINT) AS n_chars
-         |       FROM lj GROUP BY 1)
-         |SELECT lang, n_docs, n_words, n_units, n_chars,
-         |       ${Rounding.halfUpSql(
-                   "CAST(n_units AS DOUBLE) / (CASE WHEN n_words > 0 THEN n_words END)", 6)} AS fertility,
-         |       ${Rounding.halfUpSql(
-                   "CAST(n_chars AS DOUBLE) / (CASE WHEN n_units > 0 THEN n_units END)", 6)} AS chars_per_unit
-         |FROM ag""".stripMargin,
-
-    // flat token stream: flatten the per-word unit lists of the
-    // fully-merged representation, position-indexed (generate_subscripts
-    // zips with unnest — the same paired-expansion idiom as the
-    // pair-count CTEs)
-    "x_text_bpe_tokens" ->
-      s"""WITH $bpeStreamCtes
-         |SELECT doc_id, pos, token FROM s""".stripMargin,
-
-    // shard-partitioned running sum (never a global sort), integer
-    // div/mod — exact at any magnitude
-    "x_text_pack" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
-         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
-         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
-         |       CAST(st // 256 AS BIGINT) AS pack_id,
-         |       CAST(st % 256 AS BIGINT) AS pack_offset
-         |FROM w""".stripMargin,
-
-    // vocab: distinct output tokens, dense rank in binary-UTF-8 order
-    "x_text_bpe_vocab" ->
-      s"""WITH $bpeStreamCtes
-         |SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
-         |FROM (SELECT DISTINCT token FROM s)""".stripMargin,
-
-    // id stream: the token stream joined to the vocab assignment
-    "x_text_bpe_ids" ->
-      s"""WITH $bpeStreamCtes,
-         |v AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
-         |      FROM (SELECT DISTINCT token FROM s))
-         |SELECT s.doc_id, s.pos, v.token_id FROM s JOIN v USING (token)""".stripMargin,
-
-    // bpe-count packing: the encode chain's n_units (= flattened token
-    // count) feeds the same shard-partitioned running-sum layout as
-    // x_text_pack
-    "x_corpus_bpe_pack" ->
-      s"""WITH $bpeStreamCtes,
-         |c AS (SELECT doc_id, doc_id % 8 AS shard,
-         |        CAST(coalesce(len(toks), 0) AS BIGINT) AS token_count
-         |      FROM t),
-         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM c)
-         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count,
-         |       CAST(st // 256 AS BIGINT) AS pack_id,
-         |       CAST(st % 256 AS BIGINT) AS pack_offset
-         |FROM w""".stripMargin,
-
-    "x_text_domains" ->
-      """WITH p AS (SELECT doc_id,
-        |    text || ' see https://site' || (doc_id % 7) || '.example.com/page' || doc_id ||
-        |    ' and http://cdn' || (doc_id % 3) || '.example.org/x' || (doc_id % 5) AS text
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p),
-        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain FROM u)
-        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
-        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM d GROUP BY 1""".stripMargin,
-
-    "x_text_blockfilter" ->
-      """WITH p AS (SELECT doc_id, lang, source,
-        |    text || ' see https://site' || (doc_id % 7) || '.example.com/page' || doc_id ||
-        |    ' and http://cdn' || (doc_id % 3) || '.example.org/x' || (doc_id % 5) AS text
-        |  FROM documents),
-        |d AS (SELECT doc_id, lang, source,
-        |    list_transform(regexp_extract_all(text, 'https?://[^\s]+'),
-        |                   u -> lower(regexp_extract(u, 'https?://([^/\s]+)', 1))) AS doms
-        |  FROM p)
-        |SELECT doc_id, lang, source FROM d
-        |WHERE len(list_filter(doms, x -> list_contains(['site3.example.com', 'cdn1.example.org'], x))) = 0""".stripMargin,
-
-    // suffix blocklist: expand every URL domain to its dot-suffix list
-    // (1-based list slicing from label i+1 to end) and keep docs whose
-    // suffixes never hit the blocklist
-    "x_text_blocksuffix" ->
-      """WITH p AS (SELECT doc_id, lang, source,
-        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
-        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p),
-        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain FROM u),
-        |sfx AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
-        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM d),
-        |blocked AS (SELECT DISTINCT doc_id FROM sfx
-        |  WHERE suffix IN ('news2.example.com', 'tracker3.example.org', 'unused.example.net'))
-        |SELECT doc_id, lang, source FROM p WHERE doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin,
-
-    // blocklist hygiene: LEFT join from the entry list so dead entries
-    // zero-fill; count(col) skips the unmatched nulls
-    "x_text_blocksuffix_audit" ->
-      """WITH p AS (SELECT doc_id,
-        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
-        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p),
-        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain FROM u),
-        |sfx AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
-        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM d),
-        |b AS (SELECT * FROM (VALUES ('news2.example.com'), ('tracker3.example.org'),
-        |                            ('unused.example.net')) AS t(domain))
-        |SELECT b.domain, CAST(count(sfx.doc_id) AS BIGINT) AS n_urls,
-        |       CAST(count(DISTINCT sfx.doc_id) AS BIGINT) AS n_docs
-        |FROM b LEFT JOIN sfx ON sfx.suffix = b.domain GROUP BY 1""".stripMargin,
-
-    // web-curation e2e: blocklist CTEs (b-prefixed), 5-iteration rank
-    // chain + tier projection, classifier chain, three-way join
-    "x_corpus_web_e2e" ->
-      (graphRankOracleCtes(5) + s""",
-        |${hashClfCtes(1024)},
-        |bp AS (SELECT doc_id,
-        |    text || ' https://sub' || (doc_id % 4) || '.news' || (doc_id % 7) || '.example.com/p' || doc_id ||
-        |    ' http://ads' || (doc_id % 3) || '.tracker' || (doc_id % 5) || '.example.org/b' AS text
-        |  FROM documents),
-        |bu AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM bp),
-        |bd AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\\s]+)', 1)) AS domain FROM bu),
-        |bs AS (SELECT doc_id, unnest(list_transform(range(len(string_split(domain, '.'))),
-        |          i -> array_to_string(string_split(domain, '.')[i+1:], '.'))) AS suffix FROM bd),
-        |bb AS (SELECT DISTINCT doc_id FROM bs
-        |  WHERE suffix IN ('news2.example.com', 'tracker3.example.org', 'unused.example.net')),
-        |tt AS (SELECT node, CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
-        |                 + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
-        |                 + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier FROM r5)
-        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars
-        |FROM documents d
-        |JOIN tt ON tt.node = d.doc_id % 64 AND tt.tier <= 2
-        |JOIN hsc ON hsc.doc_id = d.doc_id AND hsc.score_micro >= 0
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bb)
-        |GROUP BY 1""".stripMargin),
-
-    // confusion audit: centroid lists rebuilt from the same exact
-    // means, distance as the same LEFT-TO-RIGHT ordered fold as
-    // NearestCells (an unordered sum() would drift), argmin via
-    // (dist asc, label asc) = the expression's (dist, index) tie rule
-    "x_emb_assign" ->
-      """WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
-        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
-        |x AS (SELECT label, pos,
-        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
-        |  FROM e),
-        |g AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv
-        |  FROM x GROUP BY 1, 2),
-        |c AS (SELECT label,
-        |    list(CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) ORDER BY pos) AS cvec
-        |  FROM g GROUP BY 1),
-        |a AS (SELECT v.vec_id, v.label AS true_label, c.label AS cand,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(range(len(v.embedding)), j ->
-        |        (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]) * (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]))),
-        |      (p, q) -> p + q) AS dist
-        |  FROM embeddings v, c WHERE v.embedding IS NOT NULL),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rk FROM a)
-        |SELECT true_label AS label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
-        |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
-
-    // class centroids: per-component micro-rounded exact long sums —
-    // the division at the end is IEEE-identical given identical longs
-    "x_emb_centroids" ->
-      """WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |x AS (SELECT label, pos,
-        |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
-        |  FROM e),
-        |g AS (SELECT label, CAST(pos AS BIGINT) AS pos,
-        |    CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS n_vectors
-        |  FROM x GROUP BY 1, 2)
-        |SELECT label, pos,
-        |       CAST(s6 AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0) AS centroid,
-        |       n_vectors
-        |FROM g""".stripMargin,
-
-    // same per-element formula and left-to-right fold order as the
-    // Spark side; the zero-vector guard nulls identically via CASE
-    // JL projection: the identical ± chain per output component, sign
-    // matrix re-derived from the same (dim, outDim, seed) call
-    "x_emb_project" -> embProjectOracleSql,
-
-    "x_emb_quant" ->
-      """WITH s AS (SELECT vec_id, embedding,
-        |    (SELECT max(abs(CAST(a AS DOUBLE))) FROM (SELECT unnest(embedding) AS a)) AS mx
-        |  FROM embeddings),
-        |t AS (SELECT vec_id, embedding, (CASE WHEN mx > 0 THEN mx END) / 127.0 AS sc FROM s),
-        |r AS (SELECT vec_id, sc, embedding,
-        |    list_transform(embedding, x -> least(greatest(floor(CAST(x AS DOUBLE) / sc + 0.5), -127.0), 127.0) * sc) AS recon
-        |  FROM t),
-        |m AS (SELECT vec_id, sc,
-        |    (SELECT sum(CAST(a AS DOUBLE) * b) FROM (SELECT unnest(embedding) AS a, unnest(recon) AS b)) AS dt,
-        |    sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(embedding) AS a))) AS na,
-        |    sqrt((SELECT sum(b * b) FROM (SELECT unnest(recon) AS b))) AS nb,
-        |    (SELECT max(abs(CAST(a AS DOUBLE) - b)) FROM (SELECT unnest(embedding) AS a, unnest(recon) AS b)) AS mxe
-        |  FROM r)
-        |SELECT vec_id,
-        |       floor(sc * 1000000000 + 0.5) / 1000000000 AS qscale,
-        |       floor((dt / (CASE WHEN na * nb > 0 THEN na * nb END)) * 1000000 + 0.5) / 1000000 AS cos_recon,
-        |       floor(mxe * 1000000 + 0.5) / 1000000 AS max_abs_err
-        |FROM m""".stripMargin,
-
-    // 16-dim prefix + L2 renormalization: same sequential sum-of-squares
-    // folds, e1 = prefix[1] / prefix-norm (null when the prefix has no
-    // direction), norm_kept = prefix-norm / full-norm
-    "x_emb_matryoshka" ->
-      """WITH p AS (SELECT vec_id, embedding[1:16] AS pre, embedding AS f FROM embeddings),
-        |n AS (SELECT vec_id,
-        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(pre) AS a))) AS np,
-        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(f) AS a))) AS nf,
-        |        CAST(pre[1] AS DOUBLE) AS p1
-        |      FROM p)
-        |SELECT vec_id,
-        |       floor((np / (CASE WHEN nf > 0 THEN nf END)) * 1000000000 + 0.5) / 1000000000 AS norm_kept,
-        |       floor((CASE WHEN np > 0 THEN p1 / np END) * 1000000000 + 0.5) / 1000000000 AS e1
-        |FROM n""".stripMargin,
-
-    // packed xor+popcount Hamming == per-component sign disagreement
-    // count by construction, so the oracle counts signs directly
-    "x_emb_binquant" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-        |           WHERE vec_id >= 20 AND vec_id < 25),
-        |s AS (SELECT q.query_id, e.vec_id,
-        |        CAST(len(list_filter(range(1, 65),
-        |          i -> (CAST(e.embedding[i] AS DOUBLE) > 0) <> (CAST(q.qe[i] AS DOUBLE) > 0))) AS BIGINT) AS hamming
-        |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS INT) AS rank FROM s)
-        |SELECT query_id, vec_id, hamming, rank FROM r WHERE rank <= 8""".stripMargin,
-
-    // PQ encode: the oracle re-derives every per-subspace distance as
-    // the SAME left-associative double chain (generated from the same
-    // codebook constants), so argmin indices and min distances are
-    // bitwise identical
-    "x_emb_pq" ->
-      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings)
-         |SELECT vec_id, ${pqCodesSql},
-         |       ${Rounding.halfUpSql(pqReconErrSql, 6)} AS recon_err
-         |FROM c""".stripMargin,
-
-    // ADC search: query q's distance LIST per subspace indexed at the
-    // corpus row's code — Σ_j dl_j[code_j] — rounded BEFORE ranking on
-    // both sides (rank ties break on candidate id)
-    "x_emb_pq_search" ->
-      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
-         |enc AS (SELECT vec_id, ${pqCodesSql},
-         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
-         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
-         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
-         |      FROM enc q, enc x
-         |      WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
-         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 10""".stripMargin,
-
-    // IVFADC full probe scores every (query, corpus) pair exactly once
-    // (each corpus row in ONE cell, every cell probed), so the oracle
-    // is the same flat-ADC SQL with this gate's query range and k —
-    // cell assignment provably cannot change the result
-    "x_emb_ivfpq" ->
-      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
-         |enc AS (SELECT vec_id, ${pqCodesSql},
-         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
-         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
-         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
-         |      FROM enc q, enc x
-         |      WHERE q.vec_id >= 5 AND q.vec_id < 12 AND x.vec_id <> q.vec_id),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
-         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 6""".stripMargin,
-
-    // persistence gates: x_emb_pq_saved encodes with a LOADED codebook,
-    // so its oracle is x_emb_pq's SQL verbatim; x_emb_ivfpq_saved runs
-    // full-probe IVFADC over loaded centroids, so the flat-ADC oracle
-    // applies with its own query range/k
-    "x_emb_pq_saved" ->
-      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings)
-         |SELECT vec_id, ${pqCodesSql},
-         |       ${Rounding.halfUpSql(pqReconErrSql, 6)} AS recon_err
-         |FROM c""".stripMargin,
-
-    "x_emb_ivfpq_saved" ->
-      s"""WITH c AS (SELECT vec_id, ${pqDistListsSql} FROM embeddings),
-         |enc AS (SELECT vec_id, ${pqCodesSql},
-         |               ${(0 until 8).map(j => s"dl_$j").mkString(", ")} FROM c),
-         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
-         |        ${Rounding.halfUpSql((0 until 8).map(j => s"q.dl_$j[x.code_$j]").mkString(" + "), 6)} AS adc_dist
-         |      FROM enc q, enc x
-         |      WHERE q.vec_id >= 12 AND q.vec_id < 18 AND x.vec_id <> q.vec_id),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INT) AS rank FROM p)
-         |SELECT query_id, vec_id, adc_dist, rank FROM r WHERE rank <= 5""".stripMargin,
-
-    // recall gate: the measured claim is the BOOLEAN (recall >= the
-    // pinned floor); n_queries comes from the table so the row is not
-    // pure constants. A recall collapse in the nprobe<nlist config
-    // flips recall_ok and hash-fails this query.
-    "x_emb_ivfpq_probe" ->
-      """SELECT CAST(6 AS INT) AS k,
-        |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
-        |        WHERE vec_id >= 5 AND vec_id < 12) AS n_queries,
-        |       CAST(0.54 AS DOUBLE) AS recall_min,
-        |       TRUE AS recall_ok""".stripMargin,
-
-    "x_sim_ivf_probe" ->
-      """SELECT CAST(5 AS INT) AS k,
-        |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
-        |        WHERE vec_id < 20) AS n_queries,
-        |       CAST(0.55 AS DOUBLE) AS recall_min,
-        |       TRUE AS recall_ok""".stripMargin,
-
-    // corpus-wide first-occurrence line dedup: keeper = min (doc_id,
-    // line position) per distinct non-blank line (window mirror of the
-    // Spark struct-min aggregate); blank lines always survive
-    "x_text_linededup" ->
-      """WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents),
-        |a AS (SELECT doc_id, t, string_split(t, chr(10)) AS arr FROM d),
-        |l0 AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM a),
-        |l AS (SELECT doc_id, CAST(i - 1 AS INT) AS line_no, arr[i] AS line FROM l0),
-        |nb AS (SELECT doc_id, line_no, line,
-        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rk
-        |       FROM l WHERE trim(line) <> ''),
-        |kept AS (SELECT doc_id, line_no, line FROM nb WHERE rk = 1
-        |         UNION ALL SELECT doc_id, line_no, line FROM l WHERE trim(line) = ''),
-        |r AS (SELECT doc_id, count(*) AS n_kept,
-        |             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
-        |      FROM kept GROUP BY doc_id)
-        |SELECT a.doc_id,
-        |       CAST(coalesce(len(a.arr), 0) AS BIGINT) AS n_lines,
-        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |       coalesce(r.clean_text, '') AS clean_text
-        |FROM a LEFT JOIN r USING (doc_id)""".stripMargin,
-
-    // same windowed-pair construction (1-based positions), same count
-    // ratios with the identical double association; lift on the 6-dp
-    // half-up grid, ordered by the unrounded value then the pair
-    "x_text_pmi" ->
-      """WITH a AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
-        |           FROM documents WHERE trim(text) <> ''),
-        |i0 AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM a WHERE len(arr) >= 2),
-        |pr0 AS (SELECT doc_id, arr, i, unnest(range(1, least(2, len(arr) - i) + 1)) AS d FROM i0),
-        |pr AS (SELECT least(arr[i], arr[i + d]) AS term_a, greatest(arr[i], arr[i + d]) AS term_b FROM pr0),
-        |pc AS (SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS pair_count FROM pr GROUP BY 1, 2),
-        |tot AS (SELECT CAST(sum(pair_count) AS BIGINT) AS p_total FROM pc),
-        |uni AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS c
-        |        FROM (SELECT unnest(arr) AS t FROM a) GROUP BY 1),
-        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
-        |s AS (SELECT term_a, term_b, pair_count,
-        |             CAST(pair_count AS DOUBLE) * n_tokens * n_tokens /
-        |               (CAST(p_total AS DOUBLE) * ua.c * ub.c) AS lift
-        |      FROM pc JOIN uni ua ON pc.term_a = ua.term
-        |              JOIN uni ub ON pc.term_b = ub.term, tot, n
-        |      WHERE pair_count >= 5)
-        |SELECT term_a, term_b, pair_count,
-        |       floor(lift * 1000000 + 0.5) / 1000000 AS lift
-        |FROM s ORDER BY s.lift DESC, term_a, term_b LIMIT 25""".stripMargin,
-
-    // same line synthesis; boilerplate = line in >= 3 distinct docs of
-    // the same source, ALL occurrences stripped, blanks exempt
-    "x_text_boilerplate" ->
-      """WITH d AS (SELECT doc_id, source, replace(text, ' ', chr(10)) AS t FROM documents),
-        |a AS (SELECT doc_id, source, t, string_split(t, chr(10)) AS arr FROM d),
-        |l0 AS (SELECT doc_id, source, arr, unnest(range(1, len(arr) + 1)) AS i FROM a),
-        |l AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS line_no, arr[i] AS line FROM l0),
-        |bp AS (SELECT source, line FROM l WHERE trim(line) <> ''
-        |       GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3),
-        |kept AS (SELECT l.doc_id, l.line_no, l.line FROM l
-        |         LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
-        |         WHERE bp.line IS NULL),
-        |r AS (SELECT doc_id, count(*) AS n_kept,
-        |             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
-        |      FROM kept GROUP BY doc_id)
-        |SELECT a.doc_id,
-        |       CAST(coalesce(len(a.arr), 0) AS BIGINT) AS n_lines,
-        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |       coalesce(r.clean_text, '') AS clean_text
-        |FROM a LEFT JOIN r USING (doc_id)""".stripMargin,
-
-    // identical regex chain (global flags where Spark replaces all),
-    // identical URL synthesis
-    "x_text_urlcanon" -> {
-      val tp = TextAnalysis.TrackingParamPattern
-      s"""WITH p AS (SELECT doc_id,
-         |    text || ' https://News' || (doc_id % 7) || '.Example.com/Article' || doc_id ||
-         |    '?utm_source=feed' || (doc_id % 3) || '&id=' || (doc_id % 5) ||
-         |    '&utm_campaign=w' || (doc_id % 4) || '#sec' || (doc_id % 3) ||
-         |    ' http://cdn' || (doc_id % 3) || '.example.org/x' || (doc_id % 5) ||
-         |    '?gclid=g' || doc_id || '&page=2' AS text
-         |  FROM documents),
-         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM p),
-         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),
-         |c1 AS (SELECT doc_id, regexp_replace(u, '&$tp=[^&#]*', '', 'g') AS u FROM c0),
-         |c2 AS (SELECT doc_id, regexp_replace(u, '\\?$tp=[^&#]*&', '?') AS u FROM c1),
-         |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]$tp=[^&#]*$$', '') AS u FROM c2),
-         |c4 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '') AS u FROM c3),
-         |k AS (SELECT doc_id,
-         |        CASE WHEN regexp_extract(u, '^(https?://[^/?#]*)', 1) = '' THEN u
-         |             ELSE lower(regexp_extract(u, '^(https?://[^/?#]*)', 1)) ||
-         |                  regexp_replace(u, '^https?://[^/?#]*', '')
-         |        END AS canon_url
-         |      FROM c4)
-         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
-         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-         |FROM k GROUP BY 1""".stripMargin
-    },
-
-    // per-position window Horner (exact BIGINT, mod only at the test)
-    // re-derives every content cutpoint; chunk hashes use the s7
-    // per-step (a*31+b) % P fold over the chunk's codepoints
-    "x_dedup_cdc" ->
-      """WITH cp AS (SELECT doc_id,
-        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
-        |  FROM documents),
-        |pos AS (SELECT doc_id, codes, len(codes) AS n,
-        |          unnest(range(8, len(codes) + 1)) AS i
-        |        FROM cp WHERE len(codes) >= 8),
-        |hw AS (SELECT doc_id, i,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i-7:i]),
-        |                     (a, b) -> a * 31 + b) AS h
-        |       FROM pos),
-        |cuts AS (SELECT DISTINCT doc_id, cut FROM (
-        |           SELECT doc_id, i AS cut FROM hw WHERE (h % 2147483647) % 64 = 0
-        |           UNION ALL
-        |           SELECT doc_id, len(codes) AS cut FROM cp WHERE len(codes) > 0)),
-        |oc AS (SELECT c.doc_id, c.cut, cp.codes,
-        |         CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.cut) - 1 AS BIGINT) AS chunk_index,
-        |         lag(c.cut, 1, 0) OVER (PARTITION BY c.doc_id ORDER BY c.cut) AS prev
-        |       FROM cuts c JOIN cp USING (doc_id))
-        |SELECT doc_id, chunk_index,
-        |       CAST(prev + 1 AS BIGINT) AS start,
-        |       CAST(cut - prev AS BIGINT) AS len,
-        |       list_reduce(list_prepend(CAST(0 AS BIGINT), codes[prev+1:cut]),
-        |                   (a, b) -> (a * 31 + b) % 2147483647) AS chunk_hash
-        |FROM oc""".stripMargin,
-
-    // same synthesis, same canonicalization chain as x_text_urlcanon,
-    // then plain group-by-canonical-key with min-id representative
-    "x_dedup_urlkey" -> {
-      val tp = TextAnalysis.TrackingParamPattern
-      s"""WITH u AS (SELECT doc_id,
-         |    'https://Site' || (doc_id % 20) || '.example.com/page' ||
-         |    (doc_id % 50) || '?utm_source=x' || doc_id AS url
-         |  FROM documents),
-         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),
-         |c1 AS (SELECT doc_id, regexp_replace(u, '&$tp=[^&#]*', '', 'g') AS u FROM c0),
-         |c2 AS (SELECT doc_id, regexp_replace(u, '\\?$tp=[^&#]*&', '?') AS u FROM c1),
-         |c3 AS (SELECT doc_id, regexp_replace(u, '[?&]$tp=[^&#]*$$', '') AS u FROM c2),
-         |c4 AS (SELECT doc_id, regexp_replace(u, '[?&]+$$', '') AS u FROM c3),
-         |k AS (SELECT doc_id,
-         |        CASE WHEN regexp_extract(u, '^(https?://[^/?#]*)', 1) = '' THEN u
-         |             ELSE lower(regexp_extract(u, '^(https?://[^/?#]*)', 1)) ||
-         |                  regexp_replace(u, '^https?://[^/?#]*', '')
-         |        END AS curl
-         |      FROM c4)
-         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, curl,
-         |       CAST(count(*) AS BIGINT) AS dup_count
-         |FROM k GROUP BY curl""".stripMargin
-    },
-
-    // identical synthesis (chr() for each planted codepoint), identical
-    // normalization chain; DuckDB's nfc_normalize and the JDK
-    // Normalizer both implement UAX#15 NFC
-    "x_text_normalize" ->
-      """WITH p AS (SELECT doc_id,
-        |    text || ' cafe' || chr(769) || chr(8203) || ' zw' || chr(7) ||
-        |    'ctl' || chr(13) || chr(10) || 'nl' AS text
-        |  FROM documents),
-        |n AS (SELECT doc_id, text,
-        |    regexp_replace(regexp_replace(
-        |      nfc_normalize(regexp_replace(text, '\r\n|\r', chr(10), 'g')),
-        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
-        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS norm_text
-        |  FROM p)
-        |SELECT doc_id, norm_text,
-        |       CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
-        |FROM n""".stripMargin,
-
-    // same perturbation, same per-column profile arithmetic; distinct
-    // counts ignore nulls in both engines
-    "s22_profile_diff" -> {
-      def side(src: String, suffix: String) =
-        Seq("c_mktsegment", "c_nationkey").map { c =>
-          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows_$suffix,
-             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_$suffix,
-             |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct_$suffix
-             |FROM $src""".stripMargin
-        }.mkString("\nUNION ALL\n")
-      s"""WITH b AS (SELECT c_custkey,
-         |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
-         |    c_nationkey
-         |  FROM customer WHERE c_custkey % 5 <> 0),
-         |pa AS (${side("customer", "a")}),
-         |pb AS (${side("b", "b")})
-         |SELECT col_name, n_rows_a, n_null_a, n_distinct_a,
-         |       n_rows_b, n_null_b, n_distinct_b,
-         |       ${Rounding.halfUpSql(
-                 "CAST(n_null_b AS DOUBLE) / n_rows_b - CAST(n_null_a AS DOUBLE) / n_rows_a", 9)} AS null_rate_delta
-         |FROM pa JOIN pb USING (col_name)""".stripMargin
-    },
-
-    // Pearson from the same exact long moments, same double formula
-    // (DuckDB's sum(int) is HUGEINT — exact; the DOUBLE casts land on
-    // identical values ≤ 2^53). CAST(l_quantity AS BIGINT) diverges
-    // from Spark's truncating cast only on non-integer values, which
-    // l_quantity doesn't have (the a2 contract).
-    "s21_corr" -> {
-      val names = Seq("l_linenumber", "qty", "disc_cents", "tax_cents")
-      def d(x: String) = s"CAST($x AS DOUBLE)"
-      def varD(i: Int) = s"(${d("n")} * ${d(s"q$i")} - ${d(s"s$i")} * ${d(s"s$i")})"
-      def rSql(i: Int, j: Int) = Rounding.halfUpSql(
-        s"CASE WHEN ${varD(i)} > 0 AND ${varD(j)} > 0 THEN " +
-          s"(${d("n")} * ${d(s"p${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")}) / " +
-          s"(sqrt(${varD(i)}) * sqrt(${varD(j)})) END", 9)
-      val pairIdx = for { i <- names.indices; j <- names.indices if i < j } yield (i, j)
-      val moments =
-        (names.indices.map(i => s"sum(${names(i)}) AS s$i") ++
-          names.indices.map(i => s"sum(${names(i)} * ${names(i)}) AS q$i") ++
-          pairIdx.map { case (i, j) => s"sum(${names(i)} * ${names(j)}) AS p${i}_$j" } :+
-          "count(*) AS n").mkString(", ")
-      val branches = pairIdx.map { case (i, j) =>
-        s"SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b, n, ${rSql(i, j)} AS r FROM m"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH b AS (SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
-         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents,
-         |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_cents
-         |  FROM lineitem
-         |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
-         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
-         |m AS (SELECT $moments FROM b)
-         |$branches""".stripMargin
-    },
-
-    // same start grid (multiples of step below the token count) and the
-    // same clamped slice arithmetic
-    "x_text_chunks" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM d WHERE len(toks) > 0)
-         |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_index,
-         |       CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens,
-         |       array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text
-         |FROM s""".stripMargin,
-
-    // argmax mirror of max_by((score, -id)): score desc, id asc
-    "x_dedup_keepbest" ->
-      s"""WITH n AS (SELECT doc_id, lang, source, n_chars, array_to_string($toksSql, ' ') AS j FROM documents),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY j ORDER BY n_chars DESC, doc_id ASC) AS rk FROM n)
-         |SELECT doc_id, lang, source FROM r WHERE rk = 1""".stripMargin,
-
-    // fingerprint equality == normalized-token-stream equality (the
-    // x_text_fingerprint argument), so the anti-join mirrors NOT EXISTS
-    // on the joined token stream
-    "x_dedup_incr" ->
-      s"""WITH n AS (SELECT doc_id, lang, source, array_to_string($toksSql, ' ') AS j FROM documents WHERE doc_id >= 400),
-         |i AS (SELECT DISTINCT array_to_string($toksSql, ' ') AS j FROM documents WHERE doc_id < 400)
-         |SELECT doc_id, lang, source FROM n
-         |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.j = n.j)""".stripMargin,
-
-    // same affine hash and identical rate arithmetic:
-    // u < least(1, 0.2 * (w * n / ws))
-    // the aggregate's (hash desc, key asc) order == the window's;
-    // CRT pair of seeded affine hashes (seed 42 → multipliers
-    // 514272 / 741146) combined as h1*P2 + h2 — injective below
-    // P1*P2 ≈ 1.2e18 keys, every product BIGINT-safe in both engines
-    "s20_sample_pergroup" ->
-      """WITH h AS (SELECT o_orderstatus, o_orderkey,
-        |        ((o_orderkey % 1073741789) * 514272) % 1073741789 * 1073741783
-        |          + ((o_orderkey % 1073741783) * 741146) % 1073741783 AS hv
-        |      FROM orders),
-        |r AS (SELECT o_orderstatus, o_orderkey,
-        |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv DESC, o_orderkey) AS rn
-        |      FROM h)
-        |SELECT o_orderstatus, o_orderkey FROM r WHERE rn <= 10""".stripMargin,
-
-    "s17_sample_weighted" ->
-      """WITH st AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws,
-        |                   CAST(count(l_quantity) AS BIGINT) AS wn
-        |            FROM lineitem),
-        |k AS (SELECT l.l_returnflag, l.l_quantity
-        |      FROM lineitem l, st
-        |      WHERE CAST(((l.l_orderkey * 8 + l.l_linenumber) % 1000003) * 514229 + 741103 AS BIGINT) % 1000003
-        |            / 1000003.0
-        |            < least(1.0, 0.2 * (CAST(l.l_quantity AS DOUBLE) * st.wn / st.ws)))
-        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_kept
-        |FROM k GROUP BY 1""".stripMargin,
-
-    // identical operation order: mean = s/n, var = (ss - s*s/n)/(n-1),
-    // z = (x - mean)/sqrt(var), all from exact integer moments
-    "s16_zscore" ->
-      """WITH st AS (SELECT p_brand,
-        |              CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS s,
-        |              CAST(sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS BIGINT) AS ss,
-        |              CAST(count(p_size) AS BIGINT) AS n
-        |            FROM part GROUP BY 1)
-        |SELECT p.p_partkey, p.p_size,
-        |       floor((CASE WHEN n >= 2 AND ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) > 0
-        |              THEN (CAST(p.p_size AS DOUBLE) - CAST(s AS DOUBLE) / n)
-        |                   / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) END) * 1000000000 + 0.5) / 1000000000 AS z
-        |FROM part p JOIN st ON p.p_brand = st.p_brand""".stripMargin,
-
-    "s15_profile" ->
-      """SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null,
-        |       CAST(count(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT) AS n_distinct
-        |FROM customer
-        |UNION ALL
-        |SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
-        |       CAST(count(*) - count(c_mktsegment) AS BIGINT),
-        |       CAST(count(DISTINCT CAST(c_mktsegment AS VARCHAR)) AS BIGINT)
-        |FROM customer
-        |UNION ALL
-        |SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
-        |       CAST(count(*) - count(c_nationkey) AS BIGINT),
-        |       CAST(count(DISTINCT CAST(c_nationkey AS VARCHAR)) AS BIGINT)
-        |FROM customer""".stripMargin,
-
-    // exact-mode Space-Saving == plain top-3 by (count desc, value asc);
-    // exact-mode sketch p50 == lower median (min value whose cumulative
-    // count reaches half the total). Only the integral columns emit
-    // rows (c_mktsegment's empty top_values explodes away).
-    "s15b_profile_topk" -> {
-      def perCol(c: String) =
-        s"""SELECT '$c' AS col_name,
-           |       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
-           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM customer) AS n_null,
-           |       (SELECT CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) FROM customer) AS n_distinct,
-           |       (SELECT CAST(min(v) AS BIGINT) FROM (
-           |          SELECT CAST($c AS BIGINT) AS v,
-           |                 CAST(count(*) AS BIGINT) AS cnt,
-           |                 sum(count(*)) OVER (ORDER BY CAST($c AS BIGINT)) AS cum,
-           |                 sum(count(*)) OVER () AS tot
-           |          FROM customer WHERE $c IS NOT NULL GROUP BY 1)
-           |        WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)) AS p50,
-           |       CAST(rank AS INT) AS rank, top_value, top_count
-           |FROM (SELECT CAST($c AS BIGINT) AS top_value,
-           |             CAST(count(*) AS BIGINT) AS top_count,
-           |             row_number() OVER (ORDER BY count(*) DESC, CAST($c AS BIGINT) ASC) AS rank
-           |      FROM customer WHERE $c IS NOT NULL GROUP BY 1)
-           |WHERE rank <= 3""".stripMargin
-      perCol("c_custkey") + "\nUNION ALL\n" + perCol("c_nationkey")
-    },
-
-    "j3_salted_join" ->
-      """WITH ut AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events FROM events GROUP BY 1)
-        |SELECT e.event_type,
-        |       CAST(sum(ut.user_events) AS BIGINT) AS sum_user_events,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM events e JOIN ut ON e.user_id = ut.user_id
-        |GROUP BY 1""".stripMargin,
-
-    // lower weighted median: smallest value whose cumulative weight
-    // reaches half the total (same cum >= q*tot double comparison)
-    "x_agg_wquantile" ->
-      """WITH b AS (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS v,
-        |             CAST(l_linenumber AS BIGINT) AS w
-        |           FROM lineitem
-        |           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
-        |s AS (SELECT l_returnflag, v, CAST(sum(w) AS BIGINT) AS wv FROM b GROUP BY 1, 2),
-        |c AS (SELECT l_returnflag, v, wv,
-        |        CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
-        |        CAST(sum(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
-        |      FROM s)
-        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS median_qty
-        |FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
-        |GROUP BY 1""".stripMargin,
-
-    "x_agg_heavyhitters" ->
-      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
-        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rn FROM c)
-        |SELECT CAST(rn AS INT) AS rank, user_id, n FROM r WHERE rn <= 10""".stripMargin,
-
-    // the window form IS the oracle: identical (weight desc, value asc)
-    // order contract as the bounded aggregate
-    "x_agg_topk" ->
-      """WITH per AS (SELECT event_type, user_id,
-        |        CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-        |      FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, user_id, cents,
-        |        row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rank
-        |      FROM per WHERE cents IS NOT NULL)
-        |SELECT event_type, CAST(rank AS INT) AS rank, user_id, cents
-        |FROM r WHERE rank <= 5""".stripMargin,
-
-    // plain BETWEEN theta-join — DuckDB's IEJoin handles it natively;
-    // the Spark side must reach the identical result through the binned
-    // equi-join decomposition
-    "j4_range_join" ->
-      """WITH b AS (SELECT p_partkey AS band, p_retailprice * 10 AS lo,
-        |             p_retailprice * 10 + 5000 + (p_partkey % 7) * 3000 AS hi
-        |           FROM part WHERE p_partkey <= 100)
-        |SELECT b.band, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-        |FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
-        |GROUP BY 1""".stripMargin,
-
-    // same affine hash mod 1000003 and the same least(1, budget/total)
-    // rate arithmetic; src5's zero budget drops the group entirely
-    "x_corpus_mixture" ->
-      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
-         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
-         |r AS (SELECT t.doc_id, t.source, t.tok,
-         |        coalesce(least(1.0,
-         |          (CASE t.source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800 WHEN 'src5' THEN 0 END)
-         |            / CAST(tot.total AS DOUBLE)), 1.0) AS rate,
-         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
-         |      FROM t JOIN tot ON t.source = tot.source)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
-         |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
-
-    // the composed last mile: corpus-clean CTEs → the temperature CTEs
-    // over `clean` (same Z fold/rate arithmetic as x_corpus_temperature)
-    // → second-round-hash split (cuts are the Scala cumulative doubles)
-    // → running-sum packing PARTITIONED BY (split, shard)
-    "x_corpus_e2e" -> {
-      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      corpusCleanCtes + s""",
-         |t AS (SELECT doc_id, lang, source, CAST(len($toksSql) AS BIGINT) AS tok FROM clean),
-         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
-         |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list(pow(CAST(total AS DOUBLE), 0.5) ORDER BY source)),
-         |        (a, b) -> a + b) AS z
-         |      FROM tot),
-         |mixed AS (SELECT t.doc_id, t.lang, t.source, t.tok
-         |      FROM t JOIN tot ON t.source = tot.source, z
-         |      WHERE CAST(((t.doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0
-         |            < CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
-         |                   ELSE greatest(0.000001, floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000) END),
-         |sp AS (SELECT *, CASE WHEN u2 < ${cuts(0)} THEN 'train'
-         |                      WHEN u2 < ${cuts(1)} THEN 'val'
-         |                      ELSE 'test' END AS split
-         |       FROM (SELECT *,
-         |               CAST((((doc_id % 1000003) * 514229 + 741103) % 1000003 * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u2
-         |             FROM mixed)),
-         |w AS (SELECT *, doc_id % 8 AS shard,
-         |        sum(tok) OVER (PARTITION BY split, doc_id % 8 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS st
-         |      FROM sp)
-         |SELECT doc_id, split, CAST(shard AS BIGINT) AS shard, tok AS token_count,
-         |       CAST(st // 256 AS BIGINT) AS pack_id, CAST(st % 256 AS BIGINT) AS pack_offset,
-         |       lang, source
-         |FROM w""".stripMargin
-    },
-
-    // identical driver arithmetic: Z is a SORTED left-assoc fold
-    // (list_reduce over list(... ORDER BY source) == Scala foldLeft
-    // over the sorted collect), rate = floor(min(1, B*T^a/Z/T)*1e6+.5)/1e6
-    // packing-efficiency: the x_text_pack CTE + one integer aggregate;
-    // crossings = boundaries a doc's body spans inside its start pack
-    "x_text_packeff" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
-         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t),
-         |p AS (SELECT shard, token_count, st % 256 AS pack_offset FROM w),
-         |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(token_count) AS BIGINT) AS n_tokens,
-         |        CAST(sum(CASE WHEN token_count > 0 THEN (pack_offset + token_count - 1) // 256 ELSE 0 END) AS BIGINT) AS n_crossings
-         |      FROM p GROUP BY shard)
-         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
-         |       CAST(CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // 256 + 1 ELSE 0 END AS BIGINT) AS n_packs,
-         |       CAST((CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // 256 + 1 ELSE 0 END) * 256 - n_tokens AS BIGINT) AS tail_waste,
-         |       n_crossings
-         |FROM g""".stripMargin,
-
-    // bucketed batching: pure integer banding + a (shard, band)
-    // row_number — no float anywhere
-    "x_text_batches" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
-         |b AS (SELECT *, greatest(CAST(32 AS BIGINT), ((token_count + 31) // 32) * 32) AS padded_to FROM t),
-         |d AS (SELECT *, greatest(CAST(1 AS BIGINT), 256 // padded_to) AS dpb,
-         |        row_number() OVER (PARTITION BY shard, padded_to ORDER BY doc_id) AS rn FROM b)
-         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, token_count, padded_to,
-         |       CAST((rn - 1) // dpb AS BIGINT) AS batch_id
-         |FROM d""".stripMargin,
-
-    // batch audit: the batches CTE + distinct (band, batch) count and
-    // integer padding sums per shard
-    "x_text_batcheff" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksSql) AS BIGINT) AS token_count FROM documents),
-         |b AS (SELECT *, greatest(CAST(32 AS BIGINT), ((token_count + 31) // 32) * 32) AS padded_to FROM t),
-         |d AS (SELECT *, greatest(CAST(1 AS BIGINT), 256 // padded_to) AS dpb,
-         |        row_number() OVER (PARTITION BY shard, padded_to ORDER BY doc_id) AS rn FROM b),
-         |a AS (SELECT shard, token_count, padded_to, (rn - 1) // dpb AS batch_id FROM d),
-         |nb AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_batches FROM
-         |         (SELECT DISTINCT shard, padded_to, batch_id FROM a) GROUP BY shard)
-         |SELECT CAST(a.shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(token_count) AS BIGINT) AS n_tokens,
-         |       CAST(any_value(nb.n_batches) AS BIGINT) AS n_batches,
-         |       CAST(sum(padded_to) AS BIGINT) AS padded_tokens,
-         |       CAST(sum(padded_to) - sum(token_count) AS BIGINT) AS waste_tokens
-         |FROM a JOIN nb ON a.shard = nb.shard
-         |GROUP BY a.shard""".stripMargin,
-
-    // epoch water-filling: every sum is over exact longs (micro-unit
-    // weights, half-up long capacities), every double is a single-op
-    // expression written in the same association as the Spark plan —
-    // the capped-prefix test and the waterline division match
-    // bit-for-bit
-    "x_corpus_epochs" ->
-      s"""WITH $epochAllocCte
-         |SELECT source, tokens_available, weight, allocated_tokens, epochs
-         |FROM alloc""".stripMargin,
-
-    // the allocation materialized: floor(e) copies per doc plus a
-    // fractional copy below the portable per-key uniform (the same
-    // affine-hash mirror as x_corpus_temperature); shares the alloc
-    // CTE so both keys provably score the same waterline
-    "x_corpus_epochs_expand" ->
-      s"""WITH $epochAllocCte,
-         |d AS (SELECT doc_id, documents.source AS source, epochs,
-         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS uu
-         |      FROM documents JOIN alloc ON documents.source = alloc.source),
-         |e AS (SELECT doc_id, source, CAST(floor(epochs) AS BIGINT) +
-         |        CASE WHEN uu < epochs - floor(epochs) THEN 1 ELSE 0 END AS n
-         |      FROM d)
-         |SELECT doc_id, source, unnest(range(n)) AS epoch FROM e WHERE n > 0""".stripMargin,
-
-    "x_corpus_temperature" ->
-      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
-         |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total FROM t GROUP BY 1),
-         |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |        list(pow(CAST(total AS DOUBLE), 0.5) ORDER BY source)),
-         |        (a, b) -> a + b) AS z
-         |      FROM tot),
-         |r AS (SELECT t.doc_id, t.source, t.tok,
-         |        CASE WHEN tot.total <= 0 OR z.z <= 0 THEN 1.0
-         |             ELSE greatest(0.000001, floor(least(1.0, 2000 * pow(CAST(tot.total AS DOUBLE), 0.5) / z.z / tot.total) * 1000000 + 0.5) / 1000000) END AS rate,
-         |        CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
-         |      FROM t JOIN tot ON t.source = tot.source, z)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
-         |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
-
-    // PageRank unrolled: the fixed iteration count makes the oracle a
-    // finite CTE chain replaying the exact integer micro-unit
-    // arithmetic (`//` = Spark's `div` on positive longs); every sum
-    // is CAST back to BIGINT (DuckDB widens to HUGEINT)
-    "x_graph_rank" ->
-      (graphRankOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
-
-    "x_graph_hits" ->
-      (graphHitsOracleCtes(4) +
-        "\nSELECT a4.node, a4.s AS auth_micro, h4.s AS hub_micro FROM a4 JOIN h4 USING (node)"),
-
-    // co-citation: the same degree-capped (<= 48) self-join on the
-    // shared source, unordered pairs by dst_a < dst_b
-    "x_graph_cocite" ->
-      """WITH e AS (
-        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-        |keep AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 48),
-        |k AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
-        |SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(count(*) AS BIGINT) AS n_common
-        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-
-    // warm-start refresh: 3 cold iterations on the %64 graph (the CTE
-    // chain), then 2 refresh iterations on the %80 graph with init =
-    // prior ranks, new nodes cold-initialized at 1e6 teleport mass
-    "x_graph_rank_refresh" ->
-      (graphRankOracleCtes(3) + """,
-        |e2 AS (
-        |  SELECT DISTINCT doc_id % 80 AS src, (doc_id * 13 + n_chars) % 80 AS dst
-        |  FROM documents WHERE doc_id % 80 <> (doc_id * 13 + n_chars) % 80),
-        |deg2 AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e2 GROUP BY 1),
-        |nodes2 AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
-        |s0 AS (SELECT n.node, CAST(COALESCE(r3.r, 1000000) AS BIGINT) AS r
-        |       FROM nodes2 n LEFT JOIN r3 ON n.node = r3.node),
-        |s1 AS (
-        |  SELECT n.node,
-        |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes2 n
-        |  LEFT JOIN (SELECT e2.dst AS node, s0.r // deg2.outdeg AS contrib
-        |             FROM e2 JOIN s0 ON e2.src = s0.node
-        |                    JOIN deg2 ON e2.src = deg2.src) c ON n.node = c.node
-        |  GROUP BY 1),
-        |s2 AS (
-        |  SELECT n.node,
-        |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes2 n
-        |  LEFT JOIN (SELECT e2.dst AS node, s1.r // deg2.outdeg AS contrib
-        |             FROM e2 JOIN s1 ON e2.src = s1.node
-        |                    JOIN deg2 ON e2.src = deg2.src) c ON n.node = c.node
-        |  GROUP BY 1)
-        |SELECT node, r AS rank_micro FROM s2""".stripMargin),
-
-    "x_graph_seeddist" ->
-      (graphSeedDistOracleCtes(4) + """
-        |SELECT node, CASE WHEN h >= 999999999 THEN NULL ELSE h END AS hops FROM d4""".stripMargin),
-
-    "x_graph_tiers" ->
-      (graphRankOracleCtes(5) + """,
-        tiers AS (
-          SELECT r AS rank_micro,
-                 CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
-                         + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
-                         + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier
-          FROM r5)
-        SELECT tier, CAST(count(*) AS BIGINT) AS n_nodes,
-               CAST(sum(rank_micro) AS BIGINT) AS rank_sum,
-               min(rank_micro) AS rank_min, max(rank_micro) AS rank_max
-        FROM tiers GROUP BY 1"""),
-
-    // role-aware exact turn dedup: keeper = min encoded (conv, turn)
-    // per (role, text) over the boilerplate-planted view; HAVING keeps
-    // only duplicated groups
-    "x_conv_dedup" ->
-      s"""WITH $convViewSql,
-         |c3 AS (SELECT conv_id, turn, role,
-         |         CASE WHEN (conv_id + turn) % 11 = 0 THEN 'thanks!' ELSE text END AS text
-         |       FROM c2)
-         |SELECT role, text,
-         |       CAST(min(conv_id * 1000000 + turn) // 1000000 AS BIGINT) AS keeper_conv,
-         |       CAST(min(conv_id * 1000000 + turn) % 1000000 AS BIGINT) AS keeper_turn,
-         |       CAST(count(*) AS BIGINT) AS dup_count
-         |FROM c3 GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
-
-    // role-aware near dedup: the x_dedup_ngram pair replay with the
-    // role folded into the blocking key and block cap, endpoints
-    // decoded from the encoded turn key
-    "x_conv_dedup_near" ->
-      s"""WITH $convViewSql,
-         |d AS (SELECT conv_id * 1000000 + turn AS tk, role, text, $toksSql AS toks FROM c2),
-         |s0 AS (SELECT tk, role,
-         |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
-         |    coalesce(toks[1], '') AS t0,
-         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-         |  FROM d),
-         |s AS (SELECT tk, role, lenband, t0, sh FROM
-         |    (SELECT s0.*, count(*) OVER (PARTITION BY role, lenband, t0) AS bsz FROM s0)
-         |  WHERE bsz <= $NgramBlockCap),
-         |p AS (SELECT a.tk AS tk_a, b.tk AS tk_b,
-         |    len(list_intersect(a.sh, b.sh)) AS inter,
-         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
-         |  FROM s a JOIN s b ON a.role = b.role AND a.lenband = b.lenband AND a.t0 = b.t0 AND a.tk < b.tk)
-         |SELECT DISTINCT
-         |       CAST(tk_a // 1000000 AS BIGINT) AS conv_a,
-         |       CAST(tk_a % 1000000 AS BIGINT) AS turn_a,
-         |       CAST(tk_b // 1000000 AS BIGINT) AS conv_b,
-         |       CAST(tk_b % 1000000 AS BIGINT) AS turn_b,
-         |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
-         |FROM p
-         |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= 0.2""".stripMargin,
-
-    // conversation e2e: dedup keepers (window-min election ≡ the
-    // aggregate+join) -> suffix truncation -> conversation-atomic
-    // pack layout, all over the planted view
-    "x_conv_e2e" ->
-      s"""WITH $convViewSql,
-         |c3 AS (SELECT conv_id, turn, role,
-         |         CASE WHEN (conv_id + turn) % 11 = 0 THEN 'thanks!' ELSE text END AS text
-         |       FROM c2),
-         |k AS (SELECT conv_id, turn, role, text FROM (
-         |        SELECT c3.*, min(conv_id * 1000000 + turn) OVER (PARTITION BY role, text) AS kk
-         |        FROM c3)
-         |      WHERE conv_id * 1000000 + turn = kk),
-         |tt AS (SELECT conv_id, turn, CAST(len($toksSql) AS BIGINT) AS turn_tokens FROM k),
-         |wn AS (SELECT *,
-         |    CAST(sum(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sfx,
-         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn DESC) AS rn
-         |  FROM tt),
-         |kept AS (SELECT conv_id, turn_tokens FROM wn WHERE rn = 1 OR sfx <= 120),
-         |ct AS (SELECT conv_id, CAST(sum(turn_tokens) AS BIGINT) AS token_count FROM kept GROUP BY 1),
-         |t AS (SELECT conv_id, conv_id % 8 AS shard, token_count FROM ct),
-         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY conv_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
-         |SELECT conv_id, CAST(shard AS BIGINT) AS shard, token_count,
-         |       CAST(st // 256 AS BIGINT) AS pack_id,
-         |       CAST(st % 256 AS BIGINT) AS pack_offset
-         |FROM w""".stripMargin,
-
-    // suffix-window truncation: turn-descending running sum per
-    // conversation; rn=1 pins the always-kept newest turn
-    "x_conv_truncate" ->
-      s"""WITH $convViewSql,
-         |tt AS (SELECT conv_id, turn, role, CAST(len($toksSql) AS BIGINT) AS turn_tokens FROM c2),
-         |wn AS (SELECT *,
-         |    CAST(sum(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sfx,
-         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn DESC) AS rn
-         |  FROM tt)
-         |SELECT conv_id, turn, role, turn_tokens,
-         |       (rn = 1 OR sfx <= 120) AS kept
-         |FROM wn""".stripMargin,
-
-    // degree/reciprocity audit over the cleaned edge set
-    "x_graph_degree" ->
-      """WITH e AS (
-        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
-        |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1),
-        |rc AS (SELECT a.src AS node, CAST(count(*) AS BIGINT) AS reciprocal
-        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
-        |SELECT node,
-        |       COALESCE(out_deg, 0) AS out_deg,
-        |       COALESCE(in_deg, 0) AS in_deg,
-        |       COALESCE(reciprocal, 0) AS reciprocal
-        |FROM nodes LEFT JOIN o USING (node) LEFT JOIN i USING (node)
-        |     LEFT JOIN rc USING (node)""".stripMargin,
-
-    // conversation-level overlap: exact turn-set Jaccard over the
-    // overlap-prone view, df-capped before pairing
-    "x_conv_overlap" ->
-      """WITH v AS (
-        |  SELECT doc_id // 5 AS conv_id, doc_id % 5 + 1 AS turn,
-        |         CASE WHEN (doc_id % 5 + 1) % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
-        |         CASE WHEN doc_id % 7 = 0 THEN 'template ' || (doc_id // 5) % 13 ELSE text END AS text
-        |  FROM documents),
-        |t0 AS (SELECT DISTINCT conv_id AS conv, role, text FROM v),
-        |dfc AS (SELECT role, text FROM (
-        |          SELECT role, text, count(DISTINCT conv) AS df FROM t0 GROUP BY 1, 2)
-        |        WHERE df <= 64),
-        |t AS (SELECT t0.* FROM t0 JOIN dfc USING (role, text)),
-        |sz AS (SELECT conv, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY 1),
-        |p AS (SELECT a.conv AS conv_a, b.conv AS conv_b, CAST(count(*) AS BIGINT) AS shared
-        |      FROM t a JOIN t b ON a.role = b.role AND a.text = b.text AND a.conv < b.conv
-        |      GROUP BY 1, 2)
-        |SELECT conv_a, conv_b, shared, sa.sz AS size_a, sb.sz AS size_b,
-        |       CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
-        |FROM p JOIN sz sa ON p.conv_a = sa.conv JOIN sz sb ON p.conv_b = sb.conv
-        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.1""".stripMargin,
-
-    // conversation shape audit: one aggregate per conversation
-    "x_conv_stats" ->
-      s"""WITH $convViewSql
-         |SELECT conv_id,
-         |       CAST(count(*) AS BIGINT) AS n_turns,
-         |       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
-         |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
-         |       CAST(max(len($toksSql)) AS BIGINT) AS max_turn_tokens,
-         |       min(turn) AS first_turn, max(turn) AS last_turn
-         |FROM c2 GROUP BY 1""".stripMargin,
-
-    // weighted PageRank: multi-edge multiplicity as the link weight,
-    // contribution = (rank * w) // out-weight — same unrolled replay
-    "x_graph_rank_weighted" ->
-      (graphRankWeightedOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
-
-    // TrustRank: the unrolled replay with the teleport vector
-    // restricted to seed domains (node % 7 = 0), rank initialized AT
-    // the teleport vector
-    "x_graph_trust" ->
-      (graphTrustOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
-
-    // weakly-connected components: recursive min-label closure over
-    // the symmetrized edge set (the x_dedup_clusters replay shape).
-    // NB inside WITH RECURSIVE a two-branch `a UNION b` CTE is treated
-    // as an ITERATION by DuckDB (base/step), not a set union — spell
-    // the dedup as DISTINCT over UNION ALL
-    "x_graph_components" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-        |nodes AS (SELECT DISTINCT node FROM
-        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-        |edges AS (SELECT DISTINCT src, dst FROM
-        |            (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
-        |reach(rid, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.rid),
-        |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
-        |SELECT n.node AS id, coalesce(l.cluster, n.node) AS cluster
-        |FROM nodes n LEFT JOIN lbls l ON n.node = l.rid""".stripMargin,
-
-    // rank-tier curation compose: top-2-tier domains keep their docs,
-    // token budget per source (the tier table is the broadcast side)
-    "x_graph_qmix" ->
-      (graphRankOracleCtes(5) + s""",
-        |tiers AS (
-        |  SELECT node,
-        |         CAST(3 - ((CASE WHEN r > 800000 THEN 1 ELSE 0 END)
-        |                 + (CASE WHEN r > 1000000 THEN 1 ELSE 0 END)
-        |                 + (CASE WHEN r > 1200000 THEN 1 ELSE 0 END)) AS INTEGER) AS tier
-        |  FROM r5),
-        |docs AS (SELECT source, doc_id % 64 AS node,
-        |           CAST(len($toksSql) AS BIGINT) AS tok
-        |         FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(tok) AS BIGINT) AS tokens_kept
-        |FROM docs JOIN tiers USING (node)
-        |WHERE tier <= 1
-        |GROUP BY 1""".stripMargin),
-
-    // conversation-preserving packing: conversation token sums feed the
-    // same shard-partitioned running-sum layout as x_text_pack — at the
-    // conversation level, so no conversation can straddle a pack
-    "x_conv_pack" ->
-      s"""WITH $convViewSql,
-         |ct AS (SELECT conv_id, CAST(sum(len($toksSql)) AS BIGINT) AS token_count FROM c2 GROUP BY 1),
-         |t AS (SELECT conv_id, conv_id % 8 AS shard, token_count FROM ct),
-         |w AS (SELECT *, sum(token_count) OVER (PARTITION BY shard ORDER BY conv_id ROWS UNBOUNDED PRECEDING) - token_count AS st FROM t)
-         |SELECT conv_id, CAST(shard AS BIGINT) AS shard, token_count,
-         |       CAST(st // 256 AS BIGINT) AS pack_id,
-         |       CAST(st % 256 AS BIGINT) AS pack_offset
-         |FROM w""".stripMargin,
-
-    // tokenizer round-trip: decode the id stream through the reversed
-    // vocab (ids join vocab twice — forward to make ids, backward to
-    // decode), gather per doc in position order, compare against the
-    // whitespace-stripped normalized input
-    "x_text_bpe_decode" ->
-      s"""WITH $bpeStreamCtes,
-         |v AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
-         |      FROM (SELECT DISTINCT token FROM s)),
-         |i AS (SELECT s.doc_id, s.pos, v.token_id FROM s JOIN v USING (token)),
-         |r AS (SELECT i.doc_id, string_agg(v2.token, '' ORDER BY i.pos) AS dec,
-         |        CAST(count(*) AS BIGINT) AS nt
-         |      FROM i JOIN v v2 USING (token_id) GROUP BY 1),
-         |base AS (SELECT doc_id, CAST(source AS VARCHAR) AS slice,
-         |           regexp_replace(lower(replace(text, '|', '')), '\\s+', '', 'g') AS ref
-         |         FROM documents)
-         |SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(CASE WHEN coalesce(r.dec, '') = base.ref THEN 1 ELSE 0 END) AS BIGINT) AS n_lossless,
-         |       CAST(sum(coalesce(r.nt, 0)) AS BIGINT) AS n_tokens,
-         |       CAST(sum(length(base.ref)) AS BIGINT) AS n_chars
-         |FROM base LEFT JOIN r USING (doc_id) GROUP BY 1""".stripMargin,
-
-    // slice entropy: per-type -p·ln(p) micro terms (the PSI ln recipe)
-    // summed as exact longs per slice
-    "x_text_entropy" ->
-      s"""WITH t AS (SELECT CAST(source AS VARCHAR) AS slice, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT slice, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
-         |n AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-         |m AS (SELECT c.slice, c.c,
-         |        CAST(floor(-((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS hm
-         |      FROM c JOIN n USING (slice)),
-         |g AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |        CAST(count(*) AS BIGINT) AS n_types, CAST(sum(hm) AS BIGINT) AS h
-         |      FROM m GROUP BY 1)
-         |SELECT slice, n_tokens, n_types,
-         |       CAST(h AS DOUBLE) / 1000000.0 AS entropy,
-         |       ${Rounding.halfUpSql(
-                   "(CAST(h AS DOUBLE) / 1000000.0) / (CASE WHEN n_types > 1 THEN ln(CAST(n_types AS DOUBLE)) END)", 6)} AS entropy_norm
-         |FROM g""".stripMargin,
-
-    // pairwise JS divergence: nano-rounded per-shared-token terms
-    // summed as longs; exclusive-mass tail = ln(2) correction from
-    // exact counts in one fixed expression (identical tree both sides)
-    "x_text_js" ->
-      s"""WITH t AS (SELECT CAST(source AS VARCHAR) AS slice, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT slice, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
-         |n AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
-         |j AS (SELECT a.slice AS slice_a, b.slice AS slice_b, a.c AS ca, b.c AS cb, na.n AS na, nb.n AS nb
-         |      FROM c a JOIN c b ON a.tok = b.tok AND a.slice < b.slice
-         |      JOIN n na ON na.slice = a.slice JOIN n nb ON nb.slice = b.slice),
-         |m AS (SELECT slice_a, slice_b, ca, cb, na, nb,
-         |        CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
-         |              + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))) * 1.0E9 + 0.5) AS BIGINT) AS tn
-         |      FROM j),
-         |g AS (SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_shared_types,
-         |        CAST(sum(tn) AS BIGINT) AS t, CAST(sum(ca) AS BIGINT) AS sa,
-         |        CAST(sum(cb) AS BIGINT) AS sb, max(na) AS na, max(nb) AS nb
-         |      FROM m GROUP BY 1, 2)
-         |SELECT slice_a, slice_b, n_shared_types,
-         |       ${Rounding.halfUpSql(
-                   "(CAST(t AS DOUBLE) / 1.0E9 + ln(2.0) * (CAST(na - sa AS DOUBLE) / CAST(na AS DOUBLE) + CAST(nb - sb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0", 6)} AS js
-         |FROM g""".stripMargin,
-
-    // compaction plan: dir-partitioned running byte offsets, integer
-    // `//` binning, per-group rollup
-    "x_layout_compact" ->
-      """WITH m AS (SELECT CAST(source AS VARCHAR) AS dir, doc_id % 149 AS band,
-        |             CAST(sum(n_chars) AS BIGINT) AS bytes
-        |           FROM documents GROUP BY 1, 2),
-        |f AS (SELECT dir, 'part-' || lpad(CAST(band AS VARCHAR), 4, '0') AS path, bytes FROM m),
-        |w AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY dir ORDER BY path ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS st FROM f)
-        |SELECT dir, CAST(st // 2048 AS BIGINT) AS group_id,
-        |       CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
-        |       min(path) AS first_path, max(path) AS last_path
-        |FROM w GROUP BY 1, 2""".stripMargin,
-
-    // robust outliers: type-1 lower medians over tie groups ((n+1)//2
-    // cumulative threshold), exact integer deviations, k=3 MAD fence
-    "s32_robust_outliers" ->
-      """WITH c AS (SELECT CAST(source AS VARCHAR) AS slice, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
-        |w AS (SELECT *, sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |        sum(c) OVER (PARTITION BY slice) AS tot FROM c),
-        |m AS (SELECT slice, CAST(max(tot) AS BIGINT) AS n,
-        |        min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS median FROM w GROUP BY 1),
-        |d AS (SELECT c.slice, abs(c.v - m.median) AS v, CAST(sum(c.c) AS BIGINT) AS c
-        |      FROM c JOIN m USING (slice) GROUP BY 1, 2),
-        |w2 AS (SELECT *, sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |        sum(c) OVER (PARTITION BY slice) AS tot FROM d),
-        |m2 AS (SELECT slice, min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS mad FROM w2 GROUP BY 1)
-        |SELECT d.slice, m.n, m.median, m2.mad,
-        |       CAST(coalesce(sum(CASE WHEN d.v > m2.mad * 3 THEN d.c END), 0) AS BIGINT) AS n_outliers,
-        |       max(d.v) AS max_dev
-        |FROM d JOIN m USING (slice) JOIN m2 USING (slice)
-        |GROUP BY 1, 2, 3, 4""".stripMargin,
-
-    // skew advisor: exact counts, integer micro-share and ceil-div
-    // salt, deterministic (n desc, key asc) top-25 head
-    "s31_skew_advisor" ->
-      """WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), 'null') AS key,
-        |             CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
-        |SELECT key, n, CAST(n * 1000000 // tt AS BIGINT) AS share_micro,
-        |       CAST((n + 31) // 32 AS BIGINT) AS salt,
-        |       (n > 32) AS skewed
-        |FROM c, t
-        |ORDER BY n DESC, key ASC
-        |LIMIT 25""".stripMargin,
-
-    // daily resample with gap-fill: lattice = range(lo, hi] per user,
-    // forward-fill via the integer group-of-last-non-null identity
-    // (count over preceding rows, then max within the group) — the
-    // same formulation the Spark side uses, portable to any engine
-    "x_ts_resample" ->
-      """WITH base AS (SELECT user_id AS key, epoch_us(ts) // 86400000000 AS bucket,
-        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |obs AS (SELECT key, bucket, CAST(count(*) AS BIGINT) AS n_events,
-        |    CAST(sum(vm) AS BIGINT) AS v_sum_micro FROM base GROUP BY 1, 2),
-        |mm AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
-        |lat AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM mm),
-        |j AS (SELECT lat.key, lat.bucket,
-        |        CAST(COALESCE(obs.n_events, 0) AS BIGINT) AS n_events, obs.v_sum_micro
-        |      FROM lat LEFT JOIN obs ON lat.key = obs.key AND lat.bucket = obs.bucket),
-        |g AS (SELECT *, count(v_sum_micro)
-        |        OVER (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS grp
-        |      FROM j)
-        |SELECT key, bucket, n_events, v_sum_micro,
-        |       CAST(max(v_sum_micro) OVER (PARTITION BY key, grp) AS BIGINT) AS v_ffill_micro
-        |FROM g""".stripMargin,
-
-    // per-key lag/rolling features: strictly-preceding 5-row frame
-    // ordered by the unique (us, event_id); sums CAST back to BIGINT
-    "x_ts_features" ->
-      """WITH base AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS us,
-        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
-        |SELECT key, id, us, vm,
-        |  lag(vm) OVER w AS lag_vm,
-        |  vm - lag(vm) OVER w AS delta_vm,
-        |  us - lag(us) OVER w AS gap_us,
-        |  CAST(count(vm) OVER wr AS BIGINT) AS roll_n,
-        |  CAST(sum(vm) OVER wr AS BIGINT) AS roll_sum,
-        |  min(vm) OVER wr AS roll_min,
-        |  max(vm) OVER wr AS roll_max
-        |FROM base
-        |WINDOW w AS (PARTITION BY key ORDER BY us, id),
-        |  wr AS (PARTITION BY key ORDER BY us, id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin,
-
-    // rolling deviation flag: the divisionless inequality replayed on
-    // the identical frame; NULL dev on an empty frame, AND-false gates
-    "x_ts_anomaly" ->
-      """WITH base AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS us,
-        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |w AS (SELECT key, id, vm,
-        |    CAST(count(vm) OVER wr AS BIGINT) AS roll_n,
-        |    CAST(sum(vm) OVER wr AS BIGINT) AS roll_sum,
-        |    CAST(sum(abs(vm)) OVER wr AS BIGINT) AS roll_abs_sum
-        |  FROM base
-        |  WINDOW wr AS (PARTITION BY key ORDER BY us, id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
-        |SELECT key, id, vm, roll_n, roll_sum, roll_abs_sum,
-        |  abs(vm * roll_n - roll_sum) * 100 AS dev100,
-        |  COALESCE(roll_n >= 3 AND abs(vm * roll_n - roll_sum) * 100 > 200 * roll_abs_sum,
-        |    FALSE) AS is_anomaly
-        |FROM w""".stripMargin,
-
-    // C4 line filters over the planted web-ish view: the same
-    // boilerplate plants, line split, word floor + terminal rule
-    "x_text_c4filters" ->
-      s"""WITH p AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 7 = 0 THEN text || ' { x } '
-         |       WHEN doc_id % 7 = 1 THEN 'Lorem ipsum dolor sit amet. ' || text
-         |       WHEN doc_id % 7 = 2 THEN 'This site uses cookies per our privacy policy. ' || text
-         |       WHEN doc_id % 7 = 3 THEN 'The first line is a clean sentence.' || chr(10) || text || '.' || chr(10) || 'The third line is a clean sentence too.' || chr(10) || 'short line.'
-         |       WHEN doc_id % 7 = 4 THEN text || '.'
-         |       ELSE text END AS text
-         |  FROM documents),
-         |f AS (SELECT doc_id, text, str_split(text, chr(10)) AS lines FROM p),
-         |k AS (SELECT doc_id, text, CAST(len(lines) AS BIGINT) AS n_lines,
-         |        CAST(len(list_filter(lines,
-         |          l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
-         |            AND ${c4TerminalSql("trim(l)")})) AS BIGINT) AS n_kept_lines
-         |      FROM f),
-         |flags AS (SELECT doc_id, n_lines, n_kept_lines,
-         |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
-         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
-         |    (contains(lower(text), 'uses cookies') OR contains(lower(text), 'privacy policy')
-         |      OR contains(lower(text), 'terms of use') OR contains(lower(text), 'cookie policy')) AS has_policy
-         |  FROM k)
-         |SELECT doc_id, has_brace, has_lorem, has_policy, n_lines, n_kept_lines,
-         |  CAST(CASE WHEN n_lines > 0
-         |        THEN floor(CAST(n_kept_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) * 1000000.0 + 0.5)
-         |        ELSE 0 END AS BIGINT) AS kept_ratio_micro,
-         |  (NOT has_brace AND NOT has_lorem AND NOT has_policy AND n_kept_lines >= 2) AS keep
-         |FROM flags""".stripMargin,
-
-    // per-item win/loss rollup over the derived preference view
-    "x_pref_winrate" ->
-      (s"WITH $prefGamesSql," +
-        """
-          |wl AS (SELECT winner AS item, 1 AS win FROM games
-          |       UNION ALL SELECT loser, 0 FROM games)
-          |SELECT item, CAST(sum(win) AS BIGINT) AS wins,
-          |       CAST(count(*) - sum(win) AS BIGINT) AS losses,
-          |       CAST(count(*) AS BIGINT) AS games,
-          |       CAST((sum(win) * 1000000) // count(*) AS BIGINT) AS winrate_micro
-          |FROM wl GROUP BY 1""".stripMargin),
-
-    // Bradley-Terry: the 4-iteration MM chain unrolled — every step
-    // references the previous strengths twice (s_i and s_j) plus the
-    // scalar MAX divisor, so each CTE is MATERIALIZED (the HITS
-    // lesson: default inlining is exponential in the chain depth)
-    "x_pref_bt" ->
-      (btOracleCtes(4) +
-        """
-          |SELECT t.item, t.wins, t.games, s4.s AS strength_micro
-          |FROM totals t JOIN s4 USING (item)""".stripMargin),
-
-    // per-iteration max strength move over the same unrolled chain —
-    // one delta row per adjacent (s_{i-1}, s_i) CTE pair
-    "x_pref_bt_delta" ->
-      (btOracleCtes(6) + "\n" +
-        (1 to 6).map { i =>
-          s"""SELECT CAST($i AS INT) AS iteration,
-             |       CAST(max(abs(a.s - b.s)) AS BIGINT) AS max_delta_micro
-             |FROM s$i a JOIN s${i - 1} b USING (item)""".stripMargin
-        }.mkString("\nUNION ALL\n")),
-
-    // Wilson band: identical double expression shape both engines
-    // (1.96 literal round-trips to the same IEEE double; sqrt is
-    // correctly rounded everywhere), halfUp 6 like every double output
-    "x_pref_wilson" ->
-      (s"WITH $prefGamesSql," +
-        s"""
-          |wl AS (SELECT winner AS item, 1 AS win FROM games
-          |       UNION ALL SELECT loser, 0 FROM games),
-          |t AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
-          |        CAST(count(*) - sum(win) AS BIGINT) AS losses,
-          |        CAST(count(*) AS BIGINT) AS games,
-          |        CAST((sum(win) * 1000000) // count(*) AS BIGINT) AS winrate_micro
-          |      FROM wl GROUP BY 1),
-          |w AS (SELECT *, CAST(wins AS DOUBLE) / CAST(games AS DOUBLE) AS p,
-          |        CAST(games AS DOUBLE) AS nn FROM t)
-          |SELECT item, wins, losses, games, winrate_micro,
-          |  ${Rounding.halfUpSql("(p + (1.96*1.96)/(2.0*nn) - 1.96 * sqrt(p*(1.0-p)/nn + (1.96*1.96)/(4.0*(nn*nn)))) / (1.0 + (1.96*1.96)/nn)", 6)} AS wilson_lo,
-          |  ${Rounding.halfUpSql("(p + (1.96*1.96)/(2.0*nn) + 1.96 * sqrt(p*(1.0-p)/nn + (1.96*1.96)/(4.0*(nn*nn)))) / (1.0 + (1.96*1.96)/nn)", 6)} AS wilson_hi
-          |FROM w""".stripMargin),
-
-    // Cohen's kappa over the derived two-rater view; kappa division
-    // replays Spark's truncate-toward-zero div via the sign-factored
-    // form (negative kappa is possible in general)
-    "x_pref_kappa" ->
-      """WITH r AS (SELECT doc_id AS item, 'a' AS rater, lang AS label FROM documents
-        |           UNION ALL
-        |           SELECT doc_id, 'b',
-        |                  CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
-        |           FROM documents),
-        |one AS (SELECT item, rater, min(label) AS label FROM r
-        |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
-        |bth AS (SELECT a.item, a.label AS la, b.label AS lb
-        |        FROM (SELECT item, label FROM one WHERE rater = 'a') a
-        |        JOIN (SELECT item, label FROM one WHERE rater = 'b') b USING (item)),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-        |          CAST(coalesce(sum(CASE WHEN la = lb THEN 1 END), 0) AS BIGINT) AS n_agree
-        |        FROM bth),
-        |ca AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS ca FROM bth GROUP BY 1),
-        |cb AS (SELECT lb AS label, CAST(count(*) AS BIGINT) AS cb FROM bth GROUP BY 1),
-        |ch AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS crs
-        |       FROM ca JOIN cb USING (label)),
-        |po AS (SELECT n_items, n_agree,
-        |         CASE WHEN n_items > 0
-        |           THEN CAST((n_agree * 1000000) // n_items AS BIGINT) END AS po_micro,
-        |         CASE WHEN n_items > 0
-        |           THEN CAST((crs * 1000000) // (n_items * n_items) AS BIGINT) END AS pe_micro
-        |       FROM agg, ch)
-        |SELECT n_items, n_agree, po_micro, pe_micro,
-        |       CASE WHEN pe_micro >= 1000000 THEN NULL
-        |            WHEN po_micro >= pe_micro
-        |              THEN CAST(((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro) AS BIGINT)
-        |            ELSE CAST(-(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
-        |       END AS kappa_micro
-        |FROM po""".stripMargin,
-
-    // duplication-aware sampling weights: the dedup family's cluster
-    // replay (reach = min-label closure) + 1e6 // size per member,
-    // rolled up per source
-    "x_corpus_dupweight" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
-         |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster, d.source
-         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
-         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
-         |SELECT asg.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(count(DISTINCT asg.cluster) AS BIGINT) AS n_clusters,
-         |       CAST(sum(1000000 // cs.sz) AS BIGINT) AS eff_docs_micro
-         |FROM asg JOIN cs USING (cluster)
-         |GROUP BY 1""".stripMargin,
-
-    // per-slice average-rank percentile over tie groups — the exact
-    // integer identity, single-value slices at the 500000 midpoint
-    "x_stats_ranknorm" ->
-      """WITH g AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS ties
-        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-        |  GROUP BY 1, 2),
-        |w AS (SELECT lang, n_chars, ties,
-        |    CAST(sum(ties) OVER (PARTITION BY lang ORDER BY n_chars
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(sum(ties) OVER (PARTITION BY lang) AS BIGINT) AS n
-        |  FROM g)
-        |SELECT lang, n_chars, ties,
-        |  CAST(CASE WHEN n > 1
-        |        THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
-        |        ELSE 500000 END AS BIGINT) AS pct_micro
-        |FROM w""".stripMargin,
-
-    // daily-volume OLS trend: exact integer moments; negative
-    // numerators replay Spark's truncate-toward-zero div via the
-    // sign-factored abs form (DuckDB's // floors — the documented
-    // negative-division divergence)
-    "x_ts_trend" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(count(*) AS BIGINT) AS y
-        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        |  GROUP BY 1, 2),
-        |m AS (SELECT event_type AS "group", CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(day * y) AS BIGINT) AS sxy, CAST(sum(day * day) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM daily GROUP BY 1),
-        |d AS (SELECT "group", n, sx, sy,
-        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
-        |    n * syy - sy * sy AS ytot FROM m),
-        |sl AS (SELECT *, CASE WHEN den <> 0 THEN
-        |      CASE WHEN num >= 0 THEN (num * 1000000) // den
-        |           ELSE -(((-num) * 1000000) // den) END END AS slope_micro
-        |  FROM d),
-        |ic AS (SELECT *, CASE WHEN den <> 0 THEN
-        |      CASE WHEN sy * 1000000 - slope_micro * sx >= 0
-        |           THEN (sy * 1000000 - slope_micro * sx) // n
-        |           ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END END AS intercept_micro
-        |  FROM sl)
-        |SELECT "group", n, CAST(slope_micro AS BIGINT) AS slope_micro,
-        |  CAST(intercept_micro AS BIGINT) AS intercept_micro,
-        |  CASE WHEN den <> 0 AND ytot <> 0 THEN
-        |    floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
-        |      / (CAST(den AS DOUBLE) * CAST(ytot AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
-        |  END AS r2
-        |FROM ic""".stripMargin,
-
-    // template prefixes over the planted mailer view: exact shares of
-    // shared 24-char prefixes per source past the df floor
-    "x_text_templates" ->
-      """WITH p AS (SELECT source AS slice,
-        |    substr(CASE WHEN doc_id % 3 = 0
-        |           THEN 'Subscribe to our newsletter today! ' || text
-        |           ELSE text END, 1, 24) AS prefix
-        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
-        |c AS (SELECT slice, prefix, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
-        |t AS (SELECT slice, CAST(count(*) AS BIGINT) AS slice_total FROM p GROUP BY 1)
-        |SELECT c.slice, c.prefix, c.n, t.slice_total,
-        |       CAST((c.n * 1000000) // t.slice_total AS BIGINT) AS share_micro
-        |FROM c JOIN t USING (slice) WHERE c.n >= 2""".stripMargin,
-
-    // mean-centering audit: micro-long elements, truncate-toward-zero
-    // per-dimension mean (the sign-factored replay of Spark's div on
-    // possibly-negative sums), exact long sums of squares
-    "x_emb_center" ->
-      """WITH e AS (SELECT vec_id AS id, label AS grp,
-        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vm
-        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
-        |m AS (SELECT grp, pos, CAST(sum(vm) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
-        |mm AS (SELECT grp, pos,
-        |    CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END AS mean_micro FROM m),
-        |j AS (SELECT e.grp, e.id, e.vm, mm.mean_micro
-        |      FROM e JOIN mm ON e.grp = mm.grp AND e.pos = mm.pos),
-        |a AS (SELECT grp, CAST(count(DISTINCT id) AS BIGINT) AS n_vecs,
-        |    CAST(sum(vm * vm) AS BIGINT) AS ss_before,
-        |    CAST(sum((vm - mean_micro) * (vm - mean_micro)) AS BIGINT) AS ss_after
-        |  FROM j GROUP BY 1)
-        |SELECT grp, n_vecs,
-        |  CAST(ss_before // n_vecs AS BIGINT) AS mean_ss_before,
-        |  CAST(ss_after // n_vecs AS BIGINT) AS mean_ss_after,
-        |  CAST(ss_before - ss_after AS BIGINT) AS shift_micro2
-        |FROM a""".stripMargin,
-
-    // seeded Laplace counts: poly-hash -> affine -> centered uniform ->
-    // inverse CDF, every float op in the same order as the Scala side;
-    // the single ln per group is floor-micro-rounded (entropy precedent).
-    // chr(31) mirrors the Scala side's U+001F group/salt domain separator
-    "x_priv_dpcounts" ->
-      s"""WITH c AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n
-         |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
-         |h AS (SELECT *, ((${polyHashSqlOf("\"group\" || chr(31) || 'release-2'")} % 1000003) * 514229 + 741103) % 1000003 AS hv
-         |      FROM c),
-         |u AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 1000003.0 - 0.5 AS cdev FROM h),
-         |z AS (SELECT *, CAST(floor((((-2.0) * sign(cdev)) * ln(1.0 - 2.0 * abs(cdev)))
-         |        * 1000000.0 + 0.5) AS BIGINT) AS noise_micro FROM u)
-         |SELECT "group", n, noise_micro,
-         |       CAST(n * 1000000 + noise_micro AS BIGINT) AS noisy_count_micro,
-         |       CAST(500000 AS BIGINT) AS epsilon_micro
-         |FROM z""".stripMargin,
-
-    // alternation audit over the perturbed-role conversation view:
-    // lag window per conversation + arg-min/max first/last roles
-    "x_conv_alternation" ->
-      s"""WITH $convViewSql,
-         |c3 AS (SELECT conv_id, turn,
-         |         CASE WHEN (turn * 13 + conv_id) % 5 < 2 THEN 'user'
-         |              ELSE 'assistant' END AS role
-         |       FROM c2),
-         |l AS (SELECT conv_id, turn, role,
-         |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn) AS prev
-         |      FROM c3)
-         |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-         |       CAST(coalesce(sum(CASE WHEN role = prev THEN 1 END), 0) AS BIGINT) AS n_violations,
-         |       arg_min(role, turn) AS first_role,
-         |       arg_max(role, turn) AS last_role
-         |FROM l GROUP BY 1""".stripMargin,
-
-    // equi-depth bins on the rank-normalize identity: a tie group
-    // lands whole in min(pct·nbins // 1e6, nbins-1)
-    "x_stats_eqdepth" ->
-      """WITH g AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS ties
-        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-        |  GROUP BY 1, 2),
-        |w AS (SELECT lang, n_chars, ties,
-        |    CAST(sum(ties) OVER (PARTITION BY lang ORDER BY n_chars
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(sum(ties) OVER (PARTITION BY lang) AS BIGINT) AS n
-        |  FROM g),
-        |p AS (SELECT lang, n_chars, ties,
-        |    CAST(CASE WHEN n > 1
-        |          THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
-        |          ELSE 500000 END AS BIGINT) AS pct_micro
-        |  FROM w),
-        |b AS (SELECT lang, n_chars, ties,
-        |    least((pct_micro * 8) // 1000000, 7) AS bin FROM p)
-        |SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(sum(ties) AS BIGINT) AS n_rows,
-        |       CAST(count(*) AS BIGINT) AS n_values,
-        |       min(n_chars) AS lo, max(n_chars) AS hi
-        |FROM b GROUP BY 1, 2""".stripMargin,
-
-    // event-type trigrams: lead windows ordered by (epoch_us, id) —
-    // micro-floored time so nano-vs-micro tie order can't diverge
-    "x_events_paths" ->
-      """WITH s AS (SELECT event_type AS e1,
-        |    lead(event_type, 1) OVER w AS e2,
-        |    lead(event_type, 2) OVER w AS e3
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
-        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    // linear multi-touch: the attribution pair join + a per-conversion
-    // count window, integer credit split
-    "x_events_multitouch" ->
-      """WITH l AS (SELECT user_id, event_id AS from_id, epoch_us(ts) AS fus
-        |  FROM events WHERE event_type = 'click'),
-        |r AS (SELECT user_id AS ru, event_id AS to_id, epoch_us(ts) AS tus
-        |  FROM events WHERE event_type = 'purchase'),
-        |p AS (SELECT l.user_id, from_id, to_id FROM l JOIN r
-        |      ON l.user_id = r.ru AND tus - fus > 0 AND tus - fus <= 1800000000),
-        |n AS (SELECT *, CAST(count(*) OVER (PARTITION BY to_id) AS BIGINT) AS n_touches
-        |      FROM p)
-        |SELECT user_id, CAST(count(DISTINCT to_id) AS BIGINT) AS n_conversions,
-        |       CAST(count(*) AS BIGINT) AS n_pairs,
-        |       CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_sum_micro,
-        |       max(n_touches) AS max_touches
-        |FROM n GROUP BY 1""".stripMargin,
-
-    // referential contract audit over the planted violations: distinct
-    // parent keys left-joined under the child, three counters per rule
-    "x_qc_refint" ->
-      """WITH cust AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
-        |o AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS fk
-        |      FROM orders),
-        |r1 AS (SELECT 'orders->customer' AS rule, CAST(count(*) AS BIGINT) AS n_child,
-        |    CAST(coalesce(sum(CASE WHEN o.fk IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_keys,
-        |    CAST(coalesce(sum(CASE WHEN o.fk IS NOT NULL AND cust.c_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_orphans
-        |  FROM o LEFT JOIN cust ON o.fk = cust.c_custkey),
-        |ord2 AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
-        |r2 AS (SELECT 'lineitem->orders' AS rule, CAST(count(*) AS BIGINT) AS n_child,
-        |    CAST(coalesce(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_keys,
-        |    CAST(coalesce(sum(CASE WHEN l.l_orderkey IS NOT NULL AND ord2.o_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_orphans
-        |  FROM lineitem l LEFT JOIN ord2 ON l.l_orderkey = ord2.o_orderkey)
-        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin,
-
-    // id-sequence completeness: span - distinct = missing ids
-    "x_qc_gaps" ->
-      """WITH a AS (SELECT 'orders.o_orderkey' AS rule,
-        |    CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-        |    CAST(min(o_orderkey) AS BIGINT) AS min_id,
-        |    CAST(max(o_orderkey) AS BIGINT) AS max_id
-        |  FROM orders WHERE o_orderkey IS NOT NULL),
-        |b AS (SELECT 'events.event_id' AS rule,
-        |    CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
-        |    CAST(min(event_id) AS BIGINT) AS min_id,
-        |    CAST(max(event_id) AS BIGINT) AS max_id
-        |  FROM events WHERE event_id IS NOT NULL),
-        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
-        |SELECT rule, n_rows, n_distinct, min_id, max_id,
-        |       CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS n_missing,
-        |       CAST(n_rows - n_distinct AS BIGINT) AS n_dupes
-        |FROM u""".stripMargin,
-
-    // uniqueness over the planted-dup view (every 10th row twice,
-    // every 97th key nulled) — per-key counts then one summary
-    "x_qc_unique" ->
-      s"""WITH $qcDupedOrdersSql,
-         |pk AS (SELECT (k1 IS NULL OR k2 IS NULL) AS isn, k1, k2,
-         |              CAST(count(*) AS BIGINT) AS c
-         |       FROM v GROUP BY 1, 2, 3)
-         |SELECT 'orders.pk' AS rule,
-         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
-         |  CAST(coalesce(sum(CASE WHEN isn THEN c END), 0) AS BIGINT) AS n_null_keys,
-         |  CAST(coalesce(sum(CASE WHEN NOT isn THEN 1 END), 0) AS BIGINT) AS n_distinct,
-         |  CAST(coalesce(sum(CASE WHEN NOT isn AND c > 1 THEN 1 END), 0) AS BIGINT) AS n_dupe_keys,
-         |  CAST(coalesce(sum(CASE WHEN NOT isn THEN c - 1 END), 0) AS BIGINT) AS n_dupe_rows
-         |FROM pk""".stripMargin,
-
-    // accepted-values: per-value counts then one summary; min_invalid
-    // is the deterministic witness
-    "x_qc_enum" ->
-      """WITH e AS (SELECT CASE WHEN event_id % 101 = 0 THEN NULL
-        |                       ELSE event_type END AS v FROM events),
-        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
-        |         (v IS NOT NULL AND
-        |          v NOT IN ('click', 'view', 'signup', 'purchase')) AS bad
-        |       FROM e GROUP BY 1)
-        |SELECT 'events.event_type' AS rule,
-        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
-        |  CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0) AS BIGINT) AS n_null,
-        |  CAST(coalesce(sum(CASE WHEN bad THEN c END), 0) AS BIGINT) AS n_invalid,
-        |  CAST(coalesce(sum(CASE WHEN bad THEN 1 END), 0) AS BIGINT) AS n_invalid_values,
-        |  min(CASE WHEN bad THEN v END) AS min_invalid
-        |FROM pv""".stripMargin,
-
-    // accepted-range on the integral-valued quantity (floor == Spark's
-    // truncating cast for these non-negative integral doubles)
-    "x_qc_range" ->
-      """SELECT 'lineitem.l_quantity' AS rule,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 END), 0) AS BIGINT) AS n_null,
-        |  CAST(coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) < 5 THEN 1 END), 0) AS BIGINT) AS n_below,
-        |  CAST(coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) > 45 THEN 1 END), 0) AS BIGINT) AS n_above,
-        |  CAST(min(floor(l_quantity)) AS BIGINT) AS min_v,
-        |  CAST(max(floor(l_quantity)) AS BIGINT) AS max_v
-        |FROM lineitem""".stripMargin,
-
-    // freshness vs the fixed as-of literal; lag replays Spark's
-    // truncating div via the sign-factored // form
-    "x_qc_fresh" ->
-      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         |             CAST(max(epoch_us(ts)) AS BIGINT) AS max_epoch_us
-         |           FROM events),
-         |l AS (SELECT *,
-         |        CAST(CASE WHEN $QcAsOfEpochUs - max_epoch_us >= 0
-         |               THEN ($QcAsOfEpochUs - max_epoch_us) // 1000000
-         |               ELSE -((max_epoch_us - $QcAsOfEpochUs) // 1000000)
-         |             END AS BIGINT) AS lag_s
-         |      FROM m)
-         |SELECT 'events.ts.weekly' AS rule, n_rows, max_epoch_us, lag_s,
-         |       coalesce(lag_s <= ${7L * 86400L}, false) AS is_fresh FROM l
-         |UNION ALL
-         |SELECT 'events.ts.hourly' AS rule, n_rows, max_epoch_us, lag_s,
-         |       coalesce(lag_s <= 3600, false) AS is_fresh FROM l""".stripMargin,
-
-    // the composed report: every contract's (rule, n_rows,
-    // n_violations) normalization unioned
-    "x_qc_report" ->
-      s"""WITH $qcDupedOrdersSql,
-         |pk AS (SELECT (k1 IS NULL OR k2 IS NULL) AS isn, k1, k2,
-         |              CAST(count(*) AS BIGINT) AS c
-         |       FROM v GROUP BY 1, 2, 3),
-         |refp AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
-         |refint AS (SELECT 'orders->customer' AS rule,
-         |    CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST(coalesce(sum(CASE WHEN o.o_custkey IS NULL THEN 1 END), 0) +
-         |         coalesce(sum(CASE WHEN o.o_custkey IS NOT NULL AND refp.c_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_violations
-         |  FROM orders o LEFT JOIN refp ON o.o_custkey = refp.c_custkey),
-         |gaps AS (SELECT 'events.event_id' AS rule,
-         |    CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST((max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)) +
-         |         (count(*) - count(DISTINCT event_id)) AS BIGINT) AS n_violations
-         |  FROM events WHERE event_id IS NOT NULL),
-         |uniq AS (SELECT 'orders.pk' AS rule,
-         |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
-         |    CAST(coalesce(sum(CASE WHEN isn THEN c END), 0) +
-         |         coalesce(sum(CASE WHEN NOT isn THEN c - 1 END), 0) AS BIGINT) AS n_violations
-         |  FROM pk),
-         |enums AS (SELECT 'events.event_type' AS rule,
-         |    CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 END), 0) +
-         |         coalesce(sum(CASE WHEN event_type IS NOT NULL AND
-         |           event_type NOT IN ('click', 'view', 'signup', 'purchase') THEN 1 END), 0) AS BIGINT) AS n_violations
-         |  FROM events),
-         |rng AS (SELECT 'lineitem.l_quantity' AS rule,
-         |    CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 END), 0) +
-         |         coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) < 5 THEN 1 END), 0) +
-         |         coalesce(sum(CASE WHEN CAST(floor(l_quantity) AS BIGINT) > 45 THEN 1 END), 0) AS BIGINT) AS n_violations
-         |  FROM lineitem),
-         |fr AS (SELECT 'events.ts.hourly' AS rule,
-         |    CAST(count(*) AS BIGINT) AS n_rows,
-         |    CASE WHEN coalesce(
-         |           CAST(CASE WHEN $QcAsOfEpochUs - max(epoch_us(ts)) >= 0
-         |                  THEN ($QcAsOfEpochUs - max(epoch_us(ts))) // 1000000
-         |                  ELSE -((max(epoch_us(ts)) - $QcAsOfEpochUs) // 1000000)
-         |                END AS BIGINT) <= 3600, false)
-         |         THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_violations
-         |  FROM events)
-         |SELECT * FROM refint UNION ALL SELECT * FROM gaps
-         |UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM enums
-         |UNION ALL SELECT * FROM rng UNION ALL SELECT * FROM fr""".stripMargin,
-
-    // edit-distance title dedup: (10-char prefix, lenband, t0) capped
-    // blocks (the prefix keeps blocks corpus-size-free — the measured
-    // 10x fix), unit-cost levenshtein both engines
-    "x_dedup_editdist" ->
-      s"""WITH ttl AS (SELECT doc_id AS id, substr(text, 1, 40) AS t,
-         |    substr(text, 1, 10) AS pb FROM documents),
-         |k AS (SELECT id, t, pb,
-         |    CAST(floor(ln(greatest(length(t), 1)) * 2) AS INT) AS lenband,
-         |    coalesce(list_extract(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
-         |      ELSE string_split_regex(trim(lower(t)), '\\s+') END, 1), '') AS t0
-         |  FROM ttl),
-         |sz AS (SELECT pb, lenband, t0, count(*) AS c FROM k GROUP BY 1, 2, 3),
-         |kk AS (SELECT k.* FROM k JOIN sz
-         |       ON k.pb = sz.pb AND k.lenband = sz.lenband AND k.t0 = sz.t0
-         |       WHERE sz.c <= ${Dedup.DefaultMaxBucketSize}),
-         |p AS (SELECT a.id AS id_a, b.id AS id_b,
-         |        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
-         |        CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS max_len
-         |      FROM kk a JOIN kk b
-         |      ON a.pb = b.pb AND a.lenband = b.lenband AND a.t0 = b.t0 AND a.id < b.id)
-         |SELECT id_a, id_b, dist, max_len FROM p WHERE dist * 100 <= 15 * max_len""".stripMargin
-  )
-
-  /** Shared oracle CTEs for the derived conversation view — mirrors
-    * [[conversations]] verbatim. */
-  private val convViewSql =
-    """conv AS (
-      |  SELECT doc_id % 200 AS conv_id,
-      |         CAST(row_number() OVER (PARTITION BY doc_id % 200 ORDER BY doc_id) AS BIGINT) AS turn,
-      |         text
-      |  FROM documents),
-      |c2 AS (SELECT conv_id, turn,
-      |         CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role, text
-      |       FROM conv)""".stripMargin
-
-  /** The x_graph_* oracle prologue: edge/degree/node CTEs mirroring
-    * [[graphEdges]] + Graph.pageRank's hygiene (distinct edges, no
-    * self-loops), then one CTE per unrolled power iteration. */
-  /** The C4 terminal-punctuation rule as SQL over the 9 literal
-    * suffixes — mirrors [[graft.scale.WebFilters]]'s endsWith chain. */
-  private def c4TerminalSql(v: String): String =
-    (for (p <- Seq(".", "!", "?"); q <- Seq("", "\"", "'")) yield p + q)
-      .map(sfx => s"ends_with($v, '${sfx.replace("'", "''")}')")
-      .mkString("(", " OR ", ")")
-
-  /** The derived pairwise-preference view (`preferenceGames`) as
-    * oracle CTEs ending in `games(winner, loser)`. */
-  private def prefGamesSql: String =
-    """g0 AS (SELECT lang, doc_id,
-      |         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS item, n_chars
-      |       FROM documents),
-      |g1 AS (SELECT item, n_chars,
-      |         lead(item) OVER (PARTITION BY lang ORDER BY doc_id) AS n_item,
-      |         lead(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS n_nchars
-      |       FROM g0),
-      |games AS (SELECT CASE WHEN n_chars > n_nchars THEN item ELSE n_item END AS winner,
-      |                 CASE WHEN n_chars > n_nchars THEN n_item ELSE item END AS loser
-      |          FROM g1
-      |          WHERE n_item IS NOT NULL AND item <> n_item AND n_chars <> n_nchars)""".stripMargin
-
-  /** Bradley-Terry oracle CTE chain — unrolls
-    * [[graft.scale.Preferences.btStrengths]]'s MM iterations (games →
-    * pair matrix → smoothed totals → d/raw/rescale per step). Every
-    * step CTE is referenced twice (the s_i and s_j joins) plus the
-    * scalar MAX divisor, so each is MATERIALIZED — DuckDB's default
-    * inlining would copy the whole preceding chain per reference. */
-  private def btOracleCtes(iterations: Int): String = {
-    val base =
-      s"""WITH $prefGamesSql,
-         |pairs AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
-         |                 CAST(count(*) AS BIGINT) AS n
-         |          FROM games GROUP BY 1, 2),
-         |directed AS (SELECT a AS i, b AS j, n FROM pairs
-         |             UNION ALL SELECT b, a, n FROM pairs),
-         |wl AS (SELECT winner AS item, 1 AS win FROM games
-         |       UNION ALL SELECT loser, 0 FROM games),
-         |totals AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
-         |                  CAST(count(*) AS BIGINT) AS games,
-         |                  CAST(sum(win) + 1 AS BIGINT) AS w_smooth
-         |           FROM wl GROUP BY 1),
-         |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM totals)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-         |d$i AS MATERIALIZED (
-         |  SELECT d.i AS item,
-         |         CAST(sum((d.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS dsum
-         |  FROM directed d JOIN s${i - 1} si ON d.i = si.item
-         |                  JOIN s${i - 1} sj ON d.j = sj.item
-         |  GROUP BY 1),
-         |r$i AS MATERIALIZED (
-         |  SELECT t.item, CAST((t.w_smooth * 1000000000000) // d.dsum AS BIGINT) AS s_raw
-         |  FROM totals t JOIN d$i d USING (item)),
-         |s$i AS MATERIALIZED (
-         |  SELECT item, CAST(greatest((s_raw * 1000000) // (SELECT max(s_raw) FROM r$i), 1) AS BIGINT) AS s
-         |  FROM r$i)""".stripMargin
-    }.mkString
-    base + iters
-  }
-
-  private def graphRankOracleCtes(iterations: Int): String = {
-    val base =
-      """WITH e AS (
-        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-         |r$i AS (
-         |  SELECT n.node,
-         |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
-         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
-         |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
-         |  GROUP BY 1)""".stripMargin
-    }.mkString
-    base + iters
-  }
-
-  /** HITS oracle CTE chain — unrolls [[graft.scale.Graph.hits]]'s
-    * alternating gather/rescale half-steps over the same derived edge
-    * table: a{i}r = raw authority gather of h{i-1}, a{i} = the integer
-    * max-divisor rescale, then the hub half-step against a{i}. Scalar
-    * subquery MAX mirrors the 1-row broadcast aggregate. */
-  private def graphHitsOracleCtes(iterations: Int): String = {
-    // every CTE here is referenced at least twice downstream (the
-    // gather join + the scalar MAX divisor), so without MATERIALIZED
-    // DuckDB's default inlining copies the whole preceding chain per
-    // reference — exponential in the iteration count
-    val base =
-      """WITH e AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-         |a${i}r AS MATERIALIZED (
-         |  SELECT n.node, CAST(COALESCE(SUM(c.s), 0) AS BIGINT) AS raw
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT e.dst AS node, h${i - 1}.s FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node) c
-         |    ON n.node = c.node GROUP BY 1),
-         |a$i AS MATERIALIZED (SELECT node,
-         |  CAST(raw // ((SELECT MAX(raw) FROM a${i}r) // 1000000 + 1) AS BIGINT) AS s
-         |  FROM a${i}r),
-         |h${i}r AS MATERIALIZED (
-         |  SELECT n.node, CAST(COALESCE(SUM(c.s), 0) AS BIGINT) AS raw
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT e.src AS node, a$i.s FROM e JOIN a$i ON e.dst = a$i.node) c
-         |    ON n.node = c.node GROUP BY 1),
-         |h$i AS MATERIALIZED (SELECT node,
-         |  CAST(raw // ((SELECT MAX(raw) FROM h${i}r) // 1000000 + 1) AS BIGINT) AS s
-         |  FROM h${i}r)""".stripMargin
-    }.mkString
-    base + iters
-  }
-
-  /** JL-projection oracle — the ± add/subtract chain per output
-    * component written term-for-term as [[graft.scale.Embeddings
-    * .randomProject]] builds it (left-associated, widened once per
-    * slot, scaled once at the end), signs re-derived from the SAME
-    * `projectionSigns(64, 8, 7)` call so the literals cannot drift. */
-  private lazy val embProjectOracleSql: String = {
-    val signs = graft.scale.Embeddings.projectionSigns(64, 8, seed = 7L)
-    val inv = 1.0 / math.sqrt(8.0)
-    val selects = signs.zipWithIndex.map { case (row, j) =>
-      val chain = new StringBuilder
-      if (row(0) < 0) chain.append("-")
-      chain.append("CAST(embedding[1] AS DOUBLE)")
-      for (i <- 1 until 64) {
-        chain.append(if (row(i) > 0) " + " else " - ")
-        chain.append(s"CAST(embedding[${i + 1}] AS DOUBLE)")
-      }
-      s"SELECT vec_id, CAST($j AS BIGINT) AS pos, ($chain) * $inv AS val FROM pe"
-    }
-    s"""WITH pe AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
-       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
-  }
-
-  /** Seed-distance oracle CTE chain — min-plus BFS from the node % 7
-    * seed set, integer sentinel for unreached; each d(i) references
-    * d(i-1) twice (self min + gather), hence MATERIALIZED. */
-  private def graphSeedDistOracleCtes(maxHops: Int): String = {
-    val base =
-      """WITH e AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-        |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |d0 AS MATERIALIZED (SELECT node,
-        |  CAST(CASE WHEN node % 7 = 0 THEN 0 ELSE 999999999 END AS BIGINT) AS h FROM nodes)""".stripMargin
-    val iters = (1 to maxHops).map { i =>
-      s""",
-         |d$i AS MATERIALIZED (
-         |  SELECT n.node, CAST(least(p.h, COALESCE(g.m, 999999999)) AS BIGINT) AS h
-         |  FROM nodes n
-         |  JOIN d${i - 1} p ON n.node = p.node
-         |  LEFT JOIN (SELECT e.dst AS node, MIN(dp.h + 1) AS m
-         |             FROM e JOIN d${i - 1} dp ON e.src = dp.node GROUP BY 1) g
-         |    ON n.node = g.node)""".stripMargin
-    }.mkString
-    base + iters
-  }
-
-  /** TrustRank variant of [[graphRankOracleCtes]]: teleport mass only
-    * on seed nodes (node % 7 = 0), init = teleport vector. */
-  private def graphTrustOracleCtes(iterations: Int): String = {
-    val t = "CASE WHEN node % 7 = 0 THEN 1000000 ELSE 0 END"
-    val base =
-      s"""WITH e AS (
-         |  SELECT DISTINCT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst
-         |  FROM documents WHERE doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |r0 AS (SELECT node, CAST($t AS BIGINT) AS r FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-         |r$i AS (
-         |  SELECT n.node,
-         |         CAST((15 * (CASE WHEN n.node % 7 = 0 THEN 1000000 ELSE 0 END)) // 100
-         |              + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT e.dst AS node, r${i - 1}.r // deg.outdeg AS contrib
-         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
-         |                    JOIN deg ON e.src = deg.src) c ON n.node = c.node
-         |  GROUP BY 1)""".stripMargin
-    }.mkString
-    base + iters
-  }
-
-  /** Weighted variant of [[graphRankOracleCtes]]: multi-edge
-    * multiplicity as the weight, contribution = (r * w) // outw. */
-  private def graphRankWeightedOracleCtes(iterations: Int): String = {
-    val base =
-      """WITH e AS (
-        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
-        |  FROM (SELECT doc_id % 64 AS src, (doc_id * 31 + n_chars) % 64 AS dst FROM documents)
-        |  WHERE src <> dst GROUP BY 1, 2),
-        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
-    val iters = (1 to iterations).map { i =>
-      s""",
-         |r$i AS (
-         |  SELECT n.node,
-         |         CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS r
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT e.dst AS node, (r${i - 1}.r * e.w) // ow.outw AS contrib
-         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
-         |                    JOIN ow ON e.src = ow.src) c ON n.node = c.node
-         |  GROUP BY 1)""".stripMargin
-    }.mkString
-    base + iters
+  val oracleSql: Map[String, String] = {
+    val maps = families.map(_._2)
+    require(maps.map(_.size).sum == maps.flatMap(_.keys).toSet.size,
+      "duplicate oracle key across family objects")
+    maps.reduce(_ ++ _)
   }
 }
