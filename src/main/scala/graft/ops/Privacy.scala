@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Disclosure-control operators for releasing survey microdata
@@ -218,5 +218,126 @@ object Privacy {
       .withColumn("epsilon_micro", lit(epsilonMicro))
       .select(g.as("group"), col("n"), col("noise_micro"),
         col("noisy_count_micro"), col("epsilon_micro"))
+  }
+
+  /** The seeded Laplace draw shared by every release mechanism: hash
+    * the domain-separated (key, salt, component) triple to a centered
+    * uniform, inverse-CDF to Laplace(b), floor-micro-round. The
+    * `component` tag domain-separates the MULTIPLE draws one release
+    * makes (sum vs count) the same way U+001F separates key from salt. */
+  private def laplaceNoiseMicro(
+      key: Column, releaseSalt: String, component: String,
+      b: Double): Column = {
+    val h = graft.functions.PortableHash.affineHash(
+      graft.functions.PortableHash.polyHash31(
+        concat(key.cast("string"), lit("\u001f"), lit(releaseSalt),
+          lit("\u001f"), lit(component))))
+    val u = (h.cast("double") + lit(0.5)) / lit(graft.functions.PortableHash.P.toDouble)
+    val c = u - lit(0.5)
+    val noise = -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    floor(noise * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** Laplace-noised release MEANS — the second release mechanism a DP
+    * pipeline ships after counts: per-group mean of a value CLAMPED to
+    * the caller's [lo, hi] micro bounds, released as
+    * noisy_sum / noisy_count with the epsilon budget SPLIT evenly
+    * between the two draws (sequential composition inside one
+    * release: each half-spend uses Laplace(sensitivity/(ε/2))). The
+    * clamp is what bounds the sum's sensitivity at
+    * max(|lo|, |hi|) — an unclamped mean has unbounded sensitivity
+    * and no finite noise scale.
+    *
+    * Seeding contract identical to [[dpNoisyCounts]] (replayable by
+    * design, NOT secure — production swaps the hash for a secure RNG):
+    * the sum and count draws are domain-separated components of the
+    * same (group, salt) seed, so one release's two draws are
+    * independent AND two releases under distinct salts are fresh.
+    *
+    * Determinism: values round half-up to micro longs BEFORE clamping
+    * and summing (exact integer sums — float order can't move them);
+    * both noise scales are Scala-computed doubles interpolated into
+    * the oracle verbatim; the released mean is ONE double division of
+    * two exact longs, halfUp-6 (IEEE-identical in any engine). A
+    * non-positive noisy count releases a NULL mean (the standard
+    * small-group failure of the ratio mechanism, kept in-band).
+    *
+    * Output: (group, n, sum_micro, noise_sum_micro, noise_count_micro,
+    * noisy_sum_micro, noisy_count_micro, dp_mean, epsilon_micro).
+    *
+    * Scale: ONE hash aggregate to |groups| rows (count + clamped sum
+    * in the same pass), then row-local arithmetic — same price as
+    * [[dpNoisyCounts]].
+    */
+  def dpNoisyMean(
+      df: DataFrame, groupCol: String, valueCol: String,
+      loMicro: Long, hiMicro: Long, epsilonMicro: Long = 1000000L,
+      releaseSalt: String = ""): DataFrame = {
+    require(epsilonMicro > 0, "dpNoisyMean: epsilonMicro must be positive")
+    require(hiMicro > loMicro, "dpNoisyMean: need hiMicro > loMicro")
+    val sensMicro = math.max(math.abs(loMicro), math.abs(hiMicro))
+    require(sensMicro > 0, "dpNoisyMean: [lo, hi] must not be {0}")
+    // Laplace scales for the two half-budget draws, as plain doubles
+    // (sensitivity / (epsilon/2), both in the same units): these exact
+    // literals are interpolated into the oracle SQL — the pqOracleModel
+    // rule, never re-derived on the other side.
+    val bSum: Double = sensMicro.toDouble * 2.0 / epsilonMicro.toDouble
+    val bCnt: Double = 2.0 * 1000000.0 / epsilonMicro.toDouble
+    val g = Cleaning.qcol(groupCol)
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val vm = least(greatest(
+      floor(v * lit(1000000.0) + lit(0.5)).cast("long"),
+      lit(loMicro)), lit(hiMicro))
+    df.filter(g.isNotNull && v.isNotNull && !isnan(v))
+      .groupBy(g.as("group"))
+      .agg(count(lit(1)).as("n"), sum(vm).as("sum_micro"))
+      .withColumn("noise_sum_micro",
+        laplaceNoiseMicro(col("group"), releaseSalt, "sum", bSum))
+      .withColumn("noise_count_micro",
+        laplaceNoiseMicro(col("group"), releaseSalt, "cnt", bCnt))
+      .withColumn("noisy_sum_micro",
+        col("sum_micro") + col("noise_sum_micro"))
+      .withColumn("noisy_count_micro",
+        col("n") * lit(1000000L) + col("noise_count_micro"))
+      .withColumn("dp_mean",
+        when(col("noisy_count_micro") > 0L,
+          Rounding.halfUp(
+            col("noisy_sum_micro").cast("double") /
+              col("noisy_count_micro").cast("double"), 6)))
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+  }
+
+  /** Per-salt epsilon accounting over a release LOG (one row per
+    * release call: its salt and its epsilon spend) — the sequential-
+    * composition ledger [[dpNoisyCounts]]/[[dpNoisyMean]] document as
+    * the caller's job, as a library call. Under the deterministic
+    * seeding contract a REUSED salt replays byte-identical noise, so
+    * it spends its epsilon once no matter how many times it is logged
+    * — the per-salt row carries `n_uses` (reuse is an audit smell
+    * worth seeing) and `n_eps_variants` (logging DIFFERENT epsilons
+    * under one salt is a pipeline bug: the replayed noise was drawn at
+    * ONE scale; the ledger conservatively charges the MAX). The
+    * `__total__` row is the pipeline's composed spend: Σ over salts.
+    *
+    * Scale: one hash aggregate to |salts| rows plus a 1-row total —
+    * the log is release-sized, never data-sized.
+    */
+  def epsilonLedger(
+      releases: DataFrame, saltCol: String, epsCol: String): DataFrame = {
+    val perSalt = releases
+      .select(Cleaning.qcol(saltCol).cast("string").as("release_salt"),
+        Cleaning.qcol(epsCol).cast("long").as("eps"))
+      .filter(col("release_salt").isNotNull && col("eps").isNotNull)
+      .groupBy(col("release_salt"))
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct(col("eps")).as("n_eps_variants"),
+        max(col("eps")).as("epsilon_micro"))
+    val total = perSalt.agg(
+      coalesce(sum(col("n_uses")), lit(0L)).as("n_uses"),
+      coalesce(sum(col("n_eps_variants")), lit(0L)).as("n_eps_variants"),
+      coalesce(sum(col("epsilon_micro")), lit(0L)).as("epsilon_micro"))
+      .select(lit("__total__").as("release_salt"), col("n_uses"),
+        col("n_eps_variants"), col("epsilon_micro"))
+    perSalt.unionByName(total)
   }
 }

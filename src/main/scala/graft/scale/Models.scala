@@ -206,6 +206,45 @@ object Models {
     df
   }
 
+  private val BtPairCols = Seq("item_a", "item_b", "games", "wins_a")
+  private val BtStrengthCols = Seq("item", "wins", "games", "strength_micro")
+
+  /** Persist a Bradley-Terry fit — BOTH halves a warm-start refresh
+    * needs ([[Preferences.btStrengthsFromPairs]]): the pair matrix
+    * (mergeable: new waves' counts just sum) and the strengths (the
+    * warm init). Plain parquet, two subdirs; longs are lossless, so
+    * the save→load roundtrip is bit-exact (ModelsSpec-pinned). */
+  def saveBtModel(pairs: DataFrame, strengths: DataFrame, path: String): Unit = {
+    val mp = BtPairCols.filterNot(pairs.columns.contains)
+    require(mp.isEmpty,
+      s"saveBtModel: not a pairStats frame (missing ${mp.mkString(", ")})")
+    val ms = BtStrengthCols.filterNot(strengths.columns.contains)
+    require(ms.isEmpty,
+      s"saveBtModel: not a btStrengths frame (missing ${ms.mkString(", ")})")
+    pairs.select(BtPairCols.map(col): _*)
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pairs")
+    strengths.select(BtStrengthCols.map(col): _*)
+      .repartition(1).write.mode("overwrite").parquet(s"$path/strengths")
+  }
+
+  /** Load the mergeable pair matrix saved by [[saveBtModel]]. */
+  def loadBtPairs(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/pairs")
+    val missing = BtPairCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"loadBtPairs: $path is not a saveBtModel artifact (missing ${missing.mkString(", ")})")
+    df
+  }
+
+  /** Load the warm-init strengths saved by [[saveBtModel]]. */
+  def loadBtStrengths(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/strengths")
+    val missing = BtStrengthCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"loadBtStrengths: $path is not a saveBtModel artifact (missing ${missing.mkString(", ")})")
+    df
+  }
+
   /** Persist a learned BPE merge table ([[TextAnalysis.bpeFit]]) — the
     * tokenizer artifact a pipeline fits once on a sample and applies
     * to every delivery ([[TextAnalysis.bpeEncode]]). Plain parquet,

@@ -108,12 +108,86 @@ object Preferences {
     require(iterations >= 1, "btStrengths: need at least one iteration")
     require(countDiv >= 1, "btStrengths: countDiv must be >= 1")
     val (directed, totals) = btSetup(games, winnerCol, loserCol, countDiv)
-    var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
+    btRun(directed, totals, iterations, None)
+  }
+
+  /** [[btStrengths]] over an EXISTING pair matrix (a [[pairStats]]
+    * output, a [[mergePairStats]] merge, or a loaded
+    * [[graft.scale.Models.loadBtPairs]] artifact), optionally
+    * WARM-STARTED from a prior wave's strengths — the incremental path
+    * a production preference pipeline actually runs (the
+    * [[Graph.pageRankRefresh]] move): persist the pair matrix and the
+    * strengths, merge a new wave's pairs (counts just sum), and
+    * continue the MM loop FROM the previous fixed point instead of
+    * re-running the full iteration budget from the uniform start. MM
+    * is monotone toward the unique (smoothed) fixed point, so a
+    * near-converged init needs a handful of iterations where a cold
+    * start needs many multiples — at billions of judgments, a nightly
+    * job instead of an impossible one.
+    *
+    * Per-item totals (wins, games, the Laplace-smoothed W_i) derive
+    * FROM the pair matrix — wins_i = Σ wins_a over pairs where i is
+    * the `a` side plus Σ (games − wins_a) where it is the `b` side —
+    * so the model's item universe IS the matrix and a merged matrix
+    * prices one |pairs|-row aggregate, never a rescan of old waves'
+    * raw games. For null-free, self-pair-free games these totals equal
+    * [[itemStats]]'s exactly, so warm-starting over an UNCHANGED pair
+    * matrix for k iterations is bit-identical to extending the
+    * original [[btStrengths]] run by k (spec-pinned, the
+    * [[Graph.pageRankRefresh]] contract).
+    *
+    * Init hygiene (the [[Graph]] family's): `init` is deduplicated on
+    * item (max strength wins — deterministic); items in the matrix but
+    * absent from init start at the uniform 1e6 (exactly a cold item's
+    * init); init items that left the matrix drop out.
+    */
+  def btStrengthsFromPairs(
+      pairs: DataFrame, iterations: Int = 2, countDiv: Long = 1L,
+      init: Option[DataFrame] = None): DataFrame = {
+    require(iterations >= 1, "btStrengthsFromPairs: need at least one iteration")
+    require(countDiv >= 1, "btStrengthsFromPairs: countDiv must be >= 1")
+    val (directed, totals) = btSetupFromPairs(pairs, countDiv)
+    btRun(directed, totals, iterations, init)
+  }
+
+  /** Merge two pair matrices (both [[pairStats]]-shaped) — the
+    * new-wave union a warm-start refresh feeds [[btStrengthsFromPairs]]:
+    * outcome counts are plain sums, so merging is ONE |pairs|-row
+    * aggregate and bit-exact vs recomputing [[pairStats]] over the
+    * concatenated game logs. */
+  def mergePairStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("item_a", "item_b", "games", "wins_a")
+    a.select(cols.map(col): _*).unionByName(b.select(cols.map(col): _*))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("games")).as("games"), sum(col("wins_a")).as("wins_a"))
+  }
+
+  /** Shared MM driver: init (uniform or warm), `iterations` steps,
+    * final (item, wins, games, strength_micro) projection. */
+  private def btRun(
+      directed: DataFrame, totals: DataFrame, iterations: Int,
+      init: Option[DataFrame]): DataFrame = {
+    var s = btInit(totals, init)
     for (_ <- 1 to iterations) s = btStep(directed, totals, s)
     totals.select(col("item"), col("wins"), col("games"))
       .join(s, Seq("item"))
       .withColumnRenamed("s_micro", "strength_micro")
   }
+
+  /** Initial strength frame: uniform 1e6, or the deduped warm init
+    * left-joined onto the item universe (absent items cold-start). */
+  private def btInit(totals: DataFrame, init: Option[DataFrame]): DataFrame =
+    init match {
+      case None => totals.select(col("item"), lit(1000000L).as("s_micro"))
+      case Some(prev) =>
+        val p = prev.groupBy(col("item"))
+          .agg(max(col("strength_micro")).as("__s0"))
+        totals.select(col("item"))
+          .join(p, Seq("item"), "left")
+          .select(col("item"),
+            coalesce(col("__s0"), lit(1000000L)).as("s_micro"))
+          .localCheckpoint()
+    }
 
   /** The shared MM inputs, MATERIALIZED once: the lazy forms would
     * re-run the corpus-sized pair/win aggregates on EVERY iteration
@@ -138,6 +212,35 @@ object Preferences {
       games.filter(col(winnerCol) =!= col(loserCol)),
       winnerCol, loserCol)
       .select(col("item"), col("wins"), col("games"))
+      .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
+      .localCheckpoint()
+    (directed, totals)
+  }
+
+  /** [[btSetup]]'s shape from an existing pair matrix: the directed
+    * view divides counts by `countDiv` (floored at 1, identical to the
+    * games path), totals derive from the UNDIVIDED matrix — wins and
+    * games per item are exact pair-matrix marginals. Both frames
+    * materialize once (the r11 loop-inputs lesson). */
+  private def btSetupFromPairs(
+      pairs: DataFrame, countDiv: Long): (DataFrame, DataFrame) = {
+    val p = pairs.select(col("item_a"), col("item_b"),
+        col("games").cast("long").as("games"),
+        col("wins_a").cast("long").as("wins_a"))
+      .localCheckpoint()
+    val capped = p.withColumn("games",
+      greatest(expr(s"games div ${countDiv}L"), lit(1L)))
+    val directed = capped.select(
+        col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
+      .union(capped.select(
+        col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
+      .localCheckpoint()
+    val totals = p.select(
+        col("item_a").as("item"), col("wins_a").as("w"), col("games").as("g"))
+      .union(p.select(col("item_b").as("item"),
+        (col("games") - col("wins_a")).as("w"), col("games").as("g")))
+      .groupBy(col("item"))
+      .agg(sum(col("w")).as("wins"), sum(col("g")).as("games"))
       .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
       .localCheckpoint()
     (directed, totals)
@@ -233,6 +336,194 @@ object Preferences {
           expr("((po_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)")))
   }
 
+  /** Collapse a (item, rater, label) stream to ONE label per (item,
+    * rater) — the MIN label, the library's deterministic tie rule;
+    * null items/labels drop. Shared prefix of every panel operator. */
+  private def collapseRatings(
+      ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame =
+    ratings
+      .select(col(itemCol).as("item"), col(raterCol).cast("string").as("rater"),
+        col(labelCol).cast("string").as("label"))
+      .filter(col("item").isNotNull && col("label").isNotNull)
+      .groupBy(col("item"), col("rater"))
+      .agg(min(col("label")).as("label"))
+
+  /** Fleiss' kappa over a MULTI-rater panel — [[cohenKappa]]'s
+    * two-rater statistic generalized to the label streams real
+    * pipelines have (Fleiss 1971; the unequal-raters-per-item form,
+    * since panels never rate everything): per-item agreement
+    * P_i = (Σ_k n_ik² − n_i) / (n_i(n_i−1)) over items with n_i ≥ 2
+    * ratings, chance P̄_e = Σ_k p_k² from the pooled label shares.
+    *
+    * Integer-exact SPEC (documented, both engines replay it): each
+    * P_i floors to micro (`(Σn_ik²−n_i)·1e6 div (n_i(n_i−1))`), P̄ is
+    * their integer mean (`Σ P_i_micro div N`), P̄_e floors once from
+    * the exact integer cross term (`Σ_k c_k²·1e6 div M²` with
+    * c_k = Σ_i n_ik, M = Σ_i n_i over the KEPT items), and
+    * `kappa_micro = (P̄−P̄_e)·1e6 div (1e6−P̄_e)` — NULL when P̄_e = 1.
+    * Each floor loses < 1 micro, so the spec sits within 2e-6 of the
+    * real-valued Fleiss statistic while being bit-exact to replay.
+    *
+    * Output: one row (n_items, n_ratings, pbar_micro, pe_micro,
+    * kappa_micro). Overflow: Σc_k²·1e6 needs M ≲ 3e6 ratings —
+    * divide counts upstream for bigger panels (the BT countDiv move).
+    *
+    * Scale: ONE corpus-sized (item, rater) collapse feeding one
+    * (item, label) aggregate, materialized once; everything after is
+    * item- or label-cardinality-sized.
+    */
+  def fleissKappa(
+      ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val nik = collapseRatings(ratings, itemCol, raterCol, labelCol)
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("nik"))
+      .localCheckpoint() // reused by the per-item pass AND the marginals
+    val byItem = nik.groupBy(col("item"))
+      .agg(sum(col("nik")).as("ni"), sum(col("nik") * col("nik")).as("sq"))
+      .filter(col("ni") >= 2L)
+      .withColumn("pi_micro", expr("((sq - ni) * 1000000L) div (ni * (ni - 1L))"))
+      .localCheckpoint() // reused: the top-line aggregate + the kept-item filter
+    val top = byItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("ni")), lit(0L)).as("n_ratings"),
+      coalesce(sum(col("pi_micro")), lit(0L)).as("__pisum"))
+    val marg = nik.join(byItem.select(col("item")), Seq("item"))
+      .groupBy(col("label")).agg(sum(col("nik")).as("ck"))
+      .agg(coalesce(sum(col("ck") * col("ck")), lit(0L)).as("__cross"))
+    top.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n_ratings"),
+        when(col("n_items") > 0L, expr("__pisum div n_items")).as("pbar_micro"),
+        when(col("n_items") > 0L,
+          expr("(__cross * 1000000L) div (n_ratings * n_ratings)")).as("pe_micro"))
+      .withColumn("kappa_micro",
+        when(col("pe_micro") < 1000000L,
+          expr("((pbar_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)")))
+  }
+
+  /** Majority-vote consensus label per item with the deterministic
+    * MIN-label tie rule — the panel→gold-label election every
+    * supervised pipeline runs before training on rated data. Output:
+    * (item, n_ratings, consensus_label, votes, share_micro =
+    * votes·1e6 div n_ratings).
+    *
+    * Scale: one (item, label) vote aggregate materialized once, one
+    * item-keyed max join — the election is an aggregate comparison,
+    * never a per-item window sort.
+    */
+  def consensusLabels(
+      ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val nik = collapseRatings(ratings, itemCol, raterCol, labelCol)
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .localCheckpoint() // reused: the per-item totals AND the winner filter
+    val byItem = nik.groupBy(col("item"))
+      .agg(sum(col("votes")).as("n_ratings"), max(col("votes")).as("__top"))
+    nik.join(byItem, Seq("item"))
+      .filter(col("votes") === col("__top"))
+      .groupBy(col("item"), col("n_ratings"), col("votes"))
+      .agg(min(col("label")).as("consensus_label"))
+      .select(col("item"), col("n_ratings"), col("consensus_label"),
+        col("votes"),
+        expr("(votes * 1000000L) div n_ratings").as("share_micro"))
+  }
+
+  /** Per-rater agreement against the [[consensusLabels]] election —
+    * the "which rater is noise" audit: each rater's share of items where
+    * their (collapsed) label matched the consensus. A rater's own vote
+    * counts toward the consensus they are scored against — the
+    * standard leave-none-out form; with panels of 3+ the self-vote
+    * can't flip a majority on its own. Output: (rater, n_items,
+    * n_agree, agree_micro).
+    *
+    * Scale: the collapse runs twice (once under the election, once
+    * under the scoring join) — two corpus-sized aggregates total; the
+    * join itself is item-keyed against the items-sized election.
+    */
+  def raterConsensusAgreement(
+      ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val one = collapseRatings(ratings, itemCol, raterCol, labelCol)
+    val cons = consensusLabels(ratings, itemCol, raterCol, labelCol)
+      .select(col("item"), col("consensus_label"))
+    one.join(cons, Seq("item"))
+      .groupBy(col("rater"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(when(col("label") === col("consensus_label"), 1L)), lit(0L))
+          .as("n_agree"))
+      .withColumn("agree_micro", expr("(n_agree * 1000000L) div n_items"))
+  }
+
+  /** Per-wave Cohen's kappa with wave-over-wave drift — "is our
+    * labeling pipeline degrading": [[cohenKappa]]'s statistic grouped
+    * by a wave column, each wave joined to its PREDECESSOR wave's
+    * kappa for the delta (the [[graft.bht.Trend.waveOverWave]] shape).
+    * Waves order by the column's natural ordering — use sortable wave
+    * labels (ints, ISO dates).
+    *
+    * Output: one row per wave (wave, n_items, n_agree, po_micro,
+    * pe_micro, kappa_micro, prev_kappa_micro, delta_micro) —
+    * first-wave prev/delta NULL.
+    *
+    * Scale: the per-item collapse and the a⋈b overlap carry the wave
+    * key through the same chain as [[cohenKappa]] (one corpus-sized
+    * aggregate, materialized once, then label-cardinality-sized);
+    * the predecessor lookup is a |waves|²-bounded self-join on the
+    * summary frame — waves are releases (dozens), never rows, so no
+    * window and no global sort.
+    */
+  def kappaDrift(
+      ratings: DataFrame, itemCol: String, raterCol: String, labelCol: String,
+      raterA: String, raterB: String, waveCol: String): DataFrame = {
+    require(raterA != raterB, "kappaDrift: raters must differ")
+    val one = ratings
+      .select(col(waveCol).as("wave"), col(itemCol).as("item"),
+        col(raterCol).cast("string").as("rater"),
+        col(labelCol).cast("string").as("label"))
+      .filter(col("wave").isNotNull && col("item").isNotNull &&
+        col("label").isNotNull &&
+        (col("rater") === raterA || col("rater") === raterB))
+      .groupBy(col("wave"), col("item"), col("rater"))
+      .agg(min(col("label")).as("label"))
+    val a = one.filter(col("rater") === raterA)
+      .select(col("wave"), col("item"), col("label").as("la"))
+    val b = one.filter(col("rater") === raterB)
+      .select(col("wave"), col("item"), col("label").as("lb"))
+    // reused by the agreement aggregate AND both marginals — one scan
+    val both = a.join(b, Seq("wave", "item")).localCheckpoint()
+    val agg = both.groupBy(col("wave")).agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(when(col("la") === col("lb"), 1L)), lit(0L)).as("n_agree"))
+    val ca = both.groupBy(col("wave"), col("la").as("label"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = both.groupBy(col("wave"), col("lb").as("label"))
+      .agg(count(lit(1)).as("cb"))
+    val chance = ca.join(cb, Seq("wave", "label"))
+      .groupBy(col("wave"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("cross"))
+    val k = agg.join(chance, Seq("wave"))
+      .select(col("wave"), col("n_items"), col("n_agree"),
+        when(col("n_items") > 0L,
+          expr("(n_agree * 1000000L) div n_items")).as("po_micro"),
+        when(col("n_items") > 0L,
+          expr("(cross * 1000000L) div (n_items * n_items)")).as("pe_micro"))
+      .withColumn("kappa_micro",
+        when(col("pe_micro") < 1000000L,
+          expr("((po_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)")))
+      .localCheckpoint() // summary frame, referenced by the self-join below
+    val prevWave = k.select(col("wave")).as("c")
+      .join(k.select(col("wave").as("__w2")).as("p"), col("__w2") < col("wave"))
+      .groupBy(col("wave")).agg(max(col("__w2")).as("__prev_wave"))
+    k.join(prevWave, Seq("wave"), "left")
+      .join(k.select(col("wave").as("__prev_wave"),
+        col("kappa_micro").as("prev_kappa_micro")), Seq("__prev_wave"), "left")
+      .select(col("wave"), col("n_items"), col("n_agree"), col("po_micro"),
+        col("pe_micro"), col("kappa_micro"), col("prev_kappa_micro"),
+        (col("kappa_micro") - col("prev_kappa_micro")).as("delta_micro"))
+  }
+
   /** One MM iteration: d-sum on the directed pair matrix, the smoothed
     * win update, and the max-divisor rescale — returning the next
     * (item, s_micro) frame, localCheckpointed.
@@ -286,7 +577,28 @@ object Preferences {
     require(iterations >= 1, "btConvergence: need at least one iteration")
     require(countDiv >= 1, "btConvergence: countDiv must be >= 1")
     val (directed, totals) = btSetup(games, winnerCol, loserCol, countDiv)
-    var s = totals.select(col("item"), lit(1000000L).as("s_micro"))
+    btDeltas(directed, totals, iterations, None)
+  }
+
+  /** [[btConvergence]] over an existing pair matrix, optionally
+    * warm-started — the evidence row behind a refresh's iteration
+    * budget: a near-converged init's first-iteration max delta sits
+    * orders below the cold start's (PreferencesSpec pins it), which is
+    * exactly why [[btStrengthsFromPairs]] defaults to 2 iterations
+    * where the cold fit needs 4+. */
+  def btConvergenceFromPairs(
+      pairs: DataFrame, iterations: Int = 4, countDiv: Long = 1L,
+      init: Option[DataFrame] = None): DataFrame = {
+    require(iterations >= 1, "btConvergenceFromPairs: need at least one iteration")
+    require(countDiv >= 1, "btConvergenceFromPairs: countDiv must be >= 1")
+    val (directed, totals) = btSetupFromPairs(pairs, countDiv)
+    btDeltas(directed, totals, iterations, init)
+  }
+
+  private def btDeltas(
+      directed: DataFrame, totals: DataFrame, iterations: Int,
+      init: Option[DataFrame]): DataFrame = {
+    var s = btInit(totals, init)
     val deltas = (1 to iterations).map { i =>
       val next = btStep(directed, totals, s)
       val row = s.select(col("item"), col("s_micro").as("__prev"))

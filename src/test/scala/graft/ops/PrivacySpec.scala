@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 class PrivacySpec extends AnyFunSuite {
@@ -147,5 +148,58 @@ class PrivacySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(r1("a") !== r2("ab"),
       "domain separation must break the (a,b2)/(ab,2) concat collision")
+  }
+
+  test("dpNoisyMean: clamped micro sums exact, split-budget draws replay the formula, components independent") {
+    // group a: values 1.5, 2.5, 99 (clamped to hi=10) -> sum 14.0;
+    // group b: -7 (clamped to lo=0) and 3 -> sum 3.0; NaN/null drop
+    val df = Seq(("a", 1.5), ("a", 2.5), ("a", 99.0),
+      ("b", -7.0), ("b", 3.0), ("a", Double.NaN)).toDF("g", "v")
+    val got = Privacy.dpNoisyMean(df, "g", "v", loMicro = 0L, hiMicro = 10000000L,
+      epsilonMicro = 1000000L, releaseSalt = "r1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a")._1 === 3L && got("a")._2 === 14000000L)
+    assert(got("b")._1 === 2L && got("b")._2 === 3000000L)
+    // replay the documented draw: key = group U+001F salt U+001F component
+    def expectedNoise(group: String, component: String, b: Double): Long = {
+      val key = group + "\u001f" + "r1" + "\u001f" + component
+      val poly = key.foldLeft(0L)((a, ch) => (a * 31L + ch.toLong) % 2147483647L)
+      val h = ((poly % 1000003L) * 514229L + 741103L) % 1000003L
+      val u = (h.toDouble + 0.5) / 1000003.0
+      val c = u - 0.5
+      math.floor(-b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+        * 1000000.0 + 0.5).toLong
+    }
+    // sens = max(|0|, |10e6|) micro; b_sum = sens*2/eps = 20, b_cnt = 2
+    assert(got("a")._3 === expectedNoise("a", "sum", 20.0))
+    assert(got("a")._4 === expectedNoise("a", "cnt", 2.0))
+    assert(got("a")._3 !== got("a")._4,
+      "sum and count draws must be domain-separated, not the same number")
+    // released mean = halfUp6(noisy_sum/noisy_count), both exact longs
+    val row = Privacy.dpNoisyMean(df, "g", "v", 0L, 10000000L, 1000000L, "r1")
+      .filter(col("group") === "a").collect().head
+    val mean = row.getDouble(7)
+    val expect = math.floor((14000000L + got("a")._3).toDouble /
+      (3000000L + got("a")._4).toDouble * 1e6 + 0.5) / 1e6
+    assert(mean === expect)
+    // a fresh salt redraws both components
+    val other = Privacy.dpNoisyMean(df, "g", "v", 0L, 10000000L, 1000000L, "r2")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(other("a") !== got("a")._3)
+  }
+
+  test("epsilonLedger: per-salt spend counted once, reuse and mixed-epsilon flagged, total composes") {
+    val log = Seq(
+      ("rel-1", 500000L), ("rel-2", 500000L), ("rel-2", 500000L),
+      ("rel-3", 1000000L), ("rel-3", 250000L)
+    ).toDF("salt", "eps")
+    val got = Privacy.epsilonLedger(log, "salt", "eps")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("rel-1") === ((1L, 1L, 500000L)))
+    assert(got("rel-2") === ((2L, 1L, 500000L)), "salt reuse surfaces as n_uses=2, spends once")
+    assert(got("rel-3") === ((2L, 2L, 1000000L)), "mixed epsilons flag via n_eps_variants, charge the max")
+    assert(got("__total__") === ((5L, 4L, 2000000L)), "composed spend sums across salts")
   }
 }

@@ -208,4 +208,36 @@ class ModelsSpec extends AnyFunSuite {
     }
     assert((v() eq v()) && fits.get == 1)
   }
+
+  test("BT model: pairs+strengths roundtrip bit-exact; warm refresh from the LOADED artifact == from the live fit; wrong artifact rejected") {
+    val games = Seq(
+      (1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L),
+      (2L, 3L), (2L, 3L), (1L, 3L), (1L, 3L)
+    ).toDF("winner", "loser")
+    val pairs = Preferences.pairStats(games, "winner", "loser")
+    val fit = Preferences.btStrengths(games, "winner", "loser", iterations = 4)
+    val dir = tmp("models-bt")
+    Models.saveBtModel(pairs, fit, dir)
+    val backP = Models.loadBtPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(backP === pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap)
+    val backS = Models.loadBtStrengths(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(backS === fit.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap)
+    // wave 2 lands: merge the LOADED pairs, warm-start from the LOADED
+    // strengths — bit-identical to refreshing from the live frames
+    val wave2 = Seq((3L, 1L), (3L, 2L), (4L, 1L)).toDF("winner", "loser")
+    def strengthsOf(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =
+      Preferences.btStrengthsFromPairs(
+        Preferences.mergePairStats(p, Preferences.pairStats(wave2, "winner", "loser")),
+        iterations = 2, init = Some(i))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(strengthsOf(Models.loadBtPairs(spark, dir), Models.loadBtStrengths(spark, dir))
+      === strengthsOf(pairs, fit))
+    // loud failure on a non-artifact
+    intercept[IllegalArgumentException] {
+      Models.saveBtModel(games, fit, tmp("models-bt-bad"))
+    }
+  }
 }

@@ -135,4 +135,148 @@ class PreferencesSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L).sortBy(a) === Seq(1L, 2L, 3L).sortBy(b))
     assert(b(1L) === 1000000L)
   }
+
+  private def collectBt(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("btStrengthsFromPairs: cold fit over pairStats is bit-identical to the games path") {
+    val fromGames = collectBt(
+      Preferences.btStrengths(games, "winner", "loser", iterations = 4))
+    val fromPairs = collectBt(Preferences.btStrengthsFromPairs(
+      Preferences.pairStats(games, "winner", "loser"), iterations = 4))
+    assert(fromPairs === fromGames,
+      "pair-matrix totals must equal itemStats' for null-free, self-free games")
+  }
+
+  test("warm-start over an UNCHANGED pair matrix for k iterations == extending the cold run by k") {
+    // the pageRankRefresh contract, bit-exact
+    val pairs = Preferences.pairStats(games, "winner", "loser")
+    val prev = Preferences.btStrengths(games, "winner", "loser", iterations = 4)
+    val warm = collectBt(
+      Preferences.btStrengthsFromPairs(pairs, iterations = 2, init = Some(prev)))
+    val extended = collectBt(
+      Preferences.btStrengths(games, "winner", "loser", iterations = 6))
+    assert(warm === extended)
+  }
+
+  test("mergePairStats == pairStats over the concatenated game logs, bit-exact") {
+    val wave2 = Seq((3L, 1L), (3L, 1L), (4L, 1L), (2L, 4L)).toDF("winner", "loser")
+    val merged = Preferences.mergePairStats(
+      Preferences.pairStats(games, "winner", "loser"),
+      Preferences.pairStats(wave2, "winner", "loser"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val full = Preferences.pairStats(games.union(wave2), "winner", "loser")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(merged === full)
+  }
+
+  test("btRefresh path: warm over merged waves at 2 iterations matches the cold full refit's ranking; new items cold-start") {
+    val wave2 = Seq((3L, 1L), (4L, 1L), (4L, 2L), (4L, 3L), (4L, 3L))
+      .toDF("winner", "loser") // item 4 is NEW in wave 2
+    val merged = Preferences.mergePairStats(
+      Preferences.pairStats(games, "winner", "loser"),
+      Preferences.pairStats(wave2, "winner", "loser"))
+    val prev = Preferences.btStrengths(games, "winner", "loser", iterations = 4)
+    val warm = Preferences.btStrengthsFromPairs(merged, iterations = 2, init = Some(prev))
+    val cold = Preferences.btStrengthsFromPairs(merged, iterations = 4)
+    def ranking(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(desc("strength_micro"), asc("item")).select("item").as[Long].collect().toSeq
+    assert(ranking(warm) === ranking(cold),
+      "2 warm iterations must reach the 4-iteration cold ranking")
+    assert(warm.filter(col("item") === 4L).count() === 1L,
+      "an item new in wave 2 must enter the refreshed model")
+  }
+
+  test("warm convergence: the near-converged init's first delta sits far below the cold start's") {
+    val pairs = Preferences.pairStats(games, "winner", "loser")
+    val prev = Preferences.btStrengths(games, "winner", "loser", iterations = 6)
+    val cold1 = Preferences.btConvergenceFromPairs(pairs, iterations = 1)
+      .collect().head.getLong(1)
+    val warm1 = Preferences.btConvergenceFromPairs(pairs, iterations = 1,
+      init = Some(prev)).collect().head.getLong(1)
+    assert(warm1 * 5 < cold1,
+      s"warm first-iteration max delta ($warm1) must be <20% of cold ($cold1)")
+  }
+
+  // 3-rater panel: item 1 unanimous, item 2 majority, item 3 three-way
+  // split, item 4 single-rated (excluded: no pairable agreement)
+  private def panel = Seq(
+    (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "x"),
+    (2L, "a", "x"), (2L, "b", "x"), (2L, "c", "y"),
+    (3L, "a", "x"), (3L, "b", "y"), (3L, "c", "z"),
+    (4L, "a", "x")
+  ).toDF("item", "rater", "label")
+
+  test("fleissKappa: hand-computed micro spec on the mixed panel; degenerate worlds go null") {
+    val r = Preferences.fleissKappa(panel, "item", "rater", "label").collect().head
+    // kept items: 1 (P=1e6), 2 (P=2/6 -> 333333), 3 (P=0); N=3, M=9
+    assert(r.getLong(0) === 3L && r.getLong(1) === 9L)
+    assert(r.getLong(2) === (1000000L + 333333L + 0L) / 3L) // 444444
+    // marginals over kept items: x=6, y=2, z=1 -> (36+4+1)*1e6 div 81
+    assert(r.getLong(3) === 41000000L / 81L) // 506172
+    val expectedKappa = ((444444L - 506172L) * 1000000L) / (1000000L - 506172L)
+    assert(r.getLong(4) === expectedKappa && r.getLong(4) < 0L,
+      "worse-than-chance panel must go negative, Spark-div truncation replayed")
+    // perfect agreement across 2 balanced items -> kappa exactly 1e6
+    val perfect = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "y"), (2L, "b", "y"))
+      .toDF("item", "rater", "label")
+    val rp = Preferences.fleissKappa(perfect, "item", "rater", "label").collect().head
+    assert(rp.getLong(4) === 1000000L)
+    // single-label world: pe = 1 -> kappa null
+    val mono = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"), (2L, "b", "x"))
+      .toDF("item", "rater", "label")
+    assert(Preferences.fleissKappa(mono, "item", "rater", "label").collect().head.isNullAt(4))
+  }
+
+  test("consensusLabels: majority wins, ties break to MIN label, duplicate ratings collapse first") {
+    val got = Preferences.consensusLabels(panel, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((3L, "x", 3L, 1000000L)))
+    assert(got(2L) === ((3L, "x", 2L, 666666L)))
+    assert(got(3L) === ((3L, "x", 1L, 333333L))) // 3-way tie -> min label
+    assert(got(4L) === ((1L, "x", 1L, 1000000L)))
+    // a rater double-voting the same item collapses to ONE (min) label
+    val dup = panel.union(Seq((2L, "c", "z"), (2L, "c", "a")).toDF("item", "rater", "label"))
+    val gd = Preferences.consensusLabels(dup, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(gd(2L) === ((3L, "x")), "rater c's duplicate votes collapse to min('a','y','z')='a', x still wins 2:1")
+  }
+
+  test("raterConsensusAgreement: the planted noisy rater ranks last") {
+    val got = Preferences.raterConsensusAgreement(panel, "item", "rater", "label")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // consensus: 1->x, 2->x, 3->x (tie->min), 4->x
+    assert(got("a") === ((4L, 4L, 1000000L)))
+    assert(got("b") === ((3L, 2L, 666666L)))
+    assert(got("c") === ((3L, 1L, 333333L))) // the noise rater
+  }
+
+  test("kappaDrift: per-wave kappa replays cohenKappa; deltas chain over sortable waves; first wave null") {
+    // wave 1: b agrees on 3 of 4; wave 2: b agrees on 1 of 4 (degrading);
+    // wave 3 replays wave 1 (recovering) — labels balanced x/y per wave
+    def wave(w: Long, flips: Seq[Int]) = (0 until 4).map { i =>
+      val lab = if (i % 2 == 0) "x" else "y"
+      val blab = if (flips.contains(i)) (if (lab == "x") "y" else "x") else lab
+      Seq((w, i.toLong, "a", lab), (w, i.toLong, "b", blab))
+    }.flatten
+    val df = (wave(1L, Seq(3)) ++ wave(2L, Seq(0, 1, 3)) ++ wave(3L, Seq(3)))
+      .toDF("wave", "item", "rater", "label")
+    val got = Preferences.kappaDrift(df, "item", "rater", "label", "a", "b", "wave")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Long]),
+          Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+    // per-wave kappa must equal the single-wave cohenKappa on that slice
+    val k1 = Preferences.cohenKappa(
+      wave(1L, Seq(3)).toDF("wave", "item", "rater", "label"),
+      "item", "rater", "label", "a", "b").collect().head.getLong(4)
+    assert(got(1L)._1 === k1)
+    assert(got(1L)._2 === None && got(1L)._3 === None, "first wave has no predecessor")
+    assert(got(2L)._2 === Some(got(1L)._1))
+    assert(got(2L)._3 === Some(got(2L)._1 - got(1L)._1))
+    assert(got(2L)._3.get < 0L, "the degrading wave must show a negative delta")
+    assert(got(3L)._2 === Some(got(2L)._1))
+    assert(got(3L)._3.get > 0L, "the recovering wave must show a positive delta")
+  }
 }
