@@ -243,6 +243,62 @@ private[graft] object EntryShared {
           .otherwise(col("lang")).as("label")))
   }
 
+  /** Derived THREE-rater panel over `documents` (FIXTURE for the
+    * multi-rater agreement keys): rater `a` reports `lang`; rater `b`
+    * mislabels every 7th doc as 'xx'; rater `c` skips every 13th doc
+    * (unequal raters per item — the generalized-Fleiss path) and
+    * mislabels every 5th as 'yy'. */
+  def raterPanelFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    docs.select(col("doc_id").as("item"), lit("a").as("rater"),
+        col("lang").as("label"))
+      .unionByName(docs.select(col("doc_id").as("item"), lit("b").as("rater"),
+        when(col("doc_id") % 7 === 0, lit("xx"))
+          .otherwise(col("lang")).as("label")))
+      .unionByName(docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").as("item"), lit("c").as("rater"),
+          when(col("doc_id") % 5 === 0, lit("yy"))
+            .otherwise(col("lang")).as("label")))
+  }
+
+  /** The panel fixture as an oracle CTE ending in
+    * `panel(item, rater, label)` — mirrors [[raterPanelFixture]]. */
+  def raterPanelSql: String =
+    """panel AS (
+      |  SELECT doc_id AS item, 'a' AS rater, lang AS label FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'b', CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'c', CASE WHEN doc_id % 5 = 0 THEN 'yy' ELSE lang END
+      |  FROM documents WHERE doc_id % 13 <> 0)""".stripMargin
+
+  /** Derived two-rater WAVED label view (FIXTURE for the kappa-drift
+    * key): wave = doc_id mod 3; rater `b` mislabels every
+    * (5 + 2·wave)-th doc — agreement IMPROVES over waves, so the
+    * drift deltas are positive by construction. */
+  def raterWaveFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val wave = (col("doc_id") % 3).as("wave")
+    docs.select(wave, col("doc_id").as("item"), lit("a").as("rater"),
+        col("lang").as("label"))
+      .unionByName(docs.select(wave, col("doc_id").as("item"),
+        lit("b").as("rater"),
+        when(col("doc_id") % (lit(5) + lit(2) * (col("doc_id") % 3)) === 0,
+          lit("xx")).otherwise(col("lang")).as("label")))
+  }
+
+  /** The waved fixture as an oracle CTE ending in
+    * `waved(wave, item, rater, label)`. */
+  def raterWaveSql: String =
+    """waved AS (
+      |  SELECT doc_id % 3 AS wave, doc_id AS item, 'a' AS rater, lang AS label
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id % 3, doc_id, 'b',
+      |         CASE WHEN doc_id % (5 + 2 * (doc_id % 3)) = 0 THEN 'xx' ELSE lang END
+      |  FROM documents)""".stripMargin
+
   def preferenceGames(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
@@ -258,6 +314,63 @@ private[graft] object EntryShared {
         when(col("n_chars") > col("n_nchars"), col("item")).otherwise(col("n_item")).as("winner"),
         when(col("n_chars") > col("n_nchars"), col("n_item")).otherwise(col("item")).as("loser"))
   }
+
+  /** A SECOND preference wave (FIXTURE for the warm-start refresh
+    * key): the lead-2 pairing within each language, judged by the
+    * OPPOSITE rubric (shorter doc wins) — overlapping items with
+    * disagreeing outcomes plus pairings wave 1 never saw. */
+  def preferenceGames2(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("item"),
+        col("n_chars"))
+      .withColumn("n_item", lead(col("item"), 2).over(w))
+      .withColumn("n_nchars", lead(col("n_chars"), 2).over(w))
+      .filter(col("n_item").isNotNull &&
+        col("item") =!= col("n_item") && col("n_chars") =!= col("n_nchars"))
+      .select(
+        when(col("n_chars") < col("n_nchars"), col("item")).otherwise(col("n_item")).as("winner"),
+        when(col("n_chars") < col("n_nchars"), col("n_item")).otherwise(col("item")).as("loser"))
+  }
+
+  /** [[preferenceGames2]] as oracle CTEs ending in
+    * `games2(winner, loser)`. */
+  def prefGames2Sql: String =
+    """h0 AS (SELECT lang, doc_id,
+      |         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS item, n_chars
+      |       FROM documents),
+      |h1 AS (SELECT item, n_chars,
+      |         lead(item, 2) OVER (PARTITION BY lang ORDER BY doc_id) AS n_item,
+      |         lead(n_chars, 2) OVER (PARTITION BY lang ORDER BY doc_id) AS n_nchars
+      |       FROM h0),
+      |games2 AS (SELECT CASE WHEN n_chars < n_nchars THEN item ELSE n_item END AS winner,
+      |                  CASE WHEN n_chars < n_nchars THEN n_item ELSE item END AS loser
+      |           FROM h1
+      |           WHERE n_item IS NOT NULL AND item <> n_item AND n_chars <> n_nchars)""".stripMargin
+
+  // DP-mean release parameters — ONE definition feeding both the Spark
+  // query and the interpolated oracle literals (the pqOracleModel rule):
+  // clamp n_chars to [0, 3000] (micro), epsilon 1.0 split between the
+  // sum and count draws.
+  val DpMeanLoMicro: Long = 0L
+  val DpMeanHiMicro: Long = 3000000000L
+  val DpMeanEpsMicro: Long = 1000000L
+  /** Laplace scale of the sum draw: sensitivity·2/ε — MUST mirror
+    * [[graft.ops.Privacy.dpNoisyMean]]'s internal formula. */
+  val DpMeanBSum: Double =
+    math.max(math.abs(DpMeanLoMicro), math.abs(DpMeanHiMicro)).toDouble *
+      2.0 / DpMeanEpsMicro.toDouble
+  val DpMeanBCnt: Double = 2.0 * 1000000.0 / DpMeanEpsMicro.toDouble
+
+  /** The seeded Laplace draw as oracle SQL: poly-hash the
+    * domain-separated key, affine, centered uniform, inverse CDF at
+    * scale `b`, floor-micro — mirrors `Privacy.laplaceNoiseMicro`. */
+  def laplaceNoiseSqlOf(keyExpr: String, b: Double): String =
+    s"""CAST(floor((((-$b) * sign((CAST(((${polyHashSqlOf(keyExpr)} % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) + 0.5) / 1000003.0 - 0.5))
+       |  * ln(1.0 - 2.0 * abs((CAST(((${polyHashSqlOf(keyExpr)} % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) + 0.5) / 1000003.0 - 0.5)))
+       |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
 
   /** Derived multi-turn conversation view over `documents` (the
     * testdata has no conversations table; both engines derive the SAME
@@ -923,35 +1036,52 @@ private[graft] object EntryShared {
     * step CTE is referenced twice (the s_i and s_j joins) plus the
     * scalar MAX divisor, so each is MATERIALIZED — DuckDB's default
     * inlining would copy the whole preceding chain per reference. */
-  def btOracleCtes(iterations: Int): String = {
+  def btOracleCtes(iterations: Int): String =
+    s"WITH $prefGamesSql,\n" + btChainCtes("", "games", None, iterations)
+
+  /** One MM chain as CTE text, parameterized so the warm-start refresh
+    * key can run TWO chains in one query: `p` prefixes every CTE name
+    * (`${p}pairs` … `${p}s$i`), `gamesCte` is the (winner, loser) view
+    * the chain consumes, and `initFrom` names a prior chain's
+    * strengths CTE — absent items cold-start at 1e6 via the LEFT JOIN
+    * coalesce, exactly [[graft.scale.Preferences]]' `btInit`. */
+  def btChainCtes(
+      p: String, gamesCte: String, initFrom: Option[String],
+      iterations: Int): String = {
+    val s0 = initFrom match {
+      case None =>
+        s"""${p}s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM ${p}totals)"""
+      case Some(init) =>
+        s"""${p}s0 AS (SELECT t.item, CAST(coalesce(i.s, 1000000) AS BIGINT) AS s
+           |       FROM ${p}totals t LEFT JOIN $init i USING (item))""".stripMargin
+    }
     val base =
-      s"""WITH $prefGamesSql,
-         |pairs AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+      s"""${p}pairs AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
          |                 CAST(count(*) AS BIGINT) AS n
-         |          FROM games GROUP BY 1, 2),
-         |directed AS (SELECT a AS i, b AS j, n FROM pairs
-         |             UNION ALL SELECT b, a, n FROM pairs),
-         |wl AS (SELECT winner AS item, 1 AS win FROM games
-         |       UNION ALL SELECT loser, 0 FROM games),
-         |totals AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
+         |          FROM $gamesCte GROUP BY 1, 2),
+         |${p}directed AS (SELECT a AS i, b AS j, n FROM ${p}pairs
+         |             UNION ALL SELECT b, a, n FROM ${p}pairs),
+         |${p}wl AS (SELECT winner AS item, 1 AS win FROM $gamesCte
+         |       UNION ALL SELECT loser, 0 FROM $gamesCte),
+         |${p}totals AS (SELECT item, CAST(sum(win) AS BIGINT) AS wins,
          |                  CAST(count(*) AS BIGINT) AS games,
          |                  CAST(sum(win) + 1 AS BIGINT) AS w_smooth
-         |           FROM wl GROUP BY 1),
-         |s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM totals)""".stripMargin
+         |           FROM ${p}wl GROUP BY 1),
+         |$s0""".stripMargin
     val iters = (1 to iterations).map { i =>
       s""",
-         |d$i AS MATERIALIZED (
+         |${p}d$i AS MATERIALIZED (
          |  SELECT d.i AS item,
          |         CAST(sum((d.n * 1000000000000) // (si.s + sj.s)) AS BIGINT) AS dsum
-         |  FROM directed d JOIN s${i - 1} si ON d.i = si.item
-         |                  JOIN s${i - 1} sj ON d.j = sj.item
+         |  FROM ${p}directed d JOIN ${p}s${i - 1} si ON d.i = si.item
+         |                  JOIN ${p}s${i - 1} sj ON d.j = sj.item
          |  GROUP BY 1),
-         |r$i AS MATERIALIZED (
+         |${p}r$i AS MATERIALIZED (
          |  SELECT t.item, CAST((t.w_smooth * 1000000000000) // d.dsum AS BIGINT) AS s_raw
-         |  FROM totals t JOIN d$i d USING (item)),
-         |s$i AS MATERIALIZED (
-         |  SELECT item, CAST(greatest((s_raw * 1000000) // (SELECT max(s_raw) FROM r$i), 1) AS BIGINT) AS s
-         |  FROM r$i)""".stripMargin
+         |  FROM ${p}totals t JOIN ${p}d$i d USING (item)),
+         |${p}s$i AS MATERIALIZED (
+         |  SELECT item, CAST(greatest((s_raw * 1000000) // (SELECT max(s_raw) FROM ${p}r$i), 1) AS BIGINT) AS s
+         |  FROM ${p}r$i)""".stripMargin
     }.mkString
     base + iters
   }

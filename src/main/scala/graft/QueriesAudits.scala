@@ -51,6 +51,46 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.cohenKappa(
         raterFixture(s, d), "item", "rater", "label", "a", "b")),
 
+    // Fleiss' kappa over the THREE-rater panel (rater c skips every
+    // 13th doc — the unequal-raters generalization is exercised, not
+    // just the constant-n textbook case)
+    "x_pref_fleiss" -> ((s, d) =>
+      graft.scale.Preferences.fleissKappa(
+        raterPanelFixture(s, d), "item", "rater", "label")),
+
+    // majority-vote consensus labels with the deterministic min-label
+    // tie rule over the same panel
+    "x_pref_consensus" -> ((s, d) =>
+      graft.scale.Preferences.consensusLabels(
+        raterPanelFixture(s, d), "item", "rater", "label")),
+
+    // the which-rater-is-noise audit: per-rater agreement against the
+    // consensus election — the planted noisy raters (b, c) rank below a
+    "x_pref_rater_agree" -> ((s, d) =>
+      graft.scale.Preferences.raterConsensusAgreement(
+        raterPanelFixture(s, d), "item", "rater", "label")),
+
+    // WARM-START refresh: wave-1 fit persists (pairs + strengths in
+    // spirit — here held as frames), wave 2 lands with the OPPOSITE
+    // rubric, pairs merge (counts sum), and TWO MM iterations continue
+    // from the wave-1 fixed point — the oracle unrolls both chains
+    "x_pref_bt_refresh" -> ((s, d) => {
+      val P = graft.scale.Preferences
+      val g1 = preferenceGames(s, d)
+      val merged = P.mergePairStats(
+        P.pairStats(g1, "winner", "loser"),
+        P.pairStats(preferenceGames2(s, d), "winner", "loser"))
+      P.btStrengthsFromPairs(merged, iterations = 2,
+        init = Some(P.btStrengths(g1, "winner", "loser", iterations = 4)))
+    }),
+
+    // rater-drift over waves: per-wave Cohen's kappa with predecessor
+    // deltas — the fixture's mislabel rate FALLS with the wave index,
+    // so deltas are positive by construction
+    "x_pref_kappa_waves" -> ((s, d) =>
+      graft.scale.Preferences.kappaDrift(
+        raterWaveFixture(s, d), "item", "rater", "label", "a", "b", "wave")),
+
     // seeded Laplace release counts per source (ε = 0.5): the DP
     // mechanism's full data path with the secure RNG swapped for the
     // portable hash so the gate can replay it (documented trade)
@@ -59,6 +99,34 @@ private[graft] object QueriesAudits {
     "x_priv_dpcounts" -> ((s, d) =>
       graft.ops.Privacy.dpNoisyCounts(T(s, d, "documents"), "source",
         epsilonMicro = 500000L, releaseSalt = "release-2")),
+
+    // DP mean release: clamped micro sums + the split-budget pair of
+    // domain-separated draws; parameters come from the ONE EntryShared
+    // definition both engines interpolate
+    "x_priv_dpmean" -> ((s, d) =>
+      graft.ops.Privacy.dpNoisyMean(T(s, d, "documents"), "source", "n_chars",
+        DpMeanLoMicro, DpMeanHiMicro, DpMeanEpsMicro,
+        releaseSalt = "release-3")),
+
+    // the sequential-composition ledger over an actual release log:
+    // two count releases (one salt REUSED — flagged, spent once) plus
+    // the mean release; the __total__ row is the composed spend
+    "x_priv_ledger" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      def logged(df: DataFrame, salt: String) =
+        df.agg(max(col("epsilon_micro")).as("eps"))
+          .select(lit(salt).as("release_salt"), col("eps"))
+      val log = logged(graft.ops.Privacy.dpNoisyCounts(
+          docs, "source", 500000L, "release-1"), "release-1")
+        .unionByName(logged(graft.ops.Privacy.dpNoisyCounts(
+          docs, "source", 500000L, "release-2"), "release-2"))
+        .unionByName(logged(graft.ops.Privacy.dpNoisyCounts(
+          docs, "source", 500000L, "release-2"), "release-2"))
+        .unionByName(logged(graft.ops.Privacy.dpNoisyMean(
+          docs, "source", "n_chars", DpMeanLoMicro, DpMeanHiMicro,
+          DpMeanEpsMicro, "release-3"), "release-3"))
+      graft.ops.Privacy.epsilonLedger(log, "release_salt", "eps")
+    }),
 
     // referential-integrity contract audit over PLANTED violations
     // (the FK-consistent TPC-H tables would make the gate vacuous):
@@ -210,6 +278,131 @@ private[graft] object QueriesAudits {
         |       END AS kappa_micro
         |FROM po""".stripMargin,
 
+    // Fleiss' kappa: the integer-micro spec replayed CTE by CTE —
+    // per-item floors, integer mean, pooled marginals over KEPT items,
+    // sign-factored kappa division (Spark div truncates toward zero)
+    "x_pref_fleiss" ->
+      s"""WITH $raterPanelSql,
+         |one AS (SELECT item, rater, min(label) AS label FROM panel
+         |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+         |nik AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nik
+         |        FROM one GROUP BY 1, 2),
+         |byitem AS (SELECT item, CAST(sum(nik) AS BIGINT) AS ni,
+         |                  CAST(sum(nik * nik) AS BIGINT) AS sq
+         |           FROM nik GROUP BY 1),
+         |kept AS (SELECT *,
+         |           CAST(((sq - ni) * 1000000) // (ni * (ni - 1)) AS BIGINT) AS pi
+         |         FROM byitem WHERE ni >= 2),
+         |top AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |               CAST(coalesce(sum(ni), 0) AS BIGINT) AS n_ratings,
+         |               CAST(coalesce(sum(pi), 0) AS BIGINT) AS pisum
+         |        FROM kept),
+         |marg AS (SELECT CAST(coalesce(sum(ck * ck), 0) AS BIGINT) AS crs FROM (
+         |           SELECT n.label, CAST(sum(n.nik) AS BIGINT) AS ck
+         |           FROM nik n JOIN kept k USING (item) GROUP BY 1)),
+         |po AS (SELECT n_items, n_ratings,
+         |         CASE WHEN n_items > 0 THEN CAST(pisum // n_items AS BIGINT) END AS pbar_micro,
+         |         CASE WHEN n_items > 0
+         |           THEN CAST((crs * 1000000) // (n_ratings * n_ratings) AS BIGINT) END AS pe_micro
+         |       FROM top, marg)
+         |SELECT n_items, n_ratings, pbar_micro, pe_micro,
+         |       CASE WHEN pe_micro >= 1000000 THEN NULL
+         |            WHEN pbar_micro >= pe_micro
+         |              THEN CAST(((pbar_micro - pe_micro) * 1000000) // (1000000 - pe_micro) AS BIGINT)
+         |            ELSE CAST(-(((pe_micro - pbar_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
+         |       END AS kappa_micro
+         |FROM po""".stripMargin,
+
+    // consensus election: vote counts, per-item max, min-label tie rule
+    "x_pref_consensus" ->
+      s"""WITH $raterPanelSql,
+         |one AS (SELECT item, rater, min(label) AS label FROM panel
+         |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+         |nik AS (SELECT item, label, CAST(count(*) AS BIGINT) AS votes
+         |        FROM one GROUP BY 1, 2),
+         |byitem AS (SELECT item, CAST(sum(votes) AS BIGINT) AS n_ratings,
+         |                  CAST(max(votes) AS BIGINT) AS top
+         |           FROM nik GROUP BY 1)
+         |SELECT n.item, b.n_ratings, min(n.label) AS consensus_label,
+         |       b.top AS votes,
+         |       CAST((b.top * 1000000) // b.n_ratings AS BIGINT) AS share_micro
+         |FROM nik n JOIN byitem b USING (item)
+         |WHERE n.votes = b.top
+         |GROUP BY n.item, b.n_ratings, b.top""".stripMargin,
+
+    // per-rater agreement vs the consensus election
+    "x_pref_rater_agree" ->
+      s"""WITH $raterPanelSql,
+         |one AS (SELECT item, rater, min(label) AS label FROM panel
+         |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+         |nik AS (SELECT item, label, CAST(count(*) AS BIGINT) AS votes
+         |        FROM one GROUP BY 1, 2),
+         |byitem AS (SELECT item, CAST(sum(votes) AS BIGINT) AS n_ratings,
+         |                  CAST(max(votes) AS BIGINT) AS top
+         |           FROM nik GROUP BY 1),
+         |cons AS (SELECT n.item, min(n.label) AS consensus_label
+         |         FROM nik n JOIN byitem b USING (item)
+         |         WHERE n.votes = b.top GROUP BY 1)
+         |SELECT o.rater, CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(coalesce(sum(CASE WHEN o.label = c.consensus_label THEN 1 END), 0) AS BIGINT) AS n_agree,
+         |       CAST((coalesce(sum(CASE WHEN o.label = c.consensus_label THEN 1 END), 0) * 1000000) // count(*) AS BIGINT) AS agree_micro
+         |FROM one o JOIN cons c USING (item)
+         |GROUP BY 1""".stripMargin,
+
+    // warm-start refresh: the wave-1 chain (4 iterations) feeds the
+    // merged-wave chain's s0 via LEFT JOIN coalesce (new items
+    // cold-start at 1e6), then 2 warm iterations — both chains
+    // MATERIALIZED per step like every BT oracle
+    "x_pref_bt_refresh" ->
+      (s"WITH $prefGamesSql,\n" +
+        btChainCtes("", "games", None, 4) + ",\n" +
+        prefGames2Sql + ",\n" +
+        "mgames AS (SELECT * FROM games UNION ALL SELECT * FROM games2),\n" +
+        btChainCtes("m", "mgames", Some("s4"), 2) +
+        """
+          |SELECT t.item, t.wins, t.games, ms2.s AS strength_micro
+          |FROM mtotals t JOIN ms2 USING (item)""".stripMargin),
+
+    // per-wave kappa + predecessor deltas: the cohenKappa chain with
+    // the wave key threaded through, the prev wave found by the
+    // max-less-than self-join (no window, summary-sized)
+    "x_pref_kappa_waves" ->
+      s"""WITH $raterWaveSql,
+         |one AS (SELECT wave, item, rater, min(label) AS label FROM waved
+         |        WHERE wave IS NOT NULL AND item IS NOT NULL AND label IS NOT NULL
+         |        GROUP BY 1, 2, 3),
+         |a AS (SELECT wave, item, label AS la FROM one WHERE rater = 'a'),
+         |b AS (SELECT wave, item, label AS lb FROM one WHERE rater = 'b'),
+         |bth AS (SELECT a.wave, a.item, a.la, b.lb FROM a JOIN b USING (wave, item)),
+         |agg AS (SELECT wave, CAST(count(*) AS BIGINT) AS n_items,
+         |          CAST(coalesce(sum(CASE WHEN la = lb THEN 1 END), 0) AS BIGINT) AS n_agree
+         |        FROM bth GROUP BY 1),
+         |ca AS (SELECT wave, la AS label, CAST(count(*) AS BIGINT) AS ca FROM bth GROUP BY 1, 2),
+         |cb AS (SELECT wave, lb AS label, CAST(count(*) AS BIGINT) AS cb FROM bth GROUP BY 1, 2),
+         |ch AS (SELECT wave, CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS crs
+         |       FROM ca JOIN cb USING (wave, label) GROUP BY 1),
+         |k2 AS MATERIALIZED (
+         |  SELECT g.wave, g.n_items, g.n_agree,
+         |         CASE WHEN g.n_items > 0
+         |           THEN CAST((g.n_agree * 1000000) // g.n_items AS BIGINT) END AS po_micro,
+         |         CASE WHEN g.n_items > 0
+         |           THEN CAST((c.crs * 1000000) // (g.n_items * g.n_items) AS BIGINT) END AS pe_micro
+         |  FROM agg g JOIN ch c USING (wave)),
+         |k3 AS MATERIALIZED (
+         |  SELECT *, CASE WHEN pe_micro >= 1000000 THEN NULL
+         |              WHEN po_micro >= pe_micro
+         |                THEN CAST(((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro) AS BIGINT)
+         |              ELSE CAST(-(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
+         |            END AS kappa_micro
+         |  FROM k2),
+         |pw AS (SELECT a.wave, max(b.wave) AS prev_wave
+         |       FROM k3 a JOIN k3 b ON b.wave < a.wave GROUP BY 1)
+         |SELECT k3.wave, k3.n_items, k3.n_agree, k3.po_micro, k3.pe_micro,
+         |       k3.kappa_micro, p.kappa_micro AS prev_kappa_micro,
+         |       k3.kappa_micro - p.kappa_micro AS delta_micro
+         |FROM k3 LEFT JOIN pw ON k3.wave = pw.wave
+         |        LEFT JOIN k3 p ON p.wave = pw.prev_wave""".stripMargin,
+
     // seeded Laplace counts: poly-hash -> affine -> centered uniform ->
     // inverse CDF, every float op in the same order as the Scala side;
     // the single ln per group is floor-micro-rounded (entropy precedent).
@@ -226,6 +419,46 @@ private[graft] object QueriesAudits {
          |       CAST(n * 1000000 + noise_micro AS BIGINT) AS noisy_count_micro,
          |       CAST(500000 AS BIGINT) AS epsilon_micro
          |FROM z""".stripMargin,
+
+    // DP mean: clamped micro sums (exact BIGINT), the two
+    // domain-separated draws at the interpolated Scala scales, halfUp-6
+    // double mean of two exact longs
+    "x_priv_dpmean" ->
+      s"""WITH c AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT), $DpMeanLoMicro), $DpMeanHiMicro)) AS BIGINT) AS sum_micro
+         |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+         |z AS (SELECT *,
+         |    ${laplaceNoiseSqlOf("\"group\" || chr(31) || 'release-3' || chr(31) || 'sum'", DpMeanBSum)} AS noise_sum_micro,
+         |    ${laplaceNoiseSqlOf("\"group\" || chr(31) || 'release-3' || chr(31) || 'cnt'", DpMeanBCnt)} AS noise_count_micro
+         |  FROM c)
+         |SELECT "group", n, sum_micro, noise_sum_micro, noise_count_micro,
+         |  CAST(sum_micro + noise_sum_micro AS BIGINT) AS noisy_sum_micro,
+         |  CAST(n * 1000000 + noise_count_micro AS BIGINT) AS noisy_count_micro,
+         |  CASE WHEN n * 1000000 + noise_count_micro > 0
+         |    THEN ${graft.ops.Rounding.halfUpSql("CAST(sum_micro + noise_sum_micro AS DOUBLE) / CAST(n * 1000000 + noise_count_micro AS DOUBLE)", 6)}
+         |  END AS dp_mean,
+         |  CAST($DpMeanEpsMicro AS BIGINT) AS epsilon_micro
+         |FROM z""".stripMargin,
+
+    // epsilon ledger over the same release log the Spark side derives
+    // from its release outputs (the epsilons are release-call
+    // constants, so the log rows are literal here)
+    "x_priv_ledger" ->
+      s"""WITH log AS (
+         |  SELECT 'release-1' AS release_salt, CAST(500000 AS BIGINT) AS eps
+         |  UNION ALL SELECT 'release-2', 500000
+         |  UNION ALL SELECT 'release-2', 500000
+         |  UNION ALL SELECT 'release-3', $DpMeanEpsMicro),
+         |per AS (SELECT release_salt, CAST(count(*) AS BIGINT) AS n_uses,
+         |          CAST(count(DISTINCT eps) AS BIGINT) AS n_eps_variants,
+         |          CAST(max(eps) AS BIGINT) AS epsilon_micro
+         |        FROM log GROUP BY 1)
+         |SELECT * FROM per
+         |UNION ALL
+         |SELECT '__total__', CAST(coalesce(sum(n_uses), 0) AS BIGINT),
+         |       CAST(coalesce(sum(n_eps_variants), 0) AS BIGINT),
+         |       CAST(coalesce(sum(epsilon_micro), 0) AS BIGINT)
+         |FROM per""".stripMargin,
 
     // referential contract audit over the planted violations: distinct
     // parent keys left-joined under the child, three counters per rule
