@@ -46,6 +46,20 @@ object Pq {
     * seeded-hash values with id tiebreak: uniform, partition-layout
     * independent, re-run stable). Null vectors are excluded; vectors
     * must all have `dim` elements.
+    *
+    * Expected recall behavior BY DATA SHAPE (measured, RECALL.jsonl):
+    * fitted codebooks carry signal exactly when the embedding space
+    * has cluster structure — on [[Similarity.clusteredFixture]]
+    * (many tight clusters, the semantic-neighborhood shape of real
+    * embeddings) fitted IVFADC measures ~0.85 recall@6 and is
+    * spec-gated (PqSpec); on STRUCTURELESS uniform data (the synthetic
+    * testdata embeddings) the same configs retrieve near-chance
+    * (~0.10–0.17) because no m×k codebook can compress a space with
+    * no redundancy — a data property, not a defect, and the reason the
+    * exact-equivalence configs (full probe ≡ flat ADC) carry the
+    * oracle gates there. A few-huge-clusters shape fails differently:
+    * the top-k ordering then lives in within-cluster jitter below the
+    * codebook's resolution (measured 0.06 on an 8×500 fixture).
     */
   def fit(
       df: DataFrame, idCol: String, vecCol: String,
@@ -62,6 +76,59 @@ object Pq {
     val dsub = dim / m
     val codebooks = Array.tabulate(m) { j =>
       val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      Similarity.fitCentroidsLloyd(sub, k, iters, seed + j)
+    }
+    Model(dim, m, k, codebooks)
+  }
+
+  /** Fit per-subspace codebooks on coarse-quantizer RESIDUALS
+    * (x − centroid[cell]) — the model [[ivfAdcTopK]]'s `residual=true`
+    * encoding actually calls for: residuals live at the within-cell
+    * scale, so codebooks fitted THERE spend all k codes resolving
+    * neighbor-scale structure instead of re-describing the cell layout
+    * the coarse quantizer already captured (Jégou et al. §V.A). A
+    * raw-fitted model fed residual encoding is mismatched — its
+    * centroids sit at raw-vector scale, the residuals at the
+    * within-cell scale — reconstructing residuals strictly worse
+    * (PqSpec gate) and collapsing recall where cells are tight
+    * (RecallProbe measured 0.02 vs the matched fit's 0.88 on the
+    * clustered fixtures); pass the SAME `centroids` here and as
+    * `centroids0` to [[ivfAdcTopK]].
+    *
+    * Same bounded deterministic sample as [[fit]]; the residual of
+    * each sampled vector is taken on the driver against the supplied
+    * coarse centroids (driver-sized × driver-sized — free).
+    */
+  def fitResidual(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, centroids: Array[Array[Double]], m: Int = 8, k: Int = 16,
+      iters: Int = 5, seed: Long = 42L): Model = {
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      s"fitResidual: centroids must be $dim-dim")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val sample = df
+      .select(v.cast("array<double>").as("__v__"),
+        xxhash64(id, lit(seed)).as("__h__"), id.as("__id__"))
+      .filter(col("__v__").isNotNull && size(col("__v__")) === dim)
+      .orderBy(col("__h__"), col("__id__"))
+      .limit(math.min(k.toLong * 1000L, Similarity.MaxFitSample.toLong).toInt)
+      .collect().map(_.getSeq[Double](0).toArray)
+    def residual(x: Array[Double]): Array[Double] = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = x(j) - centroids(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      Array.tabulate(dim)(j => x(j) - centroids(best)(j))
+    }
+    val res = sample.map(residual)
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = res.map(_.slice(j * dsub, (j + 1) * dsub))
       Similarity.fitCentroidsLloyd(sub, k, iters, seed + j)
     }
     Model(dim, m, k, codebooks)

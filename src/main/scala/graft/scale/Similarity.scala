@@ -29,6 +29,44 @@ object Similarity {
     */
   private[scale] val MaxFitSample: Int = 131072
 
+  /** Deterministic CLUSTERED embedding fixture — `nClusters`
+    * well-separated integer-hash centroids (components in [−10, 10])
+    * with small per-vector jitter ([−0.5, 0.5]), emitted in the
+    * testdata embeddings schema (vec_id, embedding float[], label =
+    * cluster). This is the recall-evaluation counterpart of
+    * [[Pq.syntheticModel]]: coarse quantizers and PQ codebooks carry
+    * signal exactly when the data HAS cluster structure, so fitted-ANN
+    * recall floors are pinned against this fixture (RecallProbe,
+    * SimilaritySpec/PqSpec) — on structureless uniform data (the
+    * synthetic testdata embeddings) the same fitted configs retrieve
+    * near-chance BY DESIGN, not by defect; see [[ivfTopK]]/[[Pq.fit]].
+    *
+    * Driver-generated (fixture sizes are probe-sized); the mix64 hash
+    * makes it seed-stable across JVMs and engines.
+    */
+  def clusteredFixture(
+      spark: org.apache.spark.sql.SparkSession, n: Int, dim: Int = 64,
+      nClusters: Int = 8): DataFrame = {
+    require(n > 0 && dim > 0 && nClusters > 0, "clusteredFixture: need n, dim, nClusters > 0")
+    import spark.implicits._
+    def h(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)) & 0x7FFFFFFFFFFFFFFFL
+    }
+    val rows = (0 until n).map { i =>
+      val c = i % nClusters
+      val vec = Array.tabulate(dim) { j =>
+        val centroid = ((h(c.toLong * 7919L + j) % 2001L) - 1000L) / 100.0
+        val jitter = ((h(i.toLong * 104729L + j) % 2001L) - 1000L) / 2000.0
+        (centroid + jitter).toFloat
+      }
+      (i.toLong, vec, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
   /** Sequential-fold dot product of two float/double arrays (cast to
     * double), via zip_with + aggregate — codegen'd, deterministic order.
     */

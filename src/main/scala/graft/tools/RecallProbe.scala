@@ -131,6 +131,69 @@ object RecallProbe {
       // 256/256) — the floor leaves headroom for corpus drift
       emit(sf, "editdist_prefix_lenband_t0", 0, rEd, "x_dedup_editdist", 0.95)
     }
+
+    // ---- clustered-fixture recall for the FITTED configs ------------
+    // The testdata embeddings are STRUCTURELESS (uniform), so fitted
+    // coarse quantizers/codebooks probe near-chance there (r11:
+    // 0.095/0.167) — a data property, not a defect. This fixture is
+    // the semantic-neighborhood shape real embedding spaces have (512
+    // tight clusters of 8: top-k ≈ the cluster siblings); the fitted
+    // configs' floors are pinned HERE (and spec-gated in
+    // SimilaritySpec/PqSpec), while the structureless rows above stay
+    // as the documented contrast. A FEW-huge-clusters shape is the
+    // other documented failure mode: with 500-point clusters the exact
+    // top-6 ordering lives entirely in within-cluster jitter that
+    // 1-byte-per-subspace PQ cannot resolve (measured 0.06 here before
+    // the fixture took the many-small-clusters shape).
+    {
+      val fx = graft.scale.Similarity.clusteredFixture(spark, 4096, 64, 512)
+        .localCheckpoint()
+      val fq = fx.filter(col("vec_id") < 24)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exactCos = graft.scale.Similarity.knnExact(
+        fx, fq, "vec_id", "embedding", "query_id", k = 7)
+      val ivfF = graft.scale.Similarity.ivfTopK(
+        fx, fq, "vec_id", "embedding", "query_id", k = 7, nlist = 16, nprobe = 4)
+      val rIvf = recall(ivfF, exactCos)
+      println(f"[recall] fixture ivf nprobe=4/16 clustered   $rIvf%.4f")
+      emit("fixture", "ivf_fitted_clustered", 7, rIvf, "SimilaritySpec", 0.85)
+      val lshF = graft.scale.Similarity.annTopK(
+        fx, fq, "vec_id", "embedding", "query_id", k = 7, bits = 12, tables = 4)
+      val rLsh = recall(lshF, exactCos)
+      println(f"[recall] fixture lsh 12x4 clustered          $rLsh%.4f")
+      emit("fixture", "lsh_fitted_clustered", 7, rLsh, "SimilaritySpec", 0.85)
+
+      import org.apache.spark.sql.expressions.Window
+      val c = fx.select(col("vec_id"), col("embedding").as("cv"))
+      val qq = fq.select(col("query_id"), col("embedding").as("qv"))
+      val d2 = graft.scale.Similarity.dot(col("cv"), col("cv")) +
+        graft.scale.Similarity.dot(col("qv"), col("qv")) -
+        lit(2.0) * graft.scale.Similarity.dot(col("cv"), col("qv"))
+      val w = Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))
+      val exactL2 = c.crossJoin(broadcast(qq))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 6)
+      val cents = graft.scale.Similarity.fitIvfCentroids(
+        fx, "vec_id", "embedding", nlist = 8, normalize = false, dim = 64)
+      val fitted = graft.scale.Pq.fit(fx, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val fittedRes = graft.scale.Pq.fitResidual(
+        fx, "vec_id", "embedding", dim = 64, centroids = cents, m = 8, k = 16)
+      def ivfadc(model: graft.scale.Pq.Model, residual: Boolean) =
+        graft.scale.Pq.ivfAdcTopK(
+          fx, fq, "vec_id", "embedding", "query_id", k = 6, model,
+          nlist = 8, nprobe = 4, excludeSelf = true, residual = residual,
+          centroids0 = Some(cents))
+      val rRawF = recall(ivfadc(fitted, residual = false), exactL2)
+      // residual encoding with the RESIDUAL-fitted model — the matched
+      // pair (a raw-fitted model fed residuals is the documented
+      // mismatch; Pq.fitResidual scaladoc)
+      val rResF = recall(ivfadc(fittedRes, residual = true), exactL2)
+      println(f"[recall] fixture ivfadc raw clustered        $rRawF%.4f")
+      println(f"[recall] fixture ivfadc residual clustered   $rResF%.4f")
+      emit("fixture", "ivfadc_fitted_raw_clustered", 6, rRawF, "PqSpec", 0.70)
+      emit("fixture", "ivfadc_fitted_residual_clustered", 6, rResF, "PqSpec", 0.70)
+    }
     spark.stop()
   }
 }

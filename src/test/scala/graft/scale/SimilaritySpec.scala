@@ -159,4 +159,30 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
     assert(tight((1L, 10L)) == 1.0 / 2.0 && tight((1L, 11L)) == 1.0 / 3.0 + 1.0 / 2.0)
   }
+
+  test("fitted IVF and LSH recall gates on the clustered fixture") {
+    // RecallProbe's clustered fixture at spec size (128 clusters of 8):
+    // the fitted coarse quantizer and hyperplane LSH must retrieve the
+    // semantic neighborhood nearly perfectly when the data HAS cluster
+    // structure (RECALL.jsonl r12: both 1.0000 at 4096x512). The same
+    // configs probe near-chance on the structureless testdata
+    // embeddings — the documented data-property contrast
+    // (clusteredFixture scaladoc), which is exactly why the floors are
+    // pinned HERE and not there.
+    val fx = Similarity.clusteredFixture(spark, 1024, 64, 128).localCheckpoint()
+    val fq = fx.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.knnExact(fx, fq, "vec_id", "embedding", "query_id", k = 7)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val rIvf = recallOf(Similarity.ivfTopK(
+      fx, fq, "vec_id", "embedding", "query_id", k = 7, nlist = 16, nprobe = 4))
+    assert(rIvf >= 0.85, s"fitted IVF recall collapsed on clustered data: $rIvf")
+    val rLsh = recallOf(Similarity.annTopK(
+      fx, fq, "vec_id", "embedding", "query_id", k = 7, bits = 12, tables = 4))
+    assert(rLsh >= 0.85, s"LSH recall collapsed on clustered data: $rLsh")
+  }
 }
