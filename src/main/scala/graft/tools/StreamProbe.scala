@@ -1,84 +1,108 @@
 package graft.tools
 
-import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
-/** Sustained-rate probe for the streaming paths — the throughput
-  * evidence behind the streaming family's SCALE.md row: the
-  * correctness story is MemoryStream specs + batch-equivalent oracles,
-  * and this main adds the "how many events/sec does the state machine
-  * actually sustain, and does its state stay bounded" measurement.
+/** Streaming throughput probe (round-9 verdict #8; windowed-agg path +
+  * state-over-time series added round 12): drives the stateful
+  * streaming paths — sessionization via flatMapGroupsWithState, exact
+  * dedup via dropDuplicatesWithinWatermark, and the watermarked
+  * windowed aggregation — from a rate source at a configurable
+  * rows/sec for a fixed wall duration, and reports SUSTAINED
+  * throughput + state-store size from the engine's own
+  * StreamingQueryProgress — the committed evidence that the streaming
+  * family moves volume, not just that it is batch-equivalent
+  * (StreamingSpec covers correctness). Measurement tooling only.
   *
-  * Two probed paths (the two production state shapes):
-  *  - windowed aggregation (`Streams.windowedStream`: 1 h windows,
-  *    2 h watermark) — state is the open window set;
-  *  - watermark dedup (`Streams.dedupEventsStream`: 1 h horizon, ~9%
-  *    planted duplicates) — state is the within-horizon key set.
+  * The windowed-agg probe synthesizes EVENT time from the rate
+  * source's row index (1 s of event time per row), so a 30 s wall run
+  * crosses the 2 h watermark horizon thousands of times and the
+  * per-progress state series shows eviction holding state flat — the
+  * bounded-state property that makes the path viable at any volume.
   *
-  * Event time advances ~1 s per event, so a run spans many watermark
-  * horizons and the per-batch `stateOperators.numRowsTotal` series
-  * shows eviction working: bounded state is the claim that makes the
-  * path 100 TB-viable, not the local[32] rate itself. Batches are
-  * pre-generated so the measured wall time is the engine's
-  * (add+process), not tuple construction. Measurement tooling only.
+  * Usage: runMain graft.tools.StreamProbe [rowsPerSec] [seconds]
+  * Defaults 20000 rows/s for 30 s per probe. Results print as
+  * `[streamprobe]` lines; copy the row into SCALE.md.
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
-    val nBatches = args.headOption.map(_.toInt).getOrElse(20)
-    val perBatch = args.drop(1).headOption.map(_.toInt).getOrElse(50000)
+    val rate = args.headOption.map(_.toInt).getOrElse(20000)
+    val secs = args.drop(1).headOption.map(_.toInt).getOrElse(30)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
-    implicit val sc = spark.sqlContext
+    import spark.implicits._
 
-    val types = Array("click", "view", "signup", "purchase", "refund")
-    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def rateEvents = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("timestamp").as("ts"),
+        pmod(col("value"), lit(5000L)).as("user_id"),
+        pmod(col("value"), lit(97L)).cast("double").as("value"))
 
-    // deterministic batches; every 11th event duplicates its
-    // predecessor (the at-least-once shape the dedup path exists for)
-    def batch(b: Int): Seq[(Long, Timestamp, String, Double)] =
-      (0 until perBatch).map { i =>
-        val g0 = b.toLong * perBatch + i
-        val g = if (g0 % 11 == 0 && g0 > 0) g0 - 1 else g0
-        (g % 10000L, new Timestamp(base + g * 1000L),
-          types((g % types.length).toInt), (g % 100L).toDouble)
-      }
-
-    def run(name: String)(plan: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame): Unit = {
-      val batches = (0 until nBatches).map(batch) // pre-generate
-      val mem = MemoryStream[(Long, Timestamp, String, Double)]
-      val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
-      val q = plan(df).writeStream
-        .outputMode(if (name == "windowed_agg") "update" else "append")
-        .format("memory").queryName(s"probe_$name").start()
-      try {
-        val t0 = System.nanoTime()
-        var stateRows = Vector.empty[Long]
-        batches.foreach { rows =>
-          mem.addData(rows)
-          q.processAllAvailable()
-          val p = q.lastProgress
-          stateRows :+= (if (p == null || p.stateOperators.isEmpty) 0L
-            else p.stateOperators.map(_.numRowsTotal).sum)
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val n = nBatches.toLong * perBatch
-        println(f"[stream] $name%-14s events=$n rate=${n / sec}%,.0f ev/s " +
-          f"wall=$sec%.1f s state_rows(first,mid,last)=" +
-          s"${stateRows.head},${stateRows(stateRows.size / 2)},${stateRows.last}")
-      } finally q.stop()
+    def runProbe(name: String, start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val q = start()
+      Thread.sleep(secs * 1000L)
+      val progs = q.recentProgress.toSeq
+      val input = progs.map(_.numInputRows).sum
+      val stateSeries = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .filter(_ > 0L)
+      val stateRows = stateSeries.lastOption.getOrElse(0L)
+      val stateSketch =
+        if (stateSeries.isEmpty) "-"
+        else s"${stateSeries.head},${stateSeries(stateSeries.size / 2)},${stateSeries.last}"
+      val batches = progs.length
+      val meanBatchMs =
+        if (batches == 0) 0L
+        else progs.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum / math.max(batches, 1)
+      q.stop()
+      println(f"[streamprobe] $name rate=$rate%d/s dur=${secs}s " +
+        f"input=$input%d sustained=${input.toDouble / secs}%.0f rows/s " +
+        f"state_rows=$stateRows%d state(first,mid,last)=$stateSketch " +
+        f"batches=$batches%d mean_batch_ms=$meanBatchMs%d")
     }
 
-    run("windowed_agg")(df => graft.streaming.Streams.windowedStream(df, "1 hour", "2 hours"))
-    run("dedup")(df => graft.streaming.Streams.dedupEventsStream(
-      df, Seq("user_id", "event_type", "ts"), "ts", "1 hour"))
+    def ckpt() = java.nio.file.Files.createTempDirectory("streamprobe").toString
+
+    // stateful sessionization: 5000 live user sessions in custom state
+    runProbe("sessionize", () =>
+      graft.streaming.Streams.sessionizeStream(
+        rateEvents.select(col("user_id"), col("ts"), col("value"))
+          .as[graft.streaming.Streams.SessionEvent], gapMinutes = 1)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt()).start())
+
+    // watermarked exact dedup: key cycles every 100k rows, so state
+    // holds <= 100k fingerprints within the watermark horizon and late
+    // cycles are true duplicates being dropped
+    runProbe("dedup", () =>
+      graft.streaming.Streams.dedupEventsStream(
+        spark.readStream.format("rate").option("rowsPerSecond", rate).load()
+          .select(col("timestamp").as("ts"),
+            pmod(col("value"), lit(100000L)).as("key")),
+        keyCols = Seq("key"), tsCol = "ts", watermark = "10 minutes")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt()).start())
+
+    // watermarked windowed aggregation: EVENT time = 1 s per row, so
+    // the 1 h windows roll over every `3600/rate` wall-seconds and the
+    // 2 h watermark evicts them — open-window state stays at
+    // ~3 windows x 5 types however long the stream runs
+    runProbe("windowed_agg", () =>
+      graft.streaming.Streams.windowedStream(
+        spark.readStream.format("rate").option("rowsPerSecond", rate).load()
+          .select(
+            timestamp_seconds(lit(1704067200L) + col("value")).as("ts"),
+            concat(lit("t"), pmod(col("value"), lit(5L))).as("event_type"),
+            pmod(col("value"), lit(97L)).cast("double").as("value")),
+        "1 hour", "2 hours")
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt()).start())
+
     spark.stop()
   }
 }
