@@ -91,6 +91,27 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.kappaDrift(
         raterWaveFixture(s, d), "item", "rater", "label", "a", "b", "wave")),
 
+    // the SAME refresh driven from the PERSISTED artifact (the
+    // x_text_hashclf_saved precedent): wave-1 pairs+strengths save
+    // once per (dir) per JVM via Models, wave 2 merges against the
+    // LOADED matrix and warm-starts from the LOADED strengths —
+    // bit-identical to the live-frame refresh (longs roundtrip
+    // losslessly), so the oracle is the same two-chain unroll
+    "x_pref_bt_saved" -> ((s, d) => {
+      val P = graft.scale.Preferences
+      val dir = graft.scale.Models.fitOnceArtifactDir("btmodel", d) { out =>
+        val g1 = preferenceGames(s, d)
+        graft.scale.Models.saveBtModel(
+          P.pairStats(g1, "winner", "loser"),
+          P.btStrengths(g1, "winner", "loser", iterations = 4), out)
+      }
+      val merged = P.mergePairStats(
+        graft.scale.Models.loadBtPairs(s, dir),
+        P.pairStats(preferenceGames2(s, d), "winner", "loser"))
+      P.btStrengthsFromPairs(merged, iterations = 2,
+        init = Some(graft.scale.Models.loadBtStrengths(s, dir)))
+    }),
+
     // seeded Laplace release counts per source (ε = 0.5): the DP
     // mechanism's full data path with the secure RNG swapped for the
     // portable hash so the gate can replay it (documented trade)
@@ -402,6 +423,19 @@ private[graft] object QueriesAudits {
          |       k3.kappa_micro - p.kappa_micro AS delta_micro
          |FROM k3 LEFT JOIN pw ON k3.wave = pw.wave
          |        LEFT JOIN k3 p ON p.wave = pw.prev_wave""".stripMargin,
+
+    // the persisted-artifact refresh is bit-identical to the live one
+    // (lossless long roundtrip through parquet, ModelsSpec-pinned), so
+    // the oracle is the identical two-chain unroll
+    "x_pref_bt_saved" ->
+      (s"WITH $prefGamesSql,\n" +
+        btChainCtes("", "games", None, 4) + ",\n" +
+        prefGames2Sql + ",\n" +
+        "mgames AS (SELECT * FROM games UNION ALL SELECT * FROM games2),\n" +
+        btChainCtes("m", "mgames", Some("s4"), 2) +
+        """
+          |SELECT t.item, t.wins, t.games, ms2.s AS strength_micro
+          |FROM mtotals t JOIN ms2 USING (item)""".stripMargin),
 
     // seeded Laplace counts: poly-hash -> affine -> centered uniform ->
     // inverse CDF, every float op in the same order as the Scala side;
