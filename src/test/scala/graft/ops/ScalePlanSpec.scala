@@ -729,6 +729,37 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-12 ops: panel agreement and kappa drift run window-free; elections are aggregates") {
+    val ratings = (1 to 90).map(i =>
+      (i.toLong % 30, Seq("a", "b", "c")(i % 3), s"l${i % 4}"))
+      .toDF("item", "rater", "label")
+    for (df <- Seq(
+        graft.scale.Preferences.fleissKappa(ratings, "item", "rater", "label"),
+        graft.scale.Preferences.consensusLabels(ratings, "item", "rater", "label"),
+        graft.scale.Preferences.raterConsensusAgreement(ratings, "item", "rater", "label"))) {
+      val nodes = collectPlans(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        "panel operators elect/aggregate — never a per-item window sort")
+      assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        "1-row terms must ride broadcasts")
+    }
+    val waved = (1 to 120).map(i =>
+      (i.toLong % 3, i.toLong % 20, if (i % 2 == 0) "a" else "b", s"l${i % 3}"))
+      .toDF("wave", "item", "rater", "label")
+    val drift = graft.scale.Preferences.kappaDrift(
+      waved, "item", "rater", "label", "a", "b", "wave")
+    val dnodes = collectPlans(drift.queryExecution.executedPlan)
+    assert(!dnodes.exists(_.isInstanceOf[WindowExec]),
+      "the predecessor lookup is a bounded self-join on the wave summary, never a window")
+    // DP mean / ledger: one aggregate each, row-local epilogues
+    val vals = (1 to 50).map(i => (s"g${i % 4}", i.toDouble)).toDF("g", "v")
+    val mean = graft.ops.Privacy.dpNoisyMean(vals, "g", "v", 0L, 100000000L)
+    assert(!collectPlans(mean.queryExecution.executedPlan)
+      .exists(p => p.isInstanceOf[WindowExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "dpNoisyMean is one hash aggregate + row-local noise")
+  }
+
   test("statically-bounded summary windows reject corpus-sized caller literals") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
