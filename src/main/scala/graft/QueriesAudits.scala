@@ -58,6 +58,14 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.fleissKappa(
         raterPanelFixture(s, d), "item", "rater", "label")),
 
+    // Krippendorff's alpha over the same ragged panel — the
+    // missing-data-robust agreement statistic (rater c's skipped
+    // items exercise exactly the pairable-values machinery that
+    // distinguishes alpha from fleiss)
+    "x_pref_alpha" -> ((s, d) =>
+      graft.scale.Preferences.krippendorffAlpha(
+        raterPanelFixture(s, d), "item", "rater", "label")),
+
     // majority-vote consensus labels with the deterministic min-label
     // tie rule over the same panel
     "x_pref_consensus" -> ((s, d) =>
@@ -332,6 +340,42 @@ private[graft] object QueriesAudits {
          |              THEN CAST(((pbar_micro - pe_micro) * 1000000) // (1000000 - pe_micro) AS BIGINT)
          |            ELSE CAST(-(((pe_micro - pbar_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
          |       END AS kappa_micro
+         |FROM po""".stripMargin,
+
+    // Krippendorff's alpha: the coincidence-matrix integer-micro spec
+    // replayed CTE by CTE — per-item agreement-mass floors, pooled
+    // chance mass over KEPT items, sign-factored final division
+    "x_pref_alpha" ->
+      s"""WITH $raterPanelSql,
+         |one AS (SELECT item, rater, min(label) AS label FROM panel
+         |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+         |nik AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nik
+         |        FROM one GROUP BY 1, 2),
+         |byitem AS (SELECT item, CAST(sum(nik) AS BIGINT) AS ni,
+         |                  CAST(sum(nik * (nik - 1)) AS BIGINT) AS agr
+         |           FROM nik GROUP BY 1),
+         |kept AS (SELECT *,
+         |           CAST((agr * 1000000) // (ni - 1) AS BIGINT) AS okk
+         |         FROM byitem WHERE ni >= 2),
+         |top AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |               CAST(coalesce(sum(ni), 0) AS BIGINT) AS n_ratings,
+         |               CAST(coalesce(sum(okk), 0) AS BIGINT) AS okksum
+         |        FROM kept),
+         |marg AS (SELECT CAST(coalesce(sum(ck * (ck - 1)), 0) AS BIGINT) AS ce FROM (
+         |           SELECT n.label, CAST(sum(n.nik) AS BIGINT) AS ck
+         |           FROM nik n JOIN kept k USING (item) GROUP BY 1)),
+         |po AS (SELECT n_items, n_ratings,
+         |         CASE WHEN n_items > 0 AND n_ratings >= 2
+         |           THEN CAST(n_ratings * 1000000 - okksum AS BIGINT) END AS do_micro,
+         |         CASE WHEN n_items > 0 AND n_ratings >= 2
+         |           THEN CAST(n_ratings * 1000000 - (ce * 1000000) // (n_ratings - 1) AS BIGINT) END AS de_micro
+         |       FROM top, marg)
+         |SELECT n_items, n_ratings, do_micro, de_micro,
+         |       CASE WHEN de_micro IS NULL OR de_micro <= 0 THEN NULL
+         |            WHEN de_micro >= do_micro
+         |              THEN CAST(((de_micro - do_micro) * 1000000) // de_micro AS BIGINT)
+         |            ELSE CAST(-(((do_micro - de_micro) * 1000000) // de_micro) AS BIGINT)
+         |       END AS alpha_micro
          |FROM po""".stripMargin,
 
     // consensus election: vote counts, per-item max, min-label tie rule

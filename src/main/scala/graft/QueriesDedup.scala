@@ -66,6 +66,33 @@ private[graft] object QueriesDedup {
         .groupBy("status").agg(count(lit(1)).as("n"))
     }),
 
+    // cross-split leakage census: the ROW-LEVEL splitAssign (which
+    // scatters near-dups across splits by construction — exactly the
+    // hazard splitAssignGrouped guards) audited against the verified
+    // n-gram pair set; off-diagonal rows are eval contamination
+    "x_dedup_split_leak" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text",
+        k = 3, threshold = 0.2, maxBlockSize = NgramBlockCap)
+      val asg = Sampling.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.splitLeakageAudit(pairs, asg, "doc_id", "split")
+    }),
+
+    // the repair composed with its own proof: scrub train-side docs of
+    // leaked pairs (removal can't create new pairs), re-audit — the
+    // census keeps a diagonal and the val/test leak, but NO cross-split
+    // row touching train survives
+    "x_dedup_split_scrub" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.nearDupNgram(docs, "doc_id", "text",
+        k = 3, threshold = 0.2, maxBlockSize = NgramBlockCap)
+      val asg = Sampling.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val clean = Dedup.scrubLeakedDocs(pairs, asg, "doc_id", "split")
+      Dedup.splitLeakageAudit(pairs, clean, "doc_id", "split")
+    }),
+
     // asymmetric containment: inverted-index candidates (df-capped at
     // the production default — the oracle replays the same cap), exact
     // merge-walk intersection counts; catches near-subset pairs whose
@@ -305,6 +332,76 @@ private[graft] object QueriesDedup {
          |            ELSE 'changed' END AS status,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM j GROUP BY 1""".stripMargin,
+
+    // the ngram pair CTE joined to the splitAssign uniform (identical
+    // affine hash + Scala-computed cumulative cuts as x_corpus_split);
+    // unordered split cells via least/greatest, distinct-doc count via
+    // a two-sided UNION (dedups)
+    "x_dedup_split_leak" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH pairs AS (${ngramPairsSqlFrom("documents")}),
+         |u AS (SELECT doc_id,
+         |    CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |  FROM documents),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN u < ${cuts(0)} THEN 'train'
+         |              WHEN u < ${cuts(1)} THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM u),
+         |j AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+         |      FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+         |                   JOIN sp sb ON p.id_b = sb.doc_id),
+         |cells AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |                 id_a, id_b FROM j),
+         |np AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM cells GROUP BY 1, 2),
+         |nd AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |         SELECT split_a, split_b, id_a AS id FROM cells
+         |         UNION
+         |         SELECT split_a, split_b, id_b FROM cells)
+         |       GROUP BY 1, 2)
+         |SELECT np.split_a, np.split_b, n_pairs, n_docs,
+         |       np.split_a <> np.split_b AS is_leak
+         |FROM np JOIN nd USING (split_a, split_b)""".stripMargin
+    },
+
+    // scrub then re-audit: the leaked train-side ids drop (UNION dedups
+    // the list), the pair set re-joins against the survivors only
+    "x_dedup_split_scrub" -> {
+      val cuts = Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH pairs AS (${ngramPairsSqlFrom("documents")}),
+         |u AS (SELECT doc_id,
+         |    CAST(((doc_id % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) / 1000003.0 AS u
+         |  FROM documents),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN u < ${cuts(0)} THEN 'train'
+         |              WHEN u < ${cuts(1)} THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM u),
+         |j0 AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+         |       FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+         |                    JOIN sp sb ON p.id_b = sb.doc_id),
+         |drp AS (SELECT id_a AS id FROM j0 WHERE sa <> sb AND sa = 'train'
+         |        UNION
+         |        SELECT id_b FROM j0 WHERE sa <> sb AND sb = 'train'),
+         |sp2 AS (SELECT sp.* FROM sp LEFT JOIN drp ON sp.doc_id = drp.id
+         |        WHERE drp.id IS NULL),
+         |j AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+         |      FROM pairs p JOIN sp2 sa ON p.id_a = sa.doc_id
+         |                   JOIN sp2 sb ON p.id_b = sb.doc_id),
+         |cells AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |                 id_a, id_b FROM j),
+         |np AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM cells GROUP BY 1, 2),
+         |nd AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |         SELECT split_a, split_b, id_a AS id FROM cells
+         |         UNION
+         |         SELECT split_a, split_b, id_b FROM cells)
+         |       GROUP BY 1, 2)
+         |SELECT np.split_a, np.split_b, n_pairs, n_docs,
+         |       np.split_a <> np.split_b AS is_leak
+         |FROM np JOIN nd USING (split_a, split_b)""".stripMargin
+    },
 
     // same k=3 shingle construction as the ngram oracle; inverted-index
     // candidates with the identical df cap (a shingle either fully

@@ -18,12 +18,24 @@ import EntryShared._
   */
 private[graft] object QueriesText {
 
+  /** Context lengths the fit-audit key probes — shared between the
+    * query lambda and the generated oracle SQL so the literals can
+    * never drift. Small enough that the testdata doc lengths straddle
+    * them (every row of the audit is non-trivial). */
+  private val CtxFitLens: Seq[Int] = Seq(16, 64, 256)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // corpus health report: one narrow pass + one aggregate → the
     // (metric, value) audit a crawl delivery gets before any curation
     "x_text_report" -> ((s, d) =>
       TextAnalysis.corpusReport(T(s, d, "documents"), "text")),
+
+    // context-window fit audit: ONE 1-row aggregate melted to a row
+    // per candidate max_seq_len — docs fitting whole, tokens kept vs
+    // truncated away at each length
+    "x_text_ctxfit" -> ((s, d) =>
+      TextAnalysis.contextFitAudit(T(s, d, "documents"), "text", CtxFitLens)),
 
     // BM25 top-k retrieval for one fixed query: narrow per-term tf
     // (no explode, no inverted index), 1-row corpus-stats broadcast,
@@ -394,6 +406,30 @@ private[graft] object QueriesText {
     // corpus report: the same per-row conventions as the stage oracles
     // (toks, stopword-argmax lang, quality predicate, portable poly
     // fingerprint), one aggregate, UNION ALL to (metric, value)
+    // context-fit audit: the same per-length conditional sums in ONE
+    // aggregate, melted to a row per length via UNION ALL; null text
+    // coalesces to 0 tokens in BOTH engines
+    "x_text_ctxfit" -> {
+      val sums = CtxFitLens.map { len =>
+        s"""CAST(coalesce(sum(CASE WHEN nt <= $len THEN 1 END), 0) AS BIGINT) AS f_$len,
+           |        CAST(coalesce(sum(least(nt, $len)), 0) AS BIGINT) AS k_$len""".stripMargin
+      }.mkString(",\n        ")
+      val rows = CtxFitLens.map { len =>
+        s"SELECT CAST($len AS BIGINT) AS context_len, n_docs, f_$len AS n_fit, tokens_total, k_$len AS tokens_kept FROM agg"
+      }.mkString("\n         |      UNION ALL ")
+      s"""WITH t AS (SELECT coalesce(len($toksSql), 0) AS nt FROM documents),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_total,
+         |        $sums
+         |        FROM t),
+         |m AS ($rows)
+         |SELECT context_len, n_docs, n_fit,
+         |       CASE WHEN n_docs > 0 THEN CAST((n_fit * 1000000) // n_docs AS BIGINT) END AS fit_micro,
+         |       tokens_total, tokens_kept,
+         |       tokens_total - tokens_kept AS tokens_lost
+         |FROM m""".stripMargin
+    },
+
     "x_text_report" -> {
       val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
         s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"

@@ -274,6 +274,102 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Cross-split near-dup LEAKAGE audit — the measuring counterpart of
+    * [[graft.scale.Sampling.splitAssignGrouped]]'s guard: given the
+    * verified pair list of ANY near-dup family ([[nearDupNgram]],
+    * [[nearDupMinhash]], [[nearDupEditDistance]] — two id columns
+    * `id_a`/`id_b`) and the corpus's (id → split) assignment, count
+    * near-dup pairs per UNORDERED split pair. Rows with `split_a !=
+    * split_b` (`is_leak`) are eval contamination: a train doc's
+    * near-duplicate sits in val/test, so eval scores memorization
+    * (Lee et al. 2022's duplicated-eval point). Same-split rows stay
+    * in the output as the contrast baseline — a healthy grouped split
+    * shows all pair mass on the diagonal.
+    *
+    * Output: (split_a ≤ split_b lexicographically, n_pairs, n_docs =
+    * distinct docs touched by this cell's pairs, is_leak). Pairs whose
+    * ids are missing from `assignments` are dropped (inner join): the
+    * audit covers the assigned corpus by definition.
+    *
+    * Scale: two id-keyed joins of the pair list against a two-column
+    * (id, split) projection — co-partitioned equi-joins, no text; both
+    * rollups run over the joined frame (materialized once) and output
+    * ≤ |splits|² rows. The pair list itself is the dedup family's
+    * already-blocked/capped output, never all-pairs.
+    */
+  def splitLeakageAudit(
+      pairs: DataFrame, assignments: DataFrame,
+      idCol: String, splitCol: String): DataFrame = {
+    val asg = assignments.select(graft.ops.Cleaning.qcol(idCol).as("__id"),
+      graft.ops.Cleaning.qcol(splitCol).cast("string").as("__split"))
+    val cells = pairs
+      .join(asg.select(col("__id").as("id_a"), col("__split").as("__sa")), Seq("id_a"))
+      .join(asg.select(col("__id").as("id_b"), col("__split").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"),
+        col("id_a"), col("id_b"))
+      .localCheckpoint() // reused: the pair count AND the distinct-doc count
+    val nPairs = cells.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = cells
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("id_a"), col("id_b"))).as("__doc"))
+      .distinct()
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("split_a", "split_b"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
+  /** The remediation detail behind [[splitLeakageAudit]]: the
+    * cross-split pairs themselves, each side labeled with ITS OWN
+    * split (not canonicalized — the fix is per-doc: quarantine the
+    * eval side or re-home the group). Passes the pair list's extra
+    * columns (jaccard, dist, …) through untouched.
+    */
+  def splitLeakagePairs(
+      pairs: DataFrame, assignments: DataFrame,
+      idCol: String, splitCol: String): DataFrame = {
+    val asg = assignments.select(graft.ops.Cleaning.qcol(idCol).as("__id"),
+      graft.ops.Cleaning.qcol(splitCol).cast("string").as("__split"))
+    pairs
+      .join(asg.select(col("__id").as("id_a"), col("__split").as("split_a")), Seq("id_a"))
+      .join(asg.select(col("__id").as("id_b"), col("__split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
+  /** Leakage REPAIR by scrubbing: drop every `scrub`-split doc that
+    * near-dups a doc in ANY OTHER split — the GPT-3-style benchmark
+    * decontamination move (scrub train, keep eval's distribution
+    * untouched). Removal is the one repair that is CLOSED: re-homing a
+    * doc can create fresh cross-split pairs against its other
+    * neighbors (the honest fix for that is re-splitting whole near-dup
+    * clusters — [[graft.scale.Sampling.splitAssignGrouped]] on the
+    * [[clusters]] assignment), whereas dropping docs only ever deletes
+    * pairs. Guarantee: after one pass, [[splitLeakageAudit]] shows NO
+    * cross-split pair touching `scrub`; leaks entirely between other
+    * splits remain (scrub those separately if they matter — each
+    * scrub shrinks only the split you chose to pay with).
+    *
+    * Returns `assignments` minus the scrubbed docs, schema unchanged.
+    *
+    * Scale: the leaked-pair join ([[splitLeakagePairs]]) is id-keyed
+    * against the already-blocked pair list; the drop list is
+    * leak-sized (AQE broadcasts it) under one LEFT ANTI join — the
+    * corpus never shuffles.
+    */
+  def scrubLeakedDocs(
+      pairs: DataFrame, assignments: DataFrame,
+      idCol: String, splitCol: String, scrub: String = "train"): DataFrame = {
+    val leaked = splitLeakagePairs(pairs, assignments, idCol, splitCol)
+    val drop = leaked.filter(col("split_a") === scrub).select(col("id_a").as("__drop"))
+      .unionByName(
+        leaked.filter(col("split_b") === scrub).select(col("id_b").as("__drop")))
+      .distinct()
+    assignments.join(drop,
+      graft.ops.Cleaning.qcol(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Asymmetric CONTAINMENT near-dup — |A∩B| / |A| over k-shingle sets:
     * the measure that catches near-SUBSET duplicates (a quote page
     * inside a longer article, a mirror wrapped in extra chrome), which

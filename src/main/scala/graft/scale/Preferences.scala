@@ -402,6 +402,69 @@ object Preferences {
           expr("((pbar_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)")))
   }
 
+  /** Krippendorff's alpha (nominal) over a multi-rater panel —
+    * the agreement statistic that stays comparable under MISSING
+    * ratings (Krippendorff 2004, coincidence-matrix form), which is
+    * why content-analysis pipelines prefer it to [[fleissKappa]] when
+    * panels are ragged: kappa's chance term shifts with who happened
+    * to rate what; alpha's is pooled over pairable values only.
+    *
+    * Coincidence form over items with n_i ≥ 2 ratings
+    * (n = Σ n_i pairable values, c_k = pooled label counts):
+    * observed disagreement D_o = n − Σ_i Σ_k n_ik(n_ik−1)/(n_i−1),
+    * expected D_e = n − Σ_k c_k(c_k−1)/(n−1), alpha = 1 − D_o/D_e.
+    *
+    * Integer-exact SPEC (documented; both engines replay it): each
+    * item's agreement mass floors once to micro
+    * (`Σ_k n_ik(n_ik−1)·1e6 div (n_i−1)`), `do_micro = n·1e6 − Σ_i`,
+    * the chance mass floors once (`Σ_k c_k(c_k−1)·1e6 div (n−1)`),
+    * `de_micro = n·1e6 − that`, and
+    * `alpha_micro = (de_micro − do_micro)·1e6 div de_micro` — NULL
+    * when de_micro = 0 (all kept ratings share one label: agreement
+    * is undefined, not perfect). Each floor loses < 1 micro, so the
+    * spec sits within ~2e-6 of the real-valued alpha.
+    *
+    * Output: one row (n_items, n_ratings, do_micro, de_micro,
+    * alpha_micro). Overflow: Σc_k(c_k−1)·1e6 needs n ≲ 3e6 ratings —
+    * divide counts upstream for bigger panels (the BT countDiv move).
+    *
+    * Scale: the same shape as [[fleissKappa]] — ONE corpus-sized
+    * (item, rater) collapse feeding one (item, label) aggregate,
+    * materialized once; everything after is item- or
+    * label-cardinality-sized.
+    */
+  def krippendorffAlpha(
+      ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val nik = collapseRatings(ratings, itemCol, raterCol, labelCol)
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("nik"))
+      .localCheckpoint() // reused by the per-item pass AND the marginals
+    val byItem = nik.groupBy(col("item"))
+      .agg(sum(col("nik")).as("ni"),
+        sum(col("nik") * (col("nik") - 1L)).as("agr"))
+      .filter(col("ni") >= 2L)
+      .withColumn("okk_micro", expr("(agr * 1000000L) div (ni - 1L)"))
+      .localCheckpoint() // reused: the top-line aggregate + the kept-item filter
+    val top = byItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("ni")), lit(0L)).as("n_ratings"),
+      coalesce(sum(col("okk_micro")), lit(0L)).as("__okksum"))
+    val marg = nik.join(byItem.select(col("item")), Seq("item"))
+      .groupBy(col("label")).agg(sum(col("nik")).as("ck"))
+      .agg(coalesce(sum(col("ck") * (col("ck") - 1L)), lit(0L)).as("__ce"))
+    top.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n_ratings"),
+        when(col("n_items") > 0L && col("n_ratings") >= 2L,
+          expr("n_ratings * 1000000L - __okksum")).as("do_micro"),
+        when(col("n_items") > 0L && col("n_ratings") >= 2L,
+          expr("n_ratings * 1000000L - (__ce * 1000000L) div (n_ratings - 1L)"))
+          .as("de_micro"))
+      .withColumn("alpha_micro",
+        when(col("de_micro") > 0L,
+          expr("((de_micro - do_micro) * 1000000L) div de_micro")))
+  }
+
   /** Majority-vote consensus label per item with the deterministic
     * MIN-label tie rule — the panel→gold-label election every
     * supervised pipeline runs before training on rated data. Output:

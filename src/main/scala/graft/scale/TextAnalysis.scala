@@ -52,6 +52,57 @@ object TextAnalysis {
       tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("ws_tokens"),
       bpeishTokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("bpeish_tokens"))
 
+  /** Context-window fit audit — what a candidate `max_seq_len` costs:
+    * for each context length, how many docs fit whole and how many
+    * tokens a truncate-to-fit pass would keep vs throw away. The
+    * one-aggregate answer to "do we train at 2k, 8k or 32k", run
+    * BEFORE [[graft.scale.Conversations.truncateToBudget]] /
+    * packing commits to a length. Null/empty text counts 0 tokens
+    * (fits everything) so the audit is total over the corpus.
+    *
+    * Output: one row per context length (context_len, n_docs, n_fit,
+    * fit_micro = n_fit·1e6 div n_docs, tokens_total, tokens_kept =
+    * Σ min(tokens, L), tokens_lost) — integer micro, NULL fit_micro
+    * on an empty corpus.
+    *
+    * Scale: ONE narrow corpus scan into ONE 1-row hash aggregate
+    * (2·|contexts|+2 conditional sums, codegen'd); the per-context
+    * melt explodes the single aggregate row, never the corpus.
+    */
+  def contextFitAudit(
+      df: DataFrame, textCol: String, contexts: Seq[Int]): DataFrame = {
+    require(contexts.nonEmpty, "contextFitAudit: need at least one context length")
+    require(contexts.forall(_ > 0), "contextFitAudit: context lengths must be positive")
+    require(contexts.distinct.size == contexts.size,
+      "contextFitAudit: context lengths must be distinct")
+    val nt = coalesce(
+      tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long"), lit(0L))
+    val base = df.select(nt.as("__nt"))
+    val perContext = contexts.flatMap { len =>
+      Seq(
+        coalesce(sum(when(col("__nt") <= len.toLong, 1L)), lit(0L)).as(s"__fit_$len"),
+        coalesce(sum(least(col("__nt"), lit(len.toLong))), lit(0L)).as(s"__kept_$len"))
+    }
+    val totals = base.agg(
+      count(lit(1)).as("__n"),
+      (coalesce(sum(col("__nt")), lit(0L)).as("__tot") +: perContext): _*)
+    val melted = totals.select(
+      col("__n"), col("__tot"),
+      explode(array(contexts.map { len =>
+        struct(lit(len.toLong).as("context_len"),
+          col(s"__fit_$len").as("n_fit"),
+          col(s"__kept_$len").as("tokens_kept"))
+      }: _*)).as("__c"))
+    melted.select(
+      col("__c.context_len").as("context_len"),
+      col("__n").as("n_docs"),
+      col("__c.n_fit").as("n_fit"),
+      when(col("__n") > 0L, expr("(__c.n_fit * 1000000L) div __n")).as("fit_micro"),
+      col("__tot").as("tokens_total"),
+      col("__c.tokens_kept").as("tokens_kept"),
+      (col("__tot") - col("__c.tokens_kept")).as("tokens_lost"))
+  }
+
   // Tiny per-language stopword lists for the n-gram/keyword heuristic.
   // Deliberately simple & fixed so the DuckDB oracle can reproduce them.
   val StopwordLists: Seq[(String, Seq[String])] = Seq(

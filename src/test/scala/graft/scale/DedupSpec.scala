@@ -434,6 +434,55 @@ class DedupSpec extends AnyFunSuite {
       5L -> "unchanged")) // null fp on both sides: presence decides, null-safe equality
   }
 
+  test("splitLeakageAudit: cross-split pairs flag, same-split stay diagonal, docs dedup") {
+    import spark.implicits._
+    // planted pairs: (1,2) train-test leak, (5,6) val-train leak,
+    // (3,4) and (3,6) both train-train — doc 3 shared across two
+    // diagonal pairs so n_docs must DEDUP (3 docs, not 4)
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (3L, 6L)).toDF("id_a", "id_b")
+    val asg = Seq(
+      (1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val"), (6L, "train")
+    ).toDF("doc_id", "split")
+    val got = Dedup.splitLeakageAudit(pairs, asg, "doc_id", "split")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      ("test", "train") -> ((1L, 2L, true)),
+      ("train", "train") -> ((2L, 3L, false)),
+      ("train", "val") -> ((1L, 2L, true))))
+    // the remediation detail: only the leaked pairs, per-side labels
+    val det = Dedup.splitLeakagePairs(pairs, asg, "doc_id", "split")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(det == Set((1L, 2L), (5L, 6L)))
+  }
+
+  test("scrubLeakedDocs: drops the scrub-side docs of leaked pairs; re-audit is train-clean") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (3L, 6L)).toDF("id_a", "id_b")
+    val asg = Seq(
+      (1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val"), (6L, "train")
+    ).toDF("doc_id", "split")
+    // leaked pairs (1,2) and (5,6): train sides are docs 1 and 6
+    val clean = Dedup.scrubLeakedDocs(pairs, asg, "doc_id", "split")
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L, 5L))
+    // removal is closed: the re-audit has no cross-split row at all
+    // here (the only survivor pair is train-train (3,4))
+    val re = Dedup.splitLeakageAudit(pairs, clean, "doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(re == Set(("train", "train", 1L)))
+    // scrubbing a different split pays with THAT split: scrub=test
+    // drops doc 2 only; the val-train leak remains and is reported
+    val cleanT = Dedup.scrubLeakedDocs(pairs, asg, "doc_id", "split", scrub = "test")
+    assert(cleanT.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L, 6L))
+    val reT = Dedup.splitLeakageAudit(pairs, cleanT, "doc_id", "split")
+      .filter(col("is_leak")).count()
+    assert(reT === 1L)
+  }
+
   test("containmentPairs: near-subset pair found at a Jaccard symmetric misses") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon"

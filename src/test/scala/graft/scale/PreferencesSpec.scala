@@ -229,6 +229,41 @@ class PreferencesSpec extends AnyFunSuite {
     assert(Preferences.fleissKappa(mono, "item", "rater", "label").collect().head.isNullAt(4))
   }
 
+  test("krippendorffAlpha: hand-computed micro spec; ragged panels and degenerate worlds") {
+    // the mixed panel: kept items 1-3 (ni=3, n=9); agreement mass
+    // floors per item: 6e6 div 2 + 2e6 div 2 + 0 = 4e6 -> do = 5e6;
+    // kept marginals x=6,y=2,z=1 -> ce = 30+2+0 = 32,
+    // de = 9e6 - 32e6 div 8 = 5e6 -> alpha exactly 0
+    val r = Preferences.krippendorffAlpha(panel, "item", "rater", "label").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 9L)
+    assert(r.getLong(2) === 5000000L && r.getLong(3) === 5000000L)
+    assert(r.getLong(4) === 0L)
+    // RAGGED panel (the case alpha exists for): item 4 single-rated
+    // drops; n=7, do = 7e6 - (2e6 + 0 + 3e6) = 2e6;
+    // c_a=3, c_b=4 -> ce = 6 + 12 = 18, de = 7e6 - 18e6 div 6 = 4e6;
+    // alpha = 2e6*1e6 div 4e6 = 500000
+    val ragged = Seq(
+      (1L, "a", "a"), (1L, "b", "a"),
+      (2L, "a", "a"), (2L, "b", "b"),
+      (3L, "a", "b"), (3L, "b", "b"), (3L, "c", "b"),
+      (4L, "a", "a")
+    ).toDF("item", "rater", "label")
+    val rr = Preferences.krippendorffAlpha(ragged, "item", "rater", "label").collect().head
+    assert(rr.getLong(0) === 3L && rr.getLong(1) === 7L)
+    assert(rr.getLong(2) === 2000000L && rr.getLong(3) === 4000000L)
+    assert(rr.getLong(4) === 500000L)
+    // perfect agreement across 2 balanced items -> alpha exactly 1e6
+    val perfect = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "y"), (2L, "b", "y"))
+      .toDF("item", "rater", "label")
+    assert(Preferences.krippendorffAlpha(perfect, "item", "rater", "label")
+      .collect().head.getLong(4) === 1000000L)
+    // single-label world: de = 0 -> alpha null (undefined, not perfect)
+    val mono = Seq((1L, "a", "x"), (1L, "b", "x"), (2L, "a", "x"), (2L, "b", "x"))
+      .toDF("item", "rater", "label")
+    assert(Preferences.krippendorffAlpha(mono, "item", "rater", "label")
+      .collect().head.isNullAt(4))
+  }
+
   test("consensusLabels: majority wins, ties break to MIN label, duplicate ratings collapse first") {
     val got = Preferences.consensusLabels(panel, "item", "rater", "label")
       .collect().map(r => r.getLong(0) ->

@@ -14,6 +14,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2, 0, 1))
   }
 
+  test("contextFitAudit: per-length fit counts and truncation waste; null text = 0 tokens") {
+    val df = Seq(Some("one"), Some("a b c"), Some("v w x y z"), None)
+      .toDF("text")
+    // token counts 1, 3, 5, 0 -> total 9
+    val got = TextAnalysis.contextFitAudit(df, "text", Seq(2, 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // L=2: fits {1,0}; kept 1+2+2+0=5, lost 4; fit 2e6 div 4
+    assert(got(2L) === ((4L, 2L, 500000L, 9L, 5L, 4L)))
+    // L=4: fits {1,3,0}; kept 1+3+4+0=8, lost 1
+    assert(got(4L) === ((4L, 3L, 750000L, 9L, 8L, 1L)))
+    // config guards: empty/negative/duplicate lengths fail fast
+    intercept[IllegalArgumentException](TextAnalysis.contextFitAudit(df, "text", Nil))
+    intercept[IllegalArgumentException](TextAnalysis.contextFitAudit(df, "text", Seq(0)))
+    intercept[IllegalArgumentException](TextAnalysis.contextFitAudit(df, "text", Seq(2, 2)))
+  }
+
   test("langId: picks the language with most stopword hits, 'und' when none") {
     val df = Seq(
       (1L, "the cat and the dog is in that house"),
