@@ -58,6 +58,19 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.fleissKappa(
         raterPanelFixture(s, d), "item", "rater", "label")),
 
+    // verbosity-bias audit over BOTH preference waves merged (wave 1
+    // prefers longer, wave 2 shorter — the mix is non-degenerate);
+    // per-item length = max n_chars over the item's docs
+    "x_pref_lenbias" -> ((s, d) => {
+      val games = preferenceGames(s, d).unionByName(preferenceGames2(s, d))
+      val lens = T(s, d, "documents")
+        .select(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("item"),
+          col("n_chars"))
+        .groupBy("item").agg(max("n_chars").as("len"))
+      graft.scale.Preferences.lengthBiasAudit(
+        games, lens, "winner", "loser", "item", "len")
+    }),
+
     // Krippendorff's alpha over the same ragged panel — the
     // missing-data-robust agreement statistic (rater c's skipped
     // items exercise exactly the pairable-values machinery that
@@ -341,6 +354,35 @@ private[graft] object QueriesAudits {
          |            ELSE CAST(-(((pe_micro - pbar_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
          |       END AS kappa_micro
          |FROM po""".stripMargin,
+
+    // length-bias: both game CTEs unioned, per-item max-length table,
+    // two joins + one aggregate; mean_delta sign-factored (Spark div
+    // truncates toward zero, DuckDB // floors)
+    "x_pref_lenbias" ->
+      (s"WITH $prefGamesSql,\n" + prefGames2Sql + ",\n" +
+        """allg AS (SELECT winner, loser FROM games
+          |         UNION ALL SELECT winner, loser FROM games2),
+          |lens AS (SELECT CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS item,
+          |                CAST(max(n_chars) AS BIGINT) AS len
+          |         FROM documents GROUP BY 1),
+          |j AS (SELECT w.len AS wlen, l.len AS llen FROM allg g
+          |      JOIN lens w ON g.winner = w.item
+          |      JOIN lens l ON g.loser = l.item),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_games,
+          |        CAST(coalesce(sum(CASE WHEN wlen = llen THEN 1 END), 0) AS BIGINT) AS n_len_ties,
+          |        CAST(coalesce(sum(CASE WHEN wlen > llen THEN 1 END), 0) AS BIGINT) AS n_longer_wins,
+          |        CAST(coalesce(sum(wlen - llen), 0) AS BIGINT) AS delta_sum
+          |      FROM j)
+          |SELECT n_games, n_len_ties, n_longer_wins,
+          |       CASE WHEN n_games > n_len_ties
+          |         THEN CAST((n_longer_wins * 1000000) // (n_games - n_len_ties) AS BIGINT)
+          |       END AS longer_win_micro,
+          |       delta_sum,
+          |       CASE WHEN n_games = 0 THEN NULL
+          |            WHEN delta_sum >= 0 THEN CAST((delta_sum * 1000000) // n_games AS BIGINT)
+          |            ELSE CAST(-((-delta_sum * 1000000) // n_games) AS BIGINT)
+          |       END AS mean_delta_micro
+          |FROM a""".stripMargin),
 
     // Krippendorff's alpha: the coincidence-matrix integer-micro spec
     // replayed CTE by CTE — per-item agreement-mass floors, pooled

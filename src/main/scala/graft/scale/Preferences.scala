@@ -465,6 +465,54 @@ object Preferences {
           expr("((de_micro - do_micro) * 1000000L) div de_micro")))
   }
 
+  /** Verbosity-bias audit over pairwise preference data — the known
+    * RLHF failure mode: raters (and reward models trained on them)
+    * systematically prefer the LONGER response, and a reward model fit
+    * on biased pairs learns length, not quality. Joins each game's two
+    * sides to a per-item length table and reports how often the longer
+    * side won.
+    *
+    * Output: one row (n_games = games with both lengths known,
+    * n_len_ties = equal-length games (excluded from the rate),
+    * n_longer_wins, longer_win_micro = n_longer_wins·1e6 div
+    * (n_games − n_len_ties) — NULL when every game ties,
+    * delta_sum = Σ (winner_len − loser_len) exact,
+    * mean_delta_micro = delta_sum·1e6 div n_games, NULL on 0 games).
+    * An unbiased panel sits near 500000 micro; the audit's job is the
+    * distance from it. Spark `div` truncates toward zero — an oracle
+    * must sign-factor mean_delta_micro (delta_sum can be negative).
+    *
+    * Scale: two item-keyed equi-joins of the games against a
+    * two-column (item, len) table (broadcast when items fit — they are
+    * model/response ids, not the corpus) feeding ONE 1-row aggregate.
+    * Games missing either side's length drop (inner join): the audit
+    * covers the measurable pairs by definition.
+    */
+  def lengthBiasAudit(
+      games: DataFrame, lengths: DataFrame,
+      winnerCol: String, loserCol: String,
+      itemCol: String, lenCol: String): DataFrame = {
+    val len = lengths.select(graft.ops.Cleaning.qcol(itemCol).as("__it"),
+      graft.ops.Cleaning.qcol(lenCol).cast("long").as("__len"))
+    val joined = games
+      .select(graft.ops.Cleaning.qcol(winnerCol).as("__w"),
+        graft.ops.Cleaning.qcol(loserCol).as("__l"))
+      .join(len.select(col("__it").as("__w"), col("__len").as("__wlen")), Seq("__w"))
+      .join(len.select(col("__it").as("__l"), col("__len").as("__llen")), Seq("__l"))
+    joined.agg(
+      count(lit(1)).as("n_games"),
+      coalesce(sum(when(col("__wlen") === col("__llen"), 1L)), lit(0L)).as("n_len_ties"),
+      coalesce(sum(when(col("__wlen") > col("__llen"), 1L)), lit(0L)).as("n_longer_wins"),
+      coalesce(sum(col("__wlen") - col("__llen")), lit(0L)).as("delta_sum"))
+      .select(col("n_games"), col("n_len_ties"), col("n_longer_wins"),
+        when(col("n_games") > col("n_len_ties"),
+          expr("(n_longer_wins * 1000000L) div (n_games - n_len_ties)"))
+          .as("longer_win_micro"),
+        col("delta_sum"),
+        when(col("n_games") > 0L, expr("(delta_sum * 1000000L) div n_games"))
+          .as("mean_delta_micro"))
+  }
+
   /** Majority-vote consensus label per item with the deterministic
     * MIN-label tie rule — the panel→gold-label election every
     * supervised pipeline runs before training on rated data. Output:

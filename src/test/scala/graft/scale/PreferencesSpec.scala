@@ -229,6 +229,28 @@ class PreferencesSpec extends AnyFunSuite {
     assert(Preferences.fleissKappa(mono, "item", "rater", "label").collect().head.isNullAt(4))
   }
 
+  test("lengthBiasAudit: longer-win rate excludes ties, signed mean truncates toward zero") {
+    val g = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 5L), (2L, 1L), (6L, 7L), (9L, 1L))
+      .toDF("winner", "loser")
+    val lens = Seq((1L, 10L), (2L, 5L), (3L, 10L), (4L, 7L), (5L, 7L), (6L, 8L), (7L, 10L))
+      .toDF("item", "len")
+    // (9,1) drops: item 9 has no length. Deltas: +5, 0, -5, 0, -5, -2
+    val r = Preferences.lengthBiasAudit(g, lens, "winner", "loser", "item", "len")
+      .collect().head
+    assert(r.getLong(0) === 6L)      // n_games
+    assert(r.getLong(1) === 2L)      // n_len_ties
+    assert(r.getLong(2) === 1L)      // n_longer_wins
+    assert(r.getLong(3) === 250000L) // 1e6 div 4 decided games
+    assert(r.getLong(4) === -7L)     // delta_sum
+    assert(r.getLong(5) === -1166666L,
+      "Spark div truncates toward zero (-7e6 div 6), floor would be -1166667")
+    // all-tie world: rate NULL, mean defined
+    val tied = Seq((4L, 5L)).toDF("winner", "loser")
+    val rt = Preferences.lengthBiasAudit(tied, lens, "winner", "loser", "item", "len")
+      .collect().head
+    assert(rt.isNullAt(3) && rt.getLong(5) === 0L)
+  }
+
   test("krippendorffAlpha: hand-computed micro spec; ragged panels and degenerate worlds") {
     // the mixed panel: kept items 1-3 (ni=3, n=9); agreement mass
     // floors per item: 6e6 div 2 + 2e6 div 2 + 0 = 4e6 -> do = 5e6;
