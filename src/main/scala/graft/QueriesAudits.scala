@@ -58,6 +58,13 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.fleissKappa(
         raterPanelFixture(s, d), "item", "rater", "label")),
 
+    // calibration of the shipped 4-iteration BT fit: per predicted-
+    // probability decile, games-weighted mean prediction vs realized
+    // win rate over the canonical pair matrix
+    "x_pref_bt_calib" -> ((s, d) =>
+      graft.scale.Preferences.btCalibration(
+        preferenceGames(s, d), "winner", "loser", iterations = 4, bins = 10)),
+
     // verbosity-bias audit over BOTH preference waves merged (wave 1
     // prefers longer, wave 2 shorter — the mix is non-degenerate);
     // per-item length = max n_chars over the item's docs
@@ -354,6 +361,28 @@ private[graft] object QueriesAudits {
          |            ELSE CAST(-(((pe_micro - pbar_micro) * 1000000) // (1000000 - pe_micro)) AS BIGINT)
          |       END AS kappa_micro
          |FROM po""".stripMargin,
+
+    // calibration: the unrolled 4-iteration chain's s4 joined twice
+    // under the canonical pair matrix; all divisions non-negative so
+    // // == div
+    "x_pref_bt_calib" ->
+      (btOracleCtes(4) + ",\n" +
+        """pm AS (SELECT least(winner, loser) AS item_a, greatest(winner, loser) AS item_b,
+          |         CAST(count(*) AS BIGINT) AS games,
+          |         CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+          |       FROM games GROUP BY 1, 2),
+          |jj AS (SELECT p.games, p.wins_a,
+          |         CAST((sa.s * 1000000) // (sa.s + sb.s) AS BIGINT) AS pa
+          |       FROM pm p JOIN s4 sa ON p.item_a = sa.item
+          |                 JOIN s4 sb ON p.item_b = sb.item),
+          |bb AS (SELECT least((pa * 10) // 1000000, 9) AS bin, games, wins_a, pa
+          |       FROM jj)
+          |SELECT CAST(bin AS BIGINT) AS bin,
+          |       CAST(count(*) AS BIGINT) AS n_pairs,
+          |       CAST(sum(games) AS BIGINT) AS n_games,
+          |       CAST(sum(pa * games) // sum(games) AS BIGINT) AS pred_micro,
+          |       CAST((sum(wins_a) * 1000000) // sum(games) AS BIGINT) AS actual_micro
+          |FROM bb GROUP BY 1""".stripMargin),
 
     // length-bias: both game CTEs unioned, per-item max-length table,
     // two joins + one aggregate; mean_delta sign-factored (Spark div

@@ -465,6 +465,54 @@ object Preferences {
           expr("((de_micro - do_micro) * 1000000L) div de_micro")))
   }
 
+  /** Bradley-Terry CALIBRATION audit — is the fitted model's
+    * P(i beats j) = s_i/(s_i+s_j) honest about frequencies, not just
+    * orderings: per predicted-probability bin, the games-weighted mean
+    * prediction vs the realized win rate. A model can rank perfectly
+    * and still be badly calibrated (the [[btConvergence]] scaladoc's
+    * "more iterations only for calibrated probabilities" point — this
+    * is the audit that tells you whether you need them, and whether
+    * BT's transitivity assumption fits the panel at all).
+    *
+    * Predictions come from the same fixed-iteration fit the pipeline
+    * ships ([[btStrengths]]); each canonical pair (a<b) contributes
+    * its games to the bin of pa_micro = s_a·1e6 div (s_a+s_b), bin =
+    * min(pa_micro·bins div 1e6, bins−1). Output: one row per occupied
+    * bin (bin, n_pairs, n_games, pred_micro = games-weighted mean
+    * prediction, actual_micro = realized win-rate of a) — calibrated
+    * fits put pred ≈ actual in every bin.
+    *
+    * Scale: the pair matrix is ≤ |items|² and the strengths table
+    * |items|-sized — two item-keyed joins (broadcast when items fit)
+    * and one ≤ bins-row aggregate; the corpus is touched exactly once,
+    * inside [[btStrengths]]' own setup.
+    */
+  def btCalibration(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      iterations: Int = 4, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"btCalibration: need at least 2 bins, got $bins")
+    val strengths = btStrengths(games, winnerCol, loserCol, iterations)
+      .select(col("item"), col("strength_micro"))
+    val pairs = pairStats(games, winnerCol, loserCol)
+    pairs
+      .join(strengths.select(col("item").as("item_a"),
+        col("strength_micro").as("__sa")), Seq("item_a"))
+      .join(strengths.select(col("item").as("item_b"),
+        col("strength_micro").as("__sb")), Seq("item_b"))
+      .withColumn("pa_micro", expr("(__sa * 1000000L) div (__sa + __sb)"))
+      .withColumn("bin",
+        least(expr(s"(pa_micro * ${bins}L) div 1000000L"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("games")).as("n_games"),
+        sum(expr("pa_micro * games")).as("__pw"),
+        sum(col("wins_a")).as("__wa"))
+      .select(col("bin"), col("n_pairs"), col("n_games"),
+        expr("__pw div n_games").as("pred_micro"),
+        expr("(__wa * 1000000L) div n_games").as("actual_micro"))
+  }
+
   /** Verbosity-bias audit over pairwise preference data — the known
     * RLHF failure mode: raters (and reward models trained on them)
     * systematically prefer the LONGER response, and a reward model fit

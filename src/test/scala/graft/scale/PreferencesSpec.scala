@@ -229,6 +229,26 @@ class PreferencesSpec extends AnyFunSuite {
     assert(Preferences.fleissKappa(mono, "item", "rater", "label").collect().head.isNullAt(4))
   }
 
+  test("btCalibration: bins partition the pair matrix; a decided duel calibrates at the top") {
+    val cal = Preferences.btCalibration(games, "winner", "loser").collect()
+    assert(cal.map(_.getLong(1)).sum ===
+      Preferences.pairStats(games, "winner", "loser").count())
+    cal.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+    // two-item world decided 8:0: one pair, one bin; realized rate is
+    // exactly 1e6 and the smoothed fit predicts well above chance
+    val duel = Seq.fill(8)((1L, 2L)).toDF("winner", "loser")
+    val d = Preferences.btCalibration(duel, "winner", "loser").collect()
+    assert(d.length === 1)
+    assert(d.head.getLong(2) === 8L && d.head.getLong(4) === 1000000L)
+    assert(d.head.getLong(3) > 500000L)
+    intercept[IllegalArgumentException](
+      Preferences.btCalibration(duel, "winner", "loser", bins = 1))
+  }
+
   test("lengthBiasAudit: longer-win rate excludes ties, signed mean truncates toward zero") {
     val g = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 5L), (2L, 1L), (6L, 7L), (9L, 1L))
       .toDF("winner", "loser")
