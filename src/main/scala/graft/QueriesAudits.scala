@@ -65,6 +65,31 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.btCalibration(
         preferenceGames(s, d), "winner", "loser", iterations = 4, bins = 10)),
 
+    // the one-number calibration gate over the same bins: games-
+    // weighted ECE + worst-bin MCE
+    "x_pref_ece" -> ((s, d) =>
+      graft.scale.Preferences.btCalibrationError(
+        preferenceGames(s, d), "winner", "loser", iterations = 4, bins = 10)),
+
+    // pairwise rater-agreement screening matrix over the three-rater
+    // panel: a-b disagree on the 7th docs, a-c on the 5ths, b-c on
+    // both families; c co-rates fewer items (skips every 13th)
+    "x_pref_rater_matrix" -> ((s, d) =>
+      graft.scale.Preferences.raterAgreementMatrix(
+        raterPanelFixture(s, d), "item", "rater", "label")),
+
+    // row-count reconciliation: a planted ~1% sink loss (o_orderkey %
+    // 97 dropped) passes the 2% budget rule and fails the exact rule
+    "x_qc_reconcile" -> ((s, d) => {
+      val src = T(s, d, "orders")
+      val dst = src.filter(col("o_orderkey") % 97 =!= 0)
+      graft.ops.Contracts
+        .reconciliationAudit(src, dst, "orders.sampled_2pct_budget",
+          toleranceMicro = 20000L)
+        .unionByName(graft.ops.Contracts
+          .reconciliationAudit(src, dst, "orders.exact", toleranceMicro = 0L))
+    }),
+
     // verbosity-bias audit over BOTH preference waves merged (wave 1
     // prefers longer, wave 2 shorter — the mix is non-degenerate);
     // per-item length = max n_chars over the item's docs
@@ -383,6 +408,66 @@ private[graft] object QueriesAudits {
           |       CAST(sum(pa * games) // sum(games) AS BIGINT) AS pred_micro,
           |       CAST((sum(wins_a) * 1000000) // sum(games) AS BIGINT) AS actual_micro
           |FROM bb GROUP BY 1""".stripMargin),
+
+    // ECE: the calibration CTE chain aggregated once; all operands
+    // non-negative so // == div
+    "x_pref_ece" ->
+      (btOracleCtes(4) + ",\n" +
+        """pm AS (SELECT least(winner, loser) AS item_a, greatest(winner, loser) AS item_b,
+          |         CAST(count(*) AS BIGINT) AS games,
+          |         CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+          |       FROM games GROUP BY 1, 2),
+          |jj AS (SELECT p.games, p.wins_a,
+          |         CAST((sa.s * 1000000) // (sa.s + sb.s) AS BIGINT) AS pa
+          |       FROM pm p JOIN s4 sa ON p.item_a = sa.item
+          |                 JOIN s4 sb ON p.item_b = sb.item),
+          |bb AS (SELECT least((pa * 10) // 1000000, 9) AS bin, games, wins_a, pa
+          |       FROM jj),
+          |cal AS (SELECT bin,
+          |          CAST(sum(games) AS BIGINT) AS n_games,
+          |          CAST(sum(pa * games) // sum(games) AS BIGINT) AS pred_micro,
+          |          CAST((sum(wins_a) * 1000000) // sum(games) AS BIGINT) AS actual_micro
+          |        FROM bb GROUP BY 1)
+          |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+          |       CAST(coalesce(sum(n_games), 0) AS BIGINT) AS n_games,
+          |       CASE WHEN coalesce(sum(n_games), 0) > 0
+          |         THEN CAST(sum(abs(pred_micro - actual_micro) * n_games) // sum(n_games) AS BIGINT)
+          |       END AS ece_micro,
+          |       CAST(coalesce(max(abs(pred_micro - actual_micro)), 0) AS BIGINT) AS max_gap_micro
+          |FROM cal""".stripMargin),
+
+    // rater matrix: the collapsed panel self-joined on item, unordered
+    // rater pairs by string order
+    "x_pref_rater_matrix" ->
+      s"""WITH $raterPanelSql,
+         |one AS (SELECT item, rater, min(label) AS label FROM panel
+         |        WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+         |j AS (SELECT a.rater AS rater_a, b.rater AS rater_b,
+         |             CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS agree
+         |      FROM one a JOIN one b ON a.item = b.item AND a.rater < b.rater)
+         |SELECT rater_a, rater_b, CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(coalesce(sum(agree), 0) AS BIGINT) AS n_agree,
+         |       CAST((coalesce(sum(agree), 0) * 1000000) // count(*) AS BIGINT) AS agree_micro
+         |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // reconciliation: two scalar counts, the planted ~1% loss judged
+    // against a 2% budget and the exact rule
+    "x_qc_reconcile" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM orders),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_dst FROM orders
+        |      WHERE o_orderkey % 97 <> 0),
+        |r AS (SELECT n_src, n_dst, n_dst - n_src AS delta,
+        |        CASE WHEN n_src > 0
+        |          THEN CAST((abs(n_dst - n_src) * 1000000) // n_src AS BIGINT)
+        |        END AS drift_micro
+        |      FROM s, d)
+        |SELECT 'orders.sampled_2pct_budget' AS rule, n_src, n_dst, delta, drift_micro,
+        |       CASE WHEN n_src > 0 THEN drift_micro <= 20000 ELSE n_dst = 0 END AS within_tolerance
+        |FROM r
+        |UNION ALL
+        |SELECT 'orders.exact', n_src, n_dst, delta, drift_micro,
+        |       CASE WHEN n_src > 0 THEN drift_micro <= 0 ELSE n_dst = 0 END
+        |FROM r""".stripMargin,
 
     // length-bias: both game CTEs unioned, per-item max-length table,
     // two joins + one aggregate; mean_delta sign-factored (Spark div

@@ -79,6 +79,14 @@ private[graft] object QueriesDedup {
       Dedup.splitLeakageAudit(pairs, asg, "doc_id", "split")
     }),
 
+    // boilerplate hub detection: top-20 docs by near-dup pair degree —
+    // the exact bounded-aggregate top-k, never a global sort
+    "x_dedup_hubs" -> ((s, d) =>
+      Dedup.nearDupHubs(
+        Dedup.nearDupNgram(T(s, d, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.2, maxBlockSize = NgramBlockCap),
+        k = 20)),
+
     // the repair composed with its own proof: scrub train-side docs of
     // leaked pairs (removal can't create new pairs), re-audit — the
     // census keeps a diagonal and the val/test leak, but NO cross-split
@@ -332,6 +340,17 @@ private[graft] object QueriesDedup {
          |            ELSE 'changed' END AS status,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM j GROUP BY 1""".stripMargin,
+
+    // hub degrees over the same pair CTE; (degree desc, doc_id asc)
+    // is the BoundedTopK order, LIMIT replays the exact top-k
+    "x_dedup_hubs" ->
+      s"""WITH pairs AS (${ngramPairsSqlFrom("documents")}),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |          SELECT id_a AS doc_id FROM pairs
+         |          UNION ALL SELECT id_b FROM pairs)
+         |        GROUP BY 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, degree
+         |FROM deg ORDER BY degree DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // the ngram pair CTE joined to the splitAssign uniform (identical
     // affine hash + Scala-computed cumulative cuts as x_corpus_split);

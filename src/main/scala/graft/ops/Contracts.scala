@@ -162,6 +162,34 @@ object Contracts {
         coalesce(col("lag_s") <= maxLagSec, lit(false)))
   }
 
+  /** Row-count reconciliation between two pipeline stages — the "did
+    * the transform lose rows" gate (source vs sink, pre-dedup vs the
+    * expected survivor count, yesterday's partition vs today's):
+    * one row (rule, n_src, n_dst, delta = n_dst − n_src, drift_micro =
+    * |delta|·1e6 div n_src — NULL on an empty source, within_tolerance
+    * against the caller's budget; an empty source reconciles only with
+    * an empty sink). A zero-tolerance call is the exact-count
+    * assertion; a positive one tolerates sampled/filtered stages with
+    * a declared budget.
+    *
+    * Scale: ONE count aggregate per side, cross-joined at one row
+    * each — never a join of the frames themselves.
+    */
+  def reconciliationAudit(
+      src: DataFrame, dst: DataFrame, rule: String,
+      toleranceMicro: Long = 0L): DataFrame = {
+    require(toleranceMicro >= 0, "reconciliationAudit: toleranceMicro must be >= 0")
+    src.agg(count(lit(1)).as("n_src"))
+      .crossJoin(dst.agg(count(lit(1)).as("n_dst")))
+      .select(lit(rule).as("rule"), col("n_src"), col("n_dst"),
+        (col("n_dst") - col("n_src")).as("delta"),
+        when(col("n_src") > 0L,
+          expr("(abs(n_dst - n_src) * 1000000L) div n_src")).as("drift_micro"))
+      .withColumn("within_tolerance",
+        when(col("n_src") > 0L, col("drift_micro") <= toleranceMicro)
+          .otherwise(col("n_dst") === 0L))
+  }
+
   /** Schema-drift audit between two deliveries — the contract a feed
     * breaks FIRST (a renamed column fails every downstream select
     * before any value test runs): one row per drifted column with

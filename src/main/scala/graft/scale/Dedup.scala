@@ -370,6 +370,29 @@ object Dedup {
       graft.ops.Cleaning.qcol(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Near-dup HUB detection over a verified pair list — the docs with
+    * the highest pair degree are almost always structural boilerplate
+    * (licence pages, navigation shells, generated templates) that
+    * slipped every content filter; surfacing them is how a curation
+    * team finds the NEXT filter to write. Output: the exact top-k by
+    * (degree desc, id asc) as (doc_id, degree) rows.
+    *
+    * Scale: one explode-both-sides hash aggregate onto the doc key
+    * (partial agg collapses hot docs map-side), then the exact top-k
+    * rides the bounded aggregate ([[graft.functions.Aggregates]]
+    * BoundedTopK: ≤ k per partition partial state) — never a global
+    * sort or window over the degree table.
+    */
+  def nearDupHubs(pairs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, s"nearDupHubs: k must be >= 1, got $k")
+    pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .agg(graft.functions.Aggregates.topKByWeight(col("doc_id"), col("degree"), k)
+        .as("__top__"))
+      .select(explode(col("__top__")).as("__t"))
+      .select(col("__t.value").as("doc_id"), col("__t.weight").as("degree"))
+  }
+
   /** Asymmetric CONTAINMENT near-dup — |A∩B| / |A| over k-shingle sets:
     * the measure that catches near-SUBSET duplicates (a quote page
     * inside a longer article, a mirror wrapped in extra chrome), which

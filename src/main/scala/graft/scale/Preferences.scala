@@ -513,6 +513,57 @@ object Preferences {
         expr("(__wa * 1000000L) div n_games").as("actual_micro"))
   }
 
+  /** Expected calibration error over [[btCalibration]]'s bins — the
+    * one-number form of the calibration audit (Naeini 2015's ECE,
+    * games-weighted): ece_micro = Σ_b n_games_b·|pred_b − actual_b|
+    * div Σ_b n_games_b, plus the worst single bin (max_gap_micro, the
+    * MCE). Output: one row (n_bins = occupied bins, n_games,
+    * ece_micro — NULL on zero games, max_gap_micro). The scalar a
+    * nightly job thresholds on; the per-bin table is the diagnosis.
+    *
+    * Scale: [[btCalibration]]'s cost plus one ≤ bins-row aggregate.
+    */
+  def btCalibrationError(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      iterations: Int = 4, bins: Int = 10): DataFrame =
+    btCalibration(games, winnerCol, loserCol, iterations, bins)
+      .agg(
+        count(lit(1)).as("n_bins"),
+        coalesce(sum(col("n_games")), lit(0L)).as("n_games"),
+        coalesce(sum(abs(col("pred_micro") - col("actual_micro")) * col("n_games")),
+          lit(0L)).as("__gap"),
+        coalesce(max(abs(col("pred_micro") - col("actual_micro"))), lit(0L))
+          .as("max_gap_micro"))
+      .select(col("n_bins"), col("n_games"),
+        when(col("n_games") > 0L, expr("__gap div n_games")).as("ece_micro"),
+        col("max_gap_micro"))
+
+  /** Pairwise rater-agreement matrix — the screening view OVER the
+    * panel before [[cohenKappa]]'s chance-corrected deep dive on a
+    * chosen pair: per unordered rater pair, the share of co-rated
+    * items where their (collapsed) labels matched. Output: one row per
+    * co-rating pair (rater_a < rater_b, n_items, n_agree,
+    * agree_micro). Pairs with no co-rated items simply don't appear.
+    *
+    * Scale: ONE corpus-sized (item, rater) collapse (materialized
+    * once), self-joined on item — per-item cost is panel², and panels
+    * are people (dozens), never rows; the rollup is ≤ |raters|² rows.
+    */
+  def raterAgreementMatrix(
+      ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val one = collapseRatings(ratings, itemCol, raterCol, labelCol)
+      .localCheckpoint() // both sides of the self-join
+    one.select(col("item"), col("rater").as("rater_a"), col("label").as("__la"))
+      .join(one.select(col("item"), col("rater").as("rater_b"),
+        col("label").as("__lb")), Seq("item"))
+      .filter(col("rater_a") < col("rater_b"))
+      .groupBy(col("rater_a"), col("rater_b"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(when(col("__la") === col("__lb"), 1L)), lit(0L)).as("n_agree"))
+      .withColumn("agree_micro", expr("(n_agree * 1000000L) div n_items"))
+  }
+
   /** Verbosity-bias audit over pairwise preference data — the known
     * RLHF failure mode: raters (and reward models trained on them)
     * systematically prefer the LONGER response, and a reward model fit

@@ -128,4 +128,23 @@ class ContractsSpec extends AnyFunSuite {
       .collect().head
     assert(empty.getLong(1) === 0L && !empty.getBoolean(4))
   }
+
+  test("reconciliationAudit: drift vs source, tolerance boundary, empty-source semantics") {
+    val src = spark.range(100).toDF("id")
+    val dst = src.filter("id <> 0")
+    def run(s: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame, tol: Long) =
+      Contracts.reconciliationAudit(s, d, "r", tol).collect().head
+    val r = run(src, dst, 10000L) // 1 of 100 lost = exactly 10000 micro
+    assert(r.getLong(1) === 100L && r.getLong(2) === 99L && r.getLong(3) === -1L)
+    assert(r.getLong(4) === 10000L && r.getBoolean(5), "boundary is inclusive")
+    assert(!run(src, dst, 9999L).getBoolean(5))
+    // growth counts as drift too (a duplicating join is also a bug)
+    assert(!run(dst, src, 0L).getBoolean(5))
+    // empty source: drift undefined; reconciles only with an empty sink
+    val none = src.filter("id < 0")
+    val e1 = run(none, none, 0L)
+    assert(e1.isNullAt(4) && e1.getBoolean(5))
+    assert(!run(none, src, 1000000L).getBoolean(5))
+    intercept[IllegalArgumentException](Contracts.reconciliationAudit(src, dst, "r", -1L))
+  }
 }

@@ -459,6 +459,20 @@ class DedupSpec extends AnyFunSuite {
     assert(det == Set((1L, 2L), (5L, 6L)))
   }
 
+  test("nearDupHubs: exact top-k by degree with the id-ascending tie rule") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    // degrees: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1
+    val top2 = Dedup.nearDupHubs(pairs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top2 == Seq((1L, 3L), (2L, 2L)),
+      "the degree-2 tie must break to the smaller id")
+    val top3 = Dedup.nearDupHubs(pairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top3 == Seq((1L, 3L), (2L, 2L), (3L, 2L)))
+    intercept[IllegalArgumentException](Dedup.nearDupHubs(pairs, k = 0))
+  }
+
   test("scrubLeakedDocs: drops the scrub-side docs of leaked pairs; re-audit is train-clean") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (3L, 6L)).toDF("id_a", "id_b")

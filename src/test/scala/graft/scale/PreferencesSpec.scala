@@ -249,6 +249,34 @@ class PreferencesSpec extends AnyFunSuite {
       Preferences.btCalibration(duel, "winner", "loser", bins = 1))
   }
 
+  test("btCalibrationError: ECE equals the recomputed games-weighted gap; duel gap = MCE") {
+    val cal = Preferences.btCalibration(games, "winner", "loser").collect()
+    val n = cal.map(_.getLong(2)).sum
+    val gap = cal.map(r => math.abs(r.getLong(3) - r.getLong(4)) * r.getLong(2)).sum
+    val e = Preferences.btCalibrationError(games, "winner", "loser").collect().head
+    assert(e.getLong(0) === cal.length.toLong && e.getLong(1) === n)
+    assert(e.getLong(2) === gap / n)
+    assert(e.getLong(3) === cal.map(r => math.abs(r.getLong(3) - r.getLong(4))).max)
+    // one-bin duel: ECE == MCE == |pred - 1e6|
+    val duel = Seq.fill(8)((1L, 2L)).toDF("winner", "loser")
+    val ed = Preferences.btCalibrationError(duel, "winner", "loser").collect().head
+    assert(ed.getLong(0) === 1L && ed.getLong(2) === ed.getLong(3))
+  }
+
+  test("raterAgreementMatrix: per-pair co-rated counts and agreement shares") {
+    val r = Seq(
+      (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "y"),
+      (2L, "a", "x"), (2L, "b", "y")
+    ).toDF("item", "rater", "label")
+    val got = Preferences.raterAgreementMatrix(r, "item", "rater", "label")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1L, 500000L)),
+      ("a", "c") -> ((1L, 0L, 0L)),
+      ("b", "c") -> ((1L, 0L, 0L))))
+  }
+
   test("lengthBiasAudit: longer-win rate excludes ties, signed mean truncates toward zero") {
     val g = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 5L), (2L, 1L), (6L, 7L), (9L, 1L))
       .toDF("winner", "loser")
