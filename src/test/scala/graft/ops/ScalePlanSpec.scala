@@ -760,6 +760,55 @@ class ScalePlanSpec extends AnyFunSuite {
       "dpNoisyMean is one hash aggregate + row-local noise")
   }
 
+  test("round-12 continuation ops: audits aggregate window-free; hubs top-k never sorts globally") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+    val pairs = (1 to 40).map(i => (i.toLong, (i + 7).toLong)).toDF("id_a", "id_b")
+    val asg = (1 to 60).map(i => (i.toLong, Seq("train", "val", "test")(i % 3)))
+      .toDF("doc_id", "split")
+    for (df <- Seq(
+        graft.scale.Dedup.splitLeakageAudit(pairs, asg, "doc_id", "split"),
+        graft.scale.Dedup.scrubLeakedDocs(pairs, asg, "doc_id", "split"),
+        graft.scale.Dedup.nearDupHubs(pairs, k = 5))) {
+      val nodes = collectPlans(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]) &&
+        !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "leakage/hub operators are keyed joins + aggregates — no windows, no cartesians")
+    }
+    // the hubs top-k must ride the bounded aggregate, not a global sort
+    val hubs = graft.scale.Dedup.nearDupHubs(pairs, k = 5)
+    assert(!collectPlans(hubs.queryExecution.executedPlan)
+      .exists { case s: SortExec => s.global; case _ => false },
+      "nearDupHubs must never globally sort the degree table")
+    // context fit: ONE aggregate pass — no join of any kind, no window
+    val docs = (1 to 50).map(i => (i.toLong, "a b c " * (i % 7))).toDF("doc_id", "text")
+    val fit = graft.scale.TextAnalysis.contextFitAudit(docs, "text", Seq(4, 16))
+    val fnodes = collectPlans(fit.queryExecution.executedPlan)
+    assert(!fnodes.exists(p => p.isInstanceOf[WindowExec] ||
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[CartesianProductExec]),
+      "contextFitAudit is one scan into one 1-row aggregate")
+    // alpha / calibration / length-bias / reconciliation: window-free,
+    // 1-row terms on broadcasts
+    val ratings = (1 to 90).map(i =>
+      (i.toLong % 30, Seq("a", "b", "c")(i % 3), s"l${i % 4}"))
+      .toDF("item", "rater", "label")
+    val games = (1 to 40).map(i => ((i % 5).toLong, ((i + 2) % 5).toLong))
+      .toDF("winner", "loser").filter(col("winner") =!= col("loser"))
+    val lens = (0 to 4).map(i => (i.toLong, (i * 10 + 5).toLong)).toDF("item", "len")
+    for (df <- Seq(
+        graft.scale.Preferences.krippendorffAlpha(ratings, "item", "rater", "label"),
+        graft.scale.Preferences.raterAgreementMatrix(ratings, "item", "rater", "label"),
+        graft.scale.Preferences.btCalibration(games, "winner", "loser", iterations = 2),
+        graft.scale.Preferences.btCalibrationError(games, "winner", "loser", iterations = 2),
+        graft.scale.Preferences.lengthBiasAudit(games, lens, "winner", "loser", "item", "len"),
+        graft.ops.Contracts.reconciliationAudit(orders, orders, "r"))) {
+      val nodes = collectPlans(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]) &&
+        !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        "round-12 continuation audits must stay window-free with broadcast 1-row terms")
+    }
+  }
+
   test("statically-bounded summary windows reject corpus-sized caller literals") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
