@@ -79,6 +79,21 @@ private[graft] object QueriesDedup {
       Dedup.splitLeakageAudit(pairs, asg, "doc_id", "split")
     }),
 
+    // license contamination: planted licenses (every 13th doc copyleft,
+    // every 7th an UNLISTED string — the assume-worst path) propagate
+    // to the most restrictive per near-dup cluster; census output
+    "x_dedup_license" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val lic = docs.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit("copyleft"))
+          .when(col("doc_id") % 7 === 0, lit("unlisted"))
+          .otherwise(lit("permissive")).as("license"))
+      Dedup.licensePropagation(corpusClusters(s, d), lic, "doc_id", "license",
+          Seq("public", "permissive", "copyleft"))
+        .groupBy("license", "effective_license", "is_upgraded")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // boilerplate hub detection: top-20 docs by near-dup pair degree —
     // the exact bounded-aggregate top-k, never a global sort
     "x_dedup_hubs" -> ((s, d) =>
@@ -340,6 +355,46 @@ private[graft] object QueriesDedup {
          |            ELSE 'changed' END AS status,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM j GROUP BY 1""".stripMargin,
+
+    // license propagation: the CC CTE + rank mapping; effective = max
+    // rank per cluster, ties to the GREATEST license string (only
+    // equal strings or unknowns can tie under a total ranking)
+    "x_dedup_license" ->
+      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(rid, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
+         |lic AS (SELECT doc_id AS id,
+         |          CASE WHEN doc_id % 13 = 0 THEN 'copyleft'
+         |               WHEN doc_id % 7 = 0 THEN 'unlisted'
+         |               ELSE 'permissive' END AS license
+         |        FROM documents),
+         |lr AS (SELECT id, license,
+         |         CASE license WHEN 'public' THEN CAST(0 AS BIGINT)
+         |                      WHEN 'permissive' THEN 1
+         |                      WHEN 'copyleft' THEN 2
+         |                      ELSE 3 END AS license_rank
+         |       FROM lic),
+         |j AS (SELECT c.cluster, lr.id, lr.license, lr.license_rank
+         |      FROM clu c JOIN lr ON c.id = lr.id),
+         |er AS (SELECT cluster, CAST(max(license_rank) AS BIGINT) AS effective_rank
+         |       FROM j GROUP BY 1),
+         |el AS (SELECT j.cluster, max(j.license) AS effective_license
+         |       FROM j JOIN er ON j.cluster = er.cluster
+         |                     AND j.license_rank = er.effective_rank
+         |       GROUP BY 1)
+         |SELECT j.license, el.effective_license,
+         |       er.effective_rank > j.license_rank AS is_upgraded,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM j JOIN er ON j.cluster = er.cluster
+         |       JOIN el ON j.cluster = el.cluster
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // hub degrees over the same pair CTE; (degree desc, doc_id asc)
     // is the BoundedTopK order, LIMIT replays the exact top-k

@@ -370,6 +370,54 @@ object Dedup {
       graft.ops.Cleaning.qcol(idCol) === col("__drop"), "left_anti")
   }
 
+  /** License-contamination propagation over near-dup clusters — the
+    * provenance audit a compliance review asks for: if a doc near-dups
+    * a copyleft/proprietary doc, treating it as permissive launders the
+    * restriction through the duplicate (the cluster shares content, so
+    * it shares the content's terms). Every doc inherits the MOST
+    * RESTRICTIVE license in its cluster ([[clusters]]' assignment).
+    *
+    * `ranking` orders licenses least→most restrictive; values NOT in
+    * the ranking rank above everything (unknown = assume worst — an
+    * unrecognized license string must quarantine, not sail through).
+    * Ties at the max rank break to the lexicographically GREATEST
+    * license string (deterministic; with a total ranking, ties only
+    * happen between equal strings or unknowns).
+    *
+    * Output: per doc (id, cluster, license, license_rank,
+    * effective_license, effective_rank, is_upgraded = the cluster made
+    * it stricter). Aggregate (license → effective_license) for the
+    * census a delivery report carries.
+    *
+    * Scale: two cluster-keyed hash joins + one cluster-keyed
+    * aggregate over an assignment the dedup pass already produced —
+    * license strings and ranks shuffle, never text.
+    */
+  def licensePropagation(
+      assignment: DataFrame, licenses: DataFrame,
+      idCol: String, licenseCol: String, ranking: Seq[String]): DataFrame = {
+    require(ranking.nonEmpty, "licensePropagation: ranking must be non-empty")
+    require(ranking.distinct.size == ranking.size,
+      "licensePropagation: ranking entries must be distinct")
+    val licStr = graft.ops.Cleaning.qcol(licenseCol).cast("string")
+    val rank = ranking.zipWithIndex.foldLeft(lit(ranking.size.toLong)) {
+      case (acc, (name, i)) => when(licStr === name, lit(i.toLong)).otherwise(acc)
+    }
+    val lic = licenses.select(graft.ops.Cleaning.qcol(idCol).as("id"),
+      licStr.as("license"), rank.as("license_rank"))
+    val joined = assignment.select(col("id"), col("cluster"))
+      .join(lic, Seq("id"))
+      .localCheckpoint() // reused: the per-cluster max AND the final join
+    val eff = joined.groupBy(col("cluster"))
+      .agg(max(struct(col("license_rank"), col("license"))).as("__e"))
+      .select(col("cluster"), col("__e.license_rank").as("effective_rank"),
+        col("__e.license").as("effective_license"))
+    joined.join(eff, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("license"), col("license_rank"),
+        col("effective_license"), col("effective_rank"),
+        (col("effective_rank") > col("license_rank")).as("is_upgraded"))
+  }
+
   /** Near-dup HUB detection over a verified pair list — the docs with
     * the highest pair degree are almost always structural boilerplate
     * (licence pages, navigation shells, generated templates) that

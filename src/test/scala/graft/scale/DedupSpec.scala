@@ -459,6 +459,36 @@ class DedupSpec extends AnyFunSuite {
     assert(det == Set((1L, 2L), (5L, 6L)))
   }
 
+  test("licensePropagation: most-restrictive wins per cluster, unknowns assume worst") {
+    import spark.implicits._
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L),
+      (7L, 7L), (8L, 7L)).toDF("id", "cluster")
+    val lic = Seq(
+      (1L, "permissive"), (2L, "copyleft"), (3L, "permissive"),
+      (4L, "permissive"), (5L, "unlisted"), (6L, "public"),
+      (7L, "weird-b"), (8L, "weird-a")
+    ).toDF("doc_id", "license")
+    val got = Dedup.licensePropagation(asg, lic, "doc_id", "license",
+        Seq("public", "permissive", "copyleft"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getString(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got(1L) === (("permissive", 1L, "copyleft", 2L, true)))
+    assert(got(2L) === (("copyleft", 2L, "copyleft", 2L, false)))
+    assert(got(3L)._5, "the second permissive member upgrades too")
+    assert(got(4L) === (("permissive", 1L, "permissive", 1L, false)),
+      "a singleton cluster keeps its own license")
+    // unknown strings rank above every known license
+    assert(got(5L) === (("unlisted", 3L, "unlisted", 3L, false)))
+    assert(got(6L) === (("public", 0L, "unlisted", 3L, true)))
+    // two unknowns tie at the top: GREATEST string wins deterministically
+    assert(got(7L)._3 === "weird-b" && got(8L)._3 === "weird-b")
+    intercept[IllegalArgumentException](
+      Dedup.licensePropagation(asg, lic, "doc_id", "license", Nil))
+    intercept[IllegalArgumentException](
+      Dedup.licensePropagation(asg, lic, "doc_id", "license", Seq("a", "a")))
+  }
+
   test("nearDupHubs: exact top-k by degree with the id-ascending tie rule") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("id_a", "id_b")
