@@ -143,6 +143,19 @@ private[graft] object QueriesEvents {
         "user_id", "ts", "event_id", "value",
         rollN = 5, thresholdPct = 200, minObs = 3)),
 
+    // weekly seasonal profile per event type: one (key, dow) hash agg
+    "x_ts_seasonal" -> ((s, d) =>
+      graft.ops.TimeSeries.seasonalProfile(T(s, d, "events"),
+        "event_type", "ts", "value")),
+
+    // deseasonalized anomalies: each event vs its (user, weekday)
+    // PEERS (leave-one-out baseline) — the window-free complement of
+    // the rolling form above
+    "x_ts_seasonal_anom" -> ((s, d) =>
+      graft.ops.TimeSeries.seasonalAnomaly(T(s, d, "events"),
+        "user_id", "ts", "event_id", "value",
+        thresholdPct = 200, minObs = 3)),
+
     // volume-drift trend: exact integer OLS slope of daily event
     // counts per event type (x = day index, y = daily count) — the
     // "is this stream growing or dying" audit from one aggregate
@@ -420,6 +433,41 @@ private[graft] object QueriesEvents {
         |  COALESCE(roll_n >= 3 AND abs(vm * roll_n - roll_sum) * 100 > 200 * roll_abs_sum,
         |    FALSE) AS is_anomaly
         |FROM w""".stripMargin,
+
+    // seasonal profile: the pmod weekday ((x%7+7)%7) over the floor-div
+    // epoch day; mean sign-factored (Spark div truncates toward zero)
+    "x_ts_seasonal" ->
+      """WITH b AS (SELECT event_type AS key,
+        |    ((epoch_us(ts) // 86400000000 + 3) % 7 + 7) % 7 AS dow,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT key, CAST(dow AS BIGINT) AS dow,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(vm) AS BIGINT) AS sum_micro
+        |      FROM b GROUP BY 1, 2)
+        |SELECT key, dow, n, sum_micro,
+        |       CASE WHEN sum_micro >= 0 THEN CAST(sum_micro // n AS BIGINT)
+        |            ELSE CAST(-((-sum_micro) // n) AS BIGINT) END AS mean_micro
+        |FROM a""".stripMargin,
+
+    // seasonal anomalies: the leave-one-out peer baseline (n-1, s-v)
+    // and the divisionless inequality, exactly the x_ts_anomaly form
+    "x_ts_seasonal_anom" ->
+      """WITH b AS (SELECT user_id AS key, event_id AS id,
+        |    ((epoch_us(ts) // 86400000000 + 3) % 7 + 7) % 7 AS dow,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT key, dow, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(vm) AS BIGINT) AS s,
+        |        CAST(sum(abs(vm)) AS BIGINT) AS a
+        |      FROM b GROUP BY 1, 2)
+        |SELECT b.key, b.id, CAST(b.dow AS BIGINT) AS dow, b.vm,
+        |       p.n - 1 AS peer_n, p.s - b.vm AS peer_sum,
+        |       CAST(abs(b.vm * (p.n - 1) - (p.s - b.vm)) * 100 AS BIGINT) AS dev100,
+        |       COALESCE(p.n - 1 >= 3 AND
+        |         abs(b.vm * (p.n - 1) - (p.s - b.vm)) * 100 > 200 * (p.a - abs(b.vm)),
+        |         FALSE) AS is_anomaly
+        |FROM b JOIN p ON b.key = p.key AND b.dow = p.dow""".stripMargin,
 
     // daily-volume OLS trend: exact integer moments; negative
     // numerators replay Spark's truncate-toward-zero div via the

@@ -151,6 +151,77 @@ object TimeSeries {
     * [[lagFeatures]]; magnitudes bounded by `rollN · max|v| · 100` —
     * micro-scaled values to ~9e16 before a long would overflow.
     */
+  /** Weekly seasonal profile per key: count/sum/mean of the value by
+    * day-of-week (0 = Monday … 6 = Sunday; epoch day 0 = Thursday = 3,
+    * floor-div + pmod so pre-1970 timestamps land on the right
+    * weekday too). The baseline behind [[seasonalAnomaly]], and the
+    * "is our traffic weekday-shaped" audit on its own — a flat profile
+    * means weekly deseasonalization is a no-op; a 10× weekend dip
+    * means every naive day-over-day comparison lies twice a week.
+    *
+    * Output: (key, dow, n, sum_micro, mean_micro = sum div n — Spark
+    * div truncates toward zero; an oracle sign-factors). One hash
+    * aggregate onto the (key, dow) key; ≤ 7·|keys| rows out.
+    */
+  def seasonalProfile(
+      events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    seasonalBase(events, keyCol, tsCol, valueCol)
+      .groupBy(col("key"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micro"))
+      .withColumn("mean_micro", expr("sum_micro div n"))
+
+  /** Deseasonalized anomaly flags: each event compared against its
+    * (key, day-of-week) PEERS — the leave-one-out profile (peer_n =
+    * n−1, peer_sum = sum−v), so an extreme value never inflates its
+    * own baseline. Same divisionless integer inequality as
+    * [[rollingDeviation]]: |v·peer_n − peer_sum|·100 >
+    * thresholdPct·peer_abs_sum, gated on peer_n ≥ minObs. Where
+    * rollingDeviation asks "is this event off its RECENT trajectory",
+    * this asks "is this Monday off from other Mondays" — the two
+    * compose into the standard ops-anomaly pair.
+    *
+    * Scale: ONE (key, dow) hash aggregate (≤ 7·|keys| rows, broadcast
+    * back over the events) — no window at all, unlike the rolling
+    * form; the corpus is scanned twice (profile + scoring), both
+    * narrow.
+    */
+  def seasonalAnomaly(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, thresholdPct: Int = 200, minObs: Int = 3): DataFrame = {
+    require(thresholdPct > 0, "seasonalAnomaly: thresholdPct must be positive")
+    require(minObs >= 1, "seasonalAnomaly: minObs must be >= 1")
+    val base = seasonalBase(events, keyCol, tsCol, valueCol,
+      extra = Seq(idCol -> "id"))
+    val prof = base.groupBy(col("key"), col("dow"))
+      .agg(count(lit(1)).as("__n"), sum(col("vm")).as("__sum"),
+        sum(abs(col("vm"))).as("__abs"))
+    base.join(broadcast(prof), Seq("key", "dow"))
+      .withColumn("peer_n", col("__n") - 1L)
+      .withColumn("peer_sum", col("__sum") - col("vm"))
+      .withColumn("peer_abs_sum", col("__abs") - abs(col("vm")))
+      .withColumn("dev100",
+        abs(col("vm") * col("peer_n") - col("peer_sum")) * lit(100L))
+      .withColumn("is_anomaly",
+        col("peer_n") >= minObs &&
+          col("dev100") > lit(thresholdPct.toLong) * col("peer_abs_sum"))
+      .select(col("key"), col("id"), col("dow"), col("vm"), col("peer_n"),
+        col("peer_sum"), col("dev100"), col("is_anomaly"))
+  }
+
+  /** Shared (key, dow, vm) projection of the seasonal pair: micro
+    * value, floor-div epoch day, pmod weekday (Monday = 0). */
+  private def seasonalBase(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      extra: Seq[(String, String)] = Nil): DataFrame =
+    events
+      .filter(qcol(keyCol).isNotNull && qcol(tsCol).isNotNull)
+      .select((Seq(qcol(keyCol).as("key"), unix_micros(qcol(tsCol)).as("us"),
+        microVal(qcol(valueCol)).as("vm")) ++
+        extra.map { case (c, a) => qcol(c).as(a) }): _*)
+      .withColumn("day", floorDivEpochExpr("us", 86400000000L))
+      .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)).cast("long"))
+
   def rollingDeviation(
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valueCol: String, rollN: Int = 5, thresholdPct: Int = 200,

@@ -89,4 +89,50 @@ class TimeSeriesSpec extends AnyFunSuite {
     val spike = out.filter(_.getLong(1) == 7L).head
     assert(spike.getLong(4) === 8000000L && spike.getLong(6) === 19200000000L)
   }
+
+  test("seasonalProfile: pmod weekday incl. pre-1970, truncating signed mean") {
+    // 2024-01-01 is a Monday (dow 0); 1969-12-31 is a Wednesday (dow 2,
+    // through the negative-epoch floor-div branch)
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("a", ts("2024-01-08 10:00:00"), 2.0),
+      ("a", ts("1969-12-31 12:00:00"), 5.0),
+      ("n", ts("2024-01-01 10:00:00"), -0.4),
+      ("n", ts("2024-01-08 10:00:00"), -0.4),
+      ("n", ts("2024-01-15 10:00:00"), -0.3)
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.seasonalProfile(df, "k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", 0L)) === ((2L, 3000000L, 1500000L)))
+    assert(got(("a", 2L)) === ((1L, 5000000L, 5000000L)),
+      "pre-1970 Wednesday must land on dow 2, not share a bucket with Thursday")
+    assert(got(("n", 0L)) === ((3L, -1100000L, -366666L)),
+      "negative mean truncates toward zero (floor would be -366667)")
+  }
+
+  test("seasonalAnomaly: leave-one-out peers flag the spike, not its neighbors") {
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+    val df = mondays.zipWithIndex.map { case (d, i) =>
+      (1L, ts(s"$d 09:00:00"), (i + 1).toLong, if (i == 3) 100.0 else 1.0)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.seasonalAnomaly(df, "user_id", "ts", "event_id", "value",
+        thresholdPct = 200, minObs = 3)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // the spike: peers are the three 1.0 Mondays
+    val s = out(4L)
+    assert(s.getLong(2) === 0L && s.getLong(4) === 3L && s.getLong(5) === 3000000L)
+    assert(s.getLong(6) === math.abs(100000000L * 3 - 3000000L) * 100)
+    assert(s.getBoolean(7), "the 100x Monday must flag against its Monday peers")
+    // a normal Monday: its peers INCLUDE the spike, and still no flag
+    // (|1e6*3 - 102e6|*100 = 1.01e10 < 200 * 102e6 = 2.04e10)
+    assert(!out(1L).getBoolean(7))
+    // too few peers never flags: a 2-event key is below minObs
+    val tiny = Seq(
+      (2L, ts("2024-01-01 09:00:00"), 10L, 1.0),
+      (2L, ts("2024-01-08 09:00:00"), 11L, 100.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    assert(TimeSeries.seasonalAnomaly(tiny, "user_id", "ts", "event_id", "value")
+      .collect().forall(!_.getBoolean(7)))
+  }
 }
