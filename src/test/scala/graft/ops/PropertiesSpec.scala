@@ -529,4 +529,76 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("splitLeakageAudit invariants: cells partition the joined pairs; scrub leaves its split clean") {
+    val pairGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L)))
+    samples(pairGen, 6).foreach { raw =>
+      val ps = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (ps.nonEmpty) {
+        val pairs = ps.toDF("id_a", "id_b")
+        val asg = (1L to 20L).map(i => (i, Seq("train", "val", "test")((i % 3).toInt)))
+          .toDF("doc_id", "split")
+        val cells = graft.scale.Dedup.splitLeakageAudit(pairs, asg, "doc_id", "split")
+          .collect()
+        assert(cells.map(_.getLong(2)).sum === ps.size.toLong,
+          "cell pair counts must partition the joined pair set")
+        cells.foreach(c => assert(c.getLong(3) <= 2 * c.getLong(2),
+          "a cell can never touch more docs than 2x its pairs"))
+        val clean = graft.scale.Dedup.scrubLeakedDocs(pairs, asg, "doc_id", "split")
+        val re = graft.scale.Dedup.splitLeakageAudit(pairs, clean, "doc_id", "split")
+          .filter(col("is_leak") &&
+            (col("split_a") === "train" || col("split_b") === "train"))
+        assert(re.count() === 0L, "after a train scrub no leak may touch train")
+      }
+    }
+  }
+
+  test("contextFitAudit invariants: kept+lost=total, fit and kept monotone in the context length") {
+    val textGen = Gen.listOfN(25, Gen.choose(0, 12).map(n => ("w " * n).trim))
+    samples(textGen, 6).foreach { texts =>
+      val df = texts.toDF("text")
+      val rows = graft.scale.TextAnalysis.contextFitAudit(df, "text", Seq(2, 5, 9))
+        .orderBy("context_len").collect()
+      rows.foreach { r =>
+        assert(r.getLong(5) + r.getLong(6) === r.getLong(4), "kept + lost = total")
+        assert(r.getLong(2) <= r.getLong(1), "fit count bounded by doc count")
+      }
+      assert(rows.map(_.getLong(2)).toSeq === rows.map(_.getLong(2)).sorted,
+        "n_fit monotone in context length")
+      assert(rows.map(_.getLong(5)).toSeq === rows.map(_.getLong(5)).sorted,
+        "tokens_kept monotone in context length")
+    }
+  }
+
+  test("krippendorffAlpha invariants: alpha <= 1e6, rater-name relabeling invariant, perfect = 1e6") {
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 10L), Gen.oneOf("a", "b", "c"), Gen.oneOf("x", "y", "z")))
+    samples(gen, 6).foreach { triples =>
+      val ratings = triples.toDF("item", "rater", "label")
+      val r = graft.scale.Preferences.krippendorffAlpha(
+        ratings, "item", "rater", "label").collect().head
+      if (!r.isNullAt(4)) assert(r.getLong(4) <= 1000000L)
+      // renaming raters permutes nothing alpha consumes (coincidences
+      // are rater-anonymous): bit-identical output
+      val renamed = triples.map { case (i, ra, l) => (i, ra + "_r", l) }
+        .toDF("item", "rater", "label")
+      val r2 = graft.scale.Preferences.krippendorffAlpha(
+        renamed, "item", "rater", "label").collect().head
+      assert(r.toSeq === r2.toSeq, "alpha must be rater-name-anonymous")
+    }
+  }
+
+  test("seasonalProfile invariants: dow in [0,6], per-key counts partition the rows") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 4L),
+      Gen.choose(-1000000L, 30000000L), Gen.choose(-50, 50).map(_.toDouble)))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.map { case (k, sec, v) =>
+        (k, new java.sql.Timestamp(sec * 1000L), v) }.toDF("k", "ts", "v")
+      val prof = TimeSeries.seasonalProfile(df, "k", "ts", "v").collect()
+      prof.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 6L))
+      assert(prof.map(_.getLong(2)).sum === rows.size.toLong,
+        "profile counts must partition the events")
+    }
+  }
 }
