@@ -65,6 +65,12 @@ private[graft] object QueriesAudits {
       graft.scale.Preferences.btCalibration(
         preferenceGames(s, d), "winner", "loser", iterations = 4, bins = 10)),
 
+    // pair-coverage precondition for trusting the BT fit: observed vs
+    // possible pairs and thin-history items
+    "x_pref_coverage" -> ((s, d) =>
+      graft.scale.Preferences.coverageAudit(
+        preferenceGames(s, d), "winner", "loser", minGames = 3L)),
+
     // the one-number calibration gate over the same bins: games-
     // weighted ECE + worst-bin MCE
     "x_pref_ece" -> ((s, d) =>
@@ -408,6 +414,30 @@ private[graft] object QueriesAudits {
           |       CAST(sum(pa * games) // sum(games) AS BIGINT) AS pred_micro,
           |       CAST((sum(wins_a) * 1000000) // sum(games) AS BIGINT) AS actual_micro
           |FROM bb GROUP BY 1""".stripMargin),
+
+    // coverage: item games from the win/loss union, observed pairs
+    // from the canonical a<b matrix; all divisions non-negative
+    "x_pref_coverage" ->
+      (s"WITH $prefGamesSql,\n" +
+        """wl AS (SELECT winner AS item FROM games
+          |       UNION ALL SELECT loser FROM games),
+          |it AS (SELECT item, CAST(count(*) AS BIGINT) AS g FROM wl
+          |       WHERE item IS NOT NULL GROUP BY 1),
+          |top AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          |          CAST(coalesce(sum(CASE WHEN g < 3 THEN 1 END), 0) AS BIGINT) AS under
+          |        FROM it),
+          |pm AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_observed FROM (
+          |         SELECT least(winner, loser) AS a, greatest(winner, loser) AS b
+          |         FROM games
+          |         WHERE winner IS NOT NULL AND loser IS NOT NULL AND winner <> loser
+          |         GROUP BY 1, 2))
+          |SELECT n_items, n_pairs_observed,
+          |       CAST((n_items * (n_items - 1)) // 2 AS BIGINT) AS n_pairs_possible,
+          |       CASE WHEN n_items >= 2
+          |         THEN CAST((n_pairs_observed * 1000000) // ((n_items * (n_items - 1)) // 2) AS BIGINT)
+          |       END AS coverage_micro,
+          |       under AS n_items_under_min
+          |FROM top, pm""".stripMargin),
 
     // ECE: the calibration CTE chain aggregated once; all operands
     // non-negative so // == div

@@ -176,6 +176,14 @@ private[graft] object QueriesCorpus {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))
     }),
 
+    // mixture-drift audit: targets over two real sources plus one the
+    // corpus doesn't have (its absence must page, not vanish); every
+    // other source audits against target 0 at a 15% budget
+    "x_corpus_mix_drift" -> ((s, d) =>
+      Sampling.mixtureDriftAudit(T(s, d, "documents"), "source", "text",
+        Map("src0" -> 0.3, "src1" -> 0.3, "src_missing" -> 0.4),
+        toleranceMicro = 150000L)),
+
     // capped water-filling epoch allocation: target weights 4/2/1/1
     // over four sources, 2-epoch repeat ceiling, 8k-token budget — at
     // sf0.01 the heaviest-weighted source hits its capacity cap and the
@@ -533,6 +541,34 @@ private[graft] object QueriesCorpus {
          |      FROM t JOIN tot ON t.source = tot.source)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens_kept
          |FROM r WHERE u < rate GROUP BY 1""".stripMargin,
+
+    // mixture drift: the SAME Scala-computed half-up micro targets
+    // interpolated as literals (the temperature-rate determinism move),
+    // full-outer lattice join, 1-row total
+    "x_corpus_mix_drift" -> {
+      val targets = Map("src0" -> 0.3, "src1" -> 0.3, "src_missing" -> 0.4)
+      val wsum = targets.toSeq.sortBy(_._1).map(_._2).sum
+      val lattice = targets.toSeq.sortBy(_._1).map { case (k, w) =>
+        val m = math.floor(w / wsum * 1000000.0 + 0.5).toLong
+        s"SELECT '$k' AS grp, CAST($m AS BIGINT) AS target_micro"
+      }.mkString("\n         |           UNION ALL ")
+      s"""WITH obs AS (SELECT coalesce(CAST(source AS VARCHAR), '') AS grp,
+         |        CAST(sum(coalesce(len($toksSql), 0)) AS BIGINT) AS tokens
+         |      FROM documents GROUP BY 1),
+         |lat AS ($lattice),
+         |j AS (SELECT coalesce(o.grp, l.grp) AS grp,
+         |        CAST(coalesce(o.tokens, 0) AS BIGINT) AS tokens,
+         |        CAST(coalesce(l.target_micro, 0) AS BIGINT) AS target_micro
+         |      FROM obs o FULL OUTER JOIN lat l ON o.grp = l.grp),
+         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM j),
+         |r AS (SELECT grp, tokens, target_micro,
+         |        CASE WHEN tot > 0 THEN CAST((tokens * 1000000) // tot AS BIGINT) END AS realized_micro
+         |      FROM j, t)
+         |SELECT grp AS "group", tokens, realized_micro, target_micro,
+         |       CAST(abs(coalesce(realized_micro, 0) - target_micro) AS BIGINT) AS drift_micro,
+         |       abs(coalesce(realized_micro, 0) - target_micro) <= 150000 AS within_tolerance
+         |FROM r""".stripMargin
+    },
 
     // the composed last mile: corpus-clean CTEs → the temperature CTEs
     // over `clean` (same Z fold/rate arithmetic as x_corpus_temperature)

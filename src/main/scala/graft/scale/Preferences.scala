@@ -513,6 +513,38 @@ object Preferences {
         expr("(__wa * 1000000L) div n_games").as("actual_micro"))
   }
 
+  /** Pair-coverage audit over a preference tournament — the
+    * trust-the-fit precondition [[btStrengths]]' scaladoc assumes: BT
+    * identifies strengths only up to connected components, and a
+    * sparse pair matrix (few observed pairs, items with almost no
+    * games) makes the ranking an artifact of WHO happened to play. One
+    * row: (n_items, n_pairs_observed, n_pairs_possible = n(n−1)/2,
+    * coverage_micro = observed·1e6 div possible — NULL when n < 2,
+    * n_items_under_min = items with fewer than `minGames` games).
+    *
+    * Overflow: n(n−1) needs n ≲ 3e9 items — not a constraint any
+    * leaderboard meets. Scale: the two corpus-sized aggregates the BT
+    * fit already runs (item stats + pair matrix), then 1-row algebra.
+    */
+  def coverageAudit(
+      games: DataFrame, winnerCol: String, loserCol: String,
+      minGames: Long = 3L): DataFrame = {
+    require(minGames >= 1, "coverageAudit: minGames must be >= 1")
+    val items = itemStats(games, winnerCol, loserCol)
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(when(col("games") < minGames, 1L)), lit(0L))
+          .as("n_items_under_min"))
+    val pairs = pairStats(games, winnerCol, loserCol)
+      .agg(count(lit(1)).as("n_pairs_observed"))
+    items.crossJoin(broadcast(pairs))
+      .withColumn("n_pairs_possible", expr("(n_items * (n_items - 1L)) div 2L"))
+      .withColumn("coverage_micro",
+        when(col("n_items") >= 2L,
+          expr("(n_pairs_observed * 1000000L) div n_pairs_possible")))
+      .select(col("n_items"), col("n_pairs_observed"), col("n_pairs_possible"),
+        col("coverage_micro"), col("n_items_under_min"))
+  }
+
   /** Expected calibration error over [[btCalibration]]'s bins — the
     * one-number form of the calibration audit (Naeini 2015's ECE,
     * games-weighted): ece_micro = Σ_b n_games_b·|pred_b − actual_b|

@@ -98,6 +98,60 @@ object Sampling {
       .drop("__g", "__total", "__rate")
   }
 
+  /** Mixture-drift audit — "did the mixer deliver the recipe": the
+    * realized per-group TOKEN share of a (post-sampling) corpus vs the
+    * caller's target weights, with a micro drift budget. Target shares
+    * normalize driver-side and round half-up to micro (one exact
+    * literal per group — the temperature-rate determinism move), so
+    * the verdict is engine-exact. Groups in the corpus but not the
+    * recipe audit against target 0 (an off-recipe source is drift, not
+    * noise); recipe groups absent from the corpus emit a row with 0
+    * tokens (a missing source must page, not vanish). Null groups are
+    * the group "" (the [[splitAssignGrouped]] convention).
+    *
+    * Output: one row per group (group, tokens, realized_micro,
+    * target_micro, drift_micro = |realized − target|,
+    * within_tolerance); realized_micro NULL on an all-empty corpus.
+    *
+    * Scale: ONE token aggregate onto the group key, a 1-row total
+    * broadcast, and a |recipe|-row lattice outer-joined in — the
+    * corpus is scanned once.
+    */
+  def mixtureDriftAudit(
+      df: DataFrame, groupCol: String, textCol: String,
+      targets: Map[String, Double], toleranceMicro: Long): DataFrame = {
+    require(targets.nonEmpty, "mixtureDriftAudit: targets must be non-empty")
+    require(targets.values.forall(_ >= 0), "mixtureDriftAudit: weights must be >= 0")
+    require(toleranceMicro >= 0, "mixtureDriftAudit: toleranceMicro must be >= 0")
+    val wsum = targets.toSeq.sortBy(_._1).map(_._2).sum
+    require(wsum > 0, "mixtureDriftAudit: weights must not all be zero")
+    // exact micro literals, half-up, summed in sorted key order
+    val targetMicro: Map[String, Long] = targets.map { case (k, w) =>
+      k -> math.floor(w / wsum * 1000000.0 + 0.5).toLong
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lattice = targetMicro.toSeq.sortBy(_._1)
+      .toDF("group", "target_micro")
+    val g = coalesce(graft.ops.Cleaning.qcol(groupCol).cast("string"), lit(""))
+    val tok = coalesce(
+      TextAnalysis.tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long"), lit(0L))
+    val observed = df.groupBy(g.as("group")).agg(sum(tok).as("tokens"))
+    val joined = observed.join(broadcast(lattice), Seq("group"), "full_outer")
+      .select(col("group"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("target_micro"), lit(0L)).as("target_micro"))
+    val total = joined.agg(sum(col("tokens")).as("__tot"))
+    joined.crossJoin(broadcast(total))
+      .withColumn("realized_micro",
+        when(col("__tot") > 0L, expr("(tokens * 1000000L) div __tot")))
+      .withColumn("drift_micro",
+        abs(coalesce(col("realized_micro"), lit(0L)) - col("target_micro")))
+      .withColumn("within_tolerance", col("drift_micro") <= toleranceMicro)
+      .select(col("group"), col("tokens"), col("realized_micro"),
+        col("target_micro"), col("drift_micro"), col("within_tolerance"))
+  }
+
   /** Temperature-balanced mixture sampling — the multilingual /
     * multi-source pretraining reweighting (mT5 / XLM-R style): group g
     * with token mass T_g is sampled at p(g) ∝ T_g^α, α ∈ (0, 1], so

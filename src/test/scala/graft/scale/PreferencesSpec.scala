@@ -249,6 +249,21 @@ class PreferencesSpec extends AnyFunSuite {
       Preferences.btCalibration(duel, "winner", "loser", bins = 1))
   }
 
+  test("coverageAudit: full round-robin covers all pairs; thin histories counted") {
+    val r = Preferences.coverageAudit(games, "winner", "loser", minGames = 3L)
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getLong(3) === 1000000L && r.getLong(4) === 0L)
+    // every item has 8 games, so a 9-game floor flags all three
+    assert(Preferences.coverageAudit(games, "winner", "loser", minGames = 9L)
+      .collect().head.getLong(4) === 3L)
+    // a single observed duel: 2 items, 1 of 1 possible pairs, both thin
+    val duel = Seq((1L, 2L)).toDF("winner", "loser")
+    val d = Preferences.coverageAudit(duel, "winner", "loser").collect().head
+    assert(d.getLong(0) === 2L && d.getLong(1) === 1L && d.getLong(2) === 1L)
+    assert(d.getLong(3) === 1000000L && d.getLong(4) === 2L)
+  }
+
   test("btCalibrationError: ECE equals the recomputed games-weighted gap; duel gap = MCE") {
     val cal = Preferences.btCalibration(games, "winner", "loser").collect()
     val n = cal.map(_.getLong(2)).sum

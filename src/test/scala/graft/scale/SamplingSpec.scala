@@ -378,4 +378,34 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(ok("A") == 100L && !ok.contains("Z_TYPO"))
   }
+
+  test("mixtureDriftAudit: realized vs half-up targets, absent recipe source pages, null group audits as ''") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("a"), "w w w"), (Some("a"), "w w w"),        // a: 6 tokens
+      (Some("b"), "w w"), (Some("b"), "w w"),            // b: 4 tokens
+      (None: Option[String], "w w")                       // null group: 2 tokens
+    ).toDF("src", "text")
+    val got = Sampling.mixtureDriftAudit(df, "src", "text",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), toleranceMicro = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(if (r.isNullAt(2)) null else r.getLong(2)),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // total 12 tokens; realized a=6/12, b=4/12, ''=2/12, c absent
+    assert(got("a") === ((6L, Some(500000L), 500000L, 0L, true)))
+    assert(got("b") === ((4L, Some(333333L), 300000L, 33333L, true)))
+    assert(got("") === ((2L, Some(166666L), 0L, 166666L, false)),
+      "an off-recipe (null) source is drift, not noise")
+    assert(got("c") === ((0L, Some(0L), 200000L, 200000L, false)),
+      "a recipe source missing from the corpus must page")
+    // empty corpus: realized NULL everywhere, verdict = target within tol
+    val empty = df.filter(col("text") === "nope")
+    val e = Sampling.mixtureDriftAudit(empty, "src", "text",
+        Map("a" -> 1.0), toleranceMicro = 0L).collect()
+    assert(e.length === 1 && e.head.isNullAt(2) && !e.head.getBoolean(5))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureDriftAudit(df, "src", "text", Map.empty, 0L))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureDriftAudit(df, "src", "text", Map("a" -> 0.0), 0L))
+  }
 }
