@@ -364,6 +364,19 @@ private[graft] object EntryShared {
       2.0 / DpMeanEpsMicro.toDouble
   val DpMeanBCnt: Double = 2.0 * 1000000.0 / DpMeanEpsMicro.toDouble
 
+  // DP-quantile release parameters (the DpMean rule: one definition
+  // for both engines): median of n_chars over the public lattice
+  // 0..1016 step 8 (128 cells), epsilon 0.5.
+  val DpQLo: Long = 0L
+  val DpQHi: Long = 1016L
+  val DpQStep: Long = 8L
+  val DpQNb: Long = (DpQHi - DpQLo) / DpQStep + 1
+  val DpQMicro: Long = 500000L
+  val DpQEpsMicro: Long = 500000L
+  /** The score's utility weight ε/2 — MUST mirror
+    * [[graft.ops.Privacy.dpNoisyQuantile]]'s internal epsHalf. */
+  val DpQEpsHalf: Double = DpQEpsMicro / 2000000.0
+
   /** The seeded Laplace draw as oracle SQL: poly-hash the
     * domain-separated key, affine, centered uniform, inverse CDF at
     * scale `b`, floor-micro — mirrors `Privacy.laplaceNoiseMicro`. */

@@ -188,6 +188,17 @@ private[graft] object QueriesAudits {
         DpMeanLoMicro, DpMeanHiMicro, DpMeanEpsMicro,
         releaseSalt = "release-3")),
 
+    // DP quantile release: exponential mechanism over the PUBLIC
+    // 128-cell lattice — exact integer ranks/utilities, one seeded
+    // Gumbel draw per (group, candidate), noisy-argmax with the
+    // min-candidate tie rule; ε = 0.5 so the noise genuinely moves
+    // the release off the true median on some groups (a utility-
+    // dominated gate would be vacuous)
+    "x_priv_dpquantile" -> ((s, d) =>
+      graft.ops.Privacy.dpNoisyQuantile(T(s, d, "documents"), "source",
+        "n_chars", DpQMicro, DpQLo, DpQHi, DpQStep, DpQEpsMicro,
+        releaseSalt = "release-4")),
+
     // the sequential-composition ledger over an actual release log:
     // two count releases (one salt REUSED — flagged, spent once) plus
     // the mean release; the __total__ row is the composed spend
@@ -703,6 +714,35 @@ private[graft] object QueriesAudits {
          |  END AS dp_mean,
          |  CAST($DpMeanEpsMicro AS BIGINT) AS epsilon_micro
          |FROM z""".stripMargin,
+
+    // DP quantile: clamp+floor to the public lattice (exact integer
+    // div), dense per-group lattice via range(), cumulative ranks,
+    // the seeded Gumbel at the interpolated eps/2 weight, min
+    // candidate among max-score ties
+    "x_priv_dpquantile" ->
+      s"""WITH c AS (SELECT source AS "group",
+         |    CAST((least(greatest(CAST(n_chars AS BIGINT), $DpQLo), $DpQHi) - $DpQLo) // $DpQStep AS BIGINT) AS b
+         |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         |cnt AS (SELECT "group", b, CAST(count(*) AS BIGINT) AS c FROM c GROUP BY 1, 2),
+         |g AS (SELECT "group", CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |lat AS (SELECT g."group", g.n, t.b FROM g CROSS JOIN (SELECT unnest(range(0, $DpQNb)) AS b) t),
+         |j AS (SELECT lat."group", lat.n, lat.b, CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+         |      FROM lat LEFT JOIN cnt ON lat."group" = cnt."group" AND lat.b = cnt.b),
+         |w AS (SELECT *,
+         |        CAST(sum(c) OVER (PARTITION BY "group" ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r,
+         |        CAST(n * $DpQMicro // 1000000 AS BIGINT) AS t
+         |      FROM j),
+         |u AS (SELECT *, (CAST(((${polyHashSqlOf("\"group\" || chr(31) || 'release-4' || chr(31) || 'quantile' || chr(31) || CAST(b AS VARCHAR)")} % 1000003) * 514229 + 741103) % 1000003 AS DOUBLE) + 0.5) / 1000003.0 AS unif
+         |      FROM w),
+         |sc AS (SELECT *, CAST(floor((CAST(-abs(r - t) AS DOUBLE) * $DpQEpsHalf + (- ln(- ln(unif)))) * 1000000.0 + 0.5) AS BIGINT) AS score FROM u),
+         |m AS (SELECT "group", max(score) AS best FROM sc GROUP BY 1)
+         |SELECT sc."group", CAST(min(sc.n) AS BIGINT) AS n,
+         |       CAST(min(sc.t) AS BIGINT) AS target_rank,
+         |       CAST(min($DpQLo + sc.b * $DpQStep) AS BIGINT) AS dp_quantile,
+         |       CAST($DpQMicro AS BIGINT) AS q_micro,
+         |       CAST($DpQEpsMicro AS BIGINT) AS epsilon_micro
+         |FROM sc JOIN m ON sc."group" = m."group" AND sc.score = m.best
+         |GROUP BY 1""".stripMargin,
 
     // epsilon ledger over the same release log the Spark side derives
     // from its release outputs (the epsilons are release-call

@@ -106,6 +106,20 @@ private[graft] object QueriesConversations {
         conversations(s, d).withColumn("role",
           when((col("turn") * 13 + col("conv_id")) % 5 < 2, lit("user"))
             .otherwise(lit("assistant"))))),
+
+    // chat-template rendering: each conversation serialized to the
+    // <|role|>-marked training text by a sorted-struct aggregate —
+    // the step between dedup/truncation and tokenization
+    "x_conv_render" -> ((s, d) =>
+      graft.scale.Conversations.renderTemplate(conversations(s, d))),
+
+    // loss-mask spans over the render: 0-based [start, end) codepoint
+    // span per turn plus the assistant mask — exact window sums, the
+    // offsets a trainer maps to token spans for loss masking
+    "x_conv_maskspans" -> ((s, d) =>
+      graft.scale.Conversations.lossMaskSpans(conversations(s, d))
+        .select(col("conv_id"), col("turn"), col("role"),
+          col("start_char"), col("end_char"), col("masked"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,5 +267,36 @@ private[graft] object QueriesConversations {
          |       arg_min(role, turn) AS first_role,
          |       arg_max(role, turn) AS last_role
          |FROM l GROUP BY 1""".stripMargin,
+
+    // chat-template render: string_agg ORDER BY turn replays the
+    // sorted-struct assembly; chr(10) is the newline in both the
+    // segment template and the separator
+    "x_conv_render" ->
+      s"""WITH $convViewSql,
+         |seg AS (SELECT conv_id, turn,
+         |          '<|' || coalesce(role, '') || '|>' || chr(10) || coalesce(text, '') AS s
+         |        FROM c2)
+         |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         |       CAST(length(string_agg(s, chr(10) ORDER BY turn)) AS BIGINT) AS rendered_chars,
+         |       string_agg(s, chr(10) ORDER BY turn) AS rendered
+         |FROM seg GROUP BY 1""".stripMargin,
+
+    // loss-mask spans: running segment-length sum + row_number per
+    // conversation; separator length 1 sits BETWEEN segments, so the
+    // span covers the segment only (window sum cast back from HUGEINT)
+    "x_conv_maskspans" ->
+      s"""WITH $convViewSql,
+         |seg AS (SELECT conv_id, turn, role,
+         |          CAST(length('<|' || coalesce(role, '') || '|>' || chr(10) || coalesce(text, '')) AS BIGINT) AS sl
+         |        FROM c2),
+         |w AS (SELECT conv_id, turn, role, sl,
+         |        CAST(sum(sl) OVER (PARTITION BY conv_id ORDER BY turn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+         |        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn) AS BIGINT) AS rn
+         |      FROM seg)
+         |SELECT conv_id, turn, role,
+         |       run - sl + (rn - 1) AS start_char,
+         |       run + (rn - 1) AS end_char,
+         |       role = 'assistant' AS masked
+         |FROM w""".stripMargin,
   )
 }

@@ -359,6 +359,27 @@ private[graft] object QueriesCore {
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
     }),
 
+    // interval-OVERLAP join (both sides exploded to bins, first-
+    // shared-bin election — exactly-once pairs with no distinct):
+    // irregular price bands vs lineitem-derived price intervals,
+    // rolled up per band so the gate hashes a summary, not the pair
+    // stream
+    "j5_interval_join" -> ((s, d) => {
+      val bands = T(s, d, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("band"),
+          (col("p_retailprice") * 10).as("lo"),
+          (col("p_retailprice") * 10 + 5000 + (col("p_partkey") % 7) * 3000).as("hi"))
+      val spans = T(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(
+          (col("l_extendedprice") - col("l_linenumber") * 200).as("s"),
+          (col("l_extendedprice") + 300).as("e"))
+      graft.ops.RangeJoin.intervalJoin(bands, "lo", "hi", spans, "s", "e",
+          binWidth = 5000)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("s") * 100 + 0.5).cast("long")).as("start_cents"))
+    }),
+
     "s6_neff" -> ((s, d) =>
       Raking.effectiveSampleSize(T(s, d, "lineitem"), "l_quantity", Seq("l_returnflag"))),
 
@@ -1313,6 +1334,21 @@ private[graft] object QueriesCore {
         |SELECT b.band, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM lineitem l JOIN b ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+        |GROUP BY 1""".stripMargin,
+
+    // interval overlap as the plain two-sided inequality join — the
+    // Spark side must reach the identical rollup through the binned
+    // decomposition + first-shared-bin election
+    "j5_interval_join" ->
+      """WITH b AS (SELECT p_partkey AS band, p_retailprice * 10 AS lo,
+        |             p_retailprice * 10 + 5000 + (p_partkey % 7) * 3000 AS hi
+        |           FROM part WHERE p_partkey <= 100),
+        |v AS (SELECT l_extendedprice - l_linenumber * 200 AS s,
+        |             l_extendedprice + 300 AS e
+        |      FROM lineitem WHERE l_orderkey % 7 = 0)
+        |SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(v.s * 100 + 0.5) AS BIGINT)) AS BIGINT) AS start_cents
+        |FROM b JOIN v ON b.lo <= v.e AND v.s <= b.hi
         |GROUP BY 1""".stripMargin,
 
     // robust outliers: type-1 lower medians over tie groups ((n+1)//2

@@ -307,6 +307,106 @@ object Privacy {
       .withColumn("epsilon_micro", lit(epsilonMicro))
   }
 
+  /** Candidate-lattice cap for [[dpNoisyQuantile]]: the released
+    * domain is a PUBLIC design choice (like histogram bands), never a
+    * data-derived set — and a lattice this size bounds the per-group
+    * scoring work and the oracle replay alike. */
+  val MaxQuantileDomainCells = 4096L
+
+  /** DP quantile via the exponential mechanism over a PUBLIC bounded
+    * domain — the third release mechanism after counts and means:
+    * per group, release the lattice point `lo + b*step` whose rank is
+    * closest to the q-target, selected by noisy-argmax (the Gumbel
+    * trick: argmax of ε/2·u(c) + Gumbel ≡ sampling ∝ exp(ε/2·u(c))).
+    * Utility u(c) = −|rank(c) − T| with T = ⌊q·n⌋, rank over values
+    * CLAMPED to [lo, hi] and floored to the lattice (the standard
+    * discretization: the candidate set must be data-INdependent — an
+    * observed-values candidate set would leak membership through the
+    * support itself). Sensitivity: adding/removing one row moves every
+    * rank(c) by ≤1 and T by <1, so Δu ≤ 2 and the ε/2 exponent gives
+    * the textbook ε-DP bound when n is public (2ε worst case when T
+    * moves too).
+    *
+    * Seeding contract identical to [[dpNoisyCounts]] (replayable by
+    * design, NOT secure — production swaps the hash for a secure RNG):
+    * each candidate's Gumbel draw is domain-separated on
+    * (group, salt, "quantile", bucket), so one release's |lattice|
+    * draws are independent AND two releases under distinct salts are
+    * fresh. Ties (equal floored score) release the SMALLEST candidate
+    * — deterministic in every engine.
+    *
+    * Determinism: ranks, targets, and utilities are exact longs; the
+    * one double expression per candidate (u·ε/2 + Gumbel) is
+    * floor-micro-rounded with the same `floor(x·1e6 + 0.5)` shape as
+    * the Laplace draws, identical IEEE tree in the oracle.
+    *
+    * Output: (group, n, target_rank, dp_quantile, q_micro,
+    * epsilon_micro) — one row per group.
+    *
+    * Scale: ONE corpus hash aggregate to the (group, bucket) lattice
+    * (≤ |groups|·|lattice| rows, lattice ≤ [[MaxQuantileDomainCells]]
+    * by require), then group-partitioned windows over ≤ |lattice|
+    * rows — the corpus never sorts and never shuffles twice.
+    */
+  def dpNoisyQuantile(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qMicro: Long, domainLo: Long, domainHi: Long, domainStep: Long,
+      epsilonMicro: Long = 500000L, releaseSalt: String = ""): DataFrame = {
+    require(epsilonMicro > 0, "dpNoisyQuantile: epsilonMicro must be positive")
+    require(qMicro >= 0 && qMicro <= 1000000L,
+      s"dpNoisyQuantile: qMicro must be in [0, 1e6], got $qMicro")
+    require(domainStep > 0, "dpNoisyQuantile: domainStep must be positive")
+    require(domainHi >= domainLo, "dpNoisyQuantile: domainHi < domainLo")
+    val nb = (domainHi - domainLo) / domainStep + 1
+    require(nb <= MaxQuantileDomainCells,
+      s"dpNoisyQuantile: lattice has $nb cells > $MaxQuantileDomainCells — " +
+        "widen domainStep (the domain is a public design, keep it coarse)")
+    val g = Cleaning.qcol(groupCol)
+    val v = Cleaning.qcol(valueCol).cast("long")
+    // clamp to [lo, hi], then integer `div` to the lattice floor --
+    // exact long arithmetic end to end (a double division would go
+    // inexact near bucket boundaries for wide domains)
+    val counts = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("group"),
+        (least(greatest(v, lit(domainLo)), lit(domainHi)) - lit(domainLo))
+          .as("__voff"))
+      .withColumn("__b", expr(s"__voff div $domainStep"))
+      .groupBy(col("group"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val groups = counts.groupBy(col("group")).agg(sum(col("__c")).as("n"))
+    val lattice = groups
+      .select(col("group"), col("n"),
+        explode(sequence(lit(0L), lit(nb - 1))).as("__b"))
+      .join(counts, Seq("group", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    val epsHalf: Double = epsilonMicro / 2000000.0  // eps/2 as a double
+    val h = graft.functions.PortableHash.affineHash(
+      graft.functions.PortableHash.polyHash31(
+        concat(col("group").cast("string"), lit("\u001f"), lit(releaseSalt),
+          lit("\u001f"), lit("quantile"), lit("\u001f"),
+          col("__b").cast("string"))))
+    val unif = (h.cast("double") + lit(0.5)) /
+      lit(graft.functions.PortableHash.P.toDouble)
+    val scored = lattice
+      .withColumn("__r", sum(col("__c")).over(wCum))
+      .withColumn("__t", expr(s"n * $qMicro div 1000000"))
+      .withColumn("__ut", -abs(col("__r") - col("__t")))
+      .withColumn("__score", floor(
+        (col("__ut").cast("double") * lit(epsHalf) + -log(-log(unif)))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    scored
+      .withColumn("__best", max(col("__score")).over(wAll))
+      .filter(col("__score") === col("__best"))
+      .groupBy(col("group"))
+      .agg(min(col("n")).as("n"), min(col("__t")).as("target_rank"),
+        min(lit(domainLo) + col("__b") * lit(domainStep)).as("dp_quantile"))
+      .withColumn("q_micro", lit(qMicro))
+      .withColumn("epsilon_micro", lit(epsilonMicro))
+  }
   /** Per-salt epsilon accounting over a release LOG (one row per
     * release call: its salt and its epsilon spend) — the sequential-
     * composition ledger [[dpNoisyCounts]]/[[dpNoisyMean]] document as

@@ -242,6 +242,102 @@ object Conversations {
       .drop("__sfx", "__rn")
   }
 
+  /** Chat-template rendering: each turn becomes the segment
+    * `<|role|>` + newline + text, and a conversation renders as its
+    * segments joined by `sep` in turn order — the serialization step
+    * between dedup/truncation and tokenization in an SFT pipeline
+    * (the template markers are placeholders; swap the literals for a
+    * real tokenizer's control tokens, the assembly is the operator).
+    * Returns one row per conversation: (convCol, n_turns,
+    * rendered_chars, rendered).
+    *
+    * Assembly is a sorted-struct aggregate (collect turn segments,
+    * `array_sort` on the turn key, join) — the same deterministic
+    * move as the T5 span-corruption builder, never a window + last().
+    * NULL text renders as the empty string and a NULL role as an
+    * empty marker (`<||>`): rendering is TOTAL — a malformed turn
+    * must show up in the rendered text where a human sees it, not
+    * vanish and silently shift every later turn's offsets.
+    *
+    * API contract (the [[truncateToBudget]] rule): (convCol, turnCol)
+    * unique — duplicate turn keys would make the sort order, and so
+    * the rendered text, nondeterministic.
+    *
+    * Scale: one hash aggregate to |conversations| rows; the sort is
+    * per-conversation over its own turns (bounded by conversation
+    * length, never a shuffle). Character counts are codepoint counts
+    * in both engines (Spark `length` = UTF8String.numChars, DuckDB
+    * `length` = codepoints), so offsets agree on any script.
+    */
+  def renderTemplate(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      roleCol: String = "role", textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val seg = segment(qcol(roleCol), qcol(textCol))
+    convs
+      .groupBy(qcol(convCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(qcol(turnCol).cast("long").as("t"),
+              seg.as("s")))),
+            x => x.getField("s")),
+          sep).as("rendered"))
+      .withColumn("rendered_chars", length(col("rendered")).cast("long"))
+      .select(qcol(convCol), col("n_turns"), col("rendered_chars"),
+        col("rendered"))
+  }
+
+  /** Loss-mask spans over [[renderTemplate]]'s output: per turn, the
+    * 0-based [start_char, end_char) codepoint span its segment
+    * occupies in the rendered conversation, plus `masked` = whether
+    * the turn's role is the training-target role (`maskRole`,
+    * default assistant). A trainer maps these char spans to token
+    * spans after tokenization and zeroes the loss outside them — the
+    * standard "learn the assistant turns, condition on the rest" SFT
+    * prep. Same template, separator, and uniqueness contract as
+    * [[renderTemplate]]; the spec pins the cross-op invariant
+    * `substring(rendered, start_char+1, len) == segment` for every
+    * turn.
+    *
+    * Offsets are exact integer window sums: turn i (rank r_i in turn
+    * order) starts at sum(seg_len before i) + (r_i - 1) * len(sep) —
+    * separators sit BETWEEN segments, so span [start, end) covers the
+    * segment only, never its separator.
+    *
+    * Scale: one conversation-partitioned window pass (running sum +
+    * row_number share the frame) — partitioned by the real
+    * conversation key, never global.
+    */
+  def lossMaskSpans(
+      convs: DataFrame, convCol: String = "conv_id", turnCol: String = "turn",
+      roleCol: String = "role", textCol: String = "text",
+      sep: String = "\n", maskRole: String = "assistant"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qcol(convCol)).orderBy(qcol(turnCol))
+    val wsum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sepLen = sep.codePointCount(0, sep.length).toLong
+    convs
+      .withColumn("__seg_len",
+        length(segment(qcol(roleCol), qcol(textCol))).cast("long"))
+      .withColumn("__run", sum(col("__seg_len")).over(wsum))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("start_char",
+        col("__run") - col("__seg_len") + (col("__rn") - 1L) * sepLen)
+      .withColumn("end_char", col("start_char") + col("__seg_len"))
+      .withColumn("masked", qcol(roleCol) <=> lit(maskRole))
+      .drop("__seg_len", "__run", "__rn")
+  }
+
+  /** The per-turn template segment shared by [[renderTemplate]] and
+    * [[lossMaskSpans]] — one definition so the render and its offsets
+    * can never drift apart. */
+  private def segment(role: Column, text: Column): Column =
+    concat(lit("<|"), coalesce(role.cast("string"), lit("")), lit("|>"),
+      lit("\n"), coalesce(text.cast("string"), lit("")))
+
   /** Conversation-preserving chat packing: token-sums each conversation
     * (whitespace token count over every turn), then runs the standard
     * shard-partitioned concat-and-chunk layout at the CONVERSATION

@@ -87,4 +87,50 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("share column names"))
   }
+
+  private def leftIvals = Seq(
+    (1L, 0.0, 10.0),
+    (2L, 5.0, 25.0),   // spans several bins at small widths
+    (3L, 40.0, 30.0),  // empty: matches nothing
+    (4L, 100.0, 100.0) // point
+  ).toDF("lid", "ls", "le")
+  private def rightIvals = Seq(
+    (10L, 8.0, 12.0),   // overlaps 1 and 2
+    (11L, 10.0, 10.0),  // point touching 1's end and inside 2
+    (12L, 26.0, 30.0),  // overlaps nothing (2 ends at 25)
+    (13L, 100.0, 200.0) // touches the point interval 4
+  ).toDF("rid", "rs", "re")
+
+  test("intervalJoin equals the brute-force overlap join, exactly once per pair") {
+    val brute = leftIvals.crossJoin(rightIvals)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(brute == Set((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (4L, 13L)))
+    for (w <- Seq(0.5, 3.0, 7.0, 1000.0)) {
+      val rows = RangeJoin.intervalJoin(
+        leftIvals, "ls", "le", rightIvals, "rs", "re", binWidth = w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      // set equality AND no duplicates: the first-shared-bin election
+      // emits each pair once even when the overlap spans many bins
+      assert(rows.toSet == brute, s"binWidth=$w")
+      assert(rows.size == brute.size, s"binWidth=$w duplicated pairs: $rows")
+    }
+  }
+
+  test("intervalJoin: NULL and NaN bounds never match; empty intervals drop") {
+    val l = Seq((1L, Some(0.0), Some(10.0)), (2L, None, Some(10.0)),
+      (3L, Some(Double.NaN), Some(Double.NaN))).toDF("lid", "ls", "le")
+    val r = Seq((10L, Some(9.0), Some(11.0)), (11L, Some(1.0), None))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalJoin(l, "ls", "le", r, "rs", "re", binWidth = 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)))
+  }
+
+  test("intervalJoin plans as an equi-join on the bin key") {
+    val plan = RangeJoin.intervalJoin(
+      leftIvals, "ls", "le", rightIvals, "rs", "re", binWidth = 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
 }

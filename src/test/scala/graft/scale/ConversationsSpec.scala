@@ -189,6 +189,67 @@ class ConversationsSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 1L, "assistant", "user")))
   }
 
+  test("renderTemplate: segments join in turn order; NULL turn text renders empty") {
+    val df = Seq(
+      (1L, 2L, "assistant", "hi there"),
+      (1L, 1L, "user", "hello"),          // out of order on purpose
+      (2L, 1L, "user", null)
+    ).toDF("conv_id", "turn", "role", "text")
+    val got = Conversations.renderTemplate(df)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[Long]("n_turns"), r.getAs[Long]("rendered_chars"),
+          r.getAs[String]("rendered")))).toMap
+    assert(got(1L) === ((2L, 37L, "<|user|>\nhello\n<|assistant|>\nhi there")))
+    assert(got(2L) === ((1L, 9L, "<|user|>\n")))
+  }
+
+  test("renderTemplate: rendered_chars counts codepoints, not UTF-16 units") {
+    // U+1F600 is a supplementary-plane char: 2 UTF-16 units, 1 codepoint
+    val df = Seq((1L, 1L, "user", "😀")).toDF("conv_id", "turn", "role", "text")
+    val r = Conversations.renderTemplate(df).collect().head
+    assert(r.getAs[Long]("rendered_chars") == 10L) // "<|user|>\n" = 9 + 1
+    assert(r.getAs[String]("rendered").length == 11) // Java length = UTF-16 units
+  }
+
+  test("lossMaskSpans: spans slice the render exactly; only maskRole turns masked") {
+    val df = Seq(
+      (1L, 1L, "user", "hello"),
+      (1L, 2L, "assistant", "hi there"),
+      (1L, 3L, "user", "bye"),
+      (2L, 1L, "assistant", "solo answer")
+    ).toDF("conv_id", "turn", "role", "text")
+    val rendered = Conversations.renderTemplate(df)
+      .collect().map(r => r.getAs[Long]("conv_id") -> r.getAs[String]("rendered")).toMap
+    val spans = Conversations.lossMaskSpans(df).collect()
+    assert(spans.length == 4)
+    spans.foreach { r =>
+      val (c, role, text) = (r.getAs[Long]("conv_id"), r.getAs[String]("role"),
+        r.getAs[String]("text"))
+      val (s, e) = (r.getAs[Long]("start_char").toInt, r.getAs[Long]("end_char").toInt)
+      val seg = s"<|$role|>\n$text"
+      // the cross-op invariant: the span extracts the turn's segment
+      assert(rendered(c).substring(s, e) == seg, s"conv $c turn span mismatch")
+      assert(r.getAs[Boolean]("masked") == (role == "assistant"))
+    }
+    // spans never overlap a separator: end of turn 1 + 1 = start of turn 2
+    val c1 = spans.filter(_.getAs[Long]("conv_id") == 1L)
+      .sortBy(_.getAs[Long]("start_char"))
+    assert(c1(0).getAs[Long]("end_char") + 1 == c1(1).getAs[Long]("start_char"))
+    assert(c1(1).getAs[Long]("end_char") + 1 == c1(2).getAs[Long]("start_char"))
+  }
+
+  test("lossMaskSpans: NULL role renders as empty marker and is never masked") {
+    val df = Seq((1L, 1L, null: String, "x"), (1L, 2L, "assistant", "y"))
+      .toDF("conv_id", "turn", "role", "text")
+    val spans = Conversations.lossMaskSpans(df).collect()
+      .sortBy(_.getAs[Long]("turn"))
+    assert(spans(0).getAs[Long]("end_char") - spans(0).getAs[Long]("start_char") == 6L) // "<||>\nx"
+    assert(!spans(0).getAs[Boolean]("masked"))
+    assert(spans(1).getAs[Boolean]("masked"))
+    // NULL-role turn still shifts the next turn's offsets (rendering is total)
+    assert(spans(1).getAs[Long]("start_char") == 7L)
+  }
+
   test("turnKey encoding is order-preserving and decodable") {
     val pairs = Seq((0L, 0L), (0L, 999999L), (1L, 0L), (5L, 123L), (5L, 124L))
     val keys = pairs.map { case (c, t) => c * Conversations.TurnKeyBase + t }
