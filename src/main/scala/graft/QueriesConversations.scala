@@ -120,6 +120,22 @@ private[graft] object QueriesConversations {
       graft.scale.Conversations.lossMaskSpans(conversations(s, d))
         .select(col("conv_id"), col("turn"), col("role"),
           col("start_char"), col("end_char"), col("masked"))),
+
+    // the SFT last mile COMPOSED through the render: role-aware exact
+    // dedup -> suffix truncation to the context budget -> loss-mask
+    // spans over the KEPT turns (offsets shift as dropped turns vanish
+    // — the composition is exactly what this key gates)
+    "x_conv_sft_e2e" -> ((s, d) => {
+      val deduped = graft.scale.Conversations.turnDedupExact(plantedConversations(s, d))
+        .filter(col("is_keeper"))
+        .select(col("conv_id"), col("turn"), col("role"), col("text"))
+      val kept = graft.scale.Conversations.truncateToBudget(deduped, budget = 120)
+        .filter(col("kept"))
+        .select(col("conv_id"), col("turn"), col("role"), col("text"))
+      graft.scale.Conversations.lossMaskSpans(kept)
+        .select(col("conv_id"), col("turn"), col("role"),
+          col("start_char"), col("end_char"), col("masked"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -289,6 +305,37 @@ private[graft] object QueriesConversations {
          |seg AS (SELECT conv_id, turn, role,
          |          CAST(length('<|' || coalesce(role, '') || '|>' || chr(10) || coalesce(text, '')) AS BIGINT) AS sl
          |        FROM c2),
+         |w AS (SELECT conv_id, turn, role, sl,
+         |        CAST(sum(sl) OVER (PARTITION BY conv_id ORDER BY turn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+         |        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn) AS BIGINT) AS rn
+         |      FROM seg)
+         |SELECT conv_id, turn, role,
+         |       run - sl + (rn - 1) AS start_char,
+         |       run + (rn - 1) AS end_char,
+         |       role = 'assistant' AS masked
+         |FROM w""".stripMargin,
+
+    // SFT e2e: dedup keepers -> suffix truncation -> mask spans over
+    // the kept turns (the x_conv_e2e CTE chain with the maskspans
+    // epilogue instead of packing)
+    "x_conv_sft_e2e" ->
+      s"""WITH $convViewSql,
+         |c3 AS (SELECT conv_id, turn, role,
+         |         CASE WHEN (conv_id + turn) % 11 = 0 THEN 'thanks!' ELSE text END AS text
+         |       FROM c2),
+         |k AS (SELECT conv_id, turn, role, text FROM (
+         |        SELECT c3.*, min(conv_id * 1000000 + turn) OVER (PARTITION BY role, text) AS kk
+         |        FROM c3)
+         |      WHERE conv_id * 1000000 + turn = kk),
+         |tt AS (SELECT conv_id, turn, role, text, CAST(len($toksSql) AS BIGINT) AS turn_tokens FROM k),
+         |wn AS (SELECT *,
+         |    CAST(sum(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sfx,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn DESC) AS rn0
+         |  FROM tt),
+         |kept AS (SELECT conv_id, turn, role, text FROM wn WHERE rn0 = 1 OR sfx <= 120),
+         |seg AS (SELECT conv_id, turn, role,
+         |          CAST(length('<|' || coalesce(role, '') || '|>' || chr(10) || coalesce(text, '')) AS BIGINT) AS sl
+         |        FROM kept),
          |w AS (SELECT conv_id, turn, role, sl,
          |        CAST(sum(sl) OVER (PARTITION BY conv_id ORDER BY turn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
          |        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn) AS BIGINT) AS rn

@@ -578,6 +578,23 @@ private[graft] object QueriesCore {
     "x_stats_eqdepth" -> ((s, d) =>
       graft.ops.Stats.equiDepthHistogram(T(s, d, "documents"), "lang", "n_chars",
         nbins = 8)),
+
+    // exact tie-corrected ROC-AUC (rank-sum identity over the
+    // tie-group lattice): doc length scored as an is-English
+    // classifier per source — single-class slices emit NULL in-band
+    "x_stats_auc" -> ((s, d) =>
+      graft.ops.Stats.rocAuc(
+        T(s, d, "documents").withColumn("is_en", col("lang") === "en"),
+        "source", "is_en", "n_chars")),
+
+    // precision/recall/F1 at a literal threshold list: ONE corpus
+    // aggregate carrying 2|thresholds|+2 conditional sums, melted
+    // after the aggregate — the operating-point table before a
+    // score-cutoff filter ships
+    "x_stats_pr" -> ((s, d) =>
+      graft.ops.Stats.prAtThresholds(
+        T(s, d, "documents").withColumn("is_en", col("lang") === "en"),
+        "source", "is_en", "n_chars", Seq(100L, 300L, 600L, 1200L))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1424,5 +1441,48 @@ private[graft] object QueriesCore {
         |       CAST(count(*) AS BIGINT) AS n_values,
         |       min(n_chars) AS lo, max(n_chars) AS hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // exact AUC by the doubled-rank Mann-Whitney identity over the
+    // (slice, score) tie-group lattice; halfUp-6 on the one derived
+    // double
+    "x_stats_auc" ->
+      s"""WITH c AS (SELECT source AS slice, lang = 'en' AS pos, CAST(n_chars AS BIGINT) AS v
+         |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL),
+         |g AS (SELECT slice, v, CAST(count(*) AS BIGINT) AS c,
+         |        CAST(coalesce(sum(CASE WHEN pos THEN 1 END), 0) AS BIGINT) AS p
+         |      FROM c GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
+         |s AS (SELECT slice, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |        CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS rank2_pos
+         |      FROM w GROUP BY 1)
+         |SELECT slice, n_pos, n_neg, rank2_pos,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |         ${graft.ops.Rounding.halfUpSql("CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)", 6)}
+         |       END AS auc
+         |FROM s""".stripMargin,
+
+    // precision/recall/F1 at the literal threshold list — integer
+    // micro ratios, NULL denominators in-band
+    "x_stats_pr" ->
+      """WITH c AS (SELECT source AS slice, lang = 'en' AS pos, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL),
+        |t AS (SELECT unnest([100, 300, 600, 1200]) AS threshold),
+        |a AS (SELECT slice, t.threshold,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(coalesce(sum(CASE WHEN pos THEN 1 END), 0) AS BIGINT) AS n_pos,
+        |        CAST(coalesce(sum(CASE WHEN pos AND v >= t.threshold THEN 1 END), 0) AS BIGINT) AS tp,
+        |        CAST(coalesce(sum(CASE WHEN NOT pos AND v >= t.threshold THEN 1 END), 0) AS BIGINT) AS fp
+        |      FROM c CROSS JOIN t GROUP BY 1, 2),
+        |p AS (SELECT *,
+        |        CASE WHEN tp + fp > 0 THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_micro,
+        |        CASE WHEN n_pos > 0 THEN CAST((tp * 1000000) // n_pos AS BIGINT) END AS recall_micro
+        |      FROM a)
+        |SELECT slice, CAST(threshold AS BIGINT) AS threshold, n, n_pos, tp, fp,
+        |       CAST(n_pos - tp AS BIGINT) AS fn, precision_micro, recall_micro,
+        |       CAST(CASE WHEN precision_micro IS NOT NULL AND recall_micro IS NOT NULL
+        |                  AND precision_micro + recall_micro > 0
+        |             THEN (2 * precision_micro * recall_micro) // (precision_micro + recall_micro)
+        |            END AS BIGINT) AS f1_micro
+        |FROM p""".stripMargin,
   )
 }

@@ -1278,4 +1278,111 @@ object Stats {
         min(qcol(valueCol)).as("lo"),
         max(qcol(valueCol)).as("hi"))
   }
+
+  /** EXACT tie-corrected ROC-AUC per slice, by the rank-sum identity
+    * (Mann-Whitney): AUC = P(score⁺ > score⁻) + ½P(score⁺ = score⁻) =
+    * (R₂ − n₊(n₊+1)) / (2·n₊·n₋), where R₂ is TWICE the average-rank
+    * sum of the positives — kept in doubled-rank units so ties stay
+    * integer-exact (avg rank of a tie group is a half-integer; its
+    * double `2·cum − ties + 1` is a whole long). The classifier-eval
+    * number beside the calibration table: calibration says whether
+    * score VALUES mean anything; AUC says whether the ORDERING does.
+    *
+    * Contract (the [[rankNormalize]] family's): scores must be
+    * integral (micro-scale upstream); rows with a NULL slice, label,
+    * or score are dropped (an unlabeled eval row is meaningless). A
+    * single-class slice (n₊=0 or n₋=0) emits NULL auc in-band —
+    * audits report, never throw. Output: (slice, n_pos, n_neg,
+    * rank2_pos, auc) — the exact integers beside the one derived
+    * double (halfUp 6).
+    *
+    * Scale: ONE (slice, score) tie-group aggregate, one per-slice
+    * cumulative window over DISTINCT SCORES (the weighted-quantile
+    * pattern — the corpus never sorts), one |slices|-row rollup.
+    * Overflow: R₂ ≤ 2n², so n ≲ 2e9 per slice fits a long — rescale
+    * counts upstream past that (the BT countDiv move).
+    */
+  def rocAuc(
+      df: DataFrame, sliceCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Cleaning.qcol
+    val g = df
+      .filter(qcol(sliceCol).isNotNull && qcol(labelCol).isNotNull &&
+        qcol(scoreCol).isNotNull)
+      .groupBy(qcol(sliceCol).as("slice"), qcol(scoreCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(when(qcol(labelCol).cast("boolean"), 1L)), lit(0L)).as("__p"))
+    val wCum = Window.partitionBy(col("slice")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("__cum", sum(col("__c")).over(wCum))
+      .groupBy(col("slice"))
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("__cum") - col("__c") + 1L)).as("rank2_pos"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          Rounding.halfUp(
+            (col("rank2_pos") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)))
+  }
+
+  /** Precision / recall / F1 at a literal THRESHOLD LIST per slice —
+    * the operating-point table a filter pipeline reads before pinning
+    * a score cutoff (predict positive ⟺ score ≥ t, the quality-floor
+    * convention). Thresholds are a config-sized design, never a data
+    * scan: the whole table is ONE corpus aggregate carrying
+    * 2·|thresholds|+2 conditional sums, melted to (slice, threshold)
+    * rows after the aggregate (the contextFitAudit shape — the melt
+    * explodes the aggregate row, never the corpus).
+    *
+    * All ratios in integer micro (`1e6·x div y`), NULL when the
+    * denominator is 0 (no predicted positives / no actual positives)
+    * — in-band like every audit. F1 = 2PR/(P+R) computed from the
+    * micro P and R with one final div, exact to the grid. Same NULL
+    * and integrality contract as [[rocAuc]].
+    *
+    * Output: (slice, threshold, n, n_pos, tp, fp, fn,
+    * precision_micro, recall_micro, f1_micro).
+    */
+  def prAtThresholds(
+      df: DataFrame, sliceCol: String, labelCol: String, scoreCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    require(thresholds.nonEmpty, "prAtThresholds: thresholds must be non-empty")
+    require(thresholds.distinct.size == thresholds.size,
+      s"prAtThresholds: duplicate thresholds in $thresholds")
+    val lab = qcol(labelCol).cast("boolean")
+    val v = qcol(scoreCol).cast("long")
+    val base = df.filter(qcol(sliceCol).isNotNull && lab.isNotNull && v.isNotNull)
+    val sums = thresholds.sorted.flatMap { t =>
+      Seq(
+        coalesce(sum(when(lab && v >= t, 1L)), lit(0L)).as(s"__tp_$t"),
+        coalesce(sum(when(!lab && v >= t, 1L)), lit(0L)).as(s"__fp_$t"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n"),
+      coalesce(sum(when(lab, 1L)), lit(0L)).as("n_pos")) ++ sums
+    val agg = base.groupBy(qcol(sliceCol).as("slice"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val rows = thresholds.sorted.map { t =>
+      struct(lit(t).as("threshold"), col(s"__tp_$t").as("tp"),
+        col(s"__fp_$t").as("fp"))
+    }
+    agg
+      .select(col("slice"), col("n"), col("n_pos"),
+        explode(array(rows: _*)).as("__r"))
+      .select(col("slice"), col("__r.threshold").as("threshold"),
+        col("n"), col("n_pos"), col("__r.tp").as("tp"), col("__r.fp").as("fp"))
+      .withColumn("fn", col("n_pos") - col("tp"))
+      .withColumn("precision_micro",
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000L) div (tp + fp)")))
+      .withColumn("recall_micro",
+        when(col("n_pos") > 0, expr("(tp * 1000000L) div n_pos")))
+      .withColumn("f1_micro",
+        when(col("precision_micro").isNotNull && col("recall_micro").isNotNull
+            && col("precision_micro") + col("recall_micro") > 0,
+          expr("(2 * precision_micro * recall_micro) div (precision_micro + recall_micro)")))
+  }
 }

@@ -479,4 +479,71 @@ class StatsSpec extends AnyFunSuite {
     val r = Stats.ksDrift(wide, "v", "s", "a", "b").head
     assert(r.getAs[Long]("n_a") === 100L && r.getAs[Long]("n_b") === 100L)
   }
+
+  test("rocAuc: tie-corrected rank-sum matches the pairwise definition") {
+    // hand-checked: pos scores {3, 5}, neg {1, 3} -> pairs
+    // (3>1)+(3=3)/2+(5>1)+(5>3) = 3.5 of 4 = 0.875
+    val df = Seq(
+      ("a", true, 3L), ("a", true, 5L), ("a", false, 1L), ("a", false, 3L),
+      // b: perfect separation -> 1.0
+      ("b", true, 10L), ("b", true, 9L), ("b", false, 2L),
+      // c: anti-separation -> 0.0
+      ("c", true, 1L), ("c", false, 5L),
+      // d: all scores tied -> 0.5
+      ("d", true, 7L), ("d", false, 7L), ("d", false, 7L),
+      // e: single-class -> NULL auc in-band
+      ("e", true, 1L), ("e", true, 2L)
+    ).toDF("slice", "label", "score")
+    val got = Stats.rocAuc(df, "slice", "label", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") === ((2L, 2L, Some(0.875))))
+    assert(got("b") === ((2L, 1L, Some(1.0))))
+    assert(got("c") === ((1L, 1L, Some(0.0))))
+    assert(got("d") === ((1L, 2L, Some(0.5))))
+    assert(got("e") === ((2L, 0L, None)))
+  }
+
+  test("rocAuc: NULL label/score/slice rows are dropped, not misread") {
+    val df = Seq(
+      (Some("a"), Some(true), Some(5L)), (Some("a"), Some(false), Some(1L)),
+      (Some("a"), None, Some(9L)), (Some("a"), Some(true), None),
+      (None, Some(true), Some(9L))
+    ).toDF("slice", "label", "score")
+    val got = Stats.rocAuc(df, "slice", "label", "score").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_pos") == 1L && got.head.getAs[Long]("n_neg") == 1L)
+    assert(got.head.getAs[Double]("auc") == 1.0)
+  }
+
+  test("prAtThresholds: counts, micro ratios, and NULL denominators per operating point") {
+    val df = Seq(
+      ("a", true, 5L), ("a", true, 3L), ("a", false, 4L), ("a", false, 1L),
+      ("b", false, 9L) // no positives: recall/f1 NULL at every threshold
+    ).toDF("slice", "label", "score")
+    val got = Stats.prAtThresholds(df, "slice", "label", "score", Seq(2L, 4L, 100L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6),
+          Option(r.get(7)).map(_.asInstanceOf[Long]),
+          Option(r.get(8)).map(_.asInstanceOf[Long]),
+          Option(r.get(9)).map(_.asInstanceOf[Long])))).toMap
+    // a @ 2: tp=2 fp=1 fn=0 -> P=666666 R=1000000 F1=2*P*R/(P+R)
+    assert(got(("a", 2L)) === ((2L, 1L, 0L,
+      Some(666666L), Some(1000000L), Some((2L * 666666L * 1000000L) / (666666L + 1000000L)))))
+    // a @ 4: tp=1 fp=1 fn=1 -> P=500000 R=500000 F1=500000
+    assert(got(("a", 4L)) === ((1L, 1L, 1L, Some(500000L), Some(500000L), Some(500000L))))
+    // a @ 100: nothing predicted positive -> precision NULL, recall 0
+    assert(got(("a", 100L)) === ((0L, 0L, 2L, None, Some(0L), None)))
+    // b: no positives at all -> recall/f1 NULL, precision 0 where fp>0
+    assert(got(("b", 2L)) === ((0L, 1L, 0L, Some(0L), None, None)))
+    assert(got(("b", 100L)) === ((0L, 0L, 0L, None, None, None)))
+  }
+
+  test("prAtThresholds: duplicate or empty threshold lists fail fast") {
+    val df = Seq(("a", true, 1L)).toDF("slice", "label", "score")
+    intercept[IllegalArgumentException](
+      Stats.prAtThresholds(df, "slice", "label", "score", Seq.empty))
+    intercept[IllegalArgumentException](
+      Stats.prAtThresholds(df, "slice", "label", "score", Seq(1L, 1L)))
+  }
 }
