@@ -595,6 +595,14 @@ private[graft] object QueriesCore {
       graft.ops.Stats.prAtThresholds(
         T(s, d, "documents").withColumn("is_en", col("lang") === "en"),
         "source", "is_en", "n_chars", Seq(100L, 300L, 600L, 1200L))),
+
+    // chi-square independence of lang x source over the DENSE level
+    // lattice (zero-observed cells carry their expected mass), each
+    // cell's term micro-rounded before the order-invariant sum;
+    // Cramér's V normalizes the effect size
+    "x_stats_chi2" -> ((s, d) =>
+      graft.ops.Stats.chiSquareIndependence(T(s, d, "documents"),
+        "lang", "source")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1484,5 +1492,29 @@ private[graft] object QueriesCore {
         |             THEN (2 * precision_micro * recall_micro) // (precision_micro + recall_micro)
         |            END AS BIGINT) AS f1_micro
         |FROM p""".stripMargin,
+
+    // chi-square over the dense lattice: exact long numerator
+    // (o·n − ra·cb) before the one double division per cell, each term
+    // micro-rounded then summed; halfUp-6 Cramér's V
+    "x_stats_chi2" ->
+      s"""WITH cells AS (SELECT lang AS va, source AS vb, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |ra AS (SELECT va, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |cb AS (SELECT vb, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |lat AS (SELECT ra.va, cb.vb, ra.ra, cb.cb, CAST(coalesce(c.o, 0) AS BIGINT) AS o, tot.n
+         |        FROM ra CROSS JOIN cb CROSS JOIN tot
+         |        LEFT JOIN cells c ON ra.va = c.va AND cb.vb = c.vb),
+         |t AS (SELECT *, CAST(floor((CAST(o * n - ra * cb AS DOUBLE) * CAST(o * n - ra * cb AS DOUBLE)
+         |        / CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS tm
+         |      FROM lat),
+         |a AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(DISTINCT va) AS BIGINT) AS n_a,
+         |        CAST(count(DISTINCT vb) AS BIGINT) AS n_b, CAST(sum(tm) AS BIGINT) AS chi2_micro
+         |      FROM t)
+         |SELECT n, n_a, n_b, CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof, chi2_micro,
+         |       CASE WHEN n > 0 AND least(n_a, n_b) > 1 THEN
+         |         ${graft.ops.Rounding.halfUpSql("sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0 / CAST(n * (least(n_a, n_b) - 1) AS DOUBLE))", 6)}
+         |       END AS cramers_v
+         |FROM a""".stripMargin,
   )
 }

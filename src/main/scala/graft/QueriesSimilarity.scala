@@ -48,6 +48,19 @@ private[graft] object QueriesSimilarity {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    // semantic eval-set decontamination: per corpus vector, the max
+    // cosine against the broadcast eval view (vec_id % 97 = 0) and the
+    // nearest eval id — ONE aggregate via the packed cos/id long, min
+    // eval id on ties; flag at 0.8
+    "x_sim_decontam" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val evals = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        evals, "eval_id", "evec", thresholdMicro = 800000L)
+    }),
+
     // queries drawn FROM the corpus, so self-exclusion applies
     "x_sim_knn" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -264,6 +277,27 @@ private[graft] object QueriesSimilarity {
         |FROM s
         |ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+
+    // semantic decontamination: the x_sim_knn cosine form per
+    // (corpus, eval) pair, micro-rounded and PACKED with the eval id,
+    // one max per corpus vector, decode + threshold
+    "x_sim_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eid, embedding AS evec FROM embeddings WHERE vec_id % 97 = 0),
+        |s AS (SELECT c.vec_id, ev.eid,
+        |        (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS a, unnest(ev.evec) AS b)) AS dt,
+        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS a))) AS na,
+        |        sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(ev.evec) AS b))) AS nb
+        |      FROM embeddings c, ev
+        |      WHERE c.vec_id % 97 <> 0 AND c.embedding IS NOT NULL),
+        |p AS (SELECT vec_id,
+        |        (CAST(floor((CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT) + 1000000) * 4294967296 + (4294967295 - eid) AS pk
+        |      FROM s),
+        |m AS (SELECT vec_id, max(pk) AS pk FROM p GROUP BY 1)
+        |SELECT vec_id,
+        |       CAST(pk // 4294967296 - 1000000 AS BIGINT) AS max_cos_micro,
+        |       CAST(4294967295 - pk % 4294967296 AS BIGINT) AS nearest_eval_id,
+        |       (pk // 4294967296 - 1000000) >= 800000 AS contaminated
+        |FROM m""".stripMargin,
 
     // exact multi-query kNN: same cosine form as x_sim_topk, per-query
     // row_number over (similarity desc, vec_id)

@@ -1279,6 +1279,82 @@ object Stats {
         max(qcol(valueCol)).as("hi"))
   }
 
+  /** Level cap per side for [[chiSquareIndependence]] — the dense
+    * expected-count lattice is |A|·|B| rows and a chi-square over more
+    * levels than this is not a contingency test; the guard rides
+    * IN-PLAN below the cross join (the ksDrift rule). */
+  val MaxChiSquareLevels = 4096L
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V — the survey analyst's "are these
+    * questions related" screen beside the z-score significance grid.
+    * χ² = Σ over the DENSE level lattice of (o−e)²/e with
+    * e = rowMargin·colMargin/n; zero-observed cells contribute their
+    * full expected mass (dropping them understates the statistic,
+    * the classic sparse-crosstab mistake). V = √(χ²/(n·(min(|A|,|B|)−1)))
+    * normalizes to [0,1] for effect size across table shapes.
+    *
+    * Determinism: each cell's term is computed as
+    * (o·n − ra·cb)²/(ra·cb·n) — the numerator an EXACT long before the
+    * one double division — and micro-rounded per cell before summing
+    * (order-invariant, the slice-entropy precedent). Rows with a NULL
+    * in either column are dropped. Overflow: o·n ≤ n² needs n ≲ 3e9 —
+    * rescale counts upstream past that (the BT countDiv move).
+    * min(|A|,|B|) = 1 emits dof 0 and NULL V in-band.
+    *
+    * Output: ONE row — (n, n_a, n_b, dof, chi2_micro, cramers_v).
+    *
+    * Scale: one corpus hash aggregate to the observed cells, two
+    * margin rollups, a dense |A|·|B| lattice join (both sides guarded
+    * at [[MaxChiSquareLevels]] IN-PLAN, below the cross join), one
+    * 1-row epilogue. The corpus is touched once.
+    */
+  def chiSquareIndependence(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Cleaning.qcol
+    val cells = df.filter(qcol(colA).isNotNull && qcol(colB).isNotNull)
+      .groupBy(qcol(colA).as("__va"), qcol(colB).as("__vb"))
+      .agg(count(lit(1)).as("__o"))
+    // the level-cap guards ride inside the consumed margin columns, so
+    // they fire BEFORE the cross join can materialize an oversized
+    // lattice (and survive optimization — the consumed-expression rule)
+    def guarded(m: DataFrame, keyCol: String, sumCol: String, side: String) = {
+      val w = Window.partitionBy()
+      m.withColumn(sumCol,
+        when(count(lit(1)).over(w) > MaxChiSquareLevels,
+          raise_error(concat(lit(s"chiSquareIndependence: more than " +
+            s"$MaxChiSquareLevels levels in '$side' — band the column first ("),
+            count(lit(1)).over(w), lit(" levels)"))).cast("long"))
+          .otherwise(col(sumCol)))
+    }
+    val ra = guarded(cells.groupBy(col("__va")).agg(sum(col("__o")).as("__ra")),
+      "__va", "__ra", colA)
+    val cb = guarded(cells.groupBy(col("__vb")).agg(sum(col("__o")).as("__cb")),
+      "__vb", "__cb", colB)
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val num = (col("__o") * col("__n") - col("__ra") * col("__cb")).cast("double")
+    val term = num * num / (col("__ra") * col("__cb")).cast("double") /
+      col("__n").cast("double")
+    val lat = ra.crossJoin(cb).crossJoin(broadcast(tot))
+      .join(cells, Seq("__va", "__vb"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .withColumn("__tm", floor(term * lit(1000000.0) + lit(0.5)).cast("long"))
+    lat.agg(
+        max(col("__n")).as("n"),
+        countDistinct(col("__va")).as("n_a"),
+        countDistinct(col("__vb")).as("n_b"),
+        sum(col("__tm")).as("chi2_micro"))
+      .withColumn("dof", (col("n_a") - 1L) * (col("n_b") - 1L))
+      .withColumn("cramers_v",
+        when(col("n") > 0 && least(col("n_a"), col("n_b")) > 1L,
+          Rounding.halfUp(sqrt(
+            col("chi2_micro").cast("double") / lit(1000000.0) /
+              (col("n") * (least(col("n_a"), col("n_b")) - 1L)).cast("double")), 6)))
+      .select(col("n"), col("n_a"), col("n_b"), col("dof"),
+        col("chi2_micro"), col("cramers_v"))
+  }
+
   /** EXACT tie-corrected ROC-AUC per slice, by the rank-sum identity
     * (Mann-Whitney): AUC = P(score⁺ > score⁻) + ½P(score⁺ = score⁻) =
     * (R₂ − n₊(n₊+1)) / (2·n₊·n₋), where R₂ is TWICE the average-rank

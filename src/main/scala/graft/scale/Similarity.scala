@@ -496,4 +496,70 @@ object Similarity {
           coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_b").cast("double")), lit(0.0)))
           .as("rrf"))
   }
+
+  /** Cap on the eval set [[semanticContamination]] will broadcast —
+    * eval-suite-sized by contract, the same class of bound as
+    * [[graft.scale.Dedup.contaminationAgainst]]'s broadcast side. */
+  val MaxSemanticEvalRows = 1 << 17
+
+  /** SEMANTIC eval-set decontamination — the embedding-level
+    * counterpart of the k-gram [[graft.scale.Dedup.contaminationAgainst]]:
+    * a paraphrased benchmark item shares no 5-grams with its source but
+    * sits at high cosine, so a lexical decontamination pass alone
+    * under-deletes. Per corpus vector: the max cosine against the eval
+    * set, the nearest eval item's id, and the `contaminated` flag at
+    * `thresholdMicro`. Drop (or quarantine) flagged docs before
+    * training; sweep the threshold on a labeled sample first.
+    *
+    * Exactly-one-aggregate shape: each (corpus, eval) cosine is
+    * micro-rounded to a long and PACKED with the eval id —
+    * `(cos+1e6)·2³² + (2³¹·2−1 − eval_id)` — so ONE `max` yields both
+    * the max similarity and, on ties, the SMALLEST eval id
+    * (deterministic in every engine; eval ids must sit in [0, 2³¹),
+    * checked loudly). Corpus rows with NULL vectors are dropped (no
+    * cosine to take); zero-norm vectors score 0 (the [[cosine]]
+    * contract).
+    *
+    * Scale: the eval side is eval-suite-sized by contract (cap
+    * [[MaxSemanticEvalRows]], loud failure) and broadcasts; the
+    * corpus-side cost is |corpus|·|eval| narrow cosine folds with
+    * map-side partial `max` collapsing to |corpus| rows BEFORE any
+    * shuffle — the corpus never moves. For eval suites past the
+    * broadcast bound, route through [[ivfTopK]]'s cell blocking with
+    * this exact form as its recall baseline (the [[hardNegatives]]
+    * convention).
+    */
+  def semanticContamination(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+      thresholdMicro: Long): DataFrame = {
+    require(thresholdMicro >= -1000000L && thresholdMicro <= 1000000L,
+      s"semanticContamination: thresholdMicro must be in [-1e6, 1e6], got $thresholdMicro")
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val v = graft.ops.Cleaning.qcol(vecCol)
+    val eid = graft.ops.Cleaning.qcol(evalIdCol)
+    val ev = graft.ops.Cleaning.qcol(evalVecCol)
+    val evals = evalSet.filter(eid.isNotNull && ev.isNotNull)
+      .select(eid.cast("long").as("__eid"), ev.as("__evec"))
+    val bounds = evals.agg(count(lit(1)).as("n"),
+      min(col("__eid")).as("lo"), max(col("__eid")).as("hi")).head()
+    require(bounds.getLong(0) > 0, "semanticContamination: empty eval set")
+    require(bounds.getLong(0) <= MaxSemanticEvalRows,
+      s"semanticContamination: eval set has ${bounds.getLong(0)} rows > " +
+        s"$MaxSemanticEvalRows — not an eval-suite-sized side; use the IVF route")
+    require(bounds.getLong(1) >= 0L && bounds.getLong(2) < (1L << 31),
+      s"semanticContamination: eval ids must be in [0, 2^31) for the packed " +
+        s"argmax, got [${bounds.getLong(1)}, ${bounds.getLong(2)}]")
+    val cm = floor(cosine(v, col("__evec")) * lit(1000000.0) + lit(0.5)).cast("long")
+    corpus.filter(v.isNotNull)
+      .crossJoin(broadcast(evals))
+      .select(id, col("__eid"),
+        ((cm + 1000000L) * 4294967296L + (lit(4294967295L) - col("__eid"))).as("__pk"))
+      .groupBy(id)
+      .agg(max(col("__pk")).as("__pk"))
+      .withColumn("max_cos_micro", expr("__pk div 4294967296") - 1000000L)
+      .withColumn("nearest_eval_id", lit(4294967295L) - pmod(col("__pk"), lit(4294967296L)))
+      .withColumn("contaminated", col("max_cos_micro") >= thresholdMicro)
+      .drop("__pk")
+  }
 }

@@ -539,6 +539,35 @@ class StatsSpec extends AnyFunSuite {
     assert(got(("b", 100L)) === ((0L, 0L, 0L, None, None, None)))
   }
 
+  test("chiSquareIndependence: hand-checked 2x2, independence zero, zero-cell mass counted") {
+    // 30/10 vs 10/30: e = 20 everywhere, chi2 = 4 * 100/20 = 20, V = sqrt(20/80) = 0.5
+    val assoc = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val r1 = Stats.chiSquareIndependence(assoc, "a", "b").head()
+    assert(r1.getAs[Long]("n") == 80L && r1.getAs[Long]("dof") == 1L)
+    assert(r1.getAs[Long]("chi2_micro") == 20000000L)
+    assert(r1.getAs[Double]("cramers_v") == 0.5)
+    // proportional table: chi2 exactly 0
+    val indep = (Seq.fill(20)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(40)(("y", "p")) ++ Seq.fill(20)(("y", "q"))).toDF("a", "b")
+    assert(Stats.chiSquareIndependence(indep, "a", "b")
+      .head().getAs[Long]("chi2_micro") == 0L)
+    // diagonal table: the DENSE lattice must charge the zero-observed
+    // cells their expected mass — perfect association, V = 1
+    val diag = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val r3 = Stats.chiSquareIndependence(diag, "a", "b").head()
+    assert(r3.getAs[Long]("chi2_micro") == 10000000L)
+    assert(r3.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("chiSquareIndependence: single-level side emits dof 0 and NULL V in-band") {
+    val df = Seq(("x", "p"), ("x", "q"), ("x", "p")).toDF("a", "b")
+    val r = Stats.chiSquareIndependence(df, "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 1L && r.getAs[Long]("dof") == 0L)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+    assert(r.getAs[Long]("chi2_micro") == 0L)
+  }
+
   test("prAtThresholds: duplicate or empty threshold lists fail fast") {
     val df = Seq(("a", true, 1L)).toDF("slice", "label", "score")
     intercept[IllegalArgumentException](

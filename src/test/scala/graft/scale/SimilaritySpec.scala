@@ -185,4 +185,40 @@ class SimilaritySpec extends AnyFunSuite {
       fx, fq, "vec_id", "embedding", "query_id", k = 7, bits = 12, tables = 4))
     assert(rLsh >= 0.85, s"LSH recall collapsed on clustered data: $rLsh")
   }
+
+  test("semanticContamination: max cosine, min-eval-id ties, flag, null drop") {
+    val corpus = Seq(
+      (1L, Some(Seq(2.0, 0.0))),  // cos 1.0 vs eval 5, 0 vs eval 7
+      (2L, Some(Seq(1.0, 1.0))),  // cos ~0.7071 vs BOTH -> tie -> eval 5
+      (3L, Some(Seq(0.0, -3.0))), // cos 0 vs 5, -1 vs 7 -> max 0 at eval 5
+      (4L, None)                  // null vector: dropped
+    ).toDF("vec_id", "embedding")
+    val evals = Seq((5L, Seq(1.0, 0.0)), (7L, Seq(0.0, 1.0)))
+      .toDF("eval_id", "evec")
+    val got = Similarity.semanticContamination(
+      corpus, "vec_id", "embedding", evals, "eval_id", "evec",
+      thresholdMicro = 900000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) === ((1000000L, 5L, true)))
+    assert(got(2L) === ((707107L, 5L, false)), "tie must take the SMALLEST eval id")
+    assert(got(3L) === ((0L, 5L, false)))
+  }
+
+  test("semanticContamination: empty eval set and out-of-range eval ids fail fast") {
+    val corpus = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(corpus, "vec_id", "embedding",
+        Seq.empty[(Long, Seq[Double])].toDF("eval_id", "evec"),
+        "eval_id", "evec", 500000L)
+    }
+    assert(e1.getMessage.contains("empty eval set"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(corpus, "vec_id", "embedding",
+        Seq((-1L, Seq(1.0, 0.0))).toDF("eval_id", "evec"),
+        "eval_id", "evec", 500000L)
+    }
+    assert(e2.getMessage.contains("[0, 2^31)"))
+  }
 }
