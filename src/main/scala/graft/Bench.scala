@@ -56,7 +56,14 @@ object Bench {
       System.gc()
       dt
     }
-    val both = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local probe filter (the Verify third-arg convention): a comma
+    // list of query names restricts the run — the driver never sets
+    // it, so the per-round contract (full suite) is untouched
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val both = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val cold = timeOnce(fn)
       val warm = timeOnce(fn)
       (name, cold, warm)

@@ -157,6 +157,17 @@ private[graft] object QueriesSimilarity {
     // matryoshka truncation to a 16-dim prefix: scalar outputs only
     // (retained-norm fraction + first normalized component) since the
     // compare harness can't hash array columns
+    // simplified silhouette of the label clustering: per point, own-
+    // vs nearest-other-centroid distance, (b-a)/max(a,b) in exact
+    // micro; rolled up per label — the cluster-separation audit
+    // before trusting an IVF or domain tag built on these groups
+    "x_emb_silhouette" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").filter(col("label").isNotNull)
+      val cents = graft.scale.Embeddings.groupCentroids(emb, "label", "embedding")
+      graft.scale.Embeddings.simplifiedSilhouette(
+        emb, "vec_id", "embedding", "label", cents, "label")
+    }),
+
     "x_emb_matryoshka" -> ((s, d) =>
       graft.scale.Embeddings.truncateMatryoshka(T(s, d, "embeddings"),
         "vec_id", "embedding", dim = 16)
@@ -417,6 +428,48 @@ private[graft] object QueriesSimilarity {
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rk FROM a)
         |SELECT true_label AS label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
         |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
+    // simplified silhouette: the x_emb_assign centroid/fold chain,
+    // then per-point conditional mins and the SIGN-FACTORED micro
+    // ratio (both engines' integer div agree on non-negatives)
+    "x_emb_silhouette" ->
+      s"""WITH e AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |x AS (SELECT label, pos,
+         |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6
+         |  FROM e),
+         |g AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv
+         |  FROM x GROUP BY 1, 2),
+         |c AS (SELECT label AS cand,
+         |    list(CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) ORDER BY pos) AS cvec
+         |  FROM g GROUP BY 1),
+         |p AS (SELECT v.vec_id AS pid, v.label AS cluster, c.cand,
+         |    CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(len(v.embedding)), j ->
+         |        (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]) * (CAST(v.embedding[j + 1] AS DOUBLE) - c.cvec[j + 1]))),
+         |      (p, q) -> p + q)) * 1000000.0 + 0.5) AS BIGINT) AS dm
+         |  FROM embeddings v, c
+         |  WHERE v.vec_id IS NOT NULL AND v.embedding IS NOT NULL AND v.label IS NOT NULL),
+         |a AS (SELECT pid, cluster,
+         |        min(CASE WHEN cluster = cand THEN dm END) AS a,
+         |        min(CASE WHEN cluster <> cand THEN dm END) AS b
+         |      FROM p GROUP BY 1, 2),
+         |s AS (SELECT *, CASE WHEN a IS NULL OR b IS NULL THEN NULL
+         |        WHEN greatest(a, b) = 0 THEN 0
+         |        WHEN b >= a THEN ((b - a) * 1000000) // greatest(a, b)
+         |        ELSE -(((a - b) * 1000000) // greatest(a, b)) END AS sil
+         |      FROM a),
+         |r AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(coalesce(sum(CASE WHEN sil IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_scored,
+         |        CAST(sum(a) AS BIGINT) AS sum_a_micro,
+         |        CAST(sum(b) AS BIGINT) AS sum_b_micro,
+         |        CAST(sum(sil) AS BIGINT) AS sum_sil_micro
+         |      FROM s GROUP BY 1)
+         |SELECT cluster, n, n_scored, sum_a_micro, sum_b_micro, sum_sil_micro,
+         |       CASE WHEN n_scored > 0 THEN
+         |         ${graft.ops.Rounding.halfUpSql("CAST(sum_sil_micro AS DOUBLE) / CAST(n_scored AS DOUBLE)", 6)}
+         |       END AS mean_sil_micro
+         |FROM r""".stripMargin,
 
     // class centroids: per-component micro-rounded exact long sums —
     // the division at the end is IEEE-identical given identical longs

@@ -501,6 +501,44 @@ object Native {
     override def prettyName: String = "nearest_cells"
   }
 
+  /** Squared L2 distance from a vector to EVERY centroid, as
+    * array<double> in centroid order — the distances behind
+    * [[NearestCells]] exposed directly (silhouette needs the values,
+    * not just the ranking). Same per-centroid left-to-right
+    * accumulation order as [[NearestCells]] and the zip_with fold the
+    * oracles replay — bit-identical sums, ~100× the throughput of the
+    * interpreted HOF form (the randomProject lesson). */
+  case class CellDistances(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val dim = vec.numElements()
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i); i += 1 }
+      val k = centroids.length
+      val dist = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        val d = math.min(dim, cent.length)
+        var acc = 0.0
+        var j = 0
+        while (j < d) { val t = v(j) - cent(j); acc += t * t; j += 1 }
+        dist(c) = acc
+        c += 1
+      }
+      new GenericArrayData(dist)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "cell_distances"
+  }
+
   /** Content-defined chunking (CDC) of a string — the rsync/LBFS
     * boundary-detection primitive behind storage-level dedup and delta
     * compression: a chunk boundary falls AFTER position i whenever the
@@ -819,6 +857,9 @@ object Native {
 
   def nearestCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     GraftBridge.column(NearestCells(ex(vec), centroids, n))
+
+  def cellDistances(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(CellDistances(ex(vec), centroids))
 
   def l2Normalize(vec: Column): Column =
     GraftBridge.column(L2Normalize(ex(vec)))

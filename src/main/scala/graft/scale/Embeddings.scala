@@ -312,9 +312,15 @@ object Embeddings {
     * [[graft.functions.Native.NearestCells]], so an oracle replaying
     * the same ordered fold agrees bit-for-bit.
     */
-  def assignToCentroids(
-      df: DataFrame, vecCol: String, centroids: DataFrame,
-      groupCol: String, outCol: String = "assigned"): DataFrame = {
+  /** Collected centroid model shared by [[assignToCentroids]] and
+    * [[simplifiedSilhouette]]: the totally-ordered group keys, the
+    * dense centroid matrix in that order, and the group-key type. All
+    * artifact-integrity checks (cap, completeness, contiguity,
+    * dimension agreement) live HERE so every consumer fails the same
+    * loud way on a broken artifact. `opName` labels the errors. */
+  private def collectCentroidModel(
+      centroids: DataFrame, groupCol: String, opName: String):
+      (Seq[Any], Array[Array[Double]], org.apache.spark.sql.types.DataType) = {
     import org.apache.spark.sql.types._
     val g = graft.ops.Cleaning.qcol(groupCol)
     // null groups filter INSIDE the query, before the cap limit — done
@@ -325,8 +331,8 @@ object Embeddings {
       .select(g, col("pos"), col("centroid"))
       .limit(MaxCentroidModelRows + 1).collect()
     require(rows.length <= MaxCentroidModelRows,
-      s"assignToCentroids: centroid model exceeds $MaxCentroidModelRows rows — '$groupCol' is not a group-sized column")
-    require(rows.nonEmpty, "assignToCentroids: empty centroid model")
+      s"$opName: centroid model exceeds $MaxCentroidModelRows rows — '$groupCol' is not a group-sized column")
+    require(rows.nonEmpty, s"$opName: empty centroid model")
     val gType = centroids.schema(groupCol).dataType
     val byGroup = rows.groupBy(_.get(0))
     val orderedKeys: Seq[Any] = gType match {
@@ -334,7 +340,7 @@ object Embeddings {
         byGroup.keys.toSeq.sortBy(_.asInstanceOf[Number].longValue)
       case StringType => byGroup.keys.toSeq.sortBy(_.asInstanceOf[String])
       case t => throw new IllegalArgumentException(
-        s"assignToCentroids: group column must be integral or string for a total tie order, got ${t.simpleString}")
+        s"$opName: group column must be integral or string for a total tie order, got ${t.simpleString}")
     }
     // a partial artifact (interrupted write, hand-filtered frame) must
     // fail loudly here — zero-filling a missing component would score
@@ -344,15 +350,24 @@ object Embeddings {
       val positions = comps.map(_.getLong(1)).sorted
       require(positions.head == 0L && positions.last == positions.length - 1L &&
           positions.distinct.length == positions.length,
-        s"assignToCentroids: group '$k' has non-contiguous component positions — not a complete groupCentroids artifact")
+        s"$opName: group '$k' has non-contiguous component positions — not a complete groupCentroids artifact")
       val arr = new Array[Double](positions.length)
       comps.foreach(r => arr(r.getLong(1).toInt) = r.getDouble(2))
       arr
     }.toArray
     val dims = cents.map(_.length).distinct
     require(dims.length == 1,
-      s"assignToCentroids: groups disagree on dimension (${dims.sorted.mkString(", ")})")
-    val dim = dims.head
+      s"$opName: groups disagree on dimension (${dims.sorted.mkString(", ")})")
+    (orderedKeys, cents, gType)
+  }
+
+  def assignToCentroids(
+      df: DataFrame, vecCol: String, centroids: DataFrame,
+      groupCol: String, outCol: String = "assigned"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (orderedKeys, cents, gType) =
+      collectCentroidModel(centroids, groupCol, "assignToCentroids")
+    val dim = cents.head.length
     import org.apache.spark.sql.{Row => SRow}
     val mapping = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(orderedKeys.zipWithIndex.map { case (k, i) => SRow(i, k) }: _*),
@@ -415,5 +430,98 @@ object Embeddings {
       .withColumn("shift_micro2", col("ss_before") - col("ss_after"))
       .select(col("grp"), col("n_vecs"), col("mean_ss_before"),
         col("mean_ss_after"), col("shift_micro2"))
+  }
+
+  /** Simplified silhouette per cluster — the clustering-quality audit
+    * for any centroid artifact ([[groupCentroids]] labels, IVF cells,
+    * domain tags): per point, a = distance to its OWN centroid,
+    * b = distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b) ∈
+    * [−1, 1]; rolled up per cluster. Low mean s = clusters overlap
+    * (an IVF built on them will probe poorly; a domain tag trained on
+    * them will confuse); negative s = points closer to a foreign
+    * centroid than their own — mis-assignments or a collapsed fit.
+    * The O(n·k) "simplified" form replaces full silhouette's O(n²)
+    * pairwise distances with centroid distances — the only form that
+    * exists at corpus scale.
+    *
+    * Determinism: per-pair distance is the left-to-right squared-
+    * component fold (the [[assignToCentroids]] order), sqrt'd and
+    * micro-rounded to a long; s = (b−a)·1e6 div max(a,b) exact
+    * integer; cluster sums are exact longs, the means one halfUp-6
+    * double division each. A coincident point (a = b = 0) scores 0;
+    * a single-centroid model has no "other" (b NULL → s NULL, the
+    * point counts in n but not n_scored) — in-band, never a throw.
+    *
+    * Contract: the assignment column's values must be centroid groups
+    * (the [[assignToCentroids]] artifact, or the label column the
+    * centroids were fit on); `idCol` must be unique per point (the
+    * per-point min groups on it); NULL ids/vectors/assignments are
+    * dropped.
+    *
+    * Scale: the centroid model collects once (the
+    * [[assignToCentroids]] cap and integrity checks) and ships inside
+    * a native expression, so the whole per-point stage is ONE NARROW
+    * PASS — `cell_distances` gives all k squared distances in the
+    * same accumulation order the oracle folds, `nearest_cells(…, 2)`
+    * picks the other-centroid minimum without a second scan — followed
+    * by a single |clusters|-row rollup. No crossJoin, no per-point
+    * shuffle: the corpus is read once and shuffles |clusters| rows.
+    */
+  def simplifiedSilhouette(
+      df: DataFrame, idCol: String, vecCol: String, assignCol: String,
+      centroids: DataFrame, groupCol: String): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    import org.apache.spark.sql.types._
+    val (orderedKeys, cents, gType) =
+      collectCentroidModel(centroids, groupCol, "simplifiedSilhouette")
+    val dim = cents.head.length
+    import org.apache.spark.sql.{Row => SRow}
+    val mapping = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(orderedKeys.zipWithIndex.map {
+        case (k, i) => SRow(i, k) }: _*),
+      StructType(Seq(StructField("__ci", IntegerType),
+        StructField("__mk", gType, nullable = true))))
+    val v = qcol(vecCol)
+    val asg = qcol(assignCol)
+    val dists = graft.functions.Native.cellDistances(v, cents)
+    val nn = graft.functions.Native.nearestCells(v, cents, 2)
+    val pts = df.filter(qcol(idCol).isNotNull && v.isNotNull && asg.isNotNull)
+      // a vector whose length differs from the model dim must error,
+      // not be prefix-scored (the assignToCentroids rule)
+      .filter(assert_true(size(v) === dim,
+        lit(s"simplifiedSilhouette: vector dim != model dim $dim in '$vecCol'")).isNull)
+      .join(broadcast(mapping), asg === col("__mk"), "left")
+      .withColumn("__dm",
+        transform(dists, d => floor(sqrt(d) * lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("__a",
+        when(col("__ci").isNotNull, element_at(col("__dm"), col("__ci") + 1)))
+      .withColumn("__bi",
+        when(col("__ci").isNotNull && size(col("__dm")) >= 2,
+          when(element_at(nn, 1) === col("__ci"), element_at(nn, 2))
+            .otherwise(element_at(nn, 1))))
+      .withColumn("__b",
+        when(col("__bi").isNotNull, element_at(col("__dm"), col("__bi") + 1)))
+      // sign-factored integer division: Spark `div` truncates toward
+      // zero while DuckDB `//` floors — factoring the sign out keeps
+      // both operands non-negative, where the two agree (the
+      // seasonalProfile rule)
+      .withColumn("__s",
+        when(col("__a").isNull || col("__b").isNull, lit(null).cast("long"))
+          .when(greatest(col("__a"), col("__b")) === 0L, lit(0L))
+          .otherwise(expr(
+            "CASE WHEN __b >= __a THEN ((__b - __a) * 1000000) div greatest(__a, __b) " +
+              "ELSE -(((__a - __b) * 1000000) div greatest(__a, __b)) END")))
+      .withColumn("cluster", asg)
+    pts.groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__s").isNotNull, 1L)), lit(0L)).as("n_scored"),
+        sum(col("__a")).as("sum_a_micro"),
+        sum(col("__b")).as("sum_b_micro"),
+        sum(col("__s")).as("sum_sil_micro"))
+      .withColumn("mean_sil_micro",
+        when(col("n_scored") > 0,
+          graft.ops.Rounding.halfUp(
+            col("sum_sil_micro").cast("double") / col("n_scored").cast("double"), 6)))
   }
 }

@@ -212,4 +212,46 @@ class EmbeddingsSpec extends AnyFunSuite {
     // b: mean 0 -> centering is a no-op
     assert(got("b") === ((2L, 500000000000L, 500000000000L, 0L)))
   }
+
+  test("simplifiedSilhouette: hand-checked separation over groupCentroids") {
+    val pts = Seq(
+      (1L, 0L, Seq(0.0, 0.0)), (2L, 0L, Seq(2.0, 0.0)),   // centroid (1, 0)
+      (3L, 1L, Seq(10.0, 0.0)), (4L, 1L, Seq(12.0, 0.0))  // centroid (11, 0)
+    ).toDF("id", "cl", "vec")
+    val cents = Embeddings.groupCentroids(pts, "cl", "vec")
+    val got = Embeddings.simplifiedSilhouette(pts, "id", "vec", "cl", cents, "cl")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // each cluster: a = 1 for both points; b = 11 and 9;
+    // s = 10/11 -> 909090 (trunc) and 8/9 -> 888888
+    assert(got(0L) === ((2L, 2L, 2000000L, 20000000L, 1797978L, 898989.0)))
+    assert(got(1L) === ((2L, 2L, 2000000L, 20000000L, 1797978L, 898989.0)))
+  }
+
+  test("simplifiedSilhouette: negative score for mis-assigned points, sign-factored div") {
+    val cents = Seq((0L, 0L, 0.0), (0L, 1L, 0.0), (1L, 0L, 10.0), (1L, 1L, 0.0))
+      .toDF("g", "pos", "centroid")
+    val pts = Seq((1L, 0L, Seq(9.0, 0.0))).toDF("id", "cl", "vec") // closer to g=1
+    val r = Embeddings.simplifiedSilhouette(pts, "id", "vec", "cl", cents, "g")
+      .collect().head
+    // a = 9e6, b = 1e6: s = -((8e6 * 1e6) div 9e6) = -888888 (truncated, not floored)
+    assert(r.getAs[Long]("sum_sil_micro") == -888888L)
+    assert(r.getAs[Double]("mean_sil_micro") == -888888.0)
+  }
+
+  test("simplifiedSilhouette: single-centroid model scores NULL in-band; coincident point 0") {
+    val one = Seq((0L, 0L, 0.0)).toDF("g", "pos", "centroid")
+    val pts = Seq((1L, 0L, Seq(3.0))).toDF("id", "cl", "vec")
+    val r = Embeddings.simplifiedSilhouette(pts, "id", "vec", "cl", one, "g")
+      .collect().head
+    assert(r.getAs[Long]("n") == 1L && r.getAs[Long]("n_scored") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mean_sil_micro")))
+    // two centroids at the same spot: a = b = 0 -> s = 0, not NULL/NaN
+    val same = Seq((0L, 0L, 0.0), (1L, 0L, 0.0)).toDF("g", "pos", "centroid")
+    val p0 = Seq((1L, 0L, Seq(0.0))).toDF("id", "cl", "vec")
+    val r0 = Embeddings.simplifiedSilhouette(p0, "id", "vec", "cl", same, "g")
+      .collect().head
+    assert(r0.getAs[Long]("n_scored") == 1L && r0.getAs[Long]("sum_sil_micro") == 0L)
+  }
 }
