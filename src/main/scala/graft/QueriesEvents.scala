@@ -58,6 +58,19 @@ private[graft] object QueriesEvents {
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))),
 
+    // Kaplan-Meier survival with right-censoring over a subject view
+    // derived from orders (duration = custkey mod 25, event = 3 of 4):
+    // exact integer survival product via the packed prefix fold —
+    // what the retention matrix can't give once observation windows
+    // differ
+    "x_events_km" -> ((s, d) =>
+      graft.ops.Cohorts.kaplanMeier(
+        T(s, d, "orders").select(
+          col("o_orderstatus").as("grp"),
+          (col("o_custkey") % 25).as("dur"),
+          (col("o_orderkey") % 4 =!= 0).as("ev")),
+        "grp", "dur", "ev")),
+
     "x_events_topusers" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = T(s, d, "events")
@@ -227,6 +240,31 @@ private[graft] object QueriesEvents {
         |           FROM events GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rk FROM g)
         |SELECT event_type, user_id, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 3""".stripMargin,
+
+    // Kaplan-Meier: suffix risk sums + the packed prefix-list fold —
+    // every step exact BIGINT, same left-to-right order as the Spark
+    // window collect
+    "x_events_km" ->
+      """WITH s AS (SELECT o_orderstatus AS grp, CAST(o_custkey % 25 AS BIGINT) AS t,
+        |             o_orderkey % 4 <> 0 AS e
+        |           FROM orders
+        |           WHERE o_orderstatus IS NOT NULL AND o_custkey IS NOT NULL
+        |             AND o_orderkey IS NOT NULL),
+        |lat AS (SELECT grp, t,
+        |          CAST(coalesce(sum(CASE WHEN e THEN 1 END), 0) AS BIGINT) AS n_events,
+        |          CAST(coalesce(sum(CASE WHEN NOT e THEN 1 END), 0) AS BIGINT) AS n_censored
+        |        FROM s GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(sum(n_events + n_censored) OVER (PARTITION BY grp ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM lat),
+        |pre AS (SELECT *, list(n_risk * 2147483648 + n_events)
+        |          OVER (PARTITION BY grp ORDER BY t ROWS UNBOUNDED PRECEDING) AS prefix
+        |        FROM w)
+        |SELECT grp AS "group", t, n_risk, n_events, n_censored,
+        |       CAST((n_events * 1000000) // n_risk AS BIGINT) AS hazard_micro,
+        |       CAST(list_reduce(list_prepend(CAST(1000000 AS BIGINT), prefix),
+        |         (a, b) -> (a * (b // 2147483648 - b % 2147483648)) // (b // 2147483648)) AS BIGINT) AS survival_micro
+        |FROM pre""".stripMargin,
 
     "x_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -145,4 +145,94 @@ object Cohorts {
         (pmod(col("__c"), lit(12L)) + 1).cast("long").as("cohort_month"),
         col("offset_months"), col("n_users"))
   }
+
+  /** Distinct-duration cap per group for [[kaplanMeier]] — a survival
+    * CURVE is lattice-sized by definition; a group with more distinct
+    * durations than this needs banding first (the weightedQuantile
+    * rule). The guard rides IN-PLAN below the windows. */
+  val MaxSurvivalTimes = 4096L
+
+  /** Kaplan-Meier survival curve with right-censoring, per group —
+    * what [[retentionMatrix]] cannot give you once observation windows
+    * differ: a user who joined last week and is still active is
+    * CENSORED at duration 7, not churned, and counting them as churned
+    * biases every retention number down. Input: one row per SUBJECT
+    * with an integral `duration` and an `event` flag (true = the
+    * terminal event happened at `duration`; false = observation ended
+    * there). Output per (group, t) over the distinct-duration lattice:
+    * n_risk (subjects with duration ≥ t), n_events, n_censored,
+    * hazard_micro = d·1e6 div n_risk, and survival_micro =
+    * Π over t' ≤ t of (n_risk − d)/n_risk — the KM estimator.
+    *
+    * EXACT integer survival: the product folds left-to-right over the
+    * prefix lattice as `s ← (s·(nr−d)) div nr` from s = 1e6 — every
+    * step exact long arithmetic (s ≤ 1e6, nr < 2³¹ → the product
+    * ≤ 2e15), so engines agree bitwise where a float product would
+    * drift with order. Rows with d = 0 multiply by exactly nr/nr = 1
+    * (a true no-op), so censor-only times can ride in the fold.
+    * (nr, d) pack into one long (nr·2³¹ + d) so the prefix list is a
+    * plain array<long> both engines fold identically.
+    *
+    * NULL rows (group, duration, or event) are dropped; a NEGATIVE
+    * duration is a contract violation (it would silently distort every
+    * later risk set) and raises loudly in-plan.
+    *
+    * Scale: ONE subject-level hash aggregate to the (group, duration)
+    * lattice, two group-partitioned windows over lattice rows (suffix
+    * risk sum + prefix pack list), one interpreted fold per LATTICE
+    * row (≤ [[MaxSurvivalTimes]] by the in-plan guard — never
+    * corpus-sized). Subjects shuffle once.
+    */
+  def kaplanMeier(
+      df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Cleaning.qcol(groupCol)
+    val dur = Cleaning.qcol(durationCol).cast("long")
+    val ev = Cleaning.qcol(eventCol).cast("boolean")
+    val K = 2147483648L // 2^31: nr < 2^31 by the packing contract
+    val lattice = df
+      .filter(g.isNotNull && dur.isNotNull && ev.isNotNull)
+      .select(g.as("group"),
+        // negative durations are meaningless; fail loudly in-plan
+        when(dur < 0L, raise_error(concat(
+          lit("kaplanMeier: negative duration "), dur,
+          lit(s" in '$durationCol'"))).cast("long")).otherwise(dur).as("t"),
+        ev.as("__e"))
+      .groupBy(col("group"), col("t"))
+      .agg(
+        coalesce(sum(when(col("__e"), 1L)), lit(0L)).as("n_events"),
+        coalesce(sum(when(!col("__e"), 1L)), lit(0L)).as("n_censored"))
+    val wAll = Window.partitionBy(col("group"))
+    val wSuffix = Window.partitionBy(col("group")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPrefix = Window.partitionBy(col("group")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lattice
+      // the lattice cap rides inside the consumed risk column, below
+      // the windows (the ksDrift consumed-expression rule)
+      .withColumn("n_risk",
+        when(count(lit(1)).over(wAll) > MaxSurvivalTimes,
+          raise_error(concat(
+            lit(s"kaplanMeier: more than $MaxSurvivalTimes distinct durations " +
+              "in a group — band the duration first ("),
+            count(lit(1)).over(wAll), lit(" times)"))).cast("long"))
+          .otherwise(sum(col("n_events") + col("n_censored")).over(wSuffix)))
+      .withColumn("__pk", col("n_risk") * K + col("n_events"))
+      .withColumn("__prefix", collect_list(col("__pk")).over(wPrefix))
+      // the fold step s <- (s·(nr−d)) div nr in EXACT arithmetic: shift/
+      // mask unpack (integer ops), and the division is the exact-double
+      // trick (num − num mod nr is divisible, the quotient ≤ 1e6 and
+      // the operands ≤ 2e15 < 2^53, so the double division is exact)
+      .withColumn("survival_micro",
+        aggregate(col("__prefix"), lit(1000000L), (acc, x) => {
+          val nr = shiftright(x, 31)
+          val d = x.bitwiseAND(lit(2147483647L))
+          val num = acc * (nr - d)
+          ((num - pmod(num, nr)) / nr).cast("long")
+        }))
+      .withColumn("hazard_micro", expr("(n_events * 1000000) div n_risk"))
+      .select(col("group"), col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("hazard_micro"), col("survival_micro"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -92,5 +93,43 @@ class CohortsSpec extends AnyFunSuite {
       (2023L, 12L, 0L) -> 1L, // Dec-2023 cohort: user 4
       (2023L, 12L, 1L) -> 1L  // user 4 in Jan 2024 — offset spans the year
     ))
+  }
+
+  test("kaplanMeier: hand-checked curve — censoring holds survival, events step it down") {
+    val subjects = Seq(
+      ("a", 1L, true), ("a", 2L, false), ("a", 3L, true),
+      ("a", 3L, true), ("a", 4L, false), ("a", 5L, true)
+    ).toDF("g", "dur", "ev")
+    val got = Cohorts.kaplanMeier(subjects, "g", "dur", "ev")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (n_risk, d, c, hazard, survival)
+    assert(got(1L) === ((6L, 1L, 0L, 166666L, 833333L)))
+    assert(got(2L) === ((5L, 0L, 1L, 0L, 833333L)), "a censor-only time must not move S")
+    assert(got(3L) === ((4L, 2L, 0L, 500000L, 416666L)))
+    assert(got(4L) === ((2L, 0L, 1L, 0L, 416666L)))
+    assert(got(5L) === ((1L, 1L, 0L, 1000000L, 0L)))
+  }
+
+  test("kaplanMeier: censoring vs churn — treating censored as events biases S down") {
+    val censored = Seq(("a", 1L, true), ("a", 2L, false), ("a", 2L, false))
+      .toDF("g", "dur", "ev")
+    val asChurn = censored.withColumn("ev", lit(true))
+    def s2(df: org.apache.spark.sql.DataFrame) =
+      Cohorts.kaplanMeier(df, "g", "dur", "ev")
+        .filter(col("t") === 2L).head().getAs[Long]("survival_micro")
+    assert(s2(censored) == 666666L)  // 2/3 survive past t=1, censors hold it
+    assert(s2(asChurn) == 0L, "the naive churn read zeroes survival")
+  }
+
+  test("kaplanMeier: negative durations and oversized lattices raise in-plan") {
+    val bad = Seq(("a", -1L, true)).toDF("g", "dur", "ev")
+    val e = intercept[Exception](Cohorts.kaplanMeier(bad, "g", "dur", "ev").collect())
+    def msgs(ex: Throwable) = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs(e).contains("negative duration"))
+    val wide = spark.range(5000).selectExpr("'g' AS g", "id AS dur", "true AS ev")
+    val e2 = intercept[Exception](Cohorts.kaplanMeier(wide, "g", "dur", "ev").collect())
+    assert(msgs(e2).contains("band the duration"))
   }
 }
