@@ -48,6 +48,16 @@ private[graft] object QueriesSimilarity {
           Rounding.halfUp(col("similarity"), 6).as("similarity"), col("rank"))
     }),
 
+    // seeded random negatives for contrastive pairs: per anchor, 3
+    // bucket-drawn foreign-label representatives — the unbiased
+    // complement of x_sim_hardneg, fully hash-replayable
+    "x_sim_randneg" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.scale.Sampling.randomNegatives(
+        emb.filter(col("vec_id") < 40), "vec_id", "label",
+        emb, "vec_id", "label", k = 3, nBuckets = 64, salt = "w1")
+    }),
+
     // semantic eval-set decontamination: per corpus vector, the max
     // cosine against the broadcast eval view (vec_id % 97 = 0) and the
     // nearest eval id — ONE aggregate via the packed cos/id long, min
@@ -288,6 +298,28 @@ private[graft] object QueriesSimilarity {
         |FROM s
         |ORDER BY (CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+
+    // seeded random negatives: bucket election by the packed
+    // (hash, id) min per (bucket, label), anchor draws by the same
+    // affine-poly chain, min packed key among foreign labels
+    "x_sim_randneg" ->
+      s"""WITH cand AS (SELECT vec_id AS cid, label FROM embeddings
+         |              WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+         |reps AS (SELECT (((cid % 1000003) * 514229 + 741103) % 1000003) % 64 AS bkt,
+         |           label AS neg_label,
+         |           CAST(min(((${polyHashSqlOf("CAST(cid AS VARCHAR) || chr(31) || 'w1' || chr(31) || 'negrep'")} % 1000003) * 514229 + 741103) % 1000003 * 2147483648 + cid) AS BIGINT) AS rk
+         |         FROM cand GROUP BY 1, 2),
+         |a AS (SELECT vec_id AS anchor_id, label AS alab, t.j AS draw
+         |      FROM embeddings, (SELECT unnest(range(0, 3)) AS j) t
+         |      WHERE vec_id < 40 AND vec_id IS NOT NULL AND label IS NOT NULL),
+         |d AS (SELECT *, (((${polyHashSqlOf("CAST(anchor_id AS VARCHAR) || chr(31) || 'w1' || chr(31) || CAST(draw AS VARCHAR)")} % 1000003) * 514229 + 741103) % 1000003) % 64 AS bkt
+         |      FROM a),
+         |b AS (SELECT anchor_id, draw, CAST(min(rk) AS BIGINT) AS rk
+         |      FROM d JOIN reps USING (bkt)
+         |      WHERE reps.neg_label <> d.alab
+         |      GROUP BY 1, 2)
+         |SELECT anchor_id, draw, CAST(rk % 2147483648 AS BIGINT) AS neg_id, r2.neg_label
+         |FROM b JOIN (SELECT DISTINCT rk, neg_label FROM reps) r2 USING (rk)""".stripMargin,
 
     // semantic decontamination: the x_sim_knn cosine form per
     // (corpus, eval) pair, micro-rounded and PACKED with the eval id,

@@ -762,4 +762,79 @@ object Sampling {
     }
     df.filter(pmod(graft.ops.Cleaning.qcol(keyCol).cast("long"), modExpr) === 0)
   }
+
+  /** Seeded RANDOM negative sampling for contrastive / reward-model
+    * pairs — the unbiased complement of
+    * [[graft.scale.Similarity.hardNegatives]] (the standard recipe
+    * mixes ~1 hard : k random): per anchor, up to `k` candidates with
+    * a DIFFERENT label, drawn deterministically. Candidates hash into
+    * `nBuckets` buckets; each (bucket, label) elects ONE representative
+    * (min seeded hash, id tiebreak); each anchor's draw j picks a
+    * seeded bucket and takes the minimum-key representative whose
+    * label differs. Representatives are shared across anchors drawing
+    * the same bucket — the in-batch-negatives convention, documented
+    * rather than hidden. A draw whose bucket holds no foreign-label
+    * representative yields nothing, so `k` is the ATTEMPT count
+    * (near-k in practice once nBuckets ≫ |labels|).
+    *
+    * Determinism: every choice is the portable hash chain (poly fold →
+    * affine → pmod) with U+001F domain separation, packed-long argmin
+    * (hash·2³¹ + id, so ties break to the smallest id) — replayable by
+    * the oracle, stable across runs/partitionings. Candidate and
+    * anchor ids must sit in [0, 2³¹) for the packing (the
+    * semanticContamination contract); NULL ids/labels are dropped.
+    *
+    * Output: (anchor_id, draw, neg_id, neg_label).
+    *
+    * Scale: representatives = ONE corpus hash aggregate to ≤
+    * nBuckets·|labels| rows (broadcastable by construction); anchors
+    * explode ×k and broadcast-join the representative table — the
+    * corpus never reshuffles per anchor, and no anchor ever scans the
+    * candidate pool.
+    */
+  def randomNegatives(
+      anchors: DataFrame, anchorIdCol: String, anchorLabelCol: String,
+      candidates: DataFrame, candIdCol: String, candLabelCol: String,
+      k: Int, nBuckets: Int = 1024, salt: String = ""): DataFrame = {
+    require(k >= 1, s"randomNegatives: k must be >= 1, got $k")
+    require(nBuckets >= 2, s"randomNegatives: nBuckets must be >= 2, got $nBuckets")
+    val aid = graft.ops.Cleaning.qcol(anchorIdCol)
+    val alab = graft.ops.Cleaning.qcol(anchorLabelCol)
+    val cid = graft.ops.Cleaning.qcol(candIdCol)
+    val clab = graft.ops.Cleaning.qcol(candLabelCol)
+    import graft.functions.PortableHash._
+    val Pack = 2147483648L // 2^31
+    val repHash = affineHash(polyHash31(
+      concat(cid.cast("string"), lit("\u001f"), lit(salt), lit("\u001f"),
+        lit("negrep"))))
+    // the id-range guard rides IN-PLAN inside the consumed packed key:
+    // an id outside [0, 2^31) would silently corrupt the argmin
+    val packed = when(cid.cast("long") < 0L || cid.cast("long") >= Pack,
+      raise_error(concat(lit("randomNegatives: candidate id outside [0, 2^31): "),
+        cid.cast("string"))).cast("long"))
+      .otherwise(repHash * Pack + cid.cast("long"))
+    val reps = candidates.filter(cid.isNotNull && clab.isNotNull)
+      .select(pmod(affineHash(cid.cast("long")), lit(nBuckets.toLong)).as("__bkt"),
+        clab.as("neg_label"),
+        packed.as("__rk"))
+      .groupBy(col("__bkt"), col("neg_label"))
+      .agg(min(col("__rk")).as("__rk"))
+    val draws = anchors.filter(aid.isNotNull && alab.isNotNull)
+      .select(aid.as("anchor_id"), alab.as("__alab"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("draw"))
+      .withColumn("__bkt", pmod(affineHash(polyHash31(
+        concat(col("anchor_id").cast("string"), lit("\u001f"), lit(salt),
+          lit("\u001f"), col("draw").cast("string")))), lit(nBuckets.toLong)))
+    // packed keys are unique per rep (the id rides in the low bits), so
+    // min(__rk) IS the argmin; the label joins back over the tiny rep
+    // table — no struct-min (engine orderings differ)
+    val best = draws.join(broadcast(reps), Seq("__bkt"))
+      .filter(!(col("neg_label") <=> col("__alab")))
+      .groupBy(col("anchor_id"), col("draw"))
+      .agg(min(col("__rk")).as("__rk"))
+    best.join(broadcast(reps.select(col("__rk"), col("neg_label")).distinct()),
+        Seq("__rk"))
+      .select(col("anchor_id"), col("draw"),
+        pmod(col("__rk"), lit(Pack)).as("neg_id"), col("neg_label"))
+  }
 }

@@ -408,4 +408,40 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.mixtureDriftAudit(df, "src", "text", Map("a" -> 0.0), 0L))
   }
+
+  test("randomNegatives: deterministic, label-disjoint, drawn from the candidate pool") {
+    val anchors = Seq((1L, "a"), (2L, "b")).toDF("id", "lab")
+    val cands = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"), (5L, "c"))
+      .toDF("id", "lab")
+    def run() = Sampling.randomNegatives(anchors, "id", "lab",
+      cands, "id", "lab", k = 4, nBuckets = 4, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val got = run()
+    assert(got.nonEmpty && (got sameElements run()), "same salt replays identically")
+    val anchorLab = Map(1L -> "a", 2L -> "b")
+    val candLab = Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b", 5L -> "c")
+    got.foreach { case (aid, j, nid, nlab) =>
+      assert(j >= 0 && j < 4)
+      assert(candLab(nid) == nlab, "negative must be a real candidate with its own label")
+      assert(nlab != anchorLab(aid), "a negative must carry a DIFFERENT label")
+    }
+    assert(got.groupBy(_._1).forall(_._2.length <= 4), "at most k draws per anchor")
+    // a different salt draws a different negative somewhere
+    val other = Sampling.randomNegatives(anchors, "id", "lab",
+      cands, "id", "lab", k = 4, nBuckets = 4, salt = "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(!(got sameElements other), "distinct salts must not replay the same draws")
+  }
+
+  test("randomNegatives: candidate ids outside [0, 2^31) raise in-plan") {
+    val anchors = Seq((1L, "a")).toDF("id", "lab")
+    val cands = Seq((5000000000L, "b")).toDF("id", "lab")
+    val e = intercept[Exception](Sampling.randomNegatives(
+      anchors, "id", "lab", cands, "id", "lab", k = 1).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("outside [0, 2^31)"))
+  }
 }
