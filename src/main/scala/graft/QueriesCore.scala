@@ -603,6 +603,15 @@ private[graft] object QueriesCore {
     "x_stats_chi2" -> ((s, d) =>
       graft.ops.Stats.chiSquareIndependence(T(s, d, "documents"),
         "lang", "source")),
+
+    // quantile normalization: per-language doc-length lattice mapped
+    // onto the POOLED distribution (exact rank percentiles, type-1
+    // pooled quantile by the identity-preserving threshold) — the
+    // score-harmonization step before mixing differently-graded
+    // corpora
+    "x_stats_qnorm" -> ((s, d) =>
+      graft.ops.Stats.quantileNormalize(T(s, d, "documents"),
+        "lang", "n_chars")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1516,5 +1525,40 @@ private[graft] object QueriesCore {
          |         ${graft.ops.Rounding.halfUpSql("sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0 / CAST(n * (least(n_a, n_b) - 1) AS DOUBLE))", 6)}
          |       END AS cramers_v
          |FROM a""".stripMargin,
+
+    // quantile normalization: the rankNormalize identity per slice,
+    // pooled cumulative lattice, the union+frame-min as-of lookup
+    // (probe tag sorts FIRST at equal keys, so cum == T is inclusive)
+    "x_stats_qnorm" ->
+      """WITH base AS (SELECT lang AS slice, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (SELECT slice, v, CAST(count(*) AS BIGINT) AS ties FROM base GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(ties) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(ties) OVER (PARTITION BY slice) AS BIGINT) AS n
+        |  FROM g),
+        |sl AS (SELECT slice, v, ties, n, 2 * (cum - ties) + ties - 1 AS num,
+        |    CAST(CASE WHEN n > 1 THEN ((2 * (cum - ties) + ties - 1) * 1000000) // (2 * (n - 1))
+        |         ELSE 500000 END AS BIGINT) AS pct_micro
+        |  FROM w),
+        |pg AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+        |pw AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM pg),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pg),
+        |pr AS (SELECT sl.slice, sl.v, sl.ties, sl.pct_micro,
+        |         CAST(CASE WHEN sl.n > 1 THEN (sl.num * (tot.n - 1)) // (2 * (sl.n - 1)) + 1
+        |              ELSE (tot.n - 1) // 2 + 1 END AS BIGINT) AS key,
+        |         0 AS tag, CAST(NULL AS BIGINT) AS w
+        |       FROM sl, tot),
+        |pl AS (SELECT CAST(NULL AS VARCHAR) AS slice, CAST(NULL AS BIGINT) AS v,
+        |         CAST(NULL AS BIGINT) AS ties, CAST(NULL AS BIGINT) AS pct_micro,
+        |         pw.cum AS key, 1 AS tag, pw.v AS w
+        |       FROM pw),
+        |u AS (SELECT * FROM pr UNION ALL SELECT * FROM pl),
+        |m AS (SELECT *, min(w) OVER (ORDER BY key, tag
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mapped_value
+        |      FROM u)
+        |SELECT slice, v AS value, ties, pct_micro,
+        |       CAST(mapped_value AS BIGINT) AS mapped_value
+        |FROM m WHERE tag = 0""".stripMargin,
   )
 }

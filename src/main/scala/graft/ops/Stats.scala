@@ -1252,6 +1252,99 @@ object Stats {
       .drop("__cum", "__n")
   }
 
+  /** Combined-lattice cap for [[quantileNormalize]]'s one global
+    * as-of window — distinct values across all slices plus the pooled
+    * lattice must stay a summary, not a corpus (the mixture-
+    * concentration bounded-frame exception). */
+  val MaxQuantileNormValues = 65536L
+
+  /** Quantile normalization across slices — map every slice's values
+    * onto the POOLED distribution, so scores from different graders
+    * (two classifier versions, two reward models, two labs' quality
+    * scores) become comparable before any mixing/thresholding uses
+    * them together: a slice's value at average rank r (of n) is
+    * replaced by the pooled type-1 quantile at rank
+    * `⌊(2r−2)·(N−1) / (2n−2)⌋ + 1` (min pooled v with cum ≥ that
+    * rank) — computed from the EXACT rank integers, never the rounded
+    * percentile (chaining two truncating divisions silently shifts
+    * midranks), so a distinct-valued slice normalized against ITSELF
+    * maps identically (spec-pinned).
+    * Returns the MAPPING lattice (slice, value, ties, pct_micro,
+    * mapped_value); broadcast-join it back on (slice, value) to
+    * rewrite the corpus.
+    *
+    * Exactness: percentiles are [[rankNormalize]]'s exact integer
+    * average ranks; the pooled threshold is exact ceil-div; the as-of
+    * lookup is a frame-based min over the union lattice ordered by
+    * (key, probe-first) — probes at a key equal to a pooled cum see
+    * that pooled row (inclusive ≥). Engines agree bitwise.
+    *
+    * Scale: two tie-group aggregates (per-slice and pooled), then ONE
+    * global window over the combined lattice — distinct values, never
+    * rows; the in-plan guard caps the lattice at
+    * [[MaxQuantileNormValues]] (band continuous columns first, the
+    * ksDrift rule). Corpus values shuffle only as their distinct
+    * lattice.
+    */
+  def quantileNormalize(
+      df: DataFrame, sliceCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Cleaning.qcol
+    val base = df.filter(qcol(sliceCol).isNotNull && qcol(valueCol).isNotNull)
+      .select(qcol(sliceCol).as("slice"), qcol(valueCol).cast("long").as("v"))
+    // the rankNormalize identity inline, keeping the EXACT rank
+    // integers: the threshold must derive from them directly — routing
+    // it through the micro-rounded percentile chains two truncating
+    // divisions and breaks the self-normalization identity (the spec
+    // case that caught it: 4 distinct values, 7 -> 5)
+    val wCumS = Window.partitionBy(col("slice")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAllS = Window.partitionBy(col("slice"))
+    val slices = base.groupBy(col("slice"), col("v"))
+      .agg(count(lit(1)).as("ties"))
+      .withColumn("__cum", sum(col("ties")).over(wCumS))
+      .withColumn("__sn", sum(col("ties")).over(wAllS))
+      .withColumn("__num", lit(2L) * (col("__cum") - col("ties")) + col("ties") - 1L)
+      .withColumn("pct_micro",
+        when(col("__sn") > 1, expr("(__num * 1000000L) div (2 * (__sn - 1))"))
+          .otherwise(lit(500000L)))
+    val wPool = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAllPool = Window.partitionBy()
+    val pooled = base.groupBy(col("v")).agg(count(lit(1)).as("__c"))
+      // lattice-cap guard rides inside the consumed cum column
+      .withColumn("__cum",
+        when(count(lit(1)).over(wAllPool) > MaxQuantileNormValues,
+          raise_error(concat(lit(
+            s"quantileNormalize: more than $MaxQuantileNormValues distinct " +
+              "values — band the column first ("),
+            count(lit(1)).over(wAllPool), lit(" values)"))).cast("long"))
+          .otherwise(sum(col("__c")).over(wPool)))
+      .withColumn("__n", sum(col("__c")).over(wAllPool))
+    // probes: T = floor(num·(N−1) / (2·(n−1))) + 1 from the EXACT rank
+    // integers (single-rater slices take the pooled midrank); overflow
+    // bound num·(N−1) < 2^63 → rows ≲ 2e9 per side (the rocAuc class)
+    val probes = slices.crossJoin(
+        broadcast(pooled.agg(max(col("__n")).as("__n"))))
+      .withColumn("__key",
+        when(col("__sn") > 1,
+          expr("(__num * (__n - 1)) div (2 * (__sn - 1)) + 1"))
+          .otherwise(expr("(__n - 1) div 2 + 1")))
+      .select(col("slice"), col("v"), col("ties"), col("pct_micro"),
+        col("__key"), lit(0).as("__tag"), lit(null).cast("long").as("__w"))
+    val pool = pooled.select(lit(null).cast(base.schema("slice").dataType).as("slice"),
+      lit(null).cast("long").as("v"), lit(null).cast("long").as("ties"),
+      lit(null).cast("long").as("pct_micro"),
+      col("__cum").as("__key"), lit(1).as("__tag"), col("v").as("__w"))
+    val wAsOf = Window.orderBy(col("__key"), col("__tag"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    probes.unionByName(pool)
+      .withColumn("mapped_value", min(col("__w")).over(wAsOf))
+      .filter(col("__tag") === 0)
+      .select(col("slice"), col("v").as("value"), col("ties"),
+        col("pct_micro"), col("mapped_value"))
+  }
+
   /** Equi-DEPTH histogram per slice — the quantile-bucketed complement
     * of the equi-width [[histogram]]: bins hold (approximately) equal
     * row counts instead of equal value ranges, so heavy-tailed columns

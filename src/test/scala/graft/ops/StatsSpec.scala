@@ -568,6 +568,31 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("chi2_micro") == 0L)
   }
 
+  test("quantileNormalize: slices map onto the pooled scale; self-normalization is identity") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 20L), ("b", 30L)).toDF("s", "v")
+    val got = Stats.quantileNormalize(df, "s", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // pooled lattice {1,2,3,10,20,30}: both slices land on the same
+    // pooled values at the same percentiles — the harmonization point
+    assert(got(("a", 1L)) == 1L && got(("b", 10L)) == 1L)
+    assert(got(("a", 2L)) == 3L && got(("b", 20L)) == 3L)
+    assert(got(("a", 3L)) == 30L && got(("b", 30L)) == 30L)
+    // one distinct-valued slice against itself: the identity map
+    val solo = Seq(("a", 5L), ("a", 7L), ("a", 9L), ("a", 11L)).toDF("s", "v")
+    val ident = Stats.quantileNormalize(solo, "s", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(ident == Map(5L -> 5L, 7L -> 7L, 9L -> 9L, 11L -> 11L))
+  }
+
+  test("quantileNormalize: lattice cap raises in-plan on continuous-ish columns") {
+    val wide = spark.range(70000).selectExpr("'g' AS s", "id AS v")
+    val e = intercept[Exception](Stats.quantileNormalize(wide, "s", "v").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("band the column"))
+  }
+
   test("prAtThresholds: duplicate or empty threshold lists fail fast") {
     val df = Seq(("a", true, 1L)).toDF("slice", "label", "score")
     intercept[IllegalArgumentException](
