@@ -612,6 +612,16 @@ private[graft] object QueriesCore {
     "x_stats_qnorm" -> ((s, d) =>
       graft.ops.Stats.quantileNormalize(T(s, d, "documents"),
         "lang", "n_chars")),
+
+    // leave-one-out target encoding of market segment against account
+    // balance cents (prior weight 20): a row's own label never leaks
+    // into its own feature; exact long stats, one halfUp-6 double
+    "x_stats_tenc" -> ((s, d) =>
+      graft.ops.Stats.targetEncodeLoo(
+        T(s, d, "customer").withColumn("bal_cents",
+          floor(col("c_acctbal") * 100 + 0.5).cast("long")),
+        "c_mktsegment", "bal_cents", priorWeight = 20L)
+        .select(col("c_custkey"), col("cat_n"), col("cat_sum"), col("enc"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1560,5 +1570,28 @@ private[graft] object QueriesCore {
         |SELECT slice, v AS value, ties, pct_micro,
         |       CAST(mapped_value AS BIGINT) AS mapped_value
         |FROM m WHERE tag = 0""".stripMargin,
+
+    // LOO target encoding: exact long category stats + the one
+    // halfUp-6 double per row, identical IEEE tree (null-safe
+    // category join, non-LOO form for null-target rows)
+    "x_stats_tenc" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment AS cat,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS y FROM customer),
+         |st AS (SELECT cat, CAST(count(*) AS BIGINT) AS cat_n,
+         |         CAST(sum(y) AS BIGINT) AS cat_sum
+         |       FROM c WHERE y IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(cat_n), 0) AS BIGINT) AS tn,
+         |          CAST(coalesce(sum(cat_sum), 0) AS BIGINT) AS ts FROM st)
+         |SELECT c.c_custkey, st.cat_n, st.cat_sum,
+         |  CASE WHEN c.y IS NOT NULL THEN
+         |    CASE WHEN st.cat_n - 1 + 20 > 0 THEN
+         |      ${graft.ops.Rounding.halfUpSql("(CAST(st.cat_sum - c.y AS DOUBLE) + 20.0 * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE))) / CAST(st.cat_n - 1 + 20 AS DOUBLE)", 6)}
+         |    END
+         |  ELSE
+         |    CASE WHEN coalesce(st.cat_n, 0) + 20 > 0 AND tot.tn > 0 THEN
+         |      ${graft.ops.Rounding.halfUpSql("(CAST(coalesce(st.cat_sum, 0) AS DOUBLE) + 20.0 * (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE))) / CAST(coalesce(st.cat_n, 0) + 20 AS DOUBLE)", 6)}
+         |    END
+         |  END AS enc
+         |FROM c LEFT JOIN st ON c.cat IS NOT DISTINCT FROM st.cat CROSS JOIN tot""".stripMargin,
   )
 }

@@ -1252,6 +1252,65 @@ object Stats {
       .drop("__cum", "__n")
   }
 
+  /** Leave-one-out target (mean) encoding with prior smoothing — the
+    * categorical-feature prep for any downstream model over tabular
+    * data: a category is replaced by the smoothed mean of the target
+    * over its OTHER rows, `enc = (Σ_cat − y + m·prior) / (n_cat − 1
+    * + m)` with `prior` the global target mean — leave-one-out so a
+    * row's own label never leaks into its own feature (the
+    * split-leakage rule at the feature level), the `m` pseudo-counts
+    * shrinking rare categories toward the prior instead of memorizing
+    * them. Rows with a NULL target (serving/eval rows) take the
+    * non-LOO form `(Σ_cat + m·prior) / (n_cat + m)` — they contributed
+    * nothing, so nothing is held out. NULL categories are a real
+    * category (the groupBy convention). A singleton category at m = 0
+    * encodes NULL in-band.
+    *
+    * Determinism: n/sum are exact longs (integral target by contract,
+    * the corrMatrix rule); `enc` is ONE derived double (halfUp 6) of
+    * exact operands — identical IEEE tree in the oracle.
+    *
+    * Output: the input columns plus (cat_n, cat_sum, enc).
+    *
+    * Scale: one hash aggregate to |categories| rows + a 1-row global,
+    * both broadcast back over the corpus — one scan, no corpus
+    * shuffle.
+    */
+  def targetEncodeLoo(
+      df: DataFrame, catCol: String, targetCol: String,
+      priorWeight: Long = 20L): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    require(priorWeight >= 0, s"targetEncodeLoo: priorWeight must be >= 0")
+    df.schema(df.schema.fieldIndex(catCol)) // loud on a missing column
+    val dt = df.schema(targetCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"targetEncodeLoo requires an integral target for exact long sums; " +
+        s"'$targetCol' is ${dt.typeName} — scale to micro longs first")
+    val cat = qcol(catCol)
+    val y = qcol(targetCol).cast("long")
+    val stats = df.filter(y.isNotNull)
+      .groupBy(cat.as("__cat"))
+      .agg(count(lit(1)).as("cat_n"), sum(y).as("cat_sum"))
+    val tot = stats.agg(
+      coalesce(sum(col("cat_n")), lit(0L)).as("__tn"),
+      coalesce(sum(col("cat_sum")), lit(0L)).as("__ts"))
+    val m = priorWeight.toDouble
+    val prior = col("__ts").cast("double") / col("__tn").cast("double")
+    val looDen = col("cat_n") - 1L + priorWeight
+    val fullDen = coalesce(col("cat_n"), lit(0L)) + priorWeight
+    df.join(broadcast(stats), cat <=> col("__cat"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("enc",
+        when(y.isNotNull,
+          when(looDen > 0L, Rounding.halfUp(
+            ((col("cat_sum") - y).cast("double") + lit(m) * prior) /
+              looDen.cast("double"), 6)))
+          .otherwise(when(fullDen > 0L && col("__tn") > 0L, Rounding.halfUp(
+            (coalesce(col("cat_sum"), lit(0L)).cast("double") + lit(m) * prior) /
+              fullDen.cast("double"), 6))))
+      .drop("__cat", "__tn", "__ts")
+  }
+
   /** Combined-lattice cap for [[quantileNormalize]]'s one global
     * as-of window — distinct values across all slices plus the pooled
     * lattice must stay a summary, not a corpus (the mixture-

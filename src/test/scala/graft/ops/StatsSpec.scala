@@ -593,6 +593,41 @@ class StatsSpec extends AnyFunSuite {
     assert(msgs.contains("band the column"))
   }
 
+  test("targetEncodeLoo: LOO math, prior shrinkage, null-target form, singleton NULL") {
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)),
+      ("b", Some(100L)), ("a", None)
+    ).toDF("cat", "y")
+    // m = 0: pure LOO; singleton b has no other rows -> NULL in-band
+    val m0 = Stats.targetEncodeLoo(df, "cat", "y", priorWeight = 0L)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(m0(("a", Some(10L))) == Some(25.0)) // (60-10)/2
+    assert(m0(("a", Some(30L))) == Some(15.0)) // (60-30)/2
+    assert(m0(("b", Some(100L))) == None, "singleton at m=0 must be NULL, not its own label")
+    assert(m0(("a", None)) == Some(20.0))      // non-LOO: 60/3
+    // m = 2: prior = 160/4 = 40 shrinks everything toward the global mean
+    val m2 = Stats.targetEncodeLoo(df, "cat", "y", priorWeight = 2L)
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(m2(("a", Some(10L))) == Some(32.5)) // (50 + 80)/4
+    assert(m2(("b", Some(100L))) == Some(40.0)) // (0 + 80)/2 = the prior
+    assert(m2(("a", None)) == Some(28.0))      // (60 + 80)/5
+  }
+
+  test("targetEncodeLoo: non-integral targets rejected; NULL category is a category") {
+    val bad = Seq(("a", 1.5)).toDF("cat", "y")
+    val e = intercept[IllegalArgumentException](
+      Stats.targetEncodeLoo(bad, "cat", "y"))
+    assert(e.getMessage.contains("integral target"))
+    val withNullCat = Seq((Some("a"), 10L), (None, 20L), (None, 40L))
+      .toDF("cat", "y")
+    val got = Stats.targetEncodeLoo(withNullCat, "cat", "y", priorWeight = 0L)
+      .filter(org.apache.spark.sql.functions.col("cat").isNull).collect()
+    assert(got.length == 2, "NULL-category rows must keep their own group")
+    assert(got.map(_.getAs[Double]("enc")).toSet == Set(40.0, 20.0)) // LOO within the null group
+  }
+
   test("prAtThresholds: duplicate or empty threshold lists fail fast") {
     val df = Seq(("a", true, 1L)).toDF("slice", "label", "score")
     intercept[IllegalArgumentException](
