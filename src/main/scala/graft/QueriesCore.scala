@@ -613,6 +613,15 @@ private[graft] object QueriesCore {
       graft.ops.Stats.quantileNormalize(T(s, d, "documents"),
         "lang", "n_chars")),
 
+    // isotonic calibration of doc length as an is-English score: PAV
+    // by its minimax closed form over the 16-bin lattice — the fix
+    // for what the calibration table diagnoses
+    "x_stats_isotonic" -> ((s, d) =>
+      graft.ops.Stats.isotonicCalibrate(
+        T(s, d, "documents").withColumn("is_en", col("lang") === "en")
+          .filter(col("lang").isNotNull),
+        "is_en", "n_chars", domainLo = 0L, domainStep = 64L, nbins = 16)),
+
     // leave-one-out target encoding of market segment against account
     // balance cents (prior weight 20): a row's own label never leaks
     // into its own feature; exact long stats, one halfUp-6 double
@@ -1570,6 +1579,32 @@ private[graft] object QueriesCore {
         |SELECT slice, v AS value, ties, pct_micro,
         |       CAST(mapped_value AS BIGINT) AS mapped_value
         |FROM m WHERE tag = 0""".stripMargin,
+
+    // isotonic calibration: the PAV minimax identity over the binned
+    // lattice — pool averages are single double divisions of exact
+    // prefix-sum longs, min/max over identical values
+    "x_stats_isotonic" ->
+      s"""WITH c AS (SELECT lang = 'en' AS y,
+         |    (least(greatest(CAST(n_chars AS BIGINT), 0), 1023) - 0) // 64 AS b
+         |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         |bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN y THEN 1 END), 0) AS BIGINT) AS n_pos
+         |  FROM c GROUP BY 1),
+         |lat AS (SELECT *,
+         |    CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |    CAST(sum(n_pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+         |  FROM bins),
+         |pools AS (SELECT l.b AS j, r.b AS k,
+         |    CAST(r.cp - (l.cp - l.n_pos) AS DOUBLE) / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS avg
+         |  FROM lat l CROSS JOIN lat r WHERE l.b <= r.b),
+         |fits AS (SELECT i.b AS i, p.j, min(p.avg) AS m
+         |  FROM lat i CROSS JOIN pools p WHERE p.j <= i.b AND p.k >= i.b
+         |  GROUP BY 1, 2),
+         |f2 AS (SELECT i, max(m) AS fit FROM fits GROUP BY 1)
+         |SELECT lat.b AS bin, CAST(0 + lat.b * 64 AS BIGINT) AS bin_lo, lat.n, lat.n_pos,
+         |       CAST((lat.n_pos * 1000000) // lat.n AS BIGINT) AS rate_micro,
+         |       ${graft.ops.Rounding.halfUpSql("fit", 6)} AS calibrated
+         |FROM lat JOIN f2 ON lat.b = f2.i""".stripMargin,
 
     // LOO target encoding: exact long category stats + the one
     // halfUp-6 double per row, identical IEEE tree (null-safe

@@ -1252,6 +1252,80 @@ object Stats {
       .drop("__cum", "__n")
   }
 
+  /** Bin cap for [[isotonicCalibrate]] — the minimax closed form runs
+    * a bins³ lattice join; 128 bins is 2M lattice rows, plenty of
+    * resolution for a calibration curve and nothing for a cluster. */
+  val MaxIsotonicBins = 128
+
+  /** Isotonic (monotone) calibration of a classifier score — the FIX
+    * for what [[graft.scale.TextAnalysis]]'s calibration table and the
+    * ECE audit diagnose: fit the best monotone map from binned score
+    * to empirical positive rate, so downstream thresholds/budgets can
+    * read scores as probabilities. Scores bin equal-width over the
+    * PUBLIC [lo, lo + step·nbins) domain (clamped — the
+    * [[Privacy.dpNoisyQuantile]] lattice convention); the fit is the
+    * PAV solution computed by its MINIMAX closed form,
+    * `fit(i) = max_{j≤i} min_{k≥i} avg(pool j..k)` — pure joins and
+    * aggregates over the bin lattice, no sequential pooling loop, so
+    * BOTH engines derive the identical model (pool averages are single
+    * double divisions of exact prefix-sum longs).
+    *
+    * Output: one row per OBSERVED bin — (bin, bin_lo, n, n_pos,
+    * rate_micro (raw, integer), calibrated (the monotone fit, halfUp
+    * 6)); broadcast-join on the bin to calibrate a score column.
+    * Empty bins carry no data and no constraint — they are absent (no
+    * observed score can land in one). NULL labels/scores drop.
+    *
+    * Scale: ONE corpus aggregate to ≤ nbins rows; everything after is
+    * the bins³ ≤ [[MaxIsotonicBins]]³ lattice (2M rows at the cap) —
+    * summary-sized, corpus-independent.
+    */
+  def isotonicCalibrate(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      domainLo: Long, domainStep: Long, nbins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Cleaning.qcol
+    require(nbins >= 2 && nbins <= MaxIsotonicBins,
+      s"isotonicCalibrate: nbins must be in [2, $MaxIsotonicBins], got $nbins")
+    require(domainStep > 0, "isotonicCalibrate: domainStep must be positive")
+    val lab = qcol(labelCol).cast("boolean")
+    val v = qcol(scoreCol).cast("long")
+    val hi = domainLo + domainStep * nbins - 1
+    val bins = df.filter(lab.isNotNull && v.isNotNull)
+      .select(lab.as("__y"),
+        (least(greatest(v, lit(domainLo)), lit(hi)) - lit(domainLo)).as("__off"))
+      .withColumn("__b", expr(s"__off div $domainStep"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__y"), 1L)), lit(0L)).as("n_pos"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lat = bins
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__cp", sum(col("n_pos")).over(wCum))
+    // pool averages over contiguous bin blocks j..k (prefix-sum diffs;
+    // the j-1 side joins as the previous row's cums, 0 at the start)
+    val left = lat.select(col("__b").as("__j"),
+      (col("__cn") - col("n")).as("__cnj"), (col("__cp") - col("n_pos")).as("__cpj"))
+    val rightL = lat.select(col("__b").as("__k"),
+      col("__cn").as("__cnk"), col("__cp").as("__cpk"))
+    val pools = left.crossJoin(rightL).filter(col("__j") <= col("__k"))
+      .withColumn("__avg",
+        (col("__cpk") - col("__cpj")).cast("double") /
+          (col("__cnk") - col("__cnj")).cast("double"))
+      .select(col("__j"), col("__k"), col("__avg"))
+    val fits = lat.select(col("__b").as("__i")).crossJoin(pools)
+      .filter(col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__i"), col("__j")).agg(min(col("__avg")).as("__m"))
+      .groupBy(col("__i")).agg(max(col("__m")).as("__fit"))
+    lat.join(fits, col("__b") === col("__i"))
+      .select(col("__b").as("bin"),
+        (lit(domainLo) + col("__b") * lit(domainStep)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) div n").as("rate_micro"),
+        Rounding.halfUp(col("__fit"), 6).as("calibrated"))
+  }
+
   /** Leave-one-out target (mean) encoding with prior smoothing — the
     * categorical-feature prep for any downstream model over tabular
     * data: a category is replaced by the smoothed mean of the target

@@ -593,6 +593,41 @@ class StatsSpec extends AnyFunSuite {
     assert(msgs.contains("band the column"))
   }
 
+  test("isotonicCalibrate: PAV pools the anti-monotone dip; monotone input is identity") {
+    // 4 bins of 5 rows, raw rates [0.2, 0.8, 0.4, 0.8]: PAV pools bins
+    // 1 and 2 to (4+2)/10 = 0.6 -> fit [0.2, 0.6, 0.6, 0.8]
+    def mk(posPerBin: Seq[Int]) = posPerBin.zipWithIndex.flatMap { case (p, b) =>
+      (0 until 5).map(i => (i < p, b.toLong))
+    }.toDF("y", "s")
+    val got = Stats.isotonicCalibrate(mk(Seq(1, 4, 2, 4)), "y", "s",
+      domainLo = 0L, domainStep = 1L, nbins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getAs[Double]("calibrated")))).toMap
+    assert(got(0L) === ((200000L, 0.2)))
+    assert(got(1L) === ((800000L, 0.6)), "the violator pair must pool")
+    assert(got(2L) === ((400000L, 0.6)))
+    assert(got(3L) === ((800000L, 0.8)))
+    // already-monotone input: the fit IS the raw rate
+    val mono = Stats.isotonicCalibrate(mk(Seq(0, 2, 3, 5)), "y", "s",
+      0L, 1L, 4).collect().map(r => r.getLong(0) -> r.getAs[Double]("calibrated")).toMap
+    assert(mono == Map(0L -> 0.0, 1L -> 0.4, 2L -> 0.6, 3L -> 1.0))
+    // monotonicity holds by construction on any input
+    val fits = Stats.isotonicCalibrate(mk(Seq(4, 0, 5, 1)), "y", "s", 0L, 1L, 4)
+      .orderBy("bin").collect().map(_.getAs[Double]("calibrated"))
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b }, fits.toSeq)
+  }
+
+  test("isotonicCalibrate: out-of-range scores clamp into the edge bins; bad params fail") {
+    val df = Seq((true, -50L), (false, 10L), (true, 999L)).toDF("y", "s")
+    val got = Stats.isotonicCalibrate(df, "y", "s", 0L, 10L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 1L)) // -50 clamps to bin 0, 999 to bin 3
+    intercept[IllegalArgumentException](
+      Stats.isotonicCalibrate(df, "y", "s", 0L, 10L, 1))
+    intercept[IllegalArgumentException](
+      Stats.isotonicCalibrate(df, "y", "s", 0L, 0L, 4))
+  }
+
   test("targetEncodeLoo: LOO math, prior shrinkage, null-target form, singleton NULL") {
     val df = Seq(
       ("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)),
