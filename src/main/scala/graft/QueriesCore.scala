@@ -613,6 +613,21 @@ private[graft] object QueriesCore {
       graft.ops.Stats.quantileNormalize(T(s, d, "documents"),
         "lang", "n_chars")),
 
+    // per-cell adjusted residuals for the lang x source association —
+    // which cells drive x_stats_chi2's one number (|r| > 2 flags)
+    "x_stats_chi2_cells" -> ((s, d) =>
+      graft.ops.Stats.chiSquareResiduals(T(s, d, "documents"),
+        "lang", "source")),
+
+    // McNemar over two filters judged on the SAME docs (length floor
+    // vs is-English): discordant counts carry the evidence
+    "x_stats_mcnemar" -> ((s, d) =>
+      graft.ops.Stats.mcnemarTest(
+        T(s, d, "documents")
+          .withColumn("pa", col("n_chars") >= 300)
+          .withColumn("pb", col("lang") === "en"),
+        "pa", "pb")),
+
     // isotonic calibration of doc length as an is-English score: PAV
     // by its minimax closed form over the 16-bin lattice — the fix
     // for what the calibration table diagnoses
@@ -1579,6 +1594,50 @@ private[graft] object QueriesCore {
         |SELECT slice, v AS value, ties, pct_micro,
         |       CAST(mapped_value AS BIGINT) AS mapped_value
         |FROM m WHERE tag = 0""".stripMargin,
+
+    // chi-square per-cell adjusted residuals over the same dense
+    // lattice; e and the Haberman residual are the derived doubles
+    "x_stats_chi2_cells" ->
+      s"""WITH cells AS (SELECT lang AS va, source AS vb, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |ra AS (SELECT va, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |cb AS (SELECT vb, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |lat AS (SELECT ra.va, cb.vb, ra.ra, cb.cb, CAST(coalesce(c.o, 0) AS BIGINT) AS o, tot.n
+         |        FROM ra CROSS JOIN cb CROSS JOIN tot
+         |        LEFT JOIN cells c ON ra.va = c.va AND cb.vb = c.vb),
+         |t AS (SELECT *,
+         |        CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+         |        sqrt((CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (1.0 - CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (1.0 - CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))) AS den,
+         |        CAST(floor((CAST(o * n - ra * cb AS DOUBLE) * CAST(o * n - ra * cb AS DOUBLE)
+         |          / CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS tm
+         |      FROM lat)
+         |SELECT va AS val_a, vb AS val_b, o,
+         |       ${graft.ops.Rounding.halfUpSql("e", 6)} AS e,
+         |       CASE WHEN den > 0 THEN
+         |         ${graft.ops.Rounding.halfUpSql("(CAST(o AS DOUBLE) - e) / den", 6)}
+         |       END AS residual,
+         |       tm AS term_micro
+         |FROM t""".stripMargin,
+
+    // McNemar: four conditional sums, the discordant-pair statistic
+    "x_stats_mcnemar" ->
+      s"""WITH c AS (SELECT n_chars >= 300 AS a, lang = 'en' AS b FROM documents
+         |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 END), 0) AS BIGINT) AS n00,
+         |        CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 END), 0) AS BIGINT) AS n01,
+         |        CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 END), 0) AS BIGINT) AS n10,
+         |        CAST(coalesce(sum(CASE WHEN a AND b THEN 1 END), 0) AS BIGINT) AS n11
+         |      FROM c)
+         |SELECT n, n00, n01, n10, n11,
+         |       CAST(CASE WHEN n > 0 THEN ((n00 + n11) * 1000000) // n END AS BIGINT) AS agree_micro,
+         |       CASE WHEN n01 + n10 > 0 THEN
+         |         ${graft.ops.Rounding.halfUpSql("CAST((n01 - n10) * (n01 - n10) AS DOUBLE) / CAST(n01 + n10 AS DOUBLE)", 6)}
+         |       END AS mcnemar
+         |FROM g""".stripMargin,
 
     // isotonic calibration: the PAV minimax identity over the binned
     // lattice — pool averages are single double divisions of exact

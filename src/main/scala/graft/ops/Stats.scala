@@ -1505,6 +1505,41 @@ object Stats {
         max(qcol(valueCol)).as("hi"))
   }
 
+  /** McNemar's paired test — compare TWO binary judgments over the
+    * SAME rows (two quality filters, a filter before/after a change,
+    * two raters' accept/reject): the discordant counts n01 (A no,
+    * B yes) and n10 (A yes, B no) carry all the evidence of a marginal
+    * shift, and the statistic (n01 − n10)²/(n01 + n10) is χ²₁ under
+    * "no shift". The unpaired two-proportion z-test wastes the pairing
+    * and under-powers — this is the right test when both columns exist
+    * per row. Rows with a NULL in either column drop.
+    *
+    * Output: ONE row — (n, n00, n01, n10, n11, agree_micro, mcnemar);
+    * mcnemar NULL when there are no discordant pairs (no evidence
+    * either way, in-band).
+    *
+    * Scale: ONE hash aggregate (four conditional sums) — free.
+    */
+  def mcnemarTest(
+      df: DataFrame, predACol: String, predBCol: String): DataFrame = {
+    import graft.ops.Cleaning.qcol
+    val a = qcol(predACol).cast("boolean")
+    val b = qcol(predBCol).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(!a && !b, 1L)), lit(0L)).as("n00"),
+        coalesce(sum(when(!a && b, 1L)), lit(0L)).as("n01"),
+        coalesce(sum(when(a && !b, 1L)), lit(0L)).as("n10"),
+        coalesce(sum(when(a && b, 1L)), lit(0L)).as("n11"))
+      .withColumn("agree_micro",
+        when(col("n") > 0, expr("((n00 + n11) * 1000000) div n")))
+      .withColumn("mcnemar",
+        when(col("n01") + col("n10") > 0, Rounding.halfUp(
+          ((col("n01") - col("n10")) * (col("n01") - col("n10"))).cast("double") /
+            (col("n01") + col("n10")).cast("double"), 6)))
+  }
+
   /** Level cap per side for [[chiSquareIndependence]] — the dense
     * expected-count lattice is |A|·|B| rows and a chi-square over more
     * levels than this is not a contingency test; the guard rides
@@ -1535,7 +1570,11 @@ object Stats {
     * at [[MaxChiSquareLevels]] IN-PLAN, below the cross join), one
     * 1-row epilogue. The corpus is touched once.
     */
-  def chiSquareIndependence(
+  /** The dense chi-square lattice shared by [[chiSquareIndependence]]
+    * and [[chiSquareResiduals]]: observed cells, guarded margins, the
+    * 1-row total, and the per-cell micro term — one definition so the
+    * statistic and its per-cell diagnosis can never drift. */
+  private def chiSquareLattice(
       df: DataFrame, colA: String, colB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Cleaning.qcol
@@ -1562,10 +1601,15 @@ object Stats {
     val num = (col("__o") * col("__n") - col("__ra") * col("__cb")).cast("double")
     val term = num * num / (col("__ra") * col("__cb")).cast("double") /
       col("__n").cast("double")
-    val lat = ra.crossJoin(cb).crossJoin(broadcast(tot))
+    ra.crossJoin(cb).crossJoin(broadcast(tot))
       .join(cells, Seq("__va", "__vb"), "left")
       .withColumn("__o", coalesce(col("__o"), lit(0L)))
       .withColumn("__tm", floor(term * lit(1000000.0) + lit(0.5)).cast("long"))
+  }
+
+  def chiSquareIndependence(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val lat = chiSquareLattice(df, colA, colB)
     lat.agg(
         max(col("__n")).as("n"),
         countDistinct(col("__va")).as("n_a"),
@@ -1579,6 +1623,33 @@ object Stats {
               (col("n") * (least(col("n_a"), col("n_b")) - 1L)).cast("double")), 6)))
       .select(col("n"), col("n_a"), col("n_b"), col("dof"),
         col("chi2_micro"), col("cramers_v"))
+  }
+
+  /** Per-cell ADJUSTED residuals for the chi-square lattice — the
+    * "which cells drive the association" diagnosis behind
+    * [[chiSquareIndependence]]'s one number: r = (o − e) /
+    * √(e·(1 − ra/n)·(1 − cb/n)), approximately standard normal under
+    * independence, so |r| > 2 flags a cell (the Haberman residual).
+    * Same dense lattice, same guards, same exact-long inputs; the
+    * residual is the one derived double (halfUp 6). Output per cell:
+    * (val_a, val_b, o, e, residual, term_micro).
+    *
+    * Scale: identical to [[chiSquareIndependence]] — the lattice IS
+    * the output here, |A|·|B| rows.
+    */
+  def chiSquareResiduals(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val lat = chiSquareLattice(df, colA, colB)
+    val e = (col("__ra") * col("__cb")).cast("double") / col("__n").cast("double")
+    val denom = sqrt(e *
+      (lit(1.0) - col("__ra").cast("double") / col("__n").cast("double")) *
+      (lit(1.0) - col("__cb").cast("double") / col("__n").cast("double")))
+    lat.select(
+      col("__va").as("val_a"), col("__vb").as("val_b"), col("__o").as("o"),
+      Rounding.halfUp(e, 6).as("e"),
+      when(denom > 0,
+        Rounding.halfUp((col("__o").cast("double") - e) / denom, 6)).as("residual"),
+      col("__tm").as("term_micro"))
   }
 
   /** EXACT tie-corrected ROC-AUC per slice, by the rank-sum identity

@@ -560,6 +560,38 @@ class StatsSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("cramers_v") == 1.0)
   }
 
+  test("chiSquareResiduals: the 2x2 hand case — symmetric Haberman residuals, e counted on zero cells") {
+    val assoc = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val got = Stats.chiSquareResiduals(assoc, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // e = 20 in every cell; residual = ±10/sqrt(20·0.5·0.5) = ±4.472136
+    assert(got(("x", "p")) === ((30L, 20.0, 4.472136)))
+    assert(got(("x", "q")) === ((10L, 20.0, -4.472136)))
+    assert(got(("y", "p")) === ((10L, 20.0, -4.472136)))
+    assert(got(("y", "q")) === ((30L, 20.0, 4.472136)))
+    // a zero-observed cell still appears with its expected mass
+    val diag = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val z = Stats.chiSquareResiduals(diag, "a", "b")
+      .filter(org.apache.spark.sql.functions.col("o") === 0L).collect()
+    assert(z.length == 2 && z.forall(_.getDouble(3) == 2.5))
+  }
+
+  test("mcnemarTest: discordant pairs carry the statistic; no-discordance is NULL") {
+    val df = (Seq.fill(3)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(4)((false, false))).toDF("a", "b")
+    val r = Stats.mcnemarTest(df, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((14L, 4L, 5L, 2L, 3L)))
+    assert(r.getAs[Long]("agree_micro") == 500000L)
+    assert(r.getAs[Double]("mcnemar") == 1.285714) // (5-2)^2/7 halfUp 6
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val r2 = Stats.mcnemarTest(agree, "a", "b").head()
+    assert(r2.isNullAt(r2.fieldIndex("mcnemar")))
+    assert(r2.getAs[Long]("agree_micro") == 1000000L)
+  }
+
   test("chiSquareIndependence: single-level side emits dof 0 and NULL V in-band") {
     val df = Seq(("x", "p"), ("x", "q"), ("x", "p")).toDF("a", "b")
     val r = Stats.chiSquareIndependence(df, "a", "b").head()
