@@ -28,6 +28,18 @@ private[graft] object QueriesCorpus {
       cleanedCorpus(s, d, Seq("en", "es"), NgramBlockCap)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // filter-funnel audit over three ordered rules: first-fail
+    // attribution vs raw bite vs survivors — the ordering question
+    // ("does rule 3 do anything after 1-2?") per-rule pass rates
+    // can't answer
+    "x_corpus_funnel" -> ((s, d) =>
+      graft.scale.Curation.filterFunnel(
+        T(s, d, "documents")
+          .withColumn("len_floor", col("n_chars") >= 100)
+          .withColumn("has_lang", col("lang").isNotNull && col("lang") =!= "")
+          .withColumn("len_cap", col("n_chars") <= 2000),
+        Seq("len_floor", "has_lang", "len_cap"))),
+
     // end-to-end training-shard manifest: assign every cleaned-corpus
     // survivor its (shard, pack, offset) — the file a trainer's data
     // loader actually consumes. Reads the fit-once snapshot (the pack
@@ -280,6 +292,31 @@ private[graft] object QueriesCorpus {
 
     "x_corpus_clean" -> corpusCleanSql,
     "x_corpus_manifest" -> corpusManifestSql,
+
+    // filter funnel: NULL rules fail (fail-closed); first-fail sums
+    // condition on every earlier rule passing; survivors by the
+    // |rules|-row running sum
+    "x_corpus_funnel" ->
+      """WITH c AS (SELECT
+        |    coalesce(n_chars >= 100, false) AS r0,
+        |    coalesce(lang IS NOT NULL AND lang <> '', false) AS r1,
+        |    coalesce(n_chars <= 2000, false) AS r2
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN NOT r0 THEN 1 END), 0) AS BIGINT) AS kf0,
+        |    CAST(coalesce(sum(CASE WHEN NOT r0 THEN 1 END), 0) AS BIGINT) AS fa0,
+        |    CAST(coalesce(sum(CASE WHEN r0 AND NOT r1 THEN 1 END), 0) AS BIGINT) AS kf1,
+        |    CAST(coalesce(sum(CASE WHEN NOT r1 THEN 1 END), 0) AS BIGINT) AS fa1,
+        |    CAST(coalesce(sum(CASE WHEN r0 AND r1 AND NOT r2 THEN 1 END), 0) AS BIGINT) AS kf2,
+        |    CAST(coalesce(sum(CASE WHEN NOT r2 THEN 1 END), 0) AS BIGINT) AS fa2
+        |  FROM c)
+        |SELECT CAST(0 AS BIGINT) AS rule_index, 'len_floor' AS rule, n,
+        |       kf0 AS n_killed_first, fa0 AS n_failed_any,
+        |       CAST(n - kf0 AS BIGINT) AS survivors_after FROM a
+        |UNION ALL
+        |SELECT 1, 'has_lang', n, kf1, fa1, CAST(n - kf0 - kf1 AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 2, 'len_cap', n, kf2, fa2, CAST(n - kf0 - kf1 - kf2 AS BIGINT) FROM a""".stripMargin,
 
     // affine hash mod the prime 1000003 (the sampleByTokenBudget mirror),
     // shard = h mod 8, pos = per-shard rank on (h, id) — no global order

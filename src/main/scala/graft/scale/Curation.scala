@@ -220,4 +220,56 @@ object Curation {
           .when(col("score_nano") <= col("__t2"), lit("middle"))
           .otherwise(lit("head")).as("bucket"))
   }
+
+  /** Filter-funnel audit — the one-glance read of an ORDERED rule
+    * chain before anyone ships it: per rule, how many documents it
+    * kills FIRST (first-fail attribution: the rule gets credit only
+    * for rows every earlier rule passed), how many it would fail
+    * regardless of order (the rule's raw bite — a rule whose
+    * first-fail is near zero but raw bite is large is redundant with
+    * an earlier rule), and the survivor count after it. The ordering
+    * question ("is rule 3 doing anything once rules 1-2 ran?") is
+    * exactly what per-rule pass rates can't answer.
+    *
+    * Rules are existing BOOLEAN columns (true = pass); a NULL rule
+    * value FAILS — a rule that cannot evaluate a row must never admit
+    * it (the fail-closed convention). Output: one row per rule,
+    * ordered — (rule_index, rule, n, n_killed_first, n_failed_any,
+    * survivors_after) — plus nothing else; survivors_after of the
+    * last row is the corpus the chain admits.
+    *
+    * Scale: ONE corpus aggregate carrying 2·|rules| conditional sums
+    * (the contextFitAudit melt shape — the explode runs on the
+    * aggregate row), then a |rules|-row running sum (the config-sized
+    * bounded-frame exception). The corpus is scanned once.
+    */
+  def filterFunnel(df: DataFrame, ruleCols: Seq[String]): DataFrame = {
+    require(ruleCols.nonEmpty, "filterFunnel: ruleCols must be non-empty")
+    require(ruleCols.distinct.size == ruleCols.size,
+      s"filterFunnel: duplicate rules in $ruleCols")
+    def pass(c: String) =
+      coalesce(graft.ops.Cleaning.qcol(c).cast("boolean"), lit(false))
+    val sums = ruleCols.zipWithIndex.flatMap { case (c, i) =>
+      val earlierPass = ruleCols.take(i).map(pass)
+        .foldLeft(lit(true))(_ && _)
+      Seq(
+        coalesce(sum(when(earlierPass && !pass(c), 1L)), lit(0L)).as(s"__kf_$i"),
+        coalesce(sum(when(!pass(c), 1L)), lit(0L)).as(s"__fa_$i"))
+    }
+    val aggCols = (count(lit(1)).as("n") +: sums)
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows = ruleCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("rule_index"), lit(c).as("rule"),
+        col(s"__kf_$i").as("n_killed_first"), col(s"__fa_$i").as("n_failed_any"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rule_index"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    agg.select(col("n"), explode(array(rows: _*)).as("__r"))
+      .select(col("__r.rule_index").as("rule_index"), col("__r.rule").as("rule"),
+        col("n"), col("__r.n_killed_first").as("n_killed_first"),
+        col("__r.n_failed_any").as("n_failed_any"))
+      .withColumn("survivors_after",
+        col("n") - sum(col("n_killed_first")).over(w))
+  }
 }

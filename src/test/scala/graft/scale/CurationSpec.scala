@@ -400,4 +400,23 @@ class CurationSpec extends AnyFunSuite {
       assert(byBucket.values.forall(_.nonEmpty))
     }
   }
+
+  test("filterFunnel: first-fail attribution, raw bite, fail-closed NULLs, survivor chain") {
+    val rows: Seq[(Option[Boolean], Option[Boolean], Option[Boolean])] =
+      Seq.fill(3)((Some(true), Some(true), Some(true))) ++
+      Seq.fill(2)((Some(false), Some(true), Some(true))) ++
+      Seq((Some(true), Some(false), Some(true))) ++
+      Seq((Some(false), Some(false), Some(false))) ++
+      Seq.fill(2)((Some(true), Some(true), Some(false))) ++
+      Seq((Some(true), None, Some(true))) // NULL rule must fail closed
+    val df = rows.toDF("r0", "r1", "r2")
+    val got = Curation.filterFunnel(df, Seq("r0", "r1", "r2"))
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("r0") === ((10L, 3L, 3L, 7L)))
+    assert(got("r1") === ((10L, 2L, 3L, 5L)), "r1's first-fail excludes rows r0 already killed")
+    assert(got("r2") === ((10L, 2L, 3L, 3L)))
+    intercept[IllegalArgumentException](Curation.filterFunnel(df, Seq.empty))
+    intercept[IllegalArgumentException](Curation.filterFunnel(df, Seq("r0", "r0")))
+  }
 }
