@@ -35,6 +35,13 @@ private[graft] object QueriesGraph {
     "x_graph_hits" -> ((s, d) =>
       graft.scale.Graph.hits(graphEdges(s, d), "src", "dst", iterations = 4)),
 
+    // synchronous label propagation (3 rounds, packed-argmin ties):
+    // the DENSELY-connected communities beside CC's merely-connected
+    // components — topic/site-family neighborhoods in the link graph
+    "x_graph_lpa" -> ((s, d) =>
+      graft.scale.Graph.labelPropagation(graphEdges(s, d), "src", "dst",
+        iterations = 3)),
+
     // co-citation mirror detection: pairs of domains the same sources
     // link, out-degree-capped self-join (cap replayed by the oracle)
     "x_graph_cocite" -> ((s, d) =>
@@ -134,6 +141,27 @@ private[graft] object QueriesGraph {
     // is CAST back to BIGINT (DuckDB widens to HUGEINT)
     "x_graph_rank" ->
       (graphRankOracleCtes(5) + "\nSELECT node, r AS rank_micro FROM r5"),
+
+    // label propagation unrolled: per round, neighbor-label votes then
+    // the packed argmin (max count, min label) — identical arithmetic
+    "x_graph_lpa" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (SELECT e1.a AS node, l${i - 1}.lab, CAST(count(*) AS BIGINT) AS c
+           |  FROM e1 JOIN l${i - 1} ON e1.b = l${i - 1}.node GROUP BY 1, 2),
+           |l$i AS (SELECT node,
+           |    CAST(min((2147483648 - c) * 2147483648 + lab) % 2147483648 AS BIGINT) AS lab
+           |  FROM v$i GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT doc_id % 64 AS a, (doc_id * 31 + n_chars) % 64 AS b
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         |e1 AS (SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM e0 WHERE a <> b
+         |    UNION ALL SELECT b AS a, a AS b FROM e0 WHERE a <> b)),
+         |l0 AS (SELECT DISTINCT a AS node, CAST(a AS BIGINT) AS lab FROM e1),
+         |$rounds
+         |SELECT node, lab AS label FROM l3""".stripMargin
+    },
 
     "x_graph_hits" ->
       (graphHitsOracleCtes(4) +

@@ -437,4 +437,65 @@ object Graph {
     ranks.select(col("node"), col("rank_micro"),
       (lit(thresholds.size) - above).cast("int").as("tier"))
   }
+
+  /** Synchronous label propagation — community detection over the link
+    * graph, the clustering signal beside [[pageRank]]'s quality and
+    * the dedup family's connected components: CC finds what is
+    * CONNECTED (one bridge merges everything), LPA finds what is
+    * DENSELY connected (communities survive bridges). A crawl's link
+    * communities are its topic/language/site-family neighborhoods —
+    * mixture design and spam-pocket triage both read them.
+    *
+    * Each round, every node takes the label held by the MOST of its
+    * neighbors, smallest label on ties — the deterministic synchronous
+    * variant (async orderings are partition-dependent; determinism is
+    * the repo contract). The argmax is the packed-long argmin
+    * `(2³¹ − count)·2³¹ + label` (node ids in [0, 2³¹) — guarded
+    * loudly at init), so both engines elect identical labels.
+    * Synchronous LPA can oscillate on bipartite-ish structure —
+    * `iterations` is a fixed budget, not a convergence promise (run
+    * one extra round and diff to detect a flip-flop; stable fixtures
+    * converge in 2-3).
+    *
+    * Edges symmetrize (communities are undirected), dedupe, and drop
+    * self-loops — the [[pageRank]] hygiene. Output: (node, label) —
+    * label is some member's id; roll up on it for community sizes.
+    *
+    * Scale: per iteration ONE equi-join of the symmetric edge list
+    * against the |nodes|-row label frame + one (node, label) hash
+    * aggregate + one packed argmin — the pageRank gather shape
+    * exactly; inputs materialize once, lineage checkpoints every
+    * [[CheckpointEvery]] rounds.
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "labelPropagation: need at least one iteration")
+    val Pack = 2147483648L // 2^31
+    val q = graft.ops.Cleaning.qcol _
+    val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    // the id-range guard rides inside the consumed init label and
+    // fires at this eager materialization
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") < 0L || col("node") >= Pack,
+          raise_error(concat(lit("labelPropagation: node id outside [0, 2^31): "),
+            col("node").cast("string"))).cast("long"))
+          .otherwise(col("node")).as("label"))
+      .localCheckpoint()
+    for (i <- 1 to iterations) {
+      val votes = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__c"))
+      labels = votes.groupBy(col("a"))
+        .agg(min((lit(Pack) - col("__c")) * Pack + col("label")).as("__pk"))
+        .select(col("a").as("node"), pmod(col("__pk"), lit(Pack)).as("label"))
+      if (i % CheckpointEvery == 0 && i < iterations)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
 }

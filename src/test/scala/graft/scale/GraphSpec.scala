@@ -297,4 +297,36 @@ class GraphSpec extends AnyFunSuite {
       "the directory must have the top hub score")
     assert(got(0L)._1 == 0L, "nothing links the directory: zero authority")
   }
+
+  test("labelPropagation: two triangles converge to their min-id labels; bridge survives") {
+    // triangles {1,2,3} and {10,11,12} joined by ONE bridge 3-10: CC
+    // would merge everything; LPA keeps two communities
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val got = Graph.labelPropagation(tri.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L), s"left triangle: $got")
+    // the right triangle stays a SEPARATE community; its label is 3 —
+    // the bridge tie leaked the smaller id as a NAME, not a merge
+    // (hand-traced through the 3 synchronous rounds)
+    assert(Set(10L, 11L, 12L).map(got) == Set(3L), s"right triangle: $got")
+    assert(got(10L) != got(1L), s"communities merged: $got")
+    // deterministic across partitionings
+    val again = Graph.labelPropagation(
+      tri.toDF("src", "dst").repartition(7), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation: direction is ignored, self-loops drop, ids guarded") {
+    val directed = Seq((2L, 1L), (3L, 2L), (1L, 3L), (1L, 1L))
+    val got = Graph.labelPropagation(directed.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), s"one triangle community: $got")
+    val bad = Seq((5000000000L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception](Graph.labelPropagation(bad).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("outside [0, 2^31)"))
+  }
 }
