@@ -178,6 +178,18 @@ private[graft] object QueriesSimilarity {
         emb, "vec_id", "embedding", "label", cents, "label")
     }),
 
+    // embedding-space drift between two snapshots (disjoint vec_id
+    // subsets): per-label centroid L2 shift + cosine in exact micro —
+    // the stability check before scoring new vectors against a
+    // persisted index
+    "x_emb_drift" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").filter(col("label").isNotNull)
+      graft.scale.Embeddings.centroidDrift(
+        emb.filter(col("vec_id") % 3 =!= 0),
+        emb.filter(col("vec_id") % 3 === 0),
+        "label", "embedding")
+    }),
+
     "x_emb_matryoshka" -> ((s, d) =>
       graft.scale.Embeddings.truncateMatryoshka(T(s, d, "embeddings"),
         "vec_id", "embedding", dim = 16)
@@ -460,6 +472,38 @@ private[graft] object QueriesSimilarity {
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rk FROM a)
         |SELECT true_label AS label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
         |FROM r WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
+    // centroid drift: two x_emb_centroids chains, components
+    // micro-rounded to longs BEFORE the order-invariant sums
+    "x_emb_drift" ->
+      """WITH ea AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL AND vec_id % 3 <> 0),
+        |xa AS (SELECT label, pos, CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6 FROM ea),
+        |ga AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv FROM xa GROUP BY 1, 2),
+        |ca AS (SELECT label, pos, CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) AS c, nv FROM ga),
+        |eb AS (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL AND vec_id % 3 = 0),
+        |xb AS (SELECT label, pos, CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x6 FROM eb),
+        |gb AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv FROM xb GROUP BY 1, 2),
+        |cb AS (SELECT label, pos, CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) AS c, nv FROM gb),
+        |j AS (SELECT coalesce(ca.label, cb.label) AS label,
+        |        CAST(floor(ca.c * 1000000.0 + 0.5) AS BIGINT) AS da,
+        |        CAST(floor(cb.c * 1000000.0 + 0.5) AS BIGINT) AS db,
+        |        ca.nv AS na, cb.nv AS nb
+        |      FROM ca FULL OUTER JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos),
+        |g AS (SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |        CAST(sum((da - db) * (da - db)) AS BIGINT) AS ss,
+        |        CAST(sum(da * db) AS BIGINT) AS dot,
+        |        CAST(sum(da * da) AS BIGINT) AS qa,
+        |        CAST(sum(db * db) AS BIGINT) AS qb
+        |      FROM j GROUP BY 1)
+        |SELECT label AS "group", n_a, n_b,
+        |  CAST(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+        |        THEN floor(sqrt(CAST(ss AS DOUBLE)) + 0.5) END AS BIGINT) AS drift_micro,
+        |  CAST(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL AND qa > 0 AND qb > 0
+        |        THEN floor(CAST(dot AS DOUBLE) / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE))) * 1000000.0 + 0.5)
+        |       END AS BIGINT) AS cos_micro
+        |FROM g""".stripMargin,
 
     // simplified silhouette: the x_emb_assign centroid/fold chain,
     // then per-point conditional mins and the SIGN-FACTORED micro

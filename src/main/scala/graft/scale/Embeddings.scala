@@ -432,6 +432,62 @@ object Embeddings {
         col("mean_ss_after"), col("shift_micro2"))
   }
 
+  /** Per-group centroid DRIFT between two embedding snapshots — the
+    * embedding-space stability audit a pipeline runs before trusting
+    * vectors produced at different times (a re-embedded corpus, an
+    * encoder version bump, a quantization change): per group key, the
+    * L2 distance between the two snapshots' [[groupCentroids]] and
+    * their cosine, in exact micro. A persisted ANN index or centroid
+    * classifier fit on snapshot A scores snapshot B only if drift is
+    * near zero — this is the check that says so BEFORE recall decays
+    * silently (the randomProject scaladoc's refit hazard, measured).
+    *
+    * Groups present in only one snapshot emit with NULL drift (a
+    * vanished/new group is its own signal, kept in-band). Determinism:
+    * centroid components are the exact engine-invariant
+    * [[groupCentroids]] means; distance/cosine are the standard
+    * left-to-right folds over the component lattice, micro-rounded.
+    *
+    * Scale: two (group, pos) centroid aggregates (each one corpus
+    * scan), a co-keyed join on (group, pos), and a |groups|-row
+    * rollup — vectors shuffle as scalars, never as arrays.
+    */
+  def centroidDrift(
+      a: DataFrame, b: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val ca = groupCentroids(a, groupCol, vecCol)
+      .select(graft.ops.Cleaning.qcol(groupCol).as("group"), col("pos"),
+        col("centroid").as("__ca"), col("n_vectors").as("__na"))
+    val cb = groupCentroids(b, groupCol, vecCol)
+      .select(graft.ops.Cleaning.qcol(groupCol).as("group"), col("pos"),
+        col("centroid").as("__cb"), col("n_vectors").as("__nb"))
+    // components micro-round to longs BEFORE summing — a double sum
+    // over the (group, pos) lattice would be partition-order-dependent
+    // (the repo's order-invariance contract); micro² sums are exact
+    // longs (|c| ≲ 1 → da² ≤ 1e12, dim-bounded)
+    val da = floor(col("__ca") * lit(1000000.0) + lit(0.5)).cast("long")
+    val db = floor(col("__cb") * lit(1000000.0) + lit(0.5)).cast("long")
+    ca.join(cb, Seq("group", "pos"), "full_outer")
+      .groupBy(col("group"))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum((da - db) * (da - db)).as("__ss"),
+        sum(da * db).as("__dot"),
+        sum(da * da).as("__qa"),
+        sum(db * db).as("__qb"))
+      .withColumn("drift_micro",
+        when(col("n_a").isNotNull && col("n_b").isNotNull,
+          floor(sqrt(col("__ss").cast("double")) + lit(0.5)).cast("long")))
+      .withColumn("cos_micro",
+        when(col("n_a").isNotNull && col("n_b").isNotNull &&
+            col("__qa") > 0 && col("__qb") > 0,
+          floor(col("__dot").cast("double") /
+            (sqrt(col("__qa").cast("double")) * sqrt(col("__qb").cast("double")))
+            * lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("group"), col("n_a"), col("n_b"),
+        col("drift_micro"), col("cos_micro"))
+  }
+
   /** Simplified silhouette per cluster — the clustering-quality audit
     * for any centroid artifact ([[groupCentroids]] labels, IVF cells,
     * domain tags): per point, a = distance to its OWN centroid,

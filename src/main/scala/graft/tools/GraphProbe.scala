@@ -54,6 +54,15 @@ object GraphProbe {
       val ds = (System.nanoTime() - t2) / 1e9
       println(f"[graphprobe] edges=${millions}M nodes=${nodes / 1000}k " +
         f"seeddist_hops=4 wall=$ds%.1fs nodes=$s")
+      // LPA per round = one symmetric-edge join + vote agg + packed
+      // argmin — the pageRank gather shape with the vote key doubling
+      // the shuffle width; the probe pins the measured multiple
+      val t3 = System.nanoTime()
+      val l = graft.scale.Graph.labelPropagation(e, "src", "dst",
+        iterations = 3).count()
+      val dl = (System.nanoTime() - t3) / 1e9
+      println(f"[graphprobe] edges=${millions}M nodes=${nodes / 1000}k " +
+        f"lpa_rounds=3 wall=$dl%.1fs labeled_nodes=$l")
     }
     spark.stop()
   }

@@ -213,6 +213,31 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(got("b") === ((2L, 500000000000L, 500000000000L, 0L)))
   }
 
+  test("centroidDrift: identical snapshots are zero-drift; orthogonal shift measured; one-sided NULL") {
+    val a = Seq(("g", Seq(1.0, 0.0)), ("h", Seq(3.0, 4.0)), ("only_a", Seq(1.0, 1.0)))
+      .toDF("label", "vec")
+    val same = Embeddings.centroidDrift(a, a, "label", "vec")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(same("g") === ((Some(0L), Some(1000000L))))
+    assert(same("h") === ((Some(0L), Some(1000000L))))
+    val b = Seq(("g", Seq(0.0, 1.0)), ("h", Seq(3.0, 4.0)), ("only_b", Seq(2.0, 2.0)))
+      .toDF("label", "vec")
+    val got = Embeddings.centroidDrift(a, b, "label", "vec")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // g: (1,0) vs (0,1): L2 = sqrt(2) micro -> 1414214; cos 0
+    assert(got("g") === ((Some(1L), Some(1L), Some(1414214L), Some(0L))))
+    assert(got("h") === ((Some(1L), Some(1L), Some(0L), Some(1000000L))))
+    // one-sided groups surface with NULL drift — the vanished/new signal
+    assert(got("only_a") === ((Some(1L), None, None, None)))
+    assert(got("only_b") === ((None, Some(1L), None, None)))
+  }
+
   test("simplifiedSilhouette: hand-checked separation over groupCentroids") {
     val pts = Seq(
       (1L, 0L, Seq(0.0, 0.0)), (2L, 0L, Seq(2.0, 0.0)),   // centroid (1, 0)
