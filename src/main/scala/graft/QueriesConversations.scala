@@ -312,7 +312,7 @@ private[graft] object QueriesConversations {
          |SELECT conv_id, turn, role,
          |       run - sl + (rn - 1) AS start_char,
          |       run + (rn - 1) AS end_char,
-         |       role = 'assistant' AS masked
+         |       coalesce(role = 'assistant', false) AS masked
          |FROM w""".stripMargin,
 
     // SFT e2e: dedup keepers -> suffix truncation -> mask spans over
@@ -343,7 +343,7 @@ private[graft] object QueriesConversations {
          |SELECT conv_id, turn, role,
          |       run - sl + (rn - 1) AS start_char,
          |       run + (rn - 1) AS end_char,
-         |       role = 'assistant' AS masked
+         |       coalesce(role = 'assistant', false) AS masked
          |FROM w""".stripMargin,
   )
 }

@@ -487,17 +487,21 @@ private[graft] object QueriesSimilarity {
         |gb AS (SELECT label, pos, CAST(sum(x6) AS BIGINT) AS s6, CAST(count(x6) AS BIGINT) AS nv FROM xb GROUP BY 1, 2),
         |cb AS (SELECT label, pos, CAST(s6 AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0) AS c, nv FROM gb),
         |j AS (SELECT coalesce(ca.label, cb.label) AS label,
-        |        CAST(floor(ca.c * 1000000.0 + 0.5) AS BIGINT) AS da,
-        |        CAST(floor(cb.c * 1000000.0 + 0.5) AS BIGINT) AS db,
+        |        coalesce(CAST(floor(ca.c * 1000000.0 + 0.5) AS BIGINT), 0) AS da,
+        |        coalesce(CAST(floor(cb.c * 1000000.0 + 0.5) AS BIGINT), 0) AS db,
+        |        CASE WHEN ca.c IS NOT NULL THEN 1 END AS pa,
+        |        CASE WHEN cb.c IS NOT NULL THEN 1 END AS pb,
         |        ca.nv AS na, cb.nv AS nb
         |      FROM ca FULL OUTER JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos),
         |g AS (SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |        CAST(count(pa) AS BIGINT) AS dim_a,
+        |        CAST(count(pb) AS BIGINT) AS dim_b,
         |        CAST(sum((da - db) * (da - db)) AS BIGINT) AS ss,
         |        CAST(sum(da * db) AS BIGINT) AS dot,
         |        CAST(sum(da * da) AS BIGINT) AS qa,
         |        CAST(sum(db * db) AS BIGINT) AS qb
         |      FROM j GROUP BY 1)
-        |SELECT label AS "group", n_a, n_b,
+        |SELECT label AS "group", n_a, n_b, dim_a, dim_b,
         |  CAST(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
         |        THEN floor(sqrt(CAST(ss AS DOUBLE)) + 0.5) END AS BIGINT) AS drift_micro,
         |  CAST(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL AND qa > 0 AND qb > 0

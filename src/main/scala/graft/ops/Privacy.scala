@@ -341,7 +341,15 @@ object Privacy {
     * the Laplace draws, identical IEEE tree in the oracle.
     *
     * Output: (group, n, target_rank, dp_quantile, q_micro,
-    * epsilon_micro) — one row per group.
+    * epsilon_micro) — one row per group. CONTRACT: `n` and
+    * `target_rank` are EXACT, NON-PRIVATE diagnostics — the ε-DP
+    * claim covers `dp_quantile` only and holds as stated only when
+    * group sizes are public (the same convention as
+    * [[dpNoisyCounts]]' exact `n`). A production caller whose group
+    * sizes are NOT public must pass
+    * `includeDiagnostics = false`, which nulls both columns so they
+    * cannot be released by accident (schema stays stable for
+    * downstream contracts).
     *
     * Scale: ONE corpus hash aggregate to the (group, bucket) lattice
     * (≤ |groups|·|lattice| rows, lattice ≤ [[MaxQuantileDomainCells]]
@@ -351,7 +359,8 @@ object Privacy {
   def dpNoisyQuantile(
       df: DataFrame, groupCol: String, valueCol: String,
       qMicro: Long, domainLo: Long, domainHi: Long, domainStep: Long,
-      epsilonMicro: Long = 500000L, releaseSalt: String = ""): DataFrame = {
+      epsilonMicro: Long = 500000L, releaseSalt: String = "",
+      includeDiagnostics: Boolean = true): DataFrame = {
     require(epsilonMicro > 0, "dpNoisyQuantile: epsilonMicro must be positive")
     require(qMicro >= 0 && qMicro <= 1000000L,
       s"dpNoisyQuantile: qMicro must be in [0, 1e6], got $qMicro")
@@ -398,7 +407,7 @@ object Privacy {
       .withColumn("__score", floor(
         (col("__ut").cast("double") * lit(epsHalf) + -log(-log(unif)))
           * lit(1000000.0) + lit(0.5)).cast("long"))
-    scored
+    val released = scored
       .withColumn("__best", max(col("__score")).over(wAll))
       .filter(col("__score") === col("__best"))
       .groupBy(col("group"))
@@ -406,6 +415,13 @@ object Privacy {
         min(lit(domainLo) + col("__b") * lit(domainStep)).as("dp_quantile"))
       .withColumn("q_micro", lit(qMicro))
       .withColumn("epsilon_micro", lit(epsilonMicro))
+    // diagnostics gate: n/target_rank are exact (non-private) — null
+    // them out when the caller's group sizes are not public, keeping
+    // the schema stable for downstream contracts
+    if (includeDiagnostics) released
+    else released
+      .withColumn("n", lit(null).cast("long"))
+      .withColumn("target_rank", lit(null).cast("long"))
   }
   /** Per-salt epsilon accounting over a release LOG (one row per
     * release call: its salt and its epsilon spend) — the sequential-

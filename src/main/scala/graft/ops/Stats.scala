@@ -1615,7 +1615,11 @@ object Stats {
         countDistinct(col("__va")).as("n_a"),
         countDistinct(col("__vb")).as("n_b"),
         sum(col("__tm")).as("chi2_micro"))
-      .withColumn("dof", (col("n_a") - 1L) * (col("n_b") - 1L))
+      // empty/all-NULL input collapses the lattice to n_a = n_b = 0;
+      // (0-1)*(0-1) = 1 would be a misleading dof — emit NULL instead
+      .withColumn("dof",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("n_a") - 1L) * (col("n_b") - 1L)))
       .withColumn("cramers_v",
         when(col("n") > 0 && least(col("n_a"), col("n_b")) > 1L,
           Rounding.halfUp(sqrt(

@@ -448,6 +448,15 @@ object Embeddings {
     * [[groupCentroids]] means; distance/cosine are the standard
     * left-to-right folds over the component lattice, micro-rounded.
     *
+    * Dim mismatch (the encoder-version-bump case this audit exists
+    * for): when the two snapshots' embedding dims differ, positions
+    * present on only one side are treated as 0 on the other for BOTH
+    * metrics — the missing component contributes its full magnitude
+    * to the L2 sum and zero to the dot product, so distance and
+    * cosine agree on what "missing" means. The per-side dims ship as
+    * `dim_a`/`dim_b` so the mismatch is visible in-band rather than
+    * silently folded into the drift number.
+    *
     * Scale: two (group, pos) centroid aggregates (each one corpus
     * scan), a co-keyed join on (group, pos), and a |groups|-row
     * rollup — vectors shuffle as scalars, never as arrays.
@@ -464,13 +473,22 @@ object Embeddings {
     // over the (group, pos) lattice would be partition-order-dependent
     // (the repo's order-invariance contract); micro² sums are exact
     // longs (|c| ≲ 1 → da² ≤ 1e12, dim-bounded)
-    val da = floor(col("__ca") * lit(1000000.0) + lit(0.5)).cast("long")
-    val db = floor(col("__cb") * lit(1000000.0) + lit(0.5)).cast("long")
+    // coalesce AFTER micro-rounding: a position absent from one
+    // snapshot (dim mismatch) is a 0-component on that side for both
+    // the L2 term and the dot/norm terms — sum() would otherwise drop
+    // the (da-db)^2 term entirely (drift understated) while the norm
+    // sums kept the other side's full magnitude (metrics disagreeing)
+    val da = coalesce(
+      floor(col("__ca") * lit(1000000.0) + lit(0.5)).cast("long"), lit(0L))
+    val db = coalesce(
+      floor(col("__cb") * lit(1000000.0) + lit(0.5)).cast("long"), lit(0L))
     ca.join(cb, Seq("group", "pos"), "full_outer")
       .groupBy(col("group"))
       .agg(
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"),
+        count(col("__ca")).as("dim_a"),
+        count(col("__cb")).as("dim_b"),
         sum((da - db) * (da - db)).as("__ss"),
         sum(da * db).as("__dot"),
         sum(da * da).as("__qa"),
@@ -485,6 +503,7 @@ object Embeddings {
             (sqrt(col("__qa").cast("double")) * sqrt(col("__qb").cast("double")))
             * lit(1000000.0) + lit(0.5)).cast("long")))
       .select(col("group"), col("n_a"), col("n_b"),
+        col("dim_a"), col("dim_b"),
         col("drift_micro"), col("cos_micro"))
   }
 

@@ -783,6 +783,11 @@ object Sampling {
     * the oracle, stable across runs/partitionings. Candidate and
     * anchor ids must sit in [0, 2³¹) for the packing (the
     * semanticContamination contract); NULL ids/labels are dropped.
+    * Candidate ids must be label-UNIQUE: duplicate (id, label) rows
+    * dedupe harmlessly in an id-keyed prepass, but one id carrying
+    * TWO different labels would pack to the same key and fan a single
+    * (anchor, draw) into multiple rows — that conflict raises in-plan
+    * rather than silently multiplying draws.
     *
     * Output: (anchor_id, draw, neg_id, neg_label).
     *
@@ -813,10 +818,28 @@ object Sampling {
       raise_error(concat(lit("randomNegatives: candidate id outside [0, 2^31): "),
         cid.cast("string"))).cast("long"))
       .otherwise(repHash * Pack + cid.cast("long"))
-    val reps = candidates.filter(cid.isNotNull && clab.isNotNull)
-      .select(pmod(affineHash(cid.cast("long")), lit(nBuckets.toLong)).as("__bkt"),
-        clab.as("neg_label"),
-        packed.as("__rk"))
+    // id-keyed prepass: duplicate (id, label) rows collapse; an id
+    // carrying two DIFFERENT labels raises (the guard rides inside the
+    // consumed __rk so it survives optimization) — without it two
+    // labels would share one packed key and fan draws out downstream
+    val byId = candidates.filter(cid.isNotNull && clab.isNotNull)
+      .select(cid.as("__cid"), clab.as("neg_label"), packed.as("__pk"))
+      .groupBy(col("__cid"))
+      .agg(min(col("neg_label")).as("neg_label"),
+        countDistinct(col("neg_label")).as("__nl"),
+        min(col("__pk")).as("__pk"))
+      .select(col("neg_label"),
+        when(col("__nl") > 1L,
+          raise_error(concat(
+            lit("randomNegatives: candidate id with conflicting labels: "),
+            col("__cid").cast("string"))).cast("long"))
+          .otherwise(col("__pk")).as("__pk"),
+        col("__cid"))
+    val reps = byId
+      .select(pmod(affineHash(col("__cid").cast("long")),
+          lit(nBuckets.toLong)).as("__bkt"),
+        col("neg_label"),
+        col("__pk").as("__rk"))
       .groupBy(col("__bkt"), col("neg_label"))
       .agg(min(col("__rk")).as("__rk"))
     val draws = anchors.filter(aid.isNotNull && alab.isNotNull)

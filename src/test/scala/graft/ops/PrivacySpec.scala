@@ -240,6 +240,21 @@ class PrivacySpec extends AnyFunSuite {
     assert(all.map(_._3).distinct.size >= 2, s"salted releases identical: $all")
   }
 
+  test("dpNoisyQuantile: includeDiagnostics=false nulls the exact n/target_rank, schema stable") {
+    val df = (0 to 100).map(v => ("a", v.toLong)).toDF("g", "v")
+    def release(diag: Boolean) = Privacy.dpNoisyQuantile(df, "g", "v",
+      qMicro = 500000L, domainLo = 0L, domainHi = 100L, domainStep = 5L,
+      epsilonMicro = 1000000000000L, includeDiagnostics = diag)
+    val open = release(diag = true).head()
+    val gated = release(diag = false).head()
+    // same release, same schema — only the non-private diagnostics null out
+    assert(release(diag = false).columns sameElements release(diag = true).columns)
+    assert(gated.getAs[Long]("dp_quantile") === open.getAs[Long]("dp_quantile"))
+    assert(open.getAs[Long]("n") === 101L && open.getAs[Long]("target_rank") === 50L)
+    assert(gated.isNullAt(gated.fieldIndex("n")))
+    assert(gated.isNullAt(gated.fieldIndex("target_rank")))
+  }
+
   test("dpNoisyQuantile: lattice cap and parameter validation fail fast") {
     val df = Seq(("a", 1L)).toDF("g", "v")
     val e = intercept[IllegalArgumentException] {

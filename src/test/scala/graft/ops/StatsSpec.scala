@@ -600,6 +600,14 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("chi2_micro") == 0L)
   }
 
+  test("chiSquareIndependence: empty input emits NULL dof, not (0-1)*(0-1)=1") {
+    val df = Seq((null: String, "p"), ("x", null: String))
+      .toDF("a", "b") // every row drops in the null filter
+    val r = Stats.chiSquareIndependence(df, "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 0L && r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("dof")))
+  }
+
   test("quantileNormalize: slices map onto the pooled scale; self-normalization is identity") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
       ("b", 10L), ("b", 20L), ("b", 30L)).toDF("s", "v")

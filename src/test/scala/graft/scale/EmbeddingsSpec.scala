@@ -218,8 +218,8 @@ class EmbeddingsSpec extends AnyFunSuite {
       .toDF("label", "vec")
     val same = Embeddings.centroidDrift(a, a, "label", "vec")
       .collect().map(r => r.getString(0) ->
-        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
-          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+        ((Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
     assert(same("g") === ((Some(0L), Some(1000000L))))
     assert(same("h") === ((Some(0L), Some(1000000L))))
     val b = Seq(("g", Seq(0.0, 1.0)), ("h", Seq(3.0, 4.0)), ("only_b", Seq(2.0, 2.0)))
@@ -228,14 +228,30 @@ class EmbeddingsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         ((Option(r.get(1)).map(_.asInstanceOf[Long]),
           Option(r.get(2)).map(_.asInstanceOf[Long]),
-          Option(r.get(3)).map(_.asInstanceOf[Long]),
-          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
     // g: (1,0) vs (0,1): L2 = sqrt(2) micro -> 1414214; cos 0
     assert(got("g") === ((Some(1L), Some(1L), Some(1414214L), Some(0L))))
     assert(got("h") === ((Some(1L), Some(1L), Some(0L), Some(1000000L))))
     // one-sided groups surface with NULL drift — the vanished/new signal
     assert(got("only_a") === ((Some(1L), None, None, None)))
     assert(got("only_b") === ((None, Some(1L), None, None)))
+  }
+
+  test("centroidDrift: dim mismatch — missing components count as 0 in BOTH metrics, dims surfaced") {
+    // snapshot a is 3-dim, snapshot b is 2-dim (encoder version bump):
+    // a = (1, 0, 2), b = (1, 0) — the extra component must contribute
+    // its full magnitude to L2 (2.0 -> sqrt(4) = 2) and zero to dot
+    val a = Seq(("g", Seq(1.0, 0.0, 2.0))).toDF("label", "vec")
+    val b = Seq(("g", Seq(1.0, 0.0))).toDF("label", "vec")
+    val r = Embeddings.centroidDrift(a, b, "label", "vec").collect().head
+    assert(r.getAs[Long]("dim_a") === 3L)
+    assert(r.getAs[Long]("dim_b") === 2L)
+    // L2 = sqrt((1-1)^2 + 0 + (2-0)^2) = 2.0 -> 2000000 micro
+    assert(r.getAs[Long]("drift_micro") === 2000000L)
+    // cos = dot / (|a||b|) = 1 / (sqrt(5) * 1) -> 447214 micro — the
+    // same zeros the L2 saw (dot partial, norms full)
+    assert(r.getAs[Long]("cos_micro") === 447214L)
   }
 
   test("simplifiedSilhouette: hand-checked separation over groupCentroids") {

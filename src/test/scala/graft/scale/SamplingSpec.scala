@@ -435,6 +435,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(!(got sameElements other), "distinct salts must not replay the same draws")
   }
 
+  test("randomNegatives: duplicate (id, label) candidates dedupe; conflicting labels raise") {
+    val anchors = Seq((1L, "a")).toDF("id", "lab")
+    // duplicate rows carrying the SAME label collapse in the id prepass:
+    // identical output to the deduped pool
+    val dup = Seq((2L, "b"), (2L, "b"), (3L, "c")).toDF("id", "lab")
+    val ded = Seq((2L, "b"), (3L, "c")).toDF("id", "lab")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Sampling.randomNegatives(anchors, "id", "lab", c, "id", "lab",
+        k = 3, nBuckets = 2, salt = "s1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(run(dup) sameElements run(ded))
+    // one id carrying TWO labels would fan a single draw out — raise
+    val conflict = Seq((2L, "b"), (2L, "c")).toDF("id", "lab")
+    val e = intercept[Exception](run(conflict))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("conflicting labels"))
+  }
+
   test("randomNegatives: candidate ids outside [0, 2^31) raise in-plan") {
     val anchors = Seq((1L, "a")).toDF("id", "lab")
     val cands = Seq((5000000000L, "b")).toDF("id", "lab")
