@@ -38,9 +38,18 @@ private[graft] object QueriesMmAgg {
     // GK percentile sketch gated on its rank guarantee: the returned
     // element's exact rank interval must intersect the q∓2/accuracy
     // rank window (ranks, not interpolated values — those fail
-    // spuriously on small/gappy groups)
+    // spuriously on small/gappy groups). This is the CI form — its
+    // verification join re-scans the corpus, a cost production never
+    // pays; the bench-priced shipped form is x_agg_approxq
     "x_agg_approxq_gate" -> ((s, d) =>
       graft.ops.Stats.approxPercentileGate(T(s, d, "lineitem"),
+        "l_extendedprice", Seq("l_returnflag"), q = 0.5, accuracy = 1000)),
+
+    // the SHIPPED GK pass: ONE hash aggregate (sketch + exact
+    // count/min/max in the same pass) — the production plan the bench
+    // row prices; the rank guarantee stays gated by x_agg_approxq_gate
+    "x_agg_approxq" -> ((s, d) =>
+      graft.ops.Stats.approxPercentileShipped(T(s, d, "lineitem"),
         "l_extendedprice", Seq("l_returnflag"), q = 0.5, accuracy = 1000)),
 
     // mergeable weighted-quantile sketch in its EXACT configuration
@@ -132,6 +141,50 @@ private[graft] object QueriesMmAgg {
       Dedup.nearDupByFingerprint(fps, "doc_id", "phash",
         maxHamming = 4, fpBits = 60, maxBucketSize = 0)
     }),
+
+    // REAL audio decode (javax.sound.sampled) over deterministic WAV
+    // payloads built from the text bytes — PCM16 is exact byte
+    // arithmetic, so the real JDK decode is oracle-replayable
+    "x_mm_audio_meta" -> ((s, d) =>
+      Multimodal.decodeAudioMeta(
+        Multimodal.wavPayload(T(s, d, "documents"), "doc_id", "text",
+          sampleRate = 16000),
+        "doc_id", "payload")
+        .toDF().select("doc_id", "n_bytes", "format", "sample_rate",
+          "channels", "bits", "n_frames")),
+
+    // frame-energy / zero-crossing lattice over the REAL decode: one
+    // row per 32-sample frame, energy = sum s^2 (exact long), zc =
+    // within-frame sign flips
+    "x_mm_audio_features" -> ((s, d) =>
+      Multimodal.audioFrameFeatures(
+        Multimodal.wavPayload(T(s, d, "documents"), "doc_id", "text",
+          sampleRate = 16000),
+        "doc_id", "payload", frameSamples = 32)),
+
+    // NN resample 16k -> 8k: out frames = n div 2, out payload = 44 +
+    // 2*m canonical WAV — the length arithmetic gates here; sample
+    // equality is spec-pinned
+    "x_mm_audio_resample" -> ((s, d) =>
+      Multimodal.resampleAudio(
+        Multimodal.wavPayload(T(s, d, "documents"), "doc_id", "text",
+          sampleRate = 16000),
+        "doc_id", "payload", targetRate = 8000)
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+          length(col("payload")).cast("long").as("out_bytes"))),
+
+    // perceptual audio fingerprint (aHash over 60 window energies of
+    // the REAL decode) + the banded Hamming join — full-recall config
+    // (uncapped, pigeonhole exact), oracle is the all-pairs Hamming set
+    "x_mm_audio_fp_dedup" -> ((s, d) => {
+      val fps = Multimodal.audioFingerprint(
+        Multimodal.wavPayload(
+          T(s, d, "documents").filter(col("doc_id") < 400), "doc_id", "text",
+          sampleRate = 16000),
+        "doc_id", "payload")
+      Dedup.nearDupByFingerprint(fps, "doc_id", "afp",
+        maxHamming = 4, fpBits = 60, maxBucketSize = 0)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -152,6 +205,15 @@ private[graft] object QueriesMmAgg {
         |        row_number() OVER (ORDER BY n_exact DESC, user_id ASC) AS rk FROM c)
         |SELECT user_id, n_exact, CAST(0.005 AS DOUBLE) AS eps, TRUE AS within_bounds
         |FROM r WHERE rk <= 20""".stripMargin,
+
+    // shipped GK pass: exact count/min/max ride the sketch aggregate;
+    // the boolean is the deterministic sanity bound (value within the
+    // group's [min, max]), pinned TRUE
+    "x_agg_approxq" ->
+      """SELECT l_returnflag, CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |       TRUE AS sketch_in_range
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // GK-sketch gate: same contract — counts + constants + pinned TRUE
     "x_agg_approxq_gate" ->
@@ -218,6 +280,81 @@ private[graft] object QueriesMmAgg {
         |           CAST(sum(CASE WHEN cells.v > m.mean THEN CAST(1 AS BIGINT) << CAST(cells.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
         |         FROM cells JOIN m ON cells.doc_id = m.doc_id GROUP BY 1),
         |fp AS (SELECT d.doc_id, coalesce(fps0.f, 0) AS f FROM d LEFT JOIN fps0 ON d.doc_id = fps0.doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 4""".stripMargin,
+
+    // REAL audio decode meta: the canonical WAV payload is 44 header
+    // bytes + text bytes padded to even; PCM16 mono at 16 kHz, frames =
+    // ceil(n/2) — pure length arithmetic (NULL text encodes as empty)
+    "x_mm_audio_meta" ->
+      """SELECT doc_id,
+        |       CAST(44 + octet_length(encode(coalesce(text, ''))) + octet_length(encode(coalesce(text, ''))) % 2 AS BIGINT) AS n_bytes,
+        |       'wave' AS format,
+        |       CAST(16000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST((octet_length(encode(coalesce(text, ''))) + 1) // 2 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    // REAL audio frame features: sample j is the little-endian int16 of
+    // text bytes (2j, 2j+1) (odd tail pads a zero high byte; hex-expand
+    // + 256-row lookup like x_mm_features), 32-sample frames, energy =
+    // sum s^2 exact, zc = within-frame sign flips via lag
+    "x_mm_audio_features" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+        |             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n FROM documents),
+        |ns AS (SELECT doc_id, hx, n, (n + 1) // 2 AS ns FROM d),
+        |sj AS (SELECT doc_id, hx, n, unnest(range(0, ns)) AS j FROM ns),
+        |sv AS (SELECT s.doc_id, s.j, lo.bval + 256 * coalesce(hi.bval, 0) AS uv
+        |       FROM sj s
+        |       JOIN hmap lo ON lo.hh = substr(s.hx, CAST(4*s.j + 1 AS INT), 2)
+        |       LEFT JOIN hmap hi ON 2*s.j + 1 < s.n AND hi.hh = substr(s.hx, CAST(4*s.j + 3 AS INT), 2)),
+        |smp AS (SELECT doc_id, j, CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS s FROM sv),
+        |w AS (SELECT doc_id, j, s, lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS sp FROM smp),
+        |f AS (SELECT doc_id, j // 32 AS frame_index, s, sp, j % 32 AS o FROM w)
+        |SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+        |       CAST(coalesce(sum(CASE WHEN o <> 0 AND ((sp < 0) <> (s < 0)) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // NN resample 16k -> 8k: m = ceil(n/2) // 2 output frames, payload
+    // is the canonical 44-byte header + 2m bytes
+    "x_mm_audio_resample" ->
+      """SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(((octet_length(encode(coalesce(text, ''))) + 1) // 2) // 2 AS BIGINT) AS n_frames,
+        |       CAST(44 + 2 * (((octet_length(encode(coalesce(text, ''))) + 1) // 2) // 2) AS BIGINT) AS out_bytes
+        |FROM documents""".stripMargin,
+
+    // audio aHash: energy per 60 sample-windows (step = max(1, ns div
+    // 60), samples past 60*step ignored), bit i iff energy > mean of
+    // present windows (strict, exact-integer doubles both engines);
+    // pairs are the full all-pairs Hamming set (uncapped pigeonhole
+    // config is recall-exact)
+    "x_mm_audio_fp_dedup" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+        |             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n
+        |      FROM documents WHERE doc_id < 400),
+        |ns AS (SELECT doc_id, hx, n, (n + 1) // 2 AS ns,
+        |              greatest(((n + 1) // 2) // 60, 1) AS step FROM d),
+        |sj AS (SELECT doc_id, hx, n, unnest(range(0, ns)) AS j FROM ns),
+        |sv AS (SELECT s.doc_id, s.j, lo.bval + 256 * coalesce(hi.bval, 0) AS uv
+        |       FROM sj s
+        |       JOIN hmap lo ON lo.hh = substr(s.hx, CAST(4*s.j + 1 AS INT), 2)
+        |       LEFT JOIN hmap hi ON 2*s.j + 1 < s.n AND hi.hh = substr(s.hx, CAST(4*s.j + 3 AS INT), 2)),
+        |smp AS (SELECT doc_id, j, CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS s FROM sv),
+        |e AS (SELECT smp.doc_id, smp.j // ns.step AS i,
+        |             CAST(sum(CAST(smp.s AS BIGINT) * smp.s) AS BIGINT) AS e
+        |      FROM smp JOIN ns USING (doc_id)
+        |      WHERE smp.j // ns.step < 60 GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(sum(e) AS DOUBLE) / count(*) AS mean FROM e GROUP BY 1),
+        |fp0 AS (SELECT e.doc_id,
+        |          CAST(sum(CASE WHEN CAST(e.e AS DOUBLE) > m.mean THEN CAST(1 AS BIGINT) << CAST(e.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        |        FROM e JOIN m ON e.doc_id = m.doc_id GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(fp0.f, 0) AS f FROM d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
         |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 4""".stripMargin,

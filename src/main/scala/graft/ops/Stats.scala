@@ -295,6 +295,43 @@ object Stats {
           lit(relTol) * col("n_exact").cast("double")).as("within_tol")): _*)
   }
 
+  /** The SHIPPED approximate-percentile pass, priced as it deploys:
+    * ONE hash aggregate per group computing the GK summary
+    * (`approx_percentile`) alongside the exact count/min/max that ride
+    * the same pass for free. [[approxPercentileGate]] is the CI form —
+    * its rank-verification join re-scans the corpus against the
+    * broadcast summary, a cost a production run never pays — so bench
+    * rows over THIS key measure what deploys (round-12 verdict: the
+    * gate key read as data-proportional at sf10 purely because the
+    * verification join shipped with it). The emitted
+    * `sketch_in_range` boolean (sketch value within the group's exact
+    * [min, max]) is a deterministic SANITY bound, not the rank
+    * guarantee — it exists to keep the sketch expression consumed (an
+    * unused aggregate would be pruned and the bench would price
+    * nothing) and cross-engine pinnable; the real guarantee stays
+    * gated by the CI key. Output: (group..., n, lo, hi,
+    * sketch_in_range).
+    */
+  def approxPercentileShipped(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      q: Double = 0.5, accuracy: Int = 1000): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(Cleaning.qcol)
+    val c = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val reserved = Seq("n", "lo", "hi", "__v").filterNot(groupCols.contains)
+    require(!df.columns.exists(reserved.contains),
+      s"column names ${reserved.mkString(", ")} are reserved here")
+    df.groupBy(g: _*)
+      .agg(count(c).as("n"), min(c).as("lo"), max(c).as("hi"),
+        approx_percentile(c, lit(q), lit(accuracy)).as("__v"))
+      .select(g ++ Seq(col("n"), col("lo"), col("hi"),
+        when(col("n") === 0, lit(true))
+          .otherwise(col("__v") >= col("lo") && col("__v") <= col("hi"))
+          .as("sketch_in_range")): _*)
+  }
+
   /** Verdict frame gating `approx_percentile` (Greenwald-Khanna
     * summaries) on its actual contract — the RANK guarantee: the
     * returned element's exact rank interval must intersect
@@ -1412,11 +1449,14 @@ object Stats {
     * (key, probe-first) — probes at a key equal to a pooled cum see
     * that pooled row (inclusive ≥). Engines agree bitwise.
     *
-    * Scale: two tie-group aggregates (per-slice and pooled), then ONE
-    * global window over the combined lattice — distinct values, never
-    * rows; the in-plan guard caps the lattice at
-    * [[MaxQuantileNormValues]] (band continuous columns first, the
-    * ksDrift rule). Corpus values shuffle only as their distinct
+    * Scale: two tie-group aggregates (per-slice and pooled), then the
+    * as-of merge runs PER SLICE — the pooled lattice (≤
+    * [[MaxQuantileNormValues]] rows by the in-plan guard; band
+    * continuous columns first, the ksDrift rule) broadcast-replicates
+    * into every slice's partition and the window partitions by slice,
+    * so a per-domain normalization over 10⁵ slices parallelizes
+    * instead of funneling |slices|·|values| rows through one global
+    * window partition. Corpus values shuffle only as their distinct
     * lattice.
     */
   def quantileNormalize(
@@ -1465,11 +1505,22 @@ object Stats {
           .otherwise(expr("(__n - 1) div 2 + 1")))
       .select(col("slice"), col("v"), col("ties"), col("pct_micro"),
         col("__key"), lit(0).as("__tag"), lit(null).cast("long").as("__w"))
-    val pool = pooled.select(lit(null).cast(base.schema("slice").dataType).as("slice"),
+    // per-slice as-of: the ≤cap pooled lattice replicates into every
+    // slice's partition (broadcast side of the cross join), so the
+    // window below partitions by slice — probe rows carry a null __w,
+    // so the per-slice suffix-min over (own probes + full pool) equals
+    // the old global-window answer bitwise, without the single-
+    // partition funnel when |slices| is large
+    val poolRows = pooled.select(
       lit(null).cast("long").as("v"), lit(null).cast("long").as("ties"),
       lit(null).cast("long").as("pct_micro"),
       col("__cum").as("__key"), lit(1).as("__tag"), col("v").as("__w"))
-    val wAsOf = Window.orderBy(col("__key"), col("__tag"))
+    val pool = slices.select(col("slice")).distinct()
+      .crossJoin(broadcast(poolRows))
+      .select(col("slice"), col("v"), col("ties"), col("pct_micro"),
+        col("__key"), col("__tag"), col("__w"))
+    val wAsOf = Window.partitionBy(col("slice"))
+      .orderBy(col("__key"), col("__tag"))
       .rowsBetween(0, Window.unboundedFollowing)
     probes.unionByName(pool)
       .withColumn("mapped_value", min(col("__w")).over(wAsOf))

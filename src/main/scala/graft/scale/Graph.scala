@@ -455,7 +455,15 @@ object Graph {
     * Synchronous LPA can oscillate on bipartite-ish structure —
     * `iterations` is a fixed budget, not a convergence promise (run
     * one extra round and diff to detect a flip-flop; stable fixtures
-    * converge in 2-3).
+    * converge in 2-3; GraphSpec plants a K_{2,2} 2-cycle and pins the
+    * period-2 behavior). `selfVote = true` is the deterministic
+    * damping option: each node's OWN current label counts as one
+    * vote beside its neighbors' — the standard inertia fix that
+    * breaks synchronous 2-cycles (the planted K_{2,2} converges in 2
+    * rounds under it, spec-pinned) at the cost of slowing label
+    * takeover by one round on star-ish hubs. Default false: the
+    * shipped x_graph_lpa contract predates the option and async
+    * orderings stay out (partition-dependent).
     *
     * Edges symmetrize (communities are undirected), dedupe, and drop
     * self-loops — the [[pageRank]] hygiene. Output: (node, label) —
@@ -469,7 +477,7 @@ object Graph {
     */
   def labelPropagation(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3, selfVote: Boolean = false): DataFrame = {
     require(iterations >= 1, "labelPropagation: need at least one iteration")
     val Pack = 2147483648L // 2^31
     val q = graft.ops.Cleaning.qcol _
@@ -487,8 +495,15 @@ object Graph {
           .otherwise(col("node")).as("label"))
       .localCheckpoint()
     for (i <- 1 to iterations) {
-      val votes = sym
+      val neigh = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a"), col("label"))
+      // inertia: the node's own current label is one more vote row —
+      // same aggregate shape, |nodes| extra rows per round
+      val ballots = if (selfVote)
+        neigh.unionByName(labels.select(col("node").as("a"), col("label")))
+      else neigh
+      val votes = ballots
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__c"))
       labels = votes.groupBy(col("a"))
         .agg(min((lit(Pack) - col("__c")) * Pack + col("label")).as("__pk"))

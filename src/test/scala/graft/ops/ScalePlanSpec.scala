@@ -91,6 +91,22 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(unpartitionedWindows(q).isEmpty)
   }
 
+  test("quantileNormalize: the as-of merge window is slice-partitioned") {
+    // the pooled-lattice cumulative windows stay global BY DESIGN
+    // (bounded to MaxQuantileNormValues rows by the in-plan guard);
+    // the as-of merge — the only window whose input multiplies by
+    // |slices| — must partition by slice, so no GLOBAL window may
+    // carry its suffix-min(__w)
+    val df = orders
+      .withColumn("s", org.apache.spark.sql.functions.col("o_orderkey") % 2)
+      .withColumn("v", org.apache.spark.sql.functions.col("o_totalprice").cast("long"))
+    val q = Stats.quantileNormalize(df, "s", "v")
+    val globalMins = unpartitionedWindows(q)
+      .filter(_.windowExpression.mkString.contains("min("))
+    assert(globalMins.isEmpty,
+      s"as-of merge window is global: ${globalMins.mkString}")
+  }
+
   test("dedupLines elects keepers by aggregate, never a window over the line key") {
     val docs = (0L until 20L).map(i => (i, s"the\ncommon line\nuniq$i"))
       .toSeq.toDF("doc_id", "text")

@@ -318,6 +318,39 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("labelPropagation: synchronous K_{2,2} oscillates with period 2; selfVote converges") {
+    // complete bipartite {1,2} x {3,4}: each side adopts the OTHER
+    // side's min label every synchronous round, so states flip-flop —
+    // the documented oscillation case (iterations is a budget, not a
+    // convergence promise; detect a 2-cycle by diffing one extra round)
+    val k22 = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    def run(it: Int, sv: Boolean = false) =
+      Graph.labelPropagation(k22, iterations = it, selfVote = sv)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val even = run(2); val odd = run(3); val even2 = run(4)
+    assert(even === even2, "period-2 oscillation: same state every other round")
+    assert(even !== odd, "consecutive rounds differ on the bipartite 2-cycle")
+    // each round is still deterministic: a flipped state, not a random
+    // one (odd rounds hold the other side's min; even rounds flip back)
+    assert(odd === Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
+    assert(even === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // selfVote (inertia) breaks the cycle: one community under the min
+    // id, stable from round 2 on
+    val sv2 = run(2, sv = true); val sv3 = run(3, sv = true)
+    assert(sv2 === sv3, "selfVote must converge on the bipartite fixture")
+    assert(sv2.values.toSet === Set(1L), s"one community under the min id: $sv2")
+    // and it does NOT change the stable-fixture answer (two triangles)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val a = Graph.labelPropagation(tri, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(tri, iterations = 3, selfVote = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.groupBy(_._2).values.map(_.keySet).toSet ===
+      b.groupBy(_._2).values.map(_.keySet).toSet,
+      s"selfVote must preserve the stable communities: $a vs $b")
+  }
+
   test("labelPropagation: direction is ignored, self-loops drop, ids guarded") {
     val directed = Seq((2L, 1L), (3L, 2L), (1L, 3L), (1L, 1L))
     val got = Graph.labelPropagation(directed.toDF("src", "dst"), iterations = 3)

@@ -158,4 +158,149 @@ class MultimodalSpec extends AnyFunSuite {
     for (y <- 0 until 3; x <- 0 until 4)
       assert((img.getRGB(x, y) & 0xffffff) === (src.getRGB(x * 2, y * 2) & 0xffffff))
   }
+
+  // ---- REAL audio (javax.sound.sampled) -----------------------------
+
+  /** Encode `samples` as PCM16 mono WAV via the JDK's OWN encoder — an
+    * independent container layout to pin invariance against the
+    * canonical wavBytes header. */
+  private def jdkWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val data = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("wavPayload + decodeAudioMeta: real JDK decode of the canonical header; garbage in-band") {
+    val wav = Multimodal.wavPayload(docs, "doc_id", "text", sampleRate = 16000)
+    val m = Multimodal.decodeAudioMeta(wav, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    // doc 1: 50 text bytes -> 50-byte (already even) data, 25 frames
+    assert(m(1L).format === "wave" && m(1L).sample_rate === 16000)
+    assert(m(1L).channels === 1 && m(1L).bits === 16)
+    assert(m(1L).n_bytes === 44L + 50L && m(1L).n_frames === 25L)
+    // doc 2: one byte pads to a single frame
+    assert(m(2L).n_frames === 1L && m(2L).n_bytes === 46L)
+    // garbage payload surfaces as undecodable, not a throw
+    val junk = Seq((9L, Array.tabulate[Byte](64)(i => (i * 13).toByte)))
+      .toDF("doc_id", "payload")
+    val u = Multimodal.decodeAudioMeta(junk, "doc_id", "payload").collect().head
+    assert(u.format === "undecodable" && u.sample_rate === 0 && u.n_frames === 0L)
+  }
+
+  test("audioFrameFeatures: hand-checked energy and zero-crossing lattice") {
+    // samples 1000, -1000, 2000: frames of 2 -> frame 0 = {1000, -1000}
+    // (energy 2e6, one sign flip), frame 1 = {2000} (energy 4e6, none)
+    val wav = jdkWav(Array[Short](1000, -1000, 2000), 8000)
+    val df = Seq((1L, wav)).toDF("doc_id", "payload")
+    val got = Multimodal.audioFrameFeatures(df, "doc_id", "payload", frameSamples = 2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0) === ((2L, 2000000L, 1L)))
+    assert(got(1) === ((1L, 4000000L, 0L)))
+    // undecodable payloads emit an EMPTY lattice (in-band)
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.audioFrameFeatures(junk, "doc_id", "payload").count() === 0L)
+  }
+
+  test("audioFingerprint: container-invariant (canonical header == JDK encoder of the same PCM)") {
+    // deterministic pseudo-speech: alternating loud/quiet windows so the
+    // aHash has structure
+    val samples = Array.tabulate[Short](600)(i =>
+      (if ((i / 60) % 2 == 0) (i % 7) * 900 - 2700 else (i % 3) * 10 - 10).toShort)
+    val data = new Array[Byte](1200)
+    var i = 0
+    while (i < 600) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val canonical = Multimodal.wavBytes(data, 16000)
+    // a second VALID container of the same PCM: the JDK encoder happens
+    // to emit the canonical 44-byte layout byte-for-byte, so splice a
+    // LIST/INFO chunk between "fmt " and "data" (readers must skip
+    // unknown chunks) and patch the RIFF size
+    val jdk = {
+      val base = jdkWav(samples, 16000)
+      assert(base sameElements canonical, "layout drift: update this container test")
+      val extra = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 'I', 'N', 'F', 'O')
+      val out = new Array[Byte](base.length + extra.length)
+      System.arraycopy(base, 0, out, 0, 36)              // RIFF..fmt chunk
+      System.arraycopy(extra, 0, out, 36, extra.length)  // LIST chunk
+      System.arraycopy(base, 36, out, 36 + extra.length, base.length - 36)
+      val riffLen = out.length - 8
+      out(4) = (riffLen & 0xff).toByte; out(5) = ((riffLen >> 8) & 0xff).toByte
+      out(6) = ((riffLen >> 16) & 0xff).toByte; out(7) = ((riffLen >> 24) & 0xff).toByte
+      out
+    }
+    assert(!(canonical sameElements jdk), "containers must differ for the test to mean anything")
+    val df = Seq((1L, canonical), (2L, jdk),
+      (3L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val fp = Multimodal.audioFingerprint(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L), "same PCM in two containers must fingerprint identically")
+    assert(fp(1L) !== 0L)
+    assert(fp(3L) === 0L, "undecodable hashes to 0 in-band")
+  }
+
+  test("decodeAudioMeta: AIFF rides the AudioSystem fallback (big-endian PCM16) with WAV-equal features") {
+    val samples = Array.tabulate[Short](90)(i => (i * 321 - 9000).toShort)
+    val aiff = {
+      val data = new Array[Byte](2 * samples.length)
+      var i = 0
+      while (i < samples.length) { // AIFF is big-endian PCM
+        data(2 * i) = ((samples(i) >> 8) & 0xff).toByte
+        data(2 * i + 1) = (samples(i) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, aiff), (2L, jdkWav(samples, 8000))).toDF("doc_id", "payload")
+    val m = Multimodal.decodeAudioMeta(df, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(m(1L).format === "aiff" && m(1L).sample_rate === 8000 &&
+      m(1L).n_frames === 90L)
+    // same PCM through the fallback (AIFF, big-endian) and the fast
+    // RIFF path (WAV, little-endian) must produce identical features
+    val f = Multimodal.audioFrameFeatures(df, "doc_id", "payload", frameSamples = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r =>
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq }
+    assert(f(1L) === f(2L))
+  }
+
+  test("resampleAudio: nearest-neighbor sample map survives the WAV re-encode roundtrip") {
+    val samples = Array.tabulate[Short](100)(i => (i * 123 - 6000).toShort)
+    val df = Seq((1L, jdkWav(samples, 16000))).toDF("doc_id", "payload")
+    val out = Multimodal.resampleAudio(df, "doc_id", "payload", targetRate = 8000)
+      .collect().head
+    assert(out.getInt(1) === 8000 && out.getLong(2) === 50L)
+    // decode the emitted payload with the JDK and pin the integer map:
+    // out(j) == src(j * 100 / 50)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](3)))
+    val ba = ais.readAllBytes()
+    assert(ba.length === 100)
+    for (j <- 0 until 50) {
+      val v = ((java.lang.Byte.toUnsignedInt(ba(2 * j + 1)) << 8) |
+        java.lang.Byte.toUnsignedInt(ba(2 * j))).toShort
+      assert(v === samples(j * 2), s"sample $j")
+    }
+  }
 }
