@@ -239,6 +239,18 @@ private[graft] object QueriesCore {
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
     }),
 
+    // Avro roundtrip: parquet → graft Avro container sink → graft
+    // source → agg; DuckDB has no offline Avro reader, so like s18 the
+    // parquet-sourced oracle checks the full writer/reader pair — the
+    // stronger contract
+    "s33_avro_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_s33").toString
+      graft.io.Avro.writeAvro(T(s, d, "nation"), dir)
+      graft.io.Avro.readAvro(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"))
+    }),
+
     // Bucketed-ingest roundtrip: parquet → bucketed managed table
     // (pre-hashed files + catalog bucket metadata) → catalog read → agg.
     // Data correctness of the bucketed layout is hash-checked here; the
@@ -977,6 +989,12 @@ private[graft] object QueriesCore {
         |FROM nation GROUP BY 1""".stripMargin,
 
     "s18_orc_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "s33_avro_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum

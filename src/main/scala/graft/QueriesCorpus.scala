@@ -286,6 +286,57 @@ private[graft] object QueriesCorpus {
           countDistinct(col("cluster")).as("n_clusters"),
           sum(col("weight_micro")).as("eff_docs_micro"))
     }),
+
+    // --- multi-wave deployment e2e (round-13) -------------------------
+    // "wave 2 arrives" — the engine's production story end to end:
+    // the new delivery probes the persisted exact-fingerprint index,
+    // survivors probe the persisted near-dup band index (full-recall
+    // config), the novel remainder is accepted into the corpus, and
+    // the drift audits + trend rows that gate the acceptance run over
+    // the before/after snapshots. One composed audit frame
+    // (metric, col_name, value): stage counts, per-column null-rate /
+    // distinct drift in exact micro, and the per-wave mean-length
+    // trend. Every stage is an existing gated operator — no new
+    // shuffle shape; the composition is what's under test.
+    "x_corpus_wave2_e2e" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val wave1 = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      val novel = Dedup.dedupAgainstIndex(batch, wave1, "doc_id", "text")
+      val pairs = Dedup.nearDupMinhashAgainstIndex(
+        novel,
+        Dedup.minhashBandIndex(wave1, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
+        Dedup.hashedShingleTable(wave1, "doc_id", "text", k = 3),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3,
+        maxBucketSize = 0) // full recall: the oracle replays the exhaustive join
+      val dropped = pairs.select(col("id_a").as("doc_id")).distinct()
+      val accepted = novel.join(dropped, Seq("doc_id"), "left_anti")
+      val corpus2 = wave1.unionByName(accepted)
+      def cnt(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("value"))
+          .select(lit(name).as("metric"), lit("-").as("col_name"), col("value"))
+      val counts = Seq(
+        cnt(wave1, "wave1_size"), cnt(batch, "batch_size"),
+        cnt(novel, "exact_novel"), cnt(dropped, "neardup_dropped"),
+        cnt(accepted, "accepted_new"), cnt(corpus2, "corpus_after"))
+        .reduce(_ unionByName _)
+      val drift = Stats.profileDiff(wave1, corpus2, Seq("lang", "source"))
+      val driftRows = drift
+        .select(lit("null_delta_micro").as("metric"), col("col_name"),
+          floor(col("null_rate_delta") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("value"))
+        .unionByName(drift.select(lit("distinct_delta").as("metric"),
+          col("col_name"),
+          (col("n_distinct_b") - col("n_distinct_a")).as("value")))
+      def meanChars(df: DataFrame, name: String) =
+        df.agg(floor(sum(col("n_chars")).cast("double") / count(col("n_chars"))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("value"))
+          .select(lit("mean_chars_micro").as("metric"),
+            lit(name).as("col_name"), col("value"))
+      counts.unionByName(driftRows)
+        .unionByName(meanChars(wave1, "wave1"))
+        .unionByName(meanChars(accepted, "wave2_accepted"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -699,5 +750,58 @@ private[graft] object QueriesCorpus {
          |       CAST(sum(1000000 // cs.sz) AS BIGINT) AS eff_docs_micro
          |FROM asg JOIN cs USING (cluster)
          |GROUP BY 1""".stripMargin,
+
+    // multi-wave e2e: the x_dedup_incr token-join anti filter, the
+    // x_dedup_incr_minhash exhaustive batch x index jaccard (full-
+    // recall banding on the engine side), the s22 profile arithmetic,
+    // and exact-integer-double mean lengths — stacked into one frame
+    "x_corpus_wave2_e2e" -> {
+      def side(src: String, suffix: String) =
+        Seq("lang", "source").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS r_$suffix,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$suffix,
+             |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS nd_$suffix
+             |FROM $src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH n0 AS (SELECT doc_id, lang, source, n_chars,
+         |    array_to_string($toksSql, ' ') AS j FROM documents),
+         |w1 AS (SELECT * FROM n0 WHERE doc_id < 400),
+         |bt AS (SELECT * FROM n0 WHERE doc_id >= 400),
+         |idx AS (SELECT DISTINCT j FROM w1),
+         |novel AS (SELECT * FROM bt WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.j = bt.j)),
+         |d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         |  FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND b.doc_id < 400
+         |      WHERE a.doc_id IN (SELECT doc_id FROM novel)
+         |      GROUP BY 1, 2),
+         |z AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |nd AS (SELECT DISTINCT c.id_a AS doc_id
+         |       FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+         |       WHERE CAST(c.inter AS DOUBLE) / (za.n + zb.n - c.inter) >= 0.3),
+         |acc AS (SELECT * FROM novel WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |c2 AS (SELECT * FROM w1 UNION ALL SELECT * FROM acc),
+         |pa AS (${side("w1", "a")}),
+         |pb AS (${side("c2", "b")})
+         |SELECT 'wave1_size' AS metric, '-' AS col_name, CAST(count(*) AS BIGINT) AS "value" FROM w1
+         |UNION ALL SELECT 'batch_size', '-', CAST(count(*) AS BIGINT) FROM bt
+         |UNION ALL SELECT 'exact_novel', '-', CAST(count(*) AS BIGINT) FROM novel
+         |UNION ALL SELECT 'neardup_dropped', '-', CAST(count(*) AS BIGINT) FROM nd
+         |UNION ALL SELECT 'accepted_new', '-', CAST(count(*) AS BIGINT) FROM acc
+         |UNION ALL SELECT 'corpus_after', '-', CAST(count(*) AS BIGINT) FROM c2
+         |UNION ALL SELECT 'null_delta_micro', pa.col_name,
+         |  CAST(floor((CAST(nn_b AS DOUBLE) / r_b - CAST(nn_a AS DOUBLE) / r_a) * 1000000.0 + 0.5) AS BIGINT)
+         |  FROM pa JOIN pb USING (col_name)
+         |UNION ALL SELECT 'distinct_delta', pa.col_name, CAST(nd_b - nd_a AS BIGINT)
+         |  FROM pa JOIN pb USING (col_name)
+         |UNION ALL SELECT 'mean_chars_micro', 'wave1',
+         |  CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) AS BIGINT) FROM w1
+         |UNION ALL SELECT 'mean_chars_micro', 'wave2_accepted',
+         |  CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) AS BIGINT) FROM acc""".stripMargin
+    },
   )
 }

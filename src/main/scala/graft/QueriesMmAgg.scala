@@ -185,6 +185,37 @@ private[graft] object QueriesMmAgg {
       Dedup.nearDupByFingerprint(fps, "doc_id", "afp",
         maxHamming = 4, fpBits = 60, maxBucketSize = 0)
     }),
+
+    // REAL video decode (RIFF/AVI, raw-DIB frames) over deterministic
+    // containers built from the text bytes — uncompressed frames are
+    // exact byte arithmetic like PCM16, so the real container walk is
+    // oracle-replayable; n_frames is COUNTED from movi, never trusted
+    // from the header
+    "x_mm_video_meta" -> ((s, d) =>
+      graft.scale.Video.decodeVideoMeta(
+        graft.scale.Video.aviPayload(T(s, d, "documents"), "doc_id", "text"),
+        "doc_id", "payload")
+        .toDF().select("doc_id", "n_bytes", "format", "width", "height",
+          "n_frames", "us_per_frame")),
+
+    // per-frame luma statistics over the REAL decode: one row per
+    // frame, exact integer luma sums (BT.601 integer weights)
+    "x_mm_video_features" -> ((s, d) =>
+      graft.scale.Video.videoFrameFeatures(
+        graft.scale.Video.aviPayload(T(s, d, "documents"), "doc_id", "text"),
+        "doc_id", "payload")),
+
+    // perceptual video fingerprint (aHash over 60 luma windows, exact
+    // integer threshold) + the banded Hamming join — full-recall
+    // config, oracle is the all-pairs Hamming set
+    "x_mm_video_fp_dedup" -> ((s, d) => {
+      val fps = graft.scale.Video.videoFingerprint(
+        graft.scale.Video.aviPayload(
+          T(s, d, "documents").filter(col("doc_id") < 400), "doc_id", "text"),
+        "doc_id", "payload")
+      Dedup.nearDupByFingerprint(fps, "doc_id", "vfp",
+        maxHamming = 4, fpBits = 60, maxBucketSize = 0)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -353,6 +384,84 @@ private[graft] object QueriesMmAgg {
         |m AS (SELECT doc_id, CAST(sum(e) AS DOUBLE) / count(*) AS mean FROM e GROUP BY 1),
         |fp0 AS (SELECT e.doc_id,
         |          CAST(sum(CASE WHEN CAST(e.e AS DOUBLE) > m.mean THEN CAST(1 AS BIGINT) << CAST(e.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        |        FROM e JOIN m ON e.doc_id = m.doc_id GROUP BY 1),
+        |fp AS (SELECT d.doc_id, coalesce(fp0.f, 0) AS f FROM d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 4""".stripMargin,
+
+    // REAL video meta: container size = 224 + 152*frames at the 8x6
+    // fixture geometry (RIFF + hdrl(avih,strl(strh,strf)) + movi),
+    // frames = clamp(ceil(n/144), 1, 8) — pure length arithmetic
+    "x_mm_video_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n FROM documents),
+        |v AS (SELECT doc_id, n, greatest(1, least(8, (n + 143) // 144)) AS nf FROM d)
+        |SELECT doc_id,
+        |       CAST(224 + 152 * nf AS BIGINT) AS n_bytes,
+        |       'avi' AS format,
+        |       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(40000 AS BIGINT) AS us_per_frame
+        |FROM v""".stripMargin,
+
+    // REAL video frame features: frame f's pixel p has BGR bytes at
+    // text offsets f*144 + 3p .. +2 (zero past the end), luma =
+    // (299r + 587g + 114b) div 1000 — hex-expand + 256-row lookup,
+    // channel pivot per pixel, exact integer sums per frame
+    "x_mm_video_features" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+        |             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n FROM documents),
+        |v AS (SELECT doc_id, hx, n, greatest(1, least(8, (n + 143) // 144)) AS nf FROM d),
+        |grid AS (SELECT doc_id, hx, n, unnest(range(0, nf * 144)) AS k FROM v),
+        |b AS (SELECT g.doc_id, g.k,
+        |        CAST(CASE WHEN g.k < g.n THEN hmap.bval ELSE 0 END AS BIGINT) AS bv
+        |      FROM grid g
+        |      LEFT JOIN hmap ON g.k < g.n AND hmap.hh = substr(g.hx, CAST(2*g.k + 1 AS INT), 2)),
+        |pix AS (SELECT doc_id, k // 3 AS p,
+        |          CAST(sum(CASE WHEN k % 3 = 0 THEN bv END) AS BIGINT) AS cb,
+        |          CAST(sum(CASE WHEN k % 3 = 1 THEN bv END) AS BIGINT) AS cg,
+        |          CAST(sum(CASE WHEN k % 3 = 2 THEN bv END) AS BIGINT) AS cr
+        |        FROM b GROUP BY 1, 2),
+        |lu AS (SELECT doc_id, p // 48 AS frame_index,
+        |         (299 * cr + 587 * cg + 114 * cb) // 1000 AS luma FROM pix)
+        |SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum(luma) AS BIGINT) AS sum_luma,
+        |       CAST(sum(luma) // count(*) AS BIGINT) AS mean_luma
+        |FROM lu GROUP BY 1, 2""".stripMargin,
+
+    // video aHash: 60 windows of step = max(1, (nf*48) div 60) lumas;
+    // every present window holds exactly step lumas, so the threshold
+    // is the exact integer comparison s_i * present > total (strict);
+    // pairs are the full all-pairs Hamming set
+    "x_mm_video_fp_dedup" ->
+      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
+        |d AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+        |             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n
+        |      FROM documents WHERE doc_id < 400),
+        |v AS (SELECT doc_id, hx, n, greatest(1, least(8, (n + 143) // 144)) AS nf FROM d),
+        |grid AS (SELECT doc_id, hx, n, nf, unnest(range(0, nf * 144)) AS k FROM v),
+        |b AS (SELECT g.doc_id, g.nf, g.k,
+        |        CAST(CASE WHEN g.k < g.n THEN hmap.bval ELSE 0 END AS BIGINT) AS bv
+        |      FROM grid g
+        |      LEFT JOIN hmap ON g.k < g.n AND hmap.hh = substr(g.hx, CAST(2*g.k + 1 AS INT), 2)),
+        |pix AS (SELECT doc_id, nf, k // 3 AS p,
+        |          CAST(sum(CASE WHEN k % 3 = 0 THEN bv END) AS BIGINT) AS cb,
+        |          CAST(sum(CASE WHEN k % 3 = 1 THEN bv END) AS BIGINT) AS cg,
+        |          CAST(sum(CASE WHEN k % 3 = 2 THEN bv END) AS BIGINT) AS cr
+        |        FROM b GROUP BY 1, 2, 3),
+        |lu AS (SELECT doc_id, nf, p AS j,
+        |         (299 * cr + 587 * cg + 114 * cb) // 1000 AS luma FROM pix),
+        |st AS (SELECT doc_id, greatest(1, (nf * 48) // 60) AS step FROM v),
+        |e AS (SELECT lu.doc_id, lu.j // st.step AS i, CAST(sum(lu.luma) AS BIGINT) AS s
+        |      FROM lu JOIN st USING (doc_id)
+        |      WHERE lu.j // st.step < 60 GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS present,
+        |             CAST(sum(s) AS BIGINT) AS total FROM e GROUP BY 1),
+        |fp0 AS (SELECT e.doc_id,
+        |          CAST(sum(CASE WHEN e.s * m.present > m.total THEN CAST(1 AS BIGINT) << CAST(e.i AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
         |        FROM e JOIN m ON e.doc_id = m.doc_id GROUP BY 1),
         |fp AS (SELECT d.doc_id, coalesce(fp0.f, 0) AS f FROM d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming

@@ -580,11 +580,31 @@ object Preferences {
     * Scale: ONE corpus-sized (item, rater) collapse (materialized
     * once), self-joined on item — per-item cost is panel², and panels
     * are people (dozens), never rows; the rollup is ≤ |raters|² rows.
+    * The panel² term is where this stops being free: RaterProbe
+    * measures the curve (SCALE.md §6o — per-item pair rows grow
+    * quadratically in the per-item panel width), so `maxPanel` guards
+    * it in-plan — an item co-rated by more than `maxPanel` raters
+    * raises loudly instead of silently fanning |items|·panel² rows
+    * (a "panel" that wide is almost always an item-key bug, not a
+    * review process). 0 disables the guard.
     */
   def raterAgreementMatrix(
       ratings: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String): DataFrame = {
-    val one = collapseRatings(ratings, itemCol, raterCol, labelCol)
+      labelCol: String, maxPanel: Int = 4096): DataFrame = {
+    val one0 = collapseRatings(ratings, itemCol, raterCol, labelCol)
+    // the guard rides inside the consumed rater column so it survives
+    // optimization and fires before the self-join fans out
+    val one = (if (maxPanel > 0) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      one0.withColumn("rater",
+        when(count(lit(1)).over(w) > maxPanel,
+          raise_error(concat(
+            lit(s"raterAgreementMatrix: an item has more than $maxPanel raters ("),
+            count(lit(1)).over(w),
+            lit(") - likely an item-key bug; raise maxPanel to override")))
+            .cast(one0.schema("rater").dataType))
+          .otherwise(col("rater")))
+    } else one0)
       .localCheckpoint() // both sides of the self-join
     one.select(col("item"), col("rater").as("rater_a"), col("label").as("__la"))
       .join(one.select(col("item"), col("rater").as("rater_b"),

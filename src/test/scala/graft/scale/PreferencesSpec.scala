@@ -292,6 +292,24 @@ class PreferencesSpec extends AnyFunSuite {
       ("b", "c") -> ((1L, 0L, 0L))))
   }
 
+  test("raterAgreementMatrix: maxPanel guard raises on an oversized per-item panel") {
+    // 5 raters on one item: fine at maxPanel 5, raises at 4 (the
+    // guard is per-ITEM — a 4096-wide "panel" is an item-key bug)
+    val r = (1 to 5).map(i => (1L, s"r$i", "x")).toDF("item", "rater", "label")
+    val ok = Preferences.raterAgreementMatrix(r, "item", "rater", "label",
+      maxPanel = 5)
+    assert(ok.count() === 10L)
+    val e = intercept[Exception](
+      Preferences.raterAgreementMatrix(r, "item", "rater", "label",
+        maxPanel = 4).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("more than 4 raters"))
+    // maxPanel = 0 disables the guard (the probe config)
+    assert(Preferences.raterAgreementMatrix(r, "item", "rater", "label",
+      maxPanel = 0).count() === 10L)
+  }
+
   test("lengthBiasAudit: longer-win rate excludes ties, signed mean truncates toward zero") {
     val g = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 5L), (2L, 1L), (6L, 7L), (9L, 1L))
       .toDF("winner", "loser")
