@@ -625,6 +625,30 @@ private[graft] object QueriesCore {
       graft.ops.Stats.quantileNormalize(T(s, d, "documents"),
         "lang", "n_chars")),
 
+    // Welch's unequal-variance t between two language slices of doc
+    // length — the A/B gate for "did the mean move", exact long
+    // moments feeding one deterministic double tree
+    "x_stats_welch" -> ((s, d) =>
+      graft.ops.Stats.welchTTest(T(s, d, "documents"),
+        "lang", "n_chars", "en", "zh")),
+
+    // Spearman rank correlation of doc length vs token count —
+    // monotone association via midranks kept exact as DOUBLED longs,
+    // decimal(38) moment sums, one double Pearson at the end
+    "x_stats_spearman" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .withColumn("n_toks", size(TextAnalysis.tokens(col("text"))))
+      graft.ops.Stats.spearmanCorr(docs, "n_chars", "n_toks")
+    }),
+
+    // per-language KS drift vs the rest of the corpus with asymptotic
+    // p-values, then Benjamini-Hochberg at q = 0.05 — "WHICH domains
+    // drifted", FDR-controlled (exact integer BH on micro units)
+    "x_stats_ks_fdr" -> ((s, d) =>
+      graft.ops.Stats.bhReject(
+        graft.ops.Stats.ksDriftBySlice(T(s, d, "documents"), "n_chars", "lang"),
+        "slice", "p_micro", qMicro = 50000L)),
+
     // per-cell adjusted residuals for the lang x source association —
     // which cells drive x_stats_chi2's one number (|r| > 2 flags)
     "x_stats_chi2_cells" -> ((s, d) =>
@@ -1612,6 +1636,99 @@ private[graft] object QueriesCore {
         |SELECT slice, v AS value, ties, pct_micro,
         |       CAST(mapped_value AS BIGINT) AS mapped_value
         |FROM m WHERE tag = 0""".stripMargin,
+
+    // Welch's t: exact long moments, then the identical double tree
+    // term by term (variance numerators are exact integers < 2^53)
+    "x_stats_welch" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val meanA = s"${dd("sa")} / ${dd("n_a")}"
+      val meanB = s"${dd("sb")} / ${dd("n_b")}"
+      val varA = s"(${dd("n_a")} * ${dd("qa")} - ${dd("sa")} * ${dd("sa")}) / (${dd("n_a")} * (${dd("n_a")} - 1.0))"
+      val varB = s"(${dd("n_b")} * ${dd("qb")} - ${dd("sb")} * ${dd("sb")}) / (${dd("n_b")} * (${dd("n_b")} - 1.0))"
+      val seA = s"(($varA) / ${dd("n_a")})"
+      val seB = s"(($varB) / ${dd("n_b")})"
+      val se2 = s"($seA + $seB)"
+      val t = s"(($meanA - $meanB) / sqrt($se2))"
+      val dfW = s"(($se2 * $se2) / ($seA * $seA / (${dd("n_a")} - 1.0) + $seB * $seB / (${dd("n_b")} - 1.0)))"
+      s"""WITH m AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n_chars END), 0) AS BIGINT) AS sa,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars END), 0) AS BIGINT) AS qa,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS n_b,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n_chars END), 0) AS BIGINT) AS sb,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n_chars * n_chars END), 0) AS BIGINT) AS qb
+         |  FROM documents WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh'))
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN ${graft.ops.Rounding.halfUpSql(meanA, 6)} END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN ${graft.ops.Rounding.halfUpSql(meanB, 6)} END AS mean_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN ${graft.ops.Rounding.halfUpSql(t, 6)} END AS t_welch,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN ${graft.ops.Rounding.halfUpSql(dfW, 6)} END AS df_welch
+         |FROM m""".stripMargin
+    },
+
+    // Spearman: doubled midranks from tie-group lattices (whole longs),
+    // exact HUGEINT moments cast to double, one Pearson expression
+    "x_stats_spearman" ->
+      s"""WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x, CAST(len($toksSql) AS BIGINT) AS y
+         |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         |rx AS (SELECT x, 2 * CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) - c + 1 AS rx FROM gx),
+         |gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         |ry AS (SELECT y, 2 * CAST(sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) - c + 1 AS ry FROM gy),
+         |j AS (SELECT rx.rx, ry.ry FROM b JOIN rx USING (x) JOIN ry USING (y)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+         |        CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+         |        CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+         |        CAST(sum(ry * ry) AS DOUBLE) AS syy
+         |      FROM j)
+         |SELECT n,
+         |  CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+         |            AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+         |       THEN ${graft.ops.Rounding.halfUpSql(
+                "(CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))", 6)}
+         |  END AS rho
+         |FROM m""".stripMargin,
+
+    // per-slice KS vs rest + the 8-term asymptotic series (left-to-
+    // right fold, micro-rounded), then exact-integer BH at q = 0.05
+    "x_stats_ks_fdr" ->
+      """WITH b AS (SELECT lang AS slice, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |c AS (SELECT slice, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |lat AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c GROUP BY 1),
+        |l2 AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumall,
+        |              CAST(sum(cv) OVER () AS BIGINT) AS n FROM lat),
+        |sl AS (SELECT slice, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |grid AS (SELECT sl.slice, sl.ns, l2.v, l2.cumall, l2.n, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        |         FROM sl CROSS JOIN l2 LEFT JOIN c ON c.slice = sl.slice AND c.v = l2.v),
+        |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY slice ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cums FROM grid),
+        |dd AS (SELECT slice, ns, n - ns AS nrest,
+        |         CAST(max(abs(cums * (n - ns) - (cumall - cums) * ns)) AS BIGINT) AS d
+        |       FROM cm GROUP BY 1, 2, 3),
+        |ag AS (SELECT slice, ns AS n_slice, nrest AS n_rest,
+        |         CAST(d AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(nrest AS DOUBLE)) AS dstat
+        |       FROM dd WHERE nrest > 0),
+        |lm AS (SELECT slice, n_slice, n_rest, dstat,
+        |         (sqrt(CAST(n_slice AS DOUBLE) * CAST(n_rest AS DOUBLE) / (CAST(n_slice AS DOUBLE) + CAST(n_rest AS DOUBLE))) + 0.12
+        |          + 0.11 / sqrt(CAST(n_slice AS DOUBLE) * CAST(n_rest AS DOUBLE) / (CAST(n_slice AS DOUBLE) + CAST(n_rest AS DOUBLE)))) * dstat AS lam
+        |       FROM ag),
+        |pv AS (SELECT slice,
+        |         greatest(0, least(1000000,
+        |           CAST(floor((exp(-2.0 * lam * lam) * 2.0 + exp(-8.0 * lam * lam) * 2.0 * -1.0
+        |             + exp(-18.0 * lam * lam) * 2.0 + exp(-32.0 * lam * lam) * 2.0 * -1.0
+        |             + exp(-50.0 * lam * lam) * 2.0 + exp(-72.0 * lam * lam) * 2.0 * -1.0
+        |             + exp(-98.0 * lam * lam) * 2.0 + exp(-128.0 * lam * lam) * 2.0 * -1.0) * 1000000.0 + 0.5) AS BIGINT))) AS p_micro
+        |       FROM lm),
+        |r AS (SELECT slice AS key, p_micro,
+        |        CAST(row_number() OVER (ORDER BY p_micro, slice) AS BIGINT) AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM pv),
+        |ct AS (SELECT max(CASE WHEN p_micro * m <= rank * 50000 THEN rank END) AS cut FROM r)
+        |SELECT r.key, r.p_micro, r.rank,
+        |       CAST((r.rank * 50000) // r.m AS BIGINT) AS bh_bound_micro,
+        |       (ct.cut IS NOT NULL AND r.rank <= ct.cut) AS rejected
+        |FROM r, ct""".stripMargin,
 
     // chi-square per-cell adjusted residuals over the same dense
     // lattice; e and the Haberman residual are the derived doubles

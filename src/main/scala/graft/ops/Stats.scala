@@ -1813,4 +1813,242 @@ object Stats {
             && col("precision_micro") + col("recall_micro") > 0,
           expr("(2 * precision_micro * recall_micro) div (precision_micro + recall_micro)")))
   }
+
+  /** Welch's unequal-variance t-test between two slices of an
+    * integral-valued metric column (the A/B gate for "did the new
+    * filter change mean doc length / score / cost"): t = (m_a − m_b) /
+    * √(s²_a/n_a + s²_b/n_b) with the Welch–Satterthwaite degrees of
+    * freedom. Means and sample variances derive from EXACT long
+    * moments (n, Σv, Σv²) — variance as (n·Σv² − (Σv)²) / (n·(n−1)),
+    * every numerator an exact integer — so both engines evaluate the
+    * identical double expression tree (the corrMatrix argument).
+    * n < 2 on either side, or zero pooled standard error (two
+    * constants), yields NULL t/df in-band. Output: (n_a, n_b, mean_a,
+    * mean_b, t_welch, df_welch) — doubles halfUp 6.
+    *
+    * Scale: ONE conditional hash aggregate over the corpus to a 1-row
+    * frame; nothing sorts, nothing shuffles beyond the partial-agg
+    * tree.
+    */
+  def welchTTest(
+      df: DataFrame, sliceCol: String, valueCol: String,
+      sliceA: String, sliceB: String): DataFrame = {
+    require(sliceA != sliceB, "welchTTest: slices must differ")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val s = Cleaning.qcol(sliceCol).cast("string")
+    val m = df.filter(v.isNotNull && (s === sliceA || s === sliceB))
+      .agg(
+        coalesce(sum(when(s === sliceA, 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(s === sliceA, v)), lit(0L)).as("__sa"),
+        coalesce(sum(when(s === sliceA, v * v)), lit(0L)).as("__qa"),
+        coalesce(sum(when(s === sliceB, 1L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(s === sliceB, v)), lit(0L)).as("__sb"),
+        coalesce(sum(when(s === sliceB, v * v)), lit(0L)).as("__qb"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val meanA = d(col("__sa")) / d(col("n_a"))
+    val meanB = d(col("__sb")) / d(col("n_b"))
+    // sample variance from exact integer numerators
+    val varA = (d(col("n_a")) * d(col("__qa")) - d(col("__sa")) * d(col("__sa"))) /
+      (d(col("n_a")) * (d(col("n_a")) - 1.0))
+    val varB = (d(col("n_b")) * d(col("__qb")) - d(col("__sb")) * d(col("__sb"))) /
+      (d(col("n_b")) * (d(col("n_b")) - 1.0))
+    val seA = varA / d(col("n_a"))
+    val seB = varB / d(col("n_b"))
+    val se2 = seA + seB
+    val t = (meanA - meanB) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (seA * seA / (d(col("n_a")) - 1.0) + seB * seB / (d(col("n_b")) - 1.0))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    m.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0, Rounding.halfUp(meanA, 6)).as("mean_a"),
+      when(col("n_b") > 0, Rounding.halfUp(meanB, 6)).as("mean_b"),
+      when(ok && se2 > 0, Rounding.halfUp(t, 6)).as("t_welch"),
+      when(ok && se2 > 0, Rounding.halfUp(dfW, 6)).as("df_welch"))
+  }
+
+  /** Distinct-value cap for [[spearmanCorr]]'s two rank lattices —
+    * each broadcasts back to the corpus, so it must stay
+    * summary-sized (band continuous columns first, the ksDrift
+    * contract). */
+  val MaxSpearmanValues = 100000L
+
+  /** Spearman rank correlation between two integral-valued columns —
+    * the monotone-association complement of [[corrMatrix]]'s Pearson
+    * (quality score vs doc length, model score vs human rank): Pearson
+    * over average ranks, ties handled by midranks. Ranks stay EXACT
+    * integers throughout by working with DOUBLED ranks (midrank of a
+    * tie group is a half-integer; its double `2·cum − ties + 1` is a
+    * whole long — the rocAuc trick), and the moment sums are exact
+    * DECIMAL(38,0) (doubled-rank products overflow a long past ~1.3M
+    * rows); the final Pearson is one double expression over those
+    * exact integers, identical in both engines. Rows with a NULL on
+    * either side drop (complete-case, the standard definition).
+    * Output: (n, rho) — rho halfUp 6, NULL when either side is
+    * constant (zero rank variance) or n < 2.
+    *
+    * Scale: two tie-group lattices (each ≤ [[MaxSpearmanValues]] by
+    * the in-plan guard, each broadcast back to the corpus) + ONE
+    * moments aggregate — the corpus is scanned twice (lattices) + once
+    * (moments) and never sorts.
+    */
+  def spearmanCorr(
+      df: DataFrame, xCol: String, yCol: String,
+      maxDistinctValues: Long = MaxSpearmanValues): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDistinctValues > 0, "spearmanCorr: maxDistinctValues must be positive")
+    val x = Cleaning.qcol(xCol).cast("long")
+    val y = Cleaning.qcol(yCol).cast("long")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+    def rankLattice(c: String, out: String): DataFrame = {
+      val wCum = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      base.groupBy(col(c)).agg(count(lit(1)).as("__t"))
+        .withColumn("__guard",
+          when(count(lit(1)).over(wAll) > maxDistinctValues,
+            raise_error(concat(lit(
+              s"spearmanCorr: more than $maxDistinctValues distinct values in '$c'" +
+                " — band the column first"), lit(""))).cast("long"))
+            .otherwise(col("__t")))
+        .withColumn("__cum", sum(col("__guard")).over(wCum))
+        // doubled average rank of the tie group: 2*cum - ties + 1
+        .select(col(c), (lit(2L) * col("__cum") - col("__t") + 1L).as(out))
+    }
+    val withRanks = base
+      .join(broadcast(rankLattice("__x", "__rx")), Seq("__x"))
+      .join(broadcast(rankLattice("__y", "__ry")), Seq("__y"))
+    val dec = "decimal(38,0)"
+    val m = withRanks.agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx").cast(dec)).as("__sx"),
+      sum(col("__ry").cast(dec)).as("__sy"),
+      sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"),
+      sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+      sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n = d(col("n"))
+    val cov = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val vx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val vy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    m.select(col("n"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        Rounding.halfUp(cov / (sqrt(vx) * sqrt(vy)), 6)).as("rho"))
+  }
+
+  /** Per-slice two-sample KS against the REST of the corpus, with the
+    * asymptotic p-value — the many-slice drift screen feeding
+    * [[bhReject]] (ksDrift answers "did THESE two slices drift";
+    * this answers "WHICH of my 200 domains drifted", FDR-controlled):
+    * per slice, D = max over the value lattice of |CDF_slice −
+    * CDF_rest| (exact integer cross-products, the ksDrift form), and
+    * p from the standard asymptotic series Q(λ) = 2·Σ_{k=1..8}
+    * (−1)^{k−1} e^{−2k²λ²} at λ = (√m + 0.12 + 0.11/√m)·D,
+    * m = n_a·n_b/(n_a+n_b) (Numerical-Recipes form; a fixed
+    * left-to-right 8-term fold, micro-rounded — the dpNoisyCounts
+    * exp/log parity class). Output per slice: (slice, n_slice,
+    * n_rest, d_micro, p_micro).
+    *
+    * Scale: ONE (slice, value) aggregate + a broadcast of the ≤cap
+    * value lattice replicated per slice (the quantileNormalize
+    * pattern — the per-slice window parallelizes across slices), and
+    * a |slices|-row rollup. The lattice cap guard rides in-plan.
+    */
+  def ksDriftBySlice(
+      df: DataFrame, valueCol: String, sliceCol: String,
+      maxDistinctValues: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDistinctValues > 0, "ksDriftBySlice: maxDistinctValues must be positive")
+    val v = Cleaning.toNumeric(Cleaning.qcol(valueCol))
+    val s = Cleaning.qcol(sliceCol).cast("string")
+    val counts = df.filter(v.isNotNull && s.isNotNull)
+      .groupBy(s.as("slice"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wLat = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    // global value lattice with pooled cumulative counts; the cap
+    // guard rides inside the consumed cumulative input (the ksDrift
+    // broadcast-totals form — a window nested in a window argument is
+    // not expressible)
+    val latCounts = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val tot = latCounts.agg(count(lit(1)).as("__nv"),
+      coalesce(sum(col("__cv")), lit(0L)).as("__n"))
+    val guarded = when(col("__nv") > maxDistinctValues,
+      raise_error(concat(lit(
+        s"ksDriftBySlice: value lattice exceeds $maxDistinctValues distinct values"),
+        lit(" — band the column first"))).cast("long"))
+      .otherwise(col("__cv"))
+    val lattice = latCounts.crossJoin(broadcast(tot))
+      .withColumn("__cumall", sum(guarded).over(wLat))
+    val slices = counts.groupBy(col("slice")).agg(sum(col("__c")).as("n_slice"))
+    // replicate the bounded lattice into every slice's partition
+    val grid = slices.crossJoin(broadcast(
+        lattice.select(col("__v"), col("__cumall"), col("__n"))))
+      .join(counts, Seq("slice", "__v"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val wCum = Window.partitionBy(col("slice")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("__cums", sum(col("__c")).over(wCum))
+      .withColumn("__nrest", col("__n") - col("n_slice"))
+      // |CDF_s - CDF_rest| in exact integer cross-products
+      .withColumn("__dd", abs(
+        col("__cums") * col("__nrest") -
+          (col("__cumall") - col("__cums")) * col("n_slice")))
+    val agg = cum.groupBy(col("slice"))
+      .agg(first(col("n_slice")).as("n_slice"),
+        first(col("__nrest")).as("n_rest"),
+        max(col("__dd")).as("__d"))
+      .filter(col("n_rest") > 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dStat = d(col("__d")) / (d(col("n_slice")) * d(col("n_rest")))
+    val em = sqrt(d(col("n_slice")) * d(col("n_rest")) /
+      (d(col("n_slice")) + d(col("n_rest"))))
+    val lam = (em + lit(0.12) + lit(0.11) / em) * dStat
+    // fixed left-to-right 8-term fold (both engines evaluate the
+    // identical tree; micro-rounding absorbs last-ulp exp variance)
+    val q = (1 to 8).map { k =>
+      val term = exp(lit(-2.0 * k * k) * lam * lam) * lit(2.0)
+      if (k % 2 == 1) term else term * lit(-1.0)
+    }.reduce(_ + _)
+    agg.select(col("slice"), col("n_slice"), col("n_rest"),
+      floor(dStat * lit(1000000.0) + lit(0.5)).cast("long").as("d_micro"),
+      greatest(lit(0L), least(lit(1000000L),
+        floor(q * lit(1000000.0) + lit(0.5)).cast("long"))).as("p_micro"))
+  }
+
+  /** Benjamini–Hochberg FDR selection over a table of test p-values
+    * (the [[ksDriftBySlice]] epilogue, and any other family of
+    * simultaneous tests): sort p ascending (key breaks ties), reject
+    * every test at rank ≤ the LARGEST i with p_i·m ≤ i·q — all in
+    * exact integer arithmetic on micro units. Output: (key, p_micro,
+    * rank, bh_bound_micro = ⌊rank·q/m⌋, rejected).
+    *
+    * Scale: the input is a TEST table (one row per hypothesis —
+    * slices, metrics), summary-sized by nature; the global-order
+    * window rides that lattice, never a corpus (the repo's
+    * summary-window convention).
+    */
+  def bhReject(
+      tests: DataFrame, keyCol: String, pMicroCol: String,
+      qMicro: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qMicro > 0 && qMicro <= 1000000L,
+      s"bhReject: qMicro must be in (0, 1e6], got $qMicro")
+    val k = Cleaning.qcol(keyCol)
+    val p = Cleaning.qcol(pMicroCol).cast("long")
+    val base = tests.filter(k.isNotNull && p.isNotNull)
+      .select(k.as("key"), p.as("p_micro"))
+    val wRank = Window.orderBy(col("p_micro"), col("key"))
+    val wAll = Window.partitionBy()
+    val ranked = base
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__hit",
+        when(col("p_micro") * col("__m") <= col("rank") * lit(qMicro),
+          col("rank")))
+    ranked
+      .withColumn("__cut", max(col("__hit")).over(wAll))
+      .select(col("key"), col("p_micro"), col("rank"),
+        expr(s"(rank * $qMicro) div __m").as("bh_bound_micro"),
+        (col("__cut").isNotNull && col("rank") <= col("__cut")).as("rejected"))
+  }
 }

@@ -710,4 +710,81 @@ class StatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Stats.prAtThresholds(df, "slice", "label", "score", Seq(1L, 1L)))
   }
+
+  test("welchTTest: hand-checked two-sample t; degenerate sides go NULL in-band") {
+    // a = {1,2,3,4,5}: mean 3, var 2.5; b = {10,12,14}: mean 12, var 4
+    // se2 = 2.5/5 + 4/3 = 1.8333...; t = -9/sqrt(se2) = -6.646941
+    // df = se2^2 / (0.25/4 + (4/3)^2/2) = 3.532847 (Welch-Satterthwaite)
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map(("a", _)) ++
+      Seq(10L, 12L, 14L).map(("b", _))).toDF("s", "v")
+    val r = Stats.welchTTest(df, "s", "v", "a", "b").head()
+    assert(r.getAs[Long]("n_a") === 5L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("mean_a") === 3.0 && r.getAs[Double]("mean_b") === 12.0)
+    assert(math.abs(r.getAs[Double]("t_welch") - -6.646941) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df_welch") - 3.532847) < 1e-5)
+    // n < 2 on one side, or two constants (zero pooled se): NULL t/df
+    val tiny = Seq(("a", 1L), ("b", 5L), ("b", 6L)).toDF("s", "v")
+    val r2 = Stats.welchTTest(tiny, "s", "v", "a", "b").head()
+    assert(r2.isNullAt(r2.fieldIndex("t_welch")))
+    val const = Seq(("a", 2L), ("a", 2L), ("b", 2L), ("b", 2L)).toDF("s", "v")
+    val r3 = Stats.welchTTest(const, "s", "v", "a", "b").head()
+    assert(r3.isNullAt(r3.fieldIndex("t_welch")))
+  }
+
+  test("spearmanCorr: monotone = 1, anti-monotone = -1, ties via midranks") {
+    val mono = Seq((1L, 10L), (2L, 40L), (3L, 90L), (4L, 95L)).toDF("x", "y")
+    assert(Stats.spearmanCorr(mono, "x", "y").head().getAs[Double]("rho") === 1.0)
+    val anti = Seq((1L, 90L), (2L, 40L), (3L, 10L)).toDF("x", "y")
+    assert(Stats.spearmanCorr(anti, "x", "y").head().getAs[Double]("rho") === -1.0)
+    // ties: x = (1,2,2,3), y = (1,2,3,4): midrank x = (1, 2.5, 2.5, 4)
+    // vs y = (1,2,3,4) -> rho = 0.9486832980... (hand-checked Pearson)
+    val tied = Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val rho = Stats.spearmanCorr(tied, "x", "y").head().getAs[Double]("rho")
+    assert(math.abs(rho - 0.948683) < 1e-6)
+    // constant side -> NULL (zero rank variance)
+    val const = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
+    assert(Stats.spearmanCorr(const, "x", "y").head().isNullAt(1))
+  }
+
+  test("ksDriftBySlice + bhReject: the planted drifter is the one rejected") {
+    // "a" and "b" are two big IDENTICAL-distribution slices; "hi" is a
+    // small completely-separated drifter (its contamination of "rest"
+    // leaves a's/b's D at ~10/410 — far under any rejection bound)
+    val df = ((1 to 200).map(i => ("a", (i % 10).toLong)) ++
+      (1 to 200).map(i => ("b", (i % 10).toLong)) ++
+      (1 to 10).map(_ => ("hi", 1000L))).toDF("s", "v")
+    val ks = Stats.ksDriftBySlice(df, "v", "s")
+    val byS = ks.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(byS.keySet === Set("a", "b", "hi"))
+    // hi vs rest: completely separated -> D = 1.0, p ~ 0
+    assert(byS("hi")._3 === 1000000L)
+    assert(byS("hi")._4 < 1000L)
+    assert(byS("a")._4 > 500000L, s"identical-distribution slice must not drift: $byS")
+    val bh = Stats.bhReject(ks, "slice", "p_micro", qMicro = 50000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(bh("hi"), "the planted drifter must be rejected")
+    assert(!bh("a") && !bh("b"), s"the shared-range slices must survive: $bh")
+  }
+
+  test("bhReject: step-up property — a large p under the cut is still rejected") {
+    // m = 4, q = 0.25: p = (10000, 200000, 240000, 900000) micro
+    // bounds i*q/m = (62500, 125000, 187500, 250000): checks are
+    // p1<=b1 T, p2<=b2 F, p3<=b3 F... p3=240000 <= 187500 F;
+    // p4 <= 250000 F -> cut = 1: only the smallest rejected.
+    val t1 = Seq(("w", 10000L), ("x", 200000L), ("y", 240000L), ("z", 900000L))
+      .toDF("k", "p")
+    val got1 = Stats.bhReject(t1, "k", "p", qMicro = 250000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(got1 === Map("w" -> true, "x" -> false, "y" -> false, "z" -> false))
+    // now sorted p = (10000, 185000, 187000, 900000): rank-2's
+    // 185000 > 125000 FAILS its own bound, but rank-3's 187000 <=
+    // 187500 passes -> cut = 3 rejects rank 2 TOO (the step-up
+    // property a per-test threshold would miss)
+    val t2 = Seq(("w", 10000L), ("x", 187000L), ("y", 185000L), ("z", 900000L))
+      .toDF("k", "p")
+    val got2 = Stats.bhReject(t2, "k", "p", qMicro = 250000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(got2 === Map("w" -> true, "x" -> true, "y" -> true, "z" -> false))
+  }
 }
