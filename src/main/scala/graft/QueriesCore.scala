@@ -649,6 +649,34 @@ private[graft] object QueriesCore {
         graft.ops.Stats.ksDriftBySlice(T(s, d, "documents"), "n_chars", "lang"),
         "slice", "p_micro", qMicro = 50000L)),
 
+    // Poisson-bootstrap CI on mean order value per priority: all 64
+    // replicates ride ONE corpus aggregate (2R+2 conditional sums,
+    // codegen'd threshold chains) — the oracle explodes rows x R, the
+    // engine never fans out; percentile CI from the R-row lattice
+    "x_stats_bootstrap" -> ((s, d) =>
+      graft.ops.Stats.bootstrapMeanCI(
+        T(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)").as("cents")),
+        "o_orderpriority", "cents", "o_orderkey")),
+
+    // KMV corpus-overlap: even-id docs vs odd-id docs by text hash —
+    // distinct/union/intersection/Jaccard WITHOUT a join; each side
+    // reduces to its 256 smallest distinct portable hashes map-side
+    "x_stats_kmv" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      graft.ops.Stats.kmvOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", k = 256)
+    }),
+
+    // pairwise KMV overlap matrix across language slices: which
+    // sources feed the same content — one k-bounded sketch per slice,
+    // |slices|^2/2 pair table, corpora never join
+    "x_stats_kmv_matrix" -> ((s, d) =>
+      graft.ops.Stats.kmvOverlapMatrix(T(s, d, "documents"),
+        "lang", "text", k = 128)),
+
     // per-cell adjusted residuals for the lang x source association —
     // which cells drive x_stats_chi2's one number (|r| > 2 flags)
     "x_stats_chi2_cells" -> ((s, d) =>
@@ -1636,6 +1664,154 @@ private[graft] object QueriesCore {
         |SELECT slice, v AS value, ties, pct_micro,
         |       CAST(mapped_value AS BIGINT) AS mapped_value
         |FROM m WHERE tag = 0""".stripMargin,
+
+    // Poisson bootstrap: the oracle replays the SAME portable affine
+    // hash, per-replica multipliers and Poisson thresholds (Scala
+    // literals interpolated, never re-derived) — but explodes rows x R
+    // where the engine carries 2R+2 conditional sums in one aggregate
+    "x_stats_bootstrap" -> {
+      val p = graft.functions.PortableHash.P
+      val ms = graft.ops.Stats.bootstrapMultipliers(64, 0L)
+      val ts = graft.ops.Stats.PoissonThresholdsP
+      val mvals = ms.zipWithIndex.map { case (m, r) => s"($r, $m)" }.mkString(", ")
+      val whenParts = ts.zipWithIndex.map { case (t, i) => s"WHEN u < $t THEN $i" }.mkString(" ")
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS grp,
+         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+         |         ((o_orderkey % $p + $p) % $p * 514229 + 741103) % $p AS h
+         |  FROM orders
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+         |    AND o_orderkey IS NOT NULL),
+         |m AS (SELECT * FROM (VALUES $mvals) t(r, mul)),
+         |draws AS (SELECT grp, x, r, ((h + 1) * mul + r) % $p AS u
+         |          FROM base CROSS JOIN m),
+         |cnt AS (SELECT grp, r, x, CASE $whenParts ELSE 8 END AS c FROM draws),
+         |rep AS (SELECT grp, r, CAST(sum(c * x) AS BIGINT) AS s2,
+         |               CAST(sum(c) AS BIGINT) AS nr
+         |        FROM cnt GROUP BY 1, 2),
+         |live AS (SELECT grp, r,
+         |           CASE WHEN s2 < 0 THEN -((-s2 * 1000000) // nr)
+         |                ELSE (s2 * 1000000) // nr END AS mm
+         |         FROM rep WHERE nr > 0),
+         |rk AS (SELECT grp, r, mm,
+         |         row_number() OVER (PARTITION BY grp ORDER BY mm, r) AS rk,
+         |         count(*) OVER (PARTITION BY grp) AS nl
+         |       FROM live),
+         |ci AS (SELECT grp,
+         |         min(CASE WHEN rk = (nl * 5) // 200 + 1 THEN mm END) AS ci_lo,
+         |         min(CASE WHEN rk = nl - (nl * 5) // 200 THEN mm END) AS ci_hi,
+         |         max(nl) AS n_live
+         |       FROM rk GROUP BY 1),
+         |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(x) AS BIGINT) AS sx
+         |        FROM base GROUP BY 1)
+         |SELECT tot.grp AS o_orderpriority, tot.n,
+         |       CAST(CASE WHEN sx < 0 THEN -((-sx * 1000000) // n)
+         |            ELSE (sx * 1000000) // n END AS BIGINT) AS mean_micro,
+         |       CAST(ci_lo AS BIGINT) AS ci_lo_micro,
+         |       CAST(ci_hi AS BIGINT) AS ci_hi_micro,
+         |       CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live
+         |FROM tot LEFT JOIN ci USING (grp)""".stripMargin
+    },
+
+    // KMV overlap: k smallest distinct poly-hashes per side via
+    // ORDER BY + LIMIT (the oracle may sort; the engine's aggregate
+    // never does), then the same integer estimator arithmetic
+    "x_stats_kmv" -> {
+      val kk = 256
+      val numer = (kk - 1).toLong * 2147483647L
+      s"""WITH ha AS (SELECT DISTINCT ${polyHashSqlOf("text")} AS h
+         |      FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |hb AS (SELECT DISTINCT ${polyHashSqlOf("text")} AS h
+         |      FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         |sa AS (SELECT h FROM ha ORDER BY h LIMIT $kk),
+         |sb AS (SELECT h FROM hb ORDER BY h LIMIT $kk),
+         |f AS (SELECT (SELECT count(*) FROM sa) AS ka,
+         |             (SELECT count(*) FROM sb) AS kb),
+         |fx AS (SELECT ka, kb, (ka < $kk AND kb < $kk) AS ex FROM f),
+         |mu AS (SELECT DISTINCT h FROM
+         |        (SELECT h FROM sa UNION ALL SELECT h FROM sb)),
+         |mg AS (SELECT h FROM mu ORDER BY h LIMIT $kk),
+         |cand AS (SELECT h FROM mu WHERE (SELECT ex FROM fx)
+         |         UNION ALL
+         |         SELECT h FROM mg WHERE NOT (SELECT ex FROM fx)),
+         |jj AS (SELECT count(*) AS j FROM cand
+         |       JOIN sa USING (h) JOIN sb USING (h)),
+         |e1 AS (SELECT fx.ka, fx.kb, fx.ex, jj.j,
+         |         CASE WHEN fx.ka < $kk THEN fx.ka
+         |              ELSE $numer // (SELECT max(h) FROM sa) END AS ea,
+         |         CASE WHEN fx.kb < $kk THEN fx.kb
+         |              ELSE $numer // (SELECT max(h) FROM sb) END AS eb,
+         |         CASE WHEN fx.ex THEN (SELECT count(*) FROM mu)
+         |              ELSE $numer // (SELECT max(h) FROM mg) END AS eu
+         |       FROM fx, jj),
+         |e2 AS (SELECT *,
+         |         CASE WHEN ex THEN j ELSE (j * eu) // $kk END AS ei
+         |       FROM e1)
+         |SELECT CAST($kk AS BIGINT) AS k,
+         |       CAST(ka AS BIGINT) AS n_a_kept, CAST(kb AS BIGINT) AS n_b_kept,
+         |       CAST(ea AS BIGINT) AS est_distinct_a,
+         |       CAST(eb AS BIGINT) AS est_distinct_b,
+         |       CAST(eu AS BIGINT) AS est_union,
+         |       CAST(ei AS BIGINT) AS est_intersect,
+         |       CAST(CASE WHEN eu > 0 THEN (ei * 1000000) // eu END AS BIGINT)
+         |         AS jaccard_micro,
+         |       ex AS exact
+         |FROM e2""".stripMargin
+    },
+
+    // KMV matrix: per-slice k smallest distinct hashes via a ranked
+    // window, pair CTEs replaying the same estimator per (sa, sb)
+    "x_stats_kmv_matrix" -> {
+      val kk = 128
+      val numer = (kk - 1).toLong * 2147483647L
+      s"""WITH h0 AS (SELECT CAST(lang AS VARCHAR) AS s, ${polyHashSqlOf("text")} AS h
+         |      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+         |      GROUP BY 1, 2),
+         |r AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM h0),
+         |sk AS (SELECT s, h FROM r WHERE rn <= $kk),
+         |c AS (SELECT s, count(*) AS ks FROM sk GROUP BY 1),
+         |p AS (SELECT a.s AS sa, a.ks AS ka, b.s AS sb, b.ks AS kb,
+         |             (a.ks < $kk AND b.ks < $kk) AS ex
+         |      FROM c a JOIN c b ON a.s < b.s),
+         |u AS (SELECT DISTINCT p.sa, p.sb, x.h
+         |      FROM p JOIN sk x ON x.s = p.sa OR x.s = p.sb),
+         |ur AS (SELECT sa, sb, h,
+         |         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY sa, sb) AS nmu
+         |       FROM u),
+         |tau AS (SELECT sa, sb, max(CASE WHEN rn <= $kk THEN h END) AS tu,
+         |               max(nmu) AS nmu FROM ur GROUP BY 1, 2),
+         |cand AS (SELECT ur.sa, ur.sb, ur.h
+         |         FROM ur JOIN p ON p.sa = ur.sa AND p.sb = ur.sb
+         |         WHERE p.ex OR ur.rn <= $kk),
+         |jj AS (SELECT c2.sa, c2.sb, count(*) AS j
+         |       FROM cand c2 JOIN sk x ON x.s = c2.sa AND x.h = c2.h
+         |                    JOIN sk y ON y.s = c2.sb AND y.h = c2.h
+         |       GROUP BY 1, 2),
+         |ta AS (SELECT s, max(h) AS t FROM sk GROUP BY 1),
+         |e1 AS (SELECT p.sa, p.sb, p.ka, p.kb, p.ex,
+         |         COALESCE(jj.j, 0) AS j,
+         |         CASE WHEN p.ka < $kk THEN p.ka ELSE $numer // taA.t END AS ea,
+         |         CASE WHEN p.kb < $kk THEN p.kb ELSE $numer // taB.t END AS eb,
+         |         CASE WHEN p.ex THEN tau.nmu ELSE $numer // tau.tu END AS eu
+         |       FROM p JOIN tau ON tau.sa = p.sa AND tau.sb = p.sb
+         |              JOIN ta taA ON taA.s = p.sa
+         |              JOIN ta taB ON taB.s = p.sb
+         |              LEFT JOIN jj ON jj.sa = p.sa AND jj.sb = p.sb),
+         |e2 AS (SELECT *, CASE WHEN ex THEN j ELSE (j * eu) // $kk END AS ei
+         |       FROM e1)
+         |SELECT sa AS slice_a, sb AS slice_b,
+         |       CAST(ka AS BIGINT) AS n_a_kept, CAST(kb AS BIGINT) AS n_b_kept,
+         |       CAST(ea AS BIGINT) AS est_distinct_a,
+         |       CAST(eb AS BIGINT) AS est_distinct_b,
+         |       CAST(eu AS BIGINT) AS est_union,
+         |       CAST(ei AS BIGINT) AS est_intersect,
+         |       CAST(CASE WHEN eu > 0 THEN (ei * 1000000) // eu END AS BIGINT)
+         |         AS jaccard_micro,
+         |       ex AS exact
+         |FROM e2""".stripMargin
+    },
 
     // Welch's t: exact long moments, then the identical double tree
     // term by term (variance numerators are exact integers < 2^53)

@@ -120,6 +120,21 @@ private[graft] object QueriesGraph {
       Dedup.clusters(nodes, "node", pairs)
     }),
 
+    // fixed-budget k-core peel: the dense-subgraph (spam-ring) pull —
+    // nodes propped by >= k surviving neighbors after 6 cascade
+    // rounds; in_core = the convergence certificate
+    "x_graph_kcore" -> ((s, d) =>
+      graft.scale.Graph.kCore(graphEdges(s, d), "src", "dst",
+        k = 10, rounds = 6)),
+
+    // exact triangle census + local clustering coefficient: the
+    // neighborhood-density signal beside LPA's communities — a
+    // high-degree node whose neighbors never link each other is the
+    // directory-shell / link-farm shape; degree-ordered orientation
+    // keeps the wedge join arboricity-bounded
+    "x_graph_triangles" -> ((s, d) =>
+      graft.scale.Graph.triangles(graphEdges(s, d), "src", "dst")),
+
     // TrustRank: teleport restricted to a trusted seed set (every 7th
     // domain); non-seed domains earn rank ONLY through damped links
     // from the trusted region
@@ -274,6 +289,62 @@ private[graft] object QueriesGraph {
         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
         |SELECT n.node AS id, coalesce(l.cluster, n.node) AS cluster
         |FROM nodes n LEFT JOIN lbls l ON n.node = l.rid""".stripMargin,
+
+    // k-core: the peel unrolled round by round (degree >= k on the
+    // SURVIVING subgraph, both endpoints must survive) — the LPA/rank
+    // fixed-iteration replay pattern
+    "x_graph_kcore" -> {
+      val (kk, rounds) = (10, 6)
+      val chain = (1 to rounds).map { i =>
+        s"""kp$i AS (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= $kk),
+           |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+           |        JOIN kp$i x ON e.a = x.a JOIN kp$i y ON e.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e00 AS (SELECT doc_id % 64 AS a, (doc_id * 31 + n_chars) % 64 AS b
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+         |    AND doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+         |e0 AS (SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM e00 UNION ALL SELECT b AS a, a AS b FROM e00)),
+         |$chain
+         |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree,
+         |       count(*) >= $kk AS in_core
+         |FROM e$rounds GROUP BY 1""".stripMargin
+    },
+
+    // triangles: the same degree-ordered orientation replayed — pack
+    // key degree*2^31 + node, wedges at the lowest-order corner,
+    // closure on the oriented (b, c) edge; `//` = Spark `div` on the
+    // non-negative operands
+    "x_graph_triangles" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 64 AS a, (doc_id * 31 + n_chars) % 64 AS b
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND doc_id % 64 <> (doc_id * 31 + n_chars) % 64),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |          (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |k AS (SELECT node, degree * 2147483648 + node AS kk FROM deg),
+        |d AS (SELECT CASE WHEN ku.kk < kv.kk THEN und.u ELSE und.v END AS lo,
+        |             CASE WHEN ku.kk < kv.kk THEN und.v ELSE und.u END AS hi,
+        |             CASE WHEN ku.kk < kv.kk THEN kv.kk ELSE ku.kk END AS khi
+        |      FROM und JOIN k ku ON und.u = ku.node JOIN k kv ON und.v = kv.node),
+        |w AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+        |      FROM d x JOIN d y ON x.lo = y.lo AND x.khi < y.khi),
+        |t AS (SELECT w.a, w.b, w.c FROM w JOIN d ON d.lo = w.b AND d.hi = w.c),
+        |corners AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT a AS node FROM t
+        |   UNION ALL SELECT b FROM t
+        |   UNION ALL SELECT c FROM t) GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |       CAST(COALESCE(corners.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(CASE WHEN deg.degree >= 2
+        |          THEN (2000000 * COALESCE(corners.n_tri, 0))
+        |               // (deg.degree * (deg.degree - 1))
+        |          ELSE NULL END AS BIGINT) AS lcc_micro
+        |FROM deg LEFT JOIN corners USING (node)""".stripMargin,
 
     // rank-tier curation compose: top-2-tier domains keep their docs,
     // token budget per source (the tier table is the broadcast side)

@@ -531,4 +531,95 @@ object Aggregates {
     GraftBridge.column(
       SpaceSavingTopK(GraftBridge.expr(value), capacity, outputK)
         .toAggregateExpression())
+
+  /** KMV (k-minimum-values) distinct sketch: the k smallest DISTINCT
+    * hash values seen, as an ascending long array — the state behind
+    * [[graft.ops.Stats.kmvOverlap]]'s union/intersection/Jaccard
+    * estimates (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD'07).
+    *
+    * Why an aggregate and not `distinct().orderBy().limit(k)`: the
+    * latter shuffles EVERY distinct hash to dedupe before the head;
+    * this buffer dedupes and trims map-side, so the shuffle carries at
+    * most k longs per partition — a 100 TB corpus reduces to one
+    * k-sized row. Buffer is a sorted set capped at k (inserts past the
+    * cap evict the max); dedup makes merge idempotent, so partial
+    * aggregation and AQE re-merges are safe. Exactness falls out: a
+    * final sketch smaller than k IS the complete distinct hash set.
+    */
+  case class KmvSketch(
+      valueExpr: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    require(k > 0, s"k must be > 0, got $k")
+
+    override def children: Seq[Expression] = Seq(valueExpr)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongInputs("kmv_sketch", Seq("value" -> valueExpr))
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+      if (buf.size < k) { buf.add(v); () }
+      else if (v < buf.last()) { buf.add(v); if (buf.size > k) buf.pollLast(); () }
+    }
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = valueExpr.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(
+        b1: java.util.TreeSet[java.lang.Long], b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b2.iterator()
+      while (it.hasNext) add(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(valueExpr = newChildren(0))
+    override def prettyName: String = "kmv_sketch"
+  }
+
+  /** agg-ready Column: ascending array of the k smallest distinct
+    * LONG hash values (size < k means the exact distinct set).
+    */
+  def kmvSketch(value: Column, k: Int): Column =
+    GraftBridge.column(
+      KmvSketch(GraftBridge.expr(value), k).toAggregateExpression())
 }

@@ -2051,4 +2051,249 @@ object Stats {
         expr(s"(rank * $qMicro) div __m").as("bh_bound_micro"),
         (col("__cut").isNotNull && col("rank") <= col("__cut")).as("rejected"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds in [[graft.functions.PortableHash.P]]
+    * units: replicate membership count = index of the first threshold
+    * ABOVE the per-(key, replica) uniform, capped at 8 (P(X >= 8) ~
+    * 1e-5 truncated — the standard tail cut). Computed ONCE here and
+    * interpolated literally into the oracle SQL (never re-derived). */
+  val PoissonThresholdsP: Seq[Long] = {
+    val p = graft.functions.PortableHash.P
+    var cdf = 0.0
+    var fact = 1.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.floor(cdf * p).toLong
+    }
+  }
+
+  /** Per-replica decorrelation multipliers for [[bootstrapMeanCI]]:
+    * one affine-hash round of (seed, r), pinned driver-side so the
+    * oracle embeds the identical literals. Zero (u would collapse to
+    * the replica constant) bumps to 1. */
+  def bootstrapMultipliers(replicas: Int, seed: Long): Seq[Long] = {
+    val p = graft.functions.PortableHash.P
+    val s0 = java.lang.Math.floorMod(seed, p)
+    (0 until replicas).map { r =>
+      val m = ((s0 * 8191L + r) % p * graft.functions.PortableHash.MulA +
+        graft.functions.PortableHash.AddB) % p
+      if (m == 0L) 1L else m
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * error bar on ANY corpus average (mean doc quality, mean order
+    * value, mean tokens/doc) without resampling passes: classical
+    * bootstrap re-draws the corpus R times, which is R full scans; the
+    * Poisson approximation (each row enters replicate r Poisson(1)
+    * times, Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams") collapses all R replicates into ONE aggregate, because
+    * a row's R membership counts are pure functions of its key.
+    *
+    * Determinism/parity: the per-(key, replica) uniform is one
+    * multiplicative round over the portable affine hash — u = ((h+1) *
+    * m_r + r) mod P with per-replica multipliers pinned at plan build
+    * ([[bootstrapMultipliers]]) — and the Poisson draw is a fixed
+    * integer threshold chain ([[PoissonThresholdsP]]), so every count,
+    * sum, and replicate mean is exact integer arithmetic both engines
+    * replay bit-identically. Replicate and overall means are
+    * sign-factored truncating division (micro units), so negative
+    * value columns stay engine-exact too. The percentile-method CI
+    * takes order statistics rank floor(live * alphaPct / 200) + 1 and
+    * live − floor(live * alphaPct / 200) among the live (nonzero-mass)
+    * replicate means, ties broken by replica id.
+    *
+    * Output per group: (group, n, mean_micro, ci_lo_micro, ci_hi_micro,
+    * n_live) — n_live = replicates with nonzero mass (all R at any
+    * realistic group size; a group so small that a replicate draws
+    * empty simply drops that replicate, the standard treatment).
+    *
+    * Scale: ONE corpus hash aggregate carrying 2R+2 conditional sums
+    * (codegen'd threshold chains, no row fan-out — the oracle explodes
+    * rows x R; the engine never does) to |groups| rows, then an R-row
+    * per-group lattice: explode, one bounded window (partitioned BY
+    * GROUP, frame = R replicate means), one |groups|-row join. Long
+    * overflow guard is ANSI: sum(x)*1e6 must fit a long — rescale the
+    * value column upstream past ~9e12 micro-mass per group (the BT
+    * countDiv move).
+    */
+  def bootstrapMeanCI(
+      df: DataFrame, groupCol: String, valueCol: String, keyCol: String,
+      replicas: Int = 64, alphaPct: Int = 5, seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(replicas >= 4 && replicas <= 512,
+      s"bootstrapMeanCI: replicas must be in [4, 512], got $replicas")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapMeanCI: alphaPct must be in [1, 50], got $alphaPct")
+    val kt = df.schema(keyCol).dataType.typeName
+    require(Seq("long", "integer", "short", "byte").contains(kt),
+      s"bootstrapMeanCI: key column '$keyCol' must be integral (got $kt) — " +
+        "a non-integral key would not hash portably")
+    val p = graft.functions.PortableHash.P
+    val g = Cleaning.qcol(groupCol)
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val base = df
+      .filter(g.isNotNull && v.isNotNull && Cleaning.qcol(keyCol).isNotNull)
+      .select(g.as("grp"), v.as("x"),
+        graft.functions.PortableHash.affineHash(Cleaning.qcol(keyCol)).as("__h"))
+    val ms = bootstrapMultipliers(replicas, seed)
+    val ts = PoissonThresholdsP
+    def poisson(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val first = when(u < ts.head, lit(0L))
+      ts.tail.zipWithIndex.foldLeft(first) { case (w, (t, i)) =>
+        w.when(u < t, lit(i + 1L))
+      }.otherwise(lit(ts.size.toLong))
+    }
+    val sums = (0 until replicas).flatMap { r =>
+      val c = poisson(pmod((col("__h") + 1L) * ms(r) + r, lit(p)))
+      Seq(coalesce(sum(c * col("x")), lit(0L)).as(s"__s_$r"),
+        coalesce(sum(c), lit(0L)).as(s"__n_$r"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n"),
+      coalesce(sum(col("x")), lit(0L)).as("__sx")) ++ sums
+    val agg = base.groupBy(col("grp"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint() // |groups| rows, read by totals AND the melt
+    val reps = (0 until replicas).map(r =>
+      struct(lit(r.toLong).as("r"), col(s"__s_$r").as("s"), col(s"__n_$r").as("nr")))
+    val live = agg
+      .select(col("grp"), explode(array(reps: _*)).as("__e"))
+      .select(col("grp"), col("__e.r").as("r"), col("__e.s").as("s"),
+        col("__e.nr").as("nr"))
+      .filter(col("nr") > 0L)
+      .select(col("grp"), col("r"),
+        expr("CASE WHEN s < 0 THEN -((-s * 1000000L) div nr) " +
+          "ELSE (s * 1000000L) div nr END").as("m"))
+    val wG = Window.partitionBy(col("grp")).orderBy(col("m"), col("r"))
+    val wAll = Window.partitionBy(col("grp"))
+    val ranked = live
+      .withColumn("rk", row_number().over(wG).cast("long"))
+      .withColumn("nl", count(lit(1)).over(wAll))
+    val loRk = expr(s"(nl * $alphaPct) div 200") + lit(1L)
+    val hiRk = col("nl") - expr(s"(nl * $alphaPct) div 200")
+    val ci = ranked.groupBy(col("grp")).agg(
+      min(when(col("rk") === loRk, col("m"))).as("ci_lo_micro"),
+      min(when(col("rk") === hiRk, col("m"))).as("ci_hi_micro"),
+      max(col("nl")).as("n_live"))
+    agg
+      .select(col("grp"), col("n"),
+        expr("CASE WHEN __sx < 0 THEN -((-__sx * 1000000L) div n) " +
+          "ELSE (__sx * 1000000L) div n END").as("mean_micro"))
+      .join(ci, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+  }
+
+  /** KMV corpus-overlap estimate — "how much of crawl B is already in
+    * crawl A" WITHOUT joining the corpora: each side reduces to its k
+    * smallest distinct key-hash values
+    * ([[graft.functions.Aggregates.kmvSketch]] — shuffle carries at
+    * most k longs per partition), and distinct-count / union /
+    * intersection / Jaccard estimates fall out of the two k-sized
+    * arrays (Beyer et al., SIGMOD'07): distinct ~ (k−1)·M / τ_k with
+    * τ_k the k-th smallest hash over the space [0, M); intersection ~
+    * (j/k)·U where j counts the k smallest UNION hashes present in
+    * both sketches. When BOTH sides hold fewer than k distinct hashes
+    * the sketches ARE the complete hash sets and every output is
+    * exact (`exact = true`) — the property the spec pins.
+    *
+    * The key hashes through the portable 31-base polynomial
+    * ([[graft.functions.PortableHash.polyHash31]]) so a DuckDB oracle
+    * replays it; its 31-bit range means hash collisions start biasing
+    * the estimate low near ~2^16 distinct keys (birthday bound) — at
+    * production scale swap in `xxhash64` and a 2^63 space (same
+    * estimator, wider M; the oracle config keeps the portable kernel,
+    * the stub-vs-real codec pattern).
+    *
+    * Scale: ONE aggregate pass per side (k-bounded map-side state), a
+    * 1-row × 1-row cross join, and array math over ≤ 2k elements —
+    * the corpora never co-shuffle. Estimator error is the standard
+    * KMV bound (~1/√k relative for distinct counts; k = 256 → ~6%).
+    */
+  /** The KMV estimator chain over a frame carrying sketch arrays `sa`,
+    * `sb` (ascending distinct hashes, ≤ k each) — shared by
+    * [[kmvOverlap]] and [[kmvOverlapMatrix]] so pair and matrix forms
+    * can never drift. Adds n_{a,b}_kept, exact, est_distinct_{a,b},
+    * est_union, est_intersect, jaccard_micro. */
+  private def kmvEstimates(withSketches: DataFrame, k: Int): DataFrame = {
+    val numer = (k - 1).toLong * graft.functions.PortableHash.PolyMod
+    withSketches
+      .withColumn("n_a_kept", size(col("sa")).cast("long"))
+      .withColumn("n_b_kept", size(col("sb")).cast("long"))
+      .withColumn("__mu", array_sort(array_union(col("sa"), col("sb"))))
+      .withColumn("__mg", slice(col("__mu"), 1, k))
+      .withColumn("exact", col("n_a_kept") < k && col("n_b_kept") < k)
+      // candidates for the intersection count: the FULL union when
+      // exact (a k-slice would undercount unions past k), the k
+      // smallest union hashes otherwise (the Beyer et al. rule)
+      .withColumn("__j",
+        size(filter(when(col("exact"), col("__mu")).otherwise(col("__mg")),
+          v => array_contains(col("sa"), v) && array_contains(col("sb"), v)))
+          .cast("long"))
+      .withColumn("est_distinct_a",
+        when(col("n_a_kept") < k, col("n_a_kept"))
+          .otherwise(expr(s"${numer}L div element_at(sa, $k)")))
+      .withColumn("est_distinct_b",
+        when(col("n_b_kept") < k, col("n_b_kept"))
+          .otherwise(expr(s"${numer}L div element_at(sb, $k)")))
+      .withColumn("est_union",
+        when(col("exact"), size(col("__mu")).cast("long"))
+          .otherwise(expr(s"${numer}L div element_at(__mg, $k)")))
+      .withColumn("est_intersect",
+        when(col("exact"), col("__j"))
+          .otherwise(expr(s"(__j * est_union) div $k")))
+      .withColumn("jaccard_micro",
+        when(col("est_union") > 0L, expr("(est_intersect * 1000000L) div est_union")))
+  }
+
+  def kmvOverlap(
+      a: DataFrame, b: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 65536, s"kmvOverlap: k must be in [16, 65536], got $k")
+    def sketch(df: DataFrame, name: String): DataFrame = {
+      val key = Cleaning.qcol(keyCol)
+      df.filter(key.isNotNull)
+        .select(graft.functions.PortableHash.polyHash31(key.cast("string")).as("__h"))
+        .agg(graft.functions.Aggregates.kmvSketch(col("__h"), k).as(name))
+    }
+    kmvEstimates(sketch(a, "sa").crossJoin(sketch(b, "sb")), k)
+      .select(lit(k.toLong).as("k"), col("n_a_kept"), col("n_b_kept"),
+        col("est_distinct_a"), col("est_distinct_b"), col("est_union"),
+        col("est_intersect"), col("jaccard_micro"), col("exact"))
+  }
+
+  /** Pairwise KMV overlap matrix across slices of ONE corpus — "which
+    * of my sources are feeding me the same content": one k-bounded
+    * sketch per slice, then [[kmvOverlap]]'s estimator on every
+    * unordered slice pair. The slice-level complement of the dedup
+    * family's doc-level overlap matrix: a high-Jaccard source pair is
+    * a mirror/re-crawl candidate BEFORE any pairwise doc join runs.
+    *
+    * Scale: ONE corpus aggregate onto the slice key (k-bounded
+    * map-side state per slice — the shuffle carries ≤ k longs per
+    * (slice, partition)), then a |slices|²/2 self-join of k-sized
+    * arrays. Slices are a DESIGN key (sources, languages, waves —
+    * config-sized, the pairwise-JS convention); the pair table is
+    * slice-bounded, never data-bounded.
+    */
+  def kmvOverlapMatrix(
+      df: DataFrame, sliceCol: String, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 65536, s"kmvOverlapMatrix: k must be in [16, 65536], got $k")
+    val slice = Cleaning.qcol(sliceCol)
+    val key = Cleaning.qcol(keyCol)
+    val sk = df.filter(slice.isNotNull && key.isNotNull)
+      .select(slice.cast("string").as("s"),
+        graft.functions.PortableHash.polyHash31(key.cast("string")).as("__h"))
+      .groupBy(col("s"))
+      .agg(graft.functions.Aggregates.kmvSketch(col("__h"), k).as("sk"))
+      .localCheckpoint() // |slices| rows, read by both join sides
+    val pairs = sk.select(col("s").as("slice_a"), col("sk").as("sa"))
+      .join(sk.select(col("s").as("slice_b"), col("sk").as("sb")),
+        col("slice_a") < col("slice_b"))
+    kmvEstimates(pairs, k)
+      .select(col("slice_a"), col("slice_b"), col("n_a_kept"), col("n_b_kept"),
+        col("est_distinct_a"), col("est_distinct_b"), col("est_union"),
+        col("est_intersect"), col("jaccard_micro"), col("exact"))
+  }
 }

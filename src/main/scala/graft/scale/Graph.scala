@@ -513,4 +513,141 @@ object Graph {
     }
     labels
   }
+
+  /** Exact triangle counting + local clustering coefficient — the
+    * density signal beside [[labelPropagation]]'s communities and
+    * [[degreeAudit]]'s reciprocity: a domain whose neighborhood is a
+    * clique (high coefficient) sits inside an organic site family; a
+    * hub whose neighbors never link each other (coefficient ~ 0 at
+    * high degree) is the link-farm / directory-shell shape spam
+    * triage pages on. Per node: undirected degree, the number of
+    * triangles through it, and the local clustering coefficient
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) in integer micro units (NULL when
+    * deg < 2 — the coefficient is undefined, not zero).
+    *
+    * Algorithm: the degree-ordered orientation (Suri & Vassilvitskii's
+    * MapReduce triangle enumeration / the "forward" algorithm). Edges
+    * symmetrize to one canonical undirected row, then each edge is
+    * oriented from its lower endpoint to its higher under the total
+    * order (degree, id) — packed into one long `degree·2³¹ + id`
+    * (ids guarded to [0, 2³¹), the [[labelPropagation]] guard). Every
+    * triangle is then counted exactly once: its lowest-order corner
+    * emits the wedge (b, c) with key(b) < key(c), and the wedge closes
+    * iff the oriented edge b→c exists.
+    *
+    * Determinism: counts and the micro coefficient are pure integer
+    * arithmetic (`div` truncation on non-negative operands = the
+    * oracle's `//` floor), so the table hash-gates cross-engine.
+    *
+    * Scale: the orientation is the whole point — out-degree under the
+    * (degree, id) order is O(√|E|) on any graph (and O(arboricity) on
+    * real web graphs), so the wedge table is ≤ Σ C(outdeg, 2) ≤
+    * |E|^1.5 worst case instead of Σ C(deg, 2), which a raw hub would
+    * blow up quadratically. Three hash equi-joins total (two key
+    * attachments, one wedge closure on the composite (b, c) key) plus
+    * two hash aggregates; the undirected edge list and the oriented
+    * list each materialize once (localCheckpoint) because three
+    * downstream stages read them. Hot wedge sources skew-split under
+    * AQE; nothing broadcasts, nothing sorts globally.
+    */
+  /** Fixed-budget k-core peeling — the dense-subgraph extractor beside
+    * [[triangles]]'s local density: the k-core is the maximal subgraph
+    * where EVERY node keeps degree ≥ k after everything weaker is
+    * peeled away. Link-spam farms and mutual-admiration rings live in
+    * high cores (every member propped by k others); long organic tails
+    * peel out in the first rounds. Each round removes nodes whose
+    * degree IN THE SURVIVING SUBGRAPH fell below k — removal cascades,
+    * so `rounds` is a fixed budget exactly like [[labelPropagation]]'s
+    * (the production shape: peel passes per crawl wave, not to
+    * convergence; run one more round and diff to certify a fixpoint).
+    * GraphSpec pins both a converging fixture and the budget-bound
+    * behavior of a long peel chain.
+    *
+    * Output: (node, degree, in_core) for nodes surviving all rounds —
+    * degree is within the surviving subgraph; `in_core = degree >= k`
+    * is the convergence certificate (all true ⟺ the peel reached its
+    * fixpoint within budget).
+    *
+    * Edges symmetrize, dedupe, and drop self-loops (the [[pageRank]]
+    * hygiene) — cores are undirected.
+    *
+    * Scale: per round ONE degree aggregate over the surviving
+    * symmetric edge list + TWO semi-joins (a-side, b-side) against the
+    * ≥k node set — the pageRank gather order; the edge frame
+    * localCheckpoints every [[CheckpointEvery]] rounds to keep lineage
+    * flat. Work DECREASES monotonically (edges only ever shrink), so
+    * unlike iterative rank the later rounds get cheaper.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      k: Int = 3, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
+    val q = graft.ops.Cleaning.qcol _
+    val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    var e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    for (i <- 1 to rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("a"))
+      e = e.join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      if (i % CheckpointEvery == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    e.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      .select(col("a").as("node"), col("degree"),
+        (col("degree") >= k).as("in_core"))
+  }
+
+  def triangles(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val Pack = 2147483648L // 2^31
+    val q = graft.ops.Cleaning.qcol _
+    val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    // undirected degree; the id-range guard rides the consumed degree
+    // column so it fires on first materialization
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .select(
+        when(col("node") < 0L || col("node") >= Pack,
+          raise_error(concat(lit("triangles: node id outside [0, 2^31): "),
+            col("node").cast("string"))).cast("long"))
+          .otherwise(col("node")).as("node"),
+        col("degree"))
+      .localCheckpoint()
+    val key = deg.select(col("node"), (col("degree") * Pack + col("node")).as("__k"))
+    // orient each undirected edge lower-order -> higher-order
+    val oriented = und
+      .join(key.select(col("node").as("u"), col("__k").as("__ku")), "u")
+      .join(key.select(col("node").as("v"), col("__k").as("__kv")), "v")
+      .select(
+        when(col("__ku") < col("__kv"), col("u")).otherwise(col("v")).as("lo"),
+        when(col("__ku") < col("__kv"), col("v")).otherwise(col("u")).as("hi"),
+        greatest(col("__ku"), col("__kv")).as("__khi"))
+      .localCheckpoint()
+    // wedges at the lowest-order corner, then close against the
+    // oriented list on the (b, c) composite key
+    val wedges = oriented.select(col("lo"), col("hi").as("b"), col("__khi").as("__kb"))
+      .join(oriented.select(col("lo"), col("hi").as("c"), col("__khi").as("__kc")), Seq("lo"))
+      .filter(col("__kb") < col("__kc"))
+      .select(col("lo").as("ta"), col("b"), col("c"))
+    val tri = wedges
+      .join(oriented.select(col("lo").as("b"), col("hi").as("c")), Seq("b", "c"))
+      .select(col("ta"), col("b"), col("c"))
+    val corners = tri.select(explode(array(col("ta"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2L,
+          expr("(2000000 * coalesce(n_tri, 0L)) div (degree * (degree - 1))"))
+          .otherwise(lit(null).cast("long")).as("lcc_micro"))
+  }
 }

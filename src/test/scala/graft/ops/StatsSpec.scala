@@ -787,4 +787,146 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
     assert(got2 === Map("w" -> true, "x" -> true, "y" -> true, "z" -> false))
   }
+
+  /** Driver-side replay of bootstrapMeanCI's exact integer arithmetic. */
+  private def bootstrapReference(
+      rows: Seq[(String, Long, Long)], replicas: Int, alphaPct: Int,
+      seed: Long): Map[String, (Long, Long, Long, Long, Long)] = {
+    val p = graft.functions.PortableHash.P
+    val ms = Stats.bootstrapMultipliers(replicas, seed)
+    val ts = Stats.PoissonThresholdsP
+    def h(k: Long) = (java.lang.Math.floorMod(k, p) * 514229L + 741103L) % p
+    def cnt(u: Long) = ts.indexWhere(u < _) match { case -1 => ts.size.toLong; case i => i.toLong }
+    def sdiv(a: Long, b: Long) = if (a < 0) -((-a * 1000000L) / b) else (a * 1000000L) / b
+    rows.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._3).sum
+      val means = (0 until replicas).flatMap { r =>
+        val cs = rs.map { case (_, k, x) =>
+          val u = ((h(k) + 1L) * ms(r) + r) % p
+          (cnt(u), cnt(u) * x)
+        }
+        val nr = cs.map(_._1).sum
+        if (nr > 0) Some((sdiv(cs.map(_._2).sum, nr), r.toLong)) else None
+      }.sorted
+      val nl = means.size.toLong
+      val cut = nl * alphaPct / 200
+      g -> ((n, sdiv(sx, n), means(cut.toInt)._1,
+        means((nl - cut).toInt - 1)._1, nl))
+    }
+  }
+
+  test("bootstrapMeanCI equals the driver replay; constant column collapses the CI") {
+    val rows = (0 until 200).map(i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong * 7L + 3L, (i.toLong * 37L) % 1000L))
+    val got = Stats.bootstrapMeanCI(
+      rows.toDF("grp", "k", "x").repartition(7), "grp", "x", "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === bootstrapReference(rows, 64, 5, 0L), s"$got")
+    // every replicate mean of a constant column IS the constant, so
+    // the interval has zero width — an exact end-to-end identity
+    val const = (0 until 50).map(i => ("g", i.toLong, 250L))
+    val c = Stats.bootstrapMeanCI(const.toDF("grp", "k", "x"), "grp", "x", "k")
+      .collect().head
+    assert((c.getLong(2), c.getLong(3), c.getLong(4)) ===
+      ((250000000L, 250000000L, 250000000L)))
+    assert(c.getLong(5) === 64L, "all replicates live on a 50-row group")
+    // the interval brackets the point estimate on the mixed fixture
+    got.values.foreach { case (_, m, lo, hi, _) =>
+      assert(lo <= m && m <= hi, s"CI must bracket the mean: $got")
+    }
+  }
+
+  /** Driver-side polyHash31 replay (ASCII fixtures). */
+  private def poly31(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 2147483647L)
+
+  /** Driver-side replay of kmvOverlap's exact estimator arithmetic. */
+  private def kmvReference(
+      as: Seq[String], bs: Seq[String], k: Int): (Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+    val m = 2147483647L
+    val numer = (k - 1).toLong * m
+    val sa = as.map(poly31).distinct.sorted.take(k)
+    val sb = bs.map(poly31).distinct.sorted.take(k)
+    val ex = sa.size < k && sb.size < k
+    val mu = (sa ++ sb).distinct.sorted
+    val mg = mu.take(k)
+    val cand = if (ex) mu else mg
+    val j = cand.count(h => sa.contains(h) && sb.contains(h)).toLong
+    val ea = if (sa.size < k) sa.size.toLong else numer / sa.last
+    val eb = if (sb.size < k) sb.size.toLong else numer / sb.last
+    val eu = if (ex) mu.size.toLong else numer / mg.last
+    val ei = if (ex) j else j * eu / k
+    val jac = if (eu > 0) ei * 1000000L / eu else -1L
+    (sa.size.toLong, sb.size.toLong, ea, eb, eu, ei, jac, ex)
+  }
+
+  test("kmvOverlap: sub-k sides are EXACT set algebra; duplicates collapse") {
+    val a = Seq("alpha", "beta", "gamma", "delta", "alpha", "beta")
+    val b = Seq("gamma", "delta", "epsilon", "gamma")
+    val got = Stats.kmvOverlap(a.toDF("key"), b.toDF("key"), "key", k = 16)
+      .collect().head
+    assert(got.getBoolean(8), "both sides under k => exact")
+    assert((got.getLong(1), got.getLong(2)) === ((4L, 3L)), "distinct kept per side")
+    assert((got.getLong(3), got.getLong(4)) === ((4L, 3L)))
+    assert(got.getLong(5) === 5L, "exact union")
+    assert(got.getLong(6) === 2L, "exact intersection {gamma, delta}")
+    assert(got.getLong(7) === 400000L, "2/5 in micro")
+  }
+
+  test("kmvOverlap matches the driver estimator replay; estimate near truth") {
+    // varied-length keys so the 31-base hash wraps and spreads; 1200
+    // distinct per side, 400 shared, k = 64 -> the estimate branch
+    def key(i: Int) = s"doc-$i-${(i.toLong * 2654435761L) % 1000000007L}"
+    val as = (0 until 1200).map(key)
+    val bs = (800 until 2000).map(key)
+    val got = Stats.kmvOverlap(
+      as.toDF("key").repartition(7), bs.toDF("key").repartition(5), "key", k = 64)
+      .collect().head
+    val ref = kmvReference(as, bs, 64)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getLong(5), got.getLong(6), got.getLong(7), got.getBoolean(8)) === ref,
+      s"engine must equal the driver replay: $got vs $ref")
+    assert(!got.getBoolean(8), "1200 distinct > k exercises the estimator")
+    // statistical sanity vs ground truth (union 2000, intersect 400):
+    // k = 64 -> ~12.5% relative error band; allow 3 sigma
+    assert(math.abs(got.getLong(5) - 2000L) < 750L, s"union est: ${got.getLong(5)}")
+    assert(math.abs(got.getLong(3) - 1200L) < 450L, s"side est: ${got.getLong(3)}")
+  }
+
+  test("kmvOverlapMatrix: every unordered pair matches the two-corpus form") {
+    val rows = Seq(
+      ("en", "alpha"), ("en", "beta"), ("en", "gamma"),
+      ("de", "beta"), ("de", "gamma"), ("de", "delta"),
+      ("fr", "zeta"), ("fr", "alpha"), ("fr", "alpha"))
+    val df = rows.toDF("lang", "key")
+    val got = Stats.kmvOverlapMatrix(df, "lang", "key", k = 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9)))).toMap
+    assert(got.keySet === Set(("de", "en"), ("de", "fr"), ("en", "fr")))
+    // en={alpha,beta,gamma}, de={beta,gamma,delta}: union 4, inter 2
+    assert(got(("de", "en"))  === ((4L, 2L, 500000L, true)))
+    // de vs fr disjoint: union 5, inter 0
+    assert(got(("de", "fr")) === ((5L, 0L, 0L, true)))
+    // each pair must equal kmvOverlap run on the two slices directly
+    val pair = Stats.kmvOverlap(
+      df.filter(df("lang") === "de").select("key"),
+      df.filter(df("lang") === "en").select("key"), "key", k = 16)
+      .collect().head
+    assert((pair.getLong(5), pair.getLong(6), pair.getLong(7), pair.getBoolean(8))
+      === got(("de", "en")), "matrix and pair forms must agree")
+  }
+
+  test("bootstrapMeanCI: guards — non-integral key, bad alpha/replicas") {
+    val df = Seq(("g", "k1", 5L)).toDF("grp", "k", "x")
+    val e = intercept[IllegalArgumentException](
+      Stats.bootstrapMeanCI(df, "grp", "x", "k"))
+    assert(e.getMessage.contains("must be integral"))
+    val ok = Seq(("g", 1L, 5L)).toDF("grp", "k", "x")
+    intercept[IllegalArgumentException](
+      Stats.bootstrapMeanCI(ok, "grp", "x", "k", replicas = 2))
+    intercept[IllegalArgumentException](
+      Stats.bootstrapMeanCI(ok, "grp", "x", "k", alphaPct = 0))
+  }
 }

@@ -362,4 +362,71 @@ class GraphSpec extends AnyFunSuite {
       .map(_.getMessage).mkString(" | ")
     assert(msgs.contains("outside [0, 2^31)"))
   }
+
+  test("kCore: K5 survives k=4; pendant chain cascades out round by round") {
+    // K5 on {1..5} plus a chain 5-10-11-12: the 4-core is exactly K5
+    val k5 = for (i <- 1L to 5L; j <- (i + 1L) to 5L) yield (i, j)
+    val edges = (k5 ++ Seq((5L, 10L), (10L, 11L), (11L, 12L))).toDF("src", "dst")
+    val core4 = Graph.kCore(edges, k = 4, rounds = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(core4.keySet === Set(1L, 2L, 3L, 4L, 5L), s"4-core is K5: $core4")
+    assert(core4.values.toSet === Set((4L, true)), "every K5 node keeps degree 4")
+    // k=2 peels the chain by CASCADE: round 1 kills 12 (deg 1), round
+    // 2 kills 11 (now deg 1), round 3 kills 10 -> a 1-round budget
+    // leaves the cascade UNFINISHED and in_core flags it
+    val partial = Graph.kCore(edges, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(partial.contains(11L) && !partial(11L),
+      s"budget-bound peel must flag the unconverged node: $partial")
+    val full = Graph.kCore(edges, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(full.keySet === Set(1L, 2L, 3L, 4L, 5L), s"chain fully peeled: $full")
+    assert(full.values.forall(identity), "converged: every survivor certified")
+    // deterministic under repartitioning
+    val again = Graph.kCore(edges.repartition(7), k = 4, rounds = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again === core4)
+  }
+
+  test("triangles: K4 + pendant path — exact counts and micro coefficients") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3 of them, lcc = 1)
+    // plus a pendant path 4-5-6 (no triangles; node 6 has deg 1 ->
+    // NULL coefficient, node 5 has deg 2 and lcc 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val got = Graph.triangles(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1000000L)), s"node 1: $got")
+    assert(got(2L) == ((3L, 3L, 1000000L)))
+    assert(got(3L) == ((3L, 3L, 1000000L)))
+    // node 4 has degree 4 (K4 side + the pendant): 3 triangles of
+    // C(4,2)=6 possible -> 500000 micro
+    assert(got(4L) == ((4L, 3L, 500000L)), s"node 4: $got")
+    assert(got(5L) == ((2L, 0L, 0L)))
+    assert(got(6L) == ((1L, 0L, -1L)), "deg-1 coefficient is NULL, not 0")
+    // total = sum of corners / 3
+    assert(got.values.map(_._2).sum == 12L, "4 triangles x 3 corners")
+  }
+
+  test("triangles: direction/duplicates/self-loops collapse; deterministic") {
+    // the same triangle stated redundantly: both directions, dupes, a
+    // self-loop — hygiene must collapse to ONE triangle
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (1L, 1L), (2L, 3L))
+    val got = Graph.triangles(noisy.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 2L, 1L, 1000000L)), s"$got")
+    // invariant under repartitioning (pure joins/aggs, no order terms)
+    val again = Graph.triangles(noisy.toDF("src", "dst").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == got)
+    // id-range guard fires loudly
+    val bad = Seq((5000000000L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception](Graph.triangles(bad).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("outside [0, 2^31)"))
+  }
 }
