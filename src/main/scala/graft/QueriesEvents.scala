@@ -185,6 +185,20 @@ private[graft] object QueriesEvents {
       graft.ops.Stats.groupTrend(daily, "event_type", "day", "y")
     }),
 
+    // single-changepoint scan on daily event volume per type: the
+    // "WHERE did it jump" complement of x_ts_trend's "is it moving" —
+    // integer CUSUM-range argmax, segment means in micro
+    "x_ts_changepoint" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("__us"))
+        .withColumn("day",
+          graft.ops.TimeSeries.floorDivEpochExpr("__us", 86400000000L))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.TimeSeries.changepointScan(daily, "event_type", "day", "y")
+    }),
+
     // event path analysis: exact trigram-of-event-types table (bounded
     // by |types|³ — the full table IS summary-sized, no top-k needed)
     "x_events_paths" -> ((s, d) =>
@@ -511,6 +525,38 @@ private[graft] object QueriesEvents {
     // numerators replay Spark's truncate-toward-zero div via the
     // sign-factored abs form (DuckDB's // floors — the documented
     // negative-division divergence)
+    // changepoint: the same daily CTE, per-key cumulative windows,
+    // D = |S_t*N - t*S| ranked (D DESC, t ASC) — row 1 is the split
+    "x_ts_changepoint" ->
+      """WITH daily AS (SELECT event_type AS key, epoch_us(ts) // 86400000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT key, b, x,
+        |    row_number() OVER (PARTITION BY key ORDER BY b) AS t,
+        |    sum(x) OVER (PARTITION BY key ORDER BY b ROWS UNBOUNDED PRECEDING) AS st,
+        |    count(*) OVER (PARTITION BY key) AS n,
+        |    sum(x) OVER (PARTITION BY key) AS s
+        |  FROM daily),
+        |sp AS (SELECT *, abs(st * n - t * s) AS d FROM cum WHERE t < n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY d DESC, t ASC) AS rr
+        |       FROM sp),
+        |best AS (SELECT key, d, t, b, st FROM rk WHERE rr = 1),
+        |tot AS (SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        |        FROM daily GROUP BY 1)
+        |SELECT tot.key AS event_type, tot.n,
+        |  CAST(best.d AS BIGINT) AS cusum_abs,
+        |  CAST(best.b AS BIGINT) AS split_bucket,
+        |  CAST(best.t AS BIGINT) AS n_before,
+        |  CAST(tot.n - best.t AS BIGINT) AS n_after,
+        |  CAST(CASE WHEN best.st < 0 THEN -((-best.st * 1000000) // best.t)
+        |       ELSE (best.st * 1000000) // best.t END AS BIGINT) AS mean_before_micro,
+        |  CAST(CASE WHEN (tot.s - best.st) < 0
+        |       THEN -((-(tot.s - best.st) * 1000000) // (tot.n - best.t))
+        |       ELSE ((tot.s - best.st) * 1000000) // (tot.n - best.t) END AS BIGINT)
+        |    AS mean_after_micro
+        |FROM tot LEFT JOIN best USING (key)""".stripMargin,
+
     "x_ts_trend" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(count(*) AS BIGINT) AS y

@@ -248,4 +248,74 @@ object TimeSeries {
       .select(col("key"), col("id"), col("vm"), col("roll_n"),
         col("roll_sum"), col("roll_abs_sum"), col("dev100"), col("is_anomaly"))
   }
+
+  /** Single-changepoint scan per key — "WHEN did this metric shift":
+    * the binary-segmentation first step / CUSUM-range statistic, exact
+    * in integers. For each candidate split after ordered position t,
+    * the scaled statistic D_t = |S_t·N − t·S| (= t·(N−t)·|mean_before −
+    * mean_after|, all longs) peaks where the level shift is — the
+    * operator returns the argmax split (smallest t on ties, so a
+    * flat series deterministically reports position 1 with D = 0: zero
+    * `cusum_abs` MEANS "no shift evidence", it is not a changepoint)
+    * plus both segment means. The drift-ops complement of
+    * [[graft.ops.Stats.groupTrend]]: trend says "is it moving",
+    * this says "where did it jump" — the feed for "which filter/config
+    * deploy broke the metric" triage.
+    *
+    * Input is an already-bucketed series (key, bucket, value) — the
+    * [[resampleGapFill]] / daily-count shape; duplicate (key, bucket)
+    * rows pre-sum so the scan is total and deterministic. Keys with a
+    * single point emit NULL split columns in-band.
+    *
+    * Scale: one (key, bucket) pre-aggregate, per-key cumulative
+    * windows ordered by the unique bucket index (series length per
+    * key is grid-bounded — the resample family's contract; the
+    * `maxPointsPerKey` guard raise_errors in-plan past it), and ONE
+    * packed-struct argmax aggregate — no self-join over splits, no
+    * global sort. ANSI guards the S_t·N product loudly; rescale the
+    * value column upstream past ~9e18/N total mass (the countDiv
+    * move).
+    */
+  def changepointScan(
+      series: DataFrame, keyCol: String, bucketCol: String, valueCol: String,
+      maxPointsPerKey: Long = 100000L): DataFrame = {
+    require(maxPointsPerKey >= 2, "changepointScan: maxPointsPerKey must be >= 2")
+    val k = qcol(keyCol); val b = qcol(bucketCol); val v = qcol(valueCol)
+    val pts = series.filter(k.isNotNull && b.isNotNull && v.isNotNull)
+      .select(k.as("key"), b.cast("long").as("b"), v.cast("long").as("x"))
+      .groupBy(col("key"), col("b")).agg(sum(col("x")).as("x"))
+    val w = Window.partitionBy(col("key")).orderBy(col("b"))
+    val wAll = Window.partitionBy(col("key"))
+    val cum = pts
+      .withColumn("t",
+        when(row_number().over(w) > maxPointsPerKey,
+          raise_error(concat(lit(s"changepointScan: key exceeds $maxPointsPerKey points: "),
+            col("key").cast("string"))).cast("int"))
+          .otherwise(row_number().over(w)).cast("long"))
+      .withColumn("st", sum(col("x")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+    // packed argmax: (D desc, t asc) via lexicographic struct max —
+    // both engines elect the identical split
+    val best = cum.filter(col("t") < col("n"))
+      .withColumn("d", abs(col("st") * col("n") - col("t") * col("s")))
+      .groupBy(col("key"))
+      .agg(max(struct(col("d"), (-col("t")).as("nt"), col("t").as("bt"),
+        col("b").as("bb"), col("st").as("bst"))).as("m"))
+      .select(col("key"), col("m.d").as("cusum_abs"),
+        col("m.bt").as("n_before"), col("m.bb").as("split_bucket"),
+        col("m.bst").as("__st"))
+    val tot = pts.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("__s"))
+    tot.join(best, Seq("key"), "left")
+      .select(col("key").as(keyCol), col("n"), col("cusum_abs"),
+        col("split_bucket"), col("n_before"),
+        (col("n") - col("n_before")).as("n_after"),
+        expr("CASE WHEN __st < 0 THEN -((-__st * 1000000L) div n_before) " +
+          "ELSE (__st * 1000000L) div n_before END").as("mean_before_micro"),
+        expr("CASE WHEN (__s - __st) < 0 " +
+          "THEN -((-(__s - __st) * 1000000L) div (n - n_before)) " +
+          "ELSE ((__s - __st) * 1000000L) div (n - n_before) END")
+          .as("mean_after_micro"))
+  }
 }

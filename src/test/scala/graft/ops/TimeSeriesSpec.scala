@@ -135,4 +135,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.seasonalAnomaly(tiny, "user_id", "ts", "event_id", "value")
       .collect().forall(!_.getBoolean(7)))
   }
+
+  test("changepointScan: planted level shift found exactly; flat and tiny keys in-band") {
+    // key "shift": 10 days at 100 then 10 days at 500 — the split is
+    // after position 10 (bucket 9), D = t*(N-t)*|mb-ma| = 10*10*400
+    val shift = (0 until 20).map(i => ("shift", i.toLong, if (i < 10) 100L else 500L))
+    val flat = (0 until 8).map(i => ("flat", i.toLong, 42L))
+    val solo = Seq(("solo", 0L, 7L))
+    val df = (shift ++ flat ++ solo).toDF("k", "day", "y").repartition(5)
+    val got = TimeSeries.changepointScan(df, "k", "day", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = got("shift")
+    assert(s.getLong(2) === 40000L, "cusum_abs = 10*10*400")
+    assert(s.getLong(3) === 9L, "split after bucket 9")
+    assert((s.getLong(4), s.getLong(5)) === ((10L, 10L)))
+    assert((s.getLong(6), s.getLong(7)) === ((100000000L, 500000000L)),
+      "segment means in micro")
+    // a flat series reports D = 0 at the deterministic first split —
+    // zero cusum_abs IS the "no shift" answer
+    val f = got("flat")
+    assert(f.getLong(2) === 0L && f.getLong(4) === 1L)
+    assert(f.getLong(6) === f.getLong(7))
+    // a single-point key has no internal split: NULLs in-band
+    assert(got("solo").isNullAt(2) && got("solo").isNullAt(3))
+    // duplicate (key, bucket) rows pre-sum: splitting day 3 into two
+    // half-rows changes nothing
+    val dup = (shift.filterNot(_._2 == 3L) ++
+      Seq(("shift", 3L, 60L), ("shift", 3L, 40L))).toDF("k", "day", "y")
+    val d2 = TimeSeries.changepointScan(dup, "k", "day", "y").collect().head
+    assert(d2.getLong(2) === 40000L && d2.getLong(3) === 9L)
+  }
 }
