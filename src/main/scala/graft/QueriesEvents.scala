@@ -185,6 +185,14 @@ private[graft] object QueriesEvents {
       graft.ops.Stats.groupTrend(daily, "event_type", "day", "y")
     }),
 
+    // rolling 7-day distinct actives via mergeable KMV day sketches:
+    // each day sketched ONCE, windows merged with array math — the
+    // scale path for rolling WAU (an exact rolling distinct re-scans
+    // every event windowDays times); merge losslessness is the gate
+    "x_events_wau_kmv" -> ((s, d) =>
+      graft.ops.Cohorts.rollingDistinctKmv(T(s, d, "events"),
+        "ts", "user_id", windowDays = 7, k = 64)),
+
     // single-changepoint scan on daily event volume per type: the
     // "WHERE did it jump" complement of x_ts_trend's "is it moving" —
     // integer CUSUM-range argmax, segment means in micro
@@ -525,6 +533,36 @@ private[graft] object QueriesEvents {
     // numerators replay Spark's truncate-toward-zero div via the
     // sign-factored abs form (DuckDB's // floors — the documented
     // negative-division divergence)
+    // rolling KMV distinct: the oracle builds each WINDOW's k-minimum
+    // set directly (distinct day hashes joined over [day-6, day]) —
+    // hash-matching the engine's merged per-day sketches IS the
+    // cross-engine mergeability proof
+    "x_events_wau_kmv" -> {
+      val kk = 64
+      val numer = (kk - 1).toLong * 2147483647L
+      s"""WITH b AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    ${polyHashSqlOf("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |ne AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events FROM b GROUP BY 1),
+         |dh AS (SELECT DISTINCT day, h FROM b),
+         |days AS (SELECT DISTINCT day FROM b),
+         |u AS (SELECT DISTINCT days.day, dh.h
+         |      FROM days JOIN dh ON dh.day BETWEEN days.day - 6 AND days.day),
+         |r AS (SELECT day, h,
+         |        row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY day) AS nfull
+         |      FROM u),
+         |s AS (SELECT day, max(nfull) AS nfull,
+         |        max(CASE WHEN rn = $kk THEN h END) AS tk
+         |      FROM r WHERE rn <= $kk GROUP BY 1)
+         |SELECT ne.day, ne.n_events,
+         |  CAST(LEAST(s.nfull, $kk) AS BIGINT) AS n_kept,
+         |  s.nfull < $kk AS exact,
+         |  CAST(CASE WHEN s.nfull < $kk THEN s.nfull
+         |       ELSE $numer // s.tk END AS BIGINT) AS est_distinct
+         |FROM ne JOIN s USING (day)""".stripMargin
+    },
+
     // changepoint: the same daily CTE, per-key cumulative windows,
     // D = |S_t*N - t*S| ranked (D DESC, t ASC) — row 1 is the split
     "x_ts_changepoint" ->

@@ -235,4 +235,62 @@ object Cohorts {
       .select(col("group"), col("t"), col("n_risk"), col("n_events"),
         col("n_censored"), col("hazard_micro"), col("survival_micro"))
   }
+
+  /** Rolling-window distinct actives via mergeable KMV sketches — the
+    * scale path for rolling WAU/MAU that [[engagement]]'s exact
+    * count(DISTINCT) form cannot take: an exact rolling distinct
+    * re-scans every window (each event lands in `windowDays` windows),
+    * while the KMV form sketches each DAY once (one k-bounded
+    * aggregate — shuffle carries ≤ k longs per partition, the
+    * [[graft.functions.Aggregates.KmvSketch]] contract) and merges
+    * day sketches per window with array math. The KMV merge property
+    * makes the merge LOSSLESS for the estimator: any hash among the k
+    * smallest of the window union is among the k smallest of its own
+    * day, so the k-slice of the merged day sketches IS the window's
+    * own k-minimum set — the oracle computes the window sketch
+    * directly and the two constructions hash-match, which is the
+    * cross-engine proof of mergeability.
+    *
+    * Output per active day: (day, n_events, n_kept, exact,
+    * est_distinct) — `exact` when the window held fewer than k
+    * distinct ids (the sketch is then the complete set). Days with no
+    * events contribute nothing and are absent (a gap narrows the
+    * window to its observed days; resample upstream for a dense
+    * grid).
+    *
+    * Scale: the day-keyed sketch aggregate does all data-sized work;
+    * the rolling merge runs on the DAY lattice (grid-bounded — the
+    * documented bounded-frame exception, ~4k rows for a decade of
+    * days) under one global-ordered range window of k-sized arrays.
+    */
+  def rollingDistinctKmv(
+      events: DataFrame, tsCol: String, idCol: String,
+      windowDays: Int = 7, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1 && windowDays <= 370,
+      s"rollingDistinctKmv: windowDays must be in [1, 370], got $windowDays")
+    require(k >= 16 && k <= 65536,
+      s"rollingDistinctKmv: k must be in [16, 65536], got $k")
+    val numer = (k - 1).toLong * graft.functions.PortableHash.PolyMod
+    val q = Cleaning.qcol _
+    val base = events.filter(q(tsCol).isNotNull && q(idCol).isNotNull)
+      .select(unix_micros(q(tsCol)).as("__us"),
+        graft.functions.PortableHash.polyHash31(q(idCol).cast("string")).as("__h"))
+      .withColumn("day", TimeSeries.floorDivEpochExpr("__us", 86400000000L))
+    val daily = base.groupBy(col("day")).agg(
+      graft.functions.Aggregates.kmvSketch(col("__h"), k).as("sk"),
+      count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("__merged",
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk")).over(w)))),
+          1, k))
+      .select(col("day"), col("n_events"),
+        size(col("__merged")).cast("long").as("n_kept"),
+        (size(col("__merged")) < k).as("exact"),
+        when(size(col("__merged")) < k, size(col("__merged")).cast("long"))
+          .otherwise(expr(s"${numer}L div element_at(__merged, $k)"))
+          .as("est_distinct"))
+  }
 }

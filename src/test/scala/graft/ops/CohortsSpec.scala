@@ -132,4 +132,42 @@ class CohortsSpec extends AnyFunSuite {
     val e2 = intercept[Exception](Cohorts.kaplanMeier(wide, "g", "dur", "ev").collect())
     assert(msgs(e2).contains("band the duration"))
   }
+
+  test("rollingDistinctKmv: merged day sketches equal the direct window sketch") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    def poly31(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 2147483647L)
+    // 10 days, 12 ids/day with 6-id overlap between consecutive days;
+    // day 5 is a GAP (range frame must narrow, not slide over rows)
+    val rows = for {
+      day <- (0 until 10) if day != 5
+      i <- 0 until 12
+    } yield (new Timestamp(day * 86400000L), (day * 6 + i).toLong)
+    val df = rows.toDF("ts", "user_id").repartition(7)
+    val k = 16
+    val got = Cohorts.rollingDistinctKmv(df, "ts", "user_id", windowDays = 3, k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got.keySet === (0 until 10).filter(_ != 5).map(_.toLong).toSet)
+    // driver replay: the DIRECT window k-minimum construction — the
+    // merge of per-day sketches must coincide (KMV mergeability)
+    val byDay = rows.groupBy(_._1.getTime / 86400000L)
+      .map { case (d, rs) => d -> rs.map(t => poly31(t._2.toString)).distinct }
+    got.foreach { case (d, (nEv, nKept, exact, est)) =>
+      val win = (d - 2 to d).flatMap(byDay.get).flatten.distinct.sorted
+      val kept = win.take(k)
+      assert(nKept === kept.size.toLong, s"day $d")
+      assert(exact === (win.size < k), s"day $d")
+      val expected = if (win.size < k) win.size.toLong
+        else (k - 1).toLong * 2147483647L / kept.last
+      assert(est === expected, s"day $d: $est vs $expected")
+      assert(nEv === byDay(d).size.toLong * 1) // 12 events/day, all distinct ids
+    }
+    // deterministic across partitionings
+    val again = Cohorts.rollingDistinctKmv(df.repartition(3), "ts", "user_id",
+      windowDays = 3, k = k).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(again === got.map { case (d, v) => d -> v._4 })
+  }
 }
