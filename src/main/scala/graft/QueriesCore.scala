@@ -632,6 +632,13 @@ private[graft] object QueriesCore {
       graft.ops.Stats.welchTTest(T(s, d, "documents"),
         "lang", "n_chars", "en", "zh")),
 
+    // Mann-Whitney U z between the same two slices as x_stats_welch —
+    // the rank-based partner (outlier-robust where the mean test is
+    // tail-driven), tie-corrected z from exact integer rank sums
+    "x_stats_mannwhitney" -> ((s, d) =>
+      graft.ops.Stats.mannWhitneyZ(T(s, d, "documents"),
+        "lang", "n_chars", "en", "zh")),
+
     // Spearman rank correlation of doc length vs token count —
     // monotone association via midranks kept exact as DOUBLED longs,
     // decimal(38) moment sums, one double Pearson at the end
@@ -1839,6 +1846,35 @@ private[graft] object QueriesCore {
          |  CASE WHEN n_b > 0 THEN ${graft.ops.Rounding.halfUpSql(meanB, 6)} END AS mean_b,
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN ${graft.ops.Rounding.halfUpSql(t, 6)} END AS t_welch,
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN ${graft.ops.Rounding.halfUpSql(dfW, 6)} END AS df_welch
+         |FROM m""".stripMargin
+    },
+
+    // Mann-Whitney: doubled midranks over the value lattice, exact
+    // HUGEINT rank/tie sums, then the identical double z tree
+    "x_stats_mannwhitney" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val nn = s"(${dd("n_a")} + ${dd("n_b")})"
+      val num = s"${dd("r2a")} - ${dd("n_a")} * (${dd("n_a")} + 1.0) - ${dd("n_a")} * ${dd("n_b")}"
+      val varU = s"(${dd("n_a")} * ${dd("n_b")} / 12.0) * (($nn + 1.0) - ${dd("tie")} / ($nn * ($nn - 1.0)))"
+      val z = s"(($num) / (2.0 * sqrt($varU)))"
+      s"""WITH b AS (SELECT CAST(lang AS VARCHAR) AS s, CAST(n_chars AS BIGINT) AS v
+         |  FROM documents WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')),
+         |g AS (SELECT v,
+         |        CAST(coalesce(sum(CASE WHEN s = 'en' THEN 1 END), 0) AS BIGINT) AS ca,
+         |        CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1),
+         |r AS (SELECT v, ca, t,
+         |        2 * CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          - t + 1 AS r2
+         |      FROM g),
+         |m AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+         |        CAST(coalesce(sum(t - ca), 0) AS BIGINT) AS n_b,
+         |        coalesce(sum(CAST(ca AS HUGEINT) * r2), 0) AS r2a,
+         |        coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie
+         |      FROM r)
+         |SELECT n_a, n_b,
+         |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND $varU > 0.0
+         |       THEN ${graft.ops.Rounding.halfUpSql(z, 6)} END AS z_mw
          |FROM m""".stripMargin
     },
 

@@ -2212,6 +2212,67 @@ object Stats {
     * the corpora never co-shuffle. Estimator error is the standard
     * KMV bound (~1/√k relative for distinct counts; k = 256 → ~6%).
     */
+  /** Mann-Whitney U z-test between two slices of an integral metric —
+    * the nonparametric partner of [[welchTTest]] (rank-based: robust
+    * to the heavy-tailed length/score distributions where a mean test
+    * is driven by outliers) and the significance layer over
+    * [[rocAuc]]'s effect size (AUC = U/(n_a·n_b); this adds the
+    * tie-corrected normal z for "is it real"). Doubled midranks over
+    * the value tie-group lattice keep every rank a whole long (the
+    * [[spearmanCorr]] machinery); U, the rank sum, and the tie
+    * correction T = Σ(t³−t) are exact integers (decimal(38) sums), and
+    * z = (2U − n_a·n_b) / (2·σ) with σ² = (n_a·n_b/12)·((N+1) −
+    * T/(N·(N−1))) evaluates ONE fixed double tree both engines replay
+    * bit-identically. Output (1 row): n_a, n_b, u2_a (= 2·U_a, whole
+    * even with .5-valued ties), z_mw (halfUp-6; NULL in-band when a
+    * side is empty or every value ties — σ = 0 means the test is
+    * undefined, not significant).
+    *
+    * Scale: ONE (value) tie-group aggregate (cap-guarded in-plan, the
+    * spearman contract) + one cumulative window over DISTINCT values +
+    * a 1-row rollup — the corpus is scanned once and never sorted.
+    */
+  def mannWhitneyZ(
+      df: DataFrame, sliceCol: String, valueCol: String,
+      sliceA: String, sliceB: String,
+      maxDistinctValues: Long = MaxSpearmanValues): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sliceA != sliceB, "mannWhitneyZ: slices must differ")
+    val sl = Cleaning.qcol(sliceCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val base = df.filter(v.isNotNull && sl.isin(sliceA, sliceB))
+      .select(sl.as("__s"), v.as("__v"))
+    val wCum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val dec = "decimal(38,0)"
+    val lat = base.groupBy(col("__v")).agg(
+        coalesce(sum(when(col("__s") === sliceA, 1L)), lit(0L)).as("__ca"),
+        count(lit(1)).as("__t"))
+      .withColumn("__guard",
+        when(count(lit(1)).over(wAll) > maxDistinctValues,
+          raise_error(lit(s"mannWhitneyZ: more than $maxDistinctValues distinct " +
+            "values — band the column first")).cast("long"))
+          .otherwise(col("__t")))
+      .withColumn("__cum", sum(col("__guard")).over(wCum))
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__t") + 1L)
+    val m = lat.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__t") - col("__ca")), lit(0L)).as("n_b"),
+      coalesce(sum((col("__ca") * col("__r2")).cast(dec)), lit(0L).cast(dec)).as("__r2a"),
+      coalesce(sum(col("__t").cast(dec) * col("__t") * col("__t") - col("__t")),
+        lit(0L).cast(dec)).as("__tie"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val na = d(col("n_a")); val nb = d(col("n_b")); val nn = na + nb
+    val num = d(col("__r2a")) - na * (na + lit(1.0)) - na * nb
+    val varU = (na * nb / lit(12.0)) *
+      ((nn + lit(1.0)) - d(col("__tie")) / (nn * (nn - lit(1.0))))
+    m.select(col("n_a"), col("n_b"),
+      (col("__r2a") - (col("n_a") * (col("n_a") + lit(1L))).cast(dec))
+        .cast("long").as("u2_a"),
+      when(col("n_a") >= 1L && col("n_b") >= 1L && varU > lit(0.0),
+        Rounding.halfUp(num / (lit(2.0) * sqrt(varU)), 6)).as("z_mw"))
+  }
+
   /** The KMV estimator chain over a frame carrying sketch arrays `sa`,
     * `sb` (ascending distinct hashes, ≤ k each) — shared by
     * [[kmvOverlap]] and [[kmvOverlapMatrix]] so pair and matrix forms

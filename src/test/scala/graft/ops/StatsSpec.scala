@@ -895,6 +895,30 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got.getLong(3) - 1200L) < 450L, s"side est: ${got.getLong(3)}")
   }
 
+  test("mannWhitneyZ: hand case, tie correction, degenerate sides NULL in-band") {
+    // A = {1,2,3}, B = {4,5,6}: U_a = 0 (complete separation), ranks
+    // exact; replay the z formula in the driver
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("s", "v")
+    val r = Stats.mannWhitneyZ(df, "s", "v", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 0L)))
+    val varU = (3.0 * 3.0 / 12.0) * ((6.0 + 1.0) - 0.0 / (6.0 * 5.0))
+    // num = r2a - na*(na+1) - na*nb with r2a = 2*(1+2+3) = 12
+    val num = 12.0 - 3.0 * 4.0 - 9.0
+    assert(r.getDouble(3) === math.floor(num / (2.0 * math.sqrt(varU)) * 1e6 + 0.5) / 1e6)
+    // symmetric case: swapping slices flips the sign exactly
+    val r2 = Stats.mannWhitneyZ(df, "s", "v", "b", "a").collect().head
+    assert(r2.getDouble(3) === -r.getDouble(3))
+    // heavy ties: correction shrinks variance but z stays finite; all
+    // values identical -> varU = 0 -> NULL
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("s", "v")
+    assert(Stats.mannWhitneyZ(tied, "s", "v", "a", "b").collect().head.isNullAt(3))
+    // one empty side -> NULL z, counts still reported
+    val solo = Seq(("a", 1L), ("a", 2L)).toDF("s", "v")
+    val r3 = Stats.mannWhitneyZ(solo, "s", "v", "a", "b").collect().head
+    assert((r3.getLong(0), r3.getLong(1)) === ((2L, 0L)) && r3.isNullAt(3))
+  }
+
   test("kmvOverlapMatrix: every unordered pair matches the two-corpus form") {
     val rows = Seq(
       ("en", "alpha"), ("en", "beta"), ("en", "gamma"),
