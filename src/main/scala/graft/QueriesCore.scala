@@ -632,6 +632,21 @@ private[graft] object QueriesCore {
       graft.ops.Stats.welchTTest(T(s, d, "documents"),
         "lang", "n_chars", "en", "zh")),
 
+    // difference-in-differences on order value: urgent-priority orders
+    // (treat) vs the rest, pre/post the 1998-01-01 cut — nets common
+    // drift out of the post-only comparison; ONE conditional aggregate
+    "x_stats_did" -> ((s, d) =>
+      graft.ops.Stats.diffInDiff(
+        T(s, d, "orders").select(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("treat"),
+          // o_orderdate reads as TIMESTAMP_NTZ; the session is pinned
+          // UTC, so the cast re-reads the same wall clock as an
+          // instant and unix_micros matches DuckDB's epoch_us
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")
+            >= 883612800000000L).as("post"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)").as("cents")),
+        "treat", "post", "cents")),
+
     // Mann-Whitney U z between the same two slices as x_stats_welch —
     // the rank-based partner (outlier-robust where the mean test is
     // tail-driven), tie-corrected z from exact integer rank sums
@@ -1847,6 +1862,41 @@ private[graft] object QueriesCore {
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN ${graft.ops.Rounding.halfUpSql(t, 6)} END AS t_welch,
          |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN ${graft.ops.Rounding.halfUpSql(dfW, 6)} END AS df_welch
          |FROM m""".stripMargin
+    },
+
+    // DiD: the same four conditional cells, sign-factored micro means,
+    // integer DiD subtraction — epoch-micro date cut (never a raw
+    // timestamp interval, the events NANOS rule)
+    "x_stats_did" -> {
+      def cellSql(cond: String, suf: String) =
+        s"""CAST(coalesce(sum(CASE WHEN $cond THEN 1 END), 0) AS BIGINT) AS n_$suf,
+           |  CAST(coalesce(sum(CASE WHEN $cond THEN v END), 0) AS BIGINT) AS s_$suf""".stripMargin
+      def meanSql(suf: String) =
+        s"""CASE WHEN n_$suf > 0 THEN
+           |  CAST(CASE WHEN s_$suf < 0 THEN -((-s_$suf * 1000000) // n_$suf)
+           |       ELSE (s_$suf * 1000000) // n_$suf END AS BIGINT) END AS mean_${suf}_micro""".stripMargin
+      s"""WITH b AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+         |    (epoch_us(o_orderdate) >= 883612800000000) AS p,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+         |  FROM orders
+         |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_totalprice IS NOT NULL),
+         |m AS (SELECT
+         |  ${cellSql("t AND NOT p", "treat_pre")},
+         |  ${cellSql("t AND p", "treat_post")},
+         |  ${cellSql("NOT t AND NOT p", "ctrl_pre")},
+         |  ${cellSql("NOT t AND p", "ctrl_post")}
+         |  FROM b),
+         |mm AS (SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+         |  ${meanSql("treat_pre")},
+         |  ${meanSql("treat_post")},
+         |  ${meanSql("ctrl_pre")},
+         |  ${meanSql("ctrl_post")}
+         |  FROM m)
+         |SELECT *,
+         |  CAST((mean_treat_post_micro - mean_treat_pre_micro)
+         |     - (mean_ctrl_post_micro - mean_ctrl_pre_micro) AS BIGINT) AS did_micro
+         |FROM mm""".stripMargin
     },
 
     // Mann-Whitney: doubled midranks over the value lattice, exact

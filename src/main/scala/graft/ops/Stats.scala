@@ -2273,6 +2273,58 @@ object Stats {
         Rounding.halfUp(num / (lit(2.0) * sqrt(varU)), 6)).as("z_mw"))
   }
 
+  /** Difference-in-differences — the pre/post × treat/control estimate
+    * behind "did the deploy move the metric, beyond what moved
+    * anyway": DiD = (mean_treat_post − mean_treat_pre) −
+    * (mean_ctrl_post − mean_ctrl_pre). The naive post-only comparison
+    * ([[welchTTest]] on the post window) conflates the treatment with
+    * whatever drifted for everyone; DiD nets the common drift out
+    * under the parallel-trends assumption (stated, not tested — eyeball
+    * [[groupTrend]] on the pre window first).
+    *
+    * Callers pass two BOOLEAN columns (treatment membership,
+    * post-period membership) so any predicate — group lists, date
+    * cuts, config flags — works without the operator guessing
+    * semantics. Rows with a NULL flag or value are dropped.
+    *
+    * Determinism: four conditional (count, sum) pairs in ONE
+    * aggregate; each cell mean is a sign-factored truncating division
+    * to micro, and the DiD is integer subtraction of those four micro
+    * means — bit-identical cross-engine. Any empty cell yields NULL
+    * means for it and a NULL DiD in-band.
+    *
+    * Scale: ONE corpus hash aggregate to a single row; no shuffle
+    * beyond the partial-agg tree, no join.
+    */
+  def diffInDiff(
+      df: DataFrame, treatCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val tr = Cleaning.qcol(treatCol).cast("boolean")
+    val po = Cleaning.qcol(postCol).cast("boolean")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val base = df.filter(tr.isNotNull && po.isNotNull && v.isNotNull)
+      .select(tr.as("__t"), po.as("__p"), v.as("__v"))
+    def cell(t: Boolean, p: Boolean, suf: String) = Seq(
+      coalesce(sum(when(col("__t") === t && col("__p") === p, 1L)), lit(0L))
+        .as(s"n_$suf"),
+      coalesce(sum(when(col("__t") === t && col("__p") === p, col("__v"))), lit(0L))
+        .as(s"__s_$suf"))
+    val aggCols = cell(true, false, "treat_pre") ++ cell(true, true, "treat_post") ++
+      cell(false, false, "ctrl_pre") ++ cell(false, true, "ctrl_post")
+    val m = base.agg(aggCols.head, aggCols.tail: _*)
+    def mean(suf: String) =
+      when(col(s"n_$suf") > 0L,
+        expr(s"CASE WHEN __s_$suf < 0 THEN -((-__s_$suf * 1000000L) div n_$suf) " +
+          s"ELSE (__s_$suf * 1000000L) div n_$suf END")).as(s"mean_${suf}_micro")
+    m.select(col("n_treat_pre"), col("n_treat_post"),
+        col("n_ctrl_pre"), col("n_ctrl_post"),
+        mean("treat_pre"), mean("treat_post"),
+        mean("ctrl_pre"), mean("ctrl_post"))
+      .withColumn("did_micro",
+        (col("mean_treat_post_micro") - col("mean_treat_pre_micro")) -
+          (col("mean_ctrl_post_micro") - col("mean_ctrl_pre_micro")))
+  }
+
   /** The KMV estimator chain over a frame carrying sketch arrays `sa`,
     * `sb` (ascending distinct hashes, ≤ k each) — shared by
     * [[kmvOverlap]] and [[kmvOverlapMatrix]] so pair and matrix forms

@@ -919,6 +919,28 @@ class StatsSpec extends AnyFunSuite {
     assert((r3.getLong(0), r3.getLong(1)) === ((2L, 0L)) && r3.isNullAt(3))
   }
 
+  test("diffInDiff: hand cells, common drift nets out, empty cell NULL in-band") {
+    // treat: 10 -> 25 (+15); ctrl: 20 -> 30 (+10) => DiD = +5
+    val rows = Seq(
+      (true, false, 10L), (true, false, 10L), (true, true, 25L),
+      (false, false, 20L), (false, true, 30L), (false, true, 30L))
+    val r = Stats.diffInDiff(rows.toDF("t", "p", "v"), "t", "p", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 1L, 2L)))
+    assert((r.getLong(4), r.getLong(5)) === ((10000000L, 25000000L)))
+    assert((r.getLong(6), r.getLong(7)) === ((20000000L, 30000000L)))
+    assert(r.getLong(8) === 5000000L, "DiD nets the common +10 drift out")
+    // pure common drift across both arms -> DiD exactly 0
+    val drift = Seq((true, false, 10L), (true, true, 20L),
+      (false, false, 50L), (false, true, 60L))
+    assert(Stats.diffInDiff(drift.toDF("t", "p", "v"), "t", "p", "v")
+      .collect().head.getLong(8) === 0L)
+    // an empty cell (no ctrl_post) -> NULL mean AND NULL DiD
+    val hole = Seq((true, false, 10L), (true, true, 20L), (false, false, 50L))
+    val h = Stats.diffInDiff(hole.toDF("t", "p", "v"), "t", "p", "v").collect().head
+    assert(h.isNullAt(7) && h.isNullAt(8))
+  }
+
   test("kmvOverlapMatrix: every unordered pair matches the two-corpus form") {
     val rows = Seq(
       ("en", "alpha"), ("en", "beta"), ("en", "gamma"),
