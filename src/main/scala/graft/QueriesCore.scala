@@ -1712,8 +1712,10 @@ private[graft] object QueriesCore {
          |               CAST(sum(c) AS BIGINT) AS nr
          |        FROM cnt GROUP BY 1, 2),
          |live AS (SELECT grp, r,
-         |           CASE WHEN s2 < 0 THEN -((-s2 * 1000000) // nr)
-         |                ELSE (s2 * 1000000) // nr END AS mm
+         |           CAST(CASE WHEN s2 < 0
+         |                THEN -((-CAST(s2 AS HUGEINT) * 1000000) // nr)
+         |                ELSE (CAST(s2 AS HUGEINT) * 1000000) // nr
+         |                END AS BIGINT) AS mm
          |         FROM rep WHERE nr > 0),
          |rk AS (SELECT grp, r, mm,
          |         row_number() OVER (PARTITION BY grp ORDER BY mm, r) AS rk,
@@ -1728,8 +1730,10 @@ private[graft] object QueriesCore {
          |               CAST(sum(x) AS BIGINT) AS sx
          |        FROM base GROUP BY 1)
          |SELECT tot.grp AS o_orderpriority, tot.n,
-         |       CAST(CASE WHEN sx < 0 THEN -((-sx * 1000000) // n)
-         |            ELSE (sx * 1000000) // n END AS BIGINT) AS mean_micro,
+         |       CAST(CASE WHEN sx < 0
+         |            THEN -((-CAST(sx AS HUGEINT) * 1000000) // n)
+         |            ELSE (CAST(sx AS HUGEINT) * 1000000) // n
+         |            END AS BIGINT) AS mean_micro,
          |       CAST(ci_lo AS BIGINT) AS ci_lo_micro,
          |       CAST(ci_hi AS BIGINT) AS ci_hi_micro,
          |       CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live
@@ -1873,8 +1877,10 @@ private[graft] object QueriesCore {
            |  CAST(coalesce(sum(CASE WHEN $cond THEN v END), 0) AS BIGINT) AS s_$suf""".stripMargin
       def meanSql(suf: String) =
         s"""CASE WHEN n_$suf > 0 THEN
-           |  CAST(CASE WHEN s_$suf < 0 THEN -((-s_$suf * 1000000) // n_$suf)
-           |       ELSE (s_$suf * 1000000) // n_$suf END AS BIGINT) END AS mean_${suf}_micro""".stripMargin
+           |  CAST(CASE WHEN s_$suf < 0
+           |       THEN -((-CAST(s_$suf AS HUGEINT) * 1000000) // n_$suf)
+           |       ELSE (CAST(s_$suf AS HUGEINT) * 1000000) // n_$suf
+           |       END AS BIGINT) END AS mean_${suf}_micro""".stripMargin
       s"""WITH b AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
          |    (epoch_us(o_orderdate) >= 883612800000000) AS p,
          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v

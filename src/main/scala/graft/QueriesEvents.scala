@@ -587,12 +587,14 @@ private[graft] object QueriesEvents {
         |  CAST(best.b AS BIGINT) AS split_bucket,
         |  CAST(best.t AS BIGINT) AS n_before,
         |  CAST(tot.n - best.t AS BIGINT) AS n_after,
-        |  CAST(CASE WHEN best.st < 0 THEN -((-best.st * 1000000) // best.t)
-        |       ELSE (best.st * 1000000) // best.t END AS BIGINT) AS mean_before_micro,
+        |  CAST(CASE WHEN best.st < 0
+        |       THEN -((-CAST(best.st AS HUGEINT) * 1000000) // best.t)
+        |       ELSE (CAST(best.st AS HUGEINT) * 1000000) // best.t
+        |       END AS BIGINT) AS mean_before_micro,
         |  CAST(CASE WHEN (tot.s - best.st) < 0
-        |       THEN -((-(tot.s - best.st) * 1000000) // (tot.n - best.t))
-        |       ELSE ((tot.s - best.st) * 1000000) // (tot.n - best.t) END AS BIGINT)
-        |    AS mean_after_micro
+        |       THEN -((-CAST(tot.s - best.st AS HUGEINT) * 1000000) // (tot.n - best.t))
+        |       ELSE (CAST(tot.s - best.st AS HUGEINT) * 1000000) // (tot.n - best.t)
+        |       END AS BIGINT) AS mean_after_micro
         |FROM tot LEFT JOIN best USING (key)""".stripMargin,
 
     "x_ts_trend" ->

@@ -2113,10 +2113,11 @@ object Stats {
     * (codegen'd threshold chains, no row fan-out — the oracle explodes
     * rows x R; the engine never does) to |groups| rows, then an R-row
     * per-group lattice: explode, one bounded window (partitioned BY
-    * GROUP, frame = R replicate means), one |groups|-row join. Long
-    * overflow guard is ANSI: sum(x)*1e6 must fit a long — rescale the
-    * value column upstream past ~9e12 micro-mass per group (the BT
-    * countDiv move).
+    * GROUP, frame = R replicate means), one |groups|-row join. Mean
+    * numerators route through decimal(38) (sum·1e6 overflows a long
+    * past ~9e12 group mass — the sf1 gate caught the sibling DiD
+    * doing this in longs); sums themselves stay exact longs under
+    * ANSI, loud past ~9e18.
     */
   def bootstrapMeanCI(
       df: DataFrame, groupCol: String, valueCol: String, keyCol: String,
@@ -2162,9 +2163,13 @@ object Stats {
       .select(col("grp"), col("__e.r").as("r"), col("__e.s").as("s"),
         col("__e.nr").as("nr"))
       .filter(col("nr") > 0L)
+      // replicate means through decimal(38): a replicate carries up to
+      // ~3x a group's micro-mass, which overflows the long product
+      // past ~3e12 group mass (the DiD sf1 lesson, applied here too)
       .select(col("grp"), col("r"),
-        expr("CASE WHEN s < 0 THEN -((-s * 1000000L) div nr) " +
-          "ELSE (s * 1000000L) div nr END").as("m"))
+        expr("CASE WHEN s < 0 " +
+          "THEN -((-CAST(s AS DECIMAL(38,0)) * 1000000) div nr) " +
+          "ELSE (CAST(s AS DECIMAL(38,0)) * 1000000) div nr END").as("m"))
     val wG = Window.partitionBy(col("grp")).orderBy(col("m"), col("r"))
     val wAll = Window.partitionBy(col("grp"))
     val ranked = live
@@ -2178,8 +2183,10 @@ object Stats {
       max(col("nl")).as("n_live"))
     agg
       .select(col("grp"), col("n"),
-        expr("CASE WHEN __sx < 0 THEN -((-__sx * 1000000L) div n) " +
-          "ELSE (__sx * 1000000L) div n END").as("mean_micro"))
+        expr("CASE WHEN __sx < 0 " +
+          "THEN -((-CAST(__sx AS DECIMAL(38,0)) * 1000000) div n) " +
+          "ELSE (CAST(__sx AS DECIMAL(38,0)) * 1000000) div n END")
+          .as("mean_micro"))
       .join(ci, Seq("grp"), "left")
       .select(col("grp").as(groupCol), col("n"), col("mean_micro"),
         col("ci_lo_micro"), col("ci_hi_micro"),
@@ -2312,10 +2319,15 @@ object Stats {
     val aggCols = cell(true, false, "treat_pre") ++ cell(true, true, "treat_post") ++
       cell(false, false, "ctrl_pre") ++ cell(false, true, "ctrl_post")
     val m = base.agg(aggCols.head, aggCols.tail: _*)
+    // micro means through decimal(38): a cell carrying > ~9e12 mass
+    // would overflow the long product (the sf1 gate caught exactly
+    // this); the mean itself always fits a long
     def mean(suf: String) =
       when(col(s"n_$suf") > 0L,
-        expr(s"CASE WHEN __s_$suf < 0 THEN -((-__s_$suf * 1000000L) div n_$suf) " +
-          s"ELSE (__s_$suf * 1000000L) div n_$suf END")).as(s"mean_${suf}_micro")
+        expr(s"CASE WHEN __s_$suf < 0 " +
+          s"THEN -((-CAST(__s_$suf AS DECIMAL(38,0)) * 1000000) div n_$suf) " +
+          s"ELSE (CAST(__s_$suf AS DECIMAL(38,0)) * 1000000) div n_$suf END"))
+        .as(s"mean_${suf}_micro")
     m.select(col("n_treat_pre"), col("n_treat_post"),
         col("n_ctrl_pre"), col("n_ctrl_post"),
         mean("treat_pre"), mean("treat_post"),

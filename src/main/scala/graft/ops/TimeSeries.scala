@@ -311,11 +311,15 @@ object TimeSeries {
       .select(col("key").as(keyCol), col("n"), col("cusum_abs"),
         col("split_bucket"), col("n_before"),
         (col("n") - col("n_before")).as("n_after"),
-        expr("CASE WHEN __st < 0 THEN -((-__st * 1000000L) div n_before) " +
-          "ELSE (__st * 1000000L) div n_before END").as("mean_before_micro"),
+        // segment means through decimal(38) — the long product caps a
+        // segment at ~9e12 micro-mass otherwise (the DiD sf1 lesson)
+        expr("CASE WHEN __st < 0 " +
+          "THEN -((-CAST(__st AS DECIMAL(38,0)) * 1000000) div n_before) " +
+          "ELSE (CAST(__st AS DECIMAL(38,0)) * 1000000) div n_before END")
+          .as("mean_before_micro"),
         expr("CASE WHEN (__s - __st) < 0 " +
-          "THEN -((-(__s - __st) * 1000000L) div (n - n_before)) " +
-          "ELSE ((__s - __st) * 1000000L) div (n - n_before) END")
+          "THEN -((-CAST(__s - __st AS DECIMAL(38,0)) * 1000000) div (n - n_before)) " +
+          "ELSE (CAST(__s - __st AS DECIMAL(38,0)) * 1000000) div (n - n_before) END")
           .as("mean_after_micro"))
   }
 }

@@ -10,6 +10,7 @@ sort rows canonically, compare cell-by-cell. Exact match required
 (floats compared bitwise, like a hash would).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -21,19 +22,35 @@ def canon(df):
     return df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout_s=0):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver sf dirs hold one file per table; Spark-written scaled
+        # dirs (tools/MakeScaled) hold a directory of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            duck_df = con.sql(sql).df()
+            # optional per-query budget: an oracle REPLAY that cannot
+            # finish in budget is reported as its own class (the engine
+            # result is still on disk) rather than stalling the gate
+            timer = None
+            if timeout_s:
+                import threading
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
+            try:
+                duck_df = con.sql(sql).df()
+            finally:
+                if timer:
+                    timer.cancel()
             s, d = canon(spark_df), canon(duck_df)
             if list(s.columns) != list(d.columns):
                 results[name] = f"SCHEMA spark={list(s.columns)} duck={list(d.columns)}"
@@ -52,14 +69,22 @@ def main(sf_dir, out_dir):
                 if bad:
                     break
             results[name] = "OK" if not bad else f"CELL row={bad[0]} col={bad[1]} spark={bad[2]!r} duck={bad[3]!r}"
+        except KeyboardInterrupt:
+            # duckdb surfaces con.interrupt() as KeyboardInterrupt
+            results[name] = f"ORACLE-TIMEOUT >{timeout_s}s (DuckDB replay, not the engine)"
         except Exception as e:
-            results[name] = f"ERROR {type(e).__name__}: {e}"
+            if "INTERRUPT" in f"{type(e).__name__} {e}".upper():
+                results[name] = f"ORACLE-TIMEOUT >{timeout_s}s (DuckDB replay, not the engine)"
+            else:
+                results[name] = f"ERROR {type(e).__name__}: {e}"
+        # progress line per query (stderr, unbuffered enough for tail -f;
+        # the PASS/FAIL summary below stays the parseable contract)
+        print(f"[check] {name}: {results[name][:80]}", file=sys.stderr, flush=True)
     ok = sum(1 for v in results.values() if v == "OK")
     for name, v in results.items():
         print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else "  " + v[:300]))
     print(f"\n{ok}/{len(results)} oracle queries match")
     # rows-only queries (no oracle): report row counts
-    import os
     for d in sorted(os.listdir(out_dir)):
         if d not in oracle and os.path.isdir(f"{out_dir}/{d}"):
             n = con.sql(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
@@ -67,4 +92,9 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    tmo = 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--timeout=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout="):
+            tmo = int(a.split("=")[1])
+    main(args[0], args[1], tmo)
