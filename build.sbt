@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's one-line JSON from the stdout tail;
+// sbt's default LoggedOutput prefixes every forked-run line with
+// "[info] ", which broke that parse two rounds running (BENCH "parsed":
+// null). StdoutOutput makes the forked JVM inherit sbt's own stdout /
+// stderr, so program lines land unprefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -462,6 +462,41 @@ private[graft] object EntryShared {
         (col("__hits").cast("double") / col("__n") >= threshold).as("recall_ok"))
   }
 
+  /** [[recallGate]] with an in-band CALIBRATION audit for fitted-config
+    * floors. A recall floor pinned on natural data shapes does not
+    * transfer to a dup-degenerate corpus (e.g. a synthetic 10x-duplicated
+    * scale dir): mass duplication re-shapes the kmeans fit and the exact
+    * top-k tie structure, so a floor miss there measures the fixture,
+    * not the algorithm (round-13 `x_emb_ivfpq_probe` at the 10x dir).
+    * The gate measures degeneracy directly — distinct vectors >= 90% of
+    * rows — and emits it as `calibrated`; `recall_ok` enforces the floor
+    * ONLY on calibrated corpora, so on the driver's dirs (no dups,
+    * calibrated = true) the gate is exactly [[recallGate]], while an
+    * out-of-calibration dir declares the skip in the result row instead
+    * of failing a floor it never pinned. The oracle replays `calibrated`
+    * from the same exact distinct count. */
+  def recallGateCalibrated(
+      approx: DataFrame, exact: DataFrame, k: Int, threshold: Double,
+      corpus: DataFrame, vecCol: String): DataFrame = {
+    val cal = corpus.agg(
+      (countDistinct(col(vecCol)) * 10 >= count(lit(1)) * 9).as("calibrated"))
+    val a = approx.select(col("query_id"), col("vec_id")).distinct()
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("vec_id"))
+      .join(a, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(broadcast(cal))
+      .select(
+        lit(k).cast("int").as("k"),
+        col("n_queries"),
+        lit(threshold).as("recall_min"),
+        col("calibrated"),
+        (col("__hits").cast("double") / col("__n") >= threshold ||
+          !col("calibrated")).as("recall_ok"))
+  }
+
   /** The PQ oracle codebook: deterministic exact-decimal centroids (see
     * Pq.syntheticModel) shared by the Spark queries above and the
     * generated oracle SQL below. */
@@ -725,6 +760,12 @@ private[graft] object EntryShared {
        |            list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
        |          (a, b) -> (a * $base + b) % 2147483647) END""".stripMargin
 
+  /** DuckDB mirror of [[graft.functions.PortableHash.kmvHash31]] — the
+    * scrambled KMV key kernel (see its scaladoc for why order
+    * statistics need the affine spread). */
+  def kmvHashSqlOf(expr: String): String =
+    s"((${polyHashSqlOf(expr)}) * 514229 + 741103) % 2147483647"
+
   /** The hashed-classifier fit+score CTE chain (poly-hash % buckets,
     * add-one log-odds on the 6-dp micro grid, exact BIGINT doc sums) —
     * ONE definition shared by every x_text_hashclf* / x_corpus_clffilter
@@ -820,6 +861,16 @@ private[graft] object EntryShared {
     */
   val NgramBlockCap = 4096
 
+  /** The pair join replays nearDupNgram's EXACT-COLLAPSE prepass
+    * (identical (block, shingle set) docs group to one representative;
+    * the quadratic list_intersect join runs over GROUPS, and member
+    * pairs expand afterwards with no per-pair set math) — output
+    * provably identical to the member-level self-join (groups
+    * partition docs inside a block; cross-group member pairs inherit
+    * the group pair's Jaccard, same-group pairs are Jaccard 1), but
+    * the replay cost no longer grows quadratically in dup
+    * multiplicity, which is what blew the per-oracle budget on the
+    * dup-heavy 10x gate dir (round-13 ORACLE-TIMEOUT class). */
   def ngramPairsSqlFrom(src: String, threshold: Double = 0.2): String =
     s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
        |s0 AS (SELECT doc_id,
@@ -831,14 +882,82 @@ private[graft] object EntryShared {
        |s AS (SELECT doc_id, lenband, t0, sh FROM
        |    (SELECT s0.*, count(*) OVER (PARTITION BY lenband, t0) AS bsz FROM s0)
        |  WHERE bsz <= $NgramBlockCap),
-       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |g AS (SELECT lenband, t0, sh, min(doc_id) AS gid, list_sort(list(doc_id)) AS mem
+       |      FROM s GROUP BY lenband, t0, sh),
+       |gp AS (SELECT a.mem AS ma, b.mem AS mb,
        |    len(list_intersect(a.sh, b.sh)) AS inter,
        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
-       |  FROM s a JOIN s b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.doc_id < b.doc_id)
-       |SELECT DISTINCT id_a, id_b,
-       |       CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
-       |FROM p
-       |WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold""".stripMargin
+       |  FROM g a JOIN g b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.gid < b.gid),
+       |gk AS (SELECT ma, mb,
+       |    CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END AS jaccard
+       |  FROM gp
+       |  WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold),
+       |x1 AS (SELECT unnest(ma) AS x, mb, jaccard FROM gk),
+       |x2 AS (SELECT x, unnest(mb) AS y, jaccard FROM x1),
+       |i1 AS (SELECT unnest(mem) AS x, mem FROM g
+       |       WHERE len(mem) > 1 AND CAST(1 AS DOUBLE) >= $threshold),
+       |i2 AS (SELECT x, unnest(mem) AS y FROM i1)
+       |SELECT DISTINCT id_a, id_b, jaccard FROM (
+       |  SELECT least(x, y) AS id_a, greatest(x, y) AS id_b, jaccard FROM x2
+       |  UNION ALL
+       |  SELECT x AS id_a, y AS id_b, CAST(1 AS DOUBLE) AS jaccard FROM i2 WHERE x < y)""".stripMargin
+
+  /** Group-CONTRACTED connected components over the n-gram near-dup
+    * graph — the cluster-label replay for every oracle that only needs
+    * `lbls(rid, cluster)` and never the pair list itself. The doc-level
+    * recursive closure that [[ngramPairsSqlFrom]]'s expanded pairs
+    * would feed accumulates |component|^2 (node, label) rows, and on a
+    * dup-heavy dir component sizes scale with dup multiplicity — the
+    * round-13 ORACLE-TIMEOUT class. Contracting identical
+    * (block, shingle-set) docs to their group BEFORE the recursion runs
+    * the closure over group nodes (invariant under duplication), then
+    * expands membership once at the end.
+    *
+    * Output-identical to the doc-level closure: groups partition the
+    * capped docs inside a block; a doc-level component is exactly the
+    * member union of a group-level component (cross-group member pairs
+    * inherit the group pair's Jaccard; same-group members are Jaccard 1
+    * and always co-clustered); and the min-doc_id label equals the min
+    * group gid because gid = min(member). Docs in groups with no
+    * qualifying group pair now appear with cluster = own gid — the
+    * superset is benign because every consumer reads lbls through
+    * `coalesce(cluster, doc_id)` / `cluster IS NULL OR cluster =
+    * doc_id`, which maps absent and self-labelled rows identically.
+    *
+    * ncge is pinned MATERIALIZED: DuckDB inlines single-reference CTEs,
+    * and a recursive term re-executes its inlined inputs on EVERY
+    * fixpoint iteration — the whole shingle/group/intersect chain would
+    * re-run once per closure depth (measured 4x on sf0.1).
+    */
+  def ngramClusterCtes(src: String, threshold: Double = 0.2): String =
+    s"""ncd AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
+       |ncs0 AS (SELECT doc_id,
+       |    CAST(floor(ln(greatest(length(text), 1)) * 2) AS INT) AS lenband,
+       |    coalesce(toks[1], '') AS t0,
+       |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |  FROM ncd),
+       |ncs AS (SELECT doc_id, lenband, t0, sh FROM
+       |    (SELECT ncs0.*, count(*) OVER (PARTITION BY lenband, t0) AS bsz FROM ncs0)
+       |  WHERE bsz <= $NgramBlockCap),
+       |ncg AS (SELECT lenband, t0, sh, min(doc_id) AS gid, list_sort(list(doc_id)) AS mem
+       |        FROM ncs GROUP BY lenband, t0, sh),
+       |ncgp AS (SELECT a.gid AS ga, b.gid AS gb,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+       |  FROM ncg a JOIN ncg b ON a.lenband = b.lenband AND a.t0 = b.t0 AND a.gid < b.gid),
+       |ncge AS MATERIALIZED (SELECT ga AS src, gb AS dst FROM ncgp
+       |           WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold
+       |         UNION
+       |         SELECT gb, ga FROM ncgp
+       |           WHERE CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0 END >= $threshold),
+       |ncreach(rid, lbl) AS (
+       |  SELECT src, src FROM ncge
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM ncreach r JOIN ncge e ON e.src = r.rid),
+       |ncl AS (SELECT rid, min(lbl) AS cluster FROM ncreach GROUP BY 1),
+       |lbls AS (SELECT unnest(ncg.mem) AS rid, coalesce(ncl.cluster, ncg.gid) AS cluster
+       |         FROM ncg LEFT JOIN ncl ON ncg.gid = ncl.rid)""".stripMargin
 
   /** Unrolled IPF oracle for s4_rake: the same cell/step arithmetic as
     * Raking.ipfCellWeights, with marginal sums spelled out left-to-right
@@ -912,10 +1031,32 @@ private[graft] object EntryShared {
     * representatives — composed from the same SQL pieces the individual
     * stage oracles use.
     */
+  /** Stopword-score CTE chain shared by the language-ID oracles:
+    * occurrence counts per (doc, language) via one token explode + a
+    * 40-row join, pivoted back to score_* columns — count-identical to
+    * the per-element list_filter lambda form it replaced (unnest keeps
+    * multiplicity; docs with no hits coalesce to 0, and max() over the
+    * single (doc, lang) row is that row), but DuckDB executes it ~20x
+    * faster, which is what keeps the corpus-clean family inside the
+    * 10x-dir per-oracle replay budget. Expects `tl(doc_id, toks)`;
+    * emits `sl(doc_id, score_de..score_zh)` (BIGINT, non-null). */
+  def stopScoreCtes(tl: String): String = {
+    val rows = stopSqlLists.toSeq.sortBy(_._1).flatMap { case (l, lst) =>
+      lst.stripPrefix("[").stripSuffix("]").split(",").toSeq.map(w => s"('$l',$w)")
+    }.mkString(", ")
+    val cols = stopSqlLists.keys.toSeq.sorted.map(l =>
+      s"coalesce(max(CASE WHEN swj.lang='$l' THEN swj.c END), 0) AS score_$l")
+      .mkString(",\n  ")
+    s"""swx AS (SELECT doc_id, unnest(toks) AS tok FROM $tl),
+       |sw(lang, tok) AS (VALUES $rows),
+       |swj AS (SELECT x.doc_id, s.lang, CAST(count(*) AS BIGINT) AS c
+       |        FROM swx x JOIN sw s ON x.tok = s.tok GROUP BY 1, 2),
+       |sl AS (SELECT $tl.doc_id,
+       |  $cols
+       |FROM $tl LEFT JOIN swj ON $tl.doc_id = swj.doc_id GROUP BY 1)""".stripMargin
+  }
+
   val corpusCleanCtes: String = {
-    val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-    }.mkString(",\n  ")
     val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
     s"""WITH RECURSIVE
        |tq AS (SELECT doc_id,
@@ -927,9 +1068,7 @@ private[graft] object EntryShared {
        |          WHERE toks >= 5 AND toks <= 100000
        |            AND (chars - nonpunct) / (CASE WHEN chars > 0 THEN chars END) < 0.3),
        |tl AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |sl AS (SELECT doc_id,
-       |  $scores
-       |FROM tl),
+       |${stopScoreCtes("tl")},
        |langq AS (SELECT doc_id FROM sl
        |          WHERE (CASE WHEN $m = 0 THEN 'und'
        |                      WHEN score_de = $m THEN 'de'
@@ -937,16 +1076,9 @@ private[graft] object EntryShared {
        |                      WHEN score_es = $m THEN 'es'
        |                      WHEN score_fr = $m THEN 'fr'
        |                      ELSE 'zh' END) IN ('en', 'es')),
-       |surv AS (SELECT d.* FROM documents d
+       |surv AS MATERIALIZED (SELECT d.* FROM documents d
        |         JOIN keepq USING (doc_id) JOIN langq USING (doc_id)),
-       |pairs AS (${ngramPairsSqlFrom("surv")}),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION SELECT id_b, id_a FROM pairs),
-       |reach(rid, lbl) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-       |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+       |${ngramClusterCtes("surv")},
        |clean AS (SELECT s.doc_id, s.lang, s.source, s.text
        |          FROM surv s LEFT JOIN lbls ON s.doc_id = lbls.rid
        |          WHERE lbls.cluster IS NULL OR lbls.cluster = s.doc_id)""".stripMargin

@@ -1746,9 +1746,9 @@ private[graft] object QueriesCore {
     "x_stats_kmv" -> {
       val kk = 256
       val numer = (kk - 1).toLong * 2147483647L
-      s"""WITH ha AS (SELECT DISTINCT ${polyHashSqlOf("text")} AS h
+      s"""WITH ha AS (SELECT DISTINCT ${kmvHashSqlOf("text")} AS h
          |      FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
-         |hb AS (SELECT DISTINCT ${polyHashSqlOf("text")} AS h
+         |hb AS (SELECT DISTINCT ${kmvHashSqlOf("text")} AS h
          |      FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
          |sa AS (SELECT h FROM ha ORDER BY h LIMIT $kk),
          |sb AS (SELECT h FROM hb ORDER BY h LIMIT $kk),
@@ -1791,7 +1791,7 @@ private[graft] object QueriesCore {
     "x_stats_kmv_matrix" -> {
       val kk = 128
       val numer = (kk - 1).toLong * 2147483647L
-      s"""WITH h0 AS (SELECT CAST(lang AS VARCHAR) AS s, ${polyHashSqlOf("text")} AS h
+      s"""WITH h0 AS (SELECT CAST(lang AS VARCHAR) AS s, ${kmvHashSqlOf("text")} AS h
          |      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
          |      GROUP BY 1, 2),
          |r AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM h0),

@@ -18,6 +18,57 @@ import EntryShared._
   */
 private[graft] object QueriesCorpus {
 
+  /** The multi-wave deployment composition behind BOTH wave-2 keys:
+    * exact-fingerprint index probe → near-dup band-index probe (cap
+    * per `maxBucketSize`) → accept → drift audits → trend, one audit
+    * frame. `x_corpus_wave2_e2e` runs it at maxBucketSize = 0 (full
+    * recall — the configuration the exhaustive DuckDB oracle replays;
+    * the CI gate form, cf. x_agg_approxq_gate) and
+    * `x_corpus_wave2_ship` at [[Dedup.DefaultMaxBucketSize]] (the
+    * production config — flat on dup-heavy data where the uncapped
+    * probe grows with dup multiplicity; the cap first binds far above
+    * the oracle dirs' bucket sizes, so the same oracle stays exact).
+    */
+  private def wave2E2e(s: SparkSession, d: String, maxBucketSize: Int): DataFrame = {
+    val docs = T(s, d, "documents")
+    val wave1 = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val novel = Dedup.dedupAgainstIndex(batch, wave1, "doc_id", "text")
+    val pairs = Dedup.nearDupMinhashAgainstIndex(
+      novel,
+      Dedup.minhashBandIndex(wave1, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
+      Dedup.hashedShingleTable(wave1, "doc_id", "text", k = 3),
+      "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3,
+      maxBucketSize = maxBucketSize)
+    val dropped = pairs.select(col("id_a").as("doc_id")).distinct()
+    val accepted = novel.join(dropped, Seq("doc_id"), "left_anti")
+    val corpus2 = wave1.unionByName(accepted)
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("value"))
+        .select(lit(name).as("metric"), lit("-").as("col_name"), col("value"))
+    val counts = Seq(
+      cnt(wave1, "wave1_size"), cnt(batch, "batch_size"),
+      cnt(novel, "exact_novel"), cnt(dropped, "neardup_dropped"),
+      cnt(accepted, "accepted_new"), cnt(corpus2, "corpus_after"))
+      .reduce(_ unionByName _)
+    val drift = Stats.profileDiff(wave1, corpus2, Seq("lang", "source"))
+    val driftRows = drift
+      .select(lit("null_delta_micro").as("metric"), col("col_name"),
+        floor(col("null_rate_delta") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("value"))
+      .unionByName(drift.select(lit("distinct_delta").as("metric"),
+        col("col_name"),
+        (col("n_distinct_b") - col("n_distinct_a")).as("value")))
+    def meanChars(df: DataFrame, name: String) =
+      df.agg(floor(sum(col("n_chars")).cast("double") / count(col("n_chars"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("value"))
+        .select(lit("mean_chars_micro").as("metric"),
+          lit(name).as("col_name"), col("value"))
+    counts.unionByName(driftRows)
+      .unionByName(meanChars(wave1, "wave1"))
+      .unionByName(meanChars(accepted, "wave2_accepted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // the full training-data prep recipe: quality filter → language
@@ -287,56 +338,21 @@ private[graft] object QueriesCorpus {
           sum(col("weight_micro")).as("eff_docs_micro"))
     }),
 
-    // --- multi-wave deployment e2e (round-13) -------------------------
+    // --- multi-wave deployment e2e (round-13; split round-14) ----------
     // "wave 2 arrives" — the engine's production story end to end:
     // the new delivery probes the persisted exact-fingerprint index,
-    // survivors probe the persisted near-dup band index (full-recall
-    // config), the novel remainder is accepted into the corpus, and
-    // the drift audits + trend rows that gate the acceptance run over
-    // the before/after snapshots. One composed audit frame
-    // (metric, col_name, value): stage counts, per-column null-rate /
-    // distinct drift in exact micro, and the per-wave mean-length
-    // trend. Every stage is an existing gated operator — no new
-    // shuffle shape; the composition is what's under test.
-    "x_corpus_wave2_e2e" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val wave1 = docs.filter(col("doc_id") < 400)
-      val batch = docs.filter(col("doc_id") >= 400)
-      val novel = Dedup.dedupAgainstIndex(batch, wave1, "doc_id", "text")
-      val pairs = Dedup.nearDupMinhashAgainstIndex(
-        novel,
-        Dedup.minhashBandIndex(wave1, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
-        Dedup.hashedShingleTable(wave1, "doc_id", "text", k = 3),
-        "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3,
-        maxBucketSize = 0) // full recall: the oracle replays the exhaustive join
-      val dropped = pairs.select(col("id_a").as("doc_id")).distinct()
-      val accepted = novel.join(dropped, Seq("doc_id"), "left_anti")
-      val corpus2 = wave1.unionByName(accepted)
-      def cnt(df: DataFrame, name: String) =
-        df.agg(count(lit(1)).as("value"))
-          .select(lit(name).as("metric"), lit("-").as("col_name"), col("value"))
-      val counts = Seq(
-        cnt(wave1, "wave1_size"), cnt(batch, "batch_size"),
-        cnt(novel, "exact_novel"), cnt(dropped, "neardup_dropped"),
-        cnt(accepted, "accepted_new"), cnt(corpus2, "corpus_after"))
-        .reduce(_ unionByName _)
-      val drift = Stats.profileDiff(wave1, corpus2, Seq("lang", "source"))
-      val driftRows = drift
-        .select(lit("null_delta_micro").as("metric"), col("col_name"),
-          floor(col("null_rate_delta") * lit(1000000.0) + lit(0.5))
-            .cast("long").as("value"))
-        .unionByName(drift.select(lit("distinct_delta").as("metric"),
-          col("col_name"),
-          (col("n_distinct_b") - col("n_distinct_a")).as("value")))
-      def meanChars(df: DataFrame, name: String) =
-        df.agg(floor(sum(col("n_chars")).cast("double") / count(col("n_chars"))
-            * lit(1000000.0) + lit(0.5)).cast("long").as("value"))
-          .select(lit("mean_chars_micro").as("metric"),
-            lit(name).as("col_name"), col("value"))
-      counts.unionByName(driftRows)
-        .unionByName(meanChars(wave1, "wave1"))
-        .unionByName(meanChars(accepted, "wave2_accepted"))
-    }),
+    // survivors probe the persisted near-dup band index, the novel
+    // remainder is accepted into the corpus, and the drift audits +
+    // trend rows that gate the acceptance run over the before/after
+    // snapshots. One composed audit frame (metric, col_name, value):
+    // stage counts, per-column null-rate / distinct drift in exact
+    // micro, and the per-wave mean-length trend. Every stage is an
+    // existing gated operator — no new shuffle shape; the composition
+    // is what's under test. Two forms (the x_agg_approxq split): _e2e
+    // is the CI full-recall gate, _ship the capped production config.
+    "x_corpus_wave2_e2e" -> ((s, d) => wave2E2e(s, d, maxBucketSize = 0)),
+    "x_corpus_wave2_ship" -> ((s, d) =>
+      wave2E2e(s, d, maxBucketSize = Dedup.DefaultMaxBucketSize)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -421,14 +437,7 @@ private[graft] object QueriesCorpus {
     // containing any seed (doc_id % 97 = 0) is deleted wholesale;
     // status audits WHY each id left (seed vs propagated)
     "x_corpus_forget" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE ${ngramClusterCtes("documents")},
          |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
          |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
@@ -734,14 +743,7 @@ private[graft] object QueriesCorpus {
     // replay (reach = min-label closure) + 1e6 // size per member,
     // rolled up per source
     "x_corpus_dupweight" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE ${ngramClusterCtes("documents")},
          |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster, d.source
          |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
          |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
@@ -754,8 +756,17 @@ private[graft] object QueriesCorpus {
     // multi-wave e2e: the x_dedup_incr token-join anti filter, the
     // x_dedup_incr_minhash exhaustive batch x index jaccard (full-
     // recall banding on the engine side), the s22 profile arithmetic,
-    // and exact-integer-double mean lengths — stacked into one frame
-    "x_corpus_wave2_e2e" -> {
+    // and exact-integer-double mean lengths — stacked into one frame.
+    // The _ship form shares the SAME exhaustive replay: its bucket cap
+    // (4096) binds only far above the oracle dirs' bucket sizes
+    // (measured max ~hundreds at the 10x dup-heavy dir), and 64-band/
+    // 1-row banding misses a 0.3-Jaccard pair with prob 0.7^64 < 1e-9,
+    // so capped output == exhaustive output wherever the oracle runs
+    "x_corpus_wave2_e2e" -> wave2Sql,
+    "x_corpus_wave2_ship" -> wave2Sql,
+  )
+
+  private lazy val wave2Sql: String = {
       def side(src: String, suffix: String) =
         Seq("lang", "source").map { c =>
           s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS r_$suffix,
@@ -802,6 +813,5 @@ private[graft] object QueriesCorpus {
          |  CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) AS BIGINT) FROM w1
          |UNION ALL SELECT 'mean_chars_micro', 'wave2_accepted',
          |  CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) AS BIGINT) FROM acc""".stripMargin
-    },
-  )
+  }
 }

@@ -360,14 +360,7 @@ private[graft] object QueriesDedup {
     // rank per cluster, ties to the GREATEST license string (only
     // equal strings or unknowns can tie under a total ranking)
     "x_dedup_license" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE ${ngramClusterCtes("documents")},
          |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
          |lic AS (SELECT doc_id AS id,
@@ -479,28 +472,53 @@ private[graft] object QueriesDedup {
 
     // same k=3 shingle construction as the ngram oracle; inverted-index
     // candidates with the identical df cap (a shingle either fully
-    // survives or fully drops); intersection over the FULL sets
+    // survives or fully drops — bucket size counted over DOCS, i.e. the
+    // sum of group sizes); intersection over the FULL sets. Identical
+    // shingle-SET docs collapse to one group before the quadratic
+    // index join (cf. ngramPairsSqlFrom): cross-group member pairs
+    // inherit the group pair's stats with n_a/n_b swapped to follow
+    // least/greatest id order, same-group members share everything
+    // (containment 1) and expand only when the group still owns at
+    // least one surviving index shingle — exactly the doc-level pair
+    // condition. Keeps the dup-heavy 10x replay inside the gate budget.
     "x_dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,
          |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
          |                       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
          |  FROM d),
-         |inv0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |inv AS (SELECT doc_id, g FROM
-         |    (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS bsz FROM inv0)
+         |cg AS (SELECT sh, min(doc_id) AS gid, list_sort(list(doc_id)) AS mem,
+         |              CAST(count(*) AS BIGINT) AS gsz
+         |       FROM s GROUP BY sh),
+         |ginv0 AS (SELECT gid, gsz, unnest(sh) AS g FROM cg),
+         |ginv AS (SELECT gid, g FROM
+         |    (SELECT gid, g, sum(gsz) OVER (PARTITION BY g) AS bsz FROM ginv0)
          |  WHERE bsz <= $NgramBlockCap),
-         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |v AS (SELECT id_a, id_b,
-         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
-         |        CAST(len(sa.sh) AS BIGINT) AS n_a,
-         |        CAST(len(sb.sh) AS BIGINT) AS n_b
-         |      FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id)
+         |gp AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
+         |       FROM ginv a JOIN ginv b ON a.g = b.g AND a.gid < b.gid),
+         |gv AS (SELECT ca.mem AS ma, cb.mem AS mb,
+         |         len(list_intersect(ca.sh, cb.sh)) AS ns,
+         |         len(ca.sh) AS na, len(cb.sh) AS nb
+         |       FROM gp JOIN cg ca ON gp.ga = ca.gid JOIN cg cb ON gp.gb = cb.gid),
+         |x1 AS (SELECT unnest(ma) AS x, mb, ns, na, nb FROM gv),
+         |x2 AS (SELECT x, unnest(mb) AS y, ns, na, nb FROM x1),
+         |xp AS (SELECT least(x, y) AS id_a, greatest(x, y) AS id_b,
+         |         CAST(ns AS BIGINT) AS n_shared,
+         |         CAST(CASE WHEN x < y THEN na ELSE nb END AS BIGINT) AS n_a,
+         |         CAST(CASE WHEN x < y THEN nb ELSE na END AS BIGINT) AS n_b
+         |       FROM x2),
+         |ig AS (SELECT DISTINCT gid FROM ginv),
+         |i1 AS (SELECT unnest(mem) AS x, mem, len(sh) AS na
+         |       FROM cg JOIN ig USING (gid) WHERE len(mem) > 1),
+         |i2 AS (SELECT x, unnest(mem) AS y, na FROM i1),
+         |ip AS (SELECT x AS id_a, y AS id_b, CAST(na AS BIGINT) AS n_shared,
+         |         CAST(na AS BIGINT) AS n_a, CAST(na AS BIGINT) AS n_b
+         |       FROM i2 WHERE x < y),
+         |u AS (SELECT * FROM xp UNION ALL SELECT * FROM ip)
          |SELECT id_a, id_b, n_shared, n_a, n_b,
          |       CAST(n_shared AS DOUBLE) / n_a AS cont_a,
          |       CAST(n_shared AS DOUBLE) / n_b AS cont_b
-         |FROM v
+         |FROM u
          |WHERE greatest(CAST(n_shared AS DOUBLE) / n_a, CAST(n_shared AS DOUBLE) / n_b) >= 0.5""".stripMargin,
 
     // distinct 5-shingles per doc; nd == document frequency
@@ -555,14 +573,7 @@ private[graft] object QueriesDedup {
     // min-reachable-id connected components over the same n-gram pair
     // graph, as a recursive CTE; singletons keep their own id
     "x_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1)
+      s"""WITH RECURSIVE ${ngramClusterCtes("documents")}
          |SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid""".stripMargin,
 
@@ -570,14 +581,7 @@ private[graft] object QueriesDedup {
     // argmax window (score desc, id asc) — rank-1 replays the bounded
     // top-1 aggregate's total order
     "x_dedup_bestrep" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE ${ngramClusterCtes("documents")},
          |clu AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
          |${hashClfCtes(1024)},
@@ -604,14 +608,7 @@ private[graft] object QueriesDedup {
     // same recursive components as x_dedup_clusters, aggregated twice:
     // cluster → size → how many clusters of each size (the census row)
     "x_dedup_cluster_sizes" ->
-      s"""WITH RECURSIVE pairs AS (${ngramPairsSqlFrom("documents")}),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(rid, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
-         |lbls AS (SELECT rid, min(lbl) AS cluster FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE ${ngramClusterCtes("documents")},
          |asg AS (SELECT d.doc_id AS id, coalesce(l.cluster, d.doc_id) AS cluster
          |        FROM documents d LEFT JOIN lbls l ON d.doc_id = l.rid),
          |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1)
@@ -713,15 +710,23 @@ private[graft] object QueriesDedup {
         |FROM c WHERE cos >= 0.35""".stripMargin,
 
     // incremental semantic probe at nlist=1: all-pairs batch × index
-    // cosine (id_a = batch/new wave, id_b = accepted index)
+    // cosine (id_a = batch/new wave, id_b = accepted index). Norms are
+    // hoisted per vector and the pair dot uses DuckDB's native
+    // list_dot_product over DOUBLE[] — same element cast, same
+    // left-to-right double accumulation as the per-pair unnest-sum it
+    // replaces (empirically bit-identical), but vectorized: the old
+    // correlated subqueries ran a mini-query per pair and blew the
+    // dup-heavy 10x replay budget.
     "x_dedup_semantic_incr" ->
-      """WITH s AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)) AS dt,
-        |    sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x))) AS na,
-        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON TRUE
-        |  WHERE a.vec_id % 10 < 3 AND b.vec_id % 10 >= 3),
+      """WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |      FROM embeddings WHERE vec_id % 10 < 3),
+        |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |      FROM embeddings WHERE vec_id % 10 >= 3),
+        |s AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+        |        list_dot_product(ea.e, eb.e) AS dt, ea.nrm AS na, eb.nrm AS nb
+        |      FROM ea JOIN eb ON TRUE),
         |c AS (SELECT id_a, id_b, CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END AS cos FROM s)
         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c WHERE cos >= 0.3""".stripMargin,

@@ -193,6 +193,15 @@ private[graft] object QueriesEvents {
       graft.ops.Cohorts.rollingDistinctKmv(T(s, d, "events"),
         "ts", "user_id", windowDays = 7, k = 64)),
 
+    // monthly actives + stickiness over the same mergeable day
+    // sketches, beside the exact MAU with an in-band tolerance verdict
+    // (within_tol) — the engagement report's 100 TB swap; the oracle
+    // builds each month's sketch directly, so the hash gate doubles as
+    // the day-to-month mergeability proof
+    "x_events_mau_kmv" -> ((s, d) =>
+      graft.ops.Cohorts.engagementKmv(T(s, d, "events"), "user_id", "ts",
+        k = 64, tolMicro = 250000L)),
+
     // single-changepoint scan on daily event volume per type: the
     // "WHERE did it jump" complement of x_ts_trend's "is it moving" —
     // integer CUSUM-range argmax, segment means in micro
@@ -541,7 +550,7 @@ private[graft] object QueriesEvents {
       val kk = 64
       val numer = (kk - 1).toLong * 2147483647L
       s"""WITH b AS (SELECT epoch_us(ts) // 86400000000 AS day,
-         |    ${polyHashSqlOf("CAST(user_id AS VARCHAR)")} AS h
+         |    ${kmvHashSqlOf("CAST(user_id AS VARCHAR)")} AS h
          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
          |ne AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events FROM b GROUP BY 1),
          |dh AS (SELECT DISTINCT day, h FROM b),
@@ -561,6 +570,47 @@ private[graft] object QueriesEvents {
          |  CAST(CASE WHEN s.nfull < $kk THEN s.nfull
          |       ELSE $numer // s.tk END AS BIGINT) AS est_distinct
          |FROM ne JOIN s USING (day)""".stripMargin
+    },
+
+    // mau_kmv: day estimates + the month's OWN k-minimum sketch (which
+    // mergeability makes equal to the engine's merged day sketches);
+    // micro numerators in HUGEINT (the DiD overflow rule), tolerance
+    // verdict as the same integer compare
+    "x_events_mau_kmv" -> {
+      val kk = 64
+      val numer = (kk - 1).toLong * 2147483647L
+      val tol = 250000L
+      s"""WITH b AS (SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+         |    CAST(day(ts) AS BIGINT) AS d, user_id,
+         |    ${kmvHashSqlOf("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |dh AS (SELECT DISTINCT y, m, d, h FROM b),
+         |dr AS (SELECT y, m, d, h, row_number() OVER (PARTITION BY y, m, d ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY y, m, d) AS nfull FROM dh),
+         |de AS (SELECT y, m, d, CASE WHEN max(nfull) < $kk THEN max(nfull)
+         |         ELSE $numer // max(CASE WHEN rn = $kk THEN h END) END AS est_dau
+         |       FROM dr WHERE rn <= $kk GROUP BY 1, 2, 3),
+         |ds AS (SELECT y, m, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(est_dau) AS HUGEINT) AS sdau FROM de GROUP BY 1, 2),
+         |mh AS (SELECT DISTINCT y, m, h FROM b),
+         |mr AS (SELECT y, m, h, row_number() OVER (PARTITION BY y, m ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY y, m) AS nfull FROM mh),
+         |ms AS (SELECT y, m, max(nfull) AS nfull, max(CASE WHEN rn = $kk THEN h END) AS tk
+         |       FROM mr WHERE rn <= $kk GROUP BY 1, 2),
+         |mau AS (SELECT y, m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM b GROUP BY 1, 2),
+         |e AS (SELECT y, m, LEAST(nfull, $kk) AS n_kept, nfull < $kk AS exact,
+         |        CASE WHEN nfull < $kk THEN nfull ELSE $numer // tk END AS est_mau
+         |      FROM ms)
+         |SELECT e.y AS year, e.m AS month, ds.n_days, mau.mau,
+         |  CAST(e.est_mau AS BIGINT) AS est_mau,
+         |  CAST(e.n_kept AS BIGINT) AS n_kept, e.exact,
+         |  CAST((ds.sdau * 1000000) // ds.n_days AS BIGINT) AS est_avg_dau_micro,
+         |  CASE WHEN e.est_mau > 0 THEN
+         |    CAST((ds.sdau * 1000000) // (CAST(ds.n_days AS HUGEINT) * e.est_mau) AS BIGINT)
+         |  END AS est_stickiness_micro,
+         |  abs(CAST(e.est_mau AS HUGEINT) - mau.mau) * 1000000 <= CAST($tol AS HUGEINT) * mau.mau AS within_tol
+         |FROM e JOIN ds ON e.y = ds.y AND e.m = ds.m
+         |  JOIN mau ON e.y = mau.y AND e.m = mau.m""".stripMargin
     },
 
     // changepoint: the same daily CTE, per-key cumulative windows,

@@ -205,6 +205,23 @@ private[graft] object QueriesMmAgg {
         graft.scale.Video.aviPayload(T(s, d, "documents"), "doc_id", "text"),
         "doc_id", "payload")),
 
+    // COMPRESSED codec end-to-end: real JPEG encode per frame (MJPG
+    // mux) and real per-frame ImageIO decode on the read side. JPEG
+    // bytes are encoder-dependent, so the gate holds the container
+    // facts (geometry/frame count/timing, all re-derived by the
+    // decode — a frame that fails to decode flips format to
+    // 'undecodable' and zeroes them); pixel-level MJPEG assertions
+    // are spec-pinned (VideoSpec). Bounded slice (the fp_dedup
+    // convention): JPEG codec cost is per-frame real work, the
+    // contract doesn't need the whole corpus to exercise it.
+    "x_mm_video_mjpeg" -> ((s, d) =>
+      graft.scale.Video.decodeVideoMeta(
+        graft.scale.Video.aviMjpegPayload(
+          T(s, d, "documents").filter(col("doc_id") < 2000), "doc_id", "text"),
+        "doc_id", "payload")
+        .toDF().select("doc_id", "format", "width", "height",
+          "n_frames", "us_per_frame")),
+
     // perceptual video fingerprint (aHash over 60 luma windows, exact
     // integer threshold) + the banded Hamming join — full-recall
     // config, oracle is the all-pairs Hamming set
@@ -407,30 +424,48 @@ private[graft] object QueriesMmAgg {
 
     // REAL video frame features: frame f's pixel p has BGR bytes at
     // text offsets f*144 + 3p .. +2 (zero past the end), luma =
-    // (299r + 587g + 114b) div 1000 — hex-expand + 256-row lookup,
-    // channel pivot per pixel, exact integer sums per frame
-    "x_mm_video_features" ->
-      """WITH hmap AS (SELECT i AS bval, printf('%02x', i) AS hh FROM range(0, 256) t(i)),
-        |d AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
-        |             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n FROM documents),
-        |v AS (SELECT doc_id, hx, n, greatest(1, least(8, (n + 143) // 144)) AS nf FROM d),
-        |grid AS (SELECT doc_id, hx, n, unnest(range(0, nf * 144)) AS k FROM v),
-        |b AS (SELECT g.doc_id, g.k,
-        |        CAST(CASE WHEN g.k < g.n THEN hmap.bval ELSE 0 END AS BIGINT) AS bv
-        |      FROM grid g
-        |      LEFT JOIN hmap ON g.k < g.n AND hmap.hh = substr(g.hx, CAST(2*g.k + 1 AS INT), 2)),
-        |pix AS (SELECT doc_id, k // 3 AS p,
-        |          CAST(sum(CASE WHEN k % 3 = 0 THEN bv END) AS BIGINT) AS cb,
-        |          CAST(sum(CASE WHEN k % 3 = 1 THEN bv END) AS BIGINT) AS cg,
-        |          CAST(sum(CASE WHEN k % 3 = 2 THEN bv END) AS BIGINT) AS cr
-        |        FROM b GROUP BY 1, 2),
-        |lu AS (SELECT doc_id, p // 48 AS frame_index,
-        |         (299 * cr + 587 * cg + 114 * cb) // 1000 AS luma FROM pix)
-        |SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
-        |       CAST(count(*) AS BIGINT) AS n_pixels,
-        |       CAST(sum(luma) AS BIGINT) AS sum_luma,
-        |       CAST(sum(luma) // count(*) AS BIGINT) AS mean_luma
-        |FROM lu GROUP BY 1, 2""".stripMargin,
+    // (299r + 587g + 114b) div 1000. The replay explodes to FRAME rows
+    // only (<= 8/doc): each frame slices its 288 hex chars, rpad's with
+    // '0' (hex nibble 0 == the byte-level zero fill), and one
+    // list_transform computes the 48 pixel lumas from inline nibble
+    // arithmetic — the per-BYTE unnest + 256-row lookup this replaces
+    // materialized rows carrying the whole hex string per byte and
+    // blew the dup-heavy 10x replay budget.
+    "x_mm_video_features" -> {
+      def nib(i: String) =
+        s"(CASE WHEN ascii(substr(fhx, CAST($i AS INT), 1)) >= 97 THEN ascii(substr(fhx, CAST($i AS INT), 1)) - 87 ELSE ascii(substr(fhx, CAST($i AS INT), 1)) - 48 END)"
+      def byteAt(c1: String, c2: String) = s"(${nib(c1)} * 16 + ${nib(c2)})"
+      s"""WITH d AS (SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+         |             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n FROM documents),
+         |v AS (SELECT doc_id, hx, n, greatest(1, least(8, (n + 143) // 144)) AS nf FROM d),
+         |fr AS (SELECT doc_id, hx, unnest(range(0, nf)) AS f FROM v),
+         |fx AS (SELECT doc_id, CAST(f AS INT) AS frame_index,
+         |         rpad(substr(hx, CAST(f * 288 + 1 AS INT), 288), 288, '0') AS fhx FROM fr),
+         |lu AS (SELECT doc_id, frame_index,
+         |         list_transform(range(0, 48), p ->
+         |           (299 * ${byteAt("6*p+5", "6*p+6")}
+         |          + 587 * ${byteAt("6*p+3", "6*p+4")}
+         |          + 114 * ${byteAt("6*p+1", "6*p+2")}) // 1000) AS lumas
+         |       FROM fx)
+         |SELECT doc_id, frame_index,
+         |       CAST(48 AS BIGINT) AS n_pixels,
+         |       CAST(list_sum(lumas) AS BIGINT) AS sum_luma,
+         |       CAST(list_sum(lumas) // 48 AS BIGINT) AS mean_luma
+         |FROM lu""".stripMargin
+    },
+
+    // MJPEG meta: container facts only — the JPEG payload bytes are
+    // encoder-dependent, the geometry/count/timing are not (frames =
+    // the aviPayload clamp, decoded and counted from movi)
+    "x_mm_video_mjpeg" ->
+      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n
+        |           FROM documents WHERE doc_id < 2000),
+        |v AS (SELECT doc_id, greatest(1, least(8, (n + 143) // 144)) AS nf FROM d)
+        |SELECT doc_id, 'mjpeg' AS format,
+        |       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(40000 AS BIGINT) AS us_per_frame
+        |FROM v""".stripMargin,
 
     // video aHash: 60 windows of step = max(1, (nf*48) div 60) lumas;
     // every present window holds exactly step lumas, so the threshold

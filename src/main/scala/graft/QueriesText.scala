@@ -431,15 +431,12 @@ private[graft] object QueriesText {
     },
 
     "x_text_report" -> {
-      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(",\n  ")
       val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
       val nD = "(CASE WHEN n_docs > 0 THEN CAST(n_docs AS DOUBLE) END)"
       val langRows = Seq("de", "en", "es", "fr", "zh", "und").map(l =>
         s"UNION ALL SELECT 'lang_share_$l', n_$l / $nD FROM a").mkString("\n")
       s"""WITH tl AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |sl AS (SELECT doc_id, $scores FROM tl),
+         |${stopScoreCtes("tl")},
          |lng AS (SELECT doc_id,
          |          CASE WHEN $m = 0 THEN 'und'
          |               WHEN score_de = $m THEN 'de'
@@ -578,14 +575,9 @@ private[graft] object QueriesText {
         |SELECT lang, token, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5""".stripMargin,
 
     "x_text_langid" -> {
-      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(",\n  ")
       val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  $scores
-         |FROM t)
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |${stopScoreCtes("tl")}
          |SELECT doc_id,
          |       CASE WHEN $m = 0 THEN 'und'
          |            WHEN score_de = $m THEN 'de'
@@ -594,7 +586,7 @@ private[graft] object QueriesText {
          |            WHEN score_fr = $m THEN 'fr'
          |            ELSE 'zh' END AS pred_lang,
          |       score_de, score_en, score_es, score_fr, score_zh
-         |FROM s""".stripMargin
+         |FROM sl""".stripMargin
     },
 
     // coverage: same (cnt desc, token asc) vocab election, cumulative
@@ -615,14 +607,9 @@ private[graft] object QueriesText {
     // confusion matrix: the same stopword-argmax CTEs joined to the
     // ground-truth lang column
     "x_text_langid_confusion" -> {
-      val scores = stopSqlLists.toSeq.sortBy(_._1).map { case (l, lst) =>
-        s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
-      }.mkString(",\n  ")
       val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  $scores
-         |FROM t),
+      s"""WITH tl AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |${stopScoreCtes("tl")},
          |p AS (SELECT doc_id,
          |        CASE WHEN $m = 0 THEN 'und'
          |             WHEN score_de = $m THEN 'de'
@@ -630,7 +617,7 @@ private[graft] object QueriesText {
          |             WHEN score_es = $m THEN 'es'
          |             WHEN score_fr = $m THEN 'fr'
          |             ELSE 'zh' END AS pred_lang
-         |      FROM s)
+         |      FROM sl)
          |SELECT coalesce(CAST(d.lang AS VARCHAR), '') AS lang, p.pred_lang,
          |       CAST(count(*) AS BIGINT) AS n_docs
          |FROM documents d JOIN p ON d.doc_id = p.doc_id

@@ -42,4 +42,17 @@ object PortableHash {
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, code) => (acc * 31L + code) % PolyMod)
+
+  /** The KMV key kernel: [[polyHash31]] followed by an affine
+    * bijection mod the Mersenne prime (x → (x·514229 + 741103) mod
+    * 2³¹−1; 514229 is coprime to the prime, so nothing collides that
+    * didn't already). The KMV estimator reads hash ORDER STATISTICS as
+    * uniform on [0, M): a raw 31-base fold of SHORT keys (user ids,
+    * small codes) lands near 0 and inflates the estimate by orders of
+    * magnitude — the scramble spreads any key length across the full
+    * range while staying a one-line DuckDB replay
+    * (EntryShared.kmvHashSqlOf). Intermediate product < 2³¹·514229 ≈
+    * 1.1e15, exact in a long both engines. */
+  def kmvHash31(s: Column): Column =
+    (polyHash31(s) * lit(MulA) + lit(AddB)) % lit(PolyMod)
 }

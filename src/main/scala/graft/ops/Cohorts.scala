@@ -275,7 +275,7 @@ object Cohorts {
     val q = Cleaning.qcol _
     val base = events.filter(q(tsCol).isNotNull && q(idCol).isNotNull)
       .select(unix_micros(q(tsCol)).as("__us"),
-        graft.functions.PortableHash.polyHash31(q(idCol).cast("string")).as("__h"))
+        graft.functions.PortableHash.kmvHash31(q(idCol).cast("string")).as("__h"))
       .withColumn("day", TimeSeries.floorDivEpochExpr("__us", 86400000000L))
     val daily = base.groupBy(col("day")).agg(
       graft.functions.Aggregates.kmvSketch(col("__h"), k).as("sk"),
@@ -292,5 +292,76 @@ object Cohorts {
         when(size(col("__merged")) < k, size(col("__merged")).cast("long"))
           .otherwise(expr(s"${numer}L div element_at(__merged, $k)"))
           .as("est_distinct"))
+  }
+
+  /** Monthly engagement over mergeable KMV day sketches — the 100 TB
+    * path for [[engagement]]'s DAU/MAU report, wired the
+    * swap-is-one-call way: ONE day-keyed k-bounded sketch aggregate
+    * does all data-sized work (shuffle carries ≤ k longs per (day,
+    * partition)); the month's MAU sketch is then the k-slice of its
+    * merged day sketches ([[rollingDistinctKmv]]'s lossless-merge
+    * property: every hash among a month's k smallest is among its own
+    * day's k smallest, so the merged slice IS the month's k-minimum
+    * set — the DuckDB oracle builds the month sketch directly and the
+    * hash gate is the cross-engine mergeability proof). Stickiness =
+    * avg estimated DAU / estimated MAU, all in exact integer micro.
+    *
+    * The EXACT per-month distinct count rides beside the estimate with
+    * an in-band tolerance verdict (`within_tol`: |est − exact| ≤
+    * tolMicro·exact, integer compare) — the x_agg_hll_gate shape: an
+    * estimator drift flips the boolean and the hash gate goes red. At
+    * production scale drop the exact column (the one count(DISTINCT)
+    * in the plan) and keep the sketch path; the default tolerance
+    * (0.25 at k = 64's ~12.5% standard error, ~2 sigma) scales as
+    * ~2/sqrt(k) if k moves.
+    *
+    * Micro numerators route through decimal(38): sum-of-day-estimates
+    * × 1e6 can pass a long at large k (the sf1 DiD lesson).
+    */
+  def engagementKmv(
+      events: DataFrame, idCol: String, tsCol: String,
+      k: Int = 64, tolMicro: Long = 250000L): DataFrame = {
+    require(k >= 16 && k <= 65536,
+      s"engagementKmv: k must be in [16, 65536], got $k")
+    require(tolMicro >= 0L, s"engagementKmv: tolMicro must be >= 0, got $tolMicro")
+    val numer = (k - 1).toLong * graft.functions.PortableHash.PolyMod
+    val q = Cleaning.qcol _
+    val base = events.filter(q(tsCol).isNotNull && q(idCol).isNotNull)
+      .select(year(q(tsCol)).cast("long").as("y"),
+        month(q(tsCol)).cast("long").as("m"),
+        dayofmonth(q(tsCol)).cast("long").as("d"),
+        graft.functions.PortableHash.kmvHash31(q(idCol).cast("string")).as("__h"),
+        q(idCol).as("__id"))
+    val daily = base.groupBy(col("y"), col("m"), col("d"))
+      .agg(graft.functions.Aggregates.kmvSketch(col("__h"), k).as("sk"))
+      .withColumn("__est_dau",
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"${numer}L div element_at(sk, $k)")))
+    // months hold <= 31 day-sketch rows: the collect_list is bounded
+    val monthly = daily.groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__est_dau")).as("__sdau"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k)
+          .as("__msk"))
+    val exactMau = base.groupBy(col("y"), col("m"))
+      .agg(countDistinct(col("__id")).as("mau"))
+    monthly.join(exactMau, Seq("y", "m"))
+      .withColumn("n_kept", size(col("__msk")).cast("long"))
+      .withColumn("exact", col("n_kept") < k)
+      .withColumn("est_mau",
+        when(col("exact"), col("n_kept"))
+          .otherwise(expr(s"${numer}L div element_at(__msk, $k)")))
+      .withColumn("est_avg_dau_micro",
+        expr("CAST((CAST(__sdau AS DECIMAL(38,0)) * 1000000) div n_days AS BIGINT)"))
+      .withColumn("est_stickiness_micro",
+        when(col("est_mau") > 0L,
+          expr("CAST((CAST(__sdau AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(n_days AS DECIMAL(38,0)) * est_mau) AS BIGINT)")))
+      .withColumn("within_tol",
+        expr(s"abs(CAST(est_mau AS DECIMAL(38,0)) - mau) * 1000000 <= " +
+          s"CAST($tolMicro AS DECIMAL(38,0)) * mau"))
+      .select(col("y").as("year"), col("m").as("month"), col("n_days"),
+        col("mau"), col("est_mau"), col("n_kept"), col("exact"),
+        col("est_avg_dau_micro"), col("est_stickiness_micro"), col("within_tol"))
   }
 }

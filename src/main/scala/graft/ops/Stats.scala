@@ -2193,32 +2193,6 @@ object Stats {
         coalesce(col("n_live"), lit(0L)).as("n_live"))
   }
 
-  /** KMV corpus-overlap estimate — "how much of crawl B is already in
-    * crawl A" WITHOUT joining the corpora: each side reduces to its k
-    * smallest distinct key-hash values
-    * ([[graft.functions.Aggregates.kmvSketch]] — shuffle carries at
-    * most k longs per partition), and distinct-count / union /
-    * intersection / Jaccard estimates fall out of the two k-sized
-    * arrays (Beyer et al., SIGMOD'07): distinct ~ (k−1)·M / τ_k with
-    * τ_k the k-th smallest hash over the space [0, M); intersection ~
-    * (j/k)·U where j counts the k smallest UNION hashes present in
-    * both sketches. When BOTH sides hold fewer than k distinct hashes
-    * the sketches ARE the complete hash sets and every output is
-    * exact (`exact = true`) — the property the spec pins.
-    *
-    * The key hashes through the portable 31-base polynomial
-    * ([[graft.functions.PortableHash.polyHash31]]) so a DuckDB oracle
-    * replays it; its 31-bit range means hash collisions start biasing
-    * the estimate low near ~2^16 distinct keys (birthday bound) — at
-    * production scale swap in `xxhash64` and a 2^63 space (same
-    * estimator, wider M; the oracle config keeps the portable kernel,
-    * the stub-vs-real codec pattern).
-    *
-    * Scale: ONE aggregate pass per side (k-bounded map-side state), a
-    * 1-row × 1-row cross join, and array math over ≤ 2k elements —
-    * the corpora never co-shuffle. Estimator error is the standard
-    * KMV bound (~1/√k relative for distinct counts; k = 256 → ~6%).
-    */
   /** Mann-Whitney U z-test between two slices of an integral metric —
     * the nonparametric partner of [[welchTTest]] (rank-based: robust
     * to the heavy-tailed length/score distributions where a mean test
@@ -2265,7 +2239,10 @@ object Stats {
     val m = lat.agg(
       coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
       coalesce(sum(col("__t") - col("__ca")), lit(0L)).as("n_b"),
-      coalesce(sum((col("__ca") * col("__r2")).cast(dec)), lit(0L).cast(dec)).as("__r2a"),
+      // __ca widens BEFORE the multiply: the oracle runs the same sum
+      // in HUGEINT throughout, and a long product would fail loudly
+      // (ANSI) at corpus sizes where the oracle still succeeds
+      coalesce(sum(col("__ca").cast(dec) * col("__r2")), lit(0L).cast(dec)).as("__r2a"),
       coalesce(sum(col("__t").cast(dec) * col("__t") * col("__t") - col("__t")),
         lit(0L).cast(dec)).as("__tie"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
@@ -2274,7 +2251,7 @@ object Stats {
     val varU = (na * nb / lit(12.0)) *
       ((nn + lit(1.0)) - d(col("__tie")) / (nn * (nn - lit(1.0))))
     m.select(col("n_a"), col("n_b"),
-      (col("__r2a") - (col("n_a") * (col("n_a") + lit(1L))).cast(dec))
+      (col("__r2a") - col("n_a").cast(dec) * (col("n_a").cast(dec) + lit(1L)))
         .cast("long").as("u2_a"),
       when(col("n_a") >= 1L && col("n_b") >= 1L && varU > lit(0.0),
         Rounding.halfUp(num / (lit(2.0) * sqrt(varU)), 6)).as("z_mw"))
@@ -2373,13 +2350,41 @@ object Stats {
         when(col("est_union") > 0L, expr("(est_intersect * 1000000L) div est_union")))
   }
 
+  /** KMV corpus-overlap estimate — "how much of crawl B is already in
+    * crawl A" WITHOUT joining the corpora: each side reduces to its k
+    * smallest distinct key-hash values
+    * ([[graft.functions.Aggregates.kmvSketch]] — shuffle carries at
+    * most k longs per partition), and distinct-count / union /
+    * intersection / Jaccard estimates fall out of the two k-sized
+    * arrays (Beyer et al., SIGMOD'07): distinct ~ (k−1)·M / τ_k with
+    * τ_k the k-th smallest hash over the space [0, M); intersection ~
+    * (j/k)·U where j counts the k smallest UNION hashes present in
+    * both sketches. When BOTH sides hold fewer than k distinct hashes
+    * the sketches ARE the complete hash sets and every output is
+    * exact (`exact = true`) — the property the spec pins.
+    *
+    * The key hashes through the scrambled portable kernel
+    * ([[graft.functions.PortableHash.kmvHash31]] — 31-base polynomial
+    * + affine bijection, which spreads SHORT keys across the full
+    * range; the estimator reads order statistics as uniform) so a
+    * DuckDB oracle replays it; its 31-bit range means hash collisions
+    * start biasing the estimate low near ~2^16 distinct keys
+    * (birthday bound) — at production scale swap in `xxhash64` and a
+    * 2^63 space (same estimator, wider M; the oracle config keeps the
+    * portable kernel, the stub-vs-real codec pattern).
+    *
+    * Scale: ONE aggregate pass per side (k-bounded map-side state), a
+    * 1-row × 1-row cross join, and array math over ≤ 2k elements —
+    * the corpora never co-shuffle. Estimator error is the standard
+    * KMV bound (~1/√k relative for distinct counts; k = 256 → ~6%).
+    */
   def kmvOverlap(
       a: DataFrame, b: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
     require(k >= 16 && k <= 65536, s"kmvOverlap: k must be in [16, 65536], got $k")
     def sketch(df: DataFrame, name: String): DataFrame = {
       val key = Cleaning.qcol(keyCol)
       df.filter(key.isNotNull)
-        .select(graft.functions.PortableHash.polyHash31(key.cast("string")).as("__h"))
+        .select(graft.functions.PortableHash.kmvHash31(key.cast("string")).as("__h"))
         .agg(graft.functions.Aggregates.kmvSketch(col("__h"), k).as(name))
     }
     kmvEstimates(sketch(a, "sa").crossJoin(sketch(b, "sb")), k)
@@ -2409,7 +2414,7 @@ object Stats {
     val key = Cleaning.qcol(keyCol)
     val sk = df.filter(slice.isNotNull && key.isNotNull)
       .select(slice.cast("string").as("s"),
-        graft.functions.PortableHash.polyHash31(key.cast("string")).as("__h"))
+        graft.functions.PortableHash.kmvHash31(key.cast("string")).as("__h"))
       .groupBy(col("s"))
       .agg(graft.functions.Aggregates.kmvSketch(col("__h"), k).as("sk"))
       .localCheckpoint() // |slices| rows, read by both join sides

@@ -514,6 +514,84 @@ object Graph {
     labels
   }
 
+  /** Budgeted k-core peeling — the dense-subgraph extractor beside
+    * [[triangles]]'s local density: the k-core is the maximal subgraph
+    * where EVERY node keeps degree ≥ k after everything weaker is
+    * peeled away. Link-spam farms and mutual-admiration rings live in
+    * high cores (every member propped by k others); long organic tails
+    * peel out in the first rounds. Each round removes nodes whose
+    * degree IN THE SURVIVING SUBGRAPH fell below k — removal cascades,
+    * so `rounds` is a budget CAP like [[labelPropagation]]'s, but the
+    * peel EXITS EARLY the first round that removes zero edges (a
+    * fixpoint: an unchanged edge set cannot change any degree, so
+    * every later round is a no-op). The early exit costs one driver
+    * `count()` per round against the round's already-materialized
+    * edge frame — deep cores stop paying for unused budget rounds,
+    * and huge graphs can raise the cap without paying it when
+    * converged. GraphSpec pins a converging fixture (exits under
+    * budget, result identical to the fixed-budget answer), the
+    * budget-bound behavior of a long peel chain, and hash-equality of
+    * the shipped key's output.
+    *
+    * Output: (node, degree, in_core) for nodes surviving all rounds —
+    * degree is within the surviving subgraph; `in_core = degree >= k`
+    * is the convergence certificate (all true ⟺ the peel reached its
+    * fixpoint within budget).
+    *
+    * Edges symmetrize, dedupe, and drop self-loops (the [[pageRank]]
+    * hygiene) — cores are undirected.
+    *
+    * Scale: per round ONE degree aggregate over the surviving
+    * symmetric edge list + TWO semi-joins (a-side, b-side) against the
+    * ≥k node set — the pageRank gather order; each round's edge frame
+    * localCheckpoints (the early-exit count rides the materialization,
+    * so nothing computes twice and lineage stays flat). Work DECREASES
+    * monotonically (edges only ever shrink), so unlike iterative rank
+    * the later rounds get cheaper — and now stop entirely at the
+    * fixpoint.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      k: Int = 3, rounds: Int = 8): DataFrame =
+    kCorePeel(edges, srcCol, dstCol, k, rounds)._1
+
+  /** The peel loop behind [[kCore]], also reporting how many rounds
+    * actually ran (< `rounds` ⟺ the fixpoint was certified early) —
+    * exposed package-private so GraphSpec can observe the early exit
+    * without changing the shipped key's (node, degree, in_core)
+    * schema. */
+  private[graft] def kCorePeel(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      k: Int = 3, rounds: Int = 8): (DataFrame, Int) = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
+    val q = graft.ops.Cleaning.qcol _
+    val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    var e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var remaining = e.count()
+    var ran = 0
+    var converged = remaining == 0L
+    while (ran < rounds && !converged) {
+      ran += 1
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("a"))
+      e = e.join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val after = e.count()
+      // zero edges removed ⟹ every degree is unchanged ⟹ fixpoint
+      converged = after == remaining
+      remaining = after
+    }
+    val out = e.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      .select(col("a").as("node"), col("degree"),
+        (col("degree") >= k).as("in_core"))
+    (out, ran)
+  }
+
   /** Exact triangle counting + local clustering coefficient — the
     * density signal beside [[labelPropagation]]'s communities and
     * [[degreeAudit]]'s reciprocity: a domain whose neighborhood is a
@@ -550,57 +628,6 @@ object Graph {
     * downstream stages read them. Hot wedge sources skew-split under
     * AQE; nothing broadcasts, nothing sorts globally.
     */
-  /** Fixed-budget k-core peeling — the dense-subgraph extractor beside
-    * [[triangles]]'s local density: the k-core is the maximal subgraph
-    * where EVERY node keeps degree ≥ k after everything weaker is
-    * peeled away. Link-spam farms and mutual-admiration rings live in
-    * high cores (every member propped by k others); long organic tails
-    * peel out in the first rounds. Each round removes nodes whose
-    * degree IN THE SURVIVING SUBGRAPH fell below k — removal cascades,
-    * so `rounds` is a fixed budget exactly like [[labelPropagation]]'s
-    * (the production shape: peel passes per crawl wave, not to
-    * convergence; run one more round and diff to certify a fixpoint).
-    * GraphSpec pins both a converging fixture and the budget-bound
-    * behavior of a long peel chain.
-    *
-    * Output: (node, degree, in_core) for nodes surviving all rounds —
-    * degree is within the surviving subgraph; `in_core = degree >= k`
-    * is the convergence certificate (all true ⟺ the peel reached its
-    * fixpoint within budget).
-    *
-    * Edges symmetrize, dedupe, and drop self-loops (the [[pageRank]]
-    * hygiene) — cores are undirected.
-    *
-    * Scale: per round ONE degree aggregate over the surviving
-    * symmetric edge list + TWO semi-joins (a-side, b-side) against the
-    * ≥k node set — the pageRank gather order; the edge frame
-    * localCheckpoints every [[CheckpointEvery]] rounds to keep lineage
-    * flat. Work DECREASES monotonically (edges only ever shrink), so
-    * unlike iterative rank the later rounds get cheaper.
-    */
-  def kCore(
-      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      k: Int = 3, rounds: Int = 8): DataFrame = {
-    require(k >= 1, s"kCore: k must be >= 1, got $k")
-    require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
-    val q = graft.ops.Cleaning.qcol _
-    val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    var e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    for (i <- 1 to rounds) {
-      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("a"))
-      e = e.join(keep, Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-      if (i % CheckpointEvery == 0 && i < rounds) e = e.localCheckpoint()
-    }
-    e.groupBy(col("a")).agg(count(lit(1)).as("degree"))
-      .select(col("a").as("node"), col("degree"),
-        (col("degree") >= k).as("in_core"))
-  }
-
   def triangles(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val Pack = 2147483648L // 2^31

@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * integers, frame payloads are literal pixel bytes), so the real
   * container decode is ORACLE-gated end to end (`x_mm_video_*`) —
   * [[aviPayload]] builds deterministic videos from document text and
-  * DuckDB replays every luma from the same bytes. Compressed-codec
-  * frames (MJPEG etc.) have no JDK decoder and stay out of scope; a
-  * real pipeline swaps the per-frame stage for its codec inside the
-  * same batch shape, which is the point of the plumbing.
+  * DuckDB replays every luma from the same bytes. MJPEG is the one
+  * COMPRESSED codec the JDK can decode (javax.imageio JPEG): [[parseAvi]]
+  * accepts `MJPG` frames and decodes each chunk through ImageIO into
+  * the same bottom-up BGR24 layout, so every downstream stage
+  * (features, fingerprint, frame bridge) runs on compressed video
+  * unchanged. JPEG bytes are encoder-dependent, so the MJPEG oracle
+  * key gates container-level facts only (frame counts, geometry) and
+  * the pixel contract is spec-pinned ([[graft.scale.VideoSpec]]) —
+  * the image-path convention. Other codecs stay in-band undecodable.
   *
   * All stages are the [[Multimodal]] mapPartitions batch shape:
   * partition-local parse, constant memory per batch, undecodable
@@ -153,13 +158,155 @@ object Video {
       .toDF(idCol, payloadCol)
   }
 
-  /** Parse a raw-DIB AVI: Some((w, h, usPerFrame, frames)) where each
-    * frame is its literal pixel byte array; None for anything that is
-    * not a RIFF/AVI with uncompressed 24-bit frames (kept in-band by
-    * callers). Chunk sizes are validated against the payload before
+  /** biCompression little-endian value of the fourcc 'MJPG'. */
+  private val FourccMjpg = 0x47504A4DL
+
+  /** AVI container around COMPRESSED frames (variable chunk sizes,
+    * '00dc' chunks, explicit fourcc/biCompression) — the MJPEG mux.
+    * Same RIFF skeleton as [[aviBytes]]; kept separate so the raw-DIB
+    * path's byte-exact size contract (224 + 152·frames) stays pinned. */
+  private[scale] def aviBytesWith(
+      frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int,
+      fourcc: String, biCompression: Int): Array[Byte] = {
+    require(frames.nonEmpty, "aviBytesWith: need at least one frame")
+    val nF = frames.length
+    val maxF = frames.map(_.length).max
+    val strfLen = 40
+    val strhLen = 56
+    val avihLen = 56
+    val strlLen = 4 + (8 + strhLen) + (8 + strfLen)
+    val hdrlLen = 4 + (8 + avihLen) + (8 + strlLen)
+    val moviLen = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val out = new Array[Byte](8 + riffLen)
+    var p = 0
+    tag(out, p, "RIFF"); le32(out, p + 4, riffLen); tag(out, p + 8, "AVI "); p += 12
+    tag(out, p, "LIST"); le32(out, p + 4, hdrlLen); tag(out, p + 8, "hdrl"); p += 12
+    tag(out, p, "avih"); le32(out, p + 4, avihLen); p += 8
+    le32(out, p, usPerFrame)
+    le32(out, p + 4, maxF * 1000000 / math.max(1, usPerFrame))
+    le32(out, p + 16, nF)
+    le32(out, p + 24, 1)
+    le32(out, p + 28, maxF)
+    le32(out, p + 32, w); le32(out, p + 36, h)
+    p += avihLen
+    tag(out, p, "LIST"); le32(out, p + 4, strlLen); tag(out, p + 8, "strl"); p += 12
+    tag(out, p, "strh"); le32(out, p + 4, strhLen); p += 8
+    tag(out, p, "vids"); tag(out, p + 4, fourcc)
+    le32(out, p + 20, usPerFrame)
+    le32(out, p + 24, 1000000)
+    le32(out, p + 32, nF)
+    le32(out, p + 36, maxF)
+    p += strhLen
+    tag(out, p, "strf"); le32(out, p + 4, strfLen); p += 8
+    le32(out, p, 40)
+    le32(out, p + 4, w); le32(out, p + 8, h)
+    le16(out, p + 12, 1)
+    le16(out, p + 14, 24)
+    le32(out, p + 16, biCompression)
+    le32(out, p + 20, maxF)
+    p += strfLen
+    tag(out, p, "LIST"); le32(out, p + 4, moviLen); tag(out, p + 8, "movi"); p += 12
+    frames.foreach { f =>
+      tag(out, p, "00dc"); le32(out, p + 4, f.length); p += 8
+      System.arraycopy(f, 0, out, p, f.length); p += f.length
+      if ((f.length & 1) == 1) p += 1 // chunks pad to even
+    }
+    out
+  }
+
+  /** Build an MJPEG AVI payload from a string column — same
+    * deterministic text→pixels mapping as [[aviPayload]] (frame f =
+    * the 144-byte slice at offset f·144, zero-padded), but each frame
+    * is JPEG-ENCODED through javax.imageio before muxing with the
+    * 'MJPG' fourcc. The JPEG bytes (and thus n_bytes) are
+    * encoder-version-dependent — container facts (geometry, frame
+    * count, timing) stay oracle-replayable; pixels are spec-gated.
+    * One ImageWriter per PARTITION, not per frame: writer construction
+    * dominates tiny-frame encode cost (the AudioSystem per-row
+    * constant, round-13). */
+  def aviMjpegPayload(df: DataFrame, idCol: String, srcCol: String,
+      usPerFrame: Int = 40000, payloadCol: String = "payload"): DataFrame = {
+    require(usPerFrame > 0, "aviMjpegPayload: usPerFrame must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Cleaning.qcol(idCol).cast("long"),
+        graft.ops.Cleaning.qcol(srcCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val out = it.map { case (id, s) =>
+          val data = if (s == null) Array.emptyByteArray
+            else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nF = math.max(1, math.min(FixtureMaxFrames,
+            (data.length + FixtureFrameBytes - 1) / FixtureFrameBytes))
+          val jpegs = (0 until nF).map { f =>
+            val frame = new Array[Byte](FixtureFrameBytes)
+            val from = f * FixtureFrameBytes
+            val n = math.max(0, math.min(FixtureFrameBytes, data.length - from))
+            if (n > 0) System.arraycopy(data, from, frame, 0, n)
+            val img = new java.awt.image.BufferedImage(
+              FixtureW, FixtureH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < FixtureH) {
+              var x = 0
+              while (x < FixtureW) {
+                val off = (FixtureH - 1 - y) * (3 * FixtureW) + x * 3
+                val b = java.lang.Byte.toUnsignedInt(frame(off))
+                val g = java.lang.Byte.toUnsignedInt(frame(off + 1))
+                val r = java.lang.Byte.toUnsignedInt(frame(off + 2))
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+            ios.close()
+            bos.toByteArray
+          }
+          (id, aviBytesWith(jpegs, FixtureW, FixtureH, usPerFrame,
+            "MJPG", FourccMjpg.toInt))
+        }
+        out ++ { writer.dispose(); Iterator.empty }
+      }
+      .toDF(idCol, payloadCol)
+  }
+
+  /** Decode one BufferedImage into the bottom-up BGR24 row-padded
+    * layout raw-DIB frames use — so an MJPEG frame and its raw-DIB
+    * remux flow through [[lumaAt]]/fingerprints with the same pixel
+    * ORDER (window fingerprints are order-sensitive). */
+  private def imageToDib(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val off = (h - 1 - y) * stride + x * 3 // DIB rows are bottom-up
+        out(off) = (rgb & 0xff).toByte              // b
+        out(off + 1) = ((rgb >> 8) & 0xff).toByte   // g
+        out(off + 2) = ((rgb >> 16) & 0xff).toByte  // r
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a RIFF/AVI: Some((w, h, usPerFrame, frames, codec)) where
+    * each frame is its DECODED pixel byte array (bottom-up BGR24) and
+    * codec is "dib" or "mjpg"; None for anything else (kept in-band by
+    * callers). Raw-DIB chunks are literal pixel bytes; MJPG chunks
+    * decode through javax.imageio (and must decode to the declared
+    * geometry). Chunk sizes are validated against the payload before
     * any allocation (the lying-header guard). */
   private[scale] def parseAvi(
-      bytes: Array[Byte]): Option[(Int, Int, Long, Seq[Array[Byte]])] = {
+      bytes: Array[Byte]): Option[(Int, Int, Long, Seq[Array[Byte]], String)] = {
     if (bytes == null || bytes.length < 24) return None
     def u8(i: Int) = java.lang.Byte.toUnsignedInt(bytes(i))
     def le32At(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
@@ -203,15 +350,25 @@ object Video {
     val riffLen = le32At(4)
     val end = math.min(bytes.length.toLong, 8L + riffLen)
     if (!walk(12L, end)) return None
-    // only the uncompressed 24-bit DIB path is byte-exact; anything
-    // else (MJPEG etc.) has no JDK decoder - in-band undecodable
-    if (w <= 0 || h <= 0 || bits != 24 || compression != 0L ||
-        usPerFrame <= 0 || frames.isEmpty) None
-    else {
+    if (w <= 0 || h <= 0 || usPerFrame <= 0 || frames.isEmpty) None
+    else if (bits == 24 && compression == 0L) {
+      // uncompressed 24-bit DIB: frames are literal pixel bytes
       val stride = ((3 * w + 3) / 4) * 4
       if (frames.exists(_.length < stride * h)) None
-      else Some((w, h, usPerFrame, frames.toSeq))
-    }
+      else Some((w, h, usPerFrame, frames.toSeq, "dib"))
+    } else if (compression == FourccMjpg) {
+      // MJPEG: each frame chunk is one JPEG; decode through ImageIO
+      // into the DIB layout. Any frame that fails to decode or lies
+      // about its geometry rejects the whole container in-band.
+      val decoded = frames.iterator.map { jb =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth != w || img.getHeight != h) null
+        else imageToDib(img, w, h)
+      }.takeWhile(_ != null).toSeq
+      if (decoded.length != frames.length) None
+      else Some((w, h, usPerFrame, decoded, "mjpg"))
+    } else None // other codecs have no JDK decoder - in-band undecodable
   }
 
   /** REAL video decode stage: RIFF/AVI parse in the partition-local
@@ -234,8 +391,9 @@ object Video {
           var i = 0
           while (i < bytes.length) { ck = ck * 31 + bytes(i); i += 1 }
           parseAvi(bytes) match {
-            case Some((w, h, usf, frames)) =>
-              VideoMeta(id, bytes.length.toLong, "avi", w, h,
+            case Some((w, h, usf, frames, codec)) =>
+              VideoMeta(id, bytes.length.toLong,
+                if (codec == "mjpg") "mjpeg" else "avi", w, h,
                 frames.length.toLong, usf, ck)
             case None =>
               VideoMeta(id, bytes.length.toLong, "undecodable", 0, 0, 0L, 0L, ck)
@@ -273,7 +431,7 @@ object Video {
         graft.ops.Cleaning.qcol(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        parseAvi(bytes).toSeq.flatMap { case (w, h, _, frames) =>
+        parseAvi(bytes).toSeq.flatMap { case (w, h, _, frames, _) =>
           val nPix = w * h
           (0 until frames.length by every).map { f =>
             var s = 0L
@@ -314,7 +472,7 @@ object Video {
         it.map { case (id, bytes) =>
           val fp = parseAvi(bytes) match {
             case None => 0L
-            case Some((w, h, _, frames)) =>
+            case Some((w, h, _, frames, _)) =>
               val nPix = w * h
               val n = frames.length.toLong * nPix
               val step = math.max(1L, n / cells)
@@ -370,7 +528,7 @@ object Video {
         graft.ops.Cleaning.qcol(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        parseAvi(bytes).toSeq.flatMap { case (w, h, _, frames) =>
+        parseAvi(bytes).toSeq.flatMap { case (w, h, _, frames, _) =>
           if (frameIndex >= frames.length) Nil
           else {
             val frame = frames(frameIndex)

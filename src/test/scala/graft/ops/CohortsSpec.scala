@@ -136,8 +136,9 @@ class CohortsSpec extends AnyFunSuite {
   test("rollingDistinctKmv: merged day sketches equal the direct window sketch") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
-    def poly31(s: String): Long =
-      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 2147483647L)
+    def poly31(s: String): Long = // kmvHash31 replay: poly fold + affine scramble
+      (s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 2147483647L)
+        * 514229L + 741103L) % 2147483647L
     // 10 days, 12 ids/day with 6-id overlap between consecutive days;
     // day 5 is a GAP (range frame must narrow, not slide over rows)
     val rows = for {

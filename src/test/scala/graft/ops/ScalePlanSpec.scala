@@ -675,6 +675,36 @@ class ScalePlanSpec extends AnyFunSuite {
       "the cumulative rank window must partition by the slice key")
   }
 
+  test("spearmanCorr: global windows ride the tie lattices only; corpus joins broadcast; guard survives") {
+    val df = orders.select(col("o_orderkey").as("x"),
+      (col("o_orderkey") % 5).as("y"))
+    val plan = Stats.spearmanCorr(df, "x", "y")
+    val nodes = collectPlans(plan.queryExecution.executedPlan)
+    // the two cumulative-rank windows are global BY DESIGN but their
+    // input is the post-groupBy distinct-value lattice (guard-bounded
+    // to MaxSpearmanValues) — every global window must sit above an
+    // aggregate, never over corpus rows
+    val globals = unpartitionedWindows(plan)
+    assert(globals.nonEmpty, "expected the two lattice cumulative windows")
+    globals.foreach { w =>
+      assert(collectPlans(w.child).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"global window consumes un-aggregated (corpus-sized) input: $w")
+    }
+    // the rank lattices join BACK to the corpus as broadcasts — a
+    // sort-merge there would sort corpus rows twice on a wide key
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "rank-lattice joins must broadcast, not sort-merge")
+    // the cardinality guard must survive optimization (the
+    // consumed-expression rule): a wide-cardinality column (continuous
+    // metric, ~no ties) makes the lattice corpus-sized, and the guard
+    // is the declared scale contract for that case
+    assert(plan.queryExecution.executedPlan.treeString(verbose = true)
+      .contains("raise_error"), "spearmanCorr's lattice guard was pruned")
+    val r = plan.collect()(0)
+    assert(r.getLong(0) == 12L)
+  }
+
   test("groupTrend is one hash aggregate: no window, no join") {
     val df = (1 to 40).map(i => (s"g${i % 3}", i.toLong, (i * 2).toLong)).toDF("g", "x", "y")
     val plan = Stats.groupTrend(df, "g", "x", "y")

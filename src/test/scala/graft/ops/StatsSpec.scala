@@ -838,9 +838,11 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
-  /** Driver-side polyHash31 replay (ASCII fixtures). */
+  /** Driver-side kmvHash31 replay (ASCII fixtures): polyHash31 + the
+    * affine order-statistic scramble. */
   private def poly31(s: String): Long =
-    s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 2147483647L)
+    (s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 2147483647L)
+      * 514229L + 741103L) % 2147483647L
 
   /** Driver-side replay of kmvOverlap's exact estimator arithmetic. */
   private def kmvReference(

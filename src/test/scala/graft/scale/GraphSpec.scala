@@ -388,6 +388,28 @@ class GraphSpec extends AnyFunSuite {
     assert(again === core4)
   }
 
+  test("kCore: early exit at the fixpoint — a huge budget costs only converged+1 rounds") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1L) to 5L) yield (i, j)
+    val edges = (k5 ++ Seq((5L, 10L), (10L, 11L), (11L, 12L))).toDF("src", "dst")
+    // cascade: r1 kills 12, r2 kills 11, r3 kills 10, r4 removes zero
+    // edges -> fixpoint certified, rounds 5..100 never run
+    val (res, ran) = Graph.kCorePeel(edges, k = 2, rounds = 100)
+    assert(ran === 4, s"peel must stop at the fixpoint, ran $ran rounds")
+    val got = res.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // identical to the fixed-budget answer (the shipped key's hash
+    // cannot move: early exit only skips no-op rounds)
+    val fixed = Graph.kCore(edges, k = 2, rounds = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === fixed)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // budget still binds when smaller than the cascade depth
+    val (_, ranBound) = Graph.kCorePeel(edges, k = 2, rounds = 2)
+    assert(ranBound === 2, "a 2-round budget runs exactly 2 rounds")
+    // an already-converged graph certifies in one round
+    val (_, ranK5) = Graph.kCorePeel(k5.toDF("src", "dst"), k = 4, rounds = 8)
+    assert(ranK5 === 1, s"K5 at k=4 removes nothing: certified after round 1, ran $ranK5")
+  }
+
   test("triangles: K4 + pendant path — exact counts and micro coefficients") {
     // K4 on {1,2,3,4} (4 triangles, every node in 3 of them, lcc = 1)
     // plus a pendant path 4-5-6 (no triangles; node 6 has deg 1 ->

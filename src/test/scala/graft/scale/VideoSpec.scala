@@ -119,4 +119,61 @@ class VideoSpec extends AnyFunSuite {
     // a frame index past the end emits nothing (in-band)
     assert(Video.frameToImage(df, "doc_id", "payload", frameIndex = 5).count() === 0L)
   }
+
+  test("MJPEG: real JPEG encode/decode round-trip; container facts exact, pixels near") {
+    val docs = Seq((1L, "x" * 200), (2L, ""), (3L, "y" * 2000)).toDF("doc_id", "text")
+    val m = Video.decodeVideoMeta(
+      Video.aviMjpegPayload(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    // container facts match the raw-DIB path exactly (same clamp)
+    assert(m(1L).format === "mjpeg" && m(1L).width === 8 && m(1L).height === 6)
+    assert(m(1L).n_frames === 2L && m(1L).us_per_frame === 40000L)
+    assert(m(2L).n_frames === 1L)
+    assert(m(3L).n_frames === 8L)
+    // JPEG is lossy but near: per-frame mean luma within a small band
+    // of the raw-DIB decode of the SAME text
+    val raw = Video.videoFrameFeatures(
+      Video.aviPayload(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    val jpg = Video.videoFrameFeatures(
+      Video.aviMjpegPayload(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(jpg.keySet === raw.keySet, "same frame lattice through both codecs")
+    jpg.foreach { case (k, v) =>
+      assert(math.abs(v - raw(k)) <= 16L,
+        s"frame $k mean luma drifted ${math.abs(v - raw(k))} (jpeg $v vs raw ${raw(k)})")
+    }
+    // a solid-color frame survives JPEG almost exactly (DC-only):
+    // empty text -> black frames -> luma 0 both paths
+    assert(jpg((2L, 0)) === 0L && raw((2L, 0)) === 0L)
+    // decode is deterministic: two independent decodes agree bitwise
+    val fp1 = Video.videoFingerprint(
+      Video.aviMjpegPayload(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = Video.videoFingerprint(
+      Video.aviMjpegPayload(docs, "doc_id", "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 === fp2)
+    // and the frame bridge runs on MJPEG frames unchanged
+    val br = Video.frameToImage(
+      Video.aviMjpegPayload(docs, "doc_id", "text"), "doc_id", "payload")
+    assert(br.count() === 3L)
+  }
+
+  test("MJPEG: a corrupt JPEG frame rejects the container in-band") {
+    // build a valid MJPEG payload, then corrupt the JPEG body bytes
+    val payload = Video.aviMjpegPayload(
+      Seq((1L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val bad = payload.clone()
+    // first frame chunk body starts at movi+4 ('movi') + 8 ('00dc'+len):
+    // stomping the SOI/JFIF header makes ImageIO reject the frame
+    val moviAt = (0 until bad.length - 4).find(i =>
+      bad(i) == 'm' && bad(i + 1) == 'o' && bad(i + 2) == 'v' && bad(i + 3) == 'i').get
+    for (k <- 12 until 24) bad(moviAt + k) = 0x55.toByte
+    val u = Video.decodeVideoMeta(
+      Seq((9L, bad)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head
+    assert(u.format === "undecodable" && u.n_frames === 0L)
+  }
 }

@@ -22,7 +22,7 @@ def canon(df):
     return df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir, out_dir, timeout_s=0):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -32,9 +32,16 @@ def main(sf_dir, out_dir, timeout_s=0):
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def main(sf_dir, out_dir, timeout_s=0):
+    import threading
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
+        fired = threading.Event()
         try:
             spark_df = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
@@ -43,14 +50,19 @@ def main(sf_dir, out_dir, timeout_s=0):
             # result is still on disk) rather than stalling the gate
             timer = None
             if timeout_s:
-                import threading
-                timer = threading.Timer(timeout_s, con.interrupt)
+                def watchdog(c=con, f=fired):
+                    f.set()  # set BEFORE interrupt so the race is visible
+                    c.interrupt()
+                timer = threading.Timer(timeout_s, watchdog)
                 timer.start()
             try:
                 duck_df = con.sql(sql).df()
             finally:
                 if timer:
+                    # cancel + join: after this the watchdog either ran
+                    # to completion (fired is set) or never will
                     timer.cancel()
+                    timer.join()
             s, d = canon(spark_df), canon(duck_df)
             if list(s.columns) != list(d.columns):
                 results[name] = f"SCHEMA spark={list(s.columns)} duck={list(d.columns)}"
@@ -77,6 +89,11 @@ def main(sf_dir, out_dir, timeout_s=0):
                 results[name] = f"ORACLE-TIMEOUT >{timeout_s}s (DuckDB replay, not the engine)"
             else:
                 results[name] = f"ERROR {type(e).__name__}: {e}"
+        if fired.is_set():
+            # a fired interrupt (whether it aborted the query or landed
+            # after completion) may leave stale state on the connection;
+            # rebuild so the next query cannot be misreported as timeout
+            con = connect(sf_dir)
         # progress line per query (stderr, unbuffered enough for tail -f;
         # the PASS/FAIL summary below stays the parseable contract)
         print(f"[check] {name}: {results[name][:80]}", file=sys.stderr, flush=True)
