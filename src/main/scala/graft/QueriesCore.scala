@@ -654,6 +654,24 @@ private[graft] object QueriesCore {
       graft.ops.Stats.mannWhitneyZ(T(s, d, "documents"),
         "lang", "n_chars", "en", "zh")),
 
+    // one-way ANOVA F across market segments on balance cents — the
+    // k-sample "did ANY segment's mean move" (Welch is the 2-sample
+    // form); exact per-group decimal moments, order-fixed group fold
+    "x_stats_anova" -> ((s, d) =>
+      graft.ops.Stats.anovaF(
+        T(s, d, "customer").select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")),
+        "seg", "cents")),
+
+    // Kruskal-Wallis H over the same lattice — the rank-based k-sample
+    // complement (Mann-Whitney is the 2-sample form): doubled-midrank
+    // tie lattice, exact decimal rank sums, tie-corrected H
+    "x_stats_kruskal" -> ((s, d) =>
+      graft.ops.Stats.kruskalWallis(
+        T(s, d, "customer").select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")),
+        "seg", "cents")),
+
     // Spearman rank correlation of doc length vs token count —
     // monotone association via midranks kept exact as DOUBLED longs,
     // decimal(38) moment sums, one double Pearson at the end
@@ -1931,6 +1949,78 @@ private[graft] object QueriesCore {
          |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
          |  CASE WHEN n_a >= 1 AND n_b >= 1 AND $varU > 0.0
          |       THEN ${graft.ops.Rounding.halfUpSql(z, 6)} END AS z_mw
+         |FROM m""".stripMargin
+    },
+
+    // ANOVA: exact HUGEINT group moments, the cross-group double sum
+    // folded over the ORDER BY g list (list_reduce with a prepended
+    // 0.0 — bit-identical to the engine's sort_array + aggregate fold)
+    "x_stats_anova" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(arr, x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))), " +
+        "(a, b) -> a + b)"
+      val ssb = s"(fold - ${dd("st")} * ${dd("st")} / ${dd("n")})"
+      val ssw = s"(${dd("s2t")} - fold)"
+      val f = s"(($ssb / (k - 1)) / ($ssw / (n - k)))"
+      s"""WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+         |    CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+         |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+         |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+         |          sum(CAST(v AS HUGEINT)) AS s_g,
+         |          sum(CAST(v AS HUGEINT) * v) AS s2_g
+         |        FROM b GROUP BY g),
+         |one AS (SELECT CAST(coalesce(sum(n_g), 0) AS BIGINT) AS n,
+         |          CAST(count(*) AS BIGINT) AS k,
+         |          coalesce(sum(s_g), 0) AS st, coalesce(sum(s2_g), 0) AS s2t,
+         |          list(struct_pack(s := s_g, n := n_g) ORDER BY g) AS arr
+         |        FROM grp),
+         |m AS (SELECT n, k, st, s2t, $fold AS fold FROM one)
+         |SELECT n, k AS n_groups,
+         |  CASE WHEN k >= 2 THEN k - 1 END AS dof1,
+         |  CASE WHEN k >= 2 AND n > k THEN n - k END AS dof2,
+         |  CASE WHEN k >= 2 AND n > k AND $ssw > 0.0
+         |       THEN ${graft.ops.Rounding.halfUpSql(f, 6)} END AS f_anova,
+         |  CASE WHEN k >= 2 AND ($ssb + $ssw) > 0.0
+         |       THEN ${graft.ops.Rounding.halfUpSql(s"($ssb / ($ssb + $ssw))", 6)} END AS eta_sq
+         |FROM m""".stripMargin
+    },
+
+    // Kruskal-Wallis: the Mann-Whitney tie lattice generalized to k
+    // groups — doubled midranks, HUGEINT rank sums per group, the same
+    // ORDER BY g list fold, tie-corrected H in one double tree
+    "x_stats_kruskal" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(arr, x -> CAST(x.d AS DOUBLE) * CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))), " +
+        "(a, b) -> a + b)"
+      val h = s"(3.0 / (${dd("n")} * (n + 1)) * fold - 3.0 * (n + 1))"
+      val corr = s"(1.0 - ${dd("tie")} / (${dd("n")} * n * n - n))"
+      s"""WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+         |    CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+         |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+         |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |lat AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY v),
+         |r AS (SELECT v, t,
+         |        2 * CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          - t + 1 AS r2
+         |      FROM lat),
+         |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+         |          sum(CAST(c AS HUGEINT) * r2) AS d_g
+         |        FROM gv JOIN r USING (v) GROUP BY g),
+         |tot AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+         |          coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie
+         |        FROM r),
+         |one AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |          list(struct_pack(d := d_g, n := n_g) ORDER BY g) AS arr
+         |        FROM grp),
+         |m AS (SELECT n, tie, k, $fold AS fold FROM one, tot)
+         |SELECT n, k AS n_groups,
+         |  CASE WHEN k >= 2 THEN k - 1 END AS dof,
+         |  CASE WHEN k >= 2 AND n >= 2 AND $corr > 0.0
+         |       THEN ${graft.ops.Rounding.halfUpSql(s"($h / $corr)", 6)} END AS h_kw,
+         |  CASE WHEN k >= 2 AND n >= 2 AND $corr > 0.0
+         |       THEN ${graft.ops.Rounding.halfUpSql(s"(($h / $corr) / (n - 1))", 6)} END AS epsilon_sq
          |FROM m""".stripMargin
     },
 

@@ -2314,6 +2314,154 @@ object Stats {
           (col("mean_ctrl_post_micro") - col("mean_ctrl_pre_micro")))
   }
 
+  /** Group cap for [[anovaF]] / [[kruskalWallis]]'s per-group fold —
+    * the k-row group table collects into ONE array for the
+    * order-fixed epilogue, so it must stay summary-sized. */
+  val MaxTestGroups = 65536L
+
+  /** One-way ANOVA F across k groups — the parametric k-sample
+    * complement of [[welchTTest]]'s two-sample test (did ANY segment's
+    * mean move): F = (SSB/(k−1)) / (SSW/(N−k)) from exact per-group
+    * moments. All data-sized work is ONE (group) aggregate of exact
+    * decimal(38) sums; the epilogue folds the k-row group table in
+    * GROUP-KEY ORDER (sort_array + aggregate, mirrored by the oracle's
+    * ORDER BY g list fold) so the one double summation Σ S_g²/n_g is
+    * order-FIXED cross-engine — a plain double sum would float with
+    * partial-aggregation order. Output (1 row): n, n_groups, dof1 =
+    * k−1, dof2 = N−k, f_anova (halfUp 6; NULL in-band when k < 2,
+    * N ≤ k, or SSW ≤ 0 — a within-degenerate lattice has no F, which
+    * is not the same as a significant one).
+    *
+    * Scale: one corpus hash aggregate + a ≤[[MaxTestGroups]]-row
+    * collect (guarded in-plan); the corpus is scanned once, never
+    * sorted, never joined.
+    */
+  def anovaF(
+      df: DataFrame, groupCol: String, valueCol: String,
+      maxGroups: Long = MaxTestGroups): DataFrame = {
+    require(maxGroups > 0, "anovaF: maxGroups must be positive")
+    val g = Cleaning.qcol(groupCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val dec = "decimal(38,0)"
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val grp = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v").cast(dec)).as("__s"),
+      sum((col("__v") * col("__v")).cast(dec)).as("__s2"))
+    val one = grp.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(col("__s")), lit(0L).cast(dec)).as("__st"),
+      coalesce(sum(col("__s2")), lit(0L).cast(dec)).as("__s2t"),
+      sort_array(collect_list(struct(col("__g"), col("__n"), col("__s"))))
+        .as("__arr"))
+      // the cap guard rides the CONSUMED n_groups column (the
+      // consumed-expression rule — a guard on a pruned column is
+      // documentation, not enforcement)
+      .withColumn("n_groups",
+        when(col("n_groups") > maxGroups,
+          raise_error(lit(s"anovaF: more than $maxGroups groups — " +
+            "band the group column first")).cast("long"))
+          .otherwise(col("n_groups")))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // Σ S_g²/n_g folded in group order: 0.0 + t1 + t2 + ... — the
+    // oracle's list_reduce over the same ORDER BY g list is the
+    // identical fp sequence (IEEE 0.0 + x = x)
+    val fold = aggregate(col("__arr"), lit(0.0), (acc, x) =>
+      acc + d(x.getField("__s")) * d(x.getField("__s")) / d(x.getField("__n")))
+    val nn = d(col("n")); val k = d(col("n_groups"))
+    val ssb = fold - d(col("__st")) * d(col("__st")) / nn
+    val ssw = d(col("__s2t")) - fold
+    one.select(col("n"), col("n_groups"),
+      when(col("n_groups") >= 2L, col("n_groups") - 1L).as("dof1"),
+      when(col("n_groups") >= 2L && col("n") > col("n_groups"),
+        col("n") - col("n_groups")).as("dof2"),
+      when(col("n_groups") >= 2L && col("n") > col("n_groups") && ssw > lit(0.0),
+        Rounding.halfUp((ssb / (k - lit(1.0))) / (ssw / (nn - k)), 6))
+        .as("f_anova"),
+      // eta² = SSB/SST — the effect size behind the significance (an F
+      // huge on a trillion rows can still explain 0.1% of variance)
+      when(col("n_groups") >= 2L && (ssb + ssw) > lit(0.0),
+        Rounding.halfUp(ssb / (ssb + ssw), 6)).as("eta_sq"))
+  }
+
+  /** Kruskal-Wallis H across k groups — the rank-based k-sample
+    * complement of [[mannWhitneyZ]] (did ANY segment's distribution
+    * shift, no normality assumed): H = 3/(N(N+1)) · Σ D_g²/n_g −
+    * 3(N+1) over DOUBLED rank sums D_g (the exact-integer midrank
+    * lattice of [[spearmanCorr]]), tie-corrected by C = 1 −
+    * Σ(t³−t)/(N³−N). Ranks ride the ≤[[MaxSpearmanValues]] tie-group
+    * lattice (guarded in-plan, broadcast back to the (group, value)
+    * aggregate), D_g and the tie mass are exact decimal(38), and the
+    * one cross-group double summation folds the k-row table in
+    * GROUP-KEY ORDER exactly like [[anovaF]]. Output (1 row): n,
+    * n_groups, dof = k−1, h_kw (halfUp 6; NULL in-band when k < 2 or
+    * every value ties — C = 0 leaves H undefined). Compare h_kw to the
+    * chi-square(k−1) tail exactly as [[chiSquareIndependence]]'s
+    * chi2_micro.
+    *
+    * Scale: one (group, value) aggregate + one value-lattice window +
+    * a ≤[[MaxTestGroups]]-row collect; the corpus is scanned once.
+    */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, valueCol: String,
+      maxDistinctValues: Long = MaxSpearmanValues,
+      maxGroups: Long = MaxTestGroups): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDistinctValues > 0, "kruskalWallis: maxDistinctValues must be positive")
+    require(maxGroups > 0, "kruskalWallis: maxGroups must be positive")
+    val g = Cleaning.qcol(groupCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val dec = "decimal(38,0)"
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val lat = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+      .withColumn("__guard",
+        when(count(lit(1)).over(wAll) > maxDistinctValues,
+          raise_error(lit(s"kruskalWallis: more than $maxDistinctValues distinct " +
+            "values — band the column first")).cast("long"))
+          .otherwise(col("__t")))
+      .withColumn("__cum", sum(col("__guard")).over(wCum))
+      // doubled average rank of the tie group: 2*cum - t + 1
+      .select(col("__v"), col("__t"), (lit(2L) * col("__cum") - col("__t") + 1L).as("__r2"))
+    val grp = gv.join(broadcast(lat.select(col("__v"), col("__r2"))), Seq("__v"))
+      .groupBy(col("__g")).agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__c").cast(dec) * col("__r2")).as("__d"))
+    val ties = lat.agg(
+      coalesce(sum(col("__t")), lit(0L)).as("n"),
+      coalesce(sum(col("__t").cast(dec) * col("__t") * col("__t") - col("__t")),
+        lit(0L).cast(dec)).as("__tie"))
+    val one = grp.agg(
+      count(lit(1)).as("n_groups"),
+      sort_array(collect_list(struct(col("__g"), col("__n"), col("__d"))))
+        .as("__arr"))
+      .withColumn("n_groups",
+        when(col("n_groups") > maxGroups,
+          raise_error(lit(s"kruskalWallis: more than $maxGroups groups — " +
+            "band the group column first")).cast("long"))
+          .otherwise(col("n_groups")))
+      .crossJoin(broadcast(ties))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val fold = aggregate(col("__arr"), lit(0.0), (acc, x) =>
+      acc + d(x.getField("__d")) * d(x.getField("__d")) / d(x.getField("__n")))
+    val nn = d(col("n"))
+    val h = lit(3.0) / (nn * (nn + lit(1.0))) * fold - lit(3.0) * (nn + lit(1.0))
+    val corr = lit(1.0) - d(col("__tie")) / (nn * nn * nn - nn)
+    one.select(col("n"), col("n_groups"),
+      when(col("n_groups") >= 2L, col("n_groups") - 1L).as("dof"),
+      when(col("n_groups") >= 2L && col("n") >= 2L && corr > lit(0.0),
+        Rounding.halfUp(h / corr, 6)).as("h_kw"),
+      // epsilon² = H_corr/(n−1) — the rank effect size (share of rank
+      // variance the grouping explains), same NULL lattice as h_kw
+      when(col("n_groups") >= 2L && col("n") >= 2L && corr > lit(0.0),
+        Rounding.halfUp(h / corr / (nn - lit(1.0)), 6)).as("epsilon_sq"))
+  }
+
   /** The KMV estimator chain over a frame carrying sketch arrays `sa`,
     * `sb` (ascending distinct hashes, ≤ k each) — shared by
     * [[kmvOverlap]] and [[kmvOverlapMatrix]] so pair and matrix forms

@@ -587,6 +587,14 @@ object Dedup {
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // The cap's cost on NON-degenerate data is the counting shuffle of
+    // the (band, bucket, id) frame (buckets are near-distinct, so the
+    // sizing groupBy shuffles ~rows even after partial aggregation) —
+    // measured +45% on this composed probe at the 100x dir. That is the
+    // price of the production skew guard, paid linearly: without it one
+    // degenerate bucket (empty docs, boilerplate) makes the candidate
+    // join quadratic. The full-recall gate form (maxBucketSize = 0)
+    // skips both the guard and its shuffle.
     val bBuckets = capBuckets(
       minhashBandIndex(batch, idCol, textCol, k, numHashes, bands, seed),
       Seq("band", "bucket"), maxBucketSize)

@@ -921,6 +921,45 @@ class StatsSpec extends AnyFunSuite {
     assert((r3.getLong(0), r3.getLong(1)) === ((2L, 0L)) && r3.isNullAt(3))
   }
 
+  test("anovaF: hand case; degenerate lattices NULL in-band") {
+    // a={1,2,3} b={2,3,4} c={10,10,10}: SSB = 339-225 = 114,
+    // SSW = 343-339 = 4, F = (114/2)/(4/6) = 85.5
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("c", 10L), ("c", 10L), ("c", 10L)).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((9L, 3L, 2L, 6L)))
+    assert(r.getDouble(4) === 85.5)
+    // eta² = SSB/SST = 114/118, halfUp 6
+    assert(r.getDouble(5) === 0.966102)
+    // one group: k < 2 -> dof and F NULL
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r1 = Stats.anovaF(one, "g", "v").collect().head
+    assert(r1.getLong(1) === 1L && r1.isNullAt(2) && r1.isNullAt(4))
+    // zero within-variance (every group constant): SSW = 0 -> F NULL
+    val flat = Seq(("a", 1L), ("a", 1L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Stats.anovaF(flat, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("kruskalWallis: hand case with ties; all-tied NULL in-band") {
+    // a={1,2} b={2,3}: doubled midranks 2/5/8, D_a=7 D_b=13,
+    // H = 3/(4*5)*(49/2+169/2) - 15 = 1.35; tie 2^3-2=6,
+    // C = 1 - 6/60 = 0.9 -> H/C = 1.5
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 1L)))
+    assert(r.getDouble(3) === 1.5)
+    // epsilon² = H_corr/(n-1) = 1.5/3
+    assert(r.getDouble(4) === 0.5)
+    // every value identical: C = 0 -> H NULL, counts still reported
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val rt = Stats.kruskalWallis(tied, "g", "v").collect().head
+    assert(rt.getLong(0) === 3L && rt.isNullAt(3) && rt.isNullAt(4))
+    // single group: dof NULL
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Stats.kruskalWallis(one, "g", "v").collect().head.isNullAt(2))
+  }
+
   test("diffInDiff: hand cells, common drift nets out, empty cell NULL in-band") {
     // treat: 10 -> 25 (+15); ctrl: 20 -> 30 (+10) => DiD = +5
     val rows = Seq(
