@@ -672,6 +672,23 @@ private[graft] object QueriesCore {
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")),
         "seg", "cents")),
 
+    // Brown-Forsythe variance homogeneity: anova on |v - group median|
+    // (exact lower medians off the per-group lattice) — the gate
+    // before trusting the pooled within-variance
+    "x_stats_brownforsythe" -> ((s, d) =>
+      graft.ops.Stats.brownForsytheF(
+        T(s, d, "customer").select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")),
+        "seg", "cents")),
+
+    // pairwise Welch contrasts: WHICH segments differ after the F
+    // rejects — k-row moment self-join, exact micro mean differences
+    "x_stats_contrasts" -> ((s, d) =>
+      graft.ops.Stats.pairwiseContrasts(
+        T(s, d, "customer").select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")),
+        "seg", "cents")),
+
     // Spearman rank correlation of doc length vs token count —
     // monotone association via midranks kept exact as DOUBLED longs,
     // decimal(38) moment sums, one double Pearson at the end
@@ -751,6 +768,48 @@ private[graft] object QueriesCore {
         "c_mktsegment", "bal_cents", priorWeight = 20L)
         .select(col("c_custkey"), col("cat_n"), col("cat_sum"), col("enc"))),
   )
+
+  /** Shared (g, v) source for the k-group test oracles: market
+    * segment × balance cents. */
+  private def custSegBalSql: String =
+    """SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+      |    CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+      |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL""".stripMargin
+
+  /** The one-way-ANOVA oracle chain over an arbitrary (g, v) source
+    * SELECT (may itself carry a nested WITH): exact HUGEINT group
+    * moments, the cross-group double sum folded over the ORDER BY g
+    * list (list_reduce with a prepended 0.0 — bit-identical to
+    * anovaF's sort_array + aggregate fold), eta² beside F. Shared by
+    * x_stats_anova and the Brown-Forsythe replay. */
+  private def anovaSqlFrom(bSql: String): String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(arr, x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))), " +
+      "(a, b) -> a + b)"
+    val ssb = s"(fold - ${dd("st")} * ${dd("st")} / ${dd("n")})"
+    val ssw = s"(${dd("s2t")} - fold)"
+    val f = s"(($ssb / (k - 1)) / ($ssw / (n - k)))"
+    s"""WITH b AS ($bSql),
+       |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+       |          sum(CAST(v AS HUGEINT)) AS s_g,
+       |          sum(CAST(v AS HUGEINT) * v) AS s2_g
+       |        FROM b GROUP BY g),
+       |one AS (SELECT CAST(coalesce(sum(n_g), 0) AS BIGINT) AS n,
+       |          CAST(count(*) AS BIGINT) AS k,
+       |          coalesce(sum(s_g), 0) AS st, coalesce(sum(s2_g), 0) AS s2t,
+       |          list(struct_pack(s := s_g, n := n_g) ORDER BY g) AS arr
+       |        FROM grp),
+       |m AS (SELECT n, k, st, s2t, $fold AS fold FROM one)
+       |SELECT n, k AS n_groups,
+       |  CASE WHEN k >= 2 THEN k - 1 END AS dof1,
+       |  CASE WHEN k >= 2 AND n > k THEN n - k END AS dof2,
+       |  CASE WHEN k >= 2 AND n > k AND $ssw > 0.0
+       |       THEN ${graft.ops.Rounding.halfUpSql(f, 6)} END AS f_anova,
+       |  CASE WHEN k >= 2 AND ($ssb + $ssw) > 0.0
+       |       THEN ${graft.ops.Rounding.halfUpSql(s"($ssb / ($ssb + $ssw))", 6)} END AS eta_sq
+       |FROM m""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "a1_value_counts" ->
@@ -1955,35 +2014,50 @@ private[graft] object QueriesCore {
     // ANOVA: exact HUGEINT group moments, the cross-group double sum
     // folded over the ORDER BY g list (list_reduce with a prepended
     // 0.0 — bit-identical to the engine's sort_array + aggregate fold)
-    "x_stats_anova" -> {
+    "x_stats_anova" -> anovaSqlFrom(custSegBalSql),
+
+    // Brown-Forsythe: lower group medians read exactly off the
+    // per-group value lattice (group-partitioned windows), then the
+    // anova chain on z = |v - median_g| — all-integer inputs
+    "x_stats_brownforsythe" -> anovaSqlFrom(
+      s"""WITH b0 AS ($custSegBalSql),
+         |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b0 GROUP BY 1, 2),
+         |lat AS (SELECT g, v,
+         |          sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         |          sum(c) OVER (PARTITION BY g) AS ng
+         |        FROM gv),
+         |med AS (SELECT g, min(v) AS med FROM lat WHERE 2 * cum >= ng GROUP BY g)
+         |SELECT b0.g, abs(b0.v - med.med) AS v FROM b0 JOIN med USING (g)""".stripMargin),
+
+    // pairwise Welch contrasts: the k-row moment table self-joined
+    // (g_a < g_b), exact sign-factored micro mean difference, the
+    // welchTTest double tree per pair
+    "x_stats_contrasts" -> {
       def dd(x: String) = s"CAST($x AS DOUBLE)"
-      val fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        "list_transform(arr, x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))), " +
-        "(a, b) -> a + b)"
-      val ssb = s"(fold - ${dd("st")} * ${dd("st")} / ${dd("n")})"
-      val ssw = s"(${dd("s2t")} - fold)"
-      val f = s"(($ssb / (k - 1)) / ($ssw / (n - k)))"
-      s"""WITH b AS (SELECT CAST(c_mktsegment AS VARCHAR) AS g,
-         |    CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
-         |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
-         |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
-         |          sum(CAST(v AS HUGEINT)) AS s_g,
-         |          sum(CAST(v AS HUGEINT) * v) AS s2_g
+      def microMean(s: String, n: String) =
+        s"(CASE WHEN $s < 0 THEN -((-$s * 1000000) // $n) ELSE ($s * 1000000) // $n END)"
+      val varA = s"((${dd("na")} * ${dd("qa")} - ${dd("sa")} * ${dd("sa")}) / (${dd("na")} * (${dd("na")} - 1.0)))"
+      val varB = s"((${dd("nb")} * ${dd("qb")} - ${dd("sb")} * ${dd("sb")}) / (${dd("nb")} * (${dd("nb")} - 1.0)))"
+      val seA = s"($varA / ${dd("na")})"
+      val seB = s"($varB / ${dd("nb")})"
+      val se2 = s"($seA + $seB)"
+      val t = s"((${dd("sa")} / ${dd("na")} - ${dd("sb")} / ${dd("nb")}) / sqrt($se2))"
+      val dfW = s"(($se2 * $se2) / ($seA * $seA / (${dd("na")} - 1.0) + $seB * $seB / (${dd("nb")} - 1.0)))"
+      s"""WITH b AS ($custSegBalSql),
+         |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |          sum(CAST(v AS HUGEINT)) AS s,
+         |          sum(CAST(v AS HUGEINT) * v) AS q
          |        FROM b GROUP BY g),
-         |one AS (SELECT CAST(coalesce(sum(n_g), 0) AS BIGINT) AS n,
-         |          CAST(count(*) AS BIGINT) AS k,
-         |          coalesce(sum(s_g), 0) AS st, coalesce(sum(s2_g), 0) AS s2t,
-         |          list(struct_pack(s := s_g, n := n_g) ORDER BY g) AS arr
-         |        FROM grp),
-         |m AS (SELECT n, k, st, s2t, $fold AS fold FROM one)
-         |SELECT n, k AS n_groups,
-         |  CASE WHEN k >= 2 THEN k - 1 END AS dof1,
-         |  CASE WHEN k >= 2 AND n > k THEN n - k END AS dof2,
-         |  CASE WHEN k >= 2 AND n > k AND $ssw > 0.0
-         |       THEN ${graft.ops.Rounding.halfUpSql(f, 6)} END AS f_anova,
-         |  CASE WHEN k >= 2 AND ($ssb + $ssw) > 0.0
-         |       THEN ${graft.ops.Rounding.halfUpSql(s"($ssb / ($ssb + $ssw))", 6)} END AS eta_sq
-         |FROM m""".stripMargin
+         |p AS (SELECT a.g AS ga, b2.g AS gb, a.n AS na, b2.n AS nb,
+         |        a.s AS sa, b2.s AS sb, a.q AS qa, b2.q AS qb
+         |      FROM grp a JOIN grp b2 ON a.g < b2.g)
+         |SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+         |  CAST(${microMean("sa", "na")} - ${microMean("sb", "nb")} AS BIGINT) AS mean_diff_micro,
+         |  CASE WHEN na >= 2 AND nb >= 2 AND $se2 > 0
+         |       THEN ${graft.ops.Rounding.halfUpSql(t, 6)} END AS t_welch,
+         |  CASE WHEN na >= 2 AND nb >= 2 AND $se2 > 0
+         |       THEN ${graft.ops.Rounding.halfUpSql(dfW, 6)} END AS df_welch
+         |FROM p""".stripMargin
     },
 
     // Kruskal-Wallis: the Mann-Whitney tie lattice generalized to k

@@ -2386,6 +2386,109 @@ object Stats {
         Rounding.halfUp(ssb / (ssb + ssw), 6)).as("eta_sq"))
   }
 
+  /** All-pairs Welch contrasts between group means — the drill-down
+    * after [[anovaF]] rejects: WHICH segments differ, by how much, and
+    * is each gap significant on its own. Per unordered pair
+    * (group_a < group_b): exact mean_diff_micro (sign-factored
+    * truncating micro division, the diffInDiff pattern) and the SAME
+    * Welch t / df double tree as [[welchTTest]], from the same exact
+    * decimal moments — so a pair row here and a two-slice welchTTest
+    * on the same data agree bitwise.
+    *
+    * Scale: ONE (group) corpus aggregate; the pair join is a
+    * self-join of the ≤`maxGroups`-row group table (guard rides the
+    * consumed count column) — k²/2 arithmetic-only rows, no second
+    * corpus pass. The default cap is deliberately tighter than
+    * [[MaxTestGroups]]: the OUTPUT is quadratic in k, and a contrast
+    * table past ~32k rows is a banding bug, not an analysis.
+    */
+  def pairwiseContrasts(
+      df: DataFrame, groupCol: String, valueCol: String,
+      maxGroups: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxGroups > 0, "pairwiseContrasts: maxGroups must be positive")
+    val g = Cleaning.qcol(groupCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val dec = "decimal(38,0)"
+    val wAll = Window.partitionBy()
+    val grp = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v") * col("__v")).cast(dec)).as("__q"))
+      .withColumn("__n",
+        when(count(lit(1)).over(wAll) > maxGroups,
+          raise_error(lit(s"pairwiseContrasts: more than $maxGroups groups — " +
+            "band the group column first")).cast("long"))
+          .otherwise(col("__n")))
+    def side(suf: String) = grp.select(
+      col("__g").as(s"group_$suf"), col("__n").as(s"n_$suf"),
+      col("__s").as(s"__s$suf"), col("__q").as(s"__q$suf"))
+    val pairs = side("a").crossJoin(side("b"))
+      .filter(col("group_a") < col("group_b"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def microMean(s: String, n: String) =
+      s"(CASE WHEN $s < 0 THEN -((-$s * 1000000) div $n) ELSE ($s * 1000000) div $n END)"
+    val meanA = d(col("__sa")) / d(col("n_a"))
+    val meanB = d(col("__sb")) / d(col("n_b"))
+    val varA = (d(col("n_a")) * d(col("__qa")) - d(col("__sa")) * d(col("__sa"))) /
+      (d(col("n_a")) * (d(col("n_a")) - 1.0))
+    val varB = (d(col("n_b")) * d(col("__qb")) - d(col("__sb")) * d(col("__sb"))) /
+      (d(col("n_b")) * (d(col("n_b")) - 1.0))
+    val seA = varA / d(col("n_a"))
+    val seB = varB / d(col("n_b"))
+    val se2 = seA + seB
+    val t = (meanA - meanB) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (seA * seA / (d(col("n_a")) - 1.0) + seB * seB / (d(col("n_b")) - 1.0))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    pairs.select(
+      col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      expr(s"CAST(${microMean("__sa", "n_a")} - ${microMean("__sb", "n_b")} AS BIGINT)")
+        .as("mean_diff_micro"),
+      when(ok && se2 > 0, Rounding.halfUp(t, 6)).as("t_welch"),
+      when(ok && se2 > 0, Rounding.halfUp(dfW, 6)).as("df_welch"))
+  }
+
+  /** Brown-Forsythe robust variance-homogeneity F — the gate before
+    * trusting [[anovaF]]'s pooled within-variance (and the robust form
+    * of Levene: deviations from the group MEDIAN, which survives the
+    * heavy tails that break the mean-based version): F on
+    * z = |v − median_g|. The group median is the LOWER median
+    * (smallest value whose doubled cumulative count reaches n_g) read
+    * exactly off the per-group value lattice, so z stays an exact
+    * long and the whole statistic is [[anovaF]]'s order-fixed
+    * arithmetic on integers.
+    *
+    * Scale: one (group, value) lattice with group-PARTITIONED windows
+    * (the rankNormalize shape — no global window), a k-row median
+    * broadcast back, one more corpus pass for z, then anovaF's single
+    * aggregate. Output = [[anovaF]]'s row (f_anova IS the BF
+    * statistic).
+    */
+  def brownForsytheF(
+      df: DataFrame, groupCol: String, valueCol: String,
+      maxGroups: Long = MaxTestGroups): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Cleaning.qcol(groupCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wG = Window.partitionBy(col("__g"))
+    val med = gv
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__ng", sum(col("__c")).over(wG))
+      .filter(lit(2L) * col("__cum") >= col("__ng"))
+      .groupBy(col("__g")).agg(min(col("__v")).as("__med"))
+    val z = base.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+    anovaF(z, "__g", "__z", maxGroups)
+  }
+
   /** Kruskal-Wallis H across k groups — the rank-based k-sample
     * complement of [[mannWhitneyZ]] (did ANY segment's distribution
     * shift, no normality assumed): H = 3/(N(N+1)) · Σ D_g²/n_g −

@@ -941,6 +941,44 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.anovaF(flat, "g", "v").collect().head.isNullAt(4))
   }
 
+  test("pairwiseContrasts: the pair row replays welchTTest bitwise; exact micro diffs") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val p = Stats.pairwiseContrasts(df, "g", "v").collect()
+    assert(p.length === 1)
+    val r = p.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ===
+      (("a", "b", 3L, 3L)))
+    assert(r.getLong(4) === -3000000L) // mean 2 vs 5, exact micro
+    // the t/df tree is welchTTest's — same data, same bits
+    val w = Stats.welchTTest(df.withColumnRenamed("g", "s"), "s", "v", "a", "b")
+      .collect().head
+    assert(r.getDouble(5) === w.getDouble(4) && r.getDouble(6) === w.getDouble(5))
+    // three groups -> 3 pair rows, each ordered group_a < group_b
+    val df3 = df.union(Seq(("c", 9L), ("c", 11L)).toDF("g", "v"))
+    val p3 = Stats.pairwiseContrasts(df3, "g", "v").collect()
+    assert(p3.length === 3 && p3.forall(r => r.getString(0) < r.getString(1)))
+  }
+
+  test("brownForsytheF equals anovaF on |v - lower group median|") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 20L), ("b", 90L)).toDF("g", "v")
+    // medians: a -> 2, b -> 20; z: a = {1,0,1}, b = {10,0,70}
+    val viaZ = Stats.anovaF(
+      Seq(("a", 1L), ("a", 0L), ("a", 1L), ("b", 10L), ("b", 0L), ("b", 70L))
+        .toDF("g", "v"), "g", "v").collect().head
+    val bf = Stats.brownForsytheF(df, "g", "v").collect().head
+    assert(bf === viaZ)
+    // even group size takes the LOWER median: {1,2,3,4} -> med 2 ->
+    // z = {1,0,1,2}
+    val even = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val viaZ2 = Stats.anovaF(
+      Seq(("a", 1L), ("a", 0L), ("a", 1L), ("a", 2L), ("b", 0L), ("b", 0L))
+        .toDF("g", "v"), "g", "v").collect().head
+    assert(Stats.brownForsytheF(even, "g", "v").collect().head === viaZ2)
+  }
+
   test("kruskalWallis: hand case with ties; all-tied NULL in-band") {
     // a={1,2} b={2,3}: doubled midranks 2/5/8, D_a=7 D_b=13,
     // H = 3/(4*5)*(49/2+169/2) - 15 = 1.35; tie 2^3-2=6,
