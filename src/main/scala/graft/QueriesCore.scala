@@ -681,6 +681,15 @@ private[graft] object QueriesCore {
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")),
         "seg", "cents")),
 
+    // Jonckheere-Terpstra ordered trend: does order value trend across
+    // priority tiers (lexical label order IS the tier order); value
+    // banded to 1000-dollar buckets (the guard's lattice contract)
+    "x_stats_jonckheere" -> ((s, d) =>
+      graft.ops.Stats.jonckheereZ(
+        T(s, d, "orders").select(col("o_orderpriority").as("tier"),
+          floor(col("o_totalprice") / 1000).cast("long").as("band")),
+        "tier", "band")),
+
     // pairwise Welch contrasts: WHICH segments differ after the F
     // rejects — k-row moment self-join, exact micro mean differences
     "x_stats_contrasts" -> ((s, d) =>
@@ -2028,6 +2037,54 @@ private[graft] object QueriesCore {
          |        FROM gv),
          |med AS (SELECT g, min(v) AS med FROM lat WHERE 2 * cum >= ng GROUP BY g)
          |SELECT b0.g, abs(b0.v - med.med) AS v FROM b0 JOIN med USING (g)""".stripMargin),
+
+    // Jonckheere-Terpstra: the dense (group x lattice) grid with the
+    // same two partitioned windows (per-group below-v cumulative,
+    // per-value prefix over group order), exact HUGEINT 2J and null
+    // moments, one double z tree
+    "x_stats_jonckheere" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val sigma2 = s"((${dd("n")} * (${dd("n")} - 1.0) * (2.0 * ${dd("n")} + 5.0) - ${dd("ag")} - ${dd("at2")}) / 72.0" +
+        s" + ${dd("bg")} * ${dd("bt2")} / (36.0 * ${dd("n")} * (${dd("n")} - 1.0) * (${dd("n")} - 2.0))" +
+        s" + ${dd("cg")} * ${dd("ct2")} / (8.0 * ${dd("n")} * (${dd("n")} - 1.0)))"
+      val z = s"((${dd("j2")} - ${dd("mu2")}) / (2.0 * sqrt($sigma2)))"
+      s"""WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         |    CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000) AS BIGINT) AS v
+         |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY v),
+         |grps AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gv GROUP BY g),
+         |grid AS (SELECT vals.v, grps.g, coalesce(gv.c, 0) AS c0
+         |         FROM vals CROSS JOIN grps
+         |         LEFT JOIN gv ON gv.g = grps.g AND gv.v = vals.v),
+         |w1 AS (SELECT v, g, c0,
+         |    coalesce(sum(c0) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM grid),
+         |w2 AS (SELECT v, g, c0,
+         |    coalesce(sum(below) OVER (PARTITION BY v ORDER BY g
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS belowPrev,
+         |    coalesce(sum(c0) OVER (PARTITION BY v ORDER BY g
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tiePrev
+         |  FROM w1),
+         |j AS (SELECT coalesce(sum(CAST(c0 AS HUGEINT) * (2 * belowPrev + tiePrev)), 0) AS j2 FROM w2),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+         |        coalesce(sum(CAST(n AS HUGEINT) * n), 0) AS sn2,
+         |        coalesce(sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)), 0) AS ag,
+         |        coalesce(sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2)), 0) AS bg,
+         |        coalesce(sum(CAST(n AS HUGEINT) * (n - 1)), 0) AS cg
+         |      FROM grps),
+         |tm AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0) AS at2,
+         |         coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)), 0) AS bt2,
+         |         coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS ct2
+         |       FROM vals),
+         |f AS (SELECT j2, k, n, (CAST(n AS HUGEINT) * n - sn2) // 2 AS mu2,
+         |        ag, bg, cg, at2, bt2, ct2 FROM j, m, tm)
+         |SELECT n, k AS n_groups, CAST(j2 AS BIGINT) AS j2,
+         |  CASE WHEN k >= 2 AND n >= 3 AND $sigma2 > 0.0
+         |       THEN ${graft.ops.Rounding.halfUpSql(z, 6)} END AS z_jt
+         |FROM f""".stripMargin
+    },
 
     // pairwise Welch contrasts: the k-row moment table self-joined
     // (g_a < g_b), exact sign-factored micro mean difference, the

@@ -2489,6 +2489,111 @@ object Stats {
     anovaF(z, "__g", "__z", maxGroups)
   }
 
+  /** Ordered-group cap for [[jonckheereZ]]'s dense (group × value)
+    * grid — k·lattice rows materialize, so k must stay band-sized
+    * (JT is a test over ORDERED BANDS: curriculum stages, quality
+    * deciles, priority tiers). */
+  val MaxJtGroups = 64L
+
+  /** Jonckheere-Terpstra ordered-trend z — "does the metric INCREASE
+    * across ordered bands" (curriculum stage, quality decile,
+    * priority tier), strictly sharper than [[kruskalWallis]] when the
+    * alternative is monotone. J = Σ_{i<j} U_ij over group pairs in
+    * GROUP-KEY ORDER (the caller bands into lexically ordered
+    * labels); kept exact as 2J = Σ_{(j,v)} c_j(v)·(2·Below_{<j}(v) +
+    * Ties_{<j}(v)) over a DENSE (group × value-lattice) grid — two
+    * partitioned windows (per-group cumulative below v; per-value
+    * prefix over groups) and one aggregate, no pair join. The
+    * tie-corrected null variance is the standard three-term form,
+    * every ingredient an exact decimal sum; z evaluates one fixed
+    * double tree. Output (1 row): n, n_groups, j2 (= 2J, whole even
+    * with .5 ties), z_jt (halfUp 6; NULL in-band when k < 2, n < 3,
+    * or σ² ≤ 0 — all values tied).
+    *
+    * Scale: one (group, value) aggregate; the grid is
+    * ≤ [[MaxJtGroups]] · [[MaxSpearmanValues]] rows (both guards
+    * in-plan) and its windows partition by group / by value — never
+    * global over corpus rows.
+    */
+  def jonckheereZ(
+      df: DataFrame, groupCol: String, valueCol: String,
+      maxDistinctValues: Long = MaxSpearmanValues,
+      maxGroups: Long = MaxJtGroups): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDistinctValues > 0, "jonckheereZ: maxDistinctValues must be positive")
+    require(maxGroups > 0, "jonckheereZ: maxGroups must be positive")
+    val g = Cleaning.qcol(groupCol).cast("string")
+    val v = Cleaning.qcol(valueCol).cast("long")
+    val dec = "decimal(38,0)"
+    val base = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val wAllV = Window.partitionBy()
+    val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+      .withColumn("__t",
+        when(count(lit(1)).over(wAllV) > maxDistinctValues,
+          raise_error(lit(s"jonckheereZ: more than $maxDistinctValues distinct " +
+            "values — band the column first")).cast("long"))
+          .otherwise(col("__t")))
+    val wAllG = Window.partitionBy()
+    val grps = gv.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .withColumn("__n",
+        when(count(lit(1)).over(wAllG) > maxGroups,
+          raise_error(lit(s"jonckheereZ: more than $maxGroups ordered groups — " +
+            "band the group column first")).cast("long"))
+          .otherwise(col("__n")))
+    // dense grid: every (group, lattice value), zero-filled
+    val grid = vals.select(col("__v"))
+      .crossJoin(broadcast(grps.select(col("__g"))))
+      .join(gv, Seq("__g", "__v"), "left")
+      .withColumn("__c0", coalesce(col("__c"), lit(0L)))
+    val wBelow = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevG = Window.partitionBy(col("__v")).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = grid
+      .withColumn("__below", coalesce(sum(col("__c0")).over(wBelow), lit(0L)))
+      .withColumn("__belowPrev",
+        coalesce(sum(col("__below")).over(wPrevG), lit(0L)))
+      .withColumn("__tiePrev", coalesce(sum(col("__c0")).over(wPrevG), lit(0L)))
+    val j2 = terms.agg(
+      coalesce(sum(col("__c0").cast(dec) *
+        (lit(2L) * col("__belowPrev") + col("__tiePrev"))), lit(0L).cast(dec))
+        .as("__j2"))
+    // null moments from exact integer masses
+    val moments = grps.agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__n").cast(dec) * col("__n")), lit(0L).cast(dec)).as("__sn2"),
+        coalesce(sum(col("__n").cast(dec) * (col("__n") - 1L) * (lit(2L) * col("__n") + 5L)),
+          lit(0L).cast(dec)).as("__a_g"),
+        coalesce(sum(col("__n").cast(dec) * (col("__n") - 1L) * (col("__n") - 2L)),
+          lit(0L).cast(dec)).as("__b_g"),
+        coalesce(sum(col("__n").cast(dec) * (col("__n") - 1L)), lit(0L).cast(dec)).as("__c_g"))
+    val tieMoments = vals.agg(
+        coalesce(sum(col("__t").cast(dec) * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L)),
+          lit(0L).cast(dec)).as("__a_t"),
+        coalesce(sum(col("__t").cast(dec) * (col("__t") - 1L) * (col("__t") - 2L)),
+          lit(0L).cast(dec)).as("__b_t"),
+        coalesce(sum(col("__t").cast(dec) * (col("__t") - 1L)), lit(0L).cast(dec)).as("__c_t"))
+    val one = j2.crossJoin(broadcast(moments)).crossJoin(broadcast(tieMoments))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val nn = d(col("n"))
+    // 2μ = Σ_{i<j} n_i n_j = (N² − Σ n_i²)/2 — exact decimal (the
+    // numerator is always even, so integer div loses nothing)
+    val mu2 = expr("(CAST(n AS DECIMAL(38,0)) * n - __sn2) div 2")
+    val aT = nn * (nn - 1.0) * (lit(2.0) * nn + 5.0) - d(col("__a_g")) - d(col("__a_t"))
+    val bT = d(col("__b_g")) * d(col("__b_t")) /
+      (lit(36.0) * nn * (nn - 1.0) * (nn - 2.0))
+    val cT = d(col("__c_g")) * d(col("__c_t")) / (lit(8.0) * nn * (nn - 1.0))
+    val sigma2 = aT / lit(72.0) + bT + cT
+    val z = (d(col("__j2")) - d(mu2)) / (lit(2.0) * sqrt(sigma2))
+    one.select(col("n"), col("n_groups"),
+      col("__j2").cast("long").as("j2"),
+      when(col("n_groups") >= 2L && col("n") >= 3L && sigma2 > lit(0.0),
+        Rounding.halfUp(z, 6)).as("z_jt"))
+  }
+
   /** Kruskal-Wallis H across k groups — the rank-based k-sample
     * complement of [[mannWhitneyZ]] (did ANY segment's distribution
     * shift, no normality assumed): H = 3/(N(N+1)) · Σ D_g²/n_g −

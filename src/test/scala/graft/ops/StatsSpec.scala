@@ -979,6 +979,37 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.brownForsytheF(even, "g", "v").collect().head === viaZ2)
   }
 
+  test("jonckheereZ: hand case with ties; monotone sign; degenerate NULL in-band") {
+    // a={1,2}, b={2,3}, c={4} ordered a<b<c: 2U_ab = 7 (one tie),
+    // 2U_ac = 4, 2U_bc = 4 -> 2J = 15; 2mu = 2*2 + 2*1 + 2*1 = 8;
+    // A = 300-36-18 = 246, B = 0, C = 4*2 = 8
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 4L))
+      .toDF("g", "v")
+    val r = Stats.jonckheereZ(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 3L, 15L)))
+    val sigma2 = (5.0 * 4.0 * (2.0 * 5.0 + 5.0) - 36.0 - 18.0) / 72.0 +
+      0.0 * 0.0 / (36.0 * 5.0 * 4.0 * 3.0) + 4.0 * 2.0 / (8.0 * 5.0 * 4.0)
+    val z = (15.0 - 8.0) / (2.0 * math.sqrt(sigma2))
+    assert(r.getDouble(3) === math.floor(z * 1e6 + 0.5) / 1e6)
+    // perfectly increasing -> maximal positive; reversed labels flip sign
+    val up = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L), ("c", 6L))
+      .toDF("g", "v")
+    val zu = Stats.jonckheereZ(up, "g", "v").collect().head
+    assert(zu.getLong(2) === 24L && zu.getDouble(3) > 0)
+    val down = up.select(org.apache.spark.sql.functions.col("g"),
+      (org.apache.spark.sql.functions.lit(10L) -
+        org.apache.spark.sql.functions.col("v")).as("v"))
+    val zd = Stats.jonckheereZ(down, "g", "v").collect().head
+    assert(zd.getDouble(3) === -zu.getDouble(3))
+    // one group -> z NULL; all values tied -> sigma = 0 -> z NULL
+    assert(Stats.jonckheereZ(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "v"), "g", "v")
+      .collect().head.isNullAt(3))
+    assert(Stats.jonckheereZ(
+      Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "v"), "g", "v")
+      .collect().head.isNullAt(3))
+  }
+
   test("kruskalWallis: hand case with ties; all-tied NULL in-band") {
     // a={1,2} b={2,3}: doubled midranks 2/5/8, D_a=7 D_b=13,
     // H = 3/(4*5)*(49/2+169/2) - 15 = 1.35; tie 2^3-2=6,
