@@ -171,9 +171,11 @@ private[graft] object EntryShared {
       GraphTierCuts).select(col("node"), col("tier"))
     val kept2 = kept1.withColumn("node", col("doc_id") % 64)
       .join(broadcast(tiers), Seq("node")).filter(col("tier") <= 2)
-    val labeled = docs0.withColumn("__lab",
-      coalesce(col("lang"), lit("")) === "en")
-    val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+    // r14 optimization: the e2e's classifier floor consumes the SAME
+    // 1024-bucket model the other composition keys load from the
+    // fit-once artifact (bit-exact per the x_text_hashclf_saved gate) —
+    // the in-query refit was a redundant corpus pass.
+    val model = fittedClassifier(s, d, buckets = 1024)
     val good = TextAnalysis.hashedClassifierScore(docs0, "doc_id", "text", model, 1024)
       .filter(col("score_micro") >= 0L).select(col("doc_id"))
     kept2.join(good, Seq("doc_id"))

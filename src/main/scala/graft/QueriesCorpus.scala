@@ -33,7 +33,19 @@ private[graft] object QueriesCorpus {
     val docs = T(s, d, "documents")
     val wave1 = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
+    // r14 optimization (guide §5 caching/lineage): the audit frame fans
+    // out into ~10 aggregate branches (six counts, two drift rows, two
+    // mean-chars rows), and each branch used to re-run the exact-dedup
+    // AND the banded near-dup probe from scratch — the probe executed
+    // ~5x per run. The probe outputs are materialized ONCE here
+    // (inside the timed query — localCheckpoint is eager) and every
+    // branch reads the checkpointed frame; values are bit-identical
+    // (same plans, just computed once), so the oracle is untouched.
+    // `accepted` is projected to the four columns the downstream
+    // branches consume (drift cols, n_chars, the count) so the
+    // materialized frame never holds document text.
     val novel = Dedup.dedupAgainstIndex(batch, wave1, "doc_id", "text")
+      .localCheckpoint()
     val pairs = Dedup.nearDupMinhashAgainstIndex(
       novel,
       Dedup.minhashBandIndex(wave1, "doc_id", "text", k = 3, numHashes = 64, bands = 64),
@@ -41,8 +53,12 @@ private[graft] object QueriesCorpus {
       "doc_id", "text", k = 3, numHashes = 64, bands = 64, threshold = 0.3,
       maxBucketSize = maxBucketSize)
     val dropped = pairs.select(col("id_a").as("doc_id")).distinct()
+      .localCheckpoint()
+    val keepCols = Seq("doc_id", "lang", "source", "n_chars").map(col)
     val accepted = novel.join(dropped, Seq("doc_id"), "left_anti")
-    val corpus2 = wave1.unionByName(accepted)
+      .select(keepCols: _*)
+      .localCheckpoint()
+    val corpus2 = wave1.select(keepCols: _*).unionByName(accepted)
     def cnt(df: DataFrame, name: String) =
       df.agg(count(lit(1)).as("value"))
         .select(lit(name).as("metric"), lit("-").as("col_name"), col("value"))
@@ -51,7 +67,10 @@ private[graft] object QueriesCorpus {
       cnt(novel, "exact_novel"), cnt(dropped, "neardup_dropped"),
       cnt(accepted, "accepted_new"), cnt(corpus2, "corpus_after"))
       .reduce(_ unionByName _)
+    // the drift frame feeds TWO projection branches — materialize the
+    // |cols|-row diff once instead of profiling both corpora twice
     val drift = Stats.profileDiff(wave1, corpus2, Seq("lang", "source"))
+      .localCheckpoint()
     val driftRows = drift
       .select(lit("null_delta_micro").as("metric"), col("col_name"),
         floor(col("null_rate_delta") * lit(1000000.0) + lit(0.5))

@@ -108,11 +108,20 @@ private[graft] object QueriesDedup {
     // row touching train survives
     "x_dedup_split_scrub" -> ((s, d) => {
       val docs = T(s, d, "documents")
+      // r14 optimization (guide §5): the pair list feeds BOTH the scrub
+      // and the re-audit, and the assignment feeds three join sides —
+      // without a barrier the banded n-gram pair generation (the
+      // expensive stage) ran twice per query. Materialize both once;
+      // values are bit-identical, the oracle is untouched.
       val pairs = Dedup.nearDupNgram(docs, "doc_id", "text",
         k = 3, threshold = 0.2, maxBlockSize = NgramBlockCap)
+        .localCheckpoint()
       val asg = Sampling.splitAssign(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")) // the audit's two columns — never materialize text
+        .localCheckpoint()
       val clean = Dedup.scrubLeakedDocs(pairs, asg, "doc_id", "split")
+        .localCheckpoint()
       Dedup.splitLeakageAudit(pairs, clean, "doc_id", "split")
     }),
 

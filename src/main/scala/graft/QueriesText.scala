@@ -202,7 +202,14 @@ private[graft] object QueriesText {
       val docs = T(s, d, "documents")
       val labeled = docs.withColumn("__lab",
         coalesce(col("lang"), lit("")) === "en")
-      val model = TextAnalysis.hashedClassifierFit(labeled, "text", "__lab", buckets = 1024)
+      // r14 optimization: score with the SAME persisted 1024-bucket
+      // model the composition keys load (EntryShared.fittedClassifier —
+      // the bestrep/budget/clffilter precedent): the calibration audit
+      // is a model CONSUMER, and the save→load roundtrip is bit-exact
+      // (gated by x_text_hashclf_saved), so the bins are unchanged
+      // while the redundant in-query refit disappears. The direct-fit
+      // path stays priced by x_text_hashclf.
+      val model = fittedClassifier(s, d, buckets = 1024)
       TextAnalysis.classifierCalibration(labeled, "doc_id", "text", "__lab",
         model, buckets = 1024)
     }),

@@ -140,15 +140,25 @@ object Dedup {
       // flood past the cap would otherwise expand to O(cap²)+ intra
       // pairs — the uncollapsed cap dropped the same flood outright
       // because every one of its band buckets was oversized).
+      // r14 optimization (guide §5): the collapse groupBy feeds seven
+      // branches (rep signatures, both verify sides, both member
+      // expansions, the intra emitter) and each used to re-run the
+      // text→shingle pass plus the array-keyed shuffle. One barrier;
+      // identical rows; the oracle is untouched.
       val groups0 = sets.groupBy(col("shingles"))
         .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
-      val groups = if (maxBucketSize <= 0) groups0
-        else groups0.filter(size(col("__mem__")) <= maxBucketSize)
+      val groups = (if (maxBucketSize <= 0) groups0
+        else groups0.filter(size(col("__mem__")) <= maxBucketSize))
+        .localCheckpoint()
       val repSigs = groups.select(col("__rep__"),
         graft.functions.Native.minhashFromHashes(
           col("shingles"), fam.coeffs.map(_._1), fam.coeffs.map(_._2)).as("sig"))
+      // both candidate sides read the bucket frame; the cap itself reads
+      // it twice more — materialize the capped (band, bucket, rep) rows
+      // (three longs per row) so the per-rep signature pass runs once
       val buckets = capBuckets(bandBuckets(repSigs, "__rep__", bands, rowsPerBand),
         Seq("band", "bucket"), maxBucketSize)
+        .localCheckpoint()
       val a = buckets.select(col("band"), col("bucket"), col("__rep__").as("id_a"))
       val b = buckets.select(col("band"), col("bucket"), col("__rep__").as("id_b"))
       val candidates = a.join(b, Seq("band", "bucket"))
@@ -185,7 +195,12 @@ object Dedup {
         .select(col("__x__").as("id_a"), col("__y__").as("id_b"), lit(1.0).as("jaccard"))
       inter.unionByName(intra)
     } else {
+      // r14 optimization: the signature frame feeds the cap (twice) and
+      // both candidate sides — materialize the per-doc signatures once
+      // (numHashes longs per doc, no text) instead of re-running the
+      // tokenize+shingle+minhash pass per branch
       val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
+        .localCheckpoint()
       val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
 
       // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
@@ -203,10 +218,13 @@ object Dedup {
 
       // verify with sorted shingle-HASH sets: ~10× smaller shuffle than
       // string shingle arrays, and the pairwise Jaccard is a native long
-      // merge-walk (hash collisions at 64 bits are negligible)
+      // merge-walk (hash collisions at 64 bits are negligible).
+      // Both verify sides read the set table — materialize it once
+      // (r14; hashes only, no text) instead of re-shingling per side.
+      val setsC = sets.localCheckpoint()
       candidates
-        .join(sets.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
-        .join(sets.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .join(setsC.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(setsC.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.Native.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
@@ -480,7 +498,12 @@ object Dedup {
       collapseIdentical: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val id = graft.ops.Cleaning.qcol(idCol)
+    // r14 optimization (guide §5): the set table feeds the inverted
+    // index, the df cap, both verify sides and the member expansions —
+    // materialize the proxy once (hashes, no text) instead of
+    // re-shingling the corpus per branch
     val sets = hashedShingleTable(df, idCol, textCol, k)
+      .localCheckpoint()
 
     def epilogue(pairs: DataFrame): DataFrame = pairs
       .withColumn("cont_a", col("n_shared").cast("double") / col("n_a"))
@@ -488,9 +511,12 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
 
     if (collapseIdentical) {
+      // the collapse groupBy feeds six branches — one array-keyed
+      // shuffle, not six (r14; identical rows, oracle untouched)
       val groups = sets.groupBy(col("shingles"))
         .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"),
           count(lit(1)).as("__gsz__"))
+        .localCheckpoint()
       val repInv0 = groups.select(col("__rep__"), col("__gsz__"),
         explode(col("shingles")).as("__sh"))
       val repInv =
@@ -595,8 +621,28 @@ object Dedup {
     // degenerate bucket (empty docs, boilerplate) makes the candidate
     // join quadratic. The full-recall gate form (maxBucketSize = 0)
     // skips both the guard and its shuffle.
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val fam = Shingling.HashFamily(numHashes, seed)
+    val id = graft.ops.Cleaning.qcol(idCol)
+    // r14 optimization (guide §8: move heavy bytes once, decide on the
+    // proxy): the band keys and the verify sets both derive from the
+    // batch's hashed shingle sets, and the old shape ran the
+    // tokenize+shingle pass over the batch TEXT twice (ShingleMinhash
+    // for the bands, hashedShingleTable for the verify). The shingle
+    // table is computed ONCE and materialized (hashes only, no text);
+    // signatures derive from the same sets via MinhashFromHashes —
+    // a pure function of the set, bit-identical to the from-text
+    // signature (the collapse path's documented identity) — and the
+    // signature frame is materialized too so the cap's sizing pass and
+    // the candidate join never re-run the per-doc hash loop.
+    val setsB0 = hashedShingleTable(batch, idCol, textCol, k)
+      .localCheckpoint()
+    val bSigs = setsB0.select(id,
+      graft.functions.Native.minhashFromHashes(
+        col("shingles"), fam.coeffs.map(_._1), fam.coeffs.map(_._2)).as("sig"))
+      .localCheckpoint()
     val bBuckets = capBuckets(
-      minhashBandIndex(batch, idCol, textCol, k, numHashes, bands, seed),
+      bandBuckets(bSigs, idCol, bands, numHashes / bands),
       Seq("band", "bucket"), maxBucketSize)
     val iBuckets = capBuckets(indexBuckets, Seq("band", "bucket"), maxBucketSize)
     val candidates = bBuckets
@@ -605,7 +651,7 @@ object Dedup {
         .select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_b")),
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
-    val setsB = hashedShingleTable(batch, idCol, textCol, k)
+    val setsB = setsB0
       .select(graft.ops.Cleaning.qcol(idCol).as("id_a"), col("shingles").as("sh_a"))
     val setsI = indexShingles
       .select(graft.ops.Cleaning.qcol(idCol).as("id_b"), col("shingles").as("sh_b"))
@@ -705,13 +751,23 @@ object Dedup {
       // join but the oracle's a.t0=b.t0 never matches NULL — the ''
       // sentinel keeps both engines blocking token-less rows together)
       coalesce(get(toks, lit(0)), lit("")).as("t0")): _*)
+    // r14 optimization (guide §5/§8): the (id, block, shingles) proxy
+    // frame is consumed by the block cap (twice: sizing + anti join)
+    // and every downstream branch; without a barrier each branch
+    // re-ran the tokenize+shingle pass over the TEXT. Materialize the
+    // proxy once — it holds hashes, never text — and let the branches
+    // re-read it. Same rows, same pairs; the oracle is untouched.
     val sets0 = df.select(id, block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
+      .localCheckpoint()
     val sets = capBuckets(sets0, Seq("block"), maxBlockSize)
 
     if (collapseIdentical) {
+      // the collapse groupBy feeds five branches (both self-join sides,
+      // both member expansions, the intra emitter) — one shuffle, not five
       val groups = sets.groupBy(col("block"), col("shingles"))
         .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
+        .localCheckpoint()
       val a = groups.select(col("block"), col("__rep__").as("id_a"), col("shingles").as("sh_a"))
       val b = groups.select(col("block"), col("__rep__").as("id_b"), col("shingles").as("sh_b"))
       val verified = a.join(b, "block")
