@@ -616,22 +616,35 @@ object TextAnalysis {
     require(k > 0, s"k must be > 0, got $k")
     require(queryIdCol != idCol,
       s"queryIdCol and idCol are both '$idCol' — the output would carry two identically-named columns")
-    import org.apache.spark.sql.expressions.Window
     val id = graft.ops.Cleaning.qcol(idCol)
     val qid = graft.ops.Cleaning.qcol(queryIdCol)
-    val toks = df.select(id, explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
-    val tf = toks.groupBy(id, col("__tok")).agg(count(lit(1)).as("__tf"))
-    val tfl = tf.withColumn("__dl", sum(col("__tf")).over(Window.partitionBy(id)))
     val qt = queries
       .select(qid.as("__qid"), explode(tokens(graft.ops.Cleaning.qcol(queryTextCol))).as("__tok"))
       .distinct()
-    val dfreq = tf.join(broadcast(qt.select(col("__tok")).distinct()), "__tok")
-      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // r14 optimization (guide §2.3: filter before the exchange). Only
+    // QUERY-vocabulary tokens ever contribute — tf, df and the final
+    // contributions all condition on a query-token match — so the
+    // token stream is semi-joined against the broadcast vocabulary
+    // BEFORE the (doc, token) aggregate: the tf shuffle carries the
+    // matching tokens only, not the whole corpus token stream. The doc
+    // length (formerly a corpus-wide window over the full tf frame)
+    // is the plain per-doc token count — identical value, computed in
+    // the same narrow pass as the corpus stats and joined onto the
+    // already-tiny candidate frame. Same (query, doc, score) rows out;
+    // the oracle is untouched.
+    val toks = df.select(id, explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
+      .join(broadcast(qt.select(col("__tok")).distinct()), Seq("__tok"), "left_semi")
+    val tf = toks.groupBy(id, col("__tok")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // reused: df counts + the scoring join
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val stats = df.agg(
       count(lit(1)).as("__nd"),
       sum(tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")).as("__tt"))
-    val byDoc = tfl.join(broadcast(qt), "__tok")
+    val dl = df.select(id,
+      tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("__dl"))
+    val byDoc = tf.join(broadcast(qt), "__tok")
       .join(broadcast(dfreq), "__tok")
+      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__contrib",
         bm25Contrib(col("__tf"), col("__df"), col("__dl"), col("__nd"), col("__tt"), k1, b)

@@ -29,6 +29,10 @@ object QueryProbe {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in conf overrides for A/B probes: --conf=key=value
+    args.filter(_.startsWith("--conf=")).foreach { s =>
+      val kv = s.drop(7).split("=", 2); spark.conf.set(kv(0), kv(1))
+    }
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm parquet footers
     names.foreach { name =>
