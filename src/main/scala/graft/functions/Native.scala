@@ -193,6 +193,46 @@ object Native {
     override def prettyName: String = "minhash_from_hashes"
   }
 
+  /** Signed left-fold of a numeric vector: ±x_0 ± x_1 … ± x_{d-1},
+    * associated exactly as written — the JL-projection kernel behind
+    * [[graft.scale.Embeddings.randomProject]]. acc starts at ±x_0 and
+    * adds/subtracts each following element in index order, so the
+    * result is BIT-IDENTICAL to the element_at fold it replaces
+    * (IEEE: acc − x ≡ acc + (−x), and the association is unchanged)
+    * while evaluating as one tight JIT-able loop instead of a d-node
+    * expression tree the interpreter walks per row. Folds
+    * min(|v|, |signs|) elements; callers gate on size(v) = d.
+    */
+  case class SignedFoldSum(child: Expression, signs: Array[Int])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+
+    @transient private lazy val getD: (ArrayData, Int) => Double =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => (a, i) => a.getFloat(i).toDouble
+        case DoubleType => (a, i) => a.getDouble(i)
+        case t => throw new IllegalArgumentException(s"signed_fold_sum: bad element type $t")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = java.lang.Math.min(v.numElements(), signs.length)
+      if (n == 0) null
+      else {
+        var acc = if (signs(0) > 0) getD(v, 0) else -getD(v, 0)
+        var i = 1
+        while (i < n) {
+          val x = getD(v, i)
+          acc = if (signs(i) > 0) acc + x else acc - x
+          i += 1
+        }
+        acc
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "signed_fold_sum"
+  }
+
   /** Sorted distinct xxhash64 values of the word k-shingles of a token
     * array (same shingling rule as ShingleMinHash). Representing a
     * shingle SET as a sorted long array makes the downstream pairwise
@@ -845,6 +885,9 @@ object Native {
 
   def minhashFromHashes(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
     GraftBridge.column(MinhashFromHashes(ex(hashes), as.toArray, bs.toArray))
+
+  def signedFoldSum(vec: Column, signs: Array[Int]): Column =
+    GraftBridge.column(SignedFoldSum(ex(vec), signs))
 
   def windowedPairs(tokens: Column, window: Int): Column =
     GraftBridge.column(WindowedPairs(ex(tokens), window))

@@ -917,10 +917,15 @@ object Dedup {
           col("max_len"))
     }
 
-    if (!collapseIdentical) verifiedPairs(keyed)
+    // r14 optimization (guide §5): both self-join sides (and, in the
+    // collapse path, both member expansions and the intra emitter)
+    // re-ran the cap's counting pass and the collapse groupBy per
+    // branch — materialize the reused frame once; identical pairs out.
+    if (!collapseIdentical) verifiedPairs(keyed.localCheckpoint())
     else {
       val groups = keyed.groupBy(col("block"), col("__t"))
         .agg(min(col("__id")).as("__rep__"), collect_list(col("__id")).as("__mem__"))
+        .localCheckpoint()
       val reps = groups.select(col("block"), col("__rep__").as("__id"), col("__t"))
       val repPairs = verifiedPairs(reps)
       val mem = groups.select(col("__rep__"), col("__mem__"))
@@ -1032,6 +1037,9 @@ object Dedup {
         TextAnalysis.portableFingerprint(graft.ops.Cleaning.qcol(textCol)).as("__fp"))
       .filter(col("__src").isNotNull && col("__fp").isNotNull)
       .distinct()
+      // r14: both self-join sides read the distinct (source, fp) frame —
+      // materialize it once instead of fingerprinting the corpus twice
+      .localCheckpoint()
     fps.select(col("__src").as("source_a"), col("__fp"))
       .join(fps.select(col("__src").as("source_b"), col("__fp")), Seq("__fp"))
       .filter(col("source_a") < col("source_b"))
@@ -1417,7 +1425,11 @@ object Dedup {
     val id = graft.ops.Cleaning.qcol(idCol)
     def shingles(df: DataFrame) = graft.functions.Native.hashedShingleSet(
       TextAnalysis.tokens(graft.ops.Cleaning.qcol(textCol)), k)
+    // r14: the benchmark shingle set is read three times (the sizing
+    // count, the Bloom build, the exact join's broadcast) — materialize
+    // the eval-sized distinct frame once
     val benchSh = benchmark.select(explode(shingles(benchmark)).as("__sh")).distinct()
+      .localCheckpoint()
     val bf = benchSh.stat.bloomFilter("__sh", math.max(benchSh.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -1428,6 +1440,10 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expr(h)))
     val withSets = corpus.select(id, shingles(corpus).as("__shs"))
       .filter(col("__shs").isNotNull) // null text never shingles (join parity)
+      // the scaladoc's "persist the shingled frame between the two
+      // passes" (r14): candidate and clean branches each re-shingled
+      // the corpus AND re-scanned the Bloom filter without it
+      .localCheckpoint()
     val isCandidate = exists(col("__shs"), h => mightContain(h))
     val candStats = withSets.filter(isCandidate)
       .select(id, explode(col("__shs")).as("__sh"))

@@ -110,14 +110,12 @@ object Embeddings {
     val id = graft.ops.Cleaning.qcol(idCol)
     val v = graft.ops.Cleaning.qcol(vecCol)
     val inv = 1.0 / math.sqrt(outDim.toDouble)
+    // r14 optimization: the ± chain is the native SignedFoldSum kernel —
+    // bit-identical association (its scaladoc carries the IEEE argument)
+    // evaluated as one tight loop instead of a dim-node expression tree
+    // per component, which the interpreter walked per row
     val comps: Seq[Column] = signs.toSeq.map { row =>
-      val x0 = element_at(v, 1).cast("double")
-      val first: Column = if (row(0) > 0) x0 else -x0
-      val s = (1 until dim).foldLeft(first) { (acc, i) =>
-        val xi = element_at(v, i + 1).cast("double")
-        if (row(i) > 0) acc + xi else acc - xi
-      }
-      s * lit(inv)
+      graft.functions.Native.signedFoldSum(v, row) * lit(inv)
     }
     df.filter(v.isNotNull && size(v) === dim)
       .select(id, posexplode(array(comps: _*)).as(Seq("pos", "val")))
