@@ -566,11 +566,18 @@ object TextAnalysis {
     require(k > 0, s"k must be > 0, got $k")
     val id = graft.ops.Cleaning.qcol(idCol)
     val toks = tokens(graft.ops.Cleaning.qcol(textCol))
-    val perDoc = df.select(
+    // r14 optimization: tokenize ONCE per row. The single-projection
+    // form evaluated tokens(text) per term filter plus once for the
+    // doc length (1 + |terms| tokenizations per row); the two-step
+    // projection pins one evaluation — CollapseProject keeps the
+    // boundary because the token array is a non-cheap expression
+    // referenced more than once. Same values (size(toks) IS
+    // tokenCount), so plans downstream and the oracle are untouched.
+    val perDoc = df.select(id, toks.as("__toks__")).select(
       id +:
-        tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("__dl") +:
+        size(col("__toks__")).cast("long").as("__dl") +:
         terms.zipWithIndex.map { case (term, i) =>
-          size(filter(toks, x => x === term)).cast("long").as(s"__tf_$i")
+          size(filter(col("__toks__"), x => x === term)).cast("long").as(s"__tf_$i")
         }: _*)
     val statAggs = count(lit(1)).as("__nd") +: sum(col("__dl")).as("__tt") +:
       terms.indices.map(i =>
@@ -858,11 +865,27 @@ object TextAnalysis {
   def corpusReport(df: DataFrame, textCol: String): DataFrame = {
     val t = graft.ops.Cleaning.qcol(textCol)
     val langs = StopwordLists.map(_._1) :+ "und"
-    val rows = df.select(
-      tokenCount(t).cast("long").as("__tok"),
-      langId(t).as("__lang"),
-      coalesce(qualityKeep(t), lit(false)).cast("long").as("__keep"),
-      portableFingerprint(t).as("__fp"))
+    // r14 optimization: tokenize ONCE per row (the bm25TopK move) —
+    // the token count, the lang-ID vote and the quality predicate all
+    // consumed tokens(text) independently, three tokenizations per
+    // row. The two-step projection pins one evaluation; every derived
+    // value is the identical expression over the same token array
+    // (size(toks) IS tokenCount), so the report and its oracle are
+    // untouched.
+    val chars = length(col("__t"))
+    val nonPunct = length(regexp_replace(col("__t"), "[^A-Za-z0-9\\s]", ""))
+    val nToks = size(col("__toks"))
+    val keepFromToks = nToks >= 5 && nToks <= 100000 &&
+      ((chars - nonPunct) / when(chars > 0, chars)) < lit(0.3)
+    val rows = df.select(t.as("__t"), tokens(t).as("__toks"))
+      .select(
+        nToks.cast("long").as("__tok"),
+        coalesce(
+          graft.functions.Native.langPredict(col("__toks"),
+            StopwordLists.map(_._1), StopwordLists.map(_._2)),
+          lit("und")).as("__lang"),
+        coalesce(keepFromToks, lit(false)).cast("long").as("__keep"),
+        portableFingerprint(col("__t")).as("__fp"))
     val aggCols =
       count(lit(1)).as("n_docs") +:
         sum(when(col("__tok") === 0, 1L).otherwise(0L)).as("n_empty_docs") +:
