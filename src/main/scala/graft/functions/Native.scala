@@ -206,6 +206,9 @@ object Native {
   case class SignedFoldSum(child: Expression, signs: Array[Int])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    // null on empty arrays and on any null element (below) — regardless
+    // of the child's nullability
+    override def nullable: Boolean = true
 
     @transient private lazy val getD: (ArrayData, Int) => Double =
       child.dataType.asInstanceOf[ArrayType].elementType match {
@@ -219,8 +222,13 @@ object Native {
       val n = java.lang.Math.min(v.numElements(), signs.length)
       if (n == 0) null
       else {
+        // a null ELEMENT nulls the whole fold — the element_at chain this
+        // kernel replaced null-propagated the component the same way
+        // (round-14 advice; vectors with containsNull are rare but legal)
+        var i = 0
+        while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
         var acc = if (signs(0) > 0) getD(v, 0) else -getD(v, 0)
-        var i = 1
+        i = 1
         while (i < n) {
           val x = getD(v, i)
           acc = if (signs(i) > 0) acc + x else acc - x

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 import org.apache.spark.sql.expressions.Window
 
 /** A4 — multi-dimensional tabulation (`multi_dim_tabulation`,
@@ -31,7 +32,7 @@ object MultiDim {
     // localCheckpoint (ContextCleaner-released) instead of persist()
     // so repeated calls don't pin frames in the cache manager
     val grp =
-      if (percentBy == "total") grp0.localCheckpoint()
+      if (percentBy == "total") grp0.reuseBarrier()
       else grp0
 
     if (percentBy == "total") {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 
 /** Summary statistics (describe-style) for a numeric column — a natural
   * extension of the reference's KPI surface (beyond-reference, like the
@@ -2155,7 +2156,7 @@ object Stats {
       coalesce(sum(col("x")), lit(0L)).as("__sx")) ++ sums
     val agg = base.groupBy(col("grp"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .localCheckpoint() // |groups| rows, read by totals AND the melt
+      .reuseBarrier() // |groups| rows, read by totals AND the melt
     val reps = (0 until replicas).map(r =>
       struct(lit(r.toLong).as("r"), col(s"__s_$r").as("s"), col(s"__n_$r").as("nr")))
     val live = agg
@@ -2773,7 +2774,7 @@ object Stats {
         graft.functions.PortableHash.kmvHash31(key.cast("string")).as("__h"))
       .groupBy(col("s"))
       .agg(graft.functions.Aggregates.kmvSketch(col("__h"), k).as("sk"))
-      .localCheckpoint() // |slices| rows, read by both join sides
+      .reuseBarrier() // |slices| rows, read by both join sides
     val pairs = sk.select(col("s").as("slice_a"), col("sk").as("sa"))
       .join(sk.select(col("s").as("slice_b"), col("sk").as("sb")),
         col("slice_a") < col("slice_b"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 import org.apache.spark.sql.expressions.Window
 
 /** Frequency / tabulation operators (SURVEY.md §2.3: A1, A2, A5, A6, A10).
@@ -38,7 +39,7 @@ object Tabulation {
     // they're referenced fails the action — re-run the summary query).
     // Corpus-scale frames must use persist + an explicit release
     // (Transform.runReleasable), never this.
-    val counts = counts0.localCheckpoint()
+    val counts = counts0.reuseBarrier()
     val total = counts.agg(sum(col(countCol)).as("__total__"))
     counts
       .crossJoin(broadcast(total))

@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §7.4):
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
@@ -149,7 +150,7 @@ object Dedup {
         .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
       val groups = (if (maxBucketSize <= 0) groups0
         else groups0.filter(size(col("__mem__")) <= maxBucketSize))
-        .localCheckpoint()
+        .reuseBarrier()
       val repSigs = groups.select(col("__rep__"),
         graft.functions.Native.minhashFromHashes(
           col("shingles"), fam.coeffs.map(_._1), fam.coeffs.map(_._2)).as("sig"))
@@ -158,7 +159,7 @@ object Dedup {
       // (three longs per row) so the per-rep signature pass runs once
       val buckets = capBuckets(bandBuckets(repSigs, "__rep__", bands, rowsPerBand),
         Seq("band", "bucket"), maxBucketSize)
-        .localCheckpoint()
+        .reuseBarrier()
       val a = buckets.select(col("band"), col("bucket"), col("__rep__").as("id_a"))
       val b = buckets.select(col("band"), col("bucket"), col("__rep__").as("id_b"))
       val candidates = a.join(b, Seq("band", "bucket"))
@@ -200,7 +201,7 @@ object Dedup {
       // (numHashes longs per doc, no text) instead of re-running the
       // tokenize+shingle+minhash pass per branch
       val sigs = minhashSignatures(df, idCol, textCol, k, numHashes, seed)
-        .localCheckpoint()
+        .reuseBarrier()
       val buckets0 = bandBuckets(sigs, idCol, bands, rowsPerBand)
 
       // Same LSH skew guard as nearDupSimhash: a band bucket shared by a
@@ -221,7 +222,7 @@ object Dedup {
       // merge-walk (hash collisions at 64 bits are negligible).
       // Both verify sides read the set table — materialize it once
       // (r14; hashes only, no text) instead of re-shingling per side.
-      val setsC = sets.localCheckpoint()
+      val setsC = sets.reuseBarrier()
       candidates
         .join(setsC.select(id.as("id_a"), col("shingles").as("sh_a")), "id_a")
         .join(setsC.select(id.as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -326,7 +327,7 @@ object Dedup {
       .select(least(col("__sa"), col("__sb")).as("split_a"),
         greatest(col("__sa"), col("__sb")).as("split_b"),
         col("id_a"), col("id_b"))
-      .localCheckpoint() // reused: the pair count AND the distinct-doc count
+      .reuseBarrier() // reused: the pair count AND the distinct-doc count
     val nPairs = cells.groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
     val nDocs = cells
@@ -425,7 +426,7 @@ object Dedup {
       licStr.as("license"), rank.as("license_rank"))
     val joined = assignment.select(col("id"), col("cluster"))
       .join(lic, Seq("id"))
-      .localCheckpoint() // reused: the per-cluster max AND the final join
+      .reuseBarrier() // reused: the per-cluster max AND the final join
     val eff = joined.groupBy(col("cluster"))
       .agg(max(struct(col("license_rank"), col("license"))).as("__e"))
       .select(col("cluster"), col("__e.license_rank").as("effective_rank"),
@@ -503,7 +504,7 @@ object Dedup {
     // materialize the proxy once (hashes, no text) instead of
     // re-shingling the corpus per branch
     val sets = hashedShingleTable(df, idCol, textCol, k)
-      .localCheckpoint()
+      .reuseBarrier()
 
     def epilogue(pairs: DataFrame): DataFrame = pairs
       .withColumn("cont_a", col("n_shared").cast("double") / col("n_a"))
@@ -516,7 +517,7 @@ object Dedup {
       val groups = sets.groupBy(col("shingles"))
         .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"),
           count(lit(1)).as("__gsz__"))
-        .localCheckpoint()
+        .reuseBarrier()
       val repInv0 = groups.select(col("__rep__"), col("__gsz__"),
         explode(col("shingles")).as("__sh"))
       val repInv =
@@ -636,15 +637,24 @@ object Dedup {
     // signature frame is materialized too so the cap's sizing pass and
     // the candidate join never re-run the per-doc hash loop.
     val setsB0 = hashedShingleTable(batch, idCol, textCol, k)
-      .localCheckpoint()
+      .reuseBarrier()
     val bSigs = setsB0.select(id,
       graft.functions.Native.minhashFromHashes(
         col("shingles"), fam.coeffs.map(_._1), fam.coeffs.map(_._2)).as("sig"))
-      .localCheckpoint()
+      .reuseBarrier()
     val bBuckets = capBuckets(
       bandBuckets(bSigs, idCol, bands, numHashes / bands),
       Seq("band", "bucket"), maxBucketSize)
-    val iBuckets = capBuckets(indexBuckets, Seq("band", "bucket"), maxBucketSize)
+    // r15 (guide §2.4): under the cap the INDEX bucket frame is read
+    // three times (the sizing groupBy, the anti-join left side, the
+    // candidate join) — when the caller builds it inline from text
+    // (wave2/incr compositions) that re-ran the accepted corpus'
+    // tokenize+shingle+minhash pass 3×. Materialize the (band, bucket,
+    // id) rows once — three longs per row, never text; uncapped the
+    // frame is consumed once, so the barrier is skipped.
+    val iBuckets = capBuckets(
+      if (maxBucketSize > 0) Reuse.barrier(indexBuckets) else indexBuckets,
+      Seq("band", "bucket"), maxBucketSize)
     val candidates = bBuckets
       .select(col("band"), col("bucket"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
       .join(iBuckets
@@ -759,7 +769,7 @@ object Dedup {
     // re-read it. Same rows, same pairs; the oracle is untouched.
     val sets0 = df.select(id, block.as("block"),
       graft.functions.Native.hashedShingleSet(toks, k).as("shingles"))
-      .localCheckpoint()
+      .reuseBarrier()
     val sets = capBuckets(sets0, Seq("block"), maxBlockSize)
 
     if (collapseIdentical) {
@@ -767,7 +777,7 @@ object Dedup {
       // both member expansions, the intra emitter) — one shuffle, not five
       val groups = sets.groupBy(col("block"), col("shingles"))
         .agg(min(id).as("__rep__"), collect_list(id).as("__mem__"))
-        .localCheckpoint()
+        .reuseBarrier()
       val a = groups.select(col("block"), col("__rep__").as("id_a"), col("shingles").as("sh_a"))
       val b = groups.select(col("block"), col("__rep__").as("id_b"), col("shingles").as("sh_b"))
       val verified = a.join(b, "block")
@@ -921,11 +931,11 @@ object Dedup {
     // collapse path, both member expansions and the intra emitter)
     // re-ran the cap's counting pass and the collapse groupBy per
     // branch — materialize the reused frame once; identical pairs out.
-    if (!collapseIdentical) verifiedPairs(keyed.localCheckpoint())
+    if (!collapseIdentical) verifiedPairs(keyed.reuseBarrier())
     else {
       val groups = keyed.groupBy(col("block"), col("__t"))
         .agg(min(col("__id")).as("__rep__"), collect_list(col("__id")).as("__mem__"))
-        .localCheckpoint()
+        .reuseBarrier()
       val reps = groups.select(col("block"), col("__rep__").as("__id"), col("__t"))
       val repPairs = verifiedPairs(reps)
       val mem = groups.select(col("__rep__"), col("__mem__"))
@@ -1039,7 +1049,7 @@ object Dedup {
       .distinct()
       // r14: both self-join sides read the distinct (source, fp) frame —
       // materialize it once instead of fingerprinting the corpus twice
-      .localCheckpoint()
+      .reuseBarrier()
     fps.select(col("__src").as("source_a"), col("__fp"))
       .join(fps.select(col("__src").as("source_b"), col("__fp")), Seq("__fp"))
       .filter(col("source_a") < col("source_b"))
@@ -1206,7 +1216,7 @@ object Dedup {
     // blocks carry no lineage, so losing an executor that holds one
     // fails the downstream action (re-run the query) — accepted over a
     // persist the caller can never release.
-    val snap = labels.localCheckpoint()
+    val snap = labels.reuseBarrier()
     if (labelsCached != null) labelsCached.unpersist()
     edges.unpersist()
     (snap, false)
@@ -1429,7 +1439,7 @@ object Dedup {
     // count, the Bloom build, the exact join's broadcast) — materialize
     // the eval-sized distinct frame once
     val benchSh = benchmark.select(explode(shingles(benchmark)).as("__sh")).distinct()
-      .localCheckpoint()
+      .reuseBarrier()
     val bf = benchSh.stat.bloomFilter("__sh", math.max(benchSh.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -1443,7 +1453,7 @@ object Dedup {
       // the scaladoc's "persist the shingled frame between the two
       // passes" (r14): candidate and clean branches each re-shingled
       // the corpus AND re-scanned the Bloom filter without it
-      .localCheckpoint()
+      .reuseBarrier()
     val isCandidate = exists(col("__shs"), h => mightContain(h))
     val candStats = withSets.filter(isCandidate)
       .select(id, explode(col("__shs")).as("__sh"))
@@ -1882,10 +1892,13 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 12, tables: Int = 4, threshold: Double = 0.95,
       seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val keyed = Similarity.withLshKeys(
+    // r15: both self-join sides read the keyed frame — materialize it
+    // once (three narrow columns) so the tables×bits hyperplane pass
+    // over the vectors runs once, not twice (guide §2.4)
+    val keyed = Reuse.barrier(Similarity.withLshKeys(
         df.select(graft.ops.Cleaning.qcol(idCol), graft.ops.Cleaning.qcol(vecCol)),
         vecCol, bits, tables, seed, dim)
-      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol))
+      .select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol)))
     val a = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_a"))
     val b = keyed.select(col("table"), col("lsh_key"), graft.ops.Cleaning.qcol(idCol).as("id_b"))
     val pairs = a.join(b, Seq("table", "lsh_key"))

@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 
 /** Link-graph quality ranking — the standard crawl-quality signal a
   * pretraining pipeline feeds into its mixture/quality-floor operators
@@ -44,6 +45,50 @@ object Graph {
     * shallow while checkpointing rarely enough that the materialized
     * frame (|nodes| rows of two longs) stays a minor cost. */
   val CheckpointEvery = 4
+
+  /** Hybrid cutover for the iterative operators (the [[Dedup.clusters]]
+    * `maxDriverPairs` precedent, r15): when the PREPARED edge frame
+    * (deduped, self-loop-free longs) fits this budget, the power/
+    * min-plus/mutual-recursion loops fold on the DRIVER in
+    * O(iterations·|edges|) — replacing 3–5 Spark jobs per iteration
+    * (join, aggregate, left join back, periodic checkpoint) whose fixed
+    * per-job cost dominates on any graph small enough to collect. Past
+    * the budget (the 1e10-edge crawl graph) the distributed loop below
+    * is the path, unchanged. Identical results: every step is long
+    * sums (order-free), positive-operand integer division, and
+    * multiplyExact/addExact replaying ANSI's overflow error —
+    * spec-pinned driver ≡ distributed. Override per session via
+    * `spark.graft.graph.maxDriverEdges` (`<= 0` forces distributed). */
+  private val DefaultMaxDriverEdges = 2000000L
+
+  private def maxDriverEdges(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.maxDriverEdges")
+      .map(_.toLong).getOrElse(DefaultMaxDriverEdges)
+
+  /** Collect a prepared long-typed edge frame when it fits the driver
+    * budget; None → caller runs the distributed loop. The limit-pushed
+    * count never scans past budget+1 rows. */
+  private def collectEdges(
+      ec: DataFrame, cols: Seq[String]): Option[Array[org.apache.spark.sql.Row]] = {
+    val budget = maxDriverEdges(ec)
+    if (budget <= 0) None
+    else if (ec.limit((budget + 1).min(Int.MaxValue.toLong).toInt).count() > budget) None
+    else Some(ec.select(cols.map(col): _*).collect())
+  }
+
+  /** (node, rank_micro) frame from a driver fold — the distributed
+    * loop's exact column set/types. */
+  private def longPairFrame(
+      ec: DataFrame, names: (String, String),
+      rows: Iterator[(Long, java.lang.Long)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val list: java.util.List[org.apache.spark.sql.Row] =
+      rows.map { case (n, v) => org.apache.spark.sql.Row(n, v) }.toSeq.asJava
+    ec.sparkSession.createDataFrame(list, StructType(Seq(
+      StructField(names._1, LongType, nullable = false),
+      StructField(names._2, LongType))))
+  }
 
   /** Fixed-point PageRank (see object doc). Input: an edge table;
     * self-loops and duplicate edges are removed first (a self-loop is
@@ -153,6 +198,77 @@ object Graph {
     * row would otherwise fan out the node set through the left join
     * and double-count contributions in every subsequent iteration —
     * the same hygiene the operator applies to the edge set. */
+  /** Driver-side replay of the power iteration over the collected edge
+    * frame — the [[maxDriverEdges]] hybrid. The arithmetic is the EXACT
+    * integer chain the distributed loop runs (contributions
+    * `(rank·w) div outw` summed per destination, the damped teleport
+    * epilogue), including the dedup/zero-fill join semantics for the
+    * teleport and warm-start frames. */
+  private def rankFoldLocal(
+      ec: DataFrame, iterations: Int, dampingPct: Int,
+      teleportOpt: Option[DataFrame], initOpt: Option[DataFrame]): Option[DataFrame] =
+    collectEdges(ec, Seq("src", "dst", "w")).map { rows =>
+      val edges = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val outw = new java.util.HashMap[Long, java.lang.Long]()
+      val nodeSet = new java.util.LinkedHashSet[java.lang.Long]()
+      edges.foreach { case (s2, d2, w) =>
+        val cur = outw.get(s2)
+        outw.put(s2, if (cur == null) w else Math.addExact(cur, w))
+        nodeSet.add(s2); nodeSet.add(d2)
+      }
+      // max-deduped caller frame → per-node map (the groupBy(max) +
+      // left-join semantics of the distributed prologue)
+      def dedupMax(df: DataFrame, valueCol: String): java.util.HashMap[Long, java.lang.Long] = {
+        val m = new java.util.HashMap[Long, java.lang.Long]()
+        df.select(col("node"), col(valueCol)).collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val k = r.getLong(0); val v = r.getLong(1)
+            val cur = m.get(k)
+            if (cur == null || v > cur) m.put(k, v)
+          }
+        }
+        m
+      }
+      val t = new java.util.HashMap[Long, java.lang.Long]()
+      teleportOpt match {
+        case None => nodeSet.forEach(n => t.put(n, 1000000L))
+        case Some(tp) =>
+          val tm = dedupMax(tp, "teleport_micro")
+          nodeSet.forEach { n =>
+            val v = tm.get(n); t.put(n, if (v == null) 0L else v)
+          }
+      }
+      var ranks = new java.util.HashMap[Long, java.lang.Long]()
+      initOpt match {
+        case None => nodeSet.forEach(n => ranks.put(n, t.get(n)))
+        case Some(r0) =>
+          val rm = dedupMax(r0, "rank_micro")
+          nodeSet.forEach { n =>
+            val v = rm.get(n); ranks.put(n, if (v == null) t.get(n) else v)
+          }
+      }
+      val dp = dampingPct.toLong; val kp = (100 - dampingPct).toLong
+      for (_ <- 1 to iterations) {
+        val in = new java.util.HashMap[Long, java.lang.Long]()
+        edges.foreach { case (s2, d2, w) =>
+          val contrib = Math.multiplyExact(ranks.get(s2).longValue, w) / outw.get(s2)
+          val cur = in.get(d2)
+          in.put(d2, if (cur == null) contrib else Math.addExact(cur, contrib))
+        }
+        val next = new java.util.HashMap[Long, java.lang.Long]()
+        nodeSet.forEach { n =>
+          val inSum = { val v = in.get(n); if (v == null) 0L else v.longValue }
+          next.put(n, Math.multiplyExact(kp, t.get(n)) / 100L +
+            Math.multiplyExact(dp, inSum) / 100L)
+        }
+        ranks = next
+      }
+      val rk = ranks
+      longPairFrame(ec, ("node", "rank_micro"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(nodeSet.iterator).asScala
+          .map(n => (n.longValue, rk.get(n))))
+    }
+
   private def rankIterate(
       e: DataFrame, iterations: Int, dampingPct: Int,
       teleportOpt: Option[DataFrame] = None,
@@ -166,9 +282,13 @@ object Graph {
     // iteration — only the rank frame was checkpointed before. The
     // edge frame materializes at |edges| rows of three longs; outw and
     // the node set are node-sized.
-    val ec = e.localCheckpoint()
+    val ec = e.reuseBarrier()
+    rankFoldLocal(ec, iterations, dampingPct, teleportOpt, initOpt) match {
+      case Some(done) => return done
+      case None => ()
+    }
     val outw = ec.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-      .localCheckpoint()
+      .reuseBarrier()
     val nodes0 = ec.select(col("src").as("node"))
       .union(ec.select(col("dst").as("node"))).distinct()
     // nodes carries each node's teleport mass so the per-iteration
@@ -180,7 +300,7 @@ object Graph {
         nodes0.join(t1, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("teleport_micro"), lit(0L)).as("t_micro"))
-    }).localCheckpoint()
+    }).reuseBarrier()
     var ranks = initOpt match {
       case None => nodes.select(col("node"), col("t_micro").as("rank_micro"))
       case Some(r0) =>
@@ -204,7 +324,7 @@ object Graph {
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
       if (i % CheckpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.reuseBarrier()
     }
     ranks
   }
@@ -247,10 +367,17 @@ object Graph {
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .reuseBarrier()
+    // driver fold when the graph fits the budget (see maxDriverEdges):
+    // the mutual recursion is 2 gathers + 2 rescales per iteration —
+    // ~6 Spark jobs of fixed overhead each on a collectable graph
+    hitsFoldLocal(e, iterations) match {
+      case Some(done) => return done
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .reuseBarrier()
     var hub = nodes.select(col("node"), lit(1000000L).as("score"))
     var auth = hub
     for (i <- 1 to iterations) {
@@ -260,6 +387,60 @@ object Graph {
     auth.withColumnRenamed("score", "auth_micro")
       .join(hub.withColumnRenamed("score", "hub_micro"), Seq("node"))
   }
+
+  /** Driver-side replay of the HITS mutual recursion — the
+    * [[maxDriverEdges]] hybrid: per half-step, gather (long sums,
+    * order-free), zero-fill over the node set, rescale by
+    * `raw div (max div 1e6 + 1)` — the exact integer chain
+    * [[hitsHalfStep]] runs distributed. */
+  private def hitsFoldLocal(e: DataFrame, iterations: Int): Option[DataFrame] =
+    collectEdges(e, Seq("src", "dst")).map { rows =>
+      val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+      val nodeSet = new java.util.LinkedHashSet[java.lang.Long]()
+      edges.foreach { case (s2, d2) => nodeSet.add(s2); nodeSet.add(d2) }
+      def uniform(): java.util.HashMap[Long, java.lang.Long] = {
+        val m = new java.util.HashMap[Long, java.lang.Long]()
+        nodeSet.forEach(n => m.put(n, 1000000L)); m
+      }
+      var hub = uniform(); var auth = uniform()
+      def half(scores: java.util.HashMap[Long, java.lang.Long],
+          fromDst: Boolean): java.util.HashMap[Long, java.lang.Long] = {
+        val in = new java.util.HashMap[Long, java.lang.Long]()
+        edges.foreach { case (s2, d2) =>
+          val (f, to) = if (fromDst) (d2, s2) else (s2, d2)
+          val cur = in.get(to)
+          val v = scores.get(f).longValue
+          in.put(to, if (cur == null) v else Math.addExact(cur, v))
+        }
+        var mx = Long.MinValue
+        nodeSet.forEach { n =>
+          val raw = { val v = in.get(n); if (v == null) 0L else v.longValue }
+          if (raw > mx) mx = raw
+        }
+        val divisor = mx / 1000000L + 1L
+        val out = new java.util.HashMap[Long, java.lang.Long]()
+        nodeSet.forEach { n =>
+          val raw = { val v = in.get(n); if (v == null) 0L else v.longValue }
+          out.put(n, raw / divisor)
+        }
+        out
+      }
+      for (_ <- 1 to iterations) {
+        auth = half(hub, fromDst = false)
+        hub = half(auth, fromDst = true)
+      }
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val (a2, h2) = (auth, hub)
+      val list: java.util.List[org.apache.spark.sql.Row] =
+        IteratorHasAsScala(nodeSet.iterator).asScala
+          .map(n => org.apache.spark.sql.Row(n.longValue,
+            a2.get(n).longValue, h2.get(n).longValue)).toSeq.asJava
+      e.sparkSession.createDataFrame(list, StructType(Seq(
+        StructField("node", LongType, nullable = false),
+        StructField("auth_micro", LongType),
+        StructField("hub_micro", LongType))))
+    }
 
   /** One HITS half-step: gather `scores` across edges from `fromCol`
     * onto `toCol`, zero-fill over the node set, rescale by the integer
@@ -278,7 +459,7 @@ object Graph {
       .groupBy(col(toCol).as("node")).agg(sum(col("score")).as("raw"))
     val full = nodes.join(raw, Seq("node"), "left")
       .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
-      .localCheckpoint()
+      .reuseBarrier()
     val mx = full.agg(max(col("raw")).as("__m"))
     full.crossJoin(broadcast(mx))
       .select(col("node"), expr("raw div (__m div 1000000 + 1)").as("score"))
@@ -312,6 +493,46 @@ object Graph {
     * localCheckpoint every [[CheckpointEvery]] iterations bounds the
     * lineage. Output is |nodes| rows.
     */
+  /** Driver-side replay of the bounded-hop min-plus iteration — the
+    * [[maxDriverEdges]] hybrid; seeds outside the edge set are ignored
+    * (the distributed left-join semantics). */
+  private def seedDistanceFoldLocal(
+      e: DataFrame, seeds: DataFrame, maxHops: Int): Option[DataFrame] =
+    collectEdges(e, Seq("src", "dst")).map { rows =>
+      val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+      val nodeSet = new java.util.LinkedHashSet[java.lang.Long]()
+      edges.foreach { case (s2, d2) => nodeSet.add(s2); nodeSet.add(d2) }
+      val seedSet = new java.util.HashSet[java.lang.Long]()
+      seeds.select(col("node").cast("long")).collect()
+        .foreach(r => if (!r.isNullAt(0)) seedSet.add(r.getLong(0)))
+      var dist = new java.util.HashMap[Long, java.lang.Long]()
+      nodeSet.forEach(n => dist.put(n,
+        if (seedSet.contains(n)) 0L else UnreachedHops))
+      for (_ <- 1 to maxHops) {
+        val gather = new java.util.HashMap[Long, java.lang.Long]()
+        edges.foreach { case (s2, d2) =>
+          val g = dist.get(s2).longValue + 1L
+          val cur = gather.get(d2)
+          if (cur == null || g < cur) gather.put(d2, g)
+        }
+        val next = new java.util.HashMap[Long, java.lang.Long]()
+        nodeSet.forEach { n =>
+          val cur = dist.get(n).longValue
+          val g = gather.get(n)
+          next.put(n, if (g == null || cur <= g) cur else g.longValue)
+        }
+        dist = next
+      }
+      val dd = dist
+      longPairFrame(e, ("node", "hops"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(nodeSet.iterator).asScala
+          .map { n =>
+            val h = dd.get(n).longValue
+            (n.longValue, if (h >= UnreachedHops) null
+              else java.lang.Long.valueOf(h))
+          })
+    }
+
   def seedDistance(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, maxHops: Int): DataFrame = {
@@ -320,7 +541,13 @@ object Graph {
     val e = edges.select(
         col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .reuseBarrier()
+    // driver fold when the graph fits the budget (see maxDriverEdges):
+    // pure integer min-plus, exactly the distributed rounds
+    seedDistanceFoldLocal(e, seeds, maxHops) match {
+      case Some(done) => return done
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val s = seeds.select(col("node").cast("long").as("node")).distinct()
@@ -335,7 +562,7 @@ object Graph {
       dist = dist.join(gather, Seq("node"), "left")
         .select(col("node"),
           least(col("hops"), coalesce(col("__g"), lit(UnreachedHops))).as("hops"))
-      if (i % CheckpointEvery == 0 && i < maxHops) dist = dist.localCheckpoint()
+      if (i % CheckpointEvery == 0 && i < maxHops) dist = dist.reuseBarrier()
     }
     dist.select(col("node"),
       when(col("hops") >= UnreachedHops, lit(null).cast("long"))
@@ -484,7 +711,7 @@ object Graph {
     val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().reuseBarrier()
     // the id-range guard rides inside the consumed init label and
     // fires at this eager materialization
     var labels = sym.select(col("a").as("node")).distinct()
@@ -493,7 +720,7 @@ object Graph {
           raise_error(concat(lit("labelPropagation: node id outside [0, 2^31): "),
             col("node").cast("string"))).cast("long"))
           .otherwise(col("node")).as("label"))
-      .localCheckpoint()
+      .reuseBarrier()
     for (i <- 1 to iterations) {
       val neigh = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
@@ -509,7 +736,7 @@ object Graph {
         .agg(min((lit(Pack) - col("__c")) * Pack + col("label")).as("__pk"))
         .select(col("a").as("node"), pmod(col("__pk"), lit(Pack)).as("label"))
       if (i % CheckpointEvery == 0 && i < iterations)
-        labels = labels.localCheckpoint()
+        labels = labels.reuseBarrier()
     }
     labels
   }
@@ -569,7 +796,7 @@ object Graph {
     val e0 = edges.select(q(srcCol).cast("long").as("a"), q(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     var e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().reuseBarrier()
     var remaining = e.count()
     var ran = 0
     var converged = remaining == 0L
@@ -580,7 +807,7 @@ object Graph {
       e = e.join(keep, Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .reuseBarrier()
       val after = e.count()
       // zero edges removed ⟹ every degree is unchanged ⟹ fixpoint
       converged = after == remaining
@@ -636,7 +863,7 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val und = e0
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().reuseBarrier()
     // undirected degree; the id-range guard rides the consumed degree
     // column so it fires on first materialization
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
@@ -648,7 +875,7 @@ object Graph {
             col("node").cast("string"))).cast("long"))
           .otherwise(col("node")).as("node"),
         col("degree"))
-      .localCheckpoint()
+      .reuseBarrier()
     val key = deg.select(col("node"), (col("degree") * Pack + col("node")).as("__k"))
     // orient each undirected edge lower-order -> higher-order
     val oriented = und
@@ -658,7 +885,7 @@ object Graph {
         when(col("__ku") < col("__kv"), col("u")).otherwise(col("v")).as("lo"),
         when(col("__ku") < col("__kv"), col("v")).otherwise(col("u")).as("hi"),
         greatest(col("__ku"), col("__kv")).as("__khi"))
-      .localCheckpoint()
+      .reuseBarrier()
     // wedges at the lowest-order corner, then close against the
     // oriented list on the (b, c) composite key
     val wedges = oriented.select(col("lo"), col("hi").as("b"), col("__khi").as("__kb"))

@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 
 /** Preference-data operators — the RLHF/eval side of a training-data
   * pipeline: a stream of pairwise outcomes (winner item, loser item)
@@ -162,17 +163,150 @@ object Preferences {
       .agg(sum(col("games")).as("games"), sum(col("wins_a")).as("wins_a"))
   }
 
+  /** Hybrid cutover for the MM loop — the [[Dedup.clusters]]
+    * `maxDriverPairs` precedent applied to Bradley–Terry: the
+    * corpus-sized work is the ONE [[pairStats]] aggregate, and the loop
+    * itself runs on the |pairs|-row matrix. When the directed matrix
+    * fits this budget (default 2M rows ≈ tens of MB) the MM iterations
+    * fold on the DRIVER in O(iterations·|pairs|) — replacing
+    * ~5 Spark jobs per iteration (two joins, an aggregate, a 1-row max,
+    * a checkpoint) whose fixed per-job cost dominates at any realistic
+    * item count (items are models/sources/policies — thousands, not
+    * corpus rows). Past the budget — or for exotic item types with no
+    * safe driver equality — the distributed loop below takes over (the
+    * 100 TB fallback; leaderboards past ~2000 items with a DENSE pair
+    * matrix). Identical results either way: every step is long sums
+    * (order-free), positive-operand integer division, and
+    * multiplyExact/addExact replaying ANSI's overflow error —
+    * spec-pinned driver ≡ distributed. Override per session via
+    * `spark.graft.bt.maxDriverPairs` (`<= 0` forces distributed). */
+  private val DefaultMaxDriverPairs = 2000000L
+
+  private def btMaxDriverPairs(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.bt.maxDriverPairs")
+      .map(_.toLong).getOrElse(DefaultMaxDriverPairs)
+
+  /** Item types the driver fold accepts: driver-map equality must agree
+    * with Spark join equality (integral and string keys do; decimals
+    * would compare scale-sensitively on the driver). */
+  private def btDriverSafeItemType(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Driver-side replay of the MM loop over the collected directed
+    * matrix. Returns None (caller falls back to the distributed loop)
+    * when the matrix exceeds the budget or the item type is not
+    * driver-safe. The arithmetic is the EXACT integer chain [[btStep]]
+    * runs distributed, including the inner-join drop semantics (an item
+    * missing from the strength map contributes no term; an item with no
+    * opponents drops from the next strength frame). `deltas(k)` is
+    * iteration k+1's max |Δstrength| over items present in consecutive
+    * frames — [[btDeltas]]'s inner-join max — None when no overlap. */
+  private def btFoldLocal(
+      directed: DataFrame, totals: DataFrame, iterations: Int,
+      init: Option[DataFrame]):
+      Option[(java.util.HashMap[Any, java.lang.Long],
+        Array[(Any, Long, Long, Long)], Array[Option[Long]])] = {
+    val budget = btMaxDriverPairs(directed)
+    if (budget <= 0 || !btDriverSafeItemType(totals.schema("item").dataType)) None
+    else if (directed.limit((budget + 1).min(Int.MaxValue.toLong).toInt).count() > budget) None
+    else {
+      val dRows = directed.select(col("i"), col("j"), col("n")).collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val tRows = totals.select(col("item"), col("wins"), col("games"), col("w_smooth"))
+        .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val initMap = new java.util.HashMap[Any, java.lang.Long]()
+      init.foreach { prev =>
+        prev.select(col("item"), col("strength_micro")).collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val k = r.get(0); val v = r.getLong(1)
+            val cur = initMap.get(k)
+            if (cur == null || v > cur) initMap.put(k, v) // the max-dedupe
+          }
+        }
+      }
+      var s = new java.util.HashMap[Any, java.lang.Long]()
+      tRows.foreach { t =>
+        val warm = if (init.isDefined) initMap.get(t._1) else null
+        s.put(t._1, if (warm != null) warm else java.lang.Long.valueOf(1000000L))
+      }
+      val deltas = Array.fill[Option[Long]](iterations)(None)
+      for (it <- 0 until iterations) {
+        val d = new java.util.HashMap[Any, java.lang.Long]()
+        dRows.foreach { case (i, j, n) =>
+          val si = s.get(i); val sj = s.get(j)
+          if (si != null && sj != null) {
+            val term = Math.multiplyExact(n, 1000000000000L) / (si + sj)
+            val prev = d.get(i)
+            d.put(i, if (prev == null) term else Math.addExact(prev, term))
+          }
+        }
+        var mx = Long.MinValue
+        val raw = new java.util.HashMap[Any, java.lang.Long]()
+        tRows.foreach { case (item, _, _, w) =>
+          val dv = d.get(item)
+          if (dv != null) {
+            val r = Math.multiplyExact(w, 1000000000000L) / dv
+            raw.put(item, r); if (r > mx) mx = r
+          }
+        }
+        val next = new java.util.HashMap[Any, java.lang.Long]()
+        var dm = -1L
+        raw.forEach { (item, r) =>
+          val v = math.max(Math.multiplyExact(r.longValue, 1000000L) / mx, 1L)
+          next.put(item, v)
+          val prev = s.get(item)
+          if (prev != null) {
+            val diff = math.abs(v - prev); if (diff > dm) dm = diff
+          }
+        }
+        deltas(it) = if (dm >= 0) Some(dm) else None
+        s = next
+      }
+      Some((s, tRows, deltas))
+    }
+  }
+
+  /** Build the (item, wins, games, strength_micro) frame from a driver
+    * fold — the exact column set/types of the distributed projection. */
+  private def btLocalFrame(
+      totals: DataFrame, sFinal: java.util.HashMap[Any, java.lang.Long],
+      tRows: Array[(Any, Long, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      tRows.iterator.flatMap { t =>
+        val v = sFinal.get(t._1)
+        if (v == null) Iterator.empty // the inner-join drop
+        else Iterator(org.apache.spark.sql.Row(t._1, t._2, t._3, v.longValue))
+      }.toSeq.asJava
+    val schema = StructType(Seq(
+      StructField("item", totals.schema("item").dataType),
+      StructField("wins", LongType), StructField("games", LongType),
+      StructField("strength_micro", LongType)))
+    totals.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Shared MM driver: init (uniform or warm), `iterations` steps,
-    * final (item, wins, games, strength_micro) projection. */
+    * final (item, wins, games, strength_micro) projection. Driver fold
+    * when the pair matrix fits [[DefaultMaxDriverPairs]]; distributed
+    * loop otherwise. */
   private def btRun(
       directed: DataFrame, totals: DataFrame, iterations: Int,
-      init: Option[DataFrame]): DataFrame = {
-    var s = btInit(totals, init)
-    for (_ <- 1 to iterations) s = btStep(directed, totals, s)
-    totals.select(col("item"), col("wins"), col("games"))
-      .join(s, Seq("item"))
-      .withColumnRenamed("s_micro", "strength_micro")
-  }
+      init: Option[DataFrame]): DataFrame =
+    btFoldLocal(directed, totals, iterations, init) match {
+      case Some((sFinal, tRows, _)) => btLocalFrame(totals, sFinal, tRows)
+      case None =>
+        var s = btInit(totals, init)
+        for (_ <- 1 to iterations) s = btStep(directed, totals, s)
+        totals.select(col("item"), col("wins"), col("games"))
+          .join(s, Seq("item"))
+          .withColumnRenamed("s_micro", "strength_micro")
+    }
 
   /** Initial strength frame: uniform 1e6, or the deduped warm init
     * left-joined onto the item universe (absent items cold-start). */
@@ -186,7 +320,7 @@ object Preferences {
           .join(p, Seq("item"), "left")
           .select(col("item"),
             coalesce(col("__s0"), lit(1000000L)).as("s_micro"))
-          .localCheckpoint()
+          .reuseBarrier()
     }
 
   /** The shared MM inputs, MATERIALIZED once: the lazy forms would
@@ -207,13 +341,13 @@ object Preferences {
         col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
       .union(pairs.select(
         col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
-      .localCheckpoint()
+      .reuseBarrier()
     val totals = itemStats(
       games.filter(col(winnerCol) =!= col(loserCol)),
       winnerCol, loserCol)
       .select(col("item"), col("wins"), col("games"))
       .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
-      .localCheckpoint()
+      .reuseBarrier()
     (directed, totals)
   }
 
@@ -227,14 +361,14 @@ object Preferences {
     val p = pairs.select(col("item_a"), col("item_b"),
         col("games").cast("long").as("games"),
         col("wins_a").cast("long").as("wins_a"))
-      .localCheckpoint()
+      .reuseBarrier()
     val capped = p.withColumn("games",
       greatest(expr(s"games div ${countDiv}L"), lit(1L)))
     val directed = capped.select(
         col("item_a").as("i"), col("item_b").as("j"), col("games").as("n"))
       .union(capped.select(
         col("item_b").as("i"), col("item_a").as("j"), col("games").as("n")))
-      .localCheckpoint()
+      .reuseBarrier()
     val totals = p.select(
         col("item_a").as("item"), col("wins_a").as("w"), col("games").as("g"))
       .union(p.select(col("item_b").as("item"),
@@ -242,7 +376,7 @@ object Preferences {
       .groupBy(col("item"))
       .agg(sum(col("w")).as("wins"), sum(col("g")).as("games"))
       .withColumn("w_smooth", greatest(expr(s"wins div ${countDiv}L"), lit(0L)) + lit(1L))
-      .localCheckpoint()
+      .reuseBarrier()
     (directed, totals)
   }
 
@@ -379,12 +513,12 @@ object Preferences {
     val nik = collapseRatings(ratings, itemCol, raterCol, labelCol)
       .groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("nik"))
-      .localCheckpoint() // reused by the per-item pass AND the marginals
+      .reuseBarrier() // reused by the per-item pass AND the marginals
     val byItem = nik.groupBy(col("item"))
       .agg(sum(col("nik")).as("ni"), sum(col("nik") * col("nik")).as("sq"))
       .filter(col("ni") >= 2L)
       .withColumn("pi_micro", expr("((sq - ni) * 1000000L) div (ni * (ni - 1L))"))
-      .localCheckpoint() // reused: the top-line aggregate + the kept-item filter
+      .reuseBarrier() // reused: the top-line aggregate + the kept-item filter
     val top = byItem.agg(
       count(lit(1)).as("n_items"),
       coalesce(sum(col("ni")), lit(0L)).as("n_ratings"),
@@ -439,13 +573,13 @@ object Preferences {
     val nik = collapseRatings(ratings, itemCol, raterCol, labelCol)
       .groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("nik"))
-      .localCheckpoint() // reused by the per-item pass AND the marginals
+      .reuseBarrier() // reused by the per-item pass AND the marginals
     val byItem = nik.groupBy(col("item"))
       .agg(sum(col("nik")).as("ni"),
         sum(col("nik") * (col("nik") - 1L)).as("agr"))
       .filter(col("ni") >= 2L)
       .withColumn("okk_micro", expr("(agr * 1000000L) div (ni - 1L)"))
-      .localCheckpoint() // reused: the top-line aggregate + the kept-item filter
+      .reuseBarrier() // reused: the top-line aggregate + the kept-item filter
     val top = byItem.agg(
       count(lit(1)).as("n_items"),
       coalesce(sum(col("ni")), lit(0L)).as("n_ratings"),
@@ -605,7 +739,7 @@ object Preferences {
             .cast(one0.schema("rater").dataType))
           .otherwise(col("rater")))
     } else one0)
-      .localCheckpoint() // both sides of the self-join
+      .reuseBarrier() // both sides of the self-join
     one.select(col("item"), col("rater").as("rater_a"), col("label").as("__la"))
       .join(one.select(col("item"), col("rater").as("rater_b"),
         col("label").as("__lb")), Seq("item"))
@@ -680,7 +814,7 @@ object Preferences {
     val nik = collapseRatings(ratings, itemCol, raterCol, labelCol)
       .groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("votes"))
-      .localCheckpoint() // reused: the per-item totals AND the winner filter
+      .reuseBarrier() // reused: the per-item totals AND the winner filter
     val byItem = nik.groupBy(col("item"))
       .agg(sum(col("votes")).as("n_ratings"), max(col("votes")).as("__top"))
     nik.join(byItem, Seq("item"))
@@ -754,7 +888,7 @@ object Preferences {
     val b = one.filter(col("rater") === raterB)
       .select(col("wave"), col("item"), col("label").as("lb"))
     // reused by the agreement aggregate AND both marginals — one scan
-    val both = a.join(b, Seq("wave", "item")).localCheckpoint()
+    val both = a.join(b, Seq("wave", "item")).reuseBarrier()
     val agg = both.groupBy(col("wave")).agg(
       count(lit(1)).as("n_items"),
       coalesce(sum(when(col("la") === col("lb"), 1L)), lit(0L)).as("n_agree"))
@@ -774,7 +908,7 @@ object Preferences {
       .withColumn("kappa_micro",
         when(col("pe_micro") < 1000000L,
           expr("((po_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)")))
-      .localCheckpoint() // summary frame, referenced by the self-join below
+      .reuseBarrier() // summary frame, referenced by the self-join below
     val prevWave = k.select(col("wave")).as("c")
       .join(k.select(col("wave").as("__w2")).as("p"), col("__w2") < col("wave"))
       .groupBy(col("wave")).agg(max(col("__w2")).as("__prev_wave"))
@@ -817,7 +951,7 @@ object Preferences {
     raw.crossJoin(broadcast(mx))
       .select(col("item"),
         expr("greatest((s_raw * 1000000L) div mx, 1L)").as("s_micro"))
-      .localCheckpoint()
+      .reuseBarrier()
   }
 
   /** Per-iteration convergence audit of [[btStrengths]] — the measured
@@ -859,17 +993,30 @@ object Preferences {
 
   private def btDeltas(
       directed: DataFrame, totals: DataFrame, iterations: Int,
-      init: Option[DataFrame]): DataFrame = {
-    var s = btInit(totals, init)
-    val deltas = (1 to iterations).map { i =>
-      val next = btStep(directed, totals, s)
-      val row = s.select(col("item"), col("s_micro").as("__prev"))
-        .join(next, Seq("item"))
-        .agg(max(abs(col("s_micro") - col("__prev"))).as("max_delta_micro"))
-        .select(lit(i).as("iteration"), col("max_delta_micro"))
-      s = next
-      row
+      init: Option[DataFrame]): DataFrame =
+    btFoldLocal(directed, totals, iterations, init) match {
+      case Some((_, _, localDeltas)) =>
+        import org.apache.spark.sql.types._
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          localDeltas.zipWithIndex.map { case (d, k) =>
+            org.apache.spark.sql.Row(k + 1, d.map(java.lang.Long.valueOf).orNull)
+          }.toSeq.asJava
+        val schema = StructType(Seq(
+          StructField("iteration", IntegerType, nullable = false),
+          StructField("max_delta_micro", LongType)))
+        totals.sparkSession.createDataFrame(rows, schema)
+      case None =>
+        var s = btInit(totals, init)
+        val deltas = (1 to iterations).map { i =>
+          val next = btStep(directed, totals, s)
+          val row = s.select(col("item"), col("s_micro").as("__prev"))
+            .join(next, Seq("item"))
+            .agg(max(abs(col("s_micro") - col("__prev"))).as("max_delta_micro"))
+            .select(lit(i).as("iteration"), col("max_delta_micro"))
+          s = next
+          row
+        }
+        deltas.reduce(_ unionByName _)
     }
-    deltas.reduce(_ unionByName _)
-  }
 }

@@ -664,17 +664,36 @@ object Sampling {
     requireIntegralKey(df, idCol, "importanceResample",
       "every Gumbel key would be null and the selection would silently become 'first n ids'")
     val id = graft.ops.Cleaning.qcol(idCol)
-    val lt = TextAnalysis.unigramLogProbTable(df, idCol, textCol, target, targetTextCol, vocabSize)
-      .select(id, col("avg_logp").as("__lt"))
-    val lr = TextAnalysis.unigramLogProbTable(df, idCol, textCol, df, textCol, vocabSize)
-      .select(id, col("avg_logp").as("__lr"))
+    // r15 (guide §2.3, aggregate-before-shuffle): both densities score
+    // the SAME per-doc token counts — one explode + (doc, token) agg
+    // joined against BOTH broadcast models, instead of two full
+    // unigramLogProbTable passes over the corpus. The per-model integer
+    // fold (Σ __n·logp6) and the avg_logp double expression are the
+    // exact shapes of the one-model path, so __lt/__lr are bit-identical
+    // to the unfused form; 0-token docs have no row here, exactly the
+    // rows the unfused form's isNotNull filter dropped.
+    val (vt, ot) = TextAnalysis.unigramModel(target, targetTextCol, vocabSize)
+    val (vr, or_) = TextAnalysis.unigramModel(df, textCol, vocabSize)
+    val docToks = TextAnalysis.docTokenCounts(df, idCol, textCol)
+    val scored = docToks
+      .join(broadcast(vt.withColumnRenamed("__logp6", "__lt6")), Seq("__tok"), "left")
+      .join(broadcast(vr.withColumnRenamed("__logp6", "__lr6")), Seq("__tok"), "left")
+      .crossJoin(broadcast(ot.withColumnRenamed("__oov6", "__ot6")))
+      .crossJoin(broadcast(or_.withColumnRenamed("__oov6", "__or6")))
+      .groupBy(id).agg(
+        sum(col("__n")).as("n_tokens"),
+        sum(col("__n") * coalesce(col("__lt6"), col("__ot6"))).as("__st"),
+        sum(col("__n") * coalesce(col("__lr6"), col("__or6"))).as("__sr"))
+    def avg(s: org.apache.spark.sql.Column) = graft.ops.Rounding.halfUp(
+      s.cast("double") / 1000000L / col("n_tokens"), 9)
     // u strictly inside (0, 1): the +0.5 shift keeps ln(ln(u)) finite
     // at both ends of the affine-hash range (u = 0 would send the
     // one-in-a-million key with hash 0 to -inf, silently unselectable)
     val u = (PortableHash.affineHash(id).cast("double") + lit(0.5)) /
       lit(PortableHash.P).cast("double")
     val g = -log(-log(u))
-    lt.join(lr, idCol)
+    scored
+      .select(id, avg(col("__st")).as("__lt"), avg(col("__sr")).as("__lr"))
       .filter(col("__lt").isNotNull && col("__lr").isNotNull)
       .withColumn("logratio", col("__lt") - col("__lr"))
       .withColumn("skey",

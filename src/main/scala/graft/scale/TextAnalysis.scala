@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.scale.Reuse.BarrierOps
 
 /** Text-analysis operators for a training-data pipeline (SURVEY.md §7.4):
   * tokenization, language-ID heuristic, quality scoring, document
@@ -122,11 +123,17 @@ object TextAnalysis {
     * deterministic tie-break (list order above, i.e. alphabetical);
     * zero hits everywhere → "und" (undetermined).
     */
-  def langId(text: Column): Column =
+  def langId(text: Column): Column = langIdFromToks(tokens(text))
+
+  /** [[langId]] over a PRE-TOKENIZED column — the shared form for
+    * callers that already hold the token array ([[corpusReport]]'s
+    * tokenize-once pass); changing the vote here changes every caller
+    * together (round-14 advice: no silently diverging inline copies). */
+  def langIdFromToks(toks: Column): Column =
     // coalesce: null text classifies as "und" (the pre-native behavior),
     // not null — LangPredict is a UnaryExpression and null-propagates
     coalesce(
-      graft.functions.Native.langPredict(tokens(text),
+      graft.functions.Native.langPredict(toks,
         StopwordLists.map(_._1), StopwordLists.map(_._2)),
       lit("und"))
 
@@ -206,11 +213,21 @@ object TextAnalysis {
     */
   /** The quality keep-predicate as a standalone row-local expression
     * (shared by `qualityTable` and `cleanCorpus`). */
-  def qualityKeep(t: Column): Column = {
+  def qualityKeep(t: Column): Column = qualityKeepFromCount(t, tokenCount(t))
+
+  /** [[qualityKeep]] over a PRE-TOKENIZED column (size(toks) IS
+    * tokenCount — the native counter and the array length agree by
+    * construction): the shared form for tokenize-once callers like
+    * [[corpusReport]], so the thresholds live in exactly one place
+    * (round-14 advice). */
+  def qualityKeepFromToks(t: Column, toks: Column): Column =
+    qualityKeepFromCount(t, size(toks))
+
+  /** The one copy of the keep thresholds and the punctuation regex. */
+  private def qualityKeepFromCount(t: Column, nToks: Column): Column = {
     val chars = length(t)
     val nonPunct = length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
-    val toks = tokenCount(t)
-    toks >= 5 && toks <= 100000 &&
+    nToks >= 5 && nToks <= 100000 &&
       ((chars - nonPunct) / when(chars > 0, chars)) < lit(0.3)
   }
 
@@ -642,7 +659,7 @@ object TextAnalysis {
     val toks = df.select(id, explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
       .join(broadcast(qt.select(col("__tok")).distinct()), Seq("__tok"), "left_semi")
     val tf = toks.groupBy(id, col("__tok")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint() // reused: df counts + the scoring join
+      .reuseBarrier() // reused: df counts + the scoring join
     val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val stats = df.agg(
       count(lit(1)).as("__nd"),
@@ -695,11 +712,15 @@ object TextAnalysis {
     * (doc, token) hash agg, broadcast join against the V-row model,
     * one doc-keyed agg. Nothing scales with corpus × vocab.
     */
-  def unigramLogProbTable(
-      df: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String, vocabSize: Int = 65536,
-      scoreNano: Boolean = false): DataFrame = {
-    val id = graft.ops.Cleaning.qcol(idCol)
+  /** The broadcastable add-one-smoothed unigram model behind
+    * [[unigramLogProbTable]], exposed for callers that score the SAME
+    * document pass against several reference models at once
+    * ([[graft.scale.Sampling.importanceResample]] — fusing the two
+    * scoring passes halves the corpus explode+aggregate work, guide
+    * §2.3). Returns (vocab: (__tok, __logp6), oov: 1 row (__oov6)) —
+    * the identical scaled-long log-probs the one-model path uses. */
+  private[scale] def unigramModel(
+      ref: DataFrame, refTextCol: String, vocabSize: Int): (DataFrame, DataFrame) = {
     val counts = ref
       .select(explode(tokens(graft.ops.Cleaning.qcol(refTextCol))).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
@@ -715,8 +736,25 @@ object TextAnalysis {
     val vocab = counts.crossJoin(broadcast(tot))
       .select(col("__tok"), logp6((col("__cnt") + 1) / denom).as("__logp6"))
     val oov = tot.select(logp6(lit(1) / denom).as("__oov6"))
-    val docToks = df.select(id, explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
-      .groupBy(id, col("__tok")).agg(count(lit(1)).as("__n"))
+    (vocab, oov)
+  }
+
+  /** The per-document distinct-token counts every unigram scorer
+    * aggregates — one explode + (doc, token) hash agg. */
+  private[scale] def docTokenCounts(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(graft.ops.Cleaning.qcol(idCol),
+        explode(tokens(graft.ops.Cleaning.qcol(textCol))).as("__tok"))
+      .groupBy(graft.ops.Cleaning.qcol(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+
+  def unigramLogProbTable(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, vocabSize: Int = 65536,
+      scoreNano: Boolean = false): DataFrame = {
+    val id = graft.ops.Cleaning.qcol(idCol)
+    val (vocab, oov) = unigramModel(ref, refTextCol, vocabSize)
+    val docToks = docTokenCounts(df, idCol, textCol)
     val scored = docToks
       .join(broadcast(vocab), Seq("__tok"), "left")
       .crossJoin(broadcast(oov))
@@ -872,19 +910,12 @@ object TextAnalysis {
     // value is the identical expression over the same token array
     // (size(toks) IS tokenCount), so the report and its oracle are
     // untouched.
-    val chars = length(col("__t"))
-    val nonPunct = length(regexp_replace(col("__t"), "[^A-Za-z0-9\\s]", ""))
-    val nToks = size(col("__toks"))
-    val keepFromToks = nToks >= 5 && nToks <= 100000 &&
-      ((chars - nonPunct) / when(chars > 0, chars)) < lit(0.3)
     val rows = df.select(t.as("__t"), tokens(t).as("__toks"))
       .select(
-        nToks.cast("long").as("__tok"),
-        coalesce(
-          graft.functions.Native.langPredict(col("__toks"),
-            StopwordLists.map(_._1), StopwordLists.map(_._2)),
-          lit("und")).as("__lang"),
-        coalesce(keepFromToks, lit(false)).cast("long").as("__keep"),
+        size(col("__toks")).cast("long").as("__tok"),
+        langIdFromToks(col("__toks")).as("__lang"),
+        coalesce(qualityKeepFromToks(col("__t"), col("__toks")), lit(false))
+          .cast("long").as("__keep"),
         portableFingerprint(col("__t")).as("__fp"))
     val aggCols =
       count(lit(1)).as("n_docs") +:

@@ -31,7 +31,10 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("WARN")
     // opt-in conf overrides for A/B probes: --conf=key=value
     args.filter(_.startsWith("--conf=")).foreach { s =>
-      val kv = s.drop(7).split("=", 2); spark.conf.set(kv(0), kv(1))
+      val kv = s.drop(7).split("=", 2)
+      require(kv.length == 2 && kv(0).nonEmpty,
+        s"malformed --conf '$s' — expected --conf=key=value")
+      spark.conf.set(kv(0), kv(1))
     }
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm parquet footers

@@ -40,6 +40,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == referenceRank(edges, 5))
   }
 
+  test("graph driver fold ≡ distributed loop: rank/weighted/personalized/refresh/hits/seeddist") {
+    // the r15 hybrid (spark.graft.graph.maxDriverEdges, the
+    // Dedup.clusters precedent): every iterative operator must produce
+    // bit-identical frames on both paths
+    import org.apache.spark.sql.DataFrame
+    val edges = (0L until 300L).map(i => (i % 19, (i * 13 + 5) % 19)).toDF("src", "dst")
+    val w = edges.withColumn("w", (col("src") + col("dst")) % 3 + 1)
+    val seeds = (0L until 19L by 4).toDF("node")
+    val tele = seeds.withColumn("teleport_micro", lit(1000000L))
+    def sorted(df: DataFrame) = df.orderBy(df.columns.map(col): _*).collect().toSeq
+    def underDistributed[A](f: => A): A = {
+      spark.conf.set("spark.graft.graph.maxDriverEdges", "0")
+      try f finally spark.conf.unset("spark.graft.graph.maxDriverEdges")
+    }
+    def both(f: => DataFrame): Unit = {
+      val local = sorted(f)
+      val dist = underDistributed(sorted(f))
+      assert(local === dist)
+    }
+    both(Graph.pageRank(edges, "src", "dst", iterations = 5))
+    both(Graph.pageRankWeighted(w, "src", "dst", "w", iterations = 4))
+    both(Graph.pageRankPersonalized(edges, "src", "dst", tele, iterations = 4))
+    val prev = Graph.pageRank(edges, "src", "dst", iterations = 3)
+    both(Graph.pageRankRefresh(edges, "src", "dst", prev, iterations = 2))
+    both(Graph.hits(edges, "src", "dst", iterations = 4))
+    both(Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 4))
+  }
+
   test("deep runs (past the checkpoint cadence) still match the reference") {
     val edges = (0L until 60L).map(i => (i % 9, (i * 5 + 2) % 9))
     val got = rankMap(Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 9))

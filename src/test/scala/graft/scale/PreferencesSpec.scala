@@ -52,6 +52,36 @@ class PreferencesSpec extends AnyFunSuite {
     assert(s(1L) === 1000000L && s(3L) > 0L && s(1L) > s(2L) && s(2L) > s(3L))
   }
 
+  test("bt driver fold ≡ distributed loop: strengths, warm-start, and deltas bit-identical") {
+    // the r15 hybrid (spark.graft.bt.maxDriverPairs, Dedup.clusters
+    // precedent): the driver MM fold must replay the distributed
+    // integer chain exactly — cold fit, warm-started refresh, and the
+    // convergence curve all compare collected-and-sorted
+    val g = (for (a <- 1 to 9; b <- 1 to 9 if a < b; r <- 1 to (a * b) % 3 + 1)
+      yield if ((a * 5 + b * 11 + r) % 7 < 4) (a.toLong, b.toLong) else (b.toLong, a.toLong))
+      .toDF("winner", "loser")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    def underDistributed[A](f: => A): A = {
+      spark.conf.set("spark.graft.bt.maxDriverPairs", "0")
+      try f finally spark.conf.unset("spark.graft.bt.maxDriverPairs")
+    }
+    val coldD = sorted(Preferences.btStrengths(g, "winner", "loser", iterations = 4))
+    val coldL = underDistributed(
+      sorted(Preferences.btStrengths(g, "winner", "loser", iterations = 4)))
+    assert(coldD === coldL)
+    val prev = Preferences.btStrengths(g, "winner", "loser", iterations = 4)
+    val pairs = Preferences.pairStats(g, "winner", "loser")
+    val warmD = sorted(Preferences.btStrengthsFromPairs(pairs, iterations = 2, init = Some(prev)))
+    val warmL = underDistributed(
+      sorted(Preferences.btStrengthsFromPairs(pairs, iterations = 2, init = Some(prev))))
+    assert(warmD === warmL)
+    val curveD = sorted(Preferences.btConvergence(g, "winner", "loser", iterations = 6))
+    val curveL = underDistributed(
+      sorted(Preferences.btConvergence(g, "winner", "loser", iterations = 6)))
+    assert(curveD === curveL)
+  }
+
   test("btConvergence: decaying deltas; the default 4 iterations is rank-stable vs 8") {
     // a denser deterministic tournament than `games`: 12 items, every
     // pair played 1-4 times with a hash-seeded but fixed outcome
