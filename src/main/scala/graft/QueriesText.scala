@@ -64,10 +64,11 @@ private[graft] object QueriesText {
       val queries = Seq((1L, "spark window"), (2L, "merge vector table"),
         (3L, "customer stream")).toDF("query_id", "qtext")
       val docs = T(s, d, "documents")
-      val la = TextAnalysis.bm25TopKMany(docs, "doc_id", "text",
-        queries, "query_id", "qtext", k = 5)
-      val lb = TextAnalysis.bm25TopKMany(docs, "doc_id", "text",
-        queries, "query_id", "qtext", k = 5, k1 = 0.3, b = 0.9)
+      // r15: both parameterizations rank off ONE shared tf/df pass
+      // (bm25TopKManyParams) — element-wise identical rankings, half
+      // the corpus work; the oracle is untouched
+      val Seq(la, lb) = TextAnalysis.bm25TopKManyParams(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 5, params = Seq((1.2, 0.75), (0.3, 0.9)))
       graft.scale.Similarity.rrfFuse(la, lb, "query_id", "doc_id")
     }),
 

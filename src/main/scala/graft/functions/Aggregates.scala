@@ -257,6 +257,106 @@ object Aggregates {
       BoundedTopKDouble(GraftBridge.expr(value), GraftBridge.expr(weight), k, ascending)
         .toAggregateExpression())
 
+  /** All 2R Poisson-bootstrap partial sums in ONE tight per-row loop —
+    * the fused form of [[graft.ops.Stats.bootstrapMeanCI]]'s
+    * 2R-conditional-sum expression list (R = 64 meant ~130 interpreted
+    * when-chains per row; this is one JIT-able loop over a long[2R]
+    * buffer). Buffer slot 2r holds Σ c_r·x, slot 2r+1 holds Σ c_r,
+    * where c_r = Poisson(1) count drawn from the portable per-key hash
+    * via the fixed threshold chain. Exact long arithmetic throughout —
+    * sums are order-free, so partitioning cannot move a bit, and
+    * multiplyExact/addExact replay ANSI's loud overflow. Null value or
+    * hash rows are skipped (the expression form's sum-over-null
+    * behavior; the caller filters them anyway).
+    */
+  case class BootstrapSums(
+      valueExpr: Expression, hashExpr: Expression,
+      multipliers: Array[Long], thresholds: Array[Long],
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    require(multipliers.nonEmpty, "bootstrap_sums: need at least one replica")
+    private val R = multipliers.length
+    private val P = PortableHash.P
+
+    override def children: Seq[Expression] = Seq(valueExpr, hashExpr)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongInputs("bootstrap_sums",
+        Seq(("value", valueExpr), ("hash", hashExpr)))
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * R)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val x = valueExpr.eval(input)
+      val h = hashExpr.eval(input)
+      if (x != null && h != null) {
+        val xv = x.asInstanceOf[Long]
+        val hv = h.asInstanceOf[Long]
+        var r = 0
+        while (r < R) {
+          // u = pmod((h + 1)·m_r + r, P): identical to the expression
+          // chain (pmod = floorMod; the products stay under 2^62 for
+          // hashes in [0, P) but the exact ops keep parity regardless)
+          val u = java.lang.Math.floorMod(
+            Math.addExact(Math.multiplyExact(
+              Math.addExact(hv, 1L), multipliers(r)), r.toLong), P)
+          // c = index of the first threshold ABOVE u (thresholds
+          // ascending), else thresholds.length — the when-chain's value
+          var c = 0
+          while (c < thresholds.length && u >= thresholds(c)) c += 1
+          if (c > 0) {
+            buf(2 * r) = Math.addExact(buf(2 * r), Math.multiplyExact(c.toLong, xv))
+            buf(2 * r + 1) = Math.addExact(buf(2 * r + 1), c.toLong)
+          }
+          r += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BootstrapSums =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BootstrapSums =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(valueExpr = newChildren(0), hashExpr = newChildren(1))
+    override def prettyName: String = "bootstrap_sums"
+  }
+
+  /** agg-ready Column: long[2R] of interleaved (Σ c_r·x, Σ c_r)
+    * Poisson-bootstrap partials — see [[BootstrapSums]]. */
+  def bootstrapSums(
+      value: Column, hash: Column,
+      multipliers: Array[Long], thresholds: Array[Long]): Column =
+    GraftBridge.column(
+      BootstrapSums(GraftBridge.expr(value), GraftBridge.expr(hash),
+        multipliers, thresholds).toAggregateExpression())
+
   /** Mergeable weighted-quantile sketch over LONG values + LONG weights
     * — the shipped 100 TB path for weighted percentiles (the built-in
     * `approx_percentile` takes no weights; the exact form sorts every

@@ -2132,7 +2132,6 @@ object Stats {
     require(Seq("long", "integer", "short", "byte").contains(kt),
       s"bootstrapMeanCI: key column '$keyCol' must be integral (got $kt) — " +
         "a non-integral key would not hash portably")
-    val p = graft.functions.PortableHash.P
     val g = Cleaning.qcol(groupCol)
     val v = Cleaning.qcol(valueCol).cast("long")
     val base = df
@@ -2141,24 +2140,23 @@ object Stats {
         graft.functions.PortableHash.affineHash(Cleaning.qcol(keyCol)).as("__h"))
     val ms = bootstrapMultipliers(replicas, seed)
     val ts = PoissonThresholdsP
-    def poisson(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val first = when(u < ts.head, lit(0L))
-      ts.tail.zipWithIndex.foldLeft(first) { case (w, (t, i)) =>
-        w.when(u < t, lit(i + 1L))
-      }.otherwise(lit(ts.size.toLong))
-    }
-    val sums = (0 until replicas).flatMap { r =>
-      val c = poisson(pmod((col("__h") + 1L) * ms(r) + r, lit(p)))
-      Seq(coalesce(sum(c * col("x")), lit(0L)).as(s"__s_$r"),
-        coalesce(sum(c), lit(0L)).as(s"__n_$r"))
-    }
+    // r15 (guide step 4, expressions/codegen): the 2R conditional sums
+    // were 2R separate when-chain aggregate expressions evaluated per
+    // row (R = 64 → ~130 interpreted expression trees); BootstrapSums
+    // computes the identical long partials in ONE tight loop per row
+    // (same pmod/threshold arithmetic, long sums are order-free — the
+    // oracle is untouched).
     val aggCols = Seq(count(lit(1)).as("n"),
-      coalesce(sum(col("x")), lit(0L)).as("__sx")) ++ sums
+      coalesce(sum(col("x")), lit(0L)).as("__sx"),
+      graft.functions.Aggregates.bootstrapSums(
+        col("x"), col("__h"), ms.toArray, ts.toArray).as("__bs"))
     val agg = base.groupBy(col("grp"))
       .agg(aggCols.head, aggCols.tail: _*)
       .reuseBarrier() // |groups| rows, read by totals AND the melt
     val reps = (0 until replicas).map(r =>
-      struct(lit(r.toLong).as("r"), col(s"__s_$r").as("s"), col(s"__n_$r").as("nr")))
+      struct(lit(r.toLong).as("r"),
+        element_at(col("__bs"), 2 * r + 1).as("s"),
+        element_at(col("__bs"), 2 * r + 2).as("nr")))
     val live = agg
       .select(col("grp"), explode(array(reps: _*)).as("__e"))
       .select(col("grp"), col("__e.r").as("r"), col("__e.s").as("s"),

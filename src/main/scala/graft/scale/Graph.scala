@@ -702,6 +702,49 @@ object Graph {
     * exactly; inputs materialize once, lineage checkpoints every
     * [[CheckpointEvery]] rounds.
     */
+  /** Driver-side replay of the synchronous LPA rounds — the
+    * [[maxDriverEdges]] hybrid: per round, neighbor (+optional self)
+    * votes then the packed argmin `(2³¹−c)·2³¹+label`, exactly the
+    * distributed arithmetic; the id-range guard throws the same loud
+    * failure. */
+  private def lpaFoldLocal(
+      sym: DataFrame, iterations: Int, selfVote: Boolean): Option[DataFrame] =
+    collectEdges(sym, Seq("a", "b")).map { rows =>
+      val Pack = 2147483648L
+      val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+      val nodeSet = new java.util.LinkedHashSet[java.lang.Long]()
+      edges.foreach { case (a, b) => nodeSet.add(a); nodeSet.add(b) }
+      var labels = new java.util.HashMap[Long, java.lang.Long]()
+      nodeSet.forEach { n =>
+        if (n < 0L || n >= Pack)
+          throw new IllegalArgumentException(
+            s"labelPropagation: node id outside [0, 2^31): $n")
+        labels.put(n, n.longValue)
+      }
+      for (_ <- 1 to iterations) {
+        val votes = new java.util.HashMap[(Long, Long), java.lang.Long]()
+        def vote(a: Long, lab: Long): Unit = {
+          val k = (a, lab); val cur = votes.get(k)
+          votes.put(k, if (cur == null) 1L else cur + 1L)
+        }
+        edges.foreach { case (a, b) => vote(a, labels.get(b)) }
+        if (selfVote) nodeSet.forEach(n => vote(n, labels.get(n)))
+        val best = new java.util.HashMap[Long, java.lang.Long]()
+        votes.forEach { (k, c) =>
+          val pk = (Pack - c) * Pack + k._2
+          val cur = best.get(k._1)
+          if (cur == null || pk < cur) best.put(k._1, pk)
+        }
+        val next = new java.util.HashMap[Long, java.lang.Long]()
+        best.forEach((n, pk) => next.put(n, java.lang.Math.floorMod(pk, Pack)))
+        labels = next
+      }
+      val lb = labels
+      longPairFrame(sym, ("node", "label"),
+        scala.jdk.CollectionConverters.IteratorHasAsScala(nodeSet.iterator).asScala
+          .map(n => (n.longValue, lb.get(n))))
+    }
+
   def labelPropagation(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       iterations: Int = 3, selfVote: Boolean = false): DataFrame = {
@@ -712,6 +755,10 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().reuseBarrier()
+    lpaFoldLocal(sym, iterations, selfVote) match {
+      case Some(done) => return done
+      case None => ()
+    }
     // the id-range guard rides inside the consumed init label and
     // fires at this eager materialization
     var labels = sym.select(col("a").as("node")).distinct()
@@ -787,6 +834,45 @@ object Graph {
     * exposed package-private so GraphSpec can observe the early exit
     * without changing the shipped key's (node, degree, in_core)
     * schema. */
+  /** Driver-side replay of the peel cascade — the [[maxDriverEdges]]
+    * hybrid with the same early exit (a round that removes zero edges
+    * certifies the fixpoint). Returns (result, rounds actually run). */
+  private def kCoreFoldLocal(
+      sym: DataFrame, k: Int, rounds: Int): Option[(DataFrame, Int)] =
+    collectEdges(sym, Seq("a", "b")).map { rows =>
+      var edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+      var ran = 0
+      var converged = edges.isEmpty
+      while (ran < rounds && !converged) {
+        ran += 1
+        val deg = new java.util.HashMap[Long, java.lang.Long]()
+        edges.foreach { case (a, _) =>
+          val cur = deg.get(a); deg.put(a, if (cur == null) 1L else cur + 1L)
+        }
+        val before = edges.length
+        edges = edges.filter { case (a, b) =>
+          deg.get(a) >= k && deg.get(b) >= k
+        }
+        converged = edges.length == before
+      }
+      val deg = new java.util.HashMap[Long, java.lang.Long]()
+      edges.foreach { case (a, _) =>
+        val cur = deg.get(a); deg.put(a, if (cur == null) 1L else cur + 1L)
+      }
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val list: java.util.List[org.apache.spark.sql.Row] =
+        deg.entrySet().iterator().asScala
+          .map(e2 => org.apache.spark.sql.Row(
+            e2.getKey.longValue, e2.getValue.longValue, e2.getValue >= k))
+          .toSeq.asJava
+      val out = sym.sparkSession.createDataFrame(list, StructType(Seq(
+        StructField("node", LongType, nullable = false),
+        StructField("degree", LongType, nullable = false),
+        StructField("in_core", BooleanType, nullable = false))))
+      (out, ran)
+    }
+
   private[graft] def kCorePeel(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       k: Int = 3, rounds: Int = 8): (DataFrame, Int) = {
@@ -797,6 +883,10 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     var e = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().reuseBarrier()
+    kCoreFoldLocal(e, k, rounds) match {
+      case Some(done) => return done
+      case None => ()
+    }
     var remaining = e.count()
     var ran = 0
     var converged = remaining == 0L

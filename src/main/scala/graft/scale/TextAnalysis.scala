@@ -636,8 +636,26 @@ object TextAnalysis {
   def bm25TopKMany(
       df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKManyParams(df, idCol, textCol, queries, queryIdCol, queryTextCol,
+      k, Seq((k1, b))).head
+
+  /** SEVERAL (k1, b) parameterizations ranked off ONE shared
+    * tf/df/length pass — the hybrid-retrieval shape (two BM25 variants
+    * reciprocal-rank fused): the rankings differ only in the final
+    * per-token contribution expression, so the corpus-sized work
+    * (tokenize, semi-join against the query vocabulary, the (doc,
+    * token) tf aggregate, document frequencies, lengths) is computed
+    * once and each parameterization reprices the candidate-sized
+    * joined frame (r15, guide §2.3 — previously each variant re-ran
+    * the whole pipeline). Element-wise identical to calling
+    * [[bm25TopKMany]] per parameter pair. */
+  def bm25TopKManyParams(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, params: Seq[(Double, Double)]): Seq[DataFrame] = {
     require(k > 0, s"k must be > 0, got $k")
+    require(params.nonEmpty, "bm25TopKManyParams: need at least one (k1, b)")
     require(queryIdCol != idCol,
       s"queryIdCol and idCol are both '$idCol' — the output would carry two identically-named columns")
     val id = graft.ops.Cleaning.qcol(idCol)
@@ -666,21 +684,27 @@ object TextAnalysis {
       sum(tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long")).as("__tt"))
     val dl = df.select(id,
       tokenCount(graft.ops.Cleaning.qcol(textCol)).cast("long").as("__dl"))
-    val byDoc = tf.join(broadcast(qt), "__tok")
+    val joined0 = tf.join(broadcast(qt), "__tok")
       .join(broadcast(dfreq), "__tok")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("__contrib",
-        bm25Contrib(col("__tf"), col("__df"), col("__dl"), col("__nd"), col("__tt"), k1, b)
-          .cast("long"))
-      .groupBy(col("__qid"), id)
-      .agg(sum(col("__contrib")).as("bm25_micro"))
-      .filter(col("bm25_micro") > 0)
-    Similarity.topKPerQuery(
-        byDoc.select(col("__qid").as("__qid__"), id.as("__cid__"),
-          col("bm25_micro").cast("double").as("bm25_micro")),
-        queryIdCol, idCol, k, weightCol = "bm25_micro", ascending = false)
-      .withColumn("bm25_micro", col("bm25_micro").cast("long")) // exact below 2^53
+    // candidate-sized (matched query-token × doc rows); materialized
+    // only when several parameterizations reprice it
+    val joined = if (params.length > 1) Reuse.barrier(joined0) else joined0
+    params.map { case (k1, b) =>
+      val byDoc = joined
+        .withColumn("__contrib",
+          bm25Contrib(col("__tf"), col("__df"), col("__dl"), col("__nd"), col("__tt"), k1, b)
+            .cast("long"))
+        .groupBy(col("__qid"), id)
+        .agg(sum(col("__contrib")).as("bm25_micro"))
+        .filter(col("bm25_micro") > 0)
+      Similarity.topKPerQuery(
+          byDoc.select(col("__qid").as("__qid__"), id.as("__cid__"),
+            col("bm25_micro").cast("double").as("bm25_micro")),
+          queryIdCol, idCol, k, weightCol = "bm25_micro", ascending = false)
+        .withColumn("bm25_micro", col("bm25_micro").cast("long")) // exact below 2^53
+    }
   }
 
   /** Unigram log-probability scoring — the degenerate-but-honest form

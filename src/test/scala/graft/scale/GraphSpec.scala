@@ -66,6 +66,9 @@ class GraphSpec extends AnyFunSuite {
     both(Graph.pageRankRefresh(edges, "src", "dst", prev, iterations = 2))
     both(Graph.hits(edges, "src", "dst", iterations = 4))
     both(Graph.seedDistance(edges, "src", "dst", seeds, maxHops = 4))
+    both(Graph.labelPropagation(edges, "src", "dst", iterations = 3))
+    both(Graph.labelPropagation(edges, "src", "dst", iterations = 3, selfVote = true))
+    both(Graph.kCore(edges, "src", "dst", k = 3, rounds = 6))
   }
 
   test("deep runs (past the checkpoint cadence) still match the reference") {
